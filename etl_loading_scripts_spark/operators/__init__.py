@@ -1,0 +1,28 @@
+"""Mutation primitives and join rewrites (SURVEY §1.3, §4)."""
+
+from etl_loading_scripts_spark.operators.mutations import (
+    allocate_surrogate_keys,
+    delete_where,
+    insert_if_absent,
+    merge_upsert,
+    update_from_join,
+)
+from etl_loading_scripts_spark.operators.joins import (
+    anti_not_in,
+    or_join,
+    top1_per_group,
+)
+from etl_loading_scripts_spark.operators.publish import publish_table, truncate_insert
+
+__all__ = [
+    "allocate_surrogate_keys",
+    "anti_not_in",
+    "delete_where",
+    "insert_if_absent",
+    "merge_upsert",
+    "or_join",
+    "publish_table",
+    "top1_per_group",
+    "truncate_insert",
+    "update_from_join",
+]

@@ -1,0 +1,225 @@
+"""Table-mutation primitives as pure DataFrame transforms.
+
+The reference mutates SQL Server tables in place; Spark tables are immutable
+files. Every in-place idiom becomes read → derive → (atomically) overwrite:
+the five primitives here cover ~90% of the reference's statements
+(SURVEY §7.1 M2). All are pure ``DataFrame -> DataFrame`` transforms; the
+write/publish side lives in ``publish.py``.
+
+Scale notes (100 TB): each primitive is a join or window over the target's
+key — Catalyst picks broadcast when the mapping side is small, sort-merge
+otherwise, and AQE handles skew. None of them collect to the driver except
+``allocate_surrogate_keys``'s single MAX scalar (one row). The fact-table
+variants are designed to be run against a *month partition*, not the whole
+table — the reference's own incremental guards (``DateKey BETWEEN`` +
+sentinel keys) mean only ~1/100th of the data is rewritten per run.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_SRC_PREFIX = "__src__"
+
+
+def src_col(name: str) -> Column:
+    """Reference a *source* column inside a ``merge_upsert``
+    ``update_condition`` / ``delete_guard`` expression (the joined frame
+    carries source columns under an internal prefix)."""
+    return F.col(_SRC_PREFIX + name)
+
+
+def _prefix_columns(df: DataFrame, prefix: str = _SRC_PREFIX) -> DataFrame:
+    return df.select([F.col(c).alias(prefix + c) for c in df.columns])
+
+
+def insert_if_absent(
+    target: DataFrame,
+    source: DataFrame,
+    on: Sequence[str],
+    distinct: bool = True,
+) -> DataFrame:
+    """Append source rows whose key is not already in target.
+
+    The reference's dominant idiom: LEFT JOIN target, keep ``target.key IS
+    NULL``, INSERT (``script.sql(S2):23-28,57-63``, ``UpdtMapDimPatron.sql
+    (P-PAT):48-62``) — i.e. a **left-anti join** guarded append. Idempotent:
+    re-running with the same source is a no-op (SURVEY §5).
+
+    Returns target ∪ (source ⟕anti target). Column order follows target.
+    """
+    new_rows = source.select(target.columns)
+    if distinct:
+        new_rows = new_rows.dropDuplicates(list(on))
+    new_rows = new_rows.join(target.select(*on).distinct(), on=list(on), how="left_anti")
+    return target.unionByName(new_rows)
+
+
+def update_from_join(
+    target: DataFrame,
+    mapping: DataFrame,
+    on: Sequence[str],
+    set_cols: Mapping[str, str],
+    guard: Column | None = None,
+    mapping_order: Sequence[Column] | None = None,
+) -> DataFrame:
+    """Correlated ``UPDATE target SET c = m.x FROM target JOIN mapping`` —
+    the reference's fact-FK mapping statement (``S2:31-37``, ``S3:26-29``,
+    ``UpdMapDimRest.sql(P-RES):466-473``).
+
+    - ``set_cols``: target column → mapping column supplying the new value.
+    - ``guard``: predicate over *target* columns selecting updatable rows
+      (the sentinel guards of SURVEY §7.4 R3, e.g. ``col('k') == 0``);
+      rows failing the guard keep their values even when the join matches —
+      the reference's "prevention of overwriting existing data"
+      (``S4:102-107``).
+    - ``mapping_order``: T-SQL UPDATE…FROM with a 1:N join picks an
+      arbitrary matching row; this engine forces determinism by rank-1
+      dedup of the mapping on ``on`` ordered by ``mapping_order`` (defaults
+      to the mapping's non-key columns) — a documented behavioral
+      improvement (SURVEY §7.4 R6).
+
+    Untouched rows and columns pass through unchanged; the result has
+    exactly the target's schema.
+    """
+    on = list(on)
+    order = list(mapping_order) if mapping_order is not None else [
+        F.col(c) for c in mapping.columns if c not in on
+    ]
+    w = Window.partitionBy(*on).orderBy(*order) if order else Window.partitionBy(*on).orderBy(F.lit(1))
+    deduped = (
+        mapping.withColumn("__rn__", F.row_number().over(w))
+        .filter(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    src = _prefix_columns(deduped)
+    join_cond = None
+    for k in on:
+        c = target[k].eqNullSafe(src[_SRC_PREFIX + k])
+        join_cond = c if join_cond is None else (join_cond & c)
+    matched = src[_SRC_PREFIX + on[0]].isNotNull()
+    eligible = matched if guard is None else (matched & guard)
+
+    joined = target.join(src, join_cond, "left")
+    out_cols = []
+    for c in target.columns:
+        if c in set_cols:
+            new_val = F.col(_SRC_PREFIX + set_cols[c])
+            out_cols.append(F.when(eligible, new_val).otherwise(target[c]).alias(c))
+        else:
+            out_cols.append(target[c].alias(c))
+    return joined.select(out_cols)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    on: Sequence[str],
+    update_cols: Sequence[str] | None = None,
+    insert_defaults: Mapping[str, Column] | None = None,
+    update_condition: Column | None = None,
+    delete_unmatched_source: bool = False,
+    delete_guard: Column | None = None,
+) -> DataFrame:
+    """General ``MERGE`` (SURVEY §4.1, O4): full-outer join + per-column
+    resolution, covering every MERGE shape in the reference:
+
+    - update-when-matched / insert-when-not-matched
+      (``BillingGroup_script.sql(S4):15-46``);
+    - ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` full-sync
+      (``delete_unmatched_source=True``; ``P-RES:70-217``, ``spScript.sql
+      (P-SF):95-202``);
+    - guarded delete — protected rows survive the sync
+      (``delete_guard``; ``P-SF:201-202`` ``sfkey <> 'XXX…'``, ``P-SF:302``
+      ``FingerprintID <> 0``);
+    - update-only-when-changed (``update_condition``; ``P-SF:55-62``).
+
+    ``update_cols`` defaults to every non-key column present in both frames.
+    ``insert_defaults`` supplies values for target columns the source lacks
+    (surrogate keys, audit timestamps). Duplicate source keys make a
+    full-outer merge explode — callers must dedup first (rank-1 window, the
+    reference's own discipline, ``S4:23,30``); this function asserts nothing
+    and documents the contract instead of paying a count() per call.
+
+    Scale: one shuffle on ``on`` (or broadcast if source is small); no
+    driver-side data movement.
+    """
+    on = list(on)
+    if update_cols is None:
+        update_cols = [c for c in target.columns if c not in on and c in source.columns]
+    insert_defaults = dict(insert_defaults or {})
+
+    src = _prefix_columns(source)
+    join_cond = None
+    for k in on:
+        c = target[k].eqNullSafe(src[_SRC_PREFIX + k])
+        join_cond = c if join_cond is None else (join_cond & c)
+    joined = target.join(src, join_cond, "full_outer")
+
+    tgt_present = target[on[0]].isNotNull()
+    src_present = src[_SRC_PREFIX + on[0]].isNotNull()
+    matched = tgt_present & src_present
+    src_only = src_present & ~tgt_present
+    tgt_only = tgt_present & ~src_present
+
+    do_update = matched if update_condition is None else (matched & update_condition)
+
+    if delete_unmatched_source:
+        survives = matched | src_only
+        if delete_guard is not None:
+            survives = survives | (tgt_only & delete_guard)
+    else:
+        survives = F.lit(True)
+
+    out_cols = []
+    for c in target.columns:
+        if c in on:
+            expr = F.coalesce(target[c], src[_SRC_PREFIX + c])
+        elif c in update_cols:
+            expr = (
+                F.when(src_only, src[_SRC_PREFIX + c] if c in source.columns else insert_defaults.get(c, F.lit(None)))
+                .when(do_update, src[_SRC_PREFIX + c])
+                .otherwise(target[c])
+            )
+        else:
+            if c in source.columns:
+                insert_val = src[_SRC_PREFIX + c]
+            else:
+                insert_val = insert_defaults.get(c, F.lit(None).cast(dict(target.dtypes)[c]))
+            expr = F.when(src_only, insert_val).otherwise(target[c])
+        out_cols.append(expr.alias(c))
+
+    result = joined.select(*out_cols, survives.alias("__keep__"))
+    return result.filter(F.col("__keep__")).drop("__keep__")
+
+
+def delete_where(df: DataFrame, cond: Column) -> DataFrame:
+    """``DELETE … WHERE cond`` → keep the complement (O7, ``P-RES:65-66``)."""
+    return df.filter(~cond | cond.isNull())
+
+
+def allocate_surrogate_keys(
+    new_rows: DataFrame,
+    existing: DataFrame,
+    key_col: str,
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Deterministic surrogate keys: ``MAX(existing.key) + ROW_NUMBER()
+    OVER (ORDER BY natural key)`` (O44, ``S4:64-73``; SURVEY §4.4).
+
+    The reference's IDENTITY/global-ROW_NUMBER pattern is a single-partition
+    bottleneck at scale; acceptable here because surrogate-keyed tables are
+    *dimensions* (10⁴–10⁶ rows). Ordering by the natural key — never by
+    ``monotonically_increasing_id`` — keeps keys stable across retries.
+    For billion-row key allocation, switch to per-partition offsets
+    (``zipWithIndex`` style): documented trade-off, not needed for any
+    reference table.
+    """
+    max_key = existing.agg(F.max(key_col)).collect()[0][0]
+    base = 0 if max_key is None else max_key
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return new_rows.withColumn(key_col, (F.lit(base) + F.row_number().over(w)).cast("long"))

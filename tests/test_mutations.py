@@ -1,0 +1,158 @@
+"""Unit tests for the mutation primitives (SURVEY §1.3, §4, M2).
+
+Each test encodes an invariant the reference relies on operationally
+(SURVEY §5): insert-if-absent idempotence, sentinel-guarded updates touching
+only unmapped rows, merge delete-guards protecting sentinel rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.operators import (
+    allocate_surrogate_keys,
+    anti_not_in,
+    delete_where,
+    insert_if_absent,
+    merge_upsert,
+    or_join,
+    top1_per_group,
+    update_from_join,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_insert_if_absent_appends_only_new_and_is_idempotent(spark):
+    target = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    source = spark.createDataFrame([(2, "B"), (3, "c"), (3, "c2")], ["k", "v"])
+    out = insert_if_absent(target, source, on=["k"])
+    assert _rows(out, "k") == [(1,), (2,), (3,)]
+    # existing key 2 keeps the target's value
+    assert dict(_rows(out, "k", "v"))[2] == "b"
+    # idempotent: re-run is a no-op
+    again = insert_if_absent(out, source, on=["k"])
+    assert _rows(again, "k", "v") == _rows(out, "k", "v")
+
+
+def test_update_from_join_sentinel_guard(spark):
+    # fact with sentinel restaurant_key=0 meaning unmapped (R3); only those
+    # rows may be rewritten (S4:102 'prevention of overwriting existing data')
+    fact = spark.createDataFrame(
+        [(100, 1, 0), (101, 1, 7), (102, 2, 0), (103, 9, 0)],
+        ["txn", "site", "restaurant_key"],
+    )
+    mapping = spark.createDataFrame([(1, 11), (2, 22)], ["site", "rk"])
+    out = update_from_join(
+        fact,
+        mapping,
+        on=["site"],
+        set_cols={"restaurant_key": "rk"},
+        guard=F.col("restaurant_key") == 0,
+    )
+    got = dict(_rows(out, "txn", "restaurant_key"))
+    assert got == {100: 11, 101: 7, 102: 22, 103: 0}
+
+
+def test_update_from_join_is_deterministic_on_1_to_n(spark):
+    # R6: 1:N mapping resolved rank-1 by explicit order, not arbitrarily
+    fact = spark.createDataFrame([(1, 1, None)], "txn long, site long, k long")
+    mapping = spark.createDataFrame(
+        [(1, 5, "2024-01-01"), (1, 9, "2024-06-01")], ["site", "k2", "updated"]
+    )
+    out = update_from_join(
+        fact,
+        mapping,
+        on=["site"],
+        set_cols={"k": "k2"},
+        mapping_order=[F.col("updated").desc()],
+    )
+    assert out.collect()[0]["k"] == 9
+    assert out.count() == 1  # no row explosion
+
+
+def test_merge_upsert_full_sync_with_delete_guard(spark):
+    # P-SF:95-202: matched -> update, new -> insert, absent-from-source ->
+    # delete EXCEPT protected rows (P-SF:201-202)
+    target = spark.createDataFrame(
+        [(1, "stale", "n"), (2, "keep-del", "n"), (0, "protected", "y")],
+        ["k", "v", "prot"],
+    )
+    source = spark.createDataFrame([(1, "fresh"), (3, "new")], ["k", "v"])
+    out = merge_upsert(
+        target,
+        source,
+        on=["k"],
+        update_cols=["v"],
+        delete_unmatched_source=True,
+        delete_guard=F.col("prot") == "y",
+        insert_defaults={"prot": F.lit("n")},
+    )
+    assert _rows(out, "k", "v") == [(0, "protected"), (1, "fresh"), (3, "new")]
+
+
+def test_merge_upsert_update_only_when_changed(spark):
+    # P-SF:55-62: WHEN MATCHED AND (cols differ) THEN UPDATE
+    target = spark.createDataFrame([(1, "same", 10), (2, "old", 20)], ["k", "v", "aud"])
+    source = spark.createDataFrame([(1, "same"), (2, "new")], ["k", "v"])
+    from etl_loading_scripts_spark.operators.mutations import src_col
+
+    src_prefixed_differs = src_col("v") != F.col("v")
+    out = merge_upsert(
+        target,
+        source,
+        on=["k"],
+        update_cols=["v"],
+        update_condition=src_prefixed_differs,
+    )
+    assert _rows(out, "k", "v", "aud") == [(1, "same", 10), (2, "new", 20)]
+
+
+def test_delete_where_keeps_nulls(spark):
+    df = spark.createDataFrame([(1, 2), (2, 1), (3, None)], ["k", "rank"])
+    out = delete_where(df, F.col("rank") != 1)
+    assert _rows(out, "k") == [(2,), (3,)]
+
+
+def test_allocate_surrogate_keys_offsets_from_max(spark):
+    existing = spark.createDataFrame([(10, "a")], ["bg_key", "name"])
+    new = spark.createDataFrame([("z",), ("m",)], ["name"]).withColumn(
+        "bg_key", F.lit(None).cast("long")
+    )
+    out = allocate_surrogate_keys(new, existing, "bg_key", order_by=["name"])
+    assert _rows(out, "name", "bg_key") == [("m", 11), ("z", 12)]
+
+
+def test_or_join_matches_union_of_disjuncts(spark):
+    left = spark.createDataFrame(
+        [(1, "ALPHA", "x"), (2, "beta", "BETA-CO"), (3, "nope", "none")],
+        ["id", "name", "legal"],
+    )
+    right = spark.createDataFrame([("ALPHA", 100), ("BETA-CO", 200)], ["gname", "gkey"])
+    out = or_join(
+        left,
+        right,
+        key_pairs=[
+            (F.col("name"), F.col("gname")),
+            (F.col("legal"), F.col("gname")),
+        ],
+    )
+    assert _rows(out, "id", "gkey") == [(1, 100), (2, 200)]
+
+
+def test_anti_not_in_handles_null_subquery(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(1, ), (None,)], ["rk"])
+    out = anti_not_in(left, right, "k", "rk")
+    assert _rows(out, "k") == [(2,), (3,)]
+
+
+def test_top1_per_group(spark):
+    df = spark.createDataFrame(
+        [("s1", "2024-01-01", 1), ("s1", "2024-02-01", 2), ("s2", "2024-01-01", 3)],
+        ["site", "dt", "id"],
+    )
+    out = top1_per_group(df, ["site"], [F.col("dt").desc()])
+    assert _rows(out, "site", "id") == [("s1", 2), ("s2", 3)]
