@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is executed once warm-up-free with a count() action (forces full
+plan execution without collecting results to the driver). The metric is
+total wall seconds across the headline set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_loading_scripts_spark.queries import REGISTRY  # noqa: E402
+from etl_loading_scripts_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the flagship cascade + the operator families that dominate
+#: the reference workload (fingerprint join, merge, fact update, windows).
+HEADLINE = [
+    "persona_segmentation",
+    "fingerprint_probe_map",
+    "new_fingerprint_insert",
+    "merge_full_sync",
+    "update_fact_sentinel",
+    "window_dedup_latest",
+    "topk_per_group",
+    "multi_grain_spend_ratio",
+    "pricing_summary_window",
+    "industry_spend_share",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = REGISTRY.get(name)
+        if q is None:
+            continue
+        t0 = time.time()
+        df = q.spark(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+"""Named query registry: SURVEY §2 operator inventory + extension operators.
+
+Importing this package registers every query module. ``REGISTRY`` maps
+query name → :class:`Query` (Spark callable + DuckDB oracle SQL).
+"""
+
+from etl_loading_scripts_spark.queries.base import REGISTRY, Query, register
+
+# import for side effect: each module registers its queries
+from etl_loading_scripts_spark.queries import reference as _reference  # noqa: F401
+from etl_loading_scripts_spark.queries import analytics as _analytics  # noqa: F401
+from etl_loading_scripts_spark.queries import segmentation as _segmentation  # noqa: F401
+
+__all__ = ["REGISTRY", "Query", "register"]

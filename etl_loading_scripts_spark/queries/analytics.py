@@ -1,0 +1,462 @@
+"""SURVEY §2.4-2.7 — aggregations, window functions, sorts, set operations.
+
+Money aggregates follow the exact-decimal discipline of ``queries.base``:
+DECIMAL(18,4) inside the aggregate, DOUBLE at the boundary, so the value
+hash is bit-identical to the DuckDB oracle regardless of partition order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.functions import tsql
+from etl_loading_scripts_spark.operators import allocate_surrogate_keys, top1_per_group
+from etl_loading_scripts_spark.queries.base import register
+
+DEC = "decimal(18,4)"
+
+
+# ---------------------------------------------------------------------------
+# O33/O14/O12 — GROUP BY + SUM/COUNT/MIN/MAX over a datekey window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary_window",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(strftime(l_shipdate, '%Y%m%d') AS INT) BETWEEN 19980101 AND 19981231
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="O33/O14 PS:129-136 + S2:35: additive measures grouped inside an "
+    "integer-datekey BETWEEN window (the reference's monthly increment).",
+)
+def pricing_summary_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: filter + projection push into the parquet scan (datekey is
+    derived from l_shipdate, so the BETWEEN becomes a shipdate range
+    Catalyst can push); one partial+final hash aggregate, grouping keys have
+    ~6 values → tiny shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dk = tsql.datekey("l_shipdate")
+    return (
+        li.filter(dk.between(19980101, 19981231))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("sum_disc_price"),
+            (
+                F.sum(F.col("l_discount").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "count_distinct_clients",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_clients,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    doc="O34 S1:79 / PS:420: COUNT(DISTINCT client) per group.",
+)
+def count_distinct_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_clients"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "conditional_agg_ratio",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_value,
+           CAST(SUM(CASE WHEN c.c_acctbal > 5000 THEN 1 ELSE 0 END) AS DOUBLE) * 1.0
+               / COUNT(*) AS pct_high_value
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="O36 PS:421-422: SUM(CAST(flag AS int)) + *1.0/COUNT(*) ratio idiom "
+    "(the reference's %HVD metric).",
+)
+def conditional_agg_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    hv = F.when(F.col("c_acctbal") > 5000, 1).otherwise(0)
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(hv).alias("n_high_value"),
+            (F.sum(hv).cast("double") * 1.0 / F.count(F.lit(1))).alias("pct_high_value"),
+        )
+    )
+
+
+@register(
+    "having_all_rows_match",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part
+    GROUP BY p_brand
+    HAVING COUNT(CASE WHEN p_size < 40 THEN 1 END) = COUNT(*)
+    """,
+    doc="O37 CT:199-203: HAVING COUNT(CASE…) = COUNT(*) — groups where "
+    "every row satisfies the predicate (the all-N/A-brand report).",
+)
+def having_all_rows_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count(F.when(F.col("p_size") < 40, 1)).alias("n_small"),
+        )
+        .filter(F.col("n_small") == F.col("n_parts"))
+        .select("p_brand", "n_parts")
+    )
+
+
+@register(
+    "scalar_subquery_max_datekey",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS max_datekey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE CAST(strftime(o_orderdate, '%Y%m%d') AS INT) =
+          (SELECT MAX(CAST(strftime(o_orderdate, '%Y%m%d') AS INT)) FROM orders)
+    GROUP BY 1
+    """,
+    doc="O38 S4:9,55,65: scalar aggregate subquery (MAX key/date) fed into "
+    "the next statement — a driver-side scalar in Spark (DECLARE @x idiom).",
+)
+def scalar_subquery_max_datekey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one place the engine collects to the driver: a single MAX row
+    (same as the reference's DECLARE @maxdate). Never grows with data."""
+    orders = load_table(spark, sf_dir, "orders")
+    dk = tsql.datekey("o_orderdate")
+    max_dk = orders.agg(F.max(dk)).collect()[0][0]
+    return (
+        orders.filter(dk == max_dk)
+        .groupBy(dk.alias("max_datekey"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "multi_grain_spend_ratio",
+    oracle="""
+    WITH nation_spend AS (
+        SELECT c.c_nationkey, n.n_name, n.n_regionkey,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS nspend
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2, 3
+    ),
+    region_spend AS (
+        SELECT n_regionkey, SUM(nspend) AS rspend
+        FROM nation_spend GROUP BY 1
+    )
+    SELECT ns.n_name, r.r_name,
+           CAST(ns.nspend AS DOUBLE) AS nation_spend,
+           CAST(rs.rspend AS DOUBLE) AS region_spend,
+           CAST(ns.nspend AS DOUBLE) / CAST(rs.rspend AS DOUBLE) AS spend_ratio
+    FROM nation_spend ns
+    JOIN region_spend rs ON ns.n_regionkey = rs.n_regionkey
+    JOIN region r ON ns.n_regionkey = r.r_regionkey
+    """,
+    doc="O39 PS:144-182: aggregate at fine grain, re-aggregate at coarse "
+    "grain, ratio of the two (TerritorySpend/TotalSpend cascade).",
+)
+def multi_grain_spend_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the re-aggregation reuses the first shuffle's output (25
+    nations) — the second groupBy is trivially small. The ratio join
+    broadcasts. Exactly how PS's CTE cascade should run distributed."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    nation_spend = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("c_nationkey", "n_name", "n_regionkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("nspend"))
+    )
+    region_spend = nation_spend.groupBy("n_regionkey").agg(F.sum("nspend").alias("rspend"))
+    return (
+        nation_spend.join(region_spend, "n_regionkey")
+        .join(F.broadcast(region), nation_spend.n_regionkey == region.r_regionkey)
+        .select(
+            "n_name",
+            "r_name",
+            F.col("nspend").cast("double").alias("nation_spend"),
+            F.col("rspend").cast("double").alias("region_spend"),
+            (F.col("nspend").cast("double") / F.col("rspend").cast("double")).alias(
+                "spend_ratio"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# O41-O45 — window ranking family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_dedup_latest",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_datekey
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC
+               ) AS rn
+        FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="O41 S4:23,30 / P-RES:243,295: ROW_NUMBER()=1 latest-row-per-key "
+    "dedup — the reference's dedup-before-merge discipline.",
+)
+def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    latest = top1_per_group(
+        orders,
+        ["o_custkey"],
+        [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()],
+    )
+    return latest.select(
+        "o_custkey", "o_orderkey", tsql.datekey("o_orderdate").alias("order_datekey")
+    )
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    WITH revenue AS (
+        SELECT p.p_brand, l.l_partkey,
+               SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS rev
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p_brand, l_partkey, CAST(rev AS DOUBLE) AS revenue, rnk
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY p_brand ORDER BY rev DESC, l_partkey
+        ) AS INT) AS rnk
+        FROM revenue
+    ) WHERE rnk <= 10
+    """,
+    doc="O42 PS:391-399: top-10 per group (MMRank<=10), ranked on an exact "
+    "decimal aggregate with unique-key tie-break.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)).alias(
+                "rev"
+            )
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("rev").desc(), F.col("l_partkey"))
+    return (
+        revenue.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("p_brand", "l_partkey", F.col("rev").cast("double").alias("revenue"), "rnk")
+    )
+
+
+@register(
+    "rank_preference_case",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l.l_partkey, s.s_suppkey, s.s_name, s.s_nationkey
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ),
+    ranked AS (
+        SELECT l_partkey, s_suppkey,
+               RANK() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY CASE WHEN s_nationkey < 5 THEN 1
+                                 WHEN s_nationkey < 15 THEN 2
+                                 ELSE 3 END,
+                            s_suppkey
+               ) AS match_rank
+        FROM pairs
+    )
+    SELECT l_partkey, s_suppkey FROM ranked WHERE match_rank = 1
+    """,
+    doc="O43 P-RES:30-47,65-66: RANK() ordered by a CASE quality score, "
+    "then DELETE ranking<>1 — preference-order pick per key.",
+)
+def rank_preference_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    pairs = (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .select("l_partkey", "s_suppkey", "s_name", "s_nationkey")
+        .distinct()
+    )
+    quality = (
+        F.when(F.col("s_nationkey") < 5, 1).when(F.col("s_nationkey") < 15, 2).otherwise(3)
+    )
+    ranked = top1_per_group(
+        pairs, ["l_partkey"], [quality, F.col("s_suppkey")], rank_fn=F.rank
+    )
+    return ranked.select("l_partkey", "s_suppkey")
+
+
+@register(
+    "surrogate_key_allocation",
+    oracle="""
+    WITH existing AS (
+        SELECT p_brand,
+               ROW_NUMBER() OVER (ORDER BY p_brand) AS bg_key
+        FROM (SELECT DISTINCT p_brand FROM part WHERE p_size > 25)
+    ),
+    new_brands AS (
+        SELECT DISTINCT p.p_brand FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.p_brand = p.p_brand)
+    ),
+    allocated AS (
+        SELECT p_brand,
+               (SELECT MAX(bg_key) FROM existing) +
+               ROW_NUMBER() OVER (ORDER BY p_brand) AS bg_key
+        FROM new_brands
+    )
+    SELECT p_brand, CAST(bg_key AS BIGINT) AS bg_key FROM existing
+    UNION ALL
+    SELECT p_brand, CAST(bg_key AS BIGINT) AS bg_key FROM allocated
+    """,
+    doc="O44 S4:64-73: surrogate keys = MAX(existing)+ROW_NUMBER() ordered "
+    "by the natural key — deterministic across retries (SURVEY §4.4).",
+)
+def surrogate_key_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.orderBy("p_brand")
+    existing = (
+        part.filter(F.col("p_size") > 25)
+        .select("p_brand")
+        .distinct()
+        .withColumn("bg_key", F.row_number().over(w).cast("long"))
+    )
+    new_brands = (
+        part.select("p_brand").distinct().join(existing.select("p_brand"), "p_brand", "left_anti")
+    )
+    allocated = allocate_surrogate_keys(
+        new_brands.withColumn("bg_key", F.lit(None).cast("long")),
+        existing,
+        "bg_key",
+        order_by=["p_brand"],
+    )
+    return existing.unionByName(allocated.select("p_brand", "bg_key"))
+
+
+@register(
+    "modal_value_per_group",
+    oracle="""
+    WITH counted AS (
+        SELECT p_brand, p_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM part GROUP BY 1, 2
+    )
+    SELECT p_brand, p_type AS modal_type, n
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY p_brand ORDER BY n DESC, p_type
+        ) AS rn FROM counted
+    ) WHERE rn = 1
+    """,
+    doc="O45 CT:33-45: modal (most frequent) value per group — ROW_NUMBER "
+    "ordered by COUNT(*) DESC (the cuisine-imputation pattern).",
+)
+def modal_value_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    counted = part.groupBy("p_brand", "p_type").agg(F.count(F.lit(1)).alias("n"))
+    modal = top1_per_group(counted, ["p_brand"], [F.col("n").desc(), F.col("p_type")])
+    return modal.select("p_brand", F.col("p_type").alias("modal_type"), "n")
+
+
+# ---------------------------------------------------------------------------
+# O46/O47 — sort + top-n; O14 date function family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "top_n_inspection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 1000
+    """,
+    doc="O46/O47 S3:46,92: SELECT TOP n ORDER BY — global top-k with "
+    "deterministic tie-break.",
+)
+def top_n_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: Spark's sort+limit runs as TakeOrderedAndProject — each
+    partition keeps its local top-1000, only 1000×P rows reach the driver-
+    side merge, never a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(1000)
+    )
+
+
+@register(
+    "datekey_month_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS INT) AS month_datekey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY 1, 2, 3
+    """,
+    doc="§2.8 date family S1:46-47, S2:14-18: month-floor, EOMONTH, integer "
+    "datekey — the reference's monthly batch window arithmetic.",
+)
+def datekey_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # dates presented as ISO strings: DATE columns round-trip differently
+    # through pandas/Arrow in Spark vs DuckDB (date vs datetime64) — strings
+    # make the driver's value-hash representation-proof.
+    return (
+        orders.groupBy(
+            F.date_format(tsql.month_floor("o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+            F.date_format(tsql.eomonth("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            tsql.datekey(tsql.month_floor("o_orderdate")).alias("month_datekey"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+    )

@@ -1,0 +1,611 @@
+"""SURVEY §2 operator inventory as named queries — joins, mutations, scans.
+
+Each query re-expresses one reference operator shape on the driver's
+synthetic star schema (role mapping per FIXTURES.md §B) and pairs it with a
+DuckDB oracle. Citations name the reference statement the operator comes
+from (aliases per SURVEY.md §"File aliases").
+
+Scale notes are attached per query: what shuffles, what broadcasts, and why
+the plan survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.functions import tsql
+from etl_loading_scripts_spark.operators import (
+    insert_if_absent,
+    merge_upsert,
+    or_join,
+    anti_not_in,
+    update_from_join,
+)
+from etl_loading_scripts_spark.queries.base import register
+
+DEC = "decimal(18,4)"
+
+# ---------------------------------------------------------------------------
+# O25/O12/M1 — the signature operation: computed-expression fingerprint join
+# (PreparePOStoTxnMap_script.sql S1:7-25)
+# ---------------------------------------------------------------------------
+
+#: The 'merchant identity' fields of the supplier stand-in (FIXTURES §B).
+_FP_FIELDS_SQL = (
+    "upper(coalesce(trim(s_name), '')) || '|' || "
+    "upper(coalesce(trim(cast(s_nationkey as varchar)), ''))"
+)
+
+
+def _fp_col():
+    return tsql.simhash_fingerprint([F.col("s_name"), F.col("s_nationkey").cast("string")])
+
+
+@register(
+    "fingerprint_probe_map",
+    oracle=f"""
+    WITH registry AS (
+        SELECT DISTINCT md5({_FP_FIELDS_SQL}) AS simhash, s_suppkey
+        FROM supplier
+    ),
+    probe AS (
+        SELECT l.l_orderkey, l.l_extendedprice, l.l_discount,
+               md5({_FP_FIELDS_SQL}) AS simhash
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    )
+    SELECT p.simhash,
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           CAST(SUM(CAST(p.l_extendedprice * (1 - p.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(r.s_suppkey) AS BIGINT) AS n_mapped
+    FROM probe p LEFT JOIN registry r ON p.simhash = r.simhash
+    GROUP BY p.simhash
+    """,
+    doc="S1:5-26 stage-1 map: probe transactions against the fingerprint "
+    "registry on a computed md5 identity key, count mapped/unmapped.",
+)
+def fingerprint_probe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's POS→Txn fingerprint probe (S1:18-25): fuzzy 8-field
+    merchant identity collapsed into ONE equi-join key so the join shuffles
+    hash-partitioned instead of nested-looping.
+
+    Scale: registry is dimension-sized → broadcast; probe side computes the
+    hash in whole-stage codegen during the scan. At 100 TB the only shuffle
+    is the final groupBy on the hash (high cardinality, no skew)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    registry = supplier.select(_fp_col().alias("simhash"), "s_suppkey").distinct()
+    probe = (
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            "l_discount",
+            _fp_col().alias("simhash"),
+        )
+    )
+    return (
+        probe.join(F.broadcast(registry), "simhash", "left")
+        .groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).alias("n_txns"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+            F.count("s_suppkey").alias("n_mapped"),
+        )
+    )
+
+
+@register(
+    "new_fingerprint_insert",
+    oracle=f"""
+    WITH existing AS (
+        SELECT DISTINCT md5({_FP_FIELDS_SQL}) AS simhash
+        FROM supplier WHERE s_suppkey % 4 <> 0
+    ),
+    candidates AS (
+        SELECT md5({_FP_FIELDS_SQL}) AS simhash,
+               upper(coalesce(trim(s_name), '')) AS merchant_name,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS client_count,
+               CAST(COUNT(*) AS BIGINT) AS txn_count,
+               MAX(CAST(strftime(l.l_shipdate, '%Y%m%d') AS INT)) AS last_seen_datekey
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    )
+    SELECT c.* FROM candidates c
+    LEFT JOIN existing e ON c.simhash = e.simhash
+    WHERE e.simhash IS NULL
+    """,
+    doc="S1:46-128: insert NEW fingerprints — group txns by normalized "
+    "merchant identity + hash, ClientCount=COUNT(DISTINCT client), "
+    "anti-join on existing SimHash (O20/O34/O35).",
+)
+def new_fingerprint_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY on computed expressions incl. the hash itself (O35,
+    S1:103-128) + left-anti insert guard (S1:84-92).
+
+    Scale: one shuffle for the groupBy on the hash key; the anti-join
+    broadcasts the existing-hash set (registry ≪ fact). countDistinct adds a
+    partial/final two-phase agg — no driver involvement."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    existing = (
+        supplier.filter(F.col("s_suppkey") % 4 != 0)
+        .select(_fp_col().alias("simhash"))
+        .distinct()
+    )
+    candidates = (
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            _fp_col().alias("simhash"),
+            tsql.norm_name("s_name").alias("merchant_name"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("client_count"),
+            F.count(F.lit(1)).alias("txn_count"),
+            F.max(tsql.datekey("l_shipdate")).alias("last_seen_datekey"),
+        )
+    )
+    return candidates.join(F.broadcast(existing), "simhash", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# O20 — insert-if-absent (anti-join guarded append), the dominant idiom
+# (script.sql S2:23-28,57-63; UpdtMapDimPatron P-PAT:48-62)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "insert_if_absent_dim",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0
+    UNION ALL
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c_custkey % 3 <> 0
+      AND NOT EXISTS (
+        SELECT 1 FROM customer e WHERE e.c_custkey % 3 = 0 AND e.c_custkey = c.c_custkey
+      )
+    """,
+    doc="O20 S2:23-28: LEFT JOIN target / IS NULL / INSERT == left-anti "
+    "guarded append; idempotent by construction.",
+)
+def insert_if_absent_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dogfoods the engine's ``insert_if_absent`` primitive against an
+    independent SQL formulation (UNION ALL + NOT EXISTS)."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dim = customer.filter(F.col("c_custkey") % 3 == 0)
+    return insert_if_absent(dim, customer, on=["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# O5/O19 — UPDATE…FROM join with sentinel guards
+# (S2:31-37; S3:26-29; UpdMapDimRest P-RES:466-473)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "update_fact_sentinel",
+    oracle="""
+    WITH fact AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 7 = 0 THEN 0 ELSE o_custkey END AS cust_fk,
+               o_custkey
+        FROM orders
+    )
+    SELECT o_orderkey,
+           CASE WHEN cust_fk = 0 THEN o_custkey ELSE cust_fk END AS cust_fk
+    FROM fact
+    """,
+    doc="O5+O19: fact rows with sentinel FK=0 are remapped from the mapping "
+    "table; mapped rows are never overwritten (S4:102-107).",
+)
+def update_fact_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dogfoods ``update_from_join``: the oracle states the expected result
+    as a direct CASE expression; the Spark side actually runs the engine's
+    rewrite-table primitive (left join + guarded coalesce).
+
+    Scale: the mapping join shuffles on the fact's natural key; with the
+    fact parquet partitioned by month and the reference's ``DateKey
+    BETWEEN`` guard, only ~1 month partition is read and rewritten."""
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(0))
+        .otherwise(F.col("o_custkey"))
+        .alias("cust_fk"),
+    )
+    mapping = orders.select("o_orderkey", F.col("o_custkey").alias("true_cust"))
+    out = update_from_join(
+        fact,
+        mapping,
+        on=["o_orderkey"],
+        set_cols={"cust_fk": "true_cust"},
+        guard=F.col("cust_fk") == 0,
+    )
+    return out.select("o_orderkey", F.col("cust_fk").cast("long").alias("cust_fk"))
+
+
+# ---------------------------------------------------------------------------
+# O4 — MERGE with full delete-sync + protected rows
+# (BillingGroup S4:15-46; spScript P-SF:95-202, guard at 201-202)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "merge_full_sync",
+    oracle="""
+    WITH target AS (
+        SELECT s_suppkey, 0.0 AS s_acctbal FROM supplier
+        WHERE s_suppkey % 3 <> 0 OR s_suppkey = 0
+    ),
+    source AS (
+        SELECT s_suppkey, s_acctbal FROM supplier WHERE s_suppkey % 2 = 0
+    )
+    SELECT COALESCE(t.s_suppkey, s.s_suppkey) AS s_suppkey,
+           CASE WHEN s.s_suppkey IS NOT NULL THEN s.s_acctbal ELSE t.s_acctbal END AS s_acctbal
+    FROM target t FULL OUTER JOIN source s ON t.s_suppkey = s.s_suppkey
+    WHERE s.s_suppkey IS NOT NULL        -- matched or inserted survive
+       OR t.s_suppkey = 0                -- protected row survives the sync
+    """,
+    doc="O4 P-SF:95-202: MERGE matched→update, new→insert, NOT MATCHED BY "
+    "SOURCE→delete except delete_guard-protected rows (P-SF:201-202).",
+)
+def merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dogfoods ``merge_upsert`` full-sync against an independent full-outer
+    SQL formulation. Scale: single shuffle on the merge key; source
+    broadcast when dimension-sized."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    target = (
+        supplier.filter((F.col("s_suppkey") % 3 != 0) | (F.col("s_suppkey") == 0))
+        .select("s_suppkey", F.lit(0.0).alias("s_acctbal"))
+    )
+    source = supplier.filter(F.col("s_suppkey") % 2 == 0).select("s_suppkey", "s_acctbal")
+    return merge_upsert(
+        target,
+        source,
+        on=["s_suppkey"],
+        update_cols=["s_acctbal"],
+        delete_unmatched_source=True,
+        delete_guard=F.col("s_suppkey") == 0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# O21/O22 — NOT IN / IN subqueries as anti/semi joins (P-PAT:40; P-RES:25)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "anti_customers_without_orders",
+    oracle="""
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_custkey IS NOT NULL)
+    GROUP BY n.n_name
+    """,
+    doc="O21 P-PAT:40: NOT IN subquery → left-anti join (NULL subquery "
+    "values dropped first, SURVEY R5).",
+)
+def anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    no_orders = anti_not_in(customer, orders.select("o_custkey"), "c_custkey", "o_custkey")
+    return (
+        no_orders.join(F.broadcast(nation), no_orders.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "semi_suppliers_with_sales",
+    oracle="""
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT l_suppkey FROM lineitem)
+    GROUP BY n.n_name
+    """,
+    doc="O22 P-RES:25: IN subquery → left-semi join.",
+)
+def semi_suppliers_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    active = supplier.join(
+        lineitem.select(F.col("l_suppkey").alias("s_suppkey")), "s_suppkey", "left_semi"
+    )
+    return (
+        active.join(F.broadcast(nation), active.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O26 — composite-key join (S2:61,70: proxy = concat(client,'_',emp,'_',cc))
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "composite_key_join",
+    oracle="""
+    WITH dim AS (
+        SELECT CAST(c_nationkey AS VARCHAR) || '_' ||
+               right('0000' || CAST(c_custkey AS VARCHAR), 4) AS proxy_id,
+               c_custkey, c_nationkey
+        FROM customer
+    ),
+    staging AS (
+        SELECT DISTINCT CAST(c.c_nationkey AS VARCHAR) || '_' ||
+               right('0000' || CAST(o.o_custkey AS VARCHAR), 4) AS proxy_id
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT d.c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_matched
+    FROM staging s JOIN dim d ON s.proxy_id = d.proxy_id
+    GROUP BY d.c_nationkey
+    """,
+    doc="O26 S2:61 / P-PAT:108: join on concat_ws composite proxy with "
+    "RIGHT(CONCAT('0000',cc),4) zero-pad (M1 zero_pad_last).",
+)
+def composite_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the composite key is computed during the scan (codegen), the
+    join shuffles on it like any equi key. Collision note: last-4 padding
+    is the reference's own (lossy) convention — kept verbatim."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    proxy = tsql.concat_nullsafe(
+        F.col("c_nationkey").cast("string"),
+        tsql.zero_pad_last(F.col("c_custkey")),
+        sep="_",
+    )
+    dim = customer.select(proxy.alias("proxy_id"), "c_custkey", "c_nationkey")
+    staging = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            tsql.concat_nullsafe(
+                F.col("c_nationkey").cast("string"),
+                tsql.zero_pad_last(F.col("o_custkey")),
+                sep="_",
+            ).alias("proxy_id")
+        )
+        .distinct()
+    )
+    return (
+        staging.join(dim, "proxy_id")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O27 — theta self-join duplicate resolution (P-PAT:53-55)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "theta_selfjoin_max_txn",
+    oracle="""
+    WITH counts AS (
+        SELECT o_custkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS txn_count
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT t1.o_custkey, t1.o_orderpriority, t1.txn_count
+    FROM counts t1 LEFT JOIN counts t2
+      ON t1.o_custkey = t2.o_custkey AND t2.txn_count > t1.txn_count
+    WHERE t2.o_custkey IS NULL
+    """,
+    doc="O27 P-PAT:53-55: keep rows where no other row of the same key has "
+    "a greater count — theta (>) self-join, ties all kept (T-SQL parity).",
+)
+def theta_selfjoin_max_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept as a literal theta self-join for parity; the window-function
+    rewrite (max over partition) is what production code should use — see
+    ``top1_per_group``. Scale: self-join shuffles both sides on o_custkey
+    (equi part of the condition), theta part evaluated post-shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("txn_count")
+    )
+    t1, t2 = counts.alias("t1"), counts.alias("t2")
+    return (
+        t1.join(
+            t2,
+            (F.col("t1.o_custkey") == F.col("t2.o_custkey"))
+            & (F.col("t2.txn_count") > F.col("t1.txn_count")),
+            "left_anti",
+        )
+        .select("o_custkey", "o_orderpriority", "txn_count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O28 — disjunctive (OR) join → union-of-equi-joins (P-RES:448-451)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "or_join_name_variants",
+    oracle="""
+    WITH lhs AS (
+        SELECT s_suppkey, s_name, replace(s_name, '#', '-') AS alt_name
+        FROM supplier
+    ),
+    rhs AS (
+        SELECT CASE WHEN s_suppkey % 2 = 0 THEN replace(s_name, '#', '-')
+                    ELSE s_name END AS gname,
+               s_suppkey AS gkey
+        FROM supplier
+    ),
+    matched AS (
+        SELECT l.s_suppkey, r.gkey,
+               CASE WHEN l.s_name = r.gname THEN 0 ELSE 1 END AS branch,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.s_suppkey, l.s_name, l.alt_name
+                   ORDER BY CASE WHEN l.s_name = r.gname THEN 0 ELSE 1 END
+               ) AS rn
+        FROM lhs l JOIN rhs r
+          ON l.s_name = r.gname OR l.alt_name = r.gname
+    )
+    SELECT s_suppkey, gkey FROM matched WHERE rn = 1
+    """,
+    doc="O28 P-RES:448-451: 4-way OR join condition rewritten as a union of "
+    "equi-joins with first-disjunct-wins dedup — never a nested-loop plan.",
+)
+def or_join_name_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load_table(spark, sf_dir, "supplier")
+    lhs = supplier.select(
+        "s_suppkey", "s_name", F.replace(F.col("s_name"), F.lit("#"), F.lit("-")).alias("alt_name")
+    )
+    rhs = supplier.select(
+        F.when(F.col("s_suppkey") % 2 == 0, F.replace(F.col("s_name"), F.lit("#"), F.lit("-")))
+        .otherwise(F.col("s_name"))
+        .alias("gname"),
+        F.col("s_suppkey").alias("gkey"),
+    )
+    out = or_join(
+        lhs,
+        rhs,
+        key_pairs=[
+            (F.col("s_name"), F.col("gname")),
+            (F.col("alt_name"), F.col("gname")),
+        ],
+    )
+    return out.select("s_suppkey", "gkey")
+
+
+# ---------------------------------------------------------------------------
+# O29 — fuzzy prefix join (script.sql S3:54-59)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_prefix_join",
+    oracle="""
+    SELECT left(p1.p_name, 5) AS prefix, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM part p1 JOIN part p2
+      ON left(p1.p_name, 5) = left(p2.p_name, 5)
+     AND p1.p_partkey < p2.p_partkey
+    WHERE p1.p_name LIKE '%e%'
+    GROUP BY 1
+    """,
+    doc="O29 S3:54-59: LIKE filter + LEFT(x,5)=LEFT(y,5) manual fuzzy match "
+    "— equi-join on the substring expression, never a cartesian.",
+)
+def fuzzy_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    p1 = part.select(
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("n1"),
+        F.substring("p_name", 1, 5).alias("prefix"),
+    ).filter(F.col("n1").like("%e%"))
+    p2 = part.select(
+        F.col("p_partkey").alias("k2"), F.substring("p_name", 1, 5).alias("prefix")
+    )
+    return (
+        p1.join(p2, "prefix")
+        .filter(F.col("k1") < F.col("k2"))
+        .groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O18 — LIKE patterns incl. wildcard semantics (S2:27,36; S3:58,75)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "like_patterns",
+    oracle="""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n
+    FROM part
+    WHERE p_name LIKE '_e%'        -- single-char wildcard
+      AND p_name NOT LIKE '%bolt%' -- negated contains
+      AND p_name LIKE '%e_'        -- trailing single-char
+    GROUP BY p_brand
+    """,
+    doc="O18: LIKE '%x%' / NOT LIKE with _ single-char wildcards; T-SQL's "
+    "bracket-escape [_] ≡ escaped underscore (unit-tested in M1).",
+)
+def like_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.filter(
+            F.col("p_name").like("_e%")
+            & ~F.col("p_name").like("%bolt%")
+            & F.col("p_name").like("%e_")
+        )
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 — scalar-function surface: NULL/blank normalization, REPLACE chains
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "null_blank_normalization",
+    oracle="""
+    WITH dirty AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 5 = 0 THEN ''
+                    WHEN c_custkey % 7 = 0 THEN NULL
+                    ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT COALESCE(NULLIF(TRIM(seg), ''), 'UNKNOWN') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM dirty GROUP BY 1
+    """,
+    doc="R1/§2.8 S1:71-78, S2:63: IIF-empty→NULL + ISNULL default — "
+    "null_if_blank + coalesce shim over dirty segment labels.",
+)
+def null_blank_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    dirty = customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(""))
+        .when(F.col("c_custkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    )
+    return (
+        dirty.select(
+            F.coalesce(tsql.null_if_blank("seg"), F.lit("UNKNOWN")).alias("segment")
+        )
+        .groupBy("segment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "replace_chain_normalize",
+    oracle="""
+    SELECT trim(replace(replace(replace(replace(p_name,
+               'small', ''), 'red', ''), '  ', ' '), 'widget', 'WIDGET')) AS cleaned,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM part GROUP BY 1
+    """,
+    doc="§2.8 S4:19-20 / P-RES:225: nested-REPLACE normalization chain "
+    "(14-deep in the reference) as a left fold of F.replace.",
+)
+def replace_chain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    cleaned = tsql.clean_chain(
+        F.col("p_name"),
+        [("small", ""), ("red", ""), ("  ", " "), ("widget", "WIDGET")],
+    )
+    return (
+        part.select(F.trim(cleaned).alias("cleaned"))
+        .groupBy("cleaned")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
