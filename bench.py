@@ -35,6 +35,11 @@ HEADLINE = [
     "multi_grain_spend_ratio",
     "pricing_summary_window",
     "industry_spend_share",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "ann_bruteforce_topk",
+    "text_quality_score",
+    "sessionize_events",
 ]
 
 

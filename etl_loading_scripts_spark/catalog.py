@@ -42,11 +42,26 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _normalize_nanos(df: DataFrame) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as long (see session config
+    ``spark.sql.legacy.parquet.nanosAsLong``); convert to microsecond
+    TimestampType — same truncation DuckDB applies reading the file."""
+    from pyspark.sql import functions as F
+
+    out = df
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer division: float division of ~1e18 nanos loses precision
+            out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return out
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one star-schema table. Parquet → full pushdown/pruning."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    return _normalize_nanos(df) if name == "events" else df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,442 @@
+"""Deduplication operators over the ``documents`` / ``embeddings`` tables.
+
+Five families, each a standard large-corpus technique re-expressed as
+shuffle-bounded DataFrame ops:
+
+- **exact**       — md5(text) hash-groupBy; canonical = min doc_id.
+- **MinHash-LSH** — shingle → k minhashes → b bands → bucket-join →
+  candidate pairs → exact-Jaccard verify. The scale path for near-dedup:
+  the cross product never materializes, only same-band buckets join.
+- **n-gram Jaccard** — exact Jaccard on shared-shingle-blocked pairs
+  (the LSH verifier run standalone with inverted-index blocking).
+- **SimHash**     — 32-bit sign-sum sketch from md5 nibbles; Hamming-near
+  docs land in identical/adjacent buckets.
+- **embedding cosine** — near-dup by cosine over quantized vectors
+  (see ``llm/similarity.py`` for the ANN variants).
+
+Portability: every hash derives from md5 hex (DuckDB-computable); minhash
+"hash family" h_i(s) = md5(i || '|' || s) compared lexicographically —
+min-of-hex-string is engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.queries.base import register
+
+N_MINHASH = 12
+N_BANDS = 4  # 4 bands x 3 rows
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+JACCARD_THRESHOLD = 0.3
+
+_SHINGLES_SQL_DUCK = r"""
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, len(words) - 1),
+                             i -> array_to_string(words[i:i+2], ' '))) AS shingles
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '') AS words
+            FROM documents
+        )
+        WHERE len(words) >= 3
+"""
+
+
+def _shingles_spark(docs: DataFrame) -> DataFrame:
+    """doc_id → distinct word-3-gram shingles (array<string>)."""
+    words = F.expr(r"filter(split(lower(text), '\\W+'), w -> w <> '')")
+    return (
+        docs.select("doc_id", words.alias("words"))
+        .filter(F.size("words") >= 3)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(words) - 2), "
+                    "i -> concat_ws(' ', words[i-1], words[i], words[i+1]))"
+                )
+            ).alias("shingles"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, md5(text) AS content_hash FROM documents
+    ),
+    canon AS (
+        SELECT content_hash, MIN(doc_id) AS canonical_id,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM hashed GROUP BY 1
+    )
+    SELECT h.doc_id, h.content_hash, c.canonical_id,
+           c.group_size, h.doc_id <> c.canonical_id AS is_duplicate
+    FROM hashed h JOIN canon c USING (content_hash)
+    """,
+    doc="Exact dedup: hash-groupBy on md5(text); every doc labeled with its "
+    "canonical (min doc_id) representative and duplicate flag.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: ONE shuffle on the 128-bit content hash — the canonical
+    100 TB exact-dedup plan. The canon side aggregates to distinct hashes
+    (≤ corpus), joined back hash-partitioned; AQE broadcast-joins it if the
+    dup-group table turns out small."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    canon = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return hashed.join(canon, "content_hash").select(
+        "doc_id",
+        "content_hash",
+        "canonical_id",
+        "group_size",
+        (F.col("doc_id") != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _minhash_exprs_spark():
+    return [
+        F.expr(f"array_min(transform(shingles, s -> md5(concat('{i}|', s))))").alias(
+            f"mh{i}"
+        )
+        for i in range(N_MINHASH)
+    ]
+
+
+def _minhash_exprs_duck() -> str:
+    return ",\n               ".join(
+        f"list_min(list_transform(shingles, s -> md5(concat('{i}|', s)))) AS mh{i}"
+        for i in range(N_MINHASH)
+    )
+
+
+def _band_keys_spark():
+    cols = []
+    for b in range(N_BANDS):
+        parts = [f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        cols.append(F.md5(F.concat_ws("|", *parts)).alias(f"band{b}"))
+    return cols
+
+
+def _band_keys_duck() -> str:
+    outs = []
+    for b in range(N_BANDS):
+        parts = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        outs.append(f"md5(concat_ws('|', {parts})) AS band{b}")
+    return ",\n               ".join(outs)
+
+
+_MINHASH_ORACLE = f"""
+    WITH shingled AS ({_SHINGLES_SQL_DUCK}),
+    sigs AS (
+        SELECT doc_id, shingles,
+               {_minhash_exprs_duck()}
+        FROM shingled
+    ),
+    banded AS (
+        SELECT doc_id, shingles,
+               {_band_keys_duck()}
+        FROM sigs
+    ),
+    band_long AS (
+        SELECT doc_id, shingles, b.band, b.key
+        FROM banded,
+        LATERAL (VALUES (0, band0), (1, band1), (2, band2), (3, band3)) AS b(band, key)
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.shingles AS sh_a, b.shingles AS sh_b
+        FROM band_long a JOIN band_long b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+           (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
+    FROM candidates
+    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
+          (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_MINHASH_ORACLE,
+    doc=f"MinHash({N_MINHASH})+LSH({N_BANDS}x{ROWS_PER_BAND}): shingle → "
+    "minhash signature → band buckets → same-bucket candidate pairs → "
+    "exact-Jaccard verification ≥ threshold. The near-dedup scale path.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the only joins are (band, key) bucket self-joins — candidate
+    count is bounded by bucket sizes, never |corpus|². At 100 TB: shingle+
+    signature pass is map-only; band explode multiplies rows by 4; the
+    bucket join shuffles on (band, key). Hot buckets (boilerplate docs) are
+    the skew risk → AQE skew-join handles, or raise bands/rows.
+
+    Min-of-md5-hex is a valid minhash family: lexicographic order on hex =
+    numeric order on the underlying 128-bit value, identical in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _shingles_spark(docs)
+    sigs = shingled.select("doc_id", "shingles", *_minhash_exprs_spark())
+    banded = sigs.select("doc_id", "shingles", *_band_keys_spark())
+    band_long = banded.select(
+        "doc_id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = band_long.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "key"
+    )
+    b = band_long.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "key"
+    )
+    candidates = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        candidates.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard with inverted-index blocking
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLES_SQL_DUCK}),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+        FROM shingled
+    ),
+    pair_counts AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
+        FROM exploded a JOIN exploded b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
+    FROM pair_counts
+    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Exact n-gram Jaccard with inverted-index blocking: only pairs "
+    "sharing ≥1 shingle are scored (posting-list self-join + count).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: |pairs| is Σ postings² over shingle buckets — bounded by
+    shingle frequency, not corpus size. Stop-shingle capping (drop shingles
+    with huge posting lists) is the standard guard at 100 TB; not needed at
+    test SF so not applied (documented, SURVEY no-silent-caps rule)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _shingles_spark(docs)
+    exploded = shingled.select(
+        "doc_id", F.explode("shingles").alias("shingle"), F.size("shingles").alias("n_sh")
+    )
+    a = exploded.select(
+        F.col("doc_id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
+    )
+    b = exploded.select(
+        F.col("doc_id").alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
+    )
+    pair_counts = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+        )
+    )
+    jac = F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        pair_counts.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit sign-sum sketch)
+# ---------------------------------------------------------------------------
+
+_NIBBLE_HIGH = "('8','9','a','b','c','d','e','f')"
+
+
+def _simhash_bits_duck() -> str:
+    # bit i of token-hash = high bit of the i-th hex nibble of md5(token)
+    terms = []
+    for i in range(32):
+        terms.append(
+            f"SUM(CASE WHEN substr(h, {i + 1}, 1) IN {_NIBBLE_HIGH} THEN 1 ELSE -1 END)"
+            f" AS s{i}"
+        )
+    return ",\n               ".join(terms)
+
+
+def _simhash_assemble_duck() -> str:
+    return " + ".join(f"(CASE WHEN s{i} >= 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(32))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLES_SQL_DUCK}),
+    tokens AS (
+        SELECT doc_id, md5(unnest(shingles)) AS h FROM shingled
+    ),
+    bitsums AS (
+        SELECT doc_id,
+               {_simhash_bits_duck()}
+        FROM tokens GROUP BY doc_id
+    ),
+    sketches AS (
+        SELECT doc_id, CAST({_simhash_assemble_duck()} AS BIGINT) AS simhash
+        FROM bitsums
+    ),
+    groups AS (
+        SELECT simhash, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM sketches GROUP BY 1
+    )
+    SELECT s.doc_id, s.simhash, g.canonical_id, g.group_size
+    FROM sketches s JOIN groups g USING (simhash)
+    """,
+    doc="SimHash: 32-bit sign-sum sketch over shingle hashes (bit i = high "
+    "bit of md5 nibble i); identical sketches → near-dup group.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: explode(shingles) → per-(doc, bit) partial sums — one shuffle
+    on doc_id; the 32 bit-sums are a single wide aggregate (map-side
+    combined). Banding the 32 bits for Hamming-distance-1..3 candidate
+    search is the standard extension; exact-match grouping shown here."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _shingles_spark(docs)
+    tokens = shingled.select("doc_id", F.explode("shingles").alias("s")).select(
+        "doc_id", F.md5("s").alias("h")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(32)
+    ]
+    bitsums = tokens.groupBy("doc_id").agg(*bit_sums)
+    assemble = None
+    for i in range(32):
+        term = F.when(F.col(f"s{i}") >= 0, F.lit(1).cast("long") * (1 << i)).otherwise(
+            F.lit(0).cast("long")
+        )
+        assemble = term if assemble is None else assemble + term
+    sketches = bitsums.select("doc_id", assemble.cast("long").alias("simhash"))
+    groups = sketches.groupBy("simhash").agg(
+        F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
+    )
+    return sketches.join(groups, "simhash").select(
+        "doc_id", "simhash", "canonical_id", "group_size"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (quantized, exact integer dot products)
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.3  # synthetic vectors are near-orthogonal; real
+# corpora use ~0.95+. Threshold is a knob, the plan is the point.
+
+_QVEC_DUCK = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, label, {_QVEC_DUCK} AS qv
+        FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, qv,
+               list_sum(list_transform(qv, x -> x * x)) AS norm2
+        FROM q
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)
+               / sqrt(CAST(a.norm2 AS DOUBLE)) / sqrt(CAST(b.norm2 AS DOUBLE)) AS cosine
+    FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE CAST(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) AS DOUBLE)
+               / sqrt(CAST(a.norm2 AS DOUBLE)) / sqrt(CAST(b.norm2 AS DOUBLE))
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+    doc="Embedding near-dup: cosine over integer-quantized vectors "
+    "(round(x*1e6)::bigint) within label blocks — exact integer dot "
+    "products, bit-identical across engines.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: blocking by ``label`` (≙ cluster/partition id in a real
+    pipeline) bounds the pair count per block; the quantized dot is a
+    zip_with/aggregate over int64 — exact, no float-order sensitivity.
+    Unblocked all-pairs at 100 TB is never run — see llm/similarity.py for
+    the ANN path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+        ).alias("qv"),
+    )
+    n = q.withColumn(
+        "norm2", F.expr("aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)")
+    )
+    a = n.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label"), F.col("qv").alias("qa"), F.col("norm2").alias("na")
+    )
+    b = n.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label"), F.col("qv").alias("qb"), F.col("norm2").alias("nb")
+    )
+    dot = F.expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+    cosine = dot.cast("double") / F.sqrt(F.col("na").cast("double")) / F.sqrt(
+        F.col("nb").cast("double")
+    )
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,185 @@
+"""Approximate-nearest-neighbor search over the ``embeddings`` table.
+
+Two plans over the same quantized-cosine kernel (see ``llm/dedup.py`` for
+the int64 quantization rationale):
+
+- **brute-force top-k** — the correctness baseline: query×corpus cross
+  join, exact cosine, window top-k. Only viable when |queries| is small.
+- **IVF-bucketed top-k** — the scale path: corpus assigned to coarse cells
+  (nearest of C centroid vectors), queries probe only their own cell.
+  C ~ sqrt(N) makes each probe O(N/C); the cross join never exceeds
+  |queries| × (N/C).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.queries.base import register
+
+TOP_K = 10
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+CENTROID_STEP = 50  # vec_id % 50 == 0 → deterministic pseudo-centroids
+
+_QVEC = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+_QVEC_SPARK = "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+_DOT_DUCK = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+_DOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+
+
+def _quantized(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        "label",
+        F.expr(_QVEC_SPARK).alias("qv"),
+    ).withColumn(
+        "norm2", F.expr("aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)")
+    )
+
+
+def _cosine_expr(qa: str, qb: str, na: str, nb: str):
+    dot = F.expr(_DOT_SPARK.format(a=qa, b=qb))
+    return dot.cast("double") / F.sqrt(F.col(na).cast("double")) / F.sqrt(
+        F.col(nb).cast("double")
+    )
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2 FROM q
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST({_DOT_DUCK.format(a='a.qv', b='b.qv')} AS DOUBLE)
+                   / sqrt(CAST(a.norm2 AS DOUBLE)) / sqrt(CAST(b.norm2 AS DOUBLE)) AS cosine
+        FROM n a JOIN n b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc=f"Brute-force cosine top-{TOP_K} for {N_QUERIES} query vectors — "
+    "the exact baseline every ANN variant is recall-measured against.",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: broadcast the (small) query set against the corpus — one
+    map-side pass computes all scores, the window top-k shuffles only on
+    query_id. Never broadcast the corpus side."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _quantized(emb)
+    queries = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), F.col("norm2").alias("na")
+    )
+    corpus = n.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"), F.col("norm2").alias("nb")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_expr("qa", "qb", "na", "nb"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2
+        FROM (SELECT vec_id, {_QVEC} AS qv FROM embeddings)
+    ),
+    centroids AS (
+        SELECT vec_id AS centroid_id, qv AS cv, norm2 AS cn FROM n
+        WHERE vec_id % {CENTROID_STEP} = 0
+    ),
+    assigned AS (
+        SELECT vec_id, qv, norm2, centroid_id
+        FROM (
+            SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='v.qv', b='c.cv')} AS DOUBLE)
+                                / sqrt(CAST(v.norm2 AS DOUBLE)) / sqrt(CAST(c.cn AS DOUBLE)) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM n v CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST({_DOT_DUCK.format(a='a.qv', b='b.qv')} AS DOUBLE)
+                   / sqrt(CAST(a.norm2 AS DOUBLE)) / sqrt(CAST(b.norm2 AS DOUBLE)) AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id
+         AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc=f"IVF ANN: corpus bucketed to nearest of the deterministic coarse "
+    f"centroids (vec_id % {CENTROID_STEP} = 0), queries probe only their "
+    "cell — the candidate set shrinks ~|cells|-fold vs brute force.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: centroid assignment broadcasts C centroids (map-only);
+    the probe join shuffles on centroid_id — each cell is an independent
+    mini brute-force. Real IVF trains centroids with k-means; deterministic
+    seed vectors keep the operator oracle-checkable (recall tradeoff is a
+    quality knob, the plan shape is identical)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _quantized(emb).select("vec_id", "qv", "norm2")
+    centroids = n.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv"), F.col("norm2").alias("cn")
+    )
+    sim_to_centroid = _cosine_expr("qv", "cv", "norm2", "cn")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("centroid_sim").desc(), "centroid_id"
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(centroids))
+        .withColumn("centroid_sim", sim_to_centroid)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "norm2", "centroid_id")
+    )
+    a = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("norm2").alias("na"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qb"),
+        F.col("norm2").alias("nb"),
+        "centroid_id",
+    )
+    scored = (
+        a.join(b, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_expr("qa", "qb", "na", "nb"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)

@@ -1,0 +1,221 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Language ID (function-word n-gram heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting
+(k-gram winnowing-lite). All pure built-in expressions — these run inside
+whole-stage codegen on the JVM; no Python touches the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.queries.base import register
+
+#: Function-word lists per language for the n-gram language heuristic.
+#: (Real pipelines use fastText/CLD3; the heuristic keeps the operator
+#: dependency-free and oracle-checkable.)
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "es": ["el", "la", "de", "que", "los", "en", "un"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une"],
+    "de": ["der", "die", "das", "und", "ein", "zu", "ist"],
+}
+
+_WORDS = "filter(split(lower(text), '\\\\W+'), w -> w <> '')"
+
+
+def _words_col():
+    return F.expr(_WORDS)
+
+
+@register(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                w -> w <> '')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS n_alpha_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens_approx
+    FROM documents
+    """,
+    doc="Token counting: whitespace words, alpha-token regex (BPE-ish "
+    "pre-tokenizer shape), and the chars/4 LLM-token heuristic.",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: embarrassingly parallel projection — no shuffle at all; the
+    regexes run codegen'd per partition."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(_words_col()).cast("long").alias("n_words"),
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)"))
+        .cast("long")
+        .alias("n_alpha_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_tokens_approx"),
+    )
+
+
+_EN_LIST_SQL = "['the','a','of','and','to','in','is']"
+
+
+@register(
+    "text_quality_score",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, n_chars,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, n_chars,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_filter(words, x -> list_contains({_EN_LIST_SQL}, x))) AS BIGINT) AS n_stop,
+               CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS sum_word_len
+        FROM w
+    )
+    SELECT doc_id, n_words,
+           CAST(sum_word_len AS DOUBLE) / n_words AS mean_word_len,
+           CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+           CASE WHEN n_words >= 20
+                 AND CAST(n_stop AS DOUBLE) / n_words BETWEEN 0.01 AND 0.5
+                THEN 'keep' ELSE 'flag' END AS quality_bucket
+    FROM m WHERE n_words > 0
+    """,
+    doc="Quality scoring: length / stopword-ratio / mean-word-length heuristics "
+    "with a keep/flag bucket — the C4/Gopher-style rule family.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    en = "array('the','a','of','and','to','in','is')"
+    w = docs.select(
+        "doc_id",
+        "n_chars",
+        _words_col().alias("words"),
+    )
+    m = w.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.size(F.expr(f"filter(words, x -> array_contains({en}, x))"))
+        .cast("long")
+        .alias("n_stop"),
+        F.expr("aggregate(words, 0L, (acc, x) -> acc + length(x))")
+        .cast("long")
+        .alias("sum_word_len"),
+    )
+    return m.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        (F.col("sum_word_len").cast("double") / F.col("n_words")).alias("mean_word_len"),
+        (F.col("n_stop").cast("double") / F.col("n_words")).alias("stopword_ratio"),
+        F.when(
+            (F.col("n_words") >= 20)
+            & (F.col("n_stop").cast("double") / F.col("n_words")).between(0.01, 0.5),
+            F.lit("keep"),
+        )
+        .otherwise(F.lit("flag"))
+        .alias("quality_bucket"),
+    )
+
+
+def _lang_hits_sql(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return f"len(list_filter(words, x -> list_contains([{words}], x)))"
+
+
+def _lang_hits_spark(lang: str):
+    words = ",".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+    return F.size(F.expr(f"filter(words, x -> array_contains(array({words}), x))"))
+
+
+@register(
+    "text_language_id",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id, lang AS labeled_lang,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, labeled_lang,
+               CAST({_lang_hits_sql('en')} AS BIGINT) AS en_hits,
+               CAST({_lang_hits_sql('es')} AS BIGINT) AS es_hits,
+               CAST({_lang_hits_sql('fr')} AS BIGINT) AS fr_hits,
+               CAST({_lang_hits_sql('de')} AS BIGINT) AS de_hits
+        FROM w
+    )
+    SELECT doc_id, labeled_lang, en_hits, es_hits, fr_hits, de_hits,
+           CASE GREATEST(en_hits, es_hits, fr_hits, de_hits)
+                WHEN 0 THEN 'und'
+                WHEN en_hits THEN 'en'
+                WHEN es_hits THEN 'es'
+                WHEN fr_hits THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM scored
+    """,
+    doc="Language ID: function-word hit counts per candidate language, "
+    "argmax with deterministic tie order (en>es>fr>de), 'und' when no hits.",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), _words_col().alias("words")
+    )
+    scored = w.select(
+        "doc_id",
+        "labeled_lang",
+        *[
+            _lang_hits_spark(lang).cast("long").alias(f"{lang}_hits")
+            for lang in ("en", "es", "fr", "de")
+        ],
+    )
+    best = F.greatest("en_hits", "es_hits", "fr_hits", "de_hits")
+    pred = (
+        F.when(best == 0, "und")
+        .when(best == F.col("en_hits"), "en")
+        .when(best == F.col("es_hits"), "es")
+        .when(best == F.col("fr_hits"), "fr")
+        .otherwise("de")
+    )
+    return scored.withColumn("pred_lang", pred)
+
+
+@register(
+    "text_fingerprint",
+    oracle=r"""
+    WITH grams AS (
+        SELECT doc_id,
+               list_sort(list_transform(range(1, length(text) - 3),
+                         i -> md5(substr(text, i, 5)))) AS hashes
+        FROM documents
+        WHERE length(text) >= 5
+    )
+    SELECT doc_id,
+           md5(array_to_string(hashes[1:8], ',')) AS fingerprint,
+           CAST(len(hashes) AS BIGINT) AS n_grams
+    FROM grams
+    """,
+    doc="Document fingerprinting (winnowing-lite): md5 over char 5-grams, "
+    "keep the bottom-8 sorted hashes, fingerprint = md5 of their concat. "
+    "Robust to small edits anywhere outside the 8 minima.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per-row array expression — no shuffle, no UDF. A 100 TB corpus
+    fingerprints in one map-only pass; grouping by fingerprint afterward is
+    the usual exact-dedup shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.filter(F.length("text") >= 5).select(
+        "doc_id",
+        F.array_sort(
+            F.expr("transform(sequence(1, length(text) - 4), i -> md5(substring(text, i, 5)))")
+        ).alias("hashes"),
+    )
+    return grams.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.slice("hashes", 1, 8))).alias("fingerprint"),
+        F.size("hashes").cast("long").alias("n_grams"),
+    )

@@ -10,5 +10,10 @@ from etl_loading_scripts_spark.queries.base import REGISTRY, Query, register
 from etl_loading_scripts_spark.queries import reference as _reference  # noqa: F401
 from etl_loading_scripts_spark.queries import analytics as _analytics  # noqa: F401
 from etl_loading_scripts_spark.queries import segmentation as _segmentation  # noqa: F401
+from etl_loading_scripts_spark.llm import dedup as _dedup  # noqa: F401
+from etl_loading_scripts_spark.llm import similarity as _similarity  # noqa: F401
+from etl_loading_scripts_spark.llm import text as _text  # noqa: F401
+from etl_loading_scripts_spark.llm import multimodal as _multimodal  # noqa: F401
+from etl_loading_scripts_spark.streaming import events as _events  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

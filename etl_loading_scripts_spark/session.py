@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # the events table stores TIMESTAMP(NANOS) which vanilla Spark
+        # rejects; read as long nanos, normalized to TimestampType in
+        # catalog.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Broadcast threshold: dims in this workload (nation/region/supplier/
         # part at test SF; DimPatron-sized tables excepted) are far below
         # this; at 100 TB the fact side never broadcasts, dims always do.
