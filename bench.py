@@ -46,6 +46,12 @@ HEADLINE = [
 def main() -> None:
     spark = get_spark(app_name="bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # warm-up: JVM/codegen/file-index startup shouldn't be billed to the
+    # first measured query
+    from etl_loading_scripts_spark.catalog import load_table
+
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    load_table(spark, SF_DIR, "lineitem").limit(1000).count()
     timings: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY.get(name)

@@ -111,20 +111,55 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_exprs_spark():
+# 12 independent 32-bit hash functions from THREE md5 evaluations per
+# shingle: md5(prefix_j || s) yields 32 hex chars = four 8-char chunks,
+# each an independent uniform hash. Lexicographic min over fixed-width hex
+# = numeric min — a valid minhash family at 1/4 the hashing cost. The md5
+# arrays are materialized ONCE per doc (hash0-2 columns) because Spark does
+# no common-subexpression elimination across lambda expressions — inlining
+# md5 into each of the 12 min exprs would evaluate it 12x.
+_MH_PREFIXES = ("", "x|", "y|")
+_CHUNKS_PER_MD5 = 4
+
+
+def _mh_index(i: int) -> tuple[int, int]:
+    return i // _CHUNKS_PER_MD5, (i % _CHUNKS_PER_MD5) * 8 + 1
+
+
+def _hash_array_exprs_spark():
     return [
-        F.expr(f"array_min(transform(shingles, s -> md5(concat('{i}|', s))))").alias(
-            f"mh{i}"
-        )
-        for i in range(N_MINHASH)
+        F.expr(f"transform(shingles, s -> md5(concat('{p}', s)))").alias(f"hash{j}")
+        for j, p in enumerate(_MH_PREFIXES)
     ]
 
 
-def _minhash_exprs_duck() -> str:
+def _hash_array_exprs_duck() -> str:
     return ",\n               ".join(
-        f"list_min(list_transform(shingles, s -> md5(concat('{i}|', s)))) AS mh{i}"
-        for i in range(N_MINHASH)
+        f"list_transform(shingles, s -> md5(concat('{p}', s))) AS hash{j}"
+        for j, p in enumerate(_MH_PREFIXES)
     )
+
+
+def _minhash_exprs_spark():
+    out = []
+    for i in range(N_MINHASH):
+        j, pos = _mh_index(i)
+        out.append(
+            F.expr(f"array_min(transform(hash{j}, x -> substring(x, {pos}, 8)))").alias(
+                f"mh{i}"
+            )
+        )
+    return out
+
+
+def _minhash_exprs_duck() -> str:
+    parts = []
+    for i in range(N_MINHASH):
+        j, pos = _mh_index(i)
+        parts.append(
+            f"list_min(list_transform(hash{j}, x -> substr(x, {pos}, 8))) AS mh{i}"
+        )
+    return ",\n               ".join(parts)
 
 
 def _band_keys_spark():
@@ -145,10 +180,15 @@ def _band_keys_duck() -> str:
 
 _MINHASH_ORACLE = f"""
     WITH shingled AS ({_SHINGLES_SQL_DUCK}),
+    hashed AS (
+        SELECT doc_id, shingles,
+               {_hash_array_exprs_duck()}
+        FROM shingled
+    ),
     sigs AS (
         SELECT doc_id, shingles,
                {_minhash_exprs_duck()}
-        FROM shingled
+        FROM hashed
     ),
     banded AS (
         SELECT doc_id, shingles,
@@ -156,22 +196,25 @@ _MINHASH_ORACLE = f"""
         FROM sigs
     ),
     band_long AS (
-        SELECT doc_id, shingles, b.band, b.key
+        SELECT doc_id, b.band, b.key
         FROM banded,
         LATERAL (VALUES (0, band0), (1, band1), (2, band2), (3, band3)) AS b(band, key)
     ),
     candidates AS (
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-               a.shingles AS sh_a, b.shingles AS sh_b
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         FROM band_long a JOIN band_long b
           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+               (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+        FROM candidates c
+        JOIN shingled sa ON c.id_a = sa.doc_id
+        JOIN shingled sb ON c.id_b = sb.doc_id
     )
-    SELECT id_a, id_b,
-           CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-           (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) AS jaccard
-    FROM candidates
-    WHERE CAST(len(list_intersect(sh_a, sh_b)) AS DOUBLE) /
-          (len(sh_a) + len(sh_b) - len(list_intersect(sh_a, sh_b))) >= {JACCARD_THRESHOLD}
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
@@ -193,11 +236,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric order on the underlying 128-bit value, identical in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = _shingles_spark(docs)
-    sigs = shingled.select("doc_id", "shingles", *_minhash_exprs_spark())
-    banded = sigs.select("doc_id", "shingles", *_band_keys_spark())
+    hashed = shingled.select("doc_id", "shingles", *_hash_array_exprs_spark())
+    sigs = hashed.select("doc_id", *_minhash_exprs_spark())
+    banded = sigs.select("doc_id", *_band_keys_spark())
+    # band buckets carry ONLY doc_ids — shuffling the shingle arrays 4x
+    # through the bucket join would dominate the runtime; arrays are joined
+    # back below for just the candidate pairs (tiny vs corpus).
     band_long = banded.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -206,24 +252,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = band_long.select(
-        F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"), "band", "key"
-    )
-    b = band_long.select(
-        F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"), "band", "key"
-    )
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = band_long.select(F.col("doc_id").alias("id_a"), "band", "key")
+    b = band_long.select(F.col("doc_id").alias("id_b"), "band", "key")
     candidates = (
         a.join(b, ["band", "key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sh_a = shingled.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = shingled.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = candidates.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
     return (
-        candidates.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", "jaccard")
     )

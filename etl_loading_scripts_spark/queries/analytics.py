@@ -34,21 +34,30 @@ DEC = "decimal(18,4)"
            CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
-    WHERE CAST(strftime(l_shipdate, '%Y%m%d') AS INT) BETWEEN 19980101 AND 19981231
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
     GROUP BY l_returnflag, l_linestatus
     """,
-    doc="O33/O14 PS:129-136 + S2:35: additive measures grouped inside an "
-    "integer-datekey BETWEEN window (the reference's monthly increment).",
+    doc="O33/O14 PS:129-136 + S2:35: additive measures grouped inside the "
+    "reference's datekey window (the monthly increment guard).",
 )
 def pricing_summary_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: filter + projection push into the parquet scan (datekey is
-    derived from l_shipdate, so the BETWEEN becomes a shipdate range
-    Catalyst can push); one partial+final hash aggregate, grouping keys have
-    ~6 values → tiny shuffle."""
+    """The reference guards with ``DateKey BETWEEN 19980101 AND 19981231``
+    (an int derived from the date); expressed here as the equivalent
+    *sargable* range on the raw column so the predicate reaches the parquet
+    scan (``PushedFilters: [GreaterThanOrEqual(l_shipdate,...)]`` → row-group
+    and partition pruning). A ``date_format(...)`` BETWEEN computes the same
+    rows but scans everything — the single biggest incremental-load win at
+    100 TB (SURVEY §4 'incremental windows').
+
+    One partial+final hash aggregate after the pruned scan; grouping keys
+    have ~6 values → tiny shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
-    dk = tsql.datekey("l_shipdate")
+    window = tsql.datekey_to_date(F.lit(19980101))
     return (
-        li.filter(dk.between(19980101, 19981231))
+        li.filter(
+            (F.col("l_shipdate") >= window)
+            & (F.col("l_shipdate") < F.add_months(window, 12))
+        )
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),

@@ -86,31 +86,47 @@ def persona_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast(DEC)).alias("terr_spend"),
         F.count(F.lit(1)).alias("txn_count"),
     )
-    total = spend.groupBy("o_custkey").agg(
-        F.sum("terr_spend").alias("total_spend"),
-        F.count(F.lit(1)).alias("n_territories"),
+    # totals + top-territory in ONE pass: window aggregates over the same
+    # o_custkey partitioning instead of a second groupBy + join-back (which
+    # would re-scan and re-aggregate the orders subtree — Spark plans each
+    # DataFrame consumer independently). One scan, two exchanges total.
+    w_cust = Window.partitionBy("o_custkey")
+    w_rank = Window.partitionBy("o_custkey").orderBy(
+        F.col("terr_spend").desc(), F.col("o_orderpriority")
     )
-    top_terr = top1_per_group(
-        spend, ["o_custkey"], [F.col("terr_spend").desc(), F.col("o_orderpriority")]
+    ratios = (
+        spend.select(
+            "o_custkey",
+            "o_orderpriority",
+            "terr_spend",
+            F.sum("terr_spend").over(w_cust).alias("total_spend"),
+            F.count(F.lit(1)).over(w_cust).alias("n_territories"),
+            F.row_number().over(w_rank).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderpriority").alias("top_territory"),
+            (
+                F.col("terr_spend").cast("double") / F.col("total_spend").cast("double")
+            ).alias("top_ratio"),
+            "n_territories",
+        )
     )
-    ratios = total.join(top_terr, "o_custkey").select(
+    # The reference classifies via a 3-branch UNION ALL (PS:184-209). The
+    # branches are provably disjoint, so this engine plans the equivalent
+    # single-pass when/otherwise chain: a literal union would re-evaluate
+    # the whole cascade per branch (Spark does no cross-branch CSE —
+    # observed 3x scans in explain()). SURVEY §2.7 documents the rewrite;
+    # the UNION ALL operator itself is exercised by `union_all_segments`.
+    classified = ratios.select(
         "o_custkey",
-        F.col("o_orderpriority").alias("top_territory"),
-        (F.col("terr_spend").cast("double") / F.col("total_spend").cast("double")).alias(
-            "top_ratio"
-        ),
-        "n_territories",
+        F.when(F.col("top_ratio") >= 0.5, "Road Warrior")
+        .when(F.col("n_territories") >= 4, "City person")
+        .otherwise("Office manager")
+        .alias("persona"),
+        "top_ratio",
     )
-    road = ratios.filter(F.col("top_ratio") >= 0.5).select(
-        "o_custkey", F.lit("Road Warrior").alias("persona"), "top_ratio"
-    )
-    city = ratios.filter((F.col("top_ratio") < 0.5) & (F.col("n_territories") >= 4)).select(
-        "o_custkey", F.lit("City person").alias("persona"), "top_ratio"
-    )
-    office = ratios.filter((F.col("top_ratio") < 0.5) & (F.col("n_territories") < 4)).select(
-        "o_custkey", F.lit("Office manager").alias("persona"), "top_ratio"
-    )
-    classified = road.unionByName(city).unionByName(office)
     return customer.join(
         classified, customer.c_custkey == classified.o_custkey, "left"
     ).select(
@@ -118,6 +134,33 @@ def persona_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("persona"), F.lit("Undefined")).alias("persona"),
         F.coalesce(F.col("top_ratio"), F.lit(0.0)).alias("top_ratio"),
     )
+
+
+@register(
+    "union_all_segments",
+    oracle="""
+    SELECT c_custkey, 'HIGH' AS balance_band, c_acctbal FROM customer WHERE c_acctbal >= 5000
+    UNION ALL
+    SELECT c_custkey, 'MID', c_acctbal FROM customer WHERE c_acctbal >= 0 AND c_acctbal < 5000
+    UNION ALL
+    SELECT c_custkey, 'NEGATIVE', c_acctbal FROM customer WHERE c_acctbal < 0
+    """,
+    doc="O48 PS:184-209: literal 3-branch UNION ALL over disjoint "
+    "predicates (unionByName). Cheap per-branch scans of a dim table — "
+    "the shape where a real union is the right plan.",
+)
+def union_all_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    high = customer.filter(F.col("c_acctbal") >= 5000).select(
+        "c_custkey", F.lit("HIGH").alias("balance_band"), "c_acctbal"
+    )
+    mid = customer.filter((F.col("c_acctbal") >= 0) & (F.col("c_acctbal") < 5000)).select(
+        "c_custkey", F.lit("MID").alias("balance_band"), "c_acctbal"
+    )
+    neg = customer.filter(F.col("c_acctbal") < 0).select(
+        "c_custkey", F.lit("NEGATIVE").alias("balance_band"), "c_acctbal"
+    )
+    return high.unionByName(mid).unionByName(neg)
 
 
 @register(
