@@ -1,0 +1,88 @@
+"""The monthly cube load orchestrator (reference entry point A, SURVEY §3.1).
+
+Runs stages 1→5 in the reference's order over a :class:`Domain`, returning
+the updated state plus every stage's validation metrics. The caller decides
+publishing (``operators.publish.publish_table`` per output = the engine's
+stage-all-then-publish transaction discipline, SURVEY §4.5).
+
+At 100 TB: each stage's fact rewrite touches only the month partition
+(datekey guard → partition pruning); dims and staging maps broadcast. The
+whole load is a linear chain of bounded shuffles — no driver-side data
+movement beyond the surrogate-key MAX scalars.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.pipeline import domain as domain_mod
+from etl_loading_scripts_spark.pipeline.domain import Domain
+from etl_loading_scripts_spark.pipeline.stages import (
+    stage1_fingerprint_map,
+    stage2_patron_dims,
+    stage3_restaurant_map,
+    stage4_billing_groups,
+    stage5_bi_reporting,
+)
+
+
+def run_monthly_load(
+    spark: SparkSession,
+    dom: Domain,
+    window: tuple[int, int],
+) -> tuple[Domain, dict]:
+    """Execute stages 1-5 for the ``(lo_datekey, hi_datekey)`` month window.
+
+    The window is an explicit parameter — never derived from now() inside
+    the transforms (SURVEY §7.4 R9)."""
+    metrics: dict[str, int] = {}
+
+    staging_map, registry, m1 = stage1_fingerprint_map(
+        dom.raw_transactions, dom.pos_fingerprints
+    )
+    metrics.update(m1)
+
+    fact, dim_patron, m2 = stage2_patron_dims(
+        dom.raw_transactions, dom.fact_transaction, dom.dim_patron, window
+    )
+    metrics.update(m2)
+
+    fact, dim_restaurant, m3 = stage3_restaurant_map(
+        dom.raw_transactions, fact, staging_map, dom.dim_restaurant, window
+    )
+    metrics.update(m3)
+
+    fact, dim_billing_group, m4 = stage4_billing_groups(
+        dom.raw_transactions, fact, dom.dim_billing_group, window
+    )
+    metrics.update(m4)
+
+    # BI definitions: derived from the registry (site → definition id), the
+    # reference pulls these from a shared source table (S5:17)
+    bi_defs = registry.filter(F.col("site_id").isNotNull()).select(
+        "site_id", (F.col("site_id") % 5).alias("bi_reporting_id")
+    )
+    dim_restaurant, bridge, m5 = stage5_bi_reporting(dim_restaurant, bi_defs)
+    metrics.update(m5)
+
+    out = replace(
+        dom,
+        fact_transaction=fact,
+        dim_patron=dim_patron,
+        dim_restaurant=dim_restaurant,
+        pos_fingerprints=registry,
+        dim_billing_group=dim_billing_group,
+    )
+    return out, metrics
+
+
+def full_window(dom: Domain) -> tuple[int, int]:
+    """(min, max) datekey of the fact — 'process everything' window for
+    tests; production passes the previous-calendar-month pair."""
+    row = dom.fact_transaction.agg(
+        F.min("datekey").alias("lo"), F.max("datekey").alias("hi")
+    ).collect()[0]
+    return row["lo"], row["hi"]

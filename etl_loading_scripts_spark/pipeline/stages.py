@@ -1,0 +1,316 @@
+"""The five monthly-load stages (SURVEY §3.1), built on the M2 primitives.
+
+Each stage is a pure transform ``(Domain-state in) -> (state out, metrics)``;
+the orchestrator owns ordering and publishing. Every stage ends with the
+reference's own operational validation (SURVEY §5) expressed as a metric the
+caller asserts on — "the final query must return 0 rows" (S3:91-99).
+
+Incremental discipline: every fact update is guarded by BOTH the month
+window (``datekey BETWEEN`` — partition pruning at scale) and the unmapped
+sentinel (only untouched rows rewritten), exactly the reference's two-guard
+idiom (S4:91-107).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.constants import (
+    UNMAPPED_BILLING_GROUP_KEY,
+    UNMAPPED_FINGERPRINT_ID,
+    UNMAPPED_PATRON_ID,
+    UNMAPPED_RESTAURANT_KEY,
+)
+from etl_loading_scripts_spark.functions import tsql
+from etl_loading_scripts_spark.functions.tsql import BILLING_GROUP_CLEANUPS
+from etl_loading_scripts_spark.operators import (
+    allocate_surrogate_keys,
+    insert_if_absent,
+    top1_per_group,
+    update_from_join,
+)
+from etl_loading_scripts_spark.pipeline.domain import (
+    MERCHANT_FP_COLS,
+    REPLACEMENT_CHAR,
+    merchant_simhash,
+)
+
+
+def month_guard(lo_datekey: int, hi_datekey: int) -> Column:
+    return F.col("datekey").between(lo_datekey, hi_datekey)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1 — POS→Txn fingerprint map (S1:5-128)
+# ---------------------------------------------------------------------------
+
+
+def stage1_fingerprint_map(
+    raw: DataFrame, pos_fingerprints: DataFrame
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Probe every transaction's merchant identity against the registry on
+    the computed simhash (S1:18-25); then register NEW fingerprints for
+    unmatched merchant groups with ClientCount quality metadata + anti-join
+    insert guard (S1:46-128).
+
+    Returns (txn→fingerprint staging map, updated registry, metrics)."""
+    probe = raw.select(
+        "txn_id", *MERCHANT_FP_COLS, merchant_simhash().alias("sim_hash")
+    )
+    staging_map = probe.join(
+        F.broadcast(pos_fingerprints.select("sim_hash", "fingerprint_id")),
+        "sim_hash",
+        "left",
+    )
+    unmatched = staging_map.filter(F.col("fingerprint_id").isNull())
+
+    new_candidates = (
+        unmatched.groupBy("sim_hash", *MERCHANT_FP_COLS)
+        .agg(
+            F.countDistinct("txn_id").alias("client_count"),
+        )
+        .withColumn("site_id", F.lit(None).cast("long"))
+        .withColumn("fingerprint_id", F.lit(None).cast("long"))
+    )
+    new_rows = allocate_surrogate_keys(
+        new_candidates.select(
+            "fingerprint_id", "site_id", *MERCHANT_FP_COLS, "sim_hash"
+        ),
+        pos_fingerprints,
+        "fingerprint_id",
+        order_by=["sim_hash"],
+    )
+    registry = insert_if_absent(
+        pos_fingerprints,
+        new_rows.select(pos_fingerprints.columns),
+        on=["sim_hash"],
+    )
+    final_map = probe.join(
+        F.broadcast(registry.select("sim_hash", "fingerprint_id")), "sim_hash", "left"
+    ).select("txn_id", "fingerprint_id", "sim_hash")
+    metrics = {
+        # S1:29-41 'problem children': rows that STILL have no fingerprint
+        "stage1_unmapped_after": final_map.filter(F.col("fingerprint_id").isNull()).count()
+    }
+    return final_map, registry, metrics
+
+
+# ---------------------------------------------------------------------------
+# Stage 2 — patron dimensions (S2 + P-PAT)
+# ---------------------------------------------------------------------------
+
+
+def stage2_patron_dims(
+    raw: DataFrame,
+    fact: DataFrame,
+    dim_patron: DataFrame,
+    window: tuple[int, int],
+) -> tuple[DataFrame, DataFrame, dict]:
+    """Three insert-if-absent waves (S2:23-28,57-63,97-107) collapsed to
+    two: direct proxies, then synthesized ``clientid_last4`` proxies for
+    NULL-proxy rows (P-PAT:96-115); each followed by a sentinel-guarded
+    fact update (patron_id = 1 → mapped id, P-PAT:119-141)."""
+    lo, hi = window
+
+    # wave 1: transactions that carry a proxy
+    with_proxy = raw.filter(F.col("proxy_id").isNotNull()).select(
+        "txn_id", "proxy_id", "client_id", F.trim(F.col("merchant_name")).alias("patron_name")
+    )
+    new_patrons = (
+        top1_per_group(with_proxy, ["proxy_id"], [F.col("txn_id")])
+        .select("proxy_id", "patron_name", "client_id")
+        .withColumn("patron_id", F.lit(None).cast("long"))
+    )
+    dim1 = insert_if_absent(
+        dim_patron,
+        allocate_surrogate_keys(
+            new_patrons.select(dim_patron.columns), dim_patron, "patron_id", ["proxy_id"]
+        ),
+        on=["proxy_id"],
+    )
+
+    # wave 2: synthesize proxies for NULL-proxy transactions (P-PAT:98:
+    # clientid + '_' + last4 — the NULL-propagating '+' concat)
+    synth = (
+        raw.filter(F.col("proxy_id").isNull())
+        .select(
+            "txn_id",
+            tsql.concat_plus(
+                F.col("client_id").cast("string"), F.lit("_"), F.col("cc_last4")
+            ).alias("proxy_id"),
+            "client_id",
+            F.trim(F.col("merchant_name")).alias("patron_name"),
+        )
+        .filter(F.col("proxy_id").isNotNull())
+    )
+    new_synth = (
+        top1_per_group(synth, ["proxy_id"], [F.col("txn_id")])
+        .select("proxy_id", "patron_name", "client_id")
+        .withColumn("patron_id", F.lit(None).cast("long"))
+    )
+    dim2 = insert_if_absent(
+        dim1,
+        allocate_surrogate_keys(new_synth.select(dim1.columns), dim1, "patron_id", ["proxy_id"]),
+        on=["proxy_id"],
+    )
+
+    # fact updates: join through the txn's (possibly synthesized) proxy
+    txn_proxy = raw.select(
+        "txn_id",
+        F.coalesce(
+            F.col("proxy_id"),
+            tsql.concat_plus(F.col("client_id").cast("string"), F.lit("_"), F.col("cc_last4")),
+        ).alias("proxy_id"),
+    )
+    mapping = txn_proxy.join(dim2.select("proxy_id", F.col("patron_id").alias("mapped_patron")), "proxy_id")
+    fact_out = update_from_join(
+        fact,
+        mapping.select("txn_id", "mapped_patron"),
+        on=["txn_id"],
+        set_cols={"patron_id": "mapped_patron"},
+        guard=(F.col("patron_id") == UNMAPPED_PATRON_ID) & month_guard(lo, hi),
+    )
+    # S2:90-94 validation: zero unmapped patrons in the month window
+    metrics = {
+        "stage2_unmapped_after": fact_out.filter(
+            (F.col("patron_id") == UNMAPPED_PATRON_ID) & month_guard(lo, hi)
+        ).count()
+    }
+    return fact_out, dim2, metrics
+
+
+# ---------------------------------------------------------------------------
+# Stage 3 — fingerprint/restaurant mapping + scrub (S3 + P-RES fact waves)
+# ---------------------------------------------------------------------------
+
+
+def stage3_restaurant_map(
+    raw: DataFrame,
+    fact: DataFrame,
+    staging_map: DataFrame,
+    dim_restaurant: DataFrame,
+    window: tuple[int, int],
+) -> tuple[DataFrame, DataFrame, dict]:
+    """U+FFFD scrub of dim names (S3:19-23, O6); fact.fingerprint_id update
+    from the stage-1 monthly map (S3:26-29); fact.restaurant_key update via
+    site lookup (P-RES:466-473); both sentinel+month guarded."""
+    lo, hi = window
+    dim_clean = dim_restaurant.withColumn(
+        "restaurant_name",
+        F.replace(F.col("restaurant_name"), F.lit(REPLACEMENT_CHAR), F.lit("")),
+    )
+
+    fact1 = update_from_join(
+        fact,
+        staging_map.select("txn_id", F.col("fingerprint_id").alias("fp_new")),
+        on=["txn_id"],
+        set_cols={"fingerprint_id": "fp_new"},
+        guard=(F.col("fingerprint_id") == UNMAPPED_FINGERPRINT_ID) & month_guard(lo, hi),
+    )
+
+    site_map = raw.select("txn_id", "site_id").join(
+        F.broadcast(dim_clean.select("site_id", F.col("restaurant_key").alias("rk_new"))),
+        "site_id",
+    )
+    fact2 = update_from_join(
+        fact1,
+        site_map.select("txn_id", "rk_new"),
+        on=["txn_id"],
+        set_cols={"restaurant_key": "rk_new"},
+        guard=(F.col("restaurant_key") == UNMAPPED_RESTAURANT_KEY) & month_guard(lo, hi),
+    )
+    metrics = {
+        # S3:91-99: unmapped-restaurant probe after the waves; nonzero is
+        # expected here when merchants lack a dim row (remediated monthly
+        # in the reference via the manual fuzzy wave, S3:50-64)
+        "stage3_unmapped_restaurants": fact2.filter(
+            (F.col("restaurant_key") == UNMAPPED_RESTAURANT_KEY) & month_guard(lo, hi)
+        ).count(),
+        "stage3_unmapped_fingerprints": fact2.filter(
+            (F.col("fingerprint_id") == UNMAPPED_FINGERPRINT_ID) & month_guard(lo, hi)
+        ).count(),
+    }
+    return fact2, dim_clean, metrics
+
+
+# ---------------------------------------------------------------------------
+# Stage 4 — billing groups (S4)
+# ---------------------------------------------------------------------------
+
+
+def stage4_billing_groups(
+    raw: DataFrame,
+    fact: DataFrame,
+    dim_billing_group: DataFrame,
+    window: tuple[int, int],
+) -> tuple[DataFrame, DataFrame, dict]:
+    """14-REPLACE name normalization + rank-1 dedup (S4:19-30), surrogate-
+    keyed insert-if-absent into DimBillingGroup (S4:60-70), sentinel-guarded
+    fact update (S4:75-93)."""
+    lo, hi = window
+    cleaned = raw.select(
+        "txn_id",
+        F.trim(tsql.clean_chain(F.col("billgroup_raw"), BILLING_GROUP_CLEANUPS)).alias(
+            "billing_group_name"
+        ),
+    )
+    new_groups = (
+        cleaned.select("billing_group_name")
+        .distinct()
+        .withColumn("billing_group_key", F.lit(None).cast("long"))
+    )
+    dim_out = insert_if_absent(
+        dim_billing_group,
+        allocate_surrogate_keys(
+            new_groups.select(dim_billing_group.columns),
+            dim_billing_group,
+            "billing_group_key",
+            ["billing_group_name"],
+        ),
+        on=["billing_group_name"],
+    )
+    mapping = cleaned.join(
+        F.broadcast(dim_out.select("billing_group_name", F.col("billing_group_key").alias("bg_new"))),
+        "billing_group_name",
+    )
+    fact_out = update_from_join(
+        fact,
+        mapping.select("txn_id", "bg_new"),
+        on=["txn_id"],
+        set_cols={"billing_group_key": "bg_new"},
+        guard=(F.col("billing_group_key") == UNMAPPED_BILLING_GROUP_KEY)
+        & month_guard(lo, hi),
+    )
+    metrics = {
+        "stage4_unmapped_after": fact_out.filter(
+            (F.col("billing_group_key") == UNMAPPED_BILLING_GROUP_KEY)
+            & month_guard(lo, hi)
+        ).count()
+    }
+    return fact_out, dim_out, metrics
+
+
+# ---------------------------------------------------------------------------
+# Stage 5 — BI reporting definitions (S5)
+# ---------------------------------------------------------------------------
+
+
+def stage5_bi_reporting(
+    dim_restaurant: DataFrame, bi_definitions: DataFrame
+) -> tuple[DataFrame, DataFrame, dict]:
+    """MERGE definitions (S5:11-37) is modeled upstream; here: update
+    DimRestaurant.bi_reporting_id (S5:41-45) and derive the
+    restaurant↔definition bridge (S5:54-67, unique per restaurant_key)."""
+    dim_out = update_from_join(
+        dim_restaurant,
+        bi_definitions.select("site_id", F.col("bi_reporting_id").alias("bi_new")),
+        on=["site_id"],
+        set_cols={"bi_reporting_id": "bi_new"},
+    )
+    bridge = (
+        dim_out.filter(F.col("bi_reporting_id").isNotNull())
+        .select("bi_reporting_id", "restaurant_key")
+        .distinct()
+    )
+    return dim_out, bridge, {"stage5_bridge_rows": bridge.count()}

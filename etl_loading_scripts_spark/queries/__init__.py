@@ -15,5 +15,6 @@ from etl_loading_scripts_spark.llm import similarity as _similarity  # noqa: F40
 from etl_loading_scripts_spark.llm import text as _text  # noqa: F401
 from etl_loading_scripts_spark.llm import multimodal as _multimodal  # noqa: F401
 from etl_loading_scripts_spark.streaming import events as _events  # noqa: F401
+from etl_loading_scripts_spark.queries import pipeline_e2e as _pipeline_e2e  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]
