@@ -16,5 +16,6 @@ from etl_loading_scripts_spark.llm import text as _text  # noqa: F401
 from etl_loading_scripts_spark.llm import multimodal as _multimodal  # noqa: F401
 from etl_loading_scripts_spark.streaming import events as _events  # noqa: F401
 from etl_loading_scripts_spark.queries import pipeline_e2e as _pipeline_e2e  # noqa: F401
+from etl_loading_scripts_spark.streaming import stateful as _stateful  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

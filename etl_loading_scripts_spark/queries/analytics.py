@@ -440,6 +440,39 @@ def top_n_inspection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_view_shipping_priority",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(strftime(date_trunc('month', l.l_shipdate), '%Y%m%d') AS INT) AS ship_month,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus <> 'F'
+    GROUP BY 1, 2
+    """,
+    doc="O8/O1 PS:243-296: the view-for-BI surface exercised through the "
+    "SQL API — temp views + spark.sql produce the same Catalyst plan as "
+    "the DataFrame API.",
+)
+def sql_view_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's SQL front door: register views (CREATE VIEW ≙
+    createOrReplaceTempView), run declarative SQL, same optimizer."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o.o_orderpriority,
+               CAST(date_format(trunc(l.l_shipdate, 'month'), 'yyyyMMdd') AS INT) AS ship_month,
+               CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(DISTINCT l.l_orderkey) AS n_orders
+        FROM v_lineitem l JOIN v_orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus <> 'F'
+        GROUP BY 1, 2
+        """
+    )
+
+
+@register(
     "datekey_month_rollup",
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,

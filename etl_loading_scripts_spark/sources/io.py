@@ -1,0 +1,74 @@
+"""Readers/writers for parquet, ORC, CSV, JSON + the partitioned fact layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+) -> DataFrame:
+    """Read a table in any supported format.
+
+    CSV/JSON require an explicit ``schema`` — inference double-scans the
+    data and produces environment-dependent types (SURVEY §1.2: schemas are
+    declared, never inferred)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{fmt} requires an explicit schema")
+    if fmt == "csv":
+        return reader.option("header", "true").csv(path)
+    return getattr(reader, fmt)(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, fmt)(path)
+
+
+def write_fact_partitioned(fact: DataFrame, path: str, datekey_col: str = "datekey") -> None:
+    """The 100 TB fact layout: hive-partitioned by month (``yyyyMM`` int
+    derived from the datekey), so the reference's ``DateKey BETWEEN``
+    monthly windows prune to ~1/100th of the table at the file-listing
+    level (SURVEY §4: 'the single most important physical design choice').
+
+    Readers filter on ``month`` (or on ``datekey`` after
+    ``month = datekey div 100`` is derived) and Catalyst turns it into
+    PartitionFilters — zero data files outside the window are opened."""
+    with_month = fact.withColumn("month", (F.col(datekey_col) / 100).cast("int"))
+    write_table(with_month, path, partition_by=["month"])
+
+
+def read_fact_month(
+    spark: SparkSession, path: str, lo_datekey: int, hi_datekey: int
+) -> DataFrame:
+    """Monthly incremental read: the month partition filter prunes files,
+    the datekey filter prunes row groups within the month."""
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("month").between(lo_datekey // 100, hi_datekey // 100))
+        .filter(F.col("datekey").between(lo_datekey, hi_datekey))
+    )
