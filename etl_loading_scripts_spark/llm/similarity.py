@@ -183,3 +183,132 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH (SimHash-for-vectors) ANN
+# ---------------------------------------------------------------------------
+
+import random as _random
+
+LSH_TABLES = 4  # independent hash tables (union of candidates → recall)
+LSH_BITS = 6  # planes per table (bucket granularity → precision)
+DIM = 64
+
+# Deterministic ±1 hyperplanes, shared VERBATIM by the Spark expression and
+# the DuckDB oracle (both are generated from these literals) — the bucketing
+# is therefore bit-identical across engines. sign(dot(v, r)) over a ±1
+# Rademacher vector is the standard random-hyperplane family (Charikar '02);
+# quantized int64 dots make the >= 0 test exact.
+_rng = _random.Random(20260813)
+HYPERPLANES = [
+    [_rng.choice((1, -1)) for _ in range(DIM)] for _ in range(LSH_TABLES * LSH_BITS)
+]
+
+
+def _sig_spark(table: int) -> str:
+    bits = []
+    for j in range(LSH_BITS):
+        plane = HYPERPLANES[table * LSH_BITS + j]
+        lits = ",".join(str(v) for v in plane)
+        bits.append(
+            f"case when aggregate(zip_with(qv, array({lits}), (x, p) -> x * p), "
+            "0L, (acc, x) -> acc + x) >= 0 then '1' else '0' end"
+        )
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def _sig_duck(table: int) -> str:
+    bits = []
+    for j in range(LSH_BITS):
+        plane = HYPERPLANES[table * LSH_BITS + j]
+        lits = ",".join(str(v) for v in plane)
+        bits.append(
+            f"(CASE WHEN list_sum(list_transform(list_zip(qv, [{lits}]), "
+            "p -> p[1] * p[2])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+_LSH_SIGS_DUCK = "\n    UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_sig_duck(t)} AS sig FROM nn" for t in range(LSH_TABLES)
+)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    nn AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2 FROM n
+    ),
+    sigs AS (
+        {_LSH_SIGS_DUCK}
+    ),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               CAST({_DOT_DUCK.format(a='a.qv', b='b.qv')} AS DOUBLE)
+                   / sqrt(CAST(a.norm2 AS DOUBLE)) / sqrt(CAST(b.norm2 AS DOUBLE)) AS cosine
+        FROM cand
+        JOIN nn a ON a.vec_id = cand.query_id
+        JOIN nn b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc=f"Random-hyperplane LSH ANN: {LSH_TABLES} tables × {LSH_BITS}-bit "
+    "signatures from seeded ±1 hyperplanes; candidates = same-bucket pairs "
+    "in any table, exact cosine re-rank. Recall/cost tuned by (tables, "
+    "bits) — more tables → recall, more bits → smaller buckets.",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale path vs IVF: no centroid training pass, signatures are
+    map-only; the bucket join shuffles ids+signatures only (vectors are
+    re-joined after the DISTINCT pair dedup — candidate dedup over ids is
+    ~100× narrower than dragging 64-dim arrays through the exchange)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _quantized(emb).select("vec_id", "qv", "norm2")
+    sigs = n.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.expr(_sig_spark(t)).alias("sig")
+                    )
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("ts"),
+    ).select("vec_id", "ts.tbl", "ts.sig")
+    q_sigs = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "tbl", "sig"
+    )
+    cand = (
+        sigs.join(q_sigs, ["tbl", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    a = n.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), F.col("norm2").alias("na"))
+    b = n.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"), F.col("norm2").alias("nb"))
+    scored = (
+        cand.join(F.broadcast(a), "query_id")
+        .join(b, "neighbor_id")
+        .withColumn("cosine", _cosine_expr("qa", "qb", "na", "nb"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)

@@ -502,3 +502,101 @@ def datekey_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-grain in ONE pass — ROLLUP / CUBE (beyond the reference: SURVEY §2.4
+# notes "no grouping sets/cube/rollup"; the reference computes its three
+# grains with three scans + joins (PS:144-182) — this is the one-scan form)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_spend_nation_month",
+    oracle="""
+    SELECT COALESCE(n.n_name, 'ALL') AS nation,
+           COALESCE(CAST(strftime(date_trunc('month', o.o_orderdate), '%Y%m') AS INT), -1)
+               AS order_month,
+           CAST(GROUPING(n.n_name, date_trunc('month', o.o_orderdate)) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n.n_name, date_trunc('month', o.o_orderdate))
+    """,
+    doc="ROLLUP: nation→month hierarchy totals in one scan — replaces the "
+    "reference's re-aggregate-at-each-grain pattern (O39, PS:144-182) with "
+    "a single partial-aggregatable pass.",
+)
+def rollup_spend_nation_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One shuffle produces all three grains (nation×month, nation, grand
+    total). At 100 TB this beats N separate aggregations: the expand adds
+    rows map-side but every grain shares one exchange, and the two dim
+    joins are broadcasts (customer/nation ≪ orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            tsql.month_floor("o_orderdate").alias("om"),
+            "o_totalprice",
+        )
+    )
+    return (
+        joined.rollup("n_name", "om")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce(F.date_format("om", "yyyyMM").cast("int"), F.lit(-1)).alias(
+                "order_month"
+            ),
+            F.col("gid").cast("long").alias("gid"),
+            "n_orders",
+            "total_spend",
+        )
+    )
+
+
+@register(
+    "cube_priority_status",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    doc="CUBE: all four grouping sets of (priority, status) in one scan — "
+    "the cross-grain BI rollup surface the reference serves with views "
+    "(PS:243-296).",
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expand factor = 4 grouping sets, but key cardinality is tiny (5×3)
+    so partial aggregation collapses map-side — the shuffle carries only
+    ~4×15 rows per task regardless of input scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.col("gid").cast("long").alias("gid"),
+            "n_orders",
+            "total_spend",
+        )
+    )

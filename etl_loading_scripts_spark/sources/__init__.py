@@ -8,8 +8,9 @@ fact layout that makes the reference's incremental windows prune at 100 TB.
 
 from etl_loading_scripts_spark.sources.io import (
     read_table,
+    write_bucketed,
     write_fact_partitioned,
     write_table,
 )
 
-__all__ = ["read_table", "write_fact_partitioned", "write_table"]
+__all__ = ["read_table", "write_bucketed", "write_fact_partitioned", "write_table"]

@@ -72,3 +72,27 @@ def read_fact_month(
         .filter(F.col("month").between(lo_datekey // 100, hi_datekey // 100))
         .filter(F.col("datekey").between(lo_datekey, hi_datekey))
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (hash-partitioned-on-disk) managed table.
+
+    THE shuffle eliminator for the reference's repeated fact↔dim joins
+    (SURVEY §4): two tables bucketed by the same key into the same bucket
+    count join with ZERO Exchange — each task zips bucket i with bucket i.
+    At 100 TB that turns the monthly fact↔DimUniquePatron join from a
+    full-cluster shuffle into a co-located map join; ``sort_cols`` enables
+    sort-merge without the sort step. Unit-tested: the joined plan contains
+    no Exchange (tests/test_sources_and_skew.py)."""
+    writer = df.write.mode(mode).format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -169,3 +169,59 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC6)).cast("double").alias("session_value"),
         )
     )
+
+
+@register(
+    "session_window_native",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL '{SESSION_GAP_MIN} minutes'
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL '{SESSION_GAP_MIN} minutes',
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc=f"Native session_window({SESSION_GAP_MIN} min) operator — Spark's "
+    "built-in gap-based session assignment (window end = last event + gap), "
+    "vs the manual lag/running-sum twin in sessionize_events.",
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built-in operator sessionizes inside ObjectHashAggregate — one
+    shuffle on user_id, sessions merged per-key without a window sort.
+    The same groupBy(session_window(...)) runs unchanged under readStream
+    with a watermark (state-store-backed merging); batch mode here keeps
+    it oracle-checkable."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

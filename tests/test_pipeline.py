@@ -101,3 +101,83 @@ def test_unmapped_restaurants_match_seeded_gap(spark, loaded):
         .count()
         == 0
     )
+
+
+def test_publish_round_trip(spark, tmp_path, loaded):
+    """Stage-all-then-publish to disk, read back, re-publish over the live
+    table (the monthly rerun), and assert FK integrity on the read-back
+    state — the full production write path, not just in-memory frames."""
+    from etl_loading_scripts_spark.operators.publish import (
+        publish_table,
+        referential_integrity_check,
+    )
+
+    _, out, _, _ = loaded
+    fact_path = str(tmp_path / "fact_transaction")
+    dim_path = str(tmp_path / "dim_patron")
+    publish_table(out.fact_transaction, fact_path)
+    publish_table(out.dim_patron, dim_path)
+
+    fact_back = spark.read.parquet(fact_path)
+    dim_back = spark.read.parquet(dim_path)
+    assert fact_back.count() == out.fact_transaction.count()
+    assert fact_back.schema == out.fact_transaction.schema
+
+    # every mapped patron FK resolves in the published dim (full-window run
+    # maps everything; sentinel ids were replaced by real keys)
+    assert referential_integrity_check(fact_back, dim_back, "patron_id", "patron_id") == 0
+
+    # the monthly rerun: publish over the live table — readers see old or
+    # new, never a partial write, and no .__tmp__/.__old__ residue remains
+    publish_table(out.dim_patron.limit(10), dim_path)
+    assert spark.read.parquet(dim_path).count() == 10
+    residue = [p.name for p in tmp_path.iterdir() if "__tmp__" in p.name or "__old__" in p.name]
+    assert residue == []
+
+
+def test_multi_month_incremental(spark, sf_dir):
+    """Run month N, then month N+1 on the updated state: each run maps only
+    its own window, leaves other months' sentinels untouched, and the
+    second run builds on the first's dimension inserts (the reference's
+    actual operating cadence, BASELINE 'monthly batch')."""
+    from etl_loading_scripts_spark.pipeline.domain import build_domain
+    from etl_loading_scripts_spark.pipeline.monthly_load import run_monthly_load
+
+    dom = build_domain(spark, sf_dir)
+    months = sorted(
+        r["m"]
+        for r in dom.fact_transaction.select((F.col("datekey") / 100).cast("int").alias("m"))
+        .distinct()
+        .collect()
+    )
+    m1, m2 = months[0], months[1]
+    w1, w2 = (m1 * 100 + 1, m1 * 100 + 31), (m2 * 100 + 1, m2 * 100 + 31)
+
+    out1, metrics1 = run_monthly_load(spark, dom, w1)
+    assert metrics1["stage2_unmapped_after"] == 0
+    # month-2 rows untouched by the month-1 run
+    still_unmapped = out1.fact_transaction.filter(
+        F.col("datekey").between(*w2) & (F.col("patron_id") == UNMAPPED_PATRON_ID)
+    ).count()
+    assert still_unmapped > 0
+
+    out2, metrics2 = run_monthly_load(spark, out1, w2)
+    assert metrics2["stage2_unmapped_after"] == 0
+    assert (
+        out2.fact_transaction.filter(
+            F.col("datekey").between(*w2) & (F.col("patron_id") == UNMAPPED_PATRON_ID)
+        ).count()
+        == 0
+    )
+    # month-1 mappings survived the month-2 run
+    assert (
+        out2.fact_transaction.filter(
+            F.col("datekey").between(*w1) & (F.col("patron_id") == UNMAPPED_PATRON_ID)
+        ).count()
+        == 0
+    )
+    # dimension state accumulated, never shrank, and stayed key-unique
+    n2 = out2.dim_patron.count()
+    assert n2 >= out1.dim_patron.count()
+    assert out2.dim_patron.select("patron_id").distinct().count() == n2
+    assert out2.fact_transaction.count() == dom.fact_transaction.count()

@@ -68,3 +68,50 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
     assert plain.count() == salted.count()
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed on the join key by the same bucket count must
+    join with zero shuffle — the co-located join that makes the monthly
+    fact↔dim merge map-side at 100 TB."""
+    from etl_loading_scripts_spark.sources import write_bucketed
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=8)
+    write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+        ["o_orderkey"], n_buckets=8,
+    )
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        # force the sort-merge path: at test scale AQE would broadcast
+        # (also shuffle-free, but not the co-location being proven here)
+        joined = bo.hint("merge").join(bl, "o_orderkey")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        expected = orders.join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey"
+        ).count()
+        assert joined.count() == expected
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_delta_merge_falls_back_informatively(spark, sf_dir):
+    """delta-spark isn't in this environment: the Delta MERGE path must
+    fail with a pointer to the portable join-based merge, not an obscure
+    ImportError deep in a pipeline run."""
+    from etl_loading_scripts_spark.operators.mutations import merge_upsert_delta
+
+    nation = load_table(spark, sf_dir, "nation")
+    try:
+        import delta  # noqa: F401
+        pytest.skip("delta-spark installed; fallback path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="merge_upsert"):
+        merge_upsert_delta(spark, "/tmp/nonexistent", nation, ["n_nationkey"])
