@@ -46,10 +46,21 @@ _SHINGLES_SQL_DUCK = r"""
 
 
 def _shingles_spark(docs: DataFrame) -> DataFrame:
-    """doc_id → distinct word-3-gram shingles (array<string>)."""
+    """doc_id → distinct word-3-gram shingles (array<string>).
+
+    Repartitions on doc_id first: the downstream shingle→md5 pipeline is
+    CPU-bound per document, and a small input (few parquet splits) would
+    otherwise pin all hashing on a handful of cores (measured 10× on
+    local[32]). Shuffling the raw text once is far cheaper than
+    under-parallelized hashing, and hash-partitioning by doc_id also
+    co-partitions the candidate-pair verify joins that follow. At cluster
+    scale input splits already ≈ cores and AQE coalesces the excess.
+    """
+    par = docs.sparkSession.sparkContext.defaultParallelism
     words = F.expr(r"filter(split(lower(text), '\\W+'), w -> w <> '')")
     return (
-        docs.select("doc_id", words.alias("words"))
+        docs.repartition(par, "doc_id")
+        .select("doc_id", words.alias("words"))
         .filter(F.size("words") >= 3)
         .select(
             "doc_id",
