@@ -609,3 +609,57 @@ def replace_chain_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cleaned")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# O15/O16/O17 — IN-list whitelist + compound boolean + NULL predicates
+# (S1:93-102: the stage-1 country/MCC/testcard filter block)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "in_list_whitelist",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE n.n_name IN ('FRANCE', 'GERMANY', 'CANADA', 'BRAZIL')
+      AND o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND (o.o_orderstatus = 'F' OR o.o_totalprice > 100000)
+      AND o.o_orderdate IS NOT NULL
+    GROUP BY n.n_name
+    """,
+    doc="O15/O16/O17 S1:93-102: IN-list whitelists (country + MCC shape), "
+    "parenthesized AND/OR, IS NOT NULL — the reference's stage-1 scope "
+    "filter block.",
+)
+def in_list_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All predicates are sargable: the isin/equality/null tests reach the
+    parquet scan as PushedFilters (In, EqualTo, IsNotNull — asserted in
+    tests/test_plans.py), so at 100 TB the whitelist prunes row groups
+    before any join runs; both dims broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        orders.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & ((F.col("o_orderstatus") == "F") | (F.col("o_totalprice") > 100000))
+            & F.col("o_orderdate").isNotNull()
+        )
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(
+                nation.filter(F.col("n_name").isin("FRANCE", "GERMANY", "CANADA", "BRAZIL"))
+            ),
+            cust.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("spend"),
+        )
+    )

@@ -1,0 +1,87 @@
+"""Physical-plan shape assertions (SURVEY §4 discipline).
+
+Correctness says the values match; these tests pin the properties that make
+the same queries viable at 100 TB — filters reaching the parquet scan,
+column pruning, dimension broadcasts, whole-stage codegen — so a refactor
+that silently de-optimizes a plan fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+from etl_loading_scripts_spark.queries import REGISTRY
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_sargable_range_is_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(REGISTRY["pricing_summary_window"].spark(spark, sf_dir))
+    pushed = plan.split("PushedFilters", 1)[1].split("\n", 1)[0]
+    assert "GreaterThanOrEqual(l_shipdate" in pushed
+    assert "LessThan(l_shipdate" in pushed
+
+
+def test_in_list_and_null_predicates_pushed(spark, sf_dir):
+    plan = plan_of(REGISTRY["in_list_whitelist"].spark(spark, sf_dir))
+    assert "In(o_orderpriority" in plan
+    assert "IsNotNull(o_orderdate" in plan
+    # the nation whitelist prunes on ITS scan too, before the join
+    assert "In(n_name" in plan
+
+
+def test_columns_are_pruned_at_scan(spark, sf_dir):
+    # 16-column lineitem, query touches 4 → ReadSchema must not list the rest
+    plan = plan_of(REGISTRY["pricing_summary_window"].spark(spark, sf_dir))
+    read = plan.split("ReadSchema", 1)[1].split("\n", 1)[0]
+    assert "l_returnflag" in read and "l_quantity" in read
+    assert "l_comment" not in read and "l_partkey" not in read
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    plan = plan_of(REGISTRY["rollup_spend_nation_month"].spark(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2  # customer + nation
+    assert "SortMergeJoin" not in plan
+    assert "Expand" in plan  # ROLLUP grains share one scan via expand
+
+
+def test_fingerprint_probe_stays_in_codegen(spark, sf_dir):
+    plan = plan_of(REGISTRY["fingerprint_probe_map"].spark(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # registry side broadcasts
+    # AQE wraps the plan before execution, hiding codegen spans — inspect
+    # with AQE off to assert the md5 projection compiles into codegen
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["fingerprint_probe_map"].spark(spark, sf_dir)
+        codegen = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+        n = int(codegen.split(" WholeStageCodegen subtrees", 1)[0].split()[-1])
+        assert n >= 2, codegen.split("\n", 1)[0]
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_exact_dedup_is_single_shuffle(spark, sf_dir):
+    plan = plan_of(REGISTRY["dedup_exact"].spark(spark, sf_dir))
+    # one Exchange for the groupBy; the join-back reuses it (+1 broadcast at
+    # most under AQE) — a second hash-partitioning of the corpus is a bug
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_no_python_udf_in_reference_queries(spark, sf_dir):
+    """SURVEY §2.9: reference parity needs zero Python UDFs — everything
+    stays JVM-side. (LLM multimodal ops legitimately use mapInPandas.)"""
+    for name in (
+        "persona_segmentation",
+        "merge_full_sync",
+        "update_fact_sentinel",
+        "new_fingerprint_insert",
+        "window_dedup_latest",
+        "multi_grain_spend_ratio",
+    ):
+        plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
+        assert "EvalPython" not in plan, name
