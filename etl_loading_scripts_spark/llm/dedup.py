@@ -496,3 +496,92 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over the LSH pair graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        {_MINHASH_ORACLE}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ),
+    walk(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS cluster_id,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_reachable
+    FROM walk GROUP BY node
+    """,
+    doc="Connected components over the MinHash-LSH duplicate-pair graph: "
+    "every near-dup doc labeled with its cluster (min doc_id in the "
+    "component) — the step that turns pairwise dedup into keep-one-per-"
+    "cluster. Iterative min-label propagation (no closed SQL form in "
+    "Spark; the oracle uses DuckDB's recursive CTE).",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-loop label propagation: labels start as doc_id; each round
+    every node takes min(own, neighbors' labels); stop when no label
+    changes. Rounds = graph diameter (near-dup clusters are shallow —
+    single digits in practice).
+
+    Scale: each round is one shuffle-join of (edges ⋈ labels) + a groupBy
+    min — both partition on the same key. localCheckpoint truncates the
+    per-round lineage so round N's plan doesn't replay rounds 1..N-1 (on a
+    cluster use checkpoint() to a reliable dir instead). The convergence
+    test is a count() scalar per round — driver sees one number, never
+    rows. For graphs with whale components, switch to the large-star/
+    small-star algorithm (same join primitives, provably fewer rounds)."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.union(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).toDF("src", "dst").localCheckpoint()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    ).localCheckpoint()
+
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.filter(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if changed == 0:
+            break
+
+    # n_reachable mirrors the oracle's closure size: nodes whose label can
+    # reach this node = component size (labels all equal cluster min, so
+    # count distinct reachable labels == component size)
+    comp_size = labels.groupBy("label").agg(F.count(F.lit(1)).alias("comp_n"))
+    return (
+        labels.join(comp_size, "label")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("label").cast("long").alias("cluster_id"),
+            F.col("comp_n").cast("long").alias("n_reachable"),
+        )
+    )

@@ -1,0 +1,59 @@
+"""foreachBatch streaming-upsert sink: stream → merge into parquet dim."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.streaming.sinks import foreach_batch_upsert
+
+
+def _totals(df):
+    return df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total"),
+    )
+
+
+def test_stream_merges_into_dimension(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    in_dir = str(tmp_path / "landing")
+    events.filter(F.col("user_id") % 2 == 0).write.parquet(in_dir)
+    target = str(tmp_path / "user_totals")
+
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_upsert(spark, target, on=["user_id"], transform=_totals)
+        )
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(target)
+    expected = _totals(events.filter(F.col("user_id") % 2 == 0))
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+    # second micro-batch (the callback is exactly what foreachBatch would
+    # invoke): overlapping keys update in place, new keys insert, untouched
+    # keys survive — the reference's dim-maintenance MERGE, streaming
+    callback = foreach_batch_upsert(spark, target, on=["user_id"], transform=_totals)
+    batch2 = events.filter((F.col("user_id") % 2 == 1) | (F.col("user_id") == 0))
+    callback(batch2, 1)
+
+    final = spark.read.parquet(target)
+    odd_expected = _totals(batch2)
+    # odd users + user 0 now reflect batch2; other even users still batch1
+    assert final.filter(F.col("user_id") % 2 == 1).exceptAll(
+        odd_expected.filter(F.col("user_id") % 2 == 1)
+    ).count() == 0
+    evens_before = expected.filter(F.col("user_id") != 0)
+    assert final.join(evens_before.select("user_id"), "user_id").exceptAll(
+        evens_before
+    ).count() == 0
+    assert not os.path.exists(target + ".__old__")
