@@ -600,3 +600,127 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_spend",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution analytics beyond the reference's ranking-only windows:
+# exact percentiles, NTILE bucketing, lag-based deltas, sketch counts
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "percentile_price_profile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50,
+           quantile_cont(l_extendedprice, 0.9) AS p90,
+           quantile_cont(l_extendedprice, 0.99) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Exact interpolated percentiles (p50/p90/p99) per return flag — "
+    "Spark percentile() and DuckDB quantile_cont share the linear-"
+    "interpolation definition, bit-identical on the same doubles.",
+)
+def percentile_price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: exact percentile sorts within each group (memory ∝
+    group size). At 100 TB swap percentile() → percentile_approx() (t-digest,
+    mergeable, bounded memory) and drop the oracle to a tolerance test —
+    the sketch path is exercised by approx_distinct_clients."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "spend_deciles",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        FROM orders GROUP BY 1
+    )
+    SELECT o_custkey, total_spend,
+           CAST(NTILE(10) OVER (ORDER BY total_spend DESC, o_custkey) AS INT) AS decile
+    FROM spend
+    """,
+    doc="NTILE(10) spend deciles over per-customer totals — the "
+    "segmentation cut the reference approximates with ratio thresholds "
+    "(PS:188-208), as an equal-frequency bucketing.",
+)
+def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The global NTILE is a single-partition sort — fine for dimension-
+    sized inputs (per-customer aggregates), the same trade-off as the
+    reference's surrogate-key window (SURVEY §4.4). For fact-sized inputs
+    compute approximate decile boundaries (percentile_approx) and bucket
+    by comparison instead."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend")
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
+    return spend.withColumn("decile", F.ntile(10).over(w))
+
+
+@register(
+    "month_over_month_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(strftime(date_trunc('month', o_orderdate), '%Y%m') AS INT) AS ym,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT ym, revenue,
+           lag(revenue) OVER (ORDER BY ym) AS prev_revenue,
+           revenue - lag(revenue) OVER (ORDER BY ym) AS delta,
+           CASE WHEN lag(revenue) OVER (ORDER BY ym) IS NULL THEN NULL
+                ELSE (revenue - lag(revenue) OVER (ORDER BY ym))
+                     / lag(revenue) OVER (ORDER BY ym) END AS mom_ratio
+    FROM monthly
+    """,
+    doc="Month-over-month revenue deltas via lag() — the BI trend surface "
+    "one step beyond the reference's per-month snapshots (PS:243-296).",
+)
+def month_over_month_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window input is ≤ one row per month (pre-aggregated) — the
+    unpartitioned lag sort is over ~100 rows regardless of fact scale;
+    the heavy lifting stays in the partial-aggregatable monthly groupBy."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_format(tsql.month_floor("o_orderdate"), "yyyyMM").cast("int").alias("ym")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    w = Window.orderBy("ym")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "ym",
+        "revenue",
+        prev.alias("prev_revenue"),
+        (F.col("revenue") - prev).alias("delta"),
+        F.when(prev.isNull(), F.lit(None)).otherwise(
+            (F.col("revenue") - prev) / prev
+        ).alias("mom_ratio"),
+    )
+
+
+@register(
+    "approx_distinct_clients",
+    oracle=None,  # HLL++ register values are engine-specific — the driver
+    # runs the rows-only check; accuracy vs exact COUNT(DISTINCT) is
+    # asserted within 5% in tests/test_analytics.py
+    doc="approx_count_distinct (HyperLogLog++) distinct patrons per order "
+    "priority — the mergeable-sketch path that replaces exact "
+    "COUNT(DISTINCT) shuffles at 100 TB.",
+)
+def approx_distinct_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT k) re-shuffles per distinct combination; the
+    HLL sketch is a fixed ~1.5 KB register set per group, merged
+    map-side — the difference between one pass and two at fact scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_clients"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
