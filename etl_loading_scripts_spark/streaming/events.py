@@ -225,3 +225,73 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@register(
+    "asof_join_last_purchase",
+    oracle="""
+    WITH purchases AS (
+        SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_id, e.user_id, e.event_type,
+           epoch_us(e.ts) AS ts_us,
+           epoch_us(p.ts) AS last_purchase_us,
+           epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+    FROM events e
+    ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+    doc="As-of join (Spark has no native operator): every event attributed "
+    "to the user's most recent purchase at-or-before it — implemented as "
+    "the union + last_value(ignorenulls) window trick; the oracle is "
+    "DuckDB's native ASOF LEFT JOIN.",
+)
+def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalable as-of plan: union the probe rows and (deduped)
+    reference rows into one stream, sort once per user_id partition, and
+    carry the reference timestamp forward with last_value(ignorenulls).
+    ONE shuffle + ONE sort regardless of how many probe rows each
+    reference row serves — vs the naive range-join which explodes to
+    |events| × |purchases| per user before picking the max. At equal
+    timestamps the reference row sorts first (is_ref DESC) so an event
+    can attribute to a same-instant purchase, matching ASOF's >= bound.
+    At 100 TB both sides shuffle-partition on user_id; no broadcast, no
+    skew beyond per-user event counts (salt heavy users if needed)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            F.lit(None).cast("string").alias("event_type"),
+            "ts",
+            F.col("ts").alias("ref_ts"),
+            F.lit(1).alias("is_ref"),
+        )
+    )
+    probes = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.lit(None).cast("timestamp").alias("ref_ts"),
+        F.lit(0).alias("is_ref"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_ref").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = probes.unionByName(purchases).withColumn(
+        "last_purchase", F.last("ref_ts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_ref") == 0).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("last_purchase").alias("last_purchase_us"),
+        (F.unix_micros("ts") - F.unix_micros("last_purchase")).alias("gap_us"),
+    )
