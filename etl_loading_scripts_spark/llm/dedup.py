@@ -370,10 +370,9 @@ def _simhash_assemble_duck() -> str:
     return " + ".join(f"(CASE WHEN s{i} >= 0 THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(32))
 
 
-@register(
-    "dedup_simhash",
-    oracle=f"""
-    WITH shingled AS ({_SHINGLES_SQL_DUCK}),
+def _simhash_sketch_ctes_duck() -> str:
+    """The shared shingle→token→bitsum→sketch CTE chain (doc_id, simhash)."""
+    return f"""shingled AS ({_SHINGLES_SQL_DUCK}),
     tokens AS (
         SELECT doc_id, md5(unnest(shingles)) AS h FROM shingled
     ),
@@ -385,23 +384,11 @@ def _simhash_assemble_duck() -> str:
     sketches AS (
         SELECT doc_id, CAST({_simhash_assemble_duck()} AS BIGINT) AS simhash
         FROM bitsums
-    ),
-    groups AS (
-        SELECT simhash, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
-        FROM sketches GROUP BY 1
-    )
-    SELECT s.doc_id, s.simhash, g.canonical_id, g.group_size
-    FROM sketches s JOIN groups g USING (simhash)
-    """,
-    doc="SimHash: 32-bit sign-sum sketch over shingle hashes (bit i = high "
-    "bit of md5 nibble i); identical sketches → near-dup group.",
-)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: explode(shingles) → per-(doc, bit) partial sums — one shuffle
-    on doc_id; the 32 bit-sums are a single wide aggregate (map-side
-    combined). Banding the 32 bits for Hamming-distance-1..3 candidate
-    search is the standard extension; exact-match grouping shown here."""
-    docs = load_table(spark, sf_dir, "documents")
+    )"""
+
+
+def _simhash_sketches_spark(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit sign-sum sketch, one shuffle on doc_id."""
     shingled = _shingles_spark(docs)
     tokens = shingled.select("doc_id", F.explode("shingles").alias("s")).select(
         "doc_id", F.md5("s").alias("h")
@@ -419,12 +406,102 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long")
         )
         assemble = term if assemble is None else assemble + term
-    sketches = bitsums.select("doc_id", assemble.cast("long").alias("simhash"))
+    return bitsums.select("doc_id", assemble.cast("long").alias("simhash"))
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sketch_ctes_duck()},
+    groups AS (
+        SELECT simhash, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM sketches GROUP BY 1
+    )
+    SELECT s.doc_id, s.simhash, g.canonical_id, g.group_size
+    FROM sketches s JOIN groups g USING (simhash)
+    """,
+    doc="SimHash: 32-bit sign-sum sketch over shingle hashes (bit i = high "
+    "bit of md5 nibble i); identical sketches → near-dup group.",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: explode(shingles) → per-(doc, bit) partial sums — one shuffle
+    on doc_id; the 32 bit-sums are a single wide aggregate (map-side
+    combined). Exact-match grouping here; Hamming-banded near-match is
+    ``dedup_simhash_near``."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketches = _simhash_sketches_spark(docs)
     groups = sketches.groupBy("simhash").agg(
         F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("group_size")
     )
     return sketches.join(groups, "simhash").select(
         "doc_id", "simhash", "canonical_id", "group_size"
+    )
+
+
+HAMMING_MAX = 6  # near-dup bound; banding guarantees recall only to 3
+# (pigeonhole over 4 bytes) — distances 4-6 are best-effort, identically so
+# in both engines because the oracle replicates the same banding.
+
+
+@register(
+    "dedup_simhash_near",
+    oracle=f"""
+    WITH {_simhash_sketch_ctes_duck()},
+    bands AS (
+        SELECT doc_id, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+        FROM sketches, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.byte = b.byte AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sketches sa ON sa.doc_id = c.id_a
+    JOIN sketches sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {HAMMING_MAX}
+    """,
+    doc=f"SimHash near-match: 32-bit sketch split into 4 byte-bands; docs "
+    "sharing any band byte become candidates (pigeonhole: Hamming ≤ 3 is "
+    f"guaranteed caught), verified by bit_count(xor) ≤ {HAMMING_MAX}.",
+)
+def dedup_simhash_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Manku-et-al web-dedup plan: band join bounds the candidate set
+    by byte-bucket sizes (256 values per band ⇒ ~N²/1024 worst case on
+    random sketches, far less on real corpora), XOR+popcount verification
+    is a codegen'd integer op — no arrays move through the verify join,
+    only (doc_id, simhash) pairs. Same ids-only discipline as the MinHash
+    banding."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketches = _simhash_sketches_spark(docs).localCheckpoint()
+    bands = sketches.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.expr("shiftright(simhash, band * 8) & 255").alias("byte"),
+    )
+    a = bands.select(F.col("doc_id").alias("id_a"), "band", "byte")
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "byte")
+    cand = (
+        a.join(b, ["band", "byte"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sketches.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sketches.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("id_a", "id_b", "hamming")
     )
 
 

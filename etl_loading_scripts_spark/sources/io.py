@@ -96,3 +96,22 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def overwrite_fact_month(fact_month: DataFrame, path: str, datekey_col: str = "datekey") -> None:
+    """Monthly incremental publish: replace ONLY the month partitions
+    present in ``fact_month``, leaving every other month's files untouched.
+
+    ``partitionOverwriteMode=dynamic`` is the difference between rewriting
+    ~1/100th of a 100 TB fact and rewriting all of it — the reference's
+    'rerun last month' remediation (BASELINE: 746→0 unmapped over three
+    reruns) becomes a bounded write. Static mode (the default) would drop
+    ALL partitions first; the option is set on the writer so the session
+    default stays safe."""
+    with_month = fact_month.withColumn("month", (F.col(datekey_col) / 100).cast("int"))
+    (
+        with_month.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month")
+        .parquet(path)
+    )

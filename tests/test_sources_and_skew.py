@@ -115,3 +115,38 @@ def test_delta_merge_falls_back_informatively(spark, sf_dir):
         pass
     with pytest.raises(NotImplementedError, match="merge_upsert"):
         merge_upsert_delta(spark, "/tmp/nonexistent", nation, ["n_nationkey"])
+
+
+def test_dynamic_month_overwrite_preserves_other_months(spark, sf_dir, tmp_path):
+    from etl_loading_scripts_spark.sources.io import overwrite_fact_month
+
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        F.col("o_orderkey").alias("txn_id"),
+        tsql.datekey("o_orderdate").alias("datekey"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    path = str(tmp_path / "fact")
+    write_fact_partitioned(fact, path)
+
+    months = sorted(r["m"] for r in fact.select((F.col("datekey") / 100).cast("int").alias("m")).distinct().collect())
+    target = months[0]
+    # the monthly rerun: same month, amounts doubled
+    rerun = fact.filter((F.col("datekey") / 100).cast("int") == target).withColumn(
+        "amount", F.col("amount") * 2
+    )
+    overwrite_fact_month(rerun, path)
+
+    back = spark.read.parquet(path)
+    # target month fully replaced...
+    t = back.filter(F.col("month") == target)
+    assert t.count() == rerun.count()
+    orig_sum = fact.filter((F.col("datekey") / 100).cast("int") == target).agg(
+        F.sum("amount")
+    ).collect()[0][0]
+    assert abs(t.agg(F.sum("amount")).collect()[0][0] - 2 * orig_sum) < 1e-6
+    # ...every other month byte-identical (same rows)
+    others = back.filter(F.col("month") != target).drop("month")
+    expected_others = fact.filter((F.col("datekey") / 100).cast("int") != target)
+    assert others.count() == expected_others.count()
+    assert others.exceptAll(expected_others).count() == 0
