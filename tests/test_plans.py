@@ -85,3 +85,35 @@ def test_no_python_udf_in_reference_queries(spark, sf_dir):
     ):
         plan = plan_of(REGISTRY[name].spark(spark, sf_dir))
         assert "EvalPython" not in plan, name
+
+
+# queries whose CALL executes work (streams, pipeline runs, iterative
+# loops) rather than just building a plan — excluded from the sweep
+_EXECUTING = {"stream_windowed_agg", "stream_stateful_totals", "monthly_load_e2e", "dedup_clusters"}
+
+# BroadcastNestedLoopJoin is legitimate ONLY where one side is a bounded
+# broadcast and the condition is a genuine inequality:
+_BNLJ_OK = {
+    "ann_bruteforce_topk",  # 10 query vectors × corpus, by design
+    "ann_ivf_topk",  # centroid assignment: corpus × broadcast(C centroids)
+}
+
+# Python evaluation is legitimate ONLY in the Arrow-batched multimodal kernels:
+_PYTHON_OK = {"mm_decode_features"}
+
+
+def test_no_antipatterns_across_registry(spark, sf_dir):
+    """Every registered query plans without cartesian products, without
+    unapproved nested-loop joins, and without row-at-a-time Python."""
+    problems = []
+    for name, q in sorted(REGISTRY.items()):
+        if name in _EXECUTING:
+            continue
+        plan = plan_of(q.spark(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            problems.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            problems.append(f"{name}: BroadcastNestedLoopJoin")
+        if "EvalPython" in plan and name not in _PYTHON_OK:
+            problems.append(f"{name}: Python eval in plan")
+    assert not problems, problems
