@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.constants import (
     UNMAPPED_BILLING_GROUP_KEY,
@@ -314,3 +315,33 @@ def stage5_bi_reporting(
         .distinct()
     )
     return dim_out, bridge, {"stage5_bridge_rows": bridge.count()}
+
+
+def update_restaurant_rankings(
+    dim_restaurant: DataFrame, fact: DataFrame, lo_datekey: int, hi_datekey: int
+) -> DataFrame:
+    """SURVEY §7.4 R8 — ``UpdateSalesforceRestaurantRankings`` stub.
+
+    The reference CALLS this proc (``spScript.sql(P-SF):343``) but its body
+    is absent from the repo, so the semantics here are a documented
+    reconstruction, flagged as such: rank restaurants by in-window fact
+    revenue (dense ranking, ties broken by restaurant_key for
+    determinism) and set the dim's ``ranking`` column; restaurants with no
+    in-window revenue rank last, keeping their relative order stable.
+
+    Scale: one aggregate over the month window (partition-pruned) + a
+    global window over dimension-sized input — same trade-off as the
+    surrogate-key allocator (SURVEY §4.4)."""
+    revenue = (
+        fact.filter(F.col("datekey").between(lo_datekey, hi_datekey))
+        .groupBy("restaurant_key")
+        .agg(F.sum("amount").alias("window_revenue"))
+    )
+    w = Window.orderBy(
+        F.desc_nulls_last("window_revenue"), F.col("restaurant_key")
+    )
+    return (
+        dim_restaurant.join(revenue, "restaurant_key", "left")
+        .withColumn("ranking", F.row_number().over(w).cast("long"))
+        .drop("window_revenue")
+    )

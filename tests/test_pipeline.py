@@ -181,3 +181,27 @@ def test_multi_month_incremental(spark, sf_dir):
     assert n2 >= out1.dim_patron.count()
     assert out2.dim_patron.select("patron_id").distinct().count() == n2
     assert out2.fact_transaction.count() == dom.fact_transaction.count()
+
+
+def test_restaurant_rankings_stub(spark, loaded):
+    """SURVEY §7.4 R8: the reference calls a proc whose body is missing —
+    the reconstruction ranks by in-window revenue, deterministic ties,
+    no-revenue restaurants last."""
+    from etl_loading_scripts_spark.pipeline.stages import update_restaurant_rankings
+
+    dom, out, _, window = loaded
+    ranked = update_restaurant_rankings(out.dim_restaurant, out.fact_transaction, *window)
+    n = out.dim_restaurant.count()
+    assert ranked.count() == n
+    ranks = [r["ranking"] for r in ranked.select("ranking").collect()]
+    assert sorted(ranks) == list(range(1, n + 1))  # dense, complete, unique
+    # top-ranked restaurant really has the max in-window revenue
+    top_key = ranked.filter(F.col("ranking") == 1).collect()[0]["restaurant_key"]
+    rev = (
+        out.fact_transaction.filter(F.col("datekey").between(*window))
+        .join(out.dim_restaurant.select("restaurant_key"), "restaurant_key")
+        .groupBy("restaurant_key")
+        .agg(F.sum("amount").alias("r"))
+    )
+    best = rev.orderBy(F.desc("r"), "restaurant_key").first()["restaurant_key"]
+    assert top_key == best
