@@ -150,3 +150,42 @@ def test_dynamic_month_overwrite_preserves_other_months(spark, sf_dir, tmp_path)
     expected_others = fact.filter((F.col("datekey") / 100).cast("int") != target)
     assert others.count() == expected_others.count()
     assert others.exceptAll(expected_others).count() == 0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join: a key holding ~90% of the rows is split into multiple
+    tasks at runtime (no manual salting needed) — the first line of defense
+    for the reference's 'MC'-client hot key (SURVEY §4). Thresholds are
+    lowered to make the 100k-row fixture look skewed; production uses the
+    defaults."""
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ path
+    }
+    saved = {k: spark.conf.get(k, None) for k in lowered}
+    for k, v in lowered.items():
+        spark.conf.set(k, v)
+    try:
+        n = 100_000
+        skewed = spark.range(n).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k",
+            "id AS payload",
+            "repeat('x', 64) AS pad",
+        )
+        other = spark.range(n // 10).selectExpr("id * 10 AS k", "id AS v")
+        joined = skewed.join(other, "k").select("k", "payload", "v")
+        # collect() executes THIS DataFrame's QueryExecution (count() would
+        # spawn a separate one whose final adaptive plan we couldn't read)
+        rows = joined.collect()
+        assert len(rows) == 9 * n // 10  # k=0 matches other.k=0
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
