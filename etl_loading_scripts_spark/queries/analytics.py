@@ -724,3 +724,42 @@ def approx_distinct_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_clients"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_f
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="PIVOT: status columns per priority row — the cross-tab shape the "
+    "reference's BI views flatten manually; Spark's pivot() with an "
+    "EXPLICIT value list (omit it and Spark runs a blocking distinct scan "
+    "to discover values).",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot() compiles to the same conditional-aggregate plan as the
+    oracle's CASE columns — one partial+final aggregate, no extra shuffle
+    vs a plain groupBy. Always pass the value list at scale."""
+    orders = load_table(spark, sf_dir, "orders")
+    pv = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"),
+        )
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce("F_n", F.lit(0)).alias("n_f"),
+        F.coalesce("O_n", F.lit(0)).alias("n_o"),
+        F.coalesce("P_n", F.lit(0)).alias("n_p"),
+        F.col("F_rev").alias("rev_f"),
+    )

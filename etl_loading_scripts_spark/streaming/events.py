@@ -295,3 +295,39 @@ def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("last_purchase").alias("last_purchase_us"),
         (F.unix_micros("ts") - F.unix_micros("last_purchase")).alias("gap_us"),
     )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_high,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) > 50
+    GROUP BY event_type
+    """,
+    doc="Semi-structured handling: schema'd from_json over the props JSON "
+    "column, predicate + aggregation on the extracted field.",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a DECLARED schema (the production path — schema
+    inference over JSON double-scans and drifts); the parsed struct stays
+    columnar and the k>50 predicate runs codegen'd. At 100 TB: parse once
+    in the scan projection, never per-expression; for hot paths promote
+    frequently-queried JSON fields to real columns at ingest."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k INT").getField("k")
+    return (
+        events.select("event_type", k.alias("k"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
