@@ -263,3 +263,43 @@ def merge_upsert_delta(
     if delete_unmatched_source:
         m = m.whenNotMatchedBySourceDelete()
     m.execute()
+
+
+def merge_upsert_iceberg(
+    spark,
+    target_table: str,
+    source: DataFrame,
+    on: Sequence[str],
+    delete_unmatched_source: bool = False,
+) -> None:
+    """MERGE via Iceberg's SQL ``MERGE INTO`` when an Iceberg catalog is
+    configured (same contract as ``merge_upsert_delta``; same join-based
+    portable fallback).
+
+    Iceberg brings the same file-level rewrite + snapshot isolation as
+    Delta with engine-neutral tables; at 100 TB either lakehouse format
+    turns the monthly dimension sync into a bounded metadata commit.
+    """
+    if not spark.conf.get("spark.sql.catalog.spark_catalog", "").endswith(
+        "SparkSessionCatalog"
+    ) and "iceberg" not in str(
+        spark.conf.get("spark.sql.extensions", "")
+    ).lower():
+        raise NotImplementedError(
+            "no Iceberg catalog/extension configured; use operators."
+            "merge_upsert (join-based, same semantics) or add "
+            "org.apache.iceberg:iceberg-spark-runtime to the cluster"
+        )
+    source.createOrReplaceTempView("__merge_src__")
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in on)
+    delete_clause = (
+        "WHEN NOT MATCHED BY SOURCE THEN DELETE" if delete_unmatched_source else ""
+    )
+    spark.sql(
+        f"""
+        MERGE INTO {target_table} t USING __merge_src__ s ON {cond}
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        {delete_clause}
+        """
+    )

@@ -331,3 +331,78 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+JOIN_WINDOW_MIN = 30
+
+
+@register(
+    "stream_stream_join",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lead_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '{JOIN_WINDOW_MIN} minutes'
+     AND c.ts <= p.ts
+    """,
+    doc=f"Stream-stream interval join: purchases ⋈ clicks of the same user "
+    f"within the prior {JOIN_WINDOW_MIN} min — watermarks on BOTH sides + "
+    "the time-range bound make streaming state evictable; oracle is the "
+    "equivalent batch range join.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL stream-stream inner join (two readStreams through one
+    micro-batch): Spark buffers each side in the state store and the
+    time-range condition + watermark bound how much — without them the
+    state grows forever, which is why the range predicate lives in the
+    JOIN condition, not a post-filter. Attribution (click→purchase) is the
+    canonical production use. Inner-join emission is watermark-independent,
+    so the single-batch result is deterministic and oracle-checkable."""
+    from etl_loading_scripts_spark.catalog import _normalize_nanos
+
+    src = table_path(sf_dir, "events")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    raw_schema = spark.read.parquet(src).schema
+
+    def side(event_type: str, alias: str):
+        return (
+            _normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "10 minutes")
+        )
+
+    purchases, clicks = side("purchase", "p"), side("click", "c")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_MIN} MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    sink = f"ssj_out_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        F.col("p_id").alias("purchase_id"),
+        F.col("c_id").alias("click_id"),
+        F.col("p_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lead_us"),
+    )

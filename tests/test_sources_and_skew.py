@@ -189,3 +189,11 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_iceberg_merge_falls_back_informatively(spark, sf_dir):
+    from etl_loading_scripts_spark.operators.mutations import merge_upsert_iceberg
+
+    nation = load_table(spark, sf_dir, "nation")
+    with pytest.raises(NotImplementedError, match="merge_upsert"):
+        merge_upsert_iceberg(spark, "nonexistent", nation, ["n_nationkey"])
