@@ -763,3 +763,104 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("P_n", F.lit(0)).alias("n_p"),
         F.col("F_rev").alias("rev_f"),
     )
+
+
+@register(
+    "set_ops_customer_cohorts",
+    oracle="""
+    WITH urgent AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    finished AS (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ),
+    both_c AS (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM finished),
+    only_urgent AS (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM finished)
+    SELECT 'both' AS cohort, CAST(COUNT(*) AS BIGINT) AS n FROM both_c
+    UNION ALL
+    SELECT 'only_urgent', CAST(COUNT(*) AS BIGINT) FROM only_urgent
+    """,
+    doc="INTERSECT / EXCEPT cohort algebra (beyond the reference, which "
+    "uses only UNION ALL — SURVEY §2.7) — Catalyst plans both as "
+    "semi/anti hash joins, not sorts.",
+)
+def set_ops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fully declarative (no driver-side counts): each cohort aggregates
+    to one labeled row, unioned — one job, plans as semi/anti joins."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    finished = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    both_c = urgent.intersect(finished).agg(
+        F.lit("both").alias("cohort"), F.count(F.lit(1)).alias("n")
+    )
+    only_c = urgent.exceptAll(finished).agg(
+        F.lit("only_urgent").alias("cohort"), F.count(F.lit(1)).alias("n")
+    )
+    return both_c.unionByName(only_c)
+
+
+@register(
+    "heavy_hitter_users",
+    oracle="""
+    WITH total AS (SELECT COUNT(*) AS t FROM events),
+    counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT c.user_id, c.n_events,
+           CAST(c.n_events AS DOUBLE) / t.t AS share
+    FROM counts c, total t
+    WHERE c.n_events * 300 > t.t
+    """,
+    doc="Exact heavy hitters: users holding > 1/300 of all events "
+    "(count*k > total avoids float thresholds) — the skew-detection "
+    "primitive behind salting decisions.",
+)
+def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one aggregate + a broadcast 1-row total; the integer
+    cross-multiplied threshold keeps the filter exact. The sketch
+    equivalent (Misra-Gries / count-min) replaces the exact groupBy when
+    even the per-key count table is too big — not needed below ~10⁹ keys."""
+    events = load_table(spark, sf_dir, "events")
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    total = events.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * 300 > F.col("t"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("t")).alias("share"),
+        )
+    )
+
+
+HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500000.0, 20
+
+
+@register(
+    "price_histogram",
+    oracle=f"""
+    SELECT CAST(least({HIST_BUCKETS - 1},
+                      greatest(0, CAST(floor((o_totalprice - {HIST_LO})
+                          / (({HIST_HI} - {HIST_LO}) / {HIST_BUCKETS})) AS INT))) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS bucket_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+    doc=f"Equi-width histogram: {HIST_BUCKETS} buckets over order price via "
+    "clamped floor arithmetic (identical in both engines; DuckDB 1.0 has "
+    "no width_bucket) — the profiling pass that sizes skew/salting.",
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    step = (HIST_HI - HIST_LO) / HIST_BUCKETS
+    bucket = F.least(
+        F.lit(HIST_BUCKETS - 1),
+        F.greatest(F.lit(0), F.floor((F.col("o_totalprice") - HIST_LO) / step).cast("int")),
+    ).cast("int")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("bucket_revenue"),
+    )

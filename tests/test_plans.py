@@ -96,6 +96,7 @@ _EXECUTING = {"stream_windowed_agg", "stream_stateful_totals", "monthly_load_e2e
 _BNLJ_OK = {
     "ann_bruteforce_topk",  # 10 query vectors × corpus, by design
     "ann_ivf_topk",  # centroid assignment: corpus × broadcast(C centroids)
+    "heavy_hitter_users",  # counts × broadcast(single-row grand total)
 }
 
 # Python evaluation is legitimate ONLY in the Arrow-batched multimodal kernels:
