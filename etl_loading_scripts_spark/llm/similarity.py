@@ -312,3 +312,79 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# k-means update step (the iterative-ML primitive behind real IVF training)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "kmeans_update_step",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2
+        FROM (SELECT vec_id, {_QVEC} AS qv FROM embeddings)
+    ),
+    centroids AS (
+        SELECT vec_id AS centroid_id, qv AS cv, norm2 AS cn FROM n
+        WHERE vec_id % {CENTROID_STEP} = 0
+    ),
+    assigned AS (
+        SELECT vec_id, qv, centroid_id
+        FROM (
+            SELECT v.vec_id, v.qv, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='v.qv', b='c.cv')} AS DOUBLE)
+                                / sqrt(CAST(v.norm2 AS DOUBLE)) / sqrt(CAST(c.cn AS DOUBLE)) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM n v CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    longf AS (
+        SELECT a.centroid_id, d.dim, a.qv[d.dim] AS val
+        FROM assigned a, LATERAL unnest(range(1, {DIM} + 1)) AS d(dim)
+    )
+    SELECT centroid_id, CAST(dim AS INT) AS dim,
+           CAST(SUM(val) AS BIGINT) AS dim_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(val) AS DOUBLE) / COUNT(*) AS dim_mean
+    FROM longf GROUP BY 1, 2
+    """,
+    doc="One k-means update: assign every vector to its nearest centroid "
+    "(same rule as ann_ivf_topk), then recompute per-(centroid, dimension) "
+    "means — emitted long-format (centroid_id, dim, mean). Looping this "
+    "step IS Lloyd's algorithm; integer dim-sums keep it oracle-exact.",
+)
+def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: assignment is a broadcast(C) map pass; the update is
+    posexplode (×64 rows, map-side) + ONE shuffle on (centroid, dim) with
+    partial sums — the canonical distributed Lloyd iteration. The long
+    format avoids re-assembling arrays through the shuffle; the driver
+    loop (not shown — dedup_clusters demonstrates the loop harness) would
+    pivot means back to vectors when broadcasting next round's centroids."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _quantized(emb).select("vec_id", "qv", "norm2")
+    centroids = n.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv"), F.col("norm2").alias("cn")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("centroid_sim").desc(), "centroid_id"
+    )
+    assigned = (
+        n.crossJoin(F.broadcast(centroids))
+        .withColumn("centroid_sim", _cosine_expr("qv", "cv", "norm2", "cn"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "centroid_id")
+    )
+    longf = assigned.select(
+        "centroid_id", F.posexplode("qv").alias("pos", "val")
+    ).select("centroid_id", (F.col("pos") + 1).cast("int").alias("dim"), "val")
+    return longf.groupBy("centroid_id", "dim").agg(
+        F.sum("val").alias("dim_sum"),
+        F.count(F.lit(1)).alias("n_members"),
+        (F.sum("val").cast("double") / F.count(F.lit(1))).alias("dim_mean"),
+    )

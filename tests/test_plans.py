@@ -97,6 +97,7 @@ _BNLJ_OK = {
     "ann_bruteforce_topk",  # 10 query vectors × corpus, by design
     "ann_ivf_topk",  # centroid assignment: corpus × broadcast(C centroids)
     "heavy_hitter_users",  # counts × broadcast(single-row grand total)
+    "kmeans_update_step",  # assignment: corpus × broadcast(C centroids)
 }
 
 # Python evaluation is legitimate ONLY in the Arrow-batched multimodal kernels:
