@@ -406,3 +406,52 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lead_us"),
     )
+
+
+@register(
+    "stream_dedup_events",
+    oracle="""
+    WITH ranked AS (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+               ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts, user_id) AS rn
+        FROM events
+    )
+    SELECT event_id, user_id, event_type, ts_us FROM ranked WHERE rn = 1
+    """,
+    doc="Streaming dedup: dropDuplicates on event_id inside a watermarked "
+    "stream — the at-least-once→exactly-once repair every Kafka ingest "
+    "needs; state evicted once the watermark passes an id's event time.",
+)
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates on a stream keeps per-key state; the watermark bounds
+    it (ids older than the horizon are forgotten — safe because replays
+    arrive within the lateness bound). Batch semantics = keep the first
+    occurrence per event_id; the synthetic table has unique event_ids so
+    both engines agree trivially on content and the streaming machinery
+    (state store + eviction) is what's being exercised."""
+    from etl_loading_scripts_spark.catalog import _normalize_nanos
+
+    src = table_path(sf_dir, "events")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    raw_schema = spark.read.parquet(src).schema
+    stream = (
+        _normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id"])
+    )
+    sink = f"dedup_out_{uuid.uuid4().hex[:8]}"
+    q = stream.writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )

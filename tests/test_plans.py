@@ -89,7 +89,14 @@ def test_no_python_udf_in_reference_queries(spark, sf_dir):
 
 # queries whose CALL executes work (streams, pipeline runs, iterative
 # loops) rather than just building a plan — excluded from the sweep
-_EXECUTING = {"stream_windowed_agg", "stream_stateful_totals", "monthly_load_e2e", "dedup_clusters"}
+_EXECUTING = {
+    "stream_windowed_agg",
+    "stream_stateful_totals",
+    "stream_stream_join",
+    "stream_dedup_events",
+    "monthly_load_e2e",
+    "dedup_clusters",
+}
 
 # BroadcastNestedLoopJoin is legitimate ONLY where one side is a bounded
 # broadcast and the condition is a genuine inequality:
