@@ -115,3 +115,51 @@ def overwrite_fact_month(fact_month: DataFrame, path: str, datekey_col: str = "d
         .partitionBy("month")
         .parquet(path)
     )
+
+
+def read_jsonl_robust(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+):
+    """Production JSONL ingest: PERMISSIVE parse with the corrupt raw line
+    captured in ``corrupt_col`` instead of killing the job.
+
+    Returns ``(good, bad)`` DataFrames — good rows with ``corrupt_col``
+    dropped, bad rows as (raw_line) for the quarantine sink. A 100 TB
+    crawl ALWAYS contains malformed lines; failing the batch (FAILFAST) or
+    silently dropping (DROPMALFORMED) are both wrong for training-data
+    lineage — quarantine + count is the auditable path.
+
+    Note Spark's documented caveat: a query referencing ONLY the corrupt
+    column of a raw JSON scan is disallowed (the parser would have nothing
+    real to parse) — per the docs the parsed frame is cached here before
+    the good/bad split, which also means the file is parsed once for both
+    outputs. Unpersist after the quarantine write in long-lived jobs."""
+    schema_with_corrupt = (
+        schema if isinstance(schema, StructType) else None
+    )
+    reader = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    df = reader.json(path)
+    if corrupt_col not in df.columns:
+        # schema didn't declare the corrupt column — re-read with it added
+        from pyspark.sql.types import StringType, StructField
+
+        base = df.schema if schema_with_corrupt is None else schema_with_corrupt
+        reader = (
+            spark.read.schema(StructType([*base, StructField(corrupt_col, StringType())]))
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+        )
+        df = reader.json(path)
+    df = df.cache()
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad

@@ -197,3 +197,22 @@ def test_iceberg_merge_falls_back_informatively(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     with pytest.raises(NotImplementedError, match="merge_upsert"):
         merge_upsert_iceberg(spark, "nonexistent", nation, ["n_nationkey"])
+
+
+def test_jsonl_robust_ingest_quarantines_bad_lines(spark, tmp_path):
+    from etl_loading_scripts_spark.sources.io import read_jsonl_robust
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "fine"}\n'
+        'this is not json at all\n'
+        '{"doc_id": "NaN-ish", "text": 42}\n'  # type mismatch -> corrupt
+        '{"doc_id": 3, "text": "also fine"}\n'
+    )
+    good, bad = read_jsonl_robust(spark, str(p), "doc_id BIGINT, text STRING")
+    good_rows = {r["doc_id"] for r in good.collect()}
+    assert good_rows == {1, 2, 3}
+    bad_lines = [r["raw_line"] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert any("not json" in line for line in bad_lines)
