@@ -40,6 +40,13 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "text_quality_score",
     "sessionize_events",
+    # round-1 additions: one-pass multi-grain, as-of, LSH ANN, composed
+    # corpus prep, JSON extraction
+    "rollup_spend_nation_month",
+    "asof_join_last_purchase",
+    "ann_lsh_topk",
+    "corpus_prep_e2e",
+    "json_props_extract",
 ]
 
 
