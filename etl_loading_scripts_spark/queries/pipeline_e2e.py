@@ -1,11 +1,13 @@
-"""The full monthly load as a driver-visible query (rows-only check).
+"""The full monthly load as a driver-visible query.
 
-The five-stage pipeline allocates surrogate keys across stages and rewrites
-the fact three times — expressing that as one DuckDB SQL statement would be
-a page of nested CTEs duplicating the engine under test, so this entry uses
-the driver's weaker rows-only check; the per-stage invariants are enforced
-in tests/test_pipeline.py instead (and each constituent operator has its own
-oracle-checked query).
+The oracle does NOT replicate the five stages — it derives the post-load
+end state from first principles: a full-window run maps every patron and
+billing group (the zero-unmapped invariant, tests/test_pipeline.py), fact
+rows are 1:1 with orders, and restaurants stay unmapped exactly on the
+seeded registry gap (site_id = o_orderkey % |supplier|, gap at % 4 == 0).
+An independent derivation is a STRONGER check than mirrored CTEs — if any
+stage regresses (over-maps, under-maps, drops or duplicates fact rows, or
+corrupts amounts), the hash diverges.
 """
 
 from __future__ import annotations
@@ -25,10 +27,21 @@ from etl_loading_scripts_spark.queries.base import register
 
 @register(
     "monthly_load_e2e",
-    oracle=None,
+    oracle="""
+    SELECT CAST(strftime(o.o_orderdate, '%Y%m') AS INT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           CAST(COUNT(*) AS BIGINT) AS n_patron_mapped,
+           CAST(SUM(CASE WHEN (o.o_orderkey % ns.n_sup) % 4 <> 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_restaurant_mapped,
+           CAST(COUNT(*) AS BIGINT) AS n_billing_mapped,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS month_amount
+    FROM orders o CROSS JOIN (SELECT COUNT(*) AS n_sup FROM supplier) ns
+    GROUP BY 1
+    """,
     doc="SURVEY §3.1 entry point A end-to-end: build the reference-domain "
     "warehouse from the star schema, run stages 1-5, return the post-load "
-    "fact rolled up per month with mapped/unmapped counts.",
+    "fact rolled up per month with mapped/unmapped counts — hash-checked "
+    "against a first-principles derivation of the end state.",
 )
 def monthly_load_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dom = build_domain(spark, sf_dir)
