@@ -662,3 +662,76 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("comp_n").cast("long").alias("n_reachable"),
         )
     )
+
+
+_FLIPS = [0] + [1 << j for j in range(8)]  # the byte itself + 8 one-bit flips
+
+
+@register(
+    "dedup_simhash_multiprobe",
+    oracle=f"""
+    WITH {_simhash_sketch_ctes_duck()},
+    bands AS (
+        SELECT doc_id, b.band, (simhash >> (8 * b.band)) & 255 AS byte
+        FROM sketches, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
+    ),
+    probes AS (
+        SELECT doc_id, band, xor(byte, f.flip) AS byte
+        FROM bands, LATERAL unnest([{", ".join(str(f) for f in _FLIPS)}]) AS f(flip)
+    ),
+    cand AS (
+        SELECT DISTINCT p.doc_id AS id_a, b.doc_id AS id_b
+        FROM probes p JOIN bands b
+          ON p.band = b.band AND p.byte = b.byte AND p.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+    FROM cand c
+    JOIN sketches sa ON sa.doc_id = c.id_a
+    JOIN sketches sb ON sb.doc_id = c.id_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {HAMMING_MAX}
+    """,
+    doc="Multiprobe SimHash: each band byte additionally probes its 8 "
+    "one-bit neighbors, so any pair with ≤1 differing bit in SOME band is "
+    "a candidate — guaranteed recall to Hamming 7 (pigeonhole over 4 "
+    "bands) vs 3 for exact-bucket banding, at ~9× probe rows.",
+)
+def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe trades bounded extra probe rows for recall instead of
+    adding hash tables (more memory) or widening buckets (more false
+    candidates) — the standard knob when near-dup quality SLAs tighten.
+    Probe rows stay ids-only; the ≤-verify is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketches = _simhash_sketches_spark(docs).localCheckpoint()
+    bands = sketches.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.expr("shiftright(simhash, band * 8) & 255").alias("byte"),
+    )
+    flips = ", ".join(str(f) for f in _FLIPS)
+    probes = bands.select(
+        F.col("doc_id").alias("id_a"),
+        "band",
+        F.explode(F.expr(f"transform(array({flips}), f -> byte ^ f)")).alias("byte"),
+    )
+    b = bands.select(F.col("doc_id").alias("id_b"), "band", "byte")
+    cand = (
+        probes.join(b, ["band", "byte"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sketches.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    sb = sketches.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("id_a", "id_b", "hamming")
+    )

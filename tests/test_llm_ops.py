@@ -67,3 +67,14 @@ def test_exact_dedup_no_false_positives(spark, sf_dir):
     # synthetic corpus has no exact duplicates — all groups singleton
     assert dups == 0
     assert out.filter("group_size != 1").count() == 0
+
+
+def test_multiprobe_recall_superset_of_exact_banding(spark, sf_dir):
+    """Multiprobe probes every exact bucket PLUS 1-bit neighbors — its
+    verified pair set must contain every exact-banding pair."""
+    from etl_loading_scripts_spark.queries import REGISTRY
+
+    near = REGISTRY["dedup_simhash_near"].spark(spark, sf_dir).select("id_a", "id_b")
+    multi = REGISTRY["dedup_simhash_multiprobe"].spark(spark, sf_dir).select("id_a", "id_b")
+    assert near.exceptAll(multi).count() == 0
+    assert multi.count() >= near.count()
