@@ -86,3 +86,24 @@ def full_window(dom: Domain) -> tuple[int, int]:
         F.min("datekey").alias("lo"), F.max("datekey").alias("hi")
     ).collect()[0]
     return row["lo"], row["hi"]
+
+
+def write_run_metrics(
+    spark: SparkSession,
+    metrics: dict,
+    path: str,
+    run_id: str,
+    window: tuple[int, int],
+) -> None:
+    """Append one row per metric for this run to the metrics table —
+    the operational record behind the reference's in-comment run logs
+    (S3:45-68 pastes counts into the script; a table is the auditable
+    form). Long format (run_id, lo/hi datekey, metric, value) so new
+    stage metrics never need a schema migration."""
+    rows = [
+        (run_id, window[0], window[1], k, int(v)) for k, v in sorted(metrics.items())
+    ]
+    df = spark.createDataFrame(
+        rows, "run_id string, lo_datekey int, hi_datekey int, metric string, value long"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)

@@ -455,3 +455,37 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
+
+
+@register(
+    "rolling_7day_user_value",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_7d
+    FROM events
+    """,
+    doc="RANGE-frame window: per-user trailing-7-day value sum keyed on "
+    "event time (peers at the same instant share the frame) — the rolling "
+    "feature every behavioral model input pipeline computes.",
+)
+def rolling_7day_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames bound by VALUE distance (epoch seconds), not row
+    count — same-timestamp peers aggregate identically regardless of sort
+    ties, which is what makes the result engine-deterministic. One shuffle
+    on user_id, one sort; the frame is computed in a single pass with a
+    sliding aggregate, not a self-join."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-604800, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.sum(F.col("value").cast(DEC6)).over(w).cast("double").alias("rolling_7d"),
+    )

@@ -205,3 +205,23 @@ def test_restaurant_rankings_stub(spark, loaded):
     )
     best = rev.orderBy(F.desc("r"), "restaurant_key").first()["restaurant_key"]
     assert top_key == best
+
+
+def test_run_metrics_append(spark, tmp_path, loaded):
+    from etl_loading_scripts_spark.pipeline.monthly_load import write_run_metrics
+
+    _, _, metrics, window = loaded
+    path = str(tmp_path / "run_metrics")
+    write_run_metrics(spark, metrics, path, "run1", window)
+    write_run_metrics(spark, metrics, path, "run2", window)
+    back = spark.read.parquet(path)
+    assert back.count() == 2 * len(metrics)
+    assert set(r["run_id"] for r in back.select("run_id").distinct().collect()) == {
+        "run1",
+        "run2",
+    }
+    got = {
+        r["metric"]: r["value"]
+        for r in back.filter(F.col("run_id") == "run1").collect()
+    }
+    assert got == {k: int(v) for k, v in metrics.items()}
