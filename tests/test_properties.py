@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the T-SQL-semantics scalar layer.
+
+The unit tests pin known cases; these pin the SEMANTICS over arbitrary
+inputs — the null-handling and padding contracts the whole pipeline leans
+on. One Spark job per property batch (inputs collected into a single-frame
+evaluation) keeps runtime sane.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.functions import tsql
+
+TEXT = st.one_of(st.none(), st.text(min_size=0, max_size=20))
+
+
+def _eval(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=TEXT, b=TEXT)
+def test_concat_nullsafe_treats_null_as_empty(spark, a, b):
+    got = _eval(spark, tsql.concat_nullsafe(F.lit(a), F.lit(b), sep="_"))
+    assert got == f"{a or ''}_{b or ''}"
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=TEXT, b=TEXT)
+def test_concat_plus_propagates_null(spark, a, b):
+    got = _eval(spark, tsql.concat_plus(F.lit(a), F.lit(b)))
+    if a is None or b is None:
+        assert got is None
+    else:
+        assert got == a + b
+
+
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(min_value=0, max_value=10**9))
+def test_zero_pad_last_is_right_4_of_padded(spark, n):
+    got = _eval(spark, tsql.zero_pad_last(F.lit(n)))
+    assert got == ("0000" + str(n))[-4:]
+    assert len(got) == 4
+
+
+@settings(max_examples=25, deadline=None)
+@given(s=st.text(max_size=20))
+def test_null_if_blank_exactly_blank_to_null(spark, s):
+    # T-SQL LTRIM/RTRIM (and Spark trim) strip ONLY the space character —
+    # NOT \t/\r/\n like Python str.strip(); the property pins that exact
+    # reference semantic (hypothesis originally caught the difference)
+    got = _eval(spark, tsql.null_if_blank(F.lit(s)))
+    stripped = s.strip(" ")
+    if stripped == "":
+        assert got is None
+    else:
+        assert got == stripped
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    d=st.dates(min_value=datetime.date(1990, 1, 1), max_value=datetime.date(2099, 12, 31))
+)
+def test_datekey_roundtrip_any_date(spark, d):
+    key = _eval(spark, tsql.datekey(F.lit(d)))
+    assert key == d.year * 10000 + d.month * 100 + d.day
+    back = _eval(spark, tsql.datekey_to_date(F.lit(key)))
+    assert back == d
