@@ -167,3 +167,58 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk.cast("binary")).cast("long").alias("frame_bytes"),
         F.md5(chunk).alias("frame_md5"),
     )
+
+
+RESIZE_STRIDE = 4  # keep every 4th byte ≙ nearest-neighbor downsample
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched 'resize': stride-sample the payload bytes (the 1-D
+    stand-in for nearest-neighbor image downsampling — a real build swaps
+    in PIL.Image.resize here, same batch shape, same output schema)."""
+    for pdf in batches:
+        resized = pdf["payload"].map(lambda b: bytes(b[::RESIZE_STRIDE]))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "orig_bytes": pdf["payload"].map(len).astype("int64"),
+                "resized_bytes": resized.map(len).astype("int64"),
+                "resized_md5": resized.map(
+                    lambda b: __import__("hashlib").md5(b).hexdigest()
+                ),
+            }
+        )
+
+
+@register(
+    "mm_resize",
+    oracle=f"""
+    WITH sampled AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+               list_aggregate(list_transform(
+                   range(1, length(text) + 1, {RESIZE_STRIDE}),
+                   i -> substr(text, i, 1)), 'string_agg', '') AS resized
+        FROM documents
+    )
+    SELECT doc_id, orig_bytes,
+           CAST(octet_length(encode(resized)) AS BIGINT) AS resized_bytes,
+           md5(resized) AS resized_md5
+    FROM sampled
+    """,
+    doc=f"Multimodal resize: stride-{RESIZE_STRIDE} byte downsample through "
+    "the mapInPandas kernel (nearest-neighbor shape; real codec slots into "
+    "the same batch plumbing) — output verified by content hash.",
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Arrow-batch contract as mm_decode_features: binary in, typed
+    features out, partition-local, no shuffle. Peak memory = one Arrow
+    batch of payloads per core — the knob is
+    spark.sql.execution.arrow.maxRecordsPerBatch, which matters once
+    payloads are megabyte-scale images rather than test strings."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload_df = docs.select("doc_id", F.col("text").cast("binary").alias("payload"))
+    return payload_df.mapInPandas(
+        _resize_batches,
+        schema="doc_id long, orig_bytes long, resized_bytes long, resized_md5 string",
+    )

@@ -108,7 +108,7 @@ _BNLJ_OK = {
 }
 
 # Python evaluation is legitimate ONLY in the Arrow-batched multimodal kernels:
-_PYTHON_OK = {"mm_decode_features"}
+_PYTHON_OK = {"mm_decode_features", "mm_resize"}
 
 
 def test_no_antipatterns_across_registry(spark, sf_dir):
