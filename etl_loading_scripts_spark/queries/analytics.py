@@ -864,3 +864,42 @@ def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("bucket_revenue"),
     )
+
+
+@register(
+    "correlated_scalar_subquery",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS price,
+           CAST((SELECT MAX(o2.o_totalprice) FROM orders o2
+                 WHERE o2.o_custkey = o.o_custkey) AS DOUBLE) AS cust_max_price,
+           o.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM orders o2
+                             WHERE o2.o_custkey = o.o_custkey) AS is_cust_max
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+    """,
+    doc="Correlated scalar subquery (per-row 'max over my customer') — "
+    "Catalyst decorrelates it into ONE aggregate + join, not a per-row "
+    "probe; the T-SQL idiom behind the reference's MAX() lookups (O38) "
+    "generalized to row scope.",
+)
+def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expressed through the SQL front door because correlation is a SQL
+    construct; RewriteCorrelatedScalarSubquery turns it into
+    groupBy(custkey).max join — verify with tools/explain_plan.py: no
+    nested-loop, one aggregate subtree. A naive engine executes |rows|
+    subqueries; the decorrelated plan is two scans regardless of row
+    count."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_css")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS price,
+               CAST((SELECT MAX(o2.o_totalprice) FROM v_orders_css o2
+                     WHERE o2.o_custkey = o.o_custkey) AS DOUBLE) AS cust_max_price,
+               o.o_totalprice = (SELECT MAX(o2.o_totalprice) FROM v_orders_css o2
+                                 WHERE o2.o_custkey = o.o_custkey) AS is_cust_max
+        FROM v_orders_css o
+        WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+        """
+    )
