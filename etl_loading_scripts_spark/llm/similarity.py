@@ -388,3 +388,120 @@ def kmeans_update_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         (F.sum("val").cast("double") / F.count(F.lit(1))).alias("dim_mean"),
     )
+
+
+@register(
+    "kmeans_lloyd_two_iter",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2
+        FROM (SELECT vec_id, {_QVEC} AS qv FROM embeddings)
+    ),
+    c1 AS (
+        SELECT vec_id AS centroid_id, qv AS cv, norm2 AS cn FROM n
+        WHERE vec_id % {CENTROID_STEP} = 0
+    ),
+    a1 AS (
+        SELECT vec_id, qv, centroid_id FROM (
+            SELECT v.vec_id, v.qv, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='v.qv', b='c.cv')} AS DOUBLE)
+                                / sqrt(CAST(v.norm2 AS DOUBLE)) / sqrt(CAST(c.cn AS DOUBLE)) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM n v CROSS JOIN c1 c
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT centroid_id, d.dim, SUM(a1.qv[d.dim]) AS s, COUNT(*) AS c
+        FROM a1, LATERAL unnest(range(1, {DIM} + 1)) AS d(dim)
+        GROUP BY 1, 2
+    ),
+    c2 AS (
+        SELECT centroid_id, list(s * 1.0 / c ORDER BY dim) AS cv2 FROM m GROUP BY 1
+    ),
+    c2n AS (
+        SELECT centroid_id, cv2, list_sum(list_transform(cv2, x -> x * x)) AS cn2
+        FROM c2
+    ),
+    a2 AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY list_sum(list_transform(list_zip(v.qv, c.cv2), p -> p[1] * p[2]))
+                                / sqrt(CAST(v.norm2 AS DOUBLE)) / sqrt(c.cn2) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM n v CROSS JOIN c2n c
+        ) WHERE rn = 1
+    )
+    SELECT COALESCE(a1c.centroid_id, a2c.centroid_id) AS centroid_id,
+           CAST(COALESCE(a1c.n, 0) AS BIGINT) AS n_iter1,
+           CAST(COALESCE(a2c.n, 0) AS BIGINT) AS n_iter2
+    FROM (SELECT centroid_id, COUNT(*) AS n FROM a1 GROUP BY 1) a1c
+    FULL OUTER JOIN (SELECT centroid_id, COUNT(*) AS n FROM a2 GROUP BY 1) a2c
+      USING (centroid_id)
+    """,
+    doc="Two full Lloyd iterations: seed assignment → exact mean centroids "
+    "→ re-assignment; emits per-centroid membership for both rounds "
+    "(the movement between them is the convergence signal). Fractional "
+    "centroid means stay deterministic because both engines fold the "
+    "dimension lists sequentially.",
+)
+def kmeans_lloyd_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The looped form of kmeans_update_step: each iteration is a
+    broadcast-assign (map) + one (centroid, dim) shuffle; centroid arrays
+    rebuilt via sorted collect_list of 64 structs per centroid — tiny,
+    driver never touches vectors. N iterations = N× this plan with
+    localCheckpoint between rounds (see dedup_clusters for the loop
+    harness pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _quantized(emb).select("vec_id", "qv", "norm2")
+    c1 = n.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv"), F.col("norm2").alias("cn")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("sim").desc(), "centroid_id")
+
+    a1 = (
+        n.crossJoin(F.broadcast(c1))
+        .withColumn("sim", _cosine_expr("qv", "cv", "norm2", "cn"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "centroid_id")
+    )
+    m = (
+        a1.select("centroid_id", F.posexplode("qv").alias("pos", "val"))
+        .groupBy("centroid_id", (F.col("pos") + 1).alias("dim"))
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    c2 = m.groupBy("centroid_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, s * 1.0 / c as mean))), x -> x.mean)"
+        ).alias("cv2")
+    )
+    c2n = c2.withColumn(
+        "cn2", F.expr("aggregate(transform(cv2, x -> x * x), 0D, (acc, x) -> acc + x)")
+    )
+    dot2 = F.expr("aggregate(zip_with(qv, cv2, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+    a2 = (
+        n.crossJoin(F.broadcast(c2n))
+        .withColumn(
+            "sim",
+            dot2 / F.sqrt(F.col("norm2").cast("double")) / F.sqrt(F.col("cn2")),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    a1c = a1.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_iter1"))
+    a2c = a2.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n_iter2"))
+    return (
+        a1c.join(a2c, "centroid_id", "full_outer")
+        .select(
+            "centroid_id",
+            F.coalesce("n_iter1", F.lit(0)).alias("n_iter1"),
+            F.coalesce("n_iter2", F.lit(0)).alias("n_iter2"),
+        )
+    )

@@ -105,6 +105,7 @@ _BNLJ_OK = {
     "ann_ivf_topk",  # centroid assignment: corpus × broadcast(C centroids)
     "heavy_hitter_users",  # counts × broadcast(single-row grand total)
     "kmeans_update_step",  # assignment: corpus × broadcast(C centroids)
+    "kmeans_lloyd_two_iter",  # two assignment rounds, both broadcast(C)
 }
 
 # Python evaluation is legitimate ONLY in the Arrow-batched multimodal kernels:
