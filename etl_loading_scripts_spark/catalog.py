@@ -42,26 +42,69 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _normalize_nanos(df: DataFrame) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long (see session config
-    ``spark.sql.legacy.parquet.nanosAsLong``); convert to microsecond
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Column names stored as parquet TIMESTAMP(NANOS) — detected from the
+    file footer (pyarrow, metadata-only read), so the decision does not
+    depend on how the current SparkSession was configured."""
+    try:
+        import pyarrow as pa
+        import pyarrow.dataset as ds
+
+        schema = ds.dataset(path, format="parquet").schema
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
+
+
+def _normalize_nanos(df: DataFrame, nanos_cols: list[str]) -> DataFrame:
+    """TIMESTAMP(NANOS) parquet columns arrive as long under
+    ``spark.sql.legacy.parquet.nanosAsLong``; convert to microsecond
     TimestampType — same truncation DuckDB applies reading the file."""
     from pyspark.sql import functions as F
 
     out = df
-    for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    for name in nanos_cols:
+        if types.get(name) == "bigint":
             # integer division: float division of ~1e18 nanos loses precision
-            out = out.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            out = out.withColumn(
+                name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+            )
     return out
 
 
+def stream_source_schema(spark: SparkSession, path: str):
+    """(read schema, nanos column names) for a parquet path used as a
+    Structured Streaming file source. Enables ``nanosAsLong`` just-in-time
+    so the schema probe (and the stream reads that follow) work from any
+    session; callers pass the nanos columns to :func:`_normalize_nanos`."""
+    nanos_cols = _nanos_timestamp_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path).schema, nanos_cols
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one star-schema table. Parquet → full pushdown/pruning."""
+    """Read one star-schema table. Parquet → full pushdown/pruning.
+
+    Works from ANY SparkSession: if the file stores TIMESTAMP(NANOS)
+    (Spark cannot read it natively — PARQUET_TYPE_ILLEGAL), the
+    runtime-settable SQL conf ``spark.sql.legacy.parquet.nanosAsLong`` is
+    enabled just-in-time so the column arrives as bigint, then converted
+    to microsecond TimestampType.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    return _normalize_nanos(df) if name == "events" else df
+    path = table_path(sf_dir, name)
+    nanos_cols = _nanos_timestamp_columns(path)
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    return _normalize_nanos(df, nanos_cols) if nanos_cols else df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

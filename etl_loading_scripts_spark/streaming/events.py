@@ -55,7 +55,7 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     outputMode('complete') rather than 'append' so the single micro-batch
     emits every window without waiting for watermark advancement."""
-    from etl_loading_scripts_spark.catalog import _normalize_nanos
+    from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
 
     src = table_path(sf_dir, "events")
     # the streaming file source lists a DIRECTORY; the test table is a
@@ -69,9 +69,9 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema, nanos_cols = stream_source_schema(spark, src)
     stream = _normalize_nanos(
-        spark.readStream.schema(raw_schema).parquet(stream_dir)
+        spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
     )
     agg = (
         stream.withWatermark("ts", "10 minutes")
@@ -362,7 +362,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN condition, not a post-filter. Attribution (click→purchase) is the
     canonical production use. Inner-join emission is watermark-independent,
     so the single-batch result is deterministic and oracle-checkable."""
-    from etl_loading_scripts_spark.catalog import _normalize_nanos
+    from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
 
     src = table_path(sf_dir, "events")
     stream_dir = os.path.join(
@@ -373,11 +373,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema, nanos_cols = stream_source_schema(spark, src)
 
     def side(event_type: str, alias: str):
         return (
-            _normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+            _normalize_nanos(
+                spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
+            )
             .filter(F.col("event_type") == event_type)
             .select(
                 F.col("event_id").alias(f"{alias}_id"),
@@ -429,7 +431,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence per event_id; the synthetic table has unique event_ids so
     both engines agree trivially on content and the streaming machinery
     (state store + eviction) is what's being exercised."""
-    from etl_loading_scripts_spark.catalog import _normalize_nanos
+    from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
 
     src = table_path(sf_dir, "events")
     stream_dir = os.path.join(
@@ -440,9 +442,11 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema, nanos_cols = stream_source_schema(spark, src)
     stream = (
-        _normalize_nanos(spark.readStream.schema(raw_schema).parquet(stream_dir))
+        _normalize_nanos(
+            spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
+        )
         .withWatermark("ts", "10 minutes")
         .dropDuplicates(["event_id"])
     )

@@ -20,7 +20,11 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from etl_loading_scripts_spark.catalog import _normalize_nanos, table_path
+from etl_loading_scripts_spark.catalog import (
+    _normalize_nanos,
+    stream_source_schema,
+    table_path,
+)
 from etl_loading_scripts_spark.queries.base import register
 
 _OUT_SCHEMA = "user_id long, n_events long, total_value double"
@@ -81,11 +85,11 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    raw_schema = spark.read.parquet(src).schema
+    raw_schema, nanos_cols = stream_source_schema(spark, src)
     from pyspark.sql import functions as F
 
     stream = _normalize_nanos(
-        spark.readStream.schema(raw_schema).parquet(stream_dir)
+        spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
     ).select(
         "user_id",
         F.round(F.col("value") * 1_000_000).cast("long").alias("value_micros"),
