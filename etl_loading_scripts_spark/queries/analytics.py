@@ -708,21 +708,47 @@ def month_over_month_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_clients",
-    oracle=None,  # HLL++ register values are engine-specific — the driver
-    # runs the rows-only check; accuracy vs exact COUNT(DISTINCT) is
-    # asserted within 5% in tests/test_analytics.py
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_clients,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(1 AS BIGINT) AS within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
     doc="approx_count_distinct (HyperLogLog++) distinct patrons per order "
     "priority — the mergeable-sketch path that replaces exact "
-    "COUNT(DISTINCT) shuffles at 100 TB.",
+    "COUNT(DISTINCT) shuffles at 100 TB. HLL register values are "
+    "engine-specific, so the checkable output is the deterministic "
+    "invariant |approx-exact|/exact <= 5% (within_5pct = 1) alongside the "
+    "exact counts; the oracle computes the same groups with within_5pct "
+    "constant-true.",
 )
 def approx_distinct_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact COUNT(DISTINCT k) re-shuffles per distinct combination; the
     HLL sketch is a fixed ~1.5 KB register set per group, merged
-    map-side — the difference between one pass and two at fact scale."""
+    map-side — the difference between one pass and two at fact scale.
+
+    The exact COUNT(DISTINCT) here exists only to make the sketch's
+    accuracy a hash-checkable invariant (rsd=0.02 ⇒ well inside 5%); a
+    production run would emit the sketch estimate alone."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
+    agg = orders.groupBy("o_orderpriority").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_clients"),
+        F.countDistinct("o_custkey").alias("exact_clients"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "exact_clients",
+        "n_orders",
+        (
+            F.abs(F.col("approx_clients") - F.col("exact_clients"))
+            / F.col("exact_clients")
+            <= F.lit(0.05)
+        )
+        .cast("bigint")
+        .alias("within_5pct"),
     )
 
 
