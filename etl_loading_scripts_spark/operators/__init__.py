@@ -2,6 +2,7 @@
 
 from etl_loading_scripts_spark.operators.mutations import (
     allocate_surrogate_keys,
+    allocate_surrogate_keys_partitioned,
     delete_where,
     insert_if_absent,
     merge_upsert,
@@ -16,6 +17,7 @@ from etl_loading_scripts_spark.operators.publish import publish_table, truncate_
 
 __all__ = [
     "allocate_surrogate_keys",
+    "allocate_surrogate_keys_partitioned",
     "anti_not_in",
     "delete_where",
     "insert_if_absent",

@@ -215,14 +215,93 @@ def allocate_surrogate_keys(
     bottleneck at scale; acceptable here because surrogate-keyed tables are
     *dimensions* (10⁴–10⁶ rows). Ordering by the natural key — never by
     ``monotonically_increasing_id`` — keeps keys stable across retries.
-    For billion-row key allocation, switch to per-partition offsets
-    (``zipWithIndex`` style): documented trade-off, not needed for any
-    reference table.
+    For billion-row key allocation use
+    :func:`allocate_surrogate_keys_partitioned` — same keys, no
+    single-task sort.
     """
     max_key = existing.agg(F.max(key_col)).collect()[0][0]
     base = 0 if max_key is None else max_key
     w = Window.orderBy(*[F.col(c) for c in order_by])
     return new_rows.withColumn(key_col, (F.lit(base) + F.row_number().over(w)).cast("long"))
+
+
+def allocate_surrogate_keys_partitioned(
+    new_rows: DataFrame,
+    existing: DataFrame,
+    key_col: str,
+    order_by: Sequence[str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Scale-safe surrogate keys: the SAME key assignment as
+    :func:`allocate_surrogate_keys` (``MAX(existing) + global rank over the
+    natural key``, ``S4:64-73``) without the unpartitioned window's
+    single-task sort (VERDICT r1 item 3).
+
+    Plan: range-repartition on the natural key — range partition *i* holds
+    keys strictly below partition *i+1*'s, so per-partition ``row_number``
+    plus the cumulative count of earlier partitions IS the global rank.
+    Driver traffic is one long per partition (the counts), not data.
+
+    Keys are retry-deterministic because bucket membership is a *logical*
+    comparison against driver-collected boundary literals, never a
+    physical partition id — AQE may re-coalesce the range exchange between
+    the count pass and the key pass without changing a single key.
+    ``order_by`` must be unique per row (same contract as the window
+    version — ties would make *any* ROW_NUMBER assignment arbitrary).
+    """
+    spark = new_rows.sparkSession
+    max_key = existing.agg(F.max(key_col)).collect()[0][0]
+    base = 0 if max_key is None else max_key
+
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    order_cols = [F.col(c) for c in order_by]
+    key_struct = F.struct(
+        *[F.col(c).alias(f"f{i}") for i, c in enumerate(order_by)]
+    )
+
+    # Pass 1 — per range-partition (count, min key). Physical pids are used
+    # ONLY inside this single job to group; what leaves the driver is a
+    # sorted list of (bucket lower bound, cumulative offset) literals.
+    stats = (
+        new_rows.repartitionByRange(n, *order_cols)
+        .select(F.spark_partition_id().alias("__pid__"), key_struct.alias("__k__"))
+        .groupBy("__pid__")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("__k__").alias("lo"))
+        .collect()
+    )
+    stats.sort(key=lambda r: r["__pid__"])
+    offsets, acc = [], 0
+    for r in stats:
+        offsets.append((r["lo"], acc))
+        acc += r["cnt"]
+
+    # Pass 2 — bucket = number of boundaries at or below the key (a pure
+    # expression over literals: deterministic under any physical plan);
+    # range partitioning guarantees bucket-by-comparison == pass-1
+    # partition, so the cumulative counts are exact offsets. With ~32
+    # buckets a comparison chain is fine; at 10⁴+ buckets swap the chain
+    # for a broadcast range join on the same literals.
+    def lit_struct(v):
+        return F.struct(*[F.lit(x).alias(f"f{i}") for i, x in enumerate(v)])
+
+    bucket = F.lit(0)
+    for b, (lo, _) in enumerate(offsets[1:], start=1):
+        bucket = bucket + (key_struct >= lit_struct(lo)).cast("int")
+    off_df = spark.createDataFrame(
+        [(i, off) for i, (_, off) in enumerate(offsets)] or [(0, 0)],
+        "__bucket__ int, __off__ long",
+    )
+
+    w = Window.partitionBy("__bucket__").orderBy(*order_cols)
+    return (
+        new_rows.withColumn("__bucket__", bucket)
+        .join(F.broadcast(off_df), "__bucket__")
+        .withColumn(
+            key_col,
+            (F.lit(base) + F.col("__off__") + F.row_number().over(w)).cast("long"),
+        )
+        .select(new_rows.columns)
+    )
 
 
 def merge_upsert_delta(

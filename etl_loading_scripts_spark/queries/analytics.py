@@ -13,7 +13,11 @@ from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
 from etl_loading_scripts_spark.functions import tsql
-from etl_loading_scripts_spark.operators import allocate_surrogate_keys, top1_per_group
+from etl_loading_scripts_spark.operators import (
+    allocate_surrogate_keys,
+    allocate_surrogate_keys_partitioned,
+    top1_per_group,
+)
 from etl_loading_scripts_spark.queries.base import register
 
 DEC = "decimal(18,4)"
@@ -385,6 +389,50 @@ def surrogate_key_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["p_brand"],
     )
     return existing.unionByName(allocated.select("p_brand", "bg_key"))
+
+
+@register(
+    "surrogate_key_allocation_partitioned",
+    oracle="""
+    WITH existing AS (
+        SELECT o_orderkey, CAST(o_orderkey AS BIGINT) AS sk
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    new_rows AS (
+        SELECT o_orderkey FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    allocated AS (
+        SELECT o_orderkey,
+               (SELECT MAX(sk) FROM existing) +
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS sk
+        FROM new_rows
+    )
+    SELECT o_orderkey, CAST(sk AS BIGINT) AS sk FROM existing
+    UNION ALL
+    SELECT o_orderkey, CAST(sk AS BIGINT) AS sk FROM allocated
+    """,
+    doc="O44 S4:64-73 at fact scale: the per-partition-offset surrogate "
+    "allocator — range-repartition on the natural key, per-partition "
+    "counts → cumulative offsets, row_number within partitions. Identical "
+    "keys to the global-window idiom, no single-task sort (VERDICT r1 "
+    "item 3).",
+)
+def surrogate_key_allocation_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The existing keys are the natural keys themselves (no window needed
+    to build the fixture), so the only ranking in the plan is the
+    operator's own partition-local row_number — the plan test asserts no
+    unpartitioned window survives."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    existing = orders.filter(F.col("o_orderkey") % 3 == 0).withColumn(
+        "sk", F.col("o_orderkey").cast("long")
+    )
+    new_rows = orders.filter(F.col("o_orderkey") % 3 != 0).withColumn(
+        "sk", F.lit(None).cast("long")
+    )
+    allocated = allocate_surrogate_keys_partitioned(
+        new_rows, existing, "sk", order_by=["o_orderkey"]
+    )
+    return existing.unionByName(allocated)
 
 
 @register(

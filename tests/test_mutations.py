@@ -156,3 +156,34 @@ def test_top1_per_group(spark):
     )
     out = top1_per_group(df, ["site"], [F.col("dt").desc()])
     assert _rows(out, "site", "id") == [("s1", 2), ("s2", 3)]
+
+
+def test_allocate_surrogate_keys_partitioned_matches_global(spark):
+    from etl_loading_scripts_spark.operators import (
+        allocate_surrogate_keys_partitioned,
+    )
+
+    existing = spark.createDataFrame([(100, "x")], ["sk", "nk"])
+    new = spark.createDataFrame(
+        [(None, f"n{i:04d}") for i in range(500)], "sk long, nk string"
+    )
+    want = {
+        (r.nk, r.sk)
+        for r in allocate_surrogate_keys(new, existing, "sk", ["nk"]).collect()
+    }
+    got1 = {
+        (r.nk, r.sk)
+        for r in allocate_surrogate_keys_partitioned(
+            new, existing, "sk", ["nk"], num_partitions=7
+        ).collect()
+    }
+    got2 = {
+        (r.nk, r.sk)
+        for r in allocate_surrogate_keys_partitioned(
+            new, existing, "sk", ["nk"], num_partitions=7
+        ).collect()
+    }
+    assert got1 == want  # identical keys to the global-window idiom
+    assert got1 == got2  # deterministic across re-runs
+    keys = sorted(k for _, k in got1)
+    assert keys == list(range(101, 601))  # dense, gap-free, starts past MAX

@@ -127,3 +127,12 @@ def test_no_antipatterns_across_registry(spark, sf_dir):
         if "EvalPython" in plan and name not in _PYTHON_OK:
             problems.append(f"{name}: Python eval in plan")
     assert not problems, problems
+
+
+def test_partitioned_surrogate_keys_have_no_global_sort(spark, sf_dir):
+    """The scale path of O44 (VERDICT r1 item 3): the partition-offset
+    allocator must not fall back to a single-partition window sort."""
+    df = REGISTRY["surrogate_key_allocation_partitioned"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan  # the partition-local row_number is still there
