@@ -21,16 +21,25 @@ min-of-hex-string is engine-independent.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_loading_scripts_spark.catalog import load_table
 from etl_loading_scripts_spark.queries.base import register
 
+_LOG = logging.getLogger(__name__)
+
 N_MINHASH = 12
 N_BANDS = 4  # 4 bands x 3 rows
 ROWS_PER_BAND = N_MINHASH // N_BANDS
 JACCARD_THRESHOLD = 0.3
+#: Stop-shingle document-frequency cap for the exact inverted-index path:
+#: a shingle appearing in more than this many documents is dropped from the
+#: index (never from the Jaccard denominator) — one boilerplate shingle with
+#: 10⁶ postings would otherwise self-join into 10¹² candidate pairs.
+SHINGLE_DF_CAP = 64
 
 _SHINGLES_SQL_DUCK = r"""
         SELECT doc_id,
@@ -290,44 +299,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH shingled AS ({_SHINGLES_SQL_DUCK}),
-    exploded AS (
-        SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
-        FROM shingled
-    ),
-    pair_counts AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(COUNT(*) AS BIGINT) AS n_shared,
-               ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
-        FROM exploded a JOIN exploded b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, n_shared,
-           CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
-    FROM pair_counts
-    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {JACCARD_THRESHOLD}
-    """,
-    doc="Exact n-gram Jaccard with inverted-index blocking: only pairs "
-    "sharing ≥1 shingle are scored (posting-list self-join + count).",
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: |pairs| is Σ postings² over shingle buckets — bounded by
-    shingle frequency, not corpus size. Stop-shingle capping (drop shingles
-    with huge posting lists) is the standard guard at 100 TB; not needed at
-    test SF so not applied (documented, SURVEY no-silent-caps rule)."""
-    docs = load_table(spark, sf_dir, "documents")
+def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard with inverted-index blocking
+    and stop-shingle capping (VERDICT r1 item 4).
+
+    Scale: |pairs| is Σ postings² over shingle buckets. The cap bounds the
+    worst bucket — shingles with document frequency > ``df_cap`` are
+    removed from the index before the self-join, so no posting list
+    exceeds ``df_cap`` and pair growth is ≤ |shingles|·df_cap². The
+    Jaccard DENOMINATOR still uses full per-doc shingle counts; only
+    ``n_shared`` ignores capped shingles, so scores are a lower bound
+    (pairs that overlap solely on boilerplate drop out — the point).
+    The dropped-shingle count is computed and logged: no silent caps.
+    """
     shingled = _shingles_spark(docs)
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("shingle"), F.size("shingles").alias("n_sh")
     )
-    a = exploded.select(
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
+    )
+    n_hot = hot.count()  # one scalar to the driver — the price of an honest cap
+    if n_hot:
+        _LOG.warning(
+            "dedup_ngram_jaccard: dropping %d stop-shingles with document "
+            "frequency > %d from the inverted index",
+            n_hot,
+            df_cap,
+        )
+    # anti-join is hash-equality; AQE broadcasts the hot list when small
+    # (by construction it is: ≤ |postings| / df_cap shingles)
+    kept = exploded.join(hot, "shingle", "left_anti")
+    a = kept.select(
         F.col("doc_id").alias("id_a"), "shingle", F.col("n_sh").alias("n_a")
     )
-    b = exploded.select(
+    b = kept.select(
         F.col("doc_id").alias("id_b"), "shingle", F.col("n_sh").alias("n_b")
     )
     pair_counts = (
@@ -346,6 +355,43 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("id_a", "id_b", "n_shared", "jaccard")
     )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLES_SQL_DUCK}),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+        FROM shingled
+    ),
+    hot AS (
+        SELECT shingle FROM exploded
+        GROUP BY shingle HAVING COUNT(*) > {SHINGLE_DF_CAP}
+    ),
+    kept AS (
+        SELECT * FROM exploded
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    pair_counts AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
+    FROM pair_counts
+    WHERE CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) >= {JACCARD_THRESHOLD}
+    """,
+    doc="Exact n-gram Jaccard with inverted-index blocking + stop-shingle "
+    f"capping (document frequency > {SHINGLE_DF_CAP} drops out of the "
+    "index): only pairs sharing ≥1 indexed shingle are scored.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

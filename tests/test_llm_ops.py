@@ -78,3 +78,21 @@ def test_multiprobe_recall_superset_of_exact_banding(spark, sf_dir):
     multi = REGISTRY["dedup_simhash_multiprobe"].spark(spark, sf_dir).select("id_a", "id_b")
     assert near.exceptAll(multi).count() == 0
     assert multi.count() >= near.count()
+
+
+def test_stop_shingle_cap_bounds_posting_lists(spark):
+    """A boilerplate shingle shared by every doc must not turn the
+    inverted-index self-join quadratic: with the cap it contributes zero
+    candidate pairs; without it, all-pairs."""
+    from etl_loading_scripts_spark.llm.dedup import ngram_jaccard_pairs
+
+    boiler = "all rights reserved worldwide"
+    docs = spark.createDataFrame(
+        [(i, f"topic {i} {boiler}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    uncapped = ngram_jaccard_pairs(docs, df_cap=10**9)
+    capped = ngram_jaccard_pairs(docs, df_cap=5)
+    # every doc shares only the boilerplate shingles -> capped finds nothing
+    assert capped.count() == 0
+    assert uncapped.count() > 0
