@@ -14,12 +14,15 @@ from etl_loading_scripts_spark.operators.joins import (
     top1_per_group,
 )
 from etl_loading_scripts_spark.operators.publish import publish_table, truncate_insert
+from etl_loading_scripts_spark.operators.ranks import global_ntile, global_row_number
 
 __all__ = [
     "allocate_surrogate_keys",
     "allocate_surrogate_keys_partitioned",
     "anti_not_in",
     "delete_where",
+    "global_ntile",
+    "global_row_number",
     "insert_if_absent",
     "merge_upsert",
     "or_join",

@@ -245,63 +245,21 @@ def allocate_surrogate_keys_partitioned(
     Keys are retry-deterministic because bucket membership is a *logical*
     comparison against driver-collected boundary literals, never a
     physical partition id — AQE may re-coalesce the range exchange between
-    the count pass and the key pass without changing a single key.
-    ``order_by`` must be unique per row (same contract as the window
-    version — ties would make *any* ROW_NUMBER assignment arbitrary).
+    the count pass and the key pass without changing a single key
+    (mechanism in ``operators/ranks.py``). ``order_by`` must be unique per
+    row (same contract as the window version — ties would make *any*
+    ROW_NUMBER assignment arbitrary).
     """
-    spark = new_rows.sparkSession
+    from etl_loading_scripts_spark.operators.ranks import global_row_number
+
     max_key = existing.agg(F.max(key_col)).collect()[0][0]
     base = 0 if max_key is None else max_key
-
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    order_cols = [F.col(c) for c in order_by]
-    key_struct = F.struct(
-        *[F.col(c).alias(f"f{i}") for i, c in enumerate(order_by)]
+    ranked = global_row_number(
+        new_rows, order_by, rank_col="__rank__", num_partitions=num_partitions
     )
-
-    # Pass 1 — per range-partition (count, min key). Physical pids are used
-    # ONLY inside this single job to group; what leaves the driver is a
-    # sorted list of (bucket lower bound, cumulative offset) literals.
-    stats = (
-        new_rows.repartitionByRange(n, *order_cols)
-        .select(F.spark_partition_id().alias("__pid__"), key_struct.alias("__k__"))
-        .groupBy("__pid__")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min("__k__").alias("lo"))
-        .collect()
-    )
-    stats.sort(key=lambda r: r["__pid__"])
-    offsets, acc = [], 0
-    for r in stats:
-        offsets.append((r["lo"], acc))
-        acc += r["cnt"]
-
-    # Pass 2 — bucket = number of boundaries at or below the key (a pure
-    # expression over literals: deterministic under any physical plan);
-    # range partitioning guarantees bucket-by-comparison == pass-1
-    # partition, so the cumulative counts are exact offsets. With ~32
-    # buckets a comparison chain is fine; at 10⁴+ buckets swap the chain
-    # for a broadcast range join on the same literals.
-    def lit_struct(v):
-        return F.struct(*[F.lit(x).alias(f"f{i}") for i, x in enumerate(v)])
-
-    bucket = F.lit(0)
-    for b, (lo, _) in enumerate(offsets[1:], start=1):
-        bucket = bucket + (key_struct >= lit_struct(lo)).cast("int")
-    off_df = spark.createDataFrame(
-        [(i, off) for i, (_, off) in enumerate(offsets)] or [(0, 0)],
-        "__bucket__ int, __off__ long",
-    )
-
-    w = Window.partitionBy("__bucket__").orderBy(*order_cols)
-    return (
-        new_rows.withColumn("__bucket__", bucket)
-        .join(F.broadcast(off_df), "__bucket__")
-        .withColumn(
-            key_col,
-            (F.lit(base) + F.col("__off__") + F.row_number().over(w)).cast("long"),
-        )
-        .select(new_rows.columns)
-    )
+    return ranked.withColumn(
+        key_col, (F.lit(base) + F.col("__rank__")).cast("long")
+    ).select(new_rows.columns)
 
 
 def merge_upsert_delta(

@@ -7,7 +7,7 @@ hash is bit-identical to the DuckDB oracle regardless of partition order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -16,6 +16,7 @@ from etl_loading_scripts_spark.functions import tsql
 from etl_loading_scripts_spark.operators import (
     allocate_surrogate_keys,
     allocate_surrogate_keys_partitioned,
+    global_ntile,
     top1_per_group,
 )
 from etl_loading_scripts_spark.queries.base import register
@@ -685,6 +686,56 @@ def percentile_price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "percentile_price_profile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+           quantile_cont(l_extendedprice, 0.9) AS p90_exact,
+           quantile_cont(l_extendedprice, 0.99) AS p99_exact,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(1 AS BIGINT) AS approx_within_2pct
+    FROM lineitem GROUP BY 1
+    """,
+    doc="percentile_approx (Greenwald-Khanna sketch: mergeable, bounded "
+    "memory) — the 100 TB replacement for the exact per-group sort. "
+    "Sketch values are engine-specific, so the checkable output is the "
+    "deterministic invariant |approx-exact|/exact <= 2% per quantile "
+    "(VERDICT r1 item 5, same technique as approx_distinct_clients).",
+)
+def percentile_price_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """accuracy=10000 bounds rank error at n/10000; on the smooth price
+    distribution that lands well inside 2% relative value error. The exact
+    percentiles ride along only to make the invariant checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("p90_exact"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_exact"),
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.5D, 0.9D, 0.99D), 10000)"
+        ).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def within(exact: str, approx) -> Column:
+        return F.abs(approx - F.col(exact)) / F.col(exact) <= F.lit(0.02)
+
+    ok = (
+        within("p50_exact", F.col("ap")[0])
+        & within("p90_exact", F.col("ap")[1])
+        & within("p99_exact", F.col("ap")[2])
+    )
+    return agg.select(
+        "l_returnflag",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+        "n",
+        ok.cast("bigint").alias("approx_within_2pct"),
+    )
+
+
+@register(
     "spend_deciles",
     oracle="""
     WITH spend AS (
@@ -698,20 +749,27 @@ def percentile_price_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="NTILE(10) spend deciles over per-customer totals — the "
     "segmentation cut the reference approximates with ratio thresholds "
-    "(PS:188-208), as an equal-frequency bucketing.",
+    "(PS:188-208), as an equal-frequency bucketing. Executed through the "
+    "range-bucket global rank (operators/ranks.py), not a global window.",
 )
 def spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The global NTILE is a single-partition sort — fine for dimension-
-    sized inputs (per-customer aggregates), the same trade-off as the
-    reference's surrogate-key window (SURVEY §4.4). For fact-sized inputs
-    compute approximate decile boundaries (percentile_approx) and bucket
-    by comparison instead."""
+    """EXACT NTILE semantics at any scale (VERDICT r1 item 6): the naive
+    ``NTILE(10) OVER (ORDER BY …)`` is a single-partition sort over every
+    customer; ``global_ntile`` derives the identical tile arithmetically
+    from a range-partitioned global rank — the oracle stays the plain SQL
+    NTILE and still hash-matches. DESC spend is expressed as an ascending
+    negated column (exact for doubles)."""
     orders = load_table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_spend")
     )
-    w = Window.orderBy(F.col("total_spend").desc(), "o_custkey")
-    return spend.withColumn("decile", F.ntile(10).over(w))
+    tiled = global_ntile(
+        spend.withColumn("__neg_spend__", -F.col("total_spend")),
+        10,
+        ["__neg_spend__", "o_custkey"],
+        tile_col="decile",
+    )
+    return tiled.select("o_custkey", "total_spend", "decile")
 
 
 @register(

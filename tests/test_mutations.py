@@ -187,3 +187,33 @@ def test_allocate_surrogate_keys_partitioned_matches_global(spark):
     assert got1 == got2  # deterministic across re-runs
     keys = sorted(k for _, k in got1)
     assert keys == list(range(101, 601))  # dense, gap-free, starts past MAX
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from etl_loading_scripts_spark.operators import global_ntile
+
+    # 103 rows / 10 tiles exercises the uneven-remainder rule (3 big tiles)
+    df = spark.createDataFrame([(i, (i * 37) % 103) for i in range(103)], ["k", "v"])
+    want = {
+        (r.k, r.t)
+        for r in df.withColumn(
+            "t", F.ntile(10).over(Window.orderBy("v", "k"))
+        ).collect()
+    }
+    got = {
+        (r.k, r.tile)
+        for r in global_ntile(df, 10, ["v", "k"], num_partitions=6).collect()
+    }
+    assert got == want
+
+
+def test_global_ntile_fewer_rows_than_buckets(spark):
+    from etl_loading_scripts_spark.operators import global_ntile
+
+    df = spark.createDataFrame([(i,) for i in range(4)], ["k"])
+    got = sorted(
+        (r.k, r.tile) for r in global_ntile(df, 10, ["k"], num_partitions=3).collect()
+    )
+    assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]

@@ -136,3 +136,10 @@ def test_partitioned_surrogate_keys_have_no_global_sort(spark, sf_dir):
     plan = plan_of(df)
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" in plan  # the partition-local row_number is still there
+
+
+def test_spend_deciles_has_no_global_sort(spark, sf_dir):
+    """NTILE via range-bucket global rank (VERDICT r1 item 6) — the plan
+    must not contain a single-partition exchange."""
+    plan = plan_of(REGISTRY["spend_deciles"].spark(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan, plan
