@@ -29,10 +29,19 @@ def or_join(
     ``inner`` and ``left_semi``-style usage make sense here; dedup keeps the
     first disjunct's match when several fire (matching T-SQL UPDATE's
     first-match-wins, made deterministic by branch priority).
+
+    Row identity for the dedup is a per-row tag assigned BEFORE branching
+    (ADVICE r1): duplicate left rows each keep their own first match (the
+    T-SQL per-row cardinality), and the dedup window shuffles one long,
+    not the full left row payload. The tag is ``monotonically_increasing_id``
+    over the left plan — deterministic across the branches because they
+    share the same (deterministic) scan lineage; it never leaves this
+    function.
     """
+    tagged = left.withColumn("__lid__", F.monotonically_increasing_id())
     branches = []
     for i, (lk, rk) in enumerate(key_pairs):
-        l_keyed = left.withColumn("__k__", lk)
+        l_keyed = tagged.withColumn("__k__", lk)
         r_keyed = right.withColumn("__k__", rk)
         b = l_keyed.join(r_keyed, on="__k__", how=how).drop("__k__")
         branches.append(b.withColumn("__branch__", F.lit(i)))
@@ -40,12 +49,11 @@ def or_join(
     for b in branches[1:]:
         out = out.unionByName(b)
     # first-firing disjunct wins per left row
-    left_cols = [c for c in left.columns]
-    w = Window.partitionBy(*left_cols).orderBy("__branch__")
+    w = Window.partitionBy("__lid__").orderBy("__branch__")
     return (
         out.withColumn("__rn__", F.row_number().over(w))
         .filter(F.col("__rn__") == 1)
-        .drop("__rn__", "__branch__")
+        .drop("__rn__", "__branch__", "__lid__")
     )
 
 

@@ -51,11 +51,21 @@ def insert_if_absent(
     re-running with the same source is a no-op (SURVEY §5).
 
     Returns target ∪ (source ⟕anti target). Column order follows target.
+
+    The anti-join is NULL-SAFE on the keys (ADVICE r1): a plain equi-anti
+    join never matches NULL keys, so a NULL-keyed source row would be
+    re-appended on every run, breaking the idempotence contract. Here NULL
+    is one more key value — inserted at most once.
     """
     new_rows = source.select(target.columns)
     if distinct:
         new_rows = new_rows.dropDuplicates(list(on))
-    new_rows = new_rows.join(target.select(*on).distinct(), on=list(on), how="left_anti")
+    keys = target.select(*on).distinct()
+    cond = None
+    for k in on:
+        c = new_rows[k].eqNullSafe(keys[k])
+        cond = c if cond is None else (cond & c)
+    new_rows = new_rows.join(keys, on=cond, how="left_anti")
     return target.unionByName(new_rows)
 
 
@@ -153,15 +163,21 @@ def merge_upsert(
         update_cols = [c for c in target.columns if c not in on and c in source.columns]
     insert_defaults = dict(insert_defaults or {})
 
-    src = _prefix_columns(source)
+    # row presence after the full-outer join comes from synthetic non-null
+    # markers, never from key nullability (ADVICE r1): the join itself is
+    # null-safe, so a NULL-keyed target row genuinely matches a NULL-keyed
+    # source row and must not be misread as absent (which would ghost-insert
+    # or, under delete_unmatched_source, silently delete it)
+    tgt = target.withColumn("__tgt__", F.lit(True))
+    src = _prefix_columns(source).withColumn("__src__", F.lit(True))
     join_cond = None
     for k in on:
-        c = target[k].eqNullSafe(src[_SRC_PREFIX + k])
+        c = tgt[k].eqNullSafe(src[_SRC_PREFIX + k])
         join_cond = c if join_cond is None else (join_cond & c)
-    joined = target.join(src, join_cond, "full_outer")
+    joined = tgt.join(src, join_cond, "full_outer")
 
-    tgt_present = target[on[0]].isNotNull()
-    src_present = src[_SRC_PREFIX + on[0]].isNotNull()
+    tgt_present = tgt["__tgt__"].isNotNull()
+    src_present = src["__src__"].isNotNull()
     matched = tgt_present & src_present
     src_only = src_present & ~tgt_present
     tgt_only = tgt_present & ~src_present
@@ -178,19 +194,19 @@ def merge_upsert(
     out_cols = []
     for c in target.columns:
         if c in on:
-            expr = F.coalesce(target[c], src[_SRC_PREFIX + c])
+            expr = F.when(tgt_present, tgt[c]).otherwise(src[_SRC_PREFIX + c])
         elif c in update_cols:
             expr = (
                 F.when(src_only, src[_SRC_PREFIX + c] if c in source.columns else insert_defaults.get(c, F.lit(None)))
                 .when(do_update, src[_SRC_PREFIX + c])
-                .otherwise(target[c])
+                .otherwise(tgt[c])
             )
         else:
             if c in source.columns:
                 insert_val = src[_SRC_PREFIX + c]
             else:
                 insert_val = insert_defaults.get(c, F.lit(None).cast(dict(target.dtypes)[c]))
-            expr = F.when(src_only, insert_val).otherwise(target[c])
+            expr = F.when(src_only, insert_val).otherwise(tgt[c])
         out_cols.append(expr.alias(c))
 
     result = joined.select(*out_cols, survives.alias("__keep__"))

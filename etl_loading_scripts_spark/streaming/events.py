@@ -466,8 +466,8 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, epoch_us(ts) AS ts_us,
            CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
-               PARTITION BY user_id ORDER BY epoch(ts)
-               RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
            ) AS DOUBLE) AS rolling_7d
     FROM events
     """,
@@ -476,16 +476,18 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "feature every behavioral model input pipeline computes.",
 )
 def rolling_7day_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE frames bound by VALUE distance (epoch seconds), not row
-    count — same-timestamp peers aggregate identically regardless of sort
-    ties, which is what makes the result engine-deterministic. One shuffle
-    on user_id, one sort; the frame is computed in a single pass with a
-    sliding aggregate, not a self-join."""
+    """RANGE frames bound by VALUE distance, not row count — same-timestamp
+    peers aggregate identically regardless of sort ties, which is what
+    makes the result engine-deterministic. Both engines bound the frame at
+    MICROSECOND precision (unix_micros / epoch_us): ordering by whole
+    seconds would let sub-second timestamps shift frame membership between
+    engines (ADVICE r1). One shuffle on user_id, one sort; the frame is a
+    single-pass sliding aggregate, not a self-join."""
     events = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp("ts"))
-        .rangeBetween(-604800, 0)
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-604_800_000_000, 0)
     )
     return events.select(
         "event_id",

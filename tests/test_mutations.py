@@ -22,7 +22,10 @@ from etl_loading_scripts_spark.operators import (
 
 
 def _rows(df, *cols):
-    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+    return sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()),
+        key=lambda t: tuple((x is not None, x) for x in t),
+    )
 
 
 def test_insert_if_absent_appends_only_new_and_is_idempotent(spark):
@@ -217,3 +220,32 @@ def test_global_ntile_fewer_rows_than_buckets(spark):
         (r.k, r.tile) for r in global_ntile(df, 10, ["k"], num_partitions=3).collect()
     )
     assert got == [(0, 1), (1, 2), (2, 3), (3, 4)]
+
+
+def test_insert_if_absent_null_keys_are_idempotent(spark):
+    target = spark.createDataFrame([(1, "a")], ["k", "v"])
+    source = spark.createDataFrame([(None, "n"), (2, "b")], "k int, v string")
+    out = insert_if_absent(target, source, on=["k"])
+    assert _rows(out, "k", "v") == [(None, "n"), (1, "a"), (2, "b")]
+    # the NULL-keyed row is NOT re-appended on a re-run (ADVICE r1)
+    again = insert_if_absent(out, source, on=["k"])
+    assert _rows(again, "k", "v") == _rows(out, "k", "v")
+
+
+def test_merge_upsert_null_keys_survive_full_sync(spark):
+    """A NULL-keyed target row null-safe-matches a NULL-keyed source row:
+    it must be updated in place — not deleted, not ghost-duplicated
+    (ADVICE r1)."""
+    target = spark.createDataFrame([(None, "old"), (1, "a")], "k int, v string")
+    source = spark.createDataFrame([(None, "new"), (2, "b")], "k int, v string")
+    out = merge_upsert(target, source, on=["k"], delete_unmatched_source=True)
+    assert _rows(out, "k", "v") == [(None, "new"), (2, "b")]
+
+
+def test_merge_upsert_null_source_key_inserts_source_values(spark):
+    """A NULL-keyed source row with no NULL-keyed target row is an insert
+    carrying SOURCE values, not a ghost row of nulled target columns."""
+    target = spark.createDataFrame([(1, "a")], "k int, v string")
+    source = spark.createDataFrame([(None, "n")], "k int, v string")
+    out = merge_upsert(target, source, on=["k"])
+    assert _rows(out, "k", "v") == [(None, "n"), (1, "a")]
