@@ -32,28 +32,75 @@ DEC = "decimal(18,4)"
 # (PreparePOStoTxnMap_script.sql S1:7-25)
 # ---------------------------------------------------------------------------
 
-#: The 'merchant identity' fields of the supplier stand-in (FIXTURES §B).
-_FP_FIELDS_SQL = (
-    "upper(coalesce(trim(s_name), '')) || '|' || "
-    "upper(coalesce(trim(cast(s_nationkey as varchar)), ''))"
-)
+def _fp_norm_sql(expr: str) -> str:
+    """DuckDB twin of :func:`tsql.norm_name` — UPPER(TRIM(x)) with NULL→''."""
+    return f"upper(coalesce(trim({expr}), ''))"
+
+
+#: The 8 'merchant identity' fields of the supplier stand-in, mirroring the
+#: reference's 8-way CONCAT (S1:7-14: number, legal name, REPLACE-cleaned
+#: display name, address line, city, state, zero-padded postal, country) on
+#: the synthetic schema (FIXTURES §B): supplier enriched with its nation and
+#: region names plays the merchant; derived address/postal fields exercise
+#: the computed-field-inside-the-hash shape.
+_FP_FIELDS = [
+    ("cast(s_suppkey as varchar)", lambda: F.col("s_suppkey").cast("string")),
+    ("s_name", lambda: F.col("s_name")),
+    # the reference strips a 'REV:' prefix with REPLACE before normalizing
+    ("replace(s_name, 'Supplier#', '')",
+     lambda: F.replace(F.col("s_name"), F.lit("Supplier#"), F.lit(""))),
+    ("concat_ws(' ', cast(s_suppkey % 999 as varchar), n_name)",
+     lambda: F.concat_ws(" ", (F.col("s_suppkey") % 999).cast("string"), F.col("n_name"))),
+    ("n_name", lambda: F.col("n_name")),
+    ("cast(s_nationkey as varchar)", lambda: F.col("s_nationkey").cast("string")),
+    ("lpad(cast(s_suppkey % 100 as varchar), 5, '0')",
+     lambda: F.lpad((F.col("s_suppkey") % 100).cast("string"), 5, "0")),
+    ("r_name", lambda: F.col("r_name")),
+]
+
+_FP_FIELDS_SQL = " || '|' || ".join(_fp_norm_sql(sql) for sql, _ in _FP_FIELDS)
+
+#: Oracle-side merchant dimension: supplier + nation/region names.
+_MERCHANT_SQL = """
+        SELECT s_suppkey, s_name, s_nationkey, n_name, r_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+"""
 
 
 def _fp_col():
-    return tsql.simhash_fingerprint([F.col("s_name"), F.col("s_nationkey").cast("string")])
+    return tsql.simhash_fingerprint([make() for _, make in _FP_FIELDS])
+
+
+def _merchant_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier enriched with nation/region names — the fingerprint's input.
+
+    Both lookups are tiny dims → broadcast; the enrichment never shuffles
+    the supplier side, so at 100 TB the fingerprint is still computed in
+    the scan-side projection."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_nationkey", "n_name", "r_name")
+    )
 
 
 @register(
     "fingerprint_probe_map",
     oracle=f"""
-    WITH registry AS (
+    WITH merchant AS ({_MERCHANT_SQL}),
+    registry AS (
         SELECT DISTINCT md5({_FP_FIELDS_SQL}) AS simhash, s_suppkey
-        FROM supplier
+        FROM merchant
     ),
     probe AS (
         SELECT l.l_orderkey, l.l_extendedprice, l.l_discount,
                md5({_FP_FIELDS_SQL}) AS simhash
-        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        FROM lineitem l JOIN merchant s ON l.l_suppkey = s.s_suppkey
     )
     SELECT p.simhash,
            CAST(COUNT(*) AS BIGINT) AS n_txns,
@@ -68,12 +115,14 @@ def _fp_col():
 def fingerprint_probe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's POS→Txn fingerprint probe (S1:18-25): fuzzy 8-field
     merchant identity collapsed into ONE equi-join key so the join shuffles
-    hash-partitioned instead of nested-looping.
+    hash-partitioned instead of nested-looping. The hash input is the full
+    8-way normalized concat (S1:7-14), incl. a REPLACE-cleaned name and a
+    zero-padded derived field, matching the reference's shape.
 
     Scale: registry is dimension-sized → broadcast; probe side computes the
     hash in whole-stage codegen during the scan. At 100 TB the only shuffle
     is the final groupBy on the hash (high cardinality, no skew)."""
-    supplier = load_table(spark, sf_dir, "supplier")
+    supplier = _merchant_dim(spark, sf_dir)
     lineitem = load_table(spark, sf_dir, "lineitem")
     registry = supplier.select(_fp_col().alias("simhash"), "s_suppkey").distinct()
     probe = (
@@ -101,9 +150,10 @@ def fingerprint_probe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "new_fingerprint_insert",
     oracle=f"""
-    WITH existing AS (
+    WITH merchant AS ({_MERCHANT_SQL}),
+    existing AS (
         SELECT DISTINCT md5({_FP_FIELDS_SQL}) AS simhash
-        FROM supplier WHERE s_suppkey % 4 <> 0
+        FROM merchant WHERE s_suppkey % 4 <> 0
     ),
     candidates AS (
         SELECT md5({_FP_FIELDS_SQL}) AS simhash,
@@ -112,7 +162,7 @@ def fingerprint_probe_map(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS txn_count,
                MAX(CAST(strftime(l.l_shipdate, '%Y%m%d') AS INT)) AS last_seen_datekey
         FROM lineitem l
-        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN merchant s ON l.l_suppkey = s.s_suppkey
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY 1, 2
     )
@@ -131,7 +181,7 @@ def new_fingerprint_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one shuffle for the groupBy on the hash key; the anti-join
     broadcasts the existing-hash set (registry ≪ fact). countDistinct adds a
     partial/final two-phase agg — no driver involvement."""
-    supplier = load_table(spark, sf_dir, "supplier")
+    supplier = _merchant_dim(spark, sf_dir)
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     existing = (
