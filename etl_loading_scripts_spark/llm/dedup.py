@@ -667,8 +667,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-round lineage so round N's plan doesn't replay rounds 1..N-1 (on a
     cluster use checkpoint() to a reliable dir instead). The convergence
     test is a count() scalar per round — driver sees one number, never
-    rows. For graphs with whale components, switch to the large-star/
-    small-star algorithm (same join primitives, provably fewer rounds)."""
+    rows. For graphs with whale components, use
+    :func:`dedup_clusters_bigstar` — the large-star/small-star variant
+    (same join primitives, log-diameter rounds)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     edges = pairs.union(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -707,6 +708,125 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label").cast("long").alias("cluster_id"),
             F.col("comp_n").cast("long").alias("n_reachable"),
         )
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_rounds: int = 50
+) -> DataFrame:
+    """Alternating large-star/small-star connected components.
+
+    The whale-component-safe alternative to plain min-label propagation
+    (:func:`dedup_clusters`): rounds grow with ``log(diameter)`` instead of
+    the diameter itself, because every round re-points whole neighborhoods
+    at their local minimum rather than moving labels one hop. The public
+    two-operation formulation (Kiveris et al., "Connected Components in
+    MapReduce and Beyond"):
+
+    - **large-star**: each node links its LARGER neighbors to its smallest
+      neighborhood member — ``emit (v, min(N(u) ∪ {u}))`` for ``v > u``.
+    - **small-star**: on ``u > v``-oriented edges, each node links itself
+      and its smaller neighbors to the minimum — collapsing local chains.
+
+    Both are one groupBy + one self-join on the same key, so each round is
+    two key-partitioned shuffles with no driver-side data. Convergence =
+    the oriented edge set reaches a fixed point (every node points straight
+    at its component min); checked with a two-sided ``exceptAll`` count —
+    scalars only on the driver.
+
+    Returns ``(node, label)`` where label is the component minimum.
+    """
+    sym0 = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    nodes = (
+        sym0.select("u").union(sym0.select("v")).distinct().toDF("node")
+        .localCheckpoint()
+    )
+    # orient u > v
+    cur = (
+        sym0.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    for _ in range(max_rounds):
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+        large = (
+            sym.join(mins, "u")
+            .withColumn("m", F.least("mn", "u"))
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        mins_s = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(mins_s, "u")
+        small = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(joined.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        if small.exceptAll(cur).count() == 0 and cur.exceptAll(small).count() == 0:
+            cur = small
+            break
+        cur = small
+
+    direct = cur.groupBy("u").agg(F.min("v").alias("label"))
+    return nodes.join(direct, nodes.node == direct.u, "left").select(
+        "node", F.coalesce("label", "node").alias("label")
+    )
+
+
+@register(
+    "dedup_clusters_bigstar",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        {_MINHASH_ORACLE}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ),
+    walk(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS doc_id,
+           CAST(MIN(label) AS BIGINT) AS cluster_id,
+           CAST(COUNT(DISTINCT label) AS BIGINT) AS n_reachable
+    FROM walk GROUP BY node
+    """,
+    doc="Connected components over the MinHash-LSH pair graph via "
+    "alternating large-star/small-star — identical clustering to "
+    "dedup_clusters, but rounds scale with log(diameter), the "
+    "whale-component-safe plan at 100 TB. Oracle: the same recursive-CTE "
+    "closure (the algorithm must agree with plain reachability).",
+)
+def dedup_clusters_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as :func:`dedup_clusters`, star-algorithm engine.
+
+    Scale: per round two key-partitioned shuffles (groupBy min + re-join),
+    edge rows only — no label table carried alongside, no whole-component
+    fan-in to one task; a path graph of length 2^k collapses in ~k rounds
+    vs 2^k for label propagation."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    labels = connected_components_star(pairs, src="id_a", dst="id_b")
+    comp_size = labels.groupBy("label").agg(F.count(F.lit(1)).alias("comp_n"))
+    return labels.join(comp_size, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").cast("long").alias("cluster_id"),
+        F.col("comp_n").cast("long").alias("n_reachable"),
     )
 
 

@@ -96,3 +96,42 @@ def test_stop_shingle_cap_bounds_posting_lists(spark):
     # every doc shares only the boilerplate shingles -> capped finds nothing
     assert capped.count() == 0
     assert uncapped.count() > 0
+
+
+def test_star_cc_matches_reachability_on_pathological_graphs(spark):
+    """Large-star/small-star must produce min-label components on the
+    shapes that break naive approaches: a long path (worst case for
+    per-hop propagation), a star with a high-degree hub, and disjoint
+    pairs — all in one edge list."""
+    from etl_loading_scripts_spark.llm.dedup import connected_components_star
+
+    edges = (
+        # path 0-1-2-...-15
+        [(i, i + 1) for i in range(15)]
+        # hub 100 with spokes 101..120
+        + [(100, 100 + i) for i in range(1, 21)]
+        # disjoint pair, reversed orientation
+        + [(301, 300)]
+    )
+    got = {
+        (r.node, r.label)
+        for r in connected_components_star(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+    }
+    want = (
+        {(i, 0) for i in range(16)}
+        | {(100 + i, 100) for i in range(21)}
+        | {(300, 300), (301, 300)}
+    )
+    assert got == want
+
+
+def test_bigstar_clusters_agree_with_label_propagation(spark, sf_dir):
+    """The two CC engines must emit identical clusterings on the real
+    LSH pair graph."""
+    a = sorted(map(tuple, REGISTRY["dedup_clusters"].spark(spark, sf_dir).collect()))
+    b = sorted(
+        map(tuple, REGISTRY["dedup_clusters_bigstar"].spark(spark, sf_dir).collect())
+    )
+    assert a == b

@@ -96,6 +96,7 @@ _EXECUTING = {
     "stream_dedup_events",
     "monthly_load_e2e",
     "dedup_clusters",
+    "dedup_clusters_bigstar",
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY where one side is a bounded
