@@ -967,6 +967,84 @@ def heavy_hitter_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MG_K = 300  # Misra-Gries counters per partition == the 1/k HH threshold
+
+
+def _mg_sketch_batches(batches):
+    """Per-partition Misra-Gries summary with ``MG_K`` counters.
+
+    Each Arrow batch's exact value_counts are merged into the running
+    summary; when the summary exceeds K entries, every counter is
+    decremented by the (K+1)-th largest value and non-positive entries
+    drop (the mergeable-summaries formulation — error stays ≤ n_p/(K+1)).
+    Emits at most K ``(user_id, lb)`` rows per partition, where ``lb`` is
+    the surviving lower-bound count."""
+    import pandas as pd
+
+    counters: dict = {}
+    for pdf in batches:
+        for uid, c in pdf["user_id"].value_counts().items():
+            counters[uid] = counters.get(uid, 0) + int(c)
+        if len(counters) > MG_K:
+            dec = sorted(counters.values(), reverse=True)[MG_K]
+            counters = {u: c - dec for u, c in counters.items() if c > dec}
+    yield pd.DataFrame(
+        {"user_id": list(counters.keys()), "lb": list(counters.values())}
+    )
+
+
+@register(
+    "heavy_hitter_mg_sketch",
+    oracle="""
+    WITH total AS (SELECT COUNT(*) AS t FROM events),
+    counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT c.user_id, c.n_events,
+           CAST(c.n_events AS DOUBLE) / t.t AS share
+    FROM counts c, total t
+    WHERE c.n_events * 300 > t.t
+    """,
+    doc="Misra-Gries sketch + exact-verify heavy hitters: per-partition "
+    "K-counter summaries (Arrow-batched) nominate a bounded candidate "
+    "set; only candidates are exactly counted. Same answer as the exact "
+    "twin (the MG guarantee makes candidates a superset of true "
+    "> 1/K hitters), so the oracle is the exact-frequency SQL.",
+)
+def heavy_hitter_mg_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch path for when even the per-key count table is too big
+    (≥10⁹ keys): the full groupBy in :func:`heavy_hitter_users` is
+    replaced by ≤ K rows per partition, then an exact count restricted to
+    the ≤ K·P candidates via a broadcast semi-join.
+
+    Determinism: the CANDIDATE set depends on partitioning, but the
+    output doesn't — MG guarantees every user with freq > n/K survives
+    some partition's summary (if it were light in every partition it
+    would be light globally), and the verify phase keeps only exact
+    threshold-passers. Two scans of events, no full-width shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    sketch = events.select("user_id").mapInPandas(
+        _mg_sketch_batches, schema="user_id long, lb long"
+    )
+    cands = sketch.select("user_id").distinct()
+    counts = (
+        events.join(F.broadcast(cands), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    total = events.agg(F.count(F.lit(1)).alias("t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * MG_K > F.col("t"))
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("t")).alias("share"),
+        )
+    )
+
+
 HIST_LO, HIST_HI, HIST_BUCKETS = 0.0, 500000.0, 20
 
 

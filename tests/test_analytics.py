@@ -23,3 +23,40 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     for r in rows:
         assert r["within_5pct"] == 1, r
         assert r["exact_clients"] == exact[r["o_orderpriority"]]
+
+
+def test_mg_summaries_are_bounded_and_keep_heavy_keys(spark):
+    """Per-partition Misra-Gries output must stay ≤ K rows and must keep
+    any globally-heavy key no matter how the input is partitioned."""
+    from etl_loading_scripts_spark.queries.analytics import MG_K, _mg_sketch_batches
+
+    n = 30000
+    # user 7 owns a third of all events; everyone else is unique
+    df = (
+        spark.range(n)
+        .select(
+            F.when(F.col("id") % 3 == 0, F.lit(7))
+            .otherwise(F.col("id") + 1000)
+            .alias("user_id")
+        )
+        .repartition(16)
+    )
+    sketch = df.mapInPandas(_mg_sketch_batches, "user_id long, lb long")
+    sizes = (
+        sketch.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert sizes <= MG_K
+    assert sketch.filter(F.col("user_id") == 7).count() >= 1
+
+
+def test_mg_sketch_equals_exact_heavy_hitters(spark, sf_dir):
+    exact = sorted(
+        map(tuple, REGISTRY["heavy_hitter_users"].spark(spark, sf_dir).collect())
+    )
+    sketched = sorted(
+        map(tuple, REGISTRY["heavy_hitter_mg_sketch"].spark(spark, sf_dir).collect())
+    )
+    assert exact == sketched

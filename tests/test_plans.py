@@ -105,12 +105,14 @@ _BNLJ_OK = {
     "ann_bruteforce_topk",  # 10 query vectors × corpus, by design
     "ann_ivf_topk",  # centroid assignment: corpus × broadcast(C centroids)
     "heavy_hitter_users",  # counts × broadcast(single-row grand total)
+    "heavy_hitter_mg_sketch",  # same single-row total join on the verify side
     "kmeans_update_step",  # assignment: corpus × broadcast(C centroids)
     "kmeans_lloyd_two_iter",  # two assignment rounds, both broadcast(C)
 }
 
-# Python evaluation is legitimate ONLY in the Arrow-batched multimodal kernels:
-_PYTHON_OK = {"mm_decode_features", "mm_resize"}
+# Python evaluation is legitimate ONLY in Arrow-batched kernels: the
+# multimodal decode path and the Misra-Gries partition summaries.
+_PYTHON_OK = {"mm_decode_features", "mm_resize", "heavy_hitter_mg_sketch"}
 
 
 def test_no_antipatterns_across_registry(spark, sf_dir):
