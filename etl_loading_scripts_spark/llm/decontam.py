@@ -1,0 +1,162 @@
+"""Benchmark decontamination and sequence packing for training corpora.
+
+Two operators every large-scale training-data pipeline runs downstream of
+dedup:
+
+- **decontamination** — flag corpus documents that share word-n-gram
+  shingles with a held-out benchmark/eval set, so eval questions don't
+  leak into training data (the published recipe: n-gram overlap against
+  the benchmark, cf. GPT-3 / PaLM / Llama data cards).
+- **sequence packing** — assign documents to fixed token-budget packs
+  (context windows) with a deterministic cumulative-sum rule, the step
+  that turns a document table into trainer-shaped batches.
+
+Both are pure built-in expressions — codegen'd JVM execution, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.llm.dedup import _SHINGLES_SQL_DUCK, _shingles_spark
+from etl_loading_scripts_spark.queries.base import register
+
+#: Every 20th doc_id plays the held-out benchmark set (deterministic split).
+BENCH_MOD = 20
+#: A corpus doc is contaminated when it shares ≥ this many distinct
+#: shingles with the benchmark, or ≥ 1/4 of its own shingles.
+CONTAM_ABS = 5
+CONTAM_FRAC_DEN = 4
+
+PACK_WINDOW = 512  # token budget per pack (context-window stand-in)
+
+
+@register(
+    "decontam_benchmark_overlap",
+    oracle=f"""
+    WITH shingled AS (
+        {_SHINGLES_SQL_DUCK}
+    ),
+    bench AS (
+        SELECT DISTINCT md5(unnest(shingles)) AS sh
+        FROM shingled WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, md5(unnest(shingles)) AS sh
+        FROM shingled WHERE doc_id % {BENCH_MOD} <> 0
+    ),
+    totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM corpus GROUP BY 1
+    ),
+    shared AS (
+        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM corpus c JOIN bench b ON c.sh = b.sh
+        GROUP BY 1
+    )
+    SELECT t.doc_id, t.n_shingles,
+           COALESCE(s.n_shared, 0) AS n_shared,
+           CAST(COALESCE(s.n_shared, 0) >= {CONTAM_ABS}
+                OR COALESCE(s.n_shared, 0) * {CONTAM_FRAC_DEN} >= t.n_shingles
+                AS BIGINT) AS contaminated
+    FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
+    """,
+    doc="Benchmark decontamination: corpus docs sharing word-3-gram "
+    "shingles with a held-out benchmark split are flagged (absolute + "
+    "fractional overlap thresholds) — the eval-leakage gate that runs "
+    "after dedup in published LLM data recipes.",
+)
+def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-hash inverted join, benchmark side broadcast.
+
+    Scale: the benchmark set is eval-sized (thousands of docs) while the
+    corpus is the 100 TB side — so the distinct benchmark-shingle set is
+    a broadcast hash set and the corpus is scanned ONCE with a map-side
+    semi-probe; the only shuffle is the per-doc groupBy on doc_id. Never
+    joins corpus-to-corpus; cost is linear in corpus shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _shingles_spark(docs).select(
+        "doc_id", F.explode("shingles").alias("s")
+    ).select("doc_id", F.md5("s").alias("sh"))
+    bench = (
+        shingled.filter(F.col("doc_id") % BENCH_MOD == 0).select("sh").distinct()
+    )
+    corpus = shingled.filter(F.col("doc_id") % BENCH_MOD != 0)
+    per_doc = (
+        corpus.join(F.broadcast(bench).withColumn("__hit__", F.lit(1)), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__hit__").alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_shared",
+        (
+            (F.col("n_shared") >= CONTAM_ABS)
+            | (F.col("n_shared") * CONTAM_FRAC_DEN >= F.col("n_shingles"))
+        )
+        .cast("bigint")
+        .alias("contaminated"),
+    )
+
+
+@register(
+    "pack_sequences_cumsum",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                // {PACK_WINDOW} AS BIGINT) AS pack_id,
+           CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                % {PACK_WINDOW} AS BIGINT) AS pack_offset
+    FROM toks
+    """,
+    doc="Sequence packing: documents streamed per language into fixed "
+    "token-budget packs by cumulative token count — pack_id/pack_offset "
+    "say exactly where each doc lands in trainer context windows; "
+    "deterministic (ordered by doc_id), so shardable and resumable.",
+)
+def pack_sequences_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous packing as a running-sum window: a doc's pack is
+    ``floor(tokens_before_it / window)`` within its language stream.
+
+    Scale: ONE shuffle — the window partitions by ``lang``; at 100 TB a
+    mono-lingual corpus would skew one partition, in which case the
+    two-phase range-bucket cumsum (same trick as
+    ``allocate_surrogate_keys_partitioned``: per-bucket subtotal →
+    broadcast running offsets → bucket-local window) replaces the single
+    window; the per-lang shape here is the common multi-lingual case."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            r"cast(size(filter(split(lower(text), '\\W+'), w -> w <> '')) as long)"
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return toks.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (F.floor(before / PACK_WINDOW)).cast("long").alias("pack_id"),
+        (before % PACK_WINDOW).cast("long").alias("pack_offset"),
+    )
