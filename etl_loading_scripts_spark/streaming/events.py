@@ -411,6 +411,108 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_left_join",
+    oracle=f"""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lead_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL '{JOIN_WINDOW_MIN} minutes'
+     AND c.ts <= p.ts
+    """,
+    doc=f"Stream-stream LEFT OUTER interval join: every purchase, with its "
+    f"prior-{JOIN_WINDOW_MIN}-min clicks or NULL. Outer emission only "
+    "happens when the watermark proves no future match can arrive, so the "
+    "query closes the watermark with far-future sentinel batches — the "
+    "same idle-source watermark advance production pipelines configure — "
+    "making the result batch-equivalent and fully hash-checkable.",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER adds the watermark-emission subtlety the inner join
+    doesn't have: an unmatched purchase emits its NULL row only after the
+    click-side watermark passes its timestamp (no earlier click can still
+    arrive). In a finite file stream the watermark freezes at max(ts) −
+    delay and the tail of unmatched rows would sit in state forever, so
+    after draining the real data the query appends two sentinel micro-
+    batches 1 h and 2 h past the end (watermark computed in batch N
+    applies in batch N+1) and drains again — state flushes, sentinels are
+    filtered back out by their negative ids.
+
+    Scale: identical state-store behavior to the inner join (both sides
+    watermarked, range-bounded state eviction); the sentinel trick is
+    test-harness plumbing — a live pipeline gets the same advance from new
+    data or idle-source watermarking."""
+    from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
+
+    src = table_path(sf_dir, "events")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"events_lsj_{uuid.uuid4().hex[:8]}")
+    os.makedirs(stream_dir, exist_ok=True)
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+
+    raw_schema, nanos_cols = stream_source_schema(spark, src)
+    max_us = load_table(spark, sf_dir, "events").agg(
+        F.max(F.unix_micros("ts"))
+    ).first()[0]
+
+    def sentinel_batch(tag: int, offset_hours: int) -> None:
+        """One far-future purchase + click (disjoint fake users, negative
+        ids) written as a new source file: advances BOTH side watermarks
+        without ever joining real rows."""
+        rows = []
+        for event_id, user_id, etype in ((-1 - tag, -1, "purchase"), (-101 - tag, -2, "click")):
+            us = max_us + offset_hours * 3_600_000_000
+            ts_val = us * 1000 if "ts" in nanos_cols else __import__("datetime").datetime.utcfromtimestamp(us / 1e6)
+            rows.append((event_id, ts_val, user_id, etype, 0.0, None))
+        spark.createDataFrame(rows, schema=raw_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    def side(event_type: str, alias: str):
+        return (
+            _normalize_nanos(
+                spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
+            )
+            .filter(F.col("event_type") == event_type)
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "10 minutes")
+        )
+
+    joined = side("purchase", "p").join(
+        side("click", "c"),
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_MIN} MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    )
+    sink = f"lsj_out_{uuid.uuid4().hex[:8]}"
+    q = joined.writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try:
+        q.processAllAvailable()
+        for tag, hours in ((0, 1), (1, 2)):
+            sentinel_batch(tag, hours)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .filter(F.col("p_id") >= 0)
+        .select(
+            F.col("p_id").alias("purchase_id"),
+            F.col("c_id").alias("click_id"),
+            F.col("p_user").alias("user_id"),
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("lead_us"),
+        )
+    )
+
+
+@register(
     "stream_dedup_events",
     oracle="""
     WITH ranked AS (

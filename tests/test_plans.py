@@ -93,6 +93,7 @@ _EXECUTING = {
     "stream_windowed_agg",
     "stream_stateful_totals",
     "stream_stream_join",
+    "stream_stream_left_join",
     "stream_dedup_events",
     "monthly_load_e2e",
     "dedup_clusters",
