@@ -34,6 +34,13 @@ def publish_table(df: DataFrame, final_path: str) -> None:
     Readers of ``final_path`` never observe a half-written table; a crash
     before the swap leaves the previous version intact (the reference's
     rollback semantics, per-table).
+
+    The swap relies on ``os.rename`` being atomic — true on POSIX
+    filesystems (this harness), NOT on object stores (S3/GCS rename is
+    copy+delete). On a cluster over object storage, publish via a table
+    format's atomic commit (Delta/Iceberg snapshot swap — see
+    ``merge_upsert_delta``/``merge_upsert_iceberg``) or a metastore
+    location flip instead.
     """
     tmp = f"{final_path}.__tmp__{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)

@@ -19,5 +19,6 @@ from etl_loading_scripts_spark.queries import pipeline_e2e as _pipeline_e2e  # n
 from etl_loading_scripts_spark.streaming import stateful as _stateful  # noqa: F401
 from etl_loading_scripts_spark.llm import corpus as _corpus  # noqa: F401
 from etl_loading_scripts_spark.llm import decontam as _decontam  # noqa: F401
+from etl_loading_scripts_spark.llm import sampling as _sampling  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]
