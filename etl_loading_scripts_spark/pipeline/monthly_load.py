@@ -107,3 +107,36 @@ def write_run_metrics(
         rows, "run_id string, lo_datekey int, hi_datekey int, metric string, value long"
     )
     df.coalesce(1).write.mode("append").parquet(path)
+
+
+def rebucket_warehouse(
+    spark: SparkSession, dom: Domain, prefix: str = "wh", n_buckets: int = 32
+) -> Domain:
+    """Persist the join-hot warehouse tables bucketed on their update keys
+    and return a domain reading from the bucketed layout.
+
+    Every stage's fact mutation is an ``update_from_join`` keyed on
+    ``txn_id``, and the patron waves probe ``dim_patron`` on ``proxy_id``
+    — so the fact is bucketed on ``txn_id`` and the patron dim on
+    ``proxy_id``. A monthly load that STARTS from this layout does each
+    fact-side join without shuffling the fact: only the month-sized
+    mapping side exchanges (asserted in tests/test_pipeline.py). At 100 TB
+    that converts the dominant per-stage cost from a full-fact shuffle to
+    a map-side zip of pre-hashed buckets; re-bucketing after publish costs
+    one shuffle per table, amortized across every later run and query.
+    """
+    from etl_loading_scripts_spark.sources import write_bucketed
+
+    write_bucketed(
+        dom.fact_transaction, f"{prefix}_fact_transaction", ["txn_id"],
+        n_buckets=n_buckets, sort_cols=["txn_id"],
+    )
+    write_bucketed(
+        dom.dim_patron, f"{prefix}_dim_patron", ["proxy_id"],
+        n_buckets=n_buckets, sort_cols=["proxy_id"],
+    )
+    return replace(
+        dom,
+        fact_transaction=spark.table(f"{prefix}_fact_transaction"),
+        dim_patron=spark.table(f"{prefix}_dim_patron"),
+    )

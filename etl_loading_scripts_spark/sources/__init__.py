@@ -7,10 +7,17 @@ fact layout that makes the reference's incremental windows prune at 100 TB.
 """
 
 from etl_loading_scripts_spark.sources.io import (
+    ingest_jsonl_quarantined,
     read_table,
     write_bucketed,
     write_fact_partitioned,
     write_table,
 )
 
-__all__ = ["read_table", "write_bucketed", "write_fact_partitioned", "write_table"]
+__all__ = [
+    "ingest_jsonl_quarantined",
+    "read_table",
+    "write_bucketed",
+    "write_fact_partitioned",
+    "write_table",
+]

@@ -163,3 +163,26 @@ def read_jsonl_robust(
         F.col(corrupt_col).alias("raw_line")
     )
     return good, bad
+
+
+def ingest_jsonl_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    quarantine_path: str,
+    run_id: str,
+):
+    """JSONL ingest wired to a quarantine sink: good rows return, bad raw
+    lines are appended to ``quarantine_path`` stamped with ``run_id`` —
+    the auditable companion to :func:`read_jsonl_robust` that pipeline
+    runs call directly (quarantine row counts land in the run-metrics
+    table next to the stage validations).
+
+    Returns ``(good, metrics)`` where metrics counts quarantined lines.
+    The count comes from the cached parse (one scan serves the split, the
+    sink write, and the count); the quarantine write is append-mode so
+    successive runs accumulate an inspectable history keyed by run."""
+    good, bad = read_jsonl_robust(spark, path, schema)
+    stamped = bad.select(F.lit(run_id).alias("run_id"), "raw_line")
+    stamped.write.mode("append").parquet(quarantine_path)
+    return good, {"jsonl_quarantined": bad.count()}

@@ -225,3 +225,40 @@ def test_run_metrics_append(spark, tmp_path, loaded):
         for r in back.filter(F.col("run_id") == "run1").collect()
     }
     assert got == {k: int(v) for k, v in metrics.items()}
+
+
+def test_rebucketed_warehouse_joins_without_fact_shuffle(spark, sf_dir):
+    """After rebucket_warehouse, the stage-shaped fact⋈mapping join on
+    txn_id must exchange ONLY the mapping side — the bucketed fact scan
+    feeds the sort-merge join directly."""
+    import pyspark.sql.functions as F
+    from etl_loading_scripts_spark.pipeline.domain import build_domain
+    from etl_loading_scripts_spark.pipeline.monthly_load import rebucket_warehouse
+
+    dom = build_domain(spark, sf_dir)
+    try:
+        bucketed = rebucket_warehouse(spark, dom, prefix="t_wh", n_buckets=8)
+        mapping = dom.raw_transactions.select("txn_id", F.lit(7).alias("mapped"))
+        joined = bucketed.fact_transaction.hint("merge").join(mapping, "txn_id")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        # exactly one SHUFFLE exchange (the mapping side); broadcasts inside
+        # the mapping build are fine — the bucketed fact side must have none
+        import re
+
+        assert len(re.findall(r"\+- Exchange \(", plan)) == 1, plan
+        assert joined.count() == dom.raw_transactions.count()
+        # patron dim co-location: bucketed dim ⋈ bucketed dim on proxy_id
+        # (the insert-if-absent probe shape) is exchange-free entirely
+        d = bucketed.dim_patron
+        self_probe = d.hint("merge").join(
+            d.select("proxy_id", F.col("patron_id").alias("p2")), "proxy_id"
+        )
+        plan2 = self_probe._sc._jvm.PythonSQLUtils.explainString(
+            self_probe._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan2, plan2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_wh_fact_transaction")
+        spark.sql("DROP TABLE IF EXISTS t_wh_dim_patron")

@@ -216,3 +216,29 @@ def test_jsonl_robust_ingest_quarantines_bad_lines(spark, tmp_path):
     bad_lines = [r["raw_line"] for r in bad.collect()]
     assert len(bad_lines) == 2
     assert any("not json" in line for line in bad_lines)
+
+
+def test_jsonl_quarantine_sink_accumulates_by_run(spark, tmp_path):
+    """ingest_jsonl_quarantined: good rows parse, bad raw lines land in
+    the quarantine parquet stamped with the run id, appends across runs."""
+    from etl_loading_scripts_spark.sources import ingest_jsonl_quarantined
+
+    src = tmp_path / "in.jsonl"
+    src.write_text(
+        '{"id": 1, "v": "a"}\n'
+        "{broken json\n"
+        '{"id": 2, "v": "b"}\n'
+        '[“not an object”]\n'
+    )
+    qdir = str(tmp_path / "quarantine")
+    good, m = ingest_jsonl_quarantined(
+        spark, str(src), "id long, v string", qdir, run_id="r1"
+    )
+    assert sorted((r.id, r.v) for r in good.collect()) == [(1, "a"), (2, "b")]
+    assert m == {"jsonl_quarantined": 2}
+    good2, m2 = ingest_jsonl_quarantined(
+        spark, str(src), "id long, v string", qdir, run_id="r2"
+    )
+    q = spark.read.parquet(qdir)
+    assert q.count() == 4
+    assert sorted(r.run_id for r in q.select("run_id").distinct().collect()) == ["r1", "r2"]
