@@ -6,6 +6,7 @@ from etl_loading_scripts_spark.operators.mutations import (
     delete_where,
     insert_if_absent,
     merge_upsert,
+    scd2_apply,
     update_from_join,
 )
 from etl_loading_scripts_spark.operators.joins import (
@@ -27,6 +28,7 @@ __all__ = [
     "merge_upsert",
     "or_join",
     "publish_table",
+    "scd2_apply",
     "top1_per_group",
     "truncate_insert",
     "update_from_join",

@@ -356,3 +356,93 @@ def merge_upsert_iceberg(
         {delete_clause}
         """
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    changes: DataFrame,
+    on: Sequence[str],
+    tracked: Sequence[str],
+    effective_datekey: int,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+    open_datekey: int = 99991231,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension upsert with half-open validity.
+
+    An engine extension past the reference's type-1 overwrites (its dims
+    keep only latest values — e.g. P-PAT's patron upserts): version rows
+    carry ``[valid_from, valid_to)`` datekeys and ``is_current``. For each
+    change row whose TRACKED attributes differ (null-safely) from the
+    entity's current version: the current version closes at
+    ``effective_datekey`` and a new open version is inserted; unchanged
+    matches are no-ops (idempotent re-runs); unknown keys insert as brand
+    new. Half-open intervals avoid day-before datekey arithmetic and make
+    as-of lookups ``from <= d < to``.
+
+    Scale: ONE null-safe left join of current-versions ⋈ changes on the
+    business key + unions — no window, no global sort; history rows
+    (``is_current = false``) are never touched, so at 100 TB the join is
+    current-cardinality × change-batch, both dimension-sized.
+    """
+    on = list(on)
+    tracked = list(tracked)
+    cur = dim.filter(F.col(current_col))
+    hist = dim.filter(~F.col(current_col))
+
+    src = _prefix_columns(changes.select(on + tracked)).withColumn(
+        "__src_present__", F.lit(True)
+    )
+    cond = None
+    for k in on:
+        c = cur[k].eqNullSafe(src[_SRC_PREFIX + k])
+        cond = c if cond is None else (cond & c)
+    joined = cur.join(src, cond, "left")
+
+    differs = None
+    for t in tracked:
+        d = ~cur[t].eqNullSafe(src[_SRC_PREFIX + t])
+        differs = d if differs is None else (differs | d)
+    changed = F.col("__src_present__").isNotNull() & differs
+
+    closed = joined.filter(changed).select(
+        *[cur[c] for c in dim.columns if c not in (to_col, current_col)],
+        F.lit(effective_datekey).alias(to_col),
+        F.lit(False).alias(current_col),
+    ).select(dim.columns)
+    kept = joined.filter(~F.coalesce(changed, F.lit(False))).select(
+        *[cur[c] for c in dim.columns]
+    )
+    new_versions = joined.filter(changed).select(
+        *[
+            (src[_SRC_PREFIX + c].alias(c) if c in tracked else cur[c])
+            for c in dim.columns
+            if c not in (from_col, to_col, current_col)
+        ],
+        F.lit(effective_datekey).alias(from_col),
+        F.lit(open_datekey).alias(to_col),
+        F.lit(True).alias(current_col),
+    ).select(dim.columns)
+
+    cur_keys = cur.select(*on)
+    brand_new = changes.select(on + tracked).join(cur_keys, on, "left_anti")
+    dim_types = dict(dim.dtypes)
+    brand_new_rows = brand_new.select(
+        *[
+            (
+                F.col(c)
+                if c in on + tracked
+                else F.lit(None).cast(dim_types[c])
+            )
+            for c in dim.columns
+            if c not in (from_col, to_col, current_col)
+        ],
+        F.lit(effective_datekey).alias(from_col),
+        F.lit(open_datekey).alias(to_col),
+        F.lit(True).alias(current_col),
+    ).select(dim.columns)
+
+    return hist.unionByName(kept).unionByName(closed).unionByName(
+        new_versions
+    ).unionByName(brand_new_rows)

@@ -1113,3 +1113,137 @@ def correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
         """
     )
+
+
+SALT_N = 8
+
+
+@register(
+    "salted_join_skew_guard",
+    oracle="""
+    SELECT s.s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_txns,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_suppkey
+    """,
+    doc=f"Skew-guard join: the supplier side is replicated across {SALT_N} "
+    "salts and the fact picks a deterministic salt, so one hot supplier "
+    "key spreads over N tasks instead of stalling one straggler. The "
+    "salt is engine-internal (it cancels in the aggregate), so the "
+    "oracle is the plain join.",
+)
+def salted_join_skew_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit key salting — the manual fallback when AQE's skew-join
+    split can't help (e.g. the skew is in a single key of a shuffle
+    HASH join, or the join feeds a window that re-skews). The dim side
+    explodes ×N (bounded replication of the SMALL side only), the fact
+    side computes salt = hash(row) % N in the scan projection, and the
+    join key becomes (key, salt) — at 100 TB a 10⁹-row hot key becomes
+    N co-running partitions. The shuffle_hash hint keeps the
+    demonstration honest (broadcast would hide the salting)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    dim_salted = supplier.select(
+        "s_suppkey",
+        F.explode(F.sequence(F.lit(0), F.lit(SALT_N - 1))).alias("__salt__"),
+    )
+    fact_salted = lineitem.select(
+        "l_suppkey",
+        "l_extendedprice",
+        "l_discount",
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(SALT_N)).cast("int").alias("__salt__"),
+    )
+    return (
+        fact_salted.join(
+            dim_salted.hint("shuffle_hash"),
+            (fact_salted.l_suppkey == dim_salted.s_suppkey)
+            & (fact_salted.__salt__ == dim_salted.__salt__),
+        )
+        .groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_txns"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+GF_ANCHOR, GF_MONTHS = "1995-01-01", 80  # orders span 1995-01 .. 2001-08
+
+
+@register(
+    "gap_fill_monthly_revenue",
+    oracle=f"""
+    WITH spine AS (
+        SELECT n.n_nationkey, n.n_name,
+               CAST(strftime(DATE '{GF_ANCHOR}' + (m.n * INTERVAL '1 month'),
+                             '%Y%m') AS INT) AS ym
+        FROM nation n, LATERAL unnest(generate_series(0, {GF_MONTHS - 1})) AS m(n)
+    ),
+    monthly AS (
+        SELECT c_nationkey, CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ym,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT s.n_name, s.ym, m.revenue,
+           last_value(m.revenue IGNORE NULLS) OVER (
+               PARTITION BY s.n_nationkey ORDER BY s.ym
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS revenue_ff,
+           CAST(m.revenue IS NULL AS BIGINT) AS is_gap
+    FROM spine s LEFT JOIN monthly m
+      ON s.n_nationkey = m.c_nationkey AND s.ym = m.ym
+    """,
+    doc="Time-series gap fill: a generated (nation × month) spine left-"
+    "joined to monthly revenue, missing months forward-filled with "
+    "last-observation-carried-forward (IGNORE NULLS last_value) — the "
+    "densification step BI trend lines and feature pipelines both need.",
+)
+def gap_fill_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the spine is dims × months (generated, tiny) → broadcast to
+    the monthly aggregate; the forward fill partitions by nation so the
+    window never exceeds the month count per key. The fact side is one
+    groupBy; no shuffle grows with history length."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    spine = nation.select(
+        "n_nationkey",
+        "n_name",
+        F.explode(F.sequence(F.lit(0), F.lit(GF_MONTHS - 1))).alias("n"),
+    ).select(
+        "n_nationkey",
+        "n_name",
+        F.date_format(F.add_months(F.lit(GF_ANCHOR).cast("date"), F.col("n")), "yyyyMM")
+        .cast("int")
+        .alias("ym"),
+    )
+    monthly = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(
+            F.col("c_nationkey"),
+            F.date_format("o_orderdate", "yyyyMM").cast("int").alias("ym"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"))
+    )
+    joined = spine.join(
+        monthly,
+        (spine.n_nationkey == monthly.c_nationkey) & (spine.ym == monthly.ym),
+        "left",
+    ).select(spine.n_nationkey, "n_name", spine.ym, "revenue")
+    w = (
+        Window.partitionBy("n_nationkey")
+        .orderBy("ym")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "n_name",
+        "ym",
+        "revenue",
+        F.last("revenue", ignorenulls=True).over(w).alias("revenue_ff"),
+        F.col("revenue").isNull().cast("bigint").alias("is_gap"),
+    )

@@ -713,3 +713,99 @@ def in_list_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("spend"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine extension: type-2 slowly-changing dimension (the reference keeps
+# type-1 latest-value dims — P-PAT upserts overwrite; SCD2 adds history)
+# ---------------------------------------------------------------------------
+
+SCD2_INIT_FROM = 19950101
+SCD2_EFFECTIVE = 20240601
+SCD2_OPEN = 99991231
+
+
+@register(
+    "scd2_patron_segments",
+    oracle=f"""
+    WITH cur AS (
+        SELECT c_custkey, c_mktsegment,
+               {SCD2_INIT_FROM} AS valid_from, {SCD2_OPEN} AS valid_to
+        FROM customer
+    ),
+    changes AS (
+        SELECT c_custkey, 'MOVED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEWSEG' FROM customer WHERE c_custkey < 5
+    ),
+    closed AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.valid_from,
+               {SCD2_EFFECTIVE} AS valid_to, CAST(0 AS BIGINT) AS is_current
+        FROM cur c JOIN changes g USING (c_custkey)
+        WHERE c.c_mktsegment IS DISTINCT FROM g.c_mktsegment
+    ),
+    new_versions AS (
+        SELECT c.c_custkey, g.c_mktsegment, {SCD2_EFFECTIVE} AS valid_from,
+               {SCD2_OPEN} AS valid_to, CAST(1 AS BIGINT) AS is_current
+        FROM cur c JOIN changes g USING (c_custkey)
+        WHERE c.c_mktsegment IS DISTINCT FROM g.c_mktsegment
+    ),
+    kept AS (
+        SELECT c.c_custkey, c.c_mktsegment, c.valid_from, c.valid_to,
+               CAST(1 AS BIGINT) AS is_current
+        FROM cur c LEFT JOIN changes g USING (c_custkey)
+        WHERE g.c_custkey IS NULL
+           OR c.c_mktsegment IS NOT DISTINCT FROM g.c_mktsegment
+    ),
+    brand_new AS (
+        SELECT g.c_custkey, g.c_mktsegment, {SCD2_EFFECTIVE} AS valid_from,
+               {SCD2_OPEN} AS valid_to, CAST(1 AS BIGINT) AS is_current
+        FROM changes g LEFT JOIN cur c USING (c_custkey)
+        WHERE c.c_custkey IS NULL
+    )
+    SELECT * FROM closed UNION ALL SELECT * FROM new_versions
+    UNION ALL SELECT * FROM kept UNION ALL SELECT * FROM brand_new
+    """,
+    doc="Type-2 SCD upsert on the patron dimension: a change batch closes "
+    "differing current versions at the effective datekey and opens new "
+    "ones (half-open [from, to) validity), no-ops identical rows, and "
+    "inserts unknown keys — dimension history the reference's type-1 "
+    "overwrites discard.",
+)
+def scd2_patron_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One null-safe current⋈changes join + unions (operator
+    ``scd2_apply``); history rows are untouched, so cost is
+    current-cardinality × change-batch regardless of history depth."""
+    from etl_loading_scripts_spark.operators import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit(SCD2_INIT_FROM).alias("valid_from"),
+        F.lit(SCD2_OPEN).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = customer.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", F.lit("MOVED").alias("c_mktsegment")
+    ).unionByName(
+        customer.filter(F.col("c_custkey") < 5).select(
+            (F.col("c_custkey") + 1000000).alias("c_custkey"),
+            F.lit("NEWSEG").alias("c_mktsegment"),
+        )
+    )
+    out = scd2_apply(
+        dim,
+        changes,
+        on=["c_custkey"],
+        tracked=["c_mktsegment"],
+        effective_datekey=SCD2_EFFECTIVE,
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("bigint").alias("is_current"),
+    )

@@ -249,3 +249,31 @@ def test_merge_upsert_null_source_key_inserts_source_values(spark):
     source = spark.createDataFrame([(None, "n")], "k int, v string")
     out = merge_upsert(target, source, on=["k"])
     assert _rows(out, "k", "v") == [(None, "n"), (1, "a")]
+
+
+def test_scd2_apply_versions_and_is_idempotent(spark):
+    from etl_loading_scripts_spark.operators import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A", 20240101, 99991231, True),
+         (1, "OLD", 20230101, 20240101, False),
+         (2, None, 20240101, 99991231, True)],
+        "k int, attr string, valid_from int, valid_to int, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "B"), (2, None), (3, "C")], "k int, attr string"
+    )
+    out = scd2_apply(dim, changes, on=["k"], tracked=["attr"], effective_datekey=20240601)
+    rows = sorted((r.k, r.attr, r.valid_from, r.valid_to, r.is_current) for r in out.collect())
+    assert rows == [
+        (1, "A", 20240101, 20240601, False),   # closed
+        (1, "B", 20240601, 99991231, True),    # new version
+        (1, "OLD", 20230101, 20240101, False), # history untouched
+        (2, None, 20240101, 99991231, True),   # NULL == NULL → no-op
+        (3, "C", 20240601, 99991231, True),    # brand new
+    ]
+    # re-applying the same change batch is a no-op
+    again = scd2_apply(out, changes, on=["k"], tracked=["attr"], effective_datekey=20240701)
+    assert sorted(
+        (r.k, r.attr, r.valid_from, r.valid_to, r.is_current) for r in again.collect()
+    ) == rows
