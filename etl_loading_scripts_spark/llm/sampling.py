@@ -111,3 +111,80 @@ def sample_mixture_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hash_rank") <= MIX_K)
     )
+
+
+#: Train/val/test thresholds over the md5-prefix space (80/10/10).
+SPLIT_TRAIN_HEX = _rate_hex(0.80)
+SPLIT_VAL_HEX = _rate_hex(0.90)
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{SPLIT_TRAIN_HEX}'
+                THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{SPLIT_VAL_HEX}'
+                THEN 'val' ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="Deterministic 80/10/10 train/val/test assignment by hash "
+    "threshold: a document's split is a pure function of its id, so it "
+    "never migrates between splits across re-runs, shards, or engines — "
+    "the leakage-safe alternative to randomSplit().",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a scan-side CASE projection, no shuffle, no state, no seed
+    file to version. randomSplit() resamples per run (and per partition
+    layout) — hash assignment is the only split that survives a 100 TB
+    corpus being re-partitioned, appended to, or audited later."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8)
+    return docs.select(
+        "doc_id",
+        F.when(prefix < SPLIT_TRAIN_HEX, "train")
+        .when(prefix < SPLIT_VAL_HEX, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+VOCAB_K = 100
+
+
+@register(
+    "vocab_top_terms",
+    oracle=rf"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  w -> w <> '')) AS word
+        FROM documents
+    ),
+    counts AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY 1
+    )
+    SELECT word, freq FROM counts
+    ORDER BY freq DESC, word
+    LIMIT {VOCAB_K}
+    """,
+    doc=f"Corpus vocabulary: explode → count → global top-{VOCAB_K} terms "
+    "by frequency — the tokenizer-training / stopword-discovery scan.",
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: explode happens in the scan stage (generator, no shuffle);
+    the count is a partial/final hash aggregate on the word key; the
+    global top-K is TakeOrderedAndProject — every partition ships only
+    its local top K to the driver-side heap, never the full vocabulary.
+    Ties broken by word for cross-engine determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\W+'), w -> w <> '')")
+        ).alias("word")
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(VOCAB_K)
+    )
