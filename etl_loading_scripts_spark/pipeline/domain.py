@@ -44,11 +44,51 @@ class Domain:
     dim_billing_group: DataFrame  # half the billing groups known
 
 
-#: merchant-identity columns fingerprinted by stage 1 (≙ the 8-field
-#: normalized identity of S1:7-14)
-MERCHANT_FP_COLS = ("merchant_name", "merchant_nation")
+#: merchant-identity columns fingerprinted by stage 1 — the full 8-field
+#: normalized identity of S1:7-14 (number, legal name, REPLACE-cleaned
+#: display name, address, city, state/nation, zero-padded postal, country),
+#: derived from the supplier stand-in by :func:`merchant_identity`.
+MERCHANT_FP_COLS = (
+    "merchant_number",
+    "merchant_name",
+    "merchant_display",
+    "merchant_addr",
+    "merchant_city",
+    "merchant_nation",
+    "merchant_postal",
+    "merchant_country",
+)
 
 REPLACEMENT_CHAR = "�"
+
+
+def merchant_identity(supplier: DataFrame) -> DataFrame:
+    """``site_id`` + the 8 identity fields every fingerprint hashes.
+
+    One definition shared by the raw-transaction feed and the registry so
+    both sides of the stage-1 probe hash identical inputs (S1:7-14's
+    repeated CONCAT block, defined once instead of pasted twice). The
+    display name exercises the REPLACE-clean (the reference strips a
+    'REV:' prefix), the postal the RIGHT(CONCAT('0000',…)) zero-pad."""
+    return supplier.select(
+        F.col("s_suppkey").alias("site_id"),
+        F.col("s_suppkey").cast("string").alias("merchant_number"),
+        F.trim(F.col("s_name")).alias("merchant_name"),
+        F.replace(F.trim(F.col("s_name")), F.lit("Supplier#"), F.lit("")).alias(
+            "merchant_display"
+        ),
+        F.concat_ws(
+            " ", (F.col("s_suppkey") % 999).cast("string"), F.lit("DEPOT RD")
+        ).alias("merchant_addr"),
+        F.concat(F.lit("CITY_"), F.col("s_nationkey").cast("string")).alias(
+            "merchant_city"
+        ),
+        F.col("s_nationkey").cast("string").alias("merchant_nation"),
+        tsql.zero_pad_last(F.col("s_suppkey") % 100, n=5).alias("merchant_postal"),
+        F.concat(F.lit("C_"), (F.col("s_nationkey") % 5).cast("string")).alias(
+            "merchant_country"
+        ),
+    )
 
 
 def merchant_simhash():
@@ -63,11 +103,7 @@ def build_domain(spark: SparkSession, sf_dir: str) -> Domain:
     n_suppliers = supplier.count()
 
     # --- raw transactions: one per order, with patron + merchant identity
-    merchant = supplier.select(
-        F.col("s_suppkey").alias("site_id"),
-        F.trim(F.col("s_name")).alias("merchant_name"),
-        F.col("s_nationkey").cast("string").alias("merchant_nation"),
-    )
+    merchant = merchant_identity(supplier)
     raw = (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .select(
@@ -145,15 +181,11 @@ def build_domain(spark: SparkSession, sf_dir: str) -> Domain:
     )
 
     # --- fingerprint registry: same missing 25%, simhash precomputed with
-    # the engine's own fingerprint function (so probe joins hit, FIXTURES A4)
+    # the engine's own fingerprint function over the SAME 8 identity
+    # fields (so probe joins hit, FIXTURES A4)
     pos_fingerprints = (
-        supplier.filter(F.col("s_suppkey") % 4 != 0)
-        .select(
-            (F.col("s_suppkey") + 1).alias("fingerprint_id"),
-            F.col("s_suppkey").alias("site_id"),
-            F.trim(F.col("s_name")).alias("merchant_name"),
-            F.col("s_nationkey").cast("string").alias("merchant_nation"),
-        )
+        merchant_identity(supplier.filter(F.col("s_suppkey") % 4 != 0))
+        .withColumn("fingerprint_id", F.col("site_id") + 1)
         .withColumn("sim_hash", merchant_simhash())
     )
 
