@@ -1247,3 +1247,52 @@ def gap_fill_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("revenue", ignorenulls=True).over(w).alias("revenue_ff"),
         F.col("revenue").isNull().cast("bigint").alias("is_gap"),
     )
+
+
+@register(
+    "grouping_sets_spend",
+    oracle="""
+    SELECT n.n_name,
+           CAST(strftime(o.o_orderdate, '%Y%m') AS INT) AS ym,
+           CAST(GROUPING(n.n_name,
+                         CAST(strftime(o.o_orderdate, '%Y%m') AS INT)) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n.n_name, CAST(strftime(o.o_orderdate, '%Y%m') AS INT)),
+                            (n.n_name),
+                            (CAST(strftime(o.o_orderdate, '%Y%m') AS INT)))
+    """,
+    doc="Explicit GROUPING SETS — the nation x month detail plus BOTH "
+    "one-dimension margins in a single pass, with grouping_id "
+    "disambiguating real NULLs from grouped-out keys (the general form "
+    "behind ROLLUP/CUBE; Spark computes all sets in one Expand + one "
+    "aggregate, not three scans).",
+)
+def grouping_sets_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS is SQL-only in Spark (the DataFrame API stops at
+    cube/rollup), so the query goes through spark.sql over temp views —
+    also exercising the O8 view-definition path. Scale: one Expand node
+    replicates each row once per set (3x here) before a single partial/
+    final aggregate — cheaper than N scans whenever the scan dominates,
+    which at 100 TB it always does."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("gs_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("gs_nation")
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(date_format(o_orderdate, 'yyyyMM') AS INT) AS ym,
+               CAST(grouping_id() AS BIGINT) AS gid,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        FROM gs_orders
+        JOIN gs_customer ON o_custkey = c_custkey
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, CAST(date_format(o_orderdate, 'yyyyMM') AS INT)),
+                                (n_name),
+                                (CAST(date_format(o_orderdate, 'yyyyMM') AS INT)))
+        """
+    )

@@ -411,6 +411,70 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_next_click",
+    oracle="""
+    WITH clicks AS (
+        SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT e.event_id, e.user_id,
+           epoch_us(e.ts) AS ts_us,
+           epoch_us(c.ts) AS next_click_us,
+           epoch_us(c.ts) - epoch_us(e.ts) AS gap_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+    ASOF LEFT JOIN clicks c
+      ON e.user_id = c.user_id AND c.ts >= e.ts
+    """,
+    doc="FORWARD as-of join: every purchase attributed to the user's next "
+    "click at-or-after it — the post-conversion-behavior mirror of the "
+    "backward as-of; same union + single-sort plan, carrying the "
+    "reference backward from the future with first_value(ignorenulls).",
+)
+def asof_join_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward variant of :func:`asof_join_last_purchase`: the carried
+    window flips to ``[current row, unbounded following)`` with
+    ``first(ignorenulls)``, and at equal timestamps the reference sorts
+    AFTER the probe (is_ref ASC) so a same-instant click is still in the
+    probe's following frame — matching ASOF's >= bound. Cost is identical
+    to the backward plan: one user_id shuffle, one sort, no range
+    explosion."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", "ts")
+        .distinct()
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.col("ts").alias("ref_ts"),
+            F.lit(1).alias("is_ref"),
+        )
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("ref_ts"),
+        F.lit(0).alias("is_ref"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_ref").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = probes.unionByName(clicks).withColumn(
+        "next_click", F.first("ref_ts", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_ref") == 0).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.unix_micros("next_click").alias("next_click_us"),
+        (F.unix_micros("next_click") - F.unix_micros("ts")).alias("gap_us"),
+    )
+
+
+@register(
     "stream_stream_left_join",
     oracle=f"""
     SELECT p.event_id AS purchase_id,
