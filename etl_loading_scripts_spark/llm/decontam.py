@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
 from etl_loading_scripts_spark.llm.dedup import _SHINGLES_SQL_DUCK, _shingles_spark
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 #: Every 20th doc_id plays the held-out benchmark set (deterministic split).
 BENCH_MOD = 20
@@ -78,9 +78,14 @@ def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     semi-probe; the only shuffle is the per-doc groupBy on doc_id. Never
     joins corpus-to-corpus; cost is linear in corpus shingles."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = _shingles_spark(docs).select(
-        "doc_id", F.explode("shingles").alias("s")
-    ).select("doc_id", F.md5("s").alias("sh"))
+    # _shingles_spark materializes the arrays behind an aggregate barrier,
+    # so this explode reads a stored column instead of re-evaluating the
+    # shingle chain per row (see the barrier note there).
+    shingled = (
+        _shingles_spark(docs)
+        .select("doc_id", F.explode("shingles").alias("s"))
+        .select("doc_id", F.md5("s").alias("sh"))
+    )
     bench = (
         shingled.filter(F.col("doc_id") % BENCH_MOD == 0).select("sh").distinct()
     )

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_loading_scripts_spark.catalog import load_table
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 _LOG = logging.getLogger(__name__)
 
@@ -54,7 +54,7 @@ _SHINGLES_SQL_DUCK = r"""
 """
 
 
-def _shingles_spark(docs: DataFrame) -> DataFrame:
+def _shingles_spark(docs: DataFrame, materialize: bool = True) -> DataFrame:
     """doc_id → distinct word-3-gram shingles (array<string>).
 
     Repartitions on doc_id first: the downstream shingle→md5 pipeline is
@@ -67,7 +67,7 @@ def _shingles_spark(docs: DataFrame) -> DataFrame:
     """
     par = docs.sparkSession.sparkContext.defaultParallelism
     words = F.expr(r"filter(split(lower(text), '\\W+'), w -> w <> '')")
-    return (
+    out = (
         docs.repartition(par, "doc_id")
         .select("doc_id", words.alias("words"))
         .filter(F.size("words") >= 3)
@@ -81,6 +81,18 @@ def _shingles_spark(docs: DataFrame) -> DataFrame:
             ).alias("shingles"),
         )
     )
+    if materialize:
+        # MATERIALIZATION BARRIER, not a semantic step (doc_id is unique):
+        # consumers that explode(shingles) otherwise get the whole
+        # split→transform→distinct chain collapsed into the Generate and
+        # re-evaluated per exploded row — measured 10-30× on the explode-
+        # based dedup family at sf0.1. The aggregate forces the arrays to
+        # materialize once per doc; its exchange reuses the doc_id hash
+        # partitioning established above. Array-expression consumers
+        # (minhash's aggregate lambdas) don't hit the Generate collapse —
+        # they pass materialize=False and skip the extra aggregate.
+        out = out.groupBy("doc_id").agg(F.first("shingles").alias("shingles"))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +267,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Min-of-md5-hex is a valid minhash family: lexicographic order on hex =
     numeric order on the underlying 128-bit value, identical in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = _shingles_spark(docs)
+    shingled = _shingles_spark(docs, materialize=False)
     hashed = shingled.select("doc_id", "shingles", *_hash_array_exprs_spark())
     sigs = hashed.select("doc_id", *_minhash_exprs_spark())
     banded = sigs.select("doc_id", *_band_keys_spark())
