@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from etl_loading_scripts_spark.catalog import load_table
 from etl_loading_scripts_spark.llm.dedup import _MINHASH_ORACLE, dedup_minhash_lsh
 from etl_loading_scripts_spark.llm.text import _words_col
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 MIN_WORDS = 20
 STOP_LO, STOP_HI = 0.01, 0.5

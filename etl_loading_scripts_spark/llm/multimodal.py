@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_loading_scripts_spark.catalog import load_table
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 FRAME_BYTES = 64  # "frame" size for the chunk-sampling operator
 FRAME_STRIDE = 2  # keep every 2nd frame

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 #: Per-mixture-bucket sampling rates (bucket = source number mod 3).
 MIX_RATES = {0: 0.8, 1: 0.4, 2: 0.1}

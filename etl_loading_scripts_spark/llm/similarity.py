@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 TOP_K = 10
 N_QUERIES = 10  # vec_id < 10 are the query vectors

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_loading_scripts_spark.catalog import load_table
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 #: Function-word lists per language for the n-gram language heuristic.
 #: (Real pipelines use fastText/CLD3; the heuristic keeps the operator

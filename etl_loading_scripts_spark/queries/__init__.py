@@ -4,7 +4,7 @@ Importing this package registers every query module. ``REGISTRY`` maps
 query name → :class:`Query` (Spark callable + DuckDB oracle SQL).
 """
 
-from etl_loading_scripts_spark.queries.base import REGISTRY, Query, register
+from etl_loading_scripts_spark.registry import REGISTRY, Query, register
 
 # import for side effect: each module registers its queries
 from etl_loading_scripts_spark.queries import reference as _reference  # noqa: F401

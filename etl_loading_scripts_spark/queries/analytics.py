@@ -1,6 +1,6 @@
 """SURVEY §2.4-2.7 — aggregations, window functions, sorts, set operations.
 
-Money aggregates follow the exact-decimal discipline of ``queries.base``:
+Money aggregates follow the exact-decimal discipline of ``registry``:
 DECIMAL(18,4) inside the aggregate, DOUBLE at the boundary, so the value
 hash is bit-identical to the DuckDB oracle regardless of partition order.
 """
@@ -19,7 +19,7 @@ from etl_loading_scripts_spark.operators import (
     global_ntile,
     top1_per_group,
 )
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 DEC = "decimal(18,4)"
 

@@ -22,7 +22,7 @@ from etl_loading_scripts_spark.constants import (
 )
 from etl_loading_scripts_spark.pipeline.domain import build_domain
 from etl_loading_scripts_spark.pipeline.monthly_load import full_window, run_monthly_load
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 
 @register(

@@ -23,7 +23,7 @@ from etl_loading_scripts_spark.operators import (
     anti_not_in,
     update_from_join,
 )
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 DEC = "decimal(18,4)"
 

@@ -18,7 +18,7 @@ from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
 from etl_loading_scripts_spark.operators import top1_per_group
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 DEC = "decimal(18,4)"
 

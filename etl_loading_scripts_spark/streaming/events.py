@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table, table_path
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 SESSION_GAP_MIN = 30
 DEC6 = "decimal(18,6)"

@@ -25,7 +25,7 @@ from etl_loading_scripts_spark.catalog import (
     stream_source_schema,
     table_path,
 )
-from etl_loading_scripts_spark.queries.base import register
+from etl_loading_scripts_spark.registry import register
 
 _OUT_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total_micros long"
