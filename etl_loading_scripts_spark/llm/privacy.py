@@ -1,0 +1,95 @@
+"""Privacy / anonymization operators for training-data release.
+
+The standard pre-release transform chain: deterministic pseudonymization
+(salted-hash key replacement), direct-identifier masking, quasi-identifier
+generalization, and k-anonymity small-group suppression. All pure built-in
+expressions — codegen'd, shuffle-free except the one window count.
+
+Demonstrated on ``customer`` (the synthetic schema's only person-shaped
+table). Reference has no privacy stage; this is part of the LLM-pipeline
+extension surface (BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.registry import register
+
+#: Salt for deterministic pseudonymization. In production this is a managed
+#: secret rotated per release; a literal keeps the operator oracle-checkable.
+PSEUDO_SALT = "release-2026-08"
+
+#: k-anonymity threshold: quasi-identifier groups smaller than K get their
+#: most specific attribute suppressed.
+K_ANON = 3
+
+#: Account-balance generalization width (quasi-identifier coarsening).
+BAL_BUCKET = 1000
+
+
+@register(
+    "pii_anonymize_customers",
+    oracle=f"""
+    WITH g AS (
+        SELECT md5('{PSEUDO_SALT}|' || CAST(c_custkey AS VARCHAR)) AS pseudo_id,
+               'Customer#*******' || right(c_name, 2) AS masked_name,
+               CAST(c_nationkey AS BIGINT) AS nationkey,
+               CAST(floor(c_acctbal / {BAL_BUCKET}) AS BIGINT) * {BAL_BUCKET}
+                   AS bal_bucket,
+               c_mktsegment
+        FROM customer
+    ),
+    sized AS (
+        SELECT *, COUNT(*) OVER (
+                   PARTITION BY nationkey, bal_bucket, c_mktsegment
+               ) AS group_n
+        FROM g
+    )
+    SELECT pseudo_id, masked_name, nationkey, bal_bucket,
+           CASE WHEN group_n >= {K_ANON} THEN c_mktsegment
+                ELSE '*' END AS mktsegment,
+           CAST(group_n AS BIGINT) AS group_n
+    FROM sized
+    """,
+    doc="PII anonymization: salted-md5 pseudonym keys, masked names (last-2 "
+    "visible), balance generalized to 1000-buckets, and k-anonymity "
+    f"suppression (k={K_ANON}) of the market segment in small "
+    "(nation, bucket, segment) groups.",
+)
+def pii_anonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the transform itself is a map-only projection; the k-anonymity
+    count is ONE window partitioned by the quasi-identifier tuple — a
+    single hash shuffle, no global sort (count needs no ORDER BY, so Spark
+    plans an unordered window — whole partition = frame). Equivalent
+    groupBy+broadcast-join works when group cardinality is tiny; the window
+    form avoids a second scan."""
+    cust = load_table(spark, sf_dir, "customer")
+    g = cust.select(
+        F.md5(
+            F.concat(F.lit(f"{PSEUDO_SALT}|"), F.col("c_custkey").cast("string"))
+        ).alias("pseudo_id"),
+        F.concat(F.lit("Customer#*******"), F.expr("right(c_name, 2)")).alias(
+            "masked_name"
+        ),
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        (F.floor(F.col("c_acctbal") / BAL_BUCKET).cast("long") * BAL_BUCKET).alias(
+            "bal_bucket"
+        ),
+        "c_mktsegment",
+    )
+    w = Window.partitionBy("nationkey", "bal_bucket", "c_mktsegment")
+    sized = g.withColumn("group_n", F.count(F.lit(1)).over(w))
+    return sized.select(
+        "pseudo_id",
+        "masked_name",
+        "nationkey",
+        "bal_bucket",
+        F.when(F.col("group_n") >= K_ANON, F.col("c_mktsegment"))
+        .otherwise(F.lit("*"))
+        .alias("mktsegment"),
+        F.col("group_n").cast("long").alias("group_n"),
+    )

@@ -219,3 +219,104 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(",", F.slice("hashes", 1, 8))).alias("fingerprint"),
         F.size("hashes").cast("long").alias("n_grams"),
     )
+
+
+#: Gopher-style repetition thresholds (Rae et al. 2021 table A1 shape):
+#: docs whose most-frequent word exceeds TOP_WORD_FRAC of all words, or
+#: whose duplicate-bigram fraction exceeds DUP_BIGRAM_FRAC, are filtered.
+#: Values tuned to split the synthetic corpus non-trivially.
+TOP_WORD_FRAC = 0.12
+DUP_BIGRAM_FRAC = 0.04
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=rf"""
+    WITH base AS (
+        SELECT doc_id, words FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'),
+                               w -> w <> '') AS words
+            FROM documents)
+        WHERE len(words) >= 2
+    ),
+    perrow AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(words) - 1 AS BIGINT) AS n_bigrams,
+               CAST(len(list_distinct(list_transform(range(1, len(words)),
+                        i -> array_to_string(words[i:i+1], ' ')))) AS BIGINT)
+                   AS n_distinct_bigrams
+        FROM base
+    ),
+    top AS (
+        SELECT doc_id, MAX(c) AS top_c FROM (
+            SELECT doc_id, w, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(words) AS w FROM base)
+            GROUP BY doc_id, w)
+        GROUP BY doc_id
+    )
+    SELECT p.doc_id, p.n_words,
+           t.top_c / p.n_words AS top_word_frac,
+           (p.n_bigrams - p.n_distinct_bigrams) / p.n_bigrams AS dup_bigram_frac,
+           (t.top_c / p.n_words <= {TOP_WORD_FRAC}
+            AND (p.n_bigrams - p.n_distinct_bigrams) / p.n_bigrams
+                <= {DUP_BIGRAM_FRAC}) AS keep
+    FROM perrow p JOIN top t USING (doc_id)
+    """,
+    doc="Intra-document repetition signals (Gopher rule family): "
+    "most-frequent-word fraction + duplicate-bigram fraction, with a "
+    "keep flag at the configured thresholds.",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row signals (bigram distinct count) stay in codegen'd array
+    expressions; the mode count is the one signal that genuinely needs an
+    explode → two co-partitioned groupBys on doc_id. Both branches read the
+    same doc_id-partitioned materialization, and the final join is
+    doc_id-to-doc_id — at 100 TB everything after the first repartition is
+    shuffle-free except the (doc_id, word) combine, whose map-side partial
+    aggregation bounds it by per-doc vocabulary, not corpus size.
+
+    Fractions divide exact BIGINTs as doubles — identical IEEE results in
+    both engines (cross-engine rule R2)."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", _words_col().alias("words"))
+        .filter(F.size("words") >= 2)
+        # materialization barrier before explode (see dedup._shingles_spark)
+        .groupBy("doc_id")
+        .agg(F.first("words").alias("words"))
+    )
+    perrow = base.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        (F.size("words") - 1).cast("long").alias("n_bigrams"),
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1), "
+                    "i -> concat_ws(' ', words[i-1], words[i]))"
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_distinct_bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("words").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    top_frac = F.col("top_c") / F.col("n_words")
+    dup_frac = (F.col("n_bigrams") - F.col("n_distinct_bigrams")) / F.col("n_bigrams")
+    return perrow.join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        top_frac.alias("top_word_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        ((top_frac <= TOP_WORD_FRAC) & (dup_frac <= DUP_BIGRAM_FRAC)).alias("keep"),
+    )

@@ -20,5 +20,6 @@ from etl_loading_scripts_spark.streaming import stateful as _stateful  # noqa: F
 from etl_loading_scripts_spark.llm import corpus as _corpus  # noqa: F401
 from etl_loading_scripts_spark.llm import decontam as _decontam  # noqa: F401
 from etl_loading_scripts_spark.llm import sampling as _sampling  # noqa: F401
+from etl_loading_scripts_spark.llm import privacy as _privacy  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -108,3 +108,165 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Sessionization with event-time timeout (the TTL pattern)
+# ---------------------------------------------------------------------------
+
+from etl_loading_scripts_spark.streaming.events import SESSION_GAP_MIN
+
+_GAP_US = SESSION_GAP_MIN * 60 * 1_000_000
+_SESS_OUT = "user_id long, session_seq long, start_us long, n_events long, value_micros long"
+_SESS_STATE = "seq long, start_us long, last_us long, n long, value_micros long"
+
+
+def _sessionize_with_timeout(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Gap-sessionize one user's events; the open session lives in
+    GroupState and is flushed by EventTimeTimeout when the watermark passes
+    last_event + gap — the streaming-native way to emit a session exactly
+    once, as soon as it provably cannot be extended.
+
+    All state is integer microseconds (timestamps and quantized values):
+    float accumulation order across micro-batches is not reproducible,
+    integer addition is."""
+    cols = ["user_id", "session_seq", "start_us", "n_events", "value_micros"]
+    if state.hasTimedOut:
+        seq, start, last, n, vm = state.get
+        state.remove()
+        yield pd.DataFrame([(key[0], seq, start, n, vm)], columns=cols)
+        return
+    seq, start, last, n, vm = state.get if state.exists else (0, None, None, 0, 0)
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for ts, v in zip(pdf["ts_us"], pdf["value_micros"]):
+            ts, v = int(ts), int(v)
+            if start is None:
+                seq, start, last, n, vm = seq + 1, ts, ts, 1, v
+            elif ts - last > _GAP_US:
+                closed.append((key[0], seq, start, n, vm))
+                seq, start, last, n, vm = seq + 1, ts, ts, 1, v
+            else:
+                last, n, vm = ts, n + 1, vm + v
+    state.update((seq, start, last, n, vm))
+    # Timeout fires when watermark > this (epoch ms): exactly the first
+    # instant the gap rule proves the session closed. Always > current
+    # watermark because last >= wm_batch (wm lags max event time by the
+    # watermark delay) and gap > delay.
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_MIN * 60 * 1000 + 1)
+    if closed:
+        yield pd.DataFrame(closed, columns=cols)
+
+
+@register(
+    "stream_sessionize_timeout",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL '{SESSION_GAP_MIN} minutes'
+                        THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_seq
+        FROM ordered
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0 AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc=f"applyInPandasWithState sessionization with EventTimeTimeout: open "
+    f"sessions live in GroupState, closed by data (gap > {SESSION_GAP_MIN} "
+    "min) or by the watermark passing last_event + gap. Batch-gap oracle; "
+    "far-future sentinels close the final watermark.",
+)
+def stream_sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TTL/timeout pattern sessionize_events (batch) and
+    session_window_native can't show: per-key expiring state. Scale: state
+    = one open session per active user, partitioned by user_id in the state
+    store, evicted by timeout — memory bounds follow active users, not
+    history. Events are quantized to integer micros Spark-side so the
+    kernel never touches floats.
+
+    Sentinel mechanics (same as stream_stream_left_join): the watermark
+    computed in batch N gates timeouts in batch N+1, so after draining the
+    real file the query appends two far-future sentinel batches (negative
+    user_id, filtered from output) and drains after each — every real open
+    session times out deterministically."""
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.catalog import load_table
+
+    src = table_path(sf_dir, "events")
+    stream_dir = os.path.join(tempfile.gettempdir(), f"events_sst_{uuid.uuid4().hex[:8]}")
+    os.makedirs(stream_dir, exist_ok=True)
+    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+
+    raw_schema, nanos_cols = stream_source_schema(spark, src)
+    max_us = load_table(spark, sf_dir, "events").agg(F.max(F.unix_micros("ts"))).first()[0]
+
+    def sentinel_batch(tag: int, offset_hours: int) -> None:
+        us = max_us + offset_hours * 3_600_000_000
+        ts_val = (
+            us * 1000
+            if "ts" in nanos_cols
+            else __import__("datetime").datetime.utcfromtimestamp(us / 1e6)
+        )
+        rows = [(-1 - tag, ts_val, -1, "sentinel", 0.0, None)]
+        spark.createDataFrame(rows, schema=raw_schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    stream = (
+        _normalize_nanos(
+            spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
+        )
+        .withWatermark("ts", "10 minutes")
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.unix_micros("ts").alias("ts_us"),
+            F.round(F.col("value") * 1_000_000).cast("long").alias("value_micros"),
+        )
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionize_with_timeout,
+        outputStructType=_SESS_OUT,
+        stateStructType=_SESS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    sink = f"sst_out_{uuid.uuid4().hex[:8]}"
+    q = sessions.writeStream.outputMode("append").format("memory").queryName(sink).start()
+    try:
+        q.processAllAvailable()
+        for tag, hours in ((0, 1), (1, 2)):
+            sentinel_batch(tag, hours)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(sink)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "session_seq",
+            F.date_format(F.timestamp_micros(F.col("start_us")), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+            (F.col("value_micros") / 1_000_000.0).alias("session_value"),
+        )
+    )

@@ -135,3 +135,37 @@ def test_bigstar_clusters_agree_with_label_propagation(spark, sf_dir):
         map(tuple, REGISTRY["dedup_clusters_bigstar"].spark(spark, sf_dir).collect())
     )
     assert a == b
+
+
+def test_repetition_keep_thresholds_split_corpus(spark, sf_dir):
+    """The keep flag must be consistent with its published fractions, and
+    the thresholds must actually split the corpus (a degenerate all-keep /
+    all-drop filter would hide a broken signal)."""
+    from etl_loading_scripts_spark.llm.text import DUP_BIGRAM_FRAC, TOP_WORD_FRAC
+
+    rows = REGISTRY["doc_repetition_stats"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (
+            r["top_word_frac"] <= TOP_WORD_FRAC
+            and r["dup_bigram_frac"] <= DUP_BIGRAM_FRAC
+        )
+        assert 0.0 < r["top_word_frac"] <= 1.0
+        assert 0.0 <= r["dup_bigram_frac"] < 1.0
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+
+
+def test_anonymize_suppresses_small_groups_only(spark, sf_dir):
+    """k-anonymity invariant: every surviving segment value belongs to a
+    quasi-identifier group of >= K rows; every smaller group is starred.
+    Pseudonym ids must stay unique (pseudonymization, not aggregation)."""
+    from etl_loading_scripts_spark.llm.privacy import K_ANON
+
+    rows = REGISTRY["pii_anonymize_customers"].spark(spark, sf_dir).collect()
+    assert len({r["pseudo_id"] for r in rows}) == len(rows)
+    for r in rows:
+        assert (r["mktsegment"] == "*") == (r["group_n"] < K_ANON)
+        assert "Customer#" not in r["pseudo_id"]
+        assert r["masked_name"].startswith("Customer#*******")
+        assert r["bal_bucket"] % 1000 == 0

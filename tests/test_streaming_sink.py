@@ -102,3 +102,22 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
     after2 = {r["user_id"]: r["n_events"] for r in final.collect()}
     for uid, n in after1.items():
         assert after2[uid] == n
+
+
+def test_stateful_timeout_sessions_match_batch_sessionization(spark, sf_dir):
+    """The EventTimeTimeout sessionizer must emit exactly the sessions the
+    batch gap-sessionizer computes — same keys, counts, and integer-micro
+    values — proving timeout-driven flushing loses/duplicates nothing."""
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.queries import REGISTRY
+
+    stream = {
+        (r["user_id"], r["session_seq"]): (r["session_start"], r["n_events"])
+        for r in REGISTRY["stream_sessionize_timeout"].spark(spark, sf_dir).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_seq"]): (r["session_start"], r["n_events"])
+        for r in REGISTRY["sessionize_events"].spark(spark, sf_dir).collect()
+    }
+    assert stream == batch
