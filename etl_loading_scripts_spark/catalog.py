@@ -14,6 +14,7 @@ pushdown + column pruning into the parquet scan.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -45,7 +46,21 @@ def table_path(sf_dir: str, name: str) -> str:
 def _nanos_timestamp_columns(path: str) -> list[str]:
     """Column names stored as parquet TIMESTAMP(NANOS) — detected from the
     file footer (pyarrow, metadata-only read), so the decision does not
-    depend on how the current SparkSession was configured."""
+    depend on how the current SparkSession was configured.
+
+    Cached per (path, mtime): the probe is a pure function of the file, and
+    uncached it bills every load_table call a footer round-trip (~0.1 s of
+    fixed overhead per query on the events family; on object stores it
+    would be a remote HEAD+range read)."""
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = -1
+    return _nanos_probe_cached(path, mtime)
+
+
+@lru_cache(maxsize=256)
+def _nanos_probe_cached(path: str, _mtime_ns: int) -> list[str]:
     try:
         import pyarrow as pa
         import pyarrow.dataset as ds
