@@ -121,3 +121,44 @@ def test_stateful_timeout_sessions_match_batch_sessionization(spark, sf_dir):
         for r in REGISTRY["sessionize_events"].spark(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_transform_with_state_first_touch_matches_batch(spark, sf_dir):
+    """transformWithState first-touch must equal the batch row_number()=1
+    pick per (user, event_type) — exactly-once emission, no key lost."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.queries import REGISTRY
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["first_ts_us"], r["first_event_id"])
+        for r in REGISTRY["stream_first_touch"].spark(spark, sf_dir).collect()
+    }
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    want = {
+        (r["user_id"], r["event_type"]): (r["first_ts_us"], r["event_id"])
+        for r in load_table(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .withColumn("first_ts_us", F.unix_micros("ts"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_transform_with_state_gate_is_honest():
+    """The TWS/classic path choice must track the actual protobuf
+    availability (the gate must never hard-code an answer)."""
+    from etl_loading_scripts_spark.streaming.stateful import (
+        transform_with_state_available,
+    )
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+    assert transform_with_state_available() == have
