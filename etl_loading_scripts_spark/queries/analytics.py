@@ -1296,3 +1296,102 @@ def grouping_sets_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (CAST(date_format(o_orderdate, 'yyyyMM') AS INT)))
         """
     )
+
+
+@register(
+    "fuzzy_levenshtein_join",
+    oracle="""
+    WITH names AS (
+        SELECT p_name, string_split(p_name, ' ')[-1] AS blk,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+    doc="Edit-distance fuzzy join (entity matching): DISTINCT names first, "
+    "block on the final token, Levenshtein <= 3 verify on in-block pairs "
+    "only — never an all-pairs product, never per-row duplicate work.",
+)
+def fuzzy_levenshtein_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedupe-before-verify shape for fuzzy matching: the quadratic
+    edit-distance verify runs on DISTINCT name pairs inside a blocking key
+    (final token), so its cost follows name-vocabulary size, not table
+    size — here 64 names stand in for 2000 parts. At 100 TB the same plan
+    holds whenever the dirty-join column's cardinality is << row count
+    (names, addresses, merchant strings — always true in practice), and
+    the per-name row count rides along as a pre-aggregated weight instead
+    of exploding the pair set. Spark and DuckDB both implement classic
+    Levenshtein, so the integer distance is engine-portable."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("blk")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 3)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("edit_dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )
+
+
+@register(
+    "customer_spend_percentile",
+    oracle="""
+    WITH spend AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+        FROM customer JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_nationkey
+    )
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nationkey, total_spend,
+           percent_rank() OVER (PARTITION BY c_nationkey ORDER BY total_spend, c_custkey)
+               AS spend_pct_rank,
+           cume_dist() OVER (PARTITION BY c_nationkey ORDER BY total_spend, c_custkey)
+               AS spend_cume_dist
+    FROM spend
+    """,
+    doc="percent_rank + cume_dist distribution windows per nation over "
+    "aggregated customer spend - the relative-standing surface (ties "
+    "broken by custkey so both engines rank identically).",
+)
+def customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one groupBy shuffle to customer grain, then a window
+    partitioned by nation — both keyed, no global sort. percent_rank is
+    (rank-1)/(n-1) and cume_dist is rows_leq/n, pure rational functions of
+    integer ranks, so the doubles are bit-identical across engines."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_spend")
+        )
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("total_spend", "c_custkey")
+    return spend.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nationkey"),
+        "total_spend",
+        F.percent_rank().over(w).alias("spend_pct_rank"),
+        F.cume_dist().over(w).alias("spend_cume_dist"),
+    )
