@@ -1395,3 +1395,175 @@ def customer_spend_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("spend_pct_rank"),
         F.cume_dist().over(w).alias("spend_cume_dist"),
     )
+
+
+CMS_DEPTH = 4  # hash rows
+CMS_WIDTH = 256  # buckets per row (two md5 nibbles)
+
+_NIB = "0123456789abcdef"
+
+
+def _cms_bucket_duck(hexpr: str) -> str:
+    return (
+        f"(strpos('{_NIB}', substr({hexpr}, 1, 1)) - 1) * 16"
+        f" + (strpos('{_NIB}', substr({hexpr}, 2, 1)) - 1)"
+    )
+
+
+@register(
+    "heavy_hitter_cms_probe",
+    oracle=f"""
+    WITH rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+    hashed AS (
+        SELECT e.user_id, r.r,
+               md5('cms' || r.r || '|' || CAST(e.user_id AS VARCHAR)) AS h
+        FROM events e CROSS JOIN rows_ r
+    ),
+    sketch AS (
+        SELECT r, {_cms_bucket_duck('h')} AS bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM hashed GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n FROM events GROUP BY 1
+    ),
+    probes AS (
+        SELECT user_id, exact_n FROM exact ORDER BY exact_n DESC, user_id LIMIT 20
+    ),
+    pb AS (
+        SELECT p.user_id, p.exact_n, r.r,
+               {_cms_bucket_duck("md5('cms' || r.r || '|' || CAST(p.user_id AS VARCHAR))")} AS bucket
+        FROM probes p CROSS JOIN rows_ r
+    )
+    SELECT pb.user_id, pb.exact_n, MIN(s.cnt) AS cms_est,
+           MIN(s.cnt) - pb.exact_n AS overcount
+    FROM pb JOIN sketch s ON s.r = pb.r AND s.bucket = pb.bucket
+    GROUP BY 1, 2
+    """,
+    doc=f"Count-Min Sketch frequency estimates: {CMS_DEPTH}x{CMS_WIDTH} "
+    "md5-bucket counters built in one groupBy, probed for the top-20 "
+    "exact users; overcount >= 0 always (CMS never underestimates).",
+)
+def heavy_hitter_cms_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the sketch family (HLL distinct, Misra-Gries top-k, CMS
+    point frequency). The sketch is the (r, bucket) count table — fixed
+    depth x width cells regardless of input size, mergeable across partitions
+    and days (counts add), built with one explode + one groupBy. Probing
+    broadcasts the tiny sketch to the probe rows. The top-20 probe sort
+    runs on user-grain aggregates (bounded), and the md5 bucketing is the
+    engine-portable hash discipline used by the whole dedup family."""
+
+    def bucket_of(hcol):
+        first = F.expr(f"locate(substring({hcol}, 1, 1), '{_NIB}') - 1")
+        second = F.expr(f"locate(substring({hcol}, 2, 1), '{_NIB}') - 1")
+        return first * 16 + second
+
+    events = load_table(spark, sf_dir, "events")
+    rows = F.explode(F.array(*[F.lit(r) for r in range(CMS_DEPTH)])).alias("r")
+    hashed = events.select("user_id").select(
+        "user_id", rows
+    ).select(
+        "user_id",
+        "r",
+        F.md5(
+            F.concat(F.lit("cms"), F.col("r").cast("string"), F.lit("|"),
+                     F.col("user_id").cast("string"))
+        ).alias("h"),
+    )
+    sketch = (
+        hashed.select("r", bucket_of("h").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    probes = exact.orderBy(F.col("exact_n").desc(), "user_id").limit(20)
+    pb = probes.select("user_id", "exact_n", rows).select(
+        "user_id",
+        "exact_n",
+        "r",
+        bucket_of(
+            "md5(concat('cms', cast(r as string), '|', cast(user_id as string)))"
+        ).alias("bucket"),
+    )
+    return (
+        pb.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("cms_est"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY 1
+    ),
+    s AS (
+        SELECT 1 AS stage_idx, 'view' AS stage,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+        UNION ALL SELECT 3, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM p)
+    )
+    SELECT a.stage_idx, a.stage, a.n_users,
+           a.n_users / b.n_users AS conv_from_prev
+    FROM s a LEFT JOIN s b ON b.stage_idx = a.stage_idx - 1
+    """,
+    doc="Ordered funnel (view -> click -> purchase): per-stage first-event "
+    "times chained by strictly-later joins; output is the 3-row funnel "
+    "with stage-over-stage conversion.",
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics funnel without sequence UDFs: stage N's entrants
+    are the min-timestamp of the stage event STRICTLY AFTER the user's
+    stage-N-1 time — three groupBys and two joins, all keyed on user_id
+    (co-partitioned, one logical shuffle at scale). The final 3-row
+    summary self-joins on stage_idx-1 for conversion — an equi-join of
+    single-row aggregates, not a window over one partition."""
+    events = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    def stage_min(etype, prev=None, prev_t=None):
+        df = events.filter(F.col("event_type") == etype)
+        if prev is not None:
+            df = df.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return df.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    v = stage_min("view")
+    c = stage_min("click", v, "t_view")
+    p = stage_min("purchase", c, "t_click")
+
+    def count_row(df, idx, name):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "n_users"
+        )
+
+    s = count_row(v, 1, "view").unionByName(count_row(c, 2, "click")).unionByName(
+        count_row(p, 3, "purchase")
+    )
+    b = s.select(
+        (F.col("stage_idx") + 1).alias("stage_idx"), F.col("n_users").alias("prev_n")
+    )
+    return (
+        s.join(b, "stage_idx", "left")
+        .select(
+            "stage_idx",
+            "stage",
+            "n_users",
+            (F.col("n_users") / F.col("prev_n")).alias("conv_from_prev"),
+        )
+    )
