@@ -1567,3 +1567,91 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_users") / F.col("prev_n")).alias("conv_from_prev"),
         )
     )
+
+
+@register(
+    "set_ops_customers",
+    oracle="""
+    WITH y95 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-01-01'
+    ),
+    y96 AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+    )
+    SELECT 'both' AS cohort, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT '1995_only', o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    UNION ALL
+    SELECT '1996_only', o_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+    """,
+    doc="INTERSECT / EXCEPT cohort algebra: customers ordering in both "
+    "1995 and 1996, one year only each - the set operators Catalyst "
+    "rewrites to semi/anti joins.",
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalyst rewrites intersect() to a distinct left-semi join and
+    exceptAll/except to a distinct left-anti join - both hash-partitioned
+    equi-joins on the key, so the cohort algebra costs three keyed
+    shuffles of DISTINCT custkeys (year-pruned scans feed them), not
+    three scans of raw orders."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year(y):
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = year(1995), year(1996)
+    tag = lambda df, name: df.select(F.lit(name).alias("cohort"), "o_custkey")  # noqa: E731
+    return (
+        tag(y95.intersect(y96), "both")
+        .unionByName(tag(y95.exceptAll(y96).distinct(), "1995_only"))
+        .unionByName(tag(y96.exceptAll(y95).distinct(), "1996_only"))
+    )
+
+
+@register(
+    "unpivot_monthly_metrics",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS INT) AS month_datekey,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders GROUP BY 1
+    )
+    SELECT month_datekey, 'n_orders' AS metric, n_orders AS value FROM monthly
+    UNION ALL
+    SELECT month_datekey, 'revenue', revenue FROM monthly
+    """,
+    doc="UNPIVOT (wide metrics -> long key/value): the monthly rollup's "
+    "two measures melted into (month, metric, value) rows via the native "
+    "unpivot operator (Expand node, one pass - not N self-scans).",
+)
+def unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.unpivot compiles to a single Expand (each input row replicated
+    once per measure) - the long-form melt costs one aggregate + one
+    map-side Expand, no join, no re-scan. At 100 TB the input to the
+    Expand is already month-grain (tiny); melting before aggregating
+    would instead double the fact-scan rows - order matters."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        tsql.datekey(tsql.month_floor("o_orderdate")).alias("month_datekey")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("revenue"),
+    )
+    return monthly.unpivot(
+        ids=["month_datekey"],
+        values=["n_orders", "revenue"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

@@ -186,3 +186,60 @@ def ingest_jsonl_quarantined(
     stamped = bad.select(F.lit(run_id).alias("run_id"), "raw_line")
     stamped.write.mode("append").parquet(quarantine_path)
     return good, {"jsonl_quarantined": bad.count()}
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite a directory of many tiny files into
+    ceil(n_rows / target) right-sized ones. Returns the new file count.
+
+    The 100 TB operational reality behind it: streaming sinks and
+    per-task writers leave thousands of KB-sized files per partition;
+    every downstream scan then pays one task + one open per file and the
+    NameNode/object-store pays the listing. Production systems run this
+    as a maintenance job (OPTIMIZE in lakehouse formats); here it is an
+    explicit operator over plain directories.
+
+    Rewrite is staged through a sibling temp dir + atomic rename (same
+    crash discipline as operators/publish.py: readers never observe a
+    half-compacted directory on a POSIX filesystem; object stores need a
+    manifest swap instead)."""
+    import math
+    import shutil
+    import uuid as _uuid
+
+    df = read_table(spark, path, fmt)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / max(1, target_rows_per_file)))
+    staged = f"{path.rstrip('/')}__compact_{_uuid.uuid4().hex[:8]}"
+    # repartition (round-robin) balances rows exactly across output files;
+    # coalesce would merely glue existing splits and can stay skewed
+    df.repartition(n_files).write.mode("overwrite").format(fmt).save(staged)
+    old = f"{path.rstrip('/')}__old_{_uuid.uuid4().hex[:8]}"
+    shutil.move(path, old)
+    shutil.move(staged, path)
+    shutil.rmtree(old)
+    return n_files
+
+
+def read_with_schema_evolution(
+    spark: SparkSession, paths: list[str], fmt: str = "parquet"
+) -> DataFrame:
+    """Read generations of a table whose schema widened over time
+    (columns added) as ONE DataFrame: parquet/ORC ``mergeSchema`` unions
+    the footers' schemas and older files surface NULL for columns they
+    predate — the standard append-only schema-evolution contract.
+
+    Scale note: mergeSchema reads every file footer at planning time;
+    production bounds it by evolving the schema in the catalog instead
+    (the merged schema is then declared, not discovered). This operator
+    is for the ingest edge where generations genuinely coexist."""
+    if fmt not in ("parquet", "orc"):
+        raise ValueError("schema evolution merge supported for parquet/orc only")
+    return getattr(
+        spark.read.option("mergeSchema", "true"), fmt
+    )(*paths)

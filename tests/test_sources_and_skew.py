@@ -242,3 +242,42 @@ def test_jsonl_quarantine_sink_accumulates_by_run(spark, tmp_path):
     q = spark.read.parquet(qdir)
     assert q.count() == 4
     assert sorted(r.run_id for r in q.select("run_id").distinct().collect()) == ["r1", "r2"]
+
+
+def test_compact_small_files_preserves_rows_and_bounds_files(spark, tmp_path):
+    """Compaction must keep content identical and hit the file-count
+    target computed from rows/target."""
+    import glob
+
+    from etl_loading_scripts_spark.sources.io import compact_small_files
+
+    path = str(tmp_path / "shards")
+    df = spark.range(1000).selectExpr("id", "id % 7 AS k")
+    df.repartition(50).write.parquet(path)  # 50 tiny files
+    assert len(glob.glob(f"{path}/part-*")) == 50
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+
+    n_files = compact_small_files(spark, path, target_rows_per_file=250)
+    assert n_files == 4
+    assert len(glob.glob(f"{path}/part-*")) == 4
+    after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after == before
+
+
+def test_schema_evolution_merge_nulls_missing_columns(spark, tmp_path):
+    """Old-generation rows must surface NULL for columns added later;
+    new-generation rows keep their values."""
+    from etl_loading_scripts_spark.sources.io import read_with_schema_evolution
+
+    gen1 = str(tmp_path / "gen1")
+    gen2 = str(tmp_path / "gen2")
+    spark.range(3).selectExpr("id", "id * 10 AS v").write.parquet(gen1)
+    spark.range(3, 6).selectExpr(
+        "id", "id * 10 AS v", "'tagged' AS label"
+    ).write.parquet(gen2)
+
+    df = read_with_schema_evolution(spark, [gen1, gen2])
+    assert set(df.columns) == {"id", "v", "label"}
+    rows = {r["id"]: (r["v"], r["label"]) for r in df.collect()}
+    assert rows[0] == (0, None)
+    assert rows[5] == (50, "tagged")
