@@ -21,5 +21,6 @@ from etl_loading_scripts_spark.llm import corpus as _corpus  # noqa: F401
 from etl_loading_scripts_spark.llm import decontam as _decontam  # noqa: F401
 from etl_loading_scripts_spark.llm import sampling as _sampling  # noqa: F401
 from etl_loading_scripts_spark.llm import privacy as _privacy  # noqa: F401
+from etl_loading_scripts_spark.operators import quality as _quality  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

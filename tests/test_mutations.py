@@ -277,3 +277,33 @@ def test_scd2_apply_versions_and_is_idempotent(spark):
     assert sorted(
         (r.k, r.attr, r.valid_from, r.valid_to, r.is_current) for r in again.collect()
     ) == rows
+
+
+def test_quality_checks_detect_injected_violations(spark):
+    """Each check builder must count real violations, not just pass on
+    clean data: duplicate PKs, orphan FKs, and out-of-range rows are
+    injected and must be reported with exact counts."""
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.operators.quality import (
+        fk_check,
+        run_checks,
+        unique_check,
+    )
+
+    dirty = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (3, -5)], ["pk", "val"]
+    )
+    parent = spark.createDataFrame([(1,), (2,)], ["pk"])
+    report = {
+        r["check"]: r["n_violations"]
+        for r in run_checks(
+            spark,
+            [
+                ("pk_unique", lambda: unique_check(dirty, ["pk"])),
+                ("fk_parent", lambda: fk_check(dirty, "pk", parent, "pk")),
+                ("val_positive", lambda: dirty.filter(F.col("val") <= 0)),
+            ],
+        ).collect()
+    }
+    assert report == {"pk_unique": 2, "fk_parent": 1, "val_positive": 1}
