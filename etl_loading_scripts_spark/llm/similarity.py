@@ -505,3 +505,67 @@ def kmeans_lloyd_two_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_iter2", F.lit(0)).alias("n_iter2"),
         )
     )
+
+
+N_DIMS = 64  # embedding width (declared, matches the synthetic table)
+
+
+@register(
+    "embedding_pca_power_iter",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    dims AS (SELECT range AS i FROM range(1, {N_DIMS} + 1)),
+    cells AS (
+        SELECT di.i AS i, dj.i AS j,
+               CAST(SUM(qv[di.i] * qv[dj.i]) AS BIGINT) AS c
+        FROM q, dims di, dims dj
+        GROUP BY 1, 2
+    ),
+    w AS (SELECT i, CAST(SUM(c) AS BIGINT) AS w_int FROM cells GROUP BY 1),
+    m AS (SELECT MAX(ABS(w_int)) AS wmax FROM w)
+    SELECT CAST(w.i AS BIGINT) AS dim, w_int,
+           CAST(w_int AS DOUBLE) / CAST(m.wmax AS DOUBLE) AS loading
+    FROM w, m
+    """,
+    doc="One power-iteration step toward the top principal direction: "
+    "exact-integer gram matrix G = sum of outer products over quantized "
+    "vectors, w = G @ ones, loadings normalized by max|w| - linear "
+    "algebra as DataFrame aggregation, bit-identical across engines.",
+)
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA primitive without MLlib: the gram matrix is a
+    groupBy over per-row outer-product cells, so the shuffle carries at
+    most dims^2 = 4096 cells per map partition REGARDLESS of corpus size
+    (map-side partial aggregation collapses the N x 4096 generated rows);
+    the power step w = G v and the normalization are then dimension-sized.
+    Further iterations repeat the same two aggregations with v = w -
+    corpus scans stay at one per iteration, all heavy math in codegen.
+
+    Integer discipline end-to-end: quantized components (~1e5) keep every
+    gram cell (<= 2e14 here) and every w entry (<= 1e16) exactly inside
+    BIGINT, so both engines agree bit-for-bit before the single final
+    IEEE division."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # materialization barrier: qv is carried through two Generates below;
+    # without it the quantization lambda re-evaluates per generated row
+    # (see dedup._shingles_spark)
+    q = (
+        emb.select("vec_id", F.expr(_QVEC_SPARK).alias("qv"))
+        .groupBy("vec_id")
+        .agg(F.first("qv").alias("qv"))
+    )
+    cells = (
+        q.select("qv", F.posexplode("qv").alias("i0", "xi"))
+        .select((F.col("i0") + 1).alias("i"), "xi", F.posexplode("qv").alias("j0", "xj"))
+        .groupBy("i", (F.col("j0") + 1).alias("j"))
+        .agg(F.sum(F.col("xi") * F.col("xj")).alias("c"))
+    )
+    w = cells.groupBy("i").agg(F.sum("c").alias("w_int"))
+    m = w.agg(F.max(F.abs(F.col("w_int"))).alias("wmax"))
+    return w.crossJoin(F.broadcast(m)).select(
+        F.col("i").cast("long").alias("dim"),
+        "w_int",
+        (F.col("w_int").cast("double") / F.col("wmax").cast("double")).alias("loading"),
+    )

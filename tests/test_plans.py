@@ -109,6 +109,7 @@ _BNLJ_OK = {
     "heavy_hitter_mg_sketch",  # same single-row total join on the verify side
     "kmeans_update_step",  # assignment: corpus × broadcast(C centroids)
     "kmeans_lloyd_two_iter",  # two assignment rounds, both broadcast(C)
+    "embedding_pca_power_iter",  # 64-row loadings × broadcast(single-row max)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
