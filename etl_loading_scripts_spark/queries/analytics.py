@@ -1655,3 +1655,85 @@ def unpivot_monthly_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@register(
+    "approx_distinct_monthly",
+    oracle="""
+    SELECT CAST(strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS INT) AS month_datekey,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_nd,
+           CAST(1 AS BIGINT) AS approx_within_5pct
+    FROM orders GROUP BY 1
+    """,
+    doc="Per-month HLL distinct customers: approx_count_distinct(rsd=0.01) "
+    "per month window, checked as the deterministic within-5pct invariant "
+    "against the exact count (same technique as approx_distinct_clients).",
+)
+def approx_distinct_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The windowed sketch shape production dashboards run: HLL registers
+    are mergeable, so month-grain sketches roll up to quarters/years
+    WITHOUT rescanning facts — the reason to store sketches, not counts.
+    The exact count rides along only to make the invariant checkable."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy(
+        tsql.datekey(tsql.month_floor("o_orderdate")).alias("month_datekey")
+    ).agg(
+        F.countDistinct("o_custkey").alias("exact_nd"),
+        F.expr("approx_count_distinct(o_custkey, 0.01)").alias("ap"),
+    )
+    return agg.select(
+        "month_datekey",
+        "exact_nd",
+        F.when(
+            F.abs(F.col("ap") - F.col("exact_nd")) / F.col("exact_nd") <= 0.05, 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("approx_within_5pct"),
+    )
+
+
+INCR_CUTOFF = "2001-08-01"  # the "new month" increment boundary
+
+
+@register(
+    "incremental_monthly_revenue",
+    oracle="""
+    SELECT CAST(strftime(date_trunc('month', o_orderdate), '%Y%m%d') AS INT) AS month_datekey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1
+    """,
+    doc="Incremental aggregate maintenance: prior summary (months < "
+    "cutoff) merged with the new month's delta via union + re-sum of "
+    "exact DECIMAL measures - provably equal to the full recompute "
+    "(the oracle IS the full recompute).",
+)
+def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(increment) summary refresh: the delta branch's scan prunes to
+    the cutoff month (PushedFilters on o_orderdate), the merge shuffles
+    only summary-grain rows. Measures stay DECIMAL through the merge -
+    decimal addition is associative, so merged == recomputed exactly;
+    merging DOUBLE sums instead would drift. In production ``prior`` is
+    the stored summary table; here it is built once from the history
+    months to keep the query self-contained and the equality checkable."""
+    from etl_loading_scripts_spark.operators.incremental import merge_aggregates
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def summarize(df):
+        return df.groupBy(
+            tsql.datekey(tsql.month_floor("o_orderdate")).alias("month_datekey")
+        ).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev_dec"),
+        )
+
+    prior = summarize(orders.filter(F.col("o_orderdate") < F.lit(INCR_CUTOFF)))
+    delta = summarize(orders.filter(F.col("o_orderdate") >= F.lit(INCR_CUTOFF)))
+    merged = merge_aggregates(prior, delta, keys=["month_datekey"])
+    return merged.select(
+        "month_datekey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )

@@ -307,3 +307,36 @@ def test_quality_checks_detect_injected_violations(spark):
         ).collect()
     }
     assert report == {"pk_unique": 2, "fk_parent": 1, "val_positive": 1}
+
+
+def test_merge_aggregates_equals_recompute(spark):
+    """Summary-merge must equal the full recompute exactly (decimal
+    measures), and reject mismatched schemas."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.operators.incremental import merge_aggregates
+
+    facts = spark.createDataFrame(
+        [(m, float(v)) for m in (1, 2, 3) for v in (10.01, 20.02, 30.03)],
+        ["m", "v"],
+    )
+
+    def summarize(df):
+        return df.groupBy("m").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(18,4)")).alias("s"),
+        )
+
+    full = {r["m"]: (r["n"], r["s"]) for r in summarize(facts).collect()}
+    merged = {
+        r["m"]: (r["n"], r["s"])
+        for r in merge_aggregates(
+            summarize(facts.filter("m < 3")), summarize(facts.filter("m >= 3")), ["m"]
+        ).collect()
+    }
+    assert merged == full
+    with pytest.raises(ValueError):
+        merge_aggregates(
+            summarize(facts), summarize(facts).withColumnRenamed("s", "t"), ["m"]
+        )
