@@ -92,11 +92,23 @@ def _normalize_nanos(df: DataFrame, nanos_cols: list[str]) -> DataFrame:
     return out
 
 
+def _pin_session_semantics(spark: SparkSession) -> None:
+    """Runtime-settable confs every registered query's semantics depend on,
+    applied at read time so results are identical from ANY SparkSession
+    (the driver contract runs queries in a session this engine didn't
+    build — see VERDICT r1 item 1): timestamps are defined in UTC (the
+    DuckDB oracle is UTC-naive; date_format outputs shift under any other
+    session zone)."""
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def stream_source_schema(spark: SparkSession, path: str):
     """(read schema, nanos column names) for a parquet path used as a
     Structured Streaming file source. Enables ``nanosAsLong`` just-in-time
     so the schema probe (and the stream reads that follow) work from any
     session; callers pass the nanos columns to :func:`_normalize_nanos`."""
+    _pin_session_semantics(spark)
     nanos_cols = _nanos_timestamp_columns(path)
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -110,10 +122,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (Spark cannot read it natively — PARQUET_TYPE_ILLEGAL), the
     runtime-settable SQL conf ``spark.sql.legacy.parquet.nanosAsLong`` is
     enabled just-in-time so the column arrives as bigint, then converted
-    to microsecond TimestampType.
+    to microsecond TimestampType; the session timezone is likewise pinned
+    UTC at read time.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _pin_session_semantics(spark)
     path = table_path(sf_dir, name)
     nanos_cols = _nanos_timestamp_columns(path)
     if nanos_cols:

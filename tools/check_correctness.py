@@ -53,9 +53,25 @@ def main() -> int:
     ap.add_argument("queries", nargs="*", help="subset of query names")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--show-diff", action="store_true")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="build a bare SparkSession (no engine confs) to prove every "
+        "query is session-independent, like the driver's own harness",
+    )
     args = ap.parse_args()
 
-    spark = get_spark(app_name="check-correctness")
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.appName("check-correctness-vanilla")
+            .master("local[*]")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="check-correctness")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
