@@ -320,3 +320,123 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup_frac.alias("dup_bigram_frac"),
         ((top_frac <= TOP_WORD_FRAC) & (dup_frac <= DUP_BIGRAM_FRAC)).alias("keep"),
     )
+
+
+@register(
+    "bpe_top_merges",
+    oracle=r"""
+    WITH words AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  w -> w <> '')) AS w
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+        FROM words WHERE len(w) >= 2
+    ),
+    counted AS (
+        SELECT pair, CAST(COUNT(*) AS BIGINT) AS n FROM pairs GROUP BY 1
+    )
+    SELECT pair, n FROM counted
+    ORDER BY n DESC, pair LIMIT 20
+    """,
+    doc="One BPE training step at corpus scale: the 20 most frequent "
+    "adjacent character pairs across all words - the merge candidates "
+    "byte-pair-encoding vocabulary induction greedily picks from.",
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed vocabulary induction primitive: each BPE iteration is
+    exactly this count-pairs-and-argmax; iterating re-runs it on the
+    merged symbol stream. Scale: two Generates feed a (pair) groupBy
+    whose map-side partial aggregation bounds the shuffle by alphabet^2,
+    not corpus size; the top-20 is a TakeOrderedAndProject over those
+    few thousand pair rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    words = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", _words_col().alias("words"))
+        # materialization barrier before the double explode (see
+        # dedup._shingles_spark)
+        .groupBy("doc_id")
+        .agg(F.first("words").alias("words"))
+        .select(F.explode("words").alias("w"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "bigram_lm_estimate",
+    oracle=r"""
+    WITH docs_w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '') AS words
+        FROM documents
+    ),
+    bigrams AS (
+        SELECT unnest(list_transform(range(1, len(words)),
+                      i -> {'w1': words[i], 'w2': words[i+1]})) AS bg
+        FROM docs_w WHERE len(words) >= 2
+    ),
+    c2 AS (
+        SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n12
+        FROM bigrams GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c2 GROUP BY 1)
+    SELECT c2.w1, c2.w2, c2.n12, c1.n1,
+           c2.n12 / c1.n1 AS cond_prob
+    FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    ORDER BY c2.n12 DESC, c2.w1, c2.w2 LIMIT 50
+    """,
+    doc="Bigram language-model estimation: P(w2|w1) = c(w1,w2)/c(w1-) "
+    "over the corpus, top-50 bigrams - the classic n-gram LM count "
+    "pipeline (KenLM-style step 1) as two co-partitioned aggregations.",
+)
+def bigram_lm_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: bigram counts shuffle once on (w1, w2) with map-side
+    combine (vocabulary-bounded); the denominator is a re-aggregation of
+    those counts on w1 (grain-to-grain, never touches the corpus again)
+    joined back on the shared w1 partitioning. Probabilities divide two
+    exact BIGINTs as doubles - identical IEEE results in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    w = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", _words_col().alias("words"))
+        .filter(F.size("words") >= 2)
+        .groupBy("doc_id")
+        .agg(F.first("words").alias("words"))
+    )
+    bigrams = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1), "
+                "i -> struct(words[i-1] AS w1, words[i] AS w2))"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return (
+        c2.join(c1, "w1")
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            (F.col("n12") / F.col("n1")).alias("cond_prob"),
+        )
+        .orderBy(F.col("n12").desc(), "w1", "w2")
+        .limit(50)
+    )

@@ -148,3 +148,13 @@ def test_spend_deciles_has_no_global_sort(spark, sf_dir):
     must not contain a single-partition exchange."""
     plan = plan_of(REGISTRY["spend_deciles"].spark(spark, sf_dir))
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_every_registered_query_has_an_oracle():
+    """The driver scores oracle-less queries as errors (r1: no_oracle).
+    Every registry entry must ship DuckDB oracle SQL so no future
+    addition silently regresses to the weaker rows-only check."""
+    from etl_loading_scripts_spark.queries import REGISTRY
+
+    missing = [n for n, q in REGISTRY.items() if not q.oracle]
+    assert not missing, f"queries without oracles: {missing}"
