@@ -440,3 +440,72 @@ def bigram_lm_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n12").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=r"""
+    WITH docs_w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '') AS words
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(words) AS w FROM docs_w)
+        GROUP BY 1, 2
+    ),
+    df AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    scored AS (
+        SELECT t.doc_id, t.w, t.tf, d.df,
+               t.tf / d.df AS score,
+               row_number() OVER (
+                   PARTITION BY t.doc_id
+                   ORDER BY t.tf / d.df DESC, t.w
+               ) AS rn
+        FROM tf t JOIN df d ON t.w = d.w
+    )
+    SELECT doc_id, w AS term, tf, df, score,
+           CAST(rn AS BIGINT) AS rank
+    FROM scored WHERE rn <= 3
+    """,
+    doc="Distinctive terms per document (tf-idf shape): score = tf/df as "
+    "one exact-integer IEEE division (ln-based idf is not bit-portable "
+    "across engines; tf/df ranks identically for fixed N), top-3 per doc.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IR term-weighting pipeline: per-doc term frequencies (one
+    (doc, term) shuffle with map-side combine), document frequencies as a
+    grain-to-grain re-aggregation of tf (never rescans the corpus), a
+    keyed join back on term, and a per-doc window for the top-3. All
+    counts stay exact BIGINT; the single division per row is the only
+    float, so ranking and hashes agree across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    w = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", _words_col().alias("words"))
+        .groupBy("doc_id")
+        .agg(F.first("words").alias("words"))
+        .select("doc_id", F.explode("words").alias("w"))
+    )
+    tf = w.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    score = F.col("tf") / F.col("df")
+    win = Window.partitionBy("doc_id").orderBy(score.desc(), "w")
+    return (
+        tf.join(df, "w")
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            "tf",
+            "df",
+            score.alias("score"),
+            F.row_number().over(win).cast("long").alias("rank"),
+        )
+        .filter(F.col("rank") <= 3)
+    )
