@@ -509,3 +509,83 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= 3)
     )
+
+
+COOC_MIN_PAIRS = 20  # noise floor for the lift ranking
+
+
+@register(
+    "word_cooccurrence_lift",
+    oracle=rf"""
+    WITH docs_w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '') AS words
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(words)),
+                      i -> {{'w1': words[i], 'w2': words[i+1]}})) AS bg
+        FROM docs_w WHERE len(words) >= 2
+    ),
+    c12 AS (
+        SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n12
+        FROM pairs GROUP BY 1, 2
+    ),
+    totals AS (SELECT CAST(SUM(n12) AS BIGINT) AS n FROM c12),
+    left_c AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1),
+    right_c AS (SELECT w2, CAST(SUM(n12) AS BIGINT) AS n2 FROM c12 GROUP BY 1)
+    SELECT c.w1, c.w2, c.n12,
+           (c.n12 * t.n) / (l.n1 * r.n2) AS lift
+    FROM c12 c
+    JOIN left_c l ON c.w1 = l.w1
+    JOIN right_c r ON c.w2 = r.w2
+    CROSS JOIN totals t
+    WHERE c.n12 >= {COOC_MIN_PAIRS}
+    ORDER BY (c.n12 * t.n) / (l.n1 * r.n2) DESC, c.w1, c.w2
+    LIMIT 50
+    """,
+    doc="Adjacent-word association by lift = P(w1,w2)/(P(w1)P(w2)) "
+    "= n12*N/(n1*n2) - collocation mining with PMI's ranking but one "
+    "exact-integer division (log is not bit-portable across engines).",
+)
+def word_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining at corpus scale: everything downstream of the
+    one (w1, w2) count shuffle is grain-to-grain re-aggregation (marginals
+    and the grand total never rescan the corpus); the grand total joins
+    back as a broadcast single row. n12*N and n1*n2 are exact BIGINTs, so
+    the lift ranking is engine-identical after one IEEE division."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    w = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", _words_col().alias("words"))
+        .filter(F.size("words") >= 2)
+        .groupBy("doc_id")
+        .agg(F.first("words").alias("words"))
+    )
+    c12 = (
+        w.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1), "
+                    "i -> struct(words[i-1] AS w1, words[i] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    totals = c12.agg(F.sum("n12").alias("n"))
+    left_c = c12.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    right_c = c12.groupBy("w2").agg(F.sum("n12").alias("n2"))
+    lift = (F.col("n12") * F.col("n")) / (F.col("n1") * F.col("n2"))
+    return (
+        c12.filter(F.col("n12") >= COOC_MIN_PAIRS)
+        .join(left_c, "w1")
+        .join(right_c, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "n12", lift.alias("lift"))
+        .orderBy(F.col("lift").desc(), "w1", "w2")
+        .limit(50)
+    )

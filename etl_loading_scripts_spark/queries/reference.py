@@ -806,3 +806,87 @@ def scd2_patron_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("is_current").cast("bigint").alias("is_current"),
     )
+
+
+PIT_CHANGE_TS = "2024-01-15 00:00:00"  # mid-window segment change
+
+
+@register(
+    "pit_join_segment_at_event",
+    oracle=f"""
+    WITH users AS (SELECT DISTINCT user_id FROM events),
+    dim AS (
+        SELECT c.c_custkey, c.c_mktsegment
+        FROM customer c JOIN users u ON c.c_custkey = u.user_id
+    ),
+    versions AS (
+        SELECT c_custkey, c_mktsegment AS segment,
+               TIMESTAMP '1990-01-01 00:00:00' AS valid_from,
+               TIMESTAMP '{PIT_CHANGE_TS}' AS valid_to
+        FROM dim WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, 'MOVED',
+               TIMESTAMP '{PIT_CHANGE_TS}', TIMESTAMP '9999-12-31 00:00:00'
+        FROM dim WHERE c_custkey % 3 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment,
+               TIMESTAMP '1990-01-01 00:00:00', TIMESTAMP '9999-12-31 00:00:00'
+        FROM dim WHERE c_custkey % 3 <> 0
+    )
+    SELECT e.user_id, v.segment AS segment_at_event,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN versions v
+      ON e.user_id = v.c_custkey
+     AND e.ts >= v.valid_from AND e.ts < v.valid_to
+    GROUP BY 1, 2
+    """,
+    doc="Point-in-time-correct join (the feature-store operator): each "
+    "event picks the dimension version whose [valid_from, valid_to) "
+    "window contains its timestamp - leakage-free training features; "
+    "users changing segment mid-window split their event counts.",
+)
+def pit_join_segment_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF semantics against an SCD2-shaped dim (same half-open
+    validity as scd2_apply): the equi-key hash join carries the range
+    predicate as its post-filter, so cost is |events| x versions-per-key
+    (small constant), never a time-range blowup. This is THE correctness
+    operator for training-data pipelines - joining today's dimension
+    value onto historical events leaks the future into features.
+
+    The versioned dim is built in-query (real SCD2 tables come from
+    scd2_apply); the dim slice is a left-semi join on the active users,
+    not a hard-coded key range."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    dim = cust.join(
+        ev.select(F.col("user_id").alias("c_custkey")).distinct(),
+        "c_custkey",
+        "left_semi",
+    ).select("c_custkey", "c_mktsegment")
+    lo, chg, hi = "1990-01-01 00:00:00", PIT_CHANGE_TS, "9999-12-31 00:00:00"
+
+    def version(df, seg_col, frm, to):
+        return df.select(
+            "c_custkey",
+            seg_col.alias("segment"),
+            F.to_timestamp(F.lit(frm)).alias("valid_from"),
+            F.to_timestamp(F.lit(to)).alias("valid_to"),
+        )
+
+    changed = dim.filter(F.col("c_custkey") % 3 == 0)
+    stable = dim.filter(F.col("c_custkey") % 3 != 0)
+    versions = (
+        version(changed, F.col("c_mktsegment"), lo, chg)
+        .unionByName(version(changed, F.lit("MOVED"), chg, hi))
+        .unionByName(version(stable, F.col("c_mktsegment"), lo, hi))
+    )
+    return (
+        ev.join(
+            versions,
+            (F.col("user_id") == F.col("c_custkey"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("ts") < F.col("valid_to")),
+        )
+        .groupBy("user_id", F.col("segment").alias("segment_at_event"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )

@@ -110,6 +110,7 @@ _BNLJ_OK = {
     "kmeans_update_step",  # assignment: corpus × broadcast(C centroids)
     "kmeans_lloyd_two_iter",  # two assignment rounds, both broadcast(C)
     "embedding_pca_power_iter",  # 64-row loadings × broadcast(single-row max)
+    "word_cooccurrence_lift",  # pair counts × broadcast(single-row grand total)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
