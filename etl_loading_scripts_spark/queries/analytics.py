@@ -1737,3 +1737,70 @@ def incremental_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.col("rev_dec").cast("double").alias("revenue"),
     )
+
+
+MAD_K = 3.0 * 1.4826  # 3-sigma-equivalent cutoff for normal data
+
+
+@register(
+    "order_value_outliers_mad",
+    oracle=f"""
+    WITH med AS (
+        SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        FROM orders GROUP BY 1
+    ),
+    dev AS (
+        SELECT o.o_orderpriority, ABS(o.o_totalprice - m.med) AS dev, m.med
+        FROM orders o JOIN med m USING (o_orderpriority)
+    ),
+    mad AS (
+        SELECT o_orderpriority, ANY_VALUE(med) AS med,
+               quantile_cont(dev, 0.5) AS mad,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dev GROUP BY 1
+    )
+    SELECT d.o_orderpriority, m.med, m.mad, m.n,
+           CAST(COUNT(*) FILTER (WHERE d.dev > {MAD_K} * m.mad) AS BIGINT)
+               AS n_outliers
+    FROM dev d JOIN mad m USING (o_orderpriority)
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="Robust outlier detection per group: median absolute deviation "
+    f"with a {MAD_K:.4f}*MAD cutoff (the 3-sigma equivalent). Exact "
+    "interpolated percentiles are bit-identical across engines, so the "
+    "whole detection is hash-checkable - unlike stddev-based z-scores "
+    "whose float accumulation is order-dependent.",
+)
+def order_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD beats z-scores at scale twice over: it is robust (one whale
+    order cannot inflate the cutoff that is supposed to catch it), and it
+    is deterministic (percentile sorts; SUM(double) accumulation order is
+    partition-dependent). Plan: two grouped percentile passes over the
+    fact with the 5-row group stats broadcast back between them - the
+    fact shuffles on the group key twice, never globally."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("med")
+    )
+    dev = orders.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("dev"),
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        F.first("med").alias("med"),
+        F.expr("percentile(dev, 0.5)").alias("mad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        dev.drop("med")
+        .join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad", "n")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )

@@ -60,3 +60,48 @@ def test_mg_sketch_equals_exact_heavy_hitters(spark, sf_dir):
         map(tuple, REGISTRY["heavy_hitter_mg_sketch"].spark(spark, sf_dir).collect())
     )
     assert exact == sketched
+
+
+def test_mad_outliers_detect_injected_whale(spark, sf_dir):
+    """Inject a whale order and rerun the detection math on the
+    CONTAMINATED data: the whale must be flagged (MAD robust - the
+    outlier cannot inflate its own cutoff), and no clean row may flip."""
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.queries.analytics import MAD_K
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_totalprice")
+    )
+
+    def mad_stats(df):
+        med = df.agg(F.expr("percentile(o_totalprice, 0.5)")).first()[0]
+        mad = (
+            df.select(F.abs(F.col("o_totalprice") - F.lit(med)).alias("dev"))
+            .agg(F.expr("percentile(dev, 0.5)"))
+            .first()[0]
+        )
+        return med, mad
+
+    med0, mad0 = mad_stats(base)
+    whale_price = float(med0 + 1000 * mad0)
+    dirty = base.unionByName(
+        spark.createDataFrame([(whale_price,)], ["o_totalprice"])
+    )
+    med1, mad1 = mad_stats(dirty)
+    # robustness: one whale in ~300 rows moves the robust center/scale by
+    # at most one interpolation gap (~1/n of the spread), far under the
+    # cutoff scale - a mean/stddev rule would move by ~whale/n instead
+    assert abs(med1 - med0) <= 0.05 * med0
+    assert abs(mad1 - mad0) <= 0.05 * mad0
+    # detection on the contaminated stats
+    flagged = dirty.filter(
+        F.abs(F.col("o_totalprice") - F.lit(med1)) > MAD_K * mad1
+    ).count()
+    clean_flagged = base.filter(
+        F.abs(F.col("o_totalprice") - F.lit(med1)) > MAD_K * mad1
+    ).count()
+    assert flagged == clean_flagged + 1  # the whale and only the whale is new
