@@ -111,6 +111,7 @@ _BNLJ_OK = {
     "kmeans_lloyd_two_iter",  # two assignment rounds, both broadcast(C)
     "embedding_pca_power_iter",  # 64-row loadings × broadcast(single-row max)
     "word_cooccurrence_lift",  # pair counts × broadcast(single-row grand total)
+    "rolling_7day_distinct_hll",  # day-grain spine × day-grain sketches (|days|×7)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
