@@ -661,3 +661,68 @@ def rolling_7day_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("ts_us"),
         F.sum(F.col("value").cast(DEC6)).over(w).cast("double").alias("rolling_7d"),
     )
+
+
+@register(
+    "stream_sliding_window_agg",
+    oracle="""
+    WITH expanded AS (
+        SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                   AS ws,
+               event_type, value
+        FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+    doc="Sliding event-time windows (1 h wide, 30 min slide): every event "
+    "lands in exactly two overlapping windows - the trend-smoothing shape "
+    "tumbling windows can't express. Oracle expands each event to its two "
+    "window starts.",
+)
+def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same genuine streaming execution as stream_windowed_agg, with
+    window(ts, '1 hour', '30 minutes'): Spark's stateful window operator
+    assigns each row to width/slide windows via an internal expand -
+    state is (windows x keys) bounded by the watermark horizon exactly
+    like tumbling, just 2x the window cardinality."""
+    from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
+
+    src = table_path(sf_dir, "events")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_slide_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    raw_schema, nanos_cols = stream_source_schema(spark, src)
+    stream = _normalize_nanos(
+        spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        )
+    )
+    sink = f"slide_out_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -91,7 +91,10 @@ def test_no_python_udf_in_reference_queries(spark, sf_dir):
 # loops) rather than just building a plan — excluded from the sweep
 _EXECUTING = {
     "stream_windowed_agg",
+    "stream_sliding_window_agg",
     "stream_stateful_totals",
+    "stream_sessionize_timeout",
+    "stream_first_touch",
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_dedup_events",
