@@ -1870,3 +1870,113 @@ def rolling_7day_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hll_within_5pct"),
     )
+
+
+@register(
+    "price_equidepth_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT quantile_cont(l_extendedprice,
+                             [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+        FROM lineitem
+    ),
+    bucketed AS (
+        SELECT CAST(
+                 len(list_filter(b.qs, q -> l.l_extendedprice > q)) AS BIGINT
+               ) AS bucket,
+               l.l_extendedprice
+        FROM lineitem l CROSS JOIN b
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM bucketed GROUP BY 1
+    """,
+    doc="Equi-depth (quantile-bucketed) histogram: exact decile boundaries "
+    "in one aggregate, bucket = count of boundaries below the value - "
+    "near-equal bucket populations however skewed the distribution "
+    "(the equi-width twin is price_histogram).",
+)
+def price_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary computation is one grouped-percentile aggregate; bucket
+    assignment broadcasts the 9 boundaries and counts those below each
+    value (branch-free, codegen'd). At 100 TB swap the exact percentile
+    for percentile_approx and keep the identical bucketing pass - the
+    equi-depth property survives the sketch (see
+    percentile_price_profile_approx for the tolerance pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = li.agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("qs")
+    )
+    return (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(qs))
+        .select(
+            F.expr("size(filter(qs, q -> l_extendedprice > q))")
+            .cast("long")
+            .alias("bucket"),
+            "l_extendedprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+SKEW_TOP_K = 5
+
+
+@register(
+    "join_key_skew_report",
+    oracle=f"""
+    WITH counts AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    stats AS (
+        SELECT MAX(n) AS max_n, quantile_cont(n, 0.5) AS p50_n,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM counts
+    )
+    SELECT c.o_custkey, c.n, s.n_keys,
+           c.n / s.p50_n AS skew_vs_median,
+           CAST(c.n = s.max_n AS BIGINT) AS is_heaviest
+    FROM counts c CROSS JOIN stats s
+    ORDER BY c.n DESC, c.o_custkey LIMIT {SKEW_TOP_K}
+    """,
+    doc=f"Join-key skew diagnostic: top-{SKEW_TOP_K} heaviest o_custkey "
+    "values with their multiple of the median key weight - the report "
+    "that decides between plain shuffle, AQE skew split, and explicit "
+    "salting (operators/skew.py) BEFORE the join runs.",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-grain counts (one shuffle with map-side combine), single-row
+    global stats broadcast back, top-k via TakeOrderedAndProject. Run it
+    on the build side of any big join: skew_vs_median >> 1 on a hot key
+    is the signal that a 1000-executor shuffle will strand its tail on
+    one task - the exact condition salted_join_skew_guard exists for."""
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.max("n").alias("max_n"),
+        F.expr("percentile(n, 0.5)").alias("p50_n"),
+        F.count(F.lit(1)).alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "o_custkey",
+            "n",
+            "n_keys",
+            (F.col("n") / F.col("p50_n")).alias("skew_vs_median"),
+            (F.col("n") == F.col("max_n")).cast("long").alias("is_heaviest"),
+        )
+        .orderBy(F.col("n").desc(), "o_custkey")
+        .limit(SKEW_TOP_K)
+    )

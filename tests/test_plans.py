@@ -115,6 +115,8 @@ _BNLJ_OK = {
     "embedding_pca_power_iter",  # 64-row loadings × broadcast(single-row max)
     "word_cooccurrence_lift",  # pair counts × broadcast(single-row grand total)
     "rolling_7day_distinct_hll",  # day-grain spine × day-grain sketches (|days|×7)
+    "price_equidepth_histogram",  # fact × broadcast(single-row boundary array)
+    "join_key_skew_report",  # key counts × broadcast(single-row global stats)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
