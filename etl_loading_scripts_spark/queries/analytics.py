@@ -1980,3 +1980,89 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "o_custkey")
         .limit(SKEW_TOP_K)
     )
+
+
+@register(
+    "customer_order_reconciliation",
+    oracle="""
+    WITH agg AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(c.c_custkey, a.o_custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'orphan_orders'
+                WHEN a.o_custkey IS NULL THEN 'no_orders'
+                ELSE 'matched' END AS status,
+           COALESCE(a.n_orders, 0) AS n_orders
+    FROM customer c FULL OUTER JOIN agg a ON c.c_custkey = a.o_custkey
+    """,
+    doc="FULL OUTER reconciliation: every customer and every ordering key "
+    "classified matched / no_orders / orphan_orders in one pass - the "
+    "audit twin of the anti-join (which only shows one side's misses).",
+)
+def customer_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The named full-outer operator (merge_upsert uses the same join
+    internally): aggregate the fact to key grain FIRST so the outer join
+    is dim x keys, not dim x fact - at 100 TB the pre-aggregation is the
+    difference between a keyed-summary join and an outer-join row
+    explosion."""
+    cust = load_table(spark, sf_dir, "customer")
+    agg = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = cust.join(agg, cust.c_custkey == agg.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.when(F.col("c_custkey").isNull(), "orphan_orders")
+        .when(F.col("o_custkey").isNull(), "no_orders")
+        .otherwise("matched")
+        .alias("status"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+@register(
+    "user_event_sequence_hash",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS seq_len,
+           md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS seq_hash
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Behavior-sequence extraction (sequence-model training prep): per "
+    "user, event types concatenated in strict (ts, event_id) order; the "
+    "md5 keeps arbitrarily long sequences hash-checkable.",
+)
+def user_event_sequence_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning event streams into ordered token sequences is step one of
+    every behavioral-sequence model. Spark has no ordered string_agg, so
+    the deterministic ordering comes from sort_array over (ts, event_id,
+    type) structs inside ONE aggregation - no window sort, one shuffle on
+    user_id, and the struct sort is per-group in memory (bounded by
+    events-per-user, the same bound any sequence model needs anyway)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("seq_len"),
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.unix_micros("ts").alias("ts_us"),
+                        F.col("event_id").alias("eid"),
+                        F.col("event_type").alias("et"),
+                    )
+                )
+            ).alias("seq"),
+        )
+        .select(
+            "user_id",
+            "seq_len",
+            F.md5(F.concat_ws(">", F.expr("transform(seq, s -> s.et)"))).alias(
+                "seq_hash"
+            ),
+        )
+    )
