@@ -311,15 +311,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
-    """Near-dup pairs by exact n-gram Jaccard with inverted-index blocking
-    and stop-shingle capping (VERDICT r1 item 4).
+def blocked_shingle_pair_counts(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """(id_a, id_b, n_shared, n_a, n_b) for every doc pair sharing ≥1
+    indexed shingle — the shared blocking core of the Jaccard and
+    containment scorers.
 
     Scale: |pairs| is Σ postings² over shingle buckets. The cap bounds the
     worst bucket — shingles with document frequency > ``df_cap`` are
     removed from the index before the self-join, so no posting list
-    exceeds ``df_cap`` and pair growth is ≤ |shingles|·df_cap². The
-    Jaccard DENOMINATOR still uses full per-doc shingle counts; only
+    exceeds ``df_cap`` and pair growth is ≤ |shingles|·df_cap². Set
+    similarity DENOMINATORS still use full per-doc shingle counts; only
     ``n_shared`` ignores capped shingles, so scores are a lower bound
     (pairs that overlap solely on boilerplate drop out — the point).
     The dropped-shingle count is computed and logged: no silent caps.
@@ -361,6 +362,13 @@ def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFr
             F.first("n_b").alias("n_b"),
         )
     )
+    return pair_counts
+
+
+def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard over the blocked pair core
+    (VERDICT r1 item 4 — see :func:`blocked_shingle_pair_counts`)."""
+    pair_counts = blocked_shingle_pair_counts(docs, df_cap)
     jac = F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
     return (
         pair_counts.withColumn("jaccard", jac)
@@ -912,4 +920,65 @@ def dedup_simhash_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= HAMMING_MAX)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+#: Directional-containment threshold: max(c_ab, c_ba) ≥ this flags a pair
+#: even when symmetric Jaccard stays low (short doc quoted inside long doc).
+CONTAINMENT_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH shingled AS ({{shingles}}),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+        FROM shingled
+    ),
+    hot AS (
+        SELECT shingle FROM exploded
+        GROUP BY shingle HAVING COUNT(*) > {{cap}}
+    ),
+    kept AS (
+        SELECT * FROM exploded
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    pair_counts AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared,
+           CAST(n_shared AS DOUBLE) / n_a AS containment_a,
+           CAST(n_shared AS DOUBLE) / n_b AS containment_b
+    FROM pair_counts
+    WHERE CAST(n_shared AS DOUBLE) / LEAST(n_a, n_b) >= {CONTAINMENT_THRESHOLD}
+    """.format(shingles=_SHINGLES_SQL_DUCK, cap=SHINGLE_DF_CAP),
+    doc="Directional n-gram containment |A∩B|/|A| over the same blocked "
+    "pair core as Jaccard: catches a short document quoted inside a long "
+    "one, where symmetric Jaccard is diluted by the length gap "
+    f"(flag when either direction ≥ {CONTAINMENT_THRESHOLD}).",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same blocked pair counts, different decision rule — the asymmetric
+    complement of dedup_ngram_jaccard (a 100-shingle doc fully inside a
+    2000-shingle doc scores Jaccard 0.05 but containment 1.0). Cost is
+    identical: the scorer is a projection over the already-bounded pair
+    set."""
+    pair_counts = blocked_shingle_pair_counts(load_table(spark, sf_dir, "documents"))
+    c_a = F.col("n_shared").cast("double") / F.col("n_a")
+    c_b = F.col("n_shared").cast("double") / F.col("n_b")
+    return (
+        pair_counts.filter(F.greatest(c_a, c_b) >= CONTAINMENT_THRESHOLD)
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+        )
     )

@@ -589,3 +589,71 @@ def word_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "w1", "w2")
         .limit(50)
     )
+
+
+CHUNK_WORDS = 32  # context-window chunk size (words)
+CHUNK_STRIDE = 24  # 8-word overlap between consecutive chunks
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\W+'), w -> w <> '') AS words
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, GREATEST(len(words) - {CHUNK_WORDS} + {CHUNK_STRIDE}, 1),
+                            {CHUNK_STRIDE})) AS start0,
+               words
+        FROM base WHERE len(words) > 0
+    )
+    SELECT doc_id,
+           CAST(start0 / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(LEAST(len(words) - start0, {CHUNK_WORDS}) AS BIGINT) AS n_words,
+           md5(array_to_string(words[start0 + 1 : start0 + {CHUNK_WORDS}], ' ')) AS chunk_hash
+    FROM chunks
+    """,
+    doc=f"Context-window chunking: split each document into "
+    f"{CHUNK_WORDS}-word chunks with stride {CHUNK_STRIDE} "
+    f"({CHUNK_WORDS - CHUNK_STRIDE}-word overlap) - the sliding-window "
+    "prep step for fixed-context training/embedding; chunk text is "
+    "md5'd to stay hash-checkable.",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure per-row array arithmetic: chunk starts are a sequence(),
+    slices are slice() - one Generate per doc, no shuffle at all, so a
+    100 TB corpus chunks in a single map pass that feeds the tokenizer/
+    embedder directly. Overlap preserves cross-boundary context exactly
+    like production context-window pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", _words_col().alias("words"))
+        .filter(F.size("words") > 0)
+        # materialization barrier before the explode (dedup._shingles_spark)
+        .groupBy("doc_id")
+        .agg(F.first("words").alias("words"))
+    )
+    starts = F.expr(
+        f"sequence(0, greatest(size(words) - {CHUNK_WORDS} + {CHUNK_STRIDE} - 1, 0), "
+        f"{CHUNK_STRIDE})"
+    )
+    return (
+        base.select("doc_id", "words", F.explode(starts).alias("start0"))
+        .select(
+            "doc_id",
+            (F.col("start0") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.least(F.size("words") - F.col("start0"), F.lit(CHUNK_WORDS))
+            .cast("long")
+            .alias("n_words"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.expr(f"slice(words, start0 + 1, {CHUNK_WORDS})")
+                )
+            ).alias("chunk_hash"),
+        )
+    )

@@ -169,3 +169,28 @@ def test_anonymize_suppresses_small_groups_only(spark, sf_dir):
         assert "Customer#" not in r["pseudo_id"]
         assert r["masked_name"].startswith("Customer#*******")
         assert r["bal_bucket"] % 1000 == 0
+
+
+def test_containment_catches_quote_inclusion_jaccard_misses(spark):
+    """A short doc fully quoted inside a much longer one must be flagged
+    by directional containment (c=1.0) while its symmetric Jaccard stays
+    far below the dedup threshold - the exact case the operator exists
+    for. The synthetic corpus has no such asymmetric pairs, so inject one."""
+    from etl_loading_scripts_spark.llm.dedup import (
+        JACCARD_THRESHOLD,
+        blocked_shingle_pair_counts,
+    )
+    from pyspark.sql import functions as F
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"tok{i} tok{i + 1} tok{i + 2}" for i in range(0, 300, 3))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], ["doc_id", "text"]
+    )
+    pair = blocked_shingle_pair_counts(docs).collect()
+    assert len(pair) == 1
+    r = pair[0]
+    c_max = r["n_shared"] / min(r["n_a"], r["n_b"])
+    jac = r["n_shared"] / (r["n_a"] + r["n_b"] - r["n_shared"])
+    assert c_max >= 0.99  # every shingle of the short doc is contained
+    assert jac < JACCARD_THRESHOLD  # symmetric score misses it entirely
