@@ -2066,3 +2066,47 @@ def user_event_sequence_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+BASKET_TOP_K = 25
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS support
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {BASKET_TOP_K}
+    """,
+    doc=f"Market-basket co-purchase pairs (A-priori support step): "
+    f"distinct items per order self-joined within the order key, top-"
+    f"{BASKET_TOP_K} part pairs by support - the frequent-itemset "
+    "primitive recommender candidate generation starts from.",
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The within-basket self-join is keyed on the order, so pair
+    generation is bounded by max-items-per-basket squared per order
+    (single-digit here, never corpus-quadratic); the distinct-first
+    projection collapses reorder lines before pairing. At 100 TB the
+    (basket, item) dedup shuffle dominates and the pair count stays
+    linear in orders - the standard A-priori scaling. Top-k via
+    TakeOrderedAndProject on the (pair) aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.col("support").desc(), "part_a", "part_b")
+        .limit(BASKET_TOP_K)
+    )
