@@ -2110,3 +2110,88 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("support").desc(), "part_a", "part_b")
         .limit(BASKET_TOP_K)
     )
+
+
+def _ols_trend_kernel(pdf):
+    """Per-nation OLS fit in exact integer arithmetic: Python ints are
+    unbounded, so every moment (Sx, Sy, Sxy, Sxx) is exact; the only
+    floats are the final slope/intercept divisions — reproducible in any
+    engine that forms the same exact moments (the DuckDB oracle does)."""
+    import pandas as pd
+
+    xs = [int(v) for v in pdf["x"]]
+    ys = [int(v) for v in pdf["y_micros"]]
+    n, sx, sy = len(xs), sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pd.DataFrame(
+        {
+            "nation": [int(pdf["nation"].iloc[0])],
+            "n_months": [n],
+            "slope_micros": [slope],
+            "intercept_micros": [intercept],
+        }
+    )
+
+
+@register(
+    "nation_revenue_trend",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(c.c_nationkey AS BIGINT) AS nation,
+               (EXTRACT(year FROM o.o_orderdate) - 1995) * 12
+                   + EXTRACT(month FROM o.o_orderdate) - 1 AS x,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) * 1000000
+                    AS BIGINT) AS y_micros
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y_micros) AS BIGINT) AS sy,
+               CAST(SUM(x * y_micros) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM monthly GROUP BY 1
+    )
+    SELECT nation, n AS n_months,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_micros,
+           (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+               AS intercept_micros
+    FROM m
+    """,
+    doc="Grouped-map applyInPandas: per-nation OLS trend over monthly "
+    "revenue, moments formed in exact integers (unbounded Python ints / "
+    "BIGINT-HUGEINT SQL) so the fitted line is bit-identical across "
+    "engines - the Arrow grouped-kernel pattern for per-group model fits.",
+)
+def nation_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch grouped-map API (groupBy().applyInPandas) next to the
+    streaming stateful ones: each nation's monthly series arrives as one
+    Arrow batch in pandas, the fit runs per group, output is one row per
+    group. Scale: the kernel sees month-grain aggregates (84 rows/group),
+    not facts - aggregate FIRST, model per group after; Arrow transfer is
+    group-sized. Quantization: revenue in integer micros so kernel-side
+    sums are exact (SURVEY R2 float discipline)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("nation"),
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).alias("x"),
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(18,4)")) * 1_000_000)
+            .cast("long")
+            .alias("y_micros")
+        )
+    )
+    return monthly.groupBy("nation").applyInPandas(
+        _ols_trend_kernel,
+        schema="nation long, n_months long, slope_micros double, intercept_micros double",
+    )

@@ -121,7 +121,12 @@ _BNLJ_OK = {
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
 # multimodal decode path and the Misra-Gries partition summaries.
-_PYTHON_OK = {"mm_decode_features", "mm_resize", "heavy_hitter_mg_sketch"}
+_PYTHON_OK = {
+    "mm_decode_features",
+    "mm_resize",
+    "heavy_hitter_mg_sketch",
+    "nation_revenue_trend",  # grouped-map OLS kernel over month-grain aggregates
+}
 
 
 def test_no_antipatterns_across_registry(spark, sf_dir):
