@@ -22,5 +22,6 @@ from etl_loading_scripts_spark.llm import decontam as _decontam  # noqa: F401
 from etl_loading_scripts_spark.llm import sampling as _sampling  # noqa: F401
 from etl_loading_scripts_spark.llm import privacy as _privacy  # noqa: F401
 from etl_loading_scripts_spark.operators import quality as _quality  # noqa: F401
+from etl_loading_scripts_spark.queries import graph as _graph  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]
