@@ -117,6 +117,7 @@ _BNLJ_OK = {
     "rolling_7day_distinct_hll",  # day-grain spine × day-grain sketches (|days|×7)
     "price_equidepth_histogram",  # fact × broadcast(single-row boundary array)
     "join_key_skew_report",  # key counts × broadcast(single-row global stats)
+    "triangle_count_copurchase",  # three single-row census aggregates crossed
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
