@@ -23,5 +23,7 @@ from etl_loading_scripts_spark.llm import sampling as _sampling  # noqa: F401
 from etl_loading_scripts_spark.llm import privacy as _privacy  # noqa: F401
 from etl_loading_scripts_spark.operators import quality as _quality  # noqa: F401
 from etl_loading_scripts_spark.queries import graph as _graph  # noqa: F401
+from etl_loading_scripts_spark.queries import cohorts as _cohorts  # noqa: F401
+from etl_loading_scripts_spark.operators import cdc as _cdc  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -1,0 +1,100 @@
+"""Cohort retention analysis over the event stream.
+
+The canonical product-analytics rollup: assign every user to the ISO week
+of their first event (the *cohort*), then count how many of each cohort
+are still active N weeks later. The reference's month-window filters +
+re-aggregation idiom (SURVEY §2.4, e.g. the HVD diner counts) is the same
+two-level shape — this generalizes it to self-relative time.
+
+Exactness: weeks are ``date_trunc('week', ts)`` (Monday-based in both
+Spark and DuckDB), offsets are integer day-diffs divided by 7 (both
+Monday-truncated, so always a whole multiple), and the retention ratio is
+one double division of two exact integers — bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.registry import register
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH weeks AS (
+        SELECT user_id, strftime(date_trunc('week', ts), '%Y-%m-%d') AS wk
+        FROM events
+        GROUP BY 1, 2
+    ),
+    cohort AS (
+        SELECT user_id, min(wk) AS cohort_week FROM weeks GROUP BY 1
+    ),
+    ret AS (
+        SELECT c.cohort_week,
+               CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+                              CAST(w.wk AS DATE)) / 7 AS BIGINT)
+                   AS week_offset,
+               count(DISTINCT w.user_id) AS n_users
+        FROM weeks w JOIN cohort c USING (user_id)
+        GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT cohort_week, n_users AS cohort_size FROM ret WHERE week_offset = 0
+    )
+    SELECT r.cohort_week, r.week_offset, r.n_users, b.cohort_size,
+           CAST(r.n_users AS DOUBLE) / CAST(b.cohort_size AS DOUBLE)
+               AS retention
+    FROM ret r JOIN base b USING (cohort_week)
+    """,
+    doc="Weekly cohort retention matrix on events: users bucketed by "
+    "first-active ISO week, distinct-active counts per (cohort, week "
+    "offset), plus the retention ratio against the offset-0 cohort size.",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the (user, week) dedup and the cohort min are two shuffles on
+    user_id that AQE coalesces; the retention rollup groups on the tiny
+    (cohort, offset) grain; the offset-0 base is a broadcast back-join.
+    No window over global order, no collect — a year of events at 100 TB
+    keeps the same three-stage shape, with the first shuffle pre-bucketed
+    by user_id if the events table is written bucketed."""
+    ev = load_table(spark, sf_dir, "events")
+    weeks = (
+        ev.select(
+            "user_id",
+            F.date_format(F.date_trunc("week", F.col("ts")), "yyyy-MM-dd").alias(
+                "wk"
+            ),
+        )
+        .distinct()
+    )
+    cohort = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    ret = (
+        weeks.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.col("wk").cast("date"), F.col("cohort_week").cast("date")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+    base = ret.filter(F.col("week_offset") == 0).select(
+        "cohort_week", F.col("n_users").alias("cohort_size")
+    )
+    return ret.join(F.broadcast(base), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        (
+            F.col("n_users").cast("double") / F.col("cohort_size").cast("double")
+        ).alias("retention"),
+    )
