@@ -1,0 +1,84 @@
+"""Corpus-level duplication statistics (cross-document n-gram overlap).
+
+``doc_repetition_stats`` (llm/text.py) measures repetition *within* a
+document; training-data curation also needs the *cross-document* signal —
+what fraction of a document's n-grams appear in at least one other
+document. That per-doc "duplication rate" is the filter signal used by
+Gopher/MassiveText-style pipelines to drop boilerplate-heavy pages that
+survive exact and near dedup.
+
+Plan shape: shingle → explode → one groupBy(shingle) for document
+frequency → one join back → one groupBy(doc_id). Two shuffles, both on
+high-cardinality keys; the shingle DF table is the same inverted index
+the n-gram Jaccard dedup builds, so at production scale the two share a
+materialized intermediate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.llm.dedup import _SHINGLES_SQL_DUCK, _shingles_spark
+from etl_loading_scripts_spark.registry import register
+
+
+@register(
+    "ngram_duplication_rate",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLES_SQL_DUCK}),
+    ex AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ),
+    dfc AS (
+        SELECT shingle, count(*) AS df FROM ex GROUP BY 1
+    ),
+    per AS (
+        SELECT e.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup
+        FROM ex e JOIN dfc f USING (shingle)
+        GROUP BY 1
+    )
+    SELECT p.doc_id, d.source, p.n_shingles, p.n_dup,
+           CAST(p.n_dup AS DOUBLE) / CAST(p.n_shingles AS DOUBLE) AS dup_rate
+    FROM per p JOIN documents d USING (doc_id)
+    """,
+    doc="Cross-document duplication rate: per doc, the fraction of its "
+    "distinct word-3-gram shingles that occur in >= 2 documents — the "
+    "Gopher-style boilerplate signal, built on the same shingle inverted "
+    "index as the n-gram dedup family.",
+)
+def ngram_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the shingle DF groupBy is the corpus inverted index — one
+    shuffle on the shingle hash (no stop-shingle cap needed here: this is
+    a pure count, never a pairwise join). The join back to exploded
+    shingles co-partitions on the same key; the final per-doc rollup is a
+    shuffle on doc_id that the shingle stage already pre-partitioned.
+    Nothing is quadratic in anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _shingles_spark(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    dfc = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        ex.join(dfc, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup"),
+        )
+    )
+    return per.join(docs.select("doc_id", "source"), "doc_id").select(
+        "doc_id",
+        "source",
+        "n_shingles",
+        "n_dup",
+        (F.col("n_dup").cast("double") / F.col("n_shingles").cast("double")).alias(
+            "dup_rate"
+        ),
+    )

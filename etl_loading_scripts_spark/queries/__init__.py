@@ -25,5 +25,7 @@ from etl_loading_scripts_spark.operators import quality as _quality  # noqa: F40
 from etl_loading_scripts_spark.queries import graph as _graph  # noqa: F401
 from etl_loading_scripts_spark.queries import cohorts as _cohorts  # noqa: F401
 from etl_loading_scripts_spark.operators import cdc as _cdc  # noqa: F401
+from etl_loading_scripts_spark.llm import corpus_stats as _corpus_stats  # noqa: F401
+from etl_loading_scripts_spark.llm import semdedup as _semdedup  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -118,6 +118,7 @@ _BNLJ_OK = {
     "price_equidepth_histogram",  # fact × broadcast(single-row boundary array)
     "join_key_skew_report",  # key counts × broadcast(single-row global stats)
     "triangle_count_copurchase",  # three single-row census aggregates crossed
+    "dedup_semantic_clusters",  # assignment: corpus × broadcast(K centroids)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
