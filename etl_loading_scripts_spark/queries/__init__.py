@@ -27,5 +27,7 @@ from etl_loading_scripts_spark.queries import cohorts as _cohorts  # noqa: F401
 from etl_loading_scripts_spark.operators import cdc as _cdc  # noqa: F401
 from etl_loading_scripts_spark.llm import corpus_stats as _corpus_stats  # noqa: F401
 from etl_loading_scripts_spark.llm import semdedup as _semdedup  # noqa: F401
+from etl_loading_scripts_spark.llm import search as _search  # noqa: F401
+from etl_loading_scripts_spark.sources import layout as _layout  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

@@ -119,6 +119,8 @@ _BNLJ_OK = {
     "join_key_skew_report",  # key counts × broadcast(single-row global stats)
     "triangle_count_copurchase",  # three single-row census aggregates crossed
     "dedup_semantic_clusters",  # assignment: corpus × broadcast(K centroids)
+    "zorder_layout_stats",  # scan × broadcast(single-row domain max)
+    "bm25_search",  # tf scan × broadcast(single-row corpus stats)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
