@@ -569,3 +569,135 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_int",
         (F.col("w_int").cast("double") / F.col("wmax").cast("double")).alias("loading"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — codebook encode + asymmetric distance
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: 64 dims → M_SUB subspaces of SUB_DIM dims, C_CODES
+#: codewords per subspace (deterministic codebook = sub-vectors of the
+#: first C_CODES vectors, standing in for a trained k-means codebook).
+M_SUB = 8
+SUB_DIM = 8
+C_CODES = 16
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    subs AS (
+        SELECT q.vec_id, r.m,
+               qv[(r.m * {SUB_DIM} + 1):(r.m * {SUB_DIM} + {SUB_DIM})] AS sv
+        FROM q CROSS JOIN range({M_SUB}) r(m)
+    ),
+    cw AS (
+        SELECT vec_id AS cid, m, sv AS cwv FROM subs WHERE vec_id < {C_CODES}
+    ),
+    scored AS (
+        SELECT s.vec_id, s.m, c.cid,
+               CAST(list_sum(list_transform(list_zip(s.sv, c.cwv),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS BIGINT) AS d2
+        FROM subs s JOIN cw c ON s.m = c.m
+    ),
+    codes AS (
+        SELECT vec_id, m, cid AS code
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, cid
+            ) AS rn
+            FROM scored
+        )
+        WHERE rn = 1
+    ),
+    dtab AS (
+        SELECT vec_id AS query_id, m, cid AS code, d2
+        FROM scored WHERE vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT d.query_id, c.vec_id AS neighbor_id,
+               CAST(sum(d.d2) AS BIGINT) AS adc_dist
+        FROM codes c JOIN dtab d ON c.m = d.m AND c.code = d.code
+        WHERE c.vec_id <> d.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+        ) AS rank
+        FROM adc
+    )
+    WHERE rank <= {TOP_K}
+    """,
+    doc=f"Product-quantization ANN: {M_SUB}×{SUB_DIM}-dim subspaces, "
+    f"{C_CODES}-codeword codebooks, asymmetric-distance top-{TOP_K} for "
+    f"{N_QUERIES} queries — exact integer L2² throughout, so both engines "
+    "agree bit-for-bit.",
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: this is the memory-bound ANN path — the corpus is stored as
+    M_SUB byte codes per vector (64 bytes → 8 bytes here, 32× at
+    production dims), and query scoring touches only the code table plus
+    a broadcast distance table of |queries|×M_SUB×C_CODES precomputed
+    cells. Encoding is corpus × broadcast(codebook) with an argmin window
+    per (vec, subspace); ADC is one hash join on (subspace, code) + one
+    groupBy(query, vec) with map-side partial sums. No full vectors move
+    after encoding — at 100 TB the codes table is ~3 TB and the scan is
+    pure sequential integer adds (the FAISS IVFPQ inner loop, as a
+    DataFrame plan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # materialization barrier before the Generate (see _shingles_spark)
+    q = (
+        emb.select("vec_id", F.expr(_QVEC_SPARK).alias("qv"))
+        .groupBy("vec_id")
+        .agg(F.first("qv").alias("qv"))
+    )
+    subs = q.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {M_SUB - 1}), "
+                f"m -> slice(qv, m * {SUB_DIM} + 1, {SUB_DIM}))"
+            )
+        ).alias("m", "sv"),
+    )
+    cw = subs.filter(F.col("vec_id") < C_CODES).select(
+        F.col("vec_id").alias("cid"), "m", F.col("sv").alias("cwv")
+    )
+    d2 = F.expr(
+        "aggregate(zip_with(sv, cwv, (x, y) -> (x - y) * (x - y)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    scored = (
+        subs.join(F.broadcast(cw), "m")
+        .withColumn("d2", d2)
+        .select("vec_id", "m", "cid", "d2")
+        .localCheckpoint()
+    )
+    w_enc = Window.partitionBy("vec_id", "m").orderBy("d2", "cid")
+    codes = (
+        scored.withColumn("rn", F.row_number().over(w_enc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+    dtab = scored.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        F.col("cid").alias("code"),
+        "d2",
+    )
+    adc = (
+        codes.join(F.broadcast(dtab), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").cast("long").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+    )
