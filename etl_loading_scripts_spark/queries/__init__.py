@@ -29,5 +29,6 @@ from etl_loading_scripts_spark.llm import corpus_stats as _corpus_stats  # noqa:
 from etl_loading_scripts_spark.llm import semdedup as _semdedup  # noqa: F401
 from etl_loading_scripts_spark.llm import search as _search  # noqa: F401
 from etl_loading_scripts_spark.sources import layout as _layout  # noqa: F401
+from etl_loading_scripts_spark.queries import advanced as _advanced  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]
