@@ -657,3 +657,165 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_hash"),
         )
     )
+
+
+@register(
+    "doc_lm_score",
+    oracle=r"""
+    WITH docs_w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '') AS words
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(words)),
+                      i -> {'w1': words[i], 'w2': words[i+1]})) AS b
+        FROM docs_w WHERE len(words) >= 2
+    ),
+    flat AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    c2 AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12 FROM flat GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c2 GROUP BY 1),
+    probs AS (
+        SELECT c2.w1, c2.w2, (c2.n12 * 1000000) // c1.n1 AS p_scaled
+        FROM c2 JOIN c1 ON c2.w1 = c1.w1
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p.p_scaled) AS BIGINT) AS sum_p,
+           CAST(SUM(p.p_scaled) AS DOUBLE) / 1000000.0
+               / CAST(COUNT(*) AS DOUBLE) AS avg_prob
+    FROM flat f JOIN probs p ON f.w1 = p.w1 AND f.w2 = p.w2
+    GROUP BY 1
+    """,
+    doc="Per-document LM quality score: average corpus-bigram conditional "
+    "probability over the doc's token stream (integer-scaled probs, so "
+    "both engines agree exactly) — the cheap perplexity-proxy filter a "
+    "curation pipeline runs before an expensive model-based one.",
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the LM side is vocabulary-bounded (bigram counts shuffle
+    once with map-side combine, prefix counts re-aggregate those); the
+    scoring side joins the positional bigram stream to the prob table on
+    (w1, w2) — Zipf makes the table small enough to broadcast in
+    practice, and AQE picks that up — then one groupBy(doc_id) with
+    exact integer sums. Probabilities are quantized ((n12*1e6) div n1)
+    so the per-doc mean is bit-identical across engines and partition
+    orders."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    w = (
+        docs.repartition(par, "doc_id")
+        .select("doc_id", _words_col().alias("words"))
+        .filter(F.size("words") >= 2)
+        .groupBy("doc_id")
+        .agg(F.first("words").alias("words"))
+    )
+    flat = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(words) - 1), "
+                "i -> struct(words[i-1] AS w1, words[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    flat = flat.localCheckpoint()  # one tokenize pass feeds LM + scoring
+    c2 = flat.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    probs = c2.join(c1, "w1").select(
+        "w1", "w2", F.expr("(n12 * 1000000) div n1").alias("p_scaled")
+    )
+    return (
+        flat.join(probs, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("p_scaled").cast("long").alias("sum_p"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_p",
+            (
+                F.col("sum_p").cast("double")
+                / F.lit(1000000.0)
+                / F.col("n_bigrams").cast("double")
+            ).alias("avg_prob"),
+        )
+    )
+
+
+#: Char-span mining geometry: spans of SPAN_LEN chars sampled every
+#: SPAN_STRIDE chars — the cheap approximation of suffix-array substring
+#: dedup (Lee et al. 2022): any duplicated run ≥ SPAN_LEN+SPAN_STRIDE
+#: chars is guaranteed to share at least one sampled span.
+SPAN_LEN = 20
+SPAN_STRIDE = 10
+SPAN_TOP = 100
+
+
+@register(
+    "substring_dup_spans",
+    oracle=f"""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(0, (len(text) - {SPAN_LEN}) // {SPAN_STRIDE} + 1),
+                   k -> substr(text, k * {SPAN_STRIDE} + 1, {SPAN_LEN})
+               )) AS span
+        FROM documents
+        WHERE len(text) >= {SPAN_LEN}
+    )
+    SELECT span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occur,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM grams
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, span
+    LIMIT {SPAN_TOP}
+    """,
+    doc=f"Cross-document duplicated character spans: {SPAN_LEN}-char "
+    f"windows sampled every {SPAN_STRIDE} chars, grouped corpus-wide; "
+    "spans in ≥ 2 docs surface verbatim boilerplate — the stride-sampled "
+    "stand-in for suffix-array substring dedup (Lee et al. 2022).",
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: span extraction is a codegen Generate (≈ chars/stride rows
+    per doc, 10× smaller than char-grams at stride 1); the census is ONE
+    groupBy(span) with map-side combine. No pairwise join at all — the
+    span table IS the dedup index, and the top-k is
+    TakeOrderedAndProject. Stride trades recall for cost linearly:
+    runs ≥ len+stride chars are always caught."""
+    docs = load_table(spark, sf_dir, "documents")
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    grams = (
+        docs.repartition(par, "doc_id")
+        .filter(F.length("text") >= SPAN_LEN)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, (length(text) - {SPAN_LEN}) "
+                    f"div {SPAN_STRIDE}), "
+                    f"k -> substring(text, k * {SPAN_STRIDE} + 1, {SPAN_LEN}))"
+                )
+            ).alias("span"),
+        )
+    )
+    return (
+        grams.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occur"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "span")
+        .limit(SPAN_TOP)
+    )
