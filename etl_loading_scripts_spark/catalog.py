@@ -76,19 +76,34 @@ def _nanos_probe_cached(path: str, _mtime_ns: int) -> list[str]:
 
 
 def _normalize_nanos(df: DataFrame, nanos_cols: list[str]) -> DataFrame:
-    """TIMESTAMP(NANOS) parquet columns arrive as long under
-    ``spark.sql.legacy.parquet.nanosAsLong``; convert to microsecond
-    TimestampType — same truncation DuckDB applies reading the file."""
+    """Normalize event-time columns to UTC microsecond ``TimestampType``
+    regardless of how the parquet writer typed them — the driver has
+    shipped ``events.ts`` as TIMESTAMP(NANOS) and as TIMESTAMP(MICROS)
+    isAdjustedToUTC=false across rounds:
+
+    - TIMESTAMP(NANOS) arrives as long under
+      ``spark.sql.legacy.parquet.nanosAsLong``; integer-divide to micros
+      (same truncation DuckDB applies reading the file);
+    - TIMESTAMP(MICROS) without UTC adjustment arrives as
+      ``TimestampNTZType``; with the session zone pinned UTC
+      (:func:`_pin_session_semantics`), a plain cast reinterprets the
+      same wall clock as the same instant — bit-identical to what DuckDB
+      computes on the naive value.
+
+    Works identically on batch and ``readStream`` DataFrames.
+    """
     from pyspark.sql import functions as F
 
     out = df
-    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    for name in nanos_cols:
-        if types.get(name) == "bigint":
+    for f in df.schema.fields:
+        kind = f.dataType.simpleString()
+        if f.name in nanos_cols and kind == "bigint":
             # integer division: float division of ~1e18 nanos loses precision
             out = out.withColumn(
-                name, F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+                f.name, F.timestamp_micros(F.expr(f"`{f.name}` div 1000"))
             )
+        elif kind == "timestamp_ntz":
+            out = out.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return out
 
 
@@ -133,7 +148,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
-    return _normalize_nanos(df, nanos_cols) if nanos_cols else df
+    return _normalize_nanos(df, nanos_cols)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -30,8 +30,21 @@ def vanilla_conf(spark):
         spark.conf.set(NANOS_CONF, had)
 
 
-def test_events_detected_as_nanos(sf_dir):
-    assert _nanos_timestamp_columns(table_path(sf_dir, "events")) == ["ts"]
+def test_events_nanos_probe_matches_file(sf_dir):
+    """The probe reports exactly the TIMESTAMP(NANOS) columns the file
+    stores. The driver has shipped events as both nanos and micros across
+    rounds, so assert against the actual footer rather than hard-coding."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    path = table_path(sf_dir, "events")
+    schema = ds.dataset(path, format="parquet").schema
+    expected = [
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
+    assert _nanos_timestamp_columns(path) == expected
 
 
 def test_non_events_tables_have_no_nanos(sf_dir):
@@ -45,5 +58,11 @@ def test_load_events_without_preset_conf(vanilla_conf, sf_dir):
 
 
 def test_load_events_sets_conf_at_read_time(vanilla_conf, sf_dir):
+    """When (and only when) the file stores nanos, the conf is enabled
+    just-in-time; a micros file must load without touching it."""
+    has_nanos = bool(_nanos_timestamp_columns(table_path(sf_dir, "events")))
     load_table(vanilla_conf, sf_dir, "events")
-    assert vanilla_conf.conf.get(NANOS_CONF) == "true"
+    if has_nanos:
+        assert vanilla_conf.conf.get(NANOS_CONF) == "true"
+    else:
+        assert vanilla_conf.conf.get(NANOS_CONF, None) is None
