@@ -97,6 +97,26 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_assign(n: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest deterministic coarse centroid
+    (``vec_id % CENTROID_STEP == 0``): broadcast the C centroids, score
+    map-side, keep rank 1 per vector (ties → smallest centroid_id)."""
+    centroids = n.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv"), F.col("norm2").alias("cn")
+    )
+    sim_to_centroid = _cosine_expr("qv", "cv", "norm2", "cn")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("centroid_sim").desc(), "centroid_id"
+    )
+    return (
+        n.crossJoin(F.broadcast(centroids))
+        .withColumn("centroid_sim", sim_to_centroid)
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "qv", "norm2", "centroid_id")
+    )
+
+
 @register(
     "ann_ivf_topk",
     oracle=f"""
@@ -149,20 +169,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality knob, the plan shape is identical)."""
     emb = load_table(spark, sf_dir, "embeddings")
     n = _quantized(emb).select("vec_id", "qv", "norm2")
-    centroids = n.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv"), F.col("norm2").alias("cn")
-    )
-    sim_to_centroid = _cosine_expr("qv", "cv", "norm2", "cn")
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("centroid_sim").desc(), "centroid_id"
-    )
-    assigned = (
-        n.crossJoin(F.broadcast(centroids))
-        .withColumn("centroid_sim", sim_to_centroid)
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "qv", "norm2", "centroid_id")
-    )
+    assigned = _ivf_assign(n)
     a = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qa"),
@@ -183,6 +190,95 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+#: Neighbors per vector in the k-NN graph (small on purpose: the graph is
+#: the input to clustering/SemDeDup, not a search result page).
+KNN_GRAPH_K = 5
+
+
+@register(
+    "knn_join_ivf",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2
+        FROM (SELECT vec_id, {_QVEC} AS qv FROM embeddings)
+    ),
+    centroids AS (
+        SELECT vec_id AS centroid_id, qv AS cv, norm2 AS cn FROM n
+        WHERE vec_id % {CENTROID_STEP} = 0
+    ),
+    assigned AS (
+        SELECT vec_id, qv, norm2, centroid_id
+        FROM (
+            SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='v.qv', b='c.cv')} AS DOUBLE)
+                                / sqrt(CAST(v.norm2 AS DOUBLE)) / sqrt(CAST(c.cn AS DOUBLE)) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM n v CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST({_DOT_DUCK.format(a='a.qv', b='b.qv')} AS DOUBLE)
+                   / sqrt(CAST(a.norm2 AS DOUBLE)) / sqrt(CAST(b.norm2 AS DOUBLE)) AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {KNN_GRAPH_K}
+    """,
+    doc=f"k-NN GRAPH construction (corpus × corpus, top-{KNN_GRAPH_K} "
+    "neighbors for EVERY vector, not just a query set) with candidates "
+    "bounded to each vector's IVF cell — the self-join that feeds "
+    "SemDeDup/graph clustering, made hash-joinable by coarse quantization.",
+)
+def knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlike ``ann_ivf_topk`` (small query set probes the corpus), this
+    is the all-pairs-shaped workload: every vector needs neighbors. The
+    cell equi-join caps candidate pairs at Σ|cell|² — with C ≈ sqrt(N)
+    balanced cells that is N^1.5, vs N² brute force, and each cell is an
+    independent mini-join that AQE can rebalance.
+
+    Scale: one broadcast (C centroids), one shuffle on centroid_id for
+    the self-join, one shuffle on query_id for the per-vector top-k.
+    Skewed (over-full) cells are the known failure mode — production
+    splits them by a secondary hash the same way `salted_join` does;
+    recall lost at cell borders is recovered by multi-probe (assign to
+    2 nearest cells), which multiplies candidates by 2, not N."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _quantized(emb).select("vec_id", "qv", "norm2")
+    assigned = _ivf_assign(n)
+    a = assigned.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("norm2").alias("na"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qv").alias("qb"),
+        F.col("norm2").alias("nb"),
+        "centroid_id",
+    )
+    scored = (
+        a.join(b, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_expr("qa", "qb", "na", "nb"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= KNN_GRAPH_K
+    )
 
 
 # ---------------------------------------------------------------------------

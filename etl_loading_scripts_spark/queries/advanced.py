@@ -176,3 +176,94 @@ def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_purchases"), F.lit(0)).alias("n_purchases"),
         F.coalesce(F.col("value_cents"), F.lit(0)).alias("value_cents"),
     )
+
+
+#: Interval length for the concurrency sweep: every event holds a resource
+#: (session/connection/license) open this long.
+SWEEP_SESSION_US = 1_800 * 1_000_000  # 30 min in microseconds
+
+
+@register(
+    "max_concurrent_intervals",
+    oracle=f"""
+    WITH deltas AS (
+        SELECT event_type, epoch_us(ts) AS t, 1 AS d FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(ts) + {SWEEP_SESSION_US}, -1 FROM events
+    ),
+    series AS (
+        SELECT event_type, t, SUM(d) AS d FROM deltas GROUP BY 1, 2
+    ),
+    running AS (
+        SELECT event_type, t,
+               SUM(d) OVER (
+                   PARTITION BY event_type ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS open_count
+        FROM series
+    ),
+    peak AS (
+        SELECT event_type, MAX(open_count) AS max_concurrent
+        FROM running GROUP BY 1
+    )
+    SELECT r.event_type,
+           CAST(p.max_concurrent AS BIGINT) AS max_concurrent,
+           MIN(r.t) AS first_peak_us
+    FROM running r
+    JOIN peak p ON r.event_type = p.event_type
+               AND r.open_count = p.max_concurrent
+    GROUP BY 1, 2
+    """,
+    doc="Sweep-line concurrency: every event opens a 30-minute interval; "
+    "per event_type, the maximum number of simultaneously-open intervals "
+    "and the first instant it is reached. The classic 'peak concurrent "
+    "sessions' metric, computed WITHOUT an interval self-join: intervals "
+    "become +1/-1 boundary deltas, a running sum counts what's open.",
+)
+def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the naive formulation self-joins intervals on overlap —
+    quadratic in the dense regions where the answer lives. The sweep is
+    linear: (1) each interval emits two (t, ±1) deltas in the scan stage;
+    (2) deltas are hash-aggregated per (key, t) — map-side combine
+    collapses the raw event volume to the distinct-timestamp volume
+    BEFORE any sort; (3) one ordered window per key runs the cumulative
+    sum. Net-summing simultaneous deltas (end −1 merged with start +1 at
+    the same instant) bakes in half-open [s, e) semantics: touching
+    intervals never count as concurrent, in either engine.
+
+    The per-key ordered window sorts within a shuffle partition; at a
+    scale where a single key's distinct timestamps exceed one task, use
+    the two-phase form: cumulative-sum within coarse time chunks, then
+    add per-chunk offsets (chunk totals are tiny — same offset trick as
+    ``surrogate_key_allocation_partitioned``, operators/mutations.py).
+
+    Microsecond epochs on both engines (``unix_micros`` / ``epoch_us``)
+    keep frame boundaries exact for sub-second timestamps."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("st")
+    )
+    starts = ev.select("event_type", F.col("st").alias("t"), F.lit(1).alias("d"))
+    ends = ev.select(
+        "event_type", (F.col("st") + SWEEP_SESSION_US).alias("t"), F.lit(-1).alias("d")
+    )
+    series = starts.unionAll(ends).groupBy("event_type", "t").agg(F.sum("d").alias("d"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = series.withColumn("open_count", F.sum("d").over(w))
+    peak = running.groupBy("event_type").agg(
+        F.max("open_count").alias("max_concurrent")
+    )
+    return (
+        running.join(F.broadcast(peak), "event_type")
+        .filter(F.col("open_count") == F.col("max_concurrent"))
+        .groupBy("event_type", "max_concurrent")
+        .agg(F.min("t").alias("first_peak_us"))
+        .select(
+            "event_type",
+            F.col("max_concurrent").cast("long").alias("max_concurrent"),
+            "first_peak_us",
+        )
+    )

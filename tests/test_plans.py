@@ -121,6 +121,8 @@ _BNLJ_OK = {
     "dedup_semantic_clusters",  # assignment: corpus × broadcast(K centroids)
     "zorder_layout_stats",  # scan × broadcast(single-row domain max)
     "bm25_search",  # tf scan × broadcast(single-row corpus stats)
+    "knn_join_ivf",  # cell assignment: corpus × broadcast(C centroids)
+    "kmv_set_overlap",  # |types|² pair spine (≤25 rows) + broadcast sizes
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
