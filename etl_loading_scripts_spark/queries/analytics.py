@@ -2357,3 +2357,137 @@ def kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21/Q22-shaped correlated-subquery workloads
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_sole_blame",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numblame
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q21 shape: suppliers who were the ONLY supplier with a "
+    "returned line on a finished multi-supplier order — EXISTS(another "
+    "supplier) AND NOT EXISTS(another returning supplier), counted per "
+    "supplier. Oracle states the two correlated subqueries literally; "
+    "the engine computes both predicates from ONE per-order aggregate.",
+)
+def supplier_sole_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic Q21 rewrite: the naive plan walks lineitem three times
+    (probe + correlated semi + correlated anti — two extra fact-scale
+    shuffles and the anti's NULL-trap). Instead aggregate lineitem ONCE
+    per order — n_suppliers = countDistinct(suppkey), n_ret_suppliers =
+    countDistinct(suppkey) where returned — and the predicates collapse
+    to arithmetic: EXISTS(other supplier) ⇔ n_suppliers ≥ 2; NOT
+    EXISTS(other returner) ⇔ n_ret_suppliers = 1 (the probe row itself
+    is returned). One fact shuffle on l_orderkey shared by probe and
+    stats, broadcast supplier/order filters — survives 100× because
+    nothing exceeds order-grain cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_suppliers"),
+    )
+    probe = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+            "l_orderkey",
+        )
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("n_suppliers") >= 2) & (F.col("n_ret_suppliers") == 1))
+    )
+    return (
+        probe.join(
+            F.broadcast(sup.select(F.col("s_suppkey").alias("l_suppkey"), "s_name")),
+            "l_suppkey",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numblame"))
+    )
+
+
+@register(
+    "high_balance_inactive",
+    oracle="""
+    WITH avg_bal AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                   / COUNT(*) AS threshold
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+    FROM customer c, avg_bal
+    WHERE c.c_acctbal > avg_bal.threshold
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2001-01-01'
+      )
+    GROUP BY 1
+    """,
+    doc="TPC-H Q22 shape: customers with above-average balance (among "
+    "positive balances) and no orders since 2001-01-01 (churned "
+    "high-value accounts) — scalar aggregate subquery threshold + NOT "
+    "EXISTS anti-join over a date-bounded order window, rolled up per "
+    "market segment as (count, exact-decimal balance sum).",
+)
+def high_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the threshold is a single-row aggregate broadcast back
+    (never a driver round-trip inside the plan), the NOT EXISTS is a
+    left-anti shuffle on c_custkey against orders keys only (column-
+    pruned probe), and the rollup is segment-grain. The average divides
+    an exact DECIMAL sum by an exact count, so the threshold — and hence
+    set membership near the boundary — is bit-identical to the oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("threshold")
+    )
+    return (
+        cust.crossJoin(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("threshold"))
+        .join(
+            orders.filter(F.col("o_orderdate") >= "2001-01-01").select(
+                F.col("o_custkey").alias("c_custkey")
+            ),
+            "c_custkey",
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+        )
+    )

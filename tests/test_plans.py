@@ -123,6 +123,7 @@ _BNLJ_OK = {
     "bm25_search",  # tf scan × broadcast(single-row corpus stats)
     "knn_join_ivf",  # cell assignment: corpus × broadcast(C centroids)
     "kmv_set_overlap",  # |types|² pair spine (≤25 rows) + broadcast sizes
+    "high_balance_inactive",  # customers × broadcast(single-row avg threshold)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
