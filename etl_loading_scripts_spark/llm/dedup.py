@@ -982,3 +982,114 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             c_b.alias("containment_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash LSH: delta-vs-index probe
+# ---------------------------------------------------------------------------
+
+#: Deterministic corpus split standing in for "today's arrivals": doc_id
+#: ≡ 0 (mod 5) is the delta batch, everything else is the already-indexed
+#: corpus.
+DELTA_MOD = 5
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLES_SQL_DUCK}),
+    hashed AS (
+        SELECT doc_id, shingles,
+               {_hash_array_exprs_duck()}
+        FROM shingled
+    ),
+    sigs AS (
+        SELECT doc_id, shingles,
+               {_minhash_exprs_duck()}
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id, shingles,
+               {_band_keys_duck()}
+        FROM sigs
+    ),
+    band_long AS (
+        SELECT doc_id, b.band, b.key
+        FROM banded,
+        LATERAL (VALUES (0, band0), (1, band1), (2, band2), (3, band3)) AS b(band, key)
+    ),
+    candidates AS (
+        SELECT DISTINCT d.doc_id AS delta_id, x.doc_id AS index_id
+        FROM band_long d JOIN band_long x
+          ON d.band = x.band AND d.key = x.key
+         AND d.doc_id % {DELTA_MOD} = 0 AND x.doc_id % {DELTA_MOD} <> 0
+    ),
+    verified AS (
+        SELECT c.delta_id, c.index_id,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+               (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+        FROM candidates c
+        JOIN shingled sa ON c.delta_id = sa.doc_id
+        JOIN shingled sb ON c.index_id = sb.doc_id
+    )
+    SELECT delta_id, index_id, jaccard FROM verified
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    doc="Incremental near-dedup: the arriving delta batch (doc_id ≡ 0 mod "
+    f"{DELTA_MOD}) is MinHash-banded and probed against the indexed "
+    "corpus's band buckets ONLY — no index×index pairs are ever formed. "
+    "Emits (delta_id, index_id, jaccard ≥ threshold): the delta documents "
+    "that collide with something already ingested.",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production shape for continuously-ingested corpora: re-running
+    full-corpus LSH per day is O(corpus) every day; the incremental probe
+    is O(delta). The band-key table for the index side is computed once
+    and PERSISTED (parquet bucketed by (band, key) — `sources.write_bucketed`
+    gives a shuffle-free probe join); here both sides derive from the same
+    table because the oracle harness is stateless, but the plan only forms
+    delta×index candidates, which is the property that matters: cost
+    follows the day's arrivals, not corpus history. Accepted delta docs
+    append their band keys to the index for tomorrow — the signature store
+    is mergeable state, like every sketch in this engine.
+
+    Cites the same LSH constants as `dedup_minhash_lsh` (4 bands × 3
+    rows), so a delta doc collides here iff the full-corpus run would
+    have paired it with an indexed doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _shingles_spark(docs, materialize=False)
+    hashed = shingled.select("doc_id", "shingles", *_hash_array_exprs_spark())
+    sigs = hashed.select("doc_id", *_minhash_exprs_spark())
+    banded = sigs.select("doc_id", *_band_keys_spark())
+    band_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    delta = band_long.filter(F.col("doc_id") % DELTA_MOD == 0).select(
+        F.col("doc_id").alias("delta_id"), "band", "key"
+    )
+    index = band_long.filter(F.col("doc_id") % DELTA_MOD != 0).select(
+        F.col("doc_id").alias("index_id"), "band", "key"
+    )
+    candidates = (
+        delta.join(index, ["band", "key"]).select("delta_id", "index_id").distinct()
+    )
+    sh_d = shingled.select(F.col("doc_id").alias("delta_id"), F.col("shingles").alias("sh_d"))
+    sh_x = shingled.select(F.col("doc_id").alias("index_id"), F.col("shingles").alias("sh_x"))
+    inter = F.size(F.array_intersect("sh_d", "sh_x"))
+    union = F.size("sh_d") + F.size("sh_x") - inter
+    return (
+        candidates.join(sh_d, "delta_id")
+        .join(sh_x, "index_id")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("delta_id", "index_id", "jaccard")
+    )

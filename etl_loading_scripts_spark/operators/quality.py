@@ -117,3 +117,127 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("events_ts_not_null", lambda: events.filter(F.col("ts").isNull())),
     ]
     return run_checks(spark, checks)
+
+
+# ---------------------------------------------------------------------------
+# Anti-entropy table comparison (replica checksum diff)
+# ---------------------------------------------------------------------------
+
+#: Comparison granularity: differing buckets are re-synced / drilled into,
+#: so bucket count trades re-sync unit size against report size.
+CHECKSUM_BUCKETS = 64
+
+_HEXVAL = (
+    "CASE {c} "
+    + " ".join(f"WHEN '{x:x}' THEN {x}" for x in range(16))
+    + " END"
+)
+
+
+def _hex32_sum_sql(hcol: str) -> str:
+    """SQL (valid in BOTH Spark SQL and DuckDB) turning the first 8 hex
+    chars of ``hcol`` into a 32-bit integer: Σ nibble_i · 16^(7-i).
+    Avoids every engine-specific hex→int builtin."""
+    terms = [
+        "CAST("
+        + _HEXVAL.format(c=f"substr({hcol}, {i + 1}, 1)")
+        + f" AS BIGINT) * {16 ** (7 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_ROW_FP = (
+    "md5(concat(CAST(o_orderkey AS VARCHAR), ':', "
+    "CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), ':', "
+    "o_orderstatus))"
+)
+
+#: Deterministic replica drift injected for the demonstration: price bumped
+#: on keys ≡ 0 (mod 997), rows lost on keys ≡ 0 (mod 1499).
+_REPLICA_SQL = """
+    SELECT o_orderkey,
+           o_totalprice + CASE WHEN o_orderkey % 997 = 0 THEN 1.0 ELSE 0.0 END
+               AS o_totalprice,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 1499 <> 0
+"""
+
+
+def _bucket_checksums_sql(src: str) -> str:
+    return f"""
+        SELECT o_orderkey % {CHECKSUM_BUCKETS} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM({_hex32_sum_sql(_ROW_FP)}) AS BIGINT) AS checksum
+        FROM ({src}) GROUP BY 1
+    """
+
+
+@register(
+    "table_checksum_diff",
+    oracle=f"""
+    WITH src AS ({_bucket_checksums_sql("SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders")}),
+    rep AS ({_bucket_checksums_sql(_REPLICA_SQL)})
+    SELECT COALESCE(src.bucket, rep.bucket) AS bucket,
+           COALESCE(src.n_rows, 0) AS n_src, COALESCE(rep.n_rows, 0) AS n_rep,
+           COALESCE(src.checksum, 0) AS sum_src, COALESCE(rep.checksum, 0) AS sum_rep
+    FROM src FULL OUTER JOIN rep ON src.bucket = rep.bucket
+    WHERE COALESCE(src.n_rows, 0) <> COALESCE(rep.n_rows, 0)
+       OR COALESCE(src.checksum, 0) <> COALESCE(rep.checksum, 0)
+    """,
+    doc="Anti-entropy replica comparison: both tables reduce to "
+    f"{CHECKSUM_BUCKETS} (bucket, row-count, order-insensitive md5-sum) "
+    "checksums; only buckets whose checksums disagree are reported — "
+    "drift detection between two copies WITHOUT a row-level join. The "
+    "'replica' is the source with deterministic injected drift (price "
+    "bump on keys ≡0 mod 997, row loss on keys ≡0 mod 1499).",
+)
+def table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparing two 100 TB replicas row-by-row is a full-table shuffle
+    join; the checksum reduction is one map-side-combinable aggregate
+    per side (SUM of per-row 32-bit fingerprints is order- and
+    partition-insensitive), a {CHECKSUM_BUCKETS}-row join, and a filter.
+    Buckets that differ localize the re-sync to 1/{CHECKSUM_BUCKETS} of
+    the keyspace — recurse with a finer modulus inside a dirty bucket to
+    narrow further (Merkle-style) before ever touching rows.
+
+    The per-row fingerprint hashes exact integers (cents) and strings —
+    never raw doubles — so both engines checksum identical bytes."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    replica = (
+        orders.filter(F.col("o_orderkey") % 1499 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 997 == 0, 1.0).otherwise(0.0),
+        )
+    )
+    fp = F.expr(_hex32_sum_sql(_ROW_FP.replace("AS VARCHAR", "AS STRING")))
+
+    def summarize(df: DataFrame, n_alias: str, s_alias: str) -> DataFrame:
+        return (
+            df.withColumn("__fp__", fp)
+            .groupBy((F.col("o_orderkey") % CHECKSUM_BUCKETS).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias(n_alias),
+                F.sum("__fp__").alias(s_alias),
+            )
+        )
+
+    src = summarize(orders, "n_src", "sum_src")
+    rep = summarize(replica, "n_rep", "sum_rep")
+    return (
+        src.join(rep, "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("n_src", F.lit(0)).alias("n_src"),
+            F.coalesce("n_rep", F.lit(0)).alias("n_rep"),
+            F.coalesce("sum_src", F.lit(0)).alias("sum_src"),
+            F.coalesce("sum_rep", F.lit(0)).alias("sum_rep"),
+        )
+        .filter(
+            (F.col("n_src") != F.col("n_rep")) | (F.col("sum_src") != F.col("sum_rep"))
+        )
+    )

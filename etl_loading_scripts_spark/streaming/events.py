@@ -726,3 +726,68 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+    doc="Structured Streaming stream-static enrichment: the event stream "
+    "joins the batch customer dimension (broadcast hash join inside each "
+    "micro-batch) and aggregates per (market segment, event_type) — the "
+    "canonical 'enrich clickstream with the user table' topology.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A stream-static join needs NO watermark and holds NO join state:
+    every micro-batch hash-joins against the (re-read) static side, so
+    dimension updates are picked up between batches — Spark's planner
+    re-resolves the batch side per micro-batch. Broadcast keeps the
+    stream side shuffle-free; the only stateful operator is the final
+    aggregation, whose state is bounded by group cardinality
+    (segments × event types), not stream length.
+
+    At production scale the static side is a slowly-changing dim on
+    object storage and the stream is Kafka; this plan is exactly what
+    runs, sink swapped."""
+    from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
+
+    src = table_path(sf_dir, "events")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_sse_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    raw_schema, nanos_cols = stream_source_schema(spark, src)
+    stream = _normalize_nanos(
+        spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id")
+    agg = enriched.groupBy("c_mktsegment", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+    )
+    sink = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink).select(
+        "c_mktsegment", "event_type", "n_events", "total_value"
+    )

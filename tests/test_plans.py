@@ -98,6 +98,7 @@ _EXECUTING = {
     "stream_stream_join",
     "stream_stream_left_join",
     "stream_dedup_events",
+    "stream_static_enrich",
     "monthly_load_e2e",
     "dedup_clusters",
     "dedup_clusters_bigstar",
