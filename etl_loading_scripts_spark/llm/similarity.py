@@ -797,3 +797,57 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         adc.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= TOP_K)
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    expl AS (
+        SELECT CAST(d.dim - 1 AS INT) AS dim, qv[d.dim] AS v
+        FROM q, LATERAL unnest(range(1, {DIM} + 1)) AS d(dim)
+    ),
+    m AS (
+        SELECT dim,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS sv,
+               CAST(SUM(v * v) AS BIGINT) AS svv
+        FROM expl GROUP BY 1
+    )
+    SELECT dim, n,
+           CAST(sv AS DOUBLE) / n AS mean_q,
+           sqrt(CAST(n AS DOUBLE) * svv - CAST(sv AS DOUBLE) * sv) / n AS std_q
+    FROM m
+    """,
+    doc="Per-dimension mean and population std of the (quantized) "
+    "embedding matrix — the feature-store hygiene scan that catches "
+    "dead dimensions (std≈0), scale drift between embedding versions, "
+    "and normalization bugs before they poison ANN distances.",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: posexplode multiplies rows ×DIM in the scan stage (no
+    shuffle — generators pipeline into the partial aggregate), then ONE
+    shuffle of |DIM| moment rows. Moments are exact int64 sums of
+    quantized values, so mean/std are identical doubles on both engines;
+    they are also mergeable, so per-shard partials roll up exactly —
+    recomputing stats after corpus appends touches only the new shard."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _quantized(emb).select("vec_id", "qv")
+    expl = q.select(F.posexplode("qv").alias("dim", "v"))
+    m = expl.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).alias("svv"),
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "dim",
+        "n",
+        (F.col("sv").cast("double") / F.col("n")).alias("mean_q"),
+        (
+            F.sqrt(nd * F.col("svv") - F.col("sv").cast("double") * F.col("sv"))
+            / F.col("n")
+        ).alias("std_q"),
+    )

@@ -2491,3 +2491,154 @@ def high_balance_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
         )
     )
+
+
+@register(
+    "weighted_median_price",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               l_extendedprice AS price,
+               CAST(round(l_quantity) AS BIGINT) AS wt,
+               l_orderkey, l_linenumber
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, price, wt,
+               SUM(wt) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY price, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cw,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS total_w
+        FROM w
+    )
+    SELECT l_returnflag,
+           MIN(price) AS weighted_median,
+           CAST(MIN(total_w) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE cw * 2 >= total_w
+    GROUP BY 1
+    """,
+    doc="Quantity-weighted median price per return flag: the smallest "
+    "price whose cumulative quantity reaches half the flag's total — "
+    "the 'median unit sold' (not median line), robust to a few huge "
+    "cheap lines. Integer weights + integer half-point compare, so the "
+    "boundary row is engine-exact.",
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one window per group key (cumulative weight) + the
+    per-group total as an unordered window — both partition-local after
+    a single shuffle on l_returnflag. Intra-tie row order can't change
+    the answer (every row of the boundary price yields the same MIN),
+    but the ORDER BY still carries the unique key so the cum column is
+    deterministic row-for-row. At whale-group scale use the two-phase
+    chunked cumulative (per-chunk sums → offsets), or the approximate
+    twin: percentile_approx over weight-replicated values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.round("l_quantity").cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot_w = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(cum_w).alias("cw"),
+        F.sum("wt").over(tot_w).alias("total_w"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("total_w"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.min("total_w").cast("long").alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "price_quantity_corr",
+    oracle="""
+    WITH m AS (
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sy,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS sxy,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                        * CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(round(l.l_quantity) AS BIGINT)
+                        * CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS syy
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY 1
+    )
+    SELECT n_name, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * sqrt(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS corr_price_qty
+    FROM m
+    """,
+    doc="Pearson correlation of line price vs quantity per supplier "
+    "nation, computed from exact integer moments (cents / whole units) "
+    "so both engines feed IDENTICAL integers into the identical final "
+    "double expression — corr() builtins disagree across engines at the "
+    "ulp level; this formulation cannot.",
+)
+def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one fact pass accumulating five integer moments per group
+    (all map-side combinable), broadcast dim joins — the moments shuffle
+    is |nations| rows. The same shape computes covariance matrices for
+    feature stores: moments are mergeable state, so per-shard partials
+    roll up exactly. Overflow headroom: cents ≤ 10^7, so Σx² per group
+    needs ~10^14·rows — switch the moment columns to DECIMAL(38,0) well
+    before 10^4-row groups become 10^9 (the expression shape and the
+    oracle stay unchanged)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    x = F.round(F.col("l_extendedprice") * 100).cast("long")
+    y = F.round(F.col("l_quantity")).cast("long")
+    m = (
+        li.join(
+            F.broadcast(sup.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")),
+            "l_suppkey",
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("s_nationkey"), "n_name")),
+            "s_nationkey",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return m.select(
+        "n_name",
+        "n",
+        (
+            (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (
+                F.sqrt(nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+                * F.sqrt(nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+            )
+        ).alias("corr_price_qty"),
+    )
