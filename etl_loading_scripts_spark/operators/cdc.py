@@ -147,3 +147,55 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq=["ts", "event_id"],
         set_cols={"acctbal": F.col("value")},
     )
+
+
+@register(
+    "scd2_rebuild_from_changelog",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, value,
+           epoch_us(ts) AS valid_from_us,
+           COALESCE(
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), -1) AS valid_to_us,
+           CAST(CASE WHEN lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM log
+    """,
+    doc="SCD2 history REBUILD: the full ordered changelog (purchase "
+    "events as value updates per user) becomes the complete type-2 "
+    "dimension in one pass — valid_from = change time, valid_to = next "
+    "change time via lead() (−1 sentinel = open), half-open [from,to) "
+    "versions. Complements scd2_apply (operators/mutations.py), which "
+    "advances an EXISTING dim by one delta batch.",
+)
+def scd2_rebuild_from_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The backfill path for versioned dimensions: when history must be
+    reconstructed (new column, corrupted dim, first adoption of SCD2),
+    replaying deltas through scd2_apply is O(batches) passes; the
+    rebuild is ONE shuffle on the entity key + one lead() window —
+    optimal at any scale since versions of a key are adjacent after the
+    shuffle. Microsecond epochs keep [from,to) boundaries exact; the
+    open version carries -1 (oracle-hashable, no NULL-vs-NaT ambiguity).
+
+    Reference parity: the monthly snapshot rebuild idiom (SURVEY §4's
+    'full refresh' loads) generalized to per-change granularity."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead(F.unix_micros("ts")).over(w)
+    return log.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.coalesce(nxt, F.lit(-1)).alias("valid_to_us"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )

@@ -2642,3 +2642,75 @@ def price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr_price_qty"),
     )
+
+
+@register(
+    "decile_transition_matrix",
+    oracle="""
+    WITH prev_spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+    ),
+    curr_spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS spend
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+    ),
+    prev_d AS (
+        SELECT o_custkey,
+               NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+        FROM prev_spend
+    ),
+    curr_d AS (
+        SELECT o_custkey,
+               NTILE(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+        FROM curr_spend
+    )
+    SELECT CAST(COALESCE(p.decile, 0) AS INT) AS decile_prev,
+           CAST(COALESCE(c.decile, 0) AS INT) AS decile_curr,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM prev_d p FULL OUTER JOIN curr_d c ON p.o_custkey = c.o_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Customer spend-decile migration across two periods (pre/post "
+    "1998): each period ranks its own customers into deciles (decile 0 "
+    "= absent that period); the full-outer join + count yields the "
+    "transition matrix — the churn/upsell movement report.",
+)
+def decile_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each period's decile assignment goes through
+    ``global_ntile`` (operators/ranks.py) — range-bucketed global rank,
+    no single-partition window — then one key-grain full-outer join and
+    a ≤121-cell aggregate. The oracle keeps the plain NTILE formulation;
+    both must agree cell-for-cell, which exercises the exact-NTILE
+    arithmetic twice under different populations."""
+    from etl_loading_scripts_spark.operators.ranks import global_ntile
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def period_deciles(pred, out_col: str) -> DataFrame:
+        spend = (
+            orders.filter(pred)
+            .groupBy("o_custkey")
+            .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("spend"))
+        )
+        tiled = global_ntile(
+            spend.withColumn("__neg__", -F.col("spend")),
+            10,
+            ["__neg__", "o_custkey"],
+            tile_col=out_col,
+        )
+        return tiled.select("o_custkey", out_col)
+
+    prev_d = period_deciles(F.col("o_orderdate") < "1998-01-01", "decile_prev")
+    curr_d = period_deciles(F.col("o_orderdate") >= "1998-01-01", "decile_curr")
+    return (
+        prev_d.join(curr_d, "o_custkey", "full_outer")
+        .select(
+            F.coalesce("decile_prev", F.lit(0)).cast("int").alias("decile_prev"),
+            F.coalesce("decile_curr", F.lit(0)).cast("int").alias("decile_curr"),
+        )
+        .groupBy("decile_prev", "decile_curr")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
