@@ -93,3 +93,94 @@ def pii_anonymize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mktsegment"),
         F.col("group_n").cast("long").alias("group_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten cascade
+# ---------------------------------------------------------------------------
+
+#: Deterministic stand-in for the deletion-request table: every customer
+#: key ≡ 0 (mod 37) has filed a forget request.
+FORGET_MOD = 37
+
+
+@register(
+    "gdpr_forget_cascade",
+    oracle=f"""
+    WITH forget AS (
+        SELECT c_custkey AS k FROM customer WHERE c_custkey % {FORGET_MOD} = 0
+    ),
+    gone_orders AS (
+        SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM forget)
+    ),
+    audit(table_name, n_before, n_deleted) AS (
+        SELECT 'customer', (SELECT COUNT(*) FROM customer),
+               (SELECT COUNT(*) FROM customer WHERE c_custkey IN (SELECT k FROM forget))
+        UNION ALL
+        SELECT 'orders', (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM gone_orders)
+        UNION ALL
+        SELECT 'lineitem', (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem
+                WHERE l_orderkey IN (SELECT o_orderkey FROM gone_orders))
+        UNION ALL
+        SELECT 'events', (SELECT COUNT(*) FROM events),
+               (SELECT COUNT(*) FROM events WHERE user_id IN (SELECT k FROM forget))
+    )
+    SELECT table_name,
+           CAST(n_before AS BIGINT) AS n_before,
+           CAST(n_deleted AS BIGINT) AS n_deleted,
+           CAST(n_before - n_deleted AS BIGINT) AS n_after
+    FROM audit
+    """,
+    doc="Right-to-be-forgotten cascade audit: deletion requests (custkey "
+    f"≡ 0 mod {FORGET_MOD}) propagate customer → orders → lineitem (via "
+    "orderkeys) and directly to events; emits the per-table "
+    "(before, deleted, after) compliance record the DPO signs off on.",
+)
+def gdpr_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The referential cascade no lakehouse gives you for free: lineitem
+    carries no customer key, so its deletions derive from the DELETED
+    ORDER KEYS — a two-hop dependency that must be computed in
+    topological order. Each table's deletion set is a semi-join against
+    the (small) request set or the derived orderkey set; counts are
+    map-side-combinable aggregates, so the audit costs one pass per
+    table and shuffles only key columns. The same semi-joins negated
+    (left_anti) ARE the delete — `operators.mutations.delete_where` +
+    `publish_table` apply them atomically; this query is the audit face
+    of that pipeline."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ev = load_table(spark, sf_dir, "events")
+    forget = cust.filter(F.col("c_custkey") % FORGET_MOD == 0).select(
+        F.col("c_custkey").alias("k")
+    )
+    gone_orders = orders.join(
+        F.broadcast(forget), orders["o_custkey"] == forget["k"], "left_semi"
+    ).select("o_orderkey")
+
+    def audit(df: DataFrame, name: str, deleted: DataFrame) -> DataFrame:
+        n_b = df.agg(F.count(F.lit(1)).alias("n_before"))
+        n_d = deleted.agg(F.count(F.lit(1)).alias("n_deleted"))
+        return n_b.crossJoin(n_d).select(
+            F.lit(name).alias("table_name"),
+            "n_before",
+            "n_deleted",
+            (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+        )
+
+    parts = [
+        audit(cust, "customer", cust.join(
+            F.broadcast(forget), cust["c_custkey"] == forget["k"], "left_semi")),
+        audit(orders, "orders", gone_orders),
+        audit(li, "lineitem", li.join(
+            gone_orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+            "l_orderkey", "left_semi")),
+        audit(ev, "events", ev.join(
+            F.broadcast(forget), ev["user_id"] == forget["k"], "left_semi")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -98,6 +98,36 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int = 8,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write globally range-clustered data: ``repartitionByRange`` routes
+    each row to the file owning its key range (sampled range boundaries),
+    ``sortWithinPartitions`` orders inside each file.
+
+    The layout, not the query, is what makes 100 TB point/range lookups
+    cheap: after this write every file's parquet min/max stats on
+    ``sort_cols`` are NON-OVERLAPPING (asserted in
+    tests/test_sources_and_skew.py), so a predicate on the leading sort
+    column prunes to ~1 file at planning time — the single-dimension
+    complement of the Z-order layout measured by ``zorder_layout_stats``
+    (use Z-order when two+ columns share the filter load, range-sort when
+    one dominates). The global sort is one skew-resistant range shuffle;
+    there is no single-task total sort anywhere."""
+    (
+        df.repartitionByRange(num_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )
+
+
 def overwrite_fact_month(fact_month: DataFrame, path: str, datekey_col: str = "datekey") -> None:
     """Monthly incremental publish: replace ONLY the month partitions
     present in ``fact_month``, leaving every other month's files untouched.

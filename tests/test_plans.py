@@ -125,6 +125,7 @@ _BNLJ_OK = {
     "knn_join_ivf",  # cell assignment: corpus × broadcast(C centroids)
     "kmv_set_overlap",  # |types|² pair spine (≤25 rows) + broadcast sizes
     "high_balance_inactive",  # customers × broadcast(single-row avg threshold)
+    "gdpr_forget_cascade",  # per-table audit: single-row count × single-row count
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the

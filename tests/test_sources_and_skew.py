@@ -281,3 +281,40 @@ def test_schema_evolution_merge_nulls_missing_columns(spark, tmp_path):
     rows = {r["id"]: (r["v"], r["label"]) for r in df.collect()}
     assert rows[0] == (0, None)
     assert rows[5] == (50, "tagged")
+
+
+def test_range_sorted_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    """write_range_sorted produces files whose parquet min/max stats on
+    the sort key do not overlap — the property that lets a range
+    predicate prune to ~1 file at planning time."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_loading_scripts_spark.sources.io import write_range_sorted
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_range")
+    write_range_sorted(orders, path, ["o_orderkey"], num_files=6)
+
+    ranges = []
+    total = 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        pf = pq.ParquetFile(f)
+        total += pf.metadata.num_rows
+        if pf.metadata.num_rows == 0:
+            continue
+        idx = [c for c in range(pf.metadata.num_row_groups)]
+        schema_names = pf.schema_arrow.names
+        col = schema_names.index("o_orderkey")
+        mins, maxs = [], []
+        for rg in idx:
+            st = pf.metadata.row_group(rg).column(col).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert total == orders.count()
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
+    assert len(ranges) >= 4  # range partitioner actually spread the data
