@@ -1093,3 +1093,38 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("delta_id", "index_id", "jaccard")
     )
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH hashed AS (
+        SELECT source, md5(text) AS h FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM hashed GROUP BY 1
+    """,
+    doc="Per-source exact-duplicate rate: (docs, unique contents, "
+    "duplicate fraction) per source — the corpus-quality dashboard row "
+    "that decides which sources need aggressive dedup before mixing.",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one groupBy(source) with a distinct-count over content
+    hashes — Spark expands COUNT(DISTINCT) into a two-phase aggregate
+    ((source, h) partial dedup, then per-source merge), so no source's
+    full document set ever colocates on one task. The rate divides two
+    exact integers. Feeds `sample_mixture_topk` weights: a source at 40%
+    dup_rate contributes ~0.6× its nominal token budget after dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("source", F.md5("text").alias("h"))
+    return hashed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        (
+            (F.count(F.lit(1)) - F.countDistinct("h")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )

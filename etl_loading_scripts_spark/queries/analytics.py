@@ -2714,3 +2714,73 @@ def decile_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile_prev", "decile_curr")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+@register(
+    "star_join_selective",
+    oracle="""
+    SELECT n.n_name, p.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+      AND c.c_mktsegment = 'BUILDING'
+    GROUP BY 1, 2
+    """,
+    doc="Selective 5-way star join (TPC-H Q8/Q9 shape): fact lineitem "
+    "joined to four filtered dimensions (economy parts, 1997-98 orders, "
+    "building-segment customers, supplier nation), revenue rolled up per "
+    "(nation, brand) with exact decimal discount math.",
+)
+def star_join_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-ordering stress test: written in ARBITRARY order, the
+    physical plan must still (a) push every dim filter into its scan,
+    (b) broadcast the filtered dims against the single fact pass, and
+    (c) aggregate only after all selectivity is applied. Catalyst does
+    all three from the declarative form — the orders side exceeds the
+    broadcast threshold unfiltered but its date filter makes it
+    broadcastable, which AQE detects from runtime stats at 100 TB when
+    static estimates are off. One fact scan, zero fact-to-fact
+    shuffles; the rollup's group count is |nations|×|brands|."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    rev = (
+        F.col("l_extendedprice").cast(DEC)
+        * (F.lit(1) - F.col("l_discount").cast(DEC))
+    )
+    return (
+        li.join(F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"), "p_brand")), "l_partkey")
+        .join(F.broadcast(sup.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")), "l_suppkey")
+        .join(F.broadcast(nat.select(F.col("n_nationkey").alias("s_nationkey"), "n_name")), "s_nationkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+            "l_orderkey",
+        )
+        .join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_semi",
+        )
+        .groupBy("n_name", "p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
