@@ -118,3 +118,161 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Full training-data release pipeline with per-stage accounting
+# ---------------------------------------------------------------------------
+
+from etl_loading_scripts_spark.llm.decontam import (  # noqa: E402
+    BENCH_MOD,
+    CONTAM_ABS,
+    CONTAM_FRAC_DEN,
+    decontam_benchmark_overlap,
+)
+from etl_loading_scripts_spark.llm.dedup import _SHINGLES_SQL_DUCK  # noqa: E402
+from etl_loading_scripts_spark.llm.sampling import SPLIT_TRAIN_HEX  # noqa: E402
+
+
+@register(
+    "corpus_release_e2e",
+    oracle=rf"""
+    WITH near_pairs AS (
+        {_MINHASH_ORACLE}
+    ),
+    quality AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_filter(words, x -> list_contains({_EN_SQL}, x))) AS DOUBLE)
+                   / len(words) AS stop_ratio
+        FROM (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS words
+            FROM documents
+        )
+        WHERE len(words) > 0
+    ),
+    s1 AS (
+        SELECT doc_id FROM quality
+        WHERE n_words >= {MIN_WORDS} AND stop_ratio BETWEEN {STOP_LO} AND {STOP_HI}
+    ),
+    s2 AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents WHERE doc_id IN (SELECT doc_id FROM s1)
+        GROUP BY md5(text)
+    ),
+    s3 AS (
+        SELECT doc_id FROM s2
+        WHERE doc_id NOT IN (SELECT id_b FROM near_pairs)
+    ),
+    shingled2 AS ({_SHINGLES_SQL_DUCK}),
+    bench AS (
+        SELECT DISTINCT md5(unnest(shingles)) AS sh
+        FROM shingled2 WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    corpus AS (
+        SELECT doc_id, md5(unnest(shingles)) AS sh
+        FROM shingled2 WHERE doc_id % {BENCH_MOD} <> 0
+    ),
+    totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM corpus GROUP BY 1
+    ),
+    shared AS (
+        SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM corpus c JOIN bench b ON c.sh = b.sh GROUP BY 1
+    ),
+    contaminated AS (
+        SELECT t.doc_id FROM totals t LEFT JOIN shared s ON t.doc_id = s.doc_id
+        WHERE COALESCE(s.n_shared, 0) >= {CONTAM_ABS}
+           OR COALESCE(s.n_shared, 0) * {CONTAM_FRAC_DEN} >= t.n_shingles
+    ),
+    s4 AS (
+        SELECT doc_id FROM s3
+        WHERE doc_id % {BENCH_MOD} <> 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    s5 AS (
+        SELECT doc_id FROM s4
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{SPLIT_TRAIN_HEX}'
+    )
+    SELECT * FROM (
+        SELECT '0_raw' AS stage, CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs
+        UNION ALL SELECT '1_quality', (SELECT COUNT(*) FROM s1)
+        UNION ALL SELECT '2_exact_dedup', (SELECT COUNT(*) FROM s2)
+        UNION ALL SELECT '3_near_dedup', (SELECT COUNT(*) FROM s3)
+        UNION ALL SELECT '4_decontam', (SELECT COUNT(*) FROM s4)
+        UNION ALL SELECT '5_train_split', (SELECT COUNT(*) FROM s5)
+    )
+    """,
+    doc="The COMPLETE training-data release funnel with per-stage doc "
+    "accounting: raw → quality gate → exact dedup → MinHash-LSH "
+    "near-dedup → benchmark decontamination (bench docs and overlapping "
+    "docs removed) → train-split assignment. One row per stage — the "
+    "data card table every released corpus ships with.",
+)
+def corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every stage reuses the standalone operator's exact semantics
+    (quality/exact/near from `corpus_prep_e2e`, contamination flags from
+    `decontam_benchmark_overlap`, split threshold from
+    `split_train_val_test`), so the funnel IS the composition — no
+    reimplementation to drift. Scale: counts are single-row aggregates
+    over set intersections that are each one bounded shuffle; the six
+    stage counts union driver-free. The funnel's monotone shrinkage
+    (each n ≤ previous) is the built-in sanity invariant."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", _words_col().alias("words")).filter(
+        F.size("words") > 0
+    )
+    en = "array('the','a','of','and','to','in','is')"
+    s1 = words.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        (
+            F.size(F.expr(f"filter(words, x -> array_contains({en}, x))")).cast("double")
+            / F.size("words")
+        ).alias("stop_ratio"),
+    ).filter(
+        (F.col("n_words") >= MIN_WORDS)
+        & F.col("stop_ratio").between(STOP_LO, STOP_HI)
+    ).select("doc_id")
+    s2 = (
+        docs.join(s1, "doc_id")
+        .groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_drop = dedup_minhash_lsh(spark, sf_dir).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    s3 = s2.join(F.broadcast(near_drop), "doc_id", "left_anti")
+    contaminated = (
+        decontam_benchmark_overlap(spark, sf_dir)
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    s4 = (
+        s3.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+    )
+    s5 = s4.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < SPLIT_TRAIN_HEX
+    )
+
+    stages = [
+        ("0_raw", docs),
+        ("1_quality", s1),
+        ("2_exact_dedup", s2),
+        ("3_near_dedup", s3),
+        ("4_decontam", s4),
+        ("5_train_split", s5),
+    ]
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        for name, df in stages
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
