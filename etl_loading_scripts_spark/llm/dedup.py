@@ -25,6 +25,7 @@ import logging
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
 from etl_loading_scripts_spark.registry import register
@@ -1127,4 +1128,83 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.countDistinct("h")).cast("double")
             / F.count(F.lit(1))
         ).alias("dup_rate"),
+    )
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        {_MINHASH_ORACLE}
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    walk(node, label) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    clusters AS (
+        SELECT node AS doc_id, CAST(MIN(label) AS BIGINT) AS cluster_id
+        FROM walk GROUP BY node
+    ),
+    sized AS (
+        SELECT c.cluster_id, c.doc_id,
+               CAST(len(list_filter(string_split_regex(lower(d.text), '\\W+'),
+                                    w -> w <> '')) AS BIGINT) AS n_words
+        FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT cluster_id,
+           doc_id AS kept_doc_id,
+           n_words AS kept_n_words,
+           CAST(n_in_cluster AS BIGINT) AS n_in_cluster
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id ORDER BY n_words DESC, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS n_in_cluster
+        FROM sized
+    ) WHERE rn = 1
+    """,
+    doc="Representative selection for near-dup clusters: instead of the "
+    "keep-min-id rule, each cluster keeps its LONGEST document (word "
+    "count, ties to smaller id) — the quality-aware variant used when "
+    "near-dups differ in truncation/boilerplate and you want the fullest "
+    "copy in the corpus.",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes `dedup_clusters` (connected components over the LSH pair
+    graph) with per-doc length: one join of the cluster labels to word
+    counts, one per-cluster window. Scale: clusters are a vanishing
+    fraction of the corpus (only docs that appear in a near-dup pair),
+    so everything after the CC step is small; the window partitions by
+    cluster_id. The keep rule is a pluggable ORDER BY — swap word count
+    for a quality score (`text_quality_score`) or recency without
+    touching the plan shape."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    docs = load_table(spark, sf_dir, "documents")
+    sized = clusters.join(docs, "doc_id").select(
+        "cluster_id",
+        "doc_id",
+        F.size(
+            F.expr(r"filter(split(lower(text), '\\W+'), w -> w <> '')")
+        ).cast("long").alias("n_words"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n_words").desc(), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return (
+        sized.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_in_cluster", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("n_words").alias("kept_n_words"),
+            F.col("n_in_cluster").cast("long").alias("n_in_cluster"),
+        )
     )

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
 from etl_loading_scripts_spark.registry import register
@@ -97,4 +98,58 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.col("n_users").cast("double") / F.col("cohort_size").cast("double")
         ).alias("retention"),
+    )
+
+
+@register(
+    "event_transition_probs",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS cur_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT cur_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT cur_type, CAST(SUM(n) AS BIGINT) AS n_cur FROM trans GROUP BY 1
+    )
+    SELECT t.cur_type, t.next_type, t.n,
+           CAST(t.n AS DOUBLE) / tot.n_cur AS prob
+    FROM trans t JOIN totals tot ON tot.cur_type = t.cur_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: P(next event type | current), estimated from lead() "
+    "pairs in strict (ts, event_id) order — the behavior model behind "
+    "next-action prediction and funnel anomaly detection.",
+)
+def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on user_id for the sequence window (each
+    user's history sorts independently), then a (cur, next) hash
+    aggregate whose cardinality is |event types|² regardless of stream
+    length; the denominator is a grain-to-grain re-agg of the SAME
+    counts (never a second pass over events), and the probability is an
+    exact integer ratio."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("cur_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("cur_type").agg(F.sum("n").alias("n_cur"))
+    return trans.join(F.broadcast(totals), "cur_type").select(
+        "cur_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_cur")).alias("prob"),
     )

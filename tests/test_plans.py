@@ -102,6 +102,7 @@ _EXECUTING = {
     "monthly_load_e2e",
     "dedup_clusters",
     "dedup_clusters_bigstar",
+    "dedup_keep_best",  # composes dedup_clusters (driver-loop CC)
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY where one side is a bounded
