@@ -2784,3 +2784,95 @@ def star_join_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "region_nation_share",
+    oracle="""
+    WITH nat AS (
+        SELECT r.r_name, n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                   AS nat_spend
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2
+    ),
+    reg AS (
+        SELECT r_name, CAST(SUM(nat_spend) AS DECIMAL(38,4)) AS reg_spend
+        FROM nat GROUP BY 1
+    ),
+    g_all AS (
+        SELECT CAST(SUM(reg_spend) AS DECIMAL(38,4)) AS global_spend FROM reg
+    )
+    SELECT n.r_name, n.n_name,
+           CAST(n.nat_spend AS DOUBLE) AS nat_spend,
+           CAST(n.nat_spend AS DOUBLE) / CAST(r.reg_spend AS DOUBLE)
+               AS share_of_region,
+           CAST(r.reg_spend AS DOUBLE) / CAST(g.global_spend AS DOUBLE)
+               AS region_share_of_global
+    FROM nat n
+    JOIN reg r ON r.r_name = n.r_name
+    CROSS JOIN g_all g
+    """,
+    doc="Two-level ratio-to-parent rollup: nation spend as a share of "
+    "its region, region spend as a share of global — the nested "
+    "percent-of-total report, every denominator an exact-decimal "
+    "re-aggregation of the level below.",
+)
+def region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the fact is aggregated ONCE at the finest grain
+    (nation); region and global totals are grain-to-grain re-aggs of
+    those ≤|nations| rows — never a second fact pass, never a global
+    window over fact rows. Parent totals join back by key (region) and
+    by broadcast single-row (global). Exact DECIMAL sums end-to-end;
+    doubles appear only in the final share divisions, from identical
+    decimal inputs in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    nat_spend = (
+        orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name", "n_regionkey"
+                )
+            ),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(reg.select(F.col("r_regionkey").alias("n_regionkey"), "r_name")),
+            "n_regionkey",
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,4)").alias("nat_spend")
+        )
+    )
+    reg_spend = nat_spend.groupBy("r_name").agg(
+        F.sum("nat_spend").cast("decimal(38,4)").alias("reg_spend")
+    )
+    glob = reg_spend.agg(
+        F.sum("reg_spend").cast("decimal(38,4)").alias("global_spend")
+    )
+    return (
+        nat_spend.join(F.broadcast(reg_spend), "r_name")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "r_name",
+            "n_name",
+            F.col("nat_spend").cast("double").alias("nat_spend"),
+            (F.col("nat_spend").cast("double") / F.col("reg_spend").cast("double")).alias(
+                "share_of_region"
+            ),
+            (
+                F.col("reg_spend").cast("double") / F.col("global_spend").cast("double")
+            ).alias("region_share_of_global"),
+        )
+    )

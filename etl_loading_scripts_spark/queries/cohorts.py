@@ -153,3 +153,36 @@ def event_transition_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_cur")).alias("prob"),
     )
+
+
+@register(
+    "user_first_last_touch",
+    oracle="""
+    SELECT user_id,
+           arg_min(event_type, printf('%020d|%020d', epoch_us(ts), event_id)) AS first_type,
+           arg_max(event_type, printf('%020d|%020d', epoch_us(ts), event_id)) AS last_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Per-user first- and last-touch event types via arg-extreme "
+    "aggregates (min_by/max_by on the composite (ts, event_id) order) "
+    "plus activity counts — both attribution endpoints in ONE aggregation "
+    "pass, no window, no self-join.",
+)
+def user_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window-free attribution shape: ROW_NUMBER()-per-end needs two
+    ordered windows (two sorts); min_by/max_by fold the argmin into the
+    aggregate itself — one hash aggregate, map-side combinable, no sort
+    at any scale. The zero-padded string key (fixed-width non-negative
+    ints) makes composite-order ties deterministic in both engines
+    without relying on struct-comparison support in the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.format_string("%020d|%020d", F.unix_micros("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )

@@ -127,6 +127,7 @@ _BNLJ_OK = {
     "kmv_set_overlap",  # |types|² pair spine (≤25 rows) + broadcast sizes
     "high_balance_inactive",  # customers × broadcast(single-row avg threshold)
     "gdpr_forget_cascade",  # per-table audit: single-row count × single-row count
+    "region_nation_share",  # nation grains × broadcast(single-row global total)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
