@@ -2876,3 +2876,248 @@ def region_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("region_share_of_global"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# From-scratch HyperLogLog as pure relational algebra
+# ---------------------------------------------------------------------------
+
+#: Register count (m). alpha_m = 0.7213/(1 + 1.079/m) for m = 64.
+HLL_M = 64
+HLL_ALPHA = 0.709365
+
+#: rho cap: 2^-rho summands stay within double's exact-accumulation span
+#: (exponent range < 53 bits) so the register sum is EXACT and therefore
+#: order-independent — the property that makes this sketch hash-checkable
+#: across engines. Cap cost: underestimates rho only past 2^40 trailing
+#: zeros (probability 2^-40 per hash).
+HLL_RHO_CAP = 40
+
+_NIBVAL = (
+    "CASE {c} "
+    + " ".join(f"WHEN '{x:x}' THEN {x}" for x in range(16))
+    + " END"
+)
+
+
+def _hll_terms_sql(hcol: str) -> dict[str, str]:
+    """SQL fragments (valid in BOTH Spark SQL and DuckDB) for bucket and
+    rho of one md5 hex string: bucket = first-byte mod m; rho = leading
+    zero bits of the next 13 nibbles + 1, capped."""
+    nib1 = _NIBVAL.format(c=f"substr({hcol}, 1, 1)")
+    nib2 = _NIBVAL.format(c=f"substr({hcol}, 2, 1)")
+    bucket = f"(({nib1}) % 4) * 16 + ({nib2})"
+    stripped = f"TRIM(LEADING '0' FROM substr({hcol}, 3, 13))"
+    within = (
+        f"CASE WHEN substr({stripped}, 1, 1) = '1' THEN 3 "
+        f"WHEN substr({stripped}, 1, 1) IN ('2','3') THEN 2 "
+        f"WHEN substr({stripped}, 1, 1) IN ('4','5','6','7') THEN 1 "
+        "ELSE 0 END"
+    )
+    rho = (
+        f"CASE WHEN length({stripped}) = 0 THEN {HLL_RHO_CAP} "
+        f"ELSE LEAST((13 - length({stripped})) * 4 + ({within}) + 1, {HLL_RHO_CAP}) END"
+    )
+    return {"bucket": bucket, "rho": rho}
+
+
+_HLL = _hll_terms_sql("h")
+
+
+@register(
+    "hll_manual_distinct",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT DISTINCT o_orderpriority,
+               md5(CAST(o_custkey AS VARCHAR)) AS h
+        FROM orders
+    ),
+    regs AS (
+        SELECT o_orderpriority,
+               {_HLL['bucket']} AS bucket,
+               MAX({_HLL['rho']}) AS m_j
+        FROM hashed GROUP BY 1, 2
+    ),
+    sums AS (
+        SELECT o_orderpriority,
+               SUM(pow(2.0, -m_j)) AS sum_present,
+               CAST(COUNT(*) AS BIGINT) AS n_present
+        FROM regs GROUP BY 1
+    ),
+    ex AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+        FROM orders GROUP BY 1
+    )
+    SELECT e.o_orderpriority, e.n_exact,
+           {HLL_ALPHA} * {HLL_M} * {HLL_M}
+               / (s.sum_present + ({HLL_M} - s.n_present)) AS hll_estimate,
+           ({HLL_ALPHA} * {HLL_M} * {HLL_M}
+               / (s.sum_present + ({HLL_M} - s.n_present)) - e.n_exact)
+               / e.n_exact AS rel_err
+    FROM ex e JOIN sums s ON s.o_orderpriority = e.o_orderpriority
+    """,
+    doc=f"HyperLogLog from scratch as relational algebra: {HLL_M} "
+    "registers from md5 bits (bucket = first byte mod m, register = max "
+    "leading-zero run of the next 52 bits), raw harmonic-mean estimate "
+    "next to the exact distinct count. Unlike approx_count_distinct "
+    "(engine-internal sketch), every intermediate here is deterministic "
+    "and the result value-hash-matches an independent engine.",
+)
+def hll_manual_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why this is more than a parlor trick: the register table (group,
+    bucket, max rho) IS the sketch — mergeable by MAX across shards/days,
+    storable as a tiny table, re-estimable without touching raw data; the
+    whole lifecycle is plain SQL a warehouse can run. Scale: the distinct
+    pass is the only fact-sized shuffle; registers are ≤ m rows per
+    group. The rho cap keeps every 2^-rho summand inside double's exact
+    span, so the register sum is exact and order-independent — no
+    float-accumulation nondeterminism (the docstring constant explains
+    the bound). Raw estimate only (no small/large-range corrections):
+    corrections branch on ln(), whose cross-engine bit-identity is not
+    guaranteed."""
+    orders = load_table(spark, sf_dir, "orders")
+    hashed = (
+        orders.select("o_orderpriority", "o_custkey")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            F.md5(F.col("o_custkey").cast("string")).alias("h"),
+        )
+    )
+    regs = (
+        hashed.select(
+            "o_orderpriority",
+            F.expr(_HLL["bucket"]).alias("bucket"),
+            F.expr(_HLL["rho"]).alias("rho"),
+        )
+        .groupBy("o_orderpriority", "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+    sums = regs.groupBy("o_orderpriority").agg(
+        F.sum(F.expr("pow(2.0, -m_j)")).alias("sum_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    ex = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    est = (
+        F.lit(HLL_ALPHA)
+        * HLL_M
+        * HLL_M
+        / (F.col("sum_present") + (F.lit(HLL_M) - F.col("n_present")))
+    )
+    return ex.join(sums, "o_orderpriority").select(
+        "o_orderpriority",
+        "n_exact",
+        est.alias("hll_estimate"),
+        ((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+    )
+
+
+#: Bloom filter geometry: m bits, k independent hash functions derived
+#: from prefixed md5 evaluations (3 hex nibbles = 12 bits, mod m).
+BLOOM_BITS = 1024
+BLOOM_K = 3
+
+
+def _bloom_bit_sql(prefix: int, xcol: str) -> str:
+    h = f"md5(concat('{prefix}|', CAST({xcol} AS VARCHAR)))"
+    n1 = _NIBVAL.format(c=f"substr({h}, 1, 1)")
+    n2 = _NIBVAL.format(c=f"substr({h}, 2, 1)")
+    n3 = _NIBVAL.format(c=f"substr({h}, 3, 1)")
+    return f"((({n1}) * 256 + ({n2}) * 16 + ({n3})) % {BLOOM_BITS})"
+
+
+@register(
+    "bloom_filter_probe",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+    ),
+    bits AS (
+        {" UNION ".join(f"SELECT DISTINCT {_bloom_bit_sql(j, 'k')} AS bit FROM members" for j in range(BLOOM_K))}
+    ),
+    probe AS (
+        {" UNION ALL ".join(f"SELECT c_custkey, c_mktsegment, {_bloom_bit_sql(j, 'c_custkey')} AS bit FROM customer" for j in range(BLOOM_K))}
+    ),
+    hits AS (
+        SELECT p.c_custkey, p.c_mktsegment,
+               CAST(COUNT(b.bit) AS BIGINT) AS n_hits
+        FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+        GROUP BY 1, 2
+    ),
+    verdicts AS (
+        SELECT h.c_custkey, h.c_mktsegment,
+               CAST(h.n_hits = {BLOOM_K} AS BIGINT) AS maybe,
+               CAST(m.k IS NOT NULL AS BIGINT) AS actual
+        FROM hits h LEFT JOIN members m ON m.k = h.c_custkey
+    )
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(maybe) AS BIGINT) AS n_maybe,
+           CAST(SUM(actual) AS BIGINT) AS n_actual,
+           CAST(SUM(maybe) - SUM(actual) AS BIGINT) AS n_false_pos
+    FROM verdicts GROUP BY 1
+    """,
+    doc=f"Bloom filter from scratch as relational algebra: {BLOOM_K} "
+    f"md5-derived bit positions over {BLOOM_BITS} bits for the "
+    "recent-orders key set; every customer is probed (member iff ALL k "
+    "bits set) and the per-segment maybe/actual/false-positive counts "
+    "quantify the filter — no-false-negative invariant included "
+    "(n_maybe ≥ n_actual, both reported).",
+)
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semi-join pre-filter pattern: at 100 TB you don't hash-join a
+    fact to a dim to discover most rows DON'T match — you broadcast a
+    Bloom filter of the interesting keys (here ≤1024 distinct bit rows,
+    kilobytes at any member cardinality) and discard non-matches
+    map-side; only 'maybe' rows pay the real join (Catalyst's AQE
+    runtime filters do this internally — this operator is the explicit,
+    storable, mergeable-by-OR version). The bits/probe/verify joins are
+    all equi-joins on int bit positions; exact membership is computed
+    alongside purely to report the realized false-positive rate."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    members = (
+        orders.filter(F.col("o_orderdate") >= "2000-01-01")
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bits = None
+    for j in range(BLOOM_K):
+        b = members.select(
+            F.expr(_bloom_bit_sql(j, "k").replace("AS VARCHAR", "AS STRING")).alias("bit")
+        ).distinct()
+        bits = b if bits is None else bits.unionAll(b).distinct()
+    probe = None
+    for j in range(BLOOM_K):
+        p = cust.select(
+            "c_custkey",
+            "c_mktsegment",
+            F.expr(
+                _bloom_bit_sql(j, "c_custkey").replace("AS VARCHAR", "AS STRING")
+            ).alias("bit"),
+        )
+        probe = p if probe is None else probe.unionAll(p)
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("__hit__", F.lit(1))), "bit", "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("__hit__").alias("n_hits"))
+    )
+    verdicts = hits.join(
+        members.withColumnRenamed("k", "c_custkey").withColumn("__m__", F.lit(1)),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_mktsegment",
+        (F.col("n_hits") == BLOOM_K).cast("long").alias("maybe"),
+        F.col("__m__").isNotNull().cast("long").alias("actual"),
+    )
+    return verdicts.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum("maybe").alias("n_maybe"),
+        F.sum("actual").alias("n_actual"),
+        (F.sum("maybe") - F.sum("actual")).alias("n_false_pos"),
+    )
