@@ -3121,3 +3121,78 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("actual").alias("n_actual"),
         (F.sum("maybe") - F.sum("actual")).alias("n_false_pos"),
     )
+
+
+TOP_N_OTHERS = 5
+
+
+@register(
+    "top_nations_with_others",
+    oracle=f"""
+    WITH nat AS (
+        SELECT n.n_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,4))
+                   AS spend
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT n_name, spend,
+               ROW_NUMBER() OVER (ORDER BY spend DESC, n_name) AS rk
+        FROM nat
+    )
+    SELECT n_name AS bucket, CAST(spend AS DOUBLE) AS spend,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= {TOP_N_OTHERS}
+    UNION ALL
+    SELECT 'OTHER', CAST(SUM(spend) AS DOUBLE), CAST({TOP_N_OTHERS + 1} AS INT)
+    FROM ranked WHERE rk > {TOP_N_OTHERS}
+    """,
+    doc=f"Top-{TOP_N_OTHERS} nations by customer spend plus a single "
+    "'OTHER' row aggregating the remainder — the BI presentation "
+    "pattern where the tail must still sum to the true total (exact "
+    "decimal re-aggregation, not a dropped residue).",
+)
+def top_nations_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the fact aggregates once to nation grain (≤ |nations|
+    rows); rank and the OTHER re-agg operate on that tiny set, so the
+    'global' ROW_NUMBER window is over dimension-cardinality rows —
+    fine at any fact size (it is the FACT-grain global window this
+    engine bans, see global_ntile). Keeps the invariant Σ(top rows) +
+    OTHER = grand total exactly, because the remainder is re-summed
+    from the same exact decimals rather than differenced from a
+    rounded total."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    nat_spend = (
+        orders.join(
+            F.broadcast(cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey")),
+            "o_custkey",
+        )
+        .join(
+            F.broadcast(nat.select(F.col("n_nationkey").alias("c_nationkey"), "n_name")),
+            "c_nationkey",
+        )
+        .groupBy("n_name")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,4)").alias("spend"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), "n_name")
+    ranked = nat_spend.withColumn("rk", F.row_number().over(w))
+    top = ranked.filter(F.col("rk") <= TOP_N_OTHERS).select(
+        F.col("n_name").alias("bucket"),
+        F.col("spend").cast("double").alias("spend"),
+        F.col("rk").cast("int").alias("rk"),
+    )
+    others = (
+        ranked.filter(F.col("rk") > TOP_N_OTHERS)
+        .agg(F.sum("spend").cast("double").alias("spend"))
+        .select(
+            F.lit("OTHER").alias("bucket"),
+            "spend",
+            F.lit(TOP_N_OTHERS + 1).cast("int").alias("rk"),
+        )
+    )
+    return top.unionAll(others)

@@ -186,3 +186,36 @@ def user_first_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
     )
+
+
+@register(
+    "activity_heatmap_dow_hour",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Day-of-week × hour-of-day activity heatmap over events "
+    "(0=Sunday convention on both engines after normalization) — the "
+    "seasonality grid behind load forecasting and anomaly baselines.",
+)
+def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a two-key hash aggregate with ≤ 7×24 output cells — pure
+    map-side combine, one tiny shuffle, no window. Date-part caveat
+    handled explicitly: Spark's dayofweek() is 1-based (1=Sunday),
+    DuckDB's dayofweek() is 0-based (0=Sunday); the Spark side subtracts
+    1 so both report the 0=Sunday convention."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+    )
