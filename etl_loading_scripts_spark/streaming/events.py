@@ -791,3 +791,170 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(sink).select(
         "c_mktsegment", "event_type", "n_events", "total_value"
     )
+
+
+#: Staleness bound for the tolerance as-of: matches older than this are
+#: discarded (the attribution window).
+ASOF_TOLERANCE_US = 7 * 24 * 3600 * 1_000_000  # 7 days
+
+
+@register(
+    "asof_join_tolerance",
+    oracle=f"""
+    WITH purchases AS (
+        SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) AS ts_us,
+               epoch_us(p.ts) AS raw_match_us
+        FROM events e
+        ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND e.ts >= p.ts
+    )
+    SELECT event_id, user_id, ts_us,
+           CASE WHEN ts_us - raw_match_us <= {ASOF_TOLERANCE_US}
+                THEN raw_match_us END AS last_purchase_us,
+           CASE WHEN ts_us - raw_match_us <= {ASOF_TOLERANCE_US}
+                THEN ts_us - raw_match_us END AS gap_us
+    FROM matched
+    """,
+    doc="As-of join with a 7-day staleness tolerance: each event "
+    "attributes to the user's most recent purchase at-or-before it ONLY "
+    "if that purchase is within the window; older matches become NULL "
+    "(no attribution) — the bounded-recall variant every attribution "
+    "pipeline actually ships.",
+)
+def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same one-shuffle union + last_value(ignorenulls) plan as
+    `asof_join_last_purchase`; the tolerance is a pure post-projection
+    mask over the carried-forward timestamp, so bounding recall costs
+    ZERO extra plan nodes beyond the CASE. (The naive tolerance
+    formulation — a range join on [ts - 7d, ts] — explodes pairs before
+    picking the max; here the window already picked it.) Microsecond
+    arithmetic keeps the boundary exact in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts")
+        .distinct()
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id",
+            "ts",
+            F.col("ts").alias("ref_ts"),
+            F.lit(1).alias("is_ref"),
+        )
+    )
+    probes = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("timestamp").alias("ref_ts"),
+        F.lit(0).alias("is_ref"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.col("is_ref").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = (
+        probes.unionAll(purchases)
+        .withColumn("carried_ref", F.last("ref_ts", ignorenulls=True).over(w))
+        .filter(F.col("is_ref") == 0)
+    )
+    ts_us = F.unix_micros("ts")
+    ref_us = F.unix_micros("carried_ref")
+    in_window = (ts_us - ref_us) <= ASOF_TOLERANCE_US
+    return carried.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.when(in_window, ref_us).alias("last_purchase_us"),
+        F.when(in_window, ts_us - ref_us).alias("gap_us"),
+    )
+
+
+TOPK_WINDOWS = 3
+
+
+@register(
+    "stream_windowed_topk",
+    oracle=f"""
+    WITH agg AS (
+        SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n_events, total_value, rk
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY event_type
+            ORDER BY total_value DESC, window_start
+        ) AS INT) AS rk
+        FROM agg
+    ) WHERE rk <= {TOPK_WINDOWS}
+    """,
+    doc="Streaming top-k serving pattern: a REAL readStream drives the "
+    "1-hour windowed aggregation into the sink; the top-3 busiest "
+    "windows per event type are then ranked over the sink table — the "
+    "'hot windows' leaderboard a monitoring dashboard reads.",
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lambda-free serving split: the UNBOUNDED computation (window
+    sums, watermark-bounded state) runs in the stream; the per-query
+    ranking runs over the sink's bounded result at read time. Ranking
+    inside the stream would need complete-mode re-emission of every
+    window per batch anyway — at the sink it's a |windows|-row window
+    function, trivially cheap and always consistent with the latest
+    micro-batch. State bound: watermark horizon × |event types|."""
+    from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
+
+    src = table_path(sf_dir, "events")
+    stream_dir = os.path.join(
+        tempfile.gettempdir(), f"events_twk_{hashlib.md5(src.encode()).hexdigest()[:8]}"
+    )
+    os.makedirs(stream_dir, exist_ok=True)
+    link = os.path.join(stream_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    raw_schema, nanos_cols = stream_source_schema(spark, src)
+    stream = _normalize_nanos(
+        spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
+        )
+    )
+    sink = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    done = spark.table(sink).select(
+        F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), "window_start"
+    )
+    return (
+        done.withColumn("rk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rk") <= TOPK_WINDOWS)
+    )

@@ -99,6 +99,7 @@ _EXECUTING = {
     "stream_stream_left_join",
     "stream_dedup_events",
     "stream_static_enrich",
+    "stream_windowed_topk",
     "monthly_load_e2e",
     "dedup_clusters",
     "dedup_clusters_bigstar",
