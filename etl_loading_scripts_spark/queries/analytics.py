@@ -3196,3 +3196,132 @@ def top_nations_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top.unionAll(others)
+
+
+TRIPLE_SUPPORT = 2
+
+
+@register(
+    "frequent_triples_apriori",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    triples AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               c.l_partkey AS part_c,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a
+        JOIN items b ON a.l_orderkey = b.l_orderkey
+                    AND a.l_partkey < b.l_partkey
+        JOIN items c ON a.l_orderkey = c.l_orderkey
+                    AND b.l_partkey < c.l_partkey
+        GROUP BY 1, 2, 3
+        HAVING COUNT(*) >= {TRIPLE_SUPPORT}
+    )
+    SELECT part_a, part_b, part_c, support FROM triples
+    """,
+    doc=f"Frequent 3-itemsets at support ≥ {TRIPLE_SUPPORT} (Apriori "
+    "step 2): the oracle enumerates every within-basket triple "
+    "directly; the engine prunes with the Apriori property first — "
+    "candidate triples are built ONLY from frequent pairs, and counted "
+    "only in baskets already containing a frequent pair.",
+)
+def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Apriori pruning cascade, relationally: (1) frequent pairs =
+    one within-basket self-join + support filter; (2) candidate triples
+    = frequent pairs joined on their FIRST item ((a,b)+(a,c) → (a,b,c)),
+    kept only if the third sub-pair (b,c) is also frequent (left-semi
+    against the same pair set — the Apriori property); (3) support =
+    count of baskets containing all three, via joining candidates to
+    items three times on the basket key. At scale the unpruned triple
+    enumeration is Σ|basket|³ — the pair-prune cuts candidates to the
+    frequent-pair graph's triangles, orders of magnitude fewer; every
+    join is an equi-join on (basket) or (item, item) keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("pa"))
+    b = items.select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "bk")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= TRIPLE_SUPPORT)
+        .select("pa", "pb")
+    )
+    cand = (
+        pairs.alias("x")
+        .join(pairs.alias("y"), F.col("x.pa") == F.col("y.pa"))
+        .filter(F.col("x.pb") < F.col("y.pb"))
+        .select(
+            F.col("x.pa").alias("part_a"),
+            F.col("x.pb").alias("part_b"),
+            F.col("y.pb").alias("part_c"),
+        )
+        .join(
+            pairs.select(F.col("pa").alias("part_b"), F.col("pb").alias("part_c")),
+            ["part_b", "part_c"],
+            "left_semi",
+        )
+    )
+    ia = items.select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("part_a"))
+    ib = items.select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("part_b"))
+    ic = items.select(F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("part_c"))
+    return (
+        cand.join(ia, "part_a")
+        .join(ib, ["bk", "part_b"])
+        .join(ic, ["bk", "part_c"])
+        .groupBy("part_a", "part_b", "part_c")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIPLE_SUPPORT)
+    )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "balanced_shard_assignment",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens,
+               ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+        FROM toks
+    )
+    SELECT CAST((rk - 1) % {N_SHARDS} AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM ranked GROUP BY 1
+    """,
+    doc=f"Balanced training-shard assignment: documents ranked by token "
+    f"count (descending) and dealt round-robin across {N_SHARDS} shards "
+    "— the sorted-greedy (LPT) heuristic that bounds shard imbalance by "
+    "one document; per-shard doc and token totals reported.",
+)
+def balanced_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why not hash-assign: hashing balances COUNTS, not BYTES — one
+    shard inheriting the whale documents straggles the training epoch.
+    Dealing in size order bounds the token gap between any two shards
+    by max-min document size. The global ORDER BY here goes through a
+    rank window; at corpus scale swap it for the range-bucketed global
+    rank (`operators/ranks.global_ntile` machinery) — same dealing,
+    no single-partition sort. Deterministic: re-runs and engines agree
+    shard-for-shard, so shards are resumable/addressable artifacts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_tokens")
+    )
+    w = Window.orderBy(F.col("n_tokens").desc(), "doc_id")
+    return (
+        toks.withColumn("rk", F.row_number().over(w))
+        .groupBy(((F.col("rk") - 1) % N_SHARDS).cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
