@@ -73,3 +73,49 @@ def referential_integrity_check(
         .join(dim_keys, on=fact_key, how="left_anti")
     )
     return dangling.count()
+
+
+# ---------------------------------------------------------------------------
+# Versioned publish + time travel
+# ---------------------------------------------------------------------------
+
+
+def publish_versioned(df: DataFrame, base_dir: str) -> int:
+    """Publish a NEW immutable version of a table and flip the latest
+    pointer; returns the version number.
+
+    Layout: ``base_dir/v=N/`` per version plus a one-line ``_LATEST``
+    pointer file. Old versions are never modified — readers pinned to a
+    version (reproducible training runs, audits, diffs against
+    yesterday) keep working while new versions land; the pointer flip is
+    a single rename, so 'latest' readers see old-or-new, never half.
+    This is the poor-man's snapshot isolation a Delta/Iceberg catalog
+    provides natively (snapshot id ≙ version dir); retention/GC is a
+    directory delete of versions older than the pin horizon.
+    """
+    os.makedirs(base_dir, exist_ok=True)
+    existing = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    ]
+    version = (max(existing) + 1) if existing else 1
+    vdir = os.path.join(base_dir, f"v={version}")
+    df.write.mode("errorifexists").parquet(vdir)
+    pointer_tmp = os.path.join(base_dir, f"_LATEST.__tmp__{uuid.uuid4().hex[:8]}")
+    with open(pointer_tmp, "w") as f:
+        f.write(str(version))
+    os.rename(pointer_tmp, os.path.join(base_dir, "_LATEST"))
+    return version
+
+
+def read_versioned(spark: SparkSession, base_dir: str, version: int | None = None) -> DataFrame:
+    """Time-travel read: the pinned ``version``, or latest via the
+    pointer file when ``version`` is None."""
+    if version is None:
+        with open(os.path.join(base_dir, "_LATEST")) as f:
+            version = int(f.read().strip())
+    vdir = os.path.join(base_dir, f"v={version}")
+    if not os.path.isdir(vdir):
+        raise FileNotFoundError(f"no version {version} under {base_dir}")
+    return spark.read.parquet(vdir)

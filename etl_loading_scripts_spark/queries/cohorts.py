@@ -219,3 +219,51 @@ def activity_heatmap_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
         )
     )
+
+
+@register(
+    "event_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+           quantile_cont(gap_us, 0.5) AS p50_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Inter-arrival gap distribution per event type: consecutive "
+    "same-user same-type events' microsecond gaps summarized as "
+    "count/min/max/exact-sum/median — the cadence profile behind "
+    "session-timeout tuning and bot detection.",
+)
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on (user_id, event_type) for the lag window —
+    the narrowest partitioning that makes gaps well-defined — then a
+    per-type aggregate of integer microsecond gaps (exact sum; mean =
+    sum/n derivable downstream without float accumulation). The exact
+    median sorts within type groups; at whale scale swap for
+    percentile_approx as with the price profile twin. Feeds
+    sessionize_events' gap threshold: pick it from this table's p50/max
+    spread instead of folklore."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+    )

@@ -318,3 +318,27 @@ def test_range_sorted_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges ({lo1},{hi1}) vs ({lo2},{hi2})"
     assert len(ranges) >= 4  # range partitioner actually spread the data
+
+
+def test_versioned_publish_time_travel(spark, sf_dir, tmp_path):
+    """publish_versioned appends immutable versions; read_versioned
+    pins old versions while latest follows the pointer."""
+    from etl_loading_scripts_spark.operators.publish import (
+        publish_versioned,
+        read_versioned,
+    )
+
+    base = str(tmp_path / "dim_versions")
+    nation = load_table(spark, sf_dir, "nation")
+    v1 = publish_versioned(nation, base)
+    v2 = publish_versioned(nation.withColumn("extra", F.lit(1)), base)
+    assert (v1, v2) == (1, 2)
+    latest = read_versioned(spark, base)
+    pinned = read_versioned(spark, base, version=1)
+    assert "extra" in latest.columns
+    assert "extra" not in pinned.columns
+    assert pinned.count() == nation.count() == latest.count()
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        read_versioned(spark, base, version=99)
