@@ -267,3 +267,53 @@ def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_us").alias("sum_gap_us"),
         F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
     )
+
+
+@register(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d FROM events GROUP BY 1
+    ),
+    per_day AS (
+        SELECT d, CAST(COUNT(*) AS BIGINT) AS n_new FROM first_seen GROUP BY 1
+    ),
+    days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT CAST(strftime(dy.d, '%Y%m%d') AS INT) AS datekey,
+           COALESCE(p.n_new, 0) AS n_new_users,
+           CAST(SUM(COALESCE(p.n_new, 0)) OVER (
+               ORDER BY dy.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cumulative_users
+    FROM days dy LEFT JOIN per_day p ON p.d = dy.d
+    """,
+    doc="Cumulative distinct users by day WITHOUT a running "
+    "COUNT(DISTINCT): each user collapses to their first-seen date, "
+    "daily first-timer counts roll up, and a day-grain running sum "
+    "reconstructs the exact cumulative-distinct curve — the growth "
+    "chart every product dashboard shows.",
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite that makes cumulative-distinct tractable: a naive
+    'COUNT(DISTINCT user) OVER (ORDER BY day)' needs every day to
+    re-see all prior users (quadratic state, unsupported in Spark
+    windows anyway). First-seen collapses the fact to |users| rows in
+    one shuffle; everything after is day-grain (~10³ rows at any fact
+    scale), where the ordered running sum is free. Same identity HLL
+    sketches exploit for approximate curves; this is the exact form."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    per_day = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("n_new"))
+    days = ev.select(F.to_date("ts").alias("d")).distinct()
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(per_day, "d", "left")
+        .select("d", F.coalesce("n_new", F.lit(0)).alias("n_new_users"))
+        .withColumn("cumulative_users", F.sum("n_new_users").over(w))
+        .select(
+            F.date_format("d", "yyyyMMdd").cast("int").alias("datekey"),
+            "n_new_users",
+            "cumulative_users",
+        )
+    )
