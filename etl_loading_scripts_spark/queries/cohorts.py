@@ -317,3 +317,60 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cumulative_users",
         )
     )
+
+
+@register(
+    "daily_volume_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(strftime(CAST(ts AS DATE), '%Y%m%d') AS INT) AS datekey,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(n_events) AS BIGINT) AS s1,
+               CAST(SUM(n_events * n_events) AS BIGINT) AS s2
+        FROM daily
+    )
+    SELECT d.datekey, d.n_events,
+           (d.n_events - CAST(m.s1 AS DOUBLE) / m.n_days)
+               / sqrt(CAST(m.s2 AS DOUBLE) / m.n_days
+                      - (CAST(m.s1 AS DOUBLE) / m.n_days)
+                        * (CAST(m.s1 AS DOUBLE) / m.n_days)) AS zscore,
+           CAST(abs(d.n_events - CAST(m.s1 AS DOUBLE) / m.n_days)
+                > 2.0 * sqrt(CAST(m.s2 AS DOUBLE) / m.n_days
+                             - (CAST(m.s1 AS DOUBLE) / m.n_days)
+                               * (CAST(m.s1 AS DOUBLE) / m.n_days))
+                AS BIGINT) AS is_anomaly
+    FROM daily d CROSS JOIN m
+    """,
+    doc="Day-level volume anomaly report: every day's event count "
+    "z-scored against the whole period's mean/std (exact integer "
+    "moments → identical doubles in both engines), flagged beyond 2σ — "
+    "the pipeline-health alarm row.",
+)
+def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the fact collapses to day grain in one map-side-combinable
+    aggregate (~10³ rows for years of data); moments are a single-row
+    re-agg of THOSE rows broadcast back — the fact is scanned once and
+    never joined to itself. Population σ from exact int64 moments keeps
+    the 2σ boundary decision bit-stable across engines; swap in a
+    rolling window mean (gap_fill machinery) when the series trends."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyyMMdd").cast("int").alias("datekey")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    m = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n_days")
+    std = F.sqrt(F.col("s2").cast("double") / F.col("n_days") - mean * mean)
+    return daily.crossJoin(F.broadcast(m)).select(
+        "datekey",
+        "n_events",
+        ((F.col("n_events") - mean) / std).alias("zscore"),
+        (F.abs(F.col("n_events") - mean) > 2.0 * std).cast("long").alias("is_anomaly"),
+    )

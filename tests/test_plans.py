@@ -129,6 +129,7 @@ _BNLJ_OK = {
     "high_balance_inactive",  # customers × broadcast(single-row avg threshold)
     "gdpr_forget_cascade",  # per-table audit: single-row count × single-row count
     "region_nation_share",  # nation grains × broadcast(single-row global total)
+    "daily_volume_anomalies",  # day grains × broadcast(single-row moments)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
