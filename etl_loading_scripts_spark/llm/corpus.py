@@ -104,10 +104,14 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # No broadcast hint on the drop list: it is corpus-data-dependent and
+    # unbounded (could be most of the corpus under heavy duplication), so
+    # the choice is left to AQE, which broadcasts only if the measured size
+    # allows. Same for the decontamination list in corpus_release_e2e.
     near_drop = dedup_minhash_lsh(spark, sf_dir).select(
         F.col("id_b").alias("doc_id")
     ).distinct()
-    final = exact_keep.join(F.broadcast(near_drop), "doc_id", "left_anti")
+    final = exact_keep.join(near_drop, "doc_id", "left_anti")
 
     return (
         docs.join(final, "doc_id")
@@ -128,9 +132,13 @@ from etl_loading_scripts_spark.llm.decontam import (  # noqa: E402
     BENCH_MOD,
     CONTAM_ABS,
     CONTAM_FRAC_DEN,
-    decontam_benchmark_overlap,
+    decontam_flags,
 )
-from etl_loading_scripts_spark.llm.dedup import _SHINGLES_SQL_DUCK  # noqa: E402
+from etl_loading_scripts_spark.llm.dedup import (  # noqa: E402
+    _SHINGLES_SQL_DUCK,
+    _shingles_spark,
+    minhash_lsh_pairs,
+)
 from etl_loading_scripts_spark.llm.sampling import SPLIT_TRAIN_HEX  # noqa: E402
 
 
@@ -218,8 +226,24 @@ def corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     reimplementation to drift. Scale: counts are single-row aggregates
     over set intersections that are each one bounded shuffle; the six
     stage counts union driver-free. The funnel's monotone shrinkage
-    (each n ≤ previous) is the built-in sanity invariant."""
+    (each n ≤ previous) is the built-in sanity invariant.
+
+    Shingling happens ONCE: the corpus shingle table is persisted and
+    feeds BOTH the MinHash-LSH near-dedup pair graph and the benchmark
+    decontamination probe (``minhash_lsh_pairs`` / ``decontam_flags``
+    take the shingle table as input). At 100 TB shingling is the dominant
+    CPU cost of the funnel — paying it twice was round-2's one flagged
+    scale tax. The persist is LRU-evictable cache, not a checkpoint: if
+    memory pressure drops it, lineage recomputes, correctness unaffected.
+    """
     docs = load_table(spark, sf_dir, "documents")
+    shingled = _shingles_spark(docs).persist()
+    # Eager materialization: the LSH pair graph and the decontamination
+    # probe are sibling branches of ONE downstream action — left lazy, their
+    # stages race to compute the same cached partitions (cache-write lock
+    # contention, duplicated shingling). One count() up front fills the
+    # cache once; every branch then reads it.
+    shingled.count()
     words = docs.select("doc_id", _words_col().alias("words")).filter(
         F.size("words") > 0
     )
@@ -241,18 +265,22 @@ def corpus_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    near_drop = dedup_minhash_lsh(spark, sf_dir).select(
+    # Both drop lists derive from the ONE persisted shingle table above.
+    # No broadcast hints: the lists are corpus-data-dependent and unbounded
+    # (under heavy duplication/contamination they approach corpus size), so
+    # AQE picks broadcast only when the measured size allows.
+    near_drop = minhash_lsh_pairs(shingled).select(
         F.col("id_b").alias("doc_id")
     ).distinct()
-    s3 = s2.join(F.broadcast(near_drop), "doc_id", "left_anti")
+    s3 = s2.join(near_drop, "doc_id", "left_anti")
     contaminated = (
-        decontam_benchmark_overlap(spark, sf_dir)
+        decontam_flags(shingled)
         .filter(F.col("contaminated") == 1)
         .select("doc_id")
     )
     s4 = (
         s3.filter(F.col("doc_id") % BENCH_MOD != 0)
-        .join(F.broadcast(contaminated), "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
     )
     s5 = s4.filter(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < SPLIT_TRAIN_HEX

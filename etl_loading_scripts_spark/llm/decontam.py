@@ -79,10 +79,18 @@ def decontam_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins corpus-to-corpus; cost is linear in corpus shingles."""
     docs = load_table(spark, sf_dir, "documents")
     # _shingles_spark materializes the arrays behind an aggregate barrier,
-    # so this explode reads a stored column instead of re-evaluating the
-    # shingle chain per row (see the barrier note there).
+    # so the explode inside decontam_flags reads a stored column instead of
+    # re-evaluating the shingle chain per row (see the barrier note there).
+    return decontam_flags(_shingles_spark(docs))
+
+
+def decontam_flags(shingle_table: DataFrame) -> DataFrame:
+    """Contamination flags from a prepared shingle table ``(doc_id,
+    shingles)`` — the composable core of ``decontam_benchmark_overlap``,
+    so composed pipelines (``corpus_release_e2e``) can reuse one persisted
+    shingle materialization across near-dedup AND decontamination."""
     shingled = (
-        _shingles_spark(docs)
+        shingle_table
         .select("doc_id", F.explode("shingles").alias("s"))
         .select("doc_id", F.md5("s").alias("sh"))
     )

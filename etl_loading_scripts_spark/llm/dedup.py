@@ -269,6 +269,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric order on the underlying 128-bit value, identical in DuckDB."""
     docs = load_table(spark, sf_dir, "documents")
     shingled = _shingles_spark(docs, materialize=False)
+    return minhash_lsh_pairs(shingled)
+
+
+def minhash_lsh_pairs(shingled: DataFrame) -> DataFrame:
+    """MinHash-LSH verified near-dup pairs from a prepared shingle table
+    ``(doc_id, shingles)`` — the composable core of ``dedup_minhash_lsh``.
+
+    Taking the shingle table as input (rather than re-deriving it from the
+    corpus) lets composed pipelines (``corpus_release_e2e``) shingle the
+    corpus ONCE, persist it, and feed both this pair graph and the
+    decontamination probe from the same materialization — at 100 TB
+    shingling is the dominant CPU cost and must not be paid twice."""
     hashed = shingled.select("doc_id", "shingles", *_hash_array_exprs_spark())
     sigs = hashed.select("doc_id", *_minhash_exprs_spark())
     banded = sigs.select("doc_id", *_band_keys_spark())
