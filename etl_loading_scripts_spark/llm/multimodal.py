@@ -32,21 +32,30 @@ FRAME_STRIDE = 2  # keep every 2nd frame
 
 
 def decode_image_stub(payload: bytes) -> dict:
-    """The real-decoder integration point, clearly stubbed.
+    """PIL/libvips integration point for formats beyond BMP/PPM.
 
-    A production build replaces this with PIL/libvips decode → (width,
-    height, channels, features). The container has no imaging libs, so this
-    raises unless the deterministic fake is requested via the pipeline
-    (``mm_decode_features`` uses the fake directly).
+    The engine ships REAL dependency-free codecs for 24-bit BMP and binary
+    PPM (``llm/codecs.py``), exercised end-to-end by ``mm_decode_real``.
+    Compressed formats (PNG/JPEG/WebP) need an imaging library that is not
+    in this container; a production build wires PIL/libvips here and the
+    ``mapInPandas`` batch plumbing is unchanged.
     """
+    from etl_loading_scripts_spark.llm.codecs import decode_bmp, decode_ppm
+
+    if payload[:2] == b"BM":
+        w, h, rgb = decode_bmp(payload)
+        return {"width": w, "height": h, "channels": 3, "rgb": rgb}
+    if payload[:2] == b"P6":
+        w, h, rgb = decode_ppm(payload)
+        return {"width": w, "height": h, "channels": 3, "rgb": rgb}
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:  # pragma: no cover - image libs absent by design
         raise NotImplementedError(
-            "image decode requires an imaging library not present in this "
-            "environment; wire PIL/libvips here"
+            "compressed-format decode requires an imaging library not present "
+            "in this environment; wire PIL/libvips here"
         ) from e
-    raise NotImplementedError("real decode path not implemented in v1")
+    raise NotImplementedError("PIL present but PIL decode not wired in v1")
 
 
 @register(
@@ -167,6 +176,122 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(chunk.cast("binary")).cast("long").alias("frame_bytes"),
         F.md5(chunk).alias("frame_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Real-codec decode: genuine BMP/PPM byte-layout parsing inside mapInPandas
+# ---------------------------------------------------------------------------
+
+_REAL_DECODE_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, n_bytes long, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, checksum_weighted bigint"
+)
+
+
+def _real_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a deterministic image per doc, then decode it with the REAL
+    codec and emit stats from the DECODED pixels.
+
+    The encoder is synthetic (the corpus has no image bytes — pixel (p) of
+    doc d is ``(d*31 + p) % 256``, size derived from doc_id), but the bytes
+    on the wire are honest 24-bit BMP / P6 PPM containers and the decoder
+    is the genuine byte-layout parser from ``llm/codecs.py``. Every stat is
+    computed from the decoder's output, so a codec bug (padding, bottom-up
+    row order, BGR swap, header arithmetic) breaks the oracle match: the
+    weighted checksum is position-sensitive, which makes row-order or
+    channel-order mistakes visible even when plain sums survive them.
+    """
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.codecs import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "fmt", "width", "height", "n_bytes",
+            "sum_r", "sum_g", "sum_b", "checksum_weighted",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 4 + d % 13, 3 + d % 7
+            n = w * h * 3
+            rgb = ((d * 31 + np.arange(n)) % 256).astype(np.uint8).tobytes()
+            if d % 2 == 0:
+                fmt, payload = "bmp", encode_bmp(w, h, rgb)
+                dw, dh, drgb = decode_bmp(payload)
+            else:
+                fmt, payload = "ppm", encode_ppm(w, h, rgb)
+                dw, dh, drgb = decode_ppm(payload)
+            arr = np.frombuffer(drgb, dtype=np.uint8).astype(np.int64)
+            out["doc_id"].append(d)
+            out["fmt"].append(fmt)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["n_bytes"].append(len(payload))
+            out["sum_r"].append(int(arr[0::3].sum()))
+            out["sum_g"].append(int(arr[1::3].sum()))
+            out["sum_b"].append(int(arr[2::3].sum()))
+            out["checksum_weighted"].append(int(((np.arange(arr.size) + 1) * arr).sum()))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64", "width": "int32", "height": "int32",
+                "n_bytes": "int64", "sum_r": "int64", "sum_g": "int64",
+                "sum_b": "int64", "checksum_weighted": "int64",
+            }
+        )
+
+
+@register(
+    "mm_decode_real",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS width,
+               3 + doc_id % 7 AS height,
+               CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt
+        FROM documents
+    ),
+    px AS (
+        SELECT doc_id, width, height, fmt, width * height * 3 AS n
+        FROM params
+    )
+    SELECT doc_id, fmt,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(CASE WHEN fmt = 'bmp'
+                     THEN 54 + ((width * 3 + 3) // 4) * 4 * height
+                     ELSE 9 + length(CAST(width AS VARCHAR))
+                            + length(CAST(height AS VARCHAR)) + n
+                END AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(range(0, n, 3),
+                p -> (doc_id * 31 + p) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(1, n, 3),
+                p -> (doc_id * 31 + p) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(2, n, 3),
+                p -> (doc_id * 31 + p) % 256)) AS BIGINT) AS sum_b,
+           CAST(list_sum(list_transform(range(0, n),
+                p -> (p + 1) * ((doc_id * 31 + p) % 256))) AS BIGINT)
+               AS checksum_weighted
+    FROM px
+    """,
+    doc="REAL image decode: per doc, a deterministic RGB image is encoded "
+    "into an honest 24-bit BMP (4-byte row padding, bottom-up, BGR) or "
+    "binary P6 PPM container, then parsed back by the dependency-free "
+    "codec in llm/codecs.py inside the Arrow-batched mapInPandas kernel; "
+    "all stats come from DECODED pixels. The oracle recomputes container "
+    "size and pixel stats arithmetically — any codec bug hash-mismatches.",
+)
+def mm_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical contract to ``mm_decode_features`` — mapInPandas,
+    partition-local, no shuffle; peak memory one Arrow batch per core. The
+    per-image Python codec is the honest cost model of real decode (PIL /
+    libvips are also per-image C calls behind the same batch shape)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_real_decode_batches, schema=_REAL_DECODE_SCHEMA)
 
 
 RESIZE_STRIDE = 4  # keep every 4th byte ≙ nearest-neighbor downsample

@@ -47,10 +47,67 @@ def test_ann_ivf_is_subset_quality_of_bruteforce(spark, sf_dir):
 
 
 def test_decode_stub_is_gated(spark):
+    """Compressed formats still raise (no imaging libs); BMP/PPM are REAL."""
+    from etl_loading_scripts_spark.llm.codecs import encode_bmp, encode_ppm
     from etl_loading_scripts_spark.llm.multimodal import decode_image_stub
 
     with pytest.raises(NotImplementedError):
         decode_image_stub(b"\x89PNG")
+    rgb = bytes(range(36))  # 4x3 RGB
+    for payload in (encode_bmp(4, 3, rgb), encode_ppm(4, 3, rgb)):
+        out = decode_image_stub(payload)
+        assert (out["width"], out["height"], out["rgb"]) == (4, 3, rgb)
+
+
+def test_bmp_codec_layout_is_real():
+    """The BMP codec honors the actual DIB byte layout: 4-byte row padding,
+    bottom-up row order, BGR channel order, and the top-down (negative
+    height) variant — each checked against hand-built raster bytes."""
+    import struct
+
+    from etl_loading_scripts_spark.llm.codecs import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+    )
+
+    rgb = bytes(range(30))  # 5x2 RGB, row stride must pad 15 -> 16
+    payload = encode_bmp(5, 2, rgb)
+    assert payload[:2] == b"BM" and len(payload) == 54 + 16 * 2
+    # on-disk raster: LAST image row first (bottom-up), channels reversed
+    first_disk_pixel = payload[54:57]
+    assert first_disk_pixel == bytes((rgb[17], rgb[16], rgb[15]))  # BGR of row1,x0
+    assert decode_bmp(payload) == (5, 2, rgb)
+
+    # top-down variant: negative biHeight, rows in natural order
+    td = bytearray(payload)
+    struct.pack_into("<i", td, 22, -2)
+    raster = bytearray()
+    for y in range(2):
+        for x in range(5):
+            r, g, b = rgb[y * 15 + x * 3 : y * 15 + x * 3 + 3]
+            raster += bytes((b, g, r))
+        raster += b"\x00"  # pad to stride 16
+    td[54:] = raster
+    assert decode_bmp(bytes(td)) == (5, 2, rgb)
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + payload[2:])
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 3\n254\n" + bytes(36))  # unsupported maxval
+
+
+def test_ppm_codec_header_grammar():
+    """P6 header: arbitrary whitespace and #-comments anywhere whitespace
+    is allowed — the grammar real Netpbm files use."""
+    from etl_loading_scripts_spark.llm.codecs import decode_ppm, encode_ppm
+
+    rgb = bytes(range(36))
+    assert decode_ppm(encode_ppm(4, 3, rgb)) == (4, 3, rgb)
+    commented = b"P6\n# made by hand\n 4\t3 # inline\n255\n" + rgb
+    assert decode_ppm(commented) == (4, 3, rgb)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n4 3\n255\n" + rgb[:-1])  # truncated raster
 
 
 def test_stream_windowed_agg_runs_a_real_stream(spark, sf_dir):

@@ -136,6 +136,7 @@ _BNLJ_OK = {
 # multimodal decode path and the Misra-Gries partition summaries.
 _PYTHON_OK = {
     "mm_decode_features",
+    "mm_decode_real",  # genuine BMP/PPM codec, Arrow-batched mapInPandas
     "mm_resize",
     "heavy_hitter_mg_sketch",
     "nation_revenue_trend",  # grouped-map OLS kernel over month-grain aggregates
