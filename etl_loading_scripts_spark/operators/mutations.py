@@ -218,23 +218,43 @@ def delete_where(df: DataFrame, cond: Column) -> DataFrame:
     return df.filter(~cond | cond.isNull())
 
 
+#: Above this many new rows the window allocator's single-task global sort
+#: becomes the bottleneck and allocation auto-routes to the range-bucketed
+#: path. 100k rows sort comfortably on one core in well under a second;
+#: the threshold errs low because the failure mode (one straggler task
+#: sorting a billion rows) is catastrophic while the cost of switching
+#: early (one extra count + range exchange) is mild.
+SURROGATE_WINDOW_MAX_ROWS = 100_000
+
+
 def allocate_surrogate_keys(
     new_rows: DataFrame,
     existing: DataFrame,
     key_col: str,
     order_by: Sequence[str],
+    max_window_rows: int | None = SURROGATE_WINDOW_MAX_ROWS,
 ) -> DataFrame:
     """Deterministic surrogate keys: ``MAX(existing.key) + ROW_NUMBER()
     OVER (ORDER BY natural key)`` (O44, ``S4:64-73``; SURVEY §4.4).
 
-    The reference's IDENTITY/global-ROW_NUMBER pattern is a single-partition
-    bottleneck at scale; acceptable here because surrogate-keyed tables are
-    *dimensions* (10⁴–10⁶ rows). Ordering by the natural key — never by
-    ``monotonically_increasing_id`` — keeps keys stable across retries.
-    For billion-row key allocation use
-    :func:`allocate_surrogate_keys_partitioned` — same keys, no
-    single-task sort.
+    AUTO-SCALING (VERDICT r2 item 5): inputs above ``max_window_rows`` are
+    routed to :func:`allocate_surrogate_keys_partitioned`, which assigns
+    the IDENTICAL keys (property-tested) without the unpartitioned
+    window's single-task sort — a future caller can no longer grab the
+    bottleneck path for a billion-row table by accident. The routing
+    count is one extra action over ``new_rows``; for the dimension-sized
+    inputs the reference allocates for (10⁴–10⁶ rows) it is trivial, and
+    for anything larger it is noise next to the sort it avoids. Pass
+    ``max_window_rows=None`` to pin the window path (only when the caller
+    can PROVE the input is small and the extra count matters).
+
+    Ordering by the natural key — never ``monotonically_increasing_id`` —
+    keeps keys stable across retries.
     """
+    if max_window_rows is not None and new_rows.count() > max_window_rows:
+        return allocate_surrogate_keys_partitioned(
+            new_rows, existing, key_col, order_by
+        )
     max_key = existing.agg(F.max(key_col)).collect()[0][0]
     base = 0 if max_key is None else max_key
     w = Window.orderBy(*[F.col(c) for c in order_by])
@@ -273,9 +293,12 @@ def allocate_surrogate_keys_partitioned(
     ranked = global_row_number(
         new_rows, order_by, rank_col="__rank__", num_partitions=num_partitions
     )
+    out_cols = list(new_rows.columns)
+    if key_col not in out_cols:  # same add-or-replace contract as withColumn
+        out_cols.append(key_col)
     return ranked.withColumn(
         key_col, (F.lit(base) + F.col("__rank__")).cast("long")
-    ).select(new_rows.columns)
+    ).select(out_cols)
 
 
 def merge_upsert_delta(

@@ -92,6 +92,17 @@ def publish_versioned(df: DataFrame, base_dir: str) -> int:
     This is the poor-man's snapshot isolation a Delta/Iceberg catalog
     provides natively (snapshot id ≙ version dir); retention/GC is a
     directory delete of versions older than the pin horizon.
+
+    SCOPE: local/POSIX filesystems only (ADVICE r2). The version listing,
+    pointer rename, and completeness check are driver-local ``os`` calls,
+    so ``base_dir`` must be a path the driver sees as a real directory —
+    NOT an HDFS/S3 URI (there they would silently operate on a local path
+    that doesn't exist). On object storage use a table format's snapshot
+    mechanism instead (``merge_upsert_delta``/``merge_upsert_iceberg``).
+    A writer crashing mid-``df.write`` leaves a partial ``v=N`` directory
+    WITHOUT the ``_SUCCESS`` marker; :func:`read_versioned` refuses to
+    serve it, and the next publish skips past N (version numbers may have
+    gaps after crashes — readers only ever see complete versions).
     """
     os.makedirs(base_dir, exist_ok=True)
     existing = [
@@ -111,11 +122,24 @@ def publish_versioned(df: DataFrame, base_dir: str) -> int:
 
 def read_versioned(spark: SparkSession, base_dir: str, version: int | None = None) -> DataFrame:
     """Time-travel read: the pinned ``version``, or latest via the
-    pointer file when ``version`` is None."""
+    pointer file when ``version`` is None.
+
+    Requires the version directory's ``_SUCCESS`` marker (written by
+    Spark's commit protocol on job success): a writer that crashed
+    mid-``df.write`` leaves a partial directory, and serving it without
+    error would be silent data loss (ADVICE r2). Local/POSIX paths only —
+    see :func:`publish_versioned`.
+    """
     if version is None:
         with open(os.path.join(base_dir, "_LATEST")) as f:
             version = int(f.read().strip())
     vdir = os.path.join(base_dir, f"v={version}")
     if not os.path.isdir(vdir):
         raise FileNotFoundError(f"no version {version} under {base_dir}")
+    if not os.path.exists(os.path.join(vdir, "_SUCCESS")):
+        raise FileNotFoundError(
+            f"version {version} under {base_dir} is incomplete (no _SUCCESS "
+            "marker — writer crashed mid-publish?); refusing to serve a "
+            "partial table"
+        )
     return spark.read.parquet(vdir)

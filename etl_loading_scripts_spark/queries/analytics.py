@@ -3307,19 +3307,25 @@ def balanced_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Why not hash-assign: hashing balances COUNTS, not BYTES — one
     shard inheriting the whale documents straggles the training epoch.
     Dealing in size order bounds the token gap between any two shards
-    by max-min document size. The global ORDER BY here goes through a
-    rank window; at corpus scale swap it for the range-bucketed global
-    rank (`operators/ranks.global_ntile` machinery) — same dealing,
-    no single-partition sort. Deterministic: re-runs and engines agree
-    shard-for-shard, so shards are resumable/addressable artifacts."""
+    by max-min document size. Deterministic: re-runs and engines agree
+    shard-for-shard, so shards are resumable/addressable artifacts.
+
+    The size rank is the range-bucketed global ROW_NUMBER
+    (``operators/ranks.global_row_number`` — ADVICE r2): documents are
+    fact-grain, so the naive rank window's single-partition sort is
+    exactly the pattern the engine bans elsewhere. DESC order comes from
+    ranking on the negated token count (unique tie-break by doc_id), so
+    the assignment is bit-identical to ``ROW_NUMBER() OVER (ORDER BY
+    n_tokens DESC, doc_id)`` with no ``Exchange SinglePartition``."""
+    from etl_loading_scripts_spark.operators.ranks import global_row_number
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.ceil(F.col("n_chars") / 4.0).cast("long").alias("n_tokens")
-    )
-    w = Window.orderBy(F.col("n_tokens").desc(), "doc_id")
+    ).withColumn("__neg_tokens__", -F.col("n_tokens"))
+    ranked = global_row_number(toks, ["__neg_tokens__", "doc_id"], rank_col="rk")
     return (
-        toks.withColumn("rk", F.row_number().over(w))
-        .groupBy(((F.col("rk") - 1) % N_SHARDS).cast("int").alias("shard"))
+        ranked.groupBy(((F.col("rk") - 1) % N_SHARDS).cast("int").alias("shard"))
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),

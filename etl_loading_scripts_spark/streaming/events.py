@@ -16,9 +16,7 @@ sink's values hash-match DuckDB exactly.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,6 +25,7 @@ from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table, table_path
 from etl_loading_scripts_spark.registry import register
+from etl_loading_scripts_spark.streaming.source_util import stream_source_dir
 
 SESSION_GAP_MIN = 30
 DEC6 = "decimal(18,6)"
@@ -61,13 +60,7 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the streaming file source lists a DIRECTORY; the test table is a
     # single parquet file → expose it through a temp symlink dir (a real
     # deployment points this at a landing directory / Kafka topic)
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stream_dir = stream_source_dir(src, prefix="events_stream")
 
     raw_schema, nanos_cols = stream_source_schema(spark, src)
     stream = _normalize_nanos(
@@ -365,13 +358,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
 
     src = table_path(sf_dir, "events")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stream_dir = stream_source_dir(src, prefix="events_stream")
 
     raw_schema, nanos_cols = stream_source_schema(spark, src)
 
@@ -512,9 +499,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
 
     src = table_path(sf_dir, "events")
-    stream_dir = os.path.join(tempfile.gettempdir(), f"events_lsj_{uuid.uuid4().hex[:8]}")
-    os.makedirs(stream_dir, exist_ok=True)
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream_dir = stream_source_dir(src, prefix="events_lsj", unique=True)
 
     raw_schema, nanos_cols = stream_source_schema(spark, src)
     max_us = load_table(spark, sf_dir, "events").agg(
@@ -600,13 +585,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
 
     src = table_path(sf_dir, "events")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stream_dir = stream_source_dir(src, prefix="events_stream")
 
     raw_schema, nanos_cols = stream_source_schema(spark, src)
     stream = (
@@ -694,13 +673,7 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
 
     src = table_path(sf_dir, "events")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_slide_{hashlib.md5(src.encode()).hexdigest()[:8]}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stream_dir = stream_source_dir(src, prefix="events_slide")
 
     raw_schema, nanos_cols = stream_source_schema(spark, src)
     stream = _normalize_nanos(
@@ -757,13 +730,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
 
     src = table_path(sf_dir, "events")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_sse_{hashlib.md5(src.encode()).hexdigest()[:8]}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stream_dir = stream_source_dir(src, prefix="events_sse")
 
     raw_schema, nanos_cols = stream_source_schema(spark, src)
     stream = _normalize_nanos(
@@ -914,13 +881,7 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_loading_scripts_spark.catalog import _normalize_nanos, stream_source_schema
 
     src = table_path(sf_dir, "events")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_twk_{hashlib.md5(src.encode()).hexdigest()[:8]}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stream_dir = stream_source_dir(src, prefix="events_twk")
 
     raw_schema, nanos_cols = stream_source_schema(spark, src)
     stream = _normalize_nanos(

@@ -8,9 +8,7 @@ plumbing hosts sessionization with timeouts, CDC compaction, etc.).
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 import uuid
 from collections.abc import Iterator
 from typing import Any
@@ -26,6 +24,7 @@ from etl_loading_scripts_spark.catalog import (
     table_path,
 )
 from etl_loading_scripts_spark.registry import register
+from etl_loading_scripts_spark.streaming.source_util import stream_source_dir
 
 _OUT_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total_micros long"
@@ -77,13 +76,7 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines at one micro-batch; the DECIMAL cast on the oracle side guards
     the representation only."""
     src = table_path(sf_dir, "events")
-    stream_dir = os.path.join(
-        tempfile.gettempdir(), f"events_stream_{hashlib.md5(src.encode()).hexdigest()[:8]}"
-    )
-    os.makedirs(stream_dir, exist_ok=True)
-    link = os.path.join(stream_dir, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(src, link)
+    stream_dir = stream_source_dir(src, prefix="events_stream")
 
     raw_schema, nanos_cols = stream_source_schema(spark, src)
     from pyspark.sql import functions as F
@@ -209,9 +202,7 @@ def stream_sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_loading_scripts_spark.catalog import load_table
 
     src = table_path(sf_dir, "events")
-    stream_dir = os.path.join(tempfile.gettempdir(), f"events_sst_{uuid.uuid4().hex[:8]}")
-    os.makedirs(stream_dir, exist_ok=True)
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream_dir = stream_source_dir(src, prefix="events_sst", unique=True)
 
     raw_schema, nanos_cols = stream_source_schema(spark, src)
     max_us = load_table(spark, sf_dir, "events").agg(F.max(F.unix_micros("ts"))).first()[0]
@@ -386,9 +377,7 @@ def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     src = table_path(sf_dir, "events")
-    stream_dir = os.path.join(tempfile.gettempdir(), f"events_ft_{uuid.uuid4().hex[:8]}")
-    os.makedirs(stream_dir, exist_ok=True)
-    os.symlink(src, os.path.join(stream_dir, "events.parquet"))
+    stream_dir = stream_source_dir(src, prefix="events_ft", unique=True)
 
     raw_schema, nanos_cols = stream_source_schema(spark, src)
     stream = (

@@ -342,3 +342,13 @@ def test_versioned_publish_time_travel(spark, sf_dir, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         read_versioned(spark, base, version=99)
+
+    # a version dir missing its _SUCCESS marker (writer crashed mid-write)
+    # must be refused, not served as a partial table (ADVICE r2)
+    import os
+
+    os.remove(os.path.join(base, "v=2", "_SUCCESS"))
+    with _pytest.raises(FileNotFoundError, match="incomplete"):
+        read_versioned(spark, base, version=2)
+    # the pinned COMPLETE version still serves
+    assert read_versioned(spark, base, version=1).count() == nation.count()
