@@ -79,6 +79,50 @@ def run_monthly_load(
     return out, metrics
 
 
+def run_monthly_load_partitioned(
+    spark: SparkSession,
+    dom: Domain,
+    window: tuple[int, int],
+    warehouse_path: str,
+    publish: bool = True,
+) -> tuple[Domain, dict]:
+    """The monthly load against the month-partitioned fact layout —
+    SURVEY §4's 'single most important physical design choice' wired into
+    the pipeline itself (VERDICT r2 item 6; reference rationale
+    ``S4:91-107``).
+
+    Flow: the fact is staged once through :func:`write_fact_partitioned`
+    (hive ``month=yyyyMM`` partitions), the load reads ONLY the window's
+    partitions via :func:`read_fact_month` — so every stage-2/3/4 update
+    wave scans the month's files, not the table (PartitionFilters at the
+    file listing, plan-asserted in ``tests/test_pipeline.py``) — and the
+    updated month publishes back with :func:`overwrite_fact_month`
+    (dynamic partition overwrite), leaving every other month's files
+    untouched. At 100 TB this is the difference between each monthly run
+    rewriting ~1/100th of the fact and rewriting all of it.
+
+    ``publish=False`` returns the updated month-only fact WITH lineage
+    (for plan inspection / composition); ``publish=True`` commits the
+    month and returns a domain reading the full published table.
+    """
+    from etl_loading_scripts_spark.sources.io import (
+        overwrite_fact_month,
+        read_fact_month,
+        write_fact_partitioned,
+    )
+
+    write_fact_partitioned(dom.fact_transaction, warehouse_path)
+    month_fact = read_fact_month(spark, warehouse_path, *window).drop("month")
+    out, metrics = run_monthly_load(
+        spark, replace(dom, fact_transaction=month_fact), window
+    )
+    if not publish:
+        return out, metrics
+    overwrite_fact_month(out.fact_transaction, warehouse_path)
+    published = spark.read.parquet(warehouse_path).drop("month")
+    return replace(out, fact_transaction=published), metrics
+
+
 def full_window(dom: Domain) -> tuple[int, int]:
     """(min, max) datekey of the fact — 'process everything' window for
     tests; production passes the previous-calendar-month pair."""
