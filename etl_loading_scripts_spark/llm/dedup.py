@@ -1220,3 +1220,91 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_in_cluster").cast("long").alias("n_in_cluster"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level (pseudo-paragraph) boilerplate dedup — round 3
+# ---------------------------------------------------------------------------
+
+#: Fixed chunk width (words) standing in for paragraphs/lines: the test
+#: corpus has no newline structure, so chunking is positional; on real
+#: documents the splitter is `split(text, '\n\n')` with the SAME pipeline
+#: below (hash → corpus document-frequency → per-doc ratio).
+CHUNK_WORDS = 10
+#: A chunk appearing in at least this many DISTINCT docs is boilerplate.
+CHUNK_BOILER_DF = 2
+
+
+@register(
+    "dedup_paragraph_boilerplate",
+    oracle=rf"""
+    WITH words AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), w -> w <> '') AS ws
+        FROM documents
+    ),
+    chunk_idx AS (
+        SELECT doc_id, ws,
+               unnest(range(0, CAST(ceil(len(ws) / {CHUNK_WORDS}.0) AS INT))) AS i
+        FROM words WHERE len(ws) > 0
+    ),
+    chunks AS (
+        SELECT doc_id,
+               md5(array_to_string(ws[(i * {CHUNK_WORDS} + 1):(i * {CHUNK_WORDS} + {CHUNK_WORDS})], ' ')) AS h
+        FROM chunk_idx
+    ),
+    dfreq AS (
+        SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN d.n_docs >= {CHUNK_BOILER_DF} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(SUM(CASE WHEN d.n_docs >= {CHUNK_BOILER_DF} THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS boiler_ratio
+    FROM chunks c JOIN dfreq d USING (h)
+    GROUP BY 1
+    """,
+    doc=f"Paragraph/line-level boilerplate dedup (CCNet/RefinedWeb shape): "
+    f"docs chunked into {CHUNK_WORDS}-word units, each chunk hashed, "
+    f"chunks appearing in ≥{CHUNK_BOILER_DF} distinct docs flagged as "
+    "boilerplate; per-doc chunk counts and boilerplate ratio — the "
+    "sub-document dedup that whole-doc hashing cannot see.",
+)
+def dedup_paragraph_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the chunk table is corpus-linear (|words|/chunk_width rows,
+    ids+16-byte hashes only); document frequency is ONE hash aggregate on
+    the chunk hash; the join back is hash-partitioned on the same key.
+    Identical plan family to `dedup_exact`, one grain finer — no
+    all-pairs anything. The md5 arrays materialize once per doc behind
+    the transform (no per-exploded-row re-evaluation: the explode input
+    IS the array column)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(text), '\\W+'), w -> w <> '')").alias("ws"),
+    ).filter(F.size("ws") > 0)
+    chunk_hashes = F.expr(
+        f"transform(sequence(0, cast(ceil(size(ws) / {CHUNK_WORDS}.0) as int) - 1), "
+        f"i -> md5(concat_ws(' ', slice(ws, i * {CHUNK_WORDS} + 1, {CHUNK_WORDS}))))"
+    )
+    # aggregate barrier (same trick as _shingles_spark): store the hash
+    # arrays before exploding so the split/transform chain is not
+    # re-evaluated per exploded row
+    hashed = (
+        words.select("doc_id", chunk_hashes.alias("hs"))
+        .groupBy("doc_id")
+        .agg(F.first("hs").alias("hs"))
+    )
+    chunks = hashed.select("doc_id", F.explode("hs").alias("h"))
+    dfreq = chunks.groupBy("h").agg(F.countDistinct("doc_id").alias("n_docs"))
+    boiler = (F.col("n_docs") >= CHUNK_BOILER_DF).cast("int")
+    return (
+        chunks.join(dfreq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(boiler).cast("long").alias("n_boiler"),
+            (F.sum(boiler).cast("double") / F.count(F.lit(1))).alias("boiler_ratio"),
+        )
+    )

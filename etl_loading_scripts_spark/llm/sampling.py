@@ -188,3 +188,106 @@ def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("word"))
         .limit(VOCAB_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Mixture weights + per-source quotas (round 3)
+# ---------------------------------------------------------------------------
+
+#: Temperature for source re-weighting: p_i ∝ tokens_i^TEMP_ALPHA — the
+#: multilingual/multi-source sampling recipe (alpha < 1 upsamples the tail,
+#: cf. the published XLM-R / mT5 data recipes).
+TEMP_ALPHA = 0.7
+#: Weights are rounded to 9 decimals on BOTH engines: pow() is IEEE double
+#: in each but not correctly-rounded, so the last ulp may differ — the
+#: round pins the comparable precision (same discipline as ratio queries).
+WEIGHT_DECIMALS = 9
+
+
+@register(
+    "mixture_weights_temperature",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    powed AS (
+        SELECT source, n_docs, n_tokens,
+               pow(CAST(n_tokens AS DOUBLE), {TEMP_ALPHA}) AS w
+        FROM toks
+    )
+    SELECT source, n_docs, n_tokens,
+           round(w / SUM(w) OVER (), {WEIGHT_DECIMALS}) AS sample_weight
+    FROM powed
+    """,
+    doc=f"Temperature-scaled mixture weights: per-source token counts → "
+    f"sampling probability ∝ tokens^{TEMP_ALPHA} normalized over sources — "
+    "the data-mixing step that decides how often each source is drawn "
+    "during training (alpha<1 upsamples low-resource sources).",
+)
+def mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one hash aggregate to source grain (tiny), then the
+    normalization is a window over the source table — |sources| rows, so
+    the single-partition window is over a bounded dimension, not data.
+    The weights feed `sample_hash_rate`-style hash gates downstream."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.ceil(F.col("n_chars") / 4.0).cast("long")).alias("n_tokens"),
+    )
+    w = F.pow(F.col("n_tokens").cast("double"), F.lit(TEMP_ALPHA))
+    powed = toks.withColumn("__w__", w)
+    total = Window.partitionBy()
+    return powed.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("__w__") / F.sum("__w__").over(total), WEIGHT_DECIMALS).alias(
+            "sample_weight"
+        ),
+    )
+
+
+#: Per-source document quota: the per-domain cap every crawl pipeline
+#: applies so no single domain dominates the corpus.
+QUOTA_PER_SOURCE = 10
+
+
+@register(
+    "quota_sample_per_source",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {QUOTA_PER_SOURCE}
+    """,
+    doc=f"Per-source quota sampling: keep at most {QUOTA_PER_SOURCE} docs "
+    "per source, chosen by content-independent hash order (md5 of doc_id) "
+    "— the per-domain cap that stops one domain dominating the corpus; "
+    "deterministic, so re-crawls keep the same sample.",
+)
+def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the rank window partitions by source — work distributes
+    across sources with no global sort. A single whale source (one domain
+    = 30% of the crawl) would skew its partition; the remedy at that
+    shape is the two-phase trick: filter rows whose hash prefix clears
+    the ~quota/|source| rate FIRST (hash-gate, map-only), then rank only
+    the survivors — same result, bounded partition. Hash order (not
+    doc_id order) makes the kept set unbiased w.r.t. crawl order."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= QUOTA_PER_SOURCE)
+    )
