@@ -819,3 +819,94 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "span")
         .limit(SPAN_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule battery (round 3)
+# ---------------------------------------------------------------------------
+
+#: Published Gopher quality-rule thresholds (Rae et al. 2021, §A1.1),
+#: adapted where the synthetic corpus lacks the signal (no lines → no
+#: bullet/ellipsis rules; word-count floor lowered to keep the rule
+#: non-degenerate on ~40-word test docs; production uses 50).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI = 3.0, 10.0
+GOPHER_MIN_DISTINCT_STOP = 2
+GOPHER_MAX_DUP_WORD_FRAC = 0.7
+
+
+@register(
+    "quality_gopher_rules",
+    oracle=rf"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS words
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+               CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT) AS sum_len,
+               CAST(len(list_distinct(list_filter(words,
+                    x -> list_contains({_EN_LIST_SQL}, x)))) AS BIGINT) AS n_stop_distinct
+        FROM w WHERE len(words) > 0
+    ),
+    flags AS (
+        SELECT doc_id, n_words,
+               CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS BIGINT) AS r_wordcount,
+               CAST(CAST(sum_len AS DOUBLE) / n_words
+                    BETWEEN {GOPHER_MEAN_LEN_LO} AND {GOPHER_MEAN_LEN_HI} AS BIGINT) AS r_mean_len,
+               CAST(n_stop_distinct >= {GOPHER_MIN_DISTINCT_STOP} AS BIGINT) AS r_stopwords,
+               CAST(1.0 - CAST(n_distinct AS DOUBLE) / n_words
+                    <= {GOPHER_MAX_DUP_WORD_FRAC} AS BIGINT) AS r_dup_words
+        FROM m
+    )
+    SELECT doc_id, n_words, r_wordcount, r_mean_len, r_stopwords, r_dup_words,
+           CAST(r_wordcount + r_mean_len + r_stopwords + r_dup_words = 4 AS BIGINT) AS gopher_pass
+    FROM flags
+    """,
+    doc="The Gopher quality-rule battery (word-count bounds, mean word "
+    "length, ≥2 distinct stopwords, duplicate-word fraction) as per-rule "
+    "flags plus the conjunctive pass bit — the published rule filter run "
+    "between language-ID and dedup in large-corpus recipes.",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-only — every rule is an expression over the word array;
+    no shuffle at all (the ideal quality-gate plan: it fuses into the
+    corpus scan and its selectivity prunes every downstream stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    en = "array('the','a','of','and','to','in','is')"
+    m = docs.select(
+        "doc_id",
+        _words_col().alias("words"),
+    ).filter(F.size("words") > 0).select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.size(F.array_distinct("words")).cast("long").alias("n_distinct"),
+        F.expr("aggregate(words, 0L, (acc, x) -> acc + length(x))").alias("sum_len"),
+        F.size(
+            F.array_distinct(F.expr(f"filter(words, x -> array_contains({en}, x))"))
+        ).cast("long").alias("n_stop_distinct"),
+    )
+    r_wordcount = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS).cast("long")
+    r_mean_len = (
+        (F.col("sum_len").cast("double") / F.col("n_words"))
+        .between(GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI)
+        .cast("long")
+    )
+    r_stop = (F.col("n_stop_distinct") >= GOPHER_MIN_DISTINCT_STOP).cast("long")
+    r_dup = (
+        (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words"))
+        <= GOPHER_MAX_DUP_WORD_FRAC
+    ).cast("long")
+    return m.select(
+        "doc_id",
+        "n_words",
+        r_wordcount.alias("r_wordcount"),
+        r_mean_len.alias("r_mean_len"),
+        r_stop.alias("r_stopwords"),
+        r_dup.alias("r_dup_words"),
+        (r_wordcount + r_mean_len + r_stop + r_dup == 4).cast("long").alias("gopher_pass"),
+    )

@@ -199,3 +199,119 @@ def scd2_rebuild_from_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(nxt, F.lit(-1)).alias("valid_to_us"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff (round 3): what changed between two published versions
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff of two snapshots of the same table: one output row
+    per key present in either side, with ``diff_status`` ∈
+    {added, removed, changed, unchanged}.
+
+    The audit companion to ``publish_versioned`` (what changed between
+    v=N-1 and v=N?) and the reverse of ``apply_changelog`` (reconstruct
+    the changelog from states). Comparison is column-by-column null-safe
+    equality over ``compare_cols`` (default: all shared non-key columns)
+    — no cross-engine struct-hash dependence.
+
+    Scale: ONE full-outer sort-merge join co-partitioned on the key; the
+    per-column comparisons are map-side expressions. At 100 TB both
+    snapshots shuffle once each — same cost family as the merge that
+    produced the new version.
+    """
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c in set(new.columns) and c not in set(keys)]
+    o = old.select(*keys, *compare_cols)
+    n = new.select(*keys, *compare_cols)
+    o = o.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = n.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    cond = [o[f"__ok_{k}"].eqNullSafe(n[f"__nk_{k}"]) for k in keys]
+    j = o.join(n, cond, "full_outer")
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out_keys = [
+        F.coalesce(F.col(f"__ok_{k}"), F.col(f"__nk_{k}")).alias(k) for k in keys
+    ]
+    return j.select(*out_keys, status.alias("diff_status"))
+
+
+@register(
+    "snapshot_diff_audit",
+    oracle="""
+    WITH old_snap AS (
+        SELECT c_custkey, c_acctbal, c_mktsegment
+        FROM customer WHERE c_custkey % 13 <> 0
+    ),
+    new_snap AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 7 = 0
+                    THEN CAST(c_acctbal + 100 AS DECIMAL(15,2))
+                    ELSE c_acctbal END AS c_acctbal,
+               c_mktsegment
+        FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    diff AS (
+        SELECT COALESCE(o.c_custkey, n.c_custkey) AS c_custkey,
+               CASE WHEN o.c_custkey IS NULL THEN 'added'
+                    WHEN n.c_custkey IS NULL THEN 'removed'
+                    WHEN o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+                     AND o.c_mktsegment IS NOT DISTINCT FROM n.c_mktsegment
+                        THEN 'unchanged'
+                    ELSE 'changed' END AS diff_status
+        FROM old_snap o FULL OUTER JOIN new_snap n USING (c_custkey)
+    )
+    SELECT diff_status, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key
+    FROM diff GROUP BY 1
+    """,
+    doc="Version-diff audit: two deterministic snapshots of the customer "
+    "dim (removals ≡0 mod 13 old-only, ≡0 mod 11 new-only, balance bumps "
+    "≡0 mod 7) diffed row-level via snapshot_diff; counts per "
+    "added/removed/changed/unchanged — the 'what changed between v=N-1 "
+    "and v=N' audit every versioned publish wants.",
+)
+def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: see snapshot_diff — one co-partitioned full-outer join; the
+    rollup here is a 4-row aggregate."""
+    cust = load_table(spark, sf_dir, "customer")
+    old = cust.filter(F.col("c_custkey") % 13 != 0).select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    new = cust.filter(F.col("c_custkey") % 11 != 0).select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            (F.col("c_acctbal") + 100).cast("decimal(15,2)"),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    diff = snapshot_diff(old, new, ["c_custkey"])
+    return diff.groupBy("diff_status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("c_custkey").cast("long").alias("min_key"),
+    )
