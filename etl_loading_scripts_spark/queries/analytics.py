@@ -3331,3 +3331,230 @@ def balanced_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+#: Trailing-window length for the exact EWMA query (days). Weights are
+#: powers of two — 2^(EWMA_K-1-lag) — so the whole smoothing is integer
+#: arithmetic and engine-exact; the normalizing denominator is returned
+#: alongside the numerator instead of dividing (float EWMA can never
+#: hash-match across engines).
+EWMA_K = 8
+
+#: (lag_days, weight = 2^(EWMA_K-1-lag)) pairs, emitted as a literal
+#: 8-row table on both engines.
+EWMA_WEIGHTS = [(lag, 1 << (EWMA_K - 1 - lag)) for lag in range(EWMA_K)]
+
+_EWMA_VALUES = ", ".join(f"({lag}, {w})" for lag, w in EWMA_WEIGHTS)
+
+
+@register(
+    "ewma_daily_orders",
+    oracle=f"""
+    WITH base AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders
+        GROUP BY 1
+    ),
+    lags(lag, w) AS (VALUES {_EWMA_VALUES}),
+    contrib AS (
+        SELECT b.day + CAST(l.lag AS INTEGER) AS day,
+               CAST(b.cnt * l.w AS BIGINT) AS val,
+               CAST(l.w AS BIGINT) AS w
+        FROM base b CROSS JOIN lags l
+    ),
+    sm AS (
+        SELECT day,
+               CAST(SUM(val) AS BIGINT) AS ewma_num,
+               CAST(SUM(w) AS BIGINT) AS ewma_den
+        FROM contrib
+        GROUP BY day
+    )
+    SELECT CAST(b.day AS VARCHAR) AS day, b.cnt, s.ewma_num, s.ewma_den
+    FROM base b JOIN sm s ON b.day = s.day
+    ORDER BY 1
+    """,
+    doc="Exponentially-weighted moving average of daily order volume "
+    f"over a trailing {EWMA_K}-day window (alpha=1/2, weights "
+    "2^(K-1-lag)), kept exact by returning the integer numerator and "
+    "the per-day weight mass actually present instead of a float ratio. "
+    "The recursive EWMA definition re-expressed as a bounded-lag "
+    "scatter: each day broadcasts its count forward to the K days it "
+    "influences — an equi-join, not a range join.",
+)
+def ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the naive formulation is a range self-join (day BETWEEN
+    d-K+1 AND d) which Spark can only run as a broadcast-nested-loop; we
+    invert it into a *scatter* — explode each day-count into its K
+    (target_day, weighted value) contributions via a broadcast 8-row
+    weight table, then one hash aggregate on target_day. Every join is
+    an equi-join; work is O(days * K) rows; no window over an
+    unpartitioned global sort. The same shape handles per-key EWMA at
+    fact grain (add the key to the scatter and the groupBy) on a
+    billion keys without a single-partition stage. Truly recursive
+    (unbounded-memory) EWMA is the streaming twin's job
+    (applyInPandasWithState); a K-term window with geometric weights is
+    the batch-exact standard."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.select(F.to_date("o_orderdate").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lags = spark.createDataFrame(EWMA_WEIGHTS, "lag int, w long")
+    contrib = (
+        base.crossJoin(F.broadcast(lags))
+        .select(
+            F.expr("date_add(day, lag)").alias("day"),
+            (F.col("cnt") * F.col("w")).alias("val"),
+            "w",
+        )
+    )
+    sm = contrib.groupBy("day").agg(
+        F.sum("val").cast("long").alias("ewma_num"),
+        F.sum("w").cast("long").alias("ewma_den"),
+    )
+    return base.join(sm, "day").select(
+        F.col("day").cast("string").alias("day"), "cnt", "ewma_num", "ewma_den"
+    ).orderBy("day")
+
+
+@register(
+    "winsorized_spend_by_nation",
+    oracle="""
+    WITH cents_t AS (
+        SELECT n.n_name AS nation,
+               c.c_custkey,
+               CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ),
+    ranked AS (
+        SELECT nation, c_custkey, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY nation ORDER BY cents, c_custkey
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY nation) AS n
+        FROM cents_t
+    ),
+    thr AS (
+        SELECT nation,
+               CAST(MIN(n) AS BIGINT) AS n_customers,
+               CAST(MIN(CASE WHEN rn * 10 >= n THEN cents END) AS BIGINT) AS lo_cents,
+               CAST(MIN(CASE WHEN rn * 10 >= 9 * n THEN cents END) AS BIGINT) AS hi_cents
+        FROM ranked
+        GROUP BY nation
+    )
+    SELECT r.nation,
+           t.n_customers,
+           t.lo_cents,
+           t.hi_cents,
+           CAST(SUM(LEAST(GREATEST(r.cents, t.lo_cents), t.hi_cents)) AS BIGINT)
+               AS winsorized_sum_cents,
+           CAST(SUM(r.cents) AS BIGINT) AS raw_sum_cents
+    FROM ranked r JOIN thr t ON r.nation = t.nation
+    GROUP BY 1, 2, 3, 4
+    ORDER BY 1
+    """,
+    doc="Robust (winsorized) account-balance total per nation: exact "
+    "rank-based p10/p90 thresholds (rank*10 >= n integer compare — no "
+    "float percentile), every balance clamped into [p10, p90] before "
+    "summing, in exact integer cents. The outlier-resistant aggregate a "
+    "finance rollup uses where plain SUM is whale-dominated.",
+)
+def winsorized_spend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one shuffle on nation for the rank window (25 bounded
+    partitions here; for a high-cardinality or whale group key the
+    range-bucketed global rank in ``operators/ranks.py`` replaces the
+    window), a nation-grain threshold aggregate joined back broadcast,
+    then a map-side clamp + partial-agg sum. Thresholds are exact order
+    statistics with (cents, custkey) total order, so the boundary row is
+    engine-deterministic; all money math is integer cents end-to-end."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cents_t = (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "c_custkey",
+            (F.col("c_acctbal").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    wpart = Window.partitionBy("nation")
+    ranked = cents_t.select(
+        "nation",
+        "c_custkey",
+        "cents",
+        F.row_number().over(wpart.orderBy("cents", "c_custkey")).alias("rn"),
+        F.count(F.lit(1)).over(wpart).alias("n"),
+    )
+    thr = ranked.groupBy("nation").agg(
+        F.min("n").cast("long").alias("n_customers"),
+        F.min(F.when(F.col("rn") * 10 >= F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("lo_cents"),
+        F.min(F.when(F.col("rn") * 10 >= 9 * F.col("n"), F.col("cents")))
+        .cast("long")
+        .alias("hi_cents"),
+    )
+    return (
+        ranked.join(F.broadcast(thr), "nation")
+        .groupBy("nation", "n_customers", "lo_cents", "hi_cents")
+        .agg(
+            F.sum(
+                F.least(F.greatest(F.col("cents"), F.col("lo_cents")), F.col("hi_cents"))
+            )
+            .cast("long")
+            .alias("winsorized_sum_cents"),
+            F.sum("cents").cast("long").alias("raw_sum_cents"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "event_type_diversity_gini",
+    oracle="""
+    WITH per_type AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT) AS gini_num,
+           CAST(SUM(c) * SUM(c) AS BIGINT) AS gini_den
+    FROM per_type
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Per-user behavioral diversity as exact Gini impurity of the "
+    "event-type distribution: gini = 1 - sum(p_i^2) returned as the "
+    "integer pair (n^2 - sum(c_i^2), n^2) so the measure is "
+    "engine-exact. The entropy-style engagement-diversity metric with "
+    "no floating-point log in the hot path.",
+)
+def event_type_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: two hash aggregates — (user, type) then user — both with
+    map-side partial combine; cardinality is bounded by users x event
+    types, never event grain after the first partial. No window, no
+    sort, no float: the impurity is a ratio of exact 64-bit integers
+    (overflow headroom: n^2 < 2^63 up to ~3e9 events per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            (F.sum("c") * F.sum("c") - F.sum(F.col("c") * F.col("c")))
+            .cast("long")
+            .alias("gini_num"),
+            (F.sum("c") * F.sum("c")).cast("long").alias("gini_den"),
+        )
+        .orderBy("user_id")
+    )

@@ -258,3 +258,132 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+#: Seed selector for the BFS reach query: parts whose key is divisible
+#: by this are sources. Deterministic, data-independent, and yields a
+#: handful of seeds at every scale factor.
+REACH_SEED_MOD = 100
+
+#: Minimum co-purchase support for a reach edge (same rationale as the
+#: triangle census: prune singleton-pair noise before traversal).
+REACH_MIN_SUPPORT = 2
+
+
+_REACH_EDGES_DUCK = f"""
+    items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {REACH_MIN_SUPPORT}
+    ),
+    edges AS (
+        SELECT u AS src, v AS dst FROM und
+        UNION ALL
+        SELECT v AS src, u AS dst FROM und
+    )
+"""
+
+
+@register(
+    "copurchase_reach_3hop",
+    oracle=f"""
+    WITH {_REACH_EDGES_DUCK},
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    f0 AS (SELECT node FROM nodes WHERE node % {REACH_SEED_MOD} = 0),
+    f1 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN f0 ON e.src = f0.node
+        WHERE e.dst NOT IN (SELECT node FROM f0)
+    ),
+    f2 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN f1 ON e.src = f1.node
+        WHERE e.dst NOT IN (SELECT node FROM f0)
+          AND e.dst NOT IN (SELECT node FROM f1)
+    ),
+    f3 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM edges e JOIN f2 ON e.src = f2.node
+        WHERE e.dst NOT IN (SELECT node FROM f0)
+          AND e.dst NOT IN (SELECT node FROM f1)
+          AND e.dst NOT IN (SELECT node FROM f2)
+    ),
+    reach AS (
+        SELECT 0 AS dist, node FROM f0
+        UNION ALL SELECT 1, node FROM f1
+        UNION ALL SELECT 2, node FROM f2
+        UNION ALL SELECT 3, node FROM f3
+    )
+    SELECT dist,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS node_checksum,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM reach
+    GROUP BY dist
+    ORDER BY dist
+    """,
+    doc="Breadth-first reachability, 3 synchronous hops, from the seed "
+    f"set (part keys divisible by {REACH_SEED_MOD}) over the co-purchase "
+    f"part graph (edges = pairs with support >= {REACH_MIN_SUPPORT}); "
+    "per-distance frontier size plus an exact node checksum. The "
+    "transitive-closure / recursive-CTE shape (WITH RECURSIVE in the "
+    "oracle family) as iterative distributed joins.",
+)
+def copurchase_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each hop is one equi-join frontier⋈edges (shuffle on node
+    id) + DISTINCT + a left-anti against the visited set — the textbook
+    distributed BFS step (Pregel's lowering to joins). Nothing touches
+    the driver; frontier and visited sets stay DataFrames end-to-end. At
+    100 TB the edge list is pre-bucketed on ``src`` so every hop's join
+    is shuffle-free on the edge side, and the visited set stays
+    partitioned the same way so the anti-join co-locates; the hop count
+    is fixed (k=3) so there is no convergence-test collect per round.
+    A full-closure variant would localCheckpoint the visited set per
+    round exactly like ``dedup_clusters`` does."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "ok")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= REACH_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    edges = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+
+    frontier = nodes.filter(F.col("node") % REACH_SEED_MOD == 0)
+    # visited carries (node, dist); reused as the anti-join probe each hop.
+    visited = frontier.select("node", F.lit(0).alias("dist"))
+    for hop in (1, 2, 3):
+        frontier = (
+            edges.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        visited = visited.unionAll(
+            frontier.select("node", F.lit(hop).alias("dist"))
+        )
+    return (
+        visited.groupBy("dist")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("node").cast("long").alias("node_checksum"),
+            F.min("node").cast("long").alias("min_node"),
+            F.max("node").cast("long").alias("max_node"),
+        )
+        .orderBy("dist")
+    )

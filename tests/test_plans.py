@@ -130,6 +130,7 @@ _BNLJ_OK = {
     "gdpr_forget_cascade",  # per-table audit: single-row count × single-row count
     "region_nation_share",  # nation grains × broadcast(single-row global total)
     "daily_volume_anomalies",  # day grains × broadcast(single-row moments)
+    "ewma_daily_orders",  # day grains × broadcast(8-row lag/weight table)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
