@@ -112,3 +112,83 @@ def global_ntile(
             r + (rank - head - 1) / q + 1
         )
     return ranked.withColumn(tile_col, F.floor(tile).cast("int")).drop("__rank__")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: Sequence[str],
+    value_col: str,
+    cum_col: str = "cum",
+    rank_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """``SUM(value) OVER (ORDER BY order_by ROWS UNBOUNDED PRECEDING)``
+    — the global running total — with no single-partition sort.
+
+    Same two-pass range-bucket scheme as the global rank: the stats pass
+    additionally folds per-partition *value sums* into cumulative sum
+    offsets, so each row's running total is its bucket's sum offset plus
+    a bucket-local cumulative window. Optionally also emits the global
+    row number (``rank_col``) from the same pass for free. The sort key
+    must be unique per row (same contract as ``global_row_number``).
+    """
+    spark = df.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    order_cols = [F.col(c) for c in order_by]
+    key_struct = F.struct(*[F.col(c).alias(f"f{i}") for i, c in enumerate(order_by)])
+
+    stats = (
+        df.repartitionByRange(n, *order_cols)
+        .select(
+            F.spark_partition_id().alias("__pid__"),
+            key_struct.alias("__k__"),
+            F.col(value_col).alias("__v__"),
+        )
+        .groupBy("__pid__")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("__k__").alias("lo"),
+            F.sum("__v__").alias("vsum"),
+        )
+        .collect()
+    )
+    stats.sort(key=lambda r: r["__pid__"])
+    offsets, total_rows, total_val = [], 0, 0
+    for r in stats:
+        offsets.append((r["lo"], total_rows, total_val))
+        total_rows += r["cnt"]
+        total_val += r["vsum"]
+
+    def lit_struct(v):
+        return F.struct(*[F.lit(x).alias(f"f{i}") for i, x in enumerate(v)])
+
+    bucket = F.lit(0)
+    for lo, _, _ in offsets[1:]:
+        bucket = bucket + (key_struct >= lit_struct(lo)).cast("int")
+    off_df = spark.createDataFrame(
+        [(i, roff, voff) for i, (_, roff, voff) in enumerate(offsets)]
+        or [(0, 0, 0)],
+        "__bucket__ int, __roff__ long, __voff__ long",
+    )
+
+    w = (
+        Window.partitionBy("__bucket__")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wr = Window.partitionBy("__bucket__").orderBy(*order_cols)
+    out = (
+        df.withColumn("__bucket__", bucket)
+        .join(F.broadcast(off_df), "__bucket__")
+        .withColumn(
+            cum_col,
+            (F.col("__voff__") + F.sum(value_col).over(w)).cast("long"),
+        )
+    )
+    cols = [*df.columns, cum_col]
+    if rank_col is not None:
+        out = out.withColumn(
+            rank_col, (F.col("__roff__") + F.row_number().over(wr)).cast("long")
+        )
+        cols.append(rank_col)
+    return out.select(*cols)

@@ -267,3 +267,282 @@ def max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "first_peak_us",
         )
     )
+
+
+#: Benford expected first-digit frequencies, permille, as exact literals
+#: (floor(log10(1+1/d) * 1000)) so both engines share the same table.
+BENFORD_PERMILLE = [
+    (1, 301), (2, 176), (3, 124), (4, 96), (5, 79),
+    (6, 66), (7, 57), (8, 51), (9, 45),
+]
+
+_BENFORD_VALUES = ", ".join(f"({d}, {p})" for d, p in BENFORD_PERMILLE)
+
+
+@register(
+    "abc_pareto_classification",
+    oracle="""
+    WITH rev AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM lineitem
+        GROUP BY 1
+    ),
+    cum AS (
+        SELECT l_partkey, cents,
+               SUM(cents) OVER (
+                   ORDER BY cents DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_cents,
+               SUM(cents) OVER () AS total_cents
+        FROM rev
+    )
+    SELECT CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+                WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents,
+           CAST(MIN(total_cents) AS BIGINT) AS total_cents
+    FROM cum
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="ABC (Pareto 80/15/5) inventory classification of parts by "
+    "revenue: rank parts by descending revenue, classify by exact "
+    "integer cumulative-share compares (cum*5 <= total*4 is the 80% "
+    "boundary — no float shares), and roll up count + revenue per "
+    "class. The running total is the scale-safe range-bucket cumsum, "
+    "not a single-partition window.",
+)
+def abc_pareto_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the global descending cumulative sum uses
+    ``operators/ranks.global_cumsum`` — range-repartition on the sort
+    key, per-partition sum offsets folded driver-side (bytes, not
+    data), bucket-local window — so the plan has no
+    ``Exchange SinglePartition`` even at a billion parts. The grand
+    total rides along as a single-row broadcast. All money math is
+    integer cents; the class boundaries are integer cross-multiplies,
+    so the A/B/C membership of every boundary part is engine-exact."""
+    from etl_loading_scripts_spark.operators.ranks import global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+            )
+            .cast("long")
+            .alias("cents")
+        )
+        .withColumn("neg_cents", -F.col("cents"))
+    )
+    cum = global_cumsum(
+        rev, ["neg_cents", "l_partkey"], "cents", cum_col="cum_cents"
+    )
+    total = cum.agg(F.sum("cents").cast("long").alias("total_cents"))
+    cls = (
+        F.when(F.col("cum_cents") * 5 <= F.col("total_cents") * 4, "A")
+        .when(F.col("cum_cents") * 20 <= F.col("total_cents") * 19, "B")
+        .otherwise("C")
+    )
+    return (
+        cum.crossJoin(F.broadcast(total))
+        .select(cls.alias("abc_class"), "cents", "total_cents")
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("cents").cast("long").alias("class_cents"),
+            F.min("total_cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@register(
+    "user_longest_daily_streak",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    seq AS (
+        SELECT user_id,
+               date_diff('day', DATE '2024-01-01', day) AS day_int,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, day_int - rn AS grp, CAST(COUNT(*) AS BIGINT) AS len
+        FROM seq
+        GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM islands
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Longest consecutive-day activity streak per user via the "
+    "gaps-and-islands idiom: distinct active days, day-number minus "
+    "per-user row_number as the island key, then per-island lengths "
+    "rolled up to (longest streak, active days, streak count).",
+)
+def user_longest_daily_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the row_number window partitions on user_id — bounded by
+    one user's active days (≤ a few thousand rows even over a decade),
+    never fact grain — and everything after is hash aggregates with
+    map-side combine. One shuffle on user_id serves the window and both
+    aggregates. The island key ``day_int - rn`` is pure integer
+    arithmetic, so island membership is engine-exact."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = days.select(
+        "user_id",
+        F.datediff(F.col("day"), F.lit("2024-01-01")).alias("day_int"),
+        F.row_number().over(w).alias("rn"),
+    )
+    islands = (
+        seq.select("user_id", (F.col("day_int") - F.col("rn")).alias("grp"))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak"),
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "spend_concentration_gini",
+    oracle="""
+    WITH spend AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn
+        FROM spend
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           CAST(2 * SUM(rn * cents) - (COUNT(*) + 1) * SUM(cents) AS BIGINT)
+               AS gini_num,
+           CAST(COUNT(*) * SUM(cents) AS BIGINT) AS gini_den
+    FROM ranked
+    """,
+    doc="Economy-wide spend concentration: the exact Gini coefficient "
+    "of per-customer order spend from the closed-form rank formula "
+    "G = (2*sum(i*s_i) - (n+1)*sum(s_i)) / (n*sum(s_i)) over ascending "
+    "spend — returned as an integer numerator/denominator pair. The "
+    "Lorenz-curve inequality measure a marketplace health dashboard "
+    "tracks, bit-exact across engines.",
+)
+def spend_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the global ascending rank is
+    ``operators/ranks.global_row_number`` (range buckets, no
+    single-partition sort); the Gini formula then needs only one hash
+    aggregate of (count, sum(cents), sum(rank*cents)). Nothing beyond
+    ~32 boundary literals ever reaches the driver. sum(rn*cents) fits
+    int64 up to ~10^9 customers x 10^5-cent spends scaled; past that,
+    promote to decimal(38,0) in the same expression."""
+    from etl_loading_scripts_spark.operators.ranks import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("cents")
+    )
+    ranked = global_row_number(spend, ["cents", "o_custkey"], rank_col="rn")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("cents").cast("long").alias("total_cents"),
+        (
+            2 * F.sum(F.col("rn") * F.col("cents"))
+            - (F.count(F.lit(1)) + 1) * F.sum("cents")
+        )
+        .cast("long")
+        .alias("gini_num"),
+        (F.count(F.lit(1)) * F.sum("cents")).cast("long").alias("gini_den"),
+    )
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH expected(digit, expected_permille) AS (VALUES {_BENFORD_VALUES}),
+    digits AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM digits)
+    SELECT d.digit,
+           d.n_orders,
+           CAST(d.n_orders * 1000 // t.total AS BIGINT) AS observed_permille,
+           CAST(e.expected_permille AS BIGINT) AS expected_permille
+    FROM digits d
+    JOIN expected e ON d.digit = e.digit
+    CROSS JOIN tot t
+    ORDER BY d.digit
+    """,
+    doc="Benford's-law first-digit audit of order totals: observed "
+    "first-digit counts vs the expected log10(1+1/d) distribution, "
+    "both as exact integer permille (floor division — no float "
+    "frequencies). The fraud / synthetic-data smoke test a data-quality "
+    "suite runs over money columns.",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one hash aggregate from fact grain to at most 9 digit
+    rows, then a broadcast join to the 9-row expected table and a
+    single-row total broadcast. The digit extraction
+    (floor → bigint → leading decimal char) is pure JVM expression
+    work inside whole-stage codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (
+        orders.select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    expected = spark.createDataFrame(
+        BENFORD_PERMILLE, "digit int, expected_permille long"
+    )
+    tot = digits.agg(F.sum("n_orders").cast("long").alias("total"))
+    return (
+        digits.join(F.broadcast(expected), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_orders",
+            F.expr("n_orders * 1000 div total").cast("long").alias(
+                "observed_permille"
+            ),
+            "expected_permille",
+        )
+        .orderBy("digit")
+    )

@@ -131,6 +131,8 @@ _BNLJ_OK = {
     "region_nation_share",  # nation grains × broadcast(single-row global total)
     "daily_volume_anomalies",  # day grains × broadcast(single-row moments)
     "ewma_daily_orders",  # day grains × broadcast(8-row lag/weight table)
+    "abc_pareto_classification",  # part grains × broadcast(single-row total)
+    "benford_first_digit",  # 9 digit rows × broadcast(single-row total)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the

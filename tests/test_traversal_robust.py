@@ -63,3 +63,67 @@ def test_gini_impurity_range_and_purity(spark, sf_dir):
     assert df.filter((F.col("n_types") == 1) & (F.col("gini_num") != 0)).count() == 0
     # More than one type implies strictly positive impurity.
     assert df.filter((F.col("n_types") > 1) & (F.col("gini_num") == 0)).count() == 0
+
+
+def test_abc_classes_partition_the_total(spark, sf_dir):
+    rows = REGISTRY["abc_pareto_classification"].spark(spark, sf_dir).collect()
+    by_cls = {r["abc_class"]: r for r in rows}
+    total = rows[0]["total_cents"]
+    assert sum(r["class_cents"] for r in rows) == total
+    # A-class revenue never exceeds 80% of the total (boundary-exclusive
+    # by the integer compare), and A exists on any non-degenerate data.
+    if "A" in by_cls:
+        assert by_cls["A"]["class_cents"] * 5 <= total * 4 + max(
+            r["class_cents"] // max(r["n_parts"], 1) for r in rows
+        ) * 5  # one boundary part of slack
+
+
+def test_global_cumsum_matches_window_cumsum(spark):
+    from pyspark.sql import functions as F  # noqa: F811
+    from pyspark.sql.window import Window
+
+    from etl_loading_scripts_spark.operators.ranks import global_cumsum
+
+    data = [(i, (i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame(data, "k long, v long")
+    got = {
+        r["k"]: (r["cum"], r["rn"])
+        for r in global_cumsum(
+            df, ["v", "k"], "v", cum_col="cum", rank_col="rn", num_partitions=8
+        ).collect()
+    }
+    w = Window.orderBy("v", "k").rowsBetween(Window.unboundedPreceding, 0)
+    wr = Window.orderBy("v", "k")
+    want = {
+        r["k"]: (r["cum"], r["rn"])
+        for r in df.select(
+            "k",
+            F.sum("v").over(w).alias("cum"),
+            F.row_number().over(wr).cast("long").alias("rn"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_streak_invariants(spark, sf_dir):
+    df = REGISTRY["user_longest_daily_streak"].spark(spark, sf_dir)
+    bad = df.filter(
+        (F.col("longest_streak") > F.col("n_active_days"))
+        | (F.col("n_streaks") > F.col("n_active_days"))
+        | (F.col("longest_streak") * F.col("n_streaks") < F.col("n_active_days"))
+    )
+    assert bad.count() == 0
+
+
+def test_gini_coefficient_in_unit_range(spark, sf_dir):
+    r = REGISTRY["spend_concentration_gini"].spark(spark, sf_dir).collect()[0]
+    assert 0 <= r["gini_num"] <= r["gini_den"]
+    assert r["gini_den"] == r["n_customers"] * r["total_cents"]
+
+
+def test_benford_permille_sums_near_thousand(spark, sf_dir):
+    rows = REGISTRY["benford_first_digit"].spark(spark, sf_dir).collect()
+    assert [r["digit"] for r in rows] == sorted(r["digit"] for r in rows)
+    # floor division loses at most 1 permille per digit
+    s = sum(r["observed_permille"] for r in rows)
+    assert 1000 - len(rows) <= s <= 1000
