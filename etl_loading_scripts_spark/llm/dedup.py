@@ -1308,3 +1308,136 @@ def dedup_paragraph_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(boiler).cast("double") / F.count(F.lit(1))).alias("boiler_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy audit (round 3)
+# ---------------------------------------------------------------------------
+
+_EST_MATCH_DUCK = " + ".join(
+    f"CAST(sa.mh{i} = sb.mh{i} AS BIGINT)" for i in range(N_MINHASH)
+)
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLES_SQL_DUCK}),
+    hashed AS (
+        SELECT doc_id, shingles,
+               {_hash_array_exprs_duck()}
+        FROM shingled
+    ),
+    sigs AS (
+        SELECT doc_id, shingles,
+               {_minhash_exprs_duck()}
+        FROM hashed
+    ),
+    banded AS (
+        SELECT doc_id,
+               {_band_keys_duck()}
+        FROM sigs
+    ),
+    band_long AS (
+        SELECT doc_id, b.band, b.key
+        FROM banded,
+        LATERAL (VALUES (0, band0), (1, band1), (2, band2), (3, band3)) AS b(band, key)
+    ),
+    candidates AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM band_long a JOIN band_long b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.id_a, c.id_b,
+               CAST({_EST_MATCH_DUCK} AS BIGINT) AS est_matches,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS jac_num,
+               CAST(len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS jac_den
+        FROM candidates c
+        JOIN sigs sa ON c.id_a = sa.doc_id
+        JOIN sigs sb ON c.id_b = sb.doc_id
+    )
+    SELECT est_matches,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(jac_num * 1000 // jac_den) AS BIGINT) AS sum_jac_permille,
+           CAST(MIN(jac_num * 1000 // jac_den) AS BIGINT) AS min_jac_permille,
+           CAST(MAX(jac_num * 1000 // jac_den) AS BIGINT) AS max_jac_permille
+    FROM pairs
+    GROUP BY est_matches
+    ORDER BY est_matches
+    """,
+    doc=f"Sketch self-audit: for every LSH candidate pair, the MinHash "
+    f"Jaccard estimate (matching signature slots out of {N_MINHASH}) "
+    "against the exact shingle Jaccard, rolled up per estimate bucket "
+    "as exact integer permille stats. The calibration report that "
+    "justifies trusting the sketch path at a scale where exact "
+    "verification of every pair is unaffordable.",
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical dataflow to ``dedup_minhash_lsh`` (map-only
+    signatures, ids-only band bucket join) plus one extra join pulling
+    the 12 signature slots for candidate pairs — both probe sides are
+    candidate-bounded, never corpus². The error stats are integer floor
+    permille, so the audit itself is engine-exact. In production this
+    runs on a sample partition each release to recalibrate the band/row
+    choice against observed Jaccard."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _shingles_spark(docs, materialize=False)
+    hashed = shingled.select("doc_id", "shingles", *_hash_array_exprs_spark())
+    sigs = hashed.select("doc_id", "shingles", *_minhash_exprs_spark())
+    banded = sigs.select("doc_id", *_band_keys_spark())
+    band_long = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("key"))
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = band_long.select(F.col("doc_id").alias("id_a"), "band", "key")
+    b = band_long.select(F.col("doc_id").alias("id_b"), "band", "key")
+    candidates = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    est = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("long") for i in range(N_MINHASH)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    pairs = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            est.alias("est_matches"),
+            inter.alias("jac_num"),
+            union.alias("jac_den"),
+        )
+    )
+    permille = F.expr("jac_num * 1000 div jac_den")
+    return (
+        pairs.groupBy("est_matches")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(permille).cast("long").alias("sum_jac_permille"),
+            F.min(permille).cast("long").alias("min_jac_permille"),
+            F.max(permille).cast("long").alias("max_jac_permille"),
+        )
+        .orderBy("est_matches")
+    )

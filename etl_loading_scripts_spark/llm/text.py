@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
 from etl_loading_scripts_spark.registry import register
@@ -909,4 +910,160 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("r_stopwords"),
         r_dup.alias("r_dup_words"),
         (r_wordcount + r_mean_len + r_stop + r_dup == 4).cast("long").alias("gopher_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus rollups: packing fragmentation + tokenizer fertility (round 3)
+# ---------------------------------------------------------------------------
+
+#: Context-window budget for the fragmentation report — matches the
+#: packing query so the two reports describe the same trainer layout.
+FRAG_WINDOW = 512
+
+
+@register(
+    "packing_fragmentation_report",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    placed AS (
+        SELECT lang, n_tokens,
+               CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    % {FRAG_WINDOW} AS BIGINT) AS pack_offset
+        FROM toks
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST((SUM(n_tokens) + {FRAG_WINDOW} - 1) // {FRAG_WINDOW} AS BIGINT)
+               AS n_packs,
+           CAST(SUM(CAST(pack_offset + n_tokens > {FRAG_WINDOW} AS BIGINT))
+               AS BIGINT) AS n_split_docs,
+           CAST(SUM(CAST(pack_offset + n_tokens > {FRAG_WINDOW} AS BIGINT))
+                * 1000 // COUNT(*) AS BIGINT) AS split_rate_permille
+    FROM placed
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc=f"Packing fragmentation: under the {FRAG_WINDOW}-token contiguous "
+    "packing layout (pack_sequences_cumsum), how many documents straddle "
+    "a context-window boundary per language — the attention-contamination "
+    "/ truncation metric a training-data team tracks when choosing "
+    "sequence length. Exact integer permille.",
+)
+def packing_fragmentation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same single lang-partitioned cumsum window as the packing
+    query (range-bucket cumsum swaps in for a mono-lingual corpus), then
+    one lang-grain aggregate. A doc splits iff its pack offset plus its
+    own length crosses the window boundary — pure integer arithmetic on
+    the running total, no per-pack explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            r"cast(size(filter(split(lower(text), '\\W+'), w -> w <> '')) as long)"
+        ).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = ((F.sum("n_tokens").over(w) - F.col("n_tokens")) % FRAG_WINDOW).cast(
+        "long"
+    )
+    placed = toks.select(
+        "lang",
+        "n_tokens",
+        offset.alias("pack_offset"),
+    )
+    split = (F.col("pack_offset") + F.col("n_tokens") > FRAG_WINDOW).cast("long")
+    return (
+        placed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.expr(f"(sum(n_tokens) + {FRAG_WINDOW} - 1) div {FRAG_WINDOW}")
+            .cast("long")
+            .alias("n_packs"),
+            F.sum(split).cast("long").alias("n_split_docs"),
+            F.expr(
+                f"sum(cast(pack_offset + n_tokens > {FRAG_WINDOW} as bigint))"
+                " * 1000 div count(*)"
+            )
+            .cast("long")
+            .alias("split_rate_permille"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "token_fertility_by_lang",
+    oracle=r"""
+    WITH w AS (
+        SELECT lang,
+               length(text) AS n_chars,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS words
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(words)) AS BIGINT) AS n_words,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(list_sum(list_transform(words, x -> length(x))))
+                AS BIGINT) AS n_word_chars,
+           CAST(SUM(list_sum(list_transform(words, x -> length(x)))) * 1000
+                // SUM(len(words)) AS BIGINT) AS chars_per_word_permille,
+           CAST(SUM(len(words)) * 1000 // COUNT(*) AS BIGINT)
+               AS words_per_doc_permille
+    FROM w
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Tokenizer fertility profile per language: corpus-level word and "
+    "character masses plus exact integer-permille chars-per-word and "
+    "words-per-doc ratios — the per-language budget table that sets "
+    "sampling weights when a token budget (not a doc budget) drives the "
+    "data mixture.",
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-only word split fused into the scan, then one
+    lang-grain hash aggregate with map-side combine — no window, no
+    join. Ratios are floor-division permille so the profile is
+    engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        _words_col().alias("words"),
+    )
+    return (
+        w.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("words")).cast("long").alias("n_words"),
+            F.sum("n_chars").cast("long").alias("n_chars"),
+            F.sum(F.expr("aggregate(words, 0L, (acc, x) -> acc + length(x))"))
+            .cast("long")
+            .alias("n_word_chars"),
+            F.expr(
+                "sum(aggregate(words, 0L, (acc, x) -> acc + length(x))) * 1000"
+                " div sum(size(words))"
+            )
+            .cast("long")
+            .alias("chars_per_word_permille"),
+            F.expr("sum(size(words)) * 1000 div count(*)")
+            .cast("long")
+            .alias("words_per_doc_permille"),
+        )
+        .orderBy("lang")
     )

@@ -251,3 +251,37 @@ def test_containment_catches_quote_inclusion_jaccard_misses(spark):
     jac = r["n_shared"] / (r["n_a"] + r["n_b"] - r["n_shared"])
     assert c_max >= 0.99  # every shingle of the short doc is contained
     assert jac < JACCARD_THRESHOLD  # symmetric score misses it entirely
+
+
+def test_minhash_estimate_error_buckets(spark, sf_dir):
+    from etl_loading_scripts_spark.llm.dedup import N_MINHASH
+
+    rows = REGISTRY["minhash_estimate_error"].spark(spark, sf_dir).collect()
+    assert rows, "LSH should surface at least one candidate pair"
+    for r in rows:
+        assert 0 <= r["est_matches"] <= N_MINHASH
+        assert 0 <= r["min_jac_permille"] <= r["max_jac_permille"] <= 1000
+        assert r["n_pairs"] >= 1
+    if len(rows) >= 2:
+        lo, hi = rows[0], rows[-1]  # ordered by est_matches
+        assert (
+            hi["sum_jac_permille"] * lo["n_pairs"]
+            >= lo["sum_jac_permille"] * hi["n_pairs"]
+        ), "more matching minhash slots must mean higher mean exact Jaccard"
+
+
+def test_packing_fragmentation_bounds(spark, sf_dir):
+    from etl_loading_scripts_spark.llm.text import FRAG_WINDOW
+
+    for r in REGISTRY["packing_fragmentation_report"].spark(spark, sf_dir).collect():
+        assert r["n_split_docs"] <= r["n_docs"]
+        assert r["n_packs"] * FRAG_WINDOW >= r["total_tokens"]
+        assert (r["n_packs"] - 1) * FRAG_WINDOW < r["total_tokens"]
+        assert 0 <= r["split_rate_permille"] <= 1000
+
+
+def test_token_fertility_ratios(spark, sf_dir):
+    for r in REGISTRY["token_fertility_by_lang"].spark(spark, sf_dir).collect():
+        assert r["n_word_chars"] <= r["n_chars"]
+        assert r["chars_per_word_permille"] >= 1000  # every word has >= 1 char
+        assert r["n_docs"] >= 1
