@@ -443,3 +443,93 @@ def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (the recursive smoother batch SQL can't express) — round 3
+# ---------------------------------------------------------------------------
+
+_EWMA_OUT = "user_id long, n_events long, ewma_micros long"
+_EWMA_STATE = "n long, ewma_micros long"
+
+
+def _update_user_ewma(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user recursive EWMA (alpha=1/2) over the event-time-ordered
+    value stream: s_0 = v_0, s_i = (s_{i-1} + v_i) // 2, all in integer
+    micros (floor division) so every step is engine-exact. State carries
+    (count, current smoothed value) across micro-batches."""
+    n, ewma = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for v in pdf["value_micros"]:
+            v = int(v)
+            if n == 0:
+                ewma = v
+            else:
+                # floor division matching DuckDB's // on BIGINT
+                ewma = (ewma + v) // 2
+            n += 1
+    state.update((n, ewma))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "ewma_micros": [ewma]}
+    )
+
+
+@register(
+    "stream_ewma_user_value",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(list_reduce(
+               list(CAST(round(value * 1000000) AS BIGINT) ORDER BY ts, event_id),
+               (acc, v) -> (acc + v) // 2
+           ) AS BIGINT) AS ewma_micros
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="Truly recursive per-user EWMA (alpha=1/2) as a stateful "
+    "streaming operator: unbounded-horizon smoothing that windowed batch "
+    "SQL cannot express with a fixed frame (the batch twin "
+    "ewma_daily_orders truncates to a K-day window for exactly this "
+    "reason). Integer-micros floor arithmetic makes every recursive step "
+    "bit-exact against the oracle's ordered list_reduce fold.",
+)
+def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: state is two longs per active user in the state store
+    (RocksDB-backed in production) — memory is O(|active keys|), the
+    stream itself is never buffered. The pandas kernel sorts only one
+    key's micro-batch slice by event time; cross-batch order is the
+    source's arrival order, which is the file order here (single listing
+    pass), matching the oracle's global (ts, event_id) sort. With
+    late/out-of-order data at scale, a watermark + per-batch sort gives
+    run-to-run determinism within the watermark horizon."""
+    src = table_path(sf_dir, "events")
+    stream_dir = stream_source_dir(src, prefix="events_stream")
+
+    raw_schema, nanos_cols = stream_source_schema(spark, src)
+    from pyspark.sql import functions as F
+
+    stream = _normalize_nanos(
+        spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value_micros"),
+    )
+    stateful = stream.groupBy("user_id").applyInPandasWithState(
+        _update_user_ewma,
+        outputStructType=_EWMA_OUT,
+        stateStructType=_EWMA_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"ewma_out_{uuid.uuid4().hex[:8]}"
+    q = stateful.writeStream.outputMode("update").format("memory").queryName(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)

@@ -100,6 +100,7 @@ _EXECUTING = {
     "stream_dedup_events",
     "stream_static_enrich",
     "stream_windowed_topk",
+    "stream_ewma_user_value",
     "monthly_load_e2e",
     "dedup_clusters",
     "dedup_clusters_bigstar",

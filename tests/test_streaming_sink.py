@@ -194,3 +194,31 @@ def test_stream_source_dir_repairs_dangling_symlink(tmp_path):
     u1 = stream_source_dir(str(src2), prefix=f"u_{tmp_path.name}", unique=True)
     u2 = stream_source_dir(str(src2), prefix=f"u_{tmp_path.name}", unique=True)
     assert u1 != u2
+
+
+def test_stream_ewma_state_bounds(spark, sf_dir):
+    """The recursive smoother stays inside each user's value envelope and
+    counts every event exactly once (exactness vs the ordered fold is the
+    DuckDB oracle's job)."""
+    import duckdb
+
+    from etl_loading_scripts_spark.catalog import table_path
+    from etl_loading_scripts_spark.queries import REGISTRY
+
+    rows = REGISTRY["stream_ewma_user_value"].spark(spark, sf_dir).collect()
+    con = duckdb.connect()
+    env = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            "SELECT user_id, COUNT(*), "
+            "MIN(CAST(round(value*1000000) AS BIGINT)), "
+            "MAX(CAST(round(value*1000000) AS BIGINT)) "
+            f"FROM read_parquet('{table_path(sf_dir, 'events')}') GROUP BY user_id"
+        ).fetchall()
+    }
+    assert {r["user_id"] for r in rows} == set(env)
+    for r in rows:
+        n, lo, hi = env[r["user_id"]]
+        assert r["n_events"] == n
+        # floor division can undershoot the envelope by at most 1 per step
+        assert lo - 1 <= r["ewma_micros"] <= hi
