@@ -3558,3 +3558,265 @@ def event_type_diversity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+#: RFM reference date: one day past the dataset's order horizon, so
+#: every recency is positive. Fixed constant — NOT derived from the data
+#: (a data-derived anchor would make scores drift between loads).
+RFM_ANCHOR = "1999-01-01"
+
+#: Duplicate-order detection: same customer, totals in the same amount
+#: band, within this many days. The band width (currency units) absorbs
+#: small line-level differences the way an AP auditor treats "roughly
+#: the same invoice amount"; tighten to exact cents when the data has
+#: true resubmissions.
+DUP_ORDER_WINDOW_DAYS = 90
+DUP_ORDER_BAND = 100
+
+
+@register(
+    "rfm_segmentation",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_custkey,
+               date_diff('day', MAX(CAST(o_orderdate AS DATE)),
+                         DATE '{RFM_ANCHOR}') AS recency_days,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS monetary_cents
+        FROM orders
+        GROUP BY 1
+    ),
+    scored AS (
+        SELECT o_custkey, recency_days, frequency, monetary_cents,
+               NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey) AS r_score,
+               NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+               NTILE(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+        FROM base
+    )
+    SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_code,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents,
+           CAST(MIN(o_custkey) AS BIGINT) AS sample_custkey
+    FROM scored
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation: exact "
+    "quintile scores on each dimension (NTILE(5) semantics, unique "
+    "custkey tie-break, recency scored so 5 = most recent), rolled up "
+    "per 3-digit RFM code. The classic CRM segmentation, produced with "
+    "no single-partition sort.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: three independent ``global_ntile`` passes (range-bucketed
+    rank — the plan never contains Exchange SinglePartition) over the
+    customer-grain base, then one hash aggregate on the code. Recency
+    'descending' is scored by tiling the negated day count, so all three
+    tiles share the ascending machinery. The anchor date is a fixed
+    constant: scores are reproducible across loads, the usual RFM
+    production requirement."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_ANCHOR), F.max(F.to_date("o_orderdate"))
+        ).alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        )
+        .cast("long")
+        .alias("monetary_cents"),
+    ).withColumn("neg_recency", -F.col("recency_days"))
+    scored = global_ntile(
+        base, 5, ["neg_recency", "o_custkey"], tile_col="r_score"
+    )
+    scored = global_ntile(
+        scored, 5, ["frequency", "o_custkey"], tile_col="f_score"
+    )
+    scored = global_ntile(
+        scored, 5, ["monetary_cents", "o_custkey"], tile_col="m_score"
+    )
+    return (
+        scored.select(
+            (
+                F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+            )
+            .cast("long")
+            .alias("rfm_code"),
+            "monetary_cents",
+            "o_custkey",
+        )
+        .groupBy("rfm_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("segment_cents"),
+            F.min("o_custkey").cast("long").alias("sample_custkey"),
+        )
+        .orderBy("rfm_code")
+    )
+
+
+@register(
+    "duplicate_order_detection",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(floor(o_totalprice / {DUP_ORDER_BAND}) AS BIGINT) AS band,
+               CAST(o_orderdate AS DATE) AS day
+        FROM orders
+    )
+    SELECT a.o_custkey,
+           a.o_orderkey AS order_a,
+           b.o_orderkey AS order_b,
+           a.band,
+           CAST(abs(date_diff('day', a.day, b.day)) AS BIGINT) AS day_gap
+    FROM o a JOIN o b
+      ON a.o_custkey = b.o_custkey
+     AND a.band = b.band
+     AND a.o_orderkey < b.o_orderkey
+    WHERE abs(date_diff('day', a.day, b.day)) <= {DUP_ORDER_WINDOW_DAYS}
+    ORDER BY a.o_custkey, order_a, order_b
+    """,
+    doc="Double-billing / duplicate-submission detection: pairs of "
+    "orders from the same customer whose totals fall in the same "
+    f"{DUP_ORDER_BAND}-unit amount band within {DUP_ORDER_WINDOW_DAYS} "
+    "days of each other — the standard AP-audit fraud probe, as an "
+    "equi-join on (customer, amount band) with the date window applied "
+    "as a residual filter.",
+)
+def duplicate_order_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the self-join key is (custkey, amount band) — highly
+    selective, so candidate pairs are tiny versus orders²; the date
+    window is a cheap residual predicate after the hash join, never a
+    range-join condition. Skew guard: a pathological amount (e.g. a
+    fixed subscription fee) fattens one key — the salted-join operator
+    (operators/skew.py) drops in for that case."""
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") / DUP_ORDER_BAND)
+        .cast("long")
+        .alias("band"),
+        F.to_date("o_orderdate").alias("day"),
+    )
+    a = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_a"),
+        "band",
+        F.col("day").alias("day_a"),
+    )
+    b = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("order_b"),
+        "band",
+        F.col("day").alias("day_b"),
+    )
+    return (
+        a.join(b, ["o_custkey", "band"])
+        .filter(F.col("order_a") < F.col("order_b"))
+        .filter(
+            F.abs(F.datediff("day_a", "day_b")) <= DUP_ORDER_WINDOW_DAYS
+        )
+        .select(
+            "o_custkey",
+            "order_a",
+            "order_b",
+            "band",
+            F.abs(F.datediff("day_a", "day_b")).cast("long").alias("day_gap"),
+        )
+        .orderBy("o_custkey", "order_a", "order_b")
+    )
+
+
+@register(
+    "ship_delay_percentiles",
+    oracle="""
+    WITH delays AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE)) AS delay_days
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    hist AS (
+        SELECT priority, delay_days, CAST(COUNT(*) AS BIGINT) AS c
+        FROM delays GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT priority, delay_days, c,
+               SUM(c) OVER (PARTITION BY priority ORDER BY delay_days
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(c) OVER (PARTITION BY priority) AS n
+        FROM hist
+    )
+    SELECT priority,
+           CAST(MIN(n) AS BIGINT) AS n_lines,
+           CAST(MIN(CASE WHEN cw * 2 >= n THEN delay_days END) AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cw * 10 >= 9 * n THEN delay_days END) AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cw * 100 >= 99 * n THEN delay_days END) AS BIGINT) AS p99,
+           CAST(MAX(delay_days) AS BIGINT) AS max_delay
+    FROM cum
+    GROUP BY priority
+    ORDER BY priority
+    """,
+    doc="Exact p50/p90/p99 order-to-ship delay per order priority — the "
+    "SLA latency report — computed from a bounded-domain day histogram "
+    "(integer cumulative compare), so the exact percentile never sorts "
+    "fact-grain rows.",
+)
+def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: fact rows collapse FIRST to a (priority × delay-day)
+    histogram — bounded by the day domain (a few thousand cells), not by
+    |lineitem| — and the percentile scan is a window over that tiny
+    histogram. This is how exact latency percentiles stay cheap at
+    100 TB: aggregate to the value domain, then rank the domain. The
+    join is lineitem⋈orders on orderkey (both sides bucketable on the
+    warehouse layout)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    delays = li.join(
+        orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        li["l_orderkey"] == orders["o_orderkey"],
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "delay_days"
+        ),
+    )
+    hist = delays.groupBy("priority", "delay_days").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("delay_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "delay_days",
+        F.sum("c").over(wcum).alias("cw"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    return (
+        cum.groupBy("priority")
+        .agg(
+            F.min("n").cast("long").alias("n_lines"),
+            F.min(F.when(F.col("cw") * 2 >= F.col("n"), F.col("delay_days")))
+            .cast("long")
+            .alias("p50"),
+            F.min(
+                F.when(F.col("cw") * 10 >= 9 * F.col("n"), F.col("delay_days"))
+            )
+            .cast("long")
+            .alias("p90"),
+            F.min(
+                F.when(F.col("cw") * 100 >= 99 * F.col("n"), F.col("delay_days"))
+            )
+            .cast("long")
+            .alias("p99"),
+            F.max("delay_days").cast("long").alias("max_delay"),
+        )
+        .orderBy("priority")
+    )

@@ -127,3 +127,37 @@ def test_benford_permille_sums_near_thousand(spark, sf_dir):
     # floor division loses at most 1 permille per digit
     s = sum(r["observed_permille"] for r in rows)
     assert 1000 - len(rows) <= s <= 1000
+
+
+def test_rfm_scores_cover_all_dimensions(spark, sf_dir):
+    rows = REGISTRY["rfm_segmentation"].spark(spark, sf_dir).collect()
+    total = sum(r["n_customers"] for r in rows)
+    assert total > 0
+    for r in rows:
+        code = r["rfm_code"]
+        rs, fs, ms = code // 100, (code // 10) % 10, code % 10
+        assert 1 <= rs <= 5 and 1 <= fs <= 5 and 1 <= ms <= 5
+    # each quintile holds ~total/5 customers: reconstruct the marginal
+    # distribution of the M score and check balance within ±1.
+    from collections import Counter
+
+    m_marginal = Counter()
+    for r in rows:
+        m_marginal[r["rfm_code"] % 10] += r["n_customers"]
+    if total >= 5:
+        lo, hi = total // 5, total // 5 + 1
+        assert all(lo <= v <= hi for v in m_marginal.values()), m_marginal
+
+
+def test_duplicate_orders_are_ordered_pairs(spark, sf_dir):
+    for r in REGISTRY["duplicate_order_detection"].spark(spark, sf_dir).collect():
+        assert r["order_a"] < r["order_b"]
+        assert 0 <= r["day_gap"] <= 90
+
+
+def test_ship_delay_percentiles_monotone(spark, sf_dir):
+    rows = REGISTRY["ship_delay_percentiles"].spark(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["p50"] <= r["p90"] <= r["p99"] <= r["max_delay"]
+        assert r["n_lines"] > 0
