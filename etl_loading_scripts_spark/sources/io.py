@@ -49,7 +49,12 @@ def write_table(
     getattr(writer, fmt)(path)
 
 
-def write_fact_partitioned(fact: DataFrame, path: str, datekey_col: str = "datekey") -> None:
+def write_fact_partitioned(
+    fact: DataFrame,
+    path: str,
+    datekey_col: str = "datekey",
+    compact: bool = True,
+) -> None:
     """The 100 TB fact layout: hive-partitioned by month (``yyyyMM`` int
     derived from the datekey), so the reference's ``DateKey BETWEEN``
     monthly windows prune to ~1/100th of the table at the file-listing
@@ -57,8 +62,21 @@ def write_fact_partitioned(fact: DataFrame, path: str, datekey_col: str = "datek
 
     Readers filter on ``month`` (or on ``datekey`` after
     ``month = datekey div 100`` is derived) and Catalyst turns it into
-    PartitionFilters — zero data files outside the window are opened."""
+    PartitionFilters — zero data files outside the window are opened.
+
+    ``compact=True`` (default) repartitions on the month column before
+    the write so each month directory gets O(1) files instead of one per
+    upstream task — without it, N upstream partitions x M months writes
+    N*M small files, the classic partitioned-write mistake that makes
+    every later listing pass pay for the layout. Disable only when the
+    upstream is already month-clustered (e.g. a single-month increment),
+    where the extra shuffle buys nothing. Whale months that outgrow a
+    single task are the bucketed layout's job (``write_bucketed``), or
+    repartition on (month, salt).
+    """
     with_month = fact.withColumn("month", (F.col(datekey_col) / 100).cast("int"))
+    if compact:
+        with_month = with_month.repartition(F.col("month"))
     write_table(with_month, path, partition_by=["month"])
 
 
