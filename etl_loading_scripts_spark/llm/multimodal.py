@@ -347,3 +347,173 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize_batches,
         schema="doc_id long, orig_bytes long, resized_bytes long, resized_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG decode + WAV audio stats (round 3: compressed-image and audio codecs)
+# ---------------------------------------------------------------------------
+
+_PNG_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, checksum_weighted bigint"
+)
+
+
+def _png_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a deterministic RGB image per doc as a REAL PNG (zlib
+    IDAT, CRC-checked chunks, per-row filter cycling through all five
+    types), then decode it with the genuine spec decoder and emit stats
+    from the DECODED pixels. A defilter bug (Sub/Up/Average/Paeth), CRC
+    slip, or stride mistake breaks the position-sensitive checksum."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.codecs import decode_png, encode_png
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "width", "height", "n_pixels",
+            "sum_r", "sum_g", "sum_b", "checksum_weighted",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 4 + d % 13, 3 + d % 7
+            n = w * h * 3
+            rgb = ((d * 31 + np.arange(n)) % 256).astype(np.uint8).tobytes()
+            dw, dh, drgb = decode_png(encode_png(w, h, rgb))
+            arr = np.frombuffer(drgb, dtype=np.uint8).astype(np.int64)
+            out["doc_id"].append(d)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["n_pixels"].append(dw * dh)
+            out["sum_r"].append(int(arr[0::3].sum()))
+            out["sum_g"].append(int(arr[1::3].sum()))
+            out["sum_b"].append(int(arr[2::3].sum()))
+            out["checksum_weighted"].append(int(((np.arange(arr.size) + 1) * arr).sum()))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64", "width": "int32", "height": "int32",
+                "n_pixels": "int64", "sum_r": "int64", "sum_g": "int64",
+                "sum_b": "int64", "checksum_weighted": "int64",
+            }
+        )
+
+
+@register(
+    "mm_decode_png",
+    oracle="""
+    WITH px AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS width,
+               3 + doc_id % 7 AS height,
+               (4 + doc_id % 13) * (3 + doc_id % 7) * 3 AS n
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(width * height AS BIGINT) AS n_pixels,
+           CAST(list_sum(list_transform(range(0, n, 3),
+                p -> (doc_id * 31 + p) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(1, n, 3),
+                p -> (doc_id * 31 + p) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(2, n, 3),
+                p -> (doc_id * 31 + p) % 256)) AS BIGINT) AS sum_b,
+           CAST(list_sum(list_transform(range(0, n),
+                p -> (p + 1) * ((doc_id * 31 + p) % 256))) AS BIGINT)
+               AS checksum_weighted
+    FROM px
+    """,
+    doc="REAL compressed-image decode: per doc, a deterministic RGB image "
+    "is encoded as a spec-complete PNG (zlib IDAT, CRC-verified chunks, "
+    "scanline filters cycling through None/Sub/Up/Average/Paeth) and "
+    "parsed back by the dependency-free decoder in llm/codecs.py inside "
+    "the Arrow-batched mapInPandas kernel; all stats come from DECODED "
+    "pixels, so any defilter/CRC/stride bug hash-mismatches the "
+    "arithmetic oracle.",
+)
+def mm_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same contract as ``mm_decode_real`` — mapInPandas,
+    partition-local, no shuffle, one Arrow batch per core in flight.
+    zlib inflate per image is the honest cost shape of production decode
+    (PIL/libjpeg are per-image C calls behind the same batch plumbing)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_png_decode_batches, schema=_PNG_DECODE_SCHEMA)
+
+
+_WAV_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, duration_ms long, "
+    "sum_abs bigint, energy bigint"
+)
+
+
+def _wav_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a deterministic int16 waveform per doc as a real RIFF/WAVE
+    container, decode it with the chunk-walking parser, and emit loudness
+    stats from the DECODED samples."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.codecs import decode_wav, encode_wav
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "sample_rate", "n_samples", "duration_ms",
+            "sum_abs", "energy",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 256 + (d % 17) * 16
+            rate = 8000 + (d % 3) * 4000
+            samples = (((d * 7 + np.arange(n) * 13) % 65536) - 32768).astype(
+                "<i2"
+            )
+            drate, draw = decode_wav(encode_wav(rate, samples.tobytes()))
+            arr = np.frombuffer(draw, dtype="<i2").astype(np.int64)
+            out["doc_id"].append(d)
+            out["sample_rate"].append(drate)
+            out["n_samples"].append(arr.size)
+            out["duration_ms"].append(arr.size * 1000 // drate)
+            out["sum_abs"].append(int(np.abs(arr).sum()))
+            out["energy"].append(int((arr * arr).sum()))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64", "sample_rate": "int32", "n_samples": "int64",
+                "duration_ms": "int64", "sum_abs": "int64", "energy": "int64",
+            }
+        )
+
+
+@register(
+    "mm_audio_wav_stats",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               256 + (doc_id % 17) * 16 AS n,
+               8000 + (doc_id % 3) * 4000 AS rate
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+           CAST(list_sum(list_transform(range(0, n),
+                i -> abs(((doc_id * 7 + i * 13) % 65536) - 32768)))
+               AS BIGINT) AS sum_abs,
+           CAST(list_sum(list_transform(range(0, n),
+                i -> (((doc_id * 7 + i * 13) % 65536) - 32768)
+                   * (((doc_id * 7 + i * 13) % 65536) - 32768)))
+               AS BIGINT) AS energy
+    FROM params
+    """,
+    doc="REAL audio container decode: per doc, a deterministic int16 "
+    "waveform is wrapped in an honest RIFF/WAVE PCM16 container and "
+    "parsed back by the chunk-walking decoder in llm/codecs.py (fmt "
+    "validation, word-aligned chunk skip) inside mapInPandas; loudness "
+    "stats (duration, sum|x|, energy) come from DECODED samples and are "
+    "recomputed arithmetically by the oracle.",
+)
+def mm_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-only over the corpus, one Arrow batch per core; this is
+    the plumbing a real audio-feature pass (fbank/VAD via a C kernel)
+    plugs into — schema, batching, and partition-locality identical."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_wav_batches, schema=_WAV_SCHEMA)

@@ -285,3 +285,47 @@ def test_token_fertility_ratios(spark, sf_dir):
         assert r["n_word_chars"] <= r["n_chars"]
         assert r["chars_per_word_permille"] >= 1000  # every word has >= 1 char
         assert r["n_docs"] >= 1
+
+
+def test_png_codec_rejects_corruption_and_covers_filters():
+    import zlib
+
+    from etl_loading_scripts_spark.llm.codecs import decode_png, encode_png
+
+    w, h = 7, 11  # h > 5: every filter type appears at least once
+    rgb = bytes((i * 37 + 11) % 256 for i in range(w * h * 3))
+    payload = encode_png(w, h, rgb)
+    assert decode_png(payload) == (w, h, rgb)
+    # flip one IDAT byte: CRC check must catch it
+    idat_at = payload.index(b"IDAT") + 10
+    bad = payload[:idat_at] + bytes([payload[idat_at] ^ 0xFF]) + payload[idat_at + 1:]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bad)
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNX" + payload[4:])
+    # the encoder actually used all five filter types
+    raw = zlib.decompress(
+        payload[payload.index(b"IDAT") + 4 : payload.rindex(b"IEND") - 4]
+    )
+    stride = w * 3 + 1
+    filters = {raw[y * stride] for y in range(h)}
+    assert filters == {0, 1, 2, 3, 4}
+
+
+def test_wav_codec_parses_extra_chunks_and_rejects_stereo():
+    import struct
+
+    from etl_loading_scripts_spark.llm.codecs import decode_wav, encode_wav
+
+    samples = struct.pack("<6h", 0, 1, -1, 32767, -32768, 42)
+    payload = encode_wav(22050, samples)
+    assert decode_wav(payload) == (22050, samples)
+    # splice a LIST chunk (odd length → word-alignment path) before data
+    data_at = payload.index(b"data")
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    spliced = payload[:data_at] + extra + payload[data_at:]
+    assert decode_wav(spliced) == (22050, samples)
+    stereo = bytearray(payload)
+    struct.pack_into("<H", stereo, payload.index(b"fmt ") + 10, 2)
+    with pytest.raises(ValueError, match="mono"):
+        decode_wav(bytes(stereo))

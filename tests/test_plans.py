@@ -141,6 +141,8 @@ _BNLJ_OK = {
 _PYTHON_OK = {
     "mm_decode_features",
     "mm_decode_real",  # genuine BMP/PPM codec, Arrow-batched mapInPandas
+    "mm_decode_png",  # genuine PNG codec (zlib+defilter), Arrow-batched
+    "mm_audio_wav_stats",  # genuine RIFF/WAVE parser, Arrow-batched
     "mm_resize",
     "heavy_hitter_mg_sketch",
     "nation_revenue_trend",  # grouped-map OLS kernel over month-grain aggregates
