@@ -1,0 +1,165 @@
+"""Driver-visible queries for the copy-on-write partition mutations.
+
+Each query materializes a month-partitioned order fact under ``/tmp``
+(fresh per run — idempotent), applies a file-level-rewrite mutation
+(``operators/cow.py``), and returns the full table's per-month end state,
+which the DuckDB oracle derives independently from the ``orders`` view.
+The byte-level "untouched partitions kept their files" half of the
+contract is asserted in ``tests/test_cow.py`` (hash oracles can't see
+file layout).
+
+Reference shapes: MERGE ``P-SF:95-202`` (matched update / unmatched
+insert / month-scoped NOT-MATCHED-BY-SOURCE delete), monthly ``DateKey
+BETWEEN`` incremental window ``S4:91-107``, DELETE…WHERE ``P-RES:65-66``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.operators.cow import (
+    delete_cow_partitioned,
+    merge_cow_partitioned,
+)
+from etl_loading_scripts_spark.registry import register
+from etl_loading_scripts_spark.sources.io import write_fact_partitioned
+
+#: Inserted keys are offset far past any real TPC-H orderkey (sf1 tops out
+#: around 6M; even sf100 stays under 1e9), so synthetic rows can't collide.
+_INSERT_OFFSET = 1_000_000_000
+
+
+def _order_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, datekey, price DECIMAL(18,4)) — the COW demos' fact shape.
+    Decimal money keeps every aggregate bit-identical across engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_orderkey").alias("k"),
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).cast("int").alias("datekey"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+
+
+def _warehouse(tag: str, sf_dir: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+
+
+def _month_rollup(df: DataFrame) -> DataFrame:
+    return df.groupBy(F.col("month").cast("int").alias("month")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").cast("double").alias("total_price"),
+    )
+
+
+@register(
+    "merge_cow_month",
+    oracle=f"""
+    WITH mm AS (
+        SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS m
+        FROM orders GROUP BY 1 ORDER BY COUNT(*) DESC, m DESC LIMIT 1
+    ),
+    base AS (
+        SELECT o_orderkey AS k,
+               CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        FROM orders
+    ),
+    final AS (
+        SELECT k, month, price FROM base, mm WHERE month <> mm.m
+        UNION ALL
+        SELECT k, month, CAST(price * 2 AS DECIMAL(18,4))
+        FROM base, mm WHERE month = mm.m AND k % 2 = 0
+        UNION ALL
+        SELECT k + {_INSERT_OFFSET}, month, price
+        FROM base, mm WHERE month = mm.m AND k % 97 = 0
+    )
+    SELECT month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS total_price
+    FROM final GROUP BY 1
+    """,
+    doc="File-level-rewrite MERGE (the lakehouse idiom on plain parquet): "
+    "restate the busiest month of a month-partitioned order fact — even keys "
+    "repriced ×2 (update), every 97th key re-inserted under a new key "
+    "(insert), odd keys dropped (month-scoped NOT-MATCHED-BY-SOURCE "
+    "delete) — then roll up the whole table per month. Months outside the "
+    "window keep their files byte-identical (tests/test_cow.py).",
+)
+def merge_cow_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the merge lists, reads, and swaps ONLY the restated month's
+    partition directory — at 100 TB a monthly restatement is a ~1/100th
+    rewrite with a metadata-rename commit, while the join inside the
+    window is an ordinary key shuffle (AQE broadcasts dimension-sized
+    increments). This is `merge_upsert`'s semantics contract executed
+    with Delta/Iceberg's physical behavior, minus their manifest layer
+    (environment blocker recorded in BASELINE.md).
+
+    The restated window is the BUSIEST month (tie-break: latest) — the
+    calendar-tail month can be a 2-row stub whose keys are all odd,
+    which would make the merge source empty and the demo vacuous."""
+    base = _order_fact(spark, sf_dir)
+    path = _warehouse("cow_merge", sf_dir)
+    write_fact_partitioned(base, path)
+
+    busiest = (
+        base.groupBy((F.col("datekey") / 100).cast("int").alias("m"))
+        .count()
+        .orderBy(F.desc("count"), F.desc("m"))
+        .first()["m"]
+    )
+    window = base.filter((F.col("datekey") / 100).cast("int") == busiest)
+    updates = window.filter(F.col("k") % 2 == 0).withColumn(
+        "price", (F.col("price") * 2).cast("decimal(18,4)")
+    )
+    inserts = window.filter(F.col("k") % 97 == 0).withColumn(
+        "k", F.col("k") + F.lit(_INSERT_OFFSET)
+    )
+    merge_cow_partitioned(
+        spark,
+        path,
+        updates.unionByName(inserts),
+        on=["k"],
+        delete_unmatched_source=True,
+    )
+    return _month_rollup(spark.read.parquet(path))
+
+
+@register(
+    "delete_cow_purge",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey % 500 <> 7
+    GROUP BY 1
+    """,
+    doc="GDPR-style purge with file-level rewrite: DELETE every order "
+    "whose key falls in the forget set (k % 500 = 7) across ALL months "
+    "of the partitioned fact, removing any partition directory the purge "
+    "empties; remaining table rolled up per month.",
+)
+def delete_cow_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: a right-to-be-forgotten sweep must visit every partition,
+    but each partition is rewritten independently (no global shuffle —
+    the repartition key is the partition column itself) and committed by
+    rename; parquet footer counts make the before/after row accounting
+    metadata-only. Contrast `gdpr_forget_cascade` (the audit of WHAT to
+    forget) — this is the physical erasure."""
+    base = _order_fact(spark, sf_dir)
+    path = _warehouse("cow_purge", sf_dir)
+    write_fact_partitioned(base, path)
+    delete_cow_partitioned(spark, path, F.col("k") % 500 == 7)
+    return _month_rollup(spark.read.parquet(path))
