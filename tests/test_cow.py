@@ -150,3 +150,42 @@ def test_merge_cow_empty_source_is_noop(spark, tmp_path):
     stats = merge_cow_partitioned(spark, path, src, on=["k"])
     assert stats == {"months_rewritten": [], "months_emptied": []}
     assert list_partition_files(spark, path) == before
+
+
+def test_cdc_batch_split_invariance(spark, tmp_path, sf_dir):
+    """Applying the changelog as ONE batch or as TWO disjoint batches
+    reaches the identical table — the exactly-once story of the CDC
+    bridge rests on per-key idempotence, not on batch boundaries."""
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.sources.io import write_fact_partitioned
+    from etl_loading_scripts_spark.streaming.cdc_bridge import (
+        _event_changelog,
+        apply_changelog_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(300)
+    seed = (
+        _event_changelog(events)
+        .filter(F.col("event_id") % 3 != 0)
+        .withColumn("value", F.lit(0).cast("decimal(18,6)"))
+    )
+
+    paths = [str(tmp_path / "one"), str(tmp_path / "two")]
+    for p in paths:
+        write_fact_partitioned(seed, p)
+
+    apply_changelog_batch(spark, paths[0], events)
+    apply_changelog_batch(spark, paths[1], events.filter(F.col("event_id") % 2 == 0))
+    apply_changelog_batch(spark, paths[1], events.filter(F.col("event_id") % 2 != 0))
+
+    def state(p):
+        return {
+            (r.event_id, r.datekey, str(r.value))
+            for r in spark.read.parquet(p)
+            .select("event_id", "datekey", "value")
+            .collect()
+        }
+
+    s1, s2 = state(paths[0]), state(paths[1])
+    assert s1 == s2
+    assert len(s1) == 300  # every event healed or inserted exactly once
