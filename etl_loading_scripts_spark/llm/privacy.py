@@ -184,3 +184,46 @@ def gdpr_forget_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@register(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH cls AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {BAL_BUCKET}) AS INT) AS bal_bucket,
+               CAST(COUNT(*) AS BIGINT) AS cls_size
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT cls_size AS class_size,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(cls_size) AS BIGINT) AS n_individuals,
+           cls_size < {K_ANON} AS at_risk
+    FROM cls GROUP BY 1
+    """,
+    doc=f"k-anonymity risk audit of the release quasi-identifiers "
+    f"(nation, market segment, {BAL_BUCKET}-wide balance bucket): the "
+    "equivalence-class size histogram with per-size individual counts and "
+    f"an at-risk flag for classes below k={K_ANON} — the measurement that "
+    "justifies (or indicts) the generalization choices "
+    "pii_anonymize_customers applies.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit is two hash aggregates (QI-class count, then size
+    histogram) — no window, no join, linear in the table and perfectly
+    partitionable, so it runs on the full 100 TB release candidate as
+    cheaply as any rollup. The dataset's k is the smallest class_size
+    with at_risk rows; re-running after coarsening a QI shows the
+    histogram mass shifting right — the audit/transform iteration loop
+    of a real release process."""
+    cust = load_table(spark, sf_dir, "customer")
+    cls = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / BAL_BUCKET).cast("int").alias("bal_bucket"),
+    ).agg(F.count(F.lit(1)).alias("cls_size"))
+    return cls.groupBy(F.col("cls_size").alias("class_size")).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("cls_size").alias("n_individuals"),
+        (F.col("class_size") < K_ANON).alias("at_risk"),
+    )

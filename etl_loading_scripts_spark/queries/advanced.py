@@ -546,3 +546,73 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "chi2_independence_cells",
+    oracle="""
+    WITH cells AS (
+        SELECT o_orderpriority AS priority, o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT priority, CAST(SUM(obs) AS BIGINT) AS row_total FROM cells GROUP BY 1),
+    ct AS (SELECT status, CAST(SUM(obs) AS BIGINT) AS col_total FROM cells GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM cells)
+    SELECT c.priority, c.status, c.obs,
+           rt.row_total, ct.col_total,
+           POWER(CAST(n.n * c.obs - rt.row_total * ct.col_total AS DOUBLE), 2)
+               / (CAST(n.n AS DOUBLE) * rt.row_total * ct.col_total)
+               AS chi2_cell
+    FROM cells c
+    JOIN rt ON c.priority = rt.priority
+    JOIN ct ON c.status = ct.status
+    CROSS JOIN n
+    """,
+    doc="Chi-square test of independence between order priority and order "
+    "status: the full contingency table with per-cell chi-square "
+    "contributions — (N*obs - rowTotal*colTotal)^2 / (N*rowTotal*colTotal), "
+    "the N-scaled form whose inputs stay exact integers so the single "
+    "float division is bit-identical across engines. The statistic is the "
+    "cell sum; it is NOT summed here because a float sum's value depends "
+    "on addition order (registry determinism rule #2).",
+)
+def chi2_independence_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dependence screening between categorical columns is a routine
+    feature-audit step (leakage detection, stratification checks). Shape:
+    one hash aggregate for the cells, two broadcast-joined marginal
+    rollups, one broadcast scalar N — a plan whose only full-data pass is
+    the first groupBy, so it runs at fact scale unchanged. The per-cell
+    output also IS the diagnostic: the analyst reads which cells carry
+    the dependence, which a single scalar statistic hides."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    rt = cells.groupBy("priority").agg(F.sum("obs").alias("row_total"))
+    ct = cells.groupBy("status").agg(F.sum("obs").alias("col_total"))
+    n = cells.agg(F.sum("obs").alias("n"))
+    num = (F.col("n") * F.col("obs") - F.col("row_total") * F.col("col_total")).cast(
+        "double"
+    )
+    return (
+        cells.join(F.broadcast(rt), "priority")
+        .join(F.broadcast(ct), "status")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "priority",
+            "status",
+            "obs",
+            "row_total",
+            "col_total",
+            (
+                F.pow(num, F.lit(2))
+                / (
+                    F.col("n").cast("double")
+                    * F.col("row_total")
+                    * F.col("col_total")
+                )
+            ).alias("chi2_cell"),
+        )
+    )

@@ -134,6 +134,7 @@ _BNLJ_OK = {
     "ewma_daily_orders",  # day grains × broadcast(8-row lag/weight table)
     "abc_pareto_classification",  # part grains × broadcast(single-row total)
     "benford_first_digit",  # 9 digit rows × broadcast(single-row total)
+    "chi2_independence_cells",  # 15 contingency cells × broadcast(single-row N)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
