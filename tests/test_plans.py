@@ -135,6 +135,7 @@ _BNLJ_OK = {
     "abc_pareto_classification",  # part grains × broadcast(single-row total)
     "benford_first_digit",  # 9 digit rows × broadcast(single-row total)
     "chi2_independence_cells",  # 15 contingency cells × broadcast(single-row N)
+    "ann_recall_audit",  # inherits ann_bruteforce_topk's 10-query broadcast
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
