@@ -33,5 +33,6 @@ from etl_loading_scripts_spark.queries import advanced as _advanced  # noqa: F40
 from etl_loading_scripts_spark.operators import skew as _skew  # noqa: F401
 from etl_loading_scripts_spark.queries import cow_queries as _cow_queries  # noqa: F401
 from etl_loading_scripts_spark.streaming import cdc_bridge as _cdc_bridge  # noqa: F401
+from etl_loading_scripts_spark.sources import flatfile as _flatfile  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

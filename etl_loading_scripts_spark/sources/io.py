@@ -291,3 +291,49 @@ def read_with_schema_evolution(
     return getattr(
         spark.read.option("mergeSchema", "true"), fmt
     )(*paths)
+
+
+def read_csv_robust(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    corrupt_col: str = "_corrupt_record",
+    header: bool = False,
+):
+    """Production CSV ingest, the flat-file twin of :func:`read_jsonl_robust`:
+    PERMISSIVE parse against a DECLARED schema, malformed lines captured
+    whole in ``corrupt_col`` for the quarantine sink instead of killing
+    the batch or silently vanishing (FAILFAST / DROPMALFORMED — both
+    wrong for auditable loads; the reference's loads are typed columns
+    from vendor extracts, SURVEY §1.2).
+
+    Returns ``(good, bad)``. Same documented Spark caveat as JSONL: the
+    corrupt column can't be queried alone off a raw scan, so the parsed
+    frame is cached before the split — one scan serves both outputs."""
+    from pyspark.sql.types import StringType, StructField
+
+    base = (
+        schema
+        if isinstance(schema, StructType)
+        else _parse_ddl_schema(spark, schema)
+    )
+    full = StructType([*base, StructField(corrupt_col, StringType())])
+    df = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", "true" if header else "false")
+        .csv(path)
+        .cache()
+    )
+    good = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    bad = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return good, bad
+
+
+def _parse_ddl_schema(spark: SparkSession, ddl: str) -> StructType:
+    from pyspark.sql.types import _parse_datatype_string
+
+    return _parse_datatype_string(ddl)

@@ -352,3 +352,34 @@ def test_versioned_publish_time_travel(spark, sf_dir, tmp_path):
         read_versioned(spark, base, version=2)
     # the pinned COMPLETE version still serves
     assert read_versioned(spark, base, version=1).count() == nation.count()
+
+
+def test_read_csv_robust_quarantines_bad_lines(spark, tmp_path):
+    """Good typed rows parse; each malformed line lands whole in the
+    quarantine frame (wrong arity, bad type, garbage)."""
+    from etl_loading_scripts_spark.sources.io import read_csv_robust
+
+    p = tmp_path / "extract"
+    p.mkdir()
+    (p / "a.csv").write_text("1,2.5,A\n2,3.5,B\n")
+    (p / "b.csv").write_text("oops,9.9,C\n3,1.0,D,EXTRA,COLS\n")
+    good, bad = read_csv_robust(spark, str(p), "k BIGINT, q DOUBLE, f STRING")
+    assert {(r.k, r.q, r.f) for r in good.collect()} == {
+        (1, 2.5, "A"), (2, 3.5, "B")
+    }
+    assert sorted(r.raw_line for r in bad.collect()) == [
+        "3,1.0,D,EXTRA,COLS", "oops,9.9,C"
+    ]
+
+
+def test_orc_round_trip(spark, tmp_path, sf_dir):
+    """The ORC leg of the format matrix: write + typed read preserve rows."""
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.sources.io import read_table, write_table
+
+    nation = load_table(spark, sf_dir, "nation")
+    path = str(tmp_path / "nation_orc")
+    write_table(nation, path, fmt="orc")
+    back = read_table(spark, path, fmt="orc")
+    assert back.schema == nation.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
