@@ -166,7 +166,11 @@ def merge_cow_partitioned(
 
     Only the affected months' files are listed, read, or replaced;
     untouched months stay byte-identical (test-asserted via
-    :func:`list_partition_files`).
+    :func:`list_partition_files`). The effective merge key is
+    ``(month, *on)`` — a source row matches only within its own month,
+    so a natural key that recurs across affected months (multi-month
+    restatement of a fact keyed per month) merges each month
+    independently in the one shuffle.
     """
     on = list(on)
     src_months = sorted(
@@ -179,21 +183,42 @@ def merge_cow_partitioned(
     if not src_months:
         return {"months_rewritten": [], "months_emptied": []}
 
-    target = spark.read.parquet(target_path)
-    data_cols = [c for c in target.columns if c != MONTH_COL]
-    affected = target.filter(F.col(MONTH_COL).isin(src_months)).select(data_cols)
+    from pyspark.errors import AnalysisException
 
+    try:
+        target = spark.read.parquet(target_path)
+    except AnalysisException:
+        # bootstrap: no readable table yet (fresh path, or an empty write
+        # left no schema-bearing files) — the first increment creates it
+        # and every source row is an insert
+        target = None
+    if target is None:
+        data_cols = list(source.columns)
+        affected = _with_month(source, datekey_col).limit(0)
+    else:
+        data_cols = [c for c in target.columns if c != MONTH_COL]
+        affected = target.filter(F.col(MONTH_COL).isin(src_months)).select(
+            [*data_cols, MONTH_COL]
+        )
+
+    # month is PART OF THE JOIN KEY: matching is month-scoped even when a
+    # multi-month source meets a key that recurs across affected months —
+    # joining on the bare key over the month-union slice would let one
+    # source row update same-keyed rows in OTHER affected months (and
+    # drag them into its own partition via the rewritten datekey)
     merged = merge_upsert(
         affected,
-        source.select([c for c in source.columns if c in data_cols]),
-        on,
+        _with_month(
+            source.select([c for c in source.columns if c in data_cols]),
+            datekey_col,
+        ),
+        [MONTH_COL, *on],
         update_cols=update_cols,
         insert_defaults=insert_defaults,
         update_condition=update_condition,
         delete_unmatched_source=delete_unmatched_source,
         delete_guard=delete_guard,
     )
-    merged = _with_month(merged, datekey_col)
     # spread each month over many tasks: (month, key) shuffle, so a whale
     # month writes from ~shuffle.partitions tasks, not one straggler
     merged = merged.repartition(F.col(MONTH_COL), *[F.col(k) for k in on])

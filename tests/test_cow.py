@@ -189,3 +189,27 @@ def test_cdc_batch_split_invariance(spark, tmp_path, sf_dir):
     s1, s2 = state(paths[0]), state(paths[1])
     assert s1 == s2
     assert len(s1) == 300  # every event healed or inserted exactly once
+
+
+def test_merge_cow_multi_month_source_matches_per_month(spark, tmp_path):
+    """A source spanning TWO months where the same natural key lives in
+    both: each source row must match only its own month's target row.
+    (Regression: joining on the bare key over the month-union slice let
+    one source row update same-keyed rows in other affected months.)"""
+    path = str(tmp_path / "fact")
+    _seed_table(spark, path)
+
+    src = spark.createDataFrame(
+        [(1, 20240111, 111.0), (1, 20240211, 222.0)],
+        "k BIGINT, datekey INT, amount DOUBLE",
+    )
+    stats = merge_cow_partitioned(spark, path, src, on=["k"])
+    assert stats["months_rewritten"] == [202401, 202402]
+
+    got = _rows(spark, path)
+    want = {
+        (1, 20240111, 111.0), (2, 20240112, 102.0), (3, 20240113, 103.0),
+        (1, 20240211, 222.0), (2, 20240212, 202.0), (3, 20240213, 203.0),
+        (1, 20240311, 301.0), (2, 20240312, 302.0), (3, 20240313, 303.0),
+    }
+    assert got == want

@@ -71,3 +71,68 @@ def test_datekey_roundtrip_any_date(spark, d):
     assert key == d.year * 10000 + d.month * 100 + d.day
     back = _eval(spark, tsql.datekey_to_date(F.lit(key)))
     assert back == d
+
+
+# ---------------------------------------------------------------------------
+# COW merge vs per-month merge_upsert (the join-based reference semantics)
+# ---------------------------------------------------------------------------
+
+_COW_MONTHS = (202401, 202402, 202403)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    tgt=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.sampled_from(_COW_MONTHS),
+        ),
+        max_size=10,
+    ),
+    src=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.sampled_from(_COW_MONTHS[:2]),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    full_sync=st.booleans(),
+)
+def test_cow_merge_equals_per_month_merge_upsert(spark, tmp_path_factory, tgt, src, full_sync):
+    """For arbitrary (key, month) targets and sources, the COW-merged
+    table equals: per source month, merge_upsert of that month's slice
+    with that month's source rows; months the source skips unchanged."""
+    from etl_loading_scripts_spark.operators.cow import merge_cow_partitioned
+    from etl_loading_scripts_spark.operators.mutations import merge_upsert
+    from etl_loading_scripts_spark.sources.io import write_fact_partitioned
+
+    path = str(tmp_path_factory.mktemp("cowprop") / "fact")
+    tgt_rows = [(k, m * 100 + 10 + k, float(k)) for (k, m) in sorted(tgt)]
+    src_rows = [(k, m * 100 + 20 + k, float(100 + k)) for (k, m) in sorted(src)]
+    schema = "k BIGINT, datekey INT, amount DOUBLE"
+    target = spark.createDataFrame(tgt_rows, schema) if tgt_rows else spark.createDataFrame([], schema)
+    source = spark.createDataFrame(src_rows, schema)
+    write_fact_partitioned(target, path)
+
+    merge_cow_partitioned(
+        spark, path, source, on=["k"], delete_unmatched_source=full_sync
+    )
+    got = {
+        (r.k, r.datekey, r.amount)
+        for r in spark.read.parquet(path).select("k", "datekey", "amount").collect()
+    }
+
+    expect = set()
+    src_months = {m for (_, m) in src}
+    for m in _COW_MONTHS:
+        t_slice = target.filter((F.col("datekey") / 100).cast("int") == m)
+        if m not in src_months:
+            expect |= {(r.k, r.datekey, r.amount) for r in t_slice.collect()}
+            continue
+        s_slice = source.filter((F.col("datekey") / 100).cast("int") == m)
+        ref = merge_upsert(
+            t_slice, s_slice, ["k"], delete_unmatched_source=full_sync
+        )
+        expect |= {(r.k, r.datekey, r.amount) for r in ref.collect()}
+    assert got == expect
