@@ -173,3 +173,86 @@ def pack_sequences_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(before / PACK_WINDOW)).cast("long").alias("pack_id"),
         (before % PACK_WINDOW).cast("long").alias("pack_offset"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) decontamination
+# ---------------------------------------------------------------------------
+
+#: Every 50th vector plays the held-out benchmark embedding (deterministic
+#: split, disjoint semantics from the n-gram split above).
+EMB_BENCH_MOD = 50
+
+#: Cosine threshold (per-mille) above which a corpus vector is flagged as
+#: semantically contaminated by a benchmark item.
+EMB_CONTAM_MILLE = 300  # synthetic vectors are near-orthogonal (cf. COSINE_DUP_THRESHOLD); real corpora use ~950
+
+_EQVEC = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+_EQVEC_SPARK = "transform(embedding, x -> cast(round(cast(x as double) * 1000000) as bigint))"
+_EDOT_DUCK = "list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+_EDOT_SPARK = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+
+
+@register(
+    "decontam_embedding_overlap",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_EQVEC} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2 FROM q
+    ),
+    bench AS (SELECT * FROM n WHERE vec_id % {EMB_BENCH_MOD} = 0),
+    corpus AS (SELECT * FROM n WHERE vec_id % {EMB_BENCH_MOD} <> 0),
+    flagged AS (
+        SELECT c.vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+               MIN(b.vec_id) AS first_bench_id
+        FROM corpus c JOIN bench b
+          ON CAST({_EDOT_DUCK.format(a='c.qv', b='b.qv')} AS DOUBLE)
+             > {EMB_CONTAM_MILLE / 1000.0}
+               * sqrt(CAST(c.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))
+        GROUP BY 1
+    )
+    SELECT vec_id, n_bench_hits, first_bench_id FROM flagged
+    """,
+    doc=f"Semantic decontamination: corpus embeddings whose cosine to ANY "
+    f"held-out benchmark embedding exceeds 0.{EMB_CONTAM_MILLE} are "
+    "flagged (hit count + first offending benchmark id) — the "
+    "paraphrase-leak complement to n-gram decontam_benchmark_overlap, "
+    "which literal-overlap checks can't catch. Threshold compared via "
+    "cross-multiplication (dot > τ·|a||b|), no division.",
+)
+def decontam_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the benchmark side is small by construction (held-out evals
+    are thousands of items, the corpus is billions) — broadcast it and
+    the whole check is one map-side pass over the corpus, no shuffle
+    until the per-doc hit aggregate. The quantized-int dot product keeps
+    the threshold test bit-identical across engines; at production scale
+    swap the brute-force broadcast for the IVF cell probe
+    (`knn_join_ivf`) with this same flag rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.selectExpr("vec_id", f"{_EQVEC_SPARK} as qv").withColumn(
+        "norm2",
+        F.expr("aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)"),
+    )
+    bench = n.filter(F.col("vec_id") % EMB_BENCH_MOD == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("qv").alias("bv"),
+        F.col("norm2").alias("bn"),
+    )
+    corpus = n.filter(F.col("vec_id") % EMB_BENCH_MOD != 0)
+    dot = F.expr(_EDOT_SPARK.format(a="qv", b="bv")).cast("double")
+    thresh = (
+        F.lit(EMB_CONTAM_MILLE / 1000.0)
+        * F.sqrt(F.col("norm2").cast("double"))
+        * F.sqrt(F.col("bn").cast("double"))
+    )
+    return (
+        corpus.join(F.broadcast(bench), dot > thresh)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bench_hits"),
+            F.min("bench_id").alias("first_bench_id"),
+        )
+    )

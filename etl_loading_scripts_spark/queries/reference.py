@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
 from etl_loading_scripts_spark.functions import tsql
@@ -890,3 +891,60 @@ def pit_join_segment_at_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", F.col("segment").alias("segment_at_event"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
+
+
+# ---------------------------------------------------------------------------
+# O47 extension — TOP n PERCENT WITH TIES (the other T-SQL TOP shape)
+# ---------------------------------------------------------------------------
+
+TOP_PCT = 10  # SELECT TOP 10 PERCENT ... WITH TIES
+
+
+@register(
+    "top_percent_with_ties",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT custkey, CAST(total AS DOUBLE) AS total_spend,
+               RANK() OVER (ORDER BY total DESC) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM spend
+    )
+    SELECT custkey, total_spend
+    FROM ranked
+    WHERE rk <= CAST(CEIL(n * {TOP_PCT} / 100.0) AS BIGINT)
+    """,
+    doc=f"T-SQL ``SELECT TOP {TOP_PCT} PERCENT WITH TIES``: the top decile "
+    "of customers by exact-decimal spend, where every row tying the "
+    "cutoff value is kept (RANK, not ROW_NUMBER — the WITH TIES "
+    "semantics) and the cutoff count is CEIL(n·pct) per the T-SQL spec.",
+)
+def top_percent_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percent form needs the population count; it rides the same
+    window pass as the rank (COUNT() OVER ()), so the plan is one
+    aggregate + one window — at dimension grain here. At fact grain the
+    rank swaps for the range-bucketed global rank (operators/ranks) and
+    the count for a scalar agg, same as every other global-ordering
+    operator in this engine; ties-at-the-cutoff semantics carry over
+    unchanged because RANK assigns equal ranks to equal keys in both
+    formulations."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("total")
+    )
+    w = Window.orderBy(F.col("total").desc())
+    ranked = spend.select(
+        "custkey",
+        F.col("total").cast("double").alias("total_spend"),
+        F.rank().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rk") <= F.ceil(F.col("n") * TOP_PCT / 100.0).cast("bigint")
+    ).select("custkey", "total_spend")

@@ -136,6 +136,7 @@ _BNLJ_OK = {
     "benford_first_digit",  # 9 digit rows × broadcast(single-row total)
     "chi2_independence_cells",  # 15 contingency cells × broadcast(single-row N)
     "ann_recall_audit",  # inherits ann_bruteforce_topk's 10-query broadcast
+    "decontam_embedding_overlap",  # corpus × broadcast(benchmark sample), threshold join
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
