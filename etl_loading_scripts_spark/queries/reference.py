@@ -948,3 +948,67 @@ def top_percent_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(
         F.col("rk") <= F.ceil(F.col("n") * TOP_PCT / 100.0).cast("bigint")
     ).select("custkey", "total_spend")
+
+
+# ---------------------------------------------------------------------------
+# OFFSET/FETCH pagination — and the keyset form that survives scale
+# ---------------------------------------------------------------------------
+
+PAGE_SIZE = 10
+PAGE_SKIP = 20  # page 3: rows 21-30 of the spend ranking
+
+
+@register(
+    "keyset_pagination_page",
+    oracle=f"""
+    WITH spend AS (
+        SELECT o_custkey AS custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+        FROM orders GROUP BY 1
+    )
+    SELECT custkey, CAST(total AS DOUBLE) AS total_spend
+    FROM spend
+    ORDER BY total DESC, custkey
+    LIMIT {PAGE_SIZE} OFFSET {PAGE_SKIP}
+    """,
+    doc=f"Pagination page 3 (rows {PAGE_SKIP + 1}-{PAGE_SKIP + PAGE_SIZE} "
+    "of the customer spend ranking): the oracle states it as T-SQL-style "
+    "OFFSET/FETCH, the Spark side executes the KEYSET form — filter past "
+    "the previous page's last (total, custkey) key, then take one page — "
+    "proving the two formulations select identical rows.",
+)
+def keyset_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why keyset: OFFSET n scans and discards n rows EVERY page — page
+    10,000 of a 100 TB ranking costs a 10,000-page scan, and rows
+    shifting between requests skips/duplicates entries. The keyset form
+    is O(page) per page off a range-sorted layout (write_range_sorted's
+    non-overlapping file stats prune straight to the boundary) and is
+    stable under concurrent inserts. The boundary fetch here is the
+    OFFSET form run once (two-scalar collect, O38 discipline) — in a
+    real serving path the client passes the previous page's last key
+    back, and no offset scan ever runs."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("decimal(18,4)")
+        .alias("total")
+    )
+    # ascending composite sort key equivalent to (total DESC, custkey ASC)
+    key = F.struct((-F.col("total")).alias("nt"), F.col("custkey").alias("ck"))
+    boundary = (
+        spend.orderBy(key)
+        .limit(PAGE_SKIP)
+        .agg(F.max(key).alias("b"))
+        .first()["b"]
+    )
+    page = (
+        spend.filter(
+            key > F.struct(
+                F.lit(boundary["nt"]).cast(spend.schema["total"].dataType).alias("nt"),
+                F.lit(boundary["ck"]).alias("ck"),
+            )
+        )
+        .orderBy(key)
+        .limit(PAGE_SIZE)
+    )
+    return page.select("custkey", F.col("total").cast("double").alias("total_spend"))
