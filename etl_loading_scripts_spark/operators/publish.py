@@ -143,3 +143,39 @@ def read_versioned(spark: SparkSession, base_dir: str, version: int | None = Non
             "partial table"
         )
     return spark.read.parquet(vdir)
+
+
+def vacuum_versions(base_dir: str, keep_last: int = 3) -> list[int]:
+    """Retention GC for the versioned layout: delete complete versions
+    older than the newest ``keep_last``, plus any incomplete (no
+    ``_SUCCESS``) version directory that is not the newest — crash
+    debris from a failed publish. The pinned/latest versions survive by
+    construction (the newest ``keep_last`` always includes the pointer
+    target, since the pointer only ever advances). Returns the removed
+    version numbers.
+
+    Same local/POSIX scope as :func:`publish_versioned`. This is the
+    ``VACUUM``/`expire_snapshots` half of the poor-man's snapshot story:
+    without it a daily publish accumulates 365 copies a year; with it,
+    storage is bounded by ``keep_last`` × table size while every kept
+    version stays bit-exactly reproducible.
+    """
+    import shutil
+
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+    if not versions:
+        return []
+    newest = versions[-1]
+    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    removed = []
+    for v in versions:
+        vdir = os.path.join(base_dir, f"v={v}")
+        complete = os.path.exists(os.path.join(vdir, "_SUCCESS"))
+        if (v not in keep and complete) or (not complete and v != newest):
+            shutil.rmtree(vdir)
+            removed.append(v)
+    return removed

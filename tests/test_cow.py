@@ -213,3 +213,27 @@ def test_merge_cow_multi_month_source_matches_per_month(spark, tmp_path):
         (1, 20240311, 301.0), (2, 20240312, 302.0), (3, 20240313, 303.0),
     }
     assert got == want
+
+
+def test_merge_cow_source_schema_drift(spark, tmp_path):
+    """A source with an extra column (dropped) and a missing column
+    (insert_defaults fills inserts; updates keep the target value)."""
+    path = str(tmp_path / "fact")
+    _seed_table(spark, path)
+    src = spark.createDataFrame(
+        [(1, 20240215, "noise"), (9, 20240216, "noise")],
+        "k BIGINT, datekey INT, junk STRING",
+    )
+    merge_cow_partitioned(
+        spark,
+        path,
+        src,
+        on=["k"],
+        insert_defaults={"amount": F.lit(-1.0)},
+    )
+    got = {t for t in _rows(spark, path) if t[1] // 100 == 202402}
+    assert got == {
+        (1, 20240215, 201.0),  # updated datekey, amount preserved
+        (2, 20240212, 202.0), (3, 20240213, 203.0),
+        (9, 20240216, -1.0),  # inserted with the default
+    }

@@ -366,3 +366,35 @@ def test_merge_aggregates_equals_recompute(spark):
         merge_aggregates(
             summarize(facts), summarize(facts).withColumnRenamed("s", "t"), ["m"]
         )
+
+
+def test_vacuum_versions_keeps_recent_and_drops_debris(spark, tmp_path):
+    import os
+
+    from etl_loading_scripts_spark.operators.publish import (
+        publish_versioned,
+        read_versioned,
+        vacuum_versions,
+    )
+
+    base = str(tmp_path / "versions")
+    for i in range(5):
+        publish_versioned(spark.range(i + 1).toDF("n"), base)
+    # crash debris: an older partial version dir without _SUCCESS, plus a
+    # numerically-newest partial one (possibly in-flight — must survive)
+    os.makedirs(os.path.join(base, "v=3a", ""), exist_ok=True)  # ignored: not an int
+    os.makedirs(os.path.join(base, "v=99"))
+    removed = vacuum_versions(base, keep_last=2)
+    # keep = newest two {5, 99}; 99 is also protected as possibly in-flight
+    assert removed == [1, 2, 3, 4]
+    assert read_versioned(spark, base).count() == 5  # latest pointer intact
+    assert os.path.isdir(os.path.join(base, "v=99"))  # in-flight untouched
+    try:
+        read_versioned(spark, base, version=2)
+        raise AssertionError("expected vacuumed version to be gone")
+    except FileNotFoundError:
+        pass
+    # a second pass after v=99 is abandoned (still no _SUCCESS, no longer
+    # newest once v=100 publishes) clears the debris
+    publish_versioned(spark.range(6).toDF("n"), base)
+    assert vacuum_versions(base, keep_last=2) == [5, 99]
