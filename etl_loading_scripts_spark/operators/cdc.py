@@ -315,3 +315,60 @@ def snapshot_diff_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min("c_custkey").cast("long").alias("min_key"),
     )
+
+
+@register(
+    "scd2_asof_snapshot",
+    oracle="""
+    WITH log AS (
+        SELECT user_id, ts, event_id, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    hist AS (
+        SELECT user_id, value,
+               epoch_us(ts) AS f,
+               COALESCE(lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), -1) AS t
+        FROM log
+    ),
+    mid AS (
+        SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS m FROM log
+    )
+    SELECT h.f // 86400000000 AS from_day,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(h.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM hist h, mid
+    WHERE h.f <= mid.m AND (h.t = -1 OR h.t > mid.m)
+    GROUP BY 1
+    """,
+    doc="Point-in-time (as-of) read of the SCD2 dimension: the version of "
+    "each user valid at the changelog's midpoint instant — half-open "
+    "[valid_from, valid_to) interval containment with the −1 open "
+    "sentinel — rolled up by version start day. The time-travel query "
+    "every versioned dimension exists to answer.",
+)
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the as-of predicate is a per-row filter over the SCD2 table
+    — no join, no window beyond the rebuild itself; with valid_from in
+    the partition/sort layout the containment filter prunes to the files
+    whose [min,max] straddle the instant. The as-of instant is a
+    two-scalar driver aggregate (O38 discipline), a query parameter in
+    production."""
+    hist = scd2_rebuild_from_changelog(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.filter(F.col("event_type") == "purchase")
+    lo, hi = log.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    mid = (lo + hi) // 2
+    snap = hist.filter(
+        (F.col("valid_from_us") <= mid)
+        & ((F.col("valid_to_us") == -1) | (F.col("valid_to_us") > mid))
+    )
+    return snap.groupBy(
+        F.expr("valid_from_us div 86400000000").alias("from_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
