@@ -533,3 +533,130 @@ def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(sink)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection — stateful change-point monitor
+# ---------------------------------------------------------------------------
+
+#: CUSUM reference value k (integer micros): drift allowance per step,
+#: set just above the synthetic feed's ~50-unit mean so the statistic
+#: hovers near zero under control and climbs on sustained high runs.
+CUSUM_K_MICROS = 55_000_000
+
+#: CUSUM decision threshold h (integer micros): alarm when the statistic
+#: exceeds it; the statistic then resets (standard tabular CUSUM restart).
+CUSUM_H_MICROS = 500_000_000
+
+_CUSUM_OUT = "event_type string, n_events long, cusum_micros long, n_alarms long"
+_CUSUM_STATE = "n long, s long, alarms long"
+
+
+def _update_type_cusum(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-event-type one-sided tabular CUSUM over the event-time-ordered
+    value stream, all in integer micros:
+
+        s_i = max(0, s_{i-1} + v_i - k);  s_i > h → alarm, s_i := 0
+
+    State carries (count, statistic, alarms) across micro-batches; every
+    step is floor-free integer arithmetic, bit-exact vs the oracle's
+    ordered struct fold."""
+    n, s, alarms = state.get if state.exists else (0, 0, 0)
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts_us", "event_id"])
+        for v in pdf["value_micros"]:
+            s = max(0, s + int(v) - CUSUM_K_MICROS)
+            if s > CUSUM_H_MICROS:
+                alarms += 1
+                s = 0
+            n += 1
+    state.update((n, s, alarms))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [n],
+            "cusum_micros": [s],
+            "n_alarms": [alarms],
+        }
+    )
+
+
+@register(
+    "stream_cusum_drift",
+    oracle=f"""
+    WITH vals AS (
+        SELECT event_type,
+               list(CAST(round(value * 1000000) AS BIGINT)
+                    ORDER BY ts, event_id) AS vs
+        FROM events GROUP BY 1
+    ),
+    folded AS (
+        SELECT event_type,
+               CAST(len(vs) AS BIGINT) AS n_events,
+               list_reduce(
+                   list_transform(vs, v -> CASE
+                       WHEN greatest(0, v - {CUSUM_K_MICROS}) > {CUSUM_H_MICROS}
+                       THEN struct_pack(v := v, s := CAST(0 AS BIGINT),
+                                        a := CAST(1 AS BIGINT))
+                       ELSE struct_pack(v := v,
+                                        s := greatest(0, v - {CUSUM_K_MICROS}),
+                                        a := CAST(0 AS BIGINT)) END),
+                   (acc, x) -> CASE
+                       WHEN greatest(0, acc.s + x.v - {CUSUM_K_MICROS}) > {CUSUM_H_MICROS}
+                       THEN struct_pack(v := x.v, s := CAST(0 AS BIGINT),
+                                        a := acc.a + 1)
+                       ELSE struct_pack(v := x.v,
+                                        s := greatest(0, acc.s + x.v - {CUSUM_K_MICROS}),
+                                        a := acc.a) END
+               ) AS st
+        FROM vals
+    )
+    SELECT event_type, n_events,
+           CAST(st.s AS BIGINT) AS cusum_micros,
+           CAST(st.a AS BIGINT) AS n_alarms
+    FROM folded
+    """,
+    doc="One-sided tabular CUSUM change-point monitor per event type as a "
+    "stateful streaming operator: s=max(0, s+v−k), alarm-and-reset above "
+    "h, all integer micros — the sequential drift detector (sustained "
+    "small shifts that threshold to zero per-event) that, like the "
+    "recursive EWMA, no fixed batch window can express. Oracle: ordered "
+    "struct fold seeded by the element-wise first step.",
+)
+def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: state is three longs per monitored key; alarms surface in
+    the update-mode sink as they fire, not at batch end — the monitoring
+    sink every ingest pipeline wants over volume/quality metrics. Same
+    ordering contract as stream_ewma_user_value (file arrival order =
+    event order here; watermark + per-batch sort bounds it in
+    production)."""
+    src = table_path(sf_dir, "events")
+    stream_dir = stream_source_dir(src, prefix="events_stream")
+
+    raw_schema, nanos_cols = stream_source_schema(spark, src)
+    from pyspark.sql import functions as F
+
+    stream = _normalize_nanos(
+        spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
+    ).select(
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        F.round(F.col("value") * 1_000_000).cast("long").alias("value_micros"),
+    )
+    stateful = stream.groupBy("event_type").applyInPandasWithState(
+        _update_type_cusum,
+        outputStructType=_CUSUM_OUT,
+        stateStructType=_CUSUM_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    sink = f"cusum_out_{uuid.uuid4().hex[:8]}"
+    q = stateful.writeStream.outputMode("update").format("memory").queryName(sink).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)
