@@ -34,5 +34,6 @@ from etl_loading_scripts_spark.operators import skew as _skew  # noqa: F401
 from etl_loading_scripts_spark.queries import cow_queries as _cow_queries  # noqa: F401
 from etl_loading_scripts_spark.streaming import cdc_bridge as _cdc_bridge  # noqa: F401
 from etl_loading_scripts_spark.sources import flatfile as _flatfile  # noqa: F401
+from etl_loading_scripts_spark.functions import sql_udfs as _sql_udfs  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

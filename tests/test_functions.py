@@ -83,3 +83,42 @@ def test_is_date(spark):
     df = spark.createDataFrame([("2024-01-05",), ("not a date",), (None,)], ["s"])
     vals = [r["v"] for r in df.select(tsql.is_date("s").alias("v")).collect()]
     assert vals == [True, False, False]
+
+
+def test_sql_udf_family_matches_python_api(spark, sf_dir):
+    """Every SQL-surface tsql_* function is bit-identical to its
+    functions/tsql.py twin over the real customer table."""
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.functions import tsql
+    from etl_loading_scripts_spark.functions.sql_udfs import (
+        register_tsql_sql_functions,
+    )
+    from pyspark.sql import functions as F
+
+    register_tsql_sql_functions(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("v_cust_parity")
+
+    sql_side = spark.sql(
+        """
+        SELECT c_custkey,
+               tsql_norm_name(c_name) AS norm,
+               tsql_zero_pad4(c_custkey % 10000) AS pad,
+               tsql_hashbytes(tsql_norm_name(c_name)) AS fp,
+               tsql_null_if_blank(c_mktsegment) AS seg,
+               tsql_isnull(NULL, c_mktsegment) AS segd,
+               tsql_money(c_acctbal) AS bal
+        FROM v_cust_parity
+        """
+    )
+    py_side = cust.select(
+        "c_custkey",
+        tsql.norm_name("c_name").alias("norm"),
+        tsql.zero_pad_last(F.col("c_custkey") % 10000).alias("pad"),
+        F.md5(tsql.norm_name("c_name")).alias("fp"),
+        tsql.null_if_blank("c_mktsegment").alias("seg"),
+        F.coalesce(F.lit(None), F.col("c_mktsegment")).alias("segd"),
+        F.col("c_acctbal").cast("decimal(18,4)").alias("bal"),
+    )
+    assert sql_side.exceptAll(py_side).count() == 0
+    assert py_side.exceptAll(sql_side).count() == 0
