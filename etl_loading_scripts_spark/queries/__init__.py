@@ -35,5 +35,6 @@ from etl_loading_scripts_spark.queries import cow_queries as _cow_queries  # noq
 from etl_loading_scripts_spark.streaming import cdc_bridge as _cdc_bridge  # noqa: F401
 from etl_loading_scripts_spark.sources import flatfile as _flatfile  # noqa: F401
 from etl_loading_scripts_spark.functions import sql_udfs as _sql_udfs  # noqa: F401
+from etl_loading_scripts_spark.pipeline import sql_script as _sql_script  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]

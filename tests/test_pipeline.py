@@ -307,3 +307,35 @@ def test_monthly_load_partitioned_prunes_update_waves(spark, sf_dir, tmp_path):
     assert outside.filter(F.col("patron_id") != UNMAPPED_PATRON_ID).count() == 0
     inside = out2.fact_transaction.filter(F.col("datekey").between(*window))
     assert inside.filter(F.col("patron_id") == UNMAPPED_PATRON_ID).count() == 0
+
+
+def test_split_sql_statements_quotes_and_comments():
+    from etl_loading_scripts_spark.pipeline.sql_script import (
+        split_sql_statements,
+    )
+
+    script = """
+    -- leading comment; with semicolon
+    CREATE VIEW a AS SELECT 'x;y' AS s, 'it''s' AS t;
+    /* block; comment */
+    SELECT * FROM a; 
+    """
+    stmts = split_sql_statements(script)
+    assert len(stmts) == 2
+    assert "'x;y'" in stmts[0] and "it''s" in stmts[0]
+    assert stmts[1].endswith("FROM a")
+
+
+def test_run_sql_script_returns_last_statement(spark):
+    from etl_loading_scripts_spark.pipeline.sql_script import run_sql_script
+
+    out = run_sql_script(
+        spark,
+        """
+        CREATE OR REPLACE TEMPORARY VIEW t_script_test AS
+        SELECT tsql_zero_pad4(id) AS p FROM range(3);
+        SELECT COUNT(*) AS n, MIN(p) AS lo FROM t_script_test
+        """,
+    )
+    row = out.collect()[0]
+    assert (row.n, row.lo) == (3, "0000")
