@@ -1441,3 +1441,57 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("est_matches")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication matrix — which crawls overlap which
+# ---------------------------------------------------------------------------
+
+from etl_loading_scripts_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "dedup_cross_source_matrix",
+    oracle=f"""
+    WITH pairs AS ({{minhash_oracle}}),
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT LEAST(sa.source, sb.source) AS source_a,
+           GREATEST(sa.source, sb.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_pairs
+    FROM pairs p
+    JOIN src sa ON p.id_a = sa.doc_id
+    JOIN src sb ON p.id_b = sb.doc_id
+    GROUP BY 1, 2
+    """.format(minhash_oracle=_REGISTRY["dedup_minhash_lsh"].oracle),
+    doc="Cross-source near-duplicate matrix: the MinHash-LSH verified "
+    "pair graph attributed to (source, source) cells — which crawls "
+    "mirror each other (off-diagonal mass) versus self-duplicate "
+    "(diagonal). The mixture-design input that decides which source to "
+    "DROP rather than dedup, and the first thing to read before "
+    "trusting per-source token counts.",
+)
+def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the registered pair graph verbatim (shingling cost is the
+    pair graph's; the attribution is two dimension-sized joins + one
+    bounded |sources|² aggregate). At 100 TB the pair graph is already
+    the near-dedup byproduct — this matrix is a free report off it."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    out = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+    return out

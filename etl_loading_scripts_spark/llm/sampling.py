@@ -291,3 +291,69 @@ def quota_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= QUOTA_PER_SOURCE)
     )
+
+
+@register(
+    "vocab_oov_rate",
+    oracle=rf"""
+    WITH words AS (
+        SELECT lang,
+               unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  w -> w <> '')) AS word
+        FROM documents
+    ),
+    vocab AS (
+        SELECT word FROM (
+            SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY 1
+            ORDER BY freq DESC, word LIMIT {VOCAB_K}
+        )
+    )
+    SELECT w.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS oov_rate
+    FROM words w LEFT JOIN vocab v ON w.word = v.word
+    GROUP BY 1
+    """,
+    doc=f"Out-of-vocabulary audit: per language, the share of token "
+    f"occurrences outside the global top-{VOCAB_K} vocabulary — the "
+    "coverage number that decides whether a shared vocabulary/tokenizer "
+    "is viable per language or the tail languages need their own; the "
+    "companion to token_fertility_by_lang in the tokenizer-budget loop.",
+)
+def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the vocabulary is top-K and therefore broadcast-sized BY
+    CONSTRUCTION — the membership probe is a map-side broadcast left
+    join whatever the corpus size; token counts are exact integers, the
+    one division is the final per-group ratio. This is also the shape
+    of any fixed-list scan (blocklist hits, stopword mass): build the
+    bounded list, broadcast, one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\W+'), w -> w <> '')")
+        ).alias("word"),
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(VOCAB_K)
+        .select("word", F.lit(1).alias("__in_vocab__"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab__").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens")
+        )
+    )
