@@ -36,5 +36,6 @@ from etl_loading_scripts_spark.streaming import cdc_bridge as _cdc_bridge  # noq
 from etl_loading_scripts_spark.sources import flatfile as _flatfile  # noqa: F401
 from etl_loading_scripts_spark.functions import sql_udfs as _sql_udfs  # noqa: F401
 from etl_loading_scripts_spark.pipeline import sql_script as _sql_script  # noqa: F401
+from etl_loading_scripts_spark.queries import entity_resolution as _entity_resolution  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]
