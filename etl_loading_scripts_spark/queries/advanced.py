@@ -616,3 +616,175 @@ def chi2_independence_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chi2_cell"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between two periods — exact total-variation parts
+# ---------------------------------------------------------------------------
+
+DRIFT_BAND = 50000  # price-band width (cents-free: o_totalprice units)
+
+
+@register(
+    "drift_price_bands_tvd",
+    oracle=f"""
+    WITH mm AS (
+        SELECT CAST(strftime(MIN(o_orderdate), '%Y') AS INT) AS y0,
+               CAST(strftime(MAX(o_orderdate), '%Y') AS INT) AS y1
+        FROM orders
+    ),
+    tagged AS (
+        SELECT CAST(FLOOR(o_totalprice / {DRIFT_BAND}) AS INT) AS band,
+               CASE WHEN CAST(strftime(o_orderdate, '%Y') AS INT) = mm.y0
+                    THEN 'a' ELSE 'b' END AS period
+        FROM orders, mm
+        WHERE CAST(strftime(o_orderdate, '%Y') AS INT) IN (mm.y0, mm.y1)
+    ),
+    cells AS (
+        SELECT band,
+               CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+               CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        FROM tagged GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb FROM cells)
+    SELECT c.band, c.ca, c.cb,
+           CAST(abs(c.ca * t.nb - c.cb * t.na) AS BIGINT) AS tvd_numerator,
+           CAST(t.na * t.nb AS BIGINT) AS tvd_denominator
+    FROM cells c CROSS JOIN tot t
+    """,
+    doc=f"Distribution drift of order totals between the first and last "
+    f"calendar year, in {DRIFT_BAND}-wide bands: per-band counts plus the "
+    "exact integer parts of the total-variation distance — "
+    "|ca·nb − cb·na| over na·nb, so TVD = Σ numerator / (2·denominator) "
+    "with no order-dependent float sum anywhere. The drift report run "
+    "before trusting a model trained on last period's distribution.",
+)
+def drift_price_bands_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why TVD over PSI/KL here: those need ln(pa/pb), which is both
+    undefined on empty cells and float-transcendental (never bit-stable
+    across engines); TVD is a rational of counts — exact, defined
+    everywhere, and bounded [0,1]. Shape: one fact pass to band+period
+    cells, one bounded cell aggregate, a single-row totals broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    years = orders.agg(
+        F.min(F.year("o_orderdate")).alias("y0"),
+        F.max(F.year("o_orderdate")).alias("y1"),
+    ).first()
+    tagged = (
+        orders.filter(F.year("o_orderdate").isin(years["y0"], years["y1"]))
+        .select(
+            F.floor(F.col("o_totalprice") / DRIFT_BAND).cast("int").alias("band"),
+            F.when(F.year("o_orderdate") == years["y0"], "a")
+            .otherwise("b")
+            .alias("period"),
+        )
+    )
+    cells = tagged.groupBy("band").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0))
+        .cast("bigint")
+        .alias("ca"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cb"),
+    )
+    tot = cells.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "ca",
+        "cb",
+        F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na"))
+        .cast("bigint")
+        .alias("tvd_numerator"),
+        (F.col("na") * F.col("nb")).cast("bigint").alias("tvd_denominator"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Missing-value imputation with exact group medians
+# ---------------------------------------------------------------------------
+
+IMPUTE_MISS_MOD = 11  # every 11th customer's balance plays 'missing'
+
+
+@register(
+    "impute_median_by_group",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT c_custkey, c_nationkey,
+               CASE WHEN c_custkey % {IMPUTE_MISS_MOD} = 0 THEN NULL
+                    ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal_cents
+        FROM customer
+    ),
+    med AS (
+        SELECT c_nationkey,
+               CAST(median(bal_cents) AS DOUBLE) AS med_cents
+        FROM flagged WHERE bal_cents IS NOT NULL GROUP BY 1
+    )
+    SELECT f.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN f.bal_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_imputed,
+           m.med_cents AS imputed_cents,
+           CAST(SUM(COALESCE(CAST(f.bal_cents AS DOUBLE), m.med_cents)) AS DOUBLE)
+               / 100.0 AS total_after
+    FROM flagged f JOIN med m ON f.c_nationkey = m.c_nationkey
+    GROUP BY 1, m.med_cents
+    """,
+    doc=f"Exact per-group median imputation: every {IMPUTE_MISS_MOD}th "
+    "customer's balance plays missing and is filled with its nation's "
+    "exact median of the observed values (integer cents; even-count "
+    "medians are the midpoint of the two central values, identical in "
+    "both engines) — the feature-pipeline fill that approx-percentile "
+    "imputation silently randomizes.",
+)
+def impute_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sum-after check is what makes this a correctness operator:
+    imputing with a wrong median (approx sketch, off-by-one midpoint,
+    NULLs inside the median) shifts total_after. Exact median per group
+    via percentile(0.5) over integer cents — a sort-based aggregate
+    within each group, no global sort; the float sum at the end is over
+    values each exactly representable (cents and cent-midpoints), with
+    DECIMAL-free midpoint halves still exact in binary (x.5)."""
+    cust = load_table(spark, sf_dir, "customer")
+    flagged = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % IMPUTE_MISS_MOD == 0, F.lit(None))
+        .otherwise(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+        .alias("bal_cents"),
+    )
+    med = (
+        flagged.filter(F.col("bal_cents").isNotNull())
+        .groupBy("c_nationkey")
+        .agg(
+            F.expr("percentile(bal_cents, 0.5)").alias("med_cents")
+        )
+    )
+    return (
+        flagged.join(F.broadcast(med), "c_nationkey")
+        .groupBy(F.col("c_nationkey").alias("nationkey"), F.col("med_cents"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("bal_cents").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_imputed"),
+            (
+                F.sum(
+                    F.coalesce(
+                        F.col("bal_cents").cast("double"), F.col("med_cents")
+                    )
+                )
+                / 100.0
+            ).alias("total_after"),
+        )
+        .select(
+            "nationkey",
+            "n_customers",
+            "n_imputed",
+            F.col("med_cents").alias("imputed_cents"),
+            "total_after",
+        )
+    )

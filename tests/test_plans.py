@@ -137,6 +137,7 @@ _BNLJ_OK = {
     "chi2_independence_cells",  # 15 contingency cells × broadcast(single-row N)
     "ann_recall_audit",  # inherits ann_bruteforce_topk's 10-query broadcast
     "decontam_embedding_overlap",  # corpus × broadcast(benchmark sample), threshold join
+    "drift_price_bands_tvd",  # band cells × broadcast(single-row totals)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
