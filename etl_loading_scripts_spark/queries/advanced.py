@@ -788,3 +788,212 @@ def impute_median_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_after",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing — the dimensionality trick and its collision audit
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 32  # feature-hash bucket count
+
+
+@register(
+    "feature_hash_collisions",
+    oracle=f"""
+    WITH cats AS (
+        SELECT DISTINCT p_type || '|' || p_name AS category FROM part
+    ),
+    bucketed AS (
+        SELECT category,
+               CAST(
+                   (CAST(('0x' || substr(md5(category), 1, 8)) AS BIGINT)
+                    % {HASH_DIM} + {HASH_DIM}) % {HASH_DIM}
+               AS INT) AS bucket
+        FROM cats
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_categories,
+           MIN(category) AS example_category,
+           COUNT(*) > 1 AS has_collision
+    FROM bucketed GROUP BY 1
+    """,
+    doc=f"Feature-hashing collision audit: every (type, name) category hashed into "
+    f"{HASH_DIM} buckets via the first 8 md5 hex digits — per-bucket "
+    "category counts with a collision flag. The report that sizes the "
+    "hash dimension before the encoder ships: buckets with "
+    "n_categories > 1 alias their features.",
+)
+def feature_hash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing-trick encoder needs no vocabulary shuffle — category →
+    bucket is a map-side expression, which is the whole point at 100 TB
+    (a learned vocabulary is a full groupBy + broadcast round-trip).
+    Its price is collisions, and this audit prices them exactly. The
+    md5-prefix-mod bucket is engine-portable (both engines parse the hex
+    prefix as the same integer; the double-mod keeps negatives out)."""
+    part = load_table(spark, sf_dir, "part")
+    cats = part.select(
+        F.concat_ws("|", "p_type", "p_name").alias("category")
+    ).distinct()
+    bucket = (
+        (
+            F.conv(F.substring(F.md5("category"), 1, 8), 16, 10).cast("bigint")
+            % HASH_DIM
+            + HASH_DIM
+        )
+        % HASH_DIM
+    ).cast("int")
+    return (
+        cats.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_categories"),
+            F.min("category").alias("example_category"),
+            (F.count(F.lit(1)) > 1).alias("has_collision"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling — recommender training pairs
+# ---------------------------------------------------------------------------
+
+NEG_PER_USER = 3
+NEG_CAND_MOD = 50  # candidate parts: partkey % 50 == 0 (bounded candidate set)
+
+
+@register(
+    "negative_sampling_pairs",
+    oracle=f"""
+    WITH cand AS (
+        SELECT p_partkey FROM part WHERE p_partkey % {NEG_CAND_MOD} = 0
+    ),
+    bought AS (
+        SELECT DISTINCT o.o_custkey AS custkey, l.l_partkey AS partkey
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    scored AS (
+        SELECT c.c_custkey AS custkey, p.p_partkey AS partkey,
+               md5(CAST(c.c_custkey AS VARCHAR) || ':' ||
+                   CAST(p.p_partkey AS VARCHAR)) AS rkey
+        FROM customer c CROSS JOIN cand p
+        WHERE NOT EXISTS (
+            SELECT 1 FROM bought b
+            WHERE b.custkey = c.c_custkey AND b.partkey = p.p_partkey
+        )
+    )
+    SELECT custkey, partkey, rank
+    FROM (
+        SELECT custkey, partkey,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY custkey ORDER BY rkey, partkey
+               ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {NEG_PER_USER}
+    """,
+    doc=f"Deterministic negative sampling for recommender training: per "
+    f"customer, {NEG_PER_USER} parts they never purchased, chosen by "
+    "md5(customer:part) order from a bounded candidate set — "
+    "reproducible across runs and engines (no RNG), uniform-ish via the "
+    "hash, and anti-joined against the positives so no negative is a "
+    "false negative.",
+)
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the candidate set is a sampled slice of the item dimension
+    (broadcast-sized by construction — the standard recipe samples
+    candidates per batch, not the full catalog); the positives
+    anti-join shuffles on (customer, part); the per-customer top-K is a
+    customer-partitioned window, no global sort. Hash-keyed order makes
+    the 'random' sample a pure function of the pair — rerunning a
+    failed shard regenerates identical training data."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    cand = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % NEG_CAND_MOD == 0)
+        .select(F.col("p_partkey").alias("partkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bought = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey")
+        )
+        .distinct()
+    )
+    pairs = cust.crossJoin(F.broadcast(cand)).join(
+        bought, ["custkey", "partkey"], "left_anti"
+    )
+    rkey = F.md5(
+        F.concat_ws(":", F.col("custkey").cast("string"), F.col("partkey").cast("string"))
+    )
+    from pyspark.sql.window import Window as _W
+
+    w = _W.partitionBy("custkey").orderBy(rkey, "partkey")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= NEG_PER_USER)
+        .select("custkey", "partkey", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar dimension build — the warehouse date spine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "calendar_dim_build",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+               CAST(MAX(o_orderdate) AS DATE) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+        FROM bounds
+    )
+    SELECT CAST(strftime(d, '%Y') AS INT) AS year,
+           CAST(quarter(d) AS INT) AS quarter,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN dayofweek(d) IN (0, 6) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_weekend_days,
+           CAST(SUM(CASE WHEN d = last_day(d) THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_month_ends
+    FROM spine GROUP BY 1, 2
+    """,
+    doc="Calendar dimension build: a gap-free date spine spanning the "
+    "fact's date range, generated in-engine (sequence/generate_series — "
+    "no source table), with derived attributes rolled up per quarter: "
+    "day counts, weekend days, month-end markers. The first script of "
+    "every warehouse build, and the join spine behind the engine's "
+    "gap-fill and cohort queries.",
+)
+def calendar_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spine is sequence(lo, hi) exploded — O(days) rows from a
+    2-scalar aggregate, no data shuffle at all; attributes are pure date
+    expressions. DOW convention note: Spark dayofweek is 1=Sunday..7,
+    DuckDB dayofweek is 0=Sunday..6 — the weekend test is written
+    against each engine's own convention rather than shifting one to
+    the other (the single most common cross-engine calendar bug)."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.to_date("o_orderdate")).alias("lo"),
+        F.max(F.to_date("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("d")
+    )
+    return spine.groupBy(
+        F.year("d").alias("year"), F.quarter("d").cast("int").alias("quarter")
+    ).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.dayofweek("d").isin(1, 7).cast("int"))
+        .cast("bigint")
+        .alias("n_weekend_days"),
+        F.sum((F.col("d") == F.last_day("d")).cast("int"))
+        .cast("bigint")
+        .alias("n_month_ends"),
+    )

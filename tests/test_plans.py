@@ -138,6 +138,7 @@ _BNLJ_OK = {
     "ann_recall_audit",  # inherits ann_bruteforce_topk's 10-query broadcast
     "decontam_embedding_overlap",  # corpus × broadcast(benchmark sample), threshold join
     "drift_price_bands_tvd",  # band cells × broadcast(single-row totals)
+    "negative_sampling_pairs",  # customers × broadcast(bounded candidate slice)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
