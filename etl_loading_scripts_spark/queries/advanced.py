@@ -997,3 +997,79 @@ def calendar_dim_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_month_ends"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding — exact rational form
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "target_encoding_loo",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               CAST(COALESCE(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0)
+                    AS BIGINT) AS own_cents
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    grp AS (
+        SELECT c_nationkey,
+               CAST(SUM(own_cents) AS BIGINT) AS grp_cents,
+               CAST(COUNT(*) AS BIGINT) AS grp_n
+        FROM spend GROUP BY 1
+    )
+    SELECT s.c_custkey AS custkey,
+           s.c_nationkey AS nationkey,
+           CAST(g.grp_cents - s.own_cents AS BIGINT) AS loo_numerator_cents,
+           CAST(g.grp_n - 1 AS BIGINT) AS loo_denominator,
+           CAST(g.grp_cents - s.own_cents AS DOUBLE) / (g.grp_n - 1)
+               AS loo_encoding_cents
+    FROM spend s JOIN grp g ON s.c_nationkey = g.c_nationkey
+    """,
+    doc="Leave-one-out target encoding of nation by customer spend: each "
+    "customer's encoding is the mean spend of the OTHER customers in "
+    "their nation — (group sum − own) / (group count − 1), carried as "
+    "exact integer cents with the single per-row division last. The "
+    "self-exclusion is what blocks target leakage; a plain group-mean "
+    "encoding memorizes each row's own label.",
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape: one fact aggregate to per-entity labels, one group
+    aggregate, one broadcast join back — two shuffles total, no window,
+    no per-row subquery (the textbook LOO formula is a correlated
+    aggregate; re-expressed as group-total-minus-own it is pure
+    hash-aggregate algebra that runs at any scale). Exactness: integer
+    cents end-to-end, so the encoding is a ratio of exact integers —
+    per-row IEEE division, never a float accumulation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(
+            orders.select(
+                F.col("o_custkey").alias("c_custkey"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            ),
+            "c_custkey",
+            "left",
+        )
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint").alias("own_cents"))
+    )
+    grp = spend.groupBy("c_nationkey").agg(
+        F.sum("own_cents").cast("bigint").alias("grp_cents"),
+        F.count(F.lit(1)).alias("grp_n"),
+    )
+    return spend.join(F.broadcast(grp), "c_nationkey").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_nationkey").alias("nationkey"),
+        (F.col("grp_cents") - F.col("own_cents"))
+        .cast("bigint")
+        .alias("loo_numerator_cents"),
+        (F.col("grp_n") - 1).cast("bigint").alias("loo_denominator"),
+        (
+            (F.col("grp_cents") - F.col("own_cents")).cast("double")
+            / (F.col("grp_n") - 1)
+        ).alias("loo_encoding_cents"),
+    )
