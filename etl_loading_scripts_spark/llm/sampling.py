@@ -357,3 +357,88 @@ def vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens")
         )
     )
+
+
+#: Token budget for the apportionment plan (tokens to draw per epoch).
+APPORTION_BUDGET = 1_000_000
+
+
+@register(
+    "token_budget_apportionment",
+    oracle=f"""
+    WITH src AS (
+        SELECT source,
+               CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS tokens
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(tokens) AS BIGINT) AS c FROM src),
+    base AS (
+        SELECT s.source, s.tokens,
+               CAST(({APPORTION_BUDGET} * s.tokens) // t.c AS BIGINT) AS floor_quota,
+               CAST(({APPORTION_BUDGET} * s.tokens) % t.c AS BIGINT) AS remainder
+        FROM src s CROSS JOIN tot t
+    ),
+    short AS (
+        SELECT CAST({APPORTION_BUDGET} - SUM(floor_quota) AS BIGINT) AS k FROM base
+    ),
+    ranked AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            ORDER BY remainder DESC, source
+        ) AS BIGINT) AS rr
+        FROM base
+    )
+    SELECT r.source, r.tokens, r.floor_quota,
+           CAST(r.floor_quota + CASE WHEN r.rr <= s.k THEN 1 ELSE 0 END AS BIGINT)
+               AS quota
+    FROM ranked r CROSS JOIN short s
+    """,
+    doc=f"Largest-remainder (Hamilton) apportionment of a "
+    f"{APPORTION_BUDGET:,}-token epoch budget across sources proportional "
+    "to their exact token mass: floor quotas plus one extra token to the "
+    "largest remainders, so the quotas are integers that sum EXACTLY to "
+    "the budget — the epoch planner that float rounding (quota = "
+    "round(T·w)) gets off-by-a-few every time.",
+)
+def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All integer arithmetic: products and mods of BIGINTs, a rank over
+    the bounded source dimension, no division at all. The same shape
+    apportions shard counts, sampling quotas, or GPU-hour budgets —
+    anywhere proportional integer allocation must be exact. Scale: one
+    fact aggregate to source grain, then dimension-sized window work."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.sum(F.ceil(F.col("n_chars") / 4.0).cast("bigint"))
+        .cast("bigint")
+        .alias("tokens")
+    )
+    tot = src.agg(F.sum("tokens").cast("bigint").alias("c"))
+    base = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.expr(f"({APPORTION_BUDGET} * tokens) div c").cast("bigint").alias("floor_quota"),
+        (F.lit(APPORTION_BUDGET) * F.col("tokens") % F.col("c"))
+        .cast("bigint")
+        .alias("remainder"),
+    )
+    short = base.agg(
+        (F.lit(APPORTION_BUDGET) - F.sum("floor_quota")).cast("bigint").alias("k")
+    )
+    from pyspark.sql.window import Window as _W
+
+    ranked = base.withColumn(
+        "rr",
+        F.row_number()
+        .over(_W.orderBy(F.desc("remainder"), F.asc("source")))
+        .cast("bigint"),
+    )
+    return ranked.crossJoin(F.broadcast(short)).select(
+        "source",
+        "tokens",
+        "floor_quota",
+        (
+            F.col("floor_quota")
+            + F.when(F.col("rr") <= F.col("k"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )

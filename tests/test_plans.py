@@ -139,6 +139,7 @@ _BNLJ_OK = {
     "decontam_embedding_overlap",  # corpus × broadcast(benchmark sample), threshold join
     "drift_price_bands_tvd",  # band cells × broadcast(single-row totals)
     "negative_sampling_pairs",  # customers × broadcast(bounded candidate slice)
+    "token_budget_apportionment",  # source grains × two single-row broadcasts
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
