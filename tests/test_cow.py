@@ -237,3 +237,64 @@ def test_merge_cow_source_schema_drift(spark, tmp_path):
         (2, 20240212, 202.0), (3, 20240213, 203.0),
         (9, 20240216, -1.0),  # inserted with the default
     }
+
+
+def test_cdc_stream_multi_batch_real_streaming(spark, tmp_path, sf_dir):
+    """The CDC bridge through REAL multi-batch streaming: events split
+    into three parquet files, maxFilesPerTrigger=1 forces three
+    micro-batches through foreachBatch, and the healed table equals the
+    single-batch application."""
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.sources.io import write_fact_partitioned
+    from etl_loading_scripts_spark.streaming.cdc_bridge import (
+        _event_changelog,
+        apply_changelog_batch,
+    )
+
+    events = load_table(spark, sf_dir, "events").limit(300).cache()
+    seed = (
+        _event_changelog(events)
+        .filter(F.col("event_id") % 3 != 0)
+        .withColumn("value", F.lit(0).cast("decimal(18,6)"))
+    )
+
+    # split the changelog into 3 files for the stream source
+    src_dir = str(tmp_path / "stream_src")
+    events.withColumn(
+        "__split__", (F.col("event_id") % 3).cast("int")
+    ).repartitionByRange(3, "__split__").drop("__split__").write.parquet(src_dir)
+
+    streamed = str(tmp_path / "streamed")
+    reference = str(tmp_path / "reference")
+    for p in (streamed, reference):
+        write_fact_partitioned(seed, p)
+
+    n_batches = []
+    stream = spark.readStream.schema(events.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda b, eid: (
+                n_batches.append(eid),
+                apply_changelog_batch(spark, streamed, b),
+            )
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(n_batches) >= 2, f"expected multiple micro-batches, got {n_batches}"
+
+    apply_changelog_batch(spark, reference, events)
+
+    def state(p):
+        return {
+            (r.event_id, r.datekey, str(r.value))
+            for r in spark.read.parquet(p)
+            .select("event_id", "datekey", "value")
+            .collect()
+        }
+
+    assert state(streamed) == state(reference)
+    assert len(state(streamed)) == 300
