@@ -3820,3 +3820,100 @@ def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    "ivm_retractable_aggregate",
+    oracle="""
+    WITH mm AS (
+        SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS busy
+        FROM orders GROUP BY 1 ORDER BY COUNT(*) DESC, busy DESC LIMIT 1
+    ),
+    last_m AS (
+        SELECT CAST(strftime(MAX(o_orderdate), '%Y%m') AS INT) AS lastm FROM orders
+    ),
+    post AS (
+        -- survivors: drop every order of the LAST calendar month, and the
+        -- %3==0 orders of the busiest month
+        SELECT o_orderkey, o_orderdate, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        FROM orders, mm, last_m
+        WHERE CAST(strftime(o_orderdate, '%Y%m') AS INT) <> last_m.lastm
+          AND NOT (CAST(strftime(o_orderdate, '%Y%m') AS INT) = mm.busy
+                   AND o_orderkey % 3 = 0)
+        UNION ALL
+        -- inserted restatement copies in the busiest month
+        SELECT o_orderkey + 1000000000, o_orderdate,
+               CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2 AS DECIMAL(18,4))
+        FROM orders, mm
+        WHERE CAST(strftime(o_orderdate, '%Y%m') AS INT) = mm.busy
+          AND o_orderkey % 3 = 0
+    )
+    SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS revenue
+    FROM post GROUP BY 1
+    """,
+    doc="RETRACTABLE incremental view maintenance: the monthly revenue "
+    "summary advanced by a changelog containing both deletes (signed "
+    "−1 rows: the whole last calendar month, plus every 3rd order of "
+    "the busiest month) and inserts (+1 restatement copies at double "
+    "price) — signed counts and signed decimal sums merge with the "
+    "prior summary, and groups whose count reaches zero are REMOVED, "
+    "not left as ghost rows. Oracle is the full recompute of the "
+    "post-changelog state.",
+)
+def ivm_retractable_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The delta algebra every streaming materialized view runs on
+    (Flink/Materialize retraction streams): SUM and COUNT are abelian —
+    apply ±deltas at summary grain, never rescan the base. O(changelog)
+    work per refresh; exact because the measures stay DECIMAL through
+    the merge and zero-groups are dropped by an explicit filter (the
+    invariant the oracle's recompute enforces by construction)."""
+    orders = load_table(spark, sf_dir, "orders")
+    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+    base = orders.select(
+        month.alias("month"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    busy = (
+        base.groupBy("month").count().orderBy(F.desc("count"), F.desc("month")).first()["month"]
+    )
+    lastm = base.agg(F.max("month")).first()[0]
+
+    retract_last = base.filter(F.col("month") == lastm).select(
+        "month", F.lit(-1).alias("op"), "price"
+    )
+    busy_third = orders.filter(
+        (month == busy) & (F.col("o_orderkey") % 3 == 0)
+    ).select(
+        month.alias("month"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    retract_busy = busy_third.select("month", F.lit(-1).alias("op"), "price")
+    insert_busy = busy_third.select(
+        "month",
+        F.lit(1).alias("op"),
+        (F.col("price") * 2).cast("decimal(18,4)").alias("price"),
+    )
+    changelog = retract_last.unionByName(retract_busy).unionByName(insert_busy)
+
+    prior = base.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("price").alias("rev_dec"),
+    )
+    delta = changelog.groupBy("month").agg(
+        F.sum("op").cast("bigint").alias("n_orders"),
+        F.sum(F.col("op") * F.col("price")).cast(prior.schema["rev_dec"].dataType).alias("rev_dec"),
+    )
+    merged = (
+        prior.unionByName(delta)
+        .groupBy("month")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("rev_dec").alias("rev_dec"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "month", "n_orders", F.col("rev_dec").cast("double").alias("revenue")
+    )
