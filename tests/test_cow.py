@@ -298,3 +298,25 @@ def test_cdc_stream_multi_batch_real_streaming(spark, tmp_path, sf_dir):
 
     assert state(streamed) == state(reference)
     assert len(state(streamed)) == 300
+
+
+def test_merge_cow_recovers_from_stale_staging(spark, tmp_path):
+    """A crashed prior run leaves .cow_staging behind; the next merge
+    must clear it, commit cleanly, and leave no staging residue."""
+    import os
+
+    path = str(tmp_path / "fact")
+    _seed_table(spark, path)
+    stale = os.path.join(path, ".cow_staging", "month=202402")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "junk.parquet"), "w") as fh:
+        fh.write("not parquet")
+
+    src = spark.createDataFrame(
+        [(1, 20240215, 999.0)], "k BIGINT, datekey INT, amount DOUBLE"
+    )
+    stats = merge_cow_partitioned(spark, path, src, on=["k"])
+    assert stats["months_rewritten"] == [202402]
+    assert not os.path.exists(os.path.join(path, ".cow_staging"))
+    got = {t for t in _rows(spark, path) if t[1] // 100 == 202402}
+    assert got == {(1, 20240215, 999.0), (2, 20240212, 202.0), (3, 20240213, 203.0)}
