@@ -196,3 +196,40 @@ def test_every_registered_query_has_an_oracle():
 
     missing = [n for n, q in REGISTRY.items() if not q.oracle]
     assert not missing, f"queries without oracles: {missing}"
+
+
+# An Exchange SinglePartition FEEDING a Window is the global-sort
+# bottleneck pattern (one task sorts everything). Legitimate only when the
+# windowed relation is dimension-/day-/bucket-grain — bounded rows by
+# construction, documented per query:
+_GLOBAL_WINDOW_OK = {
+    "abc_pareto_classification",  # bucket-offset window over ~32 range buckets
+    "cumulative_distinct_users",  # day-grain running sum (~|days| rows)
+    "industry_spend_share",  # segment-grain share window (25 rows)
+    "mixture_weights_temperature",  # source dimension (~20 rows)
+    "month_over_month_growth",  # month-grain lag (~80 rows)
+    "skyline_pareto",  # brand-grain frontier scan (bounded)
+    "spend_concentration_gini",  # bucket-offset window over range buckets
+    "surrogate_key_allocation",  # the documented small-dim path; scale twin exists
+    "token_budget_apportionment",  # source-dimension remainder rank
+    "top_nations_with_others",  # nation grain (25 rows)
+    "top_percent_with_ties",  # customer dimension; fact-grain form uses ranks.py
+}
+
+
+def test_no_unpartitioned_fact_windows(spark, sf_dir):
+    """Ratchet: any query whose plan has BOTH a Window and an Exchange
+    SinglePartition must be on the bounded-grain allow-list above —
+    a new fact-grain global window can't slip in unreviewed."""
+    problems = []
+    for name, q in sorted(REGISTRY.items()):
+        if name in _EXECUTING or name in _GLOBAL_WINDOW_OK:
+            continue
+        plan = plan_of(q.spark(spark, sf_dir))
+        if "Window" in plan and "Exchange SinglePartition" in plan:
+            problems.append(name)
+    assert not problems, (
+        f"unreviewed global-window queries: {problems} — either re-express "
+        "via operators/ranks.py range-bucketed machinery or add to "
+        "_GLOBAL_WINDOW_OK with a bounded-grain justification"
+    )
