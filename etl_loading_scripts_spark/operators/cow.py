@@ -263,7 +263,12 @@ def delete_cow_partitioned(
         .partitionBy(MONTH_COL)
         .parquet(f"{target_path}/{_STAGING}")
     )
-    n_after = spark.read.parquet(f"{target_path}/{_STAGING}").count()
+    try:
+        n_after = spark.read.parquet(f"{target_path}/{_STAGING}").count()
+    except Exception:
+        # a delete that empties every scoped partition stages zero files —
+        # there is no schema to read, and the surviving count is zero
+        n_after = 0
     rewritten, emptied = _commit_staged_months(spark, target_path, scanned)
     return {
         "months_scanned": scanned,
@@ -271,3 +276,22 @@ def delete_cow_partitioned(
         "months_emptied": emptied,
         "rows_deleted": int(n_before - n_after),
     }
+
+
+def missing_months(
+    spark: SparkSession, table_path: str, lo_month: int, hi_month: int
+) -> list[int]:
+    """Backfill planner: calendar months in [lo_month, hi_month]
+    (yyyyMM ints) with NO partition directory in the table — the gap
+    list a backfill job iterates. Pure partition-listing metadata, no
+    data scan; the month arithmetic handles year boundaries."""
+    have = set(_month_dirs(spark, table_path))
+    out = []
+    y, m = divmod(lo_month, 100)
+    while y * 100 + m <= hi_month:
+        if y * 100 + m not in have:
+            out.append(y * 100 + m)
+        m += 1
+        if m == 13:
+            y, m = y + 1, 1
+    return out

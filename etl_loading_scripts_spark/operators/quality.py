@@ -241,3 +241,50 @@ def table_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_src") != F.col("n_rep")) | (F.col("sum_src") != F.col("sum_rep"))
         )
     )
+
+
+def schema_contract_violations(df: DataFrame, expected_ddl: str) -> list[dict]:
+    """Data-contract check for a load input: compare ``df``'s schema to
+    the declared contract DDL and return violations as dicts —
+    ``{"column", "kind", "expected", "actual"}`` with kind ∈ {missing,
+    extra, type_changed, nullability_tightened}.
+
+    The loading-scripts failure mode this guards: a vendor extract
+    silently adds/retypes a column and the load either drops data or
+    poisons downstream types. Checked BEFORE any transform runs, driver-
+    side only (schema metadata, no data scan). A nullable→non-null
+    change is NOT flagged (stricter data satisfies the contract);
+    non-null→nullable is (the contract promised values).
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    expected = _parse_datatype_string(expected_ddl)
+    exp = {f.name: f for f in expected.fields}
+    act = {f.name: f for f in df.schema.fields}
+    out: list[dict] = []
+    for name, ef in exp.items():
+        if name not in act:
+            out.append(
+                {"column": name, "kind": "missing",
+                 "expected": ef.dataType.simpleString(), "actual": None}
+            )
+            continue
+        af = act[name]
+        if af.dataType != ef.dataType:
+            out.append(
+                {"column": name, "kind": "type_changed",
+                 "expected": ef.dataType.simpleString(),
+                 "actual": af.dataType.simpleString()}
+            )
+        if af.nullable and not ef.nullable:
+            out.append(
+                {"column": name, "kind": "nullability_tightened",
+                 "expected": "NOT NULL", "actual": "NULLABLE"}
+            )
+    for name, af in act.items():
+        if name not in exp:
+            out.append(
+                {"column": name, "kind": "extra",
+                 "expected": None, "actual": af.dataType.simpleString()}
+            )
+    return out

@@ -3917,3 +3917,56 @@ def ivm_retractable_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "month", "n_orders", F.col("rev_dec").cast("double").alias("revenue")
     )
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1
+    )
+    SELECT a.month,
+           a.cents AS actual_cents,
+           f.cents AS forecast_cents,
+           CAST(abs(a.cents - f.cents) AS BIGINT) AS abs_err_cents
+    FROM m a JOIN m f ON f.month = a.month - 100
+    """,
+    doc="Seasonal-naive forecast backtest: each month's revenue predicted "
+    "by the same month one year earlier, scored by absolute error in "
+    "exact integer cents — the baseline every real forecasting model "
+    "must beat, and the first number a demand-planning evaluation "
+    "reports. Joining month = month−100 on yyyyMM keys is exact calendar "
+    "arithmetic (same-month-prior-year), no date intervals involved.",
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape: one fact aggregate to month grain, then a month-grain
+    self-join (~80 rows) — the backtest costs nothing beyond the rollup
+    at any scale. The anti-pattern it replaces is a 12-row lag window
+    over an unpartitioned month sort; the equi-join form needs no global
+    ordering at all and extends to per-store/per-SKU grain by adding the
+    key to both sides (still one shuffle)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    f = m.select((F.col("month") + 100).alias("month"), F.col("cents").alias("forecast_cents"))
+    return (
+        m.join(f, "month")
+        .select(
+            "month",
+            F.col("cents").alias("actual_cents"),
+            "forecast_cents",
+            F.abs(F.col("cents") - F.col("forecast_cents"))
+            .cast("bigint")
+            .alias("abs_err_cents"),
+        )
+    )

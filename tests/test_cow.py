@@ -320,3 +320,16 @@ def test_merge_cow_recovers_from_stale_staging(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, ".cow_staging"))
     got = {t for t in _rows(spark, path) if t[1] // 100 == 202402}
     assert got == {(1, 20240215, 999.0), (2, 20240212, 202.0), (3, 20240213, 203.0)}
+
+
+def test_missing_months_backfill_plan(spark, tmp_path):
+    from etl_loading_scripts_spark.operators.cow import missing_months
+
+    path = str(tmp_path / "fact")
+    _seed_table(spark, path)  # months 202401..202403
+    delete_cow_partitioned(
+        spark, path, F.lit(True), months=[202402]
+    )  # hole in the middle
+    assert missing_months(spark, path, 202311, 202404) == [
+        202311, 202312, 202402, 202404,
+    ]

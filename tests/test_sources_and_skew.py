@@ -383,3 +383,24 @@ def test_orc_round_trip(spark, tmp_path, sf_dir):
     back = read_table(spark, path, fmt="orc")
     assert back.schema == nation.schema
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_schema_contract_violations(spark):
+    from etl_loading_scripts_spark.operators.quality import (
+        schema_contract_violations,
+    )
+
+    df = spark.sql(
+        "SELECT CAST(1 AS BIGINT) AS k, CAST('x' AS STRING) AS extra_col, "
+        "CAST(1.5 AS DOUBLE) AS amount"
+    )
+    got = schema_contract_violations(
+        df, "k BIGINT, amount DECIMAL(18,4), gone STRING"
+    )
+    kinds = {(v["column"], v["kind"]) for v in got}
+    assert kinds == {
+        ("amount", "type_changed"),
+        ("gone", "missing"),
+        ("extra_col", "extra"),
+    }
+    assert schema_contract_violations(df, "k BIGINT, extra_col STRING, amount DOUBLE") == []
