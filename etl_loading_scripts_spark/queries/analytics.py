@@ -3970,3 +3970,102 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abs_err_cents"),
         )
     )
+
+
+@register(
+    "fx_effective_rate_normalize",
+    oracle="""
+    WITH months AS (
+        SELECT DISTINCT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month
+        FROM orders
+    ),
+    rates AS (
+        -- effective-dated rate table: a new rate every 3rd calendar month
+        SELECT n.n_nationkey AS nationkey, m.month AS eff_month,
+               CAST(1000000 + n.n_nationkey * 1000 + (m.month % 7) * 100
+                    AS BIGINT) AS rate_ppm
+        FROM nation n CROSS JOIN months m
+        WHERE m.month % 3 = 0
+    ),
+    grid AS (
+        SELECT n.n_nationkey AS nationkey, m.month,
+               (SELECT r.rate_ppm FROM rates r
+                WHERE r.nationkey = n.n_nationkey AND r.eff_month <= m.month
+                ORDER BY r.eff_month DESC LIMIT 1) AS rate_ppm
+        FROM nation n CROSS JOIN months m
+    )
+    SELECT c.c_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT) * g.rate_ppm)
+                AS BIGINT) AS normalized_ppm_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN grid g ON g.nationkey = c.c_nationkey
+              AND g.month = CAST(strftime(o.o_orderdate, '%Y%m') AS INT)
+    WHERE g.rate_ppm IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Effective-dated rate normalization: a synthetic FX table posts a "
+    "new per-nation rate every 3rd month; each order is converted at the "
+    "latest rate effective on or before its month, in exact integer "
+    "ppm·cents. Orders before a nation's first posted rate are excluded "
+    "(no rate in effect). The standard currency/price-list/effective-"
+    "dated-dimension lookup of every multinational warehouse.",
+)
+def fx_effective_rate_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale pattern — DENSIFY, don't range-join: the naive formulation
+    (fact ⋈ rates ON eff_month <= order_month, rank desc, keep first) is
+    a per-row range join Spark executes as BNLJ + window. Instead the
+    bounded (nation × month) grid is densified once — carry the last
+    posted rate forward with a grid-sized window — and the FACT side
+    does one hash equi-join on (nation, month). Grid work is
+    |nations|·|months| rows regardless of fact size; the fact path has
+    zero windows and zero inequality joins. Same recipe for price
+    lists, tax tables, and SCD lookups at daily grain."""
+    from pyspark.sql.window import Window as _W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    month = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int")
+    months = orders.select(month.alias("month")).distinct()
+    grid = nation.select(F.col("n_nationkey").alias("nationkey")).crossJoin(
+        F.broadcast(months)
+    )
+    rate = F.when(
+        F.col("month") % 3 == 0,
+        (1000000 + F.col("nationkey") * 1000 + (F.col("month") % 7) * 100).cast(
+            "bigint"
+        ),
+    )
+    w = (
+        _W.partitionBy("nationkey")
+        .orderBy("month")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    dense = grid.withColumn("posted", rate).withColumn(
+        "rate_ppm", F.last("posted", ignorenulls=True).over(w)
+    ).filter(F.col("rate_ppm").isNotNull()).select("nationkey", "month", "rate_ppm")
+
+    fact = orders.join(
+        cust.select(
+            F.col("c_custkey").alias("o_custkey"),
+            F.col("c_nationkey").alias("nationkey"),
+        ),
+        "o_custkey",
+    ).select(
+        "nationkey",
+        month.alias("month"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        fact.join(F.broadcast(dense), ["nationkey", "month"])
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("cents") * F.col("rate_ppm"))
+            .cast("bigint")
+            .alias("normalized_ppm_cents"),
+        )
+    )

@@ -140,6 +140,7 @@ _BNLJ_OK = {
     "drift_price_bands_tvd",  # band cells × broadcast(single-row totals)
     "negative_sampling_pairs",  # customers × broadcast(bounded candidate slice)
     "token_budget_apportionment",  # source grains × two single-row broadcasts
+    "fx_effective_rate_normalize",  # 25 nations × broadcast(~80 months) grid build
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
