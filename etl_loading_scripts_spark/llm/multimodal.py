@@ -517,3 +517,100 @@ def mm_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     plugs into — schema, batching, and partition-locality identical."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_wav_batches, schema=_WAV_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (dHash) image dedup through the REAL codec
+# ---------------------------------------------------------------------------
+
+#: dHash geometry: 9×8 grayscale grid → 8×8 horizontal-gradient bits.
+_DHASH_W, _DHASH_H = 9, 8
+
+#: Docs per planted duplicate group: group g = doc_id // 5 shares one base
+#: pattern; each member adds a uniform brightness offset (doc_id % 5),
+#: which horizontal-gradient comparison cancels exactly.
+_DHASH_GROUP = 5
+
+_DHASH_SCHEMA = "doc_id long, dhash_hex string"
+
+
+def _dhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode each doc's deterministic 9×8 gray image as a real BMP,
+    decode it back with the dependency-free codec, and compute the
+    64-bit difference hash from the DECODED pixels — any codec bug
+    (row order, padding, channel swap) corrupts the hash."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.codecs import decode_bmp, encode_bmp
+
+    w, h = _DHASH_W, _DHASH_H
+    for pdf in batches:
+        ids, hexes = [], []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            g, b = d // _DHASH_GROUP, d % _DHASH_GROUP
+            xs = np.arange(w)[None, :]
+            ys = np.arange(h)[:, None]
+            gray = ((g * 37 + xs * 11 + ys * 23) % 200 + b).astype(np.uint8)
+            rgb = np.repeat(gray.reshape(-1), 3).astype(np.uint8).tobytes()
+            dw, dh, drgb = decode_bmp(encode_bmp(w, h, rgb))
+            assert (dw, dh) == (w, h)
+            px = np.frombuffer(drgb, dtype=np.uint8)[0::3].reshape(h, w).astype(int)
+            bits = (px[:, 1:] > px[:, :-1]).reshape(-1)
+            hi = int("".join("1" if t else "0" for t in bits[:32]), 2)
+            lo = int("".join("1" if t else "0" for t in bits[32:]), 2)
+            ids.append(d)
+            hexes.append(f"{hi:08x}{lo:08x}")
+        yield pd.DataFrame({"doc_id": ids, "dhash_hex": hexes}).astype(
+            {"doc_id": "int64"}
+        )
+
+
+@register(
+    "mm_image_dhash_dedup",
+    oracle=f"""
+    WITH hashes AS (
+        SELECT doc_id,
+               printf('%08x%08x',
+                   CAST(list_sum(list_transform(range(0, 32), i -> CASE WHEN
+                       ((doc_id // {_DHASH_GROUP}) * 37 + ((i % 8) + 1) * 11
+                            + (i // 8) * 23) % 200
+                       > ((doc_id // {_DHASH_GROUP}) * 37 + (i % 8) * 11
+                            + (i // 8) * 23) % 200
+                       THEN 1 << (31 - i) ELSE 0 END)) AS BIGINT),
+                   CAST(list_sum(list_transform(range(32, 64), i -> CASE WHEN
+                       ((doc_id // {_DHASH_GROUP}) * 37 + ((i % 8) + 1) * 11
+                            + (i // 8) * 23) % 200
+                       > ((doc_id // {_DHASH_GROUP}) * 37 + (i % 8) * 11
+                            + (i // 8) * 23) % 200
+                       THEN 1 << (63 - i) ELSE 0 END)) AS BIGINT)
+               ) AS dhash_hex
+        FROM documents
+    )
+    SELECT dhash_hex,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           MIN(doc_id) AS representative_id
+    FROM hashes GROUP BY 1
+    """,
+    doc="Perceptual-hash image dedup: every document carries a synthetic "
+    "9×8 image (groups of 5 share a pattern at different brightness), "
+    "round-tripped through the REAL 24-bit BMP codec; the 64-bit dHash "
+    "(horizontal-gradient bits) is computed from decoded pixels and "
+    "hash-grouped. Brightness-shifted copies collapse to one hash — the "
+    "invariance that makes dHash a near-dup detector where byte/md5 "
+    "dedup sees five distinct files. Oracle derives each hash "
+    "arithmetically from the image formula, independent of any codec.",
+)
+def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard image-dedup pipeline shape at 100 TB: decode +
+    fingerprint are one Arrow-batched map-only pass (this kernel), then
+    dedup is the same hash-groupBy as text exact-dedup — one shuffle on
+    a 16-char key, never pixels. Hamming-near variants bucket on hash
+    prefixes exactly like SimHash (`dedup_simhash_near`); the planted
+    groups here collapse to EQUAL hashes, keeping the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = docs.mapInPandas(_dhash_batches, schema=_DHASH_SCHEMA)
+    return hashes.groupBy("dhash_hex").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.min("doc_id").alias("representative_id"),
+    )

@@ -153,6 +153,7 @@ _PYTHON_OK = {
     "mm_resize",
     "heavy_hitter_mg_sketch",
     "nation_revenue_trend",  # grouped-map OLS kernel over month-grain aggregates
+    "mm_image_dhash_dedup",  # real-BMP round-trip + dHash, Arrow-batched mapInPandas
 }
 
 
