@@ -1495,3 +1495,82 @@ def dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Threshold sensitivity curve — the dedup-calibration report
+# ---------------------------------------------------------------------------
+
+#: Jaccard thresholds (permille) swept by the sensitivity curve.
+THRESHOLD_SWEEP_MILLE = (200, 300, 400, 500, 600, 700, 800)
+
+_SWEEP_VALUES = ", ".join(f"({t})" for t in THRESHOLD_SWEEP_MILLE)
+
+
+@register(
+    "dedup_threshold_sensitivity",
+    oracle=f"""
+    WITH shingled AS ({{shingles}}),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+        FROM shingled
+    ),
+    hot AS (
+        SELECT shingle FROM exploded
+        GROUP BY shingle HAVING COUNT(*) > {{df_cap}}
+    ),
+    kept AS (
+        SELECT * FROM exploded
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    pair_counts AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    thresholds(t_mille) AS (VALUES {_SWEEP_VALUES})
+    SELECT t.t_mille AS threshold_permille,
+           CAST(SUM(CASE WHEN 1000 * p.n_shared
+                              >= t.t_mille * (p.n_a + p.n_b - p.n_shared)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN 1000 * p.n_shared
+                              >= t.t_mille * (p.n_a + p.n_b - p.n_shared)
+                         THEN p.id_b END) AS BIGINT) AS n_docs_dropped
+    FROM pair_counts p CROSS JOIN thresholds t
+    GROUP BY 1
+    """.format(shingles=_SHINGLES_SQL_DUCK, df_cap=SHINGLE_DF_CAP),
+    doc="Dedup threshold sensitivity: the candidate pair graph scored "
+    "ONCE, then swept across seven Jaccard thresholds (integer "
+    "cross-multiplied — 1000·shared ≥ t·union, no float compare): "
+    "surviving pair count and docs-that-would-drop per threshold. The "
+    "calibration curve read before committing a near-dedup threshold — "
+    "a cliff between adjacent thresholds means the corpus has a "
+    "boilerplate band there, a plateau means the choice is safe.",
+)
+def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the expensive work (shingle, block, count shared) happens
+    once — the sweep itself is a 7-row broadcast cross join over the
+    bounded pair table, so the 7-point curve costs the same as one
+    threshold. docs_dropped counts DISTINCT higher-id pair members: the
+    keep-lowest-id dedup policy's casualty list at each setting."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = blocked_shingle_pair_counts(docs)
+    thresholds = spark.createDataFrame(
+        [(t,) for t in THRESHOLD_SWEEP_MILLE], "t_mille INT"
+    )
+    passing = F.lit(1000) * F.col("n_shared") >= F.col("t_mille") * (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    )
+    return (
+        pairs.crossJoin(F.broadcast(thresholds))
+        .groupBy(F.col("t_mille").alias("threshold_permille"))
+        .agg(
+            F.sum(passing.cast("int")).cast("bigint").alias("n_pairs"),
+            F.countDistinct(
+                F.when(passing, F.col("id_b"))
+            ).cast("bigint").alias("n_docs_dropped"),
+        )
+    )

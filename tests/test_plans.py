@@ -141,6 +141,7 @@ _BNLJ_OK = {
     "negative_sampling_pairs",  # customers × broadcast(bounded candidate slice)
     "token_budget_apportionment",  # source grains × two single-row broadcasts
     "fx_effective_rate_normalize",  # 25 nations × broadcast(~80 months) grid build
+    "dedup_threshold_sensitivity",  # bounded pair table × broadcast(7-row threshold sweep)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
