@@ -1067,3 +1067,74 @@ def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+from etl_loading_scripts_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "quality_filter_funnel",
+    oracle=f"""
+    WITH flags AS ({_REGISTRY['quality_gopher_rules'].oracle})
+    SELECT 0 AS stage, 'input' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words
+    FROM flags
+    UNION ALL
+    SELECT 1, 'wordcount', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_words) AS BIGINT)
+    FROM flags WHERE r_wordcount = 1
+    UNION ALL
+    SELECT 2, 'mean_len', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_words) AS BIGINT)
+    FROM flags WHERE r_wordcount = 1 AND r_mean_len = 1
+    UNION ALL
+    SELECT 3, 'stopwords', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_words) AS BIGINT)
+    FROM flags WHERE r_wordcount = 1 AND r_mean_len = 1 AND r_stopwords = 1
+    UNION ALL
+    SELECT 4, 'dup_words', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_words) AS BIGINT)
+    FROM flags WHERE r_wordcount = 1 AND r_mean_len = 1 AND r_stopwords = 1
+                 AND r_dup_words = 1
+    """,
+    doc="Quality-filter waterfall: documents and token mass surviving "
+    "after each Gopher rule applied IN ORDER (input → wordcount → mean "
+    "length → stopwords → duplicate-words) — the attribution report "
+    "every filtering recipe publishes, and the one that shows which "
+    "rule actually pays for its false-positive risk (a rule that drops "
+    "nothing after its predecessors is free to remove).",
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One pass over the per-doc rule flags (`quality_gopher_rules`,
+    composed verbatim): the five funnel stages are conditional
+    aggregates of cumulative rule conjunctions, stacked — no repeated
+    corpus scans, no joins. At 100 TB the funnel is the same single
+    map+aggregate as the gate itself."""
+    flags = quality_gopher_rules(spark, sf_dir)
+    s1 = F.col("r_wordcount") == 1
+    s2 = s1 & (F.col("r_mean_len") == 1)
+    s3 = s2 & (F.col("r_stopwords") == 1)
+    s4 = s3 & (F.col("r_dup_words") == 1)
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("d0"),
+        F.sum("n_words").alias("w0"),
+        F.sum(s1.cast("int")).cast("bigint").alias("d1"),
+        F.sum(F.when(s1, F.col("n_words")).otherwise(0)).alias("w1"),
+        F.sum(s2.cast("int")).cast("bigint").alias("d2"),
+        F.sum(F.when(s2, F.col("n_words")).otherwise(0)).alias("w2"),
+        F.sum(s3.cast("int")).cast("bigint").alias("d3"),
+        F.sum(F.when(s3, F.col("n_words")).otherwise(0)).alias("w3"),
+        F.sum(s4.cast("int")).cast("bigint").alias("d4"),
+        F.sum(F.when(s4, F.col("n_words")).otherwise(0)).alias("w4"),
+    )
+    return agg.selectExpr(
+        "stack(5, "
+        "0, 'input', d0, w0, "
+        "1, 'wordcount', d1, w1, "
+        "2, 'mean_len', d2, w2, "
+        "3, 'stopwords', d3, w3, "
+        "4, 'dup_words', d4, w4"
+        ") AS (stage, rule, n_docs, n_words)"
+    ).selectExpr(
+        "cast(stage as int) as stage",
+        "rule",
+        "cast(n_docs as bigint) as n_docs",
+        "cast(n_words as bigint) as n_words",
+    )
