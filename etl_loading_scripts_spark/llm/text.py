@@ -1138,3 +1138,36 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(n_docs as bigint) as n_docs",
         "cast(n_words as bigint) as n_words",
     )
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH preds AS ({_REGISTRY['text_language_id'].oracle})
+    SELECT labeled_lang AS true_lang, pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN labeled_lang = pred_lang
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+    FROM preds GROUP BY 1, 2
+    """,
+    doc="Language-ID evaluation: the classifier's predictions crossed "
+    "with the labeled language as a confusion matrix (true, predicted, "
+    "count) — per-cell precision/recall fall straight out, and the "
+    "off-diagonal cells name exactly which language pairs the "
+    "function-word heuristic confuses (plus the 'und' abstentions). The "
+    "eval every classifier-based filter owes its mixture report.",
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the registered classifier verbatim, so the eval can never
+    drift from the deployed predictor — same discipline as
+    ann_recall_audit. One aggregate over the prediction pass; the
+    matrix is |langs|² bounded regardless of corpus size."""
+    preds = text_language_id(spark, sf_dir)
+    return preds.groupBy(
+        F.col("labeled_lang").alias("true_lang"), "pred_lang"
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("labeled_lang") == F.col("pred_lang")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+    )
