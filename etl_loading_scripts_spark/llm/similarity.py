@@ -1054,3 +1054,125 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "recall_at_k", F.col("n_hit").cast("double") / F.col("n_exact")
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-dimension fidelity — the matryoshka/efficiency trade, measured
+# ---------------------------------------------------------------------------
+
+#: Prefix dimensions evaluated against the full 64-dim ranking.
+TRUNC_DIMS = 16
+
+
+@register(
+    "embedding_truncation_fidelity",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2
+        FROM q
+    ),
+    t AS (
+        SELECT vec_id, qv[1:{TRUNC_DIMS}] AS tv,
+               list_sum(list_transform(qv[1:{TRUNC_DIMS}], x -> x * x)) AS tnorm2
+        FROM q
+    ),
+    full_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='a.qv', b='b.qv')} AS DOUBLE)
+                                / sqrt(CAST(a.norm2 AS DOUBLE))
+                                / sqrt(CAST(b.norm2 AS DOUBLE)) DESC,
+                                b.vec_id
+                   ) AS rk
+            FROM n a JOIN n b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        ) WHERE rk <= {TOP_K}
+    ),
+    trunc_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='a.tv', b='b.tv')} AS DOUBLE)
+                                / sqrt(CAST(a.tnorm2 AS DOUBLE))
+                                / sqrt(CAST(b.tnorm2 AS DOUBLE)) DESC,
+                                b.vec_id
+                   ) AS rk
+            FROM t a JOIN t b ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        ) WHERE rk <= {TOP_K}
+    )
+    SELECT f.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_full,
+           CAST(SUM(CASE WHEN tr.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN tr.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS fidelity_at_k
+    FROM full_topk f
+    LEFT JOIN trunc_topk tr
+      ON f.query_id = tr.query_id AND f.neighbor_id = tr.neighbor_id
+    GROUP BY 1
+    """,
+    doc=f"Truncated-embedding fidelity: top-{TOP_K} overlap between the "
+    f"full 64-dim cosine ranking and the first-{TRUNC_DIMS}-dims ranking, "
+    "per query vector — the matryoshka-representation question ('how "
+    "much retrieval quality do the cheap prefix dims keep?') answered "
+    "the same way ann_recall_audit treats LSH: measure against exact "
+    "ground truth before trusting the cheaper index.",
+)
+def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Why it matters at 100 TB: a 4× dimension cut is a 4× cut in
+    vector IO, index memory, and dot-product cost across every
+    downstream ANN/dedup job — IF fidelity holds. Shape: the same
+    broadcast(queries)×corpus map-side pass as the brute-force baseline,
+    run at both widths (prefix slice is a zero-copy array slice), then
+    a |sample|×k overlap join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _quantized(emb).select("vec_id", "qv", "norm2")
+    t = n.select(
+        "vec_id",
+        F.slice("qv", 1, TRUNC_DIMS).alias("qv"),
+    ).withColumn(
+        "norm2",
+        F.expr("aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)"),
+    )
+
+    def topk(vecs):
+        queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qa"),
+            F.col("norm2").alias("na"),
+        )
+        corpus = vecs.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qv").alias("qb"),
+            F.col("norm2").alias("nb"),
+        )
+        scored = (
+            corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cosine", _cosine_expr("qa", "qb", "na", "nb"))
+            .select("query_id", "neighbor_id", "cosine")
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_topk = topk(n)
+    trunc_topk = topk(t).withColumn("__hit__", F.lit(1))
+    return (
+        full_topk.join(trunc_topk, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_full"),
+            F.sum(F.coalesce("__hit__", F.lit(0))).cast("bigint").alias("n_overlap"),
+        )
+        .withColumn(
+            "fidelity_at_k", F.col("n_overlap").cast("double") / F.col("n_full")
+        )
+    )

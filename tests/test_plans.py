@@ -142,6 +142,7 @@ _BNLJ_OK = {
     "token_budget_apportionment",  # source grains × two single-row broadcasts
     "fx_effective_rate_normalize",  # 25 nations × broadcast(~80 months) grid build
     "dedup_threshold_sensitivity",  # bounded pair table × broadcast(7-row threshold sweep)
+    "embedding_truncation_fidelity",  # two brute-force legs, 10-query broadcast each
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
