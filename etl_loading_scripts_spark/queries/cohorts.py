@@ -374,3 +374,68 @@ def daily_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_events") - mean) / std).alias("zscore"),
         (F.abs(F.col("n_events") - mean) > 2.0 * std).cast("long").alias("is_anomaly"),
     )
+
+
+@register(
+    "ab_test_conversion_analysis",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    conv AS (
+        SELECT v.user_id,
+               CAST(MAX(CASE WHEN p.ts > v.first_view THEN 1 ELSE 0 END)
+                    AS BIGINT) AS converted
+        FROM views v
+        LEFT JOIN events p
+          ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        GROUP BY 1, v.first_view
+    )
+    SELECT CAST(user_id % 2 AS INT) AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conv_rate
+    FROM conv GROUP BY 1
+    """,
+    doc="A/B conversion readout: users deterministically split into two "
+    "arms (user_id parity — the hash-bucket assignment every experiment "
+    "platform uses), conversion = a purchase strictly after the user's "
+    "first view; per arm: exposed users, converters, conversion rate "
+    "(single exact division). The two-proportion test statistic is "
+    "computable from these four integers per arm — the analysis every "
+    "growth team runs daily.",
+)
+def ab_test_conversion_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape: one aggregate to first-view per user, one semi-ish left
+    join against purchases, one bounded per-arm rollup — fact-scale work
+    is two shuffles on user_id and nothing driver-side. Assignment by
+    key arithmetic (not RNG) is what makes the experiment re-analyzable:
+    any engine reproduces the same arms from the same ids."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        views.join(purchases, "user_id", "left")
+        .groupBy("user_id", "first_view")
+        .agg(
+            F.max(
+                F.when(F.col("p_ts") > F.col("first_view"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("converted")
+        )
+    )
+    return conv.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("conv_rate"),
+    )
