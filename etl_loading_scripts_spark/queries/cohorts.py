@@ -439,3 +439,93 @@ def ab_test_conversion_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("converted").cast("bigint").alias("n_converted"),
         (F.sum("converted").cast("double") / F.count(F.lit(1))).alias("conv_rate"),
     )
+
+
+@register(
+    "ab_cuped_moments",
+    oracle="""
+    WITH views AS (
+        SELECT user_id, MIN(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    pre AS (
+        SELECT v.user_id, v.first_view,
+               CAST(COUNT(c.event_id) AS BIGINT) AS pre_clicks
+        FROM views v
+        LEFT JOIN events c
+          ON c.user_id = v.user_id AND c.event_type = 'click'
+         AND c.ts < v.first_view
+        GROUP BY 1, 2
+    ),
+    conv AS (
+        SELECT p.user_id, p.pre_clicks,
+               CAST(MAX(CASE WHEN e.ts > p.first_view THEN 1 ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM pre p
+        LEFT JOIN events e
+          ON e.user_id = p.user_id AND e.event_type = 'purchase'
+        GROUP BY 1, 2, p.first_view
+    )
+    SELECT CAST(user_id % 2 AS INT) AS arm,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(pre_clicks) AS BIGINT) AS sum_x,
+           CAST(SUM(y) AS BIGINT) AS sum_y,
+           CAST(SUM(pre_clicks * y) AS BIGINT) AS sum_xy,
+           CAST(SUM(pre_clicks * pre_clicks) AS BIGINT) AS sum_x2
+    FROM conv GROUP BY 1
+    """,
+    doc="CUPED variance-reduction inputs for the A/B readout: per arm, "
+    "the exact integer moments (n, Σx, Σy, Σxy, Σx²) of pre-exposure "
+    "click count x against conversion y — θ = cov(x,y)/var(x) and the "
+    "adjusted means fall out arithmetically. Publishing the MOMENTS "
+    "instead of θ keeps the result bit-stable (a float covariance sum "
+    "is addition-order-dependent; integer moments are not) — the same "
+    "discipline as the chi-square cells and TVD parts.",
+)
+def ab_cuped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-exposure covariates are the only legitimate ones (anything
+    post-assignment is collider bias), hence the strict ts < first_view
+    guard. Shape: three user-grain aggregates/joins on user_id, one
+    bounded per-arm rollup — CUPED costs one extra pass over the events
+    the experiment already scans."""
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    pre = (
+        views.join(clicks, "user_id", "left")
+        .groupBy("user_id", "first_view")
+        .agg(
+            F.sum(
+                F.when(F.col("c_ts") < F.col("first_view"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("pre_clicks")
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    conv = (
+        pre.join(purchases, "user_id", "left")
+        .groupBy("user_id", "first_view", "pre_clicks")
+        .agg(
+            F.max(F.when(F.col("p_ts") > F.col("first_view"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("y")
+        )
+    )
+    return conv.groupBy((F.col("user_id") % 2).cast("int").alias("arm")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre_clicks").cast("bigint").alias("sum_x"),
+        F.sum("y").cast("bigint").alias("sum_y"),
+        F.sum(F.col("pre_clicks") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("pre_clicks") * F.col("pre_clicks"))
+        .cast("bigint")
+        .alias("sum_x2"),
+    )
