@@ -529,3 +529,49 @@ def ab_cuped_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sum_x2"),
     )
+
+
+@register(
+    "ab_sample_ratio_mismatch",
+    oracle="""
+    WITH views AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    ),
+    arms AS (
+        SELECT CAST(user_id % 2 AS INT) AS arm,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM views GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n_users) AS BIGINT) AS n FROM arms)
+    SELECT a.arm, a.n_users, t.n AS n_total,
+           POWER(CAST(2 * a.n_users - t.n AS DOUBLE), 2)
+               / (2.0 * t.n) AS chi2_cell
+    FROM arms a CROSS JOIN tot t
+    """,
+    doc="Sample-ratio-mismatch check for the 50/50 experiment split: per "
+    "arm, observed exposed users against the total, with the chi-square "
+    "cell (obs−exp)²/exp in the integer-numerator form "
+    "(2·n_arm − n_total)²/(2·n_total) — the guardrail read BEFORE any "
+    "conversion number, since a split that isn't 50/50 means the "
+    "assignment or logging is broken and the readout is invalid.",
+)
+def ab_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distinct-users pass, a two-row aggregate, a single-row total
+    broadcast. The statistic's inputs stay integers until one final
+    division per arm — the chi2_independence_cells discipline; the
+    p-value lookup (df=1) happens wherever the report renders."""
+    ev = load_table(spark, sf_dir, "events")
+    exposed = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    arms = exposed.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("arm")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    tot = arms.agg(F.sum("n_users").cast("bigint").alias("n_total"))
+    return arms.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n_users",
+        "n_total",
+        (
+            F.pow((2 * F.col("n_users") - F.col("n_total")).cast("double"), F.lit(2))
+            / (2.0 * F.col("n_total"))
+        ).alias("chi2_cell"),
+    )

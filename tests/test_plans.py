@@ -143,6 +143,7 @@ _BNLJ_OK = {
     "fx_effective_rate_normalize",  # 25 nations × broadcast(~80 months) grid build
     "dedup_threshold_sensitivity",  # bounded pair table × broadcast(7-row threshold sweep)
     "embedding_truncation_fidelity",  # two brute-force legs, 10-query broadcast each
+    "ab_sample_ratio_mismatch",  # 2 arm rows × broadcast(single-row total)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
