@@ -4069,3 +4069,121 @@ def fx_effective_rate_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("normalized_ppm_cents"),
         )
     )
+
+
+@register(
+    "open_order_aging_buckets",
+    oracle="""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    aged AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               date_diff('day', o_orderdate, a.maxd) AS age_days
+        FROM orders o CROSS JOIN anchor a
+        WHERE o.o_orderstatus = 'O'
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 60 THEN '31-60'
+                WHEN age_days <= 90 THEN '61-90'
+                ELSE '90+' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(cents) AS BIGINT) AS open_cents
+    FROM aged GROUP BY 1
+    """,
+    doc="Open-order aging report: orders still in status 'O' bucketed by "
+    "days outstanding relative to the dataset's anchor date (0-30 / "
+    "31-60 / 61-90 / 90+), with exact open cents per bucket — the "
+    "receivables-aging shape every finance close runs, anchored to a "
+    "data-derived date so the result is reproducible (SURVEY R9: never "
+    "now() inside a transform).",
+)
+def open_order_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scalar anchor broadcast, one pass, a 4-row rollup; the bucket
+    CASE is codegen'd. The datediff is calendar-day exact on both
+    engines (DATE-truncated timestamps, UTC session)."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    aged = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+            F.datediff(F.to_date("maxd"), F.to_date("o_orderdate")).alias(
+                "age_days"
+            ),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return aged.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("open_cents"),
+    )
+
+
+@register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH share AS (
+        SELECT p.p_brand, l.l_suppkey,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT p_brand, CAST(SUM(cents) AS BIGINT) AS total_cents,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM share GROUP BY 1
+    )
+    SELECT s.p_brand AS brand, t.n_suppliers, t.total_cents,
+           CAST(SUM(CAST(s.cents AS DECIMAL(19,0)) * CAST(s.cents AS DECIMAL(19,0)))
+                AS DOUBLE)
+               / (CAST(t.total_cents AS DOUBLE) * t.total_cents) AS hhi
+    FROM share s JOIN tot t ON s.p_brand = t.p_brand
+    GROUP BY 1, 2, 3
+    """,
+    doc="Supplier-concentration Herfindahl index per brand: Σ(share²) "
+    "over supplier revenue shares, computed as Σ(cents²)/total² so the "
+    "numerator and denominator are exact integer products and only one "
+    "final division is floating — HHI near 1 flags single-supplier risk, "
+    "near 1/n a balanced base. The procurement-risk metric, bit-stable.",
+)
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: fact aggregated once to (brand, supplier) grain; the HHI is
+    a grain-to-grain re-aggregation with exact integer squares (cents ≤
+    ~1e9 per cell → square ≤ 1e18, inside BIGINT; the Σ of squares
+    accumulates in DECIMAL(38,0) — cents² at warehouse scale overflows
+    the 2^53 exact-double range, so a float sum would be
+    addition-order-dependent). No windows, two shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    share = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"), "l_suppkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    tot = share.groupBy("brand").agg(
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return (
+        share.join(tot, "brand")
+        .groupBy("brand", "n_suppliers", "total_cents")
+        .agg(
+            (
+                F.sum(
+                    F.col("cents").cast("decimal(19,0)")
+                    * F.col("cents").cast("decimal(19,0)")
+                ).cast("double")
+                / (F.col("total_cents").cast("double") * F.col("total_cents"))
+            ).alias("hhi")
+        )
+    )
