@@ -4187,3 +4187,92 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hhi")
         )
     )
+
+
+@register(
+    "basket_size_distribution",
+    oracle="""
+    WITH sizes AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS basket_cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT n_lines AS basket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(basket_cents) AS BIGINT) AS total_cents
+    FROM sizes GROUP BY 1
+    """,
+    doc="Basket-size distribution: orders histogrammed by line count with "
+    "exact revenue mass per size — the merchandising curve (is revenue "
+    "in big baskets or many small ones?) as a two-level re-aggregation, "
+    "no windows.",
+)
+def basket_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("basket_cents"),
+    )
+    return sizes.groupBy(F.col("n_lines").alias("basket_size")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("basket_cents").cast("bigint").alias("total_cents"),
+    )
+
+
+@register(
+    "line_sequence_integrity_audit",
+    oracle="""
+    WITH per_order AS (
+        SELECT l_orderkey,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MAX(l_linenumber) AS BIGINT) AS max_ln,
+               CAST(SUM(l_linenumber) AS BIGINT) AS sum_ln,
+               CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_distinct
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN max_ln = n AND n_distinct = n
+                          AND 2 * sum_ln = n * (n + 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_contiguous,
+           CAST(SUM(CASE WHEN n_distinct < n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_duplicates,
+           CAST(SUM(CASE WHEN max_ln > n THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_gaps
+    FROM per_order
+    """,
+    doc="Line-number integrity audit: per order, l_linenumber must be a "
+    "contiguous 1..n sequence — verified arithmetically (max = count, "
+    "all distinct, Gauss sum 2·Σ = n(n+1)) without sorting anything; "
+    "duplicate and gap counts split out. The child-sequence invariant "
+    "every order/invoice loader should assert before trusting "
+    "line-grain joins.",
+)
+def line_sequence_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gauss-sum trick turns 'is this a permutation of 1..n' into
+    three aggregates — no per-order sort, no window, one shuffle on the
+    order key then a single-row report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("l_linenumber").cast("bigint").alias("max_ln"),
+        F.sum("l_linenumber").cast("bigint").alias("sum_ln"),
+        F.countDistinct("l_linenumber").alias("n_distinct"),
+    )
+    contiguous = (
+        (F.col("max_ln") == F.col("n"))
+        & (F.col("n_distinct") == F.col("n"))
+        & (2 * F.col("sum_ln") == F.col("n") * (F.col("n") + 1))
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(contiguous.cast("int")).cast("bigint").alias("n_contiguous"),
+        F.sum((F.col("n_distinct") < F.col("n")).cast("int"))
+        .cast("bigint")
+        .alias("n_with_duplicates"),
+        F.sum((F.col("max_ln") > F.col("n")).cast("int"))
+        .cast("bigint")
+        .alias("n_with_gaps"),
+    )
