@@ -4276,3 +4276,50 @@ def line_sequence_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("bigint")
         .alias("n_with_gaps"),
     )
+
+
+@register(
+    "single_source_parts_risk",
+    oracle="""
+    WITH sup_counts AS (
+        SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_sup
+        FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts_traded,
+           CAST(SUM(CASE WHEN s.n_sup = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_single_source,
+           CAST(SUM(CASE WHEN s.n_sup = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS single_source_share
+    FROM sup_counts s JOIN part p ON s.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    doc="Single-point-of-failure sourcing risk: per brand, how many "
+    "traded parts have exactly ONE observed supplier — the complement "
+    "to the HHI concentration index (HHI says revenue is concentrated; "
+    "this names the parts where a single supplier outage stops the "
+    "line). One distinct-count aggregate, one dimension join, exact "
+    "counts with a single final ratio.",
+)
+def single_source_parts_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup_counts = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sup")
+    )
+    return (
+        sup_counts.join(
+            F.broadcast(part), sup_counts["l_partkey"] == part["p_partkey"]
+        )
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts_traded"),
+            F.sum((F.col("n_sup") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_single_source"),
+        )
+        .withColumn(
+            "single_source_share",
+            F.col("n_single_source").cast("double") / F.col("n_parts_traded"),
+        )
+    )
