@@ -4323,3 +4323,85 @@ def single_source_parts_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_single_source").cast("double") / F.col("n_parts_traded"),
         )
     )
+
+
+@register(
+    "discount_depth_response",
+    oracle="""
+    SELECT CAST(round(l_discount * 100) AS INT) AS discount_pct,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS units,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) / COUNT(*)
+               AS units_per_line,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT)) AS BIGINT) AS net_cents
+    FROM lineitem GROUP BY 1
+    """,
+    doc="Discount-depth response table: per discount percentage point, "
+    "line count, exact units moved, units per line, and net revenue in "
+    "exact cents — the raw elasticity read (does depth move volume or "
+    "just give margin away?) with every aggregate integer-exact and the "
+    "single ratio divided last.",
+)
+def discount_depth_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.round(F.col("l_discount") * 100).cast("int").alias("discount_pct")
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("units"),
+        (
+            F.sum(F.round("l_quantity").cast("bigint")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("units_per_line"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("net_cents"),
+    )
+
+
+@register(
+    "returns_rate_by_brand",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_returned,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R'
+                         THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS returned_cents,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS return_rate
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    doc="Returns rate per brand: returned-line share and exact returned "
+    "revenue — the post-sale quality signal merchandising watches; a "
+    "brand whose return_rate spikes relative to peers flags a defect or "
+    "listing problem long before reviews do.",
+)
+def returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    ret = F.col("l_returnflag") == "R"
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(ret.cast("int")).cast("bigint").alias("n_returned"),
+            F.sum(
+                F.when(
+                    ret, F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("returned_cents"),
+            (F.sum(ret.cast("int")).cast("double") / F.count(F.lit(1))).alias(
+                "return_rate"
+            ),
+        )
+    )
