@@ -4405,3 +4405,121 @@ def returns_rate_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+#: SLA days per order priority class (1-URGENT tightest).
+SLA_DAYS = {"1-URGENT": 30, "2-HIGH": 45, "3-MEDIUM": 60, "4-NOT SPECIFIED": 90, "5-LOW": 120}
+
+_SLA_VALUES = ", ".join(f"('{k}', {v})" for k, v in sorted(SLA_DAYS.items()))
+
+
+@register(
+    "priority_sla_compliance",
+    oracle=f"""
+    WITH sla(priority, sla_days) AS (VALUES {_SLA_VALUES}),
+    delays AS (
+        SELECT o.o_orderpriority AS priority,
+               date_diff('day', o.o_orderdate, l.l_shipdate) AS delay_days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT d.priority, s.sla_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CASE WHEN d.delay_days <= s.sla_days
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_sla,
+           CAST(SUM(CASE WHEN d.delay_days <= s.sla_days
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS compliance_rate
+    FROM delays d JOIN sla s ON d.priority = s.priority
+    GROUP BY 1, 2
+    """,
+    doc="SLA compliance per priority class: order-to-ship delay compared "
+    "against a per-priority service-level table (a 5-row broadcast "
+    "literal — the contract, versioned with the code), with exact "
+    "within-SLA counts and one final rate division. The ops scoreboard "
+    "over the same delay measure ship_delay_percentiles profiles.",
+)
+def priority_sla_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    sla = spark.createDataFrame(
+        sorted(SLA_DAYS.items()), "priority STRING, sla_days INT"
+    )
+    delays = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias(
+            "delay_days"
+        ),
+    )
+    within = F.col("delay_days") <= F.col("sla_days")
+    return (
+        delays.join(F.broadcast(sla), "priority")
+        .groupBy("priority", "sla_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(within.cast("int")).cast("bigint").alias("n_within_sla"),
+            (F.sum(within.cast("int")).cast("double") / F.count(F.lit(1))).alias(
+                "compliance_rate"
+            ),
+        )
+    )
+
+
+CHURN_INACTIVE_DAYS = 180
+
+
+@register(
+    "churn_risk_by_segment",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(o_orderdate) AS maxd FROM orders),
+    last_order AS (
+        SELECT o_custkey, MAX(o_orderdate) AS last_dt
+        FROM orders GROUP BY 1
+    )
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_active_customers,
+           CAST(SUM(CASE WHEN date_diff('day', lo.last_dt, a.maxd)
+                              > {CHURN_INACTIVE_DAYS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk,
+           CAST(SUM(CASE WHEN date_diff('day', lo.last_dt, a.maxd)
+                              > {CHURN_INACTIVE_DAYS}
+                         THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS at_risk_share
+    FROM last_order lo
+    JOIN customer c ON lo.o_custkey = c.c_custkey
+    CROSS JOIN anchor a
+    GROUP BY 1
+    """,
+    doc=f"Churn-risk flags: customers whose last order is more than "
+    f"{CHURN_INACTIVE_DAYS} days before the dataset anchor, rolled up per "
+    "market segment — the inactivity definition behind every retention "
+    "campaign list, anchored to a data-derived date (SURVEY R9) so the "
+    "risk set is reproducible.",
+)
+def churn_risk_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    anchor = orders.agg(F.max("o_orderdate").alias("maxd"))
+    last_order = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_dt")
+    )
+    at_risk = (
+        F.datediff(F.to_date("maxd"), F.to_date("last_dt")) > CHURN_INACTIVE_DAYS
+    )
+    return (
+        last_order.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_mktsegment").alias("segment"),
+            ),
+            "o_custkey",
+        )
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_active_customers"),
+            F.sum(at_risk.cast("int")).cast("bigint").alias("n_at_risk"),
+            (F.sum(at_risk.cast("int")).cast("double") / F.count(F.lit(1))).alias(
+                "at_risk_share"
+            ),
+        )
+    )

@@ -145,6 +145,7 @@ _BNLJ_OK = {
     "embedding_truncation_fidelity",  # two brute-force legs, 10-query broadcast each
     "ab_sample_ratio_mismatch",  # 2 arm rows × broadcast(single-row total)
     "open_order_aging_buckets",  # open orders × broadcast(single-row anchor date)
+    "churn_risk_by_segment",  # customer grains × broadcast(single-row anchor date)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
