@@ -4523,3 +4523,81 @@ def churn_risk_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "nation_trade_balance",
+    oracle="""
+    WITH exports AS (
+        SELECT s.s_nationkey AS nationkey,
+               CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS export_cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1
+    ),
+    imports AS (
+        SELECT c.c_nationkey AS nationkey,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS import_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           COALESCE(e.export_cents, 0) AS export_cents,
+           COALESCE(i.import_cents, 0) AS import_cents,
+           CAST(COALESCE(e.export_cents, 0) - COALESCE(i.import_cents, 0)
+                AS BIGINT) AS balance_cents
+    FROM nation n
+    LEFT JOIN exports e ON n.n_nationkey = e.nationkey
+    LEFT JOIN imports i ON n.n_nationkey = i.nationkey
+    """,
+    doc="Nation trade balance: supply-side revenue (lineitems via the "
+    "supplier's nation) against demand-side spend (orders via the "
+    "customer's nation), exact signed cents — the two-fact-one-dimension "
+    "shape where each fact aggregates to the dimension grain FIRST and "
+    "the dimension joins two summary tables, never fact-to-fact.",
+)
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-to-fact join trap this avoids: joining lineitem to orders
+    on nation would explode rows and double-count; aggregating each fact
+    to nation grain first makes the final join 25×25. Same pattern as
+    customer_order_reconciliation, at dimension grain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    exports = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("export_cents")
+        )
+    )
+    imports = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("import_cents")
+        )
+    )
+    return (
+        nation.join(exports, nation["n_nationkey"] == exports["nationkey"], "left")
+        .drop("nationkey")
+        .join(imports, nation["n_nationkey"] == imports["nationkey"], "left")
+        .select(
+            F.col("n_name").alias("nation"),
+            F.coalesce("export_cents", F.lit(0)).alias("export_cents"),
+            F.coalesce("import_cents", F.lit(0)).alias("import_cents"),
+            (
+                F.coalesce("export_cents", F.lit(0))
+                - F.coalesce("import_cents", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("balance_cents"),
+        )
+    )
