@@ -4601,3 +4601,64 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("balance_cents"),
         )
     )
+
+
+@register(
+    "repeat_purchase_intervals",
+    oracle="""
+    WITH gaps AS (
+        SELECT c.c_mktsegment AS segment,
+               date_diff('day',
+                   lag(o.o_orderdate) OVER (
+                       PARTITION BY o.o_custkey
+                       ORDER BY o.o_orderdate, o.o_orderkey
+                   ),
+                   o.o_orderdate) AS gap_days
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT segment,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_days) AS BIGINT) AS sum_gap_days,
+           CAST(median(gap_days) AS DOUBLE) AS median_gap_days
+    FROM gaps WHERE gap_days IS NOT NULL
+    GROUP BY 1
+    """,
+    doc="Repeat-purchase cadence per market segment: day gaps between a "
+    "customer's consecutive orders (customer-partitioned lag, unique "
+    "tie-break on order key), with exact gap count/sum and the exact "
+    "median — the replenishment-cycle input for campaign timing and the "
+    "order-grain twin of event_gap_stats.",
+)
+def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The window partitions by customer — millions of small partitions,
+    the shape window functions scale on (never a global sort); the
+    median is exact over integer day counts (even-count midpoints are
+    .5-exact in binary on both engines)."""
+    from pyspark.sql.window import Window as _W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    w = _W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        orders.join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_mktsegment").alias("segment"),
+                )
+            ),
+            "o_custkey",
+        )
+        .withColumn(
+            "gap_days",
+            F.datediff(
+                F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+            ),
+        )
+        .filter(F.col("gap_days").isNotNull())
+    )
+    return gaps.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.sum("gap_days").cast("bigint").alias("sum_gap_days"),
+        F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
+    )
