@@ -4662,3 +4662,59 @@ def repeat_purchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("gap_days").cast("bigint").alias("sum_gap_days"),
         F.expr("percentile(gap_days, 0.5)").alias("median_gap_days"),
     )
+
+
+@register(
+    "supplier_lead_time_consistency",
+    oracle="""
+    WITH delays AS (
+        SELECT l.l_suppkey,
+               CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+                   AS d
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT s.s_nationkey AS nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_shipments,
+           CAST(SUM(d.d) AS BIGINT) AS sum_days,
+           CAST(SUM(d.d * d.d) AS BIGINT) AS sum_days_sq,
+           CAST(MIN(d.d) AS BIGINT) AS min_days,
+           CAST(MAX(d.d) AS BIGINT) AS max_days
+    FROM delays d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+    doc="Supplier lead-time consistency by nation: exact integer moments "
+    "(n, Σd, Σd²) plus range of the order-to-ship delay — mean and "
+    "variance fall out arithmetically, and publishing moments instead "
+    "of a float variance keeps the reliability score bit-stable (the "
+    "CUPED/chi-square discipline). A supplier pool with a tight range "
+    "but fat Σd² has outlier lanes worth auditing.",
+)
+def supplier_lead_time_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    delays = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_suppkey",
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    return (
+        delays.join(
+            F.broadcast(
+                sup.select(
+                    F.col("s_suppkey").alias("l_suppkey"),
+                    F.col("s_nationkey").alias("nationkey"),
+                )
+            ),
+            "l_suppkey",
+        )
+        .groupBy("nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.sum("d").cast("bigint").alias("sum_days"),
+            F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sum_days_sq"),
+            F.min("d").cast("bigint").alias("min_days"),
+            F.max("d").cast("bigint").alias("max_days"),
+        )
+    )
