@@ -4718,3 +4718,34 @@ def supplier_lead_time_consistency(spark: SparkSession, sf_dir: str) -> DataFram
             F.max("d").cast("bigint").alias("max_days"),
         )
     )
+
+
+@register(
+    "dow_order_volume_profile",
+    oracle="""
+    SELECT CAST(dayofweek(o_orderdate) AS INT) AS dow_sun0,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+               / COUNT(*) / 100.0 AS avg_order_value
+    FROM orders GROUP BY 1
+    """,
+    doc="Day-of-week order profile: volume, exact revenue cents, and "
+    "average order value per weekday — the staffing/promo-calendar "
+    "seasonality read. DOW is normalized to DuckDB's 0=Sunday "
+    "convention on the Spark side (Spark's dayofweek is 1=Sunday), the "
+    "cross-engine calendar trap activity_heatmap_dow_hour documents.",
+)
+def dow_order_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return orders.groupBy(
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow_sun0")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(cents).cast("bigint").alias("revenue_cents"),
+        (F.sum(cents).cast("double") / F.count(F.lit(1)) / 100.0).alias(
+            "avg_order_value"
+        ),
+    )
