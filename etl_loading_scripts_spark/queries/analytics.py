@@ -4749,3 +4749,69 @@ def dow_order_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_order_value"
         ),
     )
+
+
+@register(
+    "rolling_quarter_active_customers",
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+               o_custkey
+        FROM orders
+    ),
+    months AS (SELECT DISTINCT month FROM active),
+    scattered AS (
+        -- a customer active in month m counts toward windows ending at
+        -- m, m+1, m+2 (calendar-correct month arithmetic)
+        SELECT ((month // 100) * 12 + (month % 100) - 1 + k) AS mix,
+               o_custkey
+        FROM active CROSS JOIN (SELECT unnest([0, 1, 2]) AS k)
+    )
+    SELECT m.month,
+           CAST((SELECT COUNT(DISTINCT a.o_custkey) FROM active a
+                 WHERE a.month = m.month) AS BIGINT) AS mau,
+           CAST(COUNT(DISTINCT s.o_custkey) AS BIGINT) AS rolling_q_active
+    FROM months m
+    JOIN scattered s
+      ON s.mix = (m.month // 100) * 12 + (m.month % 100) - 1
+    GROUP BY 1
+    """,
+    doc="Monthly active customers plus the rolling-3-month active count: "
+    "the windowed COUNT(DISTINCT) no window frame can express is "
+    "re-expressed as a SCATTER — each (month, customer) activity row "
+    "contributes to the three windows it belongs to (month-index "
+    "arithmetic handles year boundaries), then one exact distinct count "
+    "per window. The same inversion as ewma_daily_orders: turn a "
+    "range-lookback into an equi-join fan-out.",
+)
+def rolling_quarter_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact where the HLL twin (rolling_7day_distinct_hll) is
+    approximate: the scatter multiplies rows by the window length (3×
+    month-grain activity pairs — tiny), and COUNT(DISTINCT) runs as the
+    standard two-phase exact distinct. Window length is a constant fan-
+    out, so cost scales with activity rows, not fact rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    active = orders.select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+        .cast("int")
+        .alias("month"),
+        "o_custkey",
+    ).distinct()
+    mix = (F.col("month") / 100).cast("int") * 12 + (F.col("month") % 100) - 1
+    scattered = active.select(
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("k"),
+        (mix + F.col("k")).alias("mix"),
+        "o_custkey",
+    )
+    months = active.select("month").distinct().withColumn("mix", mix)
+    mau = active.groupBy("month").agg(
+        F.countDistinct("o_custkey").alias("mau")
+    )
+    rolling = (
+        months.join(scattered, "mix")
+        .groupBy("month")
+        .agg(F.countDistinct("o_custkey").alias("rolling_q_active"))
+    )
+    return mau.join(rolling, "month").select(
+        "month", "mau", "rolling_q_active"
+    )
