@@ -4815,3 +4815,61 @@ def rolling_quarter_active_customers(spark: SparkSession, sf_dir: str) -> DataFr
     return mau.join(rolling, "month").select(
         "month", "mau", "rolling_q_active"
     )
+
+
+@register(
+    "new_vs_returning_revenue",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY 1
+    )
+    SELECT CAST(strftime(o.o_orderdate, '%Y%m') AS INT) AS month,
+           CAST(SUM(CASE WHEN o.o_orderdate = f.first_dt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new_orders,
+           CAST(SUM(CASE WHEN o.o_orderdate > f.first_dt THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning_orders,
+           CAST(SUM(CASE WHEN o.o_orderdate = f.first_dt
+                         THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS new_cents,
+           CAST(SUM(CASE WHEN o.o_orderdate > f.first_dt
+                         THEN CAST(round(o.o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS returning_cents
+    FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    GROUP BY 1
+    """,
+    doc="New-vs-returning revenue split per month: an order is 'new' on "
+    "the customer's first order DATE (ties on the same day all count as "
+    "new — the deterministic convention; ranking within a day would "
+    "need an arbitrary tie-break), exact cents both sides. The "
+    "growth-accounting read that separates acquisition from retention "
+    "revenue.",
+)
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One min-date aggregate to customer grain, one fact join back on
+    the customer key, one month rollup — the first-seen collapse shape
+    (cumulative_distinct_users) applied to revenue attribution."""
+    orders = load_table(spark, sf_dir, "orders")
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    is_new = F.col("o_orderdate") == F.col("first_dt")
+    is_ret = F.col("o_orderdate") > F.col("first_dt")
+    return (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("int")
+            .alias("month")
+        )
+        .agg(
+            F.sum(is_new.cast("int")).cast("bigint").alias("n_new_orders"),
+            F.sum(is_ret.cast("int")).cast("bigint").alias("n_returning_orders"),
+            F.sum(F.when(is_new, cents).otherwise(0))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(F.when(is_ret, cents).otherwise(0))
+            .cast("bigint")
+            .alias("returning_cents"),
+        )
+    )
