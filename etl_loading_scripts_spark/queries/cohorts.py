@@ -575,3 +575,72 @@ def ab_sample_ratio_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.col("n_total"))
         ).alias("chi2_cell"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH firsts AS (
+        SELECT o_custkey,
+               MIN((CAST(strftime(o_orderdate, '%Y') AS INT)) * 12
+                   + CAST(strftime(o_orderdate, '%m') AS INT) - 1) AS c0
+        FROM orders GROUP BY 1
+    ),
+    rev AS (
+        SELECT f.c0 AS cohort_ix,
+               (CAST(strftime(o.o_orderdate, '%Y') AS INT)) * 12
+                   + CAST(strftime(o.o_orderdate, '%m') AS INT) - 1 - f.c0
+                   AS age_months,
+               CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+    ),
+    grains AS (
+        SELECT cohort_ix, age_months,
+               CAST(SUM(cents) AS BIGINT) AS month_cents
+        FROM rev WHERE age_months <= 11 GROUP BY 1, 2
+    )
+    SELECT CAST((cohort_ix // 12) * 100 + (cohort_ix % 12) + 1 AS INT)
+               AS cohort_month,
+           CAST(age_months AS INT) AS age_months,
+           month_cents,
+           CAST(SUM(month_cents) OVER (
+               PARTITION BY cohort_ix ORDER BY age_months
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cumulative_cents
+    FROM grains
+    """,
+    doc="Cohort LTV curve: customers grouped by acquisition month, "
+    "revenue accumulated over the first 12 months of cohort age in "
+    "exact cents — month-index arithmetic (year·12+month) makes age "
+    "subtraction year-boundary-safe, and the running sum is a "
+    "cohort-partitioned window over ≤12 bounded grains per cohort. The "
+    "payback-period read under every acquisition-spend decision.",
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+
+    orders = load_table(spark, sf_dir, "orders")
+    mix = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    firsts = orders.groupBy("o_custkey").agg(F.min(mix).alias("c0"))
+    rev = orders.join(firsts, "o_custkey").select(
+        F.col("c0").alias("cohort_ix"),
+        (mix - F.col("c0")).alias("age_months"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    grains = (
+        rev.filter(F.col("age_months") <= 11)
+        .groupBy("cohort_ix", "age_months")
+        .agg(F.sum("cents").cast("bigint").alias("month_cents"))
+    )
+    w = (
+        _W.partitionBy("cohort_ix")
+        .orderBy("age_months")
+        .rowsBetween(_W.unboundedPreceding, 0)
+    )
+    return grains.select(
+        F.expr("cast((cohort_ix div 12) * 100 + (cohort_ix % 12) + 1 as int)")
+        .alias("cohort_month"),
+        F.col("age_months").cast("int").alias("age_months"),
+        "month_cents",
+        F.sum("month_cents").over(w).cast("bigint").alias("cumulative_cents"),
+    )
