@@ -4873,3 +4873,55 @@ def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_cents"),
         )
     )
+
+
+@register(
+    "top_customer_dependence",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_nationkey AS nationkey,
+               o.o_custkey,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    SELECT nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(MAX(cents) AS BIGINT) AS top_customer_cents,
+           CAST(SUM(cents) AS BIGINT) AS nation_cents,
+           CAST(MAX(cents) AS DOUBLE) / SUM(cents) AS top_share
+    FROM spend GROUP BY 1
+    """,
+    doc="Largest-customer dependence per nation: the top customer's exact "
+    "spend against the nation total with a single final ratio — the "
+    "key-account concentration risk (a nation whose top_share nears 1 "
+    "is one churn away from losing the market), complementing the "
+    "supplier-side HHI with the demand-side tail risk.",
+)
+def top_customer_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spend = (
+        orders.join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_nationkey").alias("nationkey"),
+                )
+            ),
+            "o_custkey",
+        )
+        .groupBy("nationkey", "o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return spend.groupBy("nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.max("cents").cast("bigint").alias("top_customer_cents"),
+        F.sum("cents").cast("bigint").alias("nation_cents"),
+        (F.max("cents").cast("double") / F.sum("cents")).alias("top_share"),
+    )
