@@ -256,3 +256,70 @@ def decontam_embedding_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("bench_id").alias("first_bench_id"),
         )
     )
+
+
+#: Context-window sizes swept by the packing-efficiency planner.
+PACK_SWEEP = (256, 512, 1024)
+
+_PACK_SWEEP_VALUES = ", ".join(f"({w})" for w in PACK_SWEEP)
+
+
+@register(
+    "packing_efficiency_sweep",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(lower(text), '\W+'),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    lang_tot AS (
+        SELECT lang, CAST(SUM(n_tokens) AS BIGINT) AS lang_tokens
+        FROM toks GROUP BY 1
+    ),
+    windows(w) AS (VALUES {_PACK_SWEEP_VALUES})
+    SELECT win.w AS window_tokens,
+           CAST(SUM(lt.lang_tokens) AS BIGINT) AS corpus_tokens,
+           CAST(SUM((lt.lang_tokens + win.w - 1) // win.w) AS BIGINT) AS n_packs,
+           CAST(SUM(lt.lang_tokens) AS DOUBLE)
+               / (SUM((lt.lang_tokens + win.w - 1) // win.w) * win.w)
+               AS utilization
+    FROM lang_tot lt CROSS JOIN windows win
+    GROUP BY 1
+    """,
+    doc="Packing-efficiency sweep: for each candidate context-window size "
+    f"({', '.join(map(str, PACK_SWEEP))} tokens), the pack count the "
+    "per-language greedy cumsum packing (pack_sequences_cumsum) would "
+    "produce and the resulting utilization — ceil-division per language "
+    "stream, exact integers until one final ratio. The capacity-planning "
+    "read that prices a context-length choice in wasted pad tokens "
+    "BEFORE committing the trainer config.",
+)
+def packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contiguous packer's pack count per language is just
+    ceil(lang_tokens / window) — so the sweep needs only the per-language
+    token masses (one aggregate) crossed with the window literals, never
+    a re-pack per candidate. Utilization < 1 is exactly the tail-pad
+    waste of the last pack per language stream; the fragmentation
+    WITHIN packs is packing_fragmentation_report's job."""
+    docs = load_table(spark, sf_dir, "documents")
+    lang_tot = docs.select(
+        "lang",
+        F.expr(
+            r"cast(size(filter(split(lower(text), '\\W+'), w -> w <> '')) as long)"
+        ).alias("n_tokens"),
+    ).groupBy("lang").agg(F.sum("n_tokens").cast("bigint").alias("lang_tokens"))
+    windows = spark.createDataFrame([(w,) for w in PACK_SWEEP], "w INT")
+    packs = F.expr("(lang_tokens + w - 1) div w")
+    return (
+        lang_tot.crossJoin(F.broadcast(windows))
+        .groupBy(F.col("w").alias("window_tokens"))
+        .agg(
+            F.sum("lang_tokens").cast("bigint").alias("corpus_tokens"),
+            F.sum(packs).cast("bigint").alias("n_packs"),
+            (
+                F.sum("lang_tokens").cast("double")
+                / (F.sum(packs) * F.first(F.col("w")))
+            ).alias("utilization"),
+        )
+    )

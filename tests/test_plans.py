@@ -146,6 +146,7 @@ _BNLJ_OK = {
     "ab_sample_ratio_mismatch",  # 2 arm rows × broadcast(single-row total)
     "open_order_aging_buckets",  # open orders × broadcast(single-row anchor date)
     "churn_risk_by_segment",  # customer grains × broadcast(single-row anchor date)
+    "packing_efficiency_sweep",  # 5 language grains × broadcast(3-row window sweep)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
