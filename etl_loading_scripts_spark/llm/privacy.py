@@ -227,3 +227,94 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cls_size").alias("n_individuals"),
         (F.col("class_size") < K_ANON).alias("at_risk"),
     )
+
+
+@register(
+    "pii_pattern_scan",
+    oracle=r"""
+    WITH seeded AS (
+        SELECT doc_id, source,
+               text
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' tel +1-555-'
+                            || substr('000' || CAST(doc_id % 10000 AS VARCHAR), -4)
+                       ELSE '' END AS scan_text
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(scan_text,
+                    '[a-z0-9.]+@[a-z0-9]+\.[a-z]+')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(scan_text,
+                    '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones
+        FROM seeded
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_with_pii,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones
+    FROM hits GROUP BY 1
+    """,
+    doc="PII pattern scan: deterministic email/phone strings are planted "
+    "into a subset of documents, then detected by regex over the text — "
+    "per-source document and hit counts, the DETECTION stage that feeds "
+    "pii_anonymize_customers' masking and gdpr_forget_cascade's erasure. "
+    "Planting inside the query keeps the expected hits oracle-derivable "
+    "(the synthetic corpus contains no organic PII to find).",
+)
+def pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pure map-side regexp_extract_all over the scan text — the "
+    "same fused-into-the-scan shape as the quality gate; counts are "
+    "exact integers. Pattern note: the regexes use only classes/"
+    "quantifiers with identical semantics in Java regex (Spark) and RE2 "
+    "(DuckDB) — lookarounds and backreferences would not port."""
+    docs = load_table(spark, sf_dir, "documents")
+    email_part = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@ex"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".com"),
+        ),
+    ).otherwise("")
+    phone_part = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(
+            F.lit(" tel +1-555-"),
+            F.substring(
+                F.concat(F.lit("000"), (F.col("doc_id") % 10000).cast("string")),
+                -4,
+                4,
+            ),
+        ),
+    ).otherwise("")
+    seeded = docs.select(
+        "doc_id",
+        "source",
+        F.concat(F.col("text"), email_part, phone_part).alias("scan_text"),
+    )
+    hits = seeded.select(
+        "source",
+        F.size(
+            F.expr(r"regexp_extract_all(scan_text, '[a-z0-9.]+@[a-z0-9]+\\.[a-z]+', 0)")
+        ).cast("bigint").alias("n_emails"),
+        F.size(
+            F.expr(r"regexp_extract_all(scan_text, '\\+1-555-[0-9]{4}', 0)")
+        ).cast("bigint").alias("n_phones"),
+    )
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(((F.col("n_emails") + F.col("n_phones")) > 0).cast("int"))
+        .cast("bigint")
+        .alias("n_docs_with_pii"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+    )
