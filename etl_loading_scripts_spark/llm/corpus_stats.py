@@ -82,3 +82,83 @@ def ngram_duplication_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+from etl_loading_scripts_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "corpus_release_manifest",
+    oracle=rf"""
+    SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value FROM documents
+    UNION ALL
+    SELECT 'n_tokens', CAST(SUM(len(list_filter(
+               string_split_regex(lower(text), '\W+'), w -> w <> ''))) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_exact_dup_docs',
+           CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_gopher_pass', CAST(SUM(gopher_pass) AS BIGINT)
+    FROM ({_REGISTRY['quality_gopher_rules'].oracle})
+    UNION ALL
+    SELECT 'n_near_dup_pairs', CAST(COUNT(*) AS BIGINT)
+    FROM ({_REGISTRY['dedup_minhash_lsh'].oracle})
+    """,
+    doc="The corpus release manifest (datasheet): one (metric, value) "
+    "table with document/token/language/source counts, exact-duplicate "
+    "mass, Gopher pass count, and the MinHash-LSH near-dup pair count — "
+    "every number produced by composing the registered audits verbatim, "
+    "so the manifest can never disagree with the operators it "
+    "summarizes. The single artifact a dataset card quotes.",
+)
+def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each metric is a scalar aggregate over an already-registered
+    pipeline; the unions are driver-side plan stitching, not data
+    movement. At 100 TB the expensive members (near-dup pairs) are the
+    same jobs the release pipeline already ran — a production manifest
+    reads their persisted outputs rather than recomputing."""
+    from etl_loading_scripts_spark.llm.dedup import dedup_minhash_lsh
+    from etl_loading_scripts_spark.llm.text import quality_gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def scalar(name, df_agg):
+        return df_agg.select(
+            F.lit(name).alias("metric"),
+            F.col("v").cast("bigint").alias("value"),
+        )
+
+    tokens = F.expr(
+        r"cast(size(filter(split(lower(text), '\\W+'), w -> w <> '')) as long)"
+    )
+    parts = [
+        scalar("n_docs", docs.agg(F.count(F.lit(1)).alias("v"))),
+        scalar("n_tokens", docs.agg(F.sum(tokens).alias("v"))),
+        scalar("n_langs", docs.agg(F.countDistinct("lang").alias("v"))),
+        scalar("n_sources", docs.agg(F.countDistinct("source").alias("v"))),
+        scalar(
+            "n_exact_dup_docs",
+            docs.agg(
+                (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("v")
+            ),
+        ),
+        scalar(
+            "n_gopher_pass",
+            quality_gopher_rules(spark, sf_dir).agg(
+                F.sum("gopher_pass").alias("v")
+            ),
+        ),
+        scalar(
+            "n_near_dup_pairs",
+            dedup_minhash_lsh(spark, sf_dir).agg(F.count(F.lit(1)).alias("v")),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
