@@ -1574,3 +1574,54 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_docs_dropped"),
         )
     )
+
+
+@register(
+    "shingle_df_distribution",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLES_SQL_DUCK}),
+    df AS (
+        SELECT unnest(shingles) AS shingle, doc_id FROM shingled
+    ),
+    counts AS (
+        SELECT shingle, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+        FROM df GROUP BY 1
+    )
+    SELECT CASE WHEN doc_freq = 1 THEN '1'
+                WHEN doc_freq <= 5 THEN '2-5'
+                WHEN doc_freq <= {SHINGLE_DF_CAP} THEN '6-cap'
+                ELSE 'over-cap' END AS df_band,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(doc_freq) AS BIGINT) AS n_postings
+    FROM counts GROUP BY 1
+    """,
+    doc="Shingle document-frequency histogram: how many distinct shingles "
+    "fall in each DF band and how much posting-list mass they carry — "
+    f"the index-health read that justifies SHINGLE_DF_CAP "
+    f"({SHINGLE_DF_CAP}): the 'over-cap' band is boilerplate whose "
+    "posting lists would dominate the inverted-index join cost while "
+    "contributing no discriminative signal (every blocked-join dedup "
+    "drops it, and this is the report that says how much was dropped).",
+)
+def shingle_df_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One explode + one distinct-count aggregate + a 4-band rollup; the
+    n_postings column is the actual join-cost currency (candidate pairs
+    scale with Σ df² per shingle — a single over-cap shingle with DF
+    10⁶ alone would generate 10¹² candidate pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _shingles_spark(docs, materialize=False)
+    counts = (
+        shingled.select("doc_id", F.explode("shingles").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("doc_freq"))
+    )
+    band = (
+        F.when(F.col("doc_freq") == 1, "1")
+        .when(F.col("doc_freq") <= 5, "2-5")
+        .when(F.col("doc_freq") <= SHINGLE_DF_CAP, "6-cap")
+        .otherwise("over-cap")
+    )
+    return counts.groupBy(band.alias("df_band")).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum("doc_freq").cast("bigint").alias("n_postings"),
+    )
