@@ -1176,3 +1176,53 @@ def embedding_truncation_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
             "fidelity_at_k", F.col("n_overlap").cast("double") / F.col("n_full")
         )
     )
+
+
+@register(
+    "lsh_bucket_size_profile",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, {_QVEC} AS qv FROM embeddings
+    ),
+    nn AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2 FROM n
+    ),
+    sigs AS (
+        {_LSH_SIGS_DUCK}
+    ),
+    buckets AS (
+        SELECT tbl, sig, CAST(COUNT(*) AS BIGINT) AS bucket_size
+        FROM sigs GROUP BY 1, 2
+    )
+    SELECT bucket_size,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(bucket_size * (bucket_size - 1) / 2) AS BIGINT)
+               AS candidate_pairs
+    FROM buckets GROUP BY 1
+    """,
+    doc="LSH bucket-size profile: how many (table, signature) buckets "
+    "exist at each size and the exact candidate-pair mass k·(k−1)/2 "
+    "they generate — the join-cost ledger of the ANN index. A fat tail "
+    "here is the skew that stalls the bucket self-join; the fix is more "
+    "bits (smaller buckets) or multiprobe (fewer tables at equal "
+    "recall), both of which this profile prices before the re-index.",
+)
+def lsh_bucket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Completes the sketch-health family (shingle DF histogram, MinHash
+    calibration, recall audit): one groupBy over the signature table,
+    then a bounded histogram — the candidate_pairs column is what the
+    self-join will actually pay, computed without running it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _quantized(emb).select("vec_id", "qv", "norm2")
+    sigs = _lsh_corpus_sigs(n)
+    buckets = sigs.groupBy("tbl", "sig").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy("bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            (F.col("bucket_size") * (F.col("bucket_size") - 1) / 2).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("candidate_pairs"),
+    )
