@@ -4925,3 +4925,95 @@ def top_customer_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("nation_cents"),
         (F.max("cents").cast("double") / F.sum("cents")).alias("top_share"),
     )
+
+
+@register(
+    "backup_supplier_coverage",
+    oracle="""
+    WITH sup_counts AS (
+        SELECT l_partkey, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_sup,
+               MIN(l_suppkey) AS sole_supp
+        FROM lineitem GROUP BY 1
+    ),
+    singles AS (
+        SELECT s.l_partkey AS partkey, s.sole_supp, p.p_type, p.p_size
+        FROM sup_counts s JOIN part p ON s.l_partkey = p.p_partkey
+        WHERE s.n_sup = 1
+    ),
+    alt AS (
+        SELECT DISTINCT sg.partkey, l.l_suppkey AS alt_supp
+        FROM singles sg
+        JOIN part p2 ON p2.p_type = sg.p_type AND p2.p_size = sg.p_size
+                    AND p2.p_partkey <> sg.partkey
+        JOIN lineitem l ON l.l_partkey = p2.p_partkey
+        WHERE l.l_suppkey <> sg.sole_supp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_single_source_parts,
+           CAST(SUM(CASE WHEN a.n_alt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_with_backup,
+           CAST(SUM(COALESCE(a.n_alt, 0)) AS BIGINT) AS total_backup_options
+    FROM singles sg
+    LEFT JOIN (
+        SELECT partkey, CAST(COUNT(*) AS BIGINT) AS n_alt FROM alt GROUP BY 1
+    ) a ON sg.partkey = a.partkey
+    """,
+    doc="Backup-supplier coverage for the single-source parts: suppliers "
+    "observed shipping OTHER parts of the same (type, size) are "
+    "candidate alternates — how many at-risk parts have at least one, "
+    "and how deep the bench is. The remediation view on top of "
+    "single_source_parts_risk: the risk list says where the exposure "
+    "is, this says which exposures are actually fixable from the "
+    "existing supplier base.",
+)
+def backup_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape: the attribute-similarity join runs at PART grain (bounded
+    dimension), never on the fact; lineitem touches only as two
+    aggregate passes. The (type, size) equi-key is the blocking idiom
+    again — candidate alternates come from an index-able key, not a
+    catalog cross join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sup_counts = li.groupBy("l_partkey").agg(
+        F.countDistinct("l_suppkey").alias("n_sup"),
+        F.min("l_suppkey").alias("sole_supp"),
+    )
+    singles = (
+        sup_counts.filter(F.col("n_sup") == 1)
+        .join(F.broadcast(part), sup_counts["l_partkey"] == part["p_partkey"])
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "sole_supp",
+            "p_type",
+            "p_size",
+        )
+    )
+    same_attr = part.select(
+        F.col("p_partkey").alias("alt_partkey"), "p_type", "p_size"
+    )
+    alt = (
+        singles.join(F.broadcast(same_attr), ["p_type", "p_size"])
+        .filter(F.col("alt_partkey") != F.col("partkey"))
+        .join(
+            li.select(
+                F.col("l_partkey").alias("alt_partkey"),
+                F.col("l_suppkey").alias("alt_supp"),
+            ).distinct(),
+            "alt_partkey",
+        )
+        .filter(F.col("alt_supp") != F.col("sole_supp"))
+        .select("partkey", "alt_supp")
+        .distinct()
+    )
+    n_alt = alt.groupBy("partkey").agg(F.count(F.lit(1)).alias("n_alt"))
+    return (
+        singles.join(n_alt, "partkey", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_single_source_parts"),
+            F.sum((F.coalesce("n_alt", F.lit(0)) > 0).cast("int"))
+            .cast("bigint")
+            .alias("n_with_backup"),
+            F.sum(F.coalesce("n_alt", F.lit(0))).cast("bigint").alias(
+                "total_backup_options"
+            ),
+        )
+    )
