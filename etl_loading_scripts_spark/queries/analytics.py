@@ -5017,3 +5017,66 @@ def backup_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "trade_flow_matrix",
+    oracle="""
+    SELECT sn.n_name AS supplier_nation,
+           cn.n_name AS customer_nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS flow_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    GROUP BY 1, 2
+    """,
+    doc="Trade-flow matrix: exact revenue cents from every supplier "
+    "nation to every customer nation — the full |nations|² flow table "
+    "whose row/column sums are nation_trade_balance's exports and "
+    "imports (a reconciliation invariant between the two queries), and "
+    "whose diagonal is domestic trade. TPC-H Q7's shape generalized "
+    "from two nations to the complete matrix.",
+)
+def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one legitimate fact-to-fact join in the family: lineitem to
+    orders is parent-child on the order key (no fan-out beyond the
+    child grain). Dimensions broadcast; the aggregate lands on a
+    625-cell grid regardless of fact size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("customer_nation"),
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supplier_nation"),
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            orders["o_custkey"] == F.col("c_custkey"),
+        )
+        .join(F.broadcast(cn), "c_nationkey")
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            li["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(sn), "s_nationkey")
+        .groupBy("supplier_nation", "customer_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("flow_cents"),
+        )
+    )
