@@ -614,3 +614,89 @@ def mm_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.min("doc_id").alias("representative_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Frame-level audio activity (VAD-shaped) through the REAL WAV codec
+# ---------------------------------------------------------------------------
+
+#: VAD framing: 64-sample frames; a frame is 'active' when its mean |x|
+#: exceeds half of int16 full scale (sum|x| > 64·16384).
+_VAD_FRAME = 64
+_VAD_ABS_THRESHOLD = _VAD_FRAME * 16384
+
+_VAD_SCHEMA = "doc_id long, n_frames long, n_active long, active_abs_mass bigint"
+
+
+def _vad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode the deterministic waveform through the real RIFF/WAVE
+    parser, then frame it and flag active frames from DECODED samples."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.codecs import decode_wav, encode_wav
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "n_frames", "n_active", "active_abs_mass",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 256 + (d % 17) * 16
+            rate = 8000 + (d % 3) * 4000
+            samples = (((d * 7 + np.arange(n) * 13) % 65536) - 32768).astype("<i2")
+            _, draw = decode_wav(encode_wav(rate, samples.tobytes()))
+            arr = np.abs(np.frombuffer(draw, dtype="<i2").astype(np.int64))
+            n_frames = arr.size // _VAD_FRAME
+            frames = arr[: n_frames * _VAD_FRAME].reshape(n_frames, _VAD_FRAME)
+            sums = frames.sum(axis=1)
+            active = sums > _VAD_ABS_THRESHOLD
+            out["doc_id"].append(d)
+            out["n_frames"].append(n_frames)
+            out["n_active"].append(int(active.sum()))
+            out["active_abs_mass"].append(int(sums[active].sum()))
+        yield pd.DataFrame(out).astype(
+            {"doc_id": "int64", "n_frames": "int64", "n_active": "int64",
+             "active_abs_mass": "int64"}
+        )
+
+
+@register(
+    "mm_audio_vad_frames",
+    oracle=f"""
+    WITH params AS (
+        SELECT doc_id, 256 + (doc_id % 17) * 16 AS n FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, unnest(range(0, n // {_VAD_FRAME})) AS f, n
+        FROM params
+    ),
+    sums AS (
+        SELECT doc_id, f,
+               CAST(list_sum(list_transform(
+                   range(f * {_VAD_FRAME}, (f + 1) * {_VAD_FRAME}),
+                   i -> abs(((doc_id * 7 + i * 13) % 65536) - 32768)
+               )) AS BIGINT) AS s
+        FROM frames
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN s > {_VAD_ABS_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN s > {_VAD_ABS_THRESHOLD} THEN s ELSE 0 END)
+                AS BIGINT) AS active_abs_mass
+    FROM sums GROUP BY 1
+    """,
+    doc=f"Frame-level audio activity detection through the real WAV "
+    f"codec: decoded samples framed at {_VAD_FRAME} samples, a frame "
+    "active when its absolute mass exceeds the half-scale threshold — "
+    "per-clip frame counts, active counts, and active loudness mass. "
+    "The VAD-shaped pass (silence trimming, speech-ratio filtering) of "
+    "an audio training pipeline, with the oracle recomputing every "
+    "frame arithmetically from the waveform formula.",
+)
+def mm_audio_vad_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same Arrow-batched, map-only contract as mm_audio_wav_stats; the
+    frame reshape + reduction is vectorized numpy per batch — the exact
+    shape a C fbank/VAD kernel drops into."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_vad_batches, schema=_VAD_SCHEMA)

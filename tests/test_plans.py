@@ -160,6 +160,7 @@ _PYTHON_OK = {
     "heavy_hitter_mg_sketch",
     "nation_revenue_trend",  # grouped-map OLS kernel over month-grain aggregates
     "mm_image_dhash_dedup",  # real-BMP round-trip + dHash, Arrow-batched mapInPandas
+    "mm_audio_vad_frames",  # real-WAV round-trip + frame VAD, Arrow-batched mapInPandas
 }
 
 
