@@ -700,3 +700,86 @@ def mm_audio_vad_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape a C fbank/VAD kernel drops into."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_vad_batches, schema=_VAD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Shot-boundary detection over the frame stream
+# ---------------------------------------------------------------------------
+
+#: Intensity-change threshold: consecutive frames whose byte-mass differs
+#: by more than this are a cut candidate.
+_SHOT_DELTA = 200
+
+
+@register(
+    "mm_frame_shot_boundaries",
+    oracle=f"""
+    WITH frames AS (
+        SELECT doc_id,
+               unnest(range(0, length(text) // {FRAME_BYTES})) AS f,
+               text
+        FROM documents
+        WHERE length(text) >= 2 * {FRAME_BYTES}
+    ),
+    mass AS (
+        SELECT doc_id, f,
+               CAST(list_sum(list_transform(
+                   range(f * {FRAME_BYTES} + 1, (f + 1) * {FRAME_BYTES} + 1),
+                   i -> ascii(substr(text, i, 1))
+               )) AS BIGINT) AS m
+        FROM frames
+    ),
+    deltas AS (
+        SELECT doc_id, f, m,
+               m - lag(m) OVER (PARTITION BY doc_id ORDER BY f) AS dm
+        FROM mass
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN abs(dm) > {_SHOT_DELTA} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boundaries
+    FROM deltas GROUP BY 1
+    """,
+    doc=f"Shot-boundary detection over the frame stream: payloads framed "
+    f"at {FRAME_BYTES} bytes (only FULL frames — the ragged tail frame "
+    "would register a spurious cut), per-frame intensity mass, and a "
+    f"cut flagged when consecutive masses differ by more than "
+    f"{_SHOT_DELTA} — the video-segmentation plan shape (frame explode → "
+    "per-stream lag → threshold) with the intensity histogram distance "
+    "of a real detector stubbed to an oracle-exact byte mass.",
+)
+def mm_frame_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lag window partitions per clip — millions of short frame
+    streams, never a global sort; a real detector swaps the byte mass
+    for a per-frame histogram from the decode kernel and the plan is
+    unchanged. Sampling note: boundary detection needs CONSECUTIVE
+    frames, so this runs before mm_frame_sample's stride-decimation,
+    never after."""
+    from pyspark.sql.window import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= 2 * FRAME_BYTES
+    )
+    n_frames = (F.length("text") / FRAME_BYTES).cast("int")
+    frames = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("f"),
+        "text",
+    )
+    mass = frames.select(
+        "doc_id",
+        "f",
+        F.expr(
+            f"cast(aggregate(transform(sequence(f * {FRAME_BYTES} + 1, "
+            f"(f + 1) * {FRAME_BYTES}), i -> ascii(substring(text, i, 1))), "
+            "0L, (acc, x) -> acc + x) as bigint)"
+        ).alias("m"),
+    )
+    w = _W.partitionBy("doc_id").orderBy("f")
+    deltas = mass.withColumn("dm", F.col("m") - F.lag("m").over(w))
+    return deltas.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum((F.abs(F.col("dm")) > _SHOT_DELTA).cast("int"))
+        .cast("bigint")
+        .alias("n_boundaries"),
+    )
