@@ -1073,3 +1073,75 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("grp_n") - 1)
         ).alias("loo_encoding_cents"),
     )
+
+
+@register(
+    "json_schema_discovery",
+    oracle="""
+    WITH payloads AS (
+        SELECT event_id,
+               '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+               || CASE WHEN event_id % 2 = 0
+                       THEN ', "device": "mobile"' ELSE '' END
+               || CASE WHEN event_id % 3 = 0
+                       THEN ', "country": "US"' ELSE '' END
+               || CASE WHEN event_id % 7 = 0
+                       THEN ', "campaign": "c' || CAST(event_id % 5 AS VARCHAR)
+                            || '"' ELSE '' END
+               || '}' AS j
+        FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM payloads),
+    keys AS (
+        SELECT unnest(json_keys(j)) AS key FROM payloads
+    )
+    SELECT k.key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS DOUBLE) / t.n AS coverage
+    FROM keys k CROSS JOIN tot t
+    GROUP BY 1, t.n
+    """,
+    doc="JSON schema discovery: semi-structured event payloads (synthesized "
+    "with deterministic optional keys, since the fixture's props carry "
+    "one fixed key) profiled into a key-frequency/coverage table via "
+    "each engine's native JSON key extraction — the first query run "
+    "against any new semi-structured feed, deciding which keys deserve "
+    "promotion to typed columns (high coverage) and which stay in the "
+    "map (sparse tail).",
+)
+def json_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key extraction is JVM-native (json_object_keys) fused into the
+    scan; the profile is one explode + aggregate with a single-row total
+    broadcast. At 100 TB this is also the guardrail against schema-drift
+    surprises: run per ingest batch, diff coverage against yesterday's."""
+    ev = load_table(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"k": '),
+        (F.col("event_id") % 100).cast("string"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(', "device": "mobile"')).otherwise(""),
+        F.when(F.col("event_id") % 3 == 0, F.lit(', "country": "US"')).otherwise(""),
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(
+                F.lit(', "campaign": "c'),
+                (F.col("event_id") % 5).cast("string"),
+                F.lit('"'),
+            ),
+        ).otherwise(""),
+        F.lit("}"),
+    )
+    payloads = ev.select("event_id", j.alias("j"))
+    tot = payloads.agg(F.count(F.lit(1)).alias("n"))
+    keys = payloads.select(
+        F.explode(F.expr("json_object_keys(j)")).alias("key")
+    )
+    return (
+        keys.crossJoin(F.broadcast(tot))
+        .groupBy("key", "n")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            "n_events",
+            (F.col("n_events").cast("double") / F.col("n")).alias("coverage"),
+        )
+    )

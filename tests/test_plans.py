@@ -147,6 +147,7 @@ _BNLJ_OK = {
     "open_order_aging_buckets",  # open orders × broadcast(single-row anchor date)
     "churn_risk_by_segment",  # customer grains × broadcast(single-row anchor date)
     "packing_efficiency_sweep",  # 5 language grains × broadcast(3-row window sweep)
+    "json_schema_discovery",  # exploded keys × broadcast(single-row total)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
