@@ -1145,3 +1145,63 @@ def json_schema_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events").cast("double") / F.col("n")).alias("coverage"),
         )
     )
+
+
+@register(
+    "json_promoted_columns_rollup",
+    oracle="""
+    WITH payloads AS (
+        SELECT event_id,
+               '{"k": ' || CAST(event_id % 100 AS VARCHAR)
+               || CASE WHEN event_id % 2 = 0
+                       THEN ', "device": "mobile"' ELSE '' END
+               || CASE WHEN event_id % 3 = 0
+                       THEN ', "country": "US"' ELSE '' END
+               || '}' AS j
+        FROM events
+    )
+    SELECT COALESCE(json_extract_string(j, '$.device'), 'unknown') AS device,
+           COALESCE(json_extract_string(j, '$.country'), 'unknown') AS country,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(json_extract_string(j, '$.k') AS BIGINT)) AS BIGINT)
+               AS sum_k
+    FROM payloads GROUP BY 1, 2
+    """,
+    doc="The promotion step after schema discovery: the high-coverage "
+    "keys (device, country) extracted into typed columns with "
+    "NULL→'unknown' defaulting, plus a numeric field cast and "
+    "aggregated — the JSON-path extraction pattern (get_json_object / "
+    "json_extract_string) both engines fuse into the scan, and the "
+    "column shapes a downstream table would persist.",
+)
+def json_promoted_columns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path extraction stays JVM-native and codegen'd; promoting ONLY
+    discovered high-coverage keys (json_schema_discovery's output) is
+    what keeps the typed schema small while the sparse tail stays in
+    the raw payload — the semi-structured design every event warehouse
+    lands on."""
+    ev = load_table(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"k": '),
+        (F.col("event_id") % 100).cast("string"),
+        F.when(F.col("event_id") % 2 == 0, F.lit(', "device": "mobile"')).otherwise(""),
+        F.when(F.col("event_id") % 3 == 0, F.lit(', "country": "US"')).otherwise(""),
+        F.lit("}"),
+    )
+    payloads = ev.select(j.alias("j"))
+    return (
+        payloads.select(
+            F.coalesce(
+                F.get_json_object("j", "$.device"), F.lit("unknown")
+            ).alias("device"),
+            F.coalesce(
+                F.get_json_object("j", "$.country"), F.lit("unknown")
+            ).alias("country"),
+            F.get_json_object("j", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("device", "country")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+        )
+    )
