@@ -644,3 +644,45 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month_cents",
         F.sum("month_cents").over(w).cast("bigint").alias("cumulative_cents"),
     )
+
+
+@register(
+    "event_trigram_paths",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type, 1) OVER w AS prev1,
+               lag(event_type, 2) OVER w AS prev2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT prev2 AS step1, prev1 AS step2, event_type AS step3,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM ordered
+    WHERE prev2 IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+    doc="Behavioral trigram mining: every three-step event path per user "
+    "(time-ordered, unique tie-break) counted across the corpus — the "
+    "journey-discovery input behind funnel design, one step deeper than "
+    "event_transition_probs' bigrams; the |types|³-bounded output is "
+    "the empirical third-order Markov table.",
+)
+def event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two lags over one user-partitioned window (shared window spec, one
+    shuffle), then a bounded aggregate — path mining at any corpus scale
+    costs the sessionize shuffle and nothing more."""
+    from pyspark.sql.window import Window as _W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        F.lag("event_type", 2).over(w).alias("step1"),
+        F.lag("event_type", 1).over(w).alias("step2"),
+        F.col("event_type").alias("step3"),
+    )
+    return (
+        ordered.filter(F.col("step1").isNotNull())
+        .groupBy("step1", "step2", "step3")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
