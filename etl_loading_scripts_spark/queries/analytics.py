@@ -5080,3 +5080,53 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("flow_cents"),
         )
     )
+
+
+@register(
+    "part_trading_lifespan",
+    oracle="""
+    WITH spans AS (
+        SELECT l_partkey,
+               CAST(date_diff('day', MIN(l_shipdate), MAX(l_shipdate)) AS BIGINT)
+                   AS span_days,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(s.span_days) AS BIGINT) AS sum_span_days,
+           CAST(MAX(s.span_days) AS BIGINT) AS max_span_days,
+           CAST(SUM(CASE WHEN s.n_lines = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_one_shot_parts
+    FROM spans s JOIN part p ON s.l_partkey = p.p_partkey
+    GROUP BY 1
+    """,
+    doc="Part trading lifespan per brand: days between each part's first "
+    "and last shipment (exact integer spans, summed and maxed per "
+    "brand) plus the one-shot parts that traded exactly once — the "
+    "assortment-lifecycle read distinguishing evergreen SKUs from "
+    "one-and-done listings.",
+)
+def part_trading_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    spans = li.groupBy("l_partkey").agg(
+        F.datediff(
+            F.to_date(F.max("l_shipdate")), F.to_date(F.min("l_shipdate"))
+        )
+        .cast("bigint")
+        .alias("span_days"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    return (
+        spans.join(F.broadcast(part), spans["l_partkey"] == part["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("span_days").cast("bigint").alias("sum_span_days"),
+            F.max("span_days").cast("bigint").alias("max_span_days"),
+            F.sum((F.col("n_lines") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_one_shot_parts"),
+        )
+    )
