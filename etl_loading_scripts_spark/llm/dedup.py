@@ -1625,3 +1625,102 @@ def shingle_df_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum("doc_freq").cast("bigint").alias("n_postings"),
     )
+
+
+#: Pairs shown by the dedup explanation report.
+EXPLAIN_TOP_PAIRS = 5
+
+
+@register(
+    "dedup_pair_explain",
+    oracle=f"""
+    WITH shingled AS ({_SHINGLES_SQL_DUCK}),
+    exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle, len(shingles) AS n_sh
+        FROM shingled
+    ),
+    hot AS (
+        SELECT shingle FROM exploded
+        GROUP BY shingle HAVING COUNT(*) > {SHINGLE_DF_CAP}
+    ),
+    kept AS (
+        SELECT * FROM exploded
+        WHERE shingle NOT IN (SELECT shingle FROM hot)
+    ),
+    pair_counts AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared,
+               ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b,
+               MIN(a.shingle) AS example_shared_shingle
+        FROM kept a JOIN kept b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    top_pairs AS (
+        SELECT id_a, id_b, n_shared, n_a, n_b, example_shared_shingle,
+               CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) AS jaccard
+        FROM pair_counts
+        ORDER BY CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared) DESC,
+                 id_a, id_b
+        LIMIT {EXPLAIN_TOP_PAIRS}
+    )
+    SELECT id_a, id_b, n_shared, n_a, n_b, jaccard, example_shared_shingle
+    FROM top_pairs
+    """,
+    doc=f"Dedup decision explanation: the {EXPLAIN_TOP_PAIRS} "
+    "highest-Jaccard candidate pairs with their shared-shingle count, "
+    "each side's shingle mass, and a concrete example shared shingle "
+    "(deterministic: the lexicographic minimum) — the evidence a data "
+    "steward reviews before signing off a merge, and the debugging "
+    "view when a dedup threshold misfires. Auditability is part of the "
+    "operator: a pipeline that deletes documents must be able to say "
+    "why.",
+)
+def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rides the same blocked pair computation as the Jaccard scorer
+    with one extra MIN(shingle) aggregate — explanation costs nothing
+    beyond what the dedup already computed. Top-k is
+    TakeOrderedAndProject with unique (jaccard, id_a, id_b) ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = _shingles_spark(docs, materialize=False)
+    exploded = shingled.select(
+        "doc_id", F.size("shingles").alias("n_sh"),
+        F.explode("shingles").alias("shingle"),
+    )
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    kept = exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    a = kept.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = kept.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first("n_a").alias("n_a"),
+            F.first("n_b").alias("n_b"),
+            F.min("shingle").alias("example_shared_shingle"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_shared").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+        )
+    )
+    return (
+        pairs.orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(EXPLAIN_TOP_PAIRS)
+        .select(
+            "id_a", "id_b", "n_shared", "n_a", "n_b", "jaccard",
+            "example_shared_shingle",
+        )
+    )
