@@ -288,3 +288,62 @@ def schema_contract_violations(df: DataFrame, expected_ddl: str) -> list[dict]:
                  "expected": None, "actual": af.dataType.simpleString()}
             )
     return out
+
+
+@register(
+    "format_conformance_profile",
+    oracle=r"""
+    SELECT 'customer.c_name' AS column_name,
+           'Customer#\d{9}' AS pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN regexp_full_match(c_name, 'Customer#\d{9}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_conforming
+    FROM customer
+    UNION ALL
+    SELECT 'supplier.s_name', 'Supplier#\d{9}',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN regexp_full_match(s_name, 'Supplier#\d{9}')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier
+    UNION ALL
+    SELECT 'part.p_name', '[a-z]+( [a-z]+)*',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN regexp_full_match(p_name, '[a-z]+( [a-z]+)*')
+                         THEN 1 ELSE 0 END) AS BIGINT)
+    FROM part
+    """,
+    doc="Format-conformance profile: key text columns checked against "
+    "their expected full-string patterns (entity#9-digits for the "
+    "name-keyed dimensions, lowercase word sequences for part names) — "
+    "the profiling report that catches a vendor feed silently changing "
+    "its identifier format BEFORE a downstream equi-join on a parsed "
+    "fragment starts dropping rows. Full-match anchoring on both "
+    "engines (rlike would accept partial matches).",
+)
+def format_conformance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One conditional aggregate per column, unioned — each check fuses
+    into its table scan; patterns restricted to the Java-regex/RE2
+    common subset (classes, quantifiers, groups; no lookaround)."""
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+
+    def leg(df, col, colname, pattern):
+        return df.agg(
+            F.lit(colname).alias("column_name"),
+            F.lit(pattern).alias("pattern"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.col(col).rlike(f"^(?:{pattern})$").cast("int")
+            )
+            .cast("bigint")
+            .alias("n_conforming"),
+        )
+
+    out = leg(cust, "c_name", "customer.c_name", r"Customer#\d{9}")
+    out = out.unionByName(
+        leg(sup, "s_name", "supplier.s_name", r"Supplier#\d{9}")
+    )
+    return out.unionByName(
+        leg(part, "p_name", "part.p_name", r"[a-z]+( [a-z]+)*")
+    )
