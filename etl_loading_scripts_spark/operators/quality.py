@@ -347,3 +347,61 @@ def format_conformance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.unionByName(
         leg(part, "p_name", "part.p_name", r"[a-z]+( [a-z]+)*")
     )
+
+
+@register(
+    "key_space_density_audit",
+    oracle="""
+    SELECT 'customer' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key,
+           CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           (MAX(c_custkey) - MIN(c_custkey) + 1 = COUNT(*)
+            AND COUNT(DISTINCT c_custkey) = COUNT(*)) AS is_dense
+    FROM customer
+    UNION ALL
+    SELECT 'supplier', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(s_suppkey) AS BIGINT), CAST(MAX(s_suppkey) AS BIGINT),
+           CAST(COUNT(DISTINCT s_suppkey) AS BIGINT),
+           (MAX(s_suppkey) - MIN(s_suppkey) + 1 = COUNT(*)
+            AND COUNT(DISTINCT s_suppkey) = COUNT(*))
+    FROM supplier
+    UNION ALL
+    SELECT 'part', CAST(COUNT(*) AS BIGINT),
+           CAST(MIN(p_partkey) AS BIGINT), CAST(MAX(p_partkey) AS BIGINT),
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT),
+           (MAX(p_partkey) - MIN(p_partkey) + 1 = COUNT(*)
+            AND COUNT(DISTINCT p_partkey) = COUNT(*))
+    FROM part
+    """,
+    doc="Surrogate key-space density audit: per dimension, whether the "
+    "key range [min, max] is exactly filled with distinct keys — "
+    "range-size = row count AND distinct = row count — detecting both "
+    "gaps (deleted/skipped allocations) and duplicates in one pass of "
+    "min/max/count aggregates; the invariant the surrogate allocator "
+    "(O44) promises and this audit verifies table-wide.",
+)
+def key_space_density_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def leg(df, key, name):
+        k = F.col(key)
+        return df.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(k).cast("bigint").alias("min_key"),
+            F.max(k).cast("bigint").alias("max_key"),
+            F.countDistinct(k).alias("n_distinct"),
+            (
+                (F.max(k) - F.min(k) + 1 == F.count(F.lit(1)))
+                & (F.countDistinct(k) == F.count(F.lit(1)))
+            ).alias("is_dense"),
+        )
+
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        leg(cust, "c_custkey", "customer")
+        .unionByName(leg(sup, "s_suppkey", "supplier"))
+        .unionByName(leg(part, "p_partkey", "part"))
+    )
