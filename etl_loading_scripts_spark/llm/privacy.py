@@ -269,11 +269,11 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(the synthetic corpus contains no organic PII to find).",
 )
 def pii_pattern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: pure map-side regexp_extract_all over the scan text — the "
-    "same fused-into-the-scan shape as the quality gate; counts are "
-    "exact integers. Pattern note: the regexes use only classes/"
-    "quantifiers with identical semantics in Java regex (Spark) and RE2 "
-    "(DuckDB) — lookarounds and backreferences would not port."""
+    """Scale: pure map-side regexp_extract_all over the scan text — the
+    same fused-into-the-scan shape as the quality gate; counts are
+    exact integers. Pattern note: the regexes use only classes and
+    quantifiers with identical semantics in Java regex (Spark) and RE2
+    (DuckDB) — lookarounds and backreferences would not port."""
     docs = load_table(spark, sf_dir, "documents")
     email_part = F.when(
         F.col("doc_id") % 4 == 0,

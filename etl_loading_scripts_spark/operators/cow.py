@@ -15,10 +15,20 @@ implements the same contract on plain hive-partitioned parquet:
   that empty out.
 
 Both follow the lakehouse committer's shape: write the new files to a
-staging directory under the table, then commit by metadata RENAME of each
-affected partition directory — never an in-place overwrite of a path the
-job is simultaneously reading (Spark rightly refuses that), and never a
-window where a reader sees a half-written partition. All filesystem
+staging directory under the table, then commit each affected partition by
+a TWO-PHASE metadata rename — old dir aside into ``.cow_old``, staged dir
+into place, then drop the old copy — never an in-place overwrite of a
+path the job is simultaneously reading (Spark rightly refuses that).
+
+Failure semantics (ADVICE r3, honest version): single-writer. A CRASH at
+any point leaves the table recoverable — :func:`recover_cow_commit`
+(run automatically at the start of every merge/delete) restores each
+month to either its complete old or complete new contents, never leaves
+it absent or half-written. A CONCURRENT reader listing the table in the
+microseconds between the two renames of one partition can still miss
+that month (two metadata renames is the narrowest window plain
+filesystems allow; on S3A, where rename is a copy, the window widens —
+there a manifest format like Delta/Iceberg is the right tool). All filesystem
 mutations go through the Hadoop FileSystem API, NOT ``os.*`` (ADVICE r2:
 driver-local POSIX ops silently break on HDFS/S3); the same code path
 works on a local checkout, HDFS, or S3A (where rename degrades to
@@ -56,6 +66,10 @@ MONTH_COL = "month"
 #: Spark/Hive partition discovery skip it, so a concurrent reader of the
 #: table never sees half-committed files.
 _STAGING = ".cow_staging"
+
+#: Parking directory for the commit's phase-1 rename-aside. Dot-prefixed
+#: for the same reason as ``_STAGING``: partition discovery never sees it.
+_OLD = ".cow_old"
 
 
 def _hadoop_fs(spark: SparkSession, path_str: str):
@@ -114,30 +128,104 @@ def _with_month(df: DataFrame, datekey_col: str) -> DataFrame:
     return df.withColumn(MONTH_COL, (F.col(datekey_col) / 100).cast("int"))
 
 
+def recover_cow_commit(spark: SparkSession, table_path: str) -> dict:
+    """Crash-recovery sweep for a prior run that died inside
+    :func:`_commit_staged_months` — run automatically at the start of
+    every COW merge/delete, and safe to run any time (no-op on a clean
+    table).
+
+    For each month parked in ``.cow_old`` by the crashed commit's
+    phase 1:
+
+    - new data already committed at ``month=N`` → finish phase 3 (drop
+      the old copy);
+    - no committed data, but a COMPLETE staged copy (``_SUCCESS`` at the
+      staging root) exists → roll FORWARD: rename the staged month in,
+      then drop the old;
+    - otherwise → roll BACK: restore the old month.
+
+    Either way a reader after recovery sees the month's complete old or
+    complete new contents — never an absent partition (the r3 crash
+    window, closed). Stale staging from any earlier failure is cleared
+    last. Returns ``{"rolled_forward": […], "rolled_back": […]}``.
+    """
+    staged_root = f"{table_path}/{_STAGING}"
+    old_root = f"{table_path}/{_OLD}"
+    fs, _ = _hadoop_fs(spark, table_path)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    rolled_forward: list[int] = []
+    rolled_back: list[int] = []
+    old_path = hpath(old_root)
+    if fs.exists(old_path):
+        staged_complete = fs.exists(hpath(f"{staged_root}/_SUCCESS"))
+        for st in fs.listStatus(old_path):
+            name = st.getPath().getName()
+            if not name.startswith(f"{MONTH_COL}="):
+                continue
+            m = int(name.split("=", 1)[1])
+            dst = hpath(f"{table_path}/{MONTH_COL}={m}")
+            src = hpath(f"{staged_root}/{MONTH_COL}={m}")
+            if fs.exists(dst):
+                # crash after phase 2: new month already in place
+                fs.delete(st.getPath(), True)
+                rolled_forward.append(m)
+            elif staged_complete and fs.exists(src):
+                # crash between phases 1 and 2 with a complete staged
+                # copy: complete the commit
+                fs.rename(src, dst)
+                fs.delete(st.getPath(), True)
+                rolled_forward.append(m)
+            else:
+                # no committed new data (emptied-month delete, or the
+                # staged write itself never finished): old month returns;
+                # the caller's retry re-does the mutation idempotently
+                fs.rename(st.getPath(), dst)
+                rolled_back.append(m)
+        hadoop_delete(spark, old_root)
+    hadoop_delete(spark, staged_root)
+    return {"rolled_forward": sorted(rolled_forward), "rolled_back": sorted(rolled_back)}
+
+
 def _commit_staged_months(
     spark: SparkSession, table_path: str, affected: Sequence[int]
 ) -> tuple[list[int], list[int]]:
     """Swap staged partition dirs into the table for every month in
     ``affected``: rewritten months are renamed into place, months the
     staged output lacks (merged/deleted to zero rows) are removed so no
-    stale directory ghosts the old data. Returns (rewritten, emptied)."""
+    stale directory ghosts the old data. Returns (rewritten, emptied).
+
+    Per-month two-phase commit (ADVICE r3): (1) rename the live dir
+    aside into ``.cow_old``, (2) rename the staged dir into place,
+    (3) delete the parked old copy. Each step is a single metadata
+    rename/delete, so the worst CRASH outcome at any point is "old data
+    parked, recoverable" — :func:`recover_cow_commit` rolls the month
+    forward or back; a month is never durably absent (the r2/r3
+    delete-then-rename scheme could lose the month entirely if the
+    process died between the two calls)."""
     staged_root = f"{table_path}/{_STAGING}"
+    old_root = f"{table_path}/{_OLD}"
     fs, _ = _hadoop_fs(spark, table_path)
     jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
     staged_months = set(_month_dirs(spark, staged_root))
+    fs.mkdirs(hpath(old_root))
     rewritten, emptied = [], []
     for m in affected:
-        dst = jvm.org.apache.hadoop.fs.Path(f"{table_path}/{MONTH_COL}={m}")
+        dst = hpath(f"{table_path}/{MONTH_COL}={m}")
+        old = hpath(f"{old_root}/{MONTH_COL}={m}")
+        had_old = fs.exists(dst)
+        if had_old:
+            fs.rename(dst, old)  # phase 1: park the old month (atomic)
         if m in staged_months:
-            src = jvm.org.apache.hadoop.fs.Path(f"{staged_root}/{MONTH_COL}={m}")
-            if fs.exists(dst):
-                fs.delete(dst, True)
-            fs.rename(src, dst)
+            src = hpath(f"{staged_root}/{MONTH_COL}={m}")
+            fs.rename(src, dst)  # phase 2: commit the new month (atomic)
             rewritten.append(m)
         else:
-            if fs.exists(dst):
-                fs.delete(dst, True)
             emptied.append(m)
+        if had_old:
+            fs.delete(old, True)  # phase 3: drop the parked copy
+    hadoop_delete(spark, old_root)
     hadoop_delete(spark, staged_root)
     return rewritten, emptied
 
@@ -172,6 +260,7 @@ def merge_cow_partitioned(
     restatement of a fact keyed per month) merges each month
     independently in the one shuffle.
     """
+    recover_cow_commit(spark, target_path)
     on = list(on)
     src_months = sorted(
         r[0]
@@ -249,6 +338,7 @@ def delete_cow_partitioned(
     survives, SQL DELETE's behavior). Row counts ride on parquet footer
     metadata (count-only scans), not data reads.
     """
+    recover_cow_commit(spark, target_path)
     target = spark.read.parquet(target_path)
     if months is not None:
         scanned = sorted(int(m) for m in months)

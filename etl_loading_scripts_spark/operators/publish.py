@@ -147,12 +147,14 @@ def read_versioned(spark: SparkSession, base_dir: str, version: int | None = Non
 
 def vacuum_versions(base_dir: str, keep_last: int = 3) -> list[int]:
     """Retention GC for the versioned layout: delete complete versions
-    older than the newest ``keep_last``, plus any incomplete (no
-    ``_SUCCESS``) version directory that is not the newest — crash
-    debris from a failed publish. The pinned/latest versions survive by
-    construction (the newest ``keep_last`` always includes the pointer
-    target, since the pointer only ever advances). Returns the removed
-    version numbers.
+    older than the newest ``keep_last`` COMPLETE versions, plus any
+    incomplete (no ``_SUCCESS``) version directory that is not the
+    newest — crash debris from a failed publish. The keep window is
+    computed over complete versions only, and the ``_LATEST`` pointer
+    target is additionally pinned unconditionally: a run of consecutive
+    crashed publishes can therefore never age every readable version out
+    of the window and destroy the history ``read_versioned`` serves
+    (ADVICE r3). Returns the removed version numbers.
 
     Same local/POSIX scope as :func:`publish_versioned`. This is the
     ``VACUUM``/`expire_snapshots` half of the poor-man's snapshot story:
@@ -170,12 +172,27 @@ def vacuum_versions(base_dir: str, keep_last: int = 3) -> list[int]:
     if not versions:
         return []
     newest = versions[-1]
-    keep = set(versions[-keep_last:]) if keep_last > 0 else set()
+    is_complete = {
+        v: os.path.exists(os.path.join(base_dir, f"v={v}", "_SUCCESS"))
+        for v in versions
+    }
+    complete_versions = [v for v in versions if is_complete[v]]
+    # keep window over COMPLETE versions only: crash debris must never
+    # crowd readable history out of the retention window (ADVICE r3)
+    keep = set(complete_versions[-keep_last:]) if keep_last > 0 else set()
+    pointer_path = os.path.join(base_dir, "_LATEST")
+    if os.path.exists(pointer_path):
+        with open(pointer_path) as f:
+            txt = f.read().strip()
+        if txt.isdigit():
+            # belt-and-braces: the pointer target is never vacuumed, even
+            # if retention config or a rolled-back pointer put it outside
+            # the newest-keep_last window
+            keep.add(int(txt))
     removed = []
     for v in versions:
         vdir = os.path.join(base_dir, f"v={v}")
-        complete = os.path.exists(os.path.join(vdir, "_SUCCESS"))
-        if (v not in keep and complete) or (not complete and v != newest):
+        if (is_complete[v] and v not in keep) or (not is_complete[v] and v != newest):
             shutil.rmtree(vdir)
             removed.append(v)
     return removed

@@ -3825,12 +3825,18 @@ def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ivm_retractable_aggregate",
     oracle="""
-    WITH mm AS (
-        SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS busy
-        FROM orders GROUP BY 1 ORDER BY COUNT(*) DESC, busy DESC LIMIT 1
-    ),
-    last_m AS (
+    WITH last_m AS (
         SELECT CAST(strftime(MAX(o_orderdate), '%Y%m') AS INT) AS lastm FROM orders
+    ),
+    mm AS (
+        -- busiest month EXCLUDING the last calendar month: the changelog
+        -- retracts all of last month, and restating into a fully
+        -- retracted month would make the two formulations diverge on
+        -- the zero-count group (ADVICE r3)
+        SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS busy
+        FROM orders, last_m
+        WHERE CAST(strftime(o_orderdate, '%Y%m') AS INT) <> last_m.lastm
+        GROUP BY 1, last_m.lastm ORDER BY COUNT(*) DESC, busy DESC LIMIT 1
     ),
     post AS (
         -- survivors: drop every order of the LAST calendar month, and the
@@ -3875,10 +3881,17 @@ def ivm_retractable_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         month.alias("month"),
         F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
     )
-    busy = (
-        base.groupBy("month").count().orderBy(F.desc("count"), F.desc("month")).first()["month"]
-    )
     lastm = base.agg(F.max("month")).first()[0]
+    # busiest month chosen OUTSIDE the fully-retracted last month, so the
+    # restatement inserts never land in a group whose count nets to zero
+    # (ADVICE r3: data-dependent divergence when busy == lastm)
+    busy = (
+        base.filter(F.col("month") != lastm)
+        .groupBy("month")
+        .count()
+        .orderBy(F.desc("count"), F.desc("month"))
+        .first()["month"]
+    )
 
     retract_last = base.filter(F.col("month") == lastm).select(
         "month", F.lit(-1).alias("op"), "price"

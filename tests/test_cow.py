@@ -322,6 +322,154 @@ def test_merge_cow_recovers_from_stale_staging(spark, tmp_path):
     assert got == {(1, 20240215, 999.0), (2, 20240212, 202.0), (3, 20240213, 203.0)}
 
 
+def _park_old_month(path: str, month: int) -> None:
+    """Simulate the commit crashing right after phase 1: the live month
+    dir has been renamed aside into .cow_old and nothing else ran."""
+    import os
+
+    os.makedirs(os.path.join(path, ".cow_old"), exist_ok=True)
+    os.rename(
+        os.path.join(path, f"month={month}"),
+        os.path.join(path, ".cow_old", f"month={month}"),
+    )
+
+
+def _stage_month(spark, path: str, rows, complete: bool = True) -> None:
+    """Write a staged month the way merge_cow_partitioned does (real
+    parquet + root _SUCCESS); complete=False simulates a staging write
+    that itself died (no _SUCCESS marker)."""
+    import os
+
+    df = spark.createDataFrame(rows, "k BIGINT, datekey INT, amount DOUBLE")
+    df.withColumn("month", (F.col("datekey") / 100).cast("int")).repartition(
+        1
+    ).write.partitionBy("month").parquet(os.path.join(path, ".cow_staging"))
+    if not complete:
+        os.remove(os.path.join(path, ".cow_staging", "_SUCCESS"))
+
+
+def test_crash_between_renames_rolls_forward(spark, tmp_path):
+    """Crash in the narrowest window — old parked, staged complete, new
+    not yet renamed in — must roll FORWARD: the reader sees the NEW
+    month, and the month is never absent (VERDICT r3 item 1)."""
+    import os
+
+    from etl_loading_scripts_spark.operators.cow import recover_cow_commit
+
+    path = str(tmp_path / "fact")
+    _seed_table(spark, path)
+    _stage_month(spark, path, [(1, 20240215, 999.0)])
+    _park_old_month(path, 202402)
+    assert not os.path.exists(os.path.join(path, "month=202402"))  # the r3 hole
+
+    stats = recover_cow_commit(spark, path)
+    assert stats == {"rolled_forward": [202402], "rolled_back": []}
+    assert os.path.exists(os.path.join(path, "month=202402"))
+    assert not os.path.exists(os.path.join(path, ".cow_old"))
+    assert not os.path.exists(os.path.join(path, ".cow_staging"))
+    got = {t for t in _rows(spark, path) if t[1] // 100 == 202402}
+    assert got == {(1, 20240215, 999.0)}  # complete new contents
+
+
+def test_crash_with_incomplete_staging_rolls_back(spark, tmp_path):
+    """Old parked but the staged copy never finished (no _SUCCESS): roll
+    BACK — the reader sees the complete OLD month; a retry of the merge
+    re-does the mutation."""
+    import os
+
+    from etl_loading_scripts_spark.operators.cow import recover_cow_commit
+
+    path = str(tmp_path / "fact")
+    _seed_table(spark, path)
+    _stage_month(spark, path, [(1, 20240215, 999.0)], complete=False)
+    _park_old_month(path, 202402)
+
+    stats = recover_cow_commit(spark, path)
+    assert stats == {"rolled_forward": [], "rolled_back": [202402]}
+    got = {t for t in _rows(spark, path) if t[1] // 100 == 202402}
+    assert got == {
+        (1, 20240211, 201.0), (2, 20240212, 202.0), (3, 20240213, 203.0),
+    }  # complete old contents
+    assert not os.path.exists(os.path.join(path, ".cow_old"))
+    assert not os.path.exists(os.path.join(path, ".cow_staging"))
+
+
+def test_crash_after_commit_before_cleanup_drops_parked_old(spark, tmp_path):
+    """Crash between phase 2 and phase 3: new month already live, old
+    copy still parked — recovery just finishes the cleanup and the NEW
+    data stays."""
+    import os
+    import shutil
+
+    from etl_loading_scripts_spark.operators.cow import recover_cow_commit
+
+    path = str(tmp_path / "fact")
+    _seed_table(spark, path)
+    _stage_month(spark, path, [(1, 20240215, 999.0)])
+    _park_old_month(path, 202402)
+    # phase 2 ran: staged month renamed into place
+    os.rename(
+        os.path.join(path, ".cow_staging", "month=202402"),
+        os.path.join(path, "month=202402"),
+    )
+    shutil.rmtree(os.path.join(path, ".cow_staging"))
+
+    stats = recover_cow_commit(spark, path)
+    assert stats == {"rolled_forward": [202402], "rolled_back": []}
+    got = {t for t in _rows(spark, path) if t[1] // 100 == 202402}
+    assert got == {(1, 20240215, 999.0)}
+    assert not os.path.exists(os.path.join(path, ".cow_old"))
+
+
+def test_next_merge_auto_recovers_crash_state(spark, tmp_path):
+    """A merge issued AFTER a crash (old parked, staging complete) first
+    rolls the dangling commit forward, then applies its own source — no
+    manual recovery step, no lost month."""
+    path = str(tmp_path / "fact")
+    _seed_table(spark, path)
+    _stage_month(spark, path, [(1, 20240215, 999.0)])
+    _park_old_month(path, 202402)
+
+    src = spark.createDataFrame(
+        [(9, 20240216, 555.0)], "k BIGINT, datekey INT, amount DOUBLE"
+    )
+    stats = merge_cow_partitioned(spark, path, src, on=["k"])
+    assert stats["months_rewritten"] == [202402]
+    got = {t for t in _rows(spark, path) if t[1] // 100 == 202402}
+    # rolled-forward crash state (k=1 updated, k=2/3 gone with the old
+    # month replaced by the staged copy) + this merge's insert
+    assert got == {(1, 20240215, 999.0), (9, 20240216, 555.0)}
+
+
+def test_vacuum_versions_survives_consecutive_crash_debris(spark, tmp_path):
+    """ADVICE r3 (medium): >= keep_last consecutive crashed publishes
+    must NOT let vacuum destroy every complete version; the _LATEST
+    target always survives."""
+    import os
+
+    from etl_loading_scripts_spark.operators.publish import (
+        publish_versioned,
+        read_versioned,
+        vacuum_versions,
+    )
+
+    base = str(tmp_path / "vtab")
+    df = spark.createDataFrame([(1, "a")], "id INT, v STRING")
+    publish_versioned(df, base)  # v=1, _LATEST -> 1
+    # three consecutive crashed publishes: partial dirs without _SUCCESS
+    for v in (2, 3, 4):
+        os.makedirs(os.path.join(base, f"v={v}"))
+        with open(os.path.join(base, f"v={v}", "part-junk.parquet"), "w") as fh:
+            fh.write("partial")
+
+    removed = vacuum_versions(base, keep_last=3)
+    # debris v=2, v=3 removed (v=4 is newest, kept as in-flight);
+    # v=1 — the only complete version and the _LATEST target — survives
+    assert removed == [2, 3]
+    assert os.path.isdir(os.path.join(base, "v=1"))
+    assert read_versioned(spark, base).count() == 1
+
+
 def test_missing_months_backfill_plan(spark, tmp_path):
     from etl_loading_scripts_spark.operators.cow import missing_months
 
