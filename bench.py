@@ -102,7 +102,14 @@ def main() -> None:
     # on identical plans). The minimum of three runs is the standard
     # noise-floor estimator (JMH/hyperfine practice); all three runs are
     # full plan executions against the same sf, disclosed here.
+    # Two sinks per query (VERDICT r3 item 6): count() — comparable with
+    # rounds 1-3 — can let Spark prune final-projection columns; the
+    # noop-format write executes the full plan including the final
+    # projection, so projection-heavy queries are fully billed. Round 4
+    # records BOTH (count stays the headline metric one last round for
+    # comparability); noop becomes the metric from round 5.
     timings: dict[str, float] = {}
+    timings_noop: dict[str, float] = {}
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is None:
@@ -114,9 +121,21 @@ def main() -> None:
             n = df.count()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
+        best_noop = None
+        for _ in range(3):
+            t0 = time.time()
+            q.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best_noop = dt if best_noop is None or dt < best_noop else best_noop
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        timings_noop[name] = round(best_noop, 3)
+        print(
+            f"# {name}: {timings[name]}s count / {timings_noop[name]}s noop"
+            f" ({n} rows)",
+            file=sys.stderr,
+        )
     total = round(sum(timings.values()), 3)
+    total_noop = round(sum(timings_noop.values()), 3)
     print(
         json.dumps(
             {
@@ -124,6 +143,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "noop_total": total_noop,
+                "queries_noop": timings_noop,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
