@@ -47,16 +47,80 @@ def test_ann_ivf_is_subset_quality_of_bruteforce(spark, sf_dir):
 
 
 def test_decode_stub_is_gated(spark):
-    """Compressed formats still raise (no imaging libs); BMP/PPM are REAL."""
-    from etl_loading_scripts_spark.llm.codecs import encode_bmp, encode_ppm
+    """BMP/PPM/PNG/JPEG route to the real codecs; formats beyond them
+    (GIF here) still raise the honest imaging-lib gate."""
+    from etl_loading_scripts_spark.llm.codecs import encode_bmp, encode_png, encode_ppm
     from etl_loading_scripts_spark.llm.multimodal import decode_image_stub
 
     with pytest.raises(NotImplementedError):
-        decode_image_stub(b"\x89PNG")
+        decode_image_stub(b"GIF89a" + bytes(16))
     rgb = bytes(range(36))  # 4x3 RGB
-    for payload in (encode_bmp(4, 3, rgb), encode_ppm(4, 3, rgb)):
+    for payload in (encode_bmp(4, 3, rgb), encode_ppm(4, 3, rgb), encode_png(4, 3, rgb)):
         out = decode_image_stub(payload)
         assert (out["width"], out["height"], out["rgb"]) == (4, 3, rgb)
+    # JPEG: flat-block grayscale decodes exactly through the stub too
+    from etl_loading_scripts_spark.llm.jpeg import encode_jpeg_gray
+
+    gray = bytes([130] * 64)  # one flat 8x8 block, even offset from 128
+    out = decode_image_stub(encode_jpeg_gray(8, 8, gray))
+    assert (out["width"], out["height"], out["channels"], out["rgb"]) == (8, 8, 1, gray)
+
+
+def test_jpeg_codec_flat_blocks_exact_and_markers_real():
+    """Baseline JFIF: flat even-offset blocks round-trip EXACTLY (the
+    provable lossless class); marker stream and entropy coding are
+    genuine — corrupting the Huffman data or handing progressive/
+    subsampled streams raises."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_rgb,
+    )
+
+    rng = np.random.default_rng(42)
+    w, h = 40, 24  # 5x3 blocks
+    img = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            img[by * 8 :, bx * 8 : bx * 8 + 8][:8] = 128 + 2 * int(
+                rng.integers(-30, 31)
+            )
+    payload = encode_jpeg_gray(w, h, img.tobytes())
+    assert payload[:2] == b"\xff\xd8" and payload[-2:] == b"\xff\xd9"
+    dw, dh, ch, px = decode_jpeg(payload)
+    assert (dw, dh, ch) == (w, h, 1)
+    assert px == img.tobytes()  # bit-exact despite a lossy format
+
+    # non-multiple-of-8 dims: edge-padded encode, cropped decode
+    w2, h2 = 13, 5
+    flat = bytes([150] * (w2 * h2))
+    dw, dh, ch, px = decode_jpeg(encode_jpeg_gray(w2, h2, flat))
+    assert (dw, dh) == (w2, h2) and px == flat
+
+    # color 4:4:4: lossy but close on smooth content (PSNR > 30 dB)
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    rgbimg = np.stack(
+        [(xx * 2 + 40) % 200, (yy * 3 + 30) % 200, (xx + yy) % 200], axis=2
+    ).astype(np.uint8)
+    dw, dh, ch, px = decode_jpeg(encode_jpeg_rgb(w, h, rgbimg.tobytes()))
+    assert (dw, dh, ch) == (w, h, 3)
+    dec = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(float)
+    mse = ((dec - rgbimg.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) > 30
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    prog = bytearray(payload)
+    sof_at = payload.index(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2  # pretend progressive
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(prog))
+    sub = bytearray(payload)
+    sub[sof_at + 11] = 0x22  # claim 2x2 sampling
+    with pytest.raises(ValueError, match="subsampling"):
+        decode_jpeg(bytes(sub))
 
 
 def test_bmp_codec_layout_is_real():
