@@ -137,6 +137,80 @@ def merge_cow_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_cow_quarter",
+    oracle=f"""
+    WITH qq AS (
+        SELECT CAST(strftime(o_orderdate, '%Y') AS INT) * 10
+               + (CAST(strftime(o_orderdate, '%m') AS INT) + 2) // 3 AS yq
+        FROM orders GROUP BY 1 ORDER BY COUNT(*) DESC, yq DESC LIMIT 1
+    ),
+    base AS (
+        SELECT o_orderkey AS k,
+               CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+               CAST(strftime(o_orderdate, '%Y') AS INT) * 10
+               + (CAST(strftime(o_orderdate, '%m') AS INT) + 2) // 3 AS yq,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS price
+        FROM orders
+    ),
+    final AS (
+        SELECT k, month,
+               CASE WHEN base.yq = qq.yq AND k % 3 = 0
+                    THEN CAST(price * 3 AS DECIMAL(18,4)) ELSE price END AS price
+        FROM base, qq
+        UNION ALL
+        SELECT k + {_INSERT_OFFSET}, month, price
+        FROM base, qq WHERE base.yq = qq.yq AND k % 101 = 0
+    )
+    SELECT month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(price) AS DOUBLE) AS total_price
+    FROM final GROUP BY 1
+    """,
+    doc="MULTI-MONTH file-level-rewrite MERGE: restate the busiest "
+    "calendar QUARTER of the month-partitioned order fact in ONE merge "
+    "— every 3rd key repriced ×3 (update), every 101st key re-inserted "
+    "under a new key — then roll up the whole table per month. The one "
+    "source spans three month partitions; each merges independently in "
+    "the same (month, key) shuffle, and every month outside the quarter "
+    "keeps its files byte-identical "
+    "(tests/test_cow.py::test_merge_cow_quarter_rewrites_only_three_months).",
+)
+def merge_cow_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the quarterly restatement is the multi-month case the
+    month-scoped merge was designed for — the effective key is
+    (month, k), so a natural key recurring across the three affected
+    months merges each month independently in one shuffle, one staged
+    write, one per-partition two-phase commit sweep. At 100 TB a
+    quarter is ~3/100ths of the fact rewritten; the other ~97 partitions
+    are never listed, read, or renamed (byte-audited at test scale)."""
+    base = _order_fact(spark, sf_dir)
+    path = _warehouse("cow_quarter", sf_dir)
+    write_fact_partitioned(base, path)
+
+    yq = (
+        (F.col("datekey") / 10000).cast("int") * 10
+        + ((F.col("datekey") / 100).cast("int") % 100 + 2) / F.lit(3)
+    ).cast("int")
+    busiest_q = (
+        base.groupBy(yq.alias("yq"))
+        .count()
+        .orderBy(F.desc("count"), F.desc("yq"))
+        .first()["yq"]
+    )
+    window = base.filter(yq == busiest_q)
+    updates = window.filter(F.col("k") % 3 == 0).withColumn(
+        "price", (F.col("price") * 3).cast("decimal(18,4)")
+    )
+    inserts = window.filter(F.col("k") % 101 == 0).withColumn(
+        "k", F.col("k") + F.lit(_INSERT_OFFSET)
+    )
+    stats = merge_cow_partitioned(
+        spark, path, updates.unionByName(inserts), on=["k"]
+    )
+    assert len(stats["months_rewritten"]) == 3, stats
+    return _month_rollup(spark.read.parquet(path))
+
+
+@register(
     "delete_cow_purge",
     oracle="""
     SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,

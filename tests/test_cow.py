@@ -470,6 +470,45 @@ def test_vacuum_versions_survives_consecutive_crash_debris(spark, tmp_path):
     assert read_versioned(spark, base).count() == 1
 
 
+def test_merge_cow_quarter_rewrites_only_three_months(spark, tmp_path, sf_dir):
+    """VERDICT r3 item 7: a quarterly restatement over the real orders
+    fact (80 month partitions at this sf) rewrites EXACTLY the quarter's
+    3 partitions — all others byte-identical (names, sizes, mtimes)."""
+    from etl_loading_scripts_spark.queries.cow_queries import _order_fact
+    from etl_loading_scripts_spark.sources.io import write_fact_partitioned
+
+    path = str(tmp_path / "fact")
+    base = _order_fact(spark, sf_dir)
+    write_fact_partitioned(base, path)
+    before = list_partition_files(spark, path)
+    assert len(before) >= 12  # plenty of untouched months in the fixture
+
+    yq = (
+        (F.col("datekey") / 10000).cast("int") * 10
+        + ((F.col("datekey") / 100).cast("int") % 100 + 2) / F.lit(3)
+    ).cast("int")
+    busiest_q = (
+        base.groupBy(yq.alias("yq"))
+        .count()
+        .orderBy(F.desc("count"), F.desc("yq"))
+        .first()["yq"]
+    )
+    src = base.filter(yq == busiest_q).filter(F.col("k") % 3 == 0).withColumn(
+        "price", (F.col("price") * 3).cast("decimal(18,4)")
+    )
+    stats = merge_cow_partitioned(spark, path, src, on=["k"])
+
+    after = list_partition_files(spark, path)
+    assert len(stats["months_rewritten"]) == 3
+    assert stats["months_emptied"] == []
+    untouched = [m for m in before if m not in stats["months_rewritten"]]
+    assert len(untouched) == len(before) - 3
+    for m in untouched:
+        assert after[m] == before[m], f"month {m} should be byte-identical"
+    for m in stats["months_rewritten"]:
+        assert after[m] != before[m]
+
+
 def test_missing_months_backfill_plan(spark, tmp_path):
     from etl_loading_scripts_spark.operators.cow import missing_months
 
