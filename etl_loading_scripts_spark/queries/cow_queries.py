@@ -237,3 +237,39 @@ def delete_cow_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_fact_partitioned(base, path)
     delete_cow_partitioned(spark, path, F.col("k") % 500 == 7)
     return _month_rollup(spark.read.parquet(path))
+
+
+@register(
+    "compact_small_files",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY 1
+    """,
+    doc="Small-file compaction (lakehouse OPTIMIZE on plain parquet): a "
+    "deliberately fragmented month-partitioned fact (8 writer tasks per "
+    "month — the classic partitioned-write mistake) is bin-packed to "
+    "~one target-size file per month via maxRecordsPerFile, committed "
+    "with the COW two-phase rename sweep; the rollup proves compaction "
+    "changed ZERO rows. File-count/byte assertions live in "
+    "tests/test_compaction.py (a hash oracle can't see file layout).",
+)
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the compactor's decision pass is metadata-only (listing +
+    footer counts) and per-partition, so a nightly run reads only the
+    partitions whose file count drifted past ceil(bytes/target); the
+    rewrite bills exactly the fragmented partitions' bytes and commits
+    crash-safe (operators/compaction.py). At 100 TB this is what keeps
+    scan-side file-open cost O(data) instead of O(writes-ever-made)."""
+    from etl_loading_scripts_spark.operators.compaction import (
+        compact_partition_files,
+    )
+
+    base = _order_fact(spark, sf_dir)
+    path = _warehouse("compact", sf_dir)
+    write_fact_partitioned(base.repartition(8, "k"), path, compact=False)
+    stats = compact_partition_files(spark, path)
+    assert stats["months_compacted"], stats
+    return _month_rollup(spark.read.parquet(path))

@@ -385,9 +385,13 @@ def test_vacuum_versions_keeps_recent_and_drops_debris(spark, tmp_path):
     os.makedirs(os.path.join(base, "v=3a", ""), exist_ok=True)  # ignored: not an int
     os.makedirs(os.path.join(base, "v=99"))
     removed = vacuum_versions(base, keep_last=2)
-    # keep = newest two {5, 99}; 99 is also protected as possibly in-flight
-    assert removed == [1, 2, 3, 4]
+    # keep window over COMPLETE versions only (ADVICE r3): {4, 5} — the
+    # incomplete v=99 cannot crowd readable history out of the window;
+    # 99 itself is protected as the numerically-newest (possibly
+    # in-flight) dir
+    assert removed == [1, 2, 3]
     assert read_versioned(spark, base).count() == 5  # latest pointer intact
+    assert read_versioned(spark, base, version=4).count() == 4  # in window
     assert os.path.isdir(os.path.join(base, "v=99"))  # in-flight untouched
     try:
         read_versioned(spark, base, version=2)
@@ -395,6 +399,6 @@ def test_vacuum_versions_keeps_recent_and_drops_debris(spark, tmp_path):
     except FileNotFoundError:
         pass
     # a second pass after v=99 is abandoned (still no _SUCCESS, no longer
-    # newest once v=100 publishes) clears the debris
+    # newest once v=100 publishes) clears it plus the aged-out v=4
     publish_versioned(spark.range(6).toDF("n"), base)
-    assert vacuum_versions(base, keep_last=2) == [5, 99]
+    assert vacuum_versions(base, keep_last=2) == [4, 99]
