@@ -134,6 +134,7 @@ def merge_upsert(
     update_condition: Column | None = None,
     delete_unmatched_source: bool = False,
     delete_guard: Column | None = None,
+    evolve_schema: bool = False,
 ) -> DataFrame:
     """General ``MERGE`` (SURVEY §4.1, O4): full-outer join + per-column
     resolution, covering every MERGE shape in the reference:
@@ -155,10 +156,21 @@ def merge_upsert(
     reference's own discipline, ``S4:23,30``); this function asserts nothing
     and documents the contract instead of paying a count() per call.
 
+    ``evolve_schema=True`` is Delta's ``mergeSchema``/autoMerge idiom:
+    source columns absent from the target are ADDED to the result —
+    pre-existing target rows carry NULL, matched/inserted rows take the
+    source value. Off by default because silent widening is a schema
+    governance decision, not a merge default.
+
     Scale: one shuffle on ``on`` (or broadcast if source is small); no
     driver-side data movement.
     """
     on = list(on)
+    if evolve_schema:
+        src_types = dict(source.dtypes)
+        for c in source.columns:
+            if c not in target.columns:
+                target = target.withColumn(c, F.lit(None).cast(src_types[c]))
     if update_cols is None:
         update_cols = [c for c in target.columns if c not in on and c in source.columns]
     insert_defaults = dict(insert_defaults or {})

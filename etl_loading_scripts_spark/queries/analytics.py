@@ -5143,3 +5143,78 @@ def part_trading_lifespan(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_one_shot_parts"),
         )
     )
+
+
+@register(
+    "autocorrelation_lags",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM orders GROUP BY 1
+    ),
+    lags AS (SELECT UNNEST([1, 2, 7, 30]) AS lag),
+    pairs AS (
+        SELECT l.lag, a.x AS x, b.x AS y
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.d = a.d - to_days(CAST(l.lag AS INT))
+    ),
+    m AS (
+        SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+               / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) AS acf
+    FROM m
+    """,
+    doc="Autocorrelation of the daily order-count series at lags 1, 2, 7 "
+    "and 30 days — the ACF readout behind seasonality detection (the "
+    "lag-7 spike is the weekly cycle test) and forecast-model order "
+    "selection. Pearson r is computed from exact BIGINT moment sums "
+    "(n·Σxy − ΣxΣy over the root product), the same engine-portable "
+    "formulation as price_quantity_corr — corr() builtins disagree "
+    "across engines at the last ulp.",
+)
+def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shape: one day-grain rollup (~2.4k rows at any sf — aggregation
+    happens at the fact scan), then a lag equi-join per lag value on the
+    TINY daily series and exact integer moment sums. The anti-pattern
+    this replaces is windowing the raw fact by a 30-day frame (a fact-
+    sized sort); here the fact is touched once, and the lag join costs
+    four broadcast-sized probes. Gap semantics: missing days drop the
+    pair (inner join) identically in both formulations."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    lags = spark.createDataFrame([(1,), (2,), (7,), (30,)], "lag INT")
+    b = daily.select(F.col("d").alias("d2"), F.col("x").alias("y"))
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(b, F.col("d2") == F.expr("date_sub(d, lag)"))
+        .select("lag", "x", "y")
+    )
+    m = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        "lag",
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+            / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+        ).alias("acf"),
+    )

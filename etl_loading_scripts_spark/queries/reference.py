@@ -324,6 +324,64 @@ def merge_full_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_schema_evolution",
+    oracle="""
+    WITH target AS (
+        SELECT s_suppkey, CAST(s_acctbal AS DECIMAL(18,4)) AS s_acctbal
+        FROM supplier
+    ),
+    source AS (
+        SELECT s_suppkey,
+               CAST(s_acctbal AS DECIMAL(18,4)) * 2 AS s_acctbal,
+               CASE WHEN s_suppkey % 2 = 0 THEN 'api' ELSE 'batch' END AS channel
+        FROM supplier WHERE s_suppkey % 5 = 0
+        UNION ALL
+        SELECT s_suppkey + 1000000, CAST(1.0 AS DECIMAL(18,4)), 'new'
+        FROM supplier WHERE s_suppkey % 50 = 0
+    )
+    SELECT COALESCE(t.s_suppkey, s.s_suppkey) AS s_suppkey,
+           CAST(CASE WHEN s.s_suppkey IS NOT NULL
+                     THEN s.s_acctbal ELSE t.s_acctbal END AS DOUBLE) AS s_acctbal,
+           CASE WHEN s.s_suppkey IS NOT NULL THEN s.channel END AS channel
+    FROM target t FULL OUTER JOIN source s ON t.s_suppkey = s.s_suppkey
+    """,
+    doc="MERGE with automatic schema evolution (Delta autoMerge idiom): "
+    "the source carries a NEW column (channel) the target lacks; the "
+    "merge widens the target — matched rows take the source's channel "
+    "and doubled balance, inserted rows arrive complete, untouched rows "
+    "carry NULL in the new column. The schema-governance default stays "
+    "strict (evolve_schema=False drops unknown source columns).",
+)
+def merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: evolution costs nothing beyond the merge itself — the new
+    column enters the plan as a NULL literal on the target side of the
+    same single key shuffle; no table rewrite happens until the result
+    is persisted (and then only the affected partitions under the COW
+    writer). This is the schema-drift half of real ingestion: upstream
+    teams add fields mid-quarter and the nightly merge must not drop
+    them on the floor — nor silently widen without an explicit opt-in."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    target = supplier.select(
+        "s_suppkey", F.col("s_acctbal").cast("decimal(18,4)").alias("s_acctbal")
+    )
+    source = supplier.filter(F.col("s_suppkey") % 5 == 0).select(
+        "s_suppkey",
+        (F.col("s_acctbal").cast("decimal(18,4)") * 2).alias("s_acctbal"),
+        F.when(F.col("s_suppkey") % 2 == 0, "api").otherwise("batch").alias("channel"),
+    ).unionByName(
+        supplier.filter(F.col("s_suppkey") % 50 == 0).select(
+            (F.col("s_suppkey") + 1000000).alias("s_suppkey"),
+            F.lit(1.0).cast("decimal(18,4)").alias("s_acctbal"),
+            F.lit("new").alias("channel"),
+        )
+    )
+    merged = merge_upsert(target, source, on=["s_suppkey"], evolve_schema=True)
+    return merged.select(
+        "s_suppkey", F.col("s_acctbal").cast("double").alias("s_acctbal"), "channel"
+    )
+
+
 # ---------------------------------------------------------------------------
 # O21/O22 — NOT IN / IN subqueries as anti/semi joins (P-PAT:40; P-RES:25)
 # ---------------------------------------------------------------------------
