@@ -1070,3 +1070,111 @@ def keyset_pagination_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PAGE_SIZE)
     )
     return page.select("custkey", F.col("total").cast("double").alias("total_spend"))
+
+
+@register(
+    "inferred_member_backfill",
+    oracle="""
+    WITH dim0 AS (
+        -- dimension before the load: every 7th customer hasn't arrived yet
+        SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS nationkey
+        FROM customer WHERE c_custkey % 7 <> 0
+    ),
+    fact_keys AS (SELECT DISTINCT o_custkey FROM orders),
+    inferred AS (
+        -- step 1: facts referencing unknown keys insert INFERRED members
+        -- (sentinel attributes), so the fact load never drops rows
+        SELECT f.o_custkey AS c_custkey,
+               'UNKNOWN' AS c_name, CAST(-1 AS BIGINT) AS nationkey
+        FROM fact_keys f LEFT JOIN dim0 d ON d.c_custkey = f.o_custkey
+        WHERE d.c_custkey IS NULL
+    ),
+    late AS (
+        -- step 2: the late dimension feed arrives for HALF the stragglers
+        SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS nationkey
+        FROM customer WHERE c_custkey % 14 = 0
+    ),
+    dim2 AS (
+        SELECT d.c_custkey,
+               COALESCE(l.c_name, d.c_name) AS c_name,
+               COALESCE(l.nationkey, d.nationkey) AS nationkey,
+               CASE
+                   WHEN d.c_name <> 'UNKNOWN' THEN 'known'
+                   WHEN l.c_custkey IS NOT NULL THEN 'backfilled'
+                   ELSE 'inferred_pending'
+               END AS status
+        FROM (SELECT * FROM dim0 UNION ALL SELECT * FROM inferred) d
+        LEFT JOIN late l ON l.c_custkey = d.c_custkey AND d.c_name = 'UNKNOWN'
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT nationkey) AS BIGINT) AS n_nations,
+           CAST((SELECT COUNT(*) FROM orders o JOIN dim2 x
+                 ON x.c_custkey = o.o_custkey AND x.status = dim2.status)
+                AS BIGINT) AS n_orders_served
+    FROM dim2 GROUP BY 1
+    """,
+    doc="Late-arriving dimension (Kimball inferred members): facts "
+    "referencing customers the dimension hasn't loaded yet INSERT "
+    "sentinel-attributed placeholder rows (left-anti guarded append, "
+    "O20) so the fact load never drops or dangles; when the late "
+    "dimension feed lands, a guarded UPDATE…FROM (O5 + O19 sentinel "
+    "guard: only UNKNOWN rows are writable) backfills real attributes "
+    "without touching properly-loaded members. Per-status member/"
+    "nation/served-order counts.",
+)
+def inferred_member_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the reference's own idioms end-to-end: the anti-join
+    insert is S2:23-28's guarded append, the backfill is S2:31-37's
+    UPDATE…FROM behind S4:102-107's overwrite-prevention guard. Scale:
+    the missing-key scan is one distinct over the fact's FK column
+    (shuffle on the key), the inferred insert is dimension-sized, and
+    the backfill joins dimension-to-feed — fact data is touched exactly
+    once, at the final serving rollup."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim0 = customer.filter(F.col("c_custkey") % 7 != 0).select(
+        "c_custkey", "c_name", F.col("c_nationkey").cast("bigint").alias("nationkey")
+    )
+    fact_keys = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    inferred_src = fact_keys.select(
+        "c_custkey", F.lit("UNKNOWN").alias("c_name"),
+        F.lit(-1).cast("bigint").alias("nationkey"),
+    )
+    dim1 = insert_if_absent(dim0, inferred_src, on=["c_custkey"])
+
+    late = customer.filter(F.col("c_custkey") % 14 == 0).select(
+        "c_custkey",
+        F.col("c_name").alias("late_name"),
+        F.col("c_nationkey").cast("bigint").alias("late_nationkey"),
+    )
+    dim2 = update_from_join(
+        dim1.withColumn("was_inferred", F.col("c_name") == "UNKNOWN"),
+        late,
+        on=["c_custkey"],
+        set_cols={"c_name": "late_name", "nationkey": "late_nationkey"},
+        guard=F.col("c_name") == "UNKNOWN",  # O19: known members immutable
+    )
+    dim2 = dim2.withColumn(
+        "status",
+        F.when(~F.col("was_inferred"), "known")
+        .when(F.col("c_name") != "UNKNOWN", "backfilled")
+        .otherwise("inferred_pending"),
+    )
+    served = (
+        orders.join(
+            F.broadcast(dim2.select(F.col("c_custkey").alias("o_custkey"), "status")),
+            "o_custkey",
+        )
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders_served"))
+    )
+    return (
+        dim2.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.countDistinct("nationkey").cast("bigint").alias("n_nations"),
+        )
+        .join(served, "status")
+        .select("status", "n_members", "n_nations", "n_orders_served")
+    )
