@@ -402,3 +402,21 @@ def test_vacuum_versions_keeps_recent_and_drops_debris(spark, tmp_path):
     # newest once v=100 publishes) clears it plus the aged-out v=4
     publish_versioned(spark.range(6).toDF("n"), base)
     assert vacuum_versions(base, keep_last=2) == [4, 99]
+
+
+def test_merge_upsert_schema_evolution(spark):
+    """evolve_schema=True widens the target with source-only columns
+    (NULL for untouched rows); default drops them (strict governance)."""
+    from etl_loading_scripts_spark.operators.mutations import merge_upsert
+
+    target = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k BIGINT, v DOUBLE")
+    source = spark.createDataFrame(
+        [(2, 22.0, "api"), (3, 30.0, "batch")], "k BIGINT, v DOUBLE, channel STRING"
+    )
+    strict = merge_upsert(target, source, on=["k"])
+    assert strict.columns == ["k", "v"]
+
+    evolved = merge_upsert(target, source, on=["k"], evolve_schema=True)
+    assert evolved.columns == ["k", "v", "channel"]
+    got = {(r.k, r.v, r.channel) for r in evolved.collect()}
+    assert got == {(1, 10.0, None), (2, 22.0, "api"), (3, 30.0, "batch")}
