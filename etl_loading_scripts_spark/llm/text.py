@@ -1237,3 +1237,100 @@ def encoding_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_seq").cast("bigint").alias("n_sequences"),
         F.sum(F.length("raw") - F.length("repaired")).cast("bigint").alias("chars_saved"),
     )
+
+
+@register(
+    "sft_conversation_validate",
+    oracle="""
+    WITH turns AS (
+        SELECT user_id AS convo_id,
+               CASE WHEN event_id % 3 = 0 THEN 'assistant' ELSE 'user' END AS role,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS turn_no,
+               LAG(CASE WHEN event_id % 3 = 0 THEN 'assistant' ELSE 'user' END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_role
+        FROM events
+    ),
+    per_convo AS (
+        SELECT convo_id,
+               CAST(COUNT(*) AS BIGINT) AS n_turns,
+               MIN(CASE WHEN turn_no = 1 THEN role END) AS first_role,
+               MAX(CASE WHEN turn_no = n_max THEN role END) AS last_role,
+               CAST(SUM(CASE WHEN role = prev_role THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_repeats
+        FROM (SELECT *, MAX(turn_no) OVER (PARTITION BY convo_id) AS n_max
+              FROM turns)
+        GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_convos,
+           CAST(SUM(CASE WHEN first_role = 'user' AND last_role = 'assistant'
+                          AND n_repeats = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_valid,
+           CAST(SUM(CASE WHEN first_role <> 'user' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad_start,
+           CAST(SUM(CASE WHEN last_role <> 'assistant' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad_end,
+           CAST(SUM(n_repeats) AS BIGINT) AS n_repeat_violations,
+           CAST(SUM(n_turns) AS BIGINT) AS n_turns_total
+    FROM per_convo
+    """,
+    doc="SFT conversation-structure validation: events grouped per user "
+    "into a conversation (deterministic turn order by ts, event_id; "
+    "roles planted by event_id mod 3), then the three structural rules "
+    "every chat-template fine-tune corpus must pass are checked — "
+    "starts with a user turn, ends with an assistant turn, roles "
+    "strictly alternate (no same-role repeats). Corpus-level counts of "
+    "each violation class — the gate that runs before any tokenization "
+    "of instruction data.",
+)
+def sft_conversation_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one window pass partitioned by conversation id (lag +
+    row_number share the same partitioning — single shuffle), then a
+    conversation-grain aggregate and a 1-row corpus rollup. Violations
+    are counted, not raised: real instruction datasets fail these
+    checks constantly (truncated scrapes, tool-call interleaving) and
+    the pipeline's job is to quantify and route, not die. Extending to
+    system-turn placement or tool-role grammars is more CASE arms in
+    the same single-pass shape."""
+    events = load_table(spark, sf_dir, "events")
+    role = F.when(F.col("event_id") % 3 == 0, "assistant").otherwise("user")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turns = events.select(
+        F.col("user_id").alias("convo_id"),
+        role.alias("role"),
+        F.row_number().over(w).alias("turn_no"),
+        F.lag(role).over(w).alias("prev_role"),
+    )
+    wmax = Window.partitionBy("convo_id")
+    turns = turns.withColumn("n_max", F.max("turn_no").over(wmax))
+    per_convo = turns.groupBy("convo_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_turns"),
+        F.min(F.when(F.col("turn_no") == 1, F.col("role"))).alias("first_role"),
+        F.max(F.when(F.col("turn_no") == F.col("n_max"), F.col("role"))).alias(
+            "last_role"
+        ),
+        F.sum((F.col("role") == F.col("prev_role")).cast("int"))
+        .cast("bigint")
+        .alias("n_repeats"),
+    )
+    return per_convo.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_convos"),
+        F.sum(
+            (
+                (F.col("first_role") == "user")
+                & (F.col("last_role") == "assistant")
+                & (F.col("n_repeats") == 0)
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_valid"),
+        F.sum((F.col("first_role") != "user").cast("int"))
+        .cast("bigint")
+        .alias("n_bad_start"),
+        F.sum((F.col("last_role") != "assistant").cast("int"))
+        .cast("bigint")
+        .alias("n_bad_end"),
+        F.sum("n_repeats").cast("bigint").alias("n_repeat_violations"),
+        F.sum("n_turns").cast("bigint").alias("n_turns_total"),
+    )
