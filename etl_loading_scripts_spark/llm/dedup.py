@@ -1609,7 +1609,11 @@ def shingle_df_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale with Σ df² per shingle — a single over-cap shingle with DF
     10⁶ alone would generate 10¹² candidate pairs)."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = _shingles_spark(docs, materialize=False)
+    # materialize: this query EXPLODES the shingle arrays, so without the
+    # barrier the whole split->transform->distinct chain collapses into
+    # the Generate and re-runs per exploded row (14.7s -> measured fix
+    # in PROFILE r4)
+    shingled = _shingles_spark(docs, materialize=True)
     counts = (
         shingled.select("doc_id", F.explode("shingles").alias("shingle"))
         .groupBy("shingle")
@@ -1682,7 +1686,10 @@ def dedup_pair_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     beyond what the dedup already computed. Top-k is
     TakeOrderedAndProject with unique (jaccard, id_a, id_b) ordering."""
     docs = load_table(spark, sf_dir, "documents")
-    shingled = _shingles_spark(docs, materialize=False)
+    # materialize: exploded is consumed THREE times (hot-shingle DF, both
+    # join sides); the barrier makes the exchange reusable instead of
+    # re-shingling the corpus per consumer (PROFILE r4: 14.7s -> ~3s)
+    shingled = _shingles_spark(docs, materialize=True)
     exploded = shingled.select(
         "doc_id", F.size("shingles").alias("n_sh"),
         F.explode("shingles").alias("shingle"),
