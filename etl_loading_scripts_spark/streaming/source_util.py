@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+from contextlib import contextmanager
 import tempfile
 import uuid
 
@@ -47,3 +48,29 @@ def stream_source_dir(src: str, prefix: str = "events_stream", unique: bool = Fa
         os.remove(link)  # dangling or retargeted — re-link below
     os.symlink(src, link)
     return stream_dir
+
+
+#: State-store partition count for BOUNDED audit-size streaming queries.
+#: Each shuffle partition of a stateful operator owns a state-store
+#: instance whose per-batch open/commit/snapshot cost is FIXED, so a
+#: finite test-scale stream pays (partitions × batches) in pure overhead:
+#: the stream-stream left join measured 31.5 s at 32 partitions vs 14.5 s
+#: at 8 at sf0.1 (PROFILE r4), identical results. A production stream
+#: sizes this to sustained row rate instead — state stores scale out with
+#: throughput, and repartitioning a live checkpoint is an offline
+#: operation, which is why this scoping only ever applies per-query.
+STREAM_STATE_PARTITIONS = 8
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark, n: int = STREAM_STATE_PARTITIONS):
+    """Temporarily set ``spark.sql.shuffle.partitions`` for the stateful
+    streaming execution inside a query function, restoring on exit. The
+    returned batch DataFrames (memory-sink reads) are partition-count
+    independent, so results are unchanged."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
