@@ -442,3 +442,142 @@ def token_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("quota"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted priority sampling — quality-weighted corpus selection
+# ---------------------------------------------------------------------------
+
+#: Docs kept per source by the weighted sampler.
+WEIGHTED_SAMPLE_K = 5
+
+
+@register(
+    "weighted_sample_priority",
+    oracle=f"""
+    WITH pri AS (
+        SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    AS DOUBLE) / 4294967296.0 / n_chars AS priority
+        FROM documents
+        WHERE n_chars > 0
+    )
+    SELECT source, CAST(rank AS INT) AS rank, doc_id, weight,
+           priority
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY source ORDER BY priority, doc_id
+        ) AS rank FROM pri
+    ) WHERE rank <= {WEIGHTED_SAMPLE_K}
+    """,
+    doc=f"Weight-proportional deterministic sampling (hash-priority, the "
+    "bottom-k-of-u/w scheme): each doc draws a uniform u from md5(id) "
+    "and competes on priority u/weight — P(priority < t) = min(1, t·w), "
+    "so small samples select ∝ weight (here n_chars: longer docs carry "
+    f"more training tokens). Bottom-{WEIGHTED_SAMPLE_K} per source. "
+    "Fully reproducible: no RNG state, no seed file — the sample is a "
+    "pure function of doc ids, and the priority arithmetic is one hash, "
+    "one division (exact IEEE ops, engine-portable; no pow/ln, which "
+    "differ across math libraries at the last ulp).",
+)
+def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: priority is a scan-side expression; the only shuffle is the
+    per-source top-k window (equivalently TakeOrderedAndProject per
+    group). The same scheme streams: a new shard's docs compute their
+    priorities independently and merge-sort into the standing sample —
+    mergeable weighted sampling without coordination, which is what a
+    1000-executor corpus selection actually needs. The full
+    Efraimidis-Spirakis u^(1/w) key is the same plan shape; u/w is the
+    small-probability approximation that stays transcendental-free for
+    cross-engine exactness."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    pri = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (u / F.col("n_chars")).alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= WEIGHTED_SAMPLE_K)
+        .select("source", "rank", "doc_id", "weight", "priority")
+    )
+
+
+from etl_loading_scripts_spark.registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_SPLIT_CASE = (
+    "CASE WHEN substr(md5(CAST({id} AS VARCHAR)), 1, 8) < '" + SPLIT_TRAIN_HEX + "'"
+    " THEN 'train' WHEN substr(md5(CAST({id} AS VARCHAR)), 1, 8) < '"
+    + SPLIT_VAL_HEX + "' THEN 'val' ELSE 'test' END"
+)
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS ({_REGISTRY["dedup_ngram_jaccard"].oracle}),
+    labeled AS (
+        SELECT id_a, id_b,
+               {_SPLIT_CASE.format(id='id_a')} AS split_a,
+               {_SPLIT_CASE.format(id='id_b')} AS split_b
+        FROM pairs
+    )
+    SELECT LEAST(split_a, split_b) || '-' || GREATEST(split_a, split_b)
+               AS pair_split,
+           CAST(split_a <> split_b AS INT) AS leaked,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM labeled GROUP BY 1, 2
+    """,
+    doc="Train/val/test LEAKAGE audit: every near-duplicate pair (exact "
+    "n-gram Jaccard over the dedup threshold, the same pair set "
+    "dedup_ngram_jaccard emits) is labeled with its endpoints' hash-"
+    "assigned splits; cross-split pairs are LEAKED — a val/test doc "
+    "whose near-twin sits in train inflates eval. Composes the "
+    "registered pair pipeline and split rule verbatim, so the audit "
+    "can never drift from the dedup or the splitter it audits.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The check every eval pipeline should run and most don't: random "
+    "(here hash) splitting guarantees near-dup pairs straddle the
+    boundary at rate 2·p_train·p_val+... — this audit measures it so the
+    release can either re-assign leaked pairs to one side or drop them.
+    Scale: rides the blocked candidate-pair computation the dedup
+    already ran (candidate-bounded, never corpus²) plus two scan-side
+    split labels and a 6-group rollup."""
+    from etl_loading_scripts_spark.llm.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs)
+
+    def split_of(col):
+        prefix = F.substring(F.md5(F.col(col).cast("string")), 1, 8)
+        return (
+            F.when(prefix < SPLIT_TRAIN_HEX, "train")
+            .when(prefix < SPLIT_VAL_HEX, "val")
+            .otherwise("test")
+        )
+
+    labeled = pairs.select(
+        split_of("id_a").alias("split_a"), split_of("id_b").alias("split_b")
+    )
+    return (
+        labeled.select(
+            F.concat(
+                F.least("split_a", "split_b"),
+                F.lit("-"),
+                F.greatest("split_a", "split_b"),
+            ).alias("pair_split"),
+            (F.col("split_a") != F.col("split_b")).cast("int").alias("leaked"),
+        )
+        .groupBy("pair_split", "leaked")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+
+
