@@ -83,3 +83,70 @@ def csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("sum_qty"),
     )
     return rollup.unionByName(quarantined)
+
+
+#: Corrupt JSONL lines injected by the query: truncated object, wrong
+#: type for a declared column, and non-JSON garbage.
+_BAD_JSONL = [
+    '{"doc_id": 123, "text": "unterminated',
+    '{"doc_id": "not_a_number", "text": "x", "source": "srcX", "n_chars": 1}',
+    "plain text, not json at all",
+]
+
+_JSONL_SCHEMA = "doc_id BIGINT, text STRING, source STRING, n_chars BIGINT"
+
+
+@register(
+    "jsonl_ingest_quarantine",
+    oracle=f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS n_text_chars
+    FROM documents GROUP BY 1
+    UNION ALL
+    SELECT '__quarantined__', CAST({len(_BAD_JSONL)} AS BIGINT),
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+    """,
+    doc="JSONL corpus ingest with quarantine — JSON-Lines is THE "
+    "interchange format of LLM training corpora (one document object "
+    "per line): documents exported to a JSONL extract, three corrupt "
+    "lines injected (truncated object, type mismatch on a declared "
+    "column, non-JSON garbage), re-ingested PERMISSIVE against the "
+    "declared schema; good docs roll up bit-identically to the parquet "
+    "truth and corrupt lines are counted in quarantine, never dropped "
+    "silently or fatal.",
+)
+def jsonl_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: JSONL is line-splittable, so the scan parallelizes over
+    file splits exactly like CSV; schema is DECLARED (no inference pass
+    over 100 TB) and the corrupt-record column exists only for rows
+    that fail the parse. A type mismatch on a declared column nulls the
+    whole row into quarantine (Spark PERMISSIVE semantics) — counted,
+    inspectable, re-processable after the upstream fix."""
+    from etl_loading_scripts_spark.sources.io import read_jsonl_robust
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    extract = os.path.join(
+        tempfile.gettempdir(),
+        f"jsonl_extract_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    docs.write.mode("overwrite").json(extract)
+    with open(os.path.join(extract, "part-99999-injected.json"), "w") as fh:
+        fh.write("\n".join(_BAD_JSONL) + "\n")
+
+    good, bad = read_jsonl_robust(spark, extract, _JSONL_SCHEMA)
+    rollup = good.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.sum(F.length("text")).cast("bigint").alias("n_text_chars"),
+    )
+    quarantined = bad.agg(
+        F.lit("__quarantined__").alias("source"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+        F.lit(None).cast("bigint").alias("n_text_chars"),
+    )
+    return rollup.unionByName(quarantined)
