@@ -148,6 +148,8 @@ _BNLJ_OK = {
     "churn_risk_by_segment",  # customer grains × broadcast(single-row anchor date)
     "packing_efficiency_sweep",  # 5 language grains × broadcast(3-row window sweep)
     "json_schema_discovery",  # exploded keys × broadcast(single-row total)
+    "ann_probe_cost_audit",  # brute-force leg: corpus × broadcast(10 queries); plus single-row bf_cand broadcast
+    "autocorrelation_lags",  # day grains × broadcast(4-row lag table)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
