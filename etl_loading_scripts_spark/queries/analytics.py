@@ -5218,3 +5218,100 @@ def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
         ).alias("acf"),
     )
+
+
+@register(
+    "attribution_multitouch",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+               CAST(round(value * 1000000) AS BIGINT) AS value_micros
+        FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id AS c_id, user_id, ts AS c_ts FROM events
+        WHERE event_type = 'click'
+    ),
+    touch AS (
+        SELECT p.p_id, p.value_micros, c.c_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.p_id ORDER BY c.c_ts, c.c_id
+               ) AS pos,
+               COUNT(*) OVER (PARTITION BY p.p_id) AS k
+        FROM purchases p
+        JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.c_ts <= p.p_ts
+         AND c.c_ts >= p.p_ts - INTERVAL 7 DAY
+    ),
+    credited AS (
+        SELECT c_id, value_micros,
+               CASE WHEN k = 1 THEN 1000
+                    WHEN k = 2 THEN 500
+                    WHEN pos = 1 OR pos = k THEN 400
+                    ELSE 200 // (k - 2)
+               END AS permille
+        FROM touch
+    )
+    SELECT CAST(c_id % 3 AS BIGINT) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(value_micros * permille // 1000) AS BIGINT)
+               AS credited_micros
+    FROM credited GROUP BY 1
+    """,
+    doc="U-shaped multi-touch attribution: every purchase distributes "
+    "credit over the user's clicks in the prior 7 days — sole touch "
+    "100%, two touches 50/50, otherwise 40% first / 40% last / 20% "
+    "split over the middles — rolled up per channel (click id mod 3 "
+    "plays the channel). All credit arithmetic is integer permille over "
+    "integer micros with truncating division, so the per-channel sums "
+    "are exact BIGINTs — no order-dependent float accumulation.",
+)
+def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the touch table is a per-user time-range join (shuffles on
+    user_id, range-bounded by the 7-day window — state ∝ a user's week,
+    never the history), then ONE window pass partitioned by purchase for
+    position/count and a channel-grain rollup. The credit rule is a CASE
+    arm away from any other position scheme (linear, time-decay with
+    rational weights); keeping weights in integer permille is what lets
+    an independent engine reproduce the report bit-for-bit."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_micros"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), "user_id", F.col("ts").alias("c_ts")
+    )
+    touch = (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS"))
+        )
+        .select("p_id", "value_micros", "c_id", "c_ts")
+    )
+    w = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    wk = Window.partitionBy("p_id")
+    credited = (
+        touch.withColumn("pos", F.row_number().over(w))
+        .withColumn("k", F.count(F.lit(1)).over(wk))
+        .withColumn(
+            "permille",
+            F.when(F.col("k") == 1, 1000)
+            .when(F.col("k") == 2, 500)
+            .when((F.col("pos") == 1) | (F.col("pos") == F.col("k")), 400)
+            .otherwise(F.floor(F.lit(200) / (F.col("k") - 2))),
+        )
+    )
+    return (
+        credited.groupBy((F.col("c_id") % 3).cast("bigint").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum(F.floor(F.col("value_micros") * F.col("permille") / 1000))
+            .cast("bigint")
+            .alias("credited_micros"),
+        )
+    )
