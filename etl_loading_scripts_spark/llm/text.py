@@ -1334,3 +1334,75 @@ def sft_conversation_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_repeats").cast("bigint").alias("n_repeat_violations"),
         F.sum("n_turns").cast("bigint").alias("n_turns_total"),
     )
+
+
+@register(
+    "doc_length_cap_analysis",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars, doc_id
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    p95 AS (
+        SELECT source, MIN(n_chars) AS cap_chars
+        FROM ranked WHERE rn * 100 >= n * 95
+        GROUP BY 1
+    )
+    SELECT r.source,
+           CAST(MAX(r.n) AS BIGINT) AS n_docs,
+           CAST(MAX(p.cap_chars) AS BIGINT) AS cap_chars,
+           CAST(SUM(CASE WHEN r.n_chars > p.cap_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_truncated,
+           CAST(SUM(CASE WHEN r.n_chars > p.cap_chars
+                         THEN r.n_chars - p.cap_chars ELSE 0 END)
+                AS BIGINT) AS chars_saved,
+           CAST(SUM(r.n_chars) AS BIGINT) AS chars_total
+    FROM ranked r JOIN p95 p ON p.source = r.source
+    GROUP BY 1
+    """,
+    doc="Length-cap policy analysis: per source, the exact p95 document "
+    "length (rank-based — rn·100 ≥ n·95, no float percentiles), how "
+    "many documents a cap-at-p95 policy would truncate, and the "
+    "character mass saved — the measurement behind choosing a max-"
+    "document-length cutoff before tokenization, where a handful of "
+    "giant documents otherwise dominate token budgets and pack poorly.",
+)
+def doc_length_cap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one window pass partitioned by source (bounded grain) for
+    rank and population, a 20-row cap table joined back broadcast, and a
+    source-grain rollup — the fact is scanned twice but shuffled once.
+    The exact-rank percentile is the same integer idiom as
+    winsorized_spend_by_nation: cross-engine stable where
+    percentile_approx/quantile built-ins are not."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = docs.select("source", "n_chars", "doc_id").withColumn(
+        "rn", F.row_number().over(w)
+    ).withColumn("n", F.count(F.lit(1)).over(wn))
+    p95 = (
+        ranked.filter(F.col("rn") * 100 >= F.col("n") * 95)
+        .groupBy("source")
+        .agg(F.min("n_chars").alias("cap_chars"))
+    )
+    joined = ranked.join(F.broadcast(p95), "source")
+    return joined.groupBy("source").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        F.max("cap_chars").cast("bigint").alias("cap_chars"),
+        F.sum((F.col("n_chars") > F.col("cap_chars")).cast("int"))
+        .cast("bigint")
+        .alias("n_docs_truncated"),
+        F.sum(
+            F.when(
+                F.col("n_chars") > F.col("cap_chars"),
+                F.col("n_chars") - F.col("cap_chars"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("chars_saved"),
+        F.sum("n_chars").cast("bigint").alias("chars_total"),
+    )
