@@ -520,3 +520,84 @@ def test_missing_months_backfill_plan(spark, tmp_path):
     assert missing_months(spark, path, 202311, 202404) == [
         202311, 202312, 202402, 202404,
     ]
+
+
+def test_recovery_invariant_over_random_crash_states(spark, tmp_path):
+    """Property: for EVERY combination of per-month crash phase (parked
+    with complete staging / parked with incomplete staging / committed
+    but old not cleaned), recovery leaves every month present with its
+    complete old or complete new contents — never absent, never mixed.
+
+    Phases are enumerated exhaustively over 3 months (27 states is
+    cheaper and stronger than sampling)."""
+    import itertools
+    import os
+    import shutil
+
+    from etl_loading_scripts_spark.operators.cow import recover_cow_commit
+
+    OLD = {
+        m: {(k, 20240000 + (m % 100) * 100 + 10 + k, float(m + k)) for k in (1, 2)}
+        for m in (202401, 202402, 202403)
+    }
+    NEW = {m: {(9, 20240000 + (m % 100) * 100 + 15, 999.0 + m)} for m in OLD}
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write_month(root, m, rows, sub=""):
+        # direct pyarrow write: 27 crash states x several months each is
+        # far too many tiny Spark write jobs; Spark reads these fine
+        d = os.path.join(root, sub, f"month={m}") if sub else os.path.join(root, f"month={m}")
+        os.makedirs(d, exist_ok=True)
+        srt = sorted(rows)
+        tbl = pa.table(
+            {
+                "k": pa.array([r[0] for r in srt], pa.int64()),
+                "datekey": pa.array([r[1] for r in srt], pa.int32()),
+                "amount": pa.array([r[2] for r in srt], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
+
+    # phase meanings: 0 = parked + complete staging (roll FORWARD to new)
+    #                 1 = parked + staging incomplete (roll BACK to old)
+    #                 2 = committed, old copy still parked (keep new)
+    case_no = 0
+    for phases in itertools.product((0, 1, 2), repeat=3):
+        case_no += 1
+        path = str(tmp_path / f"fact_{case_no}")
+        staging = os.path.join(path, ".cow_staging")
+        old_root = os.path.join(path, ".cow_old")
+        os.makedirs(old_root)
+        any_incomplete_staging = 1 in phases
+        for m, ph in zip(sorted(OLD), phases):
+            # old month parked (phases 0/1) or cleanup-pending (phase 2)
+            write_month(path, m, OLD[m], sub=".cow_old")
+            if ph == 0:
+                write_month(path, m, NEW[m], sub=".cow_staging")
+            elif ph == 2:
+                write_month(path, m, NEW[m])
+        os.makedirs(staging, exist_ok=True)
+        if not any_incomplete_staging:
+            with open(os.path.join(staging, "_SUCCESS"), "w"):
+                pass
+
+        recover_cow_commit(spark, path)
+
+        assert not os.path.exists(old_root)
+        assert not os.path.exists(staging)
+        got_all = {
+            (r.k, r.datekey, r.amount)
+            for r in spark.read.parquet(path).collect()
+        }
+        for m, ph in zip(sorted(OLD), phases):
+            month_rows = {t for t in got_all if t[1] // 100 % 100 == m % 100}
+            # with an incomplete staging root, phase-0 months roll BACK
+            expect = (
+                NEW[m]
+                if (ph == 2 or (ph == 0 and not any_incomplete_staging))
+                else OLD[m]
+            )
+            assert month_rows == expect, (phases, m)
+        shutil.rmtree(path)
