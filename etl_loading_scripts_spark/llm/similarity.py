@@ -1508,3 +1508,88 @@ def lsh_bucket_size_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("candidate_pairs"),
     )
+
+
+@register(
+    "ivf_cell_balance_audit",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2
+        FROM (SELECT vec_id, {_QVEC} AS qv FROM embeddings)
+    ),
+    centroids AS (
+        SELECT vec_id AS centroid_id, qv AS cv, norm2 AS cn FROM n
+        WHERE vec_id % {CENTROID_STEP} = 0
+    ),
+    assigned AS (
+        SELECT vec_id, centroid_id
+        FROM (
+            SELECT v.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='v.qv', b='c.cv')} AS DOUBLE)
+                                / sqrt(CAST(v.norm2 AS DOUBLE)) / sqrt(CAST(c.cn AS DOUBLE)) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM n v CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    sizes AS (
+        SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS cell_size
+        FROM assigned GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(cell_size) AS BIGINT) AS n_vectors,
+               CAST(MAX(cell_size) AS BIGINT) AS max_cell,
+               CAST(MIN(cell_size) AS BIGINT) AS min_cell,
+               CAST(SUM(cell_size * cell_size) AS BIGINT) AS sum_sq
+        FROM sizes
+    )
+    SELECT n_cells, n_vectors, max_cell, min_cell,
+           CAST(max_cell AS DOUBLE) * n_cells / n_vectors AS imbalance_factor,
+           CAST(sum_sq AS DOUBLE) * n_cells / (CAST(n_vectors AS DOUBLE) * n_vectors)
+               AS probe_cost_factor
+    FROM tot
+    """,
+    doc="IVF index-health audit: per-cell population rolled into the two "
+    "numbers that govern probe latency — imbalance factor (max cell vs "
+    "the uniform ideal: the tail-latency multiplier when a query lands "
+    "in the hot cell) and probe-cost factor (Σs²·C/N²: the expected "
+    "relative candidate load under data-distributed queries, exactly 1.0 "
+    "for perfectly balanced cells). The IVF complement of "
+    "lsh_bucket_size_profile; the trigger for re-training centroids.",
+)
+def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: cell sizes are a count aggregate over the assignment the
+    index build already computed (broadcast centroids, one shuffle on
+    centroid_id); the audit itself reduces to a single row. At 100 TB
+    this runs as a cheap post-build step whose two factors decide
+    whether to re-run k-means with more/better-seeded centroids — a
+    hot cell both slows every probe that lands in it AND starves recall
+    everywhere else (fixed candidate budget spent on one region)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _quantized(emb).select("vec_id", "qv", "norm2")
+    sizes = _ivf_assign(n).groupBy("centroid_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cell_size")
+    )
+    return sizes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.sum("cell_size").cast("bigint").alias("n_vectors"),
+        F.max("cell_size").cast("bigint").alias("max_cell"),
+        F.min("cell_size").cast("bigint").alias("min_cell"),
+        F.sum(F.col("cell_size") * F.col("cell_size")).cast("bigint").alias("sum_sq"),
+    ).select(
+        "n_cells",
+        "n_vectors",
+        "max_cell",
+        "min_cell",
+        (F.col("max_cell").cast("double") * F.col("n_cells") / F.col("n_vectors")).alias(
+            "imbalance_factor"
+        ),
+        (
+            F.col("sum_sq").cast("double")
+            * F.col("n_cells")
+            / (F.col("n_vectors").cast("double") * F.col("n_vectors"))
+        ).alias("probe_cost_factor"),
+    )
