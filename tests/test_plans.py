@@ -150,6 +150,7 @@ _BNLJ_OK = {
     "json_schema_discovery",  # exploded keys × broadcast(single-row total)
     "ann_probe_cost_audit",  # brute-force leg: corpus × broadcast(10 queries); plus single-row bf_cand broadcast
     "autocorrelation_lags",  # day grains × broadcast(4-row lag table)
+    "ivf_cell_balance_audit",  # cell assignment: corpus × broadcast(C centroids), as ann_ivf_topk
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
