@@ -1178,3 +1178,134 @@ def inferred_member_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(served, "status")
         .select("status", "n_members", "n_nations", "n_orders_served")
     )
+
+
+@register(
+    "cuisine_impute_cascade",
+    oracle="""
+    WITH base AS (
+        SELECT p_partkey, p_brand,
+               CASE WHEN p_partkey % 9 = 0 THEN 'N/A' ELSE p_type END AS ptype
+        FROM part
+    ),
+    partner_pick AS (
+        -- CT:11-27: prefer the partner row's value, rank by Type
+        SELECT p_brand, MIN(ptype) AS partner_type
+        FROM base WHERE p_partkey % 5 = 0 AND ptype <> 'N/A'
+        GROUP BY 1
+    ),
+    modal_pick AS (
+        -- CT:28-46: else the brand's modal value (count DESC, tie by type)
+        SELECT p_brand, ptype AS modal_type
+        FROM (
+            SELECT p_brand, ptype,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p_brand
+                       ORDER BY COUNT(*) DESC, ptype
+                   ) AS rn
+            FROM base WHERE ptype <> 'N/A'
+            GROUP BY p_brand, ptype
+        ) WHERE rn = 1
+    ),
+    imputed AS (
+        SELECT b.p_partkey, b.p_brand, b.ptype,
+               CASE WHEN b.ptype <> 'N/A' THEN 'original'
+                    WHEN pp.partner_type IS NOT NULL THEN 'partner'
+                    WHEN mp.modal_type IS NOT NULL THEN 'modal'
+                    ELSE 'unimputed' END AS source
+        FROM base b
+        LEFT JOIN partner_pick pp ON pp.p_brand = b.p_brand
+        LEFT JOIN modal_pick mp ON mp.p_brand = b.p_brand
+    ),
+    rollup_src AS (
+        SELECT source AS category,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT p_brand) AS BIGINT) AS n_brands
+        FROM imputed GROUP BY 1
+    ),
+    discrepancy AS (
+        -- CT:82-137: brands where the two strategies disagree
+        SELECT 'partner_modal_discrepancy' AS category,
+               CAST(COALESCE(SUM(n_na), 0) AS BIGINT) AS n_parts,
+               CAST(COUNT(*) AS BIGINT) AS n_brands
+        FROM (
+            SELECT pp.p_brand,
+                   (SELECT COUNT(*) FROM base b
+                    WHERE b.p_brand = pp.p_brand AND b.ptype = 'N/A') AS n_na
+            FROM partner_pick pp JOIN modal_pick mp ON mp.p_brand = pp.p_brand
+            WHERE pp.partner_type <> mp.modal_type
+        )
+    )
+    SELECT * FROM rollup_src
+    UNION ALL
+    SELECT * FROM discrepancy
+    """,
+    doc="Entry point C's cuisine-imputation cascade (CT end-to-end): "
+    "'N/A' values imputed per brand by the two-wave preference — the "
+    "partner row's value when one exists (rank by type, CT:11-27), else "
+    "the brand's modal value (CT:28-46); brands whose rows are all N/A "
+    "stay honestly unimputed (CT:198-203); plus the partner-vs-modal "
+    "discrepancy report (CT:82-137) that decides whether the preferred "
+    "strategy can be trusted. Rolled up per imputation source.",
+)
+def cuisine_impute_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the same primitives the standalone queries exercise
+    (rank-by-preference O43, modal-per-group O45, guarded update O5/O19)
+    into the reference script's actual flow. Scale: both picks are
+    brand-grain aggregates (bounded dimension), broadcast back over the
+    part table — one shuffle for the modal count, everything else
+    map-side; the discrepancy report is a brand-grain join of the two
+    pick tables."""
+    part = load_table(spark, sf_dir, "part")
+    base = part.select(
+        "p_partkey",
+        "p_brand",
+        F.when(F.col("p_partkey") % 9 == 0, "N/A").otherwise(F.col("p_type")).alias(
+            "ptype"
+        ),
+    )
+    partner_pick = (
+        base.filter((F.col("p_partkey") % 5 == 0) & (F.col("ptype") != "N/A"))
+        .groupBy("p_brand")
+        .agg(F.min("ptype").alias("partner_type"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.desc("cnt"), "ptype")
+    modal_pick = (
+        base.filter(F.col("ptype") != "N/A")
+        .groupBy("p_brand", "ptype")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", F.col("ptype").alias("modal_type"))
+    )
+    imputed = (
+        base.join(F.broadcast(partner_pick), "p_brand", "left")
+        .join(F.broadcast(modal_pick), "p_brand", "left")
+        .withColumn(
+            "source",
+            F.when(F.col("ptype") != "N/A", "original")
+            .when(F.col("partner_type").isNotNull(), "partner")
+            .when(F.col("modal_type").isNotNull(), "modal")
+            .otherwise("unimputed"),
+        )
+    )
+    rollup = imputed.groupBy(F.col("source").alias("category")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.countDistinct("p_brand").cast("bigint").alias("n_brands"),
+    )
+    na_per_brand = (
+        base.filter(F.col("ptype") == "N/A")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_na"))
+    )
+    disc_brands = (
+        partner_pick.join(modal_pick, "p_brand")
+        .filter(F.col("partner_type") != F.col("modal_type"))
+        .join(F.broadcast(na_per_brand), "p_brand", "left")
+    )
+    discrepancy = disc_brands.agg(
+        F.lit("partner_modal_discrepancy").alias("category"),
+        F.coalesce(F.sum("n_na"), F.lit(0)).cast("bigint").alias("n_parts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+    )
+    return rollup.unionByName(discrepancy)
