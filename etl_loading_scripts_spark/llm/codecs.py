@@ -1,17 +1,22 @@
-"""Dependency-free real image codecs: 24-bit BMP and binary PPM (P6).
+"""Dependency-free real image/audio codecs: BMP, PPM, PNG, WAV.
 
 These are genuine byte-layout codecs, not fakes: the BMP path writes and
 parses BITMAPFILEHEADER + BITMAPINFOHEADER, 4-byte row padding, bottom-up
 row order, and BGR channel order per the Windows DIB spec; the PPM path
 implements the Netpbm P6 container (ASCII header with ``#`` comments,
-arbitrary whitespace, then raw RGB triplets). A real 24-bit uncompressed
-BMP or P6 file produced by any tool decodes correctly here.
+arbitrary whitespace, then raw RGB triplets); the PNG path implements the
+full chunk grammar with CRC verification, zlib IDAT, all five scanline
+filters, all four 8-bit color types (gray / truecolor / palette / RGBA)
+and Adam7 interlacing; the WAV path walks the RIFF chunk list. A real
+file of any of these shapes produced by any tool decodes correctly here.
+Baseline JPEG lives in the sibling ``llm/jpeg.py``.
 
 They exist because the container has no imaging libraries (PIL/libvips);
-``mm_decode_real`` runs them inside the engine's Arrow-batched
-``mapInPandas`` kernel so the multimodal decode path exercises an actual
-codec end-to-end. Formats beyond these (PNG/JPEG/...) remain the
-PIL/libvips integration point — see ``multimodal.decode_image_stub``.
+the ``mm_decode_*`` queries run them inside the engine's Arrow-batched
+``mapInPandas`` kernels so the multimodal decode path exercises actual
+codecs end-to-end. Remaining formats (WebP/GIF/TIFF, 16-bit PNG,
+progressive JPEG) are the PIL/libvips integration point — see
+``multimodal.decode_image_stub`` and the ``mm_format_quarantine`` path.
 
 Reference behavior modeled: the reference repo has no binary/multimodal
 processing at all (pure T-SQL warehouse, SURVEY §2.10); this family is
@@ -203,12 +208,16 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def decode_png(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode an 8-bit truecolor non-interlaced PNG → (w, h, rgb).
+    """Decode an 8-bit PNG → (w, h, rgb).
 
     Genuine spec work: signature + chunk walk with CRC verification,
-    zlib inflate of concatenated IDATs, and full scanline defiltering
-    (all five filter types). Raises ``ValueError`` on bad magic, CRC
-    mismatch, other color types/bit depths, or interlacing.
+    zlib inflate of concatenated IDATs, full scanline defiltering (all
+    five filter types), all four 8-bit color types — grayscale (0),
+    truecolor (2), palette (3, via PLTE), RGBA (6, alpha stripped: the
+    compositing policy belongs to the caller) — and Adam7 interlacing
+    (seven independently-filtered passes scattered onto the pass grid).
+    Output is always packed RGB. Raises ``ValueError`` on bad magic,
+    CRC mismatch, 16-bit depth, or malformed pass/size layout.
     """
     import zlib
 
@@ -216,6 +225,8 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError("not a PNG payload (bad signature)")
     pos = len(_PNG_SIG)
     width = height = None
+    ctype = interlace = 0
+    palette = None
     idat = bytearray()
     while pos < len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
@@ -228,12 +239,17 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or ctype != 2:
+            if depth != 8 or ctype not in (0, 2, 3, 6):
                 raise ValueError(
-                    f"only 8-bit truecolor supported (depth={depth}, type={ctype})"
+                    "only 8-bit gray/truecolor/palette/RGBA supported "
+                    f"(depth={depth}, type={ctype})"
                 )
-            if comp != 0 or filt != 0 or interlace != 0:
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported compression/filter/interlace method")
+        elif tag == b"PLTE":
+            if length % 3:
+                raise ValueError("PLTE length must be a multiple of 3")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat += body
         elif tag == b"IEND":
@@ -242,17 +258,42 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if width is None:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    bpp = 3
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    if interlace == 0:
+        px = _defilter(raw, width, height, bpp)
+    else:  # Adam7
+        px = _deinterlace_adam7(raw, width, height, bpp)
+    # normalize every color type to packed RGB (the stats pipeline's
+    # common currency): grayscale replicates, palette resolves through
+    # PLTE, RGBA drops alpha (documented — compositing policy belongs to
+    # the caller, not the codec)
+    if ctype == 0:
+        rgb = np.repeat(px.reshape(height, width, 1), 3, axis=2)
+    elif ctype == 2:
+        rgb = px.reshape(height, width, 3)
+    elif ctype == 3:
+        if palette is None:
+            raise ValueError("paletted PNG without a PLTE chunk")
+        rgb = palette[px.reshape(height, width)]
+    else:  # 6
+        rgb = px.reshape(height, width, 4)[:, :, :3]
+    return width, height, np.ascontiguousarray(rgb).tobytes()
+
+
+def _defilter(raw: bytes, width: int, height: int, bpp: int) -> "np.ndarray":
+    """Reverse PNG scanline filtering → (height, width*bpp) uint8 array.
+
+    DEFILTERING has a real data dependency (the reconstructed left
+    neighbor feeds the next pixel), so the vectorization is per filter
+    type (VERDICT r3 item 2): None/Up are whole-row numpy expressions
+    and Sub is a per-channel-lane running sum (mod-256 cumsum);
+    Average/Paeth genuinely need the sequential scan, where a tight
+    Python byte loop beats per-pixel numpy calls by ~20× at real row
+    widths (numpy's per-call overhead dwarfs few-element vector math).
+    """
     stride = width * bpp
     if len(raw) != (stride + 1) * height:
         raise ValueError("decompressed size does not match dimensions")
-    # DEFILTERING has a real data dependency (the reconstructed left
-    # neighbor feeds the next pixel), so the vectorization is per filter
-    # type (VERDICT r3 item 2): None/Up are whole-row numpy expressions
-    # and Sub is a per-channel-lane running sum (mod-256 cumsum);
-    # Average/Paeth genuinely need the sequential scan, where a tight
-    # Python byte loop beats per-pixel numpy calls by ~20× at real row
-    # widths (numpy's per-call overhead dwarfs 3-element vector math)
     scan = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)
@@ -302,7 +343,102 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError(f"unknown filter type {ftype}")
         out[y] = rec.astype(np.uint8)
         prev = rec
-    return width, height, out.tobytes()
+    return out
+
+
+#: Adam7 pass grid: (x origin, y origin, x step, y step) per pass.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _deinterlace_adam7(raw: bytes, width: int, height: int, bpp: int) -> "np.ndarray":
+    """Adam7 deinterlace: seven independently-filtered sub-images, each
+    defiltered with the shared kernel and scattered onto the pass grid."""
+    out = np.zeros((height, width * bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        size = (pw * bpp + 1) * ph
+        sub = _defilter(raw[pos : pos + size], pw, ph, bpp)
+        pos += size
+        cols = (x0 + np.arange(pw) * dx)  # image x of each pass pixel
+        rows = y0 + np.arange(ph) * dy
+        # scatter: out[rows, cols*bpp + c] = sub pixels
+        sub_px = sub.reshape(ph, pw, bpp)
+        for c in range(bpp):
+            out[np.ix_(rows, cols * bpp + c)] = sub_px[:, :, c]
+    if pos != len(raw):
+        raise ValueError("interlaced data size does not match pass layout")
+    return out
+
+
+def _png_container(
+    width: int, height: int, ctype: int, raw: bytes,
+    palette: bytes | None = None, interlace: int = 0,
+) -> bytes:
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, interlace)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _png_chunk(b"PLTE", palette)
+    return out + _png_chunk(b"IDAT", zlib.compress(raw, 6)) + _png_chunk(b"IEND", b"")
+
+
+def _filter0_rows(px: "np.ndarray") -> bytes:
+    """Scanlines with filter type 0 (None) — a valid, tool-readable
+    encoding for the non-truecolor variants (the truecolor encoder above
+    exercises all five filters; these exercise color types/interlace)."""
+    h = px.shape[0]
+    return b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+
+def encode_png_gray(width: int, height: int, gray: bytes) -> bytes:
+    """Encode 8-bit grayscale pixels as a color-type-0 PNG."""
+    if len(gray) != width * height:
+        raise ValueError("gray length must be width*height")
+    px = np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
+    return _png_container(width, height, 0, _filter0_rows(px))
+
+
+def encode_png_palette(
+    width: int, height: int, indices: bytes, palette: bytes
+) -> bytes:
+    """Encode palette indices + an RGB palette as a color-type-3 PNG."""
+    if len(indices) != width * height:
+        raise ValueError("indices length must be width*height")
+    if len(palette) % 3 or not palette:
+        raise ValueError("palette must be non-empty RGB triples")
+    px = np.frombuffer(indices, dtype=np.uint8).reshape(height, width)
+    return _png_container(width, height, 3, _filter0_rows(px), palette=palette)
+
+
+def encode_png_rgba(width: int, height: int, rgba: bytes) -> bytes:
+    """Encode RGBA pixels as a color-type-6 PNG."""
+    if len(rgba) != width * height * 4:
+        raise ValueError("rgba length must be width*height*4")
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(height, width * 4)
+    return _png_container(width, height, 6, _filter0_rows(px))
+
+
+def encode_png_interlaced(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode truecolor RGB as an Adam7-INTERLACED PNG (seven passes,
+    each an independently-filtered sub-image per the spec)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    img = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    raw = b""
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        raw += _filter0_rows(sub.reshape(sub.shape[0], -1))
+    return _png_container(width, height, 2, raw, interlace=1)
 
 
 # ---------------------------------------------------------------------------

@@ -40,10 +40,11 @@ def decode_image_stub(payload: bytes) -> dict:
     PIL/libvips integration point for everything else.
 
     The engine ships REAL dependency-free codecs for 24-bit BMP, binary
-    PPM, 8-bit truecolor PNG (``llm/codecs.py``) and baseline JFIF JPEG
-    (``llm/jpeg.py``), each exercised end-to-end by its mm_decode_*
-    query. Remaining formats (WebP/GIF/TIFF, progressive/subsampled
-    JPEG, interlaced PNG) need an imaging library that is not in this
+    PPM, 8-bit PNG in all four color types incl. Adam7 interlacing
+    (``llm/codecs.py``) and baseline JFIF JPEG (``llm/jpeg.py``), each
+    exercised end-to-end by its mm_decode_* query. Remaining formats
+    (WebP/GIF/TIFF, progressive/subsampled JPEG, 16-bit PNG) need an
+    imaging library that is not in this
     container; a production build wires PIL/libvips here and the
     ``mapInPandas`` batch plumbing is unchanged — or routes through the
     classify-and-quarantine path (``mm_format_quarantine``) so a mixed
@@ -1043,3 +1044,142 @@ def mm_frame_shot_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_boundaries"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG variant decode — color types 0/3/6 + Adam7 interlacing
+# ---------------------------------------------------------------------------
+
+_PNG_VARIANT_SCHEMA = (
+    "doc_id long, variant string, width int, height int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, checksum_weighted bigint"
+)
+
+_PALETTE_SIZE = 8
+
+
+def _png_variant_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Round-trip every doc through one of the four PNG shapes chosen by
+    doc_id mod 4 — grayscale (type 0), palette (type 3, 8-entry PLTE),
+    RGBA (type 6, alpha stripped on decode), Adam7-interlaced truecolor —
+    and emit stats from the DECODED packed-RGB pixels. A gray-replication,
+    palette-lookup, alpha-stride, or pass-grid bug breaks the
+    position-weighted checksum."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.codecs import (
+        decode_png,
+        encode_png_gray,
+        encode_png_interlaced,
+        encode_png_palette,
+        encode_png_rgba,
+    )
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "variant", "width", "height",
+            "sum_r", "sum_g", "sum_b", "checksum_weighted",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 4 + d % 13, 3 + d % 7
+            kind = d % 4
+            if kind == 0:
+                variant = "gray"
+                gray = ((d * 31 + np.arange(w * h)) % 256).astype(np.uint8)
+                payload = encode_png_gray(w, h, gray.tobytes())
+            elif kind == 1:
+                variant = "palette"
+                j = np.arange(_PALETTE_SIZE)
+                pal = np.stack(
+                    [(d + j * 37) % 256, (d * 3 + j * 11) % 256, (d * 7 + j * 5) % 256],
+                    axis=1,
+                ).astype(np.uint8)
+                idx = ((d + np.arange(w * h)) % _PALETTE_SIZE).astype(np.uint8)
+                payload = encode_png_palette(w, h, idx.tobytes(), pal.tobytes())
+            elif kind == 2:
+                variant = "rgba"
+                rgba = ((d * 31 + np.arange(w * h * 4)) % 256).astype(np.uint8)
+                payload = encode_png_rgba(w, h, rgba.tobytes())
+            else:
+                variant = "adam7"
+                rgb = ((d * 31 + np.arange(w * h * 3)) % 256).astype(np.uint8)
+                payload = encode_png_interlaced(w, h, rgb.tobytes())
+            dw, dh, drgb = decode_png(payload)
+            arr = np.frombuffer(drgb, dtype=np.uint8).astype(np.int64)
+            out["doc_id"].append(d)
+            out["variant"].append(variant)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["sum_r"].append(int(arr[0::3].sum()))
+            out["sum_g"].append(int(arr[1::3].sum()))
+            out["sum_b"].append(int(arr[2::3].sum()))
+            out["checksum_weighted"].append(int(((np.arange(arr.size) + 1) * arr).sum()))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64", "variant": "string", "width": "int32",
+                "height": "int32", "sum_r": "int64", "sum_g": "int64",
+                "sum_b": "int64", "checksum_weighted": "int64",
+            }
+        )
+
+
+#: Expected decoded-RGB byte at linear RGB position q (0-indexed over
+#: w*h*3), per variant — the oracle's transliteration of the planting
+#: formulas after the decoder's RGB normalization.
+_PNG_VARIANT_RGB_DUCK = """
+    CASE doc_id % 4
+        WHEN 0 THEN (doc_id * 31 + (q // 3)) % 256
+        WHEN 1 THEN CASE q % 3
+            WHEN 0 THEN (doc_id + ((doc_id + (q // 3)) % 8) * 37) % 256
+            WHEN 1 THEN (doc_id * 3 + ((doc_id + (q // 3)) % 8) * 11) % 256
+            ELSE (doc_id * 7 + ((doc_id + (q // 3)) % 8) * 5) % 256 END
+        WHEN 2 THEN (doc_id * 31 + (q // 3) * 4 + (q % 3)) % 256
+        ELSE (doc_id * 31 + q) % 256
+    END
+"""
+
+
+@register(
+    "mm_decode_png_variants",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 'gray' WHEN 1 THEN 'palette'
+                    WHEN 2 THEN 'rgba' ELSE 'adam7' END AS variant,
+               4 + doc_id % 13 AS w,
+               3 + doc_id % 7 AS h
+        FROM documents
+    )
+    SELECT doc_id, variant,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                q -> CASE WHEN q % 3 = 0 THEN {_PNG_VARIANT_RGB_DUCK} ELSE 0 END))
+               AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                q -> CASE WHEN q % 3 = 1 THEN {_PNG_VARIANT_RGB_DUCK} ELSE 0 END))
+               AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                q -> CASE WHEN q % 3 = 2 THEN {_PNG_VARIANT_RGB_DUCK} ELSE 0 END))
+               AS BIGINT) AS sum_b,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                q -> (q + 1) * ({_PNG_VARIANT_RGB_DUCK}))) AS BIGINT)
+               AS checksum_weighted
+    FROM px
+    """,
+    doc="PNG color-type + interlace breadth under the hash gate: each doc "
+    "round-trips through grayscale (type 0), palette (type 3 with a real "
+    "PLTE), RGBA (type 6, alpha stripped), or Adam7-INTERLACED truecolor "
+    "(seven independently-filtered passes) by doc_id mod 4; all stats "
+    "come from the DECODED packed-RGB pixels, so a gray-replication, "
+    "palette-lookup, alpha-stride, or pass-grid bug hash-mismatches the "
+    "arithmetic oracle.",
+)
+def mm_decode_png_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same contract as every mm_decode_* — Arrow-batched
+    mapInPandas, partition-local, no shuffle. Deinterlacing cost is the
+    same defilter work scattered across seven passes plus one index
+    scatter (numpy fancy-index per pass); at corpus scale interlaced
+    files are a small minority and this path prices them honestly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_png_variant_batches, schema=_PNG_VARIANT_SCHEMA)

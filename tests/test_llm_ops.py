@@ -393,3 +393,39 @@ def test_wav_codec_parses_extra_chunks_and_rejects_stereo():
     struct.pack_into("<H", stereo, payload.index(b"fmt ") + 10, 2)
     with pytest.raises(ValueError, match="mono"):
         decode_wav(bytes(stereo))
+
+
+def test_png_color_types_and_adam7_interlace():
+    """Color types 0/3/6 and Adam7 deinterlacing decode to the exact
+    packed RGB, across edge-case dimensions where most passes are empty."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.codecs import (
+        decode_png,
+        encode_png_gray,
+        encode_png_interlaced,
+        encode_png_palette,
+        encode_png_rgba,
+    )
+
+    rng = np.random.default_rng(11)
+    w, h = 13, 9
+    gray = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    dw, dh, out = decode_png(encode_png_gray(w, h, gray.tobytes()))
+    assert (dw, dh) == (w, h)
+    assert out == np.repeat(gray[..., None], 3, axis=2).tobytes()
+
+    pal = rng.integers(0, 256, (5, 3), dtype=np.uint8)
+    idx = rng.integers(0, 5, (h, w), dtype=np.uint8)
+    _, _, out = decode_png(encode_png_palette(w, h, idx.tobytes(), pal.tobytes()))
+    assert out == pal[idx].tobytes()
+
+    rgba = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    _, _, out = decode_png(encode_png_rgba(w, h, rgba.tobytes()))
+    assert out == np.ascontiguousarray(rgba[:, :, :3]).tobytes()
+
+    for ww, hh in [(1, 1), (2, 2), (3, 5), (8, 8), (9, 10), (13, 9)]:
+        img = rng.integers(0, 256, (hh, ww, 3), dtype=np.uint8)
+        dw, dh, out = decode_png(encode_png_interlaced(ww, hh, img.tobytes()))
+        assert (dw, dh) == (ww, hh)
+        assert out == img.tobytes(), (ww, hh)
