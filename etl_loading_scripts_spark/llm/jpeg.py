@@ -19,8 +19,10 @@ NotImplementedError gate. It is genuine spec work, not a fake:
 
 Scope (honest partial support, mirroring the BMP/PNG codecs): baseline
 sequential only, 8-bit precision, 1-component (grayscale) or 3-component
-4:4:4 (no chroma subsampling), no progressive scans, no restart
-intervals. Everything outside that raises ``ValueError`` with the reason
+4:4:4 (no chroma subsampling), no progressive scans; restart intervals
+(DRI/RSTn — the resync layout every camera file carries) are supported
+on both encode and decode. Everything outside that raises ``ValueError``
+with the reason
 — the classify-and-quarantine ingestion path (``mm_format_quarantine``)
 is how a mixed real corpus flows past such payloads without dying.
 
@@ -211,10 +213,20 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (spec) — restart markers
+        and the end of scan are byte-aligned."""
         if self.nbits:
             pad = 8 - self.nbits
-            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+            self.write((1 << pad) - 1, pad)
+
+    def raw_marker(self, byte2: int) -> None:
+        """Emit FF xx verbatim (no stuffing) — caller must align() first."""
+        assert self.nbits == 0
+        self.out += bytes((0xFF, byte2))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.out)
 
 
@@ -232,8 +244,9 @@ class _BitReader:
             if nxt == 0x00:  # stuffed byte
                 self.pos += 2
             else:
-                # a real marker inside entropy data — treat as padding
-                # (we never emit restart markers); feed 1-bits
+                # a real marker inside entropy data — padding ahead of
+                # EOI or a restart marker (consumed by sync_restart, not
+                # here); feed 1-bits
                 self.acc = (self.acc << 8) | 0xFF
                 self.nbits += 8
                 return
@@ -253,6 +266,18 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def sync_restart(self, n: int) -> None:
+        """Consume the byte-aligned RSTn marker at a restart boundary:
+        discard residual padding bits, verify FF D0+n, advance."""
+        self.acc = 0
+        self.nbits = 0
+        if self.data[self.pos : self.pos + 2] != bytes((0xFF, 0xD0 + (n & 7))):
+            raise ValueError(
+                f"corrupt JPEG: expected restart marker RST{n & 7} at "
+                f"offset {self.pos}"
+            )
+        self.pos += 2
 
     def decode(self, table: _Decoder) -> int:
         code = self.bit()
@@ -280,13 +305,27 @@ def _encode_blocks(
     qts: list[np.ndarray],
     dc_codes: list[dict],
     ac_codes: list[dict],
+    restart_interval: int = 0,
 ) -> bytes:
-    """Entropy-encode interleaved 4:4:4 MCUs (one block per component)."""
+    """Entropy-encode interleaved 4:4:4 MCUs (one block per component).
+
+    ``restart_interval`` > 0 emits an RSTn marker (byte-aligned, DC
+    predictors reset) after every that-many MCUs — the resync points
+    every camera JPEG carries so a bit error loses one interval, not
+    the rest of the image (T.81 §B.2.1.2)."""
     h8, w8 = planes[0].shape[0] // 8, planes[0].shape[1] // 8
     bw = _BitWriter()
     pred = [0] * len(planes)
+    mcu = 0
+    rst = 0
     for by in range(h8):
         for bx in range(w8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.align()
+                bw.raw_marker(0xD0 + (rst & 7))
+                rst += 1
+                pred = [0] * len(planes)
+            mcu += 1
             for ci, plane in enumerate(planes):
                 block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
                     np.float64
@@ -349,18 +388,29 @@ def _pad_plane(plane: np.ndarray) -> np.ndarray:
     )
 
 
-def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
-    """Encode 8-bit grayscale pixels as a baseline JFIF JPEG."""
+def encode_jpeg_gray(
+    width: int, height: int, gray: bytes, restart_interval: int = 0
+) -> bytes:
+    """Encode 8-bit grayscale pixels as a baseline JFIF JPEG.
+
+    ``restart_interval`` > 0 writes a DRI segment and RSTn markers every
+    that-many MCUs (the resync layout real camera files use)."""
     if len(gray) != width * height:
         raise ValueError("gray length must be width*height")
     plane = _pad_plane(
         np.frombuffer(gray, dtype=np.uint8).reshape(height, width)
     )
     scan = _encode_blocks(
-        [plane], [QT_LUM], [_build_codes(*HUFF_DC_LUM)], [_build_codes(*HUFF_AC_LUM)]
+        [plane], [QT_LUM], [_build_codes(*HUFF_DC_LUM)], [_build_codes(*HUFF_AC_LUM)],
+        restart_interval=restart_interval,
     )
     sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
     sos = bytes([1, 1, 0x00, 0, 63, 0])
+    dri = (
+        _marker(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         b"\xff\xd8"  # SOI
         + _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -368,6 +418,7 @@ def encode_jpeg_gray(width: int, height: int, gray: bytes) -> bytes:
         + _marker(0xC0, sof)
         + _dht(0, 0, *HUFF_DC_LUM)
         + _dht(1, 0, *HUFF_AC_LUM)
+        + dri
         + _marker(0xDA, sos)
         + scan
         + b"\xff\xd9"  # EOI
@@ -422,10 +473,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     pixels).
 
     ``channels`` is 1 (grayscale: pixels are row-major luma bytes) or 3
-    (RGB after the JFIF YCbCr inverse). Raises ``ValueError`` on non-JPEG
-    magic, progressive scans (SOF2), arithmetic coding, chroma
-    subsampling, restart intervals, or 12-bit precision — the quarantine
-    path's job, not the decoder's.
+    (RGB after the JFIF YCbCr inverse). Restart intervals (DRI + RSTn
+    resync markers, with DC-predictor reset) are handled. Raises
+    ``ValueError`` on non-JPEG magic, progressive scans (SOF2),
+    arithmetic coding, chroma subsampling, or 12-bit precision — the
+    quarantine path's job, not the decoder's.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
@@ -433,6 +485,7 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _Decoder] = {}
     frame = None
+    restart_interval = 0
     comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
     while pos < len(payload):
         if payload[pos] != 0xFF:
@@ -444,8 +497,6 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("progressive JPEG not supported (baseline only)")
         if tag in (0xC9, 0xCB, 0xCD):
             raise ValueError("arithmetic-coded JPEG not supported")
-        if tag == 0xDD:
-            raise ValueError("restart intervals not supported")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         if tag == 0xDB:  # DQT (possibly several tables per segment)
@@ -459,6 +510,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 qt[ZIGZAG] = zz
                 qtables[tq] = qt
                 bpos += 65
+        elif tag == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif tag == 0xC4:  # DHT
             bpos = 0
             while bpos < len(body):
@@ -491,12 +544,18 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 td, ta = body[2 + si * 2] >> 4, body[2 + si * 2] & 0xF
                 scan_tables.append((cid, td, ta))
             pos = pos + 2 + seglen
-            return _decode_scan(payload, pos, frame, comps, scan_tables, qtables, htables)
+            return _decode_scan(
+                payload, pos, frame, comps, scan_tables, qtables, htables,
+                restart_interval,
+            )
         pos += 2 + seglen
     raise ValueError("no scan data found")
 
 
-def _decode_scan(payload, pos, frame, comps, scan_tables, qtables, htables):
+def _decode_scan(
+    payload, pos, frame, comps, scan_tables, qtables, htables,
+    restart_interval=0,
+):
     width, height, ncomp = frame
     w8, h8 = (width + 7) // 8, (height + 7) // 8
     planes = [np.zeros((h8 * 8, w8 * 8), dtype=np.float64) for _ in range(ncomp)]
@@ -505,8 +564,16 @@ def _decode_scan(payload, pos, frame, comps, scan_tables, qtables, htables):
     comp_q = [qtables[tq] for (_, _, tq) in comps]
     comp_dc = [htables[(0, td)] for (_, td, _) in scan_tables]
     comp_ac = [htables[(1, ta)] for (_, _, ta) in scan_tables]
+    mcu = 0
+    rst = 0
     for by in range(h8):
         for bx in range(w8):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-aligned RSTn: resync point; DC prediction restarts
+                br.sync_restart(rst)
+                rst += 1
+                pred = [0] * ncomp
+            mcu += 1
             for ci in range(ncomp):
                 zz = np.zeros(64, dtype=np.int64)
                 cat = br.decode(comp_dc[ci])

@@ -429,3 +429,30 @@ def test_png_color_types_and_adam7_interlace():
         dw, dh, out = decode_png(encode_png_interlaced(ww, hh, img.tobytes()))
         assert (dw, dh) == (ww, hh)
         assert out == img.tobytes(), (ww, hh)
+
+
+def test_jpeg_restart_intervals_roundtrip_and_resync():
+    """DRI/RSTn: every restart interval round-trips the exact flat-block
+    class; a corrupted restart marker raises instead of desyncing."""
+    import numpy as np
+    import pytest as _pytest
+
+    from etl_loading_scripts_spark.llm.jpeg import decode_jpeg, encode_jpeg_gray
+
+    rng = np.random.default_rng(5)
+    w, h = 48, 32  # 24 MCUs
+    img = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 128 + 2 * int(
+                rng.integers(-30, 31)
+            )
+    for ri in (0, 1, 3, 7, 100):
+        payload = encode_jpeg_gray(w, h, img.tobytes(), restart_interval=ri)
+        assert decode_jpeg(payload)[3] == img.tobytes(), ri
+        if 0 < ri < 24:
+            assert b"\xff\xdd" in payload and b"\xff\xd0" in payload
+    payload = encode_jpeg_gray(w, h, img.tobytes(), restart_interval=3)
+    at = payload.index(b"\xff\xd0")
+    with _pytest.raises(ValueError, match="restart marker"):
+        decode_jpeg(payload[:at] + b"\xff\xd7" + payload[at + 2 :])
