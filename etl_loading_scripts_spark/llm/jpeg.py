@@ -18,11 +18,13 @@ NotImplementedError gate. It is genuine spec work, not a fake:
   for 3-component scans.
 
 Scope (honest partial support, mirroring the BMP/PNG codecs): baseline
-sequential only, 8-bit precision, 1-component (grayscale) or 3-component
-4:4:4 (no chroma subsampling), no progressive scans; restart intervals
-(DRI/RSTn — the resync layout every camera file carries) are supported
-on both encode and decode. Everything outside that raises ``ValueError``
-with the reason
+sequential only, 8-bit precision, no progressive scans; grayscale and
+3-component scans with sampling factors 1 or 2 per axis — 4:4:4, 4:2:2,
+and 4:2:0 (the layout the overwhelming majority of photographic JPEGs
+use; ``encode_jpeg_rgb_420`` writes it, the decoder reconstructs
+subsampled chroma by pixel replication); restart intervals (DRI/RSTn —
+the resync layout every camera file carries) on both encode and decode.
+Everything outside that raises ``ValueError`` with the reason
 — the classify-and-quarantine ingestion path (``mm_format_quarantine``)
 is how a mixed real corpus flows past such payloads without dying.
 
@@ -300,26 +302,77 @@ def _category(v: int) -> int:
 # --------------------------------------------------------------------------
 
 
+def _encode_one_block(
+    bw: _BitWriter, block: np.ndarray, qt: np.ndarray,
+    dc_codes: dict, ac_codes: dict, pred: int,
+) -> int:
+    """FDCT + quantize + entropy-code one 8×8 block; returns the new DC
+    predictor."""
+    coeffs = _D @ (block.astype(np.float64) - 128.0) @ _D.T
+    q = np.round(coeffs.reshape(64) / qt).astype(np.int64)
+    zz = q[ZIGZAG]
+    diff = int(zz[0]) - pred
+    pred = int(zz[0])
+    cat = _category(diff)
+    code, ln = dc_codes[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff > 0 else diff - 1 + (1 << cat), cat)
+    run = 0
+    last_nz = 0
+    for i in range(1, 64):
+        if zz[i]:
+            last_nz = i
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v - 1 + (1 << cat), cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return pred
+
+
 def _encode_blocks(
     planes: list[np.ndarray],
     qts: list[np.ndarray],
     dc_codes: list[dict],
     ac_codes: list[dict],
     restart_interval: int = 0,
+    samp: list[tuple[int, int]] | None = None,
 ) -> bytes:
-    """Entropy-encode interleaved 4:4:4 MCUs (one block per component).
+    """Entropy-encode interleaved MCUs.
 
-    ``restart_interval`` > 0 emits an RSTn marker (byte-aligned, DC
-    predictors reset) after every that-many MCUs — the resync points
-    every camera JPEG carries so a bit error loses one interval, not
-    the rest of the image (T.81 §B.2.1.2)."""
-    h8, w8 = planes[0].shape[0] // 8, planes[0].shape[1] // 8
+    ``samp`` gives each component's (h, v) sampling factors — default
+    all (1,1) (4:4:4, one block per component per MCU); 4:2:0 is
+    ``[(2,2),(1,1),(1,1)]`` with half-resolution chroma planes (4 Y
+    blocks then Cb then Cr per MCU, T.81 §A.2.3). ``restart_interval``
+    > 0 emits an RSTn marker (byte-aligned, DC predictors reset) after
+    every that-many MCUs — the resync points every camera JPEG carries
+    so a bit error loses one interval, not the rest of the image
+    (T.81 §B.2.1.2)."""
+    if samp is None:
+        samp = [(1, 1)] * len(planes)
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcus_y = planes[0].shape[0] // (8 * samp[0][1])
+    mcus_x = planes[0].shape[1] // (8 * samp[0][0])
     bw = _BitWriter()
     pred = [0] * len(planes)
     mcu = 0
     rst = 0
-    for by in range(h8):
-        for bx in range(w8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.align()
                 bw.raw_marker(0xD0 + (rst & 7))
@@ -327,43 +380,19 @@ def _encode_blocks(
                 pred = [0] * len(planes)
             mcu += 1
             for ci, plane in enumerate(planes):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
-                    np.float64
-                ) - 128.0
-                coeffs = _D @ block @ _D.T
-                q = np.round(coeffs.reshape(64) / qts[ci]).astype(np.int64)
-                zz = q[ZIGZAG]
-                # DC: differential, category + magnitude bits
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                cat = _category(diff)
-                code, ln = dc_codes[ci][cat]
-                bw.write(code, ln)
-                if cat:
-                    bw.write(diff if diff > 0 else diff - 1 + (1 << cat), cat)
-                # AC: run/size with ZRL and EOB
-                run = 0
-                last_nz = 0
-                for i in range(1, 64):
-                    if zz[i]:
-                        last_nz = i
-                for i in range(1, last_nz + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_codes[ci][0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    cat = _category(v)
-                    code, ln = ac_codes[ci][(run << 4) | cat]
-                    bw.write(code, ln)
-                    bw.write(v if v > 0 else v - 1 + (1 << cat), cat)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_codes[ci][0x00]  # EOB
-                    bw.write(code, ln)
+                h_i, v_i = samp[ci]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        y0 = (my * v_i + by) * 8
+                        x0 = (mx * h_i + bx) * 8
+                        pred[ci] = _encode_one_block(
+                            bw,
+                            plane[y0 : y0 + 8, x0 : x0 + 8],
+                            qts[ci],
+                            dc_codes[ci],
+                            ac_codes[ci],
+                            pred[ci],
+                        )
     return bw.flush()
 
 
@@ -422,6 +451,75 @@ def encode_jpeg_gray(
         + _marker(0xDA, sos)
         + scan
         + b"\xff\xd9"  # EOI
+    )
+
+
+def _rgb_to_ycbcr_planes(width, height, rgb):
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(
+        np.float64
+    )
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return y, cb, cr
+
+
+def encode_jpeg_rgb_420(
+    width: int, height: int, rgb: bytes, restart_interval: int = 0
+) -> bytes:
+    """Encode RGB pixels as a baseline 4:2:0 JFIF JPEG — the layout the
+    overwhelming majority of real photographic JPEGs use: full-resolution
+    luma, chroma downsampled 2×2 (box average), MCU = four Y blocks +
+    Cb + Cr (T.81 §A.2.3)."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    y, cb, cr = _rgb_to_ycbcr_planes(width, height, rgb)
+
+    def pad_to(plane, mult):
+        h, w = plane.shape
+        return np.pad(plane, ((0, (-h) % mult), (0, (-w) % mult)), mode="edge")
+
+    y16 = pad_to(np.clip(np.round(y), 0, 255), 16).astype(np.uint8)
+    # chroma: pad full-res to 16-multiples FIRST so the 2x2 boxes at the
+    # edges average real+replicated pixels consistently, then downsample
+    def down(plane):
+        p = pad_to(plane, 16)
+        h, w = p.shape
+        boxes = p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        return np.clip(np.round(boxes), 0, 255).astype(np.uint8)
+
+    planes = [y16, down(cb), down(cr)]
+    dc = [_build_codes(*HUFF_DC_LUM)] + [_build_codes(*HUFF_DC_CHROM)] * 2
+    ac = [_build_codes(*HUFF_AC_LUM)] + [_build_codes(*HUFF_AC_CHROM)] * 2
+    scan = _encode_blocks(
+        planes, [QT_LUM, QT_CHROM, QT_CHROM], dc, ac,
+        restart_interval=restart_interval,
+        samp=[(2, 2), (1, 1), (1, 1)],
+    )
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    dri = (
+        _marker(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return (
+        b"\xff\xd8"
+        + _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _dqt(0, QT_LUM)
+        + _dqt(1, QT_CHROM)
+        + _marker(0xC0, sof)
+        + _dht(0, 0, *HUFF_DC_LUM)
+        + _dht(1, 0, *HUFF_AC_LUM)
+        + _dht(0, 1, *HUFF_DC_CHROM)
+        + _dht(1, 1, *HUFF_AC_CHROM)
+        + dri
+        + _marker(0xDA, sos)
+        + scan
+        + b"\xff\xd9"
     )
 
 
@@ -528,9 +626,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
-                if samp != 0x11:
+                h_i, v_i = (samp >> 4) & 0xF, samp & 0xF
+                if h_i not in (1, 2) or v_i not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling not supported (4:4:4 only)"
+                        f"unsupported sampling factors {h_i}x{v_i} "
+                        "(1 and 2 only: 4:4:4 / 4:2:2 / 4:2:0)"
                     )
                 comps.append((cid, samp, tq))
             frame = (width, height, ncomp)
@@ -552,13 +652,55 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     raise ValueError("no scan data found")
 
 
+def _decode_one_block(br, dc_table, ac_table, qt, pred):
+    """Entropy-decode + dequantize + IDCT one 8×8 block; returns
+    (block float64 with +128 level shift, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.int64)
+    cat = br.decode(dc_table)
+    if cat:
+        v = br.bits(cat)
+        if v < (1 << (cat - 1)):  # negative branch
+            v -= (1 << cat) - 1
+        pred += v
+    zz[0] = pred
+    i = 1
+    while i < 64:
+        rs = br.decode(ac_table)
+        if rs == 0x00:  # EOB
+            break
+        if rs == 0xF0:  # ZRL
+            i += 16
+            continue
+        run, cat = rs >> 4, rs & 0xF
+        i += run
+        if i > 63:
+            raise ValueError("corrupt JPEG: AC index overflow")
+        v = br.bits(cat)
+        if v < (1 << (cat - 1)):
+            v -= (1 << cat) - 1
+        zz[i] = v
+        i += 1
+    q = np.zeros(64, dtype=np.int64)
+    q[ZIGZAG] = zz
+    coeffs = (q * qt).reshape(8, 8).astype(np.float64)
+    return _D.T @ coeffs @ _D + 128.0, pred
+
+
 def _decode_scan(
     payload, pos, frame, comps, scan_tables, qtables, htables,
     restart_interval=0,
 ):
     width, height, ncomp = frame
-    w8, h8 = (width + 7) // 8, (height + 7) // 8
-    planes = [np.zeros((h8 * 8, w8 * 8), dtype=np.float64) for _ in range(ncomp)]
+    samp = [((s >> 4) & 0xF, s & 0xF) for (_, s, _) in comps]
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (width + mcu_w - 1) // mcu_w
+    mcus_y = (height + mcu_h - 1) // mcu_h
+    planes = [
+        np.zeros((mcus_y * 8 * v, mcus_x * 8 * h), dtype=np.float64)
+        for (h, v) in samp
+    ]
     br = _BitReader(payload, pos)
     pred = [0] * ncomp
     comp_q = [qtables[tq] for (_, _, tq) in comps]
@@ -566,8 +708,8 @@ def _decode_scan(
     comp_ac = [htables[(1, ta)] for (_, _, ta) in scan_tables]
     mcu = 0
     rst = 0
-    for by in range(h8):
-        for bx in range(w8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 # byte-aligned RSTn: resync point; DC prediction restarts
                 br.sync_restart(rst)
@@ -575,37 +717,27 @@ def _decode_scan(
                 pred = [0] * ncomp
             mcu += 1
             for ci in range(ncomp):
-                zz = np.zeros(64, dtype=np.int64)
-                cat = br.decode(comp_dc[ci])
-                if cat:
-                    v = br.bits(cat)
-                    if v < (1 << (cat - 1)):  # negative branch
-                        v -= (1 << cat) - 1
-                    pred[ci] += v
-                zz[0] = pred[ci]
-                i = 1
-                while i < 64:
-                    rs = br.decode(comp_ac[ci])
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL
-                        i += 16
-                        continue
-                    run, cat = rs >> 4, rs & 0xF
-                    i += run
-                    if i > 63:
-                        raise ValueError("corrupt JPEG: AC index overflow")
-                    v = br.bits(cat)
-                    if v < (1 << (cat - 1)):
-                        v -= (1 << cat) - 1
-                    zz[i] = v
-                    i += 1
-                q = np.zeros(64, dtype=np.int64)
-                q[ZIGZAG] = zz
-                coeffs = (q * comp_q[ci]).reshape(8, 8).astype(np.float64)
-                block = _D.T @ coeffs @ _D + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    cropped = [np.clip(np.round(p[:height, :width]), 0, 255) for p in planes]
+                h_i, v_i = samp[ci]
+                for by in range(v_i):
+                    for bx in range(h_i):
+                        block, pred[ci] = _decode_one_block(
+                            br, comp_dc[ci], comp_ac[ci], comp_q[ci], pred[ci]
+                        )
+                        y0 = (my * v_i + by) * 8
+                        x0 = (mx * h_i + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    # upsample subsampled components to full resolution (pixel
+    # replication — the nearest-neighbor reconstruction T.81 permits),
+    # then crop the MCU padding
+    cropped = []
+    for ci in range(ncomp):
+        h_i, v_i = samp[ci]
+        p = planes[ci]
+        if v_i != vmax:
+            p = np.repeat(p, vmax // v_i, axis=0)
+        if h_i != hmax:
+            p = np.repeat(p, hmax // h_i, axis=1)
+        cropped.append(np.clip(np.round(p[:height, :width]), 0, 255))
     if ncomp == 1:
         return width, height, 1, cropped[0].astype(np.uint8).tobytes()
     if ncomp == 3:

@@ -118,8 +118,8 @@ def test_jpeg_codec_flat_blocks_exact_and_markers_real():
     with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(prog))
     sub = bytearray(payload)
-    sub[sof_at + 11] = 0x22  # claim 2x2 sampling
-    with pytest.raises(ValueError, match="subsampling"):
+    sub[sof_at + 11] = 0x33  # 3x3 sampling: outside the supported 1/2 factors
+    with pytest.raises(ValueError, match="sampling factors"):
         decode_jpeg(bytes(sub))
 
 
@@ -456,3 +456,44 @@ def test_jpeg_restart_intervals_roundtrip_and_resync():
     at = payload.index(b"\xff\xd0")
     with _pytest.raises(ValueError, match="restart marker"):
         decode_jpeg(payload[:at] + b"\xff\xd7" + payload[at + 2 :])
+
+
+def test_jpeg_420_subsampling_roundtrip():
+    """4:2:0 — four Y blocks + subsampled Cb/Cr per MCU: flat gray
+    macroblocks (Cb=Cr=128 exactly) round-trip bit-exact; smooth color
+    stays above 35 dB PSNR; odd dimensions crop correctly; restart
+    intervals compose with the 2x2 MCU walk."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.jpeg import decode_jpeg, encode_jpeg_rgb_420
+
+    rng = np.random.default_rng(9)
+    w, h = 48, 32
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            img[my * 16 :, mx * 16 : mx * 16 + 16][:16] = 128 + 2 * int(
+                rng.integers(-30, 31)
+            )
+    for ri in (0, 2):
+        dw, dh, ch, px = decode_jpeg(
+            encode_jpeg_rgb_420(w, h, img.tobytes(), restart_interval=ri)
+        )
+        assert (dw, dh, ch) == (w, h, 3)
+        assert px == img.tobytes(), f"ri={ri}"
+
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    sm = np.stack(
+        [(xx * 2 + 40) % 200, (yy * 3 + 30) % 200, (xx + yy) % 200], axis=2
+    ).astype(np.uint8)
+    _, _, _, px = decode_jpeg(encode_jpeg_rgb_420(w, h, sm.tobytes()))
+    dec = np.frombuffer(px, np.uint8).reshape(h, w, 3).astype(float)
+    mse = ((dec - sm.astype(float)) ** 2).mean()
+    assert 10 * np.log10(255.0**2 / mse) > 35
+
+    w2, h2 = 21, 13  # crops a partial MCU on both axes
+    sm2 = np.stack([(np.arange(w2 * h2) % 180).reshape(h2, w2)] * 3, axis=2).astype(
+        np.uint8
+    )
+    dw, dh, ch, px = decode_jpeg(encode_jpeg_rgb_420(w2, h2, sm2.tobytes()))
+    assert (dw, dh, ch) == (w2, h2, 3) and len(px) == w2 * h2 * 3
