@@ -494,3 +494,67 @@ def decode_wav(payload: bytes) -> tuple[int, bytes]:
     if sample_rate is None or data is None:
         raise ValueError("missing fmt or data chunk")
     return sample_rate, data
+
+
+def encode_wav_ex(
+    sample_rate: int, channels: int, bits: int, data: bytes
+) -> bytes:
+    """Encode interleaved PCM (mono/stereo, 8- or 16-bit) as RIFF/WAVE.
+
+    8-bit WAV is UNSIGNED by spec (offset-128), 16-bit is signed
+    little-endian — the caller supplies bytes already in the on-disk
+    convention; this writer does the container."""
+    if channels not in (1, 2) or bits not in (8, 16):
+        raise ValueError("channels must be 1/2 and bits 8/16")
+    block_align = channels * bits // 8
+    if len(data) % block_align:
+        raise ValueError("data must be whole frames")
+    byte_rate = sample_rate * block_align
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate, byte_rate, block_align, bits
+        )
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def decode_wav_ex(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode PCM RIFF/WAVE (mono/stereo, 8/16-bit) →
+    (sample_rate, channels, bits, interleaved frame bytes).
+
+    The general sibling of :func:`decode_wav` (which stays pinned to the
+    PCM16-mono contract its callers rely on): same RIFF chunk walk with
+    word-aligned extra-chunk tolerance, wider fmt acceptance. Raises
+    ``ValueError`` on non-PCM encodings, >2 channels, or other depths.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (length,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"fmt ":
+            fmt_code, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if fmt_code != 1:
+                raise ValueError(f"only PCM supported (fmt={fmt_code})")
+            if channels not in (1, 2) or bits not in (8, 16):
+                raise ValueError(
+                    f"unsupported layout (ch={channels}, bits={bits})"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + length + (length & 1)
+    if rate is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, channels, bits, data

@@ -1279,3 +1279,120 @@ def mm_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually meet."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_jpeg420_batches, schema=_JPEG420_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Stereo / multi-depth audio — per-channel statistics
+# ---------------------------------------------------------------------------
+
+_STEREO_SCHEMA = (
+    "doc_id long, sample_rate int, channels int, bits int, n_frames long, "
+    "sum_abs_l bigint, sum_abs_r bigint, max_abs bigint"
+)
+
+
+def _stereo_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Round-trip a deterministic STEREO int16 (or mono uint8 for every
+    3rd doc) waveform through the generalized RIFF writer/parser, then
+    deinterleave and emit per-channel stats from DECODED samples — an
+    interleave-stride, sign-convention (8-bit unsigned vs 16-bit
+    signed), or block-align bug breaks the channel sums."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.codecs import decode_wav_ex, encode_wav_ex
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "sample_rate", "channels", "bits", "n_frames",
+            "sum_abs_l", "sum_abs_r", "max_abs",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            n = 64 + (d % 9) * 8
+            rate = 8000 + (d % 3) * 4000
+            if d % 3 == 0:
+                # mono 8-bit: unsigned with offset 128 on disk
+                raw = ((d * 5 + np.arange(n) * 7) % 256).astype(np.uint8)
+                payload = encode_wav_ex(rate, 1, 8, raw.tobytes())
+                rr, ch, bits, data = decode_wav_ex(payload)
+                dec = np.frombuffer(data, dtype=np.uint8).astype(np.int64) - 128
+                left = np.abs(dec)
+                right = np.zeros(0, dtype=np.int64)
+            else:
+                lft = (((d * 7 + np.arange(n) * 13) % 65536) - 32768).astype("<i2")
+                rgt = (((d * 11 + np.arange(n) * 17) % 65536) - 32768).astype("<i2")
+                inter = np.empty(2 * n, dtype="<i2")
+                inter[0::2], inter[1::2] = lft, rgt
+                payload = encode_wav_ex(rate, 2, 16, inter.tobytes())
+                rr, ch, bits, data = decode_wav_ex(payload)
+                dec = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                left = np.abs(dec[0::2])
+                right = np.abs(dec[1::2])
+            out["doc_id"].append(d)
+            out["sample_rate"].append(rr)
+            out["channels"].append(ch)
+            out["bits"].append(bits)
+            out["n_frames"].append(n)
+            out["sum_abs_l"].append(int(left.sum()))
+            out["sum_abs_r"].append(int(right.sum()) if right.size else 0)
+            out["max_abs"].append(int(max(left.max(), right.max() if right.size else 0)))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64", "sample_rate": "int32", "channels": "int32",
+                "bits": "int32", "n_frames": "int64", "sum_abs_l": "int64",
+                "sum_abs_r": "int64", "max_abs": "int64",
+            }
+        )
+
+
+@register(
+    "mm_audio_stereo_stats",
+    oracle="""
+    WITH params AS (
+        SELECT doc_id,
+               64 + (doc_id % 9) * 8 AS n,
+               8000 + (doc_id % 3) * 4000 AS rate,
+               doc_id % 3 = 0 AS is_mono
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(CASE WHEN is_mono THEN 1 ELSE 2 END AS INT) AS channels,
+           CAST(CASE WHEN is_mono THEN 8 ELSE 16 END AS INT) AS bits,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(CASE WHEN is_mono
+                THEN list_sum(list_transform(range(0, n),
+                     t -> abs((doc_id * 5 + t * 7) % 256 - 128)))
+                ELSE list_sum(list_transform(range(0, n),
+                     t -> abs((doc_id * 7 + t * 13) % 65536 - 32768)))
+                END AS BIGINT) AS sum_abs_l,
+           CAST(CASE WHEN is_mono THEN 0
+                ELSE list_sum(list_transform(range(0, n),
+                     t -> abs((doc_id * 11 + t * 17) % 65536 - 32768)))
+                END AS BIGINT) AS sum_abs_r,
+           CAST(CASE WHEN is_mono
+                THEN list_max(list_transform(range(0, n),
+                     t -> abs((doc_id * 5 + t * 7) % 256 - 128)))
+                ELSE GREATEST(
+                     list_max(list_transform(range(0, n),
+                         t -> abs((doc_id * 7 + t * 13) % 65536 - 32768))),
+                     list_max(list_transform(range(0, n),
+                         t -> abs((doc_id * 11 + t * 17) % 65536 - 32768))))
+                END AS BIGINT) AS max_abs
+    FROM params
+    """,
+    doc="Stereo / multi-depth audio decode: per doc, a stereo int16 "
+    "(or mono unsigned-8-bit for every 3rd doc) waveform round-trips "
+    "through the generalized RIFF/WAVE writer+parser; per-channel "
+    "absolute-amplitude sums and peak come from DECODED deinterleaved "
+    "samples, so an interleave-stride, block-align, or 8-bit-sign-"
+    "convention bug hash-mismatches the arithmetic oracle.",
+)
+def mm_audio_stereo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical contract to mm_audio_wav_stats — Arrow-batched
+    mapInPandas, partition-local, numpy-deinterleaved kernels. Stereo
+    and mixed bit depths are what a scraped audio corpus actually
+    contains; per-channel stats are the inputs to downmix and silence-"
+    "detection decisions upstream of any ASR/codec model."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_stereo_batches, schema=_STEREO_SCHEMA)
