@@ -69,12 +69,18 @@ def decode_image_stub(payload: bytes) -> dict:
     if payload[:2] == b"\xff\xd8":
         w, h, channels, px = decode_jpeg(payload)
         return {"width": w, "height": h, "channels": channels, "rgb": px}
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from etl_loading_scripts_spark.llm.gif import decode_gif
+
+        w, h, rgb = decode_gif(payload)
+        return {"width": w, "height": h, "channels": 3, "rgb": rgb}
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:  # pragma: no cover - image libs absent by design
         raise NotImplementedError(
-            "decode of formats beyond BMP/PPM/PNG/JPEG requires an imaging "
-            "library not present in this environment; wire PIL/libvips here"
+            "decode of formats beyond BMP/PPM/PNG/JPEG/GIF requires an "
+            "imaging library not present in this environment; wire "
+            "PIL/libvips here"
         ) from e
     raise NotImplementedError("PIL present but PIL decode not wired in v1")
 
@@ -594,6 +600,8 @@ def _classify_payload(payload: bytes) -> str:
         return "png"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return "unknown"
 
 
@@ -612,6 +620,7 @@ def _quarantine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         encode_png,
         encode_ppm,
     )
+    from etl_loading_scripts_spark.llm.gif import decode_gif
     from etl_loading_scripts_spark.llm.jpeg import decode_jpeg, encode_jpeg_gray
 
     for pdf in batches:
@@ -620,8 +629,12 @@ def _quarantine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
             d = int(doc_id)
             kind = d % 5
             if kind == 4:
-                # unsupported format on the wire (GIF magic + junk)
-                payload = b"GIF89a" + bytes((d * 13 + i) % 256 for i in range(32))
+                # unsupported format on the wire (WebP magic + junk —
+                # GIF graduated to a real decoder in llm/gif.py)
+                payload = (
+                    b"RIFF" + bytes(4) + b"WEBP"
+                    + bytes((d * 13 + i) % 256 for i in range(24))
+                )
             elif kind == 3:
                 w, h, img = _jpeg_gray_image(d)
                 payload = encode_jpeg_gray(w, h, img.tobytes())
@@ -639,6 +652,8 @@ def _quarantine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                     dw, dh, _ = decode_png(payload)
                 elif fmt == "jpeg":
                     dw, dh, _, _ = decode_jpeg(payload)
+                elif fmt == "gif":
+                    dw, dh, _ = decode_gif(payload)
                 else:
                     raise ValueError("unknown format")
                 decoded, n_px = 1, dw * dh
@@ -679,8 +694,9 @@ def _quarantine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     FROM cls GROUP BY 1
     """,
     doc="Mixed-corpus ingestion with classify-and-quarantine: payloads "
-    "across BMP/PPM/PNG/JPEG plus an unsupported format (GIF magic) are "
-    "sniffed by magic bytes, the four real codecs decode their formats, "
+    "across BMP/PPM/PNG/JPEG plus an unsupported format (WebP magic — "
+    "GIF graduated to a real decoder) are "
+    "sniffed by magic bytes, the real codecs decode their formats, "
     "and unknowns are COUNTED into a quarantine bucket instead of "
     "killing the job — per-format doc/decode/quarantine/pixel counts. "
     "The invariant a 100 TB web corpus needs: one exotic payload must "
@@ -1396,3 +1412,114 @@ def mm_audio_stereo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "detection decisions upstream of any ASR/codec model."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_stereo_batches, schema=_STEREO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF decode — LZW + palette + 4-pass interlace
+# ---------------------------------------------------------------------------
+
+_GIF_SCHEMA = (
+    "doc_id long, width int, height int, interlaced int, "
+    "sum_r bigint, sum_g bigint, sum_b bigint, checksum_weighted bigint"
+)
+
+
+def _gif_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Round-trip a deterministic paletted image per doc through the real
+    GIF codec (LZW compression, GCT, 4-pass interlace for odd docs) and
+    emit stats from DECODED RGB — an LZW-width, dictionary-growth,
+    palette, or interlace-reorder bug breaks the position checksum."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.gif import decode_gif, encode_gif
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "width", "height", "interlaced",
+            "sum_r", "sum_g", "sum_b", "checksum_weighted",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 4 + d % 13, 3 + d % 7
+            j = np.arange(_PALETTE_SIZE)
+            pal = np.stack(
+                [(d + j * 37) % 256, (d * 3 + j * 11) % 256, (d * 7 + j * 5) % 256],
+                axis=1,
+            ).astype(np.uint8)
+            idx = ((d + np.arange(w * h)) % _PALETTE_SIZE).astype(np.uint8)
+            interlaced = d % 2 == 1
+            payload = encode_gif(
+                w, h, idx.tobytes(), pal.tobytes(), interlace=interlaced
+            )
+            dw, dh, rgb = decode_gif(payload)
+            arr = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+            out["doc_id"].append(d)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["interlaced"].append(int(interlaced))
+            out["sum_r"].append(int(arr[0::3].sum()))
+            out["sum_g"].append(int(arr[1::3].sum()))
+            out["sum_b"].append(int(arr[2::3].sum()))
+            out["checksum_weighted"].append(int(((np.arange(arr.size) + 1) * arr).sum()))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64", "width": "int32", "height": "int32",
+                "interlaced": "int32", "sum_r": "int64", "sum_g": "int64",
+                "sum_b": "int64", "checksum_weighted": "int64",
+            }
+        )
+
+
+#: Decoded byte at linear RGB position q — same palette formulas as the
+#: PNG palette variant (the two containers share the planting scheme).
+_GIF_RGB_DUCK = """
+    CASE q % 3
+        WHEN 0 THEN (doc_id + ((doc_id + (q // 3)) % 8) * 37) % 256
+        WHEN 1 THEN (doc_id * 3 + ((doc_id + (q // 3)) % 8) * 11) % 256
+        ELSE (doc_id * 7 + ((doc_id + (q // 3)) % 8) * 5) % 256 END
+"""
+
+
+@register(
+    "mm_decode_gif",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS w,
+               3 + doc_id % 7 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(doc_id % 2 AS INT) AS interlaced,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                q -> CASE WHEN q % 3 = 0 THEN {_GIF_RGB_DUCK} ELSE 0 END))
+               AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                q -> CASE WHEN q % 3 = 1 THEN {_GIF_RGB_DUCK} ELSE 0 END))
+               AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                q -> CASE WHEN q % 3 = 2 THEN {_GIF_RGB_DUCK} ELSE 0 END))
+               AS BIGINT) AS sum_b,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                q -> (q + 1) * ({_GIF_RGB_DUCK}))) AS BIGINT)
+               AS checksum_weighted
+    FROM px
+    """,
+    doc="REAL GIF decode: per doc, a paletted image (8-entry color "
+    "table, interlaced for odd docs) is LZW-compressed into an honest "
+    "GIF89a container and decoded back by the dependency-free codec in "
+    "llm/gif.py (variable-width LSB-first LZW with dictionary growth "
+    "and clear codes, sub-block reassembly, 4-pass interlace reorder, "
+    "palette resolution); all stats come from DECODED RGB, so any LZW/"
+    "palette/interlace bug hash-mismatches the arithmetic oracle.",
+)
+def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same contract as every mm_decode_* — Arrow-batched
+    mapInPandas, partition-local, no shuffle. LZW is inherently
+    sequential per stream (like JPEG's Huffman) — the honest per-image
+    cost shape; the pipeline parallelism is across images, which is the
+    axis a 100 TB corpus actually has."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_gif_batches, schema=_GIF_SCHEMA)

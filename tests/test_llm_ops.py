@@ -47,13 +47,20 @@ def test_ann_ivf_is_subset_quality_of_bruteforce(spark, sf_dir):
 
 
 def test_decode_stub_is_gated(spark):
-    """BMP/PPM/PNG/JPEG route to the real codecs; formats beyond them
-    (GIF here) still raise the honest imaging-lib gate."""
+    """BMP/PPM/PNG/JPEG/GIF route to the real codecs; formats beyond
+    them (WebP here) still raise the honest imaging-lib gate."""
     from etl_loading_scripts_spark.llm.codecs import encode_bmp, encode_png, encode_ppm
     from etl_loading_scripts_spark.llm.multimodal import decode_image_stub
 
     with pytest.raises(NotImplementedError):
-        decode_image_stub(b"GIF89a" + bytes(16))
+        decode_image_stub(b"RIFF" + bytes(4) + b"WEBP" + bytes(16))
+    # GIF: paletted round-trip through the stub
+    from etl_loading_scripts_spark.llm.gif import encode_gif
+
+    pal = bytes([10, 20, 30, 200, 210, 220])
+    out = decode_image_stub(encode_gif(2, 2, bytes([0, 1, 1, 0]), pal))
+    assert (out["width"], out["height"]) == (2, 2)
+    assert out["rgb"] == pal[0:3] + pal[3:6] + pal[3:6] + pal[0:3]
     rgb = bytes(range(36))  # 4x3 RGB
     for payload in (encode_bmp(4, 3, rgb), encode_ppm(4, 3, rgb), encode_png(4, 3, rgb)):
         out = decode_image_stub(payload)
@@ -497,3 +504,37 @@ def test_jpeg_420_subsampling_roundtrip():
     )
     dw, dh, ch, px = decode_jpeg(encode_jpeg_rgb_420(w2, h2, sm2.tobytes()))
     assert (dw, dh, ch) == (w2, h2, 3) and len(px) == w2 * h2 * 3
+
+
+def test_gif_codec_lzw_interlace_and_resets():
+    """GIF: LZW round-trips (incl. the dictionary-reset path past 4096
+    codes and the KwKwK case), 4-pass interlace reorder, extension-block
+    skipping, and honest error gates."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(13)
+    for (w, h, ncol, inter) in [(13, 9, 7, False), (13, 9, 7, True), (5, 3, 2, True)]:
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+        dw, dh, rgb = decode_gif(
+            encode_gif(w, h, idx.tobytes(), pal.tobytes(), interlace=inter)
+        )
+        assert (dw, dh) == (w, h) and rgb == pal[idx].tobytes(), (w, h, ncol, inter)
+
+    # repetitive image forces dictionary resets (>4096 codes)
+    w, h = 500, 300
+    idx = ((np.arange(w * h) // 7) % 250).astype(np.uint8).reshape(h, w)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    payload = encode_gif(w, h, idx.tobytes(), pal.tobytes())
+    assert len(payload) < w * h  # actually compressed
+    assert decode_gif(payload)[2] == pal[idx].tobytes()
+
+    # a graphic-control extension before the image block is skipped
+    gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = payload[: 13 + 768] + gce + payload[13 + 768 :]
+    assert decode_gif(spliced)[2] == pal[idx].tobytes()
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_gif(b"RIFF" + bytes(4) + b"WEBP")
