@@ -538,3 +538,36 @@ def test_gif_codec_lzw_interlace_and_resets():
 
     with pytest.raises(ValueError, match="magic"):
         decode_gif(b"RIFF" + bytes(4) + b"WEBP")
+
+
+def test_tiff_codec_ifd_endianness_strips():
+    """TIFF: II and MM byte orders, gray and RGB, multi-strip assembly,
+    WhiteIsZero inversion, and honest gates round-trip exactly."""
+    import struct
+
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.tiff import decode_tiff, encode_tiff
+
+    rng = np.random.default_rng(17)
+    for (w, h, ch, be, rps) in [
+        (13, 9, 3, False, None), (13, 9, 3, True, None),
+        (13, 9, 1, False, 4), (5, 3, 3, False, 1),
+    ]:
+        px = rng.integers(0, 256, w * h * ch, dtype=np.uint8).tobytes()
+        dw, dh, dc, out = decode_tiff(
+            encode_tiff(w, h, px, channels=ch, big_endian=be, rows_per_strip=rps)
+        )
+        assert (dw, dh, dc) == (w, h, ch) and out == px, (w, h, ch, be, rps)
+
+    # WhiteIsZero: photometric 0 inverts to the BlackIsZero convention
+    pay = bytearray(encode_tiff(4, 3, bytes(range(12)), channels=1))
+    n = struct.unpack_from("<H", pay, 8)[0]
+    for i in range(n):
+        base = 10 + 12 * i
+        if struct.unpack_from("<H", pay, base)[0] == 262:
+            struct.pack_into("<H", pay, base + 8, 0)
+    assert decode_tiff(bytes(pay))[3] == bytes(255 - x for x in range(12))
+
+    with pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"GIF89a")
