@@ -1406,3 +1406,76 @@ def doc_length_cap_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chars_saved"),
         F.sum("n_chars").cast("bigint").alias("chars_total"),
     )
+
+
+@register(
+    "readability_scores",
+    oracle="""
+    WITH counts AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT)
+                   AS n_words,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS n_sents,
+               CAST(list_sum(list_transform(
+                        regexp_extract_all(text, '[a-z0-9]+'),
+                        w -> GREATEST(len(regexp_extract_all(w,
+                                 '[aeiouy]+')), 1)
+                    )) AS BIGINT) AS n_syll
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS n_words,
+           CAST(SUM(n_sents) AS BIGINT) AS n_sents,
+           CAST(SUM(n_syll) AS BIGINT) AS n_syllables,
+           CAST(SUM(CAST(206835 * n_sents * n_words
+                         - 1015 * n_words * n_words
+                         - 84600 * n_syll * n_sents AS BIGINT))
+                AS BIGINT) AS flesch_num_milli,
+           CAST(SUM(n_sents * n_words) AS BIGINT) AS flesch_den
+    FROM counts GROUP BY 1
+    """,
+    doc="Flesch reading-ease readability per source: words, sentence "
+    "terminators, and vowel-group syllable approximations counted by "
+    "engine-portable regexes; the score 206.835 − 1.015·(W/S) − "
+    "84.6·(Syl/W) is carried as an EXACT integer (numerator in "
+    "milli-units over the common denominator S·W, summed per doc) so "
+    "the hash can never drift on float division — consumers divide at "
+    "display time. The classic quality-filter feature for separating "
+    "prose from boilerplate/code/tables.",
+)
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: three map-side regex passes fused into the scan (the
+    syllable count is a transform-over-extract_all lambda — still
+    JVM-side, no UDF), then a source-grain rollup. The vowel-group
+    syllable heuristic is the standard cheap approximation (true
+    syllabification needs a dictionary); its error is stable across a
+    corpus, which is all a RANKING feature needs. Milli-unit integers:
+    206.835 → 206835, 1.015 → 1015 (×W/S·1000), 84.6 → 84600."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")
+    counts = docs.select(
+        "source",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+        ).cast("bigint").alias("n_sents"),
+        F.expr(
+            "aggregate(transform(regexp_extract_all(text, '[a-z0-9]+', 0), "
+            "w -> greatest(size(regexp_extract_all(w, '[aeiouy]+', 0)), 1)), "
+            "0L, (acc, x) -> acc + x)"
+        ).cast("bigint").alias("n_syll"),
+    )
+    return counts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_sents").cast("bigint").alias("n_sents"),
+        F.sum("n_syll").cast("bigint").alias("n_syllables"),
+        F.sum(
+            F.lit(206835) * F.col("n_sents") * F.col("n_words")
+            - F.lit(1015) * F.col("n_words") * F.col("n_words")
+            - F.lit(84600) * F.col("n_syll") * F.col("n_sents")
+        ).cast("bigint").alias("flesch_num_milli"),
+        F.sum(F.col("n_sents") * F.col("n_words")).cast("bigint").alias("flesch_den"),
+    )
