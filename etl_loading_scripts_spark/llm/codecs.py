@@ -9,13 +9,15 @@ full chunk grammar with CRC verification, zlib IDAT, all five scanline
 filters, all four 8-bit color types (gray / truecolor / palette / RGBA)
 and Adam7 interlacing; the WAV path walks the RIFF chunk list. A real
 file of any of these shapes produced by any tool decodes correctly here.
-Baseline JPEG lives in the sibling ``llm/jpeg.py``.
+Baseline JPEG (incl. 4:2:0 + restart intervals) lives in the sibling
+``llm/jpeg.py``, GIF (real LZW) in ``llm/gif.py``, and baseline TIFF
+(IFD walk, both endians) in ``llm/tiff.py``.
 
 They exist because the container has no imaging libraries (PIL/libvips);
 the ``mm_decode_*`` queries run them inside the engine's Arrow-batched
 ``mapInPandas`` kernels so the multimodal decode path exercises actual
-codecs end-to-end. Remaining formats (WebP/GIF/TIFF, 16-bit PNG,
-progressive JPEG) are the PIL/libvips integration point — see
+codecs end-to-end. Remaining formats (WebP, 16-bit PNG,
+progressive JPEG, compressed TIFF) are the PIL/libvips integration point — see
 ``multimodal.decode_image_stub`` and the ``mm_format_quarantine`` path.
 
 Reference behavior modeled: the reference repo has no binary/multimodal
