@@ -241,11 +241,13 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
             width, height, depth, ctype, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8 or ctype not in (0, 2, 3, 6):
+            if depth not in (8, 16) or ctype not in (0, 2, 3, 4, 6):
                 raise ValueError(
-                    "only 8-bit gray/truecolor/palette/RGBA supported "
-                    f"(depth={depth}, type={ctype})"
+                    "only 8/16-bit gray/truecolor/palette/gray-alpha/RGBA "
+                    f"supported (depth={depth}, type={ctype})"
                 )
+            if depth == 16 and ctype == 3:
+                raise ValueError("16-bit palette PNG is not a legal combination")
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ValueError("unsupported compression/filter/interlace method")
         elif tag == b"PLTE":
@@ -260,15 +262,20 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     if width is None:
         raise ValueError("missing IHDR")
     raw = zlib.decompress(bytes(idat))
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    bpp = channels * (depth // 8)  # filter bpp is BYTES per pixel (spec)
     if interlace == 0:
         px = _defilter(raw, width, height, bpp)
     else:  # Adam7
         px = _deinterlace_adam7(raw, width, height, bpp)
-    # normalize every color type to packed RGB (the stats pipeline's
-    # common currency): grayscale replicates, palette resolves through
-    # PLTE, RGBA drops alpha (documented — compositing policy belongs to
-    # the caller, not the codec)
+    if depth == 16:
+        # 16-bit samples are big-endian; 8-bit normalization takes the
+        # high byte (the spec's sample-depth scaling for 16→8)
+        px = px[:, 0::2]
+    # normalize every color type to packed 8-bit RGB (the stats
+    # pipeline's common currency): grayscale replicates, palette
+    # resolves through PLTE, alpha channels drop (documented —
+    # compositing policy belongs to the caller, not the codec)
     if ctype == 0:
         rgb = np.repeat(px.reshape(height, width, 1), 3, axis=2)
     elif ctype == 2:
@@ -277,6 +284,8 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
         if palette is None:
             raise ValueError("paletted PNG without a PLTE chunk")
         rgb = palette[px.reshape(height, width)]
+    elif ctype == 4:  # gray + alpha
+        rgb = np.repeat(px.reshape(height, width, 2)[:, :, :1], 3, axis=2)
     else:  # 6
         rgb = px.reshape(height, width, 4)[:, :, :3]
     return width, height, np.ascontiguousarray(rgb).tobytes()

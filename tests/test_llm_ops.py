@@ -571,3 +571,42 @@ def test_tiff_codec_ifd_endianness_strips():
 
     with pytest.raises(ValueError, match="byte-order"):
         decode_tiff(b"GIF89a")
+
+
+def test_png_16bit_and_gray_alpha():
+    """16-bit samples (big-endian, high-byte normalization) and the
+    gray+alpha color type decode to packed 8-bit RGB."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm import codecs as C
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    def build(w, h, ctype, depth, raw):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        return (
+            C._PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    rng = np.random.default_rng(4)
+    w, h = 11, 7
+    g16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    raw = b"".join(b"\x00" + g16[y].astype(">u2").tobytes() for y in range(h))
+    _, _, out = C.decode_png(build(w, h, 0, 16, raw))
+    assert out == np.repeat((g16 >> 8).astype(np.uint8)[..., None], 3, 2).tobytes()
+
+    ga = rng.integers(0, 256, (h, w, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[y].tobytes() for y in range(h))
+    _, _, out = C.decode_png(build(w, h, 4, 8, raw))
+    assert out == np.repeat(ga[:, :, :1], 3, 2).tobytes()
+
+    with pytest.raises(ValueError, match="not a legal combination"):
+        C.decode_png(build(w, h, 3, 16, b""))
