@@ -17,8 +17,11 @@ NotImplementedError gate. It is genuine spec work, not a fake:
   shift + clamp, edge-crop to the true dimensions, and JFIF YCbCr→RGB
   for 3-component scans.
 
-Scope (honest partial support, mirroring the BMP/PNG codecs): baseline
-sequential only, 8-bit precision, no progressive scans; grayscale and
+Scope (honest partial support, mirroring the BMP/PNG codecs): 8-bit
+precision; baseline sequential, plus PROGRESSIVE (SOF2) grayscale with
+spectral-selection scans, EOB runs, and DC successive-approximation
+refinement (AC refinement scans and multi-component progressive raise —
+the quarantine line); for sequential scans, grayscale and
 3-component scans with sampling factors 1 or 2 per axis — 4:4:4, 4:2:2,
 and 4:2:0 (the layout the overwhelming majority of photographic JPEGs
 use; ``encode_jpeg_rgb_420`` writes it, the decoder reconstructs
@@ -591,8 +594,10 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         tag = payload[pos + 1]
         if tag == 0xD9:  # EOI
             break
-        if tag in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise ValueError("progressive JPEG not supported (baseline only)")
+        if tag == 0xC2:
+            return _decode_progressive(payload)
+        if tag in (0xC6, 0xCA, 0xCE):
+            raise ValueError("progressive JPEG variant not supported")
         if tag in (0xC9, 0xCB, 0xCD):
             raise ValueError("arithmetic-coded JPEG not supported")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
@@ -750,3 +755,234 @@ def _decode_scan(
         ).astype(np.uint8)
         return width, height, 3, rgb.tobytes()
     raise ValueError(f"unsupported component count {ncomp}")
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) — spectral-selection subset, grayscale
+# --------------------------------------------------------------------------
+
+
+def encode_jpeg_gray_progressive(width: int, height: int, gray: bytes) -> bytes:
+    """Encode grayscale pixels as a PROGRESSIVE (SOF2) JFIF JPEG using
+    spectral selection: scan 1 carries every block's DC coefficient,
+    scan 2 the AC band 1-63 — the classic two-pass blur-to-sharp layout.
+    No successive approximation (Ah=Al=0 throughout)."""
+    if len(gray) != width * height:
+        raise ValueError("gray length must be width*height")
+    plane = _pad_plane(np.frombuffer(gray, dtype=np.uint8).reshape(height, width))
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    # quantize all blocks once
+    coeffs = []
+    for by in range(h8):
+        for bx in range(w8):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            q = np.round((_D @ block @ _D.T).reshape(64) / QT_LUM).astype(np.int64)
+            coeffs.append(q[ZIGZAG])
+    dc_codes = _build_codes(*HUFF_DC_LUM)
+    ac_codes = _build_codes(*HUFF_AC_LUM)
+    # scan 1: DC only, differential
+    bw = _BitWriter()
+    pred = 0
+    for zz in coeffs:
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        cat = _category(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(diff if diff > 0 else diff - 1 + (1 << cat), cat)
+    dc_scan = bw.flush()
+    # scan 2: AC band 1..63 with run/size + per-block EOB (EOBn=1)
+    bw = _BitWriter()
+    for zz in coeffs:
+        run = 0
+        last_nz = 0
+        for i in range(1, 64):
+            if zz[i]:
+                last_nz = i
+        for i in range(1, last_nz + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            cat = _category(v)
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v - 1 + (1 << cat), cat)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]  # EOB (run length 1, no extra bits)
+            bw.write(code, ln)
+    ac_scan = bw.flush()
+    sof = struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+    return (
+        b"\xff\xd8"
+        + _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _dqt(0, QT_LUM)
+        + _marker(0xC2, sof)  # SOF2: progressive
+        + _dht(0, 0, *HUFF_DC_LUM)
+        + _dht(1, 0, *HUFF_AC_LUM)
+        + _marker(0xDA, bytes([1, 1, 0x00, 0, 0, 0]))  # Ss=0 Se=0 Ah/Al=0
+        + dc_scan
+        + _marker(0xDA, bytes([1, 1, 0x00, 1, 63, 0]))  # Ss=1 Se=63
+        + ac_scan
+        + b"\xff\xd9"
+    )
+
+
+def _find_next_marker(payload: bytes, pos: int) -> int:
+    """Advance past entropy data to the next real marker (FF followed by
+    non-zero, non-RST byte)."""
+    while pos + 1 < len(payload):
+        if payload[pos] == 0xFF and payload[pos + 1] != 0x00:
+            if 0xD0 <= payload[pos + 1] <= 0xD7:
+                pos += 2
+                continue
+            return pos
+        pos += 1
+    return len(payload)
+
+
+def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a progressive (SOF2) grayscale JPEG — spectral-selection
+    scans with EOB-run handling and DC successive-approximation
+    refinement; AC refinement scans (Ah>0 on an AC band) and
+    multi-component progressive raise ``ValueError`` (the honest subset
+    line; such files route to quarantine)."""
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _Decoder] = {}
+    frame = None
+    tq0 = 0
+    coeffs = None  # per-block zigzag coefficient accumulators
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        tag = payload[pos + 1]
+        if tag == 0xD9:
+            break
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if tag == 0xDB:
+            bpos = 0
+            while bpos < len(body):
+                pq, tq = body[bpos] >> 4, body[bpos] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                zz = np.frombuffer(body, dtype=np.uint8, count=64, offset=bpos + 1)
+                qt = np.zeros(64, dtype=np.int64)
+                qt[ZIGZAG] = zz
+                qtables[tq] = qt
+                bpos += 65
+        elif tag == 0xC4:
+            bpos = 0
+            while bpos < len(body):
+                tc, th = body[bpos] >> 4, body[bpos] & 0xF
+                bits = list(body[bpos + 1 : bpos + 17])
+                n = sum(bits)
+                htables[(tc, th)] = _Decoder(bits, list(body[bpos + 17 : bpos + 17 + n]))
+                bpos += 17 + n
+        elif tag == 0xC2:
+            precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if precision != 8:
+                raise ValueError("only 8-bit precision supported")
+            if ncomp != 1:
+                raise ValueError(
+                    "progressive decode supports grayscale only "
+                    "(multi-component progressive routes to quarantine)"
+                )
+            tq0 = body[8]
+            frame = (width, height)
+            w8, h8 = (width + 7) // 8, (height + 7) // 8
+            coeffs = np.zeros((h8 * w8, 64), dtype=np.int64)
+        elif tag == 0xDD:
+            (ri,) = struct.unpack_from(">H", body, 0)
+            if ri:
+                raise ValueError("restart intervals in progressive scans not supported")
+        elif tag == 0xDA:
+            if frame is None or coeffs is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("progressive decode supports grayscale only")
+            td, ta = body[2] >> 4, body[2] & 0xF
+            ss, se = body[3], body[4]
+            ah, al = body[5] >> 4, body[5] & 0xF
+            data_start = pos + 2 + seglen
+            data_end = _find_next_marker(payload, data_start)
+            br = _BitReader(payload, data_start)
+            n_blocks = coeffs.shape[0]
+            if ss == 0:  # DC scan
+                if se != 0:
+                    raise ValueError("corrupt JPEG: DC scan with Se != 0")
+                if ah == 0:  # first DC scan
+                    pred = 0
+                    table = htables[(0, td)]
+                    for b in range(n_blocks):
+                        cat = br.decode(table)
+                        if cat:
+                            v = br.bits(cat)
+                            if v < (1 << (cat - 1)):
+                                v -= (1 << cat) - 1
+                            pred += v
+                        coeffs[b, 0] = pred << al
+                else:  # DC refinement: one correction bit per block
+                    for b in range(n_blocks):
+                        if br.bit():
+                            coeffs[b, 0] |= 1 << al
+            else:  # AC scan
+                if ah != 0:
+                    raise ValueError(
+                        "AC successive-approximation refinement not supported"
+                    )
+                table = htables[(1, ta)]
+                eobrun = 0
+                for b in range(n_blocks):
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    i = ss
+                    while i <= se:
+                        rs = br.decode(table)
+                        run, cat = rs >> 4, rs & 0xF
+                        if cat == 0:
+                            if run == 15:  # ZRL
+                                i += 16
+                                continue
+                            # EOBn: run of 2^run + extra bits, current
+                            # block included
+                            eobrun = (1 << run) - 1
+                            if run:
+                                eobrun += br.bits(run)
+                            break
+                        i += run
+                        if i > se:
+                            raise ValueError("corrupt JPEG: AC index overflow")
+                        v = br.bits(cat)
+                        if v < (1 << (cat - 1)):
+                            v -= (1 << cat) - 1
+                        coeffs[b, i] = v << al
+                        i += 1
+            pos = data_end
+            continue
+        pos += 2 + seglen
+    if frame is None or coeffs is None:
+        raise ValueError("no progressive frame found")
+    width, height = frame
+    qt = qtables[tq0]
+    w8, h8 = (width + 7) // 8, (height + 7) // 8
+    plane = np.zeros((h8 * 8, w8 * 8), dtype=np.float64)
+    for b in range(coeffs.shape[0]):
+        q = np.zeros(64, dtype=np.int64)
+        q[ZIGZAG] = coeffs[b]
+        block = _D.T @ (q * qt).reshape(8, 8).astype(np.float64) @ _D + 128.0
+        by, bx = divmod(b, w8)
+        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    out = np.clip(np.round(plane[:height, :width]), 0, 255).astype(np.uint8)
+    return width, height, 1, out.tobytes()

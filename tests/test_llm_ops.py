@@ -121,7 +121,7 @@ def test_jpeg_codec_flat_blocks_exact_and_markers_real():
         decode_jpeg(b"\x89PNG\r\n\x1a\n")
     prog = bytearray(payload)
     sof_at = payload.index(b"\xff\xc0")
-    prog[sof_at + 1] = 0xC2  # pretend progressive
+    prog[sof_at + 1] = 0xC6  # differential progressive: unsupported variant
     with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(prog))
     sub = bytearray(payload)
@@ -610,3 +610,42 @@ def test_png_16bit_and_gray_alpha():
 
     with pytest.raises(ValueError, match="not a legal combination"):
         C.decode_png(build(w, h, 3, 16, b""))
+
+
+def test_jpeg_progressive_spectral_selection():
+    """Progressive (SOF2) grayscale: the DC-then-AC spectral-selection
+    layout decodes identically to the baseline coding of the same
+    coefficients; flat-block images stay bit-exact; honest gates hold."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg_gray,
+        encode_jpeg_gray_progressive,
+    )
+
+    rng = np.random.default_rng(21)
+    w, h = 40, 24
+    img = np.zeros((h, w), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            img[by * 8 :, bx * 8 : bx * 8 + 8][:8] = 128 + 2 * int(
+                rng.integers(-30, 31)
+            )
+    pay = encode_jpeg_gray_progressive(w, h, img.tobytes())
+    assert b"\xff\xc2" in pay  # genuinely SOF2 on the wire
+    assert decode_jpeg(pay)[3] == img.tobytes()
+
+    # arbitrary content: progressive decode == baseline decode (same
+    # coefficients, different scan layout)
+    img2 = ((np.arange(w * h) * 7) % 256).astype(np.uint8).reshape(h, w)
+    d_prog = decode_jpeg(encode_jpeg_gray_progressive(w, h, img2.tobytes()))[3]
+    d_base = decode_jpeg(encode_jpeg_gray(w, h, img2.tobytes()))[3]
+    assert d_prog == d_base
+
+    # multi-component progressive is the documented quarantine line
+    color = bytearray(pay)
+    sof_at = pay.index(b"\xff\xc2")
+    color[sof_at + 9] = 3  # claim 3 components
+    with pytest.raises(ValueError, match="grayscale only"):
+        decode_jpeg(bytes(color))
