@@ -1603,3 +1603,84 @@ def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_vectors").cast("double") * F.col("n_vectors"))
         ).alias("probe_cost_factor"),
     )
+
+
+#: LCM of ranks 1..10: reciprocal-rank sums stay exact integers.
+_MRR_SCALE = 2520
+
+
+def _mrr_leg_duck(method: str, approx_cte: str) -> str:
+    return f"""
+        SELECT '{method}' AS method,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN fr.first_rel IS NULL THEN 0
+                             ELSE {_MRR_SCALE} // fr.first_rel END) AS BIGINT)
+                   AS mrr_x{_MRR_SCALE},
+               CAST(SUM(CASE WHEN fr.first_rel = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_top1_hits
+        FROM (SELECT DISTINCT query_id FROM exact_topk) q
+        LEFT JOIN (
+            SELECT a.query_id, MIN(a.rank) AS first_rel
+            FROM {approx_cte} a
+            JOIN exact_topk e
+              ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+            GROUP BY 1
+        ) fr ON fr.query_id = q.query_id
+    """
+
+
+@register(
+    "ann_mrr_audit",
+    oracle=f"""
+    WITH exact_topk AS ({_REGISTRY['ann_bruteforce_topk'].oracle}),
+    lsh_topk AS ({_REGISTRY['ann_lsh_topk'].oracle}),
+    mp_topk AS ({_REGISTRY['ann_lsh_multiprobe_topk'].oracle}),
+    ivf_topk AS ({_REGISTRY['ann_ivf_topk'].oracle})
+    {_mrr_leg_duck('lsh', 'lsh_topk')}
+    UNION ALL {_mrr_leg_duck('lsh_multiprobe', 'mp_topk')}
+    UNION ALL {_mrr_leg_duck('ivf', 'ivf_topk')}
+    """,
+    doc="Mean-reciprocal-rank audit of the ANN variants: per method, the "
+    "rank at which each query's FIRST true top-10 neighbor appears in "
+    "the approximate ranking — summed as reciprocal ranks scaled by "
+    f"{_MRR_SCALE} (the LCM of ranks 1-10), so MRR is an EXACT integer "
+    "across engines instead of a float mean; plus top-1 hit counts. "
+    "Recall says how much of the truth a method finds — MRR says how "
+    "EARLY it surfaces it, which is what a retrieval serving layer pays "
+    "for.",
+)
+def ann_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the registered pipelines verbatim like ann_recall_audit
+    (same scale shape: the brute-force sample leg dominates, the audit
+    joins are |sample|×k). Exact-integer MRR is the same engine-
+    portability discipline as the corr/regression queries: a float mean
+    of reciprocals would hash-differ in the last ulp."""
+    exact = ann_bruteforce_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    queries = exact.select("query_id").distinct()
+
+    def leg(method: str, approx: DataFrame) -> DataFrame:
+        first_rel = (
+            approx.join(exact, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.min("rank").alias("first_rel"))
+        )
+        joined = queries.join(first_rel, "query_id", "left")
+        return joined.agg(
+            F.lit(method).alias("method"),
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum(
+                F.when(F.col("first_rel").isNull(), 0).otherwise(
+                    F.floor(F.lit(_MRR_SCALE) / F.col("first_rel"))
+                )
+            )
+            .cast("bigint")
+            .alias(f"mrr_x{_MRR_SCALE}"),
+            F.sum((F.col("first_rel") == 1).cast("int"))
+            .cast("bigint")
+            .alias("n_top1_hits"),
+        )
+
+    out = leg("lsh", ann_lsh_topk(spark, sf_dir)).unionByName(
+        leg("lsh_multiprobe", ann_lsh_multiprobe_topk(spark, sf_dir))
+    ).unionByName(leg("ivf", ann_ivf_topk(spark, sf_dir)))
+    return out
