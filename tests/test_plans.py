@@ -151,6 +151,7 @@ _BNLJ_OK = {
     "ann_probe_cost_audit",  # brute-force leg: corpus × broadcast(10 queries); plus single-row bf_cand broadcast
     "autocorrelation_lags",  # day grains × broadcast(4-row lag table)
     "ivf_cell_balance_audit",  # cell assignment: corpus × broadcast(C centroids), as ann_ivf_topk
+    "ann_mrr_audit",  # inherits ann_bruteforce_topk's 10-query broadcast + ivf centroid assignment
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
