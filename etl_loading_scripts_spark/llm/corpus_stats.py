@@ -108,10 +108,21 @@ from etl_loading_scripts_spark.registry import REGISTRY as _REGISTRY  # noqa: E4
     UNION ALL
     SELECT 'n_near_dup_pairs', CAST(COUNT(*) AS BIGINT)
     FROM ({_REGISTRY['dedup_minhash_lsh'].oracle})
+    UNION ALL
+    SELECT 'n_leaked_split_pairs', CAST(COALESCE(SUM(n_pairs), 0) AS BIGINT)
+    FROM ({_REGISTRY['split_leakage_audit'].oracle}) WHERE leaked = 1
+    UNION ALL
+    SELECT 'n_mojibake_docs', CAST(SUM(n_mojibake_docs) AS BIGINT)
+    FROM ({_REGISTRY['encoding_mojibake_repair'].oracle})
+    UNION ALL
+    SELECT 'n_url_dup_dropped', CAST(SUM(n_dropped) AS BIGINT)
+    FROM ({_REGISTRY['url_canonicalize_dedup'].oracle})
     """,
     doc="The corpus release manifest (datasheet): one (metric, value) "
     "table with document/token/language/source counts, exact-duplicate "
-    "mass, Gopher pass count, and the MinHash-LSH near-dup pair count — "
+    "mass, Gopher pass count, the MinHash-LSH near-dup pair count, "
+    "cross-split leakage pairs, mojibake-affected docs, and URL-dedup "
+    "drops — "
     "every number produced by composing the registered audits verbatim, "
     "so the manifest can never disagree with the operators it "
     "summarizes. The single artifact a dataset card quotes.",
@@ -122,8 +133,15 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     movement. At 100 TB the expensive members (near-dup pairs) are the
     same jobs the release pipeline already ran — a production manifest
     reads their persisted outputs rather than recomputing."""
-    from etl_loading_scripts_spark.llm.dedup import dedup_minhash_lsh
-    from etl_loading_scripts_spark.llm.text import quality_gopher_rules
+    from etl_loading_scripts_spark.llm.dedup import (
+        dedup_minhash_lsh,
+        url_canonicalize_dedup,
+    )
+    from etl_loading_scripts_spark.llm.sampling import split_leakage_audit
+    from etl_loading_scripts_spark.llm.text import (
+        encoding_mojibake_repair,
+        quality_gopher_rules,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
 
@@ -156,6 +174,24 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         scalar(
             "n_near_dup_pairs",
             dedup_minhash_lsh(spark, sf_dir).agg(F.count(F.lit(1)).alias("v")),
+        ),
+        scalar(
+            "n_leaked_split_pairs",
+            split_leakage_audit(spark, sf_dir)
+            .filter(F.col("leaked") == 1)
+            .agg(F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("v")),
+        ),
+        scalar(
+            "n_mojibake_docs",
+            encoding_mojibake_repair(spark, sf_dir).agg(
+                F.sum("n_mojibake_docs").alias("v")
+            ),
+        ),
+        scalar(
+            "n_url_dup_dropped",
+            url_canonicalize_dedup(spark, sf_dir).agg(
+                F.sum("n_dropped").alias("v")
+            ),
         ),
     ]
     out = parts[0]
