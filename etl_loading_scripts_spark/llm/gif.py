@@ -264,3 +264,72 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
             raise ValueError("corrupt GIF: palette index out of range")
         return w, h, np.ascontiguousarray(ct[idx]).tobytes()
     raise ValueError("no image block found")
+
+
+def encode_gif_animated(
+    width: int,
+    height: int,
+    frames: list[bytes],
+    palette: bytes,
+    delay_cs: int = 10,
+) -> bytes:
+    """Encode multiple index frames as an animated GIF89a (NETSCAPE2.0
+    loop extension + a graphic-control extension per frame)."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    n_colors = len(palette) // 3
+    bits = max(1, (max(0, n_colors - 1)).bit_length())
+    padded = palette + bytes(3 * ((1 << bits) - n_colors))
+    min_code = max(2, bits)
+    out = bytearray()
+    out += b"GIF89a" + struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += padded
+    # NETSCAPE looping application extension (loop forever)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for idx in frames:
+        if len(idx) != width * height:
+            raise ValueError("frame length must be width*height")
+        if max(idx) >= n_colors:
+            raise ValueError("index out of palette range")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([min_code]) + _lzw_encode(idx, min_code)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_frame_census(payload: bytes) -> tuple[int, int, int]:
+    """Count the image blocks of a GIF without decoding pixel data →
+    (n_frames, screen_width, screen_height). The metadata pass an
+    animation-aware ingestion runs before deciding whether to decode,
+    frame-sample, or quarantine a multi-frame file."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload (bad magic)")
+    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    n_frames = 0
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
+        _l, _t, _w, _h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if iflags & 0x80:
+            pos += 3 * (2 << (iflags & 0x07))
+        pos += 1  # LZW min code size
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+        n_frames += 1
+    return n_frames, sw, sh

@@ -1713,3 +1713,102 @@ def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quarantine — the honest line, explicitly tested."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_jpeg_prog_batches, schema=_JPEG_PROG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF census — the metadata pass before decode/frame-sample
+# ---------------------------------------------------------------------------
+
+_GIF_ANIM_SCHEMA = (
+    "doc_id long, n_frames int, width int, height int, "
+    "first_sum_r bigint, first_checksum bigint"
+)
+
+
+def _gif_anim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Plant an ANIMATED GIF per doc (1 + d%4 frames, NETSCAPE loop
+    extension, per-frame graphic-control blocks), census the frame count
+    metadata-only, and decode the FIRST frame's pixels — the two-phase
+    flow (cheap census → targeted decode) an animation-aware ingestion
+    actually runs."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.gif import (
+        decode_gif,
+        encode_gif_animated,
+        gif_frame_census,
+    )
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "n_frames", "width", "height",
+            "first_sum_r", "first_checksum",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 4 + d % 13, 3 + d % 7
+            nf = 1 + d % 4
+            j = np.arange(_PALETTE_SIZE)
+            pal = np.stack(
+                [(d + j * 37) % 256, (d * 3 + j * 11) % 256, (d * 7 + j * 5) % 256],
+                axis=1,
+            ).astype(np.uint8)
+            frames = [
+                ((d + f + np.arange(w * h)) % _PALETTE_SIZE).astype(np.uint8).tobytes()
+                for f in range(nf)
+            ]
+            payload = encode_gif_animated(w, h, frames, pal.tobytes())
+            got_n, sw, sh = gif_frame_census(payload)
+            assert got_n == nf and (sw, sh) == (w, h)
+            dw, dh, rgb = decode_gif(payload)
+            arr = np.frombuffer(rgb, dtype=np.uint8).astype(np.int64)
+            out["doc_id"].append(d)
+            out["n_frames"].append(got_n)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["first_sum_r"].append(int(arr[0::3].sum()))
+            out["first_checksum"].append(int(((np.arange(arr.size) + 1) * arr).sum()))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64", "n_frames": "int32", "width": "int32",
+                "height": "int32", "first_sum_r": "int64", "first_checksum": "int64",
+            }
+        )
+
+
+@register(
+    "mm_gif_animation_census",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id,
+               4 + doc_id % 13 AS w,
+               3 + doc_id % 7 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(1 + doc_id % 4 AS INT) AS n_frames,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                q -> CASE WHEN q % 3 = 0 THEN {_GIF_RGB_DUCK} ELSE 0 END))
+               AS BIGINT) AS first_sum_r,
+           CAST(list_sum(list_transform(range(0, w * h * 3),
+                q -> (q + 1) * ({_GIF_RGB_DUCK}))) AS BIGINT)
+               AS first_checksum
+    FROM px
+    """,
+    doc="Animated-GIF census: per doc, a multi-frame GIF89a (NETSCAPE "
+    "loop + per-frame graphic-control extensions) is frame-counted "
+    "METADATA-ONLY (block walk, no pixel decode) and its first frame "
+    "decoded through the LZW path — the two-phase flow that lets a "
+    "100 TB ingestion decide decode/frame-sample/quarantine per file "
+    "before paying for pixels. Frame 0's planting formula matches "
+    "mm_decode_gif's, so the oracle covers both phases.",
+)
+def mm_gif_animation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the census is a byte-offset walk over block headers — "
+    "O(blocks), no LZW work — which is why it runs on every file while "
+    "full decode runs on the selected subset. Same mapInPandas contract "
+    "as the rest of the mm family."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_gif_anim_batches, schema=_GIF_ANIM_SCHEMA)
