@@ -649,3 +649,24 @@ def test_jpeg_progressive_spectral_selection():
     color[sof_at + 9] = 3  # claim 3 components
     with pytest.raises(ValueError, match="grayscale only"):
         decode_jpeg(bytes(color))
+
+
+def test_gif_animation_census_and_first_frame():
+    """Multi-frame GIFs: frame census is metadata-exact and the decoder
+    returns frame 0 of an animated container."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.gif import (
+        decode_gif,
+        encode_gif_animated,
+        gif_frame_census,
+    )
+
+    rng = np.random.default_rng(3)
+    w, h = 9, 7
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 8, w * h, dtype=np.uint8).tobytes() for _ in range(4)]
+    pay = encode_gif_animated(w, h, frames, pal.tobytes())
+    assert gif_frame_census(pay) == (4, w, h)
+    idx0 = np.frombuffer(frames[0], dtype=np.uint8).reshape(h, w)
+    assert decode_gif(pay)[2] == pal[idx0].tobytes()
