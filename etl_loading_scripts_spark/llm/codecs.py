@@ -231,7 +231,11 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     palette = None
     idat = bytearray()
     while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("corrupt PNG: truncated chunk header")
         (length,) = struct.unpack_from(">I", payload, pos)
+        if pos + 12 + length > len(payload):
+            raise ValueError("corrupt PNG: truncated chunk body")
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
@@ -283,7 +287,10 @@ def decode_png(payload: bytes) -> tuple[int, int, bytes]:
     elif ctype == 3:
         if palette is None:
             raise ValueError("paletted PNG without a PLTE chunk")
-        rgb = palette[px.reshape(height, width)]
+        idx = px.reshape(height, width)
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ValueError("corrupt PNG: palette index out of range")
+        rgb = palette[idx]
     elif ctype == 4:  # gray + alpha
         rgb = np.repeat(px.reshape(height, width, 2)[:, :, :1], 3, axis=2)
     else:  # 6

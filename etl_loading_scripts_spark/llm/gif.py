@@ -36,6 +36,24 @@ import numpy as np
 _INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
 
 
+def _u8(payload: bytes, pos: int) -> int:
+    """``payload[pos]`` with a truncation check: corrupt/truncated files
+    raise the documented ``ValueError`` from the container walks, never
+    ``IndexError`` (ADVICE r4 — a truncated payload with a valid GIF
+    magic must route to quarantine, not kill the partition)."""
+    if pos >= len(payload):
+        raise ValueError("corrupt GIF: truncated file")
+    return payload[pos]
+
+
+def _unpack(fmt: str, payload: bytes, pos: int) -> tuple:
+    """``struct.unpack_from`` with the same truncation-as-ValueError
+    contract as :func:`_u8` (struct.error would escape quarantine)."""
+    if pos + struct.calcsize(fmt) > len(payload):
+        raise ValueError("corrupt GIF: truncated file")
+    return struct.unpack_from(fmt, payload, pos)
+
+
 # ---------------------------------------------------------------------------
 # LZW
 # ---------------------------------------------------------------------------
@@ -209,44 +227,50 @@ def decode_gif(payload: bytes) -> tuple[int, int, bytes]:
     """
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (bad magic)")
-    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, flags, _bg, _aspect = _unpack("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(payload):
+            raise ValueError("corrupt GIF: truncated global color table")
         gct = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=pos).reshape(
             n, 3
         )
         pos += 3 * n
     while pos < len(payload):
-        block = payload[pos]
+        block = _u8(payload, pos)
         pos += 1
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
             pos += 1
-            while payload[pos]:
+            while _u8(payload, pos):
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
-        left, top, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        left, top, w, h, iflags = _unpack("<HHHHB", payload, pos)
         pos += 9
         ct = gct
         if iflags & 0x80:  # local color table
             n = 2 << (iflags & 0x07)
+            if pos + 3 * n > len(payload):
+                raise ValueError("corrupt GIF: truncated local color table")
             ct = np.frombuffer(
                 payload, dtype=np.uint8, count=3 * n, offset=pos
             ).reshape(n, 3)
             pos += 3 * n
         if ct is None:
             raise ValueError("GIF image without any color table")
-        min_code = payload[pos]
+        min_code = _u8(payload, pos)
         pos += 1
         data = bytearray()
-        while payload[pos]:
+        while _u8(payload, pos):
             ln = payload[pos]
+            if pos + 1 + ln > len(payload):
+                raise ValueError("corrupt GIF: truncated image sub-block")
             data += payload[pos + 1 : pos + 1 + ln]
             pos += 1 + ln
         pos += 1
@@ -305,31 +329,37 @@ def gif_frame_census(payload: bytes) -> tuple[int, int, int]:
     frame-sample, or quarantine a multi-frame file."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload (bad magic)")
-    sw, sh, flags, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    sw, sh, flags, _bg, _aspect = _unpack("<HHBBB", payload, 6)
     pos = 13
     if flags & 0x80:
         pos += 3 * (2 << (flags & 0x07))
     n_frames = 0
+    saw_trailer = False
     while pos < len(payload):
-        block = payload[pos]
+        block = _u8(payload, pos)
         pos += 1
         if block == 0x3B:
+            saw_trailer = True
             break
         if block == 0x21:
             pos += 1
-            while payload[pos]:
+            while _u8(payload, pos):
                 pos += 1 + payload[pos]
             pos += 1
             continue
         if block != 0x2C:
             raise ValueError(f"corrupt GIF: unknown block 0x{block:02x}")
-        _l, _t, _w, _h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        _l, _t, _w, _h, iflags = _unpack("<HHHHB", payload, pos)
         pos += 9
         if iflags & 0x80:
             pos += 3 * (2 << (iflags & 0x07))
         pos += 1  # LZW min code size
-        while payload[pos]:
+        while _u8(payload, pos):
             pos += 1 + payload[pos]
         pos += 1
         n_frames += 1
+    if not saw_trailer:
+        # a byte-boundary truncation can land exactly between blocks;
+        # the missing 0x3B trailer is the tell (ADVICE r4)
+        raise ValueError("corrupt GIF: missing trailer")
     return n_frames, sw, sh

@@ -243,9 +243,13 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            # truncated entropy stream: the documented ValueError, not an
+            # IndexError that would escape the quarantine net (ADVICE r4)
+            raise ValueError("corrupt JPEG: truncated entropy data")
         b = self.data[self.pos]
         if b == 0xFF:
-            nxt = self.data[self.pos + 1]
+            nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
             if nxt == 0x00:  # stuffed byte
                 self.pos += 2
             else:
@@ -591,6 +595,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        if pos + 2 > len(payload):
+            raise ValueError("corrupt JPEG: truncated marker")
         tag = payload[pos + 1]
         if tag == 0xD9:  # EOI
             break
@@ -600,6 +606,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError("progressive JPEG variant not supported")
         if tag in (0xC9, 0xCB, 0xCD):
             raise ValueError("arithmetic-coded JPEG not supported")
+        if pos + 4 > len(payload):
+            raise ValueError("corrupt JPEG: truncated segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         if tag == 0xDB:  # DQT (possibly several tables per segment)
@@ -621,6 +629,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 tc, th = body[bpos] >> 4, body[bpos] & 0xF
                 bits = list(body[bpos + 1 : bpos + 17])
                 n = sum(bits)
+                if bpos + 17 + n > len(body):
+                    raise ValueError("corrupt JPEG: truncated DHT segment")
                 huffval = list(body[bpos + 17 : bpos + 17 + n])
                 htables[(tc, th)] = _Decoder(bits, huffval)
                 bpos += 17 + n
@@ -643,11 +653,22 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            scan_tables = []
+            sos_tables = {}
             for si in range(ns):
                 cid = body[1 + si * 2]
                 td, ta = body[2 + si * 2] >> 4, body[2 + si * 2] & 0xF
-                scan_tables.append((cid, td, ta))
+                sos_tables[cid] = (td, ta)
+            # bind Huffman tables to components BY ID, not by position:
+            # T.81 lets SOS list components in any order, and a legal
+            # file whose SOS order differs from SOF would otherwise
+            # silently decode with swapped tables (ADVICE r4)
+            if len(sos_tables) != len(comps) or any(
+                cid not in sos_tables for (cid, _, _) in comps
+            ):
+                raise ValueError(
+                    "corrupt JPEG: SOS component ids do not match SOF"
+                )
+            scan_tables = [(cid, *sos_tables[cid]) for (cid, _, _) in comps]
             pos = pos + 2 + seglen
             return _decode_scan(
                 payload, pos, frame, comps, scan_tables, qtables, htables,
@@ -864,9 +885,13 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
+        if pos + 2 > len(payload):
+            raise ValueError("corrupt JPEG: truncated marker")
         tag = payload[pos + 1]
         if tag == 0xD9:
             break
+        if pos + 4 > len(payload):
+            raise ValueError("corrupt JPEG: truncated segment header")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
         body = payload[pos + 4 : pos + 2 + seglen]
         if tag == 0xDB:
@@ -886,6 +911,8 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                 tc, th = body[bpos] >> 4, body[bpos] & 0xF
                 bits = list(body[bpos + 1 : bpos + 17])
                 n = sum(bits)
+                if bpos + 17 + n > len(body):
+                    raise ValueError("corrupt JPEG: truncated DHT segment")
                 htables[(tc, th)] = _Decoder(bits, list(body[bpos + 17 : bpos + 17 + n]))
                 bpos += 17 + n
         elif tag == 0xC2:

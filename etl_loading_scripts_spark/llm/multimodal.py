@@ -21,6 +21,7 @@ integration point.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -664,7 +665,13 @@ def _quarantine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 else:
                     raise ValueError("unknown format")
                 decoded, n_px = 1, dw * dh
-            except ValueError:
+            except (ValueError, IndexError, struct.error):
+                # ValueError is the codecs' documented corrupt-payload
+                # signal; IndexError/struct.error are the belt-and-braces
+                # net for any container-walk bounds case the codecs'
+                # own ValueError conversion misses (ADVICE r4) — a
+                # corrupt payload with a known magic must quarantine,
+                # never kill the partition
                 decoded, n_px = 0, 0
             out["doc_id"].append(d)
             out["fmt"].append(fmt)
@@ -1415,8 +1422,8 @@ def mm_audio_stereo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: identical contract to mm_audio_wav_stats — Arrow-batched
     mapInPandas, partition-local, numpy-deinterleaved kernels. Stereo
     and mixed bit depths are what a scraped audio corpus actually
-    contains; per-channel stats are the inputs to downmix and silence-"
-    "detection decisions upstream of any ASR/codec model."""
+    contains; per-channel stats are the inputs to downmix and
+    silence-detection decisions upstream of any ASR/codec model."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_stereo_batches, schema=_STEREO_SCHEMA)
 
@@ -1706,11 +1713,11 @@ def _jpeg_prog_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
     "pixel checksum (DC-only = blurred means).",
 )
 def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: same mapInPandas contract as every mm_decode_*. "
-    "Progressive files are common in web corpora (photoshop/web-export "
-    "defaults); this path decodes the spectral-selection grayscale "
-    "subset and routes AC-refinement/multi-component files to "
-    "quarantine — the honest line, explicitly tested."""
+    """Scale: same mapInPandas contract as every mm_decode_*.
+    Progressive files are common in web corpora (photoshop/web-export
+    defaults); this path decodes the spectral-selection grayscale
+    subset and routes AC-refinement/multi-component files to
+    quarantine — the honest line, explicitly tested."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_jpeg_prog_batches, schema=_JPEG_PROG_SCHEMA)
 
@@ -1806,9 +1813,9 @@ def _gif_anim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     "mm_decode_gif's, so the oracle covers both phases.",
 )
 def mm_gif_animation_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale: the census is a byte-offset walk over block headers — "
-    "O(blocks), no LZW work — which is why it runs on every file while "
-    "full decode runs on the selected subset. Same mapInPandas contract "
-    "as the rest of the mm family."""
+    """Scale: the census is a byte-offset walk over block headers —
+    O(blocks), no LZW work — which is why it runs on every file while
+    full decode runs on the selected subset. Same mapInPandas contract
+    as the rest of the mm family."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_gif_anim_batches, schema=_GIF_ANIM_SCHEMA)

@@ -670,3 +670,89 @@ def test_gif_animation_census_and_first_frame():
     assert gif_frame_census(pay) == (4, w, h)
     idx0 = np.frombuffer(frames[0], dtype=np.uint8).reshape(h, w)
     assert decode_gif(pay)[2] == pal[idx0].tobytes()
+
+
+def test_truncated_payloads_raise_valueerror_not_indexerror():
+    """ADVICE r4: a corrupt payload with a KNOWN magic must raise the
+    codecs' documented ValueError (the quarantine signal), never an
+    IndexError/struct.error that would escape the quarantine net and
+    kill a million-document partition."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.codecs import (
+        decode_png,
+        encode_png,
+        encode_png_palette,
+    )
+    from etl_loading_scripts_spark.llm.gif import (
+        decode_gif,
+        encode_gif,
+        gif_frame_census,
+    )
+    from etl_loading_scripts_spark.llm.jpeg import decode_jpeg, encode_jpeg_gray
+
+    w, h = 9, 7
+    rgb = bytes((i * 31 + 5) % 256 for i in range(w * h * 3))
+    gray = bytes((i * 13 + 7) % 256 for i in range(w * h))
+    rng = np.random.default_rng(7)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, w * h, dtype=np.uint8)
+    gif = encode_gif(w, h, idx.tobytes(), pal.tobytes().__len__() and pal.tobytes())
+    jpg = encode_jpeg_gray(w, h, gray)
+    png = encode_png(w, h, rgb)
+    # every strict prefix class: cut at several depths spanning header,
+    # color table / DQT, and entropy data
+    for payload, decoder in ((gif, decode_gif), (jpg, decode_jpeg), (png, decode_png)):
+        for frac in (0.2, 0.5, 0.8, 0.98):
+            cut = payload[: int(len(payload) * frac)]
+            with pytest.raises(ValueError):
+                decoder(cut)
+    for frac in (0.3, 0.7):
+        with pytest.raises(ValueError):
+            gif_frame_census(gif[: int(len(gif) * frac)])
+    # out-of-range PNG palette index (encoder can't produce it: splice a
+    # 2-entry PLTE into a payload whose indexes go up to 7)
+    pal_png = encode_png_palette(w, h, idx.tobytes(), pal.tobytes())
+    import struct as _s
+    import zlib as _z
+
+    at = pal_png.index(b"PLTE") - 4
+    (plte_len,) = _s.unpack_from(">I", pal_png, at)
+    small = pal.tobytes()[:6]  # 2 entries
+    chunk = _s.pack(">I", 6) + b"PLTE" + small
+    chunk += _s.pack(">I", _z.crc32(b"PLTE" + small) & 0xFFFFFFFF)
+    bad = pal_png[:at] + chunk + pal_png[at + 12 + plte_len :]
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(bad)
+
+
+def test_jpeg_sos_component_order_binds_by_id():
+    """ADVICE r4: T.81 allows SOS to list components in any order; the
+    decoder must bind Huffman tables by component id, not SOS position —
+    a reordered-SOS file decodes to the SAME pixels."""
+    import struct as _s
+
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.jpeg import decode_jpeg, encode_jpeg_rgb
+
+    w, h = 16, 8
+    rgb = (np.arange(w * h * 3, dtype=np.int64) * 29 % 256).astype(np.uint8)
+    payload = encode_jpeg_rgb(w, h, rgb.tobytes())
+    base = decode_jpeg(payload)
+    # locate SOS and reverse the component entry order
+    at = payload.index(b"\xff\xda")
+    (seglen,) = _s.unpack_from(">H", payload, at + 2)
+    body = bytearray(payload[at + 4 : at + 2 + seglen])
+    ns = body[0]
+    assert ns == 3
+    entries = [bytes(body[1 + 2 * i : 3 + 2 * i]) for i in range(ns)]
+    body[1 : 1 + 2 * ns] = b"".join(reversed(entries))
+    reordered = payload[: at + 4] + bytes(body) + payload[at + 2 + seglen :]
+    assert decode_jpeg(reordered) == base
+    # and a SOS naming a component absent from SOF must raise
+    body2 = bytearray(body)
+    body2[1] = 99
+    bad = payload[: at + 4] + bytes(body2) + payload[at + 2 + seglen :]
+    with pytest.raises(ValueError, match="SOS component"):
+        decode_jpeg(bad)
