@@ -11,9 +11,11 @@ those jars aren't in this image.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -143,6 +145,150 @@ def read_versioned(spark: SparkSession, base_dir: str, version: int | None = Non
             "partial table"
         )
     return spark.read.parquet(vdir)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic publish set (O10 closed: the reference's P-SF
+# single-transaction semantics across dims + fact)
+# ---------------------------------------------------------------------------
+
+_SET_MANIFEST = "_SET_MANIFEST"
+
+
+def _set_versions(base_dir: str) -> list[int]:
+    if not os.path.isdir(base_dir):
+        return []
+    return sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(base_dir)
+        if d.startswith("v=") and d.split("=", 1)[1].isdigit()
+    )
+
+
+def _set_complete(base_dir: str, version: int) -> bool:
+    """A set version is complete iff its manifest exists AND every table
+    it names has Spark's ``_SUCCESS`` commit marker. The manifest is
+    written after all tables, so its presence normally implies table
+    completeness — the per-table check is belt-and-braces against
+    manual tampering."""
+    mpath = os.path.join(base_dir, f"v={version}", _SET_MANIFEST)
+    if not os.path.exists(mpath):
+        return False
+    with open(mpath) as f:
+        names = json.load(f)["tables"]
+    vdir = os.path.join(base_dir, f"v={version}")
+    return all(
+        os.path.exists(os.path.join(vdir, name, "_SUCCESS")) for name in names
+    )
+
+
+def publish_set(
+    tables: Mapping[str, DataFrame] | Sequence[tuple[str, DataFrame]],
+    base_dir: str,
+) -> int:
+    """Publish MULTIPLE tables as ONE atomic unit; returns the version.
+    The reference commits its three dimension MERGEs plus the fact syncs
+    inside a single SQL transaction with rollback
+    (``0. stored procedures/[UpdateDimSalesForceRestaurantAndDimFingerprint]/spScript.sql:20-22,345-357``)
+    so a reader never observes a new dim joined to an old fact. Spark has
+    no cross-table transactions; this is the same guarantee via a
+    manifest + single-pointer commit:
+
+    Layout::
+
+        base_dir/
+          v=N/
+            <table>/        one parquet dir per table (Spark _SUCCESS)
+            _SET_MANIFEST   written LAST inside v=N (names every table)
+          _LATEST           one-line pointer — THE commit point
+
+    Every table of version N is fully written, then the manifest, and
+    only then does one atomic ``_LATEST`` rename flip readers over.
+    Because :func:`read_published_set` resolves ALL tables of the set
+    through that one pointer read, a crash at ANY point (between table
+    writes, after tables before manifest, after manifest before flip)
+    leaves readers on the complete previous version for every table —
+    cross-table consistency is exactly the pointer's atomicity. Crash
+    debris (a ``v=N`` without a manifest) is skipped by readers, skipped
+    past by the next publish (version numbers may gap), and collected by
+    :func:`vacuum_set_versions`.
+
+    Same local/POSIX scope as :func:`publish_versioned` (driver-local
+    ``os`` calls; on object storage use a real table format's
+    transaction). Single-writer, like the reference's proc.
+    """
+    items = list(tables.items()) if isinstance(tables, Mapping) else list(tables)
+    if not items:
+        raise ValueError("publish_set of zero tables")
+    names = [name for name, _ in items]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate table names in publish set: {names}")
+    os.makedirs(base_dir, exist_ok=True)
+    existing = _set_versions(base_dir)
+    version = (existing[-1] + 1) if existing else 1
+    vdir = os.path.join(base_dir, f"v={version}")
+    for name, df in items:
+        df.write.mode("errorifexists").parquet(os.path.join(vdir, name))
+    manifest = {"version": version, "tables": names}
+    mtmp = os.path.join(vdir, f"{_SET_MANIFEST}.__tmp__{uuid.uuid4().hex[:8]}")
+    with open(mtmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(mtmp, os.path.join(vdir, _SET_MANIFEST))
+    ptmp = os.path.join(base_dir, f"_LATEST.__tmp__{uuid.uuid4().hex[:8]}")
+    with open(ptmp, "w") as f:
+        f.write(str(version))
+    os.rename(ptmp, os.path.join(base_dir, "_LATEST"))  # THE commit
+    return version
+
+
+def read_published_set(
+    spark: SparkSession, base_dir: str, version: int | None = None
+) -> dict[str, DataFrame]:
+    """Read every table of a published set at one consistent version —
+    the pinned ``version``, or latest via the pointer. All tables
+    resolve through the SAME pointer read, so the result is always a
+    transactionally consistent view (never version N's dim with version
+    N-1's fact). Refuses incomplete versions (crash debris)."""
+    if version is None:
+        with open(os.path.join(base_dir, "_LATEST")) as f:
+            version = int(f.read().strip())
+    if not _set_complete(base_dir, version):
+        raise FileNotFoundError(
+            f"set version {version} under {base_dir} is missing or "
+            "incomplete (no manifest / unfinished table write — crash "
+            "debris?); refusing to serve a torn multi-table snapshot"
+        )
+    vdir = os.path.join(base_dir, f"v={version}")
+    with open(os.path.join(vdir, _SET_MANIFEST)) as f:
+        names = json.load(f)["tables"]
+    return {n: spark.read.parquet(os.path.join(vdir, n)) for n in names}
+
+
+def vacuum_set_versions(base_dir: str, keep_last: int = 3) -> list[int]:
+    """Retention GC for the set layout, same contract as
+    :func:`vacuum_versions`: the keep window counts COMPLETE versions
+    only, the ``_LATEST`` target is pinned unconditionally, and
+    incomplete (manifest-less) debris older than the newest version is
+    swept. Returns removed version numbers."""
+    versions = _set_versions(base_dir)
+    if not versions:
+        return []
+    newest = versions[-1]
+    complete = [v for v in versions if _set_complete(base_dir, v)]
+    keep = set(complete[-keep_last:]) if keep_last > 0 else set()
+    pointer_path = os.path.join(base_dir, "_LATEST")
+    if os.path.exists(pointer_path):
+        with open(pointer_path) as f:
+            txt = f.read().strip()
+        if txt.isdigit():
+            keep.add(int(txt))
+    removed = []
+    for v in versions:
+        is_complete = v in complete
+        if (is_complete and v not in keep) or (not is_complete and v != newest):
+            shutil.rmtree(os.path.join(base_dir, f"v={v}"))
+            removed.append(v)
+    return removed
 
 
 def vacuum_versions(base_dir: str, keep_last: int = 3) -> list[int]:

@@ -601,3 +601,167 @@ def test_recovery_invariant_over_random_crash_states(spark, tmp_path):
             )
             assert month_rows == expect, (phases, m)
         shutil.rmtree(path)
+
+
+# ---------------------------------------------------------------------------
+# Multi-table atomic publish set (O10 closed — reference P-SF transaction)
+# ---------------------------------------------------------------------------
+
+
+def _two_tables(spark, tag: int):
+    dim = spark.createDataFrame(
+        [(k, f"dim{tag}_{k}") for k in range(5)], "k BIGINT, name STRING"
+    )
+    fact = spark.createDataFrame(
+        [(k, tag * 100 + k) for k in range(20)], "k BIGINT, v BIGINT"
+    )
+    return {"dim": dim, "fact": fact}
+
+
+def _set_snapshot(spark, base):
+    from etl_loading_scripts_spark.operators.publish import read_published_set
+
+    tables = read_published_set(spark, base)
+    return {
+        name: {tuple(r) for r in df.collect()} for name, df in tables.items()
+    }
+
+
+def test_publish_set_roundtrip_and_pinning(spark, tmp_path):
+    import pytest
+
+    from etl_loading_scripts_spark.operators.publish import (
+        publish_set,
+        read_published_set,
+    )
+
+    base = str(tmp_path / "set")
+    v1 = publish_set(_two_tables(spark, 1), base)
+    v2 = publish_set(_two_tables(spark, 2), base)
+    assert (v1, v2) == (1, 2)
+    latest = read_published_set(spark, base)
+    assert {r.v for r in latest["fact"].collect()} == {200 + k for k in range(20)}
+    pinned = read_published_set(spark, base, version=1)
+    assert {r.v for r in pinned["fact"].collect()} == {100 + k for k in range(20)}
+    with pytest.raises(FileNotFoundError):
+        read_published_set(spark, base, version=9)
+
+
+def test_publish_set_crash_never_tears_cross_table(spark, tmp_path):
+    """The O10 guarantee: a crash at ANY point of publish N+1 leaves a
+    reader seeing version N for EVERY table — never a mixed set."""
+    import json
+    import os
+
+    from etl_loading_scripts_spark.operators.publish import publish_set
+
+    base = str(tmp_path / "set")
+    publish_set(_two_tables(spark, 1), base)
+    want = _set_snapshot(spark, base)
+
+    t2 = _two_tables(spark, 2)
+    # crash A: first table of v2 written, second never started, no manifest
+    t2["dim"].write.parquet(os.path.join(base, "v=2", "dim"))
+    assert _set_snapshot(spark, base) == want
+    # crash B: all tables written, manifest written, pointer NOT flipped
+    t2["fact"].write.parquet(os.path.join(base, "v=2", "fact"))
+    with open(os.path.join(base, "v=2", "_SET_MANIFEST"), "w") as f:
+        json.dump({"version": 2, "tables": ["dim", "fact"]}, f)
+    assert _set_snapshot(spark, base) == want
+    # a retry after either crash skips past the debris and commits whole
+    v3 = publish_set(_two_tables(spark, 3), base)
+    assert v3 == 3
+    got = _set_snapshot(spark, base)
+    assert {r[1] for r in got["fact"]} == {300 + k for k in range(20)}
+    assert all(name.startswith("dim3_") for _, name in got["dim"])
+
+
+def test_publish_set_incomplete_table_write_is_refused(spark, tmp_path):
+    """A manifest whose table lost its _SUCCESS marker (tampering /
+    partial restore) must refuse, not serve a torn table."""
+    import os
+
+    import pytest
+
+    from etl_loading_scripts_spark.operators.publish import (
+        publish_set,
+        read_published_set,
+    )
+
+    base = str(tmp_path / "set")
+    publish_set(_two_tables(spark, 1), base)
+    os.remove(os.path.join(base, "v=1", "fact", "_SUCCESS"))
+    with pytest.raises(FileNotFoundError, match="incomplete"):
+        read_published_set(spark, base)
+
+
+def test_vacuum_set_versions_pins_pointer_and_sweeps_debris(spark, tmp_path):
+    import os
+
+    from etl_loading_scripts_spark.operators.publish import (
+        publish_set,
+        read_published_set,
+        vacuum_set_versions,
+    )
+
+    base = str(tmp_path / "set")
+    for tag in (1, 2, 3, 4):
+        publish_set(_two_tables(spark, tag), base)
+    # debris: v5 half-written (one table, no manifest)
+    _two_tables(spark, 5)["dim"].write.parquet(os.path.join(base, "v=5", "dim"))
+    removed = vacuum_set_versions(base, keep_last=2)
+    # v1, v2 aged out; v5 debris survives only because it's newest
+    assert removed == [1, 2]
+    assert _set_snapshot(spark, base)  # latest (v4) still serves
+    # pin the pointer at v3 and vacuum hard: the target must survive
+    with open(os.path.join(base, "_LATEST"), "w") as f:
+        f.write("3")
+    removed = vacuum_set_versions(base, keep_last=1)
+    assert 3 not in removed
+    assert read_published_set(spark, base, version=3) is not None
+
+
+def test_publish_monthly_set_commits_all_outputs_atomically(spark, sf_dir):
+    """End-to-end: the monthly load's five outputs commit as one set and
+    read back transactionally consistent (RI holds within the set)."""
+    import tempfile
+    import shutil as _sh
+
+    from etl_loading_scripts_spark.operators.publish import (
+        read_published_set,
+        referential_integrity_check,
+    )
+    from etl_loading_scripts_spark.pipeline.domain import build_domain
+    from etl_loading_scripts_spark.pipeline.monthly_load import (
+        full_window,
+        publish_monthly_set,
+        run_monthly_load,
+    )
+
+    dom = build_domain(spark, sf_dir)
+    out, _metrics = run_monthly_load(spark, dom, full_window(dom))
+    base = tempfile.mkdtemp(prefix="pubset_")
+    try:
+        v = publish_monthly_set(out, base)
+        tables = read_published_set(spark, base)
+        assert set(tables) == {
+            "fact_transaction",
+            "dim_patron",
+            "dim_restaurant",
+            "dim_billing_group",
+            "pos_fingerprints",
+        }
+        assert v == 1
+        assert (
+            referential_integrity_check(
+                tables["fact_transaction"].filter(
+                    F.col("unique_patron_id").isNotNull()
+                ),
+                tables["dim_patron"],
+                "unique_patron_id",
+                "patron_id",
+            )
+            == 0
+        )
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
