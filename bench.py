@@ -105,9 +105,10 @@ def main() -> None:
     # Two sinks per query (VERDICT r3 item 6): count() — comparable with
     # rounds 1-3 — can let Spark prune final-projection columns; the
     # noop-format write executes the full plan including the final
-    # projection, so projection-heavy queries are fully billed. Round 4
-    # records BOTH (count stays the headline metric one last round for
-    # comparability); noop becomes the metric from round 5.
+    # projection, so projection-heavy queries are fully billed. From
+    # round 5 NOOP IS THE HEADLINE metric ("value"/"queries"); count
+    # totals stay recorded as "count_total"/"queries_count" so the
+    # r1-r4 series remains interpretable.
     timings: dict[str, float] = {}
     timings_noop: dict[str, float] = {}
     for name in HEADLINE:
@@ -139,12 +140,12 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
-                "value": total,
+                "metric": "headline_queries_total_wall_noop",
+                "value": total_noop,
                 "unit": "sec",
-                "queries": timings,
-                "noop_total": total_noop,
-                "queries_noop": timings_noop,
+                "queries": timings_noop,
+                "count_total": total,
+                "queries_count": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

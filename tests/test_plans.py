@@ -169,6 +169,106 @@ _PYTHON_OK = {
 }
 
 
+# Grain bounds for the BNLJ allow-list (VERDICT r4 item 8): the allow-list
+# names WHICH queries may nested-loop-join; this pins WHAT they may
+# broadcast. Measured build-side rows at sf0.001 are 1-80 (single-row
+# stats, 10-query sets, K≤16 centroids, lag/threshold sweeps); the default
+# bound of 64 is far above every point grain yet far below the smallest
+# corpus table (customer: 150 rows at sf0.001), so a refactor that swaps
+# the broadcast to the corpus side fails this ratchet even though the
+# query name stays allow-listed. Calendar-grain builds get their own
+# calendar-bounded caps (they grow with the date span, never with rows).
+_BNLJ_DEFAULT_BOUND = 64
+_BNLJ_BUILD_BOUNDS = {
+    "rolling_7day_distinct_hll": 1100,  # day-grain spine: ≤ ~3 years of days
+    "fx_effective_rate_normalize": 1200,  # month grid: ≤ 100 years of months
+}
+
+
+def _bnlj_build_rows(df) -> list[int]:
+    """Execute ``df`` and return the RUNTIME row count of every
+    BroadcastNestedLoopJoin's build side (from the build-side
+    BroadcastExchange's numOutputRows metric), walking through AQE
+    wrappers, query stages, and exchange reuse."""
+    df.collect()
+
+    def first_bex(node):
+        name = node.getClass().getSimpleName()
+        if name == "BroadcastExchangeExec":
+            return node
+        if name == "ReusedExchangeExec":
+            return first_bex(node.child())
+        if name.endswith("QueryStageExec"):
+            return first_bex(node.plan())
+        ch = node.children()
+        for i in range(ch.size()):
+            r = first_bex(ch.apply(i))
+            if r is not None:
+                return r
+        return None
+
+    out: list[int] = []
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if name.endswith("QueryStageExec"):
+            walk(node.plan())
+            return
+        if name == "BroadcastNestedLoopJoinExec":
+            side = node.buildSide().toString()
+            bex = first_bex(node.children().apply(1 if side == "BuildRight" else 0))
+            if bex is not None:
+                it = bex.metrics().iterator()
+                while it.hasNext():
+                    kv = it.next()
+                    if kv._1() == "numOutputRows":
+                        out.append(int(kv._2().value()))
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def test_bnlj_build_sides_are_bounded_grain(spark, sf_dir):
+    """Every allow-listed BroadcastNestedLoopJoin must broadcast the
+    BOUNDED side at runtime. The name-only allow-list would still pass if
+    a refactor swapped which side broadcasts (VERDICT r4 item 8); this
+    executes each query and asserts the actual broadcast row counts."""
+    problems = []
+    for name in sorted(_BNLJ_OK):
+        q = REGISTRY.get(name)
+        if q is None or name in _EXECUTING:
+            continue
+        bound = _BNLJ_BUILD_BOUNDS.get(name, _BNLJ_DEFAULT_BOUND)
+        rows = _bnlj_build_rows(q.spark(spark, sf_dir))
+        too_big = [r for r in rows if r > bound]
+        if too_big:
+            problems.append(f"{name}: BNLJ build rows {too_big} > bound {bound}")
+    assert not problems, problems
+
+
+def test_bnlj_grain_guard_detects_injected_swap(spark, sf_dir):
+    """Self-test of the ratchet: a deliberately swapped BNLJ (corpus side
+    broadcast) must measure ABOVE the default bound — proving the guard
+    can actually fail, not just vacuously pass."""
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.catalog import load_table
+
+    big = load_table(spark, sf_dir, "customer").select("c_custkey")
+    tiny = spark.range(3).select(F.col("id").alias("lo"))
+    swapped = tiny.join(
+        F.broadcast(big), F.col("c_custkey") > F.col("lo"), "inner"
+    ).groupBy("lo").count()
+    rows = _bnlj_build_rows(swapped)
+    assert rows and max(rows) > _BNLJ_DEFAULT_BOUND, rows
+
+
 def test_no_antipatterns_across_registry(spark, sf_dir):
     """Every registered query plans without cartesian products, without
     unapproved nested-loop joins, and without row-at-a-time Python."""
