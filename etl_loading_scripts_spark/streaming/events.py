@@ -132,8 +132,16 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: one shuffle on user_id; lag and the running sum share the
     same window sort. Uses window frames (lag / ROWS UNBOUNDED PRECEDING)
-    — deliberately beyond the reference's ranking-only window usage."""
-    events = load_table(spark, sf_dir, "events")
+    — deliberately beyond the reference's ranking-only window usage.
+    CAVEAT: the user-grain window puts a whale user in ONE task (AQE
+    cannot split a window key) — ``sessionize_events_bucketed`` is the
+    skew-resilient twin with identical output."""
+    return sessionize_frame(load_table(spark, sf_dir, "events"))
+
+
+def sessionize_frame(events: DataFrame) -> DataFrame:
+    """Single-pass gap sessionization of an ``(user_id, event_id, ts,
+    value)`` frame — the composable core of ``sessionize_events``."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     marked = events.select(
         "user_id",
@@ -164,6 +172,140 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast(DEC6)).cast("double").alias("session_value"),
         )
+    )
+
+
+def sessionize_bucketed_frame(events: DataFrame, bucket_hours: int = 24) -> DataFrame:
+    """Skew-resilient two-phase sessionization over ``(user_id, event_id,
+    ts, value)`` — bit-identical output to the single-window
+    ``sessionize_events`` plan (same session_seq numbering), proven by the
+    shared oracle and the planted-hot-key equality check in
+    ``tools/bench_skew_hot.py``.
+
+    The single-pass plan's scale hazard: ``Window.partitionBy(user_id)``
+    puts EVERY event of a user in one task, so a whale user owning 30% of
+    the corpus (the reference's 'MC' hot-client shape, ``S1:97``) becomes
+    a straggler AQE cannot split — skew-join splits shuffle partitions,
+    but a window's key must stay whole. The fix is hierarchical:
+
+    1. window over ``(user_id, time-bucket)`` — the whale's rows spread
+       across |buckets| tasks; lag/cumsum are local to the bucket;
+    2. per-(user, bucket) stats (first/last event time, local session
+       count) — a grain of |users|x|buckets|, tiny vs the event table;
+    3. a bucket-level window stitches the boundaries: a bucket whose
+       first event is within the gap of the previous bucket's last event
+       MERGES its first local session into the previous session, and an
+       exclusive running sum of per-bucket session counts converts local
+       seq to the exact global numbering: ``global = offset + local_seq
+       - merged``.
+
+    Cost: one extra shuffle at the (user, bucket) grain plus the join
+    back (which reuses the phase-1 hash partitioning — the big side does
+    not re-exchange). Use when user-grain skew is plausible; the plain
+    plan is marginally cheaper on uniform data."""
+    span_us = bucket_hours * 3600 * 1_000_000
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    ev = events.withColumn("__us__", F.unix_micros("ts")).withColumn(
+        "__b__", F.floor(F.col("__us__") / span_us)
+    )
+    w_local = Window.partitionBy("user_id", "__b__").orderBy("ts", "event_id")
+    marked = ev.withColumn(
+        "__new__",
+        F.when(
+            F.lag("__us__").over(w_local).isNull()
+            | (F.col("__us__") - F.lag("__us__").over(w_local) > gap_us),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__lseq__",
+        F.sum("__new__").over(w_local.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    stats = marked.groupBy("user_id", "__b__").agg(
+        F.min("__us__").alias("__first__"),
+        F.max("__us__").alias("__last__"),
+        F.max("__lseq__").alias("__nloc__"),
+    )
+    w_b = Window.partitionBy("user_id").orderBy("__b__")
+    # NOTE: no broadcast hint on the stats side — |users|x|buckets| is
+    # data-dependent; AQE broadcasts when measured size allows.
+    stitched = (
+        stats.withColumn(
+            "__merged__",
+            F.when(
+                F.lag("__last__").over(w_b).isNotNull()
+                & (F.col("__first__") - F.lag("__last__").over(w_b) <= gap_us),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "__offset__",
+            F.coalesce(
+                F.sum(F.col("__nloc__") - F.col("__merged__")).over(
+                    w_b.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("user_id", "__b__", "__merged__", "__offset__")
+    )
+    numbered = marked.join(stitched, ["user_id", "__b__"]).withColumn(
+        "session_seq",
+        (F.col("__offset__") + F.col("__lseq__") - F.col("__merged__")).cast("long"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_seq")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC6)).cast("double").alias("session_value"),
+        )
+    )
+
+
+@register(
+    "sessionize_events_bucketed",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL '{SESSION_GAP_MIN} minutes'
+                       THEN 1 ELSE 0 END AS is_new_session
+        FROM ordered
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts, value,
+               SUM(is_new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc=f"Skew-resilient sessionization ({SESSION_GAP_MIN}-min gap): the "
+    "two-phase bucketed variant of sessionize_events — local windows over "
+    "(user, day) spread a whale user across tasks, then a bucket-grain "
+    "boundary stitch reproduces the EXACT single-pass session numbering "
+    "(same oracle). The defense for user-grain skew a window's "
+    "partitionBy key denies AQE (skew-join splits partitions, never a "
+    "window key).",
+)
+def sessionize_events_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the whale-user straggler in the plain plan is the
+    measured pathology in SCALING.md's round-5 planted-skew table; this
+    plan bounds every window task at (user x bucket_hours) of events
+    regardless of how hot one user runs."""
+    return sessionize_bucketed_frame(
+        load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     )
 
 
