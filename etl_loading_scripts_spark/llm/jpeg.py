@@ -18,10 +18,12 @@ NotImplementedError gate. It is genuine spec work, not a fake:
   for 3-component scans.
 
 Scope (honest partial support, mirroring the BMP/PNG codecs): 8-bit
-precision; baseline sequential, plus PROGRESSIVE (SOF2) grayscale with
-spectral-selection scans, EOB runs, and DC successive-approximation
-refinement (AC refinement scans and multi-component progressive raise —
-the quarantine line); for sequential scans, grayscale and
+precision; baseline sequential, plus PROGRESSIVE (SOF2) grayscale AND
+3-component color with interleaved DC scans, per-component AC
+spectral-selection scans, EOB runs, and FULL successive approximation
+(DC and AC refinement — T.81 §G.1.2.3; restart intervals inside
+progressive scans remain the quarantine line); for sequential scans,
+grayscale and
 3-component scans with sampling factors 1 or 2 per axis — 4:4:4, 4:2:2,
 and 4:2:0 (the layout the overwhelming majority of photographic JPEGs
 use; ``encode_jpeg_rgb_420`` writes it, the decoder reconstructs
@@ -638,6 +640,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("corrupt JPEG: truncated SOF segment")
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
@@ -857,6 +861,193 @@ def encode_jpeg_gray_progressive(width: int, height: int, gray: bytes) -> bytes:
     )
 
 
+def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> list[np.ndarray]:
+    """FDCT + quantize every 8×8 block of an 8-padded plane; returns
+    raster-order zigzag coefficient vectors."""
+    out = []
+    for by in range(plane.shape[0] // 8):
+        for bx in range(plane.shape[1] // 8):
+            block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            q = np.round((_D @ block @ _D.T).reshape(64) / qt).astype(np.int64)
+            out.append(q[ZIGZAG])
+    return out
+
+
+def _enc_ac_first_block(bw: _BitWriter, zz: np.ndarray, ac_codes: dict, al: int):
+    """AC spectral first scan (Ah=0) for one block, band 1-63: run/size
+    over the point-transformed values sign·(|v| >> Al), per-block EOB."""
+    t = [0] * 64
+    last_nz = 0
+    for k in range(1, 64):
+        a = abs(int(zz[k])) >> al
+        t[k] = a if zz[k] > 0 else -a
+        if a:
+            last_nz = k
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = t[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        cat = _category(v)
+        code, ln = ac_codes[(run << 4) | cat]
+        bw.write(code, ln)
+        bw.write(v if v > 0 else v - 1 + (1 << cat), cat)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_codes[0x00]
+        bw.write(code, ln)
+
+
+def _enc_ac_refine_block(bw: _BitWriter, zz: np.ndarray, ac_codes: dict, al: int):
+    """AC successive-approximation refinement (Ah = Al+1 → Al) for one
+    block: newly significant coefficients (|v| >> Al == 1) as run/1 +
+    sign, already-nonzero ones as buffered correction bits flushed after
+    each emitted symbol — the T.81 §G.1.2.3 bit ordering the decoder's
+    interleaved walk consumes (correction bits must land exactly where
+    the walk passes their positions; libjpeg's encode_mcu_AC_refine
+    structure, re-derived)."""
+    a = [0] * 64
+    eobpos = 0
+    for k in range(1, 64):
+        a[k] = abs(int(zz[k])) >> al
+        if a[k] == 1:
+            eobpos = k
+    r = 0
+    pending: list[int] = []
+    for k in range(1, 64):
+        t = a[k]
+        if t == 0:
+            r += 1
+            continue
+        # drain 16-zero runs at EVERY nonzero position (not only newly
+        # significant ones): each ZRL must flush exactly the correction
+        # bits for positions the decoder's walk passes before the 16th
+        # zero — deferring would misalign the bitstream
+        while r > 15 and k <= eobpos:
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for b in pending:
+                bw.write(b, 1)
+            pending = []
+        if t > 1:  # already significant at the previous precision
+            pending.append(t & 1)
+            continue
+        # newly significant: run/1, sign, then the buffered bits
+        code, ln = ac_codes[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if zz[k] > 0 else 0, 1)
+        for b in pending:
+            bw.write(b, 1)
+        pending = []
+        r = 0
+    if r > 0 or pending:
+        code, ln = ac_codes[0x00]  # EOB covers the tail of the band
+        bw.write(code, ln)
+        for b in pending:
+            bw.write(b, 1)
+
+
+def encode_jpeg_rgb_progressive(width: int, height: int, rgb: bytes) -> bytes:
+    """Encode RGB pixels as a PROGRESSIVE (SOF2) 4:4:4 color JFIF JPEG
+    with FULL successive approximation — the 8-scan layout exercising
+    every progressive decode path:
+
+    1. interleaved DC first scan, all components, Al=1
+    2-4. per-component AC first scans (band 1-63) at Al=1
+    5. interleaved DC refinement (Ah=1 → Al=0): one bit per data unit
+    6-8. per-component AC refinement scans (Ah=1 → Al=0)
+
+    The transported quantized coefficients are IDENTICAL to what
+    ``encode_jpeg_rgb`` transports in one sequential scan, so decoding
+    both must give bit-identical pixels — the equivalence property the
+    tests and the ``mm_decode_jpeg_progressive_color`` audit pin."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    y, cb, cr = _rgb_to_ycbcr_planes(width, height, rgb)
+    planes = [
+        _pad_plane(np.clip(np.round(p), 0, 255).astype(np.uint8))
+        for p in (y, cb, cr)
+    ]
+    qts = [QT_LUM, QT_CHROM, QT_CHROM]
+    zzs = [_quantize_plane(p, qt) for p, qt in zip(planes, qts)]
+    dc_codes = [_build_codes(*HUFF_DC_LUM)] + [_build_codes(*HUFF_DC_CHROM)] * 2
+    ac_codes = [_build_codes(*HUFF_AC_LUM)] + [_build_codes(*HUFF_AC_CHROM)] * 2
+    n_blocks = len(zzs[0])
+    al = 1
+
+    # scan 1: interleaved DC first (4:4:4 → MCU = one block per comp)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for b in range(n_blocks):
+        for ci in range(3):
+            v = int(zzs[ci][b][0]) >> al  # DC point transform: arith shift
+            diff = v - pred[ci]
+            pred[ci] = v
+            cat = _category(diff)
+            code, ln = dc_codes[ci][cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(diff if diff > 0 else diff - 1 + (1 << cat), cat)
+    dc_first = bw.flush()
+
+    # scans 2-4: AC first per component
+    ac_first = []
+    for ci in range(3):
+        bw = _BitWriter()
+        for b in range(n_blocks):
+            _enc_ac_first_block(bw, zzs[ci][b], ac_codes[ci], al)
+        ac_first.append(bw.flush())
+
+    # scan 5: interleaved DC refinement — one low bit per data unit
+    bw = _BitWriter()
+    for b in range(n_blocks):
+        for ci in range(3):
+            bw.write(int(zzs[ci][b][0]) & 1, 1)
+    dc_ref = bw.flush()
+
+    # scans 6-8: AC refinement per component
+    ac_ref = []
+    for ci in range(3):
+        bw = _BitWriter()
+        for b in range(n_blocks):
+            _enc_ac_refine_block(bw, zzs[ci][b], ac_codes[ci], al - 1)
+        ac_ref.append(bw.flush())
+
+    sof = struct.pack(">BHHB", 8, height, width, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out = (
+        b"\xff\xd8"
+        + _marker(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _dqt(0, QT_LUM)
+        + _dqt(1, QT_CHROM)
+        + _marker(0xC2, sof)
+        + _dht(0, 0, *HUFF_DC_LUM)
+        + _dht(1, 0, *HUFF_AC_LUM)
+        + _dht(0, 1, *HUFF_DC_CHROM)
+        + _dht(1, 1, *HUFF_AC_CHROM)
+        + _marker(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01]))
+        + dc_first
+    )
+    for ci, cid in enumerate((1, 2, 3)):
+        ta = 0 if ci == 0 else 1
+        out += _marker(0xDA, bytes([1, cid, ta, 1, 63, 0x01])) + ac_first[ci]
+    out += _marker(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x10]))
+    out += dc_ref
+    for ci, cid in enumerate((1, 2, 3)):
+        ta = 0 if ci == 0 else 1
+        out += _marker(0xDA, bytes([1, cid, ta, 1, 63, 0x10])) + ac_ref[ci]
+    return out + b"\xff\xd9"
+
+
 def _find_next_marker(payload: bytes, pos: int) -> int:
     """Advance past entropy data to the next real marker (FF followed by
     non-zero, non-RST byte)."""
@@ -870,18 +1061,105 @@ def _find_next_marker(payload: bytes, pos: int) -> int:
     return len(payload)
 
 
+def _prog_ac_first(br, table, coeffs, blocks, ss, se, al):
+    """AC spectral-selection first scan (Ah=0) over the given block index
+    list: run/size coding with EOB-runs, values scaled by the point
+    transform (coef = v << Al)."""
+    eobrun = 0
+    for b in blocks:
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        i = ss
+        while i <= se:
+            rs = br.decode(table)
+            run, cat = rs >> 4, rs & 0xF
+            if cat == 0:
+                if run == 15:  # ZRL
+                    i += 16
+                    continue
+                # EOBn: run of 2^run + extra bits, current block included
+                eobrun = (1 << run) - 1
+                if run:
+                    eobrun += br.bits(run)
+                break
+            i += run
+            if i > se:
+                raise ValueError("corrupt JPEG: AC index overflow")
+            v = br.bits(cat)
+            if v < (1 << (cat - 1)):
+                v -= (1 << cat) - 1
+            coeffs[b, i] = v << al
+            i += 1
+    return eobrun
+
+
+def _prog_ac_refine(br, table, coeffs, blocks, ss, se, al):
+    """AC successive-approximation refinement scan (Ah = Al+1): newly
+    significant coefficients arrive as ±(1 << Al) via run/size symbols
+    with an immediate sign bit; every already-nonzero coefficient in the
+    walked band consumes one correction bit that, when set, moves the
+    value one quantum away from zero (T.81 §G.1.2.3)."""
+    bit = 1 << al
+    eobrun = 0
+    for b in blocks:
+        row = coeffs[b]
+        if eobrun > 0:
+            # block wholly inside an EOB run: still refine every
+            # already-nonzero coefficient in the band
+            eobrun -= 1
+            for k in range(ss, se + 1):
+                if row[k] != 0 and br.bit() and (row[k] & bit) == 0:
+                    row[k] += bit if row[k] > 0 else -bit
+            continue
+        k = ss
+        while k <= se:
+            rs = br.decode(table)
+            run, cat = rs >> 4, rs & 0xF
+            newval = 0
+            if cat == 0:
+                if run < 15:  # EOBn: refine the rest of the band, then
+                    eobrun = (1 << run) - 1  # skip eobrun more blocks
+                    if run:
+                        eobrun += br.bits(run)
+                    run = 64  # walk to Se refining, never placing
+                # run == 15 (ZRL): skip 16 zero-history positions
+            else:
+                if cat != 1:
+                    raise ValueError(
+                        "corrupt JPEG: AC refinement size must be 1"
+                    )
+                newval = bit if br.bit() else -bit
+            while k <= se:
+                if row[k] != 0:
+                    if br.bit() and (row[k] & bit) == 0:
+                        row[k] += bit if row[k] > 0 else -bit
+                else:
+                    if run == 0:
+                        if newval:
+                            row[k] = newval
+                        k += 1
+                        break
+                    run -= 1
+                k += 1
+    return eobrun
+
+
 def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
-    """Decode a progressive (SOF2) grayscale JPEG — spectral-selection
-    scans with EOB-run handling and DC successive-approximation
-    refinement; AC refinement scans (Ah>0 on an AC band) and
-    multi-component progressive raise ``ValueError`` (the honest subset
-    line; such files route to quarantine)."""
+    """Decode a progressive (SOF2) JPEG — grayscale or 3-component
+    color, interleaved DC scans, non-interleaved AC spectral-selection
+    scans, EOB runs, and FULL successive approximation (DC and AC
+    refinement scans) — the layout photoshop/web-export progressive
+    files actually use. Remaining honest limits (→ quarantine):
+    restart intervals inside progressive scans, arithmetic coding,
+    12-bit precision."""
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _Decoder] = {}
     frame = None
-    tq0 = 0
-    coeffs = None  # per-block zigzag coefficient accumulators
+    comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
+    coeffs: dict[int, np.ndarray] = {}  # cid → (n_blocks, 64) accumulators
+    grids: dict[int, tuple[int, int, int, int]] = {}  # cid → bw_i, bh_i, nw, nh
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -919,97 +1197,135 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
             precision, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
             if precision != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp != 1:
-                raise ValueError(
-                    "progressive decode supports grayscale only "
-                    "(multi-component progressive routes to quarantine)"
-                )
-            tq0 = body[8]
-            frame = (width, height)
-            w8, h8 = (width + 7) // 8, (height + 7) // 8
-            coeffs = np.zeros((h8 * w8, 64), dtype=np.int64)
+            if ncomp not in (1, 3):
+                raise ValueError(f"unsupported component count {ncomp}")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("corrupt JPEG: truncated SOF segment")
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + ci * 3 : 9 + ci * 3]
+                h_i, v_i = (samp >> 4) & 0xF, samp & 0xF
+                if h_i not in (1, 2) or v_i not in (1, 2):
+                    raise ValueError(
+                        f"unsupported sampling factors {h_i}x{v_i} "
+                        "(1 and 2 only: 4:4:4 / 4:2:2 / 4:2:0)"
+                    )
+                comps.append((cid, h_i, v_i, tq))
+            hmax = max(h for (_, h, _, _) in comps)
+            vmax = max(v for (_, _, v, _) in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            frame = (width, height, ncomp, hmax, vmax, mcus_x, mcus_y)
+            for cid, h_i, v_i, _tq in comps:
+                bw_i, bh_i = mcus_x * h_i, mcus_y * v_i  # interleaved grid
+                # non-interleaved grid: the component's own ceil/8 extent
+                nw = ((width * h_i + hmax - 1) // hmax + 7) // 8
+                nh = ((height * v_i + vmax - 1) // vmax + 7) // 8
+                grids[cid] = (bw_i, bh_i, nw, nh)
+                coeffs[cid] = np.zeros((bw_i * bh_i, 64), dtype=np.int64)
         elif tag == 0xDD:
             (ri,) = struct.unpack_from(">H", body, 0)
             if ri:
                 raise ValueError("restart intervals in progressive scans not supported")
         elif tag == 0xDA:
-            if frame is None or coeffs is None:
+            if frame is None:
                 raise ValueError("SOS before SOF")
+            width, height, ncomp, hmax, vmax, mcus_x, mcus_y = frame
             ns = body[0]
-            if ns != 1:
-                raise ValueError("progressive decode supports grayscale only")
-            td, ta = body[2] >> 4, body[2] & 0xF
-            ss, se = body[3], body[4]
-            ah, al = body[5] >> 4, body[5] & 0xF
+            scomps = []
+            for si in range(ns):
+                cid = body[1 + si * 2]
+                td, ta = body[2 + si * 2] >> 4, body[2 + si * 2] & 0xF
+                if cid not in coeffs:
+                    raise ValueError("corrupt JPEG: SOS component not in SOF")
+                scomps.append((cid, td, ta))
+            ss, se = body[1 + ns * 2], body[2 + ns * 2]
+            ah, al = body[3 + ns * 2] >> 4, body[3 + ns * 2] & 0xF
             data_start = pos + 2 + seglen
             data_end = _find_next_marker(payload, data_start)
             br = _BitReader(payload, data_start)
-            n_blocks = coeffs.shape[0]
-            if ss == 0:  # DC scan
+            if ss == 0:  # DC scan (interleaved when ns > 1)
                 if se != 0:
                     raise ValueError("corrupt JPEG: DC scan with Se != 0")
-                if ah == 0:  # first DC scan
-                    pred = 0
-                    table = htables[(0, td)]
-                    for b in range(n_blocks):
-                        cat = br.decode(table)
+                samp_by_cid = {cid: (h, v) for (cid, h, v, _) in comps}
+                if ns > 1:  # MCU walk across the scan's components
+                    order = []  # (cid, block index) in MCU order
+                    for my in range(mcus_y):
+                        for mx in range(mcus_x):
+                            for cid, _td, _ta in scomps:
+                                h_i, v_i = samp_by_cid[cid]
+                                bw_i = grids[cid][0]
+                                for by in range(v_i):
+                                    for bx in range(h_i):
+                                        order.append((
+                                            cid,
+                                            (my * v_i + by) * bw_i
+                                            + mx * h_i + bx,
+                                        ))
+                else:  # single-component: the comp's own raster grid
+                    cid = scomps[0][0]
+                    bw_i, _bh, nw, nh = grids[cid]
+                    order = [
+                        (cid, by * bw_i + bx)
+                        for by in range(nh)
+                        for bx in range(nw)
+                    ]
+                if ah == 0:  # first DC scan: differential, scaled
+                    pred = {cid: 0 for (cid, _, _) in scomps}
+                    tbl = {cid: htables[(0, td)] for (cid, td, _) in scomps}
+                    for cid, b in order:
+                        cat = br.decode(tbl[cid])
                         if cat:
                             v = br.bits(cat)
                             if v < (1 << (cat - 1)):
                                 v -= (1 << cat) - 1
-                            pred += v
-                        coeffs[b, 0] = pred << al
-                else:  # DC refinement: one correction bit per block
-                    for b in range(n_blocks):
+                            pred[cid] += v
+                        coeffs[cid][b, 0] = pred[cid] << al
+                else:  # DC refinement: one correction bit per data unit
+                    for cid, b in order:
                         if br.bit():
-                            coeffs[b, 0] |= 1 << al
-            else:  # AC scan
-                if ah != 0:
-                    raise ValueError(
-                        "AC successive-approximation refinement not supported"
-                    )
+                            coeffs[cid][b, 0] |= 1 << al
+            else:  # AC scan: T.81 requires non-interleaved (ns == 1)
+                if ns != 1:
+                    raise ValueError("corrupt JPEG: interleaved AC scan")
+                cid, _td, ta = scomps[0]
+                bw_i, _bh, nw, nh = grids[cid]
+                blocks = [by * bw_i + bx for by in range(nh) for bx in range(nw)]
                 table = htables[(1, ta)]
-                eobrun = 0
-                for b in range(n_blocks):
-                    if eobrun > 0:
-                        eobrun -= 1
-                        continue
-                    i = ss
-                    while i <= se:
-                        rs = br.decode(table)
-                        run, cat = rs >> 4, rs & 0xF
-                        if cat == 0:
-                            if run == 15:  # ZRL
-                                i += 16
-                                continue
-                            # EOBn: run of 2^run + extra bits, current
-                            # block included
-                            eobrun = (1 << run) - 1
-                            if run:
-                                eobrun += br.bits(run)
-                            break
-                        i += run
-                        if i > se:
-                            raise ValueError("corrupt JPEG: AC index overflow")
-                        v = br.bits(cat)
-                        if v < (1 << (cat - 1)):
-                            v -= (1 << cat) - 1
-                        coeffs[b, i] = v << al
-                        i += 1
+                if ah == 0:
+                    _prog_ac_first(br, table, coeffs[cid], blocks, ss, se, al)
+                else:
+                    _prog_ac_refine(br, table, coeffs[cid], blocks, ss, se, al)
             pos = data_end
             continue
         pos += 2 + seglen
     if frame is None or coeffs is None:
         raise ValueError("no progressive frame found")
-    width, height = frame
-    qt = qtables[tq0]
-    w8, h8 = (width + 7) // 8, (height + 7) // 8
-    plane = np.zeros((h8 * 8, w8 * 8), dtype=np.float64)
-    for b in range(coeffs.shape[0]):
-        q = np.zeros(64, dtype=np.int64)
-        q[ZIGZAG] = coeffs[b]
-        block = _D.T @ (q * qt).reshape(8, 8).astype(np.float64) @ _D + 128.0
-        by, bx = divmod(b, w8)
-        plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    out = np.clip(np.round(plane[:height, :width]), 0, 255).astype(np.uint8)
-    return width, height, 1, out.tobytes()
+    width, height, ncomp, hmax, vmax, _mx, _my = frame
+    cropped = []
+    for cid, h_i, v_i, tq in comps:
+        qt = qtables[tq]
+        bw_i, bh_i = grids[cid][0], grids[cid][1]
+        plane = np.zeros((bh_i * 8, bw_i * 8), dtype=np.float64)
+        cz = coeffs[cid]
+        for b in range(cz.shape[0]):
+            q = np.zeros(64, dtype=np.int64)
+            q[ZIGZAG] = cz[b]
+            block = _D.T @ (q * qt).reshape(8, 8).astype(np.float64) @ _D + 128.0
+            by, bx = divmod(b, bw_i)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+        if v_i != vmax:
+            plane = np.repeat(plane, vmax // v_i, axis=0)
+        if h_i != hmax:
+            plane = np.repeat(plane, hmax // h_i, axis=1)
+        cropped.append(np.clip(np.round(plane[:height, :width]), 0, 255))
+    if ncomp == 1:
+        return width, height, 1, cropped[0].astype(np.uint8).tobytes()
+    y, cb, cr = cropped
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b_ = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(np.round(c), 0, 255) for c in (r, g, b_)], axis=2
+    ).astype(np.uint8)
+    return width, height, 3, rgb.tobytes()

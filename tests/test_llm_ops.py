@@ -643,12 +643,58 @@ def test_jpeg_progressive_spectral_selection():
     d_base = decode_jpeg(encode_jpeg_gray(w, h, img2.tobytes()))[3]
     assert d_prog == d_base
 
-    # multi-component progressive is the documented quarantine line
+    # a SOF lying about its component count is caught as corrupt, not
+    # an IndexError (the r5 multi-component support removed the old
+    # "grayscale only" gate, so the lie now hits the length check)
     color = bytearray(pay)
     sof_at = pay.index(b"\xff\xc2")
-    color[sof_at + 9] = 3  # claim 3 components
-    with pytest.raises(ValueError, match="grayscale only"):
+    color[sof_at + 9] = 3  # claim 3 components in a 1-component SOF
+    with pytest.raises(ValueError, match="corrupt JPEG"):
         decode_jpeg(bytes(color))
+
+
+def test_jpeg_progressive_color_full_successive_approximation():
+    """Progressive COLOR (SOF2, 8 scans, DC+AC successive approximation)
+    transports the exact quantized coefficients baseline transports:
+    decoded pixels must be bit-identical for arbitrary content — the
+    property that leaves the refinement walk's correction-bit ordering
+    zero slack. Plus honest-gate checks."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+        encode_jpeg_rgb_progressive,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(8, 8), (17, 13), (40, 29)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        pay = encode_jpeg_rgb_progressive(w, h, img.tobytes())
+        assert b"\xff\xc2" in pay  # genuinely SOF2
+        assert pay.count(b"\xff\xda") == 8  # all 8 scans on the wire
+        assert decode_jpeg(pay) == decode_jpeg(
+            encode_jpeg_rgb(w, h, img.tobytes())
+        )
+
+    # flat gray blocks with even luma offsets: provably lossless through
+    # the full 8-scan successive-approximation pipeline
+    w, h = 24, 16
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, :] = 128 + 2 * (
+                (bx * 3 + by * 5) % 61 - 30
+            )
+    dw, dh, ch, px = decode_jpeg(encode_jpeg_rgb_progressive(w, h, img.tobytes()))
+    assert (dw, dh, ch) == (w, h, 3)
+    assert px == img.tobytes()
+
+    # truncating the entropy stream mid-refinement raises the documented
+    # ValueError (quarantine signal), never IndexError
+    pay = encode_jpeg_rgb_progressive(16, 16, rng.integers(0, 256, (16, 16, 3), dtype=np.uint8).tobytes())
+    with pytest.raises(ValueError):
+        decode_jpeg(pay[: int(len(pay) * 0.9)])
 
 
 def test_gif_animation_census_and_first_frame():
