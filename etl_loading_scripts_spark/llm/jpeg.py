@@ -20,10 +20,9 @@ NotImplementedError gate. It is genuine spec work, not a fake:
 Scope (honest partial support, mirroring the BMP/PNG codecs): 8-bit
 precision; baseline sequential, plus PROGRESSIVE (SOF2) grayscale AND
 3-component color with interleaved DC scans, per-component AC
-spectral-selection scans, EOB runs, and FULL successive approximation
-(DC and AC refinement — T.81 §G.1.2.3; restart intervals inside
-progressive scans remain the quarantine line); for sequential scans,
-grayscale and
+spectral-selection scans, EOB runs, FULL successive approximation
+(DC and AC refinement — T.81 §G.1.2.3), and restart intervals in every
+progressive scan kind; for sequential scans, grayscale and
 3-component scans with sampling factors 1 or 2 per axis — 4:4:4, 4:2:2,
 and 4:2:0 (the layout the overwhelming majority of photographic JPEGs
 use; ``encode_jpeg_rgb_420`` writes it, the decoder reconstructs
@@ -955,7 +954,9 @@ def _enc_ac_refine_block(bw: _BitWriter, zz: np.ndarray, ac_codes: dict, al: int
             bw.write(b, 1)
 
 
-def encode_jpeg_rgb_progressive(width: int, height: int, rgb: bytes) -> bytes:
+def encode_jpeg_rgb_progressive(
+    width: int, height: int, rgb: bytes, restart_interval: int = 0
+) -> bytes:
     """Encode RGB pixels as a PROGRESSIVE (SOF2) 4:4:4 color JFIF JPEG
     with FULL successive approximation — the 8-scan layout exercising
     every progressive decode path:
@@ -983,10 +984,26 @@ def encode_jpeg_rgb_progressive(width: int, height: int, rgb: bytes) -> bytes:
     n_blocks = len(zzs[0])
     al = 1
 
+    ri = restart_interval
+
+    def _restart(bw: _BitWriter, n: int, rst: list[int]) -> bool:
+        """Emit a byte-aligned RSTn before MCU/block ``n`` when due;
+        True means predictors must reset (the modulo-8 RST counter
+        restarts at 0 in every scan, T.81 §B.2.1.2)."""
+        if ri and n and n % ri == 0:
+            bw.align()
+            bw.raw_marker(0xD0 + (rst[0] & 7))
+            rst[0] += 1
+            return True
+        return False
+
     # scan 1: interleaved DC first (4:4:4 → MCU = one block per comp)
     bw = _BitWriter()
     pred = [0, 0, 0]
+    rst = [0]
     for b in range(n_blocks):
+        if _restart(bw, b, rst):
+            pred = [0, 0, 0]
         for ci in range(3):
             v = int(zzs[ci][b][0]) >> al  # DC point transform: arith shift
             diff = v - pred[ci]
@@ -1002,13 +1019,17 @@ def encode_jpeg_rgb_progressive(width: int, height: int, rgb: bytes) -> bytes:
     ac_first = []
     for ci in range(3):
         bw = _BitWriter()
+        rst = [0]
         for b in range(n_blocks):
+            _restart(bw, b, rst)
             _enc_ac_first_block(bw, zzs[ci][b], ac_codes[ci], al)
         ac_first.append(bw.flush())
 
     # scan 5: interleaved DC refinement — one low bit per data unit
     bw = _BitWriter()
+    rst = [0]
     for b in range(n_blocks):
+        _restart(bw, b, rst)
         for ci in range(3):
             bw.write(int(zzs[ci][b][0]) & 1, 1)
     dc_ref = bw.flush()
@@ -1017,7 +1038,9 @@ def encode_jpeg_rgb_progressive(width: int, height: int, rgb: bytes) -> bytes:
     ac_ref = []
     for ci in range(3):
         bw = _BitWriter()
+        rst = [0]
         for b in range(n_blocks):
+            _restart(bw, b, rst)
             _enc_ac_refine_block(bw, zzs[ci][b], ac_codes[ci], al - 1)
         ac_ref.append(bw.flush())
 
@@ -1034,6 +1057,7 @@ def encode_jpeg_rgb_progressive(width: int, height: int, rgb: bytes) -> bytes:
         + _dht(1, 0, *HUFF_AC_LUM)
         + _dht(0, 1, *HUFF_DC_CHROM)
         + _dht(1, 1, *HUFF_AC_CHROM)
+        + (_marker(0xDD, struct.pack(">H", ri)) if ri else b"")
         + _marker(0xDA, bytes([3, 1, 0x00, 2, 0x10, 3, 0x10, 0, 0, 0x01]))
         + dc_first
     )
@@ -1061,12 +1085,19 @@ def _find_next_marker(payload: bytes, pos: int) -> int:
     return len(payload)
 
 
-def _prog_ac_first(br, table, coeffs, blocks, ss, se, al):
+def _prog_ac_first(br, table, coeffs, blocks, ss, se, al, ri=0):
     """AC spectral-selection first scan (Ah=0) over the given block index
     list: run/size coding with EOB-runs, values scaled by the point
-    transform (coef = v << Al)."""
+    transform (coef = v << Al). ``ri`` > 0 expects an RSTn marker every
+    that-many blocks (non-interleaved scan → MCU = one block); EOB runs
+    must not cross a restart boundary (T.81 §B.2.1.2)."""
     eobrun = 0
-    for b in blocks:
+    rst = 0
+    for n, b in enumerate(blocks):
+        if ri and n and n % ri == 0:
+            br.sync_restart(rst)
+            rst += 1
+            eobrun = 0
         if eobrun > 0:
             eobrun -= 1
             continue
@@ -1094,7 +1125,7 @@ def _prog_ac_first(br, table, coeffs, blocks, ss, se, al):
     return eobrun
 
 
-def _prog_ac_refine(br, table, coeffs, blocks, ss, se, al):
+def _prog_ac_refine(br, table, coeffs, blocks, ss, se, al, ri=0):
     """AC successive-approximation refinement scan (Ah = Al+1): newly
     significant coefficients arrive as ±(1 << Al) via run/size symbols
     with an immediate sign bit; every already-nonzero coefficient in the
@@ -1102,7 +1133,12 @@ def _prog_ac_refine(br, table, coeffs, blocks, ss, se, al):
     value one quantum away from zero (T.81 §G.1.2.3)."""
     bit = 1 << al
     eobrun = 0
-    for b in blocks:
+    rst = 0
+    for n, b in enumerate(blocks):
+        if ri and n and n % ri == 0:
+            br.sync_restart(rst)
+            rst += 1
+            eobrun = 0
         row = coeffs[b]
         if eobrun > 0:
             # block wholly inside an EOB run: still refine every
@@ -1160,6 +1196,7 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
     comps: list[tuple[int, int, int, int]] = []  # (cid, h, v, tq)
     coeffs: dict[int, np.ndarray] = {}  # cid → (n_blocks, 64) accumulators
     grids: dict[int, tuple[int, int, int, int]] = {}  # cid → bw_i, bh_i, nw, nh
+    restart_interval = 0
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -1224,9 +1261,7 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                 grids[cid] = (bw_i, bh_i, nw, nh)
                 coeffs[cid] = np.zeros((bw_i * bh_i, 64), dtype=np.int64)
         elif tag == 0xDD:
-            (ri,) = struct.unpack_from(">H", body, 0)
-            if ri:
-                raise ValueError("restart intervals in progressive scans not supported")
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif tag == 0xDA:
             if frame is None:
                 raise ValueError("SOS before SOF")
@@ -1248,43 +1283,59 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                 if se != 0:
                     raise ValueError("corrupt JPEG: DC scan with Se != 0")
                 samp_by_cid = {cid: (h, v) for (cid, h, v, _) in comps}
-                if ns > 1:  # MCU walk across the scan's components
-                    order = []  # (cid, block index) in MCU order
+                # MCU groups: restart boundaries fall between MCUs
+                # (ns > 1: one group per (my, mx); ns == 1: one group per
+                # block of the component's own raster grid)
+                groups: list[list[tuple[int, int]]] = []
+                if ns > 1:
                     for my in range(mcus_y):
                         for mx in range(mcus_x):
+                            g = []
                             for cid, _td, _ta in scomps:
                                 h_i, v_i = samp_by_cid[cid]
                                 bw_i = grids[cid][0]
                                 for by in range(v_i):
                                     for bx in range(h_i):
-                                        order.append((
+                                        g.append((
                                             cid,
                                             (my * v_i + by) * bw_i
                                             + mx * h_i + bx,
                                         ))
-                else:  # single-component: the comp's own raster grid
+                            groups.append(g)
+                else:
                     cid = scomps[0][0]
                     bw_i, _bh, nw, nh = grids[cid]
-                    order = [
-                        (cid, by * bw_i + bx)
+                    groups = [
+                        [(cid, by * bw_i + bx)]
                         for by in range(nh)
                         for bx in range(nw)
                     ]
                 if ah == 0:  # first DC scan: differential, scaled
                     pred = {cid: 0 for (cid, _, _) in scomps}
                     tbl = {cid: htables[(0, td)] for (cid, td, _) in scomps}
-                    for cid, b in order:
-                        cat = br.decode(tbl[cid])
-                        if cat:
-                            v = br.bits(cat)
-                            if v < (1 << (cat - 1)):
-                                v -= (1 << cat) - 1
-                            pred[cid] += v
-                        coeffs[cid][b, 0] = pred[cid] << al
+                    rst = 0
+                    for n, g in enumerate(groups):
+                        if restart_interval and n and n % restart_interval == 0:
+                            br.sync_restart(rst)
+                            rst += 1
+                            pred = {cid: 0 for (cid, _, _) in scomps}
+                        for cid, b in g:
+                            cat = br.decode(tbl[cid])
+                            if cat:
+                                v = br.bits(cat)
+                                if v < (1 << (cat - 1)):
+                                    v -= (1 << cat) - 1
+                                pred[cid] += v
+                            coeffs[cid][b, 0] = pred[cid] << al
                 else:  # DC refinement: one correction bit per data unit
-                    for cid, b in order:
-                        if br.bit():
-                            coeffs[cid][b, 0] |= 1 << al
+                    rst = 0
+                    for n, g in enumerate(groups):
+                        if restart_interval and n and n % restart_interval == 0:
+                            br.sync_restart(rst)
+                            rst += 1
+                        for cid, b in g:
+                            if br.bit():
+                                coeffs[cid][b, 0] |= 1 << al
             else:  # AC scan: T.81 requires non-interleaved (ns == 1)
                 if ns != 1:
                     raise ValueError("corrupt JPEG: interleaved AC scan")
@@ -1293,9 +1344,15 @@ def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
                 blocks = [by * bw_i + bx for by in range(nh) for bx in range(nw)]
                 table = htables[(1, ta)]
                 if ah == 0:
-                    _prog_ac_first(br, table, coeffs[cid], blocks, ss, se, al)
+                    _prog_ac_first(
+                        br, table, coeffs[cid], blocks, ss, se, al,
+                        ri=restart_interval,
+                    )
                 else:
-                    _prog_ac_refine(br, table, coeffs[cid], blocks, ss, se, al)
+                    _prog_ac_refine(
+                        br, table, coeffs[cid], blocks, ss, se, al,
+                        ri=restart_interval,
+                    )
             pos = data_end
             continue
         pos += 2 + seglen

@@ -1782,8 +1782,11 @@ def _jpeg_prog_color_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
                  (d * 13 + xx * 3 + yy * 19 + 2 * xx * yy) % 256],
                 axis=2,
             ).astype(np.uint8)
+            # restart_interval=2 puts RSTn resync markers inside every
+            # progressive scan kind (DC first/refine, AC first/refine) —
+            # the camera-file layout — still bit-identical to baseline
             eq = decode_jpeg(
-                encode_jpeg_rgb_progressive(w, h, tex.tobytes())
+                encode_jpeg_rgb_progressive(w, h, tex.tobytes(), restart_interval=2)
             ) == decode_jpeg(encode_jpeg_rgb(w, h, tex.tobytes()))
             out["doc_id"].append(d)
             out["width"].append(dw)

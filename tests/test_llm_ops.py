@@ -696,6 +696,15 @@ def test_jpeg_progressive_color_full_successive_approximation():
     with pytest.raises(ValueError):
         decode_jpeg(pay[: int(len(pay) * 0.9)])
 
+    # restart intervals inside progressive scans (every scan kind gets
+    # RSTn resync + predictor/EOB-run reset) stay bit-identical too
+    img = rng.integers(0, 256, (29, 40, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg_rgb(40, 29, img.tobytes()))
+    for ri in (1, 3, 7):
+        pay = encode_jpeg_rgb_progressive(40, 29, img.tobytes(), restart_interval=ri)
+        assert b"\xff\xdd" in pay  # DRI on the wire
+        assert decode_jpeg(pay) == base
+
 
 def test_gif_animation_census_and_first_frame():
     """Multi-frame GIFs: frame census is metadata-exact and the decoder
