@@ -811,3 +811,66 @@ def test_jpeg_sos_component_order_binds_by_id():
     bad = payload[: at + 4] + bytes(body2) + payload[at + 2 + seglen :]
     with pytest.raises(ValueError, match="SOS component"):
         decode_jpeg(bad)
+
+
+def test_g711_and_ima_adpcm_codecs():
+    """G.711: every codeword's decode→encode→decode fixpoint holds (the
+    lone µ-law ±0 collapse decodes identically); companding error stays
+    within segment bounds. IMA ADPCM: constant signals are bit-exact,
+    block headers carry first samples verbatim, smooth content decodes
+    within the differential-coder bound, and corrupt containers raise
+    ValueError (quarantine), never IndexError."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.audio import (
+        WAVE_FMT_IMA_ADPCM,
+        WAVE_FMT_ULAW,
+        alaw_decode,
+        alaw_encode,
+        decode_wav_audio,
+        encode_wav_compressed,
+        ima_adpcm_decode_block,
+        ima_adpcm_encode_block,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    c = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(ulaw_decode(ulaw_encode(ulaw_decode(c))), ulaw_decode(c))
+    assert np.array_equal(alaw_encode(alaw_decode(c)), c)
+
+    rng = np.random.default_rng(9)
+    s = rng.integers(-32768, 32768, 4096).astype(np.int16)
+    assert np.abs(ulaw_decode(ulaw_encode(s)).astype(np.int64) - s).max() < 1024
+    assert np.abs(alaw_decode(alaw_encode(s)).astype(np.int64) - s).max() < 1024
+
+    const = np.full(129, -777, dtype=np.int16)
+    assert np.array_equal(
+        ima_adpcm_decode_block(ima_adpcm_encode_block(const), 129), const
+    )
+    t = np.arange(1010)
+    tri = (np.abs((t * 50) % 4000 - 2000) - 1000).astype(np.int16)
+    blocks = b"".join(
+        ima_adpcm_encode_block(tri[k * 505 : (k + 1) * 505]) for k in range(2)
+    )
+    wav = encode_wav_compressed(8000, WAVE_FMT_IMA_ADPCM, 4, 256, 1010, blocks)
+    _rate, dec = decode_wav_audio(wav)
+    assert dec.size == 1010
+    assert int(dec[0]) == int(tri[0]) and int(dec[505]) == int(tri[505])
+    assert np.abs(dec.astype(np.int64) - tri.astype(np.int64)).max() <= 2048
+
+    with pytest.raises(ValueError):
+        decode_wav_audio(b"RIFFxxxxWAVE")  # no chunks
+    with pytest.raises(ValueError):
+        decode_wav_audio(wav[:100])  # truncated chunk
+    bad = encode_wav_compressed(8000, 2, 4, 256, 10, b"\x00" * 256)
+    with pytest.raises(ValueError, match="unsupported WAV format"):
+        decode_wav_audio(bad)  # MS-ADPCM fmt 2 → quarantine signal
+    # fact count larger than the data carries → corrupt, not silent
+    short = encode_wav_compressed(8000, WAVE_FMT_ULAW, 8, 1, 50, b"\x40" * 20)
+    assert decode_wav_audio(short)[1].size == 20  # clamped to data
+    long_blocks = encode_wav_compressed(
+        8000, WAVE_FMT_IMA_ADPCM, 4, 256, 5000, blocks
+    )
+    with pytest.raises(ValueError, match="shorter than fact"):
+        decode_wav_audio(long_blocks)
