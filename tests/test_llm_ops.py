@@ -874,3 +874,51 @@ def test_g711_and_ima_adpcm_codecs():
     )
     with pytest.raises(ValueError, match="shorter than fact"):
         decode_wav_audio(long_blocks)
+
+
+def test_tiff_lzw_deflate_predictor_roundtrip():
+    """Compressed TIFF: LZW (early code-width change) and Deflate strips
+    round-trip bit-exact across byte orders, strip layouts, and the
+    Predictor-2 horizontal differencing; the early-change boundary
+    (table crossing 510 entries) is exercised; corrupt streams raise
+    ValueError (quarantine), never IndexError."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.tiff import (
+        decode_tiff,
+        encode_tiff,
+        lzw_decode_tiff,
+        lzw_encode_tiff,
+    )
+
+    rng = np.random.default_rng(13)
+    px = bytes(rng.integers(0, 256, 13 * 9 * 3, dtype=np.uint8))
+    for be in (False, True):
+        for comp in (1, 5, 8):
+            for pred in (1, 2):
+                pay = encode_tiff(
+                    13, 9, px, channels=3, big_endian=be,
+                    rows_per_strip=2, compression=comp, predictor=pred,
+                )
+                assert decode_tiff(pay) == (13, 9, 3, px)
+
+    # early-change boundary: dictionary growth past 510 and 1022 entries
+    data = bytes(range(256)) * 40
+    assert lzw_decode_tiff(lzw_encode_tiff(data), len(data)) == data
+    # predictor earns its keep on smooth content
+    yy, xx = np.mgrid[0:64, 0:64]
+    smooth = ((xx + yy) % 256).astype(np.uint8).tobytes()
+    a = len(encode_tiff(64, 64, smooth, channels=1, compression=5))
+    b = len(encode_tiff(64, 64, smooth, channels=1, compression=5, predictor=2))
+    assert b < a
+
+    with pytest.raises(ValueError, match="corrupt LZW"):
+        lzw_decode_tiff(b"\xff\xff\xff", 100)  # code beyond table
+    with pytest.raises(ValueError, match="before EOI"):
+        lzw_decode_tiff(lzw_encode_tiff(b"hello world")[:-2], 100)
+    pay = encode_tiff(8, 8, bytes(64), channels=1, compression=8)
+    bad = bytearray(pay)
+    # corrupt the deflate stream body
+    bad[-10] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
