@@ -222,3 +222,37 @@ def test_stream_ewma_state_bounds(spark, sf_dir):
         assert r["n_events"] == n
         # floor division can undershoot the envelope by at most 1 per step
         assert lo - 1 <= r["ewma_micros"] <= hi
+
+
+def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
+    """The RocksDB state store provider — the configuration that keeps
+    streaming state off the executor heap when it outgrows memory (the
+    100 TB stateful-streaming setting: per-key state spills to local
+    SSD, snapshots to the checkpoint) — must produce byte-identical
+    results to the default HDFS-backed provider for the engine's
+    stateful operators. Runs the applyInPandasWithState running-totals
+    query under both providers and compares full result sets."""
+    from etl_loading_scripts_spark.queries import REGISTRY
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prior = spark.conf.get(key, None)
+
+    def run():
+        rows = REGISTRY["stream_stateful_totals"].spark(spark, sf_dir).collect()
+        return sorted(tuple(r) for r in rows)
+
+    baseline = run()
+    assert baseline, "stateful totals should emit rows"
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = run()
+    finally:
+        if prior is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prior)
+    assert rocks == baseline
