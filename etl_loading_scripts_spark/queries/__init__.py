@@ -39,3 +39,4 @@ from etl_loading_scripts_spark.pipeline import sql_script as _sql_script  # noqa
 from etl_loading_scripts_spark.queries import entity_resolution as _entity_resolution  # noqa: F401
 
 __all__ = ["REGISTRY", "Query", "register"]
+from etl_loading_scripts_spark.sources import skipping as _skipping  # noqa: F401

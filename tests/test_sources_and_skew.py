@@ -404,3 +404,42 @@ def test_schema_contract_violations(spark):
         ("extra_col", "extra"),
     }
     assert schema_contract_violations(df, "k BIGINT, extra_col STRING, amount DOUBLE") == []
+
+
+def test_file_skipping_index_admits_all_true_rows(spark, sf_dir):
+    """The skipping index must be false-negative-free: every orderkey
+    that exists in a file passes that file's bloom, and every custkey
+    lies within its file's min/max — so pruned reads can never lose
+    rows (the oracle checks counts; this pins the per-file invariant)."""
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.sources.skipping import (
+        BLOOM_HASHES,
+        BLOOM_M,
+        _P,
+        build_file_index,
+        probe_index,
+        write_bucketed_layout,
+    )
+
+    path = write_bucketed_layout(spark, sf_dir)
+    index_path = build_file_index(spark, path)
+    idx = {r["file"]: r for r in spark.read.parquet(index_path).collect()}
+    sample = (
+        spark.read.parquet(path)
+        .withColumn("file", F.input_file_name())
+        .select("file", "o_orderkey", "o_custkey")
+        .limit(500)
+        .collect()
+    )
+    assert sample
+    for r in sample:
+        meta = idx[r["file"]]
+        assert meta["min_ck"] <= r["o_custkey"] <= meta["max_ck"]
+        pos = set(meta["bloom_pos"])
+        for a, b in BLOOM_HASHES:
+            assert ((r["o_orderkey"] * a + b) % _P) % BLOOM_M in pos
+        # and the planner admits the file for its own keys
+        assert r["file"] in probe_index(
+            spark, index_path, custkey=r["o_custkey"], orderkey=None
+        )
