@@ -122,6 +122,40 @@ def build_file_index(spark: SparkSession, path: str) -> str:
     return index_path
 
 
+def update_file_index(spark: SparkSession, path: str, index_path: str) -> int:
+    """Incrementally maintain the index: scan ONLY files present in the
+    layout but absent from the index (new files from appends/compaction)
+    and append their rows; returns how many files were indexed. This is
+    the steady-state cost model of lakehouse statistics — per NEW file,
+    never a table rescan (a 100 TB table's nightly append indexes
+    gigabytes, not the table)."""
+    have = {
+        r["file"]
+        for r in spark.read.parquet(index_path).select("file").collect()
+    }
+    df = spark.read.parquet(path).withColumn("file", F.input_file_name())
+    fresh = df.filter(~F.col("file").isin(list(have))) if have else df
+    new_files = fresh.select("file").distinct().count()
+    if new_files == 0:
+        return 0
+    stats = fresh.groupBy("file").agg(
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    h = _hash_exprs("o_orderkey")
+    positions = (
+        fresh.select(
+            "file", F.explode(F.array(*[F.expr(x) for x in h])).alias("pos")
+        )
+        .distinct()
+        .groupBy("file")
+        .agg(F.sort_array(F.collect_set("pos")).alias("bloom_pos"))
+    )
+    stats.join(positions, "file").write.mode("append").parquet(index_path)
+    return new_files
+
+
 def probe_index(
     spark: SparkSession, index_path: str, custkey: int | None, orderkey: int | None
 ) -> list[str]:

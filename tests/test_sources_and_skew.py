@@ -443,3 +443,38 @@ def test_file_skipping_index_admits_all_true_rows(spark, sf_dir):
         assert r["file"] in probe_index(
             spark, index_path, custkey=r["o_custkey"], orderkey=None
         )
+
+
+def test_file_skipping_index_incremental_update(spark, sf_dir, tmp_path):
+    """Appending new files to the layout and running the incremental
+    update must index ONLY the new files (no table rescan economics),
+    and the refreshed index must admit the new keys' files."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.sources.skipping import (
+        build_file_index,
+        probe_index,
+        update_file_index,
+        write_bucketed_layout,
+    )
+
+    src = write_bucketed_layout(spark, sf_dir)
+    path = str(tmp_path / "layout")
+    shutil.copytree(src, path)
+    index_path = build_file_index(spark, path)
+    n0 = spark.read.parquet(index_path).count()
+    assert update_file_index(spark, path, index_path) == 0  # no-op when fresh
+
+    # append a new file with out-of-range keys
+    novel_ck, novel_ok = 10_000_000, 20_000_000
+    spark.createDataFrame(
+        [(novel_ok, novel_ck, 1.0)], "o_orderkey long, o_custkey long, o_totalprice double"
+    ).coalesce(1).write.mode("append").parquet(path + "/b=99")
+    assert update_file_index(spark, path, index_path) == 1
+    assert spark.read.parquet(index_path).count() == n0 + 1
+    files = probe_index(spark, index_path, custkey=novel_ck, orderkey=novel_ok)
+    assert len(files) == 1 and "b=99" in files[0]
+    # and a re-run stays incremental
+    assert update_file_index(spark, path, index_path) == 0
