@@ -478,3 +478,70 @@ def test_file_skipping_index_incremental_update(spark, sf_dir, tmp_path):
     assert len(files) == 1 and "b=99" in files[0]
     # and a re-run stays incremental
     assert update_file_index(spark, path, index_path) == 0
+
+
+def test_warc_datasource_pushdown_and_framing(spark, sf_dir, tmp_path):
+    """The WARC Python DataSource: spec framing round-trips through
+    plain and member-per-record gzip archives; the warc_type EqualTo
+    filter is consumed by pushFilters (only a residual isnotnull stays
+    JVM-side) and record counts stay exact; corrupt framing raises
+    ValueError (quarantine), never IndexError."""
+    import gzip
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.sources.warc import (
+        build_warc_record,
+        iter_warc_records,
+        plant_warc_fixtures,
+        register_warc_source,
+        write_warc,
+    )
+
+    # record codec round-trip, both layouts
+    recs = [
+        build_warc_record("response", "http://x/1", "2026-01-01T00:00:00Z",
+                          "text/plain", b"hello"),
+        build_warc_record("request", "http://x/1", "2026-01-01T00:00:00Z",
+                          "application/http", b"GET /"),
+    ]
+    plain = tmp_path / "a.warc"
+    gz = tmp_path / "b.warc.gz"
+    write_warc(str(plain), recs)
+    write_warc(str(gz), recs, gzip_members=True)
+    got = list(iter_warc_records(plain.read_bytes()))
+    assert [r["warc_type"] for r in got] == ["response", "request"]
+    assert got[0]["payload"] == b"hello"
+    assert list(iter_warc_records(gzip.decompress(gz.read_bytes()))) == got
+
+    # corrupt framing: truncated payload / bad version / missing CL
+    with _pytest.raises(ValueError, match="corrupt WARC"):
+        list(iter_warc_records(recs[0][:-10]))
+    with _pytest.raises(ValueError, match="version"):
+        list(iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+    with _pytest.raises(ValueError, match="Content-Length"):
+        list(iter_warc_records(
+            b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n"
+        ))
+
+    # datasource scan, DEFAULT (pushdown off): never skips, never
+    # loses rows — filtered and unfiltered scans of ONE load() both
+    # exact (the sharp edge pushdown-by-default would hit: Spark 4.1
+    # reuses the python-source scan across queries on a relation)
+    register_warc_source(spark)
+    d = plant_warc_fixtures(sf_dir)
+    df = spark.read.format("warc").load(d)
+    assert df.filter(F.col("warc_type") == "response").count() == 6 * 3
+    assert df.count() == 6 * 9  # unfiltered after filtered: still whole
+
+    # opt-in pushdown: the EqualTo is consumed by pushFilters (no
+    # "= response" comparison survives above the scan) and the
+    # single-scan count stays exact
+    pushed = (
+        spark.read.format("warc").option("pushdown", "true").load(d)
+        .filter(F.col("warc_type") == "response")
+    )
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "response" not in plan.split("BatchScan")[0]
+    assert pushed.count() == 6 * 3
