@@ -217,8 +217,55 @@ def _make_datasource_class():
                 row = {"source_file": base, **rec}
                 yield tuple(row[f] for f in self._fields)
 
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class _WarcStreamReader(SimpleDataSourceStreamReader):
+        """Landing-zone streaming: each micro-batch ingests the archive
+        files that appeared since the last offset. The offset is the
+        sorted list of consumed file names — replayable (exactly-once
+        with a checkpoint: readBetweenOffsets re-yields any batch from
+        its two offsets), monotone, and human-auditable."""
+
+        def __init__(self, options, schema):
+            self._dir = options.get("path")
+            if not self._dir:
+                raise ValueError("warc stream source requires a path")
+            self._fields = [f.name for f in schema.fields]
+
+        def _list(self):
+            return sorted(
+                f for f in os.listdir(self._dir)
+                if f.endswith((".warc", ".warc.gz"))
+            )
+
+        def _records(self, names):
+            for base in names:
+                for rec in read_warc_file(os.path.join(self._dir, base)):
+                    row = {"source_file": base, **rec}
+                    yield tuple(row[f] for f in self._fields)
+
+        def initialOffset(self) -> dict:
+            return {"seen": []}
+
+        def read(self, start: dict):
+            seen = set(start.get("seen", []))
+            fresh = [f for f in self._list() if f not in seen]
+            end = {"seen": sorted(seen | set(fresh))}
+            # a list_iterator, not a generator: Spark both iterates
+            # (next()) and pickles the prefetched batch for replay, and
+            # generators don't pickle while list iterators do
+            return iter(list(self._records(fresh))), end
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            fresh = sorted(
+                set(end.get("seen", [])) - set(start.get("seen", []))
+            )
+            return iter(list(self._records(fresh)))
+
     class WarcDataSource(DataSource):
-        """``spark.read.format("warc").load(dir)``."""
+        """``spark.read.format("warc").load(dir)`` (batch) or
+        ``spark.readStream.format("warc").load(dir)`` (landing-zone
+        ingestion, one micro-batch per set of newly-arrived archives)."""
 
         @classmethod
         def name(cls) -> str:
@@ -229,6 +276,9 @@ def _make_datasource_class():
 
         def reader(self, schema):
             return _WarcReader(self.options, schema)
+
+        def simpleStreamReader(self, schema):
+            return _WarcStreamReader(self.options, schema)
 
     return WarcDataSource
 

@@ -545,3 +545,51 @@ def test_warc_datasource_pushdown_and_framing(spark, sf_dir, tmp_path):
     plan = pushed._jdf.queryExecution().executedPlan().toString()
     assert "response" not in plan.split("BatchScan")[0]
     assert pushed.count() == 6 * 3
+
+
+def test_warc_streaming_landing_zone(spark, tmp_path):
+    """The WARC streaming reader ingests newly-arrived archives
+    incrementally: batch 1 sees the initial files, dropping another
+    archive into the landing zone yields exactly its records in the
+    next batch — the crawl landing-zone flow, with file-list offsets."""
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.sources.warc import (
+        build_warc_record,
+        register_warc_source,
+        write_warc,
+    )
+
+    register_warc_source(spark)
+    land = tmp_path / "landing"
+    land.mkdir()
+
+    def drop(name, n, gz=False):
+        recs = [
+            build_warc_record(
+                "response", f"http://s/{name}/{i}", "2026-01-01T00:00:00Z",
+                "text/plain", bytes(10 + i)
+            )
+            for i in range(n)
+        ]
+        write_warc(str(land / name), recs, gzip_members=gz)
+
+    drop("a.warc", 3)
+    drop("b.warc.gz", 2, gz=True)
+    sink = "warc_stream_sink"
+    q = (
+        spark.readStream.format("warc").load(str(land))
+        .groupBy("source_file").agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(sink).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["source_file"]: r["n"] for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+        assert got == {"a.warc": 3, "b.warc.gz": 2}
+        drop("c.warc", 4)
+        q.processAllAvailable()
+        got = {r["source_file"]: r["n"] for r in spark.sql(f"SELECT * FROM {sink}").collect()}
+        assert got == {"a.warc": 3, "b.warc.gz": 2, "c.warc": 4}
+    finally:
+        q.stop()
