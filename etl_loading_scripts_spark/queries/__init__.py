@@ -41,3 +41,4 @@ from etl_loading_scripts_spark.queries import entity_resolution as _entity_resol
 __all__ = ["REGISTRY", "Query", "register"]
 from etl_loading_scripts_spark.sources import skipping as _skipping  # noqa: F401
 from etl_loading_scripts_spark.sources import warc as _warc  # noqa: F401
+from etl_loading_scripts_spark.llm import html as _html  # noqa: F401

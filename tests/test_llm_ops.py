@@ -922,3 +922,42 @@ def test_tiff_lzw_deflate_predictor_roundtrip():
     bad[-10] ^= 0xFF
     with pytest.raises(ValueError):
         decode_tiff(bytes(bad))
+
+
+def test_http_parse_and_html_extraction_semantics():
+    """The crawl→text primitives: HTTP framing errors raise ValueError;
+    html_to_text drops script/style WITH contents (including a '<'
+    inside a js string — the case naive strippers corrupt), removes the
+    head block, decodes entities, collapses whitespace, and never fuses
+    words across block boundaries."""
+    import pytest as _pytest
+
+    from etl_loading_scripts_spark.llm.html import (
+        extract_title,
+        html_to_text,
+        parse_http_response,
+    )
+
+    status, headers, body = parse_http_response(
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nX-A: b\r\n\r\nhi"
+    )
+    assert (status, headers["content-type"], body) == (200, "text/html", b"hi")
+    with _pytest.raises(ValueError, match="unterminated"):
+        parse_http_response(b"HTTP/1.1 200 OK\r\nContent-Type: a")
+    with _pytest.raises(ValueError, match="status"):
+        parse_http_response(b"<html>not http</html>\r\n\r\n")
+
+    html = (
+        "<html><head><title>T &amp; U</title><style>p{color:red}</style>"
+        "</head><body><script>if (1 < 2) { x('</p>'); }</script>"
+        "<p>alpha beta</p><div>gamma&nbsp;&lt;tag&gt;</div>"
+        "<!-- hidden words --></body></html>"
+    )
+    text = html_to_text(html)
+    assert text == "alpha beta\ngamma <tag>"
+    assert "color" not in text and "hidden" not in text and "if (1" not in text
+    assert extract_title(html) == "T & U"
+    assert extract_title("<html><body>x</body></html>") == ""
+    # block boundaries become newlines; inline tags become soft spaces
+    assert html_to_text("<p>a</p><p>b</p>") == "a\nb"
+    assert html_to_text("x<b>y</b>z") == "x y z"
