@@ -136,3 +136,71 @@ def test_cow_merge_equals_per_month_merge_upsert(spark, tmp_path_factory, tgt, s
         )
         expect |= {(r.k, r.datekey, r.amount) for r in ref.collect()}
     assert got == expect
+
+
+@settings(max_examples=30, deadline=None)
+@given(data=st.binary(min_size=0, max_size=2000))
+def test_tiff_lzw_roundtrips_arbitrary_bytes(data):
+    """TIFF-LZW (early code-width change) is lossless on ANY byte
+    string — the encoder/decoder width accounting has no slack."""
+    from etl_loading_scripts_spark.llm.tiff import (
+        lzw_decode_tiff,
+        lzw_encode_tiff,
+    )
+
+    assert lzw_decode_tiff(lzw_encode_tiff(data), len(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=300
+    )
+)
+def test_g711_codeword_fixpoint_and_adpcm_header_exactness(samples):
+    """G.711: decode∘encode is a projection (applying it twice equals
+    applying it once — companding quantizes to codeword values, which
+    then round-trip exactly). IMA ADPCM: the block header carries the
+    first sample verbatim for any input."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.audio import (
+        alaw_decode,
+        alaw_encode,
+        ima_adpcm_decode_block,
+        ima_adpcm_encode_block,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    s = np.array(samples, dtype=np.int16)
+    for enc, dec in ((ulaw_encode, ulaw_decode), (alaw_encode, alaw_decode)):
+        once = dec(enc(s))
+        twice = dec(enc(once))
+        assert np.array_equal(once, twice)
+    dec_b = ima_adpcm_decode_block(ima_adpcm_encode_block(s), len(s))
+    assert int(dec_b[0]) == int(s[0])
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=32),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_progressive_jpeg_transport_equals_baseline(w, h, seed):
+    """For ANY image size and content, the 8-scan successive-
+    approximation progressive stream decodes bit-identical to the
+    baseline sequential stream of the same quantized coefficients."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg_rgb,
+        encode_jpeg_rgb_progressive,
+    )
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3)).astype(np.uint8)
+    assert decode_jpeg(
+        encode_jpeg_rgb_progressive(w, h, img.tobytes())
+    ) == decode_jpeg(encode_jpeg_rgb(w, h, img.tobytes()))
