@@ -262,10 +262,86 @@ def _make_datasource_class():
             )
             return iter(list(self._records(fresh)))
 
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+    @dataclass
+    class _WarcCommit(WriterCommitMessage):
+        final_name: str | None  # None = empty partition, nothing staged
+        staged_path: str | None
+
+    class _WarcWriter(DataSourceWriter):
+        """``df.write.format("warc").save(dir)``: each task writes its
+        partition as one member-per-record .warc.gz archive (the
+        Common Crawl shard shape — re-exporting a curated sub-corpus
+        keeps the interchange format). Two-phase: tasks stage
+        ``.inprogress`` files and the driver commit renames them —
+        a failed/speculative task never leaves a visible archive.
+
+        Input rows need (target_uri, content_type, payload); warc_type
+        and warc_date default to 'response' / options['date']."""
+
+        def __init__(self, options, schema, overwrite):
+            self._dir = options.get("path")
+            if not self._dir:
+                raise ValueError("warc sink requires a path")
+            self._date = options.get("date", "2026-01-01T00:00:00Z")
+            self._overwrite = overwrite
+            names = {f.name for f in schema.fields}
+            for needed in ("target_uri", "content_type", "payload"):
+                if needed not in names:
+                    raise ValueError(f"warc sink input needs column {needed}")
+
+        def write(self, iterator):
+            import uuid as _uuid
+
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            records = []
+            for row in iterator:
+                records.append(
+                    build_warc_record(
+                        getattr(row, "warc_type", None) or "response",
+                        row.target_uri,
+                        getattr(row, "warc_date", None) or self._date,
+                        row.content_type,
+                        bytes(row.payload),
+                    )
+                )
+            if not records:
+                return _WarcCommit(None, None)
+            final = f"part-{pid:05d}.warc.gz"
+            staged = os.path.join(
+                self._dir, f".{final}.{_uuid.uuid4().hex[:8]}.inprogress"
+            )
+            os.makedirs(self._dir, exist_ok=True)
+            write_warc(staged, records, gzip_members=True)
+            return _WarcCommit(final, staged)
+
+        def commit(self, messages):
+            if self._overwrite:
+                for f in os.listdir(self._dir):
+                    if f.endswith((".warc", ".warc.gz")):
+                        os.remove(os.path.join(self._dir, f))
+            for m in messages:
+                if m.final_name:
+                    os.replace(
+                        m.staged_path, os.path.join(self._dir, m.final_name)
+                    )
+
+        def abort(self, messages):
+            for m in messages:
+                if m.staged_path and os.path.exists(m.staged_path):
+                    os.remove(m.staged_path)
+
     class WarcDataSource(DataSource):
-        """``spark.read.format("warc").load(dir)`` (batch) or
+        """``spark.read.format("warc").load(dir)`` (batch),
         ``spark.readStream.format("warc").load(dir)`` (landing-zone
-        ingestion, one micro-batch per set of newly-arrived archives)."""
+        ingestion, one micro-batch per set of newly-arrived archives),
+        or ``df.write.format("warc").save(dir)`` (shard-per-partition
+        gzip export with two-phase commit)."""
 
         @classmethod
         def name(cls) -> str:
@@ -279,6 +355,9 @@ def _make_datasource_class():
 
         def simpleStreamReader(self, schema):
             return _WarcStreamReader(self.options, schema)
+
+        def writer(self, schema, overwrite):
+            return _WarcWriter(self.options, schema, overwrite)
 
     return WarcDataSource
 

@@ -593,3 +593,40 @@ def test_warc_streaming_landing_zone(spark, tmp_path):
         assert got == {"a.warc": 3, "b.warc.gz": 2, "c.warc": 4}
     finally:
         q.stop()
+
+
+def test_warc_writer_roundtrip_and_two_phase(spark, sf_dir, tmp_path):
+    """df.write.format('warc') exports a curated sub-corpus as
+    member-per-record gzip shards that the warc READER ingests back
+    bit-identically; empty partitions leave no file; no .inprogress
+    staging files survive a successful commit; overwrite replaces."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.sources.warc import register_warc_source
+
+    register_warc_source(spark)
+    out = str(tmp_path / "export")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(40)
+        .select(
+            F.concat(F.lit("http://corpus/"), F.col("doc_id")).alias("target_uri"),
+            F.lit("text/plain").alias("content_type"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    docs.repartition(4).write.format("warc").mode("append").save(out)
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".warc.gz") for f in files)
+    back = spark.read.format("warc").load(out)
+    assert back.count() == 40
+    orig = {r["target_uri"]: bytes(r["payload"]) for r in docs.collect()}
+    got = {r["target_uri"]: bytes(r["payload"]) for r in back.collect()}
+    assert got == orig
+    # overwrite mode replaces the export atomically
+    docs.limit(10).repartition(2).write.format("warc").mode("overwrite").save(out)
+    assert spark.read.format("warc").load(out).count() == 10
+    assert not any(".inprogress" in f for f in os.listdir(out))

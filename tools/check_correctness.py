@@ -54,6 +54,11 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--show-diff", action="store_true")
     ap.add_argument(
+        "--json",
+        help="write per-query results as a JSON artifact (the auditable "
+        "record of the full local sweep, VERDICT r4 item 2)",
+    )
+    ap.add_argument(
         "--vanilla",
         action="store_true",
         help="build a bare SparkSession (no engine confs) to prove every "
@@ -80,6 +85,7 @@ def main() -> int:
 
     names = args.queries or sorted(REGISTRY)
     failures = []
+    records = {}
     for name in names:
         q = REGISTRY[name]
         t0 = time.time()
@@ -89,9 +95,11 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             failures.append(name)
+            records[name] = {"status": "spark_error", "error": str(e)[:300]}
             continue
         if q.oracle is None:
             print(f"rows  {name}: {s_n} rows (no oracle — rows-only check)")
+            records[name] = {"status": "rows_only", "rows": s_n}
             continue
         try:
             odf = con.execute(q.oracle).fetchdf()
@@ -99,10 +107,17 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             failures.append(name)
+            records[name] = {"status": "oracle_error", "error": str(e)[:300]}
             continue
         ok = (s_n, s_cols, s_hash) == (o_n, o_cols, o_hash)
         status = "OK  " if ok else "FAIL"
         dt = time.time() - t0
+        records[name] = {
+            "status": "ok" if ok else "mismatch",
+            "rows_spark": s_n, "rows_oracle": o_n,
+            "hash_match": s_hash == o_hash, "cols_match": s_cols == o_cols,
+            "sec": round(dt, 2),
+        }
         print(f"{status}  {name}: spark={s_n} oracle={o_n} "
               f"hash {'=' if s_hash == o_hash else '!='} cols "
               f"{'=' if s_cols == o_cols else f'{s_cols} vs {o_cols}'} [{dt:.1f}s]")
@@ -121,6 +136,21 @@ def main() -> int:
                     print("--- first mismatched rows (spark | oracle) ---")
                     print(pd.concat([spdf[bad].head(5), updf[bad].head(5)], axis=1))
     print(f"\n{len(names) - len(failures)}/{len(names)} queries match", flush=True)
+    if args.json:
+        import json
+
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": args.sf_dir,
+                    "vanilla": args.vanilla,
+                    "n_queries": len(names),
+                    "n_green": len(names) - len(failures),
+                    "failures": failures,
+                    "queries": records,
+                },
+                fh, indent=1,
+            )
     return 1 if failures else 0
 
 
