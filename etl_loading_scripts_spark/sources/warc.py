@@ -486,3 +486,52 @@ def warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("content_length").cast("long").alias("total_bytes"),
         F.sum("payload_sum").cast("long").alias("payload_checksum"),
     )
+
+
+@register(
+    "warc_export_roundtrip",
+    oracle="""
+    SELECT 'http://corpus/' || CAST(doc_id AS VARCHAR) AS target_uri,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS text_md5
+    FROM documents
+    WHERE doc_id % 7 = 0
+    """,
+    doc="WARC EXPORT round-trip through the Python DataSource writer: "
+    "a curated sub-corpus (every 7th document) is written as "
+    "member-per-record gzip shards (two-phase commit: staged "
+    ".inprogress files renamed only at driver commit) and read back "
+    "through the warc reader; per-document byte counts and md5 of the "
+    "decoded payload must match the documents table — a framing, "
+    "gzip-member, encoding, or commit-protocol bug corrupts or loses "
+    "documents.",
+)
+def warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the writer emits one gzip shard per partition (the
+    Common Crawl shard shape) with task-side staging and driver-side
+    rename commit — speculative or failed tasks never publish; the
+    read-back is partition-per-shard. Export and re-ingest of a 100 TB
+    curated corpus is one repartition(shard_count) + this sink."""
+    register_warc_source(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"warc_export_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.concat(F.lit("http://corpus/"), F.col("doc_id")).alias("target_uri"),
+            F.lit("text/plain").alias("content_type"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    docs.repartition(4).write.format("warc").mode("overwrite").save(out)
+    back = spark.read.format("warc").load(out)
+    return back.select(
+        "target_uri",
+        F.col("content_length").cast("long").alias("n_bytes"),
+        F.md5(F.decode("payload", "UTF-8").cast("string").cast("binary")).alias(
+            "text_md5"
+        ),
+    )
