@@ -261,3 +261,106 @@ def warc_html_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sum_title_chars").cast("long").alias("sum_title_chars"),
         F.sum("checksum_text").cast("long").alias("checksum_text"),
     )
+
+
+@register(
+    "stream_warc_crawl_ingest",
+    oracle=f"""
+    WITH recs AS (
+        SELECT f, r FROM range(0, 6) a(f) CROSS JOIN range(0, 9) b(r)
+    ),
+    pages AS (
+        SELECT f, r, (f + r) % 3 = 2 AS is_404, {_WORDS} AS nw FROM recs
+    )
+    SELECT 'part-' || lpad(CAST(f AS VARCHAR), 4, '0') || '.warc'
+               || (CASE WHEN f % 2 = 1 THEN '.gz' ELSE '' END) AS source_file,
+           CAST(sum(CASE WHEN is_404 THEN 0 ELSE 1 END) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN is_404 THEN 0 ELSE nw END) AS BIGINT)
+               AS sum_tokens
+    FROM pages
+    GROUP BY 1
+    """,
+    doc="STREAMING crawl ingest: the same planted archives flow through "
+    "spark.readStream.format('warc') (landing-zone reader, file-list "
+    "offsets) into the Arrow-batched HTTP-parse + HTML-extract kernel "
+    "and a complete-mode rollup; the DuckDB oracle is the BATCH "
+    "arithmetic — streaming execution must converge to exactly the "
+    "batch answer (processAllAvailable), which pins the micro-batch "
+    "path's parity, not just its liveness.",
+)
+def stream_warc_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the landing-zone reader ingests per new archive; parse +
+    extraction are partition-parallel mapInPandas inside each
+    micro-batch; the rollup keeps one state row per archive. The same
+    topology runs continuously on a real crawl bucket with the memory
+    sink swapped for a lakehouse table via foreachBatch."""
+    import uuid as _uuid
+
+    from etl_loading_scripts_spark.sources.warc import (
+        _fixture_dir,
+        register_warc_source,
+    )
+
+    register_warc_source(spark)
+    # reuse (or create) the batch query's planted landing zone
+    import os
+
+    d = _fixture_dir(sf_dir) + "_http"
+    if not os.path.isdir(d) or not os.listdir(d):
+        # plant via the batch query's fixture writer
+        from etl_loading_scripts_spark.sources.warc import (
+            build_warc_record,
+            write_warc,
+        )
+
+        os.makedirs(d, exist_ok=True)
+        for f in range(6):
+            gz = f % 2 == 1
+            name = f"part-{f:04d}.warc" + (".gz" if gz else "")
+            records = [
+                build_warc_record(
+                    "response", f"http://example.org/{f}/{r}",
+                    "2026-01-01T00:00:00Z",
+                    "application/http; msgtype=response",
+                    _planted_http_html(f, r),
+                )
+                for r in range(9)
+            ]
+            write_warc(os.path.join(d, name), records, gzip_members=gz)
+
+    stream = spark.readStream.format("warc").load(d)
+
+    def extract(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for src, payload in zip(pdf["source_file"], pdf["payload"]):
+                status, _h, body = parse_http_response(bytes(payload))
+                if status != 200:
+                    continue
+                text = html_to_text(body.decode("utf-8", errors="replace"))
+                rows.append((src, 1, len(text.split())))
+            yield pd.DataFrame(
+                rows, columns=["source_file", "n_docs", "sum_tokens"]
+            )
+
+    extracted = stream.filter(F.col("warc_type") == "response").mapInPandas(
+        extract, schema="source_file string, n_docs long, sum_tokens long"
+    )
+    agg = extracted.groupBy("source_file").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("sum_tokens").cast("long").alias("sum_tokens"),
+    )
+    sink = f"crawl_out_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(sink)
