@@ -347,3 +347,76 @@ def test_no_unpartitioned_fact_windows(spark, sf_dir):
         "via operators/ranks.py range-bucketed machinery or add to "
         "_GLOBAL_WINDOW_OK with a bounded-grain justification"
     )
+
+
+def _shuffle_profile(spark, df):
+    """Execute and walk the final adaptive plan, totalling shuffle
+    records and leaf-scan rows (reused exchanges deduplicated) — the
+    runtime twin of the static plan ratchets."""
+    df.collect()
+    jvm = spark._jvm
+    seen: set[int] = set()
+    tot = {"shuffle_records": 0, "rows_scanned": 0}
+
+    def walk(node):
+        ident = jvm.java.lang.System.identityHashCode(node)
+        if ident in seen:
+            return
+        seen.add(ident)
+        cls = node.getClass().getSimpleName()
+        if cls == "ReusedExchangeExec":
+            return
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            key, val = kv._1(), kv._2().value()
+            if val > 0 and key == "shuffleRecordsWritten":
+                tot["shuffle_records"] += val
+            elif val > 0 and key == "numOutputRows" and node.nodeName().startswith("Scan "):
+                tot["rows_scanned"] += val
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+        elif cls.endswith("QueryStageExec"):
+            walk(node.plan())
+        ch = node.children().iterator()
+        while ch.hasNext():
+            walk(ch.next())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return tot
+
+
+def test_shuffle_ratios_stay_bounded(spark, sf_dir):
+    """Runtime shuffle ratchet (SCALING.md r5 profile): for the
+    queries whose plans collapse map-side, the records moved through
+    exchanges must stay proportional to the RESULT cardinality (each
+    map task emits at most one partial row per group), never to the
+    scan — a regression that re-shuffles the scan (lost partial agg,
+    lost broadcast) trips this at any scale factor, long before
+    wall-clock moves. Scale-factor-safe formulation: bound =
+    tasks_factor x result_rows + slack, not a scan ratio (at tiny SF
+    the group count can approach the row count and ratios lie)."""
+    from etl_loading_scripts_spark.queries import REGISTRY
+
+    # query -> (multiplier on result rows, absolute slack)
+    bounds = {
+        "pricing_summary_window": (10, 100),
+        "json_props_extract": (10, 100),
+        "multi_grain_spend_ratio": (10, 200),
+        "rollup_spend_nation_month": (10, 200),
+        "topk_per_group": (20, 500),
+    }
+    for name, (mult, slack) in bounds.items():
+        df = REGISTRY[name].spark(spark, sf_dir)
+        tot = _shuffle_profile(spark, df)
+        n_result = df.count()
+        limit = mult * n_result + slack
+        assert tot["rows_scanned"] > 0, name
+        assert tot["shuffle_records"] <= limit, (
+            f"{name}: {tot['shuffle_records']} records shuffled for a "
+            f"{n_result}-row result (limit {limit}, scanned "
+            f"{tot['rows_scanned']}) — a plan regression is moving "
+            "payload rows through an exchange"
+        )
+        # and the collapse is real: shuffled stays far below the scan
+        assert tot["shuffle_records"] < 0.9 * tot["rows_scanned"], name
