@@ -1479,3 +1479,99 @@ def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("flesch_num_milli"),
         F.sum(F.col("n_sents") * F.col("n_words")).cast("bigint").alias("flesch_den"),
     )
+
+
+#: Fixed public merge ranks for the BPE APPLY demo (the most common
+#: English merges — ranks matter: 'th e'→'the' must see 'th' already
+#: merged). Symbols are space-separated; '▁' marks word boundaries
+#: (the GPT/SentencePiece convention).
+BPE_MERGES = [
+    ("t h", "th"), ("th e", "the"), ("i n", "in"), ("a n", "an"),
+    ("e r", "er"), ("o n", "on"), ("r e", "re"), ("an d", "and"),
+    ("o r", "or"), ("e n", "en"), ("a t", "at"), ("e s", "es"),
+    ("▁ the", "▁the"), ("▁ and", "▁and"), ("▁ a", "▁a"), ("▁ t", "▁t"),
+]
+
+
+@register(
+    "bpe_apply_encode",
+    oracle=(
+        """
+    WITH prepped AS (
+        SELECT doc_id,
+               '▁' || replace(
+                   regexp_replace(lower(text), '[^a-z ]', '', 'g'),
+                   ' ', '▁') AS s
+        FROM documents
+    ),
+    symbols AS (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split(s, ''),
+                                           c -> c <> ''), ' ') AS toks
+        FROM prepped
+    ),
+    merged AS (
+        SELECT doc_id, """
+        + "".join(
+            f"replace(" for _ in range(16)
+        )
+        + "toks"
+        + "".join(
+            f", '{a}', '{b}')" for a, b in [
+                ("t h", "th"), ("th e", "the"), ("i n", "in"), ("a n", "an"),
+                ("e r", "er"), ("o n", "on"), ("r e", "re"), ("an d", "and"),
+                ("o r", "or"), ("e n", "en"), ("a t", "at"), ("e s", "es"),
+                ("▁ the", "▁the"), ("▁ and", "▁and"), ("▁ a", "▁a"),
+                ("▁ t", "▁t"),
+            ]
+        )
+        + """ AS enc
+        FROM symbols
+    )
+    SELECT doc_id,
+           CAST(len(string_split(enc, ' ')) AS BIGINT) AS n_tokens,
+           CAST(length(replace(enc, ' ', '')) AS BIGINT) AS n_symbols_chars,
+           CAST(length(replace(enc, ' ', '')) AS DOUBLE)
+               / len(string_split(enc, ' ')) AS chars_per_token
+    FROM merged
+    """
+    ),
+    doc="BPE APPLY (encode) with a fixed public merge table: documents "
+    "become '▁'-marked character sequences and the ranked merges apply "
+    "as an ordered replace chain over the space-separated symbol "
+    "stream — exactly greedy BPE segmentation for this merge set. "
+    "Emits per-doc token counts and compression (chars/token). "
+    "Entirely JVM-side string ops (no Python in the plan); the oracle "
+    "runs the identical chain in DuckDB.",
+)
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: map-only — normalize, char-explode-join, 16 chained
+    literal replaces, token count; no shuffle at all (the driver's
+    collect is the only exchange). A learned-merges variant swaps the
+    constant table for the output of ``bpe_top_merges`` iterations;
+    the apply plan is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = F.concat(
+        F.lit("▁"),
+        F.replace(
+            F.regexp_replace(F.lower("text"), "[^a-z ]", ""),
+            F.lit(" "),
+            F.lit("▁"),
+        ),
+    )
+    # space-separated character symbols: split('') yields one-char
+    # tokens in both engines (empty strings filtered)
+    toks = F.array_join(
+        F.filter(F.split(s, ""), lambda c: c != F.lit("")), " "
+    )
+    enc = toks
+    for a, b in BPE_MERGES:
+        enc = F.replace(enc, F.lit(a), F.lit(b))
+    n_tokens = F.size(F.split(enc, " ")).cast("long")
+    n_chars = F.length(F.replace(enc, F.lit(" "), F.lit(""))).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_symbols_chars"),
+        (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
+    )
