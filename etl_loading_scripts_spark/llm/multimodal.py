@@ -80,6 +80,15 @@ def decode_image_stub(payload: bytes) -> dict:
 
         w, h, channels, px = decode_tiff(payload)
         return {"width": w, "height": h, "channels": channels, "rgb": px}
+    if (
+        payload[:4] == b"RIFF"
+        and payload[8:12] == b"WEBP"
+        and payload[12:16] == b"VP8L"
+    ):
+        from etl_loading_scripts_spark.llm.webp import decode_webp_lossless
+
+        w, h, rgba = decode_webp_lossless(payload)
+        return {"width": w, "height": h, "channels": 4, "rgb": rgba}
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:  # pragma: no cover - image libs absent by design
@@ -1720,6 +1729,115 @@ def mm_decode_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-component + AC-refinement class (round 5)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_jpeg_prog_batches, schema=_JPEG_PROG_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WebP lossless (VP8L) — literal-coded subset under the hash gate
+# ---------------------------------------------------------------------------
+
+_WEBP_SCHEMA = (
+    "doc_id long, width int, height int, code_kind string, "
+    "sum_px bigint, checksum_weighted bigint"
+)
+
+#: planted RGBA byte at linear position q (4 bytes/pixel): few-color
+#: images for even docs (simple 2-symbol codes on every channel),
+#: many-color for odd docs (normal canonical codes).
+_WEBP_PX_DUCK = (
+    "(CASE WHEN doc_id % 2 = 0 "
+    " THEN (CASE WHEN ((q // 4) + doc_id) % 2 = 0 THEN 40 ELSE 200 END)"
+    "      + (q % 4) * 3 "
+    " ELSE (doc_id * 11 + (q // 4) * 5 + (q % 4) * 29) % 251 END)"
+)
+
+
+def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Round-trip deterministic RGBA images through the real VP8L codec:
+    even docs are two-color (both wire forms of the SIMPLE prefix code),
+    odd docs many-color (NORMAL codes: code-length code in the spec's
+    shuffled order, canonical reconstruction). Stats from DECODED RGBA —
+    a bit-order, canonical-assignment, or GRBA-sequence bug
+    hash-mismatches."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "width", "height", "code_kind", "sum_px",
+            "checksum_weighted",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 4 + d % 9, 3 + d % 5
+            n = w * h * 4
+            q = np.arange(n, dtype=np.int64)
+            if d % 2 == 0:
+                px = (
+                    np.where(((q // 4) + d) % 2 == 0, 40, 200) + (q % 4) * 3
+                ).astype(np.uint8)
+                kind = "simple"
+            else:
+                px = ((d * 11 + (q // 4) * 5 + (q % 4) * 29) % 251).astype(
+                    np.uint8
+                )
+                kind = "normal"
+            payload = encode_webp_lossless(w, h, px.tobytes())
+            dw, dh, rgba = decode_webp_lossless(payload)
+            arr = np.frombuffer(rgba, dtype=np.uint8).astype(np.int64)
+            out["doc_id"].append(d)
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["code_kind"].append(kind)
+            out["sum_px"].append(int(arr.sum()))
+            out["checksum_weighted"].append(int(((q + 1) * arr).sum()))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64", "width": "int32", "height": "int32",
+                "code_kind": "object", "sum_px": "int64",
+                "checksum_weighted": "int64",
+            }
+        )
+
+
+@register(
+    "mm_decode_webp_lossless",
+    oracle=f"""
+    WITH px AS (
+        SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'simple' ELSE 'normal' END
+               AS code_kind,
+           CAST(list_sum(list_transform(range(0, w * h * 4),
+                q -> {_WEBP_PX_DUCK})) AS BIGINT) AS sum_px,
+           CAST(list_sum(list_transform(range(0, w * h * 4),
+                q -> (q + 1) * ({_WEBP_PX_DUCK}))) AS BIGINT)
+               AS checksum_weighted
+    FROM px
+    """,
+    doc="REAL WebP-lossless (VP8L) decode — the modern web format's "
+    "lossless variant, closing the last quarantined image class for "
+    "literal-coded files: RIFF/VP8L container, LSB-first bitstream, "
+    "14-bit dimensions, SIMPLE (two-color docs) and NORMAL canonical "
+    "prefix codes (many-color docs: spec code-length-code order + "
+    "repeat symbols) through the G→R→B→A per-pixel sequence; stats "
+    "from DECODED RGBA against the arithmetic oracle. Transforms, "
+    "color cache, and backreferences remain the honest quarantine "
+    "lines.",
+)
+def mm_decode_webp_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same Arrow-batched mapInPandas contract as every mm_*
+    kernel — partition-local, no shuffle; the per-symbol Python prefix
+    walk is the documented honest cost shape, libwebp the swap-in."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(_webp_batches, schema=_WEBP_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

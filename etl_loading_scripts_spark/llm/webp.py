@@ -1,0 +1,331 @@
+"""Dependency-free WebP-lossless (VP8L) codec — literal-coded subset.
+
+The last quarantined image class (``mm_format_quarantine``'s unknown
+bucket): WebP is the modern web image format, and its LOSSLESS variant
+(VP8L) is a self-contained spec a from-scratch codec can honestly
+implement — RIFF container, LSB-first bitstream, 14-bit dimensions,
+and DEFLATE-style canonical prefix codes with VP8L's own code-length
+code order. This module implements the literal-coded subset:
+
+- **Container/header**: RIFF/WEBP/VP8L chunk, 0x2F signature,
+  width/height-minus-one 14-bit fields, alpha hint, version 0.
+- **Prefix codes**: both wire forms — SIMPLE (1-2 symbols, the spec's
+  compact escape) and NORMAL (3-bit code-length-code lengths in the
+  spec's order [17,18,0,1,...,15,16 reshuffled], repeat symbols 16/17/18,
+  canonical reconstruction — the same discipline as DEFLATE/JPEG DHT).
+- **Pixel coding**: per-pixel GREEN→RED→BLUE→ALPHA symbol order from
+  the 5-code group (green's alphabet is 256+24 to carry backref length
+  symbols).
+
+Honest subset lines (→ quarantine): transforms (predictor / color /
+subtract-green / palette), color cache, meta prefix images, and LZ77
+backreferences raise ``ValueError`` — the planted corpus is
+literal-coded, which still exercises every structural layer above.
+Lossy WebP (VP8) stays in the quarantine bucket.
+
+Reference behavior modeled: none (SURVEY §2.10); training-data-pipeline
+extension surface. Spec: "WebP Lossless Bitstream Specification"
+(public, webmproject.org).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+#: VP8L code-length-code symbol order (spec §5.2.2).
+CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+_GREEN_ALPHA = 256 + 24  # literal greens + backref length symbols
+
+
+class _BitReaderLSB:
+    """LSB-first bit reader (VP8L convention, same as DEFLATE)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.pos >= len(self.data):
+                raise ValueError("corrupt VP8L: truncated bitstream")
+            v |= ((self.data[self.pos] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+
+class _BitWriterLSB:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, v: int, n: int) -> None:
+        for i in range(n):
+            self.acc |= ((v >> i) & 1) << self.nbits
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, len) via the canonical assignment (shorter codes
+    first, ties by symbol — the DEFLATE rule VP8L shares)."""
+    maxlen = max(lengths.values())
+    bl_count = [0] * (maxlen + 1)
+    for ln in lengths.values():
+        bl_count[ln] += 1
+    code = 0
+    next_code = [0] * (maxlen + 2)
+    for ln in range(1, maxlen + 1):
+        code = (code + bl_count[ln - 1]) << 1
+        next_code[ln] = code
+    out = {}
+    for sym in sorted(lengths):
+        ln = lengths[sym]
+        out[sym] = (next_code[ln], ln)
+        next_code[ln] += 1
+    return out
+
+
+def _assign_lengths(freqs: dict[int, int]) -> dict[int, int]:
+    """Package-merge-free length assignment good enough for tiny
+    alphabets: balanced-tree lengths from a sorted symbol list (every
+    length ≤ 15 for ≤ 2^15 symbols; Kraft-complete by construction)."""
+    syms = sorted(freqs)
+    n = len(syms)
+    if n < 2:
+        raise ValueError("normal code needs >= 2 symbols")
+    import math
+
+    depth = math.ceil(math.log2(n))
+    # fill the deepest level: k symbols at depth, rest at depth-1,
+    # chosen so Kraft sums to exactly 1
+    # with a symbols at depth-1 and b at depth: a + b = n,
+    # a/2^(depth-1) + b/2^depth = 1  =>  b = 2*(n - 2^(depth-1))
+    b = 2 * (n - (1 << (depth - 1))) if depth > 0 else 0
+    a = n - b
+    lengths = {}
+    for i, s in enumerate(syms):
+        lengths[s] = depth - 1 if i < a and depth > 1 else max(depth, 1)
+    return lengths
+
+
+class _Prefix:
+    """Decoding table for one prefix code (simple or normal)."""
+
+    def __init__(self, codes: dict[int, tuple[int, int]] | None, single: int | None):
+        self.single = single  # 0-bit code: always this symbol
+        self.lookup = (
+            {(c, ln): s for s, (c, ln) in codes.items()} if codes else {}
+        )
+        self.maxlen = max((ln for (_c, ln) in self.lookup), default=0)
+
+    def decode(self, br: _BitReaderLSB) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.maxlen + 1):
+            code = (code << 1) | br.read(1)
+            if (code, ln) in self.lookup:
+                return self.lookup[(code, ln)]
+        raise ValueError("corrupt VP8L: invalid prefix code")
+
+
+def _read_prefix_code(br: _BitReaderLSB, alphabet: int) -> _Prefix:
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        first_8 = br.read(1)
+        s0 = br.read(8 if first_8 else 1)
+        if num_symbols == 1:
+            return _Prefix(None, s0)
+        s1 = br.read(8)
+        return _Prefix({s0: (0, 1), s1: (1, 1)}, None)
+    # normal: code-length code
+    num_clc = 4 + br.read(4)
+    clc_lengths = {}
+    for i in range(num_clc):
+        ln = br.read(3)
+        if ln:
+            clc_lengths[CLC_ORDER[i]] = ln
+    clc = _Prefix(_canonical_codes(clc_lengths), None) if len(
+        clc_lengths
+    ) > 1 else _Prefix(None, next(iter(clc_lengths)))
+    if br.read(1):  # use_max_symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths: dict[int, int] = {}
+    sym = 0
+    prev = 8
+    while sym < max_symbol:
+        s = clc.decode(br)
+        if s < 16:
+            if s:
+                lengths[sym] = s
+                prev = s
+            sym += 1
+        elif s == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if sym < max_symbol:
+                    lengths[sym] = prev
+                sym += 1
+        elif s == 17:
+            sym += 3 + br.read(3)
+        else:  # 18
+            sym += 11 + br.read(7)
+    if not lengths:
+        raise ValueError("corrupt VP8L: empty prefix code")
+    if len(lengths) == 1:
+        return _Prefix(None, next(iter(lengths)))
+    return _Prefix(_canonical_codes(lengths), None)
+
+
+def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
+    """Decode a literal-coded VP8L WebP → (width, height, RGBA bytes).
+    Raises ``ValueError`` on non-WebP magic or the documented subset
+    lines (transforms, color cache, meta prefix, backreferences)."""
+    if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("not a WebP payload")
+    if payload[12:16] != b"VP8L":
+        raise ValueError("lossy/extended WebP not supported (VP8L only)")
+    (chunk_len,) = struct.unpack_from("<I", payload, 16)
+    data = payload[20 : 20 + chunk_len]
+    if not data or data[0] != 0x2F:
+        raise ValueError("corrupt VP8L: bad signature")
+    br = _BitReaderLSB(data, 1)
+    width = br.read(14) + 1
+    height = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unsupported VP8L version")
+    if br.read(1):
+        raise ValueError("VP8L transforms not supported (quarantine)")
+    if br.read(1):
+        raise ValueError("VP8L color cache not supported (quarantine)")
+    if br.read(1):
+        raise ValueError("VP8L meta prefix images not supported (quarantine)")
+    green = _read_prefix_code(br, _GREEN_ALPHA)
+    red = _read_prefix_code(br, 256)
+    blue = _read_prefix_code(br, 256)
+    alpha = _read_prefix_code(br, 256)
+    _dist = _read_prefix_code(br, 40)
+    n = width * height
+    out = np.zeros((n, 4), dtype=np.uint8)
+    for i in range(n):
+        g = green.decode(br)
+        if g >= 256:
+            raise ValueError(
+                "VP8L backreferences/cache not supported (quarantine)"
+            )
+        out[i, 1] = g
+        out[i, 0] = red.decode(br)
+        out[i, 2] = blue.decode(br)
+        out[i, 3] = alpha.decode(br)
+    return width, height, out.tobytes()
+
+
+def _write_prefix_code(bw: _BitWriterLSB, freqs: dict[int, int], alphabet: int):
+    """Emit one prefix code (simple for ≤2 symbols, else normal with a
+    full-alphabet length array, no repeats) and return the symbol→
+    (code, len) map for the payload phase."""
+    syms = sorted(freqs)
+    if len(syms) == 1:
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        bw.write(1, 1)  # 8-bit symbol field
+        bw.write(syms[0], 8)
+        return {syms[0]: (0, 0)}
+    if len(syms) == 2:
+        bw.write(1, 1)
+        bw.write(1, 1)  # two symbols
+        bw.write(1, 1)
+        bw.write(syms[0], 8)
+        bw.write(syms[1], 8)
+        return {syms[0]: (0, 1), syms[1]: (1, 1)}
+    bw.write(0, 1)  # normal
+    lengths = _assign_lengths(freqs)
+    used = sorted(set(lengths.values()) | {0})
+    clc_freq = {ln: 1 for ln in used}
+    clc_lengths = (
+        _assign_lengths(clc_freq) if len(clc_freq) > 1 else {used[0]: 1}
+    )
+    bw.write(15, 4)  # num_code_lengths = 4 + 15 = 19: all, in order
+    for s in CLC_ORDER:
+        bw.write(clc_lengths.get(s, 0), 3)
+    clc_codes = _canonical_codes(clc_lengths)
+    bw.write(0, 1)  # use_max_symbol = 0 → full alphabet length array
+    for sym in range(alphabet):
+        c, ln = clc_codes[lengths.get(sym, 0)]
+        bw.write(_rev(c, ln), ln)
+    return {s: (c, ln) for s, (c, ln) in _canonical_codes(lengths).items()}
+
+
+def _rev(code: int, ln: int) -> int:
+    """Canonical codes are defined MSB-first; the LSB-first writer needs
+    them bit-reversed so the reader's MSB-accumulating walk sees them in
+    definition order."""
+    out = 0
+    for _ in range(ln):
+        out = (out << 1) | (code & 1)
+        code >>= 1
+    return out
+
+
+def encode_webp_lossless(width: int, height: int, rgba: bytes) -> bytes:
+    """Encode RGBA pixels as a literal-coded VP8L WebP (no transforms,
+    no cache, no backrefs — bit-exact by construction)."""
+    if len(rgba) != width * height * 4:
+        raise ValueError("rgba length must be width*height*4")
+    if width > 16384 or height > 16384:
+        raise ValueError("VP8L dimensions are 14-bit")
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)
+    bw = _BitWriterLSB()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if (px[:, 3] != 255).any() else 0, 1)
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+    chans = {
+        "g": px[:, 1], "r": px[:, 0], "b": px[:, 2], "a": px[:, 3],
+    }
+    freqs = {
+        k: {int(v): int(c) for v, c in zip(*np.unique(arr, return_counts=True))}
+        for k, arr in chans.items()
+    }
+    codes = {}
+    codes["g"] = _write_prefix_code(bw, freqs["g"], _GREEN_ALPHA)
+    codes["r"] = _write_prefix_code(bw, freqs["r"], 256)
+    codes["b"] = _write_prefix_code(bw, freqs["b"], 256)
+    codes["a"] = _write_prefix_code(bw, freqs["a"], 256)
+    _write_prefix_code(bw, {0: 1}, 40)  # distance code: unused single
+    for i in range(px.shape[0]):
+        for k, col in (("g", 1), ("r", 0), ("b", 2), ("a", 3)):
+            c, ln = codes[k][int(px[i, col])]
+            if ln:
+                bw.write(_rev(c, ln), ln)
+    body = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

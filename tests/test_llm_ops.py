@@ -961,3 +961,41 @@ def test_http_parse_and_html_extraction_semantics():
     # block boundaries become newlines; inline tags become soft spaces
     assert html_to_text("<p>a</p><p>b</p>") == "a\nb"
     assert html_to_text("x<b>y</b>z") == "x y z"
+
+
+def test_webp_vp8l_codec_roundtrip_and_gates():
+    """VP8L literal subset: arbitrary RGBA round-trips bit-exact through
+    both prefix-code wire forms; the stub routes VP8L but keeps the
+    imaging-lib gate for lossy WebP; corrupt/truncated streams raise
+    ValueError (quarantine), never IndexError."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.multimodal import decode_image_stub
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(17)
+    for w, h in [(1, 1), (7, 5), (23, 17)]:
+        px = rng.integers(0, 256, (w * h, 4), dtype=np.uint8)
+        pay = encode_webp_lossless(w, h, px.tobytes())
+        assert pay[:4] == b"RIFF" and pay[12:16] == b"VP8L"
+        assert decode_webp_lossless(pay) == (w, h, px.tobytes())
+        out = decode_image_stub(pay)  # stub routes VP8L to the codec
+        assert (out["width"], out["height"], out["channels"]) == (w, h, 4)
+        assert out["rgb"] == px.tobytes()
+    # two-color image: all five codes take the SIMPLE wire form
+    two = np.array([[9, 1, 2, 255], [250, 100, 50, 255]], dtype=np.uint8)
+    px = two[rng.integers(0, 2, 30)]
+    assert decode_webp_lossless(encode_webp_lossless(6, 5, px.tobytes()))[2] == px.tobytes()
+
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(b"RIFF" + bytes(4) + b"WEBP" + b"VP8 " + bytes(12))
+    pay = encode_webp_lossless(4, 4, bytes(64))
+    with pytest.raises(ValueError):
+        decode_webp_lossless(pay[: len(pay) - 6])  # truncated
+    bad = bytearray(pay)
+    bad[20] = 0x00  # break the 0x2F signature
+    with pytest.raises(ValueError, match="signature"):
+        decode_webp_lossless(bytes(bad))
