@@ -717,9 +717,9 @@ def _quarantine_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     FROM cls GROUP BY 1
     """,
     doc="Mixed-corpus ingestion with classify-and-quarantine: payloads "
-    "across BMP/PPM/PNG/JPEG plus an unsupported format (WebP magic — "
-    "GIF graduated to a real decoder) are "
-    "sniffed by magic bytes, the real codecs decode their formats, "
+    "across BMP/PPM/PNG/JPEG plus an unsupported format (LOSSY WebP "
+    "magic — GIF and lossless VP8L graduated to real decoders) are "
+    "sniffed by magic bytes, the real codecs decode their formats "
     "and unknowns are COUNTED into a quarantine bucket instead of "
     "killing the job — per-format doc/decode/quarantine/pixel counts. "
     "The invariant a 100 TB web corpus needs: one exotic payload must "
