@@ -1785,7 +1785,9 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     np.uint8
                 )
                 kind = "normal"
-            payload = encode_webp_lossless(w, h, px.tobytes())
+            payload = encode_webp_lossless(
+                w, h, px.tobytes(), subtract_green=(d % 3 == 0)
+            )
             dw, dh, rgba = decode_webp_lossless(payload)
             arr = np.frombuffer(rgba, dtype=np.uint8).astype(np.int64)
             out["doc_id"].append(d)
@@ -1828,7 +1830,9 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "14-bit dimensions, SIMPLE (two-color docs) and NORMAL canonical "
     "prefix codes (many-color docs: spec code-length-code order + "
     "repeat symbols) through the G→R→B→A per-pixel sequence; stats "
-    "from DECODED RGBA against the arithmetic oracle. Transforms, "
+    "from DECODED RGBA against the arithmetic oracle; every 3rd doc "
+    "rides the subtract-green transform (inverse applied on decode — "
+    "output pixels identical, wire different). Other transforms, "
     "color cache, and backreferences remain the honest quarantine "
     "lines.",
 )

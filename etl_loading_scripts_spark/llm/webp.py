@@ -17,11 +17,12 @@ code order. This module implements the literal-coded subset:
   the 5-code group (green's alphabet is 256+24 to carry backref length
   symbols).
 
-Honest subset lines (→ quarantine): transforms (predictor / color /
-subtract-green / palette), color cache, meta prefix images, and LZ77
-backreferences raise ``ValueError`` — the planted corpus is
-literal-coded, which still exercises every structural layer above.
-Lossy WebP (VP8) stays in the quarantine bucket.
+Plus the SUBTRACT-GREEN transform (the decorrelation real encoders
+almost always enable — red/blue stored minus green mod 256, inverse on
+decode). Honest subset lines (→ quarantine): the predictor / color /
+palette transforms, color cache, meta prefix images, and LZ77
+backreferences raise ``ValueError``. Lossy WebP (VP8) stays in the
+quarantine bucket.
 
 Reference behavior modeled: none (SURVEY §2.10); training-data-pipeline
 extension surface. Spec: "WebP Lossless Bitstream Specification"
@@ -217,8 +218,18 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")
-    if br.read(1):
-        raise ValueError("VP8L transforms not supported (quarantine)")
+    subtract_green = False
+    while br.read(1):  # transform list
+        ttype = br.read(2)
+        if ttype == 2:  # subtract-green: no payload, invertible add
+            if subtract_green:
+                raise ValueError("corrupt VP8L: duplicate transform")
+            subtract_green = True
+        else:
+            raise ValueError(
+                "VP8L predictor/color/palette transforms not supported "
+                "(quarantine)"
+            )
     if br.read(1):
         raise ValueError("VP8L color cache not supported (quarantine)")
     if br.read(1):
@@ -240,6 +251,11 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
         out[i, 0] = red.decode(br)
         out[i, 2] = blue.decode(br)
         out[i, 3] = alpha.decode(br)
+    if subtract_green:
+        # inverse: red/blue had green subtracted mod 256 at encode time
+        g = out[:, 1].astype(np.int64)
+        out[:, 0] = ((out[:, 0].astype(np.int64) + g) & 0xFF).astype(np.uint8)
+        out[:, 2] = ((out[:, 2].astype(np.int64) + g) & 0xFF).astype(np.uint8)
     return width, height, out.tobytes()
 
 
@@ -290,20 +306,31 @@ def _rev(code: int, ln: int) -> int:
     return out
 
 
-def encode_webp_lossless(width: int, height: int, rgba: bytes) -> bytes:
-    """Encode RGBA pixels as a literal-coded VP8L WebP (no transforms,
-    no cache, no backrefs — bit-exact by construction)."""
+def encode_webp_lossless(
+    width: int, height: int, rgba: bytes, subtract_green: bool = False
+) -> bytes:
+    """Encode RGBA pixels as a literal-coded VP8L WebP (no cache, no
+    backrefs — bit-exact by construction). ``subtract_green`` applies
+    the spec's cheapest transform (red/blue stored minus green mod 256
+    — the decorrelation real encoders almost always pick), exercising
+    the decoder's transform list."""
     if len(rgba) != width * height * 4:
         raise ValueError("rgba length must be width*height*4")
     if width > 16384 or height > 16384:
         raise ValueError("VP8L dimensions are 14-bit")
-    px = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4).copy()
     bw = _BitWriterLSB()
     bw.write(width - 1, 14)
     bw.write(height - 1, 14)
     bw.write(1 if (px[:, 3] != 255).any() else 0, 1)
     bw.write(0, 3)  # version
-    bw.write(0, 1)  # no transforms
+    if subtract_green:
+        g = px[:, 1].astype(np.int64)
+        px[:, 0] = ((px[:, 0].astype(np.int64) - g) & 0xFF).astype(np.uint8)
+        px[:, 2] = ((px[:, 2].astype(np.int64) - g) & 0xFF).astype(np.uint8)
+        bw.write(1, 1)  # one transform follows
+        bw.write(2, 2)  # TRANSFORM_SUBTRACT_GREEN
+    bw.write(0, 1)  # end of transform list
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix
     chans = {

@@ -999,3 +999,46 @@ def test_webp_vp8l_codec_roundtrip_and_gates():
     bad[20] = 0x00  # break the 0x2F signature
     with pytest.raises(ValueError, match="signature"):
         decode_webp_lossless(bytes(bad))
+
+
+def test_webp_subtract_green_transform():
+    """The subtract-green transform round-trips bit-exact (wire differs,
+    pixels identical) and an unsupported transform type raises the
+    quarantine ValueError."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, (9 * 7, 4), dtype=np.uint8)
+    plain = encode_webp_lossless(9, 7, px.tobytes())
+    sg = encode_webp_lossless(9, 7, px.tobytes(), subtract_green=True)
+    assert plain != sg  # genuinely different wire
+    assert decode_webp_lossless(sg) == decode_webp_lossless(plain) == (
+        9, 7, px.tobytes()
+    )
+    # flip the transform type bits (2 -> 0 = predictor) in the header:
+    # transform flag is bit 29+3+... easier: craft via encoder internals
+    from etl_loading_scripts_spark.llm.webp import _BitReaderLSB
+
+    body = bytearray(sg[20:])
+    # bits: sig byte, then 14+14+1+3 = 32 bits, then transform flag at
+    # bit 32, type at bits 33-34 (value 2 = 0b10 LSB-first: bit33=0,
+    # bit34=1); flipping bit34 off makes type 0 (predictor)
+    br = _BitReaderLSB(bytes(body), 1)
+    br.read(32)
+    assert br.read(1) == 1  # transform present
+    byte_i, bit_i = br.pos, br.bit
+    # type bits follow; make them 0b00 = predictor
+    for _ in range(2):
+        body[byte_i] &= ~(1 << bit_i) & 0xFF
+        bit_i += 1
+        if bit_i == 8:
+            bit_i = 0
+            byte_i += 1
+    tampered = sg[:20] + bytes(body)
+    with pytest.raises(ValueError, match="predictor/color/palette"):
+        decode_webp_lossless(tampered)
