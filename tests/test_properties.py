@@ -204,3 +204,36 @@ def test_progressive_jpeg_transport_equals_baseline(w, h, seed):
     assert decode_jpeg(
         encode_jpeg_rgb_progressive(w, h, img.tobytes())
     ) == decode_jpeg(encode_jpeg_rgb(w, h, img.tobytes()))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    payloads=st.lists(st.binary(min_size=0, max_size=300), min_size=1, max_size=8),
+    gz=st.booleans(),
+)
+def test_warc_framing_roundtrips_arbitrary_payloads(tmp_path_factory, payloads, gz):
+    """WARC framing is payload-agnostic: ANY byte payloads (including
+    ones containing CRLF CRLF and fake 'WARC/1.0' lines — the framing
+    must trust Content-Length, never scan for delimiters) round-trip
+    through write → (gzip-member) → parse."""
+    import gzip as _gzip
+
+    from etl_loading_scripts_spark.sources.warc import (
+        build_warc_record,
+        iter_warc_records,
+        write_warc,
+    )
+
+    recs = [
+        build_warc_record("response", f"http://x/{i}", "2026-01-01T00:00:00Z",
+                          "application/octet-stream", p)
+        for i, p in enumerate(payloads)
+    ]
+    d = tmp_path_factory.mktemp("warcprop")
+    path = str(d / ("a.warc.gz" if gz else "a.warc"))
+    write_warc(path, recs, gzip_members=gz)
+    raw = open(path, "rb").read()
+    if gz:
+        raw = _gzip.decompress(raw)
+    got = list(iter_warc_records(raw))
+    assert [r["payload"] for r in got] == payloads

@@ -256,3 +256,61 @@ def test_rocksdb_state_store_matches_default_provider(spark, sf_dir):
         else:
             spark.conf.set(key, prior)
     assert rocks == baseline
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Genuine watermark semantics, not liveness: after the watermark
+    passes a window's end (batch 1), append mode finalizes it; events
+    for that window arriving in batch 2 are LATE and must be dropped —
+    the finalized count never changes. This is the at-scale contract
+    that bounds streaming state (state for closed windows is freed)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    land = str(tmp_path / "wm_landing")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+    # batch 1: 40 events in hour 0, 60 in hour 1 → watermark advances to
+    # (t0 + 1:59) - 10min, finalizing the hour-0 window
+    batch1 = [(i, t0 + dt.timedelta(minutes=int(i * 1.4)), 1.0) for i in range(40)]
+    batch1 += [(100 + i, t0 + dt.timedelta(minutes=60 + i % 59), 1.0) for i in range(60)]
+    mk(batch1).write.mode("overwrite").parquet(land)
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(land)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = "wm_sink"
+    q = (
+        agg.writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = {
+            r["w"]["start"].hour: r["n"]
+            for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        }
+        assert emitted == {0: 40}  # hour-0 finalized with exactly batch-1 rows
+
+        # batch 2: 10 LATE events for hour 0 (behind the watermark) plus
+        # 5 events in hour 2 that advance the watermark past hour 1
+        batch2 = [(200 + i, t0 + dt.timedelta(minutes=30), 1.0) for i in range(10)]
+        batch2 += [(300 + i, t0 + dt.timedelta(minutes=130 + i), 1.0) for i in range(5)]
+        mk(batch2).write.mode("append").parquet(land)
+        q.processAllAvailable()
+        emitted = {
+            r["w"]["start"].hour: r["n"]
+            for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        }
+        # hour-0 stays 40 (late rows dropped, never re-emitted);
+        # hour-1 finalizes with its 60 on-time rows
+        assert emitted == {0: 40, 1: 60}
+    finally:
+        q.stop()
