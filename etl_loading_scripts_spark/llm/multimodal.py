@@ -1784,10 +1784,17 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 px = ((d * 11 + (q // 4) * 5 + (q % 4) * 29) % 251).astype(
                     np.uint8
                 )
-                kind = "normal"
-            payload = encode_webp_lossless(
-                w, h, px.tobytes(), subtract_green=(d % 3 == 0)
-            )
+                kind = "palette" if d % 4 == 1 else "normal"
+            if kind == "palette":
+                from etl_loading_scripts_spark.llm.webp import (
+                    encode_webp_palette,
+                )
+
+                payload = encode_webp_palette(w, h, px.tobytes())
+            else:
+                payload = encode_webp_lossless(
+                    w, h, px.tobytes(), subtract_green=(d % 3 == 0)
+                )
             dw, dh, rgba = decode_webp_lossless(payload)
             arr = np.frombuffer(rgba, dtype=np.uint8).astype(np.int64)
             out["doc_id"].append(d)
@@ -1815,8 +1822,9 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT doc_id,
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
-           CASE WHEN doc_id % 2 = 0 THEN 'simple' ELSE 'normal' END
-               AS code_kind,
+           CASE WHEN doc_id % 2 = 0 THEN 'simple'
+                WHEN doc_id % 4 = 1 THEN 'palette'
+                ELSE 'normal' END AS code_kind,
            CAST(list_sum(list_transform(range(0, w * h * 4),
                 q -> {_WEBP_PX_DUCK})) AS BIGINT) AS sum_px,
            CAST(list_sum(list_transform(range(0, w * h * 4),
@@ -1831,8 +1839,9 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "prefix codes (many-color docs: spec code-length-code order + "
     "repeat symbols) through the G→R→B→A per-pixel sequence; stats "
     "from DECODED RGBA against the arithmetic oracle; every 3rd doc "
-    "rides the subtract-green transform (inverse applied on decode — "
-    "output pixels identical, wire different). Other transforms, "
+    "rides the subtract-green transform and doc%4==1 the PALETTE "
+    "transform (delta-coded sub-image + index mapping) — output pixels "
+    "identical, wire different. Predictor/cross-color transforms, "
     "color cache, and backreferences remain the honest quarantine "
     "lines.",
 )

@@ -17,12 +17,15 @@ code order. This module implements the literal-coded subset:
   the 5-code group (green's alphabet is 256+24 to carry backref length
   symbols).
 
-Plus the SUBTRACT-GREEN transform (the decorrelation real encoders
-almost always enable — red/blue stored minus green mod 256, inverse on
-decode). Honest subset lines (→ quarantine): the predictor / color /
-palette transforms, color cache, meta prefix images, and LZ77
-backreferences raise ``ValueError``. Lossy WebP (VP8) stays in the
-quarantine bucket.
+Plus two transforms: SUBTRACT-GREEN (the decorrelation real encoders
+almost always enable — red/blue stored minus green mod 256) and
+COLOR-INDEXING (the icon/logo palette class: delta-coded entries ride
+their own entropy-coded sub-image, and palettes of ≤16 colors BUNDLE
+several indices per coded pixel, narrowing the coded image — spec
+§4.4, all three bundling tiers implemented). Honest subset lines
+(→ quarantine): the predictor and cross-color transforms, color
+cache, meta prefix images, and LZ77 backreferences raise
+``ValueError``. Lossy WebP (VP8) stays in the quarantine bucket.
 
 Reference behavior modeled: none (SURVEY §2.10); training-data-pipeline
 extension surface. Spec: "WebP Lossless Bitstream Specification"
@@ -201,9 +204,11 @@ def _read_prefix_code(br: _BitReaderLSB, alphabet: int) -> _Prefix:
 
 
 def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a literal-coded VP8L WebP → (width, height, RGBA bytes).
-    Raises ``ValueError`` on non-WebP magic or the documented subset
-    lines (transforms, color cache, meta prefix, backreferences)."""
+    """Decode a literal-coded VP8L WebP (plain, subtract-green, or
+    palette-transformed incl. pixel bundling) → (width, height, RGBA
+    bytes). Raises ``ValueError`` on non-WebP magic or the documented
+    subset lines (predictor/cross-color transforms, color cache, meta
+    prefix, backreferences)."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     if payload[12:16] != b"VP8L":
@@ -218,21 +223,65 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")
-    subtract_green = False
+    transforms: list[tuple[int, np.ndarray | None]] = []
     while br.read(1):  # transform list
         ttype = br.read(2)
         if ttype == 2:  # subtract-green: no payload, invertible add
-            if subtract_green:
-                raise ValueError("corrupt VP8L: duplicate transform")
-            subtract_green = True
+            transforms.append((2, None))
+        elif ttype == 3:  # color indexing (palette)
+            size = br.read(8) + 1
+            # the palette rides as its own entropy-coded image of
+            # (size × 1), entries DELTA-coded against the previous one
+            deltas = _read_entropy_image(br, size, 1)
+            palette = np.cumsum(deltas.astype(np.int64), axis=0) & 0xFF
+            transforms.append((3, palette.astype(np.uint8)))
         else:
             raise ValueError(
-                "VP8L predictor/color/palette transforms not supported "
-                "(quarantine)"
+                "VP8L predictor/color transforms not supported (quarantine)"
             )
+    # pixel bundling: small palettes pack several indices per green byte
+    # and the coded image narrows accordingly (spec §4.4)
+    coded_w = width
+    xbits = 0
+    for ttype, payload in transforms:
+        if ttype == 3:
+            size = payload.shape[0]
+            xbits = 3 if size <= 2 else 2 if size <= 4 else 1 if size <= 16 else 0
+            coded_w = (width + (1 << xbits) - 1) >> xbits
+    out = _read_entropy_image(br, coded_w, height, main=True)
+    for ttype, payload in reversed(transforms):
+        if ttype == 2:
+            g = out[:, 1].astype(np.int64)
+            out[:, 0] = ((out[:, 0].astype(np.int64) + g) & 0xFF).astype(np.uint8)
+            out[:, 2] = ((out[:, 2].astype(np.int64) + g) & 0xFF).astype(np.uint8)
+        else:  # palette: unbundle indices, then map through entries
+            size = payload.shape[0]
+            idx = np.zeros(width * height, dtype=np.int64)
+            bpp = 8 >> xbits if xbits else 8
+            per = 1 << xbits
+            greens = out[:, 1].reshape(height, coded_w)
+            for y in range(height):
+                for cx in range(coded_w):
+                    g = int(greens[y, cx])
+                    for s in range(per):
+                        x = cx * per + s
+                        if x < width:
+                            idx[y * width + x] = (g >> (s * bpp)) & ((1 << bpp) - 1)
+            if int(idx.max(initial=0)) >= size:
+                raise ValueError("corrupt VP8L: palette index out of range")
+            out = payload[idx]
+    return width, height, out.tobytes()
+
+
+def _read_entropy_image(
+    br: _BitReaderLSB, width: int, height: int, main: bool = False
+) -> "np.ndarray":
+    """One entropy-coded VP8L image → (width*height, 4) RGBA array
+    (channel layout R,G,B,A). The main image additionally carries the
+    meta-prefix bit; both carry the color-cache bit (unsupported)."""
     if br.read(1):
         raise ValueError("VP8L color cache not supported (quarantine)")
-    if br.read(1):
+    if main and br.read(1):
         raise ValueError("VP8L meta prefix images not supported (quarantine)")
     green = _read_prefix_code(br, _GREEN_ALPHA)
     red = _read_prefix_code(br, 256)
@@ -251,12 +300,7 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
         out[i, 0] = red.decode(br)
         out[i, 2] = blue.decode(br)
         out[i, 3] = alpha.decode(br)
-    if subtract_green:
-        # inverse: red/blue had green subtracted mod 256 at encode time
-        g = out[:, 1].astype(np.int64)
-        out[:, 0] = ((out[:, 0].astype(np.int64) + g) & 0xFF).astype(np.uint8)
-        out[:, 2] = ((out[:, 2].astype(np.int64) + g) & 0xFF).astype(np.uint8)
-    return width, height, out.tobytes()
+    return out
 
 
 def _write_prefix_code(bw: _BitWriterLSB, freqs: dict[int, int], alphabet: int):
@@ -306,6 +350,90 @@ def _rev(code: int, ln: int) -> int:
     return out
 
 
+def _write_entropy_pixels(bw: _BitWriterLSB, px: "np.ndarray") -> None:
+    """Emit one entropy-coded image body (prefix group + literals) for
+    an (n, 4) RGBA array — shared by the main image and the palette
+    sub-image. Caller writes the cache/meta bits first."""
+    chans = {"g": px[:, 1], "r": px[:, 0], "b": px[:, 2], "a": px[:, 3]}
+    freqs = {
+        k: {int(v): int(c) for v, c in zip(*np.unique(arr, return_counts=True))}
+        for k, arr in chans.items()
+    }
+    codes = {}
+    codes["g"] = _write_prefix_code(bw, freqs["g"], _GREEN_ALPHA)
+    codes["r"] = _write_prefix_code(bw, freqs["r"], 256)
+    codes["b"] = _write_prefix_code(bw, freqs["b"], 256)
+    codes["a"] = _write_prefix_code(bw, freqs["a"], 256)
+    _write_prefix_code(bw, {0: 1}, 40)  # distance code: unused single
+    for i in range(px.shape[0]):
+        for k, col in (("g", 1), ("r", 0), ("b", 2), ("a", 3)):
+            c, ln = codes[k][int(px[i, col])]
+            if ln:
+                bw.write(_rev(c, ln), ln)
+
+
+def encode_webp_palette(width: int, height: int, rgba: bytes) -> bytes:
+    """Encode RGBA pixels as a PALETTE-transformed VP8L WebP (the
+    icon/logo class): unique colors become a delta-coded entropy-coded
+    sub-image, pixels become indices in the green channel, and palettes
+    of ≤16 colors bundle several indices per coded pixel (the spec's
+    pixel-bundling width reduction)."""
+    if len(rgba) != width * height * 4:
+        raise ValueError("rgba length must be width*height*4")
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)
+    colors, idx = np.unique(px, axis=0, return_inverse=True)
+    size = colors.shape[0]
+    if size > 256:
+        raise ValueError("palette encoding needs <= 256 distinct colors")
+    bw = _BitWriterLSB()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if (px[:, 3] != 255).any() else 0, 1)
+    bw.write(0, 3)  # version
+    bw.write(1, 1)  # one transform
+    bw.write(3, 2)  # COLOR_INDEXING
+    bw.write(size - 1, 8)
+    # transform payload: the palette as a delta-coded entropy sub-image
+    # (cache bit + body; sub-images carry no meta bit)
+    deltas = (
+        np.diff(
+            np.vstack(
+                [np.zeros((1, 4), dtype=np.int64), colors.astype(np.int64)]
+            ),
+            axis=0,
+        )
+        & 0xFF
+    ).astype(np.uint8)
+    bw.write(0, 1)  # palette image: no color cache
+    _write_entropy_pixels(bw, deltas)
+    bw.write(0, 1)  # end of transform list
+    # main image: bundled indices in the green channel
+    xbits = 3 if size <= 2 else 2 if size <= 4 else 1 if size <= 16 else 0
+    per = 1 << xbits
+    bpp = 8 >> xbits if xbits else 8
+    coded_w = (width + per - 1) >> xbits if xbits else width
+    grid = idx.reshape(height, width)
+    packed = np.zeros((height, coded_w), dtype=np.int64)
+    for y in range(height):
+        for cx in range(coded_w):
+            v = 0
+            for s in range(per):
+                x = cx * per + s
+                if x < width:
+                    v |= int(grid[y, x]) << (s * bpp)
+            packed[y, cx] = v
+    main = np.zeros((height * coded_w, 4), dtype=np.uint8)
+    main[:, 1] = packed.reshape(-1)
+    bw.write(0, 1)  # main: no color cache
+    bw.write(0, 1)  # main: no meta prefix
+    _write_entropy_pixels(bw, main)
+    body = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def encode_webp_lossless(
     width: int, height: int, rgba: bytes, subtract_green: bool = False
 ) -> bytes:
@@ -333,24 +461,7 @@ def encode_webp_lossless(
     bw.write(0, 1)  # end of transform list
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix
-    chans = {
-        "g": px[:, 1], "r": px[:, 0], "b": px[:, 2], "a": px[:, 3],
-    }
-    freqs = {
-        k: {int(v): int(c) for v, c in zip(*np.unique(arr, return_counts=True))}
-        for k, arr in chans.items()
-    }
-    codes = {}
-    codes["g"] = _write_prefix_code(bw, freqs["g"], _GREEN_ALPHA)
-    codes["r"] = _write_prefix_code(bw, freqs["r"], 256)
-    codes["b"] = _write_prefix_code(bw, freqs["b"], 256)
-    codes["a"] = _write_prefix_code(bw, freqs["a"], 256)
-    _write_prefix_code(bw, {0: 1}, 40)  # distance code: unused single
-    for i in range(px.shape[0]):
-        for k, col in (("g", 1), ("r", 0), ("b", 2), ("a", 3)):
-            c, ln = codes[k][int(px[i, col])]
-            if ln:
-                bw.write(_rev(c, ln), ln)
+    _write_entropy_pixels(bw, px)
     body = b"\x2f" + bw.flush()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) % 2:

@@ -1040,5 +1040,35 @@ def test_webp_subtract_green_transform():
             bit_i = 0
             byte_i += 1
     tampered = sg[:20] + bytes(body)
-    with pytest.raises(ValueError, match="predictor/color/palette"):
+    with pytest.raises(ValueError, match="predictor/color"):
         decode_webp_lossless(tampered)
+
+
+def test_webp_palette_transform_all_bundling_tiers():
+    """The color-indexing transform round-trips bit-exact across every
+    pixel-bundling tier (2/4/16-color bundled, >16 unbundled), including
+    non-multiple-of-bundle row widths; out-of-range planted indices in
+    a tampered palette image raise the quarantine ValueError."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_palette,
+    )
+
+    rng = np.random.default_rng(31)
+    for ncolors, (w, h) in [(2, (11, 5)), (3, (9, 4)), (16, (10, 7)), (40, (13, 6))]:
+        colors = np.unique(
+            rng.integers(0, 256, (ncolors * 2, 4), dtype=np.uint8), axis=0
+        )[:ncolors]
+        px = colors[rng.integers(0, colors.shape[0], w * h)]
+        pay = encode_webp_palette(w, h, px.tobytes())
+        assert decode_webp_lossless(pay) == (w, h, px.tobytes())
+    with pytest.raises(ValueError, match="<= 256"):
+        big = rng.integers(0, 256, (300 * 4,), dtype=np.uint8)
+        # 300 distinct colors by construction
+        uniq = np.arange(300, dtype=np.uint16)
+        arr = np.zeros((300, 4), dtype=np.uint8)
+        arr[:, 0] = uniq & 0xFF
+        arr[:, 1] = uniq >> 8
+        encode_webp_palette(300, 1, arr.tobytes())
