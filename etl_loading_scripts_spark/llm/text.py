@@ -1575,3 +1575,55 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chars.alias("n_symbols_chars"),
         (n_chars.cast("double") / n_tokens).alias("chars_per_token"),
     )
+
+
+@register(
+    "sentence_segmentation_stats",
+    oracle=r"""
+    WITH sent AS (
+        SELECT doc_id,
+               list_filter(list_transform(
+                   string_split_regex(text, '[.!?]+'), s -> trim(s)),
+                   s -> s <> '') AS sents
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           CAST(list_sum(list_transform(sents,
+                s -> len(string_split_regex(s, '\s+')))) AS BIGINT)
+               AS n_words,
+           CAST(list_max(list_transform(sents, s -> length(s))) AS BIGINT)
+               AS max_sentence_chars
+    FROM sent
+    WHERE len(sents) > 0
+    """,
+    doc="Rule-based sentence segmentation ([.!?]+ boundaries — the "
+    "engine-portable tier; an ML segmenter swaps in at the same "
+    "projection): per-doc sentence count, word total over segmented "
+    "sentences, and longest-sentence length — the run-on/fragment "
+    "quality signals length-based filters miss.",
+)
+def sentence_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: pure map-side JVM expressions (split/filter/transform/
+    aggregate) — no shuffle, no Python; the per-doc arrays never exceed
+    the document's own size."""
+    docs = load_table(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split("text", r"[.!?]+"), lambda s: F.trim(s)),
+        lambda s: s != F.lit(""),
+    )
+    base = docs.select("doc_id", sents.alias("sents")).filter(
+        F.size("sents") > 0
+    )
+    return base.select(
+        "doc_id",
+        F.size("sents").cast("long").alias("n_sentences"),
+        F.aggregate(
+            F.transform(F.col("sents"), lambda s: F.size(F.split(s, r"\s+"))),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("long").alias("n_words"),
+        F.array_max(
+            F.transform(F.col("sents"), lambda s: F.length(s))
+        ).cast("long").alias("max_sentence_chars"),
+    )
