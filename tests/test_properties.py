@@ -237,3 +237,33 @@ def test_warc_framing_roundtrips_arbitrary_payloads(tmp_path_factory, payloads, 
         raw = _gzip.decompress(raw)
     got = list(iter_warc_records(raw))
     assert [r["payload"] for r in got] == payloads
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=16),
+    ncolors=st.integers(min_value=1, max_value=30),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_vp8l_roundtrips_arbitrary_images(w, h, ncolors, seed):
+    """VP8L: ANY image round-trips bit-exact through the literal path,
+    the subtract-green transform, and (when the color count allows) the
+    palette transform with whatever bundling tier applies."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+        encode_webp_palette,
+    )
+
+    rng = np.random.RandomState(seed)
+    colors = rng.randint(0, 256, (ncolors, 4)).astype(np.uint8)
+    px = colors[rng.randint(0, ncolors, w * h)]
+    raw = px.tobytes()
+    assert decode_webp_lossless(encode_webp_lossless(w, h, raw)) == (w, h, raw)
+    assert decode_webp_lossless(
+        encode_webp_lossless(w, h, raw, subtract_green=True)
+    ) == (w, h, raw)
+    assert decode_webp_lossless(encode_webp_palette(w, h, raw)) == (w, h, raw)
