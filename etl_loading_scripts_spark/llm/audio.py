@@ -163,6 +163,51 @@ def ima_adpcm_encode_block(samples: np.ndarray, index: int = 0) -> bytes:
     return bytes(out)
 
 
+def ima_adpcm_encode_stereo_block(
+    left: np.ndarray, right: np.ndarray, index_l: int = 0, index_r: int = 0
+) -> bytes:
+    """Encode one STEREO block (WAV fmt 0x11 layout): a 4-byte header
+    per channel, then nibble data interleaved in 4-byte (8-nibble)
+    words — left word, right word, left word, … (the channel-word
+    interleave real stereo ADPCM WAVs use). Both channels must carry
+    the same sample count, with samples-after-header a multiple of 8."""
+    if left.size != right.size or left.size < 1:
+        raise ValueError("stereo block needs equal non-empty channels")
+    if (left.size - 1) % 8:
+        raise ValueError("stereo block needs (n-1) divisible by 8")
+    mono = {
+        "l": ima_adpcm_encode_block(left, index_l),
+        "r": ima_adpcm_encode_block(right, index_r),
+    }
+    out = bytearray(mono["l"][:4] + mono["r"][:4])
+    ldata, rdata = mono["l"][4:], mono["r"][4:]
+    for off in range(0, len(ldata), 4):
+        out += ldata[off : off + 4]
+        out += rdata[off : off + 4]
+    return bytes(out)
+
+
+def ima_adpcm_decode_stereo_block(
+    block: bytes, n_frames: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one stereo block → (left, right) int16 arrays of
+    ``n_frames`` samples each, de-interleaving the 4-byte channel
+    words."""
+    if len(block) < 8:
+        raise ValueError("corrupt ADPCM: stereo block shorter than headers")
+    data = block[8:]
+    if len(data) % 8:
+        raise ValueError("corrupt ADPCM: stereo data not word-aligned")
+    ldata = bytearray()
+    rdata = bytearray()
+    for off in range(0, len(data), 8):
+        ldata += data[off : off + 4]
+        rdata += data[off + 4 : off + 8]
+    left = ima_adpcm_decode_block(block[0:4] + bytes(ldata), n_frames)
+    right = ima_adpcm_decode_block(block[4:8] + bytes(rdata), n_frames)
+    return left, right
+
+
 def ima_adpcm_decode_block(block: bytes, n_samples: int) -> np.ndarray:
     """Decode one mono block → int16 samples (header sample included)."""
     if len(block) < 4:

@@ -1072,3 +1072,35 @@ def test_webp_palette_transform_all_bundling_tiers():
         arr[:, 0] = uniq & 0xFF
         arr[:, 1] = uniq >> 8
         encode_webp_palette(300, 1, arr.tobytes())
+
+
+def test_ima_adpcm_stereo_interleave():
+    """Stereo IMA ADPCM (WAV fmt 0x11 layout): per-channel 4-byte
+    headers then 4-byte channel-word interleave; constant channels are
+    bit-exact, smooth channels bounded, headers carry first samples
+    verbatim, and malformed blocks raise ValueError."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.audio import (
+        ima_adpcm_decode_stereo_block,
+        ima_adpcm_encode_stereo_block,
+    )
+
+    t = np.arange(505)
+    left = (2500 * np.sin(t / 15)).astype(np.int16)
+    right = (1800 * np.cos(t / 22)).astype(np.int16)
+    blk = ima_adpcm_encode_stereo_block(left, right)
+    dl, dr = ima_adpcm_decode_stereo_block(blk, 505)
+    assert int(dl[0]) == int(left[0]) and int(dr[0]) == int(right[0])
+    assert np.abs(dl.astype(np.int64) - left.astype(np.int64)).max() <= 2048
+    assert np.abs(dr.astype(np.int64) - right.astype(np.int64)).max() <= 2048
+    cl = np.full(41, 7, dtype=np.int16)
+    cr = np.full(41, -9, dtype=np.int16)
+    got = ima_adpcm_decode_stereo_block(
+        ima_adpcm_encode_stereo_block(cl, cr), 41
+    )
+    assert np.array_equal(got[0], cl) and np.array_equal(got[1], cr)
+    with pytest.raises(ValueError, match="shorter than headers"):
+        ima_adpcm_decode_stereo_block(b"\x00" * 6, 4)
+    with pytest.raises(ValueError, match="divisible by 8"):
+        ima_adpcm_encode_stereo_block(cl[:4], cr[:4])
