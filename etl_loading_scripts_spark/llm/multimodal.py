@@ -1744,7 +1744,9 @@ _WEBP_SCHEMA = (
 #: images for even docs (simple 2-symbol codes on every channel),
 #: many-color for odd docs (normal canonical codes).
 _WEBP_PX_DUCK = (
-    "(CASE WHEN doc_id % 2 = 0 "
+    "(CASE WHEN doc_id % 8 = 2 "
+    " THEN (doc_id * 17 + ((q // 4) // 8) * 13 + (q % 4) * 7) % 251 "
+    " WHEN doc_id % 2 = 0 "
     " THEN (CASE WHEN ((q // 4) + doc_id) % 2 = 0 THEN 40 ELSE 200 END)"
     "      + (q % 4) * 3 "
     " ELSE (doc_id * 11 + (q // 4) * 5 + (q % 4) * 29) % 251 END)"
@@ -1775,7 +1777,13 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             w, h = 4 + d % 9, 3 + d % 5
             n = w * h * 4
             q = np.arange(n, dtype=np.int64)
-            if d % 2 == 0:
+            if d % 8 == 2:
+                # 8-pixel runs: the LZ77 backreference (RLE) class
+                px = (
+                    (d * 17 + ((q // 4) // 8) * 13 + (q % 4) * 7) % 251
+                ).astype(np.uint8)
+                kind = "rle"
+            elif d % 2 == 0:
                 px = (
                     np.where(((q // 4) + d) % 2 == 0, 40, 200) + (q % 4) * 3
                 ).astype(np.uint8)
@@ -1791,6 +1799,12 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
 
                 payload = encode_webp_palette(w, h, px.tobytes())
+            elif kind == "rle":
+                from etl_loading_scripts_spark.llm.webp import (
+                    encode_webp_rle,
+                )
+
+                payload = encode_webp_rle(w, h, px.tobytes())
             else:
                 payload = encode_webp_lossless(
                     w, h, px.tobytes(), subtract_green=(d % 3 == 0)
@@ -1822,7 +1836,8 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT doc_id,
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
-           CASE WHEN doc_id % 2 = 0 THEN 'simple'
+           CASE WHEN doc_id % 8 = 2 THEN 'rle'
+                WHEN doc_id % 2 = 0 THEN 'simple'
                 WHEN doc_id % 4 = 1 THEN 'palette'
                 ELSE 'normal' END AS code_kind,
            CAST(list_sum(list_transform(range(0, w * h * 4),
@@ -1840,7 +1855,9 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "repeat symbols) through the G→R→B→A per-pixel sequence; stats "
     "from DECODED RGBA against the arithmetic oracle; every 3rd doc "
     "rides the subtract-green transform and doc%4==1 the PALETTE "
-    "transform (delta-coded sub-image + index mapping) — output pixels "
+    "transform (delta-coded sub-image + index mapping) and doc%8==2 "
+    "LZ77 RUN-LENGTH backreferences (prefix-valued lengths, plain "
+    "distance codes) — output pixels "
     "identical, wire different. Predictor/cross-color transforms, "
     "color cache, and backreferences remain the honest quarantine "
     "lines.",

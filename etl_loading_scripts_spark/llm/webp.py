@@ -22,9 +22,12 @@ almost always enable — red/blue stored minus green mod 256) and
 COLOR-INDEXING (the icon/logo palette class: delta-coded entries ride
 their own entropy-coded sub-image, and palettes of ≤16 colors BUNDLE
 several indices per coded pixel, narrowing the coded image — spec
-§4.4, all three bundling tiers implemented). Honest subset lines
-(→ quarantine): the predictor and cross-color transforms, color
-cache, meta prefix images, and LZ77 backreferences raise
+§4.4, all three bundling tiers implemented). And LZ77
+BACKREFERENCES with plain distance codes (prefix-valued lengths,
+overlapping distance-1 copies — the RLE layer; ``encode_webp_rle``
+emits them for pixel runs). Honest subset lines (→ quarantine): the
+predictor and cross-color transforms, the 120-entry neighbor-map
+distance codes, color cache, and meta prefix images raise
 ``ValueError``. Lossy WebP (VP8) stays in the quarantine bucket.
 
 Reference behavior modeled: none (SURVEY §2.10); training-data-pipeline
@@ -273,12 +276,36 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, out.tobytes()
 
 
+def _prefix_value_decode(br: _BitReaderLSB, code: int) -> int:
+    """The VP8L length/distance prefix-value scheme: codes 0-3 are the
+    values 1-4; higher codes carry (code-2)>>1 extra bits (spec §4.2.2)."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _prefix_value_encode(value: int) -> tuple[int, int, int]:
+    """value → (code, extra_bits_value, n_extra_bits)."""
+    if value <= 4:
+        return value - 1, 0, 0
+    v = value - 1
+    extra = v.bit_length() - 2
+    code = 2 * extra + ((v >> extra) & 1) + 2
+    return code, v & ((1 << extra) - 1), extra
+
+
 def _read_entropy_image(
     br: _BitReaderLSB, width: int, height: int, main: bool = False
 ) -> "np.ndarray":
     """One entropy-coded VP8L image → (width*height, 4) RGBA array
-    (channel layout R,G,B,A). The main image additionally carries the
-    meta-prefix bit; both carry the color-cache bit (unsupported)."""
+    (channel layout R,G,B,A), including LZ77 BACKREFERENCES (green
+    symbols 256-279: prefix-valued length, then a plain distance code —
+    pixel-unit copies that may overlap, the RLE case; neighbor-map
+    distance codes 1-120 quarantine). The main image additionally
+    carries the meta-prefix bit; both carry the color-cache bit
+    (unsupported — quarantine)."""
     if br.read(1):
         raise ValueError("VP8L color cache not supported (quarantine)")
     if main and br.read(1):
@@ -287,19 +314,36 @@ def _read_entropy_image(
     red = _read_prefix_code(br, 256)
     blue = _read_prefix_code(br, 256)
     alpha = _read_prefix_code(br, 256)
-    _dist = _read_prefix_code(br, 40)
+    dist = _read_prefix_code(br, 40)
     n = width * height
     out = np.zeros((n, 4), dtype=np.uint8)
-    for i in range(n):
+    i = 0
+    while i < n:
         g = green.decode(br)
-        if g >= 256:
+        if g < 256:
+            out[i, 1] = g
+            out[i, 0] = red.decode(br)
+            out[i, 2] = blue.decode(br)
+            out[i, 3] = alpha.decode(br)
+            i += 1
+            continue
+        # backreference: length from the green symbol, then distance
+        length = _prefix_value_decode(br, g - 256)
+        dist_code = _prefix_value_decode(br, dist.decode(br))
+        if dist_code > 120:
+            distance = dist_code - 120
+        else:
+            # codes 1-120 map through the spec's 2D neighbor table; the
+            # planted corpus uses plain distances, so the table stays an
+            # honest quarantine line rather than a reconstructed guess
             raise ValueError(
-                "VP8L backreferences/cache not supported (quarantine)"
+                "VP8L neighbor-map distance codes not supported (quarantine)"
             )
-        out[i, 1] = g
-        out[i, 0] = red.decode(br)
-        out[i, 2] = blue.decode(br)
-        out[i, 3] = alpha.decode(br)
+        if distance > i or i + length > n:
+            raise ValueError("corrupt VP8L: backreference out of range")
+        for k in range(length):  # may overlap (RLE) — copy sequentially
+            out[i + k] = out[i + k - distance]
+        i += length
     return out
 
 
@@ -308,6 +352,16 @@ def _write_prefix_code(bw: _BitWriterLSB, freqs: dict[int, int], alphabet: int):
     full-alphabet length array, no repeats) and return the symbol→
     (code, len) map for the payload phase."""
     syms = sorted(freqs)
+    if syms[-1] > 255 and len(syms) < 3:
+        # the SIMPLE wire form carries 8-bit symbol fields only; backref
+        # length symbols (256+) must ride a NORMAL code — pad to the
+        # 3-symbol minimum our normal writer needs
+        freqs = dict(freqs)
+        for pad in (0, 1):
+            if len(freqs) >= 3:
+                break
+            freqs.setdefault(pad, 0)
+        syms = sorted(freqs)
     if len(syms) == 1:
         bw.write(1, 1)  # simple
         bw.write(0, 1)  # one symbol
@@ -462,6 +516,93 @@ def encode_webp_lossless(
     bw.write(0, 1)  # no color cache
     bw.write(0, 1)  # no meta prefix
     _write_entropy_pixels(bw, px)
+    body = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_rle(width: int, height: int, rgba: bytes) -> bytes:
+    """Encode RGBA pixels as VP8L with RUN-LENGTH backreferences:
+    runs of ≥ 4 identical pixels become LZ77 copies at distance 1
+    (length via the prefix-value scheme on green symbols 256+,
+    plain distance code 121 = distance 1) — the compression layer the
+    literal encoder leaves on the table, and the decode path real
+    encoders exercise constantly."""
+    if len(rgba) != width * height * 4:
+        raise ValueError("rgba length must be width*height*4")
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)
+    n = px.shape[0]
+    # tokenize: ("lit", i) | ("ref", length)
+    tokens: list[tuple[str, int]] = []
+    i = 0
+    while i < n:
+        run = 1
+        while i + run < n and run < 4096 and (px[i + run] == px[i]).all():
+            run += 1
+        tokens.append(("lit", i))
+        if run >= 4:
+            tokens.append(("ref", run - 1))
+            i += run
+        else:
+            i += 1
+    # symbol frequencies (green carries literals AND length codes)
+    freqs = {k: {} for k in ("g", "r", "b", "a", "d")}
+
+    def bump(ch, sym):
+        freqs[ch][sym] = freqs[ch].get(sym, 0) + 1
+
+    dist_sym = _prefix_value_encode(1 + 120)[0]
+    for kind, v in tokens:
+        if kind == "lit":
+            bump("g", int(px[v, 1]))
+            bump("r", int(px[v, 0]))
+            bump("b", int(px[v, 2]))
+            bump("a", int(px[v, 3]))
+        else:
+            bump("g", 256 + _prefix_value_encode(v)[0])
+            bump("d", dist_sym)
+    if not freqs["d"]:
+        return encode_webp_lossless(width, height, rgba)
+    for ch in ("r", "b", "a"):
+        if not freqs[ch]:  # all-run image edge: ensure non-empty codes
+            freqs[ch] = {0: 1}
+    bw = _BitWriterLSB()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if (px[:, 3] != 255).any() else 0, 1)
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+    codes = {}
+    codes["g"] = _write_prefix_code(bw, freqs["g"], _GREEN_ALPHA)
+    codes["r"] = _write_prefix_code(bw, freqs["r"], 256)
+    codes["b"] = _write_prefix_code(bw, freqs["b"], 256)
+    codes["a"] = _write_prefix_code(bw, freqs["a"], 256)
+    codes["d"] = _write_prefix_code(bw, freqs["d"], 40)
+
+    def emit(ch, sym):
+        c, ln = codes[ch][sym]
+        if ln:
+            bw.write(_rev(c, ln), ln)
+
+    for kind, v in tokens:
+        if kind == "lit":
+            emit("g", int(px[v, 1]))
+            emit("r", int(px[v, 0]))
+            emit("b", int(px[v, 2]))
+            emit("a", int(px[v, 3]))
+        else:
+            code, extra_v, extra_n = _prefix_value_encode(v)
+            emit("g", 256 + code)
+            if extra_n:
+                bw.write(extra_v, extra_n)
+            dcode, dextra_v, dextra_n = _prefix_value_encode(121)
+            emit("d", dcode)
+            if dextra_n:
+                bw.write(dextra_v, dextra_n)
     body = b"\x2f" + bw.flush()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) % 2:
