@@ -1744,7 +1744,9 @@ _WEBP_SCHEMA = (
 #: images for even docs (simple 2-symbol codes on every channel),
 #: many-color for odd docs (normal canonical codes).
 _WEBP_PX_DUCK = (
-    "(CASE WHEN doc_id % 8 = 2 "
+    "(CASE WHEN doc_id % 8 = 6 "
+    " THEN (doc_id * 19 + (((q // 4) * 31) % 7) * 37 + (q % 4) * 11) % 251 "
+    " WHEN doc_id % 8 = 2 "
     " THEN (doc_id * 17 + ((q // 4) // 8) * 13 + (q % 4) * 7) % 251 "
     " WHEN doc_id % 2 = 0 "
     " THEN (CASE WHEN ((q // 4) + doc_id) % 2 = 0 THEN 40 ELSE 200 END)"
@@ -1777,7 +1779,13 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             w, h = 4 + d % 9, 3 + d % 5
             n = w * h * 4
             q = np.arange(n, dtype=np.int64)
-            if d % 8 == 2:
+            if d % 8 == 6:
+                # few-color non-run image: the COLOR-CACHE class
+                px = (
+                    (d * 19 + ((q // 4) * 31 % 7) * 37 + (q % 4) * 11) % 251
+                ).astype(np.uint8)
+                kind = "cache"
+            elif d % 8 == 2:
                 # 8-pixel runs: the LZ77 backreference (RLE) class
                 px = (
                     (d * 17 + ((q // 4) // 8) * 13 + (q % 4) * 7) % 251
@@ -1805,6 +1813,12 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
 
                 payload = encode_webp_rle(w, h, px.tobytes())
+            elif kind == "cache":
+                from etl_loading_scripts_spark.llm.webp import (
+                    encode_webp_cached,
+                )
+
+                payload = encode_webp_cached(w, h, px.tobytes())
             else:
                 payload = encode_webp_lossless(
                     w, h, px.tobytes(), subtract_green=(d % 3 == 0)
@@ -1836,7 +1850,8 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT doc_id,
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
-           CASE WHEN doc_id % 8 = 2 THEN 'rle'
+           CASE WHEN doc_id % 8 = 6 THEN 'cache'
+                WHEN doc_id % 8 = 2 THEN 'rle'
                 WHEN doc_id % 2 = 0 THEN 'simple'
                 WHEN doc_id % 4 = 1 THEN 'palette'
                 ELSE 'normal' END AS code_kind,
@@ -1857,7 +1872,8 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "rides the subtract-green transform and doc%4==1 the PALETTE "
     "transform (delta-coded sub-image + index mapping) and doc%8==2 "
     "LZ77 RUN-LENGTH backreferences (prefix-valued lengths, plain "
-    "distance codes) — output pixels "
+    "distance codes) and doc%8==6 the COLOR CACHE (hash-addressed "
+    "recent-pixel symbols above the literal+length range) — output pixels "
     "identical, wire different. Predictor/cross-color transforms, "
     "color cache, and backreferences remain the honest quarantine "
     "lines.",

@@ -25,9 +25,10 @@ several indices per coded pixel, narrowing the coded image — spec
 §4.4, all three bundling tiers implemented). And LZ77
 BACKREFERENCES with plain distance codes (prefix-valued lengths,
 overlapping distance-1 copies — the RLE layer; ``encode_webp_rle``
-emits them for pixel runs). Honest subset lines (→ quarantine): the
-predictor and cross-color transforms, the 120-entry neighbor-map
-distance codes, color cache, and meta prefix images raise
+emits them for pixel runs). And the COLOR CACHE (hash-addressed
+recent-pixel dictionary, ``encode_webp_cached``). Honest subset lines
+(→ quarantine): the predictor and cross-color transforms, the
+120-entry neighbor-map distance codes, and meta prefix images raise
 ``ValueError``. Lossy WebP (VP8) stays in the quarantine bucket.
 
 Reference behavior modeled: none (SURVEY §2.10); training-data-pipeline
@@ -303,20 +304,33 @@ def _read_entropy_image(
     (channel layout R,G,B,A), including LZ77 BACKREFERENCES (green
     symbols 256-279: prefix-valued length, then a plain distance code —
     pixel-unit copies that may overlap, the RLE case; neighbor-map
-    distance codes 1-120 quarantine). The main image additionally
+    distance codes 1-120 quarantine) and the COLOR CACHE (hash-addressed
+    recent-pixel dictionary, spec multiplier 0x1e35a7bd; cache symbols
+    ride above the literal+length range of the green alphabet). The main image additionally
     carries the meta-prefix bit; both carry the color-cache bit
     (unsupported — quarantine)."""
-    if br.read(1):
-        raise ValueError("VP8L color cache not supported (quarantine)")
+    cache_bits = br.read(4) if br.read(1) else 0
     if main and br.read(1):
         raise ValueError("VP8L meta prefix images not supported (quarantine)")
-    green = _read_prefix_code(br, _GREEN_ALPHA)
+    cache = [0] * (1 << cache_bits) if cache_bits else None
+    green = _read_prefix_code(br, _GREEN_ALPHA + (1 << cache_bits if cache_bits else 0))
     red = _read_prefix_code(br, 256)
     blue = _read_prefix_code(br, 256)
     alpha = _read_prefix_code(br, 256)
     dist = _read_prefix_code(br, 40)
     n = width * height
     out = np.zeros((n, 4), dtype=np.uint8)
+
+    def argb(row):
+        return (
+            (int(row[3]) << 24) | (int(row[0]) << 16)
+            | (int(row[1]) << 8) | int(row[2])
+        )
+
+    def cache_insert(row):
+        if cache is not None:
+            cache[(0x1E35A7BD * argb(row) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb(row)
+
     i = 0
     while i < n:
         g = green.decode(br)
@@ -325,6 +339,14 @@ def _read_entropy_image(
             out[i, 0] = red.decode(br)
             out[i, 2] = blue.decode(br)
             out[i, 3] = alpha.decode(br)
+            cache_insert(out[i])
+            i += 1
+            continue
+        if g >= _GREEN_ALPHA:  # color cache hit
+            if cache is None:
+                raise ValueError("corrupt VP8L: cache symbol without cache")
+            v = cache[g - _GREEN_ALPHA]
+            out[i] = ((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF, v >> 24)
             i += 1
             continue
         # backreference: length from the green symbol, then distance
@@ -343,6 +365,7 @@ def _read_entropy_image(
             raise ValueError("corrupt VP8L: backreference out of range")
         for k in range(length):  # may overlap (RLE) — copy sequentially
             out[i + k] = out[i + k - distance]
+            cache_insert(out[i + k])
         i += length
     return out
 
@@ -603,6 +626,83 @@ def encode_webp_rle(width: int, height: int, rgba: bytes) -> bytes:
             emit("d", dcode)
             if dextra_n:
                 bw.write(dextra_v, dextra_n)
+    body = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_cached(
+    width: int, height: int, rgba: bytes, cache_bits: int = 6
+) -> bytes:
+    """Encode RGBA pixels as VP8L with a COLOR CACHE: each pixel whose
+    ARGB value sits at its hash slot ((0x1e35a7bd·argb) >> (32-bits))
+    becomes a single cache symbol instead of four literals — the
+    recent-color dictionary that makes palette-ish photos cheap for
+    real encoders. Literals update the cache exactly as the decoder
+    replays them."""
+    if not 1 <= cache_bits <= 11:
+        raise ValueError("cache_bits must be in 1..11")
+    if len(rgba) != width * height * 4:
+        raise ValueError("rgba length must be width*height*4")
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)
+    n = px.shape[0]
+    size = 1 << cache_bits
+    cache = [0] * size
+    tokens: list[tuple[str, int]] = []  # ("lit", i) | ("cache", idx)
+    for i in range(n):
+        argb = (
+            (int(px[i, 3]) << 24) | (int(px[i, 0]) << 16)
+            | (int(px[i, 1]) << 8) | int(px[i, 2])
+        )
+        idx = (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)
+        if cache[idx] == argb and i > 0:
+            tokens.append(("cache", idx))
+        else:
+            tokens.append(("lit", i))
+            cache[idx] = argb
+    freqs = {k: {} for k in ("g", "r", "b", "a")}
+    for kind, v in tokens:
+        if kind == "lit":
+            for ch, col in (("g", 1), ("r", 0), ("b", 2), ("a", 3)):
+                sym = int(px[v, col]) if ch != "g" else int(px[v, 1])
+                freqs[ch][sym] = freqs[ch].get(sym, 0) + 1
+        else:
+            sym = _GREEN_ALPHA + v
+            freqs["g"][sym] = freqs["g"].get(sym, 0) + 1
+    for ch in ("r", "b", "a"):
+        if not freqs[ch]:
+            freqs[ch] = {0: 1}
+    bw = _BitWriterLSB()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if (px[:, 3] != 255).any() else 0, 1)
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(1, 1)  # color cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta prefix
+    codes = {}
+    codes["g"] = _write_prefix_code(bw, freqs["g"], _GREEN_ALPHA + size)
+    codes["r"] = _write_prefix_code(bw, freqs["r"], 256)
+    codes["b"] = _write_prefix_code(bw, freqs["b"], 256)
+    codes["a"] = _write_prefix_code(bw, freqs["a"], 256)
+    _write_prefix_code(bw, {0: 1}, 40)  # distance code: unused single
+
+    def emit(ch, sym):
+        c, ln = codes[ch][sym]
+        if ln:
+            bw.write(_rev(c, ln), ln)
+
+    for kind, v in tokens:
+        if kind == "lit":
+            emit("g", int(px[v, 1]))
+            emit("r", int(px[v, 0]))
+            emit("b", int(px[v, 2]))
+            emit("a", int(px[v, 3]))
+        else:
+            emit("g", _GREEN_ALPHA + v)
     body = b"\x2f" + bw.flush()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) % 2:

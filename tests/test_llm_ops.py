@@ -1141,3 +1141,35 @@ def test_webp_lz77_backreferences():
     assert decode_webp_lossless(
         encode_webp_rle(w, h, const.tobytes())
     ) == (w, h, const.tobytes())
+
+
+def test_webp_color_cache():
+    """VP8L color cache: few-color images round-trip bit-exact at every
+    cache size, cache-coded payloads beat the literal coding on
+    repetitive colors, and the encoder/decoder replay the same
+    insert-on-literal discipline (a divergence corrupts pixels)."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_cached,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(47)
+    colors = rng.integers(0, 256, (9, 4), dtype=np.uint8)
+    px = colors[rng.integers(0, 9, 30 * 20)]
+    raw = px.tobytes()
+    for bits in (1, 4, 6, 11):
+        assert decode_webp_lossless(
+            encode_webp_cached(30, 20, raw, cache_bits=bits)
+        ) == (30, 20, raw)
+    assert len(encode_webp_cached(30, 20, raw, cache_bits=6)) < len(
+        encode_webp_lossless(30, 20, raw)
+    )
+    noise = rng.integers(0, 256, (30 * 20, 4), dtype=np.uint8)
+    assert decode_webp_lossless(
+        encode_webp_cached(30, 20, noise.tobytes())
+    ) == (30, 20, noise.tobytes())
+    with pytest.raises(ValueError, match="cache_bits"):
+        encode_webp_cached(30, 20, raw, cache_bits=14)
