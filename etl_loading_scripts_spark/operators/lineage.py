@@ -25,7 +25,6 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from etl_loading_scripts_spark.registry import REGISTRY, register
 
