@@ -1744,7 +1744,10 @@ _WEBP_SCHEMA = (
 #: images for even docs (simple 2-symbol codes on every channel),
 #: many-color for odd docs (normal canonical codes).
 _WEBP_PX_DUCK = (
-    "(CASE WHEN doc_id % 8 = 6 "
+    "(CASE WHEN doc_id % 16 = 10 "
+    " THEN (doc_id * 3 + ((q // 4) % w) * 7 + ((q // 4) // w) * 3"
+    "       + (q % 4) * 5) % 251 "
+    " WHEN doc_id % 8 = 6 "
     " THEN (doc_id * 19 + (((q // 4) * 31) % 7) * 37 + (q % 4) * 11) % 251 "
     " WHEN doc_id % 8 = 2 "
     " THEN (doc_id * 17 + ((q // 4) // 8) * 13 + (q % 4) * 7) % 251 "
@@ -1779,7 +1782,14 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             w, h = 4 + d % 9, 3 + d % 5
             n = w * h * 4
             q = np.arange(n, dtype=np.int64)
-            if d % 8 == 6:
+            if d % 16 == 10:
+                # smooth gradient: the PREDICTOR-transform class
+                px = (
+                    (d * 3 + ((q // 4) % w) * 7 + ((q // 4) // w) * 3
+                     + (q % 4) * 5) % 251
+                ).astype(np.uint8)
+                kind = "predictor"
+            elif d % 8 == 6:
                 # few-color non-run image: the COLOR-CACHE class
                 px = (
                     (d * 19 + ((q // 4) * 31 % 7) * 37 + (q % 4) * 11) % 251
@@ -1819,6 +1829,12 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
 
                 payload = encode_webp_cached(w, h, px.tobytes())
+            elif kind == "predictor":
+                from etl_loading_scripts_spark.llm.webp import (
+                    encode_webp_predicted,
+                )
+
+                payload = encode_webp_predicted(w, h, px.tobytes(), size_bits=3)
             else:
                 payload = encode_webp_lossless(
                     w, h, px.tobytes(), subtract_green=(d % 3 == 0)
@@ -1850,7 +1866,8 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT doc_id,
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
-           CASE WHEN doc_id % 8 = 6 THEN 'cache'
+           CASE WHEN doc_id % 16 = 10 THEN 'predictor'
+                WHEN doc_id % 8 = 6 THEN 'cache'
                 WHEN doc_id % 8 = 2 THEN 'rle'
                 WHEN doc_id % 2 = 0 THEN 'simple'
                 WHEN doc_id % 4 = 1 THEN 'palette'
@@ -1873,7 +1890,9 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "transform (delta-coded sub-image + index mapping) and doc%8==2 "
     "LZ77 RUN-LENGTH backreferences (prefix-valued lengths, plain "
     "distance codes) and doc%8==6 the COLOR CACHE (hash-addressed "
-    "recent-pixel symbols above the literal+length range) — output pixels "
+    "recent-pixel symbols above the literal+length range) and doc%16==10 "
+    "the PREDICTOR transform (per-block mode map, 14 spec modes) — "
+    "output pixels "
     "identical, wire different. Predictor/cross-color transforms, "
     "color cache, and backreferences remain the honest quarantine "
     "lines.",

@@ -26,10 +26,17 @@ several indices per coded pixel, narrowing the coded image — spec
 BACKREFERENCES with plain distance codes (prefix-valued lengths,
 overlapping distance-1 copies — the RLE layer; ``encode_webp_rle``
 emits them for pixel runs). And the COLOR CACHE (hash-addressed
-recent-pixel dictionary, ``encode_webp_cached``). Honest subset lines
-(→ quarantine): the predictor and cross-color transforms, the
-120-entry neighbor-map distance codes, and meta prefix images raise
+recent-pixel dictionary, ``encode_webp_cached``). And the PREDICTOR
+transform (all 14 spec modes incl. Select and the ClampAddSubtract
+pair, per-block mode map riding its own entropy-coded sub-image,
+``encode_webp_predicted`` choosing modes by residual mass). Honest
+subset lines (→ quarantine): the cross-color transform, the 120-entry
+neighbor-map distance codes, and meta prefix images raise
 ``ValueError``. Lossy WebP (VP8) stays in the quarantine bucket.
+Interop caveat shared by every codec in this repo: encoder/decoder
+pairs are proven lossless against each other and structurally against
+the public spec; cross-validation against libwebp binaries is not
+possible in this environment.
 
 Reference behavior modeled: none (SURVEY §2.10); training-data-pipeline
 extension surface. Spec: "WebP Lossless Bitstream Specification"
@@ -227,10 +234,18 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
     br.read(1)  # alpha hint
     if br.read(3) != 0:
         raise ValueError("unsupported VP8L version")
-    transforms: list[tuple[int, np.ndarray | None]] = []
+    transforms: list[tuple[int, object]] = []
     while br.read(1):  # transform list
         ttype = br.read(2)
-        if ttype == 2:  # subtract-green: no payload, invertible add
+        if ttype == 0:  # predictor: per-block mode sub-image
+            size_bits = br.read(3) + 2
+            bw_ = (width + (1 << size_bits) - 1) >> size_bits
+            bh_ = (height + (1 << size_bits) - 1) >> size_bits
+            modes = _read_entropy_image(br, bw_, bh_)[:, 1].copy()
+            if int(modes.max(initial=0)) > 13:
+                raise ValueError("corrupt VP8L: predictor mode > 13")
+            transforms.append((0, (size_bits, bw_, modes)))
+        elif ttype == 2:  # subtract-green: no payload, invertible add
             transforms.append((2, None))
         elif ttype == 3:  # color indexing (palette)
             size = br.read(8) + 1
@@ -241,7 +256,7 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
             transforms.append((3, palette.astype(np.uint8)))
         else:
             raise ValueError(
-                "VP8L predictor/color transforms not supported (quarantine)"
+                "VP8L cross-color transform not supported (quarantine)"
             )
     # pixel bundling: small palettes pack several indices per green byte
     # and the coded image narrows accordingly (spec §4.4)
@@ -254,7 +269,10 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
             coded_w = (width + (1 << xbits) - 1) >> xbits
     out = _read_entropy_image(br, coded_w, height, main=True)
     for ttype, payload in reversed(transforms):
-        if ttype == 2:
+        if ttype == 0:  # predictor inverse: residual + prediction mod 256
+            size_bits, bw_, modes = payload
+            out = _predictor_inverse(out, width, height, size_bits, bw_, modes)
+        elif ttype == 2:
             g = out[:, 1].astype(np.int64)
             out[:, 0] = ((out[:, 0].astype(np.int64) + g) & 0xFF).astype(np.uint8)
             out[:, 2] = ((out[:, 2].astype(np.int64) + g) & 0xFF).astype(np.uint8)
@@ -275,6 +293,95 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("corrupt VP8L: palette index out of range")
             out = payload[idx]
     return width, height, out.tobytes()
+
+
+def _avg2(a, b):
+    return tuple((int(x) + int(y)) // 2 for x, y in zip(a, b))
+
+
+def _predict(mode: int, L, T, TL, TR):
+    """The 14 VP8L predictor modes (spec §4.2.1) over RGBA tuples.
+    Select's tie rule and ClampAddSubtractHalf's floor division are the
+    conventions this self-consistent encoder/decoder pair fixes (noted:
+    cross-validation against libwebp is not possible in this
+    environment — the same interop caveat as every codec here)."""
+    if mode == 0:
+        return (0, 0, 0, 255)
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:  # Select: gradient chooses the closer neighbor
+        p = tuple(int(l) + int(t) - int(tl) for l, t, tl in zip(L, T, TL))
+        pl = sum(abs(pc - int(lc)) for pc, lc in zip(p, L))
+        pt = sum(abs(pc - int(tc)) for pc, tc in zip(p, T))
+        return L if pl < pt else T
+    if mode == 12:  # ClampAddSubtractFull
+        return tuple(
+            min(255, max(0, int(l) + int(t) - int(tl)))
+            for l, t, tl in zip(L, T, TL)
+        )
+    # 13: ClampAddSubtractHalf
+    a = _avg2(L, T)
+    return tuple(
+        min(255, max(0, int(ac) + (int(ac) - int(tlc)) // 2))
+        for ac, tlc in zip(a, TL)
+    )
+
+
+def _predictor_neighbors(px, width, x, y):
+    """(L, T, TL, TR) for raster position (x, y) with the edge rules:
+    (0,0) has no neighbors (mode is overridden to black there), row 0
+    predicts from L only, column 0 from T only, and TR at the right
+    edge falls back to T."""
+    i = y * width + x
+    L = tuple(px[i - 1]) if x > 0 else None
+    T = tuple(px[i - width]) if y > 0 else None
+    TL = tuple(px[i - width - 1]) if x > 0 and y > 0 else None
+    TR = tuple(px[i - width + 1]) if y > 0 and x < width - 1 else T
+    return L, T, TL, TR
+
+
+def _effective_mode(mode, x, y):
+    if x == 0 and y == 0:
+        return 0
+    if y == 0:
+        return 1  # first row: left only
+    if x == 0:
+        return 2  # first column: top only
+    return mode
+
+
+def _predictor_inverse(res, width, height, size_bits, bw_, modes):
+    out = np.zeros_like(res)
+    for y in range(height):
+        for x in range(width):
+            i = y * width + x
+            mode = _effective_mode(
+                int(modes[(y >> size_bits) * bw_ + (x >> size_bits)]), x, y
+            )
+            L, T, TL, TR = _predictor_neighbors(out, width, x, y)
+            pred = _predict(mode, L, T, TL, TR)
+            out[i] = [
+                (int(res[i, c]) + int(pred[c])) & 0xFF for c in range(4)
+            ]
+    return out
 
 
 def _prefix_value_decode(br: _BitReaderLSB, code: int) -> int:
@@ -703,6 +810,76 @@ def encode_webp_cached(
             emit("a", int(px[v, 3]))
         else:
             emit("g", _GREEN_ALPHA + v)
+    body = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_predicted(
+    width: int, height: int, rgba: bytes, size_bits: int = 4
+) -> bytes:
+    """Encode RGBA pixels as a PREDICTOR-transformed VP8L: per block
+    (2^size_bits square) the mode with the smallest absolute residual
+    mass is chosen from all 14 spec predictors, the mode map rides its
+    own entropy-coded sub-image, and the main image carries residuals
+    mod 256 — the transform real photographic WebPs lead with."""
+    if not 2 <= size_bits <= 9:
+        raise ValueError("size_bits must be in 2..9")
+    if len(rgba) != width * height * 4:
+        raise ValueError("rgba length must be width*height*4")
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)
+    bw_ = (width + (1 << size_bits) - 1) >> size_bits
+    bh_ = (height + (1 << size_bits) - 1) >> size_bits
+    modes = np.zeros(bw_ * bh_, dtype=np.uint8)
+    res = np.zeros_like(px)
+    for by in range(bh_):
+        for bx in range(bw_):
+            x0, y0 = bx << size_bits, by << size_bits
+            x1 = min(x0 + (1 << size_bits), width)
+            y1 = min(y0 + (1 << size_bits), height)
+            best_mode, best_cost = 0, None
+            for mode in range(14):
+                cost = 0
+                for y in range(y0, y1):
+                    for x in range(x0, x1):
+                        i = y * width + x
+                        m = _effective_mode(mode, x, y)
+                        L, T, TL, TR = _predictor_neighbors(px, width, x, y)
+                        pred = _predict(m, L, T, TL, TR)
+                        for c in range(4):
+                            d = (int(px[i, c]) - int(pred[c])) & 0xFF
+                            cost += min(d, 256 - d)
+                if best_cost is None or cost < best_cost:
+                    best_mode, best_cost = mode, cost
+            modes[by * bw_ + bx] = best_mode
+            for y in range(y0, y1):
+                for x in range(x0, x1):
+                    i = y * width + x
+                    m = _effective_mode(best_mode, x, y)
+                    L, T, TL, TR = _predictor_neighbors(px, width, x, y)
+                    pred = _predict(m, L, T, TL, TR)
+                    res[i] = [
+                        (int(px[i, c]) - int(pred[c])) & 0xFF for c in range(4)
+                    ]
+    bw = _BitWriterLSB()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if (px[:, 3] != 255).any() else 0, 1)
+    bw.write(0, 3)  # version
+    bw.write(1, 1)  # one transform
+    bw.write(0, 2)  # PREDICTOR_TRANSFORM
+    bw.write(size_bits - 2, 3)
+    mode_img = np.zeros((bw_ * bh_, 4), dtype=np.uint8)
+    mode_img[:, 1] = modes
+    mode_img[:, 3] = 255
+    bw.write(0, 1)  # mode image: no color cache
+    _write_entropy_pixels(bw, mode_img)
+    bw.write(0, 1)  # end of transform list
+    bw.write(0, 1)  # main: no color cache
+    bw.write(0, 1)  # main: no meta prefix
+    _write_entropy_pixels(bw, res)
     body = b"\x2f" + bw.flush()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) % 2:
