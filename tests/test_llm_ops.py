@@ -1020,27 +1020,25 @@ def test_webp_subtract_green_transform():
     assert decode_webp_lossless(sg) == decode_webp_lossless(plain) == (
         9, 7, px.tobytes()
     )
-    # flip the transform type bits (2 -> 0 = predictor) in the header:
-    # transform flag is bit 29+3+... easier: craft via encoder internals
+    # flip the transform type bits (2 -> 1 = cross-color, the one
+    # remaining unsupported transform) in the header
     from etl_loading_scripts_spark.llm.webp import _BitReaderLSB
 
     body = bytearray(sg[20:])
     # bits: sig byte, then 14+14+1+3 = 32 bits, then transform flag at
-    # bit 32, type at bits 33-34 (value 2 = 0b10 LSB-first: bit33=0,
-    # bit34=1); flipping bit34 off makes type 0 (predictor)
+    # bit 32, type at bits 33-34 (LSB-first)
     br = _BitReaderLSB(bytes(body), 1)
     br.read(32)
     assert br.read(1) == 1  # transform present
     byte_i, bit_i = br.pos, br.bit
-    # type bits follow; make them 0b00 = predictor
-    for _ in range(2):
-        body[byte_i] &= ~(1 << bit_i) & 0xFF
-        bit_i += 1
-        if bit_i == 8:
-            bit_i = 0
-            byte_i += 1
+    # type bits: set 0b01 (LSB-first: first bit 1, second 0) = type 1
+    body[byte_i] |= 1 << bit_i
+    bit_i += 1
+    if bit_i == 8:
+        bit_i, byte_i = 0, byte_i + 1
+    body[byte_i] &= ~(1 << bit_i) & 0xFF
     tampered = sg[:20] + bytes(body)
-    with pytest.raises(ValueError, match="predictor/color"):
+    with pytest.raises(ValueError, match="cross-color"):
         decode_webp_lossless(tampered)
 
 
