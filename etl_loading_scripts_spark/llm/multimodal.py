@@ -1744,7 +1744,9 @@ _WEBP_SCHEMA = (
 #: images for even docs (simple 2-symbol codes on every channel),
 #: many-color for odd docs (normal canonical codes).
 _WEBP_PX_DUCK = (
-    "(CASE WHEN doc_id % 16 = 10 "
+    "(CASE WHEN doc_id % 16 = 14 "
+    " THEN (doc_id * 23 + (q // 4) * 9 + (q % 4) * ((q // 4) % 5)) % 251 "
+    " WHEN doc_id % 16 = 10 "
     " THEN (doc_id * 3 + ((q // 4) % w) * 7 + ((q // 4) // w) * 3"
     "       + (q % 4) * 5) % 251 "
     " WHEN doc_id % 8 = 6 "
@@ -1789,6 +1791,12 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                      + (q % 4) * 5) % 251
                 ).astype(np.uint8)
                 kind = "predictor"
+            elif d % 16 == 14:
+                # channel-correlated image: the CROSS-COLOR class
+                px = (
+                    (d * 23 + (q // 4) * 9 + (q % 4) * ((q // 4) % 5)) % 251
+                ).astype(np.uint8)
+                kind = "cross_color"
             elif d % 8 == 6:
                 # few-color non-run image: the COLOR-CACHE class
                 px = (
@@ -1835,6 +1843,12 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
 
                 payload = encode_webp_predicted(w, h, px.tobytes(), size_bits=3)
+            elif kind == "cross_color":
+                from etl_loading_scripts_spark.llm.webp import (
+                    encode_webp_cross_color,
+                )
+
+                payload = encode_webp_cross_color(w, h, px.tobytes(), size_bits=3)
             else:
                 payload = encode_webp_lossless(
                     w, h, px.tobytes(), subtract_green=(d % 3 == 0)
@@ -1866,7 +1880,8 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT doc_id,
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
-           CASE WHEN doc_id % 16 = 10 THEN 'predictor'
+           CASE WHEN doc_id % 16 = 14 THEN 'cross_color'
+                WHEN doc_id % 16 = 10 THEN 'predictor'
                 WHEN doc_id % 8 = 6 THEN 'cache'
                 WHEN doc_id % 8 = 2 THEN 'rle'
                 WHEN doc_id % 2 = 0 THEN 'simple'
@@ -1891,7 +1906,9 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "LZ77 RUN-LENGTH backreferences (prefix-valued lengths, plain "
     "distance codes) and doc%8==6 the COLOR CACHE (hash-addressed "
     "recent-pixel symbols above the literal+length range) and doc%16==10 "
-    "the PREDICTOR transform (per-block mode map, 14 spec modes) — "
+    "the PREDICTOR transform (per-block mode map, 14 spec modes), "
+    "doc%16==14 the CROSS-COLOR transform (signed ColorTransformDelta "
+    "multipliers) — ALL FOUR spec transforms exercised — "
     "output pixels "
     "identical, wire different. Predictor/cross-color transforms, "
     "color cache, and backreferences remain the honest quarantine "

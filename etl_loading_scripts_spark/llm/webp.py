@@ -29,10 +29,12 @@ emits them for pixel runs). And the COLOR CACHE (hash-addressed
 recent-pixel dictionary, ``encode_webp_cached``). And the PREDICTOR
 transform (all 14 spec modes incl. Select and the ClampAddSubtract
 pair, per-block mode map riding its own entropy-coded sub-image,
-``encode_webp_predicted`` choosing modes by residual mass). Honest
-subset lines (→ quarantine): the cross-color transform, the 120-entry
-neighbor-map distance codes, and meta prefix images raise
-``ValueError``. Lossy WebP (VP8) stays in the quarantine bucket.
+``encode_webp_predicted`` choosing modes by residual mass). And the
+CROSS-COLOR transform (signed ColorTransformDelta multipliers, element
+map sub-image) — ALL FOUR spec transforms now decode. Honest subset
+lines (→ quarantine): the 120-entry neighbor-map distance codes and
+meta prefix images raise ``ValueError``. Lossy WebP (VP8) stays in
+the quarantine bucket.
 Interop caveat shared by every codec in this repo: encoder/decoder
 pairs are proven lossless against each other and structurally against
 the public spec; cross-validation against libwebp binaries is not
@@ -245,6 +247,12 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
             if int(modes.max(initial=0)) > 13:
                 raise ValueError("corrupt VP8L: predictor mode > 13")
             transforms.append((0, (size_bits, bw_, modes)))
+        elif ttype == 1:  # cross-color: per-block transform elements
+            size_bits = br.read(3) + 2
+            bw_ = (width + (1 << size_bits) - 1) >> size_bits
+            bh_ = (height + (1 << size_bits) - 1) >> size_bits
+            elems = _read_entropy_image(br, bw_, bh_)
+            transforms.append((1, (size_bits, bw_, elems)))
         elif ttype == 2:  # subtract-green: no payload, invertible add
             transforms.append((2, None))
         elif ttype == 3:  # color indexing (palette)
@@ -254,10 +262,8 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
             deltas = _read_entropy_image(br, size, 1)
             palette = np.cumsum(deltas.astype(np.int64), axis=0) & 0xFF
             transforms.append((3, palette.astype(np.uint8)))
-        else:
-            raise ValueError(
-                "VP8L cross-color transform not supported (quarantine)"
-            )
+        else:  # pragma: no cover — types 0..3 all handled above
+            raise ValueError("corrupt VP8L: unknown transform type")
     # pixel bundling: small palettes pack several indices per green byte
     # and the coded image narrows accordingly (spec §4.4)
     coded_w = width
@@ -272,6 +278,9 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
         if ttype == 0:  # predictor inverse: residual + prediction mod 256
             size_bits, bw_, modes = payload
             out = _predictor_inverse(out, width, height, size_bits, bw_, modes)
+        elif ttype == 1:  # cross-color inverse: add the deltas back
+            size_bits, bw_, elems = payload
+            out = _cross_color(out, width, height, size_bits, bw_, elems, +1)
         elif ttype == 2:
             g = out[:, 1].astype(np.int64)
             out[:, 0] = ((out[:, 0].astype(np.int64) + g) & 0xFF).astype(np.uint8)
@@ -381,6 +390,41 @@ def _predictor_inverse(res, width, height, size_bits, bw_, modes):
             out[i] = [
                 (int(res[i, c]) + int(pred[c])) & 0xFF for c in range(4)
             ]
+    return out
+
+
+def _ct_delta(t: int, c: int) -> int:
+    """ColorTransformDelta (spec §4.2.3): both operands as SIGNED bytes,
+    product arithmetic-shifted right 5."""
+    ts = t - 256 if t > 127 else t
+    cs = c - 256 if c > 127 else c
+    return (ts * cs) >> 5
+
+
+def _cross_color(px, width, height, size_bits, bw_, elems, sign):
+    """Apply (+1) or remove (-1) the cross-color transform: per block,
+    the transform element pixel carries green_to_red in BLUE,
+    green_to_blue in GREEN, red_to_blue in RED (spec layout)."""
+    out = px.copy()
+    for y in range(height):
+        for x in range(width):
+            i = y * width + x
+            e = elems[(y >> size_bits) * bw_ + (x >> size_bits)]
+            g2r, g2b, r2b = int(e[2]), int(e[1]), int(e[0])
+            g = int(out[i, 1])
+            if sign > 0:  # inverse (decode): red first, then blue uses
+                r = (int(out[i, 0]) + _ct_delta(g2r, g)) & 0xFF
+                b = (
+                    int(out[i, 2]) + _ct_delta(g2b, g) + _ct_delta(r2b, r)
+                ) & 0xFF
+            else:  # forward (encode): subtract, blue uses the ORIGINAL red
+                r0 = int(out[i, 0])
+                r = (r0 - _ct_delta(g2r, g)) & 0xFF
+                b = (
+                    int(out[i, 2]) - _ct_delta(g2b, g) - _ct_delta(r2b, r0)
+                ) & 0xFF
+            out[i, 0] = r
+            out[i, 2] = b
     return out
 
 
@@ -876,6 +920,49 @@ def encode_webp_predicted(
     mode_img[:, 3] = 255
     bw.write(0, 1)  # mode image: no color cache
     _write_entropy_pixels(bw, mode_img)
+    bw.write(0, 1)  # end of transform list
+    bw.write(0, 1)  # main: no color cache
+    bw.write(0, 1)  # main: no meta prefix
+    _write_entropy_pixels(bw, res)
+    body = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_cross_color(
+    width: int, height: int, rgba: bytes,
+    g2r: int = 40, g2b: int = 24, r2b: int = 16, size_bits: int = 4,
+) -> bytes:
+    """Encode RGBA pixels with the CROSS-COLOR transform: fixed signed
+    multipliers (green_to_red / green_to_blue / red_to_blue) decorrelate
+    the channels before literal coding; the per-block element map rides
+    its own entropy-coded sub-image (constant here — real encoders fit
+    per block; the wire shape is identical)."""
+    if not 2 <= size_bits <= 9:
+        raise ValueError("size_bits must be in 2..9")
+    if len(rgba) != width * height * 4:
+        raise ValueError("rgba length must be width*height*4")
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)
+    bw_ = (width + (1 << size_bits) - 1) >> size_bits
+    bh_ = (height + (1 << size_bits) - 1) >> size_bits
+    elems = np.zeros((bw_ * bh_, 4), dtype=np.uint8)
+    elems[:, 2] = g2r & 0xFF
+    elems[:, 1] = g2b & 0xFF
+    elems[:, 0] = r2b & 0xFF
+    elems[:, 3] = 255
+    res = _cross_color(px, width, height, size_bits, bw_, elems, -1)
+    bw = _BitWriterLSB()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if (px[:, 3] != 255).any() else 0, 1)
+    bw.write(0, 3)  # version
+    bw.write(1, 1)  # one transform
+    bw.write(1, 2)  # CROSS_COLOR_TRANSFORM
+    bw.write(size_bits - 2, 3)
+    bw.write(0, 1)  # element image: no color cache
+    _write_entropy_pixels(bw, elems)
     bw.write(0, 1)  # end of transform list
     bw.write(0, 1)  # main: no color cache
     bw.write(0, 1)  # main: no meta prefix

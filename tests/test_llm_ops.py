@@ -1020,8 +1020,10 @@ def test_webp_subtract_green_transform():
     assert decode_webp_lossless(sg) == decode_webp_lossless(plain) == (
         9, 7, px.tobytes()
     )
-    # flip the transform type bits (2 -> 1 = cross-color, the one
-    # remaining unsupported transform) in the header
+    # flip the transform type bits (2 -> 1 = cross-color): the stream
+    # then parses as a different transform and the bit misalignment
+    # surfaces as a corrupt-stream ValueError (all four transform types
+    # are now implemented, so there is no unsupported-type path)
     from etl_loading_scripts_spark.llm.webp import _BitReaderLSB
 
     body = bytearray(sg[20:])
@@ -1038,7 +1040,7 @@ def test_webp_subtract_green_transform():
         bit_i, byte_i = 0, byte_i + 1
     body[byte_i] &= ~(1 << bit_i) & 0xFF
     tampered = sg[:20] + bytes(body)
-    with pytest.raises(ValueError, match="cross-color"):
+    with pytest.raises(ValueError):
         decode_webp_lossless(tampered)
 
 
@@ -1217,3 +1219,21 @@ def test_webp_predictor_transform_all_modes():
                 L, T, TL, TR = _predictor_neighbors(arr, 6, x, y)
                 pred = _predict(m, L, T, TL, TR)
                 assert len(pred) == 4 and all(0 <= int(c) <= 255 for c in pred)
+
+
+def test_webp_cross_color_transform():
+    """Cross-color round-trips bit-exact for arbitrary signed
+    multipliers (the ColorTransformDelta arithmetic-shift semantics are
+    encoder/decoder-shared), completing all four VP8L transforms."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_cross_color,
+    )
+
+    rng = np.random.default_rng(59)
+    px = rng.integers(0, 256, (17 * 13, 4), dtype=np.uint8)
+    for g2r, g2b, r2b in [(40, 24, 16), (0, 0, 0), (255, 128, 200), (129, 1, 254)]:
+        pay = encode_webp_cross_color(17, 13, px.tobytes(), g2r, g2b, r2b)
+        assert decode_webp_lossless(pay) == (17, 13, px.tobytes())
