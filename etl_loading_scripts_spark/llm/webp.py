@@ -31,10 +31,12 @@ transform (all 14 spec modes incl. Select and the ClampAddSubtract
 pair, per-block mode map riding its own entropy-coded sub-image,
 ``encode_webp_predicted`` choosing modes by residual mass). And the
 CROSS-COLOR transform (signed ColorTransformDelta multipliers, element
-map sub-image) — ALL FOUR spec transforms now decode. Honest subset
-lines (→ quarantine): the 120-entry neighbor-map distance codes and
-meta prefix images raise ``ValueError``. Lossy WebP (VP8) stays in
-the quarantine bucket.
+map sub-image) — ALL FOUR spec transforms now decode. And META PREFIX
+IMAGES (multiple prefix-code groups selected per block by a
+sub-resolution entropy image — the spatial entropy segmentation,
+``encode_webp_meta``). The ONE remaining honest subset line
+(→ quarantine): the 120-entry neighbor-map distance codes. Lossy WebP
+(VP8) stays in the quarantine bucket.
 Interop caveat shared by every codec in this repo: encoder/decoder
 pairs are proven lossless against each other and structurally against
 the public spec; cross-validation against libwebp binaries is not
@@ -457,18 +459,36 @@ def _read_entropy_image(
     pixel-unit copies that may overlap, the RLE case; neighbor-map
     distance codes 1-120 quarantine) and the COLOR CACHE (hash-addressed
     recent-pixel dictionary, spec multiplier 0x1e35a7bd; cache symbols
-    ride above the literal+length range of the green alphabet). The main image additionally
-    carries the meta-prefix bit; both carry the color-cache bit
-    (unsupported — quarantine)."""
+    ride above the literal+length range of the green alphabet), and — for
+    the main image — META PREFIX IMAGES: a sub-resolution entropy image
+    whose (red<<8 | green) value selects which of several prefix-code
+    GROUPS codes each block (the spatial entropy segmentation real
+    encoders use on large photos)."""
     cache_bits = br.read(4) if br.read(1) else 0
+    meta = None
     if main and br.read(1):
-        raise ValueError("VP8L meta prefix images not supported (quarantine)")
+        meta_bits = br.read(3) + 2
+        mw = (width + (1 << meta_bits) - 1) >> meta_bits
+        mh = (height + (1 << meta_bits) - 1) >> meta_bits
+        mimg = _read_entropy_image(br, mw, mh)
+        groups_idx = (
+            mimg[:, 0].astype(np.int64) << 8
+        ) | mimg[:, 1].astype(np.int64)
+        meta = (meta_bits, mw, groups_idx)
+        n_groups = int(groups_idx.max(initial=0)) + 1
+    else:
+        n_groups = 1
     cache = [0] * (1 << cache_bits) if cache_bits else None
-    green = _read_prefix_code(br, _GREEN_ALPHA + (1 << cache_bits if cache_bits else 0))
-    red = _read_prefix_code(br, 256)
-    blue = _read_prefix_code(br, 256)
-    alpha = _read_prefix_code(br, 256)
-    dist = _read_prefix_code(br, 40)
+    green_alpha = _GREEN_ALPHA + (1 << cache_bits if cache_bits else 0)
+    groups = []
+    for _ in range(n_groups):
+        groups.append({
+            "g": _read_prefix_code(br, green_alpha),
+            "r": _read_prefix_code(br, 256),
+            "b": _read_prefix_code(br, 256),
+            "a": _read_prefix_code(br, 256),
+            "d": _read_prefix_code(br, 40),
+        })
     n = width * height
     out = np.zeros((n, 4), dtype=np.uint8)
 
@@ -482,14 +502,22 @@ def _read_entropy_image(
         if cache is not None:
             cache[(0x1E35A7BD * argb(row) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb(row)
 
+    def group_at(i):
+        if meta is None:
+            return groups[0]
+        meta_bits, mw, gidx = meta
+        y, x = divmod(i, width)
+        return groups[int(gidx[(y >> meta_bits) * mw + (x >> meta_bits)])]
+
     i = 0
     while i < n:
-        g = green.decode(br)
+        grp = group_at(i)
+        g = grp["g"].decode(br)
         if g < 256:
             out[i, 1] = g
-            out[i, 0] = red.decode(br)
-            out[i, 2] = blue.decode(br)
-            out[i, 3] = alpha.decode(br)
+            out[i, 0] = grp["r"].decode(br)
+            out[i, 2] = grp["b"].decode(br)
+            out[i, 3] = grp["a"].decode(br)
             cache_insert(out[i])
             i += 1
             continue
@@ -502,7 +530,7 @@ def _read_entropy_image(
             continue
         # backreference: length from the green symbol, then distance
         length = _prefix_value_decode(br, g - 256)
-        dist_code = _prefix_value_decode(br, dist.decode(br))
+        dist_code = _prefix_value_decode(br, grp["d"].decode(br))
         if dist_code > 120:
             distance = dist_code - 120
         else:
@@ -967,6 +995,78 @@ def encode_webp_cross_color(
     bw.write(0, 1)  # main: no color cache
     bw.write(0, 1)  # main: no meta prefix
     _write_entropy_pixels(bw, res)
+    body = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_meta(
+    width: int, height: int, rgba: bytes, meta_bits: int = 3
+) -> bytes:
+    """Encode RGBA pixels with a META PREFIX IMAGE: the image splits
+    into left/right halves at block granularity, each half coded by its
+    OWN prefix-code group fitted to its pixel statistics — the spatial
+    entropy segmentation large photos use (sky blocks vs texture
+    blocks). The meta sub-image carries the group index in
+    (red<<8|green)."""
+    if not 2 <= meta_bits <= 9:
+        raise ValueError("meta_bits must be in 2..9")
+    if len(rgba) != width * height * 4:
+        raise ValueError("rgba length must be width*height*4")
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)
+    mw = (width + (1 << meta_bits) - 1) >> meta_bits
+    mh = (height + (1 << meta_bits) - 1) >> meta_bits
+    # group 0 = left-half blocks, group 1 = right-half blocks
+    gidx = np.zeros(mw * mh, dtype=np.int64)
+    for my in range(mh):
+        for mx in range(mw):
+            gidx[my * mw + mx] = 1 if mx >= mw // 2 else 0
+    n_groups = int(gidx.max()) + 1
+
+    def pixel_group(i):
+        y, x = divmod(i, width)
+        return int(gidx[(y >> meta_bits) * mw + (x >> meta_bits)])
+
+    freqs = [
+        {"g": {}, "r": {}, "b": {}, "a": {}} for _ in range(n_groups)
+    ]
+    for i in range(px.shape[0]):
+        f = freqs[pixel_group(i)]
+        for ch, col in (("g", 1), ("r", 0), ("b", 2), ("a", 3)):
+            sym = int(px[i, col])
+            f[ch][sym] = f[ch].get(sym, 0) + 1
+    bw = _BitWriterLSB()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if (px[:, 3] != 255).any() else 0, 1)
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(1, 1)  # meta prefix image present
+    bw.write(meta_bits - 2, 3)
+    mimg = np.zeros((mw * mh, 4), dtype=np.uint8)
+    mimg[:, 0] = (gidx >> 8).astype(np.uint8)
+    mimg[:, 1] = (gidx & 0xFF).astype(np.uint8)
+    mimg[:, 3] = 255
+    bw.write(0, 1)  # meta image: no color cache
+    _write_entropy_pixels(bw, mimg)
+    codes = []
+    for f in freqs:
+        grp = {}
+        grp["g"] = _write_prefix_code(bw, f["g"], _GREEN_ALPHA)
+        grp["r"] = _write_prefix_code(bw, f["r"], 256)
+        grp["b"] = _write_prefix_code(bw, f["b"], 256)
+        grp["a"] = _write_prefix_code(bw, f["a"], 256)
+        _write_prefix_code(bw, {0: 1}, 40)
+        codes.append(grp)
+    for i in range(px.shape[0]):
+        grp = codes[pixel_group(i)]
+        for ch, col in (("g", 1), ("r", 0), ("b", 2), ("a", 3)):
+            c, ln = grp[ch][int(px[i, col])]
+            if ln:
+                bw.write(_rev(c, ln), ln)
     body = b"\x2f" + bw.flush()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) % 2:

@@ -1237,3 +1237,33 @@ def test_webp_cross_color_transform():
     for g2r, g2b, r2b in [(40, 24, 16), (0, 0, 0), (255, 128, 200), (129, 1, 254)]:
         pay = encode_webp_cross_color(17, 13, px.tobytes(), g2r, g2b, r2b)
         assert decode_webp_lossless(pay) == (17, 13, px.tobytes())
+
+
+def test_webp_meta_prefix_groups():
+    """Meta prefix images: per-block group selection round-trips
+    bit-exact and the segmented coding beats a single group when the
+    halves have disjoint palettes."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_lossless,
+        encode_webp_meta,
+    )
+
+    rng = np.random.default_rng(61)
+    w, h = 32, 16
+    lc = rng.integers(0, 60, (4, 4), dtype=np.uint8)
+    rc = rng.integers(180, 256, (4, 4), dtype=np.uint8)
+    px = np.zeros((h, w, 4), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            px[y, x] = (lc if x < w // 2 else rc)[rng.integers(0, 4)]
+    raw = px.reshape(-1, 4).tobytes()
+    pay = encode_webp_meta(w, h, raw)
+    assert decode_webp_lossless(pay) == (w, h, raw)
+    assert len(pay) < len(encode_webp_lossless(w, h, raw))
+    noise = rng.integers(0, 256, (w * h, 4), dtype=np.uint8)
+    assert decode_webp_lossless(
+        encode_webp_meta(w, h, noise.tobytes(), meta_bits=2)
+    ) == (w, h, noise.tobytes())
