@@ -1744,7 +1744,11 @@ _WEBP_SCHEMA = (
 #: images for even docs (simple 2-symbol codes on every channel),
 #: many-color for odd docs (normal canonical codes).
 _WEBP_PX_DUCK = (
-    "(CASE WHEN doc_id % 16 = 14 "
+    "(CASE WHEN doc_id % 16 = 4 "
+    " THEN (CASE WHEN ((q // 4) % w) < w // 2 "
+    "       THEN (doc_id * 7 + (q % 4) * 3) % 60 "
+    "       ELSE 180 + (doc_id * 11 + (q % 4) * 5) % 70 END) "
+    " WHEN doc_id % 16 = 14 "
     " THEN (doc_id * 23 + (q // 4) * 9 + (q % 4) * ((q // 4) % 5)) % 251 "
     " WHEN doc_id % 16 = 10 "
     " THEN (doc_id * 3 + ((q // 4) % w) * 7 + ((q // 4) // w) * 3"
@@ -1784,7 +1788,15 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             w, h = 4 + d % 9, 3 + d % 5
             n = w * h * 4
             q = np.arange(n, dtype=np.int64)
-            if d % 16 == 10:
+            if d % 16 == 4:
+                # half-split palettes: the META-PREFIX-GROUPS class
+                px = np.where(
+                    (q // 4) % w < w // 2,
+                    (d * 7 + (q % 4) * 3) % 60,
+                    180 + (d * 11 + (q % 4) * 5) % 70,
+                ).astype(np.uint8)
+                kind = "meta"
+            elif d % 16 == 10:
                 # smooth gradient: the PREDICTOR-transform class
                 px = (
                     (d * 3 + ((q // 4) % w) * 7 + ((q // 4) // w) * 3
@@ -1849,6 +1861,12 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
 
                 payload = encode_webp_cross_color(w, h, px.tobytes(), size_bits=3)
+            elif kind == "meta":
+                from etl_loading_scripts_spark.llm.webp import (
+                    encode_webp_meta,
+                )
+
+                payload = encode_webp_meta(w, h, px.tobytes(), meta_bits=2)
             else:
                 payload = encode_webp_lossless(
                     w, h, px.tobytes(), subtract_green=(d % 3 == 0)
@@ -1880,7 +1898,8 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     SELECT doc_id,
            CAST(w AS INT) AS width,
            CAST(h AS INT) AS height,
-           CASE WHEN doc_id % 16 = 14 THEN 'cross_color'
+           CASE WHEN doc_id % 16 = 4 THEN 'meta'
+                WHEN doc_id % 16 = 14 THEN 'cross_color'
                 WHEN doc_id % 16 = 10 THEN 'predictor'
                 WHEN doc_id % 8 = 6 THEN 'cache'
                 WHEN doc_id % 8 = 2 THEN 'rle'
@@ -1908,7 +1927,8 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "recent-pixel symbols above the literal+length range) and doc%16==10 "
     "the PREDICTOR transform (per-block mode map, 14 spec modes), "
     "doc%16==14 the CROSS-COLOR transform (signed ColorTransformDelta "
-    "multipliers) — ALL FOUR spec transforms exercised — "
+    "multipliers), doc%16==4 META prefix groups (per-block entropy "
+    "segmentation) — ALL FOUR transforms + meta exercised — "
     "output pixels "
     "identical, wire different. Predictor/cross-color transforms, "
     "color cache, and backreferences remain the honest quarantine "

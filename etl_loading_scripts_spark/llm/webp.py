@@ -1054,6 +1054,9 @@ def encode_webp_meta(
     _write_entropy_pixels(bw, mimg)
     codes = []
     for f in freqs:
+        for ch in ("g", "r", "b", "a"):
+            if not f[ch]:  # a group with no pixels (e.g. 1-block-wide
+                f[ch] = {0: 1}  # images): emit a valid dummy code
         grp = {}
         grp["g"] = _write_prefix_code(bw, f["g"], _GREEN_ALPHA)
         grp["r"] = _write_prefix_code(bw, f["r"], 256)
