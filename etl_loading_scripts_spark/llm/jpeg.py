@@ -1184,11 +1184,11 @@ def _prog_ac_refine(br, table, coeffs, blocks, ss, se, al, ri=0):
 def _decode_progressive(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a progressive (SOF2) JPEG — grayscale or 3-component
     color, interleaved DC scans, non-interleaved AC spectral-selection
-    scans, EOB runs, and FULL successive approximation (DC and AC
-    refinement scans) — the layout photoshop/web-export progressive
+    scans, EOB runs, FULL successive approximation (DC and AC
+    refinement scans), and restart intervals (DRI/RSTn) inside
+    progressive scans — the layout photoshop/web-export progressive
     files actually use. Remaining honest limits (→ quarantine):
-    restart intervals inside progressive scans, arithmetic coding,
-    12-bit precision."""
+    arithmetic coding, 12-bit precision."""
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _Decoder] = {}

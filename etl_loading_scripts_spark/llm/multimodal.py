@@ -1753,6 +1753,8 @@ _WEBP_PX_DUCK = (
     " WHEN doc_id % 16 = 10 "
     " THEN (doc_id * 3 + ((q // 4) % w) * 7 + ((q // 4) // w) * 3"
     "       + (q % 4) * 5) % 251 "
+    " WHEN doc_id % 16 = 8 "
+    " THEN (doc_id * 13 + ((q // 4) % w) * 17 + (q % 4) * 7) % 251 "
     " WHEN doc_id % 8 = 6 "
     " THEN (doc_id * 19 + (((q // 4) * 31) % 7) * 37 + (q % 4) * 11) % 251 "
     " WHEN doc_id % 8 = 2 "
@@ -1809,6 +1811,15 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     (d * 23 + (q // 4) * 9 + (q % 4) * ((q // 4) % 5)) % 251
                 ).astype(np.uint8)
                 kind = "cross_color"
+            elif d % 16 == 8:
+                # column-striped image (all rows identical): the
+                # NEIGHBOR-MAP distance-code class — every row after
+                # the first is a distance=width LZ77 copy addressed
+                # through the spec's 120-entry 2D table (code 1)
+                px = (
+                    (d * 13 + ((q // 4) % w) * 17 + (q % 4) * 7) % 251
+                ).astype(np.uint8)
+                kind = "neighbor"
             elif d % 8 == 6:
                 # few-color non-run image: the COLOR-CACHE class
                 px = (
@@ -1843,6 +1854,12 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
 
                 payload = encode_webp_rle(w, h, px.tobytes())
+            elif kind == "neighbor":
+                from etl_loading_scripts_spark.llm.webp import (
+                    encode_webp_neighbor,
+                )
+
+                payload = encode_webp_neighbor(w, h, px.tobytes())
             elif kind == "cache":
                 from etl_loading_scripts_spark.llm.webp import (
                     encode_webp_cached,
@@ -1901,6 +1918,7 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            CASE WHEN doc_id % 16 = 4 THEN 'meta'
                 WHEN doc_id % 16 = 14 THEN 'cross_color'
                 WHEN doc_id % 16 = 10 THEN 'predictor'
+                WHEN doc_id % 16 = 8 THEN 'neighbor'
                 WHEN doc_id % 8 = 6 THEN 'cache'
                 WHEN doc_id % 8 = 2 THEN 'rle'
                 WHEN doc_id % 2 = 0 THEN 'simple'
@@ -1925,14 +1943,15 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "LZ77 RUN-LENGTH backreferences (prefix-valued lengths, plain "
     "distance codes) and doc%8==6 the COLOR CACHE (hash-addressed "
     "recent-pixel symbols above the literal+length range) and doc%16==10 "
-    "the PREDICTOR transform (per-block mode map, 14 spec modes), "
+    "the PREDICTOR transform (per-block mode map, 14 spec modes with "
+    "libwebp's exact TR-wrap/tie-to-L/truncating-half conventions), "
     "doc%16==14 the CROSS-COLOR transform (signed ColorTransformDelta "
     "multipliers), doc%16==4 META prefix groups (per-block entropy "
-    "segmentation) — ALL FOUR transforms + meta exercised — "
-    "output pixels "
-    "identical, wire different. Predictor/cross-color transforms, "
-    "color cache, and backreferences remain the honest quarantine "
-    "lines.",
+    "segmentation), doc%16==8 NEIGHBOR-MAP distance codes (the "
+    "120-entry 2D distance table, previous-row copies as code 1) — "
+    "ALL FOUR transforms + meta + both distance-code forms exercised; "
+    "output pixels identical, wire different. The one remaining "
+    "quarantine line is lossy VP8.",
 )
 def mm_decode_webp_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: same Arrow-batched mapInPandas contract as every mm_*

@@ -34,9 +34,11 @@ CROSS-COLOR transform (signed ColorTransformDelta multipliers, element
 map sub-image) — ALL FOUR spec transforms now decode. And META PREFIX
 IMAGES (multiple prefix-code groups selected per block by a
 sub-resolution entropy image — the spatial entropy segmentation,
-``encode_webp_meta``). The ONE remaining honest subset line
-(→ quarantine): the 120-entry neighbor-map distance codes. Lossy WebP
-(VP8) stays in the quarantine bucket.
+``encode_webp_meta``). And the 120-entry NEIGHBOR-MAP distance codes
+(spec §4.2.2's 2D distance mapping — codes 1..120 address nearby
+pixel offsets, ``encode_webp_neighbor`` emits them for
+previous-row copies). The remaining honest quarantine line: lossy
+WebP (VP8).
 Interop caveat shared by every codec in this repo: encoder/decoder
 pairs are proven lossless against each other and structurally against
 the public spec; cross-validation against libwebp binaries is not
@@ -55,6 +57,50 @@ import numpy as np
 
 #: VP8L code-length-code symbol order (spec §5.2.2).
 CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
+
+#: The 120-entry NEIGHBOR-MAP distance table (spec §4.2.2 "Distance
+#: Mapping"): distance codes 1..120 address nearby 2D pixel offsets
+#: instead of linear distances — entry i (code i+1) packs (dy << 4) |
+#: (8 - dx), so dy = e >> 4 and dx = 8 - (e & 0xF); the linear
+#: distance is dy*xsize + dx clamped to >= 1. Codes > 120 carry
+#: distance - 120 directly. Byte-packed exactly as the spec lists it.
+_DIST_MAP_PACKED = bytes([
+    0x18, 0x07, 0x17, 0x19, 0x28, 0x06, 0x27, 0x29, 0x16, 0x1A,
+    0x26, 0x2A, 0x38, 0x05, 0x37, 0x39, 0x15, 0x1B, 0x36, 0x3A,
+    0x25, 0x2B, 0x48, 0x04, 0x47, 0x49, 0x14, 0x1C, 0x35, 0x3B,
+    0x46, 0x4A, 0x24, 0x2C, 0x58, 0x45, 0x4B, 0x34, 0x3C, 0x03,
+    0x57, 0x59, 0x13, 0x1D, 0x56, 0x5A, 0x23, 0x2D, 0x44, 0x4C,
+    0x55, 0x5B, 0x33, 0x3D, 0x68, 0x02, 0x67, 0x69, 0x12, 0x1E,
+    0x66, 0x6A, 0x22, 0x2E, 0x54, 0x5C, 0x43, 0x4D, 0x65, 0x6B,
+    0x32, 0x3E, 0x78, 0x01, 0x77, 0x79, 0x53, 0x5D, 0x11, 0x1F,
+    0x64, 0x6C, 0x42, 0x4E, 0x76, 0x7A, 0x21, 0x2F, 0x75, 0x7B,
+    0x31, 0x3F, 0x63, 0x6D, 0x52, 0x5E, 0x00, 0x74, 0x7C, 0x41,
+    0x4F, 0x10, 0x20, 0x62, 0x6E, 0x30, 0x73, 0x7D, 0x51, 0x5F,
+    0x40, 0x72, 0x7E, 0x61, 0x6F, 0x50, 0x71, 0x7F, 0x60, 0x70,
+])
+
+#: Unpacked (dx, dy) pairs: DIST_MAP[code - 1] for codes 1..120.
+DIST_MAP = [((8 - (e & 0xF)), e >> 4) for e in _DIST_MAP_PACKED]
+
+
+def _dist_code_to_distance(dist_code: int, xsize: int) -> int:
+    """Wire distance code → linear pixel distance (spec §4.2.2): codes
+    1..120 go through the neighbor map (dy*xsize + dx, clamped to 1);
+    codes above 120 are plain distances offset by 120."""
+    if dist_code > 120:
+        return dist_code - 120
+    dx, dy = DIST_MAP[dist_code - 1]
+    return max(1, dy * xsize + dx)
+
+
+def _distance_to_dist_code(distance: int, xsize: int) -> int:
+    """Linear distance → smallest wire code (encode side): neighbor-map
+    codes win when the offset is within the 2D window, else plain
+    distance + 120. First table hit wins, matching the decode map."""
+    for i, (dx, dy) in enumerate(DIST_MAP):
+        if max(1, dy * xsize + dx) == distance:
+            return i + 1
+    return distance + 120
 
 _GREEN_ALPHA = 256 + 24  # literal greens + backref length symbols
 
@@ -183,18 +229,28 @@ def _read_prefix_code(br: _BitReaderLSB, alphabet: int) -> _Prefix:
         ln = br.read(3)
         if ln:
             clc_lengths[CLC_ORDER[i]] = ln
+    if not clc_lengths:
+        raise ValueError("corrupt VP8L: empty code-length code")
     clc = _Prefix(_canonical_codes(clc_lengths), None) if len(
         clc_lengths
     ) > 1 else _Prefix(None, next(iter(clc_lengths)))
-    if br.read(1):  # use_max_symbol
+    if br.read(1):  # use_max_symbol: a BUDGET of decoded code-length-code
+        # SYMBOLS (one loop iteration each — a repeat op counts as one
+        # unit), NOT a bound on the symbol index; the spec's
+        # ReadHuffmanCodeLengths decrements it per decoded symbol and
+        # leaves every remaining length zero when it runs out.
         length_nbits = 2 + 2 * br.read(3)
-        max_symbol = 2 + br.read(length_nbits)
+        budget = 2 + br.read(length_nbits)
     else:
-        max_symbol = alphabet
+        budget = -1  # unlimited: the loop stops at the alphabet bound
     lengths: dict[int, int] = {}
     sym = 0
     prev = 8
-    while sym < max_symbol:
+    while sym < alphabet:
+        if budget == 0:
+            break
+        if budget > 0:
+            budget -= 1
         s = clc.decode(br)
         if s < 16:
             if s:
@@ -204,7 +260,7 @@ def _read_prefix_code(br: _BitReaderLSB, alphabet: int) -> _Prefix:
         elif s == 16:
             rep = 3 + br.read(2)
             for _ in range(rep):
-                if sym < max_symbol:
+                if sym < alphabet:
                     lengths[sym] = prev
                 sym += 1
         elif s == 17:
@@ -219,11 +275,12 @@ def _read_prefix_code(br: _BitReaderLSB, alphabet: int) -> _Prefix:
 
 
 def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
-    """Decode a literal-coded VP8L WebP (plain, subtract-green, or
-    palette-transformed incl. pixel bundling) → (width, height, RGBA
-    bytes). Raises ``ValueError`` on non-WebP magic or the documented
-    subset lines (predictor/cross-color transforms, color cache, meta
-    prefix, backreferences)."""
+    """Decode a VP8L WebP → (width, height, RGBA bytes): all four spec
+    transforms (predictor, cross-color, subtract-green, palette incl.
+    pixel bundling), LZ77 backreferences with BOTH plain and
+    neighbor-map distance codes, the color cache, and meta prefix
+    groups. Raises ``ValueError`` on non-WebP magic, corrupt streams,
+    or lossy VP8 (the one remaining quarantine line)."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
     if payload[12:16] != b"VP8L":
@@ -311,11 +368,11 @@ def _avg2(a, b):
 
 
 def _predict(mode: int, L, T, TL, TR):
-    """The 14 VP8L predictor modes (spec §4.2.1) over RGBA tuples.
-    Select's tie rule and ClampAddSubtractHalf's floor division are the
-    conventions this self-consistent encoder/decoder pair fixes (noted:
-    cross-validation against libwebp is not possible in this
-    environment — the same interop caveat as every codec here)."""
+    """The 14 VP8L predictor modes (spec §4.2.1) over RGBA tuples,
+    with the spec/libwebp conventions exactly: Select ties choose L,
+    ClampAddSubtractHalf's half-step truncates toward zero (C integer
+    division), and TR at the right edge wraps to the row-above's
+    one-past-end pixel (handled in ``_predictor_neighbors``)."""
     if mode == 0:
         return (0, 0, 0, 255)
     if mode == 1:
@@ -338,34 +395,42 @@ def _predict(mode: int, L, T, TL, TR):
         return _avg2(T, TR)
     if mode == 10:
         return _avg2(_avg2(L, TL), _avg2(T, TR))
-    if mode == 11:  # Select: gradient chooses the closer neighbor
+    if mode == 11:  # Select: gradient chooses the closer neighbor,
+        # ties choose L (libwebp: pa_minus_pb <= 0 → left)
         p = tuple(int(l) + int(t) - int(tl) for l, t, tl in zip(L, T, TL))
         pl = sum(abs(pc - int(lc)) for pc, lc in zip(p, L))
         pt = sum(abs(pc - int(tc)) for pc, tc in zip(p, T))
-        return L if pl < pt else T
+        return L if pl <= pt else T
     if mode == 12:  # ClampAddSubtractFull
         return tuple(
             min(255, max(0, int(l) + int(t) - int(tl)))
             for l, t, tl in zip(L, T, TL)
         )
-    # 13: ClampAddSubtractHalf
+    # 13: ClampAddSubtractHalf — the half-step is C integer division
+    # (truncates TOWARD ZERO for negatives, unlike Python's floor //)
     a = _avg2(L, T)
-    return tuple(
-        min(255, max(0, int(ac) + (int(ac) - int(tlc)) // 2))
-        for ac, tlc in zip(a, TL)
-    )
+    out = []
+    for ac, tlc in zip(a, TL):
+        d = int(ac) - int(tlc)
+        half = d // 2 if d >= 0 else -((-d) // 2)
+        out.append(min(255, max(0, int(ac) + half)))
+    return tuple(out)
 
 
 def _predictor_neighbors(px, width, x, y):
     """(L, T, TL, TR) for raster position (x, y) with the edge rules:
     (0,0) has no neighbors (mode is overridden to black there), row 0
     predicts from L only, column 0 from T only, and TR at the right
-    edge falls back to T."""
+    edge WRAPS to the row-above's one-past-end pixel — which in raster
+    order is the CURRENT row's first (already decoded) pixel, the
+    spec/libwebp convention."""
     i = y * width + x
     L = tuple(px[i - 1]) if x > 0 else None
     T = tuple(px[i - width]) if y > 0 else None
     TL = tuple(px[i - width - 1]) if x > 0 and y > 0 else None
-    TR = tuple(px[i - width + 1]) if y > 0 and x < width - 1 else T
+    # i - width + 1 at x == width-1 is y*width — the current row's
+    # first pixel, i.e. the spec's wrap to top[1] one past the row end
+    TR = tuple(px[i - width + 1]) if y > 0 else None
     return L, T, TL, TR
 
 
@@ -455,9 +520,9 @@ def _read_entropy_image(
 ) -> "np.ndarray":
     """One entropy-coded VP8L image → (width*height, 4) RGBA array
     (channel layout R,G,B,A), including LZ77 BACKREFERENCES (green
-    symbols 256-279: prefix-valued length, then a plain distance code —
-    pixel-unit copies that may overlap, the RLE case; neighbor-map
-    distance codes 1-120 quarantine) and the COLOR CACHE (hash-addressed
+    symbols 256-279: prefix-valued length, then a distance code —
+    plain (>120) or through the 120-entry 2D neighbor map —
+    pixel-unit copies that may overlap) and the COLOR CACHE (hash-addressed
     recent-pixel dictionary, spec multiplier 0x1e35a7bd; cache symbols
     ride above the literal+length range of the green alphabet), and — for
     the main image — META PREFIX IMAGES: a sub-resolution entropy image
@@ -528,18 +593,12 @@ def _read_entropy_image(
             out[i] = ((v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF, v >> 24)
             i += 1
             continue
-        # backreference: length from the green symbol, then distance
+        # backreference: length from the green symbol, then distance —
+        # codes 1..120 through the spec's 120-entry 2D neighbor map,
+        # codes above 120 as plain linear distances
         length = _prefix_value_decode(br, g - 256)
         dist_code = _prefix_value_decode(br, grp["d"].decode(br))
-        if dist_code > 120:
-            distance = dist_code - 120
-        else:
-            # codes 1-120 map through the spec's 2D neighbor table; the
-            # planted corpus uses plain distances, so the table stays an
-            # honest quarantine line rather than a reconstructed guess
-            raise ValueError(
-                "VP8L neighbor-map distance codes not supported (quarantine)"
-            )
+        distance = _dist_code_to_distance(dist_code, width)
         if distance > i or i + length > n:
             raise ValueError("corrupt VP8L: backreference out of range")
         for k in range(length):  # may overlap (RLE) — copy sequentially
@@ -802,6 +861,98 @@ def encode_webp_rle(width: int, height: int, rgba: bytes) -> bytes:
             if extra_n:
                 bw.write(extra_v, extra_n)
             dcode, dextra_v, dextra_n = _prefix_value_encode(121)
+            emit("d", dcode)
+            if dextra_n:
+                bw.write(dextra_v, dextra_n)
+    body = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_neighbor(width: int, height: int, rgba: bytes) -> bytes:
+    """Encode RGBA pixels as VP8L with NEIGHBOR-MAP distance codes:
+    runs of pixels equal to the pixel directly ABOVE (distance =
+    width) become LZ77 copies addressed through the spec's 120-entry
+    2D distance table — (dx=0, dy=1) is code 1, the cheapest wire
+    distance real encoders use constantly for vertically-coherent
+    images. Exercises the decode path plain-distance streams never
+    touch."""
+    if len(rgba) != width * height * 4:
+        raise ValueError("rgba length must be width*height*4")
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)
+    n = px.shape[0]
+    # tokenize: ("lit", i) | ("ref", length) — copies at distance=width
+    tokens: list[tuple[str, int]] = []
+    i = 0
+    while i < n:
+        if i >= width and (px[i] == px[i - width]).all():
+            run = 1
+            while (
+                i + run < n and run < 4096
+                and (px[i + run] == px[i + run - width]).all()
+            ):
+                run += 1
+            if run >= 4:
+                tokens.append(("ref", run))
+                i += run
+                continue
+        tokens.append(("lit", i))
+        i += 1
+    if not any(k == "ref" for k, _ in tokens):
+        return encode_webp_lossless(width, height, rgba)
+    dist_code = _distance_to_dist_code(width, width)  # (0,1) → code 1
+    dist_sym = _prefix_value_encode(dist_code)[0]
+    freqs = {k: {} for k in ("g", "r", "b", "a", "d")}
+
+    def bump(ch, sym):
+        freqs[ch][sym] = freqs[ch].get(sym, 0) + 1
+
+    for kind, v in tokens:
+        if kind == "lit":
+            bump("g", int(px[v, 1]))
+            bump("r", int(px[v, 0]))
+            bump("b", int(px[v, 2]))
+            bump("a", int(px[v, 3]))
+        else:
+            bump("g", 256 + _prefix_value_encode(v)[0])
+            bump("d", dist_sym)
+    for ch in ("r", "b", "a"):
+        if not freqs[ch]:  # all-copy image edge: ensure non-empty codes
+            freqs[ch] = {0: 1}
+    bw = _BitWriterLSB()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if (px[:, 3] != 255).any() else 0, 1)
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+    codes = {}
+    codes["g"] = _write_prefix_code(bw, freqs["g"], _GREEN_ALPHA)
+    codes["r"] = _write_prefix_code(bw, freqs["r"], 256)
+    codes["b"] = _write_prefix_code(bw, freqs["b"], 256)
+    codes["a"] = _write_prefix_code(bw, freqs["a"], 256)
+    codes["d"] = _write_prefix_code(bw, freqs["d"], 40)
+
+    def emit(ch, sym):
+        c, ln = codes[ch][sym]
+        if ln:
+            bw.write(_rev(c, ln), ln)
+
+    for kind, v in tokens:
+        if kind == "lit":
+            emit("g", int(px[v, 1]))
+            emit("r", int(px[v, 0]))
+            emit("b", int(px[v, 2]))
+            emit("a", int(px[v, 3]))
+        else:
+            code, extra_v, extra_n = _prefix_value_encode(v)
+            emit("g", 256 + code)
+            if extra_n:
+                bw.write(extra_v, extra_n)
+            dcode, dextra_v, dextra_n = _prefix_value_encode(dist_code)
             emit("d", dcode)
             if dextra_n:
                 bw.write(dextra_v, dextra_n)

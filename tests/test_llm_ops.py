@@ -1267,3 +1267,173 @@ def test_webp_meta_prefix_groups():
     assert decode_webp_lossless(
         encode_webp_meta(w, h, noise.tobytes(), meta_bits=2)
     ) == (w, h, noise.tobytes())
+
+
+def test_webp_neighbor_map_distance_codes():
+    """The 120-entry neighbor-map distance table (spec §4.2.2): table
+    spot values match the spec's (dx, dy) listing, codes 1..120 map to
+    dy*xsize+dx clamped to 1, codes above 120 stay plain, and
+    vertically-coherent images round-trip bit-exact through the
+    neighbor encoder (previous-row copies as wire code 1) while
+    genuinely compressing vs literal coding."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import (
+        DIST_MAP,
+        _dist_code_to_distance,
+        _distance_to_dist_code,
+        decode_webp_lossless,
+        encode_webp_lossless,
+        encode_webp_neighbor,
+    )
+
+    # spec table anchors: first four entries and the 8-column tail
+    assert DIST_MAP[0] == (0, 1) and DIST_MAP[1] == (1, 0)
+    assert DIST_MAP[2] == (1, 1) and DIST_MAP[3] == (-1, 1)
+    assert DIST_MAP[96] == (8, 0) and DIST_MAP[119] == (8, 7)
+    assert len(DIST_MAP) == 120 and len(set(DIST_MAP)) == 120
+    # mapping semantics: neighbor codes are width-relative, plain
+    # codes are offset by 120, and the clamp floor is 1
+    assert _dist_code_to_distance(1, 37) == 37  # (0,1) = one row up
+    assert _dist_code_to_distance(2, 37) == 1  # (1,0) = previous pixel
+    assert _dist_code_to_distance(4, 2) == 1  # (-1,1): 2-1=1
+    assert _dist_code_to_distance(121, 999) == 1
+    assert _dist_code_to_distance(320, 8) == 200
+    # encode side inverts: distance=width hits code 1 first
+    assert _distance_to_dist_code(24, 24) == 1
+    assert _distance_to_dist_code(5000, 24) == 5120
+    rng = np.random.default_rng(67)
+    w, h = 24, 20
+    # column stripes: every row equals the row above → all copies
+    col = rng.integers(0, 256, (w, 4), dtype=np.uint8)
+    px = np.tile(col, (h, 1))
+    raw = px.tobytes()
+    pay = encode_webp_neighbor(w, h, raw)
+    assert decode_webp_lossless(pay) == (w, h, raw)
+    assert len(pay) < len(encode_webp_lossless(w, h, raw)) / 3
+    # mixed rows: some literal rows interrupt the copy runs
+    img = np.tile(col, (h, 1)).reshape(h, w, 4)
+    for y in (0, 7, 13):
+        img[y] = rng.integers(0, 256, (w, 4), dtype=np.uint8)
+    raw = img.reshape(-1, 4).tobytes()
+    assert decode_webp_lossless(encode_webp_neighbor(w, h, raw)) == (w, h, raw)
+    # no vertical coherence → literal fallback still round-trips
+    noise = rng.integers(0, 256, (w * h, 4), dtype=np.uint8)
+    assert decode_webp_lossless(
+        encode_webp_neighbor(w, h, noise.tobytes())
+    ) == (w, h, noise.tobytes())
+
+
+def test_webp_use_max_symbol_streams():
+    """use_max_symbol is a BUDGET of decoded code-length-code symbols
+    (one per loop iteration), not a symbol-index bound: a hand-crafted
+    stream that encodes green lengths {10:1, 20:1} via two skip-zeros
+    ops and two literals under a budget of 4 decodes to the right
+    pixels — an index-bound reading would desync and fail."""
+    import struct
+
+    from etl_loading_scripts_spark.llm.webp import (
+        CLC_ORDER,
+        _BitWriterLSB,
+        _rev,
+        decode_webp_lossless,
+    )
+
+    bw = _BitWriterLSB()
+    bw.write(1, 14)  # width 2
+    bw.write(0, 14)  # height 1
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta prefix
+    # GREEN: normal code, CLC over {1, 17} (both length 1)
+    bw.write(0, 1)  # normal
+    bw.write(15, 4)  # num_code_lengths = 19 (all, in spec order)
+    for s in CLC_ORDER:
+        bw.write(1 if s in (1, 17) else 0, 3)
+    # canonical CLC: 1→code 0, 17→code 1 (both 1 bit, LSB-safe)
+    bw.write(1, 1)  # use_max_symbol = 1
+    bw.write(0, 3)  # length_nbits = 2
+    bw.write(2, 2)  # budget = 2 + 2 = 4 decoded symbols
+    # decode sequence: 17(skip 10), 1 → lengths[10]=1,
+    #                  17(skip 9),  1 → lengths[20]=1; budget exhausted
+    bw.write(1, 1)  # CLC symbol 17
+    bw.write(7, 3)  # extra: skip 3+7=10 zeros → sym 10
+    bw.write(0, 1)  # CLC symbol 1 → lengths[10]=1
+    bw.write(1, 1)  # CLC symbol 17
+    bw.write(6, 3)  # skip 3+6=9 zeros → sym 20
+    bw.write(0, 1)  # CLC symbol 1 → lengths[20]=1
+    # R, B, A, D: SIMPLE single-symbol (0-bit) codes
+    for sym in (3, 4, 255, 0):
+        bw.write(1, 1)  # simple
+        bw.write(0, 1)  # one symbol
+        bw.write(1, 1)  # 8-bit field
+        bw.write(sym, 8)
+    # pixels: greens 10 then 20 (codes 0/1, 1 bit each, bit-reversed)
+    bw.write(_rev(0, 1), 1)
+    bw.write(_rev(1, 1), 1)
+    body = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    payload = (
+        b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    )
+    w, h, rgba = decode_webp_lossless(payload)
+    assert (w, h) == (2, 1)
+    assert rgba == bytes([3, 10, 4, 255, 3, 20, 4, 255])
+
+
+def test_webp_predictor_spec_conventions():
+    """The three libwebp conventions ADVICE r5 called out: TR at the
+    rightmost column wraps to the row-above's one-past-end pixel (the
+    current row's first decoded pixel), Select ties choose L, and
+    ClampAddSubtractHalf's half-step truncates toward zero like C
+    integer division."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import (
+        _predict,
+        _predictor_neighbors,
+    )
+
+    arr = np.arange(6 * 4 * 4, dtype=np.int64).reshape(-1, 4) % 256
+    arr = arr.astype(np.uint8)
+    # TR wrap: (x=3, y=1) in a 4-wide image → index 1*4+0 = row 1's
+    # first pixel (== row 0's one-past-end in raster order)
+    _, _, _, TR = _predictor_neighbors(arr, 4, 3, 1)
+    assert TR == tuple(arr[4])
+    # Select tie → L: pl == pt must return the LEFT neighbor
+    L, T, TL = (10,) * 4, (20,) * 4, (15,) * 4
+    assert _predict(11, L, T, TL, T) == L
+    # truncating half-step: a=10, TL=13 → d=-3 → C trunc -1 → 9
+    # (Python floor would give -2 → 8)
+    assert _predict(13, (10,) * 4, (10,) * 4, (13,) * 4, None) == (9,) * 4
+
+
+def test_webp_corrupt_clc_quarantines():
+    """A NORMAL prefix code whose 3-bit code-length-code lengths are
+    all zero must raise ValueError (the quarantine net's contract), not
+    StopIteration — which would escalate to RuntimeError through the
+    mapInPandas generator and kill the partition."""
+    from etl_loading_scripts_spark.llm.webp import (
+        _BitReaderLSB,
+        _read_prefix_code,
+    )
+
+    bw_bits = []
+    # normal form (first bit 0), num_clc = 4+0, four zero lengths
+    stream = bytearray()
+    acc, nbits = 0, 0
+    for v, n in [(0, 1), (0, 4)] + [(0, 3)] * 4 + [(0, 8)]:
+        for i in range(n):
+            acc |= ((v >> i) & 1) << nbits
+            nbits += 1
+            if nbits == 8:
+                stream.append(acc)
+                acc, nbits = 0, 0
+    if nbits:
+        stream.append(acc)
+    with pytest.raises(ValueError, match="empty code-length code"):
+        _read_prefix_code(_BitReaderLSB(bytes(stream)), 256)
