@@ -1,0 +1,249 @@
+"""Staged monthly load — per-stage materialization barriers + metrics.
+
+The reference's five scripts run as discrete statements against staging
+and warehouse tables, so each stage's cost is separately visible in its
+run logs (S3:45-68 pastes per-statement counts). ``run_monthly_load``
+composes the stages lazily — ideal for plan fusion, but opaque for
+attribution: one fused job answers "how much did the LOAD shuffle",
+never "which STAGE shuffles grows superlinearly at 10× the fact".
+
+This module runs the same five stages with parquet checkpoint BARRIERS
+between them (the staging-table discipline the reference itself uses,
+``S1:46`` stages ``#map`` for S3 to read), recording per stage:
+
+- wall seconds (stage transform + validation counts + checkpoint write),
+- cumulative shuffle bytes/records delta (when a ``snapshot`` callable
+  is supplied — e.g. :func:`shuffle_snapshot` over the Spark REST API),
+- an optional per-output plan profile (``instrument`` hook — the test
+  ratchet passes the executed-plan walk from ``tests/test_plans.py``).
+
+At 100 TB this decomposition is what a production deployment runs
+anyway: each stage writes its staging output durably, so a failed stage
+restarts from the last barrier instead of replaying the whole load, and
+the per-stage shuffle table in SCALING.md is measured against exactly
+this shape. The barriers add one write+read of each stage's outputs —
+linear, partition-parallel, and the price of restartability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.request
+from dataclasses import replace
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.pipeline.domain import Domain
+from etl_loading_scripts_spark.pipeline.stages import (
+    stage1_fingerprint_map,
+    stage2_patron_dims,
+    stage3_restaurant_map,
+    stage4_billing_groups,
+    stage5_bi_reporting,
+    validate_stage1,
+    validate_stage2,
+    validate_stage3,
+    validate_stage4,
+    validate_stage5,
+)
+
+
+def shuffle_snapshot(spark: SparkSession) -> dict | None:
+    """Cumulative shuffle-write totals for the application via the Spark
+    REST API (needs ``spark.ui.enabled=true``; returns None when the UI
+    is off — the engine's default session disables it). Monotone, so a
+    before/after delta isolates one stage's shuffle volume including
+    its validation counts and checkpoint writes — metrics the per-query
+    executed-plan walk can't see across multiple actions."""
+    url = spark.sparkContext.uiWebUrl
+    if not url:
+        return None
+    app_id = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{url}/api/v1/applications/{app_id}/stages?status=complete"
+    ) as resp:
+        stages = json.load(resp)
+    return {
+        "shuffle_bytes": sum(s.get("shuffleWriteBytes", 0) for s in stages),
+        "shuffle_records": sum(s.get("shuffleWriteRecords", 0) for s in stages),
+        "input_bytes": sum(s.get("inputBytes", 0) for s in stages),
+    }
+
+
+def run_monthly_load_staged(
+    spark: SparkSession,
+    dom: Domain,
+    window: tuple[int, int],
+    stage_dir: str,
+    instrument: Callable[[DataFrame], dict] | None = None,
+    snapshot: Callable[[], dict | None] | None = None,
+    publish: bool = True,
+) -> tuple[Domain, dict, list[dict]]:
+    """Execute stages 1-5 with checkpoint barriers under ``stage_dir``.
+
+    Returns ``(domain_out, metrics, stage_report)`` where ``metrics``
+    matches :func:`run_monthly_load`'s validation dict (same stages,
+    same guards — asserted equal in ``tests/test_pipeline.py``) and
+    ``stage_report`` has one entry per barrier with wall seconds plus
+    whatever ``snapshot``/``instrument`` recorded."""
+    report: list[dict] = []
+    metrics: dict[str, int] = {}
+
+    def barrier(name: str, dfs: dict[str, DataFrame], stage_metrics: dict):
+        t0 = time.time()
+        profs = {}
+        ckpt = {}
+        for key, df in dfs.items():
+            if instrument is not None:
+                profs[key] = instrument(df)
+            path = os.path.join(stage_dir, f"{name}_{key}")
+            df.write.mode("overwrite").parquet(path)
+            ckpt[key] = spark.read.parquet(path)
+        rec: dict = {
+            "stage": name,
+            "wall_sec": round(time.time() - t0 + stage_metrics.pop("_wall", 0.0), 3),
+        }
+        if snapshot is not None:
+            snap = snapshot()
+            if snap is not None:
+                prev = barrier.last or {k: 0 for k in snap}
+                rec["shuffle_delta"] = {k: snap[k] - prev.get(k, 0) for k in snap}
+                barrier.last = snap
+        if profs:
+            rec["profiles"] = profs
+        metrics.update(stage_metrics)
+        report.append(rec)
+        return ckpt
+
+    barrier.last = snapshot() if snapshot is not None else None
+
+    def wave_barrier(stage: str):
+        """Within-stage materialization hook passed to the stage
+        functions: each insert wave's dim state lands in parquet before
+        the next wave probes it (the reference's INSERT-then-SELECT
+        against the real table). Without this, wave 2 lazily RE-DERIVES
+        wave 1 from raw on every downstream action — measured as the
+        17x-vs-10x shuffle slope at 10x fact (SCALING.md r6)."""
+
+        def bar(df: DataFrame, name: str) -> DataFrame:
+            path = os.path.join(stage_dir, f"{stage}_{name}")
+            df.write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
+        return bar
+
+    # stage 0: materialize the domain inputs (raw feed build, fact seed)
+    d0 = barrier(
+        "s0_domain",
+        {
+            "raw": dom.raw_transactions,
+            "fact": dom.fact_transaction,
+            "dim_patron": dom.dim_patron,
+            "dim_restaurant": dom.dim_restaurant,
+            "pos_fingerprints": dom.pos_fingerprints,
+            "dim_billing_group": dom.dim_billing_group,
+        },
+        {},
+    )
+    raw = d0["raw"]
+
+    t0 = time.time()
+    staging_map, registry, _ = stage1_fingerprint_map(
+        raw, d0["pos_fingerprints"], validate=False,
+        barrier=wave_barrier("s1"),
+    )
+    s1 = barrier(
+        "s1_fingerprint_map",
+        {"staging_map": staging_map, "registry": registry},
+        {"_wall": time.time() - t0},
+    )
+    metrics.update(validate_stage1(s1["staging_map"]))
+
+    t0 = time.time()
+    fact, dim_patron, _ = stage2_patron_dims(
+        raw, d0["fact"], d0["dim_patron"], window, validate=False,
+        barrier=wave_barrier("s2"),
+    )
+    s2 = barrier(
+        "s2_patron_dims",
+        {"fact": fact, "dim_patron": dim_patron},
+        {"_wall": time.time() - t0},
+    )
+    metrics.update(validate_stage2(s2["fact"], window))
+
+    t0 = time.time()
+    fact, dim_restaurant, _ = stage3_restaurant_map(
+        raw, s2["fact"], s1["staging_map"], d0["dim_restaurant"], window,
+        validate=False,
+    )
+    s3 = barrier(
+        "s3_restaurant_map",
+        {"fact": fact, "dim_restaurant": dim_restaurant},
+        {"_wall": time.time() - t0},
+    )
+    metrics.update(validate_stage3(s3["fact"], window))
+
+    t0 = time.time()
+    fact, dim_billing_group, _ = stage4_billing_groups(
+        raw, s3["fact"], d0["dim_billing_group"], window, validate=False,
+        barrier=wave_barrier("s4"),
+    )
+    s4 = barrier(
+        "s4_billing_groups",
+        {"fact": fact, "dim_billing_group": dim_billing_group},
+        {"_wall": time.time() - t0},
+    )
+    metrics.update(validate_stage4(s4["fact"], window))
+
+    t0 = time.time()
+    bi_defs = s1["registry"].filter(F.col("site_id").isNotNull()).select(
+        "site_id", (F.col("site_id") % 5).alias("bi_reporting_id")
+    )
+    dim_restaurant, bridge, _ = stage5_bi_reporting(
+        s3["dim_restaurant"], bi_defs, validate=False
+    )
+    s5 = barrier(
+        "s5_bi_reporting",
+        {"dim_restaurant": dim_restaurant, "bridge": bridge},
+        {"_wall": time.time() - t0},
+    )
+    metrics.update(validate_stage5(s5["bridge"]))
+
+    out = replace(
+        dom,
+        fact_transaction=s4["fact"],
+        dim_patron=s2["dim_patron"],
+        dim_restaurant=s5["dim_restaurant"],
+        pos_fingerprints=s1["registry"],
+        dim_billing_group=s4["dim_billing_group"],
+    )
+
+    if publish:
+        from etl_loading_scripts_spark.operators.publish import publish_set
+
+        t0 = time.time()
+        publish_set(
+            [
+                ("fact_transaction", out.fact_transaction),
+                ("dim_patron", out.dim_patron),
+                ("dim_restaurant", out.dim_restaurant),
+                ("dim_billing_group", out.dim_billing_group),
+                ("pos_fingerprints", out.pos_fingerprints),
+            ],
+            os.path.join(stage_dir, "publish"),
+        )
+        rec = {"stage": "s6_publish_set", "wall_sec": round(time.time() - t0, 3)}
+        if snapshot is not None:
+            snap = snapshot()
+            if snap is not None and barrier.last is not None:
+                rec["shuffle_delta"] = {
+                    k: snap[k] - barrier.last.get(k, 0) for k in snap
+                }
+                barrier.last = snap
+        report.append(rec)
+
+    return out, metrics, report

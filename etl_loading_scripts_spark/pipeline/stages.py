@@ -42,20 +42,92 @@ def month_guard(lo_datekey: int, hi_datekey: int) -> Column:
     return F.col("datekey").between(lo_datekey, hi_datekey)
 
 
+def _identity_barrier(df: DataFrame, name: str) -> DataFrame:
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Post-hoc validation probes — the reference runs its "must return 0 rows"
+# checks as SEPARATE queries against the loaded tables (S3:91-99), not
+# fused into the load statements. Splitting them out lets the staged
+# runner validate CHECKPOINTED outputs (one parquet scan) instead of
+# re-deriving the whole stage lineage per count — at 10x the fact that
+# recomputation was the difference between a 17x and a 10x shuffle slope
+# (tools/bench_pipeline.py, SCALING.md r6).
+# ---------------------------------------------------------------------------
+
+
+def validate_stage1(final_map: DataFrame) -> dict:
+    """S1:29-41 'problem children': rows that STILL have no fingerprint."""
+    return {
+        "stage1_unmapped_after": final_map.filter(
+            F.col("fingerprint_id").isNull()
+        ).count()
+    }
+
+
+def validate_stage2(fact: DataFrame, window: tuple[int, int]) -> dict:
+    """S2:90-94: zero unmapped patrons in the month window."""
+    lo, hi = window
+    return {
+        "stage2_unmapped_after": fact.filter(
+            (F.col("patron_id") == UNMAPPED_PATRON_ID) & month_guard(lo, hi)
+        ).count()
+    }
+
+
+def validate_stage3(fact: DataFrame, window: tuple[int, int]) -> dict:
+    """S3:91-99 unmapped-restaurant probe (nonzero expected when merchants
+    lack a dim row — remediated monthly via the manual fuzzy wave,
+    S3:50-64) + the fingerprint twin."""
+    lo, hi = window
+    return {
+        "stage3_unmapped_restaurants": fact.filter(
+            (F.col("restaurant_key") == UNMAPPED_RESTAURANT_KEY) & month_guard(lo, hi)
+        ).count(),
+        "stage3_unmapped_fingerprints": fact.filter(
+            (F.col("fingerprint_id") == UNMAPPED_FINGERPRINT_ID) & month_guard(lo, hi)
+        ).count(),
+    }
+
+
+def validate_stage4(fact: DataFrame, window: tuple[int, int]) -> dict:
+    """S4:96-99: zero unmapped billing groups in the month window."""
+    lo, hi = window
+    return {
+        "stage4_unmapped_after": fact.filter(
+            (F.col("billing_group_key") == UNMAPPED_BILLING_GROUP_KEY)
+            & month_guard(lo, hi)
+        ).count()
+    }
+
+
+def validate_stage5(bridge: DataFrame) -> dict:
+    return {"stage5_bridge_rows": bridge.count()}
+
+
 # ---------------------------------------------------------------------------
 # Stage 1 — POS→Txn fingerprint map (S1:5-128)
 # ---------------------------------------------------------------------------
 
 
 def stage1_fingerprint_map(
-    raw: DataFrame, pos_fingerprints: DataFrame
+    raw: DataFrame,
+    pos_fingerprints: DataFrame,
+    validate: bool = True,
+    barrier=_identity_barrier,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Probe every transaction's merchant identity against the registry on
     the computed simhash (S1:18-25); then register NEW fingerprints for
     unmatched merchant groups with ClientCount quality metadata + anti-join
     insert guard (S1:46-128).
 
-    Returns (txn→fingerprint staging map, updated registry, metrics)."""
+    Returns (txn→fingerprint staging map, updated registry, metrics).
+    ``barrier`` (df, name) → df lets the staged runner materialize the
+    updated registry before the final probe re-reads it (the reference's
+    own staging-table discipline); ``validate=False`` defers the
+    zero-unmapped probe to :func:`validate_stage1` on checkpointed
+    output."""
     probe = raw.select(
         "txn_id", *MERCHANT_FP_COLS, merchant_simhash().alias("sim_hash")
     )
@@ -82,18 +154,18 @@ def stage1_fingerprint_map(
         "fingerprint_id",
         order_by=["sim_hash"],
     )
-    registry = insert_if_absent(
-        pos_fingerprints,
-        new_rows.select(pos_fingerprints.columns),
-        on=["sim_hash"],
+    registry = barrier(
+        insert_if_absent(
+            pos_fingerprints,
+            new_rows.select(pos_fingerprints.columns),
+            on=["sim_hash"],
+        ),
+        "registry",
     )
     final_map = probe.join(
         F.broadcast(registry.select("sim_hash", "fingerprint_id")), "sim_hash", "left"
     ).select("txn_id", "fingerprint_id", "sim_hash")
-    metrics = {
-        # S1:29-41 'problem children': rows that STILL have no fingerprint
-        "stage1_unmapped_after": final_map.filter(F.col("fingerprint_id").isNull()).count()
-    }
+    metrics = validate_stage1(final_map) if validate else {}
     return final_map, registry, metrics
 
 
@@ -107,11 +179,19 @@ def stage2_patron_dims(
     fact: DataFrame,
     dim_patron: DataFrame,
     window: tuple[int, int],
+    validate: bool = True,
+    barrier=_identity_barrier,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Three insert-if-absent waves (S2:23-28,57-63,97-107) collapsed to
     two: direct proxies, then synthesized ``clientid_last4`` proxies for
     NULL-proxy rows (P-PAT:96-115); each followed by a sentinel-guarded
-    fact update (patron_id = 1 → mapped id, P-PAT:119-141)."""
+    fact update (patron_id = 1 → mapped id, P-PAT:119-141).
+
+    ``barrier`` materializes each wave's dim state before the next wave
+    probes it — the reference's INSERT-then-SELECT against the real
+    warehouse table. Without it, wave 2's surrogate allocation and the
+    final mapping join lazily RE-DERIVE wave 1 from raw (measured 17x
+    shuffle at 10x fact vs 10x with barriers — SCALING.md r6)."""
     lo, hi = window
 
     # wave 1: transactions that carry a proxy
@@ -123,12 +203,15 @@ def stage2_patron_dims(
         .select("proxy_id", "patron_name", "client_id")
         .withColumn("patron_id", F.lit(None).cast("long"))
     )
-    dim1 = insert_if_absent(
-        dim_patron,
-        allocate_surrogate_keys(
-            new_patrons.select(dim_patron.columns), dim_patron, "patron_id", ["proxy_id"]
+    dim1 = barrier(
+        insert_if_absent(
+            dim_patron,
+            allocate_surrogate_keys(
+                new_patrons.select(dim_patron.columns), dim_patron, "patron_id", ["proxy_id"]
+            ),
+            on=["proxy_id"],
         ),
-        on=["proxy_id"],
+        "dim_patron_wave1",
     )
 
     # wave 2: synthesize proxies for NULL-proxy transactions (P-PAT:98:
@@ -150,10 +233,13 @@ def stage2_patron_dims(
         .select("proxy_id", "patron_name", "client_id")
         .withColumn("patron_id", F.lit(None).cast("long"))
     )
-    dim2 = insert_if_absent(
-        dim1,
-        allocate_surrogate_keys(new_synth.select(dim1.columns), dim1, "patron_id", ["proxy_id"]),
-        on=["proxy_id"],
+    dim2 = barrier(
+        insert_if_absent(
+            dim1,
+            allocate_surrogate_keys(new_synth.select(dim1.columns), dim1, "patron_id", ["proxy_id"]),
+            on=["proxy_id"],
+        ),
+        "dim_patron_wave2",
     )
 
     # fact updates: join through the txn's (possibly synthesized) proxy
@@ -172,12 +258,7 @@ def stage2_patron_dims(
         set_cols={"patron_id": "mapped_patron"},
         guard=(F.col("patron_id") == UNMAPPED_PATRON_ID) & month_guard(lo, hi),
     )
-    # S2:90-94 validation: zero unmapped patrons in the month window
-    metrics = {
-        "stage2_unmapped_after": fact_out.filter(
-            (F.col("patron_id") == UNMAPPED_PATRON_ID) & month_guard(lo, hi)
-        ).count()
-    }
+    metrics = validate_stage2(fact_out, window) if validate else {}
     return fact_out, dim2, metrics
 
 
@@ -192,6 +273,7 @@ def stage3_restaurant_map(
     staging_map: DataFrame,
     dim_restaurant: DataFrame,
     window: tuple[int, int],
+    validate: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """U+FFFD scrub of dim names (S3:19-23, O6); fact.fingerprint_id update
     from the stage-1 monthly map (S3:26-29); fact.restaurant_key update via
@@ -221,17 +303,7 @@ def stage3_restaurant_map(
         set_cols={"restaurant_key": "rk_new"},
         guard=(F.col("restaurant_key") == UNMAPPED_RESTAURANT_KEY) & month_guard(lo, hi),
     )
-    metrics = {
-        # S3:91-99: unmapped-restaurant probe after the waves; nonzero is
-        # expected here when merchants lack a dim row (remediated monthly
-        # in the reference via the manual fuzzy wave, S3:50-64)
-        "stage3_unmapped_restaurants": fact2.filter(
-            (F.col("restaurant_key") == UNMAPPED_RESTAURANT_KEY) & month_guard(lo, hi)
-        ).count(),
-        "stage3_unmapped_fingerprints": fact2.filter(
-            (F.col("fingerprint_id") == UNMAPPED_FINGERPRINT_ID) & month_guard(lo, hi)
-        ).count(),
-    }
+    metrics = validate_stage3(fact2, window) if validate else {}
     return fact2, dim_clean, metrics
 
 
@@ -245,6 +317,8 @@ def stage4_billing_groups(
     fact: DataFrame,
     dim_billing_group: DataFrame,
     window: tuple[int, int],
+    validate: bool = True,
+    barrier=_identity_barrier,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """14-REPLACE name normalization + rank-1 dedup (S4:19-30), surrogate-
     keyed insert-if-absent into DimBillingGroup (S4:60-70), sentinel-guarded
@@ -261,15 +335,18 @@ def stage4_billing_groups(
         .distinct()
         .withColumn("billing_group_key", F.lit(None).cast("long"))
     )
-    dim_out = insert_if_absent(
-        dim_billing_group,
-        allocate_surrogate_keys(
-            new_groups.select(dim_billing_group.columns),
+    dim_out = barrier(
+        insert_if_absent(
             dim_billing_group,
-            "billing_group_key",
-            ["billing_group_name"],
+            allocate_surrogate_keys(
+                new_groups.select(dim_billing_group.columns),
+                dim_billing_group,
+                "billing_group_key",
+                ["billing_group_name"],
+            ),
+            on=["billing_group_name"],
         ),
-        on=["billing_group_name"],
+        "dim_billing_group",
     )
     mapping = cleaned.join(
         F.broadcast(dim_out.select("billing_group_name", F.col("billing_group_key").alias("bg_new"))),
@@ -283,12 +360,7 @@ def stage4_billing_groups(
         guard=(F.col("billing_group_key") == UNMAPPED_BILLING_GROUP_KEY)
         & month_guard(lo, hi),
     )
-    metrics = {
-        "stage4_unmapped_after": fact_out.filter(
-            (F.col("billing_group_key") == UNMAPPED_BILLING_GROUP_KEY)
-            & month_guard(lo, hi)
-        ).count()
-    }
+    metrics = validate_stage4(fact_out, window) if validate else {}
     return fact_out, dim_out, metrics
 
 
@@ -298,7 +370,9 @@ def stage4_billing_groups(
 
 
 def stage5_bi_reporting(
-    dim_restaurant: DataFrame, bi_definitions: DataFrame
+    dim_restaurant: DataFrame,
+    bi_definitions: DataFrame,
+    validate: bool = True,
 ) -> tuple[DataFrame, DataFrame, dict]:
     """MERGE definitions (S5:11-37) is modeled upstream; here: update
     DimRestaurant.bi_reporting_id (S5:41-45) and derive the
@@ -314,7 +388,7 @@ def stage5_bi_reporting(
         .select("bi_reporting_id", "restaurant_key")
         .distinct()
     )
-    return dim_out, bridge, {"stage5_bridge_rows": bridge.count()}
+    return dim_out, bridge, (validate_stage5(bridge) if validate else {})
 
 
 def update_restaurant_rankings(

@@ -339,3 +339,38 @@ def test_run_sql_script_returns_last_statement(spark):
     )
     row = out.collect()[0]
     assert (row.n, row.lo) == (3, "0000")
+
+
+def test_staged_load_matches_unstaged(spark, tmp_path, loaded):
+    """The staged runner (checkpoint barriers between stages + wave
+    barriers inside them, post-checkpoint validation) is the SAME load:
+    identical validation metrics and identical published fact as the
+    fused `run_monthly_load` — the barriers change execution shape, not
+    semantics."""
+    from etl_loading_scripts_spark.pipeline.staged import run_monthly_load_staged
+
+    dom, out_ref, metrics_ref, window = loaded
+    out, metrics, report = run_monthly_load_staged(
+        spark, dom, window, str(tmp_path / "staged")
+    )
+    assert metrics == metrics_ref
+    assert [r["stage"] for r in report] == [
+        "s0_domain", "s1_fingerprint_map", "s2_patron_dims",
+        "s3_restaurant_map", "s4_billing_groups", "s5_bi_reporting",
+        "s6_publish_set",
+    ]
+    # fact content identical (sorted compare on the update targets)
+    cols = ["txn_id", "patron_id", "restaurant_key", "fingerprint_id",
+            "billing_group_key"]
+    a = sorted(map(tuple, out.fact_transaction.select(cols).collect()))
+    b = sorted(map(tuple, out_ref.fact_transaction.select(cols).collect()))
+    assert a == b
+    # publish_set committed a readable, transactionally-consistent set
+    from etl_loading_scripts_spark.operators.publish import read_published_set
+
+    pub = read_published_set(spark, str(tmp_path / "staged" / "publish"))
+    assert set(pub) == {
+        "fact_transaction", "dim_patron", "dim_restaurant",
+        "dim_billing_group", "pos_fingerprints",
+    }
+    assert pub["fact_transaction"].count() == out_ref.fact_transaction.count()

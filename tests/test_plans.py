@@ -420,3 +420,58 @@ def test_shuffle_ratios_stay_bounded(spark, sf_dir):
         )
         # and the collapse is real: shuffled stays far below the scan
         assert tot["shuffle_records"] < 0.9 * tot["rows_scanned"], name
+
+
+def test_pipeline_stage_shuffles_stay_bounded(spark, sf_dir, tmp_path):
+    """Pipeline-level shuffle ratchet (VERDICT r5 item 1): run the
+    staged five-stage monthly load and bound each stage OUTPUT's
+    shuffled records against the fact cardinality. The sf0.1 10x sweep
+    (tools/bench_pipeline.py, SCALING.md r6) measured every stage
+    linear-or-better with wave barriers in place; this test pins that
+    shape at test SF — a regression that re-derives a wave from raw on
+    every action (the 17x-vs-10x slope bug the barriers fixed) or
+    loses a dim broadcast shows up as a bound violation here, not in a
+    bench read. Dim outputs and the stage-1 map must shuffle ~nothing
+    (broadcast-built); fact updates may shuffle a small multiple of
+    the fact (the update join's mapping side)."""
+    from etl_loading_scripts_spark.pipeline.domain import build_domain
+    from etl_loading_scripts_spark.pipeline.monthly_load import full_window
+    from etl_loading_scripts_spark.pipeline.staged import run_monthly_load_staged
+
+    dom = build_domain(spark, sf_dir)
+    window = full_window(dom)
+    n_fact = dom.fact_transaction.count()
+    _, metrics, report = run_monthly_load_staged(
+        spark, dom, window, str(tmp_path / "ratchet"),
+        instrument=lambda df: _shuffle_profile(spark, df),
+        publish=False,
+    )
+    # (stage, output) -> (multiplier on fact rows, absolute slack)
+    bounds = {
+        ("s1_fingerprint_map", "staging_map"): (0, 500),
+        ("s1_fingerprint_map", "registry"): (0, 500),
+        ("s2_patron_dims", "fact"): (3, 500),
+        ("s2_patron_dims", "dim_patron"): (0, 500),
+        ("s3_restaurant_map", "fact"): (3, 500),
+        ("s3_restaurant_map", "dim_restaurant"): (0, 500),
+        ("s4_billing_groups", "fact"): (3, 500),
+        ("s4_billing_groups", "dim_billing_group"): (0, 500),
+        ("s5_bi_reporting", "dim_restaurant"): (0, 500),
+        ("s5_bi_reporting", "bridge"): (0, 500),
+    }
+    profs = {
+        (r["stage"], k): v
+        for r in report
+        for k, v in r.get("profiles", {}).items()
+    }
+    for (stage, out_name), (mult, slack) in bounds.items():
+        tot = profs[(stage, out_name)]
+        limit = mult * n_fact + slack
+        assert tot["shuffle_records"] <= limit, (
+            f"{stage}/{out_name}: {tot['shuffle_records']} records "
+            f"shuffled for a {n_fact}-row fact (limit {limit}) — a "
+            "barrier was lost or a dim broadcast regressed to a shuffle"
+        )
+    # the load itself stayed correct while we profiled it
+    assert metrics["stage2_unmapped_after"] == 0
+    assert metrics["stage4_unmapped_after"] == 0
