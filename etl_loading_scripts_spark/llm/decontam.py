@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.plancheck import broadcast_scalar, literal_table
 from etl_loading_scripts_spark.llm.dedup import _SHINGLES_SQL_DUCK, _shingles_spark
 from etl_loading_scripts_spark.registry import register
 
@@ -309,10 +310,10 @@ def packing_efficiency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"cast(size(filter(split(lower(text), '\\W+'), w -> w <> '')) as long)"
         ).alias("n_tokens"),
     ).groupBy("lang").agg(F.sum("n_tokens").cast("bigint").alias("lang_tokens"))
-    windows = spark.createDataFrame([(w,) for w in PACK_SWEEP], "w INT")
+    windows = literal_table(spark, [(w,) for w in PACK_SWEEP], "w INT")
     packs = F.expr("(lang_tokens + w - 1) div w")
     return (
-        lang_tot.crossJoin(F.broadcast(windows))
+        lang_tot.crossJoin(broadcast_scalar(windows))
         .groupBy(F.col("w").alias("window_tokens"))
         .agg(
             F.sum("lang_tokens").cast("bigint").alias("corpus_tokens"),

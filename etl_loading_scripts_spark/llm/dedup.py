@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.plancheck import broadcast_scalar, literal_table
 from etl_loading_scripts_spark.registry import register
 
 _LOG = logging.getLogger(__name__)
@@ -1558,14 +1559,14 @@ def dedup_threshold_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-lowest-id dedup policy's casualty list at each setting."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = blocked_shingle_pair_counts(docs)
-    thresholds = spark.createDataFrame(
-        [(t,) for t in THRESHOLD_SWEEP_MILLE], "t_mille INT"
+    thresholds = literal_table(
+        spark, [(t,) for t in THRESHOLD_SWEEP_MILLE], "t_mille INT"
     )
     passing = F.lit(1000) * F.col("n_shared") >= F.col("t_mille") * (
         F.col("n_a") + F.col("n_b") - F.col("n_shared")
     )
     return (
-        pairs.crossJoin(F.broadcast(thresholds))
+        pairs.crossJoin(broadcast_scalar(thresholds))
         .groupBy(F.col("t_mille").alias("threshold_permille"))
         .agg(
             F.sum(passing.cast("int")).cast("bigint").alias("n_pairs"),

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.plancheck import broadcast_scalar, literal_table
 from etl_loading_scripts_spark.functions import tsql
 from etl_loading_scripts_spark.operators import (
     allocate_surrogate_keys,
@@ -3401,9 +3402,9 @@ def ewma_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    lags = spark.createDataFrame(EWMA_WEIGHTS, "lag int, w long")
+    lags = literal_table(spark, EWMA_WEIGHTS, "lag int, w long")
     contrib = (
-        base.crossJoin(F.broadcast(lags))
+        base.crossJoin(broadcast_scalar(lags))
         .select(
             F.expr("date_add(day, lag)").alias("day"),
             (F.col("cnt") * F.col("w")).alias("val"),
@@ -5194,10 +5195,10 @@ def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
         F.count(F.lit(1)).cast("bigint").alias("x")
     )
-    lags = spark.createDataFrame([(1,), (2,), (7,), (30,)], "lag INT")
+    lags = literal_table(spark, [(1,), (2,), (7,), (30,)], "lag INT")
     b = daily.select(F.col("d").alias("d2"), F.col("x").alias("y"))
     pairs = (
-        daily.crossJoin(F.broadcast(lags))
+        daily.crossJoin(broadcast_scalar(lags))
         .join(b, F.col("d2") == F.expr("date_sub(d, lag)"))
         .select("lag", "x", "y")
     )

@@ -108,50 +108,34 @@ _EXECUTING = {
 }
 
 # BroadcastNestedLoopJoin is legitimate ONLY where one side is a bounded
-# broadcast and the condition is a genuine inequality:
+# broadcast and the condition is a genuine inequality. Most such queries
+# need NO entry here: a BNLJ whose build side is provably bounded by
+# CONSTRUCTION (single-row global aggregate, VALUES literal table,
+# LIMIT k, range — `plancheck.plan_is_bounded`) is safe without review,
+# and `broadcast_scalar`/`literal_table` are the authoring APIs that
+# guarantee that shape (VERDICT r5 item 4: ~50 name entries → structural
+# proof + this irreducible list). What remains is the genuinely
+# irregular set — build sides whose boundedness is a DATA property the
+# plan can't prove (grouped-aggregate centroid tables, filter-derived
+# query sets, calendar-grain spines), each runtime-guarded by
+# test_bnlj_build_sides_are_bounded_grain:
 _BNLJ_OK = {
-    "ann_bruteforce_topk",  # 10 query vectors × corpus, by design
-    "ann_ivf_topk",  # centroid assignment: corpus × broadcast(C centroids)
-    "heavy_hitter_users",  # counts × broadcast(single-row grand total)
-    "heavy_hitter_mg_sketch",  # same single-row total join on the verify side
-    "kmeans_update_step",  # assignment: corpus × broadcast(C centroids)
-    "kmeans_lloyd_two_iter",  # two assignment rounds, both broadcast(C)
-    "embedding_pca_power_iter",  # 64-row loadings × broadcast(single-row max)
-    "word_cooccurrence_lift",  # pair counts × broadcast(single-row grand total)
-    "rolling_7day_distinct_hll",  # day-grain spine × day-grain sketches (|days|×7)
-    "price_equidepth_histogram",  # fact × broadcast(single-row boundary array)
-    "join_key_skew_report",  # key counts × broadcast(single-row global stats)
-    "triangle_count_copurchase",  # three single-row census aggregates crossed
-    "dedup_semantic_clusters",  # assignment: corpus × broadcast(K centroids)
-    "zorder_layout_stats",  # scan × broadcast(single-row domain max)
-    "bm25_search",  # tf scan × broadcast(single-row corpus stats)
-    "knn_join_ivf",  # cell assignment: corpus × broadcast(C centroids)
-    "kmv_set_overlap",  # |types|² pair spine (≤25 rows) + broadcast sizes
-    "high_balance_inactive",  # customers × broadcast(single-row avg threshold)
-    "gdpr_forget_cascade",  # per-table audit: single-row count × single-row count
-    "region_nation_share",  # nation grains × broadcast(single-row global total)
-    "daily_volume_anomalies",  # day grains × broadcast(single-row moments)
-    "ewma_daily_orders",  # day grains × broadcast(8-row lag/weight table)
-    "abc_pareto_classification",  # part grains × broadcast(single-row total)
-    "benford_first_digit",  # 9 digit rows × broadcast(single-row total)
-    "chi2_independence_cells",  # 15 contingency cells × broadcast(single-row N)
-    "ann_recall_audit",  # inherits ann_bruteforce_topk's 10-query broadcast
-    "decontam_embedding_overlap",  # corpus × broadcast(benchmark sample), threshold join
-    "drift_price_bands_tvd",  # band cells × broadcast(single-row totals)
-    "negative_sampling_pairs",  # customers × broadcast(bounded candidate slice)
-    "token_budget_apportionment",  # source grains × two single-row broadcasts
-    "fx_effective_rate_normalize",  # 25 nations × broadcast(~80 months) grid build
-    "dedup_threshold_sensitivity",  # bounded pair table × broadcast(7-row threshold sweep)
-    "embedding_truncation_fidelity",  # two brute-force legs, 10-query broadcast each
-    "ab_sample_ratio_mismatch",  # 2 arm rows × broadcast(single-row total)
-    "open_order_aging_buckets",  # open orders × broadcast(single-row anchor date)
-    "churn_risk_by_segment",  # customer grains × broadcast(single-row anchor date)
-    "packing_efficiency_sweep",  # 5 language grains × broadcast(3-row window sweep)
-    "json_schema_discovery",  # exploded keys × broadcast(single-row total)
-    "ann_probe_cost_audit",  # brute-force leg: corpus × broadcast(10 queries); plus single-row bf_cand broadcast
-    "autocorrelation_lags",  # day grains × broadcast(4-row lag table)
-    "ivf_cell_balance_audit",  # cell assignment: corpus × broadcast(C centroids), as ann_ivf_topk
-    "ann_mrr_audit",  # inherits ann_bruteforce_topk's 10-query broadcast + ivf centroid assignment
+    "ann_bruteforce_topk",  # 10-query set via vec_id filter on the scan
+    "ann_ivf_topk",  # centroid table: grouped agg over hash-cells (C≤16)
+    "kmeans_update_step",  # same grouped-agg centroid shape
+    "kmeans_lloyd_two_iter",  # two assignment rounds of the same shape
+    "rolling_7day_distinct_hll",  # day-grain spine (calendar-bounded, not plan-bounded)
+    "dedup_semantic_clusters",  # grouped-agg K-centroid table
+    "knn_join_ivf",  # grouped-agg centroid table
+    "kmv_set_overlap",  # |types|² pair spine from a grouped distinct
+    "ann_recall_audit",  # inherits ann_bruteforce_topk's filter-derived query set
+    "decontam_embedding_overlap",  # benchmark sample via filter on the scan
+    "negative_sampling_pairs",  # candidate slice via filter on the scan
+    "fx_effective_rate_normalize",  # month grid from a grouped distinct (calendar-bounded)
+    "embedding_truncation_fidelity",  # two filter-derived query sets
+    "ann_probe_cost_audit",  # filter-derived query set + probe cells
+    "ivf_cell_balance_audit",  # grouped-agg centroid table
+    "ann_mrr_audit",  # filter-derived query set + centroid assignment
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
@@ -271,16 +255,30 @@ def test_bnlj_grain_guard_detects_injected_swap(spark, sf_dir):
 
 def test_no_antipatterns_across_registry(spark, sf_dir):
     """Every registered query plans without cartesian products, without
-    unapproved nested-loop joins, and without row-at-a-time Python."""
+    unapproved nested-loop joins, and without row-at-a-time Python. A
+    BNLJ passes either structurally — every build side provably bounded
+    by construction (`plancheck.plan_is_bounded`: global aggregates,
+    VALUES literals, LIMIT k) — or by an explicit _BNLJ_OK entry for
+    the data-bounded irregular cases (those get the runtime grain guard
+    below)."""
+    from etl_loading_scripts_spark.plancheck import bnlj_builds_bounded
+
     problems = []
     for name, q in sorted(REGISTRY.items()):
         if name in _EXECUTING:
             continue
-        plan = plan_of(q.spark(spark, sf_dir))
+        df = q.spark(spark, sf_dir)
+        plan = plan_of(df)
         if "CartesianProduct" in plan:
             problems.append(f"{name}: CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
-            problems.append(f"{name}: BroadcastNestedLoopJoin")
+            builds = bnlj_builds_bounded(df)
+            if not (builds and all(builds)):
+                problems.append(
+                    f"{name}: BroadcastNestedLoopJoin with unproven build "
+                    f"side (bounded={builds}) — use broadcast_scalar/"
+                    "literal_table, or add an _BNLJ_OK entry + grain bound"
+                )
         if "EvalPython" in plan and name not in _PYTHON_OK:
             problems.append(f"{name}: Python eval in plan")
     assert not problems, problems
