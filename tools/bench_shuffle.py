@@ -88,10 +88,23 @@ def profile(spark, df) -> dict:
 
 
 def main() -> None:
+    full = "--all" in sys.argv
     spark = get_spark(app_name="bench_shuffle")
     spark.sparkContext.setLogLevel("ERROR")
+    if full:
+        # registry-wide sweep (VERDICT r5 item 8): profile every
+        # registered query, rank by shuffled bytes, and print the
+        # top-20 with their bytes-per-record widths — the numbers the
+        # CI ratchet (tests/test_plans.py::
+        # test_shuffle_width_stays_bounded) pins. Skip the executing/
+        # streaming entries, same set the plan sweeps exclude.
+        from tests.test_plans import _EXECUTING  # noqa: PLC0415
+
+        names = [n for n in sorted(REGISTRY) if n not in _EXECUTING]
+    else:
+        names = HEADLINE
     out = {}
-    for name in HEADLINE:
+    for name in names:
         try:
             out[name] = profile(spark, REGISTRY[name].spark(spark, SF_DIR))
         except Exception as e:  # noqa: BLE001
@@ -101,6 +114,20 @@ def main() -> None:
         k: sum(v.get(k, 0) for v in out.values() if "error" not in v)
         for k in ("shuffle_bytes", "shuffle_records", "spill_bytes", "rows_scanned")
     }
+    if full:
+        top = sorted(
+            (v.get("shuffle_bytes", 0), n)
+            for n, v in out.items()
+            if "error" not in v
+        )[-20:][::-1]
+        for b, n in top:
+            rec = out[n].get("shuffle_records", 0)
+            width = b / rec if rec else 0
+            print(
+                f"# TOP {n}: {b / 1e6:.2f} MB, {rec} rec, "
+                f"{width:.0f} B/rec",
+                file=sys.stderr,
+            )
     print(json.dumps({"sf_dir": SF_DIR, "totals": grand, "queries": out}))
 
 
