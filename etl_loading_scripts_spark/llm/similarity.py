@@ -1684,3 +1684,243 @@ def ann_mrr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg("lsh_multiprobe", ann_lsh_multiprobe_topk(spark, sf_dir))
     ).unionByName(leg("ivf", ann_ivf_topk(spark, sf_dir)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Clustered-fixture recall audit — ANN where real corpora live
+# ---------------------------------------------------------------------------
+#
+# Every recall number above is measured on the near-random synthetic
+# embeddings — LSH's WORST case (random vectors spread uniformly over
+# hyperplane buckets, so same-bucket ≉ nearest). Real embedding corpora
+# are CLUSTERED (topics, templates, near-duplicates), which is the regime
+# bucketed indexes are built for. This fixture plants that structure
+# deterministically so both engines can generate it bit-identically:
+# K Gaussian-ish clusters (integer centroid + small integer jitter, all
+# exact arithmetic), cluster = vec_id % K — same-cluster vectors are
+# each other's true neighbors by construction (the planted-duplicate
+# analogue of a template-heavy corpus).
+
+K_CLUSTERS = 8
+#: per-dim value = centroid(cluster, dim)·100 + jitter(vec, dim)·150;
+#: centroid range ±800, jitter range ±600 — tuned so the clusters are
+#: real but their boundaries fuzzy: recall lands HIGH-BUT-IMPERFECT
+#: (LSH 0.80, IVF 0.88 at sf0.01) instead of a vacuous 1.0, so the
+#: audit shows an actual curve against the random fixture's 0.20/0.30.
+_CVEC_CORE = (
+    "(((vec_id % 8) * 37 + i * 11) % 17 - 8) * 100"
+    " + ((vec_id * 13 + i * 7) % 9 - 4) * 150"
+)
+_CVEC_SPARK = f"transform(sequence(0, {DIM - 1}), i -> cast({_CVEC_CORE} as bigint))"
+_CVEC_DUCK = f"list_transform(range(0, {DIM}), i -> CAST({_CVEC_CORE} AS BIGINT))"
+
+
+def _clustered(emb: DataFrame) -> DataFrame:
+    n = emb.select("vec_id", F.expr(_CVEC_SPARK).alias("qv"))
+    return n.withColumn(
+        "norm2", F.expr("aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)")
+    )
+
+
+def _bruteforce_topk_from(n: DataFrame) -> DataFrame:
+    """Exact cosine top-k over an arbitrary quantized table — the same
+    plan as ann_bruteforce_topk, parameterized on the fixture."""
+    queries = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), F.col("norm2").alias("na")
+    )
+    corpus = n.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"), F.col("norm2").alias("nb")
+    )
+    scored = (
+        corpus.join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_expr("qa", "qb", "na", "nb"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+def _lsh_topk_from(n: DataFrame) -> DataFrame:
+    """Single-probe LSH over an arbitrary quantized table — the same
+    tables/bits/hyperplanes as ann_lsh_topk."""
+    sigs = n.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), F.expr(_sig_spark(t)).alias("sig"))
+                    for t in range(LSH_TABLES)
+                ]
+            )
+        ).alias("ts"),
+    ).select("vec_id", "ts.tbl", "ts.sig")
+    q_sigs = sigs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "tbl", "sig"
+    )
+    cand = (
+        sigs.join(q_sigs, ["tbl", "sig"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    a = n.select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"), F.col("norm2").alias("na"))
+    b = n.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"), F.col("norm2").alias("nb"))
+    scored = (
+        cand.join(F.broadcast(a), "query_id")
+        .join(b, "neighbor_id")
+        .withColumn("cosine", _cosine_expr("qa", "qb", "na", "nb"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+def _ivf_topk_from(n: DataFrame) -> DataFrame:
+    """IVF probe over an arbitrary quantized table — same centroid rule
+    and cell-probe shape as ann_ivf_topk."""
+    assigned = _ivf_assign(n)
+    a = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qa"),
+        F.col("norm2").alias("na"), "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qb"),
+        F.col("norm2").alias("nb"), "centroid_id",
+    )
+    scored = (
+        a.join(b, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_expr("qa", "qb", "na", "nb"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TOP_K)
+
+
+_CLUSTERED_SIGS_DUCK = "\n    UNION ALL ".join(
+    f"SELECT vec_id, {t} AS tbl, {_sig_duck(t)} AS sig FROM cnn"
+    for t in range(LSH_TABLES)
+)
+
+
+@register(
+    "ann_clustered_recall_audit",
+    oracle=f"""
+    WITH cn AS (
+        SELECT vec_id, {_CVEC_DUCK} AS qv FROM embeddings
+    ),
+    cnn AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2
+        FROM cn
+    ),
+    exact_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='a.qv', b='b.qv')} AS DOUBLE)
+                                / sqrt(CAST(a.norm2 AS DOUBLE))
+                                / sqrt(CAST(b.norm2 AS DOUBLE)) DESC, b.vec_id
+                   ) AS rk
+            FROM cnn a JOIN cnn b
+              ON a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        ) WHERE rk <= {TOP_K}
+    ),
+    sigs AS (
+        {_CLUSTERED_SIGS_DUCK}
+    ),
+    lsh_cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    clsh_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT cand.query_id, cand.neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY cand.query_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='a.qv', b='b.qv')} AS DOUBLE)
+                                / sqrt(CAST(a.norm2 AS DOUBLE))
+                                / sqrt(CAST(b.norm2 AS DOUBLE)) DESC, cand.neighbor_id
+                   ) AS rk
+            FROM lsh_cand cand
+            JOIN cnn a ON a.vec_id = cand.query_id
+            JOIN cnn b ON b.vec_id = cand.neighbor_id
+        ) WHERE rk <= {TOP_K}
+    ),
+    centroids AS (
+        SELECT vec_id AS centroid_id, qv AS cv, norm2 AS cnorm FROM cnn
+        WHERE vec_id % {CENTROID_STEP} = 0
+    ),
+    assigned AS (
+        SELECT vec_id, qv, norm2, centroid_id
+        FROM (
+            SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='v.qv', b='c.cv')} AS DOUBLE)
+                                / sqrt(CAST(v.norm2 AS DOUBLE))
+                                / sqrt(CAST(c.cnorm AS DOUBLE)) DESC, c.centroid_id
+                   ) AS rn
+            FROM cnn v CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    civf_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='a.qv', b='b.qv')} AS DOUBLE)
+                                / sqrt(CAST(a.norm2 AS DOUBLE))
+                                / sqrt(CAST(b.norm2 AS DOUBLE)) DESC, b.vec_id
+                   ) AS rk
+            FROM assigned a JOIN assigned b
+              ON a.centroid_id = b.centroid_id
+             AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+        ) WHERE rk <= {TOP_K}
+    ),
+    legs AS (
+        {_recall_leg_duck('lsh_clustered', 'clsh_topk')}
+        UNION ALL
+        {_recall_leg_duck('ivf_clustered', 'civf_topk')}
+    )
+    SELECT method, query_id, n_exact, n_hit,
+           CAST(n_hit AS DOUBLE) / n_exact AS recall_at_k
+    FROM legs
+    """,
+    doc=f"Recall@{TOP_K} of LSH and IVF on a CLUSTERED embedding fixture "
+    f"({K_CLUSTERS} planted integer-centroid clusters + small jitter, "
+    "cluster = vec_id % 8, generated bit-identically by both engines) — "
+    "the regime real corpora live in, vs the near-random fixture that is "
+    "LSH's worst case (BASELINE.md r3 note, VERDICT r5 item 6). Same "
+    "hyperplanes, tables, bits, and centroid rule as the random-fixture "
+    "audits, so the two recall tables are directly comparable.",
+)
+def ann_clustered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical shapes to the random-fixture pipelines (the
+    fixture swap changes VALUES, not plans): map-only signature/centroid
+    assignment, ids-only candidate dedup, broadcast query side. The
+    audit exists to show the recall/cost curves where bucketed indexes
+    actually operate — clustered corpora — next to their worst case."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = _clustered(emb).select("vec_id", "qv", "norm2")
+    exact = _bruteforce_topk_from(n).select("query_id", "neighbor_id")
+
+    def leg(method: str, approx: DataFrame) -> DataFrame:
+        hits = approx.select("query_id", "neighbor_id", F.lit(1).alias("__hit__"))
+        return (
+            exact.join(hits, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_exact"),
+                F.sum(F.coalesce("__hit__", F.lit(0))).cast("bigint").alias("n_hit"),
+            )
+            .select(F.lit(method).alias("method"), "*")
+        )
+
+    out = leg("lsh_clustered", _lsh_topk_from(n)).unionByName(
+        leg("ivf_clustered", _ivf_topk_from(n))
+    )
+    return out.withColumn(
+        "recall_at_k", F.col("n_hit").cast("double") / F.col("n_exact")
+    )

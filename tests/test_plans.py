@@ -354,7 +354,7 @@ def _shuffle_profile(spark, df):
     df.collect()
     jvm = spark._jvm
     seen: set[int] = set()
-    tot = {"shuffle_records": 0, "rows_scanned": 0}
+    tot = {"shuffle_records": 0, "rows_scanned": 0, "shuffle_bytes": 0}
 
     def walk(node):
         ident = jvm.java.lang.System.identityHashCode(node)
@@ -370,6 +370,8 @@ def _shuffle_profile(spark, df):
             key, val = kv._1(), kv._2().value()
             if val > 0 and key == "shuffleRecordsWritten":
                 tot["shuffle_records"] += val
+            elif val > 0 and key == "shuffleBytesWritten":
+                tot["shuffle_bytes"] += val
             elif val > 0 and key == "numOutputRows" and node.nodeName().startswith("Scan "):
                 tot["rows_scanned"] += val
         if cls == "AdaptiveSparkPlanExec":
@@ -418,6 +420,59 @@ def test_shuffle_ratios_stay_bounded(spark, sf_dir):
         )
         # and the collapse is real: shuffled stays far below the scan
         assert tot["shuffle_records"] < 0.9 * tot["rows_scanned"], name
+
+
+# Per-query cap on the AVERAGE shuffled bytes per record — the payload-
+# leak detector (VERDICT r5 item 8). Record width through exchanges is
+# scale-INVARIANT (same columns at any SF), so a bound set at test SF
+# holds at 100 TB: a text/embedding column leaking into an exchange
+# multiplies the width 10-100x and fails here, long before a bench read.
+# Queries = the top-20 shufflers of the r6 full-registry profile
+# (tools/bench_shuffle.py --all at sf0.01: 292 queries, 45 MB total,
+# spill 0); bounds ~3x the measured width (graph edges ~9-10 B/rec,
+# id+agg rows ~15-27 B/rec, HLL partials ~94 B/rec, percentile digests
+# ~54-68 KB/rec — digest size is an accuracy constant, not data).
+_SHUFFLE_WIDTH_BOUNDS = {
+    "pagerank_two_iter": 30,
+    "label_propagation_communities": 30,
+    "word_cooccurrence_lift": 90,
+    "copurchase_reach_3hop": 30,
+    "triangle_count_copurchase": 30,
+    "copurchase_part_pairs": 30,
+    "frequent_triples_apriori": 30,
+    "percentile_price_profile_approx": 250_000,
+    "percentile_price_profile": 250_000,
+    "backup_supplier_coverage": 30,
+    "supplier_sole_blame": 45,
+    "approx_distinct_monthly": 300,
+    "weighted_median_price": 60,
+    "sql_view_shipping_priority": 80,
+    "line_sequence_integrity_audit": 50,
+    "salted_join_skew_guard": 50,
+    "doc_lm_score": 65,
+    "rank_preference_case": 30,
+    "negative_sampling_pairs": 70,
+    "rolling_quarter_active_customers": 30,
+    "sessionize_events_bucketed": 75,
+    "shingle_df_distribution": 65,
+}
+
+
+def test_shuffle_width_stays_bounded(spark, sf_dir):
+    """Registry-wide shuffle-WIDTH ratchet: for the top-20 shufflers of
+    the full-registry profile, the average bytes moved per exchange
+    record must stay at the ids+aggregates width the plans were designed
+    around. A regression that drags a payload column (text, embedding
+    array, raw struct) through an exchange fails this test at any scale
+    factor — width is a schema property, not a data-volume property."""
+    for name, bound in _SHUFFLE_WIDTH_BOUNDS.items():
+        tot = _shuffle_profile(spark, REGISTRY[name].spark(spark, sf_dir))
+        assert tot["shuffle_records"] > 0, name
+        width = tot["shuffle_bytes"] / tot["shuffle_records"]
+        assert width <= bound, (
+            f"{name}: {width:.1f} B/record through exchanges (bound "
+            f"{bound}) — a payload column is leaking into a shuffle"
+        )
 
 
 def test_pipeline_stage_shuffles_stay_bounded(spark, sf_dir, tmp_path):
