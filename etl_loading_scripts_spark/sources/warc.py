@@ -138,6 +138,76 @@ def read_warc_file(path: str):
     yield from iter_warc_records(raw)
 
 
+def iter_member_spans(path: str):
+    """Yield ``(offset, length, record)`` per WARC record with the
+    FILE-LEVEL byte span that contains it — the CDX index unit.
+
+    For ``.warc.gz`` in the member-per-record layout, the span is the
+    COMPRESSED gzip member (found by walking members with zlib's
+    ``unused_data``, no framing guesses): a reader can seek+read that
+    slice and decompress one member without touching the rest of the
+    archive — exactly how Common Crawl's CDX(J) indexes address records.
+    For plain ``.warc``, the span is the record's raw framing bytes.
+    Raises ``ValueError`` on corrupt framing (quarantine convention)."""
+    import zlib
+
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    if path.endswith(".gz"):
+        pos = 0
+        while pos < len(raw):
+            d = zlib.decompressobj(wbits=31)
+            try:
+                member = d.decompress(raw[pos:])
+                while not d.eof:  # pragma: no cover — single-shot above
+                    member += d.decompress(b"")
+            except zlib.error as exc:
+                raise ValueError("corrupt WARC gzip member") from exc
+            if not d.eof:
+                raise ValueError("corrupt WARC: truncated gzip member")
+            consumed = len(raw) - pos - len(d.unused_data)
+            for rec in iter_warc_records(member):
+                yield pos, consumed, rec
+            pos += consumed
+    else:
+        pos = 0
+        n = len(raw)
+        while pos < n:
+            while pos < n and raw[pos : pos + 2] == _CRLF:
+                pos += 2
+            if pos >= n:
+                break
+            start = pos
+            head_end = raw.find(_CRLF + _CRLF, pos)
+            if head_end < 0:
+                raise ValueError("corrupt WARC: unterminated header block")
+            # delegate framing/validation to the record parser on the
+            # single-record slice the span addresses
+            body = raw[start:]
+            rec = next(iter_warc_records(body))
+            end = (
+                start
+                + (head_end - start)
+                + 4
+                + rec["content_length"]
+                + 4
+            )
+            yield start, end - start, rec
+            pos = end
+
+
+def read_warc_span(path: str, offset: int, length: int):
+    """Point lookup: seek+read exactly ``length`` bytes at ``offset``
+    and parse the records inside — the CDX-addressed read. Returns
+    ``(records, bytes_read)`` so callers (and the pruning benchmark)
+    can account for IO honestly."""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        buf = fh.read(length)
+    raw = gzip.decompress(buf) if path.endswith(".gz") else buf
+    return list(iter_warc_records(raw)), len(buf)
+
+
 def _make_datasource_class():
     """Build the DataSource class lazily so importing this module never
     requires the (Spark 4-only) datasource API at import time."""
@@ -533,4 +603,189 @@ def warc_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.decode("payload", "UTF-8").cast("string").cast("binary")).alias(
             "text_md5"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDX-style member index — offset/length per record, built once, parquet
+# ---------------------------------------------------------------------------
+#
+# Production crawls are addressed through CDX(J) indexes: one row per
+# record with the archive name and the COMPRESSED byte span of its gzip
+# member, so consumers (a) point-read single documents without scanning
+# archives and (b) split oversized archives into record ranges for
+# parallel scan — the two things a 1-partition-per-file source cannot
+# do. VERDICT r5 item 7.
+
+_CDX_SCHEMA = (
+    "source_file string, record_idx int, offset long, length long, "
+    "warc_type string, target_uri string, content_length int"
+)
+
+
+def build_cdx_index(spark: SparkSession, warc_dir: str, index_path: str) -> None:
+    """Build the member index DISTRIBUTED — one task per archive (the
+    same file-level parallelism as the scan itself), one parquet row
+    per record: (source_file, record_idx, offset, length, warc_type,
+    target_uri, content_length). Build once per crawl; every later
+    point lookup and range-split scan reads the index, not the
+    archives."""
+    files = sorted(
+        f for f in os.listdir(warc_dir) if f.endswith((".warc", ".warc.gz"))
+    )
+    if not files:
+        raise ValueError(f"no .warc[.gz] files under {warc_dir}")
+    fdf = spark.createDataFrame([(f,) for f in files], "source_file string")
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "source_file", "record_idx", "offset", "length",
+                    "warc_type", "target_uri", "content_length",
+                )
+            }
+            for base in pdf["source_file"]:
+                path = os.path.join(warc_dir, base)
+                for idx, (off, ln, rec) in enumerate(iter_member_spans(path)):
+                    out["source_file"].append(base)
+                    out["record_idx"].append(idx)
+                    out["offset"].append(off)
+                    out["length"].append(ln)
+                    out["warc_type"].append(rec["warc_type"])
+                    out["target_uri"].append(rec["target_uri"])
+                    out["content_length"].append(rec["content_length"])
+            yield pd.DataFrame(out).astype(
+                {
+                    "record_idx": "int32", "offset": "int64",
+                    "length": "int64", "content_length": "int32",
+                }
+            )
+
+    fdf.repartition(len(files), "source_file").mapInPandas(
+        scan, schema=_CDX_SCHEMA
+    ).write.mode("overwrite").parquet(index_path)
+
+
+def warc_scan_with_index(
+    spark: SparkSession,
+    warc_dir: str,
+    index_path: str,
+    records_per_split: int = 4,
+) -> DataFrame:
+    """Index-backed WARC scan with RECORD-RANGE SPLITS: the index groups
+    each archive's records into contiguous ``records_per_split`` ranges;
+    each task seeks to its range's first byte and reads only that span.
+    An oversized archive (the 100 GB .warc.gz a 1-partition-per-file
+    source would hand to ONE task) becomes as many tasks as it has
+    ranges. Returns the same schema as ``spark.read.format('warc')`` —
+    oracle-equal to the full scan (``warc_cdx_index_scan``)."""
+    idx = spark.read.parquet(index_path)
+    splits = (
+        idx.groupBy(
+            "source_file",
+            F.floor(F.col("record_idx") / records_per_split).alias("split_id"),
+        )
+        .agg(
+            F.min("offset").alias("off"),
+            F.max(F.col("offset") + F.col("length")).alias("end"),
+        )
+        .select("source_file", "split_id", "off", (F.col("end") - F.col("off")).alias("len"))
+    )
+
+    def read_split(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: []
+                for k in (
+                    "source_file", "warc_type", "target_uri", "warc_date",
+                    "content_type", "content_length", "payload",
+                )
+            }
+            for base, off, ln in zip(pdf["source_file"], pdf["off"], pdf["len"]):
+                path = os.path.join(warc_dir, base)
+                recs, _ = read_warc_span(path, int(off), int(ln))
+                for rec in recs:
+                    out["source_file"].append(base)
+                    for k in (
+                        "warc_type", "target_uri", "warc_date",
+                        "content_type", "content_length", "payload",
+                    ):
+                        out[k].append(rec[k])
+            yield pd.DataFrame(out).astype({"content_length": "int32"})
+
+    n_splits = max(1, splits.count())
+    return splits.repartition(n_splits, "source_file", "split_id").mapInPandas(
+        read_split, schema=_SCHEMA
+    )
+
+
+@register(
+    "warc_cdx_index_scan",
+    oracle=f"""
+    WITH recs AS (
+        SELECT f, r,
+               CASE WHEN (f + r) % 2 = 0 THEN 'text/plain'
+                    ELSE 'text/html' END AS content_type,
+               {_PAY_LEN} AS ln
+        FROM range(0, {_N_ARCHIVES}) a(f)
+        CROSS JOIN range(0, {_REC_PER_ARCHIVE}) b(r)
+        WHERE r % 3 = 0
+    )
+    SELECT 'part-' || lpad(CAST(f AS VARCHAR), 4, '0') || '.warc'
+               || (CASE WHEN f % 2 = 1 THEN '.gz' ELSE '' END) AS source_file,
+           content_type,
+           CAST(count(*) AS BIGINT) AS n_responses,
+           CAST(sum(ln) AS BIGINT) AS total_bytes,
+           CAST(sum(list_sum(list_transform(range(0, ln),
+                     i -> {_PAY_BYTE}))) AS BIGINT) AS payload_checksum
+    FROM recs
+    GROUP BY 1, 2
+    """,
+    doc="CDX-INDEX-backed WARC scan (VERDICT r5 item 7): a member index "
+    "(offset/length per record, built once as parquet, one task per "
+    "archive) drives a RECORD-RANGE-SPLIT scan — each task seeks and "
+    "reads only its 2-record byte span (gzip members addressed by "
+    "compressed offset, the Common Crawl CDX shape). The per-(archive, "
+    "content-type) response stats must equal the full-scan oracle — the "
+    "index-backed scan is provably lossless, and the same index serves "
+    "measured pruned point-reads (test_warc_cdx_point_read_prunes).",
+)
+def warc_cdx_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the index turns the WARC split unit from 'archive file'
+    into 'record range' — an oversized archive scans with as many tasks
+    as ranges, and point lookups read one member's bytes instead of the
+    archive. Build cost is one linear scan per archive, amortized over
+    every later read (same trade as sources/skipping.py for parquet)."""
+    d = plant_warc_fixtures(sf_dir)
+    index_path = os.path.join(d, "_cdx_index")
+    if not os.path.isdir(index_path):
+        build_cdx_index(spark, d, index_path)
+    scanned = warc_scan_with_index(spark, d, index_path, records_per_split=2)
+    responses = scanned.filter(F.col("warc_type") == "response")
+
+    def byte_sums(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload_sum"] = [int(sum(bytes(p))) for p in pdf["payload"]]
+            yield pdf[[
+                "source_file", "content_type", "content_length", "payload_sum",
+            ]]
+
+    summed = responses.mapInPandas(
+        byte_sums,
+        schema="source_file string, content_type string, "
+        "content_length int, payload_sum long",
+    )
+    return summed.groupBy("source_file", "content_type").agg(
+        F.count(F.lit(1)).alias("n_responses"),
+        F.sum("content_length").cast("long").alias("total_bytes"),
+        F.sum("payload_sum").cast("long").alias("payload_checksum"),
     )

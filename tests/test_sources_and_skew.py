@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -630,3 +632,79 @@ def test_warc_writer_roundtrip_and_two_phase(spark, sf_dir, tmp_path):
     docs.limit(10).repartition(2).write.format("warc").mode("overwrite").save(out)
     assert spark.read.format("warc").load(out).count() == 10
     assert not any(".inprogress" in f for f in os.listdir(out))
+
+
+def test_warc_cdx_point_read_prunes(spark, tmp_path):
+    """The CDX member index (VERDICT r5 item 7): spans address every
+    record exactly (gzip members by compressed offset, raw records by
+    framing bytes); a point lookup reads ONLY the target member's bytes
+    — measured ~1/N of the archive — and decodes the same record the
+    full scan yields; and the index-backed range-split scan returns the
+    full record set of an archive through multiple independent seeks."""
+    from etl_loading_scripts_spark.sources.warc import (
+        build_cdx_index,
+        build_warc_record,
+        iter_member_spans,
+        read_warc_file,
+        read_warc_span,
+        warc_scan_with_index,
+        write_warc,
+    )
+
+    n_rec = 16
+    records = [
+        build_warc_record(
+            "response" if r % 3 == 0 else "request",
+            f"http://x/{r}", "2026-01-01T00:00:00Z", "text/plain",
+            bytes((r * 7 + i) % 251 for i in range(50 + r * 13)),
+        )
+        for r in range(n_rec)
+    ]
+    d = tmp_path / "warc_cdx"
+    d.mkdir()
+    gz = str(d / "big-0000.warc.gz")
+    plain = str(d / "big-0001.warc")
+    write_warc(gz, records, gzip_members=True)
+    write_warc(plain, records, gzip_members=False)
+    for path in (gz, plain):
+        spans = list(iter_member_spans(path))
+        assert len(spans) == n_rec
+        full = list(read_warc_file(path))
+        archive_bytes = os.path.getsize(path)
+        # spans tile the file: contiguous, in order, covering every byte
+        assert spans[0][0] == 0
+        for (o1, l1, _), (o2, _, _) in zip(spans, spans[1:]):
+            assert o1 + l1 == o2
+        assert spans[-1][0] + spans[-1][1] == archive_bytes
+        # point read: exactly one record, same content, ~1/N of the IO
+        target = 11
+        off, ln, _ = spans[target]
+        got, bytes_read = read_warc_span(path, off, ln)
+        assert len(got) == 1
+        assert got[0] == full[target]
+        assert bytes_read == ln
+        assert bytes_read < archive_bytes / (n_rec / 2)  # genuinely pruned
+    # index-backed range-split scan == full scan (an oversized archive
+    # becomes ceil(16/4)=4 independent splits per file)
+    index_path = str(d / "_cdx")
+    build_cdx_index(spark, str(d), index_path)
+    idx = spark.read.parquet(index_path)
+    assert idx.count() == 2 * n_rec
+    scanned = warc_scan_with_index(spark, str(d), index_path, records_per_split=4)
+    # 2 files x 4 ranges: the oversized-archive split unit is the record
+    # range, not the file (AQE may still coalesce the tiny test shuffle,
+    # so assert the SPLIT computation, not the physical partition count)
+    n_ranges = (
+        idx.select("source_file", F.floor(F.col("record_idx") / 4)).distinct().count()
+    )
+    assert n_ranges == 8
+    got_uris = sorted(
+        (r.source_file, r.target_uri, bytes(r.payload))
+        for r in scanned.collect()
+    )
+    want = sorted(
+        (os.path.basename(p), rec["target_uri"], rec["payload"])
+        for p in (gz, plain)
+        for rec in read_warc_file(p)
+    )
+    assert got_uris == want
