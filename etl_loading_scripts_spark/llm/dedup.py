@@ -1826,3 +1826,125 @@ def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("rn") == 1).cast("int")).cast("bigint").alias("n_kept"),
         F.sum((F.col("rn") > 1).cast("int")).cast("bigint").alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-level substring dedup — duplicated k-gram COVERAGE, not doc identity
+# ---------------------------------------------------------------------------
+
+#: Tokens per duplicated-substring gram. Production corpora use ~50-token
+#: spans (the "deduplicating training data" line of work); the synthetic
+#: docs are short, so the operator parameterizes at 8 — the PLAN is
+#: identical at any k.
+DUP_SPAN_K = 8
+
+
+@register(
+    "dup_span_coverage",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\W+'),
+                           w -> w <> '') AS w
+        FROM documents
+    ),
+    sized AS (SELECT doc_id, w, len(w) AS n FROM base WHERE len(w) > 0),
+    grams AS (
+        SELECT doc_id,
+               unnest(range(0, n - {DUP_SPAN_K} + 1)) AS pos,
+               unnest(list_transform(range(0, n - {DUP_SPAN_K} + 1),
+                      i -> md5(array_to_string(w[i+1:i+{DUP_SPAN_K}], ' '))))
+                   AS gram_key
+        FROM sized
+        WHERE n >= {DUP_SPAN_K}
+    ),
+    cnt AS (
+        SELECT gram_key, COUNT(*) AS c FROM grams GROUP BY 1
+    ),
+    dup_pos AS (
+        SELECT g.doc_id, g.pos
+        FROM grams g JOIN cnt ON g.gram_key = cnt.gram_key
+        WHERE cnt.c >= 2
+    ),
+    cov AS (
+        SELECT doc_id, pos,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dup_pos
+    ),
+    agg AS (
+        SELECT doc_id,
+               COUNT(*) AS n_dup_positions,
+               SUM(CASE WHEN prev IS NULL THEN {DUP_SPAN_K}
+                        ELSE LEAST({DUP_SPAN_K}, pos - prev) END) AS covered
+        FROM cov GROUP BY 1
+    )
+    SELECT s.doc_id,
+           CAST(s.n AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+           CAST(COALESCE(a.covered, 0) AS BIGINT) AS covered_tokens,
+           CAST(COALESCE(a.covered, 0) AS DOUBLE) / s.n AS dup_fraction
+    FROM sized s LEFT JOIN agg a ON s.doc_id = a.doc_id
+    """,
+    doc=f"SPAN-level substring dedup: the fraction of each document's "
+    f"tokens covered by {DUP_SPAN_K}-gram substrings that occur at least "
+    "twice in the corpus (interval-union coverage via the lag-window "
+    "min(k, gap) identity) — the 'duplicated training spans' measure. "
+    "Doc-level dedup (exact/MinHash/SimHash) keeps one copy of a "
+    "boilerplate-heavy page; this finds the boilerplate INSIDE kept "
+    "documents, the remove-or-downweight signal span-dedup pipelines act "
+    "on. Exact integer coverage; md5 gram keys shared by both engines.",
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one corpus-wide groupBy on the 32-char md5 gram key (the
+    inverted index — ids+hash only through the exchange, never text), a
+    semi-join of positions against duplicated keys on the same key (one
+    shuffle, co-partitioned), and a doc-grain lag window. The k-gram
+    explode is a bounded xK row multiplier of the token stream — the
+    same cost every shingle operator here pays. At 50-token production
+    spans the gram count per doc FALLS (n-k+1), not rises."""
+    k = DUP_SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(lower(text), '\\W+'), w -> w <> '')").alias("w"),
+    ).withColumn("n", F.size("w")).filter(F.col("n") > 0)
+    grams = (
+        sized.filter(F.col("n") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, n - {k}), i -> "
+                    f"struct(i as pos, md5(concat_ws(' ', slice(w, i + 1, {k}))) as gram_key))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.pos", "g.gram_key")
+    )
+    dup_keys = grams.groupBy("gram_key").count().filter(F.col("count") >= 2)
+    dup_pos = grams.join(dup_keys.select("gram_key"), "gram_key").select(
+        "doc_id", "pos"
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    cov = dup_pos.withColumn("prev", F.lag("pos").over(w_doc))
+    agg = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_positions"),
+        F.sum(
+            F.when(F.col("prev").isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), F.col("pos") - F.col("prev"))
+            )
+        ).alias("covered"),
+    )
+    return (
+        sized.select("doc_id", "n")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_positions", F.lit(0)).cast("long").alias("n_dup_positions"),
+            F.coalesce("covered", F.lit(0)).cast("long").alias("covered_tokens"),
+            (
+                F.coalesce("covered", F.lit(0)).cast("double") / F.col("n")
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1854,6 +1854,8 @@ _WEBP_PX_DUCK = (
     "       + (q % 4) * 5) % 251 "
     " WHEN doc_id % 16 = 8 "
     " THEN (doc_id * 13 + ((q // 4) % w) * 17 + (q % 4) * 7) % 251 "
+    " WHEN doc_id % 16 = 12 "
+    " THEN (doc_id * 29 + (((q // 4) // w) % 5) * 41 + (q % 4) * 13) % 251 "
     " WHEN doc_id % 8 = 6 "
     " THEN (doc_id * 19 + (((q // 4) * 31) % 7) * 37 + (q % 4) * 11) % 251 "
     " WHEN doc_id % 8 = 2 "
@@ -1919,6 +1921,14 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     (d * 13 + ((q // 4) % w) * 17 + (q % 4) * 7) % 251
                 ).astype(np.uint8)
                 kind = "neighbor"
+            elif d % 16 == 12:
+                # row-striped 5-color image: the COMBINED class —
+                # subtract-green + color cache + distance-1 backrefs
+                # (neighbor code 2) interacting in ONE stream
+                px = (
+                    (d * 29 + (((q // 4) // w) % 5) * 41 + (q % 4) * 13) % 251
+                ).astype(np.uint8)
+                kind = "combined"
             elif d % 8 == 6:
                 # few-color non-run image: the COLOR-CACHE class
                 px = (
@@ -1959,6 +1969,12 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
 
                 payload = encode_webp_neighbor(w, h, px.tobytes())
+            elif kind == "combined":
+                from etl_loading_scripts_spark.llm.webp import (
+                    encode_webp_combined,
+                )
+
+                payload = encode_webp_combined(w, h, px.tobytes())
             elif kind == "cache":
                 from etl_loading_scripts_spark.llm.webp import (
                     encode_webp_cached,
@@ -2018,6 +2034,7 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 WHEN doc_id % 16 = 14 THEN 'cross_color'
                 WHEN doc_id % 16 = 10 THEN 'predictor'
                 WHEN doc_id % 16 = 8 THEN 'neighbor'
+                WHEN doc_id % 16 = 12 THEN 'combined'
                 WHEN doc_id % 8 = 6 THEN 'cache'
                 WHEN doc_id % 8 = 2 THEN 'rle'
                 WHEN doc_id % 2 = 0 THEN 'simple'
@@ -2048,6 +2065,8 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "multipliers), doc%16==4 META prefix groups (per-block entropy "
     "segmentation), doc%16==8 NEIGHBOR-MAP distance codes (the "
     "120-entry 2D distance table, previous-row copies as code 1) — "
+    "doc%16==12 the COMBINED stream (subtract-green + color cache + "
+    "distance-1 neighbor backrefs interacting in one stream) — "
     "ALL FOUR transforms + meta + both distance-code forms exercised; "
     "output pixels identical, wire different. The one remaining "
     "quarantine line is lossy VP8.",

@@ -37,7 +37,10 @@ sub-resolution entropy image — the spatial entropy segmentation,
 ``encode_webp_meta``). And the 120-entry NEIGHBOR-MAP distance codes
 (spec §4.2.2's 2D distance mapping — codes 1..120 address nearby
 pixel offsets, ``encode_webp_neighbor`` emits them for
-previous-row copies). The remaining honest quarantine line: lossy
+previous-row copies). And the COMBINED stream
+(``encode_webp_combined``: subtract-green + color cache + distance-1
+neighbor backrefs interacting in one bitstream — the multi-tool shape
+real libwebp output has). The remaining honest quarantine line: lossy
 WebP (VP8).
 Interop caveat shared by every codec in this repo: encoder/decoder
 pairs are proven lossless against each other and structurally against
@@ -1033,6 +1036,134 @@ def encode_webp_cached(
             emit("a", int(px[v, 3]))
         else:
             emit("g", _GREEN_ALPHA + v)
+    body = b"\x2f" + bw.flush()
+    chunk = b"VP8L" + struct.pack("<I", len(body)) + body
+    if len(body) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_combined(
+    width: int, height: int, rgba: bytes, cache_bits: int = 6
+) -> bytes:
+    """Encode RGBA pixels with THREE coding tools in ONE stream —
+    SUBTRACT-GREEN transform + COLOR CACHE + LZ77 backreferences
+    (distance 1 via NEIGHBOR code 2) — the tool interaction real
+    libwebp output exhibits constantly but the single-tool wire
+    classes never exercise together: cache symbols ride above the
+    literal+length green range, backref-copied pixels must be
+    replayed into the cache exactly as the decoder does, and the
+    transform inverts after entropy decode."""
+    if not 1 <= cache_bits <= 11:
+        raise ValueError("cache_bits must be in 1..11")
+    if len(rgba) != width * height * 4:
+        raise ValueError("rgba length must be width*height*4")
+    px = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4).copy()
+    has_alpha = bool((px[:, 3] != 255).any())
+    # subtract-green on the stored samples (decoder adds back last)
+    g = px[:, 1].astype(np.int64)
+    px[:, 0] = ((px[:, 0].astype(np.int64) - g) & 0xFF).astype(np.uint8)
+    px[:, 2] = ((px[:, 2].astype(np.int64) - g) & 0xFF).astype(np.uint8)
+    n = px.shape[0]
+    size = 1 << cache_bits
+    cache = [0] * size
+
+    def argb_of(i):
+        return (
+            (int(px[i, 3]) << 24) | (int(px[i, 0]) << 16)
+            | (int(px[i, 1]) << 8) | int(px[i, 2])
+        )
+
+    def slot(v):
+        return (0x1E35A7BD * v & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    # tokenize replaying the decoder's exact cache discipline
+    tokens: list[tuple[str, int]] = []  # ("lit", i)|("cache", slot)|("ref", len)
+    i = 0
+    while i < n:
+        run = 1
+        while i + run < n and run < 4096 and (px[i + run] == px[i]).all():
+            run += 1
+        # pixel i itself: cache hit or literal
+        v = argb_of(i)
+        s = slot(v)
+        if i > 0 and cache[s] == v:
+            tokens.append(("cache", s))
+        else:
+            tokens.append(("lit", i))
+            cache[s] = v
+        if run >= 5:  # first pixel emitted above, copy the rest
+            tokens.append(("ref", run - 1))
+            # decoder inserts every COPIED pixel into the cache
+            for k in range(1, run):
+                vv = argb_of(i + k)
+                cache[slot(vv)] = vv
+            i += run
+        else:
+            i += 1
+    dist_code = _distance_to_dist_code(1, width)  # (1,0) → neighbor code 2
+    dist_sym = _prefix_value_encode(dist_code)[0]
+    freqs = {k: {} for k in ("g", "r", "b", "a", "d")}
+
+    def bump(ch, sym):
+        freqs[ch][sym] = freqs[ch].get(sym, 0) + 1
+
+    for kind, v in tokens:
+        if kind == "lit":
+            bump("g", int(px[v, 1]))
+            bump("r", int(px[v, 0]))
+            bump("b", int(px[v, 2]))
+            bump("a", int(px[v, 3]))
+        elif kind == "cache":
+            bump("g", _GREEN_ALPHA + v)
+        else:
+            bump("g", 256 + _prefix_value_encode(v)[0])
+            bump("d", dist_sym)
+    for ch in ("r", "b", "a"):
+        if not freqs[ch]:
+            freqs[ch] = {0: 1}
+    if not freqs["d"]:
+        freqs["d"] = {0: 1}
+    bw = _BitWriterLSB()
+    bw.write(width - 1, 14)
+    bw.write(height - 1, 14)
+    bw.write(1 if has_alpha else 0, 1)
+    bw.write(0, 3)  # version
+    bw.write(1, 1)  # one transform follows
+    bw.write(2, 2)  # TRANSFORM_SUBTRACT_GREEN
+    bw.write(0, 1)  # end of transform list
+    bw.write(1, 1)  # color cache present
+    bw.write(cache_bits, 4)
+    bw.write(0, 1)  # no meta prefix
+    codes = {}
+    codes["g"] = _write_prefix_code(bw, freqs["g"], _GREEN_ALPHA + size)
+    codes["r"] = _write_prefix_code(bw, freqs["r"], 256)
+    codes["b"] = _write_prefix_code(bw, freqs["b"], 256)
+    codes["a"] = _write_prefix_code(bw, freqs["a"], 256)
+    codes["d"] = _write_prefix_code(bw, freqs["d"], 40)
+
+    def emit(ch, sym):
+        c, ln = codes[ch][sym]
+        if ln:
+            bw.write(_rev(c, ln), ln)
+
+    for kind, v in tokens:
+        if kind == "lit":
+            emit("g", int(px[v, 1]))
+            emit("r", int(px[v, 0]))
+            emit("b", int(px[v, 2]))
+            emit("a", int(px[v, 3]))
+        elif kind == "cache":
+            emit("g", _GREEN_ALPHA + v)
+        else:
+            code, extra_v, extra_n = _prefix_value_encode(v)
+            emit("g", 256 + code)
+            if extra_n:
+                bw.write(extra_v, extra_n)
+            dcode, dextra_v, dextra_n = _prefix_value_encode(dist_code)
+            emit("d", dcode)
+            if dextra_n:
+                bw.write(dextra_v, dextra_n)
     body = b"\x2f" + bw.flush()
     chunk = b"VP8L" + struct.pack("<I", len(body)) + body
     if len(body) % 2:

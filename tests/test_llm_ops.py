@@ -1485,3 +1485,42 @@ def test_imagelib_adapter_seam():
     if not has_pil:
         with pytest.raises(NotImplementedError, match="imaging library"):
             decode_with_adapter(encode_bmp(w, h, rgb))
+
+
+def test_webp_combined_stream_tools_interact():
+    """The COMBINED VP8L stream — subtract-green transform + color
+    cache + distance-1 backrefs (neighbor code 2) in one bitstream:
+    round-trips bit-exact on striped, noisy, and degenerate content,
+    genuinely compresses, and the encoder replays the decoder's exact
+    cache discipline including cache inserts for backref-COPIED pixels
+    (a divergence corrupts every later cache hit)."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_combined,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(71)
+    w, h = 24, 40
+    colors = rng.integers(0, 255, (5, 4), dtype=np.uint8)
+    rows = colors[rng.integers(0, 5, h)]
+    img = np.repeat(rows[:, None, :], w, axis=1).reshape(-1, 4).copy()
+    raw = img.astype(np.uint8).tobytes()
+    pay = encode_webp_combined(w, h, raw)
+    assert decode_webp_lossless(pay) == (w, h, raw)
+    assert len(pay) < len(encode_webp_lossless(w, h, raw)) / 4
+    # noise pixels interrupt runs and pollute the cache mid-stream
+    img[rng.integers(0, w * h, 60)] = rng.integers(0, 255, (60, 4), dtype=np.uint8)
+    raw = img.astype(np.uint8).tobytes()
+    assert decode_webp_lossless(encode_webp_combined(w, h, raw)) == (w, h, raw)
+    # pure noise: cache hits rare, runs absent — still exact
+    noise = rng.integers(0, 255, (17 * 9, 4), dtype=np.uint8).tobytes()
+    assert decode_webp_lossless(encode_webp_combined(17, 9, noise)) == (17, 9, noise)
+    # tiny cache (1 bit) maximizes slot collisions; 1-px-wide image
+    assert decode_webp_lossless(
+        encode_webp_combined(w, h, raw, cache_bits=1)
+    ) == (w, h, raw)
+    one = bytes(rng.integers(0, 255, 1 * 7 * 4, dtype=np.uint8))
+    assert decode_webp_lossless(encode_webp_combined(1, 7, one)) == (1, 7, one)

@@ -136,6 +136,7 @@ _BNLJ_OK = {
     "ann_probe_cost_audit",  # filter-derived query set + probe cells
     "ivf_cell_balance_audit",  # grouped-agg centroid table
     "ann_mrr_audit",  # filter-derived query set + centroid assignment
+    "ann_clustered_recall_audit",  # same filter-derived query set + centroid shapes, clustered fixture
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
