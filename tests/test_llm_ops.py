@@ -1524,3 +1524,99 @@ def test_webp_combined_stream_tools_interact():
     ) == (w, h, raw)
     one = bytes(rng.integers(0, 255, 1 * 7 * 4, dtype=np.uint8))
     assert decode_webp_lossless(encode_webp_combined(1, 7, one)) == (1, 7, one)
+
+
+def test_codec_corruption_fuzz_quarantines():
+    """Corruption fuzz across EVERY image/audio codec: seeded byte
+    flips, truncations, and segment-length tampering of valid payloads
+    must either decode (flip landed in pixel data) or raise an
+    exception the quarantine net catches (ValueError / IndexError /
+    struct.error, multimodal.py) — never StopIteration, KeyError,
+    UnboundLocalError, zlib.error, or an unraised hang. This is the
+    exception-class escape ADVICE r5 found in the VP8L code-length
+    path (StopIteration → RuntimeError through a generator → dead
+    partition), swept across the whole codec surface."""
+    import random
+    import struct as _struct
+
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.audio import (
+        alaw_encode,
+        decode_wav_audio,
+        encode_wav_compressed,
+    )
+    from etl_loading_scripts_spark.llm.codecs import decode_wav_ex, encode_wav_ex
+    from etl_loading_scripts_spark.llm.codecs import (
+        decode_bmp,
+        decode_png,
+        decode_ppm,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+    )
+    from etl_loading_scripts_spark.llm.gif import decode_gif, encode_gif
+    from etl_loading_scripts_spark.llm.jpeg import decode_jpeg, encode_jpeg_gray
+    from etl_loading_scripts_spark.llm.tiff import decode_tiff, encode_tiff
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_combined,
+        encode_webp_predicted,
+    )
+
+    rng = random.Random(20260815)
+    w, h = 8, 6
+    rgb = bytes((i * 29) % 256 for i in range(w * h * 3))
+    rgba = bytes((i * 31) % 251 for i in range(w * h * 4))
+    gray = bytes((i * 17) % 256 for i in range(16 * 16))
+    import numpy as _np
+
+    pcm = _np.array(
+        [int(3000 * ((i * 37) % 17 - 8) / 8) for i in range(400)], dtype="<i2"
+    ).tobytes()
+    palette = bytes((i * 11) % 256 for i in range(12))  # 4-color RGB
+    indices = bytes((i * 5) % 4 for i in range(w * h))
+    cases = [
+        ("bmp", encode_bmp(w, h, rgb), decode_bmp),
+        ("ppm", encode_ppm(w, h, rgb), decode_ppm),
+        ("png", encode_png(w, h, rgb), decode_png),
+        ("jpeg", encode_jpeg_gray(16, 16, gray), decode_jpeg),
+        ("gif", encode_gif(w, h, indices, palette), decode_gif),
+        ("tiff", encode_tiff(w, h, rgb, compression=5, predictor=2), decode_tiff),
+        ("webp_comb", encode_webp_combined(w, h, rgba), decode_webp_lossless),
+        ("webp_pred", encode_webp_predicted(w, h, rgba, size_bits=2), decode_webp_lossless),
+        ("wav_pcm16", encode_wav_ex(8000, 2, 16, pcm), decode_wav_ex),
+        (
+            "wav_alaw",
+            encode_wav_compressed(
+                8000, 6, 8, 1, 400,
+                alaw_encode(_np.frombuffer(pcm, dtype="<i2")).astype("u1").tobytes(),
+            ),
+            decode_wav_audio,
+        ),
+    ]
+    allowed = (ValueError, IndexError, _struct.error)
+    escapes = []
+    for name, payload, decode in cases:
+        assert decode(payload)  # the pristine payload must decode
+        for trial in range(120):
+            buf = bytearray(payload)
+            mode = trial % 3
+            if mode == 0:  # single byte flip anywhere
+                i = rng.randrange(len(buf))
+                buf[i] ^= 1 << rng.randrange(8)
+            elif mode == 1:  # truncate
+                del buf[rng.randrange(1, len(buf)) :]
+            else:  # zero a 4-byte window (length-field tampering)
+                i = rng.randrange(max(1, len(buf) - 4))
+                buf[i : i + 4] = b"\x00\x00\x00\x00"
+            try:
+                decode(bytes(buf))
+            except allowed:
+                pass
+            except Exception as exc:  # noqa: BLE001 — the point of the test
+                escapes.append(
+                    f"{name} trial {trial} mode {mode}: "
+                    f"{type(exc).__name__}: {exc}"
+                )
+    assert not escapes, escapes[:10]
