@@ -41,5 +41,6 @@ from etl_loading_scripts_spark.queries import entity_resolution as _entity_resol
 __all__ = ["REGISTRY", "Query", "register"]
 from etl_loading_scripts_spark.sources import skipping as _skipping  # noqa: F401
 from etl_loading_scripts_spark.sources import warc as _warc  # noqa: F401
+from etl_loading_scripts_spark.sources import pruning as _pruning  # noqa: F401
 from etl_loading_scripts_spark.llm import html as _html  # noqa: F401
 from etl_loading_scripts_spark.operators import lineage as _lineage  # noqa: F401

@@ -529,3 +529,33 @@ def test_pipeline_stage_shuffles_stay_bounded(spark, sf_dir, tmp_path):
     # the load itself stayed correct while we profiled it
     assert metrics["stage2_unmapped_after"] == 0
     assert metrics["stage4_unmapped_after"] == 0
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """Dynamic partition pruning: the quarter rollup filters the
+    CALENDAR DIM, never the fact, yet the month-partitioned fact scan
+    must carry dynamicpruningexpression (the broadcast-subquery
+    partition filter) and at runtime read only the quarter's
+    partitions — the runtime twin of the static month pruning
+    SURVEY §4 builds the layout for."""
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.sources.pruning import plant_partitioned_fact
+
+    df = REGISTRY["dpp_quarter_rollup"].spark(spark, sf_dir)
+    plan = plan_of(df)
+    assert "dynamicpruning" in plan, plan[:2000]
+    # runtime proof: scanned rows = quarter's fact rows + the calendar
+    # dim's orders scan — far below fact + orders (no pruning)
+    d = plant_partitioned_fact(spark, sf_dir)
+    fact_total = spark.read.parquet(d).count()
+    q2 = (
+        spark.read.parquet(d)
+        .filter((F.col("month") % 100).between(4, 6))
+        .count()
+    )
+    assert 0 < q2 < fact_total
+    tot = _shuffle_profile(spark, df)
+    # orders is read once for the dim (fact_total == |orders| here)
+    assert tot["rows_scanned"] <= q2 + fact_total + 10
+    assert tot["rows_scanned"] < 2 * fact_total  # pruning actually happened
