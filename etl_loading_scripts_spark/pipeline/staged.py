@@ -82,6 +82,7 @@ def run_monthly_load_staged(
     instrument: Callable[[DataFrame], dict] | None = None,
     snapshot: Callable[[], dict | None] | None = None,
     publish: bool = True,
+    resume: bool = False,
 ) -> tuple[Domain, dict, list[dict]]:
     """Execute stages 1-5 with checkpoint barriers under ``stage_dir``.
 
@@ -89,24 +90,44 @@ def run_monthly_load_staged(
     matches :func:`run_monthly_load`'s validation dict (same stages,
     same guards — asserted equal in ``tests/test_pipeline.py``) and
     ``stage_report`` has one entry per barrier with wall seconds plus
-    whatever ``snapshot``/``instrument`` recorded."""
+    whatever ``snapshot``/``instrument`` recorded.
+
+    ``resume=True`` is the RESTART path the barriers exist for: any
+    barrier whose parquet output is already committed (``_SUCCESS``
+    present) under the SAME ``stage_dir`` is read back instead of
+    recomputed, so a load that died in stage 4 replays stages 0-3 as
+    metadata reads and recomputes only from the failure point —
+    per-stage restartability like the reference gets from its staging
+    tables. Caller contract: same ``stage_dir`` ⇒ same inputs and
+    window (a changed input with a stale checkpoint is the caller's
+    torn state to avoid — use a fresh dir per logical run)."""
     report: list[dict] = []
     metrics: dict[str, int] = {}
+
+    def _resumable(path: str) -> bool:
+        return resume and os.path.exists(os.path.join(path, "_SUCCESS"))
 
     def barrier(name: str, dfs: dict[str, DataFrame], stage_metrics: dict):
         t0 = time.time()
         profs = {}
         ckpt = {}
+        resumed = []
         for key, df in dfs.items():
+            path = os.path.join(stage_dir, f"{name}_{key}")
+            if _resumable(path):
+                ckpt[key] = spark.read.parquet(path)
+                resumed.append(key)
+                continue
             if instrument is not None:
                 profs[key] = instrument(df)
-            path = os.path.join(stage_dir, f"{name}_{key}")
             df.write.mode("overwrite").parquet(path)
             ckpt[key] = spark.read.parquet(path)
         rec: dict = {
             "stage": name,
             "wall_sec": round(time.time() - t0 + stage_metrics.pop("_wall", 0.0), 3),
         }
+        if resumed:
+            rec["resumed"] = resumed
         if snapshot is not None:
             snap = snapshot()
             if snap is not None:
@@ -131,7 +152,8 @@ def run_monthly_load_staged(
 
         def bar(df: DataFrame, name: str) -> DataFrame:
             path = os.path.join(stage_dir, f"{stage}_{name}")
-            df.write.mode("overwrite").parquet(path)
+            if not _resumable(path):
+                df.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
 
         return bar

@@ -374,3 +374,46 @@ def test_staged_load_matches_unstaged(spark, tmp_path, loaded):
         "dim_billing_group", "pos_fingerprints",
     }
     assert pub["fact_transaction"].count() == out_ref.fact_transaction.count()
+
+
+def test_staged_load_resumes_from_last_barrier(spark, tmp_path, loaded):
+    """Per-stage restartability (the reason the barriers exist): kill
+    the load after stage 3 by deleting stage-4/5 checkpoints, rerun
+    with resume=True, and the completed stages replay as metadata
+    reads (their parquet mtimes unchanged, report flags 'resumed')
+    while the tail recomputes — final metrics identical to a clean
+    run."""
+    import os
+    import shutil
+
+    from etl_loading_scripts_spark.pipeline.staged import run_monthly_load_staged
+
+    dom, _, metrics_ref, window = loaded
+    d = str(tmp_path / "resume")
+    _, metrics_full, _ = run_monthly_load_staged(spark, dom, window, d)
+    assert metrics_full == metrics_ref
+    # simulate a crash during stage 4: its outputs (and everything
+    # after) never committed
+    for f in os.listdir(d):
+        if f.startswith(("s4_", "s5_", "publish")):
+            shutil.rmtree(os.path.join(d, f))
+    mtimes_before = {
+        f: os.path.getmtime(os.path.join(d, f, "_SUCCESS"))
+        for f in os.listdir(d)
+        if f.startswith(("s0_", "s1_", "s2_", "s3_"))
+    }
+    _, metrics_resumed, report = run_monthly_load_staged(
+        spark, dom, window, d, resume=True
+    )
+    assert metrics_resumed == metrics_full
+    # completed barriers were NOT rewritten
+    for f, t in mtimes_before.items():
+        assert os.path.getmtime(os.path.join(d, f, "_SUCCESS")) == t, f
+    by_stage = {r["stage"]: r for r in report}
+    assert set(by_stage["s0_domain"].get("resumed", [])) == {
+        "raw", "fact", "dim_patron", "dim_restaurant",
+        "pos_fingerprints", "dim_billing_group",
+    }
+    assert "resumed" in by_stage["s3_restaurant_map"]
+    assert "resumed" not in by_stage["s4_billing_groups"]
+    assert "resumed" not in by_stage["s5_bi_reporting"]
