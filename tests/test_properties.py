@@ -267,3 +267,66 @@ def test_vp8l_roundtrips_arbitrary_images(w, h, ncolors, seed):
         encode_webp_lossless(w, h, raw, subtract_green=True)
     ) == (w, h, raw)
     assert decode_webp_lossless(encode_webp_palette(w, h, raw)) == (w, h, raw)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=10),
+    data=st.data(),
+)
+def test_webp_neighbor_and_combined_roundtrip_property(w, h, data):
+    """Property: ANY RGBA image round-trips bit-exact through both the
+    neighbor-map backref encoder and the combined (subtract-green +
+    cache + backref) encoder — including degenerate 1-pixel rows,
+    all-identical images, and hostile random content."""
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_combined,
+        encode_webp_neighbor,
+    )
+
+    raw = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * 4,
+                max_size=w * h * 4,
+            )
+        )
+    )
+    assert decode_webp_lossless(encode_webp_neighbor(w, h, raw)) == (w, h, raw)
+    assert decode_webp_lossless(encode_webp_combined(w, h, raw)) == (w, h, raw)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126
+                ),
+                max_size=12,
+            ),
+            st.one_of(st.none(), st.floats(allow_nan=False, allow_infinity=False, width=32)),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_literal_table_roundtrip_property(spark, rows):
+    """Property: literal_table (the VALUES-based bounded-table builder
+    behind broadcast_scalar safety) round-trips arbitrary printable
+    strings — quotes and backslashes included — NULLs, floats, and
+    booleans, and always plans as a statically-countable node."""
+    from etl_loading_scripts_spark.plancheck import literal_table, plan_is_bounded
+
+    df = literal_table(spark, rows, "s string, v double, flag boolean")
+    got = [
+        (r.s, r.v, r.flag) for r in df.collect()
+    ]
+    want = [(s, float(v) if v is not None else None, b) for s, v, b in rows]
+    assert sorted(got, key=repr) == sorted(want, key=repr)
+    assert plan_is_bounded(df._jdf.queryExecution().sparkPlan(), 64)
