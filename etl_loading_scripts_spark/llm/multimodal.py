@@ -1941,6 +1941,14 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     (d * 17 + ((q // 4) // 8) * 13 + (q % 4) * 7) % 251
                 ).astype(np.uint8)
                 kind = "rle"
+            elif d % 16 == 0:
+                # same two-color pixels as 'simple' but wrapped in the
+                # EXTENDED (VP8X) container with an EXIF chunk riding
+                # alongside — the wire shape metadata-bearing files use
+                px = (
+                    np.where(((q // 4) + d) % 2 == 0, 40, 200) + (q % 4) * 3
+                ).astype(np.uint8)
+                kind = "extended"
             elif d % 2 == 0:
                 px = (
                     np.where(((q // 4) + d) % 2 == 0, 40, 200) + (q % 4) * 3
@@ -1975,6 +1983,14 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 )
 
                 payload = encode_webp_combined(w, h, px.tobytes())
+            elif kind == "extended":
+                from etl_loading_scripts_spark.llm.webp import (
+                    encode_webp_extended,
+                )
+
+                payload = encode_webp_extended(
+                    w, h, px.tobytes(), metadata=b"engine-test-exif"
+                )
             elif kind == "cache":
                 from etl_loading_scripts_spark.llm.webp import (
                     encode_webp_cached,
@@ -2035,6 +2051,7 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 WHEN doc_id % 16 = 10 THEN 'predictor'
                 WHEN doc_id % 16 = 8 THEN 'neighbor'
                 WHEN doc_id % 16 = 12 THEN 'combined'
+                WHEN doc_id % 16 = 0 THEN 'extended'
                 WHEN doc_id % 8 = 6 THEN 'cache'
                 WHEN doc_id % 8 = 2 THEN 'rle'
                 WHEN doc_id % 2 = 0 THEN 'simple'
@@ -2065,6 +2082,7 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "multipliers), doc%16==4 META prefix groups (per-block entropy "
     "segmentation), doc%16==8 NEIGHBOR-MAP distance codes (the "
     "120-entry 2D distance table, previous-row copies as code 1) — "
+    "doc%16==0 the EXTENDED (VP8X) container with an EXIF chunk, "
     "doc%16==12 the COMBINED stream (subtract-green + color cache + "
     "distance-1 neighbor backrefs interacting in one stream) — "
     "ALL FOUR transforms + meta + both distance-code forms exercised; "

@@ -286,10 +286,31 @@ def decode_webp_lossless(payload: bytes) -> tuple[int, int, bytes]:
     or lossy VP8 (the one remaining quarantine line)."""
     if len(payload) < 20 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
         raise ValueError("not a WebP payload")
-    if payload[12:16] != b"VP8L":
-        raise ValueError("lossy/extended WebP not supported (VP8L only)")
-    (chunk_len,) = struct.unpack_from("<I", payload, 16)
-    data = payload[20 : 20 + chunk_len]
+    if payload[12:16] == b"VP8X":
+        # extended container (metadata/alpha flags): walk the chunk
+        # list for the VP8L image chunk — EXIF/XMP/ICCP ride alongside
+        # and are skipped by size; lossy VP8 inside stays quarantined
+        pos = 12
+        data = None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            (ln,) = struct.unpack_from("<I", payload, pos + 4)
+            body = payload[pos + 8 : pos + 8 + ln]
+            if len(body) < ln:
+                raise ValueError("corrupt WebP: truncated chunk")
+            if tag == b"VP8L":
+                data = body
+                break
+            if tag == b"VP8 ":
+                raise ValueError("lossy WebP (VP8) not supported")
+            pos += 8 + ln + (ln & 1)  # chunks are 2-byte aligned
+        if data is None:
+            raise ValueError("extended WebP without a VP8L image chunk")
+    elif payload[12:16] == b"VP8L":
+        (chunk_len,) = struct.unpack_from("<I", payload, 16)
+        data = payload[20 : 20 + chunk_len]
+    else:
+        raise ValueError("lossy WebP not supported (VP8L only)")
     if not data or data[0] != 0x2F:
         raise ValueError("corrupt VP8L: bad signature")
     br = _BitReaderLSB(data, 1)
@@ -1041,6 +1062,29 @@ def encode_webp_cached(
     if len(body) % 2:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_webp_extended(
+    width: int, height: int, rgba: bytes, metadata: bytes = b""
+) -> bytes:
+    """Wrap a lossless VP8L image in the EXTENDED (VP8X) container —
+    the wire shape real files use whenever EXIF/XMP/ICC metadata or
+    animation flags are present. Layout: VP8X chunk (feature flags +
+    24-bit canvas-minus-one dims), optional EXIF chunk carrying
+    ``metadata``, then the VP8L image chunk the decoder walks to."""
+    inner = encode_webp_lossless(width, height, rgba)
+    vp8l_chunk = inner[12:]  # 'VP8L' + size + body (+ pad)
+    flags = 0x08 if metadata else 0  # EXIF flag bit (spec: bit 3)
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes([flags, 0, 0, 0]) + (
+        struct.pack("<I", width - 1)[:3] + struct.pack("<I", height - 1)[:3]
+    )
+    exif = b""
+    if metadata:
+        exif = b"EXIF" + struct.pack("<I", len(metadata)) + metadata
+        if len(metadata) % 2:
+            exif += b"\x00"
+    content = vp8x + exif + vp8l_chunk
+    return b"RIFF" + struct.pack("<I", 4 + len(content)) + b"WEBP" + content
 
 
 def encode_webp_combined(

@@ -1620,3 +1620,37 @@ def test_codec_corruption_fuzz_quarantines():
                     f"{type(exc).__name__}: {exc}"
                 )
     assert not escapes, escapes[:10]
+
+
+def test_webp_extended_container():
+    """VP8X extended container: VP8L images wrapped with feature flags,
+    24-bit canvas dims, and an EXIF chunk (odd-length padding rules)
+    decode identically to the bare container; lossy VP8 inside VP8X
+    still quarantines with ValueError."""
+    import struct
+
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import (
+        decode_webp_lossless,
+        encode_webp_extended,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.default_rng(77)
+    w, h = 11, 7
+    raw = bytes(rng.integers(0, 255, w * h * 4, dtype=np.uint8))
+    assert decode_webp_lossless(encode_webp_lossless(w, h, raw)) == (w, h, raw)
+    for meta in (b"", b"exif-bytes", b"odd-len-meta!"):
+        pay = encode_webp_extended(w, h, raw, metadata=meta)
+        assert pay[12:16] == b"VP8X"
+        assert decode_webp_lossless(pay) == (w, h, raw)
+    vp8x = b"VP8X" + struct.pack("<I", 10) + bytes(10)
+    fake = vp8x + b"VP8 " + struct.pack("<I", 4) + bytes(4)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(fake)) + b"WEBP" + fake
+    with pytest.raises(ValueError, match="lossy WebP"):
+        decode_webp_lossless(payload)
+    # VP8X with no image chunk at all is corrupt, not silent
+    only_x = b"RIFF" + struct.pack("<I", 4 + len(vp8x)) + b"WEBP" + vp8x
+    with pytest.raises(ValueError, match="without a VP8L"):
+        decode_webp_lossless(only_x)
