@@ -1510,7 +1510,9 @@ def test_webp_combined_stream_tools_interact():
     raw = img.astype(np.uint8).tobytes()
     pay = encode_webp_combined(w, h, raw)
     assert decode_webp_lossless(pay) == (w, h, raw)
-    assert len(pay) < len(encode_webp_lossless(w, h, raw)) / 4
+    # the literal baseline itself tightened when package-merge lengths
+    # landed (r6), so the multi-tool win is vs a stronger opponent
+    assert len(pay) < len(encode_webp_lossless(w, h, raw)) / 3
     # noise pixels interrupt runs and pollute the cache mid-stream
     img[rng.integers(0, w * h, 60)] = rng.integers(0, 255, (60, 4), dtype=np.uint8)
     raw = img.astype(np.uint8).tobytes()
