@@ -1627,3 +1627,63 @@ def sentence_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("sents"), lambda s: F.length(s))
         ).cast("long").alias("max_sentence_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the hashing trick) — classifier feature prep (round 6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_hash_vectors",
+    oracle=r"""
+    WITH words AS (
+        SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                              w -> w <> '')) AS w
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               substr(md5(w), 1, 2) AS bucket,
+               CASE WHEN substr(md5(w), 3, 1) <= '7' THEN 1 ELSE -1 END AS sgn
+        FROM words
+    )
+    SELECT doc_id, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(sgn) AS BIGINT) AS signed_value
+    FROM feats
+    GROUP BY 1, 2
+    """,
+    doc="FEATURE HASHING (the hashing trick): every token maps to one of "
+    "256 buckets by its first md5 hex byte, with a second md5 character "
+    "deciding the +-1 sign — the collision-unbiasing signed variant "
+    "(Weinberger et al.'s formulation) fastText-style quality/language "
+    "classifiers train on. Output is the long-form (doc, bucket, count, "
+    "signed value) feature table; the vocabulary never needs to be "
+    "collected, broadcast, or even known — the property that makes the "
+    "trick the 100 TB feature extractor.",
+)
+def feature_hash_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: tokenize + hash map-side (zero vocab state, unlike a
+    CountVectorizer fit which needs a vocabulary pass and broadcast);
+    one (doc, bucket)-grain aggregate — output cardinality is bounded
+    by docs x 256 regardless of vocabulary size, and the hash family is
+    the repo's engine-portable md5-substring convention."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(r"filter(split(lower(text), '\\W+'), w -> w <> '')")
+        ).alias("w"),
+    )
+    feats = words.select(
+        "doc_id",
+        F.substring(F.md5("w"), 1, 2).alias("bucket"),
+        F.when(F.substring(F.md5("w"), 3, 1) <= "7", F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("sgn"),
+    )
+    return feats.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("sgn").cast("long").alias("signed_value"),
+    )

@@ -5316,3 +5316,105 @@ def attribution_multitouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("credited_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (round 6) — the mergeable frequency sketch
+# ---------------------------------------------------------------------------
+
+#: CMS geometry: 4 independent rows x 256 buckets (bucket = first hex
+#: BYTE of md5(row ':' key) — the same md5-substring hash family the
+#: minhash/SimHash operators use, DuckDB-computable with zero
+#: hex-to-int conversion).
+CMS_ROWS = 4
+CMS_HH_DENOM = 300  # heavy hitter: estimate * 300 > total events
+
+
+@register(
+    "heavy_hitter_cms",
+    oracle=f"""
+    WITH cells AS (
+        SELECT r, substr(md5(CAST(r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 2) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events CROSS JOIN range(0, {CMS_ROWS}) t(r)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events GROUP BY 1
+    ),
+    est AS (
+        SELECT e.user_id, e.n_events,
+               MIN(cl.c) AS cms_estimate
+        FROM exact e
+        JOIN cells cl
+          ON cl.bucket = substr(md5(CAST(cl.r AS VARCHAR) || ':' || CAST(e.user_id AS VARCHAR)), 1, 2)
+        GROUP BY 1, 2
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM events)
+    SELECT user_id, n_events, CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           CAST(cms_estimate - n_events AS BIGINT) AS overcount
+    FROM est, total
+    WHERE cms_estimate * {CMS_HH_DENOM} > t
+    """,
+    doc=f"COUNT-MIN SKETCH heavy hitters: a {CMS_ROWS}x256 sketch (bucket "
+    "= first md5 hex byte per row — the repo's engine-portable hash "
+    "family) built with one map-side-combining aggregate, probed for "
+    "every user by taking the MIN across rows; candidates whose "
+    f"ESTIMATE exceeds total/{CMS_HH_DENOM} are reported with their "
+    "exact count and the sketch's overcount — CMS never undercounts, so "
+    "the candidate set provably contains every true heavy hitter (the "
+    "audit the MG-sketch twin runs from the other direction).",
+)
+def heavy_hitter_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the sketch collapses map-side to 4x256 = 1,024 cells no
+    matter the stream size (CMS is MERGEABLE: per-partition sketches
+    add cell-wise — the same property that makes it streamable); the
+    probe broadcasts those cells against user-grain rows. One
+    events-grain shuffle total (the exact counts the audit compares
+    against — a production use that trusts the sketch skips it)."""
+    events = load_table(spark, sf_dir, "events")
+    rows = F.array(*[F.lit(r) for r in range(CMS_ROWS)])
+    cells = (
+        events.select(F.explode(rows).alias("r"), "user_id")
+        .select(
+            "r",
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col("user_id").cast("string"))),
+                1, 2,
+            ).alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    probes = exact.select(
+        "user_id",
+        "n_events",
+        F.explode(rows).alias("r"),
+    ).select(
+        "user_id",
+        "n_events",
+        "r",
+        F.substring(
+            F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col("user_id").cast("string"))),
+            1, 2,
+        ).alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id", "n_events")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    total = events.agg(F.count(F.lit(1)).alias("t"))
+    from etl_loading_scripts_spark.plancheck import broadcast_scalar
+
+    return (
+        est.crossJoin(broadcast_scalar(total))
+        .filter(F.col("cms_estimate") * CMS_HH_DENOM > F.col("t"))
+        .select(
+            "user_id",
+            "n_events",
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("n_events")).cast("long").alias("overcount"),
+        )
+    )
