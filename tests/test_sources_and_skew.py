@@ -708,3 +708,42 @@ def test_warc_cdx_point_read_prunes(spark, tmp_path):
         for rec in read_warc_file(p)
     )
     assert got_uris == want
+
+
+def test_arrow_ipc_roundtrip_and_inference(spark, sf_dir, tmp_path):
+    """Arrow IPC DataSource: schema inference from the file's Arrow
+    schema, multi-record-batch reads (no lost batches), a full
+    write→read round trip through the two-phase-commit sink, and the
+    corrupt-payload ValueError contract."""
+    import pyarrow as pa
+
+    from etl_loading_scripts_spark.sources.arrowipc import (
+        plant_arrow_fixtures,
+        register_arrowipc_source,
+    )
+
+    register_arrowipc_source(spark)
+    d = plant_arrow_fixtures(sf_dir)
+    df = spark.read.format("arrowipc").load(d)
+    assert [f.name for f in df.schema.fields] == ["row_id", "label", "score"]
+    assert df.count() == 480  # 4 files x 3 batches x 40 rows — none lost
+    assert df.agg(F.sum("row_id")).first()[0] == 480 * 479 // 2
+    # write path: export a projection, read it back through the source
+    out = str(tmp_path / "arrow_out")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    orders.repartition(3).write.format("arrowipc").mode("overwrite").save(out)
+    back = spark.read.format("arrowipc").load(out)
+    assert back.count() == orders.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, orders.collect()))
+    # no staging residue survives the commit
+    assert not [f for f in __import__("os").listdir(out) if "inprogress" in f]
+    # corrupt file → ValueError (quarantine convention), not a crash
+    bad_dir = tmp_path / "arrow_bad"
+    bad_dir.mkdir()
+    (bad_dir / "junk.arrow").write_bytes(b"not an arrow file at all")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="(?i)corrupt|arrow"):
+        spark.read.format("arrowipc").load(str(bad_dir)).count()
