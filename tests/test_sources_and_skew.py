@@ -747,3 +747,64 @@ def test_arrow_ipc_roundtrip_and_inference(spark, sf_dir, tmp_path):
 
     with _pytest.raises(Exception, match="(?i)corrupt|arrow"):
         spark.read.format("arrowipc").load(str(bad_dir)).count()
+
+
+def test_tfrecord_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
+    """TFRecord DataSource: the long-form feature rows round-trip
+    write→read through the two-phase-commit sink (int64 with negatives,
+    bytes, float features); CRC32C matches the public test vector; a
+    flipped payload bit or truncated shard raises ValueError."""
+    from etl_loading_scripts_spark.sources.tfrecord import (
+        crc32c,
+        plant_tfrecord_fixtures,
+        register_tfrecord_source,
+    )
+
+    assert crc32c(b"123456789") == 0xE3069283  # public Castagnoli vector
+    register_tfrecord_source(spark)
+    d = plant_tfrecord_fixtures(sf_dir)
+    df = spark.read.format("tfrecord").load(d)
+    assert df.count() == 3 * 40 * 3  # shards x examples x features
+    # negative int64s decoded exactly (the 10-byte varint path)
+    mn = df.filter(F.col("feature") == "token_ids").select(
+        F.min(F.expr("array_min(int64_values)"))
+    ).first()[0]
+    assert mn < 0
+    # write path round trip on a curated subset; record_idx is the
+    # sink's example key WITHIN a partition, so re-key globally before
+    # mixing shards into shared partitions
+    out = str(tmp_path / "tf_out")
+    subset = df.filter(F.col("record_idx") < 5).withColumn(
+        "record_idx",
+        F.expr("cast(substring(source_file, 7, 4) as int)") * 100
+        + F.col("record_idx"),
+    )
+    subset.repartition(2, "source_file").write.format("tfrecord").mode(
+        "overwrite"
+    ).save(out)
+    back = spark.read.format("tfrecord").load(out)
+    # per-(feature, kind) value multisets survive (record_idx renumbers
+    # per shard, so compare the feature payloads, not the row keys)
+    def sig(frame):
+        return sorted(
+            (
+                r.feature,
+                r.kind,
+                tuple(r.int64_values or []),
+                tuple(r.float_values or []),
+                tuple(bytes(b) for b in (r.bytes_values or [])),
+            )
+            for r in frame.collect()
+        )
+
+    assert sig(back) == sig(subset)
+    assert not [f for f in os.listdir(out) if "inprogress" in f]
+    # corruption quarantines
+    bad_dir = tmp_path / "tf_bad"
+    bad_dir.mkdir()
+    src = os.path.join(d, "shard-0000.tfrecord")
+    blob = bytearray(open(src, "rb").read())
+    blob[25] ^= 0x40
+    (bad_dir / "bad.tfrecord").write_bytes(bytes(blob))
+    with pytest.raises(Exception, match="corrupt TFRecord"):
+        spark.read.format("tfrecord").load(str(bad_dir)).count()
