@@ -337,7 +337,11 @@ def merge_upsert_delta(
     except ImportError as exc:  # pragma: no cover - delta not in test env
         raise NotImplementedError(
             "delta-spark is not installed; use operators.merge_upsert (join-"
-            "based, same semantics) or add io.delta:delta-spark to the cluster"
+            "based, same semantics), or operators.deltalog."
+            "merge_upsert_deltalog (the same MERGE executed against the "
+            "OPEN Delta log protocol, no jars needed — atomic commits, "
+            "snapshot isolation, time travel), or add io.delta:delta-spark "
+            "to the cluster"
         ) from exc
 
     tgt = DeltaTable.forPath(spark, target_path)

@@ -44,5 +44,6 @@ from etl_loading_scripts_spark.sources import warc as _warc  # noqa: F401
 from etl_loading_scripts_spark.sources import pruning as _pruning  # noqa: F401
 from etl_loading_scripts_spark.sources import arrowipc as _arrowipc  # noqa: F401
 from etl_loading_scripts_spark.sources import tfrecord as _tfrecord  # noqa: F401
+from etl_loading_scripts_spark.operators import deltalog as _deltalog  # noqa: F401
 from etl_loading_scripts_spark.llm import html as _html  # noqa: F401
 from etl_loading_scripts_spark.operators import lineage as _lineage  # noqa: F401
