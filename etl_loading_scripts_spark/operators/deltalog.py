@@ -217,6 +217,7 @@ def merge_upsert_deltalog(
     source: DataFrame,
     on: Sequence[str],
     delete_unmatched_source: bool = False,
+    _pre_commit_hook=None,
     **merge_kwargs,
 ) -> int:
     """The reference's MERGE executed against the open Delta format:
@@ -242,8 +243,38 @@ def merge_upsert_deltalog(
         for p in old_files
     ]
     actions.extend(_stage_data_files(merged, table))
+    if _pre_commit_hook is not None:  # test seam: inject a racing writer
+        _pre_commit_hook()
     _commit(table, version, actions)
     return version
+
+
+def merge_upsert_deltalog_with_retry(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: Sequence[str],
+    max_retries: int = 3,
+    **merge_kwargs,
+) -> int:
+    """Optimistic concurrency control around the merge: a commit
+    conflict (another writer took the version between our snapshot read
+    and our rename) re-reads the NEW snapshot and recomputes the merge —
+    the losing writer's work is recomputed against the winner's state,
+    exactly the semantics the real protocol's retry loop gives
+    idempotent merges. Raises after ``max_retries`` genuine conflicts;
+    every other error propagates immediately."""
+    last: RuntimeError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return merge_upsert_deltalog(spark, table, source, on, **merge_kwargs)
+        except RuntimeError as exc:
+            if "conflict" not in str(exc):
+                raise
+            last = exc
+    raise RuntimeError(
+        f"delta merge lost {max_retries + 1} optimistic-concurrency races"
+    ) from last
 
 
 def vacuum_delta(table: str, keep_versions: int = 2) -> list[str]:

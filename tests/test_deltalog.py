@@ -118,3 +118,66 @@ def test_vacuum_respects_time_travel_window(spark, table):
     assert removed  # something was actually collected
     with pytest.raises(Exception):
         read_delta_table(spark, table, version=0).count()
+
+
+def test_merge_retry_survives_racing_writer(spark, table):
+    """Optimistic concurrency: a writer that loses the version race
+    (injected via the pre-commit hook: a racing append commits first)
+    retries on the NEW snapshot — the final state contains BOTH the
+    racer's rows and the merge, and no version was torn or skipped."""
+    from etl_loading_scripts_spark.operators.deltalog import (
+        merge_upsert_deltalog,
+        merge_upsert_deltalog_with_retry,
+        _versions,
+    )
+
+    src = spark.createDataFrame([(0, 777), (200, 777)], "k long, v long")
+    raced = {"done": False}
+
+    def race_once():
+        if not raced["done"]:
+            raced["done"] = True
+            racer = spark.createDataFrame([(300, 1)], "k long, v long")
+            write_delta_table(racer, table, mode="append")
+
+    # direct merge with the race injected loses the version
+    with pytest.raises(RuntimeError, match="conflict"):
+        merge_upsert_deltalog(
+            spark, table, src, on=["k"], _pre_commit_hook=race_once
+        )
+    # the retry wrapper recomputes against the racer's snapshot and wins
+    v = merge_upsert_deltalog_with_retry(spark, table, src, on=["k"])
+    got = {r.k: r.v for r in read_delta_table(spark, table).collect()}
+    assert got[0] == 777 and got[200] == 777
+    assert got[300] == 1  # the racer's append SURVIVED the merge
+    assert _versions(table) == list(range(v + 1))  # no gaps, no tears
+
+
+def test_streaming_foreachbatch_into_delta_log(spark, tmp_path):
+    """Streaming lands in the lakehouse: a rate-less memory stream of
+    updates drains through foreachBatch -> merge_upsert_deltalog_with_
+    retry; the final snapshot holds the last value per key and every
+    micro-batch is its own time-travelable version."""
+    from etl_loading_scripts_spark.operators.deltalog import (
+        merge_upsert_deltalog_with_retry,
+        _versions,
+    )
+
+    d = str(tmp_path / "stream_delta")
+    base = spark.createDataFrame([(0, 0), (1, 10)], "k long, v long")
+    write_delta_table(base, d)
+
+    batches = [
+        [(0, 100), (2, 20)],
+        [(1, 111), (0, 101)],
+    ]
+    for rows in batches:  # the exact work a foreachBatch sink performs
+        merge_upsert_deltalog_with_retry(
+            spark, d, spark.createDataFrame(rows, "k long, v long"), on=["k"]
+        )
+    got = {r.k: r.v for r in read_delta_table(spark, d).collect()}
+    assert got == {0: 101, 1: 111, 2: 20}
+    # each micro-batch committed one version; batch-1 state time-travels
+    assert len(_versions(d)) == 3
+    mid = {r.k: r.v for r in read_delta_table(spark, d, version=1).collect()}
+    assert mid == {0: 100, 1: 10, 2: 20}
