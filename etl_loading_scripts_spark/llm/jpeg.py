@@ -580,10 +580,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
 
     ``channels`` is 1 (grayscale: pixels are row-major luma bytes) or 3
     (RGB after the JFIF YCbCr inverse). Restart intervals (DRI + RSTn
-    resync markers, with DC-predictor reset) are handled. Raises
-    ``ValueError`` on non-JPEG magic, progressive scans (SOF2),
-    arithmetic coding, chroma subsampling, or 12-bit precision — the
-    quarantine path's job, not the decoder's.
+    resync markers, with DC-predictor reset), 4:2:2/4:2:0 chroma
+    subsampling (generic MCU walk, replication upsample), and
+    progressive scans (SOF2 — dispatched to ``_decode_progressive``,
+    full successive approximation) are all handled. Raises
+    ``ValueError`` on non-JPEG magic, arithmetic coding, or 12-bit
+    precision — the quarantine path's job, not the decoder's.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")

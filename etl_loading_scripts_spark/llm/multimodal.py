@@ -2077,7 +2077,7 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "distance codes) and doc%8==6 the COLOR CACHE (hash-addressed "
     "recent-pixel symbols above the literal+length range) and doc%16==10 "
     "the PREDICTOR transform (per-block mode map, 14 spec modes with "
-    "libwebp's exact TR-wrap/tie-to-L/truncating-half conventions), "
+    "libwebp's exact TR-wrap/tie-to-T/truncating-half conventions), "
     "doc%16==14 the CROSS-COLOR transform (signed ColorTransformDelta "
     "multipliers), doc%16==4 META prefix groups (per-block entropy "
     "segmentation), doc%16==8 NEIGHBOR-MAP distance codes (the "

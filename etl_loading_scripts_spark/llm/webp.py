@@ -408,7 +408,7 @@ def _avg2(a, b):
 
 def _predict(mode: int, L, T, TL, TR):
     """The 14 VP8L predictor modes (spec §4.2.1) over RGBA tuples,
-    with the spec/libwebp conventions exactly: Select ties choose L,
+    with the spec/libwebp conventions exactly: Select ties choose T,
     ClampAddSubtractHalf's half-step truncates toward zero (C integer
     division), and TR at the right edge wraps to the row-above's
     one-past-end pixel (handled in ``_predictor_neighbors``)."""
@@ -435,11 +435,15 @@ def _predict(mode: int, L, T, TL, TR):
     if mode == 10:
         return _avg2(_avg2(L, TL), _avg2(T, TR))
     if mode == 11:  # Select: gradient chooses the closer neighbor,
-        # ties choose L (libwebp: pa_minus_pb <= 0 → left)
+        # ties choose T — spec pseudo-code `(pL < pT) ? L : T`, and
+        # libwebp's Select(top, left, tl) returns TOP on
+        # pa_minus_pb <= 0 where the Sub3 sum is Σ(|left-tl|-|top-tl|)
+        # = pT - pL. (ADVICE r5 claimed ties choose L; re-derivation of
+        # both sources says T — documented in BASELINE.md r6.)
         p = tuple(int(l) + int(t) - int(tl) for l, t, tl in zip(L, T, TL))
         pl = sum(abs(pc - int(lc)) for pc, lc in zip(p, L))
         pt = sum(abs(pc - int(tc)) for pc, tc in zip(p, T))
-        return L if pl <= pt else T
+        return L if pl < pt else T
     if mode == 12:  # ClampAddSubtractFull
         return tuple(
             min(255, max(0, int(l) + int(t) - int(tl)))

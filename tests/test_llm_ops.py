@@ -1388,7 +1388,10 @@ def test_webp_use_max_symbol_streams():
 def test_webp_predictor_spec_conventions():
     """The three libwebp conventions ADVICE r5 called out: TR at the
     rightmost column wraps to the row-above's one-past-end pixel (the
-    current row's first decoded pixel), Select ties choose L, and
+    current row's first decoded pixel), Select ties choose T (spec
+    pseudo-code `(pL < pT) ? L : T`; libwebp's Select(top, left, tl)
+    returns TOP on pa_minus_pb <= 0 — the r5-ADVICE tie-to-L claim
+    re-derived and found wrong, BASELINE.md r6), and
     ClampAddSubtractHalf's half-step truncates toward zero like C
     integer division."""
     import numpy as np
@@ -1404,9 +1407,12 @@ def test_webp_predictor_spec_conventions():
     # first pixel (== row 0's one-past-end in raster order)
     _, _, _, TR = _predictor_neighbors(arr, 4, 3, 1)
     assert TR == tuple(arr[4])
-    # Select tie → L: pl == pt must return the LEFT neighbor
+    # Select tie → T: pl == pt must return the TOP neighbor
     L, T, TL = (10,) * 4, (20,) * 4, (15,) * 4
-    assert _predict(11, L, T, TL, T) == L
+    assert _predict(11, L, T, TL, T) == T
+    # and strict inequality still picks the closer side
+    # p = 10+30-28 = 12: pl = 2 < pt = 18 -> L wins strictly
+    assert _predict(11, (10,) * 4, (30,) * 4, (28,) * 4, None) == (10,) * 4
     # truncating half-step: a=10, TL=13 → d=-3 → C trunc -1 → 9
     # (Python floor would give -2 → 8)
     assert _predict(13, (10,) * 4, (10,) * 4, (13,) * 4, None) == (9,) * 4
