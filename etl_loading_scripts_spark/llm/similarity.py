@@ -1708,7 +1708,7 @@ K_CLUSTERS = 8
 #: (LSH 0.80, IVF 0.88 at sf0.01) instead of a vacuous 1.0, so the
 #: audit shows an actual curve against the random fixture's 0.20/0.30.
 _CVEC_CORE = (
-    "(((vec_id % 8) * 37 + i * 11) % 17 - 8) * 100"
+    f"(((vec_id % {K_CLUSTERS}) * 37 + i * 11) % 17 - 8) * 100"
     " + ((vec_id * 13 + i * 7) % 9 - 4) * 150"
 )
 _CVEC_SPARK = f"transform(sequence(0, {DIM - 1}), i -> cast({_CVEC_CORE} as bigint))"

@@ -87,15 +87,24 @@ def _commit(table: str, version: int, actions: list[dict]) -> None:
     d = _log_path(table)
     os.makedirs(d, exist_ok=True)
     final = os.path.join(d, f"{version:020d}.json")
-    if os.path.exists(final):
-        raise RuntimeError(
-            f"delta commit conflict: version {version} already committed"
-        )
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a, separators=(",", ":")) + "\n")
-    os.rename(tmp, final)
+    try:
+        # os.link FAILS with EEXIST when the version is taken — unlike
+        # os.rename, which silently replaces and would let two truly
+        # concurrent writers both "win" the same version (TOCTOU). The
+        # link IS the atomic commit point, same role as the real
+        # protocol's putIfAbsent.
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise RuntimeError(
+            f"delta commit conflict: version {version} already committed"
+        ) from exc
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _stage_data_files(df: DataFrame, table: str) -> list[dict]:
@@ -277,11 +286,14 @@ def merge_upsert_deltalog_with_retry(
     ) from last
 
 
-def vacuum_delta(table: str, keep_versions: int = 2) -> list[str]:
+def vacuum_delta(
+    table: str, keep_versions: int = 2, staging_retention_sec: float = 3600
+) -> list[str]:
     """Retention GC: delete data files referenced by NO version in the
     keep window (latest ``keep_versions`` versions stay fully
     time-travelable; older log entries remain but their exclusive files
-    go). Staged debris (.staging-*) is always swept."""
+    go). Staging dirs are swept only past ``staging_retention_sec`` —
+    a concurrent writer mid-stage must never lose its files to GC."""
     versions = _versions(table)
     if not versions:
         return []
@@ -291,9 +303,15 @@ def vacuum_delta(table: str, keep_versions: int = 2) -> list[str]:
         files, _ = _snapshot_files(table, v)
         needed.update(files)
     removed = []
+    now = time.time()
     for f in os.listdir(table):
         full = os.path.join(table, f)
         if f.startswith(".staging-") and os.path.isdir(full):
+            # age-gate staging debris (the real protocol's retention
+            # check): an in-flight concurrent writer's staging dir must
+            # not be swept from under it — only abandoned ones
+            if now - os.path.getmtime(full) < staging_retention_sec:
+                continue
             shutil.rmtree(full, ignore_errors=True)
             removed.append(f)
         elif f.endswith(".parquet") and f not in needed:
@@ -325,8 +343,10 @@ def plant_delta_fixture(spark: SparkSession, sf_dir: str) -> str:
     from etl_loading_scripts_spark.catalog import load_table
 
     d = _fixture_dir(sf_dir)
-    if _versions(d):
+    if len(_versions(d)) >= 2:  # BOTH versions committed = complete
         return d
+    if os.path.isdir(d):  # partial build (crash between v0 and the
+        shutil.rmtree(d)  # merge): rebuild from scratch, never serve it
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"),
         F.col("o_totalprice").cast("decimal(18,4)").alias("amount"),

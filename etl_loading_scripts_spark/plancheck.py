@@ -96,11 +96,17 @@ def plan_is_bounded(node, max_rows: int = DEFAULT_MAX_ROWS) -> bool:
         # keys=[] → exactly one row; grouped → unbounded (key cardinality
         # is a data property, not a plan property)
         return bool(node.groupingExpressions().isEmpty())
-    if cls in ("GlobalLimitExec", "LocalLimitExec", "CollectLimitExec"):
+    if cls in ("GlobalLimitExec", "CollectLimitExec"):
+        # LocalLimitExec is deliberately NOT here: LocalLimit(k) caps
+        # rows PER PARTITION, so a 1000-partition scan under
+        # LocalLimit(64) can emit 64,000 rows — only the global forms
+        # bound output cardinality.
         try:
             return int(node.limit()) <= max_rows
         except Exception:  # noqa: BLE001 — API drift → fail closed
             return False
+    if cls == "LocalLimitExec":
+        return False
     if cls == "LocalTableScanExec":
         try:
             return int(node.rows().size()) <= max_rows
@@ -171,6 +177,12 @@ def literal_table(spark: SparkSession, rows: list[tuple], schema: str) -> DataFr
     the declared schema. Literals only — ints, floats, bools, None,
     and strings (quoted/escaped here); bytes/nested types are out of
     scope for a lag/sweep table."""
+    if not rows:
+        raise ValueError(
+            "literal_table: empty rows — an empty VALUES list is not "
+            "valid SQL, and an empty bounded-broadcast table is almost "
+            "certainly a caller bug (filtered-away sweep?)"
+        )
     fields = [f.strip().split(None, 1) for f in schema.split(",")]
 
     def lit(v) -> str:

@@ -39,6 +39,30 @@ from pyspark.sql import functions as F
 from etl_loading_scripts_spark.catalog import load_table
 from etl_loading_scripts_spark.registry import register
 
+#: Spark DDL simpleString → pyarrow factory, for the WRITER's explicit
+#: schema (inferring types from Python values per partition would let
+#: an all-NULL column infer Arrow 'null' and shards drift — the writer
+#: must emit the DECLARED schema on every shard).
+def _pa_type_of(spark_type):
+    import pyarrow as pa
+
+    name = spark_type.simpleString()
+    table = {
+        "tinyint": pa.int8(), "smallint": pa.int16(), "int": pa.int32(),
+        "bigint": pa.int64(), "float": pa.float32(), "double": pa.float64(),
+        "string": pa.string(), "binary": pa.binary(),
+        "boolean": pa.bool_(), "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    if name in table:
+        return table[name]
+    if name.startswith("decimal("):
+        p, sc = name[8:-1].split(",")
+        return pa.decimal128(int(p), int(sc))
+    raise ValueError(f"unsupported Spark type {name!r} for the arrow sink")
+
+
 _ARROW_TO_DDL = {
     "int8": "tinyint", "int16": "smallint", "int32": "int", "int64": "bigint",
     "uint8": "smallint", "uint16": "int", "uint32": "bigint",
@@ -122,6 +146,11 @@ def _make_datasource_class():
                 raise ValueError("arrowipc sink requires a path")
             self._overwrite = overwrite
             self._names = [f.name for f in schema.fields]
+            # (name, pa.type) pairs resolved up front so an unsupported
+            # type fails at write-plan time, not inside a task
+            self._types = [
+                (f.name, _pa_type_of(f.dataType)) for f in schema.fields
+            ]
 
         def write(self, iterator):
             import uuid as _uuid
@@ -134,8 +163,10 @@ def _make_datasource_class():
             if not rows:
                 return _ArrowCommit(None, None)
             cols = list(zip(*rows))
+            schema = pa.schema(self._types)
             table = pa.table(
-                {n: list(c) for n, c in zip(self._names, cols)}
+                {n: pa.array(list(c), type=t) for (n, t), c in zip(self._types, cols)},
+                schema=schema,
             )
             final = f"part-{pid:05d}.arrow"
             staged = os.path.join(

@@ -199,12 +199,14 @@ def _decode_list(kind: int, body: bytes):
             if wire != 2:
                 raise ValueError("corrupt BytesList wire type")
             ln, pos = _read_varint(body, pos)
+            if pos + ln > len(body):
+                raise ValueError("corrupt BytesList: truncated value")
             vals.append(body[pos : pos + ln])
             pos += ln
         elif kind == 2:  # FloatList
             if wire == 2:  # packed
                 ln, pos = _read_varint(body, pos)
-                if ln % 4:
+                if ln % 4 or pos + ln > len(body):
                     raise ValueError("corrupt packed float block")
                 vals.extend(
                     struct.unpack_from("<f", body, pos + i)[0]
@@ -212,6 +214,8 @@ def _decode_list(kind: int, body: bytes):
                 )
                 pos += ln
             elif wire == 5:  # unpacked fixed32
+                if pos + 4 > len(body):
+                    raise ValueError("corrupt FloatList: truncated value")
                 vals.append(struct.unpack_from("<f", body, pos)[0])
                 pos += 4
             else:

@@ -159,10 +159,12 @@ def iter_member_spans(path: str):
             d = zlib.decompressobj(wbits=31)
             try:
                 member = d.decompress(raw[pos:])
-                while not d.eof:  # pragma: no cover — single-shot above
-                    member += d.decompress(b"")
             except zlib.error as exc:
                 raise ValueError("corrupt WARC gzip member") from exc
+            # decompress() was handed every remaining byte, so eof not
+            # reached means the member is cut off — raise, never spin
+            # (a `while not d.eof: decompress(b'')` retry loop can make
+            # no progress and would hang the task on a partial upload)
             if not d.eof:
                 raise ValueError("corrupt WARC: truncated gzip member")
             consumed = len(raw) - pos - len(d.unused_data)

@@ -46,10 +46,20 @@ SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DST = "/tmp/sfpipe10x"
 COPIES = 10
 
+# column -> key DOMAIN: both sides of a PK/FK pair must shift by the
+# SAME offset, computed once from the domain's OWNER table — computing
+# per-table maxima would misalign copies whenever the highest customer
+# has no orders (max(o_custkey) < max(c_custkey)), silently breaking
+# referential integrity in the 10x fixture and corrupting the very
+# scale slopes this tool measures. (The shipped sf0.1 fixture happens
+# to have aligned maxima — 14999 both sides — so prior published
+# numbers were unaffected; the fix removes the dependence on luck.)
 AMPLIFIED = {
-    "orders": ["o_orderkey", "o_custkey"],
-    "customer": ["c_custkey"],
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "customer": {"c_custkey": "custkey"},
 }
+DOMAIN_OWNER = {"orderkey": ("orders", "o_orderkey"),
+                "custkey": ("customer", "c_custkey")}
 PASSTHROUGH = ["supplier", "region", "nation", "part", "lineitem",
                "events", "documents", "embeddings"]
 
@@ -60,14 +70,19 @@ def amplify(spark):
     os.makedirs(DST)
     for t in PASSTHROUGH:
         shutil.copy(f"{SRC}/{t}.parquet", f"{DST}/{t}.parquet")
+    offsets = {
+        dom: spark.read.parquet(f"{SRC}/{tbl}.parquet").agg(F.max(col)).first()[0] + 1
+        for dom, (tbl, col) in DOMAIN_OWNER.items()
+    }
     for t, keys in AMPLIFIED.items():
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        maxes = {k: df.agg(F.max(k)).first()[0] + 1 for k in keys}
         parts = []
         for c in range(COPIES):
             p = df
-            for k in keys:
-                p = p.withColumn(k, (F.col(k) + c * maxes[k]).cast(dict(df.dtypes)[k]))
+            for k, dom in keys.items():
+                p = p.withColumn(
+                    k, (F.col(k) + c * offsets[dom]).cast(dict(df.dtypes)[k])
+                )
             parts.append(p)
         out = parts[0]
         for p in parts[1:]:
