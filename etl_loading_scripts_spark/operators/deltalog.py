@@ -238,14 +238,23 @@ def merge_upsert_deltalog(
     version stays time-travelable. Returns the committed version."""
     from etl_loading_scripts_spark.operators.mutations import merge_upsert
 
-    target = read_delta_table(spark, table)
+    # Pin ONE version listing up front and derive everything — the input
+    # snapshot, the remove list, and the commit version — from it. A writer
+    # committing after this listing lands on the same `pinned + 1` and the
+    # putIfAbsent link collides, raising the conflict the retry loop needs.
+    # (Re-listing before commit, as an earlier revision did, silently erased
+    # any commit that interleaved between the snapshot read and the listing.)
+    versions = _versions(table)
+    if not versions:
+        raise FileNotFoundError(f"not a delta table (no log): {table}")
+    pinned = versions[-1]
+    target = read_delta_table(spark, table, version=pinned)
     merged = merge_upsert(
         target, source, on,
         delete_unmatched_source=delete_unmatched_source, **merge_kwargs,
     )
-    versions = _versions(table)
-    version = versions[-1] + 1
-    old_files, _ = _snapshot_files(table, None)
+    version = pinned + 1
+    old_files, _ = _snapshot_files(table, pinned)
     now = int(time.time() * 1000)
     actions = [
         {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
@@ -292,8 +301,11 @@ def vacuum_delta(
     """Retention GC: delete data files referenced by NO version in the
     keep window (latest ``keep_versions`` versions stay fully
     time-travelable; older log entries remain but their exclusive files
-    go). Staging dirs are swept only past ``staging_retention_sec`` —
-    a concurrent writer mid-stage must never lose its files to GC."""
+    go). Staging dirs AND unreferenced .parquet in the table root are
+    swept only past ``staging_retention_sec`` — a concurrent writer
+    (mid-stage, or mid rename-to-commit) must never lose files to GC;
+    pass 0 only when no writer can be live (the real protocol's
+    disabled-retention-duration-check testing mode)."""
     versions = _versions(table)
     if not versions:
         return []
@@ -315,6 +327,13 @@ def vacuum_delta(
             shutil.rmtree(full, ignore_errors=True)
             removed.append(f)
         elif f.endswith(".parquet") and f not in needed:
+            # Same retention gate as staging dirs: a concurrent writer
+            # renames staged parts into the table root BEFORE its commit,
+            # so a young unreferenced .parquet may be an imminent commit's
+            # data — only files past the retention age are truly orphaned
+            # (the real protocol's vacuum has the identical mtime check).
+            if now - os.path.getmtime(full) < staging_retention_sec:
+                continue
             os.remove(full)
             removed.append(f)
     return sorted(removed)

@@ -168,10 +168,10 @@ def _make_datasource_class():
                 {n: pa.array(list(c), type=t) for (n, t), c in zip(self._types, cols)},
                 schema=schema,
             )
-            final = f"part-{pid:05d}.arrow"
-            staged = os.path.join(
-                self._dir, f".{final}.{_uuid.uuid4().hex[:8]}.inprogress"
-            )
+            # uuid in the FINAL name: append onto a directory written by
+            # a previous job must add shards, never replace same-pid ones
+            final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.arrow"
+            staged = os.path.join(self._dir, f".{final}.inprogress")
             os.makedirs(self._dir, exist_ok=True)
             with pa.OSFile(staged, "wb") as sink:
                 with pa.ipc.new_file(sink, table.schema) as writer:

@@ -246,13 +246,26 @@ def decode_example(payload: bytes) -> dict:
     """serialized tf.train.Example → {name: ("int64"|"float"|"bytes",
     values)}. Unknown fields raise (a training pipeline must notice a
     schema it doesn't understand, not drop data silently)."""
-    tag, pos = _read_varint(payload, 0)
-    if tag != (1 << 3) | 2:
+    # Loop over EVERY top-level field until the payload is exhausted —
+    # an Example carrying an unexpected extra top-level field must raise,
+    # not be partially decoded (same contract the Features map enforces).
+    features_body = None
+    pos = 0
+    while pos < len(payload):
+        tag, pos = _read_varint(payload, pos)
+        if tag != (1 << 3) | 2:
+            raise ValueError(
+                f"corrupt Example: unknown top-level field tag {tag}"
+            )
+        ln, pos = _read_varint(payload, pos)
+        if features_body is not None:
+            raise ValueError("corrupt Example: duplicate features field")
+        features_body = payload[pos : pos + ln]
+        if len(features_body) < ln:
+            raise ValueError("corrupt Example: truncated features")
+        pos += ln
+    if features_body is None:
         raise ValueError("corrupt Example: expected features field")
-    ln, pos = _read_varint(payload, pos)
-    features_body = payload[pos : pos + ln]
-    if len(features_body) < ln:
-        raise ValueError("corrupt Example: truncated features")
     out: dict = {}
     fpos = 0
     while fpos < len(features_body):
@@ -400,10 +413,10 @@ def _make_datasource_class():
             payloads = [
                 encode_example(examples[k]) for k in sorted(examples)
             ]
-            final = f"part-{pid:05d}.tfrecord"
-            staged = os.path.join(
-                self._dir, f".{final}.{_uuid.uuid4().hex[:8]}.inprogress"
-            )
+            # uuid in the FINAL name: append onto a directory written by
+            # a previous job must add shards, never replace same-pid ones
+            final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.tfrecord"
+            staged = os.path.join(self._dir, f".{final}.inprogress")
             os.makedirs(self._dir, exist_ok=True)
             write_tfrecords(staged, payloads)
             return _TfCommit(final, staged)

@@ -383,10 +383,10 @@ def _make_datasource_class():
                 )
             if not records:
                 return _WarcCommit(None, None)
-            final = f"part-{pid:05d}.warc.gz"
-            staged = os.path.join(
-                self._dir, f".{final}.{_uuid.uuid4().hex[:8]}.inprogress"
-            )
+            # uuid in the FINAL name: append onto a directory written by
+            # a previous job must add shards, never replace same-pid ones
+            final = f"part-{pid:05d}-{_uuid.uuid4().hex[:8]}.warc.gz"
+            staged = os.path.join(self._dir, f".{final}.inprogress")
             os.makedirs(self._dir, exist_ok=True)
             write_warc(staged, records, gzip_members=True)
             return _WarcCommit(final, staged)

@@ -111,13 +111,41 @@ def test_vacuum_respects_time_travel_window(spark, table):
             F.col("id").alias("k"), F.col("id").alias("v")
         )
         write_delta_table(df, table, mode="overwrite")
-    removed = vacuum_delta(table, keep_versions=2)
+    # retention 0 = the "I know nobody is writing" testing mode (real
+    # Delta's disabled-retention-duration check); the gated default is
+    # covered by test_vacuum_retention_gate_spares_young_orphans
+    removed = vacuum_delta(table, keep_versions=2, staging_retention_sec=0.0)
     # versions 2 and 3 stay readable; earlier files are gone
     assert read_delta_table(spark, table, version=3).count() == 7
     assert read_delta_table(spark, table, version=2).count() == 6
     assert removed  # something was actually collected
     with pytest.raises(Exception):
         read_delta_table(spark, table, version=0).count()
+
+
+def test_vacuum_retention_gate_spares_young_orphans(spark, table):
+    """A vacuum racing a writer's rename-to-commit window must NOT
+    delete the freshly staged-but-uncommitted parquet files the
+    imminent commit will reference: unreferenced .parquet younger than
+    staging_retention_sec survive; past the gate they are collected."""
+    import os
+
+    df = spark.range(4).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    write_delta_table(df, table, mode="overwrite")
+    # simulate a concurrent writer mid-commit: a data file renamed into
+    # the table root that no committed version references yet
+    orphan = os.path.join(table, "part-inflight.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"PAR1stub")
+    removed = vacuum_delta(table, keep_versions=1)  # default retention
+    assert "part-inflight.parquet" not in removed
+    assert os.path.exists(orphan)
+    # age the file past the gate -> now it is genuinely orphaned debris
+    old = os.path.getmtime(orphan) - 7200
+    os.utime(orphan, (old, old))
+    removed = vacuum_delta(table, keep_versions=1)
+    assert "part-inflight.parquet" in removed
+    assert not os.path.exists(orphan)
 
 
 def test_merge_retry_survives_racing_writer(spark, table):
@@ -151,6 +179,39 @@ def test_merge_retry_survives_racing_writer(spark, table):
     assert got[0] == 777 and got[200] == 777
     assert got[300] == 1  # the racer's append SURVIVED the merge
     assert _versions(table) == list(range(v + 1))  # no gaps, no tears
+
+
+def test_lost_update_window_closed(spark, table, monkeypatch):
+    """ADVICE r6 (medium): a writer committing AFTER the merge pinned
+    its input snapshot but BEFORE the merge's own commit must hit the
+    OCC conflict — never be silently erased. The racer here commits
+    during merge computation, the exact window the pre-fix code missed
+    (it re-listed versions after the snapshot read, absorbing the racer
+    into the remove list without its rows in the merge input)."""
+    from etl_loading_scripts_spark.operators import mutations as mut
+    from etl_loading_scripts_spark.operators.deltalog import (
+        merge_upsert_deltalog_with_retry,
+    )
+
+    real = mut.merge_upsert
+    raced = {"done": False}
+
+    def racing_merge(*a, **kw):
+        out = real(*a, **kw)
+        if not raced["done"]:
+            raced["done"] = True
+            racer = spark.createDataFrame([(400, 4)], "k long, v long")
+            write_delta_table(racer, table, mode="append")
+        return out
+
+    monkeypatch.setattr(mut, "merge_upsert", racing_merge)
+    src = spark.createDataFrame([(0, 888)], "k long, v long")
+    with pytest.raises(RuntimeError, match="conflict"):
+        merge_upsert_deltalog(spark, table, src, on=["k"])
+    merge_upsert_deltalog_with_retry(spark, table, src, on=["k"])
+    got = {r.k: r.v for r in read_delta_table(spark, table).collect()}
+    assert got[0] == 888
+    assert got[400] == 4  # the racer's commit SURVIVED the merge
 
 
 def test_streaming_foreachbatch_into_delta_log(spark, tmp_path):

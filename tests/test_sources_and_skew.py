@@ -808,3 +808,68 @@ def test_tfrecord_roundtrip_and_quarantine(spark, sf_dir, tmp_path):
     (bad_dir / "bad.tfrecord").write_bytes(bytes(blob))
     with pytest.raises(Exception, match="corrupt TFRecord"):
         spark.read.format("tfrecord").load(str(bad_dir)).count()
+
+
+def test_append_mode_adds_shards_never_clobbers(spark, tmp_path):
+    """ADVICE r6 (low): df.write.mode('append') onto a directory written
+    by a PREVIOUS job must add shards, not silently replace the prior
+    job's part files with colliding partition ids — shard names carry a
+    per-task uuid so two jobs' partition 0 never collide. Covers all
+    three custom sinks (tfrecord, arrowipc, warc)."""
+    from etl_loading_scripts_spark.sources.arrowipc import (
+        register_arrowipc_source,
+    )
+    from etl_loading_scripts_spark.sources.tfrecord import (
+        register_tfrecord_source,
+    )
+    from etl_loading_scripts_spark.sources.warc import register_warc_source
+
+    register_tfrecord_source(spark)
+    register_arrowipc_source(spark)
+    register_warc_source(spark)
+
+    tf = spark.createDataFrame(
+        [(0, "tok", "int64", [1, 2], None, None)],
+        "record_idx int, feature string, kind string, "
+        "int64_values array<bigint>, float_values array<float>, "
+        "bytes_values array<binary>",
+    ).coalesce(1)
+    d = str(tmp_path / "tf_append")
+    tf.write.format("tfrecord").mode("overwrite").save(d)
+    tf.write.format("tfrecord").mode("append").save(d)
+    assert spark.read.format("tfrecord").load(d).count() == 2
+
+    ar = spark.createDataFrame([(1, "a", 0.5)], "row_id long, label string, score double").coalesce(1)
+    d = str(tmp_path / "ar_append")
+    ar.write.format("arrowipc").mode("overwrite").save(d)
+    ar.write.format("arrowipc").mode("append").save(d)
+    assert spark.read.format("arrowipc").load(d).count() == 2
+
+    wc = spark.createDataFrame(
+        [("rec-1", "http://x/1", "2024-01-01T00:00:00Z", "text/html", bytearray(b"hi"))],
+        "record_id string, target_uri string, warc_date string, "
+        "content_type string, payload binary",
+    ).coalesce(1)
+    d = str(tmp_path / "wc_append")
+    wc.write.format("warc").mode("overwrite").save(d)
+    wc.write.format("warc").mode("append").save(d)
+    assert spark.read.format("warc").load(d).count() == 2
+
+
+def test_decode_example_rejects_trailing_fields():
+    """ADVICE r6 (low): an Example carrying an unexpected extra
+    top-level field must raise, not be partially decoded — the parser
+    walks the whole payload, not just the first field."""
+    from etl_loading_scripts_spark.sources.tfrecord import (
+        decode_example,
+        encode_example,
+    )
+
+    good = encode_example({"a": [1, 2]})
+    assert decode_example(good) == {"a": ("int64", [1, 2])}
+    # append an unknown top-level field 2 (length-delimited, empty body)
+    with pytest.raises(ValueError, match="unknown top-level field"):
+        decode_example(good + bytes([(2 << 3) | 2, 0]))
+    # a duplicate features field is equally rejected
+    with pytest.raises(ValueError, match="duplicate features"):
+        decode_example(good + good)
