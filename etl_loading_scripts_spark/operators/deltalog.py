@@ -7,25 +7,44 @@ FORMAT is an open specification (the delta-io PROTOCOL document): a
 table is parquet data files plus a ``_delta_log/`` directory of JSON
 action files — ``protocol`` / ``metaData`` / ``add`` / ``remove`` —
 where each ``{version:020d}.json`` commit is made visible atomically by
-a single file rename. Nothing about READING or WRITING that log needs
-the library. This module implements the core protocol from scratch:
+a single putIfAbsent. This module implements the core protocol from
+scratch, and (round 7) the pieces that make it INFRASTRUCTURE rather
+than a demo:
 
 - :func:`write_delta_table` — create/overwrite/append, one atomic
-  commit per call (staged-temp → ``os.rename``; a crash before the
-  rename leaves invisible data files, never a torn table);
+  commit per call; ``partition_by`` creates a PARTITIONED table whose
+  ``add`` actions carry real ``partitionValues`` under the hive layout
+  (``month=N/part-….parquet``), matching the reference fact's
+  month-partitioned physical design (SURVEY §4);
 - :func:`read_delta_table` — snapshot reads with TIME TRAVEL
-  (``version=``): replay actions up to the pinned version, read
-  exactly that version's active files (snapshot isolation: a reader
-  pinned at N never sees N+1's files);
+  (``version=``) and driver-side PARTITION PRUNING
+  (``partition_filter=``): pruned files never reach Spark's listing;
+- :func:`checkpoint_delta` / :func:`expire_delta_log` — parquet
+  checkpoints + ``_last_checkpoint`` per the protocol: snapshot
+  construction starts from the newest checkpoint at-or-below the pinned
+  version and replays only the JSON commits after it, so reads are O(1)
+  in total commits instead of O(commits); expired JSON entries older
+  than a checkpoint are retired exactly like the real metadata cleanup;
 - :func:`merge_upsert_deltalog` — the reference's MERGE semantics
   (``spScript.sql:95-202`` shape via ``operators.mutations.
-  merge_upsert``) EXECUTED against the Delta format: compute the
-  merged state, stage new data files, commit ``remove``+``add`` as one
-  version. This closes the 'lakehouse-native MERGE never executed'
-  gap at the level that matters — the open table format — while the
-  library code path stays honestly gated;
+  merge_upsert``) EXECUTED against the Delta format, full-table grain;
+- :func:`merge_cow_deltalog` — the month-grain COPY-ON-WRITE composition
+  ``operators/cow.py`` documents: only the months named by the source's
+  date keys are read, merged (month part of the join key, cow.py's
+  contract), and restaged; untouched months' files stay REFERENCED and
+  byte-identical, and the whole rewrite is ONE atomic
+  remove(affected)+add(new) version;
+- :func:`publish_set_deltalog` / :func:`read_published_set_deltalog` —
+  the multi-table atomic publish (the reference's single-transaction
+  dim+fact sync, ``spScript.sql:20-22,345-357``) built ON the log: each
+  table is its own Delta table, and one coordinator commit (same
+  putIfAbsent primitive) pins ``{table: delta_version}``, giving the
+  monthly load cross-run time travel over the entire warehouse — this
+  is the pipeline's publish path (``pipeline/staged.py``), replacing
+  the parallel ``publish_set`` manifest mechanism;
 - :func:`vacuum_delta` — retention GC of files no live version
-  references.
+  references, age-gated so a concurrent writer's staged-but-uncommitted
+  files are never collected.
 
 Schema travels as Spark's schema JSON — which IS Delta's
 ``schemaString`` format. Interop caveat (same as every codec here):
@@ -33,12 +52,13 @@ tables round-trip through this module and follow the public protocol
 document; cross-validation against delta-spark/duckdb-delta is not
 possible in this offline environment.
 
-Scale: the log is O(commits) driver-side metadata (the real protocol
-adds parquet checkpoints every N commits — same recipe as
-``sources/skipping.py``, documented seam); data-file IO is ordinary
-partition-parallel parquet. Merge rewrites the full table here — the
-partition-scoped rewrite for month-grain facts is ``operators/cow.py``'s
-job and composes (stage that module's output files, commit them here).
+Scale: the log is O(commits-since-checkpoint) driver-side metadata;
+data-file IO is ordinary partition-parallel parquet. The checkpoint is
+itself O(active files) — at millions of files the real implementation
+reads it distributed; here it is driver-side pyarrow, which holds to
+~10^6 files (the named seam if it ever binds). Partition values parse
+from the hive directory names Spark itself writes, so values round-trip
+bit-exactly through the same escaping.
 """
 
 from __future__ import annotations
@@ -48,13 +68,16 @@ import os
 import shutil
 import time
 import uuid
-from typing import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401 — callers' convenience
 from pyspark.sql.types import StructType
 
 _LOG_DIR = "_delta_log"
+_LAST_CHECKPOINT = "_last_checkpoint"
+#: coordinator "table" of a published set — its log holds setCommit actions
+_SET_DIR = "_set"
 
 
 def _log_path(table: str) -> str:
@@ -62,6 +85,7 @@ def _log_path(table: str) -> str:
 
 
 def _versions(table: str) -> list[int]:
+    """JSON commit versions present in the log (checkpoints excluded)."""
     d = _log_path(table)
     if not os.path.isdir(d):
         return []
@@ -72,6 +96,25 @@ def _versions(table: str) -> list[int]:
     )
 
 
+def _checkpoint_versions(table: str) -> list[int]:
+    d = _log_path(table)
+    if not os.path.isdir(d):
+        return []
+    suffix = ".checkpoint.parquet"
+    return sorted(
+        int(f[: -len(suffix)])
+        for f in os.listdir(d)
+        if f.endswith(suffix) and f[: -len(suffix)].isdigit()
+    )
+
+
+def _all_versions(table: str) -> list[int]:
+    """Every version reconstructable as a snapshot floor: JSON commits
+    plus checkpointed versions (whose pre-checkpoint JSONs may have been
+    expired)."""
+    return sorted(set(_versions(table)) | set(_checkpoint_versions(table)))
+
+
 def _read_actions(table: str, version: int) -> list[dict]:
     with open(os.path.join(_log_path(table), f"{version:020d}.json")) as fh:
         return [json.loads(line) for line in fh if line.strip()]
@@ -79,10 +122,10 @@ def _read_actions(table: str, version: int) -> list[dict]:
 
 def _commit(table: str, version: int, actions: list[dict]) -> None:
     """One atomic commit: write every action as a JSON line to a temp
-    file, then rename to ``{version:020d}.json``. The rename is the
-    commit point — readers either see the whole version or none of it.
-    An already-existing target means a concurrent writer won the
-    version (optimistic concurrency): raise, caller retries on a fresh
+    file, then link to ``{version:020d}.json``. The link is the commit
+    point — readers either see the whole version or none of it. An
+    already-existing target means a concurrent writer won the version
+    (optimistic concurrency): raise, caller retries on a fresh
     snapshot."""
     d = _log_path(table)
     os.makedirs(d, exist_ok=True)
@@ -107,54 +150,249 @@ def _commit(table: str, version: int, actions: list[dict]) -> None:
             os.unlink(tmp)
 
 
-def _stage_data_files(df: DataFrame, table: str) -> list[dict]:
+def _stage_data_files(
+    df: DataFrame, table: str, partition_cols: Sequence[str] | None = None
+) -> list[dict]:
     """Write ``df`` as parquet into the table directory under fresh
     uuid names (staged via a temp subdir so a crash mid-write leaves
-    no half-named files) and return their ``add`` actions. Files are
-    INVISIBLE until a commit references them — the protocol's
-    data/metadata split."""
+    no half-named files) and return their ``add`` actions. With
+    ``partition_cols`` the staged write is hive-partitioned and each
+    add action carries the real ``partitionValues`` parsed from its
+    directory (values exactly as Spark escaped them, so they round-trip
+    through the same layout). Files are INVISIBLE until a commit
+    references them — the protocol's data/metadata split."""
     staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(staging)
+    writer = df.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
     adds = []
     now = int(time.time() * 1000)
-    for f in sorted(os.listdir(staging)):
-        if not f.endswith(".parquet"):
-            continue
-        name = f"part-{uuid.uuid4().hex}.parquet"
-        src = os.path.join(staging, f)
-        dst = os.path.join(table, name)
-        size = os.path.getsize(src)
-        os.rename(src, dst)
-        adds.append(
+    for root, _dirs, files in sorted(os.walk(staging)):
+        rel_dir = os.path.relpath(root, staging)
+        pvalues: dict[str, str] = {}
+        if rel_dir != ".":
+            for seg in rel_dir.split(os.sep):
+                k, _, v = seg.partition("=")
+                pvalues[k] = v
+        for f in sorted(files):
+            if not f.endswith(".parquet"):
+                continue
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            rel_path = name if rel_dir == "." else os.path.join(rel_dir, name)
+            src = os.path.join(root, f)
+            dst = os.path.join(table, rel_path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            size = os.path.getsize(src)
+            os.rename(src, dst)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel_path,
+                        "partitionValues": dict(pvalues),
+                        "size": size,
+                        "modificationTime": now,
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging, ignore_errors=True)
+    return adds  # empty frame: still a valid commit (schema-only)
+
+
+# --------------------------------------------------------------------------
+# Parquet checkpoints (+ _last_checkpoint) — the protocol's O(1) snapshot
+# --------------------------------------------------------------------------
+
+
+def _checkpoint_path(table: str, version: int) -> str:
+    return os.path.join(_log_path(table), f"{version:020d}.checkpoint.parquet")
+
+
+def _cp_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            (
+                "protocol",
+                pa.struct(
+                    [
+                        ("minReaderVersion", pa.int32()),
+                        ("minWriterVersion", pa.int32()),
+                    ]
+                ),
+            ),
+            (
+                "metaData",
+                pa.struct(
+                    [
+                        ("id", pa.string()),
+                        ("format", pa.struct([("provider", pa.string())])),
+                        ("schemaString", pa.string()),
+                        ("partitionColumns", pa.list_(pa.string())),
+                        ("createdTime", pa.int64()),
+                    ]
+                ),
+            ),
+            (
+                "add",
+                pa.struct(
+                    [
+                        ("path", pa.string()),
+                        ("partitionValues", pa.map_(pa.string(), pa.string())),
+                        ("size", pa.int64()),
+                        ("modificationTime", pa.int64()),
+                        ("dataChange", pa.bool_()),
+                    ]
+                ),
+            ),
+        ]
+    )
+
+
+def checkpoint_delta(table: str, version: int | None = None) -> str:
+    """Write a parquet CHECKPOINT of the reconciled snapshot state at
+    ``version`` (default: latest) plus the ``_last_checkpoint`` pointer,
+    per the open protocol: one row per action (protocol, metaData, one
+    ``add`` per active file — tombstoned removes are already reconciled
+    away). Snapshot reads at-or-after the checkpoint then replay only
+    the JSON commits past it; :func:`expire_delta_log` may retire the
+    older JSON entries entirely. Returns the checkpoint file path.
+
+    Single-writer metadata op (like the real implementation, where the
+    committer owning version N writes N's checkpoint); the content for
+    a given version is a pure function of the log, so a repeated write
+    is idempotent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    active, meta, version = _snapshot_state(table, version)
+    rows: list[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": meta["id"],
+                "format": {"provider": meta["format"]["provider"]},
+                "schemaString": meta["schemaString"],
+                "partitionColumns": list(meta.get("partitionColumns") or []),
+                "createdTime": meta.get("createdTime", 0),
+            }
+        },
+    ]
+    for path in sorted(active):
+        a = active[path]
+        rows.append(
             {
                 "add": {
-                    "path": name,
-                    "partitionValues": {},
-                    "size": size,
-                    "modificationTime": now,
-                    "dataChange": True,
+                    "path": a["path"],
+                    "partitionValues": dict(a.get("partitionValues") or {}),
+                    "size": a.get("size", 0),
+                    "modificationTime": a.get("modificationTime", 0),
+                    "dataChange": False,
                 }
             }
         )
-    shutil.rmtree(staging, ignore_errors=True)
-    if not adds:  # empty frame: still a valid commit (schema-only)
-        return []
-    return adds
+    final = _checkpoint_path(table, version)
+    tmp = os.path.join(_log_path(table), f".tmp-cp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(pa.Table.from_pylist(rows, schema=_cp_schema()), tmp)
+    os.replace(tmp, final)
+    lc_tmp = os.path.join(_log_path(table), f".tmp-lc-{uuid.uuid4().hex}")
+    with open(lc_tmp, "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    os.replace(lc_tmp, os.path.join(_log_path(table), _LAST_CHECKPOINT))
+    return final
 
 
-def _snapshot_files(table: str, version: int | None) -> tuple[list[str], dict]:
-    versions = _versions(table)
-    if not versions:
-        raise FileNotFoundError(f"not a delta table (no log): {table}")
-    if version is None:
-        version = versions[-1]
-    if version not in versions:
-        raise ValueError(f"version {version} not in log (have {versions})")
+def _read_checkpoint(table: str, version: int) -> tuple[dict, dict]:
+    import pyarrow.parquet as pq
+
     active: dict[str, dict] = {}
     meta: dict = {}
-    for v in versions:
-        if v > version:
-            break
+    for r in pq.read_table(_checkpoint_path(table, version)).to_pylist():
+        if r.get("metaData"):
+            m = r["metaData"]
+            meta = {
+                "id": m["id"],
+                "format": {"provider": m["format"]["provider"], "options": {}},
+                "schemaString": m["schemaString"],
+                "partitionColumns": list(m["partitionColumns"] or []),
+                "configuration": {},
+                "createdTime": m["createdTime"],
+            }
+        elif r.get("add"):
+            a = dict(r["add"])
+            pv = a.get("partitionValues") or []
+            # pyarrow maps come back as (key, value) tuples
+            a["partitionValues"] = {
+                (kv[0] if isinstance(kv, tuple) else kv["key"]): (
+                    kv[1] if isinstance(kv, tuple) else kv["value"]
+                )
+                for kv in pv
+            }
+            active[a["path"]] = a
+    if not meta:
+        raise ValueError(f"corrupt checkpoint {version} in {table}: no metaData")
+    return active, meta
+
+
+def expire_delta_log(table: str) -> list[str]:
+    """Metadata cleanup per the protocol: JSON commits at-or-below the
+    NEWEST checkpoint are retired (their state is fully contained in
+    it), as are older checkpoints. Time travel to a version below the
+    newest checkpoint survives only if an exact checkpoint for it
+    remains — write per-version checkpoints before expiring when that
+    history must stay readable. Returns removed file names."""
+    cps = _checkpoint_versions(table)
+    if not cps:
+        return []
+    floor = cps[-1]
+    removed = []
+    for v in _versions(table):
+        if v <= floor:
+            os.remove(os.path.join(_log_path(table), f"{v:020d}.json"))
+            removed.append(f"{v:020d}.json")
+    return sorted(removed)
+
+
+# --------------------------------------------------------------------------
+# Snapshot resolution (checkpoint floor + JSON replay)
+# --------------------------------------------------------------------------
+
+
+def _snapshot_state(
+    table: str, version: int | None
+) -> tuple[dict[str, dict], dict, int]:
+    """(active add-actions by path, metaData, resolved version) at the
+    pinned ``version`` (default latest). Resolution starts from the
+    newest checkpoint at-or-below the target and replays only the JSON
+    commits after it — O(commits-since-checkpoint), the protocol's
+    whole point."""
+    jsons = _versions(table)
+    cps = _checkpoint_versions(table)
+    avail = sorted(set(jsons) | set(cps))
+    if not avail:
+        raise FileNotFoundError(f"not a delta table (no log): {table}")
+    latest = avail[-1]
+    if version is None:
+        version = latest
+    if version < 0 or version > latest:
+        raise ValueError(f"version {version} not in log (have {avail})")
+    active: dict[str, dict] = {}
+    meta: dict = {}
+    start = 0
+    floors = [c for c in cps if c <= version]
+    if floors:
+        active, meta = _read_checkpoint(table, max(floors))
+        start = max(floors) + 1
+    replay = [v for v in jsons if start <= v <= version]
+    if replay != list(range(start, version + 1)):
+        missing = sorted(set(range(start, version + 1)) - set(replay))
+        raise ValueError(
+            f"version {version} not in log (commits {missing} expired or "
+            "missing with no covering checkpoint)"
+        )
+    for v in replay:
         for a in _read_actions(table, v):
             if "metaData" in a:
                 meta = a["metaData"]
@@ -164,21 +402,39 @@ def _snapshot_files(table: str, version: int | None) -> tuple[list[str], dict]:
                 active.pop(a["remove"]["path"], None)
     if not meta:
         raise ValueError(f"corrupt delta log: no metaData by version {version}")
+    return active, meta, version
+
+
+def _snapshot_files(table: str, version: int | None) -> tuple[list[str], dict]:
+    active, meta, _ = _snapshot_state(table, version)
     return sorted(active), meta
 
 
 def write_delta_table(
-    df: DataFrame, table: str, mode: str = "overwrite"
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
 ) -> int:
     """Create (version 0: protocol + metaData), OVERWRITE (remove every
     active file + add the new ones) or APPEND (add only) in one atomic
-    commit. Returns the committed version."""
+    commit. ``partition_by`` at creation makes a PARTITIONED table
+    (hive-layout paths + per-file ``partitionValues``); on an existing
+    table the partition columns come from its metaData and a conflicting
+    ``partition_by`` raises. The commit version and (for overwrite) the
+    remove list derive from ONE version listing, so an interleaved
+    writer collides on the version number rather than being erased.
+    Returns the committed version."""
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be overwrite|append")
-    versions = _versions(table)
-    version = (versions[-1] + 1) if versions else 0
+    avail = _all_versions(table)
+    version = (avail[-1] + 1) if avail else 0
     actions: list[dict] = []
     if version == 0:
+        pcols = list(partition_by or [])
+        missing = [c for c in pcols if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition_by columns not in frame: {missing}")
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
         actions.append(
             {
@@ -186,38 +442,72 @@ def write_delta_table(
                     "id": uuid.uuid4().hex,
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": df.schema.json(),
-                    "partitionColumns": [],
+                    "partitionColumns": pcols,
                     "configuration": {},
                     "createdTime": int(time.time() * 1000),
                 }
             }
         )
-    elif mode == "overwrite":
-        old_files, _ = _snapshot_files(table, None)
-        now = int(time.time() * 1000)
-        actions.extend(
-            {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
-            for p in old_files
-        )
-    actions.extend(_stage_data_files(df, table))
+    else:
+        pinned = avail[-1]
+        active, meta, _ = _snapshot_state(table, pinned)
+        pcols = list(meta.get("partitionColumns") or [])
+        if partition_by is not None and list(partition_by) != pcols:
+            raise ValueError(
+                f"table is partitioned by {pcols}, not {list(partition_by)}"
+            )
+        if mode == "overwrite":
+            now = int(time.time() * 1000)
+            actions.extend(
+                {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+                for p in sorted(active)
+            )
+    actions.extend(_stage_data_files(df, table, pcols))
     _commit(table, version, actions)
     return version
 
 
 def read_delta_table(
-    spark: SparkSession, table: str, version: int | None = None
+    spark: SparkSession,
+    table: str,
+    version: int | None = None,
+    partition_filter: Mapping[str, object] | None = None,
 ) -> DataFrame:
     """Snapshot read at ``version`` (default: latest). Time travel and
     snapshot isolation fall out of the log replay: the file list is
     fixed by the pinned version, so later commits can never leak into
-    an open reader."""
-    files, meta = _snapshot_files(table, version)
+    an open reader. ``partition_filter`` ({col: value-or-values})
+    prunes DRIVER-SIDE against each file's ``partitionValues`` — pruned
+    files never reach Spark's listing, the log-metadata analogue of
+    partition pruning (values compared as their hive-dir strings)."""
+    active, meta, _ = _snapshot_state(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    pcols = list(meta.get("partitionColumns") or [])
+    files = sorted(active)
+    if partition_filter:
+        unknown = [k for k in partition_filter if k not in pcols]
+        if unknown:
+            raise ValueError(f"not partition columns: {unknown} (have {pcols})")
+        want = {
+            k: {str(x) for x in (v if isinstance(v, (list, tuple, set, frozenset)) else [v])}
+            for k, v in partition_filter.items()
+        }
+        files = [
+            p
+            for p in files
+            if all(
+                active[p].get("partitionValues", {}).get(k) in vs
+                for k, vs in want.items()
+            )
+        ]
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(
-        *[os.path.join(table, f) for f in files]
-    )
+    reader = spark.read.schema(schema)
+    if pcols:
+        # hive layout: partition column values come from the directory
+        # names (identical to the recorded partitionValues by construction)
+        reader = reader.option("basePath", table)
+    return reader.parquet(*[os.path.join(table, f) for f in files])
 
 
 def merge_upsert_deltalog(
@@ -235,7 +525,9 @@ def merge_upsert_deltalog(
     oracle-checked `merge_full_sync` query exercises), stage the merged
     state as new files, and commit remove(old)+add(new) as ONE version
     — readers see the entire merge or none of it, and the pre-merge
-    version stays time-travelable. Returns the committed version."""
+    version stays time-travelable. Full-table grain; the month-scoped
+    rewrite is :func:`merge_cow_deltalog`. Returns the committed
+    version."""
     from etl_loading_scripts_spark.operators.mutations import merge_upsert
 
     # Pin ONE version listing up front and derive everything — the input
@@ -244,27 +536,47 @@ def merge_upsert_deltalog(
     # putIfAbsent link collides, raising the conflict the retry loop needs.
     # (Re-listing before commit, as an earlier revision did, silently erased
     # any commit that interleaved between the snapshot read and the listing.)
-    versions = _versions(table)
-    if not versions:
+    avail = _all_versions(table)
+    if not avail:
         raise FileNotFoundError(f"not a delta table (no log): {table}")
-    pinned = versions[-1]
+    pinned = avail[-1]
+    active, meta, _ = _snapshot_state(table, pinned)
+    pcols = list(meta.get("partitionColumns") or [])
     target = read_delta_table(spark, table, version=pinned)
     merged = merge_upsert(
         target, source, on,
         delete_unmatched_source=delete_unmatched_source, **merge_kwargs,
     )
     version = pinned + 1
-    old_files, _ = _snapshot_files(table, pinned)
     now = int(time.time() * 1000)
     actions = [
         {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
-        for p in old_files
+        for p in sorted(active)
     ]
-    actions.extend(_stage_data_files(merged, table))
+    actions.extend(_stage_data_files(merged, table, pcols))
     if _pre_commit_hook is not None:  # test seam: inject a racing writer
         _pre_commit_hook()
     _commit(table, version, actions)
     return version
+
+
+def _occ_retry(fn, max_retries: int):
+    """Optimistic concurrency loop: a commit conflict re-runs ``fn``
+    against the NEW snapshot — the losing writer's work is recomputed
+    against the winner's state, exactly the semantics the real
+    protocol's retry loop gives idempotent operations. Raises after
+    ``max_retries`` genuine conflicts; every other error propagates."""
+    last: RuntimeError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            return fn()
+        except RuntimeError as exc:
+            if "conflict" not in str(exc):
+                raise
+            last = exc
+    raise RuntimeError(
+        f"delta commit lost {max_retries + 1} optimistic-concurrency races"
+    ) from last
 
 
 def merge_upsert_deltalog_with_retry(
@@ -275,67 +587,284 @@ def merge_upsert_deltalog_with_retry(
     max_retries: int = 3,
     **merge_kwargs,
 ) -> int:
-    """Optimistic concurrency control around the merge: a commit
-    conflict (another writer took the version between our snapshot read
-    and our rename) re-reads the NEW snapshot and recomputes the merge —
-    the losing writer's work is recomputed against the winner's state,
-    exactly the semantics the real protocol's retry loop gives
-    idempotent merges. Raises after ``max_retries`` genuine conflicts;
-    every other error propagates immediately."""
-    last: RuntimeError | None = None
-    for _ in range(max_retries + 1):
-        try:
-            return merge_upsert_deltalog(spark, table, source, on, **merge_kwargs)
-        except RuntimeError as exc:
-            if "conflict" not in str(exc):
-                raise
-            last = exc
-    raise RuntimeError(
-        f"delta merge lost {max_retries + 1} optimistic-concurrency races"
-    ) from last
+    return _occ_retry(
+        lambda: merge_upsert_deltalog(spark, table, source, on, **merge_kwargs),
+        max_retries,
+    )
+
+
+# --------------------------------------------------------------------------
+# Month-grain copy-on-write MERGE — operators/cow.py composed with the log
+# --------------------------------------------------------------------------
+
+
+def merge_cow_deltalog(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: Sequence[str],
+    datekey_col: str = "datekey",
+    _pre_commit_hook=None,
+    **merge_kwargs,
+) -> dict:
+    """File-level-rewrite MERGE into a MONTH-PARTITIONED Delta table —
+    the composition ``operators/cow.py`` documents, executed: the
+    month-scoped merge semantics of :func:`operators.cow.
+    merge_cow_partitioned` (month is PART of the join key; a source row
+    matches only within its own month; ``delete_unmatched_source=True``
+    is the reference's month-scoped full sync, ``S4:91-107``) staged as
+    new month-partitioned files and committed as ONE Delta version that
+    removes only the AFFECTED months' old files. Untouched months'
+    files stay referenced and byte-identical (test-asserted), the
+    pre-merge version stays time-travelable, and a racing writer
+    collides on the version number (OCC — wrap with
+    :func:`merge_cow_deltalog_with_retry`).
+
+    Scale: a monthly increment touches ~1/100th of a 100 TB fact — the
+    affected-month read is pruned driver-side from partitionValues, the
+    merge is one (month, key) shuffle over that slice, and the commit
+    is O(affected files) metadata. This supersedes cow.py's two-rename
+    directory swap: the log commit has NO reader-visible window at all.
+    """
+    from etl_loading_scripts_spark.operators.cow import MONTH_COL, _with_month
+    from etl_loading_scripts_spark.operators.mutations import merge_upsert
+
+    on = list(on)
+    avail = _all_versions(table)
+    if not avail:
+        raise FileNotFoundError(f"not a delta table (no log): {table}")
+    pinned = avail[-1]
+    active, meta, _ = _snapshot_state(table, pinned)
+    if list(meta.get("partitionColumns") or []) != [MONTH_COL]:
+        raise ValueError(
+            f"merge_cow_deltalog needs a table partitioned by [{MONTH_COL}], "
+            f"have {meta.get('partitionColumns')}"
+        )
+    src_months = sorted(
+        r[0]
+        for r in _with_month(source, datekey_col)
+        .select(MONTH_COL)
+        .distinct()
+        .collect()
+    )
+    if not src_months:
+        return {
+            "version": None,
+            "months_rewritten": [],
+            "months_emptied": [],
+            "files_removed": 0,
+            "files_kept": len(active),
+        }
+    month_strs = {str(m) for m in src_months}
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    data_cols = [f.name for f in schema.fields if f.name != MONTH_COL]
+    affected_files = sorted(
+        p
+        for p, a in active.items()
+        if a.get("partitionValues", {}).get(MONTH_COL) in month_strs
+    )
+    if affected_files:
+        affected = (
+            spark.read.schema(schema)
+            .option("basePath", table)
+            .parquet(*[os.path.join(table, p) for p in affected_files])
+        )
+    else:
+        affected = spark.createDataFrame([], schema)
+    merged = merge_upsert(
+        affected.select([*data_cols, MONTH_COL]),
+        _with_month(
+            source.select([c for c in source.columns if c in data_cols]),
+            datekey_col,
+        ),
+        [MONTH_COL, *on],
+        **merge_kwargs,
+    )
+    # spread each month over many tasks: (month, key) shuffle, so a whale
+    # month writes from ~shuffle.partitions tasks, not one straggler
+    merged = merged.repartition(F.col(MONTH_COL), *[F.col(k) for k in on])
+    now = int(time.time() * 1000)
+    actions = [
+        {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+        for p in affected_files
+    ]
+    adds = _stage_data_files(merged, table, [MONTH_COL])
+    actions.extend(adds)
+    if _pre_commit_hook is not None:  # test seam: inject a racing writer
+        _pre_commit_hook()
+    _commit(table, pinned + 1, actions)
+    rewritten = sorted(
+        {int(a["add"]["partitionValues"][MONTH_COL]) for a in adds}
+    )
+    return {
+        "version": pinned + 1,
+        "months_rewritten": rewritten,
+        "months_emptied": [m for m in src_months if m not in rewritten],
+        "files_removed": len(affected_files),
+        "files_kept": len(active) - len(affected_files),
+    }
+
+
+def merge_cow_deltalog_with_retry(
+    spark: SparkSession,
+    table: str,
+    source: DataFrame,
+    on: Sequence[str],
+    max_retries: int = 3,
+    **merge_kwargs,
+) -> dict:
+    return _occ_retry(
+        lambda: merge_cow_deltalog(spark, table, source, on, **merge_kwargs),
+        max_retries,
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-table atomic publish ON the log — the pipeline's commit layer
+# --------------------------------------------------------------------------
+
+
+def publish_set_deltalog(
+    tables: Mapping[str, DataFrame] | Sequence[tuple[str, DataFrame]],
+    base_dir: str,
+    partition_by: Mapping[str, Sequence[str]] | None = None,
+    max_retries: int = 5,
+) -> int:
+    """Publish MULTIPLE tables as ONE atomic unit through the Delta log;
+    returns the SET version. The reference commits its dimension MERGEs
+    plus the fact syncs inside a single SQL transaction
+    (``spScript.sql:20-22,345-357``); here each table is its own Delta
+    table under ``base_dir/<name>`` and one COORDINATOR commit (the same
+    putIfAbsent primitive, log at ``base_dir/_set/_delta_log``) records
+    ``{table: delta_version}``. The coordinator link is THE commit
+    point: a crash after any per-table commit but before it leaves new
+    table versions durable-but-unreferenced — readers resolving through
+    the set log still see the previous consistent set for every table.
+    Concurrent publishers serialize on both layers' version numbers
+    (per-table overwrites and the coordinator commit retry on conflict),
+    so two racing publishes yield two totally-ordered set versions,
+    each internally consistent — never a torn mix. Cross-RUN time
+    travel: pin any historical set version and every table reads at
+    exactly the delta version that run published."""
+    items = list(tables.items()) if isinstance(tables, Mapping) else list(tables)
+    if not items:
+        raise ValueError("publish_set of zero tables")
+    names = [name for name, _ in items]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate table names in publish set: {names}")
+    if _SET_DIR in names:
+        raise ValueError(f"table name {_SET_DIR!r} is reserved for the set log")
+    os.makedirs(base_dir, exist_ok=True)
+    pby = dict(partition_by or {})
+    table_versions: dict[str, int] = {}
+    for name, df in items:
+        tpath = os.path.join(base_dir, name)
+        table_versions[name] = _occ_retry(
+            lambda df=df, tpath=tpath, name=name: write_delta_table(
+                df, tpath, mode="overwrite", partition_by=pby.get(name)
+            ),
+            max_retries,
+        )
+    coord = os.path.join(base_dir, _SET_DIR)
+    action = {
+        "setCommit": {
+            "tables": table_versions,
+            "timestamp": int(time.time() * 1000),
+        }
+    }
+
+    def _commit_set() -> int:
+        vs = _versions(coord)
+        v = (vs[-1] + 1) if vs else 0
+        _commit(coord, v, [action])
+        return v
+
+    return _occ_retry(_commit_set, max_retries)
+
+
+def published_set_versions(base_dir: str) -> list[int]:
+    return _versions(os.path.join(base_dir, _SET_DIR))
+
+
+def read_published_set_deltalog(
+    spark: SparkSession, base_dir: str, version: int | None = None
+) -> dict[str, DataFrame]:
+    """Read every table of a delta-published set at one consistent SET
+    version — the pinned ``version``, or latest. All tables resolve
+    through the one setCommit action, each at exactly the per-table
+    delta version that publish recorded, so the result is always a
+    transactionally consistent cross-table snapshot (never set N's dim
+    with set N-1's fact)."""
+    coord = os.path.join(base_dir, _SET_DIR)
+    vs = _versions(coord)
+    if not vs:
+        raise FileNotFoundError(f"no published set under {base_dir}")
+    if version is None:
+        version = vs[-1]
+    if version not in vs:
+        raise ValueError(f"set version {version} not in log (have {vs})")
+    sc = next(
+        a["setCommit"] for a in _read_actions(coord, version) if "setCommit" in a
+    )
+    return {
+        name: read_delta_table(spark, os.path.join(base_dir, name), version=tv)
+        for name, tv in sorted(sc["tables"].items())
+    }
 
 
 def vacuum_delta(
     table: str, keep_versions: int = 2, staging_retention_sec: float = 3600
 ) -> list[str]:
     """Retention GC: delete data files referenced by NO version in the
-    keep window (latest ``keep_versions`` versions stay fully
-    time-travelable; older log entries remain but their exclusive files
-    go). Staging dirs AND unreferenced .parquet in the table root are
-    swept only past ``staging_retention_sec`` — a concurrent writer
-    (mid-stage, or mid rename-to-commit) must never lose files to GC;
-    pass 0 only when no writer can be live (the real protocol's
-    disabled-retention-duration-check testing mode)."""
-    versions = _versions(table)
-    if not versions:
+    keep window (latest ``keep_versions`` reconstructable versions stay
+    fully time-travelable; older log entries remain but their exclusive
+    files go). Staging dirs AND unreferenced .parquet anywhere under
+    the table are swept only past ``staging_retention_sec`` — a
+    concurrent writer (mid-stage, or mid rename-to-commit) must never
+    lose files to GC; pass 0 only when no writer can be live (the real
+    protocol's disabled-retention-duration-check testing mode)."""
+    avail = _all_versions(table)
+    if not avail:
         return []
-    keep = set(versions[-keep_versions:]) if keep_versions > 0 else set()
+    keep = set(avail[-keep_versions:]) if keep_versions > 0 else set()
     needed: set[str] = set()
     for v in keep:
         files, _ = _snapshot_files(table, v)
         needed.update(files)
     removed = []
     now = time.time()
-    for f in os.listdir(table):
-        full = os.path.join(table, f)
-        if f.startswith(".staging-") and os.path.isdir(full):
-            # age-gate staging debris (the real protocol's retention
-            # check): an in-flight concurrent writer's staging dir must
-            # not be swept from under it — only abandoned ones
-            if now - os.path.getmtime(full) < staging_retention_sec:
-                continue
-            shutil.rmtree(full, ignore_errors=True)
-            removed.append(f)
-        elif f.endswith(".parquet") and f not in needed:
-            # Same retention gate as staging dirs: a concurrent writer
-            # renames staged parts into the table root BEFORE its commit,
-            # so a young unreferenced .parquet may be an imminent commit's
-            # data — only files past the retention age are truly orphaned
-            # (the real protocol's vacuum has the identical mtime check).
-            if now - os.path.getmtime(full) < staging_retention_sec:
-                continue
-            os.remove(full)
-            removed.append(f)
+    for root, dirs, files in os.walk(table, topdown=True):
+        rel_root = os.path.relpath(root, table)
+        if rel_root == ".":
+            # never descend into the log; sweep aged staging dirs here
+            dirs[:] = [d for d in dirs if d != _LOG_DIR]
+            for d in list(dirs):
+                full = os.path.join(root, d)
+                if d.startswith(".staging-"):
+                    dirs.remove(d)
+                    # age-gate staging debris (the real protocol's
+                    # retention check): an in-flight concurrent writer's
+                    # staging dir must not be swept from under it
+                    if now - os.path.getmtime(full) < staging_retention_sec:
+                        continue
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(d)
+        for f in files:
+            rel = f if rel_root == "." else os.path.join(rel_root, f)
+            if f.endswith(".parquet") and rel not in needed:
+                full = os.path.join(root, f)
+                # same retention gate as staging dirs: a young
+                # unreferenced .parquet may be an imminent commit's
+                # freshly renamed data — only files past the retention
+                # age are truly orphaned
+                if now - os.path.getmtime(full) < staging_retention_sec:
+                    continue
+                os.remove(full)
+                removed.append(rel)
+    # drop partition directories a vacuum emptied out
+    for root, dirs, files in sorted(os.walk(table, topdown=False)):
+        if root != table and not dirs and not files and _LOG_DIR not in root:
+            os.rmdir(root)
     return sorted(removed)
 
 
@@ -344,13 +873,13 @@ def vacuum_delta(
 # --------------------------------------------------------------------------
 
 
-def _fixture_dir(sf_dir: str) -> str:
+def _fixture_dir(sf_dir: str, tag: str = "deltalog_fix") -> str:
     import hashlib
     import tempfile
 
     return os.path.join(
         tempfile.gettempdir(),
-        f"deltalog_fix_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
 
 
@@ -416,10 +945,10 @@ from etl_loading_scripts_spark.registry import register  # noqa: E402
     "a torn commit, wrong snapshot, or merge bug mismatches.",
 )
 def delta_log_merge_timetravel(spark: SparkSession, sf_dir: str):
-    """Scale: the log is O(commits) driver metadata; snapshot reads are
-    ordinary parquet scans of exactly the pinned version's files. The
-    merge rewrites table files (full-table grain here; month-grain COW
-    composes via operators/cow.py staging + this module's commit)."""
+    """Scale: the log is O(commits-since-checkpoint) driver metadata;
+    snapshot reads are ordinary parquet scans of exactly the pinned
+    version's files. The merge rewrites table files (full-table grain
+    here; the month-grain COW path is merge_cow_deltalog)."""
     d = plant_delta_fixture(spark, sf_dir)
     out = None
     for v in (0, 1):

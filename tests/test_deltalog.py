@@ -214,6 +214,190 @@ def test_lost_update_window_closed(spark, table, monkeypatch):
     assert got[400] == 4  # the racer's commit SURVIVED the merge
 
 
+def test_checkpoint_bounds_log_replay(spark, tmp_path, monkeypatch):
+    """Parquet checkpoint + _last_checkpoint: snapshot construction
+    starts from the newest checkpoint at-or-below the pinned version
+    and replays ONLY the JSON commits after it — O(1) in total commits.
+    Asserted structurally by counting _read_actions calls."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "cp")
+    for i in range(12):
+        df = spark.createDataFrame([(i, i)], "k long, v long")
+        dl.write_delta_table(df, d, mode="append" if i else "overwrite")
+    cp_file = dl.checkpoint_delta(d)  # checkpoint at latest (version 11)
+    assert cp_file.endswith(f"{11:020d}.checkpoint.parquet")
+    lc = json.load(open(os.path.join(d, "_delta_log", "_last_checkpoint")))
+    assert lc["version"] == 11
+    for i in range(12, 15):  # three post-checkpoint commits
+        dl.write_delta_table(
+            spark.createDataFrame([(i, i)], "k long, v long"), d, mode="append"
+        )
+
+    calls = []
+    real = dl._read_actions
+    monkeypatch.setattr(
+        dl, "_read_actions", lambda t, v: calls.append(v) or real(t, v)
+    )
+    assert dl.read_delta_table(spark, d).count() == 15
+    assert sorted(calls) == [12, 13, 14]  # replay is post-checkpoint ONLY
+
+    # expire: pre-checkpoint JSONs retire; every version >= 11 still reads
+    removed = dl.expire_delta_log(d)
+    assert len(removed) == 12
+    assert dl.read_delta_table(spark, d, version=11).count() == 12
+    assert dl.read_delta_table(spark, d, version=13).count() == 14
+    with pytest.raises(ValueError, match="expired|not in log"):
+        dl.read_delta_table(spark, d, version=5)
+    # post-expiry appends continue the version sequence seamlessly
+    v = dl.write_delta_table(
+        spark.createDataFrame([(99, 99)], "k long, v long"), d, mode="append"
+    )
+    assert v == 15
+    assert dl.read_delta_table(spark, d).count() == 16
+
+
+def test_partitioned_table_prunes_and_time_travels(spark, tmp_path):
+    """Partitioned Delta table: add actions carry real partitionValues,
+    reads restore the partition column from the hive layout, and
+    partition_filter prunes DRIVER-SIDE (asserted on inputFiles)."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "ptab")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4 + 202401).cast("int").alias("month"),
+        (F.col("id") * 2).alias("v"),
+    )
+    dl.write_delta_table(df, d, partition_by=["month"])
+    # log carries the partitioning
+    _, meta, _ = dl._snapshot_state(d, None)
+    assert meta["partitionColumns"] == ["month"]
+    active, _, _ = dl._snapshot_state(d, None)
+    assert all(
+        a["partitionValues"].get("month", "").isdigit()
+        and a["path"].startswith("month=")
+        for a in active.values()
+    )
+    back = dl.read_delta_table(spark, d)
+    assert back.count() == 100
+    assert back.filter(F.col("month") == 202402).count() == 25
+    # driver-side pruning: only the asked month's files reach Spark
+    pruned = dl.read_delta_table(spark, d, partition_filter={"month": 202403})
+    assert pruned.count() == 25
+    assert pruned.select(F.sum("v")).first()[0] == sum(
+        2 * i for i in range(100) if i % 4 == 2
+    )
+    assert all("month=202403" in f for f in pruned.inputFiles())
+    with pytest.raises(ValueError, match="not partition columns"):
+        dl.read_delta_table(spark, d, partition_filter={"v": 1})
+    # conflicting partition_by on an existing table raises
+    with pytest.raises(ValueError, match="partitioned by"):
+        dl.write_delta_table(df, d, mode="append", partition_by=["k"])
+    # checkpoint round-trips partitionValues through the parquet map
+    dl.checkpoint_delta(d)
+    dl.write_delta_table(df.limit(0), d, mode="append")
+    again = dl.read_delta_table(spark, d, partition_filter={"month": [202401, 202402]})
+    assert again.count() == 50
+
+
+def test_merge_cow_deltalog_rewrites_only_affected_months(spark, tmp_path):
+    """Month-grain COW through the log (the cow.py composition,
+    executed): a one-month source rewrites only that month's files in
+    ONE atomic version; untouched months' files stay REFERENCED and
+    byte-identical; the pre-merge version time-travels."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "cowtab")
+    base = spark.range(90).select(
+        F.col("id").alias("k"),
+        (F.lit(20240100) + F.col("id") % 3 * 100 + 5).cast("int").alias("datekey"),
+        F.col("id").alias("v"),
+    ).withColumn("month", (F.col("datekey") / 100).cast("int"))
+    dl.write_delta_table(base, d, partition_by=["month"])
+    active0, _, _ = dl._snapshot_state(d, None)
+    untouched_before = {
+        p: os.path.getmtime(os.path.join(d, p))
+        for p, a in active0.items()
+        if a["partitionValues"]["month"] != "202402"
+    }
+    # source: month 202402 only — update k%2==0, insert two new keys
+    src = spark.createDataFrame(
+        [(1, 20240205, 1000), (4, 20240205, 1004), (901, 20240205, 901)],
+        "k long, datekey int, v long",
+    )
+    res = dl.merge_cow_deltalog(spark, d, src, on=["k"], datekey_col="datekey")
+    assert res["version"] == 1
+    assert res["months_rewritten"] == [202402]
+    assert res["files_kept"] == len(untouched_before)
+    active1, _, _ = dl._snapshot_state(d, None)
+    # untouched months: same files, same bytes (mtime unchanged)
+    for p, t in untouched_before.items():
+        assert p in active1
+        assert os.path.getmtime(os.path.join(d, p)) == t
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == 91  # 90 + 1 insert (k=901; k=1,4 were updates)
+    got2 = {r.k: r.v for r in got.filter(F.col("month") == 202402).collect()}
+    assert got2[1] == 1000 and got2[4] == 1004 and got2[901] == 901
+    # pre-merge version intact
+    old = dl.read_delta_table(spark, d, version=0)
+    assert old.count() == 90
+    assert {r.v for r in old.filter(F.col("k") == 1).collect()} == {1}
+    # month-scoped merge on an unpartitioned table is refused
+    d2 = str(tmp_path / "flat")
+    dl.write_delta_table(spark.range(3).select(
+        F.col("id").alias("k"), F.lit(20240105).alias("datekey")
+    ), d2)
+    with pytest.raises(ValueError, match="partitioned by"):
+        dl.merge_cow_deltalog(spark, d2, src, on=["k"])
+
+
+def test_publish_set_deltalog_roundtrip_pinning_and_crash(spark, tmp_path):
+    """Multi-table publish ON the log: one coordinator commit pins
+    {table: delta_version}; pinned set reads are cross-table
+    consistent; a crash after per-table commits but before the
+    coordinator commit leaves readers on the previous complete set."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "warehouse")
+
+    def tables(tag):
+        return {
+            "fact": spark.createDataFrame(
+                [(1, tag), (2, tag)], "k long, run long"
+            ),
+            "dim": spark.createDataFrame([(tag, tag)], "d long, run long"),
+        }
+
+    v0 = dl.publish_set_deltalog(tables(1), base)
+    v1 = dl.publish_set_deltalog(tables(2), base)
+    assert (v0, v1) == (0, 1)
+    assert dl.published_set_versions(base) == [0, 1]
+    latest = dl.read_published_set_deltalog(spark, base)
+    assert {r.run for r in latest["fact"].collect()} == {2}
+    assert {r.run for r in latest["dim"].collect()} == {2}
+    pinned = dl.read_published_set_deltalog(spark, base, version=0)
+    assert {r.run for r in pinned["fact"].collect()} == {1}
+    assert {r.run for r in pinned["dim"].collect()} == {1}
+    with pytest.raises(ValueError, match="set version 9"):
+        dl.read_published_set_deltalog(spark, base, version=9)
+    # crash injection: per-table commits land, coordinator commit never
+    # happens -> the torn publish is INVISIBLE through the set log
+    for name, df in tables(3).items():
+        dl.write_delta_table(df, os.path.join(base, name), mode="overwrite")
+    after = dl.read_published_set_deltalog(spark, base)
+    assert {r.run for r in after["fact"].collect()} == {2}
+    assert dl.published_set_versions(base) == [0, 1]
+    # the next successful publish supersedes the orphaned versions
+    v3 = dl.publish_set_deltalog(tables(4), base)
+    assert {
+        r.run
+        for r in dl.read_published_set_deltalog(spark, base, version=v3)[
+            "fact"
+        ].collect()
+    } == {4}
+
+
 def test_streaming_foreachbatch_into_delta_log(spark, tmp_path):
     """Streaming lands in the lakehouse: a rate-less memory stream of
     updates drains through foreachBatch -> merge_upsert_deltalog_with_
