@@ -339,10 +339,11 @@ def _read_checkpoint(table: str, version: int) -> tuple[dict, dict]:
 def expire_delta_log(table: str) -> list[str]:
     """Metadata cleanup per the protocol: JSON commits at-or-below the
     NEWEST checkpoint are retired (their state is fully contained in
-    it), as are older checkpoints. Time travel to a version below the
-    newest checkpoint survives only if an exact checkpoint for it
-    remains — write per-version checkpoints before expiring when that
-    history must stay readable. Returns removed file names."""
+    it). Older CHECKPOINTS are kept — they are what keeps time travel
+    to pre-cleanup versions alive; a version below the newest checkpoint
+    stays readable iff an exact checkpoint for it remains (write
+    per-version checkpoints before expiring when that history must stay
+    readable). Returns removed file names."""
     cps = _checkpoint_versions(table)
     if not cps:
         return []
@@ -959,4 +960,126 @@ def delta_log_merge_timetravel(spark: SparkSession, sf_dir: str):
             F.sum("amount").cast("double").alias("amount_sum"),
         ).select("version", "n_rows", "amount_sum")
         out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+def plant_delta_cow_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Month-PARTITIONED Delta fact exercising the full round-7 surface
+    in one table:
+
+    - v0: every order as (k, datekey, amount, month), partitioned by
+      month; checkpointed.
+    - v1: :func:`merge_cow_deltalog` of a source scoped to the MIN
+      month — updates (k%3==0 → amount+1000) and inserts (k%7==0 →
+      key k+10^9 at amount+5000) — ONE atomic version rewriting only
+      that month's files; checkpointed.
+    - then :func:`expire_delta_log` retires EVERY JSON commit, so both
+      versions are readable ONLY through their parquet checkpoints —
+      the oracle query below cannot pass unless checkpoint write, read,
+      partitionValues round-trip, and floor selection are all correct.
+    """
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.functions import tsql
+
+    d = _fixture_dir(sf_dir, tag="deltacow_fix")
+    if _checkpoint_versions(d) == [0, 1] and not _versions(d):
+        return d  # complete: both checkpoints written, log expired
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        tsql.datekey(F.to_date("o_orderdate")).alias("datekey"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("amount"),
+    )
+    base = orders.withColumn("month", (F.col("datekey") / 100).cast("int"))
+    write_delta_table(base, d, partition_by=["month"])
+    checkpoint_delta(d, version=0)
+    m0 = base.agg(F.min("month")).first()[0]
+    in_m0 = orders.filter((F.col("datekey") / 100).cast("int") == m0)
+    updates = in_m0.filter(F.col("k") % 3 == 0).select(
+        "k", "datekey", (F.col("amount") + 1000).cast("decimal(18,4)").alias("amount")
+    )
+    inserts = in_m0.filter(F.col("k") % 7 == 0).select(
+        (F.col("k") + 10**9).alias("k"),
+        "datekey",
+        (F.col("amount") + 5000).cast("decimal(18,4)").alias("amount"),
+    )
+    merge_cow_deltalog(
+        spark, d, updates.unionByName(inserts), on=["k"], datekey_col="datekey"
+    )
+    checkpoint_delta(d, version=1)
+    expire_delta_log(d)
+    return d
+
+
+@register(
+    "delta_cow_checkpoint_timetravel",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS amount
+        FROM orders
+    ),
+    m0 AS (SELECT MIN(month) AS m FROM base),
+    v1 AS (
+        SELECT b.month,
+               b.amount + CASE WHEN b.month = m0.m AND b.k % 3 = 0
+                               THEN 1000 ELSE 0 END AS amount
+        FROM base b CROSS JOIN m0
+        UNION ALL
+        SELECT b.month, b.amount + 5000 AS amount
+        FROM base b CROSS JOIN m0
+        WHERE b.month = m0.m AND b.k % 7 = 0
+    ),
+    both_versions AS (
+        SELECT 0 AS version, month, amount FROM base
+        UNION ALL
+        SELECT 1 AS version, month, amount FROM v1
+    )
+    SELECT version,
+           scope,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(amount) AS DOUBLE) AS amount_sum
+    FROM (
+        SELECT version, 'all' AS scope, amount FROM both_versions
+        UNION ALL
+        SELECT bv.version, 'm0' AS scope, bv.amount
+        FROM both_versions bv CROSS JOIN m0 WHERE bv.month = m0.m
+    )
+    GROUP BY version, scope
+    """,
+    doc="Month-partitioned Delta table + month-grain COW MERGE "
+    "(merge_cow_deltalog: only the affected month's files rewritten, "
+    "one atomic version) + parquet CHECKPOINTS: both versions are read "
+    "back AFTER expire_delta_log retired every JSON commit, so snapshot "
+    "construction runs entirely from the protocol's checkpoint files; "
+    "the 'm0' scope rows additionally read through partition_filter "
+    "(driver-side pruning from partitionValues). Counts and exact cent "
+    "sums per (version, scope) must match the arithmetic oracle.",
+)
+def delta_cow_checkpoint_timetravel(spark: SparkSession, sf_dir: str):
+    """Scale: the increment touches ~1/n_months of the fact — pruned
+    driver-side from partitionValues, merged in one (month, key)
+    shuffle, committed as O(affected files) metadata; snapshot reads
+    are O(commits-since-checkpoint) = 0 JSON replays here."""
+    d = plant_delta_cow_fixture(spark, sf_dir)
+    snap0 = read_delta_table(spark, d, version=0)
+    m0 = int(snap0.agg(F.min("month")).first()[0])
+    out = None
+    for v in (0, 1):
+        for scope in ("all", "m0"):
+            snap = read_delta_table(
+                spark,
+                d,
+                version=v,
+                partition_filter={"month": m0} if scope == "m0" else None,
+            )
+            agg = snap.agg(
+                F.lit(v).alias("version"),
+                F.lit(scope).alias("scope"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").cast("double").alias("amount_sum"),
+            ).select("version", "scope", "n_rows", "amount_sum")
+            out = agg if out is None else out.unionByName(agg)
     return out

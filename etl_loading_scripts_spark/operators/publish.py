@@ -224,9 +224,23 @@ def publish_set(
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate table names in publish set: {names}")
     os.makedirs(base_dir, exist_ok=True)
-    existing = _set_versions(base_dir)
-    version = (existing[-1] + 1) if existing else 1
-    vdir = os.path.join(base_dir, f"v={version}")
+    # CLAIM the version number with an atomic mkdir before any data is
+    # written: two concurrent publishers that both compute N serialize
+    # here — the loser retries at N+1 instead of both writing into the
+    # same v=N and interleaving their part files (a torn-but-servable
+    # set, since _set_complete only checks markers). Exactly the role
+    # the putIfAbsent link plays in operators/deltalog.
+    for _ in range(64):
+        existing = _set_versions(base_dir)
+        version = (existing[-1] + 1) if existing else 1
+        vdir = os.path.join(base_dir, f"v={version}")
+        try:
+            os.mkdir(vdir)
+            break
+        except FileExistsError:
+            continue
+    else:
+        raise RuntimeError(f"publish_set lost 64 version-claim races in {base_dir}")
     for name, df in items:
         df.write.mode("errorifexists").parquet(os.path.join(vdir, name))
     manifest = {"version": version, "tables": names}

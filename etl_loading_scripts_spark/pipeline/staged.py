@@ -245,10 +245,18 @@ def run_monthly_load_staged(
     )
 
     if publish:
-        from etl_loading_scripts_spark.operators.publish import publish_set
+        # The warehouse commit layer IS the Delta log (operators/deltalog):
+        # every table a Delta table, one coordinator commit per run — so
+        # consecutive staged loads over different month windows give
+        # cross-RUN time travel over the whole warehouse (read any prior
+        # run's consistent dim+fact set by set version). This replaced the
+        # parallel publish_set manifest mechanism in round 7.
+        from etl_loading_scripts_spark.operators.deltalog import (
+            publish_set_deltalog,
+        )
 
         t0 = time.time()
-        publish_set(
+        set_version = publish_set_deltalog(
             [
                 ("fact_transaction", out.fact_transaction),
                 ("dim_patron", out.dim_patron),
@@ -258,7 +266,11 @@ def run_monthly_load_staged(
             ],
             os.path.join(stage_dir, "publish"),
         )
-        rec = {"stage": "s6_publish_set", "wall_sec": round(time.time() - t0, 3)}
+        rec = {
+            "stage": "s6_publish_deltalog",
+            "wall_sec": round(time.time() - t0, 3),
+            "set_version": set_version,
+        }
         if snapshot is not None:
             snap = snapshot()
             if snap is not None and barrier.last is not None:

@@ -1,0 +1,91 @@
+"""Subprocess workers for TRUE multi-process concurrency tests.
+
+Each worker is a separate OS process with its OWN SparkSession (own JVM),
+racing another worker against the same on-disk table — no shared locks,
+no in-process test seams. The parent test asserts serializability from
+the artifacts alone: contiguous version numbers, no torn reads at any
+version, and no lost updates. Invoked as::
+
+    python tests/_mp_workers.py <mode> <path> <writer_id>
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def _spark(writer: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[2]")
+        .appName(f"mp-worker-{writer}")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def merge_race(table: str, writer: int) -> None:
+    """Three OCC merges; every merge also writes the CONTENDED key 0,
+    so interleaved commits must conflict-and-recompute, never erase."""
+    from etl_loading_scripts_spark.operators.deltalog import (
+        merge_upsert_deltalog_with_retry,
+    )
+
+    spark = _spark(writer)
+    w = writer + 1  # writer keys (w*100+i) stay clear of the seed keys
+    for i in range(3):
+        src = spark.createDataFrame(
+            [(w * 100 + i, w * 1000 + i), (0, w * 1000 + i)], "k long, v long"
+        )
+        merge_upsert_deltalog_with_retry(
+            spark, table, src, on=["k"], max_retries=20
+        )
+
+
+def publish_deltalog_race(base: str, writer: int) -> None:
+    """Two full set publishes through the Delta log; the tag ties every
+    table of one publish together so a torn set is detectable."""
+    from etl_loading_scripts_spark.operators.deltalog import (
+        publish_set_deltalog,
+    )
+
+    spark = _spark(writer)
+    for i in range(2):
+        tag = writer * 10 + i
+        publish_set_deltalog(
+            {
+                "fact": spark.createDataFrame(
+                    [(1, tag), (2, tag)], "k long, run long"
+                ),
+                "dim": spark.createDataFrame([(9, tag)], "d long, run long"),
+            },
+            base,
+            max_retries=20,
+        )
+
+
+def publish_set_race(base: str, writer: int) -> None:
+    """Two manifest-layout set publishes (operators/publish.publish_set);
+    the atomic mkdir version claim must serialize racing publishers."""
+    from etl_loading_scripts_spark.operators.publish import publish_set
+
+    spark = _spark(writer)
+    for i in range(2):
+        tag = writer * 10 + i
+        publish_set(
+            {
+                "fact": spark.createDataFrame(
+                    [(1, tag), (2, tag)], "k long, run long"
+                ),
+                "dim": spark.createDataFrame([(9, tag)], "d long, run long"),
+            },
+            base,
+        )
+
+
+if __name__ == "__main__":
+    mode, path, writer = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    globals()[mode](path, writer)

@@ -647,6 +647,39 @@ def test_publish_set_roundtrip_and_pinning(spark, tmp_path):
         read_published_set(spark, base, version=9)
 
 
+def test_multiprocess_publish_set_serializability(spark, tmp_path):
+    """Two OS PROCESSES (own JVMs) each run two publish_set calls
+    against one base dir: the atomic mkdir version CLAIM serializes
+    them — four distinct complete versions, each internally consistent
+    (fact and dim carry the same publish tag; pre-claim code let both
+    racers write into the same v=N and interleave part files), and
+    _LATEST lands on a complete version."""
+    import os
+
+    from etl_loading_scripts_spark.operators.publish import (
+        _set_versions,
+        read_published_set,
+    )
+    from test_deltalog import _run_workers  # pytest rootdir import
+
+    base = str(tmp_path / "mp_set")
+    _run_workers("publish_set_race", base)
+    vs = _set_versions(base)
+    assert vs == [1, 2, 3, 4]
+    tags = []
+    for v in vs:
+        t = read_published_set(spark, base, version=v)
+        fact_tags = {r.run for r in t["fact"].collect()}
+        dim_tags = {r.run for r in t["dim"].collect()}
+        assert len(fact_tags) == 1 and fact_tags == dim_tags, v  # never torn
+        tags.append(fact_tags.pop())
+    assert sorted(tags) == [0, 1, 10, 11]
+    with open(os.path.join(base, "_LATEST")) as fh:
+        assert int(fh.read().strip()) in vs
+    # latest read resolves without error (the pointer target is complete)
+    assert set(read_published_set(spark, base)) == {"fact", "dim"}
+
+
 def test_publish_set_crash_never_tears_cross_table(spark, tmp_path):
     """The O10 guarantee: a crash at ANY point of publish N+1 leaves a
     reader seeing version N for EVERY table — never a mixed set."""

@@ -398,6 +398,86 @@ def test_publish_set_deltalog_roundtrip_pinning_and_crash(spark, tmp_path):
     } == {4}
 
 
+def _run_workers(mode: str, path: str, n: int = 2, timeout: int = 540):
+    """Spawn n OS-process workers (tests/_mp_workers.py) racing against
+    the same on-disk table, each with its own SparkSession/JVM."""
+    import subprocess
+    import sys
+
+    here = os.path.dirname(__file__)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(here), env.get("PYTHONPATH", "")]
+    ).rstrip(os.pathsep)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(here, "_mp_workers.py"),
+             mode, path, str(w)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+        for w in range(n)
+    ]
+    for p in procs:
+        _out, err = p.communicate(timeout=timeout)
+        assert p.returncode == 0, err.decode(errors="replace")[-3000:]
+
+
+def test_multiprocess_merge_serializability(spark, tmp_path):
+    """TWO OS PROCESSES (own JVMs, no shared state but the filesystem)
+    race merge_upsert_deltalog_with_retry against one table: the final
+    state must equal SOME serial order — contiguous versions, every
+    version readable (no torn commits), NO lost updates on either
+    writer's keys, and the contended key holds the last-committing
+    writer's final value."""
+    from etl_loading_scripts_spark.operators.deltalog import _versions
+
+    table = str(tmp_path / "mp_merge")
+    seed = spark.createDataFrame([(k, -1) for k in range(10)], "k long, v long")
+    write_delta_table(seed, table)
+    _run_workers("merge_race", table)
+    # v0 seed + 6 committed merges, no gaps (a gap = a torn/lost commit)
+    assert _versions(table) == list(range(7))
+    for v in range(7):  # every historical version replays cleanly
+        assert read_delta_table(spark, table, version=v).count() >= 10
+    got = {r.k: r.v for r in read_delta_table(spark, table).collect()}
+    for w in (1, 2):  # no lost updates across interleaved commits
+        for i in range(3):
+            assert got[w * 100 + i] == w * 1000 + i
+    # each writer commits its i=2 merge LAST, so the globally last
+    # commit is one of the two writers' final values — never a stale i
+    assert got[0] in {1002, 2002}
+    assert got[5] == -1  # untouched seed row survives all six merges
+
+
+def test_multiprocess_publish_set_deltalog_serializability(spark, tmp_path):
+    """Two OS processes each publish TWO full table sets through the
+    Delta log against one warehouse: all four publishes commit at
+    distinct contiguous set versions, every set version is internally
+    consistent (fact and dim carry the same publish tag — a torn mix
+    would differ), and each writer's own publishes stay ordered."""
+    from etl_loading_scripts_spark.operators.deltalog import (
+        published_set_versions,
+        read_published_set_deltalog,
+    )
+
+    base = str(tmp_path / "mp_pub")
+    _run_workers("publish_deltalog_race", base)
+    vs = published_set_versions(base)
+    assert vs == [0, 1, 2, 3]
+    tags = []
+    for v in vs:
+        t = read_published_set_deltalog(spark, base, version=v)
+        fact_tags = {r.run for r in t["fact"].collect()}
+        dim_tags = {r.run for r in t["dim"].collect()}
+        assert len(fact_tags) == 1 and fact_tags == dim_tags  # never torn
+        tags.append(fact_tags.pop())
+    assert sorted(tags) == [0, 1, 10, 11]  # every publish exactly once
+    assert tags.index(0) < tags.index(1)  # per-writer order preserved
+    assert tags.index(10) < tags.index(11)
+
+
 def test_streaming_foreachbatch_into_delta_log(spark, tmp_path):
     """Streaming lands in the lakehouse: a rate-less memory stream of
     updates drains through foreachBatch -> merge_upsert_deltalog_with_

@@ -357,18 +357,22 @@ def test_staged_load_matches_unstaged(spark, tmp_path, loaded):
     assert [r["stage"] for r in report] == [
         "s0_domain", "s1_fingerprint_map", "s2_patron_dims",
         "s3_restaurant_map", "s4_billing_groups", "s5_bi_reporting",
-        "s6_publish_set",
+        "s6_publish_deltalog",
     ]
+    assert report[-1]["set_version"] == 0  # first run of this warehouse
     # fact content identical (sorted compare on the update targets)
     cols = ["txn_id", "patron_id", "restaurant_key", "fingerprint_id",
             "billing_group_key"]
     a = sorted(map(tuple, out.fact_transaction.select(cols).collect()))
     b = sorted(map(tuple, out_ref.fact_transaction.select(cols).collect()))
     assert a == b
-    # publish_set committed a readable, transactionally-consistent set
-    from etl_loading_scripts_spark.operators.publish import read_published_set
+    # the publish committed a readable, transactionally-consistent set
+    # through the Delta log (the pipeline's commit layer since round 7)
+    from etl_loading_scripts_spark.operators.deltalog import (
+        read_published_set_deltalog,
+    )
 
-    pub = read_published_set(spark, str(tmp_path / "staged" / "publish"))
+    pub = read_published_set_deltalog(spark, str(tmp_path / "staged" / "publish"))
     assert set(pub) == {
         "fact_transaction", "dim_patron", "dim_restaurant",
         "dim_billing_group", "pos_fingerprints",

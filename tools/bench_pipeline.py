@@ -7,7 +7,7 @@ appeared in a scale sweep.
 This tool amplifies the transactional side of sf0.1 10x (orders +
 customer key-offset copies; supplier/dims single-copy — dims grow far
 slower than facts at 100 TB, which is what keeps them broadcastable),
-then runs the full staged load (stages 1-5 + atomic publish_set)
+then runs the full staged load (stages 1-5 + atomic delta-log publish)
 against BOTH fixtures with the Spark UI enabled, recording per STAGE:
 
 - wall seconds,
