@@ -1867,6 +1867,150 @@ _WEBP_PX_DUCK = (
 )
 
 
+def planted_webp_image(d: int):
+    """Deterministic planted VP8L image for doc ``d`` → (w, h, px
+    ndarray, code_kind, encoded payload) — the per-kind pattern/encoder
+    dispatch shared by ``mm_decode_webp_lossless`` (round-trip through
+    the from-scratch codec) and ``mm_webp_libwebp_interop``
+    (llm/webplib.py: the same bitstreams decoded by the REAL libwebp)."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.webp import encode_webp_lossless
+
+    w, h = 4 + d % 9, 3 + d % 5
+    n = w * h * 4
+    q = np.arange(n, dtype=np.int64)
+    if d % 16 == 4:
+        # half-split palettes: the META-PREFIX-GROUPS class
+        px = np.where(
+            (q // 4) % w < w // 2,
+            (d * 7 + (q % 4) * 3) % 60,
+            180 + (d * 11 + (q % 4) * 5) % 70,
+        ).astype(np.uint8)
+        kind = "meta"
+    elif d % 16 == 10:
+        # smooth gradient: the PREDICTOR-transform class
+        px = (
+            (d * 3 + ((q // 4) % w) * 7 + ((q // 4) // w) * 3
+             + (q % 4) * 5) % 251
+        ).astype(np.uint8)
+        kind = "predictor"
+    elif d % 16 == 14:
+        # channel-correlated image: the CROSS-COLOR class
+        px = (
+            (d * 23 + (q // 4) * 9 + (q % 4) * ((q // 4) % 5)) % 251
+        ).astype(np.uint8)
+        kind = "cross_color"
+    elif d % 16 == 8:
+        # column-striped image (all rows identical): the
+        # NEIGHBOR-MAP distance-code class — every row after
+        # the first is a distance=width LZ77 copy addressed
+        # through the spec's 120-entry 2D table (code 1)
+        px = (
+            (d * 13 + ((q // 4) % w) * 17 + (q % 4) * 7) % 251
+        ).astype(np.uint8)
+        kind = "neighbor"
+    elif d % 16 == 12:
+        # row-striped 5-color image: the COMBINED class —
+        # subtract-green + color cache + distance-1 backrefs
+        # (neighbor code 2) interacting in ONE stream
+        px = (
+            (d * 29 + (((q // 4) // w) % 5) * 41 + (q % 4) * 13) % 251
+        ).astype(np.uint8)
+        kind = "combined"
+    elif d % 8 == 6:
+        # few-color non-run image: the COLOR-CACHE class
+        px = (
+            (d * 19 + ((q // 4) * 31 % 7) * 37 + (q % 4) * 11) % 251
+        ).astype(np.uint8)
+        kind = "cache"
+    elif d % 8 == 2:
+        # 8-pixel runs: the LZ77 backreference (RLE) class
+        px = (
+            (d * 17 + ((q // 4) // 8) * 13 + (q % 4) * 7) % 251
+        ).astype(np.uint8)
+        kind = "rle"
+    elif d % 16 == 0:
+        # same two-color pixels as 'simple' but wrapped in the
+        # EXTENDED (VP8X) container with an EXIF chunk riding
+        # alongside — the wire shape metadata-bearing files use
+        px = (
+            np.where(((q // 4) + d) % 2 == 0, 40, 200) + (q % 4) * 3
+        ).astype(np.uint8)
+        kind = "extended"
+    elif d % 2 == 0:
+        px = (
+            np.where(((q // 4) + d) % 2 == 0, 40, 200) + (q % 4) * 3
+        ).astype(np.uint8)
+        kind = "simple"
+    else:
+        px = ((d * 11 + (q // 4) * 5 + (q % 4) * 29) % 251).astype(
+            np.uint8
+        )
+        kind = "palette" if d % 4 == 1 else "normal"
+    if kind == "palette":
+        from etl_loading_scripts_spark.llm.webp import (
+            encode_webp_palette,
+        )
+
+        payload = encode_webp_palette(w, h, px.tobytes())
+    elif kind == "rle":
+        from etl_loading_scripts_spark.llm.webp import (
+            encode_webp_rle,
+        )
+
+        payload = encode_webp_rle(w, h, px.tobytes())
+    elif kind == "neighbor":
+        from etl_loading_scripts_spark.llm.webp import (
+            encode_webp_neighbor,
+        )
+
+        payload = encode_webp_neighbor(w, h, px.tobytes())
+    elif kind == "combined":
+        from etl_loading_scripts_spark.llm.webp import (
+            encode_webp_combined,
+        )
+
+        payload = encode_webp_combined(w, h, px.tobytes())
+    elif kind == "extended":
+        from etl_loading_scripts_spark.llm.webp import (
+            encode_webp_extended,
+        )
+
+        payload = encode_webp_extended(
+            w, h, px.tobytes(), metadata=b"engine-test-exif"
+        )
+    elif kind == "cache":
+        from etl_loading_scripts_spark.llm.webp import (
+            encode_webp_cached,
+        )
+
+        payload = encode_webp_cached(w, h, px.tobytes())
+    elif kind == "predictor":
+        from etl_loading_scripts_spark.llm.webp import (
+            encode_webp_predicted,
+        )
+
+        payload = encode_webp_predicted(w, h, px.tobytes(), size_bits=3)
+    elif kind == "cross_color":
+        from etl_loading_scripts_spark.llm.webp import (
+            encode_webp_cross_color,
+        )
+
+        payload = encode_webp_cross_color(w, h, px.tobytes(), size_bits=3)
+    elif kind == "meta":
+        from etl_loading_scripts_spark.llm.webp import (
+            encode_webp_meta,
+        )
+
+        payload = encode_webp_meta(w, h, px.tobytes(), meta_bits=2)
+    else:
+        payload = encode_webp_lossless(
+            w, h, px.tobytes(), subtract_green=(d % 3 == 0)
+        )
+    return w, h, px, kind, payload
+
+
 def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Round-trip deterministic RGBA images through the real VP8L codec:
     even docs are two-color (both wire forms of the SIMPLE prefix code),
@@ -1876,10 +2020,7 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     hash-mismatches."""
     import numpy as np
 
-    from etl_loading_scripts_spark.llm.webp import (
-        decode_webp_lossless,
-        encode_webp_lossless,
-    )
+    from etl_loading_scripts_spark.llm.webp import decode_webp_lossless
 
     for pdf in batches:
         out: dict[str, list] = {k: [] for k in (
@@ -1888,137 +2029,8 @@ def _webp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )}
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            w, h = 4 + d % 9, 3 + d % 5
-            n = w * h * 4
-            q = np.arange(n, dtype=np.int64)
-            if d % 16 == 4:
-                # half-split palettes: the META-PREFIX-GROUPS class
-                px = np.where(
-                    (q // 4) % w < w // 2,
-                    (d * 7 + (q % 4) * 3) % 60,
-                    180 + (d * 11 + (q % 4) * 5) % 70,
-                ).astype(np.uint8)
-                kind = "meta"
-            elif d % 16 == 10:
-                # smooth gradient: the PREDICTOR-transform class
-                px = (
-                    (d * 3 + ((q // 4) % w) * 7 + ((q // 4) // w) * 3
-                     + (q % 4) * 5) % 251
-                ).astype(np.uint8)
-                kind = "predictor"
-            elif d % 16 == 14:
-                # channel-correlated image: the CROSS-COLOR class
-                px = (
-                    (d * 23 + (q // 4) * 9 + (q % 4) * ((q // 4) % 5)) % 251
-                ).astype(np.uint8)
-                kind = "cross_color"
-            elif d % 16 == 8:
-                # column-striped image (all rows identical): the
-                # NEIGHBOR-MAP distance-code class — every row after
-                # the first is a distance=width LZ77 copy addressed
-                # through the spec's 120-entry 2D table (code 1)
-                px = (
-                    (d * 13 + ((q // 4) % w) * 17 + (q % 4) * 7) % 251
-                ).astype(np.uint8)
-                kind = "neighbor"
-            elif d % 16 == 12:
-                # row-striped 5-color image: the COMBINED class —
-                # subtract-green + color cache + distance-1 backrefs
-                # (neighbor code 2) interacting in ONE stream
-                px = (
-                    (d * 29 + (((q // 4) // w) % 5) * 41 + (q % 4) * 13) % 251
-                ).astype(np.uint8)
-                kind = "combined"
-            elif d % 8 == 6:
-                # few-color non-run image: the COLOR-CACHE class
-                px = (
-                    (d * 19 + ((q // 4) * 31 % 7) * 37 + (q % 4) * 11) % 251
-                ).astype(np.uint8)
-                kind = "cache"
-            elif d % 8 == 2:
-                # 8-pixel runs: the LZ77 backreference (RLE) class
-                px = (
-                    (d * 17 + ((q // 4) // 8) * 13 + (q % 4) * 7) % 251
-                ).astype(np.uint8)
-                kind = "rle"
-            elif d % 16 == 0:
-                # same two-color pixels as 'simple' but wrapped in the
-                # EXTENDED (VP8X) container with an EXIF chunk riding
-                # alongside — the wire shape metadata-bearing files use
-                px = (
-                    np.where(((q // 4) + d) % 2 == 0, 40, 200) + (q % 4) * 3
-                ).astype(np.uint8)
-                kind = "extended"
-            elif d % 2 == 0:
-                px = (
-                    np.where(((q // 4) + d) % 2 == 0, 40, 200) + (q % 4) * 3
-                ).astype(np.uint8)
-                kind = "simple"
-            else:
-                px = ((d * 11 + (q // 4) * 5 + (q % 4) * 29) % 251).astype(
-                    np.uint8
-                )
-                kind = "palette" if d % 4 == 1 else "normal"
-            if kind == "palette":
-                from etl_loading_scripts_spark.llm.webp import (
-                    encode_webp_palette,
-                )
-
-                payload = encode_webp_palette(w, h, px.tobytes())
-            elif kind == "rle":
-                from etl_loading_scripts_spark.llm.webp import (
-                    encode_webp_rle,
-                )
-
-                payload = encode_webp_rle(w, h, px.tobytes())
-            elif kind == "neighbor":
-                from etl_loading_scripts_spark.llm.webp import (
-                    encode_webp_neighbor,
-                )
-
-                payload = encode_webp_neighbor(w, h, px.tobytes())
-            elif kind == "combined":
-                from etl_loading_scripts_spark.llm.webp import (
-                    encode_webp_combined,
-                )
-
-                payload = encode_webp_combined(w, h, px.tobytes())
-            elif kind == "extended":
-                from etl_loading_scripts_spark.llm.webp import (
-                    encode_webp_extended,
-                )
-
-                payload = encode_webp_extended(
-                    w, h, px.tobytes(), metadata=b"engine-test-exif"
-                )
-            elif kind == "cache":
-                from etl_loading_scripts_spark.llm.webp import (
-                    encode_webp_cached,
-                )
-
-                payload = encode_webp_cached(w, h, px.tobytes())
-            elif kind == "predictor":
-                from etl_loading_scripts_spark.llm.webp import (
-                    encode_webp_predicted,
-                )
-
-                payload = encode_webp_predicted(w, h, px.tobytes(), size_bits=3)
-            elif kind == "cross_color":
-                from etl_loading_scripts_spark.llm.webp import (
-                    encode_webp_cross_color,
-                )
-
-                payload = encode_webp_cross_color(w, h, px.tobytes(), size_bits=3)
-            elif kind == "meta":
-                from etl_loading_scripts_spark.llm.webp import (
-                    encode_webp_meta,
-                )
-
-                payload = encode_webp_meta(w, h, px.tobytes(), meta_bits=2)
-            else:
-                payload = encode_webp_lossless(
-                    w, h, px.tobytes(), subtract_green=(d % 3 == 0)
-                )
+            w, h, _px, kind, payload = planted_webp_image(d)
+            q = np.arange(w * h * 4, dtype=np.int64)
             dw, dh, rgba = decode_webp_lossless(payload)
             arr = np.frombuffer(rgba, dtype=np.uint8).astype(np.int64)
             out["doc_id"].append(d)
