@@ -16,6 +16,10 @@ seam real:
   the repo's from-scratch codecs (BMP/PPM/PNG/JPEG/GIF/TIFF/VP8L), so
   the adapter path is exercised and oracle-gated in THIS environment
   (``mm_decode_adapter``), not trusted to a container we don't have.
+- ``llm/webplib.LibWebPAdapter`` (round 7) is the seam executed with a
+  REAL native backend — ctypes over the container's system libwebp.so —
+  covering lossy VP8, which no from-scratch path here decodes
+  (``mm_decode_webp_lossy``).
 - With no adapter and no PIL, it still raises ``NotImplementedError``
   — now covered by a test instead of dead code.
 

@@ -1867,12 +1867,20 @@ _WEBP_PX_DUCK = (
 )
 
 
-def planted_webp_image(d: int):
+def planted_webp_image(d: int, min_alpha: int = 0):
     """Deterministic planted VP8L image for doc ``d`` → (w, h, px
     ndarray, code_kind, encoded payload) — the per-kind pattern/encoder
     dispatch shared by ``mm_decode_webp_lossless`` (round-trip through
     the from-scratch codec) and ``mm_webp_libwebp_interop``
-    (llm/webplib.py: the same bitstreams decoded by the REAL libwebp)."""
+    (llm/webplib.py: the same bitstreams decoded by the REAL libwebp).
+
+    ``min_alpha`` floors the alpha channel BEFORE encoding: libwebp's
+    default lossless mode (exact=0) rewrites the RGB bytes UNDER fully
+    transparent pixels for compression — real library behavior the
+    interop query must not feed alpha-0 pixels into when the oracle is
+    arithmetic (found in round 7 when the from-scratch decoder matched
+    libwebp's decode BIT-EXACTLY while both differed from the planted
+    pattern)."""
     import numpy as np
 
     from etl_loading_scripts_spark.llm.webp import encode_webp_lossless
@@ -1948,6 +1956,9 @@ def planted_webp_image(d: int):
             np.uint8
         )
         kind = "palette" if d % 4 == 1 else "normal"
+    if min_alpha:
+        px = px.copy()
+        px[3::4] = np.maximum(px[3::4], min_alpha)
     if kind == "palette":
         from etl_loading_scripts_spark.llm.webp import (
             encode_webp_palette,

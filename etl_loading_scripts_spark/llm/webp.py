@@ -40,12 +40,21 @@ pixel offsets, ``encode_webp_neighbor`` emits them for
 previous-row copies). And the COMBINED stream
 (``encode_webp_combined``: subtract-green + color cache + distance-1
 neighbor backrefs interacting in one bitstream — the multi-tool shape
-real libwebp output has). The remaining honest quarantine line: lossy
-WebP (VP8).
-Interop caveat shared by every codec in this repo: encoder/decoder
-pairs are proven lossless against each other and structurally against
-the public spec; cross-validation against libwebp binaries is not
-possible in this environment.
+real libwebp output has).
+
+Round 7 RESOLVED the interop caveat this header used to carry: the
+container's system ``libwebp.so`` (driven via ctypes, ``llm/webplib.py``)
+cross-validates this codec BOTH directions — authentic libwebp-encoded
+VP8L streams decode here bit-exactly (including streams where libwebp's
+default exact=0 mode rewrote RGB under transparent pixels — this
+decoder agrees with the wire, as it must), and every encoder variant
+above produces bitstreams the real library decodes losslessly
+(oracle-gated: ``mm_webp_libwebp_interop``). Lossy VP8 decode is served
+by the native adapter (``mm_decode_webp_lossy``); a from-scratch
+RFC 6386 decoder is explicitly de-scoped (SCALING.md r7: its default
+probability tables are thousands of constants unsourceable offline),
+so this module raising on 'VP8 ' remains correct — callers wanting
+lossy go through ``webplib.LibWebPAdapter``.
 
 Reference behavior modeled: none (SURVEY §2.10); training-data-pipeline
 extension surface. Spec: "WebP Lossless Bitstream Specification"
