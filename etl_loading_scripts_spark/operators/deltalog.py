@@ -304,6 +304,21 @@ def checkpoint_delta(table: str, version: int | None = None) -> str:
     return final
 
 
+def maybe_checkpoint_delta(table: str, interval: int = 10) -> str | None:
+    """Write a checkpoint iff ``interval`` or more commits accumulated
+    since the newest one (the real protocol's every-N-commits cadence,
+    default 10). Called by the publish layer after each per-table
+    commit, so long-lived warehouses keep snapshot reads
+    O(commits-since-checkpoint) without anyone remembering to run
+    maintenance. Returns the checkpoint path, or None if not due."""
+    cps = _checkpoint_versions(table)
+    latest = _all_versions(table)[-1]
+    since = latest - (cps[-1] if cps else -1)
+    if since < interval:
+        return None
+    return checkpoint_delta(table, version=latest)
+
+
 def _read_checkpoint(table: str, version: int) -> tuple[dict, dict]:
     import pyarrow.parquet as pq
 
@@ -730,6 +745,7 @@ def publish_set_deltalog(
     base_dir: str,
     partition_by: Mapping[str, Sequence[str]] | None = None,
     max_retries: int = 5,
+    checkpoint_interval: int = 10,
 ) -> int:
     """Publish MULTIPLE tables as ONE atomic unit through the Delta log;
     returns the SET version. The reference commits its dimension MERGEs
@@ -766,6 +782,11 @@ def publish_set_deltalog(
             ),
             max_retries,
         )
+        # the protocol's every-N-commits checkpoint cadence: long-lived
+        # warehouses keep O(commits-since-checkpoint) snapshot reads
+        # without manual maintenance
+        if checkpoint_interval > 0:
+            maybe_checkpoint_delta(tpath, checkpoint_interval)
     coord = os.path.join(base_dir, _SET_DIR)
     action = {
         "setCommit": {

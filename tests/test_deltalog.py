@@ -257,6 +257,31 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path, monkeypatch):
     assert dl.read_delta_table(spark, d).count() == 16
 
 
+def test_publish_auto_checkpoints_on_cadence(spark, tmp_path, monkeypatch):
+    """publish_set_deltalog checkpoints each table on the protocol's
+    every-N-commits cadence: after interval+1 publishes a checkpoint
+    exists and snapshot reads replay only post-checkpoint JSONs."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "cadence")
+    for i in range(5):
+        dl.publish_set_deltalog(
+            {"t": spark.createDataFrame([(i,)], "v long")},
+            base,
+            checkpoint_interval=4,
+        )
+    tpath = os.path.join(base, "t")
+    cps = dl._checkpoint_versions(tpath)
+    assert cps == [3]  # due at the 4th commit (versions 0..3), not before
+    calls = []
+    real = dl._read_actions
+    monkeypatch.setattr(
+        dl, "_read_actions", lambda t, v: calls.append((t, v)) or real(t, v)
+    )
+    assert dl.read_delta_table(spark, tpath).count() == 1
+    assert [v for t, v in calls if t == tpath] == [4]  # replay is post-cp only
+
+
 def test_partitioned_table_prunes_and_time_travels(spark, tmp_path):
     """Partitioned Delta table: add actions carry real partitionValues,
     reads restore the partition column from the hive layout, and

@@ -137,6 +137,7 @@ _BNLJ_OK = {
     "ivf_cell_balance_audit",  # grouped-agg centroid table
     "ann_mrr_audit",  # filter-derived query set + centroid assignment
     "ann_clustered_recall_audit",  # same filter-derived query set + centroid shapes, clustered fixture
+    "ann_clustered_multiprobe_pq_audit",  # same filter-derived 10-query set, clustered fixture (r7)
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
