@@ -503,6 +503,74 @@ def test_multiprocess_publish_set_deltalog_serializability(spark, tmp_path):
     assert tags.index(10) < tags.index(11)
 
 
+def test_delta_table_changes_snapshot_diff(spark, table):
+    """CDC FROM the warehouse: keyed snapshot diff between two versions
+    yields exactly the inserts, updated post-images, and deletes the
+    merge applied (and a keyless diff degrades to delete+insert pairs)."""
+    from etl_loading_scripts_spark.operators.deltalog import (
+        delta_table_changes,
+    )
+
+    src = spark.createDataFrame([(0, 999), (100, 1)], "k long, v long")
+    merge_upsert_deltalog(spark, table, src, on=["k"])
+    # drop one row via overwrite (version 2)
+    cur = read_delta_table(spark, table).filter(F.col("k") != 5)
+    write_delta_table(cur, table, mode="overwrite")
+    ch = delta_table_changes(spark, table, 0, 2, on=["k"])
+    got = {(r._change_type, r.k) for r in ch.collect()}
+    assert got == {
+        ("insert", 100),
+        ("update_postimage", 0),
+        ("delete", 5),
+    }
+    vals = {r.k: r.v for r in ch.collect()}
+    assert vals[0] == 999 and vals[100] == 1 and vals[5] == 50
+    # keyless diff: the update appears as a delete+insert pair
+    keyless = delta_table_changes(spark, table, 0, 2)
+    kinds = sorted(
+        (r._change_type, r.k) for r in keyless.filter(F.col("k") == 0).collect()
+    )
+    assert kinds == [("delete", 0), ("insert", 0)]
+
+
+def test_delta_stream_source_tails_commits(spark, tmp_path):
+    """spark.readStream over the Delta log: version-number offsets —
+    batch 1 carries the current snapshot, each later APPEND commit
+    yields exactly its rows in the next batch (the landing-zone flow,
+    now from the lakehouse commit log itself)."""
+    from etl_loading_scripts_spark.operators.deltalog import (
+        register_delta_stream_source,
+    )
+
+    d = str(tmp_path / "dstream")
+    write_delta_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long"), d
+    )
+    register_delta_stream_source(spark)
+    sink = "delta_stream_sink"
+    q = (
+        spark.readStream.format("deltalog_stream").load(d)
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("v_sum"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(sink).start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(f"SELECT * FROM {sink}").collect()[0]
+        assert (got.n, got.v_sum) == (2, 30)
+        write_delta_table(
+            spark.createDataFrame([(3, 300)], "k long, v long"), d, mode="append"
+        )
+        write_delta_table(
+            spark.createDataFrame([(4, 4000)], "k long, v long"), d, mode="append"
+        )
+        q.processAllAvailable()
+        got = spark.sql(f"SELECT * FROM {sink}").collect()[0]
+        assert (got.n, got.v_sum) == (4, 4330)
+    finally:
+        q.stop()
+
+
 def test_streaming_foreachbatch_into_delta_log(spark, tmp_path):
     """Streaming lands in the lakehouse: a rate-less memory stream of
     updates drains through foreachBatch -> merge_upsert_deltalog_with_
