@@ -190,7 +190,19 @@ def literal_table(spark: SparkSession, rows: list[tuple], schema: str) -> DataFr
             return "NULL"
         if isinstance(v, bool):
             return "TRUE" if v else "FALSE"
-        if isinstance(v, (int, float)):
+        if isinstance(v, float):
+            # floats go as QUOTED strings through the declared-type CAST:
+            # a bare -0.0 literal parses as DECIMAL zero (sign lost) before
+            # the cast, while CAST('-0.0' AS DOUBLE) preserves IEEE -0.0;
+            # the spellings below are the ones Spark's string-cast accepts
+            import math
+
+            if math.isnan(v):
+                return "'NaN'"
+            if math.isinf(v):
+                return "'Infinity'" if v > 0 else "'-Infinity'"
+            return f"'{v!r}'"
+        if isinstance(v, int):
             return repr(v)
         if isinstance(v, str):
             return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
