@@ -771,6 +771,9 @@ def publish_set_deltalog(
         raise ValueError(f"duplicate table names in publish set: {names}")
     if _SET_DIR in names:
         raise ValueError(f"table name {_SET_DIR!r} is reserved for the set log")
+    bad = [n for n in names if os.sep in n or n in (".", "..") or not n]
+    if bad:
+        raise ValueError(f"table names must be plain directory names: {bad}")
     os.makedirs(base_dir, exist_ok=True)
     pby = dict(partition_by or {})
     table_versions: dict[str, int] = {}
