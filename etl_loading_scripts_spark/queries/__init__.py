@@ -49,4 +49,5 @@ from etl_loading_scripts_spark.llm import html as _html  # noqa: F401
 from etl_loading_scripts_spark.llm import webplib as _webplib  # noqa: F401
 from etl_loading_scripts_spark.llm import nativeimg as _nativeimg  # noqa: F401
 from etl_loading_scripts_spark.llm import mp4 as _mp4  # noqa: F401
+from etl_loading_scripts_spark.sources import compressed as _compressed  # noqa: F401
 from etl_loading_scripts_spark.operators import lineage as _lineage  # noqa: F401

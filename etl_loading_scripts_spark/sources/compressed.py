@@ -1,0 +1,415 @@
+"""Compressed text-corpus shards — JSONL in .zst / .br / .gz, the LLM
+world's interchange format (Dolma, RedPajama, SlimPajama, and most of
+HuggingFace's large text corpora ship as zstd- or gzip-compressed JSON
+Lines shards).
+
+Python 3.11's stdlib has gzip but NO zstd or brotli, and installs are
+forbidden here — but the container ships ``libzstd.so.1`` and
+``libbrotlidec/enc.so.1``, and ctypes against their public one-shot +
+streaming C APIs needs no package (the round-7 native-library pattern:
+webplib/nativeimg). This module provides:
+
+- :func:`zstd_compress` / :func:`zstd_decompress` — one-shot when the
+  frame header carries the content size, STREAMING fallback
+  (``ZSTD_decompressStream``) for the unknown-size frames real
+  multi-frame corpus shards often are;
+- :func:`brotli_compress` / :func:`brotli_decompress` — one-shot
+  encoder, streaming decoder (brotli frames never carry a size);
+- :func:`read_text_shard` / :func:`write_text_shard` — extension-
+  dispatched (.zst/.br/.gz/plain) shard IO;
+- :func:`scan_jsonl_shards` — one task per shard, decompress + line
+  split Python-side (the codec boundary), JSON PARSING LEFT TO SPARK
+  (``from_json`` runs JVM-side in the caller's plan — the engine's
+  UDF-discipline applied to corpus ingestion);
+- the oracle-gated ``corpus_jsonl_compressed_ingest``.
+
+Scale: shard-level parallelism (the corpus convention is ~100 MB-1 GB
+shards precisely so file grain parallelizes); decompression is C speed
+through the native libraries; nothing but the shard list touches the
+driver. The .so files ride the node image (standard native deps).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import gzip
+import os
+import tempfile
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.registry import register
+
+_ZSTD = None
+_ZSTD_TRIED = False
+_BROTLI = None  # (dec, enc)
+_BROTLI_TRIED = False
+
+#: ZSTD_getFrameContentSize's sentinel returns
+_ZSTD_CONTENTSIZE_UNKNOWN = (1 << 64) - 1
+_ZSTD_CONTENTSIZE_ERROR = (1 << 64) - 2
+
+
+class _ZInBuf(ctypes.Structure):
+    _fields_ = [
+        ("src", ctypes.c_char_p),
+        ("size", ctypes.c_size_t),
+        ("pos", ctypes.c_size_t),
+    ]
+
+
+class _ZOutBuf(ctypes.Structure):
+    _fields_ = [
+        ("dst", ctypes.c_void_p),
+        ("size", ctypes.c_size_t),
+        ("pos", ctypes.c_size_t),
+    ]
+
+
+def _load_zstd():
+    global _ZSTD, _ZSTD_TRIED
+    if _ZSTD_TRIED:
+        return _ZSTD
+    _ZSTD_TRIED = True
+    try:
+        z = ctypes.CDLL("libzstd.so.1")
+    except OSError:
+        return None
+    z.ZSTD_compressBound.restype = ctypes.c_size_t
+    z.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+    z.ZSTD_compress.restype = ctypes.c_size_t
+    z.ZSTD_compress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_int,
+    ]
+    z.ZSTD_getFrameContentSize.restype = ctypes.c_ulonglong
+    z.ZSTD_getFrameContentSize.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    z.ZSTD_decompress.restype = ctypes.c_size_t
+    z.ZSTD_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t, ctypes.c_char_p, ctypes.c_size_t,
+    ]
+    z.ZSTD_isError.restype = ctypes.c_uint
+    z.ZSTD_isError.argtypes = [ctypes.c_size_t]
+    z.ZSTD_createDCtx.restype = ctypes.c_void_p
+    z.ZSTD_freeDCtx.argtypes = [ctypes.c_void_p]
+    z.ZSTD_decompressStream.restype = ctypes.c_size_t
+    z.ZSTD_decompressStream.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(_ZOutBuf), ctypes.POINTER(_ZInBuf),
+    ]
+    _ZSTD = z
+    return _ZSTD
+
+
+def _load_brotli():
+    global _BROTLI, _BROTLI_TRIED
+    if _BROTLI_TRIED:
+        return _BROTLI
+    _BROTLI_TRIED = True
+    try:
+        dec = ctypes.CDLL("libbrotlidec.so.1")
+        enc = ctypes.CDLL("libbrotlienc.so.1")
+    except OSError:
+        return None
+    enc.BrotliEncoderMaxCompressedSize.restype = ctypes.c_size_t
+    enc.BrotliEncoderMaxCompressedSize.argtypes = [ctypes.c_size_t]
+    enc.BrotliEncoderCompress.restype = ctypes.c_int
+    enc.BrotliEncoderCompress.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p,
+    ]
+    dec.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+    dec.BrotliDecoderCreateInstance.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+    ]
+    dec.BrotliDecoderDestroyInstance.argtypes = [ctypes.c_void_p]
+    dec.BrotliDecoderDecompressStream.restype = ctypes.c_int
+    dec.BrotliDecoderDecompressStream.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_char_p),
+        ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_void_p),
+        ctypes.POINTER(ctypes.c_size_t),
+    ]
+    _BROTLI = (dec, enc)
+    return _BROTLI
+
+
+def compressed_libs_available() -> bool:
+    return _load_zstd() is not None and _load_brotli() is not None
+
+
+def _require(lib, name: str):
+    if lib is None:
+        raise NotImplementedError(
+            f"{name} shared library not found — compressed-shard IO needs "
+            "it on every node; plain/.gz shards keep working without it"
+        )
+    return lib
+
+
+def zstd_compress(data: bytes, level: int = 3) -> bytes:
+    z = _require(_load_zstd(), "libzstd")
+    bound = z.ZSTD_compressBound(len(data))
+    dst = ctypes.create_string_buffer(bound)
+    n = z.ZSTD_compress(dst, bound, data, len(data), level)
+    if z.ZSTD_isError(n):
+        raise ValueError("libzstd: compress failed")
+    return dst.raw[:n]
+
+
+def zstd_decompress(data: bytes) -> bytes:
+    """Always the STREAMING path: it handles single-frame, MULTI-FRAME
+    (concatenated shards — the zstd CLI's append behavior, common in
+    real corpora), and unknown-content-size frames uniformly, where the
+    one-shot API mis-sizes on anything but a lone sized frame."""
+    z = _require(_load_zstd(), "libzstd")
+    if z.ZSTD_getFrameContentSize(data, len(data)) == _ZSTD_CONTENTSIZE_ERROR:
+        raise ValueError("libzstd: not a zstd frame")
+    dctx = z.ZSTD_createDCtx()
+    if not dctx:
+        raise MemoryError("libzstd: ZSTD_createDCtx failed")
+    try:
+        chunks: list[bytes] = []
+        inbuf = _ZInBuf(data, len(data), 0)
+        chunk = ctypes.create_string_buffer(1 << 20)
+        ret = 0
+        while inbuf.pos < inbuf.size:
+            outbuf = _ZOutBuf(
+                ctypes.cast(chunk, ctypes.c_void_p), len(chunk), 0
+            )
+            ret = z.ZSTD_decompressStream(
+                dctx, ctypes.byref(outbuf), ctypes.byref(inbuf)
+            )
+            if z.ZSTD_isError(ret):
+                raise ValueError("libzstd: corrupt zstd stream")
+            chunks.append(chunk.raw[: outbuf.pos])
+        if ret != 0:  # mid-frame at input exhaustion = truncated shard
+            raise ValueError("libzstd: truncated zstd stream")
+        return b"".join(chunks)
+    finally:
+        z.ZSTD_freeDCtx(dctx)
+
+
+def brotli_compress(data: bytes, quality: int = 5) -> bytes:
+    _dec, enc = _require(_load_brotli(), "libbrotli")
+    bound = max(enc.BrotliEncoderMaxCompressedSize(len(data)), 64)
+    dst = ctypes.create_string_buffer(bound)
+    nout = ctypes.c_size_t(bound)
+    # mode 1 = TEXT (these are JSONL shards), lgwin 22 = the default
+    ok = enc.BrotliEncoderCompress(
+        quality, 22, 1, len(data), data, ctypes.byref(nout), dst
+    )
+    if not ok:
+        raise ValueError("libbrotli: compress failed")
+    return dst.raw[: nout.value]
+
+
+def brotli_decompress(data: bytes) -> bytes:
+    """Streaming decode — brotli frames never carry a content size."""
+    dec, _enc = _require(_load_brotli(), "libbrotli")
+    state = dec.BrotliDecoderCreateInstance(None, None, None)
+    if not state:
+        raise MemoryError("libbrotli: create instance failed")
+    try:
+        chunks: list[bytes] = []
+        avail_in = ctypes.c_size_t(len(data))
+        next_in = ctypes.c_char_p(data)
+        chunk = ctypes.create_string_buffer(1 << 20)
+        total = ctypes.c_size_t(0)
+        while True:
+            avail_out = ctypes.c_size_t(len(chunk))
+            next_out = ctypes.cast(chunk, ctypes.c_void_p)
+            r = dec.BrotliDecoderDecompressStream(
+                state,
+                ctypes.byref(avail_in), ctypes.byref(next_in),
+                ctypes.byref(avail_out), ctypes.byref(next_out),
+                ctypes.byref(total),
+            )
+            chunks.append(chunk.raw[: len(chunk) - avail_out.value])
+            if r == 1:  # BROTLI_DECODER_RESULT_SUCCESS
+                return b"".join(chunks)
+            if r == 3:  # NEEDS_MORE_OUTPUT: loop with a fresh chunk
+                continue
+            # 0 = ERROR, 2 = NEEDS_MORE_INPUT (truncated payload)
+            raise ValueError("libbrotli: corrupt or truncated brotli payload")
+    finally:
+        dec.BrotliDecoderDestroyInstance(state)
+
+
+# ---------------------------------------------------------------------------
+# Shard IO + the JSONL scan
+# ---------------------------------------------------------------------------
+
+_EXTS = (".jsonl.zst", ".jsonl.br", ".jsonl.gz", ".jsonl")
+
+
+def write_text_shard(path: str, text: bytes) -> None:
+    """Extension-dispatched shard write (two-phase: tmp + rename)."""
+    tmp = path + ".inprogress"
+    if path.endswith(".zst"):
+        blob = zstd_compress(text)
+    elif path.endswith(".br"):
+        blob = brotli_compress(text)
+    elif path.endswith(".gz"):
+        blob = gzip.compress(text, compresslevel=5)
+    else:
+        blob = text
+    with open(tmp, "wb") as fh:
+        fh.write(blob)
+    os.replace(tmp, path)
+
+
+def read_text_shard(path: str) -> bytes:
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    if path.endswith(".zst"):
+        return zstd_decompress(blob)
+    if path.endswith(".br"):
+        return brotli_decompress(blob)
+    if path.endswith(".gz"):
+        return gzip.decompress(blob)
+    return blob
+
+
+def scan_jsonl_shards(spark: SparkSession, shard_dir: str) -> DataFrame:
+    """One task per shard → (source_file, line_no, json) rows. The
+    Python side does ONLY the codec boundary (native decompress + line
+    split); JSON parsing belongs to the caller's JVM plan
+    (``F.from_json(col('json'), schema)``) — the engine's UDF
+    discipline applied to corpus ingestion."""
+    files = sorted(
+        f for f in os.listdir(shard_dir) if f.endswith(_EXTS)
+    )
+    if not files:
+        raise ValueError(f"no JSONL shards under {shard_dir}")
+    fdf = spark.createDataFrame([(f,) for f in files], "source_file string")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"source_file": [], "line_no": [], "json": []}
+            for base in pdf["source_file"]:
+                text = read_text_shard(os.path.join(shard_dir, base))
+                for i, line in enumerate(text.decode("utf-8").splitlines()):
+                    if not line.strip():
+                        continue
+                    out["source_file"].append(base)
+                    out["line_no"].append(i)
+                    out["json"].append(line)
+            yield pd.DataFrame(out).astype({"line_no": "int32"})
+
+    return fdf.repartition(len(files), "source_file").mapInPandas(
+        scan, schema="source_file string, line_no int, json string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-gated ingest over planted shards
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 6
+_REC_PER_SHARD = 40
+_LANGS = ("en", "de", "sr", "fr")
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    import hashlib
+
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"jsonlz_fix_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+
+
+def plant_jsonl_shards(sf_dir: str) -> str:
+    """Deterministic JSONL corpus shards rotating .zst / .br / .gz
+    (real corpora mix vintages): record g carries doc_id, lang
+    (g%4 cycle), n_tokens = 10 + g%90, and a text whose length is
+    5 + g%23 'x's — everything the oracle re-derives arithmetically."""
+    d = _fixture_dir(sf_dir)
+    marker = os.path.join(d, "_PLANTED")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    exts = (".jsonl.zst", ".jsonl.br", ".jsonl.gz")
+    for s in range(_N_SHARDS):
+        lines = []
+        for r in range(_REC_PER_SHARD):
+            g = s * _REC_PER_SHARD + r
+            lines.append(
+                '{"doc_id": %d, "lang": "%s", "n_tokens": %d, "text": "%s"}'
+                % (g, _LANGS[g % 4], 10 + g % 90, "x" * (5 + g % 23))
+            )
+        write_text_shard(
+            os.path.join(d, f"shard-{s:04d}{exts[s % 3]}"),
+            ("\n".join(lines) + "\n").encode(),
+        )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return d
+
+
+@register(
+    "corpus_jsonl_compressed_ingest",
+    oracle=f"""
+    WITH recs AS (
+        SELECT g,
+               g // {_REC_PER_SHARD} AS shard,
+               CASE g % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                          WHEN 2 THEN 'sr' ELSE 'fr' END AS lang,
+               10 + g % 90 AS n_tokens,
+               5 + g % 23 AS text_len
+        FROM range(0, {_N_SHARDS * _REC_PER_SHARD}) t(g)
+    )
+    SELECT CASE shard % 3 WHEN 0 THEN 'zst' WHEN 1 THEN 'br'
+                          ELSE 'gz' END AS codec,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(text_len) AS BIGINT) AS total_chars,
+           CAST(SUM(g) AS BIGINT) AS id_sum
+    FROM recs
+    GROUP BY 1, 2
+    """,
+    doc="Compressed JSONL corpus-shard ingestion — the LLM interchange "
+    "format (Dolma/RedPajama-style .jsonl.zst) read WITHOUT any Python "
+    "compression package: ctypes over the system libzstd/libbrotli "
+    "(streaming decoders for unknown-size frames) plus stdlib gzip, "
+    "rotating all three codecs across shards; the Python side stops at "
+    "the codec boundary and Spark's JVM from_json parses the records. "
+    "Per-(codec, lang) doc counts, token totals, text lengths, and id "
+    "sums must match the arithmetic oracle — a decompression, line-"
+    "split, or JSON-schema bug mismatches.",
+)
+def corpus_jsonl_compressed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one task per shard (the ~100 MB-1 GB shard convention
+    exists for this), C-speed native decompression, JSON parsing in the
+    JVM; only the shard LIST touches the driver."""
+    d = plant_jsonl_shards(sf_dir)
+    raw = scan_jsonl_shards(spark, d)
+    parsed = raw.select(
+        "source_file",
+        F.from_json(
+            F.col("json"),
+            "doc_id long, lang string, n_tokens int, text string",
+        ).alias("r"),
+    )
+    return (
+        parsed.select(
+            F.element_at(F.split("source_file", "\\."), -1).alias("codec"),
+            F.col("r.lang").alias("lang"),
+            F.col("r.n_tokens").alias("n_tokens"),
+            F.length("r.text").alias("text_len"),
+            F.col("r.doc_id").alias("doc_id"),
+        )
+        .groupBy("codec", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("text_len").cast("long").alias("total_chars"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
