@@ -68,10 +68,15 @@ def ulaw_decode(codes: np.ndarray) -> np.ndarray:
 
 
 def alaw_encode(samples: np.ndarray) -> np.ndarray:
-    """int16 PCM → A-law codewords (uint8), vectorized."""
+    """int16 PCM → A-law codewords (uint8), vectorized. Negative
+    magnitudes use the CCITT reference's one's complement (~x = -x-1),
+    which places exact segment-boundary values (-512·2^k) in the LOWER
+    segment — verified byte-identical to the stdlib audioop reference
+    encoder on all 65536 inputs (test_g711_matches_stdlib_reference;
+    with plain -x, six boundary samples picked the farther code)."""
     s = samples.astype(np.int64)
     sign = np.where(s >= 0, 0x80, 0)
-    mag = np.minimum(np.abs(s), 32767)
+    mag = np.minimum(np.where(s >= 0, s, -s - 1), 32767)
     exponent = np.clip(
         np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 7, 0, 7
     )

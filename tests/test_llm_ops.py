@@ -813,6 +813,46 @@ def test_jpeg_sos_component_order_binds_by_id():
         decode_jpeg(bad)
 
 
+def test_g711_matches_stdlib_reference():
+    """Cross-validate the G.711 codecs against the stdlib audioop
+    reference (the Sun/CCITT implementation) over the ENTIRE domain:
+    decode tables byte-identical on all 256 codes both laws; A-law
+    ENCODE byte-identical on all 65536 inputs (the ~x negative
+    convention); µ-law encode differs ONLY where ours picks the
+    nearer code (audioop truncates at segment boundaries; ours rounds
+    — asserted never-worse on every disagreement)."""
+    audioop = pytest.importorskip("audioop")  # stdlib until 3.13
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.audio import (
+        alaw_decode,
+        alaw_encode,
+        ulaw_decode,
+        ulaw_encode,
+    )
+
+    samples = np.arange(-32768, 32768, dtype=np.int16)
+    pcm = samples.tobytes()
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(
+        np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), dtype=np.int16),
+        ulaw_decode(codes),
+    )
+    assert np.array_equal(
+        np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), dtype=np.int16),
+        alaw_decode(codes),
+    )
+    lib_a = np.frombuffer(audioop.lin2alaw(pcm, 2), dtype=np.uint8)
+    assert np.array_equal(lib_a, alaw_encode(samples.astype(np.int64)))
+    lib_u = np.frombuffer(audioop.lin2ulaw(pcm, 2), dtype=np.uint8)
+    mine_u = ulaw_encode(samples.astype(np.int64))
+    bad = np.nonzero(lib_u != mine_u)[0]
+    d_mine = ulaw_decode(mine_u[bad]).astype(np.int64)
+    d_lib = ulaw_decode(lib_u[bad]).astype(np.int64)
+    s = samples[bad].astype(np.int64)
+    assert (np.abs(d_mine - s) < np.abs(d_lib - s)).all()  # strictly nearer
+
+
 def test_g711_and_ima_adpcm_codecs():
     """G.711: every codeword's decode→encode→decode fixpoint holds (the
     lone µ-law ±0 collapse decodes identically); companding error stays
