@@ -157,6 +157,12 @@ def _require(lib, name: str):
     return lib
 
 
+#: quarantine cap on decoded size: a corrupt/hostile header declaring
+#: absurd dimensions must raise (the quarantine path catches ValueError),
+#: not OOM the executor worker with one giant allocation
+_MAX_PIXELS = 100_000_000
+
+
 def libpng_decode_rgb(payload: bytes) -> tuple[int, int, bytes]:
     """payload → (width, height, RGB bytes) through the REAL libpng
     (simplified API; palette/gray/rgba inputs convert to RGB library-
@@ -169,6 +175,8 @@ def libpng_decode_rgb(payload: bytes) -> tuple[int, int, bytes]:
     ) or (img.warning_or_error & _PNG_ERROR_BIT):
         raise ValueError(f"libpng: {img.message.decode(errors='replace')}")
     w, h = img.width, img.height
+    if w * h > _MAX_PIXELS:
+        raise ValueError(f"libpng: implausible dimensions {w}x{h}")
     img.format = _PNG_FORMAT_RGB
     buf = ctypes.create_string_buffer(w * h * 3)
     if not lib.png_image_finish_read(
@@ -243,6 +251,10 @@ def libtiff_decode_rgba(payload: bytes) -> tuple[int, int, bytes]:
             lib.TIFFGetField(tif, ctypes.c_uint32(_T_IMAGEWIDTH), ctypes.byref(w))
             lib.TIFFGetField(tif, ctypes.c_uint32(_T_IMAGELENGTH), ctypes.byref(h))
             n = w.value * h.value
+            if n > _MAX_PIXELS:
+                raise ValueError(
+                    f"libtiff: implausible dimensions {w.value}x{h.value}"
+                )
             raster = (ctypes.c_uint32 * n)()
             ok = lib.TIFFReadRGBAImageOriented(
                 tif, w, h, raster, _ORIENTATION_TOPLEFT, 1

@@ -117,6 +117,11 @@ def libwebp_decode_rgba(payload: bytes) -> tuple[int, int, bytes]:
     if not ptr:
         raise ValueError("libwebp: corrupt or unsupported WebP payload")
     try:
+        if w.value * h.value > 100_000_000:
+            # quarantine, don't copy a hostile-header-sized buffer
+            raise ValueError(
+                f"libwebp: implausible dimensions {w.value}x{h.value}"
+            )
         return w.value, h.value, ctypes.string_at(ptr, w.value * h.value * 4)
     finally:
         lib.WebPFree(ptr)

@@ -161,7 +161,13 @@ def zstd_compress(data: bytes, level: int = 3) -> bytes:
     return dst.raw[:n]
 
 
-def zstd_decompress(data: bytes) -> bytes:
+#: decompression-bomb guard: corpus shards are ~100 MB-1 GB decompressed
+#: by convention; a tiny hostile frame expanding past this cap raises
+#: (the quarantine path catches ValueError) instead of OOMing the worker
+_MAX_OUTPUT = 4 << 30
+
+
+def zstd_decompress(data: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
     """Always the STREAMING path: it handles single-frame, MULTI-FRAME
     (concatenated shards — the zstd CLI's append behavior, common in
     real corpora), and unknown-content-size frames uniformly, where the
@@ -187,6 +193,8 @@ def zstd_decompress(data: bytes) -> bytes:
             if z.ZSTD_isError(ret):
                 raise ValueError("libzstd: corrupt zstd stream")
             chunks.append(chunk.raw[: outbuf.pos])
+            if sum(len(c) for c in chunks) > max_output:
+                raise ValueError("libzstd: output exceeds the bomb guard")
         if ret != 0:  # mid-frame at input exhaustion = truncated shard
             raise ValueError("libzstd: truncated zstd stream")
         return b"".join(chunks)
@@ -208,7 +216,7 @@ def brotli_compress(data: bytes, quality: int = 5) -> bytes:
     return dst.raw[: nout.value]
 
 
-def brotli_decompress(data: bytes) -> bytes:
+def brotli_decompress(data: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
     """Streaming decode — brotli frames never carry a content size."""
     dec, _enc = _require(_load_brotli(), "libbrotli")
     state = dec.BrotliDecoderCreateInstance(None, None, None)
@@ -230,6 +238,8 @@ def brotli_decompress(data: bytes) -> bytes:
                 ctypes.byref(total),
             )
             chunks.append(chunk.raw[: len(chunk) - avail_out.value])
+            if sum(len(c) for c in chunks) > max_output:
+                raise ValueError("libbrotli: output exceeds the bomb guard")
             if r == 1:  # BROTLI_DECODER_RESULT_SUCCESS
                 return b"".join(chunks)
             if r == 3:  # NEEDS_MORE_OUTPUT: loop with a fresh chunk
