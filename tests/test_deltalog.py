@@ -503,6 +503,112 @@ def test_multiprocess_publish_set_deltalog_serializability(spark, tmp_path):
     assert tags.index(10) < tags.index(11)
 
 
+def test_deltalog_model_based_history(spark, tmp_path):
+    """MODEL-BASED: a seeded random sequence of append / overwrite /
+    merge / checkpoint / expire ops against one table, mirrored in a
+    plain in-memory dict model. After the run, EVERY still-reachable
+    version's content must equal the model's recorded history — time
+    travel, checkpoint floors, and expiry interact with all three
+    mutation kinds, which no single-path test exercises."""
+    import random
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    rng = random.Random(20260815)
+    d = str(tmp_path / "model")
+    model: dict[int, dict[int, int]] = {}  # version -> {k: v}
+    state: dict[int, int] = {}
+
+    def df_of(rows):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(rows.items())] or [(None, None)],
+            "k long, v long",
+        ).filter(F.col("k").isNotNull())
+
+    v = dl.write_delta_table(df_of({0: 0, 1: 10}), d)
+    state = {0: 0, 1: 10}
+    model[v] = dict(state)
+    expired_floor = 0
+    for step in range(14):
+        op = rng.choice(["append", "overwrite", "merge", "checkpoint", "expire"])
+        if op == "append":
+            rows = {rng.randrange(100, 200): step for _ in range(3)}
+            v = dl.write_delta_table(df_of(rows), d, mode="append")
+            state = {**state, **rows}
+        elif op == "overwrite":
+            rows = {rng.randrange(50): step * 1000 for _ in range(4)}
+            v = dl.write_delta_table(df_of(rows), d, mode="overwrite")
+            state = dict(rows)
+        elif op == "merge":
+            rows = {rng.randrange(30): step * 7 for _ in range(3)}
+            v = dl.merge_upsert_deltalog(spark, d, df_of(rows), on=["k"])
+            state = {**state, **rows}
+        elif op == "checkpoint":
+            dl.checkpoint_delta(d)
+            continue
+        else:
+            removed = dl.expire_delta_log(d)
+            if removed:
+                cps = dl._checkpoint_versions(d)
+                expired_floor = max(expired_floor, cps[-1] if cps else 0)
+            continue
+        model[v] = dict(state)
+    # every version at-or-above the expiry floor must replay exactly;
+    # versions below it must either read via their own checkpoint or
+    # raise the documented unavailability error
+    for ver, want in sorted(model.items()):
+        if ver >= expired_floor or ver in dl._checkpoint_versions(d):
+            got = {
+                r.k: r.v for r in dl.read_delta_table(spark, d, version=ver).collect()
+            }
+            assert got == want, f"version {ver}"
+        else:
+            with pytest.raises(ValueError, match="not in log"):
+                dl.read_delta_table(spark, d, version=ver)
+    # latest always equals the final model state
+    got = {r.k: r.v for r in dl.read_delta_table(spark, d).collect()}
+    assert got == model[max(model)]
+
+
+def test_delta_log_actions_conform_to_protocol_shapes(spark, tmp_path):
+    """Field-level conformance of emitted actions to the open protocol
+    document: protocol/metaData on version 0, add actions carrying
+    path/partitionValues/size/modificationTime/dataChange, remove
+    actions carrying path/deletionTimestamp/dataChange — the wire the
+    format claim rests on, asserted key-for-key."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "conform")
+    df = spark.range(6).select(
+        F.col("id").alias("k"), (F.col("id") % 2).cast("int").alias("p")
+    )
+    dl.write_delta_table(df, d, partition_by=["p"])
+    dl.write_delta_table(df, d, mode="overwrite")
+    v0 = dl._read_actions(d, 0)
+    assert set(v0[0]) == {"protocol"}
+    assert v0[0]["protocol"] == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = v0[1]["metaData"]
+    assert set(meta) == {
+        "id", "format", "schemaString", "partitionColumns",
+        "configuration", "createdTime",
+    }
+    assert meta["format"] == {"provider": "parquet", "options": {}}
+    assert meta["partitionColumns"] == ["p"]
+    for a in v0[2:]:
+        add = a["add"]
+        assert set(add) == {
+            "path", "partitionValues", "size", "modificationTime", "dataChange",
+        }
+        assert add["path"].startswith("p=")
+        assert add["partitionValues"] in ({"p": "0"}, {"p": "1"})
+        assert add["size"] > 0 and add["dataChange"] is True
+    v1 = dl._read_actions(d, 1)
+    removes = [a["remove"] for a in v1 if "remove" in a]
+    assert removes and all(
+        set(r) == {"path", "deletionTimestamp", "dataChange"} for r in removes
+    )
+
+
 def test_delta_table_changes_snapshot_diff(spark, table):
     """CDC FROM the warehouse: keyed snapshot diff between two versions
     yields exactly the inserts, updated post-images, and deletes the
