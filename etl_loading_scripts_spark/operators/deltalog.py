@@ -908,7 +908,14 @@ def _make_delta_stream_source():
         log doesn't carry — see :func:`delta_table_changes` for the
         batch-side keyed diff). Offsets are ints over an immutable log,
         so any range replays deterministically — exactly-once with a
-        checkpoint."""
+        checkpoint.
+
+        Scale bound, stated honestly: Spark's SIMPLE stream-reader API
+        prefetches each micro-batch ON THE DRIVER (same contract as the
+        WARC landing-zone reader), so batch volume = the commits' change
+        volume must fit driver memory; a firehose table wants the
+        partitioned DataSourceStreamReader API instead — the named seam
+        if per-batch volume ever binds."""
 
         def __init__(self, options, schema):
             self._table = options.get("path")
