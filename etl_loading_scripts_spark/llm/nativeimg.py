@@ -17,15 +17,20 @@ and ctypes against their public C APIs needs no Python package.
   library, and authentic libtiff LZW output decodes here.
 
 Both directions for both formats are oracle-gated
-(``mm_native_png_tiff_interop``). NOT bound, with reasons: **libjpeg**'s
-classic API requires exact struct sizes plus setjmp/longjmp error
-handling — fabricating the struct layout via ctypes is undefined
-behavior waiting to crash an executor, so the JPEG codec keeps its
-paired-encoder validation; **libgif** exposes no memory-level simple
-API either direction without reading its internal structs
-(DGifSlurp's SavedImage graph), and GIF's LZW layer gains little after
-TIFF-LZW is interop-proven (decision notes mirror SCALING.md r7's VP8
-entry: no fake fidelity).
+(``mm_native_png_tiff_interop``), and **JPEG gets real-libjpeg
+validation THROUGH libtiff** (which links libjpeg and drives it via
+TIFF compression 7): libjpeg's own C API is not ctypes-safe (setjmp +
+exact struct sizes — undefined behavior waiting to crash an executor),
+but with the ``JPEGTABLESMODE`` pseudo-tag at 0 every strip libtiff
+writes is a complete standalone JFIF stream from the real libjpeg,
+which the from-scratch decoder reads; the reverse wraps the
+from-scratch encoder's JFIF bytes as a one-strip compression-7 TIFF
+that libtiff decodes through libjpeg (``mm_jpeg_libjpeg_interop``).
+Still NOT bound: **libgif** exposes no memory-level simple API either
+direction without reading its internal structs (DGifSlurp's SavedImage
+graph), and GIF's LZW layer gains little after TIFF-LZW is
+interop-proven (decision note mirrors SCALING.md r7's VP8 entry: no
+fake fidelity).
 
 Scale: library handles load once per executor Python worker; all work
 stays inside the same Arrow-batched mapInPandas kernels as every codec
@@ -309,6 +314,129 @@ def libtiff_encode_rgb(
 
 
 # ---------------------------------------------------------------------------
+# JPEG interop THROUGH libtiff's libjpeg codec (COMPRESSION_JPEG = 7)
+# ---------------------------------------------------------------------------
+#
+# libjpeg's own C API is not ctypes-safe (setjmp + exact struct sizes —
+# the de-scope above), but libtiff LINKS libjpeg and drives it through
+# TIFF compression 7: with the JPEGTABLESMODE pseudo-tag set to 0, every
+# strip is a COMPLETE standalone JFIF stream produced by the real
+# libjpeg — which the from-scratch decoder can read directly. The
+# reverse wraps the from-scratch encoder's JFIF bytes as a one-strip
+# compression-7 TIFF that libtiff decodes through the real libjpeg.
+# Both directions of JPEG validation, zero undefined behavior.
+
+_T_STRIPOFFSETS = 273
+_T_STRIPBYTECOUNTS = 279
+_T_YCBCRSUBSAMPLING = 530
+_COMPRESSION_JPEG = 7
+_PHOTOMETRIC_YCBCR = 6
+#: libtiff JPEG pseudo-tags (tif_jpeg.c, public)
+_T_JPEGQUALITY = 65537
+_T_JPEGCOLORMODE = 65538
+_T_JPEGTABLESMODE = 65539
+
+
+def libjpeg_encode_rgb(width: int, height: int, rgb: bytes, quality: int = 88) -> bytes:
+    """RGB → a REAL libjpeg-encoded baseline JFIF stream (via libtiff
+    compression 7 with tables inlined per strip), extracted from the
+    one-strip TIFF's StripOffsets/StripByteCounts — authentic libjpeg
+    wire bytes for the from-scratch decoder to prove itself on."""
+    import struct
+
+    lib = _require(_load_tiff(), "libtiff")
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length != width*height*3")
+    path = os.path.join(tempfile.gettempdir(), f".tifj-{uuid.uuid4().hex}.tif")
+    try:
+        tif = ctypes.c_void_p(lib.TIFFOpen(path.encode(), b"w"))
+        if not tif.value:
+            raise ValueError("libtiff: cannot open for write")
+        try:
+            sf = lib.TIFFSetField
+            u32 = ctypes.c_uint32
+            sf(tif, u32(_T_IMAGEWIDTH), u32(width))
+            sf(tif, u32(_T_IMAGELENGTH), u32(height))
+            sf(tif, u32(_T_BITSPERSAMPLE), ctypes.c_int(8))
+            sf(tif, u32(_T_SAMPLESPERPIXEL), ctypes.c_int(3))
+            sf(tif, u32(_T_PHOTOMETRIC), ctypes.c_int(_PHOTOMETRIC_YCBCR))
+            sf(tif, u32(_T_PLANARCONFIG), ctypes.c_int(_PLANARCONFIG_CONTIG))
+            sf(tif, u32(_T_COMPRESSION), ctypes.c_int(_COMPRESSION_JPEG))
+            sf(tif, u32(_T_JPEGQUALITY), ctypes.c_int(quality))
+            sf(tif, u32(_T_JPEGCOLORMODE), ctypes.c_int(1))  # RGB auto-convert
+            sf(tif, u32(_T_JPEGTABLESMODE), ctypes.c_int(0))  # tables in strip
+            sf(tif, u32(_T_ROWSPERSTRIP), u32(height))
+            stride = width * 3
+            for y in range(height):
+                if lib.TIFFWriteScanline(tif, rgb[y * stride : (y + 1) * stride], y, 0) < 0:
+                    raise ValueError("libtiff: JPEG scanline write failed")
+        finally:
+            lib.TIFFClose(tif)
+        data = open(path, "rb").read()
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+    if data[:4] != b"II*\x00":
+        raise ValueError("libtiff: unexpected byte order")
+    (ifd_off,) = struct.unpack_from("<I", data, 4)
+    (n,) = struct.unpack_from("<H", data, ifd_off)
+    tags = {}
+    for i in range(n):
+        t, _typ, _cnt, val = struct.unpack_from("<HHII", data, ifd_off + 2 + i * 12)
+        tags[t] = val
+    off, ln = tags[_T_STRIPOFFSETS], tags[_T_STRIPBYTECOUNTS]
+    strip = data[off : off + ln]
+    if strip[:2] != b"\xff\xd8":
+        raise ValueError("libtiff: strip is not a standalone JFIF stream")
+    return strip
+
+
+def tiff_wrap_jpeg(
+    width: int, height: int, jpeg: bytes,
+    subsampling: tuple[int, int] = (2, 2),
+) -> bytes:
+    """Wrap a standalone JFIF stream as a minimal one-strip
+    compression-7 TIFF (classic little-endian, YCbCr photometric) — the
+    container libtiff needs to route the bytes through the REAL
+    libjpeg. ``subsampling`` must MATCH the stream's sampling factors
+    ((2,2) for the 4:2:0 encoder, (1,1) for 4:4:4/progressive) — a
+    mismatched tag makes libjpeg reject the strip."""
+    import struct
+
+    def entry(tag, typ, cnt, val):
+        return struct.pack("<HHII", tag, typ, cnt, val)
+
+    n_entries = 11
+    bps_off = 8 + 2 + n_entries * 12 + 4
+    strip_off = bps_off + 6
+    entries = b"".join(
+        (
+            entry(_T_IMAGEWIDTH, 3, 1, width),
+            entry(_T_IMAGELENGTH, 3, 1, height),
+            entry(_T_BITSPERSAMPLE, 3, 3, bps_off),
+            entry(_T_COMPRESSION, 3, 1, _COMPRESSION_JPEG),
+            entry(_T_PHOTOMETRIC, 3, 1, _PHOTOMETRIC_YCBCR),
+            entry(_T_STRIPOFFSETS, 4, 1, strip_off),
+            entry(_T_SAMPLESPERPIXEL, 3, 1, 3),
+            entry(_T_ROWSPERSTRIP, 3, 1, height),
+            entry(_T_STRIPBYTECOUNTS, 4, 1, len(jpeg)),
+            entry(_T_PLANARCONFIG, 3, 1, _PLANARCONFIG_CONTIG),
+            entry(_T_YCBCRSUBSAMPLING, 3, 2,
+                  subsampling[0] | (subsampling[1] << 16)),
+        )
+    )
+    return (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", n_entries)
+        + entries
+        + struct.pack("<I", 0)
+        + struct.pack("<HHH", 8, 8, 8)
+        + jpeg
+    )
+
+
+# ---------------------------------------------------------------------------
 # Oracle-gated four-leg interop
 # ---------------------------------------------------------------------------
 
@@ -495,3 +623,107 @@ def mm_native_png_tiff_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 0
     )
     return docs.mapInPandas(_interop_batches, schema=_SCHEMA)
+
+
+_JPEG_SCHEMA = (
+    "doc_id long, leg string, width int, height int, quality_ok boolean"
+)
+
+
+def _jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Two JPEG interop legs per doc over a smooth gradient (the class
+    lossy codecs are built for), dimensions deliberately ragged (not
+    MCU-aligned — the padding paths on both sides must agree):
+
+    - jpeg_lib_ours: the REAL libjpeg encodes (via libtiff compression
+      7, tables inlined) → the from-scratch baseline decoder reads the
+      authentic JFIF bytes;
+    - jpeg_ours_lib: the from-scratch 4:2:0 encoder's JFIF bytes →
+      wrapped as a one-strip TIFF → decoded by the real libjpeg.
+
+    Exact dimensions and a MAE < 16/255 bound are oracle-pinned (measured:
+    libjpeg-encoded legs ~1-3, from-scratch-420 legs up to ~10.4 on the
+    %200 wrap seams — lossy ringing, the same band as mm_decode_webp_lossy)."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg_rgb_420,
+    )
+
+    for pdf in batches:
+        out: dict[str, list] = {k: [] for k in (
+            "doc_id", "leg", "width", "height", "quality_ok",
+        )}
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            w, h = 18 + d % 23, 14 + d % 19
+            q = np.arange(w * h * 3, dtype=np.int64)
+            rgb = (
+                (40 + d % 60 + ((q // 3) % w) * 3 + ((q // 3) // w) * 2
+                 + (q % 3) * 5) % 200
+            ).astype(np.uint8)
+            src = rgb.astype(np.int64)
+
+            lib_jpeg = libjpeg_encode_rgb(w, h, rgb.tobytes(), quality=88)
+            dw, dh, ch, px = decode_jpeg(lib_jpeg)
+            if ch != 3:
+                raise ValueError("expected color JPEG from libjpeg")
+            mae1 = float(
+                np.abs(np.frombuffer(px, dtype=np.uint8).astype(np.int64) - src).mean()
+            )
+            out["doc_id"].append(d)
+            out["leg"].append("jpeg_lib_ours")
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["quality_ok"].append(bool(mae1 < 16.0))
+
+            wrapped = tiff_wrap_jpeg(w, h, encode_jpeg_rgb_420(w, h, rgb.tobytes()))
+            dw, dh, rgba = libtiff_decode_rgba(wrapped)
+            a = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)
+            mae2 = float(np.abs(a[:, :3].astype(np.int64).ravel() - src).mean())
+            out["doc_id"].append(d)
+            out["leg"].append("jpeg_ours_lib")
+            out["width"].append(dw)
+            out["height"].append(dh)
+            out["quality_ok"].append(bool(mae2 < 16.0))
+        yield pd.DataFrame(out).astype(
+            {
+                "doc_id": "int64", "leg": "object", "width": "int32",
+                "height": "int32", "quality_ok": "bool",
+            }
+        )
+
+
+@register(
+    "mm_jpeg_libjpeg_interop",
+    oracle="""
+    SELECT doc_id, l.leg,
+           CAST(18 + doc_id % 23 AS INT) AS width,
+           CAST(14 + doc_id % 19 AS INT) AS height,
+           TRUE AS quality_ok
+    FROM documents
+    CROSS JOIN (SELECT 'jpeg_lib_ours' AS leg
+                UNION ALL SELECT 'jpeg_ours_lib') l
+    WHERE doc_id % 11 = 0
+    """,
+    doc="REAL-LIBJPEG interop for the from-scratch JPEG codec, both "
+    "directions, WITHOUT binding libjpeg's setjmp-based C API: libtiff "
+    "links libjpeg and drives it through TIFF compression 7 — with "
+    "tables inlined per strip, libtiff-written strips are complete "
+    "standalone JFIF streams from the real libjpeg, decoded here by "
+    "the from-scratch baseline decoder; the reverse wraps the "
+    "from-scratch 4:2:0 encoder's JFIF bytes as a one-strip "
+    "compression-7 TIFF the real libjpeg decodes. Ragged (non-MCU-"
+    "aligned) dimensions exercise both sides' padding; exact dims and "
+    "MAE < 8/255 are oracle-pinned per (doc, leg).",
+)
+def mm_jpeg_libjpeg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: same Arrow-batched mapInPandas contract as every codec
+    kernel; the temp-file TIFF detour is per-image bytes in tmpfs, and
+    the libjpeg entropy loops are C speed — the throughput story the
+    adapter seam exists to buy."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").filter(
+        F.col("doc_id") % 11 == 0
+    )
+    return docs.mapInPandas(_jpeg_batches, schema=_JPEG_SCHEMA)

@@ -106,6 +106,54 @@ def test_tiff_interop_lzw_and_deflate():
 
 
 @needs_libs
+def test_jpeg_interop_through_libtiff():
+    """Real-libjpeg validation for the JPEG codec, both directions,
+    through libtiff's compression-7 route — including PROGRESSIVE
+    streams (libjpeg decodes the from-scratch progressive encoder's
+    output) and ragged non-MCU-aligned dimensions."""
+    from etl_loading_scripts_spark.llm.jpeg import (
+        decode_jpeg,
+        encode_jpeg_rgb_420,
+        encode_jpeg_rgb_progressive,
+    )
+    from etl_loading_scripts_spark.llm.nativeimg import (
+        libjpeg_encode_rgb,
+        libtiff_decode_rgba,
+        tiff_wrap_jpeg,
+    )
+
+    for d in (0, 5, 13):
+        w, h = 18 + d % 23, 14 + d % 19
+        q = np.arange(w * h * 3, dtype=np.int64)
+        rgb = (
+            (40 + ((q // 3) % w) * 3 + ((q // 3) // w) * 2 + (q % 3) * 5) % 200
+        ).astype(np.uint8)
+        src = rgb.astype(np.int64)
+        # authentic libjpeg bytes -> from-scratch decoder
+        jpeg = libjpeg_encode_rgb(w, h, rgb.tobytes(), quality=88)
+        assert jpeg[:2] == b"\xff\xd8"
+        dw, dh, ch, px = decode_jpeg(jpeg)
+        assert (dw, dh, ch) == (w, h, 3)
+        mae = np.abs(np.frombuffer(px, dtype=np.uint8).astype(np.int64) - src).mean()
+        assert mae < 8, mae
+        # from-scratch encoders -> real libjpeg: baseline 4:2:0 AND
+        # PROGRESSIVE 4:4:4 (the wrap's subsampling tag must match the
+        # stream's sampling factors)
+        for enc, samp in (
+            (encode_jpeg_rgb_420, (2, 2)),
+            (encode_jpeg_rgb_progressive, (1, 1)),
+        ):
+            wrapped = tiff_wrap_jpeg(
+                w, h, enc(w, h, rgb.tobytes()), subsampling=samp
+            )
+            dw, dh, rgba = libtiff_decode_rgba(wrapped)
+            assert (dw, dh) == (w, h), enc.__name__
+            a = np.frombuffer(rgba, dtype=np.uint8).reshape(-1, 4)
+            mae = np.abs(a[:, :3].astype(np.int64).ravel() - src).mean()
+            assert mae < 16, (enc.__name__, mae)
+
+
+@needs_libs
 def test_corrupt_payloads_quarantine():
     with pytest.raises(ValueError, match="libpng"):
         libpng_decode_rgb(b"\x89PNG\r\n\x1a\n" + b"\x00" * 30)
