@@ -184,6 +184,7 @@ def _stage_data_files(
             dst = os.path.join(table, rel_path)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             size = os.path.getsize(src)
+            stats = _file_stats(src)
             os.rename(src, dst)
             adds.append(
                 {
@@ -193,11 +194,51 @@ def _stage_data_files(
                         "size": size,
                         "modificationTime": now,
                         "dataChange": True,
+                        "stats": stats,
                     }
                 }
             )
     shutil.rmtree(staging, ignore_errors=True)
     return adds  # empty frame: still a valid commit (schema-only)
+
+
+def _file_stats(path: str) -> str:
+    """The protocol's per-file ``stats`` JSON — numRecords plus
+    minValues/maxValues per primitive column — harvested from the
+    parquet FOOTER the write already produced (no data re-read). This
+    is what makes log-level FILE SKIPPING possible: a reader prunes
+    files from metadata alone, the same recipe as
+    ``sources/skipping.py`` but carried by the table format itself."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            if "." in name:  # nested columns: out of stats scope
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
+                except UnicodeDecodeError:
+                    continue  # binary payload column: no useful range
+            if not isinstance(lo, (int, float, str, bool)):
+                lo, hi = str(lo), str(hi)  # decimals/dates as strings
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return json.dumps(
+        {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs},
+        separators=(",", ":"),
+        default=str,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -244,6 +285,7 @@ def _cp_schema():
                         ("size", pa.int64()),
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
+                        ("stats", pa.string()),
                     ]
                 ),
             ),
@@ -290,6 +332,7 @@ def checkpoint_delta(table: str, version: int | None = None) -> str:
                     "size": a.get("size", 0),
                     "modificationTime": a.get("modificationTime", 0),
                     "dataChange": False,
+                    "stats": a.get("stats"),
                 }
             }
         )
@@ -488,14 +531,19 @@ def read_delta_table(
     table: str,
     version: int | None = None,
     partition_filter: Mapping[str, object] | None = None,
+    stats_filter: Mapping[str, tuple] | None = None,
 ) -> DataFrame:
     """Snapshot read at ``version`` (default: latest). Time travel and
     snapshot isolation fall out of the log replay: the file list is
     fixed by the pinned version, so later commits can never leak into
     an open reader. ``partition_filter`` ({col: value-or-values})
-    prunes DRIVER-SIDE against each file's ``partitionValues`` — pruned
-    files never reach Spark's listing, the log-metadata analogue of
-    partition pruning (values compared as their hive-dir strings)."""
+    prunes DRIVER-SIDE against each file's ``partitionValues``;
+    ``stats_filter`` ({col: (lo, hi)}, either bound None for open)
+    prunes against each add action's per-file min/max STATS — both are
+    log-metadata pruning, so skipped files never reach Spark's listing.
+    Stats skipping is conservative and safe: a file without stats for
+    the column is KEPT (the caller still applies the real predicate in
+    the plan; skipping only removes files that provably can't match)."""
     active, meta, _ = _snapshot_state(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
@@ -516,6 +564,23 @@ def read_delta_table(
                 for k, vs in want.items()
             )
         ]
+    if stats_filter:
+        def _may_match(p: str) -> bool:
+            raw = active[p].get("stats")
+            if not raw:
+                return True  # no stats recorded: keep, stay correct
+            st = json.loads(raw)
+            mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
+            for col, (lo, hi) in stats_filter.items():
+                if col not in mins or col not in maxs:
+                    continue
+                if lo is not None and maxs[col] < lo:
+                    return False
+                if hi is not None and mins[col] > hi:
+                    return False
+            return True
+
+        files = [p for p in files if _may_match(p)]
     if not files:
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema)

@@ -326,6 +326,42 @@ def test_partitioned_table_prunes_and_time_travels(spark, tmp_path):
     assert again.count() == 50
 
 
+def test_stats_based_file_skipping(spark, tmp_path):
+    """The protocol's per-file stats enable log-level FILE SKIPPING: a
+    range-partitioned write records footer min/max per add action, a
+    stats_filter prunes files driver-side (inputFiles-asserted), the
+    result equals the unpruned filtered read, files without matching
+    stats are conservatively kept, and stats survive the checkpoint."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "skiptab")
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(8, "k")  # disjoint k ranges per file
+    dl.write_delta_table(df, d)
+    full = dl.read_delta_table(spark, d)
+    assert len(full.inputFiles()) == 8
+    pruned = dl.read_delta_table(spark, d, stats_filter={"k": (100, 220)})
+    assert 1 <= len(pruned.inputFiles()) <= 3  # ~2 of 8 range files
+    want = sorted(r.k for r in full.filter(F.col("k").between(100, 220)).collect())
+    got = sorted(
+        r.k for r in pruned.filter(F.col("k").between(100, 220)).collect()
+    )
+    assert got == want  # skipping is lossless under the real predicate
+    # open bounds + unknown column stay conservative
+    assert len(
+        dl.read_delta_table(spark, d, stats_filter={"k": (900, None)}).inputFiles()
+    ) < 8
+    assert len(
+        dl.read_delta_table(spark, d, stats_filter={"zzz": (0, 1)}).inputFiles()
+    ) == 8
+    # stats survive the checkpoint round trip
+    dl.checkpoint_delta(d)
+    dl.expire_delta_log(d)
+    pruned2 = dl.read_delta_table(spark, d, stats_filter={"k": (100, 220)})
+    assert sorted(pruned2.inputFiles()) == sorted(pruned.inputFiles())
+
+
 def test_merge_cow_deltalog_rewrites_only_affected_months(spark, tmp_path):
     """Month-grain COW through the log (the cow.py composition,
     executed): a one-month source rewrites only that month's files in
@@ -597,11 +633,18 @@ def test_delta_log_actions_conform_to_protocol_shapes(spark, tmp_path):
     for a in v0[2:]:
         add = a["add"]
         assert set(add) == {
-            "path", "partitionValues", "size", "modificationTime", "dataChange",
+            "path", "partitionValues", "size", "modificationTime",
+            "dataChange", "stats",
         }
         assert add["path"].startswith("p=")
         assert add["partitionValues"] in ({"p": "0"}, {"p": "1"})
         assert add["size"] > 0 and add["dataChange"] is True
+        stats = json.loads(add["stats"])
+        assert stats["numRecords"] >= 1
+        assert stats["minValues"]["k"] >= 0 and stats["maxValues"]["k"] <= 5
+    # per-partition record totals reconcile through the stats
+    total = sum(json.loads(a["add"]["stats"])["numRecords"] for a in v0[2:])
+    assert total == 6
     v1 = dl._read_actions(d, 1)
     removes = [a["remove"] for a in v1 if "remove" in a]
     assert removes and all(
