@@ -224,7 +224,10 @@ def _file_stats(path: str) -> str:
             name = col.path_in_schema
             if "." in name:  # nested columns: out of stats scope
                 continue
-            lo, hi = st.min, st.max
+            try:
+                lo, hi = st.min, st.max
+            except Exception:  # noqa: BLE001 — types pyarrow can't
+                continue  # extract stats for simply go statless
             if isinstance(lo, bytes):
                 try:
                     lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
