@@ -716,7 +716,7 @@ def _jpeg_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "from-scratch 4:2:0 encoder's JFIF bytes as a one-strip "
     "compression-7 TIFF the real libjpeg decodes. Ragged (non-MCU-"
     "aligned) dimensions exercise both sides' padding; exact dims and "
-    "MAE < 8/255 are oracle-pinned per (doc, leg).",
+    "MAE < 16/255 are oracle-pinned per (doc, leg).",
 )
 def mm_jpeg_libjpeg_interop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: same Arrow-batched mapInPandas contract as every codec

@@ -57,8 +57,8 @@ data-file IO is ordinary partition-parallel parquet. The checkpoint is
 itself O(active files) — at millions of files the real implementation
 reads it distributed; here it is driver-side pyarrow, which holds to
 ~10^6 files (the named seam if it ever binds). Partition values parse
-from the hive directory names Spark itself writes, so values round-trip
-bit-exactly through the same escaping.
+from the hive directory names Spark itself writes and are stored
+UNESCAPED (logical values, null as JSON null) per the protocol.
 """
 
 from __future__ import annotations
@@ -78,6 +78,36 @@ _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 #: coordinator "table" of a published set — its log holds setCommit actions
 _SET_DIR = "_set"
+#: hive's directory-name encoding of a NULL partition value
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_unescape(v: str) -> str | None:
+    """Decode a hive-layout directory VALUE into the logical partition
+    value the protocol stores: ``__HIVE_DEFAULT_PARTITION__`` → None,
+    ``%XX`` escapes (Spark escapes ``:`` ``=`` space etc. when writing
+    the path) → their characters. Without this, partitionValues matched
+    ESCAPED text and a filter on a value containing any escaped
+    character (or on a null partition) silently pruned every file."""
+    if v == _HIVE_NULL:
+        return None
+    import re
+
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), v
+    )
+
+
+def _norm_part_value(v) -> str | None:
+    """Normalize a CALLER-side partition-filter value to the stored
+    string form: None stays None (matches a null partition), booleans
+    lower-case (Spark writes ``true``/``false`` in directory names —
+    ``str(True)`` would never match), everything else ``str()``."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def _log_path(table: str) -> str:
@@ -158,9 +188,9 @@ def _stage_data_files(
     no half-named files) and return their ``add`` actions. With
     ``partition_cols`` the staged write is hive-partitioned and each
     add action carries the real ``partitionValues`` parsed from its
-    directory (values exactly as Spark escaped them, so they round-trip
-    through the same layout). Files are INVISIBLE until a commit
-    references them — the protocol's data/metadata split."""
+    directory (hive-unescaped to the LOGICAL values per the protocol;
+    null partitions recorded as None). Files are INVISIBLE until a
+    commit references them — the protocol's data/metadata split."""
     staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
     writer = df.write.mode("overwrite")
     if partition_cols:
@@ -170,11 +200,13 @@ def _stage_data_files(
     now = int(time.time() * 1000)
     for root, _dirs, files in sorted(os.walk(staging)):
         rel_dir = os.path.relpath(root, staging)
-        pvalues: dict[str, str] = {}
+        pvalues: dict[str, str | None] = {}
         if rel_dir != ".":
             for seg in rel_dir.split(os.sep):
                 k, _, v = seg.partition("=")
-                pvalues[k] = v
+                # store the LOGICAL value per the protocol (unescaped,
+                # null as JSON null), not the escaped directory text
+                pvalues[k] = _hive_unescape(v)
         for f in sorted(files):
             if not f.endswith(".parquet"):
                 continue
@@ -202,45 +234,108 @@ def _stage_data_files(
     return adds  # empty frame: still a valid commit (schema-only)
 
 
+def _stat_native(v):
+    """Coerce a pyarrow footer stat to a JSON-native value whose
+    ordering is the COLUMN's ordering, or None when no such coercion
+    exists. int/float/bool/str pass through; utf-8 byte strings decode;
+    date/datetime become ISO strings (lexicographic == chronological).
+    Decimals and every unknown type return None — str()-ing them would
+    record LEXICOGRAPHIC ranges for numerically-ordered data
+    (min('10.5','9.5')=='10.5'), and skipping built on a wrong range
+    silently drops files that DO contain matching rows."""
+    import datetime
+
+    if isinstance(v, bool) or isinstance(v, (int, str)):
+        return v
+    if isinstance(v, float):
+        return None if v != v else v  # NaN poisons min/max: statless
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None  # binary payload column: no useful range
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return None  # Decimal / unknown: out of stats scope
+
+
+def _stat_kind(v) -> str:
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, float)):
+        return "num"
+    return "str"
+
+
 def _file_stats(path: str) -> str:
     """The protocol's per-file ``stats`` JSON — numRecords plus
     minValues/maxValues per primitive column — harvested from the
     parquet FOOTER the write already produced (no data re-read). This
     is what makes log-level FILE SKIPPING possible: a reader prunes
     files from metadata alone, the same recipe as
-    ``sources/skipping.py`` but carried by the table format itself."""
+    ``sources/skipping.py`` but carried by the table format itself.
+
+    Stats pruning is only SAFE if the recorded range is conservative
+    (covers every value actually in the file), so a column's range is
+    recorded iff EVERY row group contributed exact, comparably-typed
+    native values: one statless / inexact / out-of-scope row group
+    drops the column from the stats entirely (a partial min/max would
+    EXCLUDE values present in the skipped groups)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
-    mins: dict = {}
-    maxs: dict = {}
+    # name -> (lo, hi) aggregated so far, or None = poisoned (some row
+    # group couldn't contribute a trustworthy comparable range)
+    ranges: dict[str, tuple | None] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
-            st = col.statistics
-            if st is None or not st.has_min_max:
-                continue
             name = col.path_in_schema
             if "." in name:  # nested columns: out of stats scope
                 continue
-            try:
-                lo, hi = st.min, st.max
-            except Exception:  # noqa: BLE001 — types pyarrow can't
-                continue  # extract stats for simply go statless
-            if isinstance(lo, bytes):
+            if ranges.get(name, ()) is None:
+                continue  # already poisoned by an earlier row group
+            st = col.statistics
+            entry = None
+            # truncated (inexact) string stats would under-state the
+            # true max — only exact values are conservative
+            if (
+                st is not None
+                and st.has_min_max
+                and getattr(st, "is_min_value_exact", True) is not False
+                and getattr(st, "is_max_value_exact", True) is not False
+            ):
                 try:
-                    lo, hi = lo.decode("utf-8"), hi.decode("utf-8")
-                except UnicodeDecodeError:
-                    continue  # binary payload column: no useful range
-            if not isinstance(lo, (int, float, str, bool)):
-                lo, hi = str(lo), str(hi)  # decimals/dates as strings
-            mins[name] = lo if name not in mins else min(mins[name], lo)
-            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+                    raw_lo, raw_hi = st.min, st.max
+                except Exception:  # noqa: BLE001 — undecodable stat bytes
+                    raw_lo = raw_hi = None
+                if raw_lo is not None and raw_hi is not None:
+                    lo, hi = _stat_native(raw_lo), _stat_native(raw_hi)
+                    if (
+                        lo is not None
+                        and hi is not None
+                        and _stat_kind(lo) == _stat_kind(hi)
+                    ):
+                        entry = (lo, hi)
+            if entry is None:
+                ranges[name] = None  # poison: drop the column entirely
+            elif name not in ranges:
+                ranges[name] = entry
+            else:
+                prev = ranges[name]
+                if _stat_kind(prev[0]) != _stat_kind(entry[0]):
+                    ranges[name] = None  # incomparable across groups
+                else:
+                    ranges[name] = (
+                        min(prev[0], entry[0]),
+                        max(prev[1], entry[1]),
+                    )
+    mins = {k: v[0] for k, v in ranges.items() if v is not None}
+    maxs = {k: v[1] for k, v in ranges.items() if v is not None}
     return json.dumps(
         {"numRecords": md.num_rows, "minValues": mins, "maxValues": maxs},
         separators=(",", ":"),
-        default=str,
     )
 
 
@@ -556,7 +651,12 @@ def read_delta_table(
         if unknown:
             raise ValueError(f"not partition columns: {unknown} (have {pcols})")
         want = {
-            k: {str(x) for x in (v if isinstance(v, (list, tuple, set, frozenset)) else [v])}
+            k: {
+                _norm_part_value(x)
+                for x in (
+                    v if isinstance(v, (list, tuple, set, frozenset)) else [v]
+                )
+            }
             for k, v in partition_filter.items()
         }
         files = [
@@ -568,6 +668,35 @@ def read_delta_table(
             )
         ]
     if stats_filter:
+        def _cmp(stat_val, bound):
+            """(stat, bound) coerced to one comparable type, or None
+            when no safe comparison exists — a None means this bound
+            CANNOT prune this file (keep it; the caller's real
+            predicate still applies in the plan). Without this, a
+            numeric bound against string-typed stats raised TypeError
+            at read time, and a string bound against numeric columns
+            compared lexicographically — mispruning."""
+            import datetime
+            import decimal
+
+            if isinstance(bound, decimal.Decimal):
+                bound = float(bound)
+            elif isinstance(bound, (datetime.date, datetime.datetime)):
+                bound = bound.isoformat()
+            s_num = isinstance(stat_val, (int, float)) and not isinstance(
+                stat_val, bool
+            )
+            b_num = isinstance(bound, (int, float)) and not isinstance(
+                bound, bool
+            )
+            if s_num and b_num:
+                return stat_val, bound
+            if isinstance(stat_val, str) and isinstance(bound, str):
+                return stat_val, bound
+            if isinstance(stat_val, bool) and isinstance(bound, bool):
+                return stat_val, bound
+            return None
+
         def _may_match(p: str) -> bool:
             raw = active[p].get("stats")
             if not raw:
@@ -577,10 +706,14 @@ def read_delta_table(
             for col, (lo, hi) in stats_filter.items():
                 if col not in mins or col not in maxs:
                     continue
-                if lo is not None and maxs[col] < lo:
-                    return False
-                if hi is not None and mins[col] > hi:
-                    return False
+                if lo is not None:
+                    pair = _cmp(maxs[col], lo)
+                    if pair is not None and pair[0] < pair[1]:
+                        return False
+                if hi is not None:
+                    pair = _cmp(mins[col], hi)
+                    if pair is not None and pair[0] > pair[1]:
+                        return False
             return True
 
         files = [p for p in files if _may_match(p)]
@@ -724,13 +857,25 @@ def merge_cow_deltalog(
             f"merge_cow_deltalog needs a table partitioned by [{MONTH_COL}], "
             f"have {meta.get('partitionColumns')}"
         )
-    src_months = sorted(
+    raw_months = [
         r[0]
         for r in _with_month(source, datekey_col)
         .select(MONTH_COL)
         .distinct()
         .collect()
-    )
+    ]
+    if any(m is None for m in raw_months):
+        # a null datekey has no month: sorted() below would TypeError,
+        # and even routed through, str(None) never matches the
+        # null-partition value — stale null-partition files would stay
+        # unremoved. The contract is explicit: every source row must
+        # carry a datekey.
+        raise ValueError(
+            f"merge_cow_deltalog: source has rows with NULL {datekey_col!r}"
+            " — every source row must map to a month (filter or fix the"
+            " source before merging)"
+        )
+    src_months = sorted(raw_months)
     if not src_months:
         return {
             "version": None,

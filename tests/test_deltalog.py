@@ -748,3 +748,144 @@ def test_streaming_foreachbatch_into_delta_log(spark, tmp_path):
     assert len(_versions(d)) == 3
     mid = {r.k: r.v for r in read_delta_table(spark, d, version=1).collect()}
     assert mid == {0: 100, 1: 10, 2: 20}
+
+
+# --------------------------------------------------------------------------
+# Round-8 ADVICE regressions: stats typing/completeness, filter coercion,
+# hive-escaped/null partition values, null-datekey contract
+# --------------------------------------------------------------------------
+
+
+def test_stats_skip_decimal_and_untyped_columns(spark, tmp_path):
+    """Decimal columns must NOT get stringified stats (lexicographic
+    min('10.5','9.5')=='10.5' would misprune numerically), and the
+    fixture-shaped decimal(18,4) amount column goes statless while int
+    columns keep real ranges."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "dectab")
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") / 10).cast("decimal(18,4)").alias("amount"),
+    )
+    dl.write_delta_table(df, d)
+    add = next(
+        a["add"] for a in dl._read_actions(d, 0) if "add" in a
+    )
+    st = json.loads(add["stats"])
+    assert "amount" not in st["minValues"]  # decimals: out of scope
+    assert "k" in st["minValues"] and isinstance(st["minValues"]["k"], int)
+    # stats_filter on the statless column keeps every file (conservative)
+    assert len(
+        dl.read_delta_table(
+            spark, d, stats_filter={"amount": (0, 1)}
+        ).inputFiles()
+    ) == len(dl.read_delta_table(spark, d).inputFiles())
+
+
+def test_file_stats_poisoned_by_incomplete_row_group(tmp_path):
+    """A row group that cannot contribute a range (all-null group: no
+    min/max in its footer) drops the column from the file's stats
+    ENTIRELY — the old per-group 'continue' kept the other groups'
+    PARTIAL range, which can exclude values present in skipped groups
+    and make skipping lossy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    p = str(tmp_path / "poison.parquet")
+    t = pa.table(
+        {
+            "k": pa.array([1, 2, 3, 4], pa.int64()),
+            "x": pa.array([1.0, 2.0, None, None], pa.float64()),
+        }
+    )
+    pq.write_table(t, p, row_group_size=2)  # group 2: all null, no stats
+    st = json.loads(dl._file_stats(p))
+    assert st["numRecords"] == 4
+    assert "x" not in st["minValues"]  # poisoned group drops the column
+    assert st["minValues"]["k"] == 1 and st["maxValues"]["k"] == 4
+
+
+def test_stats_filter_type_mismatch_keeps_file(spark, tmp_path):
+    """String-typed stored stats vs a numeric caller bound must not
+    raise and must NOT prune (no safe comparison exists) — previously
+    a TypeError at read time."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "misttab")
+    df = spark.range(10).select(F.col("id").alias("k"))
+    dl.write_delta_table(df, d)
+    # rewrite the committed stats to string-typed values (as an older
+    # writer's stringified stats would look)
+    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    actions = [json.loads(l) for l in open(log)]
+    for a in actions:
+        if "add" in a:
+            a["add"]["stats"] = json.dumps(
+                {
+                    "numRecords": 10,
+                    "minValues": {"k": "0"},
+                    "maxValues": {"k": "9"},
+                }
+            )
+    with open(log, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    got = dl.read_delta_table(spark, d, stats_filter={"k": (100, 200)})
+    assert got.count() == 10  # kept: coercion refused, file stays
+    # and a string bound against the string stats DOES compare
+    assert (
+        dl.read_delta_table(spark, d, stats_filter={"k": ("a", "b")}).count()
+        == 0
+    )
+
+
+def test_partition_values_unescaped_null_and_bool(spark, tmp_path):
+    """partitionValues store LOGICAL values: strings with spaces/colons
+    match a filter on the raw value (hive %XX-escapes the path),
+    booleans match Python True/False, and None matches the
+    __HIVE_DEFAULT_PARTITION__ directory."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "esctab")
+    df = spark.createDataFrame(
+        [("a b", 1), ("x:y", 2), (None, 3)], "seg string, v int"
+    )
+    dl.write_delta_table(df, d, partition_by=["seg"])
+    got = dl.read_delta_table(spark, d, partition_filter={"seg": "a b"})
+    assert [r.v for r in got.collect()] == [1]
+    got = dl.read_delta_table(spark, d, partition_filter={"seg": "x:y"})
+    assert [r.v for r in got.collect()] == [2]
+    got = dl.read_delta_table(spark, d, partition_filter={"seg": None})
+    assert [r.v for r in got.collect()] == [3]
+
+    b = str(tmp_path / "booltab")
+    bf = spark.createDataFrame([(True, 1), (False, 2)], "flag boolean, v int")
+    dl.write_delta_table(bf, b, partition_by=["flag"])
+    got = dl.read_delta_table(spark, b, partition_filter={"flag": True})
+    assert [r.v for r in got.collect()] == [1]
+    # survives the checkpoint round trip (map with a null value)
+    dl.checkpoint_delta(d)
+    dl.expire_delta_log(d)
+    got = dl.read_delta_table(spark, d, partition_filter={"seg": None})
+    assert [r.v for r in got.collect()] == [3]
+
+
+def test_merge_cow_null_datekey_raises(spark, tmp_path):
+    """A NULL datekey in the COW source is a contract violation with a
+    clear error — not a sorted() TypeError, and never silently-stale
+    null-partition files."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "cowtab")
+    base = spark.createDataFrame(
+        [(1, 20240105, 10.0)], "k long, datekey int, amount double"
+    ).withColumn("month", (F.col("datekey") / 100).cast("int"))
+    dl.write_delta_table(base, d, partition_by=["month"])
+    src = spark.createDataFrame(
+        [(2, None, 5.0)], "k long, datekey int, amount double"
+    )
+    with pytest.raises(ValueError, match="NULL 'datekey'"):
+        dl.merge_cow_deltalog(spark, d, src, on=["k"])
