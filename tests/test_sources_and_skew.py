@@ -867,7 +867,15 @@ def test_arrow_ipc_streaming_landing_zone(spark, tmp_path):
     incrementally: batch 1 sees the initial files, dropping another
     shard into the landing zone yields exactly its rows in the next
     batch — the feature-store landing-zone flow, with file-list
-    offsets (VERDICT r6 item 6)."""
+    offsets (VERDICT r6 item 6).
+
+    Flake-hardened (VERDICT r7 item 3): unique queryName per attempt
+    (a fixed name collides with a leaked query from a prior run under
+    full-suite load), `q.exception()` asserted None before reading the
+    sink, and ONE retry on streaming-infrastructure errors with the
+    cause logged — never on assertion failures, which are real bugs."""
+    import uuid as _uuid
+
     import pyarrow as pa
 
     from etl_loading_scripts_spark.sources.arrowipc import (
@@ -875,10 +883,8 @@ def test_arrow_ipc_streaming_landing_zone(spark, tmp_path):
     )
 
     register_arrowipc_source(spark)
-    land = tmp_path / "arrow_landing"
-    land.mkdir()
 
-    def drop(name, ids):
+    def drop(land, name, ids):
         schema = pa.schema([("row_id", pa.int64()), ("label", pa.string())])
         with pa.OSFile(str(land / name), "wb") as sink:
             with pa.ipc.new_file(sink, schema) as writer:
@@ -892,28 +898,41 @@ def test_arrow_ipc_streaming_landing_zone(spark, tmp_path):
                     )
                 )
 
-    drop("a.arrow", [1, 2, 3])
-    drop("b.arrow", [10, 11])
-    sink = "arrow_stream_sink"
-    q = (
-        spark.readStream.format("arrowipc").load(str(land))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum("row_id").alias("id_sum"),
+    def run_once(attempt: int) -> None:
+        land = tmp_path / f"arrow_landing_{attempt}"
+        land.mkdir()
+        drop(land, "a.arrow", [1, 2, 3])
+        drop(land, "b.arrow", [10, 11])
+        sink = f"arrow_stream_sink_{attempt}_{_uuid.uuid4().hex[:8]}"
+        q = (
+            spark.readStream.format("arrowipc").load(str(land))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("row_id").alias("id_sum"),
+            )
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(sink).start()
         )
-        .writeStream.outputMode("complete").format("memory")
-        .queryName(sink).start()
-    )
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None, f"stream failed: {q.exception()}"
+            got = spark.sql(f"SELECT * FROM {sink}").collect()[0]
+            assert (got.n, got.id_sum) == (5, 27)
+            drop(land, "c.arrow", [100, 101, 102, 103])
+            q.processAllAvailable()
+            assert q.exception() is None, f"stream failed: {q.exception()}"
+            got = spark.sql(f"SELECT * FROM {sink}").collect()[0]
+            assert (got.n, got.id_sum) == (9, 27 + 406)
+        finally:
+            q.stop()
+
     try:
-        q.processAllAvailable()
-        got = spark.sql(f"SELECT * FROM {sink}").collect()[0]
-        assert (got.n, got.id_sum) == (5, 27)
-        drop("c.arrow", [100, 101, 102, 103])
-        q.processAllAvailable()
-        got = spark.sql(f"SELECT * FROM {sink}").collect()[0]
-        assert (got.n, got.id_sum) == (9, 27 + 406)
-    finally:
-        q.stop()
+        run_once(0)
+    except AssertionError:
+        raise  # wrong answer = real bug; never retried away
+    except Exception as exc:  # noqa: BLE001 — streaming infra flake
+        print(f"streaming attempt 0 failed ({exc!r}); retrying once")
+        run_once(1)
 
 
 def test_append_mode_adds_shards_never_clobbers(spark, tmp_path):
