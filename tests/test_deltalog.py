@@ -889,3 +889,166 @@ def test_merge_cow_null_datekey_raises(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="NULL 'datekey'"):
         dl.merge_cow_deltalog(spark, d, src, on=["k"])
+
+
+# --------------------------------------------------------------------------
+# Round-8 Spark-side metadata: distributed snapshot/pruning/checkpoint must
+# be oracle-equal to the driver-side path, and hold at a 10^5-file log
+# --------------------------------------------------------------------------
+
+
+def test_spark_metadata_path_equals_python_path(spark, tmp_path):
+    """Every Spark-side metadata operation (snapshot reconstruction,
+    partition pruning, stats pruning, checkpoint write/read) returns
+    exactly what the driver-side Python path returns, on a partitioned
+    table with a merge and both checkpoint flavors in its history."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "eqtab")
+    df = spark.range(300).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3 + 202401).alias("month"),
+        (F.col("id") * 2).alias("v"),
+    ).repartitionByRange(4, "k")
+    dl.write_delta_table(df, d, partition_by=["month"])
+    src = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.lit(202401).alias("month"),
+        F.lit(-1).alias("v"),
+    )
+    dl.write_delta_table(src, d, mode="append")
+
+    # active adds: DataFrame path == dict path
+    py_active, _, _ = dl._snapshot_state(d, None)
+    sp_active = {
+        r.path: r.asDict(recursive=True)
+        for r in dl._active_adds_df(spark, d).collect()
+    }
+    assert sorted(sp_active) == sorted(py_active)
+    for p, a in py_active.items():
+        assert sp_active[p]["size"] == a["size"]
+        assert sp_active[p]["partitionValues"] == a["partitionValues"]
+        assert sp_active[p]["stats"] == a["stats"]
+
+    # full read + partition/stats pruned reads: forced Spark path == python
+    for pf, sf in [
+        (None, None),
+        ({"month": 202401}, None),
+        ({"month": [202401, 202402]}, None),
+        (None, {"k": (100, 150)}),
+        ({"month": 202402}, {"k": (0, 50)}),
+    ]:
+        py = dl.read_delta_table(spark, d, partition_filter=pf, stats_filter=sf)
+        sp = dl.read_delta_table(
+            spark, d, partition_filter=pf, stats_filter=sf, spark_threshold=0
+        )
+        assert sorted(sp.inputFiles()) == sorted(py.inputFiles()), (pf, sf)
+        assert sp.count() == py.count()
+
+    # spark-written checkpoint is readable by BOTH paths and equals the
+    # pyarrow-written one's reconciled state
+    dl.checkpoint_delta(d, spark=spark, spark_threshold=0)
+    assert dl._checkpoint_versions(d) == [1]
+    cp_active, cp_meta = dl._read_checkpoint(d, 1)  # pyarrow reader
+    assert sorted(cp_active) == sorted(py_active)
+    assert json.loads(cp_meta["schemaString"]) == json.loads(
+        dl._snapshot_state(d, None)[1]["schemaString"]
+    )
+    dl.expire_delta_log(d)
+    # post-expiry: both read paths still agree, resolving via checkpoint
+    py = dl.read_delta_table(spark, d, partition_filter={"month": 202401})
+    sp = dl.read_delta_table(
+        spark, d, partition_filter={"month": 202401}, spark_threshold=0
+    )
+    assert sorted(sp.inputFiles()) == sorted(py.inputFiles())
+    # metaData via spark == via python
+    assert dl._meta_spark(spark, d, None)["schemaString"] == \
+        dl._snapshot_state(d, None)[1]["schemaString"]
+
+
+def _plant_wide_log(dl, spark, d, n_fake=100_000):
+    """A log with `n_fake` synthetic add actions (96 months, per-file k
+    stats) on top of a small REAL table — the metadata shape of a
+    100 TB fact at ~1 GB/file, planted in seconds."""
+    df = spark.range(8).select(
+        F.col("id").alias("k"), F.lit(190001).alias("month"),
+        F.col("id").alias("v"),
+    )
+    dl.write_delta_table(df, d, partition_by=["month"])
+    actions = []
+    for i in range(n_fake):
+        month = 202001 + (i % 96)
+        lo = (i % 1000) * 1000
+        actions.append(
+            {
+                "add": {
+                    "path": f"month={month}/part-fake{i:07d}.parquet",
+                    "partitionValues": {"month": str(month)},
+                    "size": 1 << 30,
+                    "modificationTime": 0,
+                    "dataChange": True,
+                    "stats": json.dumps(
+                        {
+                            "numRecords": 1000,
+                            "minValues": {"k": lo},
+                            "maxValues": {"k": lo + 999},
+                        }
+                    ),
+                }
+            }
+        )
+    dl._commit(d, 1, actions)
+    return n_fake
+
+
+def test_spark_metadata_holds_at_1e5_files(spark, tmp_path):
+    """VERDICT r7 item 1's done-bar: a planted 10^5-file log where the
+    Spark path reconstructs the snapshot, prunes by partition AND by
+    stats, and writes/reads a checkpoint — list-equal to the driver
+    path, with the estimate routing reads through Spark automatically."""
+    import time as _time
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "widetab")
+    n = _plant_wide_log(dl, spark, d, n_fake=100_000)
+
+    # the estimator sees ~10^5 actions without walking them (the
+    # measured routing crossover itself lives in _SPARK_META_THRESHOLD;
+    # this test FORCES the Spark path to prove it holds at this scale)
+    assert dl._estimated_active_files(d) > 100_000 // 2
+
+    t0 = _time.monotonic()
+    month_files = dl._pruned_files_spark(
+        spark, d, None, ["month"], {"month": 202007}, None
+    )
+    t_prune = _time.monotonic() - t0
+    want = [
+        f"month=202007/part-fake{i:07d}.parquet"
+        for i in range(n)
+        if 202001 + (i % 96) == 202007
+    ]
+    assert month_files == sorted(want)
+    # stats pruning composes: only files whose k-range intersects
+    both = dl._pruned_files_spark(
+        spark, d, None, ["month"], {"month": 202007}, {"k": (500_000, 500_999)}
+    )
+    assert both == [
+        p for p in month_files if "fake" in p
+        and (int(p.split("fake")[1][:7]) % 1000) == 500
+    ]
+    assert len(both) < len(month_files) / 100  # stats prune really bites
+
+    # spark checkpoint at 10^5 adds, then snapshot via the checkpoint
+    dl.checkpoint_delta(d, spark=spark, spark_threshold=0)
+    assert dl._checkpoint_versions(d) == [1]
+    with open(os.path.join(d, "_delta_log", "_last_checkpoint")) as fh:
+        assert json.load(fh)["size"] == n + 8 + 2
+    dl.expire_delta_log(d)
+    again = dl._pruned_files_spark(
+        spark, d, None, ["month"], {"month": 202007}, None
+    )
+    assert again == month_files
+    # sanity latency bound (loose: CI noise-proof, still catches a
+    # driver-side O(files) python walk creeping back in)
+    assert t_prune < 30.0
