@@ -78,6 +78,8 @@ _LOG_DIR = "_delta_log"
 _LAST_CHECKPOINT = "_last_checkpoint"
 #: coordinator "table" of a published set — its log holds setCommit actions
 _SET_DIR = "_set"
+#: per-commit change files (the protocol's Change Data Feed directory)
+_CDC_DIR = "_change_data"
 #: hive's directory-name encoding of a NULL partition value
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -1131,6 +1133,7 @@ def merge_upsert_deltalog(
     source: DataFrame,
     on: Sequence[str],
     delete_unmatched_source: bool = False,
+    write_change_data: bool = True,
     _pre_commit_hook=None,
     **merge_kwargs,
 ) -> int:
@@ -1142,7 +1145,13 @@ def merge_upsert_deltalog(
     — readers see the entire merge or none of it, and the pre-merge
     version stays time-travelable. Full-table grain; the month-scoped
     rewrite is :func:`merge_cow_deltalog`. Returns the committed
-    version."""
+    version.
+
+    ``write_change_data`` additionally ENCODES the commit's row-level
+    changes (keyed diff pre vs post, the post side read back from the
+    just-staged files — no plan recompute) as ``_change_data/`` parquet
+    referenced by ``cdc`` actions in the same commit, making
+    :func:`delta_table_changes` O(changes) for this version."""
     from etl_loading_scripts_spark.operators.mutations import merge_upsert
 
     # Pin ONE version listing up front and derive everything — the input
@@ -1168,11 +1177,38 @@ def merge_upsert_deltalog(
         {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
         for p in sorted(active)
     ]
-    actions.extend(_stage_data_files(merged, table, pcols))
+    adds = _stage_data_files(merged, table, pcols)
+    actions.extend(adds)
+    if write_change_data:
+        schema = StructType.fromJson(json.loads(meta["schemaString"]))
+        post = _read_add_files(spark, table, schema, pcols, adds)
+        actions.extend(
+            _stage_change_files(_keyed_diff(target, post, on), table, on)
+        )
     if _pre_commit_hook is not None:  # test seam: inject a racing writer
         _pre_commit_hook()
     _commit(table, version, actions)
     return version
+
+
+def _read_add_files(
+    spark: SparkSession,
+    table: str,
+    schema: StructType,
+    pcols: Sequence[str],
+    adds: Sequence[dict],
+) -> DataFrame:
+    """The relation of freshly staged add actions — read back from the
+    files themselves, so change-data encoding diffs against what was
+    WRITTEN, not a recomputation of the merge plan."""
+    if not adds:
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema)
+    if pcols:
+        reader = reader.option("basePath", table)
+    return reader.parquet(
+        *[os.path.join(table, a["add"]["path"]) for a in adds]
+    )
 
 
 def _occ_retry(fn, max_retries: int):
@@ -1219,6 +1255,7 @@ def merge_cow_deltalog(
     source: DataFrame,
     on: Sequence[str],
     datekey_col: str = "datekey",
+    write_change_data: bool = True,
     _pre_commit_hook=None,
     **merge_kwargs,
 ) -> dict:
@@ -1333,6 +1370,17 @@ def merge_cow_deltalog(
     ]
     adds = _stage_data_files(merged, table, [MONTH_COL])
     actions.extend(adds)
+    if write_change_data:
+        # change encoding at the MERGE GRAIN (month is part of the key):
+        # pre = the affected months' old files, post = the just-staged
+        # replacements — O(affected month), never O(table)
+        post = _read_add_files(spark, table, schema, [MONTH_COL], adds)
+        cdc_keys = [MONTH_COL, *on]
+        actions.extend(
+            _stage_change_files(
+                _keyed_diff(affected, post, cdc_keys), table, cdc_keys
+            )
+        )
     if _pre_commit_hook is not None:  # test seam: inject a racing writer
         _pre_commit_hook()
     _commit(table, pinned + 1, actions)
@@ -1464,36 +1512,13 @@ def read_published_set_deltalog(
     }
 
 
-def delta_table_changes(
-    spark: SparkSession,
-    table: str,
-    from_version: int,
-    to_version: int | None = None,
-    on: Sequence[str] | None = None,
-) -> DataFrame:
-    """Row-level CHANGES between two committed versions — CDC *from*
-    the warehouse (the consumer side of the reference's nightly sync:
-    downstream marts subscribe to what the load changed, instead of
-    re-diffing full extracts). Computed as a SNAPSHOT DIFF keyed on
-    ``on`` (default: every column — then updates surface as
-    delete+insert pairs, exactly a keyless diff's semantics):
-
-    - ``_change_type`` ∈ insert / update_postimage / delete,
-      keyed-diff rows carrying the post-image (inserts/updates) or the
-      pre-image (deletes).
-
-    Honest contract: this reads BOTH snapshots and diffs them — one
-    shuffle on the key, O(|old| + |new|), correct at any grain. The
-    real protocol's Change Data Feed writes per-commit change files to
-    make this O(changes); that is an ENCODER-side optimization of the
-    same result, and this module's commits don't carry row tracking —
-    the named seam if per-commit cost ever binds."""
-    if to_version is None:
-        to_version = _all_versions(table)[-1]
-    old = read_delta_table(spark, table, version=from_version)
-    new = read_delta_table(spark, table, version=to_version)
-    if on is None:
-        on = list(new.columns)
+def _keyed_diff(old: DataFrame, new: DataFrame, on: Sequence[str]) -> DataFrame:
+    """Keyed diff of two relations: ``_change_type`` ∈ insert /
+    update_postimage / delete, rows carrying the post-image (inserts,
+    updates) or the pre-image (deletes). One shuffle on the key,
+    O(|old| + |new|). The shared diff kernel of :func:`delta_table_
+    changes` (reader-side fallback) and the merge paths' commit-time
+    change-file ENCODING."""
     on = list(on)
     value_cols = [c for c in new.columns if c not in on]
     inserts = new.join(old.select(on), on, "left_anti").select(
@@ -1516,6 +1541,132 @@ def delta_table_changes(
         )
         out = out.unionByName(changed)
     return out
+
+
+def _stage_change_files(
+    changes: DataFrame, table: str, keys: Sequence[str]
+) -> list[dict]:
+    """Write a commit's change rows as parquet under ``_change_data/``
+    and return their ``cdc`` actions (protocol Change Data Feed shape;
+    ``keys`` records the diff grain so a reader only serves a request
+    that asks for the same grain). A commit with ZERO changes still
+    gets one (empty) change file: its cdc action is what tells a
+    reader 'this commit is CDC-complete', distinguishing no-changes
+    from not-encoded."""
+    staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
+    changes.write.mode("overwrite").parquet(staging)
+    cdc_dir = os.path.join(table, _CDC_DIR)
+    os.makedirs(cdc_dir, exist_ok=True)
+    actions = []
+    for f in sorted(os.listdir(staging)):
+        if not f.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, f)
+        import pyarrow.parquet as pq
+
+        if pq.ParquetFile(src).metadata.num_rows == 0 and actions:
+            continue  # keep at most one empty shard as the marker
+        name = f"cdc-{uuid.uuid4().hex}.parquet"
+        rel = os.path.join(_CDC_DIR, name)
+        size = os.path.getsize(src)
+        os.rename(src, os.path.join(table, rel))
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": size,
+                    "dataChange": False,
+                    "keys": list(keys),
+                }
+            }
+        )
+    shutil.rmtree(staging, ignore_errors=True)
+    if not actions:  # empty frame wrote no parquet: plant the marker
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        name = f"cdc-{uuid.uuid4().hex}.parquet"
+        rel = os.path.join(_CDC_DIR, name)
+        schema = pa.schema([("_change_type", pa.string())])
+        pq.write_table(schema.empty_table(), os.path.join(table, rel))
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(os.path.join(table, rel)),
+                    "dataChange": False,
+                    "keys": list(keys),
+                }
+            }
+        )
+    return actions
+
+
+def _commit_cdc_actions(table: str, version: int) -> list[dict]:
+    """The ``cdc`` actions of one committed version (empty when the
+    commit exists but wrote no change files — i.e. was not
+    CDC-encoded). Line-prefiltered so a huge overwrite commit is not
+    fully JSON-parsed just to learn it has no CDC."""
+    p = os.path.join(_log_path(table), f"{version:020d}.json")
+    if not os.path.exists(p):
+        return []
+    out = []
+    with open(p) as fh:
+        for line in fh:
+            if '"cdc"' not in line:
+                continue
+            a = json.loads(line)
+            if "cdc" in a:
+                out.append(a)
+    return out
+
+
+def delta_table_changes(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    to_version: int | None = None,
+    on: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level CHANGES between two committed versions — CDC *from*
+    the warehouse (the consumer side of the reference's nightly sync:
+    downstream marts subscribe to what the load changed, instead of
+    re-diffing full extracts):
+
+    - ``_change_type`` ∈ insert / update_postimage / delete,
+      keyed-diff rows carrying the post-image (inserts/updates) or the
+      pre-image (deletes); key = ``on`` (default: every column — then
+      updates surface as delete+insert pairs, a keyless diff).
+
+    **O(changes) fast path** (round 8): the merge paths ENCODE each
+    commit's changes as parquet under ``_change_data/`` referenced by
+    ``cdc`` actions — when the requested range is a single commit
+    whose cdc actions exist and record the SAME key grain as ``on``,
+    the read is just those change files: no table scan at all, the
+    real protocol's Change Data Feed shape. Incremental consumers
+    walking version-by-version always hit it.
+
+    Fallback (multi-commit ranges, non-encoded commits, different key
+    grain, expired commit JSONs): SNAPSHOT DIFF — reads both versions
+    and diffs on the key, O(|old| + |new|), correct at any grain."""
+    if to_version is None:
+        to_version = _all_versions(table)[-1]
+    if on is not None and to_version == from_version + 1:
+        cdcs = _commit_cdc_actions(table, to_version)
+        if cdcs and all(c["cdc"].get("keys") == list(on) for c in cdcs):
+            meta = _snapshot_state(table, to_version)[1]
+            base = StructType.fromJson(json.loads(meta["schemaString"]))
+            schema = StructType()
+            schema = schema.add("_change_type", "string")
+            for f in base.fields:
+                schema = schema.add(f)
+            paths = [os.path.join(table, c["cdc"]["path"]) for c in cdcs]
+            return spark.read.schema(schema).parquet(*paths)
+    old = read_delta_table(spark, table, version=from_version)
+    new = read_delta_table(spark, table, version=to_version)
+    return _keyed_diff(old, new, on if on is not None else list(new.columns))
 
 
 def _make_delta_stream_source():
@@ -1633,6 +1784,13 @@ def vacuum_delta(
     for v in keep:
         files, _ = _snapshot_files(table, v)
         needed.update(files)
+    # change files stay referenced while their commit JSON is live (CDC
+    # readers resolve through the commit's cdc actions); once
+    # expire_delta_log retires the JSON they become ordinary
+    # unreferenced parquet and age out through the same retention gate
+    for v in _versions(table):
+        for a in _commit_cdc_actions(table, v):
+            needed.add(a["cdc"]["path"])
     removed = []
     now = time.time()
     for root, dirs, files in os.walk(table, topdown=True):
@@ -1927,3 +2085,93 @@ def delta_cow_checkpoint_timetravel(spark: SparkSession, sf_dir: str):
             ).select("version", "scope", "n_rows", "amount_sum")
             out = agg if out is None else out.unionByName(agg)
     return out
+
+
+def plant_delta_cdc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Month-partitioned Delta fact + ONE month-grain COW merge that
+    ENCODES its changes at commit time (``_change_data/`` + cdc
+    actions): source scoped to the MIN month carries updates (k%4==0 →
+    amount+2000) and inserts (k%9==0 → key k+2·10⁹ at amount+7000).
+    JSON log kept (CDC resolution needs the commit's cdc actions)."""
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.functions import tsql
+
+    d = _fixture_dir(sf_dir, tag="deltacdc_fix")
+    if len(_versions(d)) >= 2 and _commit_cdc_actions(d, 1):
+        return d
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        tsql.datekey(F.to_date("o_orderdate")).alias("datekey"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("amount"),
+    )
+    base = orders.withColumn("month", (F.col("datekey") / 100).cast("int"))
+    write_delta_table(base, d, partition_by=["month"])
+    m0 = base.agg(F.min("month")).first()[0]
+    in_m0 = orders.filter((F.col("datekey") / 100).cast("int") == m0)
+    updates = in_m0.filter(F.col("k") % 4 == 0).select(
+        "k",
+        "datekey",
+        (F.col("amount") + 2000).cast("decimal(18,4)").alias("amount"),
+    )
+    inserts = in_m0.filter(F.col("k") % 9 == 0).select(
+        (F.col("k") + 2 * 10**9).alias("k"),
+        "datekey",
+        (F.col("amount") + 7000).cast("decimal(18,4)").alias("amount"),
+    )
+    merge_cow_deltalog(
+        spark, d, updates.unionByName(inserts), on=["k"], datekey_col="datekey"
+    )
+    return d
+
+
+@register(
+    "delta_cdc_changefiles",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS amount
+        FROM orders
+    ),
+    m0 AS (SELECT MIN(month) AS m FROM base),
+    legs AS (
+        SELECT 'insert' AS change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(amount + 7000) AS DOUBLE) AS amount_sum
+        FROM base b CROSS JOIN m0 WHERE b.month = m0.m AND b.k % 9 = 0
+        UNION ALL
+        SELECT 'update_postimage' AS change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(amount + 2000) AS DOUBLE) AS amount_sum
+        FROM base b CROSS JOIN m0 WHERE b.month = m0.m AND b.k % 4 = 0
+    )
+    SELECT change_type, n_rows, amount_sum, TRUE AS files_ok FROM legs
+    """,
+    doc="O(changes) Change Data Feed: the month-grain COW merge encodes "
+    "its row-level changes as _change_data/ parquet referenced by cdc "
+    "actions IN the commit; delta_table_changes at the encoded key "
+    "grain serves the single-commit range purely from those change "
+    "files — files_ok asserts (inputFiles) that NO table data file is "
+    "read, and the per-change-type counts and exact cent sums must "
+    "match the arithmetic oracle. A wrong diff grain, a missed "
+    "post-image, or a fallback to the snapshot diff mismatches.",
+)
+def delta_cdc_changefiles(spark: SparkSession, sf_dir: str):
+    """Scale: the CDC read is O(changes) — exactly the change files the
+    commit staged (here: one month's diff), never the two-snapshot
+    O(|old|+|new|) diff the fallback costs; encoding rode along on the
+    merge's already-materialized pre/post slices."""
+    d = plant_delta_cdc_fixture(spark, sf_dir)
+    ch = delta_table_changes(spark, d, 0, 1, on=["month", "k"])
+    files = ch.inputFiles()
+    files_ok = bool(files) and all(_CDC_DIR in f for f in files)
+    return (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount").cast("double").alias("amount_sum"),
+        )
+        .withColumn("files_ok", F.lit(files_ok))
+    )

@@ -1052,3 +1052,114 @@ def test_spark_metadata_holds_at_1e5_files(spark, tmp_path):
     # sanity latency bound (loose: CI noise-proof, still catches a
     # driver-side O(files) python walk creeping back in)
     assert t_prune < 30.0
+
+
+# --------------------------------------------------------------------------
+# Round-8 O(changes) CDC: commit-time change files, fast-path reads,
+# fallback correctness, vacuum lifecycle
+# --------------------------------------------------------------------------
+
+
+def test_merge_encodes_change_files_and_cdc_serves_them(spark, table):
+    """A merge commit stages _change_data/ parquet + cdc actions; the
+    single-commit CDC read at the encoded grain touches ONLY change
+    files and equals the snapshot-diff fallback row-for-row."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    src = spark.createDataFrame(
+        [(0, 999), (3, 999), (100, 999)], "k long, v long"
+    )
+    dl.merge_upsert_deltalog(spark, table, src, on=["k"])
+    cdcs = dl._commit_cdc_actions(table, 1)
+    assert cdcs and all(c["cdc"]["keys"] == ["k"] for c in cdcs)
+    assert all(c["cdc"]["path"].startswith("_change_data/") for c in cdcs)
+
+    fast = dl.delta_table_changes(spark, table, 0, 1, on=["k"])
+    assert fast.inputFiles() and all(
+        "_change_data" in f for f in fast.inputFiles()
+    )
+    # fallback (different key grain request falls back to snapshot diff)
+    slow = dl.delta_table_changes(spark, table, 0, 1, on=["k", "v"])
+    fast_rows = sorted(
+        (r._change_type, r.k, r.v) for r in fast.collect()
+    )
+    assert fast_rows == [
+        ("insert", 100, 999),
+        ("update_postimage", 0, 999),
+        ("update_postimage", 3, 999),
+    ]
+    # keyed-on-(k,v) diff shows updates as delete+insert pairs — same
+    # net rows, different change algebra; both must be internally right
+    assert sorted(r.k for r in slow.filter("_change_type='insert'").collect()) == [0, 3, 100]
+
+
+def test_zero_change_merge_writes_marker_and_reads_empty(spark, table):
+    """A merge that changes NOTHING still commits a cdc marker, so a
+    CDC reader can distinguish 'no changes' from 'not encoded' — and
+    the fast-path read returns zero rows, not a fallback scan."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    same = read_delta_table(spark, table)  # merge the table into itself
+    dl.merge_upsert_deltalog(spark, table, same, on=["k"])
+    cdcs = dl._commit_cdc_actions(table, 1)
+    assert cdcs  # marker present
+    fast = dl.delta_table_changes(spark, table, 0, 1, on=["k"])
+    assert fast.count() == 0
+    assert all("_change_data" in f for f in fast.inputFiles())
+
+
+def test_cdc_files_vacuum_lifecycle(spark, table):
+    """Change files survive vacuum while their commit JSON is live,
+    and age out once expire_delta_log retires the commit."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    src = spark.createDataFrame([(0, 5)], "k long, v long")
+    dl.merge_upsert_deltalog(spark, table, src, on=["k"])
+    cdc_rel = dl._commit_cdc_actions(table, 1)[0]["cdc"]["path"]
+    full = os.path.join(table, cdc_rel)
+    assert os.path.exists(full)
+    vacuum_delta(table, keep_versions=2, staging_retention_sec=0.0)
+    assert os.path.exists(full)  # commit JSON live -> cdc file kept
+    dl.checkpoint_delta(table, version=0)  # keep v0 time-travelable
+    dl.checkpoint_delta(table)
+    dl.expire_delta_log(table)
+    vacuum_delta(table, keep_versions=2, staging_retention_sec=0.0)
+    assert not os.path.exists(full)  # retired commit -> collected
+    # post-expiry CDC read falls back to snapshot diff and still works
+    got = dl.delta_table_changes(spark, table, 0, 1, on=["k"])
+    assert sorted((r._change_type, r.k) for r in got.collect()) == [
+        ("update_postimage", 0)
+    ]
+
+
+def test_cow_merge_change_files_at_month_grain(spark, tmp_path):
+    """merge_cow_deltalog encodes changes at its (month, key) grain:
+    the CDC fast path serves them, and rows equal the snapshot diff."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "cowcdc")
+    base = spark.createDataFrame(
+        [
+            (1, 20240105, 10.0),
+            (2, 20240210, 20.0),
+            (3, 20240220, 30.0),
+        ],
+        "k long, datekey int, amount double",
+    ).withColumn("month", (F.col("datekey") / 100).cast("int"))
+    dl.write_delta_table(base, d, partition_by=["month"])
+    src = spark.createDataFrame(
+        [(2, 20240211, 99.0), (9, 20240215, 7.0)],
+        "k long, datekey int, amount double",
+    )
+    dl.merge_cow_deltalog(spark, d, src, on=["k"])
+    fast = dl.delta_table_changes(spark, d, 0, 1, on=["month", "k"])
+    assert all("_change_data" in f for f in fast.inputFiles())
+    got = sorted(
+        (r._change_type, r.k, r.amount) for r in fast.collect()
+    )
+    assert got == [
+        ("insert", 9, 7.0),
+        ("update_postimage", 2, 99.0),
+    ]
+    slow = dl.delta_table_changes(spark, d, 0, 1, on=["month", "k", "datekey", "amount"])
+    assert slow.count() == 3  # update as delete+insert under full key
