@@ -1383,17 +1383,103 @@ def merge_cow_deltalog(
         )
     if _pre_commit_hook is not None:  # test seam: inject a racing writer
         _pre_commit_hook()
-    _commit(table, pinned + 1, actions)
     rewritten = sorted(
         {int(a["add"]["partitionValues"][MONTH_COL]) for a in adds}
     )
-    return {
+    result = {
         "version": pinned + 1,
         "months_rewritten": rewritten,
         "months_emptied": [m for m in src_months if m not in rewritten],
         "files_removed": len(affected_files),
         "files_kept": n_active - len(affected_files),
     }
+    try:
+        _commit(table, pinned + 1, actions)
+    except RuntimeError as exc:
+        if "conflict" not in str(exc):
+            raise
+        # a racing writer took the version: surface everything the
+        # retry layer needs to RECONCILE instead of recompute — the
+        # loser's read set (its months) and its already-staged actions
+        raise DeltaCommitConflict(
+            table=table,
+            attempted_version=pinned + 1,
+            actions=actions,
+            read_months=month_strs,
+            result=result,
+        ) from exc
+    return result
+
+
+class DeltaCommitConflict(RuntimeError):
+    """A lost version race, carrying the loser's staged actions and
+    read set (the months it merged) so the retry layer can check the
+    winner's commit for DISJOINTNESS and re-commit without recomputing
+    the merge. str() contains 'conflict' so generic _occ_retry loops
+    still classify it correctly."""
+
+    def __init__(self, table, attempted_version, actions, read_months, result):
+        super().__init__(
+            f"delta commit conflict: version {attempted_version} already "
+            f"committed (months {sorted(read_months)})"
+        )
+        self.table = table
+        self.attempted_version = attempted_version
+        self.actions = actions
+        self.read_months = set(read_months)
+        self.result = result
+
+
+def _path_month(path: str) -> str | None:
+    """month partition value from a hive-layout file path, or None."""
+    from etl_loading_scripts_spark.operators.cow import MONTH_COL
+
+    for seg in path.split("/")[:-1]:
+        k, _, v = seg.partition("=")
+        if k == MONTH_COL:
+            return v
+    return None
+
+
+def _try_recommit_disjoint(conflict: DeltaCommitConflict, max_attempts: int = 5):
+    """The real protocol's conflict checker, month-grain: if EVERY
+    winning commit since the loser's snapshot touched only months
+    DISJOINT from the loser's read set (and changed no metadata), the
+    loser's staged remove+add+cdc actions are still valid verbatim —
+    re-commit them at the next version WITHOUT recomputing the merge.
+    Returns the updated result dict, or None when the commits overlap
+    (or can't be verified: expired JSON, metadata change, un-parseable
+    path) — the caller then falls back to full recompute."""
+    from etl_loading_scripts_spark.operators.cow import MONTH_COL
+
+    table = conflict.table
+    for _ in range(max_attempts):
+        latest = _all_versions(table)[-1]
+        for v in range(conflict.attempted_version, latest + 1):
+            p = os.path.join(_log_path(table), f"{v:020d}.json")
+            if not os.path.exists(p):
+                return None  # can't inspect the winner: recompute
+            for a in _read_actions(table, v):
+                if "metaData" in a or "protocol" in a:
+                    return None  # schema/protocol changed under us
+                if "add" in a:
+                    m = (a["add"].get("partitionValues") or {}).get(MONTH_COL)
+                elif "remove" in a:
+                    m = _path_month(a["remove"]["path"])
+                else:
+                    continue  # cdc/commitInfo: no read-set footprint
+                if m is None or m in conflict.read_months:
+                    return None  # overlapping (or unknowable) months
+        try:
+            _commit(table, latest + 1, conflict.actions)
+        except RuntimeError as exc:
+            if "conflict" not in str(exc):
+                raise
+            continue  # yet another winner: re-validate the new commits
+        out = dict(conflict.result)
+        out["version"] = latest + 1
+        return out
+    return None
 
 
 def merge_cow_deltalog_with_retry(
@@ -1404,10 +1490,35 @@ def merge_cow_deltalog_with_retry(
     max_retries: int = 3,
     **merge_kwargs,
 ) -> dict:
-    return _occ_retry(
-        lambda: merge_cow_deltalog(spark, table, source, on, **merge_kwargs),
-        max_retries,
-    )
+    """OCC retry with DISJOINT-COMMIT RECONCILIATION: a version-race
+    loser whose months don't overlap the winner's commit re-stages its
+    already-computed actions at the next version (no merge recompute —
+    concurrent backfill + load on different months no longer serialize
+    the expensive part); overlapping or unverifiable winners trigger
+    the full recompute exactly as before. The returned dict's
+    ``merge_computations`` counts how many times the merge itself ran
+    (1 = the reconciliation worked or nobody raced)."""
+    computations = 0
+    last: RuntimeError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            computations += 1
+            out = merge_cow_deltalog(spark, table, source, on, **merge_kwargs)
+            out["merge_computations"] = computations
+            return out
+        except DeltaCommitConflict as conflict:
+            out = _try_recommit_disjoint(conflict)
+            if out is not None:
+                out["merge_computations"] = computations
+                return out
+            last = conflict  # overlapping: recompute on the new snapshot
+        except RuntimeError as exc:
+            if "conflict" not in str(exc):
+                raise
+            last = exc
+    raise RuntimeError(
+        f"delta commit lost {max_retries + 1} optimistic-concurrency races"
+    ) from last
 
 
 # --------------------------------------------------------------------------

@@ -86,6 +86,42 @@ def publish_set_race(base: str, writer: int) -> None:
         )
 
 
+def cow_disjoint_race(table: str, writer: int) -> None:
+    """Two writers merge DISJOINT months of one partitioned table,
+    sync-started so their commits race: the disjoint-commit OCC
+    reconciliation must let the version-race loser re-commit its staged
+    actions WITHOUT recomputing the merge (merge_computations stays 1
+    either way). Each worker drops its result dict for the parent."""
+    import json
+    import os
+    import time
+
+    from etl_loading_scripts_spark.operators.deltalog import (
+        merge_cow_deltalog_with_retry,
+    )
+
+    spark = _spark(writer)
+    month = 202401 + writer
+    dk = month * 100 + 15
+    src = spark.createDataFrame(
+        [(5000 + writer, dk, 500.0 + writer)],
+        "k long, datekey int, amount double",
+    )
+    # sync start: wait for the other worker's ready flag so the two
+    # merges overlap in time (maximizing the commit race window)
+    open(os.path.join(table, f".ready-{writer}"), "w").close()
+    other = os.path.join(table, f".ready-{1 - writer}")
+    for _ in range(1200):
+        if os.path.exists(other):
+            break
+        time.sleep(0.05)
+    res = merge_cow_deltalog_with_retry(
+        spark, table, src, on=["k"], max_retries=20
+    )
+    with open(os.path.join(table, f".result-{writer}.json"), "w") as fh:
+        json.dump(res, fh)
+
+
 if __name__ == "__main__":
     mode, path, writer = sys.argv[1], sys.argv[2], int(sys.argv[3])
     globals()[mode](path, writer)

@@ -1163,3 +1163,114 @@ def test_cow_merge_change_files_at_month_grain(spark, tmp_path):
     ]
     slow = dl.delta_table_changes(spark, d, 0, 1, on=["month", "k", "datekey", "amount"])
     assert slow.count() == 3  # update as delete+insert under full key
+
+
+# --------------------------------------------------------------------------
+# Round-8 disjoint-commit OCC reconciliation
+# --------------------------------------------------------------------------
+
+
+def test_disjoint_month_conflict_recommits_without_recompute(spark, tmp_path):
+    """DETERMINISTIC conflict (hook-injected racer on a DIFFERENT
+    month): the loser's staged actions re-commit verbatim at the next
+    version — merge_computations stays 1 — and both merges land."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "octab")
+    base = spark.createDataFrame(
+        [(1, 20240105, 10.0), (2, 20240210, 20.0), (3, 20240320, 30.0)],
+        "k long, datekey int, amount double",
+    ).withColumn("month", (F.col("datekey") / 100).cast("int"))
+    dl.write_delta_table(base, d, partition_by=["month"])
+
+    raced = {"done": False}
+
+    def race_once():
+        if not raced["done"]:
+            raced["done"] = True
+            racer_src = spark.createDataFrame(
+                [(2, 20240212, 99.0)], "k long, datekey int, amount double"
+            )
+            dl.merge_cow_deltalog(spark, d, racer_src, on=["k"])  # wins v1
+
+    src = spark.createDataFrame(
+        [(1, 20240106, 77.0)], "k long, datekey int, amount double"
+    )
+    res = dl.merge_cow_deltalog_with_retry(
+        spark, d, src, on=["k"], _pre_commit_hook=race_once
+    )
+    assert res["merge_computations"] == 1  # NO recompute
+    assert res["version"] == 2  # re-committed after the winner
+    got = {r.k: r.amount for r in dl.read_delta_table(spark, d).collect()}
+    assert got == {1: 77.0, 2: 99.0, 3: 30.0}  # both merges applied
+    # intermediate version holds the winner only
+    mid = {r.k: r.amount for r in dl.read_delta_table(spark, d, version=1).collect()}
+    assert mid == {1: 10.0, 2: 99.0, 3: 30.0}
+
+
+def test_overlapping_month_conflict_recomputes(spark, tmp_path):
+    """The SAME month raced: reconciliation must refuse (the loser's
+    read set is stale) and the full recompute runs — the final state
+    reflects both merges applied in sequence."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "ovtab")
+    base = spark.createDataFrame(
+        [(1, 20240105, 10.0), (2, 20240110, 20.0)],
+        "k long, datekey int, amount double",
+    ).withColumn("month", (F.col("datekey") / 100).cast("int"))
+    dl.write_delta_table(base, d, partition_by=["month"])
+
+    raced = {"done": False}
+
+    def race_once():
+        if not raced["done"]:
+            raced["done"] = True
+            racer_src = spark.createDataFrame(
+                [(2, 20240111, 99.0)], "k long, datekey int, amount double"
+            )
+            dl.merge_cow_deltalog(spark, d, racer_src, on=["k"])
+
+    src = spark.createDataFrame(
+        [(1, 20240106, 77.0)], "k long, datekey int, amount double"
+    )
+    res = dl.merge_cow_deltalog_with_retry(
+        spark, d, src, on=["k"], _pre_commit_hook=race_once
+    )
+    assert res["merge_computations"] == 2  # recomputed on the new snapshot
+    got = {r.k: r.amount for r in dl.read_delta_table(spark, d).collect()}
+    assert got == {1: 77.0, 2: 99.0}  # neither merge lost
+
+
+def test_multiprocess_disjoint_cow_writers(spark, tmp_path):
+    """TWO OS PROCESSES merge DISJOINT months concurrently
+    (sync-started): both commit, versions contiguous, each computed its
+    merge EXACTLY ONCE (reconciliation, not recompute, on any
+    collision), and the final table carries both writers' rows with
+    every untouched month byte-identical."""
+    from etl_loading_scripts_spark.operators.deltalog import _versions
+
+    table = str(tmp_path / "mp_cow")
+    base = spark.createDataFrame(
+        [
+            (1, 20240105, 10.0),
+            (2, 20240210, 20.0),
+            (3, 20240320, 30.0),
+        ],
+        "k long, datekey int, amount double",
+    ).withColumn("month", (F.col("datekey") / 100).cast("int"))
+    write_delta_table(base, table, partition_by=["month"])
+    _run_workers("cow_disjoint_race", table)
+    results = []
+    for w in (0, 1):
+        with open(os.path.join(table, f".result-{w}.json")) as fh:
+            results.append(json.load(fh))
+    assert _versions(table) == [0, 1, 2]
+    assert sorted(r["version"] for r in results) == [1, 2]
+    # the core claim: ONE merge computation each, even for the loser
+    assert [r["merge_computations"] for r in results] == [1, 1]
+    got = {r.k: r.amount for r in read_delta_table(spark, table).collect()}
+    assert got == {1: 10.0, 2: 20.0, 3: 30.0, 5000: 500.0, 5001: 501.0}
+    # every version replays (no torn commit from the race)
+    for v in (0, 1, 2):
+        assert read_delta_table(spark, table, version=v).count() >= 3
