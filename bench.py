@@ -109,30 +109,37 @@ def main() -> None:
     # round 5 NOOP IS THE HEADLINE metric ("value"/"queries"); count
     # totals stay recorded as "count_total"/"queries_count" so the
     # r1-r4 series remains interpretable.
+    # Round 8 (VERDICT r7 item 6): the per-query SPREAD is recorded in the
+    # JSON itself — "queries_spread" carries [min, median, max] of the
+    # three noop runs per query, so round-over-round noise adjudication
+    # (the "new min > old max over >=3 runs" watch rule) can be applied to
+    # BENCH_r{N}.json alone, without builder-side transcripts. "value"
+    # remains the sum of per-query minima (comparable with r5-r7).
     timings: dict[str, float] = {}
     timings_noop: dict[str, float] = {}
+    spread_noop: dict[str, list[float]] = {}
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is None:
             continue
-        best, n = None, 0
+        runs, n = [], 0
         for _ in range(3):
             t0 = time.time()
             df = q.spark(spark, SF_DIR)
             n = df.count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        best_noop = None
+            runs.append(time.time() - t0)
+        runs_noop = []
         for _ in range(3):
             t0 = time.time()
             q.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best_noop = dt if best_noop is None or dt < best_noop else best_noop
-        timings[name] = round(best, 3)
-        timings_noop[name] = round(best_noop, 3)
+            runs_noop.append(time.time() - t0)
+        runs_noop.sort()
+        timings[name] = round(min(runs), 3)
+        timings_noop[name] = round(runs_noop[0], 3)
+        spread_noop[name] = [round(t, 3) for t in runs_noop]  # min/med/max
         print(
             f"# {name}: {timings[name]}s count / {timings_noop[name]}s noop"
-            f" ({n} rows)",
+            f" (spread {spread_noop[name]}, {n} rows)",
             file=sys.stderr,
         )
     total = round(sum(timings.values()), 3)
@@ -144,6 +151,7 @@ def main() -> None:
                 "value": total_noop,
                 "unit": "sec",
                 "queries": timings_noop,
+                "queries_spread": spread_noop,
                 "count_total": total,
                 "queries_count": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
