@@ -220,15 +220,246 @@ def write_mp4_stub(
 
 
 # ---------------------------------------------------------------------------
+# Sample tables (round 8, VERDICT item 8): stts/stss/stsc/stsz/stco —
+# per-track sample counts, keyframe positions, and BYTE RANGES, still
+# without any codec: enough for corpus triage (duration, bitrate,
+# keyframe density) and for ranged-read point extraction of one sample.
+# ---------------------------------------------------------------------------
+
+
+def _stbl(
+    sample_sizes: list[int],
+    sample_delta: int,
+    samples_per_chunk: int,
+    keyframes: list[int],
+    chunk_offsets: list[int],
+) -> bytes:
+    """A real sample table (spec §8.5-8.7): stsd (one stub entry) +
+    stts (uniform delta run) + stss (sync samples) + stsc (chunk map,
+    run-length with the trailing partial chunk as its own run) + stsz
+    (variable sizes) + stco (32-bit chunk offsets)."""
+    n = len(sample_sizes)
+    vf = b"\x00\x00\x00\x00"  # version 0 + flags
+    stsd = _box(b"stsd", vf + struct.pack(">I", 1) + _box(b"mp4v", b"\x00" * 8))
+    stts = _box(b"stts", vf + struct.pack(">III", 1, n, sample_delta))
+    stss = _box(
+        b"stss",
+        vf + struct.pack(">I", len(keyframes))
+        + b"".join(struct.pack(">I", k) for k in keyframes),
+    )
+    n_chunks = (n + samples_per_chunk - 1) // samples_per_chunk
+    rem = n - (n_chunks - 1) * samples_per_chunk
+    entries = [(1, samples_per_chunk, 1)]
+    if n_chunks > 1 and rem != samples_per_chunk:
+        entries.append((n_chunks, rem, 1))
+    stsc = _box(
+        b"stsc",
+        vf + struct.pack(">I", len(entries))
+        + b"".join(struct.pack(">III", *e) for e in entries),
+    )
+    stsz = _box(
+        b"stsz",
+        vf + struct.pack(">II", 0, n)  # sample_size 0 = per-sample list
+        + b"".join(struct.pack(">I", s) for s in sample_sizes),
+    )
+    stco = _box(
+        b"stco",
+        vf + struct.pack(">I", len(chunk_offsets))
+        + b"".join(struct.pack(">I", o) for o in chunk_offsets),
+    )
+    return _box(b"stbl", stsd + stts + stss + stsc + stsz + stco)
+
+
+def write_mp4_indexed(
+    timescale: int,
+    duration: int,
+    track_handlers: list[bytes],
+    samples: list[bytes],
+    samples_per_chunk: int = 2,
+    keyframe_every: int = 3,
+    sample_delta: int = 100,
+    largesize_mdat: bool = False,
+) -> bytes:
+    """write_mp4_stub plus a REAL sample table on the FIRST track: the
+    mdat carries ``samples`` laid out per the stsc/stco chunk map, so
+    every recorded byte range is the true file position of that sample
+    (stco backpatched after the moov size is known — offsets are
+    absolute). Keyframes are 1-based sample numbers 1, 1+k, 1+2k, …"""
+    sizes = [len(s) for s in samples]
+    n = len(samples)
+    keyframes = list(range(1, n + 1, keyframe_every))
+    n_chunks = (n + samples_per_chunk - 1) // samples_per_chunk
+
+    def build(chunk_offsets: list[int]) -> bytes:
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+        traks = b""
+        for i, h in enumerate(track_handlers):
+            parts = _mdhd(timescale, duration) + _hdlr(h)
+            if i == 0:
+                parts += _box(
+                    b"minf",
+                    _stbl(
+                        sizes, sample_delta, samples_per_chunk,
+                        keyframes, chunk_offsets,
+                    ),
+                )
+            mdia = _box(b"mdia", parts)
+            traks += _box(b"trak", _tkhd(i + 1, duration) + mdia)
+        moov = _box(b"moov", _mvhd(timescale, duration) + traks)
+        mdat = _box(b"mdat", b"".join(samples), largesize=largesize_mdat)
+        return ftyp + moov + mdat
+
+    # two-pass: placeholder offsets fix the moov size, then backpatch
+    prefix = len(build([0] * n_chunks)) - (
+        len(b"".join(samples)) + (16 if largesize_mdat else 8)
+    )
+    data_start = prefix + (16 if largesize_mdat else 8)
+    offsets, pos = [], data_start
+    for c in range(n_chunks):
+        offsets.append(pos)
+        for s in sizes[c * samples_per_chunk : (c + 1) * samples_per_chunk]:
+            pos += s
+    return build(offsets)
+
+
+def _track_boxes(boxes: list[dict], trak: dict) -> list[dict]:
+    lo, hi = trak["offset"], trak["offset"] + trak["size"]
+    return [
+        b
+        for b in boxes
+        if lo < b["offset"] < hi and b["depth"] > trak["depth"]
+    ]
+
+
+def mp4_sample_tables(payload: bytes) -> list[dict]:
+    """Per-track sample-table triage from stts/stss/stsc/stsz/stco
+    (co64 for 64-bit offsets): one dict per track carrying ``handler``,
+    ``n_samples``, ``n_chunks``, ``duration_ticks`` (stts sum),
+    ``keyframes`` (1-based sample numbers; empty stss list = absent box
+    = every sample is a sync sample per spec), and ``samples`` — the
+    absolute (offset, size) byte range of EVERY sample, reconstructed
+    from the chunk map. Tracks without a sample table yield
+    ``n_samples=0``. Inconsistent tables (stsz count != stts count,
+    chunk map overflow) raise ValueError — quarantine, never a
+    half-right index."""
+    boxes = parse_mp4_boxes(payload)
+
+    def u32s(off: int, count: int, base: int) -> list[int]:
+        return list(struct.unpack_from(f">{count}I", payload, base))
+
+    out = []
+    for trak in (b for b in boxes if b["type"] == "trak"):
+        inner = _track_boxes(boxes, trak)
+        rec: dict = {
+            "handler": "",
+            "n_samples": 0,
+            "n_chunks": 0,
+            "duration_ticks": 0,
+            "keyframes": [],
+            "samples": [],
+        }
+        tabs: dict[str, dict] = {}
+        for b in inner:
+            if b["type"] == "hdlr":
+                _v, p = _fullbox(payload, b["offset"])
+                rec["handler"] = payload[p + 4 : p + 8].decode("latin-1")
+            elif b["type"] in ("stts", "stss", "stsc", "stsz", "stco", "co64"):
+                tabs[b["type"]] = b
+        if "stts" not in tabs:
+            out.append(rec)
+            continue
+        _v, p = _fullbox(payload, tabs["stts"]["offset"])
+        (n_ent,) = struct.unpack_from(">I", payload, p)
+        n_samples = dur = 0
+        for e in range(n_ent):
+            cnt, delta = struct.unpack_from(">II", payload, p + 4 + 8 * e)
+            n_samples += cnt
+            dur += cnt * delta
+        rec["n_samples"], rec["duration_ticks"] = n_samples, dur
+        if "stss" in tabs:
+            _v, p = _fullbox(payload, tabs["stss"]["offset"])
+            (k,) = struct.unpack_from(">I", payload, p)
+            rec["keyframes"] = u32s(0, k, p + 4)
+        if "stsz" in tabs:
+            _v, p = _fullbox(payload, tabs["stsz"]["offset"])
+            uniform, cnt = struct.unpack_from(">II", payload, p)
+            if cnt != n_samples:
+                raise ValueError(
+                    f"corrupt MP4: stsz count {cnt} != stts count {n_samples}"
+                )
+            sizes = (
+                [uniform] * cnt if uniform else u32s(0, cnt, p + 8)
+            )
+        else:
+            sizes = []
+        co_key = "co64" if "co64" in tabs else "stco"
+        if co_key in tabs and "stsc" in tabs and sizes:
+            _v, p = _fullbox(payload, tabs[co_key]["offset"])
+            (n_chunks,) = struct.unpack_from(">I", payload, p)
+            if co_key == "co64":
+                offs = list(struct.unpack_from(f">{n_chunks}Q", payload, p + 4))
+            else:
+                offs = u32s(0, n_chunks, p + 4)
+            rec["n_chunks"] = n_chunks
+            _v, p = _fullbox(payload, tabs["stsc"]["offset"])
+            (n_ent,) = struct.unpack_from(">I", payload, p)
+            runs = [
+                struct.unpack_from(">III", payload, p + 4 + 12 * e)
+                for e in range(n_ent)
+            ]
+            # expand run-length chunk map to per-chunk sample counts
+            per_chunk = []
+            for i, (first, spc, _desc) in enumerate(runs):
+                last = runs[i + 1][0] - 1 if i + 1 < len(runs) else n_chunks
+                per_chunk.extend([spc] * (last - first + 1))
+            if sum(per_chunk) != n_samples:
+                raise ValueError(
+                    "corrupt MP4: chunk map places "
+                    f"{sum(per_chunk)} samples, stts says {n_samples}"
+                )
+            samples, si = [], 0
+            for c, cnt in enumerate(per_chunk):
+                pos = offs[c]
+                for _ in range(cnt):
+                    samples.append((pos, sizes[si]))
+                    pos += sizes[si]
+                    si += 1
+            if samples and samples[-1][0] + samples[-1][1] > len(payload):
+                raise ValueError("corrupt MP4: sample range past EOF")
+            rec["samples"] = samples
+        out.append(rec)
+    return out
+
+
+def extract_sample(payload: bytes, track: dict, sample_number: int) -> bytes:
+    """POINT READ of one sample's bytes by its 1-based number, via the
+    byte range the sample table records — at scale this is a ranged GET
+    against the capture, never a full-file read (same recipe as the
+    TFRecord record-range index)."""
+    off, size = track["samples"][sample_number - 1]
+    return payload[off : off + size]
+
+
+# ---------------------------------------------------------------------------
 # Oracle-gated container index over planted captures
 # ---------------------------------------------------------------------------
 
 _SCHEMA = (
     "doc_id long, n_boxes int, n_tracks int, duration_ms bigint, "
-    "handlers string, mdat_bytes bigint"
+    "handlers string, mdat_bytes bigint, n_samples int, n_keyframes int, "
+    "keyframe_bytes bigint, kf_extract_ok boolean"
 )
 
 _HANDLER_CYCLE = (b"vide", b"soun", b"text")
+
+
+def _planted_samples(d: int) -> list[bytes]:
+    """Deterministic per-doc sample payloads: 5+d%6 samples of
+    10+d%9 bytes each (uniform size keeps the oracle arithmetic
+    closed-form; the byte pattern makes point-read extraction
+    checkable)."""
+    n, sz = 5 + d % 6, 10 + d % 9
+    return [bytes((d + i + j) % 251 for j in range(sz)) for i in range(n)]
 
 
 def _planted_mp4(d: int) -> bytes:
@@ -236,32 +467,54 @@ def _planted_mp4(d: int) -> bytes:
     duration = (d % 97 + 3) * timescale  # whole seconds: exact ms division
     n_tracks = 1 + d % 3
     handlers = [_HANDLER_CYCLE[(d + i) % 3] for i in range(n_tracks)]
-    mdat = bytes((d + i) % 251 for i in range(50 + d % 64))
-    return write_mp4_stub(
-        timescale, duration, handlers, mdat, largesize_mdat=(d % 4 == 0)
+    return write_mp4_indexed(
+        timescale,
+        duration,
+        handlers,
+        _planted_samples(d),
+        samples_per_chunk=2,
+        keyframe_every=3,
+        largesize_mdat=(d % 4 == 0),
     )
 
 
 def _mp4_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = (
+        "doc_id", "n_boxes", "n_tracks", "duration_ms", "handlers",
+        "mdat_bytes", "n_samples", "n_keyframes", "keyframe_bytes",
+        "kf_extract_ok",
+    )
     for pdf in batches:
-        out: dict[str, list] = {k: [] for k in (
-            "doc_id", "n_boxes", "n_tracks", "duration_ms", "handlers",
-            "mdat_bytes",
-        )}
+        out: dict[str, list] = {k: [] for k in cols}
         for doc_id in pdf["doc_id"]:
             d = int(doc_id)
-            s = mp4_summary(_planted_mp4(d))
+            payload = _planted_mp4(d)
+            s = mp4_summary(payload)
+            track = mp4_sample_tables(payload)[0]  # the indexed track
+            expected = _planted_samples(d)
+            kf_ok = bool(track["keyframes"]) and all(
+                extract_sample(payload, track, k) == expected[k - 1]
+                for k in track["keyframes"]
+            )
             out["doc_id"].append(d)
             out["n_boxes"].append(s["n_boxes"])
             out["n_tracks"].append(s["n_tracks"])
             out["duration_ms"].append(s["duration_ms"])
             out["handlers"].append(",".join(s["handlers"]))
             out["mdat_bytes"].append(s["mdat_bytes"])
+            out["n_samples"].append(track["n_samples"])
+            out["n_keyframes"].append(len(track["keyframes"]))
+            out["keyframe_bytes"].append(
+                sum(track["samples"][k - 1][1] for k in track["keyframes"])
+            )
+            out["kf_extract_ok"].append(kf_ok)
         yield pd.DataFrame(out).astype(
             {
                 "doc_id": "int64", "n_boxes": "int32", "n_tracks": "int32",
                 "duration_ms": "int64", "handlers": "object",
-                "mdat_bytes": "int64",
+                "mdat_bytes": "int64", "n_samples": "int32",
+                "n_keyframes": "int32", "keyframe_bytes": "int64",
+                "kf_extract_ok": "bool",
             }
         )
 
@@ -269,18 +522,23 @@ def _mp4_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "mm_mp4_container_index",
     # n_boxes: ftyp + moov + mvhd + per-track (trak+tkhd+mdia+mdhd+hdlr)
-    # + mdat = 4 + 5*n_tracks; mdat payload bytes are header-form
-    # independent (the parser subtracts 16 for the largesize escape)
+    # + mdat = 4 + 5*n_tracks, plus track 1's sample-table boxes
+    # (minf+stbl+stsd+stts+stss+stsc+stsz+stco = 8; the mp4v entry
+    # nested in stsd is not a walked box); mdat
+    # payload bytes are header-form independent (the parser subtracts
+    # 16 for the largesize escape). Samples: 5+d%6 of 10+d%9 bytes,
+    # keyframes every 3rd sample starting at 1.
     oracle="""
     WITH t AS (
         SELECT doc_id,
                1 + doc_id % 3 AS n_tracks,
                (doc_id % 97 + 3) * 1000 AS duration_ms,
-               50 + doc_id % 64 AS mdat_bytes
+               5 + doc_id % 6 AS n_samples,
+               10 + doc_id % 9 AS sample_sz
         FROM documents
     )
     SELECT doc_id,
-           CAST(4 + 5 * n_tracks AS INT) AS n_boxes,
+           CAST(4 + 5 * n_tracks + 8 AS INT) AS n_boxes,
            CAST(n_tracks AS INT) AS n_tracks,
            CAST(duration_ms AS BIGINT) AS duration_ms,
            CASE n_tracks
@@ -291,7 +549,12 @@ def _mp4_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                                             WHEN 1 THEN 'soun,text'
                                             ELSE 'text,vide' END
                 ELSE 'soun,text,vide' END AS handlers,
-           CAST(mdat_bytes AS BIGINT) AS mdat_bytes
+           CAST(n_samples * sample_sz AS BIGINT) AS mdat_bytes,
+           CAST(n_samples AS INT) AS n_samples,
+           CAST((n_samples + 2) // 3 AS INT) AS n_keyframes,
+           CAST(((n_samples + 2) // 3) * sample_sz AS BIGINT)
+               AS keyframe_bytes,
+           TRUE AS kf_extract_ok
     FROM t
     """,
     doc="MP4/ISO-BMFF CONTAINER INDEX — video-corpus triage without "
@@ -299,14 +562,20 @@ def _mp4_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     "(incl. the 64-bit largesize escape every 4th doc) yields box "
     "counts, track inventory, per-track handler fourccs (vide/soun/"
     "text from hdlr), movie duration in exact ms from mvhd timescale "
-    "arithmetic, and mdat payload bytes — all against the arithmetic "
-    "oracle. Frame decode stays honestly stubbed (no native codecs in "
-    "this container); the box layer is the real, spec-exact part a "
-    "triage pipeline runs at scale.",
+    "arithmetic, mdat payload bytes — and (round 8) the SAMPLE TABLE "
+    "triage from stts/stss/stsc/stsz/stco: per-track sample counts, "
+    "keyframe counts, keyframe byte totals, and kf_extract_ok "
+    "asserting every keyframe's bytes POINT-READ via its recorded "
+    "(offset, size) range equal the planted sample payload — ranged "
+    "access proven against real chunk-map arithmetic. Frame decode "
+    "stays honestly stubbed (no native codecs in this container); the "
+    "box+index layer is the real, spec-exact part a triage pipeline "
+    "runs at scale.",
 )
 def mm_mp4_container_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: header-only parsing (a few hundred bytes per multi-GB
-    capture with a ranged reader); Arrow-batched mapInPandas, partition-
+    capture with a ranged reader — keyframe extraction is a ranged GET
+    per the recorded byte range); Arrow-batched mapInPandas, partition-
     local, no shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     return docs.mapInPandas(_mp4_batches, schema=_SCHEMA)

@@ -73,3 +73,77 @@ def test_corrupt_captures_quarantine():
     bad = struct.pack(">I", 1) + b"mdat" + b"\x00" * 4
     with pytest.raises(ValueError, match="truncated largesize"):
         parse_mp4_boxes(bad)
+
+
+# --------------------------------------------------------------------------
+# Round-8 sample tables (stts/stss/stsc/stsz/stco)
+# --------------------------------------------------------------------------
+
+
+def test_sample_table_variable_sizes_and_partial_chunk():
+    """Variable-size samples across chunks with a partial trailing
+    chunk: every sample's recorded byte range point-reads its exact
+    payload, keyframes land on the right samples, and chunk math adds
+    up."""
+    from etl_loading_scripts_spark.llm import mp4
+
+    samples = [bytes([i]) * (5 + 3 * i) for i in range(7)]  # ragged
+    p = mp4.write_mp4_indexed(
+        1000, 7000, [b"vide", b"soun"], samples,
+        samples_per_chunk=3, keyframe_every=2,
+    )
+    tr = mp4.mp4_sample_tables(p)[0]
+    assert tr["handler"] == "vide"
+    assert tr["n_samples"] == 7
+    assert tr["n_chunks"] == 3  # 3+3+1: partial last chunk
+    assert tr["keyframes"] == [1, 3, 5, 7]
+    for i in range(7):
+        assert mp4.extract_sample(p, tr, i + 1) == samples[i]
+    # sizes recorded per sample (stsz uniform escape NOT used)
+    assert [s for _o, s in tr["samples"]] == [len(s) for s in samples]
+    # second track has no sample table
+    assert mp4.mp4_sample_tables(p)[1]["n_samples"] == 0
+
+
+def test_sample_table_largesize_mdat_offsets():
+    """With the 64-bit mdat size escape the chunk offsets shift by the
+    extra 8 header bytes — the backpatched stco must still point at the
+    true sample bytes."""
+    from etl_loading_scripts_spark.llm import mp4
+
+    samples = [b"AAAA", b"BBBBB", b"CC"]
+    p = mp4.write_mp4_indexed(
+        1000, 300, [b"vide"], samples, samples_per_chunk=2,
+        keyframe_every=3, largesize_mdat=True,
+    )
+    tr = mp4.mp4_sample_tables(p)[0]
+    for i, s in enumerate(samples):
+        assert mp4.extract_sample(p, tr, i + 1) == s
+
+
+def test_sample_table_inconsistencies_quarantine():
+    """stsz/stts count mismatch and chunk-map/sample-count mismatch
+    raise ValueError (quarantine), never a half-right index."""
+    import struct
+
+    import pytest
+
+    from etl_loading_scripts_spark.llm import mp4
+
+    samples = [b"xy" * 4] * 4
+    p = mp4.write_mp4_indexed(1000, 400, [b"vide"], samples)
+    boxes = mp4.parse_mp4_boxes(p)
+    stsz = next(b for b in boxes if b["type"] == "stsz")
+    bad = bytearray(p)
+    # corrupt the stsz sample_count field (offset: header 8 + verflags 4
+    # + uniform-size 4)
+    struct.pack_into(">I", bad, stsz["offset"] + 16, 99)
+    with pytest.raises(ValueError, match="stsz count"):
+        mp4.mp4_sample_tables(bytes(bad))
+    stsc = next(b for b in boxes if b["type"] == "stsc")
+    bad = bytearray(p)
+    # corrupt samples_per_chunk of the first stsc run (header 8 +
+    # verflags 4 + entry_count 4 + first_chunk 4)
+    struct.pack_into(">I", bad, stsc["offset"] + 20, 50)
+    with pytest.raises(ValueError, match="chunk map"):
+        mp4.mp4_sample_tables(bytes(bad))
