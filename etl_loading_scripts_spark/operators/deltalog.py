@@ -2286,3 +2286,303 @@ def delta_cdc_changefiles(spark: SparkSession, sf_dir: str):
         )
         .withColumn("files_ok", F.lit(files_ok))
     )
+
+
+# --------------------------------------------------------------------------
+# Table maintenance on the log (round 8): OPTIMIZE (small-file bin-packing)
+# and Z-ORDER clustering — the two jobs every real lakehouse schedules.
+# --------------------------------------------------------------------------
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table: str,
+    small_file_bytes: int = 32 << 20,
+    target_file_rows: int | None = None,
+    partition_filter: Mapping[str, object] | None = None,
+    zorder_by: Sequence[str] | None = None,
+) -> dict:
+    """OPTIMIZE: rewrite the snapshot's SMALL files (< ``small_file_
+    bytes``) bin-packed into few large ones, committed as one atomic
+    remove(smalls)+add(packed) version with ``dataChange: false`` (the
+    protocol's compaction marker: no row changed, so a CDC reader skips
+    the commit and the streaming source's ignoreChanges semantics
+    apply). Partition boundaries are respected — packing never mixes
+    partitions, so partitionValues stay exact. ``partition_filter``
+    scopes the pass (optimize last month only, the steady-state
+    cadence); ``zorder_by`` additionally Z-ORDERS the rewritten rows
+    (see :func:`_zorder_col`) so per-file min/max stats become tight on
+    EVERY named column and log-level stats skipping prunes
+    multi-dimensional range reads — measured in
+    ``tools/bench_zorder.py``.
+
+    Scale: reads only the small files (O(debris), not O(table)),
+    shuffles once (repartition or range-by-z), and commits O(touched)
+    metadata. A 100 TB table with per-month streaming appends runs this
+    per closed month; untouched months' files stay byte-identical.
+    Small tables skip out with files_removed == 0 when nothing
+    qualifies. Returns {version, files_removed, files_added, bytes_in,
+    partitions_touched}; version None when nothing to do."""
+    avail = _all_versions(table)
+    if not avail:
+        raise FileNotFoundError(f"not a delta table (no log): {table}")
+    pinned = avail[-1]
+    active, meta, _ = _snapshot_state(table, pinned)
+    pcols = list(meta.get("partitionColumns") or [])
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    want = None
+    if partition_filter:
+        unknown = [k for k in partition_filter if k not in pcols]
+        if unknown:
+            raise ValueError(f"not partition columns: {unknown} (have {pcols})")
+        want = {
+            k: {
+                _norm_part_value(x)
+                for x in (
+                    v if isinstance(v, (list, tuple, set, frozenset)) else [v]
+                )
+            }
+            for k, v in partition_filter.items()
+        }
+    # group qualifying small files by their partition tuple
+    groups: dict[tuple, list[str]] = {}
+    bytes_in = 0
+    for p, a in active.items():
+        pv = a.get("partitionValues") or {}
+        if want is not None and not all(
+            pv.get(k) in vs for k, vs in want.items()
+        ):
+            continue
+        if a.get("size", 0) >= small_file_bytes:
+            continue
+        key = tuple(pv.get(c) for c in pcols)
+        groups.setdefault(key, []).append(p)
+        bytes_in += a.get("size", 0)
+    # a partition with a single small file and nothing to merge into is
+    # already as packed as it can get
+    groups = {k: v for k, v in groups.items() if len(v) > 1}
+    if not groups:
+        return {
+            "version": None, "files_removed": 0, "files_added": 0,
+            "bytes_in": 0, "partitions_touched": 0,
+        }
+    touched = sorted(f for files in groups.values() for f in files)
+    reader = spark.read.schema(schema)
+    if pcols:
+        reader = reader.option("basePath", table)
+    df = reader.parquet(*[os.path.join(table, f) for f in touched])
+    if zorder_by:
+        df = _zorder_frame(df, zorder_by, pcols)
+    else:
+        # ~one output file per partition (plus spill-over by rows)
+        n_out = max(1, len(groups))
+        if target_file_rows:
+            n_rows = df.count()
+            n_out = max(n_out, (n_rows + target_file_rows - 1) // target_file_rows)
+        df = (
+            df.repartition(n_out, *[F.col(c) for c in pcols])
+            if pcols
+            else df.coalesce(n_out)
+        )
+    now = int(time.time() * 1000)
+    actions: list[dict] = [
+        {"remove": {"path": p, "deletionTimestamp": now, "dataChange": False}}
+        for p in touched
+    ]
+    adds = _stage_data_files(df, table, pcols)
+    for a in adds:
+        a["add"]["dataChange"] = False  # compaction: no row changed
+    actions.extend(adds)
+    _commit(table, pinned + 1, actions)
+    return {
+        "version": pinned + 1,
+        "files_removed": len(touched),
+        "files_added": len(adds),
+        "bytes_in": bytes_in,
+        "partitions_touched": len(groups),
+    }
+
+
+_Z_BITS = 16
+
+
+def _zorder_col(cols: Sequence[str], pcols: Sequence[str] = ()) -> "F.Column":
+    """The Z-VALUE (Morton code) of ``cols``: each column rank-mapped
+    to a 16-bit integer via a percent_rank window (rank, not raw value:
+    Z-ordering needs uniform bit utilization regardless of the value
+    distribution — raw skewed values waste high bits), then
+    bit-interleaved with pure column expressions (shiftleft/bitwise OR
+    unrolled per bit — stays inside whole-stage codegen, no UDF).
+
+    The rank window partitions by the TABLE's partition columns when
+    present: files never span partitions, so ranks only need to be
+    comparable within one — and the window then parallelizes per
+    partition instead of collapsing the scope to a single task (the
+    scale path for a month-partitioned fact). Unpartitioned scope =
+    one-task window over the optimize DEBRIS only (bounded by
+    small_file_bytes x file count, documented)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*[F.col(c) for c in pcols])
+        if pcols
+        else Window.partitionBy()
+    )
+    ranked = [
+        (
+            F.percent_rank().over(w.orderBy(F.col(c)))
+            * ((1 << _Z_BITS) - 1)
+        ).cast("long")
+        for c in cols
+    ]
+    z = F.lit(0).cast("long")
+    for bit in range(_Z_BITS - 1, -1, -1):
+        for r in ranked:
+            piece = F.shiftright(r, bit).bitwiseAND(F.lit(1))
+            z = F.shiftleft(z, 1).bitwiseOR(piece)
+    return z
+
+
+def _zorder_frame(
+    df: DataFrame, cols: Sequence[str], pcols: Sequence[str] = ()
+) -> DataFrame:
+    """Range-partition by (partition cols, z-value) then sort within
+    partitions: each output file covers a compact Z-curve segment of
+    one partition, so its min/max range on EVERY z-ordered column is
+    narrow — the layout that makes per-file stats skipping effective
+    in >1 dimension."""
+    z = _zorder_col(cols, pcols).alias("__z")
+    with_z = df.select("*", z)
+    n = max(2, with_z.rdd.getNumPartitions())
+    keys = [*[F.col(c) for c in pcols], F.col("__z")]
+    return (
+        with_z.repartitionByRange(n, *keys)
+        .sortWithinPartitions(*keys)
+        .drop("__z")
+    )
+
+
+def delta_history(table: str) -> list[dict]:
+    """The history API: one record per reconstructable version —
+    {version, timestamp, operation, n_adds, n_removes, n_cdc,
+    dataChange} — derived from the commit actions themselves (commits
+    below an expired floor report from the checkpoint as
+    'checkpoint'). Operation is inferred: CREATE (v0), OPTIMIZE (all
+    actions dataChange false), MERGE (removes+adds+cdc), APPEND (adds
+    only), OVERWRITE (removes+adds, no cdc)."""
+    out = []
+    jsons = set(_versions(table))
+    for v in _all_versions(table):
+        if v not in jsons:
+            out.append(
+                {
+                    "version": v, "timestamp": None,
+                    "operation": "checkpoint", "n_adds": None,
+                    "n_removes": None, "n_cdc": None, "dataChange": None,
+                }
+            )
+            continue
+        acts = _read_actions(table, v)
+        n_adds = sum(1 for a in acts if "add" in a)
+        n_removes = sum(1 for a in acts if "remove" in a)
+        n_cdc = sum(1 for a in acts if "cdc" in a)
+        data_change = any(
+            a.get("add", a.get("remove", {})).get("dataChange", False)
+            for a in acts
+            if "add" in a or "remove" in a
+        )
+        ts = max(
+            (
+                a["add"]["modificationTime"]
+                for a in acts
+                if "add" in a and a["add"].get("modificationTime")
+            ),
+            default=None,
+        )
+        if any("metaData" in a for a in acts) and v == 0:
+            op = "CREATE"
+        elif (n_adds or n_removes) and not data_change:
+            op = "OPTIMIZE"
+        elif n_cdc:
+            op = "MERGE"
+        elif n_removes == 0 and n_adds:
+            op = "APPEND"
+        elif n_removes and n_adds is not None:
+            op = "OVERWRITE"
+        else:
+            op = "UNKNOWN"
+        out.append(
+            {
+                "version": v, "timestamp": ts, "operation": op,
+                "n_adds": n_adds, "n_removes": n_removes, "n_cdc": n_cdc,
+                "dataChange": data_change,
+            }
+        )
+    return out
+
+
+def plant_delta_zorder_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Orders projected to a 2-D (x, y) clustering surface, written
+    hash-scattered (16 files, every file spanning ~the full x/y range),
+    then OPTIMIZE with zorder_by=["x","y"] — one dataChange=false
+    compaction version whose files each cover a compact Z-curve
+    segment."""
+    from etl_loading_scripts_spark.catalog import load_table
+
+    d = _fixture_dir(sf_dir, tag="deltazorder_fix")
+    if len(_all_versions(d)) >= 2:
+        return d
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_orderkey") % 141).alias("x"),
+        ((F.col("o_orderkey") * 7919) % 139).alias("y"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("amount"),
+    )
+    write_delta_table(orders.repartition(16), d)
+    optimize_delta(spark, d, zorder_by=["x", "y"])
+    return d
+
+
+@register(
+    "delta_optimize_zorder",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS amount_sum,
+           TRUE AS files_pruned_ok
+    FROM orders
+    WHERE o_orderkey % 141 BETWEEN 10 AND 20
+      AND (o_orderkey * 7919) % 139 BETWEEN 10 AND 20
+    """,
+    doc="OPTIMIZE + Z-ORDER on the Delta log: a hash-scattered 2-D "
+    "table is compacted in one dataChange=false version with rows laid "
+    "on the Z-curve (percent_rank bit-interleave, pure column "
+    "expressions); a 2-D box read through log-level stats skipping "
+    "must then PRUNE files (files_pruned_ok asserts inputFiles shrank "
+    "vs the snapshot total — before z-ordering the same box prunes "
+    "nothing) AND return exactly the oracle's rows and cent sums — a "
+    "lossy prune, a row lost in compaction, or a broken Z layout "
+    "mismatches.",
+)
+def delta_optimize_zorder(spark: SparkSession, sf_dir: str):
+    """Scale: optimize reads only the small-file debris (O(touched)),
+    z-ranks per table partition (windows parallelize per partition on
+    a partitioned fact), and commits O(touched) metadata; the payoff
+    is multi-dimensional file skipping from log stats alone."""
+    d = plant_delta_zorder_fixture(spark, sf_dir)
+    box = {"x": (10, 20), "y": (10, 20)}
+    pruned = read_delta_table(spark, d, stats_filter=box)
+    n_total = len(read_delta_table(spark, d).inputFiles())
+    files_ok = 0 < len(pruned.inputFiles()) < n_total
+    return (
+        pruned.filter(
+            F.col("x").between(10, 20) & F.col("y").between(10, 20)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount").cast("double").alias("amount_sum"),
+        )
+        .withColumn("files_pruned_ok", F.lit(files_ok))
+    )

@@ -1274,3 +1274,117 @@ def test_multiprocess_disjoint_cow_writers(spark, tmp_path):
     # every version replays (no torn commit from the race)
     for v in (0, 1, 2):
         assert read_delta_table(spark, table, version=v).count() >= 3
+
+
+# --------------------------------------------------------------------------
+# Round-8 table maintenance: OPTIMIZE, Z-ORDER, history
+# --------------------------------------------------------------------------
+
+
+def test_optimize_compacts_small_files_atomically(spark, tmp_path):
+    """Five appends fragment the table; OPTIMIZE rewrites the debris
+    into few files in ONE dataChange=false version: content identical,
+    pre-optimize version still time-travels, CDC sees zero changes,
+    and history labels the commit OPTIMIZE."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "opttab")
+    for i in range(5):
+        df = spark.range(i * 100, (i + 1) * 100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).coalesce(2)
+        dl.write_delta_table(df, d, mode="append" if i else "overwrite")
+    before = dl.read_delta_table(spark, d)
+    n_files_before = len(before.inputFiles())
+    sum_before = before.agg(F.sum("v")).first()[0]
+    res = dl.optimize_delta(spark, d)
+    assert res["version"] == 5
+    assert res["files_removed"] == n_files_before
+    assert res["files_added"] < n_files_before
+    after = dl.read_delta_table(spark, d)
+    assert len(after.inputFiles()) < n_files_before
+    assert after.count() == 500
+    assert after.agg(F.sum("v")).first()[0] == sum_before
+    # pre-optimize version intact; CDC across the optimize is EMPTY
+    assert dl.read_delta_table(spark, d, version=4).count() == 500
+    assert dl.delta_table_changes(spark, d, 4, 5, on=["k"]).count() == 0
+    hist = {h["version"]: h["operation"] for h in dl.delta_history(d)}
+    assert hist[0] == "CREATE" and hist[1] == "APPEND"
+    assert hist[5] == "OPTIMIZE"
+    # idempotent-ish: a second pass finds nothing (one big file left
+    # per no-partition group)
+    res2 = dl.optimize_delta(spark, d)
+    assert res2["version"] is None and res2["files_removed"] == 0
+
+
+def test_optimize_respects_partitions_and_filter(spark, tmp_path):
+    """Packing never mixes partitions, and partition_filter scopes the
+    pass: only the named month's files are touched, every other file
+    stays referenced byte-identically."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "optpart")
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(i * 10 + j, 202401 + j % 2, j) for j in range(10)],
+            "k long, month int, v int",
+        ).coalesce(2)
+        dl.write_delta_table(
+            df, d, mode="append" if i else "overwrite",
+            partition_by=["month"] if not i else None,
+        )
+    pre_active, _, _ = dl._snapshot_state(d, None)
+    other = {
+        p for p, a in pre_active.items()
+        if a["partitionValues"].get("month") == "202402"
+    }
+    res = dl.optimize_delta(spark, d, partition_filter={"month": 202401})
+    assert res["partitions_touched"] == 1
+    post_active, _, _ = dl._snapshot_state(d, None)
+    assert other <= set(post_active)  # untouched month: same files
+    # partitionValues of the packed files stay exact
+    packed = set(post_active) - set(pre_active)
+    assert packed and all(
+        post_active[p]["partitionValues"] == {"month": "202401"}
+        for p in packed
+    )
+    got = dl.read_delta_table(spark, d, partition_filter={"month": 202401})
+    assert got.count() == 15
+
+
+def test_zorder_tightens_stats_and_prunes(spark, tmp_path):
+    """Z-ORDER: hash-scattered 2-D data has full-range per-file stats
+    (a box stats_filter prunes nothing); after optimize(zorder_by=[x,y])
+    each file covers a compact Z-segment and the SAME box prunes most
+    files — with identical query results."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "ztab")
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).alias("x"),
+        ((F.col("id") * 7919) % 139).alias("y"),
+        F.col("id").alias("payload"),
+    ).repartition(16)  # hash scatter: every file spans ~full x/y range
+    dl.write_delta_table(df, d)
+    box = {"x": (10, 20), "y": (10, 20)}
+    pre = dl.read_delta_table(spark, d, stats_filter=box)
+    n_total = len(dl.read_delta_table(spark, d).inputFiles())
+    assert len(pre.inputFiles()) == n_total  # nothing prunable
+    res = dl.optimize_delta(spark, d, zorder_by=["x", "y"])
+    assert res["version"] == 1 and res["files_added"] >= 2
+    post = dl.read_delta_table(spark, d, stats_filter=box)
+    n_post_total = len(dl.read_delta_table(spark, d).inputFiles())
+    assert len(post.inputFiles()) < n_post_total  # the box now prunes
+    want = sorted(
+        (r.x, r.y, r.payload)
+        for r in pre.filter(
+            F.col("x").between(10, 20) & F.col("y").between(10, 20)
+        ).collect()
+    )
+    got = sorted(
+        (r.x, r.y, r.payload)
+        for r in post.filter(
+            F.col("x").between(10, 20) & F.col("y").between(10, 20)
+        ).collect()
+    )
+    assert got == want and want  # pruning is lossless
