@@ -152,6 +152,25 @@ def _read_actions(table: str, version: int) -> list[dict]:
         return [json.loads(line) for line in fh if line.strip()]
 
 
+def _commit_info(operation: str, params: Mapping[str, object] | None = None) -> dict:
+    """The protocol's optional ``commitInfo`` action — operation name +
+    parameters + engine tag, written FIRST in each commit like the real
+    implementations. Readers must (and do) ignore it during snapshot
+    replay; :func:`delta_history` reads it back so history reports the
+    EXACT operation instead of inferring one from action shapes."""
+    return {
+        "commitInfo": {
+            "timestamp": int(time.time() * 1000),
+            "operation": operation,
+            "operationParameters": {
+                k: v if isinstance(v, (int, float, bool, str)) else str(v)
+                for k, v in (params or {}).items()
+            },
+            "engineInfo": "etl-loading-scripts-spark",
+        }
+    }
+
+
 def _commit(table: str, version: int, actions: list[dict]) -> None:
     """One atomic commit: write every action as a JSON line to a temp
     file, then link to ``{version:020d}.json``. The link is the commit
@@ -916,6 +935,10 @@ def write_delta_table(
                 for p in sorted(active)
             )
     actions.extend(_stage_data_files(df, table, pcols))
+    op = "CREATE TABLE AS SELECT" if version == 0 else (
+        "WRITE" if mode == "overwrite" else "APPEND"
+    )
+    actions.insert(0, _commit_info(op, {"mode": mode}))
     _commit(table, version, actions)
     return version
 
@@ -1185,6 +1208,9 @@ def merge_upsert_deltalog(
         actions.extend(
             _stage_change_files(_keyed_diff(target, post, on), table, on)
         )
+    actions.insert(
+        0, _commit_info("MERGE", {"predicate": ",".join(on)})
+    )
     if _pre_commit_hook is not None:  # test seam: inject a racing writer
         _pre_commit_hook()
     _commit(table, version, actions)
@@ -1381,6 +1407,14 @@ def merge_cow_deltalog(
                 _keyed_diff(affected, post, cdc_keys), table, cdc_keys
             )
         )
+    actions.insert(
+        0,
+        _commit_info(
+            "MERGE",
+            {"predicate": ",".join([MONTH_COL, *on]),
+             "months": ",".join(str(m) for m in src_months)},
+        ),
+    )
     if _pre_commit_hook is not None:  # test seam: inject a racing writer
         _pre_commit_hook()
     rewritten = sorted(
@@ -1587,7 +1621,7 @@ def publish_set_deltalog(
     def _commit_set() -> int:
         vs = _versions(coord)
         v = (vs[-1] + 1) if vs else 0
-        _commit(coord, v, [action])
+        _commit(coord, v, [_commit_info("SET COMMIT"), action])
         return v
 
     return _occ_retry(_commit_set, max_retries)
@@ -2393,6 +2427,14 @@ def optimize_delta(
     for a in adds:
         a["add"]["dataChange"] = False  # compaction: no row changed
     actions.extend(adds)
+    actions.insert(
+        0,
+        _commit_info(
+            "OPTIMIZE",
+            {"zOrderBy": ",".join(zorder_by or []),
+             "smallFileBytes": small_file_bytes},
+        ),
+    )
     _commit(table, pinned + 1, actions)
     return {
         "version": pinned + 1,
@@ -2467,9 +2509,12 @@ def delta_history(table: str) -> list[dict]:
     {version, timestamp, operation, n_adds, n_removes, n_cdc,
     dataChange} — derived from the commit actions themselves (commits
     below an expired floor report from the checkpoint as
-    'checkpoint'). Operation is inferred: CREATE (v0), OPTIMIZE (all
-    actions dataChange false), MERGE (removes+adds+cdc), APPEND (adds
-    only), OVERWRITE (removes+adds, no cdc)."""
+    'checkpoint'). Operation and timestamp come from the commit's
+    ``commitInfo`` action when present (exact — every commit this
+    writer makes carries one); logs written before round 8 fall back
+    to inference: CREATE (v0), OPTIMIZE (all actions dataChange
+    false), MERGE (removes+adds+cdc), APPEND (adds only), OVERWRITE
+    (removes+adds, no cdc)."""
     out = []
     jsons = set(_versions(table))
     for v in _all_versions(table):
@@ -2483,6 +2528,7 @@ def delta_history(table: str) -> list[dict]:
             )
             continue
         acts = _read_actions(table, v)
+        info = next((a["commitInfo"] for a in acts if "commitInfo" in a), None)
         n_adds = sum(1 for a in acts if "add" in a)
         n_removes = sum(1 for a in acts if "remove" in a)
         n_cdc = sum(1 for a in acts if "cdc" in a)
@@ -2499,7 +2545,9 @@ def delta_history(table: str) -> list[dict]:
             ),
             default=None,
         )
-        if any("metaData" in a for a in acts) and v == 0:
+        if info is not None:
+            op = info["operation"]
+        elif any("metaData" in a for a in acts) and v == 0:
             op = "CREATE"
         elif (n_adds or n_removes) and not data_change:
             op = "OPTIMIZE"
@@ -2511,6 +2559,8 @@ def delta_history(table: str) -> list[dict]:
             op = "OVERWRITE"
         else:
             op = "UNKNOWN"
+        if info is not None and info.get("timestamp"):
+            ts = info["timestamp"]
         out.append(
             {
                 "version": v, "timestamp": ts, "operation": op,

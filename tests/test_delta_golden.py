@@ -95,8 +95,12 @@ def test_golden_bytes_conform_to_protocol_shapes():
     assert names == ["00000000000000000000.json", "00000000000000000001.json"]
 
     v0 = _log_lines(GOLDEN_DIR, 0)
-    assert v0[0] == {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
-    meta = v0[1]["metaData"]
+    info = v0[0]["commitInfo"]
+    assert info["timestamp"] == PINNED_MS
+    assert info["operation"] == "CREATE TABLE AS SELECT"
+    assert info["engineInfo"] == "etl-loading-scripts-spark"
+    assert v0[1] == {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+    meta = v0[2]["metaData"]
     assert set(meta) == {
         "id", "format", "schemaString", "partitionColumns",
         "configuration", "createdTime",

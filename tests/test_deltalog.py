@@ -621,16 +621,21 @@ def test_delta_log_actions_conform_to_protocol_shapes(spark, tmp_path):
     dl.write_delta_table(df, d, partition_by=["p"])
     dl.write_delta_table(df, d, mode="overwrite")
     v0 = dl._read_actions(d, 0)
-    assert set(v0[0]) == {"protocol"}
-    assert v0[0]["protocol"] == {"minReaderVersion": 1, "minWriterVersion": 2}
-    meta = v0[1]["metaData"]
+    info = v0[0]["commitInfo"]
+    assert set(info) == {
+        "timestamp", "operation", "operationParameters", "engineInfo",
+    }
+    assert info["operation"] == "CREATE TABLE AS SELECT"
+    assert set(v0[1]) == {"protocol"}
+    assert v0[1]["protocol"] == {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = v0[2]["metaData"]
     assert set(meta) == {
         "id", "format", "schemaString", "partitionColumns",
         "configuration", "createdTime",
     }
     assert meta["format"] == {"provider": "parquet", "options": {}}
     assert meta["partitionColumns"] == ["p"]
-    for a in v0[2:]:
+    for a in v0[3:]:
         add = a["add"]
         assert set(add) == {
             "path", "partitionValues", "size", "modificationTime",
@@ -643,7 +648,7 @@ def test_delta_log_actions_conform_to_protocol_shapes(spark, tmp_path):
         assert stats["numRecords"] >= 1
         assert stats["minValues"]["k"] >= 0 and stats["maxValues"]["k"] <= 5
     # per-partition record totals reconcile through the stats
-    total = sum(json.loads(a["add"]["stats"])["numRecords"] for a in v0[2:])
+    total = sum(json.loads(a["add"]["stats"])["numRecords"] for a in v0[3:])
     assert total == 6
     v1 = dl._read_actions(d, 1)
     removes = [a["remove"] for a in v1 if "remove" in a]
@@ -1309,7 +1314,7 @@ def test_optimize_compacts_small_files_atomically(spark, tmp_path):
     assert dl.read_delta_table(spark, d, version=4).count() == 500
     assert dl.delta_table_changes(spark, d, 4, 5, on=["k"]).count() == 0
     hist = {h["version"]: h["operation"] for h in dl.delta_history(d)}
-    assert hist[0] == "CREATE" and hist[1] == "APPEND"
+    assert hist[0] == "CREATE TABLE AS SELECT" and hist[1] == "APPEND"
     assert hist[5] == "OPTIMIZE"
     # idempotent-ish: a second pass finds nothing (one big file left
     # per no-partition group)
