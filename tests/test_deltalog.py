@@ -1393,3 +1393,66 @@ def test_zorder_tightens_stats_and_prunes(spark, tmp_path):
         ).collect()
     )
     assert got == want and want  # pruning is lossless
+
+
+def test_delta_stream_cdc_mode(spark, tmp_path):
+    """readChangeFeed streaming: option('cdc','true') tails per-commit
+    CHANGE ROWS — v0 snapshot as inserts, merge commits from their
+    encoded change files (exact update/insert types), appends
+    synthesized as inserts, OPTIMIZE silent; _commit_version stamps
+    each row's origin."""
+    import uuid as _uuid
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "cdcstream")
+    base = spark.createDataFrame([(0, 10), (1, 11)], "k long, v long")
+    dl.write_delta_table(base.coalesce(1), d)
+    dl.register_delta_stream_source(spark)
+    sink = f"cdc_sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("deltalog_stream")
+        .option("cdc", "true")
+        .load(d)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(sink).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+        got = {
+            (r._change_type, r.k, r.v, r._commit_version)
+            for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        }
+        assert got == {("insert", 0, 10, 0), ("insert", 1, 11, 0)}
+        # merge (encoded): exact change rows stream out
+        src = spark.createDataFrame([(1, 99), (5, 55)], "k long, v long")
+        dl.merge_upsert_deltalog(spark, d, src, on=["k"])
+        # append: synthesized inserts
+        dl.write_delta_table(
+            spark.createDataFrame([(7, 77)], "k long, v long").coalesce(1),
+            d, mode="append",
+        )
+        q.processAllAvailable()
+        assert q.exception() is None, q.exception()
+        got = {
+            (r._change_type, r.k, r.v, r._commit_version)
+            for r in spark.sql(f"SELECT * FROM {sink}").collect()
+        }
+        assert got == {
+            ("insert", 0, 10, 0), ("insert", 1, 11, 0),
+            ("update_postimage", 1, 99, 1), ("insert", 5, 55, 1),
+            ("insert", 7, 77, 2),
+        }
+    finally:
+        q.stop()
+    # an unencoded overwrite poisons the cdc stream with a clear error
+    dl.write_delta_table(base, d, mode="overwrite")
+    reader = dl._make_delta_stream_source()(
+        {"path": d, "cdc": "true"}
+    ).simpleStreamReader(
+        spark.readStream.format("deltalog_stream")
+        .option("cdc", "true").load(d).schema
+    )
+    with pytest.raises(ValueError, match="without change files"):
+        list(reader._rows_between(2, 3))
