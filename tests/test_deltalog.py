@@ -1456,3 +1456,87 @@ def test_delta_stream_cdc_mode(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="without change files"):
         list(reader._rows_between(2, 3))
+
+
+# --------------------------------------------------------------------------
+# Round-8 row-level DELETE / UPDATE on the log (pruned file rewrites)
+# --------------------------------------------------------------------------
+
+
+def test_delete_delta_rewrites_only_matching_files(spark, tmp_path):
+    """DELETE…WHERE: only files containing matches are rewritten (the
+    partition holding no matching rows keeps its exact file), the
+    deleted rows are gone, the pre-delete version time-travels, CDC
+    encodes full pre-image delete rows, history says DELETE."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "deltab")
+    df = spark.createDataFrame(
+        [(k, 202401 + k % 2, k * 10) for k in range(20)],
+        "k long, month int, v long",
+    )
+    dl.write_delta_table(df, d, partition_by=["month"])
+    pre_active, _, _ = dl._snapshot_state(d, None)
+    # delete only ODD-month rows with k < 5 -> month=202401 files untouched
+    res = dl.delete_delta(spark, d, "month = 202402 AND k < 5")
+    assert res["version"] == 1
+    assert res["rows_deleted"] == 2  # k in {1, 3}
+    post_active, _, _ = dl._snapshot_state(d, None)
+    m1_files = {
+        p for p, a in pre_active.items()
+        if a["partitionValues"]["month"] == "202401"
+    }
+    assert m1_files <= set(post_active)  # untouched partition preserved
+    got = {r.k for r in dl.read_delta_table(spark, d).collect()}
+    assert got == set(range(20)) - {1, 3}
+    assert dl.read_delta_table(spark, d, version=0).count() == 20
+    # CDC: pre-image delete rows
+    ch = dl.delta_table_changes(spark, d, 0, 1, on=sorted(df.columns))
+    assert sorted((r._change_type, r.k) for r in ch.collect()) == [
+        ("delete", 1), ("delete", 3),
+    ]
+    assert all("_change_data" in f for f in ch.inputFiles())
+    assert dl.delta_history(d)[-1]["operation"] == "DELETE"
+    # no-match delete is a no-op (no version burned)
+    assert dl.delete_delta(spark, d, "k = 999")["version"] is None
+
+
+def test_update_delta_pruned_rewrite_and_postimages(spark, tmp_path):
+    """UPDATE…WHERE with SET exprs: matched rows updated in place,
+    unmatched rows in touched files carried byte-equal, untouched
+    files preserved, post-image CDC rows exact, partition-column
+    updates refused."""
+    import pytest as _pytest
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "updtab")
+    df = spark.createDataFrame(
+        [(k, 202401 + k % 2, float(k)) for k in range(10)],
+        "k long, month int, amount double",
+    )
+    dl.write_delta_table(df, d, partition_by=["month"])
+    pre_active, _, _ = dl._snapshot_state(d, None)
+    res = dl.update_delta(
+        spark, d, "month = 202401 AND k >= 6",
+        {"amount": "amount + 100"},
+    )
+    assert res["version"] == 1 and res["rows_updated"] == 2  # k in {6, 8}
+    got = {r.k: r.amount for r in dl.read_delta_table(spark, d).collect()}
+    assert got[6] == 106.0 and got[8] == 108.0
+    assert got[0] == 0.0 and got[7] == 7.0  # unmatched rows untouched
+    post_active, _, _ = dl._snapshot_state(d, None)
+    m2_files = {
+        p for p, a in pre_active.items()
+        if a["partitionValues"]["month"] == "202402"
+    }
+    assert m2_files <= set(post_active)
+    ch = dl.delta_table_changes(spark, d, 0, 1, on=sorted(df.columns))
+    assert sorted((r._change_type, r.k, r.amount) for r in ch.collect()) == [
+        ("update_postimage", 6, 106.0), ("update_postimage", 8, 108.0),
+    ]
+    assert dl.delta_history(d)[-1]["operation"] == "UPDATE"
+    with _pytest.raises(ValueError, match="partition columns"):
+        dl.update_delta(spark, d, "k = 1", {"month": "202412"})
+    with _pytest.raises(ValueError, match="not in table schema"):
+        dl.update_delta(spark, d, "k = 1", {"zzz": "1"})
