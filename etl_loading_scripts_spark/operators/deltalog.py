@@ -391,6 +391,7 @@ def _cp_schema():
                         ("format", pa.struct([("provider", pa.string())])),
                         ("schemaString", pa.string()),
                         ("partitionColumns", pa.list_(pa.string())),
+                        ("configuration", pa.map_(pa.string(), pa.string())),
                         ("createdTime", pa.int64()),
                     ]
                 ),
@@ -455,6 +456,7 @@ def checkpoint_delta(
                 "format": {"provider": meta["format"]["provider"]},
                 "schemaString": meta["schemaString"],
                 "partitionColumns": list(meta.get("partitionColumns") or []),
+                "configuration": dict(meta.get("configuration") or {}),
                 "createdTime": meta.get("createdTime", 0),
             }
         },
@@ -506,7 +508,8 @@ def maybe_checkpoint_delta(
 _CP_DDL = (
     "protocol struct<minReaderVersion:int,minWriterVersion:int>,"
     "metaData struct<id:string,format:struct<provider:string>,"
-    "schemaString:string,partitionColumns:array<string>,createdTime:bigint>,"
+    "schemaString:string,partitionColumns:array<string>,"
+    "configuration:map<string,string>,createdTime:bigint>,"
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
     "modificationTime:bigint,dataChange:boolean,stats:string>"
 )
@@ -537,6 +540,7 @@ def _checkpoint_delta_spark(
                     (meta["format"]["provider"],),
                     meta["schemaString"],
                     list(meta.get("partitionColumns") or []),
+                    dict(meta.get("configuration") or {}),
                     int(meta.get("createdTime") or 0),
                 ),
                 None,
@@ -552,7 +556,7 @@ def _checkpoint_delta_spark(
         .cast(
             "struct<id:string,format:struct<provider:string>,"
             "schemaString:string,partitionColumns:array<string>,"
-            "createdTime:bigint>"
+            "configuration:map<string,string>,createdTime:bigint>"
         )
         .alias("metaData"),
         F.struct(
@@ -592,12 +596,20 @@ def _read_checkpoint(table: str, version: int) -> tuple[dict, dict]:
     for r in pq.read_table(_checkpoint_path(table, version)).to_pylist():
         if r.get("metaData"):
             m = r["metaData"]
+            conf = m.get("configuration") or []
             meta = {
                 "id": m["id"],
                 "format": {"provider": m["format"]["provider"], "options": {}},
                 "schemaString": m["schemaString"],
                 "partitionColumns": list(m["partitionColumns"] or []),
-                "configuration": {},
+                "configuration": {
+                    (kv[0] if isinstance(kv, tuple) else kv["key"]): (
+                        kv[1] if isinstance(kv, tuple) else kv["value"]
+                    )
+                    for kv in (
+                        conf if isinstance(conf, list) else conf.items()
+                    )
+                },
                 "createdTime": m["createdTime"],
             }
         elif r.get("add"):
@@ -722,7 +734,8 @@ _LOG_JSON_DDL = (
     "modificationTime:bigint,dataChange:boolean,stats:string>,"
     "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>,"
     "metaData struct<id:string,format:struct<provider:string>,"
-    "schemaString:string,partitionColumns:array<string>,createdTime:bigint>,"
+    "schemaString:string,partitionColumns:array<string>,"
+    "configuration:map<string,string>,createdTime:bigint>,"
     "protocol struct<minReaderVersion:int,minWriterVersion:int>"
 )
 
@@ -853,7 +866,7 @@ def _meta_spark(spark: SparkSession, table: str, version: int | None) -> dict:
                 "format": {"provider": m["format"]["provider"], "options": {}},
                 "schemaString": m["schemaString"],
                 "partitionColumns": list(m["partitionColumns"] or []),
-                "configuration": {},
+                "configuration": dict(m.get("configuration") or {}),
                 "createdTime": m["createdTime"],
             }
     if floor is None:
@@ -872,7 +885,7 @@ def _meta_spark(spark: SparkSession, table: str, version: int | None) -> dict:
         "format": {"provider": m["format"]["provider"], "options": {}},
         "schemaString": m["schemaString"],
         "partitionColumns": list(m["partitionColumns"] or []),
-        "configuration": {},
+        "configuration": dict(m.get("configuration") or {}),
         "createdTime": m["createdTime"],
     }
 
@@ -887,6 +900,7 @@ def write_delta_table(
     table: str,
     mode: str = "overwrite",
     partition_by: Sequence[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Create (version 0: protocol + metaData), OVERWRITE (remove every
     active file + add the new ones) or APPEND (add only) in one atomic
@@ -896,12 +910,25 @@ def write_delta_table(
     ``partition_by`` raises. The commit version and (for overwrite) the
     remove list derive from ONE version listing, so an interleaved
     writer collides on the version number rather than being erased.
-    Returns the committed version."""
+    Returns the committed version.
+
+    SCHEMA EVOLUTION (round 8): an APPEND whose frame carries columns
+    the table lacks raises unless ``merge_schema=True``, which widens
+    the table schema in the SAME commit (new metaData action; old
+    files read the new columns as null through the schema-on-read
+    contract). A same-name column with a DIFFERENT type always raises
+    — silent coercion corrupts. Missing columns in the appended frame
+    are filled with typed nulls. OVERWRITE always adopts the new
+    frame's schema (the table is being replaced), committing a
+    metaData update when it changed. CHECK constraints recorded in the
+    table configuration are enforced on the staged rows before the
+    commit (see :func:`add_check_constraint`)."""
     if mode not in ("overwrite", "append"):
         raise ValueError("mode must be overwrite|append")
     avail = _all_versions(table)
     version = (avail[-1] + 1) if avail else 0
     actions: list[dict] = []
+    meta = None
     if version == 0:
         pcols = list(partition_by or [])
         missing = [c for c in pcols if c not in df.columns]
@@ -928,12 +955,65 @@ def write_delta_table(
             raise ValueError(
                 f"table is partitioned by {pcols}, not {list(partition_by)}"
             )
+        tschema = StructType.fromJson(json.loads(meta["schemaString"]))
+        ttypes = {f.name: f.dataType for f in tschema.fields}
+        conflicts = []
+        upcasts = {}
+        for f in df.schema.fields:
+            if f.name not in ttypes or f.dataType == ttypes[f.name]:
+                continue
+            if _safe_upcast(f.dataType, ttypes[f.name]):
+                upcasts[f.name] = ttypes[f.name]  # widen to the table type
+            else:
+                conflicts.append(f.name)
+        if conflicts:
+            raise ValueError(
+                f"column type mismatch vs table schema: {conflicts} "
+                "(evolution never coerces types; only lossless numeric "
+                "widening is applied implicitly)"
+            )
+        if upcasts:
+            df = df.select(
+                *[
+                    F.col(c).cast(upcasts[c]).alias(c) if c in upcasts else F.col(c)
+                    for c in df.columns
+                ]
+            )
         if mode == "overwrite":
+            if df.schema.json() != meta["schemaString"]:
+                new_meta = dict(meta)
+                new_meta["schemaString"] = df.schema.json()
+                actions.append({"metaData": new_meta})
             now = int(time.time() * 1000)
             actions.extend(
                 {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
                 for p in sorted(active)
             )
+        else:  # append: table schema governs; widen only on request
+            new_fields = [
+                f for f in df.schema.fields if f.name not in ttypes
+            ]
+            if new_fields and not merge_schema:
+                raise ValueError(
+                    "append frame has columns the table lacks: "
+                    f"{[f.name for f in new_fields]} — pass "
+                    "merge_schema=True to widen the table schema"
+                )
+            union = StructType(list(tschema.fields) + list(new_fields))
+            if new_fields:
+                new_meta = dict(meta)
+                new_meta["schemaString"] = union.json()
+                actions.append({"metaData": new_meta})
+            df = df.select(
+                *[
+                    F.col(f.name)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in union.fields
+                ]
+            )
+    if meta is not None:
+        _enforce_constraints(df, meta)
     actions.extend(_stage_data_files(df, table, pcols))
     op = "CREATE TABLE AS SELECT" if version == 0 else (
         "WRITE" if mode == "overwrite" else "APPEND"
@@ -941,6 +1021,124 @@ def write_delta_table(
     actions.insert(0, _commit_info(op, {"mode": mode}))
     _commit(table, version, actions)
     return version
+
+
+def _safe_upcast(src, dst) -> bool:
+    """True when every ``src`` value fits ``dst`` losslessly — the
+    integral widening chain and float→double. Anything else (narrowing,
+    int↔string, long→double…) is refused: silent coercion corrupts."""
+    from pyspark.sql.types import (
+        ByteType,
+        DoubleType,
+        FloatType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    ints = [ByteType(), ShortType(), IntegerType(), LongType()]
+    if src in ints and dst in ints:
+        return ints.index(src) < ints.index(dst)
+    return src == FloatType() and dst == DoubleType()
+
+
+def table_constraints(meta: Mapping) -> dict[str, str]:
+    """{name: SQL expression} of the CHECK constraints recorded in the
+    table's metaData configuration (``delta.constraints.<name>`` keys —
+    the protocol's writer-invariant encoding)."""
+    prefix = "delta.constraints."
+    return {
+        k[len(prefix):]: v
+        for k, v in (meta.get("configuration") or {}).items()
+        if k.startswith(prefix)
+    }
+
+
+def _enforce_constraints(df: DataFrame, meta: Mapping) -> None:
+    """Writer-side CHECK enforcement: every recorded constraint must
+    hold on every written row (NULL passes, per SQL CHECK semantics) —
+    one aggregate job over the frame counts violations for ALL
+    constraints at once; any violation aborts with per-constraint
+    counts before a single byte is committed."""
+    cons = table_constraints(meta)
+    if not cons:
+        return
+    aggs = [
+        F.sum(
+            F.when(F.expr(expr).eqNullSafe(F.lit(False)), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in cons.items()
+    ]
+    row = df.agg(*aggs).first()
+    bad = {name: int(row[name] or 0) for name in cons if row[name]}
+    if bad:
+        detail = ", ".join(
+            f"{n}: {c} rows violate ({cons[n]})" for n, c in sorted(bad.items())
+        )
+        raise ValueError(f"CHECK constraint violation — {detail}")
+
+
+def add_check_constraint(
+    spark: SparkSession, table: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT … CHECK: validates the constraint
+    against EXISTING rows (full scan, like the real implementation —
+    a constraint that current data violates is refused with the count),
+    then commits a metaData update recording it under
+    ``delta.constraints.<name>`` plus the protocol's writer-version
+    bump to 3 (readers unaffected; a writer that doesn't know
+    constraints must not write). Every subsequent write/append/merge
+    enforces it on staged rows before committing."""
+    if not name.isidentifier():
+        raise ValueError(f"constraint name must be an identifier: {name!r}")
+    avail = _all_versions(table)
+    if not avail:
+        raise FileNotFoundError(f"not a delta table (no log): {table}")
+    pinned = avail[-1]
+    _, meta, _ = _snapshot_state(table, pinned)
+    key = f"delta.constraints.{name}"
+    if key in (meta.get("configuration") or {}):
+        raise ValueError(f"constraint {name!r} already exists")
+    current = read_delta_table(spark, table, version=pinned)
+    n_bad = current.filter(F.expr(expr).eqNullSafe(F.lit(False))).count()
+    if n_bad:
+        raise ValueError(
+            f"cannot add CHECK {name!r}: {n_bad} existing rows violate ({expr})"
+        )
+    new_meta = dict(meta)
+    new_meta["configuration"] = {
+        **(meta.get("configuration") or {}), key: expr
+    }
+    actions = [
+        _commit_info("ADD CONSTRAINT", {"name": name, "expr": expr}),
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+        {"metaData": new_meta},
+    ]
+    _commit(table, pinned + 1, actions)
+    return pinned + 1
+
+
+def drop_check_constraint(table: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: removes the recorded expression in
+    a metaData-update commit. Dropping an unknown name raises."""
+    avail = _all_versions(table)
+    if not avail:
+        raise FileNotFoundError(f"not a delta table (no log): {table}")
+    pinned = avail[-1]
+    _, meta, _ = _snapshot_state(table, pinned)
+    key = f"delta.constraints.{name}"
+    conf = dict(meta.get("configuration") or {})
+    if key not in conf:
+        raise ValueError(f"no such constraint: {name!r}")
+    del conf[key]
+    new_meta = dict(meta)
+    new_meta["configuration"] = conf
+    actions = [
+        _commit_info("DROP CONSTRAINT", {"name": name}),
+        {"metaData": new_meta},
+    ]
+    _commit(table, pinned + 1, actions)
+    return pinned + 1
 
 
 def _norm_stats_bound(b):
@@ -1202,9 +1400,13 @@ def merge_upsert_deltalog(
     ]
     adds = _stage_data_files(merged, table, pcols)
     actions.extend(adds)
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    post = _read_add_files(spark, table, schema, pcols, adds)
+    # CHECK constraints verified on the rows as WRITTEN (one agg over
+    # the staged files — no recompute of the merge plan); a violation
+    # aborts pre-commit, leaving only vacuumable staging debris
+    _enforce_constraints(post, meta)
     if write_change_data:
-        schema = StructType.fromJson(json.loads(meta["schemaString"]))
-        post = _read_add_files(spark, table, schema, pcols, adds)
         actions.extend(
             _stage_change_files(_keyed_diff(target, post, on), table, on)
         )
@@ -1396,11 +1598,12 @@ def merge_cow_deltalog(
     ]
     adds = _stage_data_files(merged, table, [MONTH_COL])
     actions.extend(adds)
+    post = _read_add_files(spark, table, schema, [MONTH_COL], adds)
+    _enforce_constraints(post, meta)  # staged rows, one agg, pre-commit
     if write_change_data:
         # change encoding at the MERGE GRAIN (month is part of the key):
         # pre = the affected months' old files, post = the just-staged
         # replacements — O(affected month), never O(table)
-        post = _read_add_files(spark, table, schema, [MONTH_COL], adds)
         cdc_keys = [MONTH_COL, *on]
         actions.extend(
             _stage_change_files(
@@ -2921,6 +3124,9 @@ def update_delta(
     )
     adds = _stage_data_files(rewritten, table, pcols)
     actions.extend(adds)
+    _enforce_constraints(
+        _read_add_files(spark, table, schema, pcols, adds), meta
+    )
     if write_change_data:
         # post-image change rows: re-read the matched PRE rows and apply
         # the same SET projection — exact post-images with no join (the

@@ -1540,3 +1540,93 @@ def test_update_delta_pruned_rewrite_and_postimages(spark, tmp_path):
         dl.update_delta(spark, d, "k = 1", {"month": "202412"})
     with _pytest.raises(ValueError, match="not in table schema"):
         dl.update_delta(spark, d, "k = 1", {"zzz": "1"})
+
+
+# --------------------------------------------------------------------------
+# Round-8 schema evolution + CHECK constraints
+# --------------------------------------------------------------------------
+
+
+def test_append_schema_evolution(spark, table):
+    """APPEND with new columns: refused without merge_schema, widens
+    the table schema atomically with it (old rows read the new column
+    as null; old versions keep the old schema); type conflicts always
+    raise; missing columns fill with typed nulls."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    wider = spark.createDataFrame([(100, 1, "x")], "k long, v long, tag string")
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta_table(wider, table, mode="append")
+    write_delta_table(wider, table, mode="append", merge_schema=True)
+    cur = dl.read_delta_table(spark, table)
+    assert set(cur.columns) == {"k", "v", "tag"}
+    got = {r.k: r.tag for r in cur.collect()}
+    assert got[100] == "x" and got[0] is None  # old rows: typed null
+    assert cur.count() == 11
+    # old version keeps the narrow schema
+    assert set(dl.read_delta_table(spark, table, version=0).columns) == {"k", "v"}
+    # a later append MISSING the new column fills nulls
+    narrow = spark.createDataFrame([(200, 2)], "k long, v long")
+    write_delta_table(narrow, table, mode="append")
+    got = {r.k: r.tag for r in dl.read_delta_table(spark, table).collect()}
+    assert 200 in got and got[200] is None
+    # type conflicts never coerce
+    clash = spark.createDataFrame([("zzz", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="type mismatch"):
+        write_delta_table(clash, table, mode="append")
+    # evolution survives the checkpoint round trip (configuration and
+    # schema both live in metaData)
+    dl.checkpoint_delta(table)
+    dl.expire_delta_log(table)
+    assert set(dl.read_delta_table(spark, table).columns) == {"k", "v", "tag"}
+
+
+def test_check_constraints_enforced_everywhere(spark, table):
+    """ADD CONSTRAINT validates existing rows, records the expression
+    in metaData configuration (+ writer-version bump), and every write
+    path — append, overwrite, merge, update — refuses violating rows
+    pre-commit with per-constraint counts. NULL passes (SQL CHECK).
+    DROP lifts it. The constraint survives a checkpoint."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    # existing rows: k 0..9, v = 10k  ->  v <= 100 is violated by k=10? no:
+    # v max is 90, so v <= 90 holds; v < 50 does not
+    with pytest.raises(ValueError, match="existing rows violate"):
+        dl.add_check_constraint(spark, table, "v_small", "v < 50")
+    v = dl.add_check_constraint(spark, table, "v_bounded", "v <= 1000")
+    assert v == 1
+    protos = [
+        a["protocol"] for a in dl._read_actions(table, 1) if "protocol" in a
+    ]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 3}]
+    # append enforcing
+    bad = spark.createDataFrame([(50, 5000)], "k long, v long")
+    with pytest.raises(ValueError, match="v_bounded: 1 rows violate"):
+        write_delta_table(bad, table, mode="append")
+    ok = spark.createDataFrame([(50, 500), (51, None)], "k long, v long")
+    write_delta_table(ok, table, mode="append")  # NULL passes
+    assert dl.read_delta_table(spark, table).count() == 12
+    # merge enforcing (staged post rows checked, no commit on violation)
+    pre_versions = dl._versions(table)
+    with pytest.raises(ValueError, match="v_bounded"):
+        merge_upsert_deltalog(
+            spark, table,
+            spark.createDataFrame([(0, 99999)], "k long, v long"), on=["k"],
+        )
+    assert dl._versions(table) == pre_versions  # nothing committed
+    # update enforcing
+    with pytest.raises(ValueError, match="v_bounded"):
+        dl.update_delta(spark, table, "k = 0", {"v": "99999"})
+    # constraint survives checkpoint + expiry
+    dl.checkpoint_delta(table)
+    dl.expire_delta_log(table)
+    _, meta, _ = dl._snapshot_state(table, None)
+    assert dl.table_constraints(meta) == {"v_bounded": "v <= 1000"}
+    with pytest.raises(ValueError, match="v_bounded"):
+        write_delta_table(bad, table, mode="append")
+    # drop lifts enforcement
+    dl.drop_check_constraint(table, "v_bounded")
+    write_delta_table(bad, table, mode="append")
+    assert dl.read_delta_table(spark, table).count() == 13
+    with pytest.raises(ValueError, match="no such constraint"):
+        dl.drop_check_constraint(table, "v_bounded")
