@@ -46,6 +46,40 @@ than a demo:
   references, age-gated so a concurrent writer's staged-but-uncommitted
   files are never collected.
 
+Round 8 completes the lakehouse surface:
+
+- **Spark-side metadata** above ``_SPARK_META_THRESHOLD`` estimated
+  files: snapshot reconstruction (:func:`_active_adds_df`),
+  partition/stats pruning (:func:`_pruned_files_spark`), checkpoint
+  build, and COW file selection run as DataFrame jobs — the driver
+  never materializes the file list (the previously-named ~10^6-file
+  seam, closed; measured crossover in tools/bench_delta_metadata.py);
+- **O(changes) CDC**: merges encode per-commit change files under
+  ``_change_data/`` (cdc actions, atomic with the commit);
+  :func:`delta_table_changes` serves single-commit ranges from them,
+  and ``deltalog_stream`` with ``option("cdc","true")`` is
+  readChangeFeed;
+- **Disjoint-commit OCC**: a month-grain version-race loser re-commits
+  its staged actions without recomputing when the winner's months are
+  disjoint (:func:`_try_recommit_disjoint`);
+- **commitInfo** on every commit + exact :func:`delta_history`;
+- **OPTIMIZE / Z-ORDER** (:func:`optimize_delta`): per-partition
+  small-file bin-packing and Morton-curve clustering in one
+  dataChange=false version — multi-dimensional file skipping from log
+  stats alone;
+- **row-level DML** (:func:`delete_delta`, :func:`update_delta`):
+  pruned file rewrites touching only files containing matches;
+- **schema evolution** (``merge_schema`` appends, typed-null
+  backfill, lossless numeric widening) and **CHECK constraints**
+  (:func:`add_check_constraint`: configuration-recorded, writer-
+  version-bumped, enforced on every write path pre-commit);
+- **conservative typed per-file stats** (every row group must
+  contribute exact comparably-typed values or the column goes
+  statless) and protocol-correct UNESCAPED ``partitionValues``;
+- a committed byte-stable GOLDEN fixture + conformance tests
+  (tests/fixtures/golden_delta) standing in for the environment-
+  blocked delta-spark/duckdb-delta interop check.
+
 Schema travels as Spark's schema JSON — which IS Delta's
 ``schemaString`` format. Interop caveat (same as every codec here):
 tables round-trip through this module and follow the public protocol
