@@ -249,9 +249,12 @@ def _stbl(
     )
     n_chunks = (n + samples_per_chunk - 1) // samples_per_chunk
     rem = n - (n_chunks - 1) * samples_per_chunk
-    entries = [(1, samples_per_chunk, 1)]
-    if n_chunks > 1 and rem != samples_per_chunk:
-        entries.append((n_chunks, rem, 1))
+    if n_chunks == 1:
+        entries = [(1, n, 1)]  # single (possibly partial) chunk
+    else:
+        entries = [(1, samples_per_chunk, 1)]
+        if rem != samples_per_chunk:
+            entries.append((n_chunks, rem, 1))
     stsc = _box(
         b"stsc",
         vf + struct.pack(">I", len(entries))
@@ -344,7 +347,7 @@ def mp4_sample_tables(payload: bytes) -> list[dict]:
     half-right index."""
     boxes = parse_mp4_boxes(payload)
 
-    def u32s(off: int, count: int, base: int) -> list[int]:
+    def u32s(count: int, base: int) -> list[int]:
         return list(struct.unpack_from(f">{count}I", payload, base))
 
     out = []
@@ -379,7 +382,7 @@ def mp4_sample_tables(payload: bytes) -> list[dict]:
         if "stss" in tabs:
             _v, p = _fullbox(payload, tabs["stss"]["offset"])
             (k,) = struct.unpack_from(">I", payload, p)
-            rec["keyframes"] = u32s(0, k, p + 4)
+            rec["keyframes"] = u32s(k, p + 4)
         if "stsz" in tabs:
             _v, p = _fullbox(payload, tabs["stsz"]["offset"])
             uniform, cnt = struct.unpack_from(">II", payload, p)
@@ -388,7 +391,7 @@ def mp4_sample_tables(payload: bytes) -> list[dict]:
                     f"corrupt MP4: stsz count {cnt} != stts count {n_samples}"
                 )
             sizes = (
-                [uniform] * cnt if uniform else u32s(0, cnt, p + 8)
+                [uniform] * cnt if uniform else u32s(cnt, p + 8)
             )
         else:
             sizes = []
@@ -399,7 +402,7 @@ def mp4_sample_tables(payload: bytes) -> list[dict]:
             if co_key == "co64":
                 offs = list(struct.unpack_from(f">{n_chunks}Q", payload, p + 4))
             else:
-                offs = u32s(0, n_chunks, p + 4)
+                offs = u32s(n_chunks, p + 4)
             rec["n_chunks"] = n_chunks
             _v, p = _fullbox(payload, tabs["stsc"]["offset"])
             (n_ent,) = struct.unpack_from(">I", payload, p)

@@ -1189,6 +1189,14 @@ def _norm_stats_bound(b):
     return b
 
 
+#: table-schema types whose per-file stats are ALWAYS JSON numbers under
+#: every revision of this writer (pre-r8 stringified only decimals/dates)
+_NUM_STAT_TYPES = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+#: types whose stats are strings in the COLUMN's own order (ISO dates:
+#: lexicographic == chronological)
+_STR_STAT_TYPES = {"string", "date", "timestamp", "timestamp_ntz"}
+
+
 def _pruned_files_spark(
     spark: SparkSession,
     table: str,
@@ -1196,17 +1204,28 @@ def _pruned_files_spark(
     pcols: Sequence[str],
     partition_filter: Mapping[str, object] | None,
     stats_filter: Mapping[str, tuple] | None,
+    adds_df: DataFrame | None = None,
 ) -> list[str]:
     """Partition + stats pruning as DATAFRAME filters over the active
     add actions — the 100 TB shape: predicate evaluation over 10^5-10^6
     add rows runs distributed, and only the SURVIVING paths (what the
     scan needs anyway) ever reach the driver. Same conservative
     semantics as the driver path: a file whose stats can't be compared
-    safely is kept. Numeric stats comparisons trust this writer's
-    typed-stats discipline (_file_stats never stringifies numerics);
-    a bound is applied as a string comparison only when the stored
-    stat is genuinely non-numeric."""
-    adds = _active_adds_df(spark, table, version)
+    safely is kept. A stats bound is applied only when the TABLE
+    SCHEMA proves the comparison sound — numeric bounds against
+    numeric-typed columns (whose stats are JSON numbers under every
+    revision of this writer), string/ISO-date bounds against
+    string-ordered columns; decimals and everything else keep all
+    files (get_json_object can't distinguish the JSON string \"10\"
+    from the number 10, and a lexicographic range cast to double would
+    silently MISPRUNE — the exact failure the driver path's _cmp
+    refuses). ``adds_df`` lets a caller reuse an already-built (e.g.
+    cached) active-adds relation."""
+    adds = (
+        adds_df
+        if adds_df is not None
+        else _active_adds_df(spark, table, version)
+    )
     if partition_filter:
         unknown = [k for k in partition_filter if k not in pcols]
         if unknown:
@@ -1225,7 +1244,13 @@ def _pruned_files_spark(
                 cond = cond | col.isNull()
             adds = adds.where(cond)
     if stats_filter:
+        meta = _meta_spark(spark, table, version)
+        col_types = {
+            f.name: f.dataType.simpleString()
+            for f in StructType.fromJson(json.loads(meta["schemaString"])).fields
+        }
         for c, (lo, hi) in stats_filter.items():
+            ctype = col_types.get(c)
             mn = F.get_json_object(F.col("stats"), f"$.minValues.{c}")
             mx = F.get_json_object(F.col("stats"), f"$.maxValues.{c}")
             mn_d, mx_d = mn.cast("double"), mx.cast("double")
@@ -1238,21 +1263,20 @@ def _pruned_files_spark(
                 b = _norm_stats_bound(bound)
                 if isinstance(b, bool):
                     continue  # bool bounds: keep-all (conservative)
-                if isinstance(b, (int, float)):
+                if isinstance(b, (int, float)) and ctype in _NUM_STAT_TYPES:
                     viol = (
                         (stat_d < F.lit(b))
                         if op == "lt"
                         else (stat_d > F.lit(b))
                     )
                     adds = adds.where(~(stat_d.isNotNull() & viol))
-                elif isinstance(b, str):
+                elif isinstance(b, str) and ctype in _STR_STAT_TYPES:
                     viol = (
                         (stat < F.lit(b)) if op == "lt" else (stat > F.lit(b))
                     )
-                    adds = adds.where(
-                        ~(stat_d.isNull() & stat.isNotNull() & viol)
-                    )
-                # other bound types: no safe comparison — keep all
+                    adds = adds.where(~(stat.isNotNull() & viol))
+                # every other (bound type, column type) pair: no
+                # provably-sound comparison — keep all files
     return sorted(r.path for r in adds.select("path").collect())
 
 
@@ -1553,10 +1577,13 @@ def merge_cow_deltalog(
     # read_delta_table; the commit's remove list stays O(affected
     # months), so nothing here is O(total files) driver-side)
     use_spark_meta = _estimated_active_files(table) >= _SPARK_META_THRESHOLD
+    adds_df = None
     if use_spark_meta:
         meta = _meta_spark(spark, table, pinned)
         active = None
-        n_active = _active_adds_df(spark, table, pinned).count()
+        # ONE replay job serves both the count and the pruning below
+        adds_df = _active_adds_df(spark, table, pinned).persist()
+        n_active = adds_df.count()
     else:
         active, meta, _ = _snapshot_state(table, pinned)
         n_active = len(active)
@@ -1597,8 +1624,10 @@ def merge_cow_deltalog(
     data_cols = [f.name for f in schema.fields if f.name != MONTH_COL]
     if use_spark_meta:
         affected_files = _pruned_files_spark(
-            spark, table, pinned, [MONTH_COL], {MONTH_COL: src_months}, None
+            spark, table, pinned, [MONTH_COL], {MONTH_COL: src_months}, None,
+            adds_df=adds_df,
         )
+        adds_df.unpersist()
     else:
         affected_files = sorted(
             p
@@ -2038,7 +2067,10 @@ def delta_table_changes(
     if on is not None and to_version == from_version + 1:
         cdcs = _commit_cdc_actions(table, to_version)
         if cdcs and all(c["cdc"].get("keys") == list(on) for c in cdcs):
-            meta = _snapshot_state(table, to_version)[1]
+            # metaData only — via the Spark metadata path, never the
+            # O(active-files) driver snapshot walk this fast path
+            # exists to avoid
+            meta = _meta_spark(spark, table, to_version)
             base = StructType.fromJson(json.loads(meta["schemaString"]))
             schema = StructType()
             schema = schema.add("_change_type", "string")
@@ -2718,7 +2750,6 @@ def optimize_delta(
         }
     # group qualifying small files by their partition tuple
     groups: dict[tuple, list[str]] = {}
-    bytes_in = 0
     for p, a in active.items():
         pv = a.get("partitionValues") or {}
         if want is not None and not all(
@@ -2729,10 +2760,12 @@ def optimize_delta(
             continue
         key = tuple(pv.get(c) for c in pcols)
         groups.setdefault(key, []).append(p)
-        bytes_in += a.get("size", 0)
     # a partition with a single small file and nothing to merge into is
     # already as packed as it can get
     groups = {k: v for k, v in groups.items() if len(v) > 1}
+    bytes_in = sum(
+        active[p].get("size", 0) for files in groups.values() for p in files
+    )
     if not groups:
         return {
             "version": None, "files_removed": 0, "files_added": 0,
@@ -3162,25 +3195,30 @@ def update_delta(
         _read_add_files(spark, table, schema, pcols, adds), meta
     )
     if write_change_data:
-        # post-image change rows: re-read the matched PRE rows and apply
-        # the same SET projection — exact post-images with no join (the
-        # rewritten files no longer know which of their rows matched)
-        changes = (
-            touched.filter(match)
-            .select(
-                *[
-                    (
-                        sets[f.name].cast(f.dataType).alias(f.name)
-                        if f.name in sets
-                        else F.col(f.name)
-                    )
-                    for f in schema.fields
-                ]
-            )
-            .select(F.lit("update_postimage").alias("_change_type"), "*")
-        )
+        # the encoded grain is ALL COLUMNS (an UPDATE has no declared
+        # key), and at a keyless grain the truthful change algebra is
+        # delete(pre-image) + insert(post-image) — exactly what the
+        # snapshot-diff fallback yields for the same arguments, so the
+        # fast path and fallback of delta_table_changes agree. Post
+        # images re-apply the SET projection to the matched PRE rows
+        # (exact, no join — the rewritten files no longer know which
+        # rows matched).
+        pre = touched.filter(match)
+        deletes = pre.select(F.lit("delete").alias("_change_type"), "*")
+        inserts = pre.select(
+            *[
+                (
+                    sets[f.name].cast(f.dataType).alias(f.name)
+                    if f.name in sets
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        ).select(F.lit("insert").alias("_change_type"), "*")
         actions.extend(
-            _stage_change_files(changes, table, sorted(touched.columns))
+            _stage_change_files(
+                deletes.unionByName(inserts), table, sorted(touched.columns)
+            )
         )
     _commit(table, pinned + 1, actions)
     return {

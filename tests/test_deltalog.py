@@ -1504,8 +1504,9 @@ def test_delete_delta_rewrites_only_matching_files(spark, tmp_path):
 def test_update_delta_pruned_rewrite_and_postimages(spark, tmp_path):
     """UPDATE…WHERE with SET exprs: matched rows updated in place,
     unmatched rows in touched files carried byte-equal, untouched
-    files preserved, post-image CDC rows exact, partition-column
-    updates refused."""
+    files preserved, CDC delete+insert pairs EQUAL to the snapshot-diff
+    fallback at the same (all-columns) grain, partition-column updates
+    refused."""
     import pytest as _pytest
 
     from etl_loading_scripts_spark.operators import deltalog as dl
@@ -1532,9 +1533,23 @@ def test_update_delta_pruned_rewrite_and_postimages(spark, tmp_path):
     }
     assert m2_files <= set(post_active)
     ch = dl.delta_table_changes(spark, d, 0, 1, on=sorted(df.columns))
-    assert sorted((r._change_type, r.k, r.amount) for r in ch.collect()) == [
-        ("update_postimage", 6, 106.0), ("update_postimage", 8, 108.0),
+    assert all("_change_data" in f for f in ch.inputFiles())
+    # keyless (all-columns) grain: the truthful change algebra is
+    # delete(pre)+insert(post) — identical to the snapshot-diff
+    # fallback for the same arguments
+    got_ch = sorted((r._change_type, r.k, r.amount) for r in ch.collect())
+    assert got_ch == [
+        ("delete", 6, 6.0), ("delete", 8, 8.0),
+        ("insert", 6, 106.0), ("insert", 8, 108.0),
     ]
+    fallback = dl._keyed_diff(
+        dl.read_delta_table(spark, d, version=0),
+        dl.read_delta_table(spark, d, version=1),
+        sorted(df.columns),
+    )
+    assert got_ch == sorted(
+        (r._change_type, r.k, r.amount) for r in fallback.collect()
+    )
     assert dl.delta_history(d)[-1]["operation"] == "UPDATE"
     with _pytest.raises(ValueError, match="partition columns"):
         dl.update_delta(spark, d, "k = 1", {"month": "202412"})
@@ -1630,3 +1645,36 @@ def test_check_constraints_enforced_everywhere(spark, table):
     assert dl.read_delta_table(spark, table).count() == 13
     with pytest.raises(ValueError, match="no such constraint"):
         dl.drop_check_constraint(table, "v_bounded")
+
+
+def test_spark_stats_prune_refuses_unsound_type_pairs(spark, tmp_path):
+    """Round-8 review fix: the Spark pruning path must not numeric-cast
+    string-typed stats (lexicographic min '10' < '9' casts to a double
+    range that would MISPRUNE a matching file). A numeric bound against
+    a string column keeps every file; a string bound against the same
+    column compares soundly; both agree with the driver path."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "strstats")
+    df = spark.createDataFrame([("9", 1), ("10", 2)], "c string, v int").coalesce(1)
+    dl.write_delta_table(df, d)
+    # numeric bound, string column: lexicographic stats (min='10',
+    # max='9') cast to 10.0/9.0 — the old code dropped the file on
+    # (9, None); both paths must KEEP it
+    for sf in ({"c": (9, None)}, {"c": (None, 9)}):
+        sp = dl._pruned_files_spark(spark, d, None, [], None, sf)
+        py = dl.read_delta_table(spark, d, stats_filter=sf).inputFiles()
+        assert len(sp) == 1 and len(py) == 1, (sf, sp, py)
+    # string bound, string column: sound lexicographic prune, both paths
+    sp = dl._pruned_files_spark(spark, d, None, [], None, {"c": ("z", None)})
+    py = dl.read_delta_table(spark, d, stats_filter={"c": ("z", None)}).inputFiles()
+    assert sp == [] and py == []
+    # decimal column: neither path ever prunes (statless by design)
+    d2 = str(tmp_path / "decstats")
+    dl.write_delta_table(
+        spark.createDataFrame([(1,)], "v int").select(
+            F.lit("1.5").cast("decimal(18,4)").alias("amount")
+        ).coalesce(1),
+        d2,
+    )
+    assert len(dl._pruned_files_spark(spark, d2, None, [], None, {"amount": (0, 1)})) == 1

@@ -147,3 +147,18 @@ def test_sample_table_inconsistencies_quarantine():
     struct.pack_into(">I", bad, stsc["offset"] + 20, 50)
     with pytest.raises(ValueError, match="chunk map"):
         mp4.mp4_sample_tables(bytes(bad))
+
+
+def test_sample_table_single_partial_chunk():
+    """Fewer samples than samples_per_chunk: one partial chunk whose
+    stsc entry records the TRUE count — the writer must not emit a
+    chunk map its own parser rejects."""
+    from etl_loading_scripts_spark.llm import mp4
+
+    p = mp4.write_mp4_indexed(
+        1000, 100, [b"vide"], [b"only-one"], samples_per_chunk=4,
+        keyframe_every=3,
+    )
+    tr = mp4.mp4_sample_tables(p)[0]
+    assert tr["n_samples"] == 1 and tr["n_chunks"] == 1
+    assert mp4.extract_sample(p, tr, 1) == b"only-one"
