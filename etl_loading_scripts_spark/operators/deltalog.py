@@ -2819,28 +2819,30 @@ def optimize_delta(
 _Z_BITS = 16
 
 
-def _zorder_col(cols: Sequence[str], pcols: Sequence[str] = ()) -> "F.Column":
-    """The Z-VALUE (Morton code) of ``cols``: each column rank-mapped
-    to a 16-bit integer via a percent_rank window (rank, not raw value:
-    Z-ordering needs uniform bit utilization regardless of the value
-    distribution — raw skewed values waste high bits), then
-    bit-interleaved with pure column expressions (shiftleft/bitwise OR
-    unrolled per bit — stays inside whole-stage codegen, no UDF).
+def _interleave(ranked: Sequence["F.Column"], bits: int) -> "F.Column":
+    """Bit-interleave rank columns into one Morton code — pure
+    shiftleft/shiftright/AND/OR expressions unrolled per bit, fully
+    inside whole-stage codegen, no UDF."""
+    z = F.lit(0).cast("long")
+    for bit in range(bits - 1, -1, -1):
+        for r in ranked:
+            piece = F.shiftright(r, bit).bitwiseAND(F.lit(1))
+            z = F.shiftleft(z, 1).bitwiseOR(piece)
+    return z
 
-    The rank window partitions by the TABLE's partition columns when
-    present: files never span partitions, so ranks only need to be
-    comparable within one — and the window then parallelizes per
-    partition instead of collapsing the scope to a single task (the
-    scale path for a month-partitioned fact). Unpartitioned scope =
-    one-task window over the optimize DEBRIS only (bounded by
-    small_file_bytes x file count, documented)."""
+
+def _zorder_window_col(
+    cols: Sequence[str], pcols: Sequence[str]
+) -> "F.Column":
+    """Rank-based Z-VALUE for a PARTITIONED scope: percent_rank
+    windows partitioned by the table's partition columns (files never
+    span partitions, so ranks only need intra-partition comparability
+    — and the windows parallelize per partition), mapped to 16 bits
+    each and interleaved. Rank, not raw value: Z-ordering needs
+    uniform bit utilization regardless of the value distribution."""
     from pyspark.sql import Window
 
-    w = (
-        Window.partitionBy(*[F.col(c) for c in pcols])
-        if pcols
-        else Window.partitionBy()
-    )
+    w = Window.partitionBy(*[F.col(c) for c in pcols])
     ranked = [
         (
             F.percent_rank().over(w.orderBy(F.col(c)))
@@ -2848,12 +2850,41 @@ def _zorder_col(cols: Sequence[str], pcols: Sequence[str] = ()) -> "F.Column":
         ).cast("long")
         for c in cols
     ]
-    z = F.lit(0).cast("long")
-    for bit in range(_Z_BITS - 1, -1, -1):
-        for r in ranked:
-            piece = F.shiftright(r, bit).bitwiseAND(F.lit(1))
-            z = F.shiftleft(z, 1).bitwiseOR(piece)
-    return z
+    return _interleave(ranked, _Z_BITS)
+
+
+#: bucket count (and bits) per column on the quantile path — 256 buckets
+#: far exceeds any realistic output-file count, which is the resolution
+#: clustering actually needs
+_Z_QBITS = 8
+
+
+def _zorder_quantile_col(
+    df: DataFrame, cols: Sequence[str]
+) -> "F.Column | None":
+    """Quantile-bucket Z-VALUE for an UNPARTITIONED scope: per column,
+    255 approxQuantile boundaries (driver-side tiny array, one
+    distributed pass — Spark's own RangePartitioning recipe) turned
+    into a bucket index with a higher-order ``aggregate`` over the
+    boundary array literal (codegen, no UDF, no window) — unlike a
+    global percent_rank window this never collapses the scope to a
+    single task. Returns None when any column is non-numeric (the
+    window path handles those)."""
+    probs = [i / (1 << _Z_QBITS) for i in range(1, 1 << _Z_QBITS)]
+    ranked = []
+    for c in cols:
+        try:
+            bounds = df.approxQuantile(c, probs, 0.01)
+        except Exception:  # noqa: BLE001 — non-numeric column
+            return None
+        arr = ",".join(repr(float(b)) for b in bounds)
+        ranked.append(
+            F.expr(
+                f"aggregate(array({arr}), 0L, "
+                f"(acc, b) -> acc + CASE WHEN {c} > b THEN 1L ELSE 0L END)"
+            )
+        )
+    return _interleave(ranked, _Z_QBITS)
 
 
 def _zorder_frame(
@@ -2863,8 +2894,31 @@ def _zorder_frame(
     partitions: each output file covers a compact Z-curve segment of
     one partition, so its min/max range on EVERY z-ordered column is
     narrow — the layout that makes per-file stats skipping effective
-    in >1 dimension."""
-    z = _zorder_col(cols, pcols).alias("__z")
+    in >1 dimension. Partitioned scopes rank per partition (parallel
+    windows); unpartitioned NUMERIC scopes use quantile buckets (no
+    window at all); unpartitioned non-numeric scopes fall back to one
+    global rank window — bounded by the optimize debris, the only
+    shape that reaches it."""
+    z = None
+    if not pcols:
+        z = _zorder_quantile_col(df, cols)
+    if z is None:
+        if pcols:
+            z = _zorder_window_col(cols, pcols)
+        else:
+            from pyspark.sql import Window
+
+            ranked = [
+                (
+                    F.percent_rank().over(
+                        Window.partitionBy().orderBy(F.col(c))
+                    )
+                    * ((1 << _Z_BITS) - 1)
+                ).cast("long")
+                for c in cols
+            ]
+            z = _interleave(ranked, _Z_BITS)
+    z = z.alias("__z")
     with_z = df.select("*", z)
     n = max(2, with_z.rdd.getNumPartitions())
     keys = [*[F.col(c) for c in pcols], F.col("__z")]
