@@ -146,6 +146,38 @@ def _norm_part_value(v) -> str | None:
     return str(v)
 
 
+#: the characters Spark's hive-layout writer %XX-escapes in partition
+#: directory names (empirically verified against the writer in
+#: tests/test_deltalog.py: " # % ' * / : = ? [ \ ] ^ { plus ASCII
+#: control chars — space, '+', ',' and '}' pass through unescaped)
+_HIVE_ESCAPE_CHARS = frozenset('"#%\'*/:=?[\\]^{') | frozenset(
+    chr(c) for c in range(1, 0x20)
+) | {"\x7f"}
+
+
+def _hive_escape(v: str) -> str:
+    """Mirror of Spark's hive-path escaping (the inverse of
+    :func:`_hive_unescape` over Spark's escape set, uppercase hex)."""
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c for c in v
+    )
+
+
+def _part_match_forms(v) -> set:
+    """Every stored form a caller's partition-filter value may appear
+    as in add-action ``partitionValues``: the LOGICAL value (this
+    writer since round 8) plus its hive-ESCAPED form and, for null,
+    ``__HIVE_DEFAULT_PARTITION__`` — logs written by the pre-round-8
+    revision stored the escaped directory text, and a filter that only
+    matched logical values silently pruned every file of such a
+    table."""
+    s = _norm_part_value(v)
+    if s is None:
+        return {None, _HIVE_NULL}
+    e = _hive_escape(s)
+    return {s, e} if e != s else {s}
+
+
 def _log_path(table: str) -> str:
     return os.path.join(table, _LOG_DIR)
 
@@ -403,6 +435,47 @@ def _checkpoint_path(table: str, version: int) -> str:
     return os.path.join(_log_path(table), f"{version:020d}.checkpoint.parquet")
 
 
+def _replay_protocol(table: str, version: int | None = None) -> dict:
+    """The reconciled ``protocol`` action at ``version``: start from the
+    checkpoint floor's protocol row (if any) and fold in every protocol
+    action in the replay commits, keeping the MAX reader/writer versions
+    seen (bumps are monotone — e.g. :func:`add_check_constraint` commits
+    minWriterVersion 3; a later writer must never quietly demote it).
+    Without this, checkpoints froze a literal (1, 2) and
+    :func:`expire_delta_log` then erased the bump permanently — a
+    protocol-compliant external writer that doesn't know CHECK
+    constraints would have been re-admitted, defeating the gate the
+    constraint commit installed. Protocol lines are line-prefiltered so
+    a 10^5-action commit is never fully JSON-parsed for this."""
+    floor, replay, version = _resolve_replay(table, version)
+    reader, writer = 1, 2
+    if floor is not None:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(_checkpoint_path(table, floor))
+        found = False
+        for batch in pf.iter_batches(columns=["protocol"]):
+            for r in batch.to_pylist():
+                p = r.get("protocol")
+                if p and p.get("minReaderVersion") is not None:
+                    reader = max(reader, p["minReaderVersion"])
+                    writer = max(writer, p["minWriterVersion"])
+                    found = True
+                    break
+            if found:
+                break
+    for v in replay:
+        with open(os.path.join(_log_path(table), f"{v:020d}.json")) as fh:
+            for line in fh:
+                if '"protocol"' not in line:
+                    continue
+                a = json.loads(line)
+                if "protocol" in a:
+                    reader = max(reader, a["protocol"].get("minReaderVersion", 1))
+                    writer = max(writer, a["protocol"].get("minWriterVersion", 2))
+    return {"minReaderVersion": reader, "minWriterVersion": writer}
+
+
 def _cp_schema():
     import pyarrow as pa
 
@@ -483,7 +556,7 @@ def checkpoint_delta(
             return _checkpoint_delta_spark(spark, table, version)
     active, meta, version = _snapshot_state(table, version)
     rows: list[dict] = [
-        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"protocol": _replay_protocol(table, version)},
         {
             "metaData": {
                 "id": meta["id"],
@@ -564,9 +637,14 @@ def _checkpoint_delta_spark(
 
     _, _, version = _resolve_replay(table, version)
     meta = _meta_spark(spark, table, version)
+    proto = _replay_protocol(table, version)
     head = spark.createDataFrame(
         [
-            ((1, 2), None, None),
+            (
+                (proto["minReaderVersion"], proto["minWriterVersion"]),
+                None,
+                None,
+            ),
             (
                 None,
                 (
@@ -1046,9 +1124,19 @@ def write_delta_table(
                     for f in union.fields
                 ]
             )
-    if meta is not None:
-        _enforce_constraints(df, meta)
-    actions.extend(_stage_data_files(df, table, pcols))
+    adds = _stage_data_files(df, table, pcols)
+    actions.extend(adds)
+    if meta is not None and table_constraints(meta):
+        # CHECK constraints verified on the rows as WRITTEN (read back
+        # from the staged files, like the merge paths) — enforcing on
+        # the input PLAN would let a non-deterministic source (rand(),
+        # current_timestamp, a changing input) pass the aggregate check
+        # yet stage violating rows; a violation aborts pre-commit,
+        # leaving only vacuumable staging debris
+        _enforce_constraints(
+            _read_add_files(df.sparkSession, table, df.schema, pcols, adds),
+            meta,
+        )
     op = "CREATE TABLE AS SELECT" if version == 0 else (
         "WRITE" if mode == "overwrite" else "APPEND"
     )
@@ -1232,10 +1320,11 @@ def _pruned_files_spark(
             raise ValueError(f"not partition columns: {unknown} (have {list(pcols)})")
         for k, v in partition_filter.items():
             vals = {
-                _norm_part_value(x)
+                form
                 for x in (
                     v if isinstance(v, (list, tuple, set, frozenset)) else [v]
                 )
+                for form in _part_match_forms(x)
             }
             col = F.col("partitionValues").getItem(k)
             non_null = sorted(x for x in vals if x is not None)
@@ -1331,10 +1420,11 @@ def read_delta_table(
             raise ValueError(f"not partition columns: {unknown} (have {pcols})")
         want = {
             k: {
-                _norm_part_value(x)
+                form
                 for x in (
                     v if isinstance(v, (list, tuple, set, frozenset)) else [v]
                 )
+                for form in _part_match_forms(x)
             }
             for k, v in partition_filter.items()
         }
@@ -1605,6 +1695,8 @@ def merge_cow_deltalog(
         # null-partition value — stale null-partition files would stay
         # unremoved. The contract is explicit: every source row must
         # carry a datekey.
+        if adds_df is not None:
+            adds_df.unpersist()
         raise ValueError(
             f"merge_cow_deltalog: source has rows with NULL {datekey_col!r}"
             " — every source row must map to a month (filter or fix the"
@@ -1612,6 +1704,8 @@ def merge_cow_deltalog(
         )
     src_months = sorted(raw_months)
     if not src_months:
+        if adds_df is not None:
+            adds_df.unpersist()
         return {
             "version": None,
             "months_rewritten": [],
@@ -2741,10 +2835,11 @@ def optimize_delta(
             raise ValueError(f"not partition columns: {unknown} (have {pcols})")
         want = {
             k: {
-                _norm_part_value(x)
+                form
                 for x in (
                     v if isinstance(v, (list, tuple, set, frozenset)) else [v]
                 )
+                for form in _part_match_forms(x)
             }
             for k, v in partition_filter.items()
         }
@@ -2819,10 +2914,22 @@ def optimize_delta(
 _Z_BITS = 16
 
 
+def _z_bits_for(n_cols: int, per_col: int) -> int:
+    """Bits per column such that the interleaved Morton code fits a
+    SIGNED 64-bit long: min(per_col, 63 // n_cols). Without the cap,
+    zorder_by with 5+ columns at 16 bits each needed 80+ bits and
+    shiftleft silently wrapped into the sign bit — scrambling the
+    z-order (a layout/pruning-quality regression; correctness stayed
+    conservative)."""
+    return max(1, min(per_col, 63 // max(1, n_cols)))
+
+
 def _interleave(ranked: Sequence["F.Column"], bits: int) -> "F.Column":
     """Bit-interleave rank columns into one Morton code — pure
     shiftleft/shiftright/AND/OR expressions unrolled per bit, fully
-    inside whole-stage codegen, no UDF."""
+    inside whole-stage codegen, no UDF. Callers must scale each rank to
+    ``bits`` bits (see :func:`_z_bits_for`); total bits never exceed
+    63."""
     z = F.lit(0).cast("long")
     for bit in range(bits - 1, -1, -1):
         for r in ranked:
@@ -2837,20 +2944,22 @@ def _zorder_window_col(
     """Rank-based Z-VALUE for a PARTITIONED scope: percent_rank
     windows partitioned by the table's partition columns (files never
     span partitions, so ranks only need intra-partition comparability
-    — and the windows parallelize per partition), mapped to 16 bits
-    each and interleaved. Rank, not raw value: Z-ordering needs
-    uniform bit utilization regardless of the value distribution."""
+    — and the windows parallelize per partition), mapped to
+    sign-bit-safe per-column bits and interleaved. Rank, not raw
+    value: Z-ordering needs uniform bit utilization regardless of the
+    value distribution."""
     from pyspark.sql import Window
 
+    bits = _z_bits_for(len(cols), _Z_BITS)
     w = Window.partitionBy(*[F.col(c) for c in pcols])
     ranked = [
         (
             F.percent_rank().over(w.orderBy(F.col(c)))
-            * ((1 << _Z_BITS) - 1)
+            * ((1 << bits) - 1)
         ).cast("long")
         for c in cols
     ]
-    return _interleave(ranked, _Z_BITS)
+    return _interleave(ranked, bits)
 
 
 #: bucket count (and bits) per column on the quantile path — 256 buckets
@@ -2858,33 +2967,64 @@ def _zorder_window_col(
 #: clustering actually needs
 _Z_QBITS = 8
 
+#: sample size per column for the non-numeric boundary dictionary —
+#: Spark's own RangePartitioner samples the same order of magnitude to
+#: place range boundaries
+_Z_SAMPLE = 8192
 
-def _zorder_quantile_col(
-    df: DataFrame, cols: Sequence[str]
-) -> "F.Column | None":
+
+def _bucket_by_bounds(c: str, bounds: list) -> "F.Column":
+    """Bucket index of column ``c`` against sorted range ``bounds`` via
+    a higher-order ``aggregate`` over an array of literals (codegen, no
+    UDF, no window, no SQL-string escaping). NULLs bucket to 0."""
+    if not bounds:
+        return F.lit(0).cast("long")
+    arr = F.array(*[F.lit(b) for b in bounds])
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(F.col(c) > b, F.lit(1)).otherwise(F.lit(0)).cast("long"),
+    )
+
+
+def _zorder_quantile_col(df: DataFrame, cols: Sequence[str]) -> "F.Column":
     """Quantile-bucket Z-VALUE for an UNPARTITIONED scope: per column,
-    255 approxQuantile boundaries (driver-side tiny array, one
-    distributed pass — Spark's own RangePartitioning recipe) turned
-    into a bucket index with a higher-order ``aggregate`` over the
-    boundary array literal (codegen, no UDF, no window) — unlike a
-    global percent_rank window this never collapses the scope to a
-    single task. Returns None when any column is non-numeric (the
-    window path handles those)."""
-    probs = [i / (1 << _Z_QBITS) for i in range(1, 1 << _Z_QBITS)]
+    up to 255 range boundaries (driver-side tiny array, one distributed
+    pass — Spark's own RangePartitioning recipe) turned into a bucket
+    index with :func:`_bucket_by_bounds` — unlike a global percent_rank
+    window this never collapses the scope to a single task. Numeric
+    columns take boundaries from ``approxQuantile``; every other
+    orderable type (string, date, timestamp, boolean, binary) takes
+    them from a bounded deterministic sample (orderBy(xxhash64).limit —
+    a per-partition top-k, no global sort), sorted driver-side and cut
+    at evenly spaced quantile positions. No fallback to a
+    single-partition window remains."""
+    qbits = _z_bits_for(len(cols), _Z_QBITS)
+    n_buckets = 1 << qbits
+    probs = [i / n_buckets for i in range(1, n_buckets)]
     ranked = []
     for c in cols:
         try:
             bounds = df.approxQuantile(c, probs, 0.01)
         except Exception:  # noqa: BLE001 — non-numeric column
-            return None
-        arr = ",".join(repr(float(b)) for b in bounds)
-        ranked.append(
-            F.expr(
-                f"aggregate(array({arr}), 0L, "
-                f"(acc, b) -> acc + CASE WHEN {c} > b THEN 1L ELSE 0L END)"
-            )
-        )
-    return _interleave(ranked, _Z_QBITS)
+            sample = [
+                r[0]
+                for r in df.select(c)
+                .where(F.col(c).isNotNull())
+                .orderBy(F.xxhash64(F.col(c)))
+                .limit(_Z_SAMPLE)
+                .collect()
+            ]
+            sample.sort()
+            bounds = sorted(
+                {
+                    sample[(i * len(sample)) // n_buckets]
+                    for i in range(1, n_buckets)
+                }
+            ) if sample else []
+        ranked.append(_bucket_by_bounds(c, list(bounds)))
+    return _interleave(ranked, qbits)
 
 
 def _zorder_frame(
@@ -2895,29 +3035,13 @@ def _zorder_frame(
     one partition, so its min/max range on EVERY z-ordered column is
     narrow — the layout that makes per-file stats skipping effective
     in >1 dimension. Partitioned scopes rank per partition (parallel
-    windows); unpartitioned NUMERIC scopes use quantile buckets (no
-    window at all); unpartitioned non-numeric scopes fall back to one
-    global rank window — bounded by the optimize debris, the only
-    shape that reaches it."""
-    z = None
-    if not pcols:
+    windows); unpartitioned scopes use quantile/sampled-boundary
+    buckets (no window at all, numeric or not) — no plan shape here
+    ever funnels the scope through a single task."""
+    if pcols:
+        z = _zorder_window_col(cols, pcols)
+    else:
         z = _zorder_quantile_col(df, cols)
-    if z is None:
-        if pcols:
-            z = _zorder_window_col(cols, pcols)
-        else:
-            from pyspark.sql import Window
-
-            ranked = [
-                (
-                    F.percent_rank().over(
-                        Window.partitionBy().orderBy(F.col(c))
-                    )
-                    * ((1 << _Z_BITS) - 1)
-                ).cast("long")
-                for c in cols
-            ]
-            z = _interleave(ranked, _Z_BITS)
     z = z.alias("__z")
     with_z = df.select("*", z)
     n = max(2, with_z.rdd.getNumPartitions())

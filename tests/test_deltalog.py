@@ -1678,3 +1678,169 @@ def test_spark_stats_prune_refuses_unsound_type_pairs(spark, tmp_path):
         d2,
     )
     assert len(dl._pruned_files_spark(spark, d2, None, [], None, {"amount": (0, 1)})) == 1
+
+
+def test_protocol_survives_checkpoint_and_expiry(spark, table):
+    """Round-9 ADVICE fix: checkpoints must carry the RECONCILED
+    protocol, not a literal (1, 2) — otherwise checkpoint + expiry
+    permanently erased add_check_constraint's writer-version bump and
+    a constraint-unaware external writer would be re-admitted."""
+    import pyarrow.parquet as pq
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    dl.add_check_constraint(spark, table, "v_nonneg", "v >= 0")
+    assert dl._replay_protocol(table)["minWriterVersion"] == 3
+    dl.checkpoint_delta(table)
+    dl.expire_delta_log(table)  # the bump's JSON commit is now gone
+    assert dl._replay_protocol(table) == {
+        "minReaderVersion": 1, "minWriterVersion": 3,
+    }
+    cp = dl._checkpoint_path(table, dl._checkpoint_versions(table)[-1])
+    protos = [
+        r["protocol"]
+        for r in pq.read_table(cp, columns=["protocol"]).to_pylist()
+        if r["protocol"] and r["protocol"]["minReaderVersion"] is not None
+    ]
+    assert protos == [{"minReaderVersion": 1, "minWriterVersion": 3}]
+    # a SECOND checkpoint built with no protocol JSON left must still
+    # carry the bump — through the Spark checkpoint path too
+    write_delta_table(
+        spark.createDataFrame([(99, 1)], "k long, v long"), table,
+        mode="append",
+    )
+    dl._checkpoint_delta_spark(spark, table, None)
+    dl.expire_delta_log(table)
+    assert dl._replay_protocol(table)["minWriterVersion"] == 3
+
+
+def test_hive_escape_matches_spark_writer(spark, tmp_path):
+    """_hive_escape must byte-match what Spark's hive-layout writer
+    puts in partition directory names (space, '+', ',' and '}' stay;
+    the documented set %XX-escapes uppercase)."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    vals = [
+        "a b", "a:b", "a=b", "a%b", "a#b", "a'b", "a*b", "a?b",
+        "a[b]", "a{b}", "a^b", "a+b", "a,b", 'a"b',
+    ]
+    d = str(tmp_path / "esc")
+    spark.createDataFrame(
+        [(v, i) for i, v in enumerate(vals)], "p string, x int"
+    ).write.partitionBy("p").parquet(d)
+    got = sorted(n[2:] for n in os.listdir(d) if n.startswith("p="))
+    assert got == sorted(dl._hive_escape(v) for v in vals)
+
+
+def test_pre_round8_escaped_partition_values_still_match(spark, tmp_path):
+    """Logs written by the pre-round-8 revision stored ESCAPED
+    partitionValues; a partition_filter on the logical value must match
+    both forms (driver path and Spark metadata path) instead of
+    silently pruning every file."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "oldesc")
+    dl.write_delta_table(
+        spark.createDataFrame([("a:b", 1), ("plain", 2)], "p string, x int"),
+        d,
+        partition_by=["p"],
+    )
+    # simulate the old writer: store the escaped directory text
+    log = os.path.join(d, "_delta_log", f"{0:020d}.json")
+    with open(log) as fh:
+        txt = fh.read()
+    assert '"p":"a:b"' in txt
+    os.remove(log)
+    with open(log, "w") as fh:
+        fh.write(txt.replace('"p":"a:b"', '"p":"a%3Ab"'))
+    got = dl.read_delta_table(spark, d, partition_filter={"p": "a:b"})
+    assert [r.x for r in got.collect()] == [1]
+    sp = dl._pruned_files_spark(spark, d, None, ["p"], {"p": "a:b"}, None)
+    assert len(sp) == 1 and sp[0].startswith("p=a%3Ab")
+
+
+def test_zorder_many_columns_fit_long_and_no_window_fallback(spark, tmp_path):
+    """Round-9 ADVICE fix + VERDICT item 6: (a) 5+ z-order columns
+    scale bits down to fit a signed 64-bit Morton code instead of
+    wrapping into the sign bit; (b) the unpartitioned NON-NUMERIC scope
+    buckets by sampled range boundaries — no plan shape funnels the
+    scope through a single-partition Window."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    assert dl._z_bits_for(2, 16) == 16
+    assert dl._z_bits_for(5, 16) == 12
+    assert dl._z_bits_for(8, 8) == 7
+    df = spark.range(5_000).select(
+        (F.col("id") % 97).alias("a"),
+        (F.col("id") * 7 % 89).alias("b"),
+        (F.col("id") * 13 % 83).alias("c"),
+        (F.col("id") * 29 % 79).alias("d"),
+        F.format_string("s%03d", (F.col("id") % 53)).alias("s"),
+    )
+    cols = ["a", "b", "c", "d", "s"]
+    z = dl._zorder_quantile_col(df, cols)
+    lo, hi = df.select(z.alias("z")).agg(F.min("z"), F.max("z")).first()
+    assert 0 <= lo <= hi < (1 << 63)  # never wraps negative
+    zdf = dl._zorder_frame(df, cols)
+    plan = zdf._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert zdf.count() == 5_000
+
+
+def test_zorder_string_column_prunes(spark, tmp_path):
+    """Z-ORDER on a (numeric, string) pair via the sampled-boundary
+    path: the 2-D box read prunes files after optimize with identical
+    results — the round-8 revision fell back to a single-partition
+    window for this shape."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "zstr")
+    df = spark.range(20_000).select(
+        (F.col("id") % 141).alias("x"),
+        F.format_string("k%03d", (F.col("id") * 7919) % 139).alias("s"),
+        F.col("id").alias("payload"),
+    ).repartition(16)
+    dl.write_delta_table(df, d)
+    box = {"x": (10, 20), "s": ("k010", "k020")}
+    pre = dl.read_delta_table(spark, d, stats_filter=box)
+    assert len(pre.inputFiles()) == len(
+        dl.read_delta_table(spark, d).inputFiles()
+    )
+    res = dl.optimize_delta(spark, d, zorder_by=["x", "s"])
+    assert res["version"] == 1 and res["files_added"] >= 2
+    post = dl.read_delta_table(spark, d, stats_filter=box)
+    assert len(post.inputFiles()) < len(
+        dl.read_delta_table(spark, d).inputFiles()
+    )
+    pred = F.col("x").between(10, 20) & F.col("s").between("k010", "k020")
+    want = sorted((r.x, r.s, r.payload) for r in pre.filter(pred).collect())
+    got = sorted((r.x, r.s, r.payload) for r in post.filter(pred).collect())
+    assert got == want and want
+
+
+def test_write_constraints_enforced_on_staged_bytes(spark, table, monkeypatch):
+    """Round-9 ADVICE fix: write_delta_table verifies CHECK constraints
+    on the rows AS STAGED (read back from the staged files, like the
+    merge paths) — enforcing on the input plan would let a
+    non-deterministic source pass the check yet write violating
+    rows."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    dl.add_check_constraint(spark, table, "v_bounded", "v <= 1000")
+    seen: dict = {}
+    real = dl._enforce_constraints
+
+    def spy(df, meta):
+        seen["files"] = sorted(df.inputFiles())
+        return real(df, meta)
+
+    monkeypatch.setattr(dl, "_enforce_constraints", spy)
+    write_delta_table(
+        spark.createDataFrame([(100, 7)], "k long, v long"), table,
+        mode="append",
+    )
+    assert seen["files"], "enforcement must scan the staged files"
+    assert all(
+        os.path.basename(table) in f and f.endswith(".parquet")
+        for f in seen["files"]
+    )
