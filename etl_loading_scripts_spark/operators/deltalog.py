@@ -1556,7 +1556,10 @@ def merge_upsert_deltalog(
     _enforce_constraints(post, meta)
     if write_change_data:
         actions.extend(
-            _stage_change_files(_keyed_diff(target, post, on), table, on)
+            _stage_change_files(
+                _keyed_diff(target, post, on, include_update_preimage=True),
+                table, on, preimages=True,
+            )
         )
     actions.insert(
         0, _commit_info("MERGE", {"predicate": ",".join(on)})
@@ -1764,7 +1767,10 @@ def merge_cow_deltalog(
         cdc_keys = [MONTH_COL, *on]
         actions.extend(
             _stage_change_files(
-                _keyed_diff(affected, post, cdc_keys), table, cdc_keys
+                _keyed_diff(
+                    affected, post, cdc_keys, include_update_preimage=True
+                ),
+                table, cdc_keys, preimages=True,
             )
         )
     actions.insert(
@@ -2017,13 +2023,26 @@ def read_published_set_deltalog(
     }
 
 
-def _keyed_diff(old: DataFrame, new: DataFrame, on: Sequence[str]) -> DataFrame:
+def _keyed_diff(
+    old: DataFrame,
+    new: DataFrame,
+    on: Sequence[str],
+    include_update_preimage: bool = False,
+) -> DataFrame:
     """Keyed diff of two relations: ``_change_type`` ∈ insert /
     update_postimage / delete, rows carrying the post-image (inserts,
     updates) or the pre-image (deletes). One shuffle on the key,
     O(|old| + |new|). The shared diff kernel of :func:`delta_table_
     changes` (reader-side fallback) and the merge paths' commit-time
-    change-file ENCODING."""
+    change-file ENCODING.
+
+    ``include_update_preimage`` additionally emits the protocol's
+    ``update_preimage`` row per changed key (the old-side image, from
+    the SAME join via an exploded pair — no second join). The encoder
+    always asks for it: preimages are what make PER-COMMIT change
+    files COMPOSE across a multi-commit range (a key updated then
+    deleted must net to a delete carrying the range-start image, which
+    only the first commit's preimage preserves)."""
     on = list(on)
     value_cols = [c for c in new.columns if c not in on]
     inserts = new.join(old.select(on), on, "left_anti").select(
@@ -2035,21 +2054,40 @@ def _keyed_diff(old: DataFrame, new: DataFrame, on: Sequence[str]) -> DataFrame:
     out = inserts.unionByName(deletes)
     if value_cols:
         o = old.select(*on, *[F.col(c).alias(f"__old_{c}") for c in value_cols])
-        changed = (
-            new.join(o, on)
-            .filter(
-                ~F.struct(*value_cols).eqNullSafe(
-                    F.struct(*[F.col(f"__old_{c}") for c in value_cols])
-                )
+        joined = new.join(o, on).filter(
+            ~F.struct(*value_cols).eqNullSafe(
+                F.struct(*[F.col(f"__old_{c}") for c in value_cols])
             )
-            .select(F.lit("update_postimage").alias("_change_type"), *new.columns)
         )
+
+        def _img(tag: str, prefix: str) -> "F.Column":
+            return F.struct(
+                F.lit(tag).alias("_change_type"),
+                *[
+                    (
+                        F.col(f"{prefix}{c}") if c in value_cols else F.col(c)
+                    ).alias(c)
+                    for c in new.columns
+                ],
+            )
+
+        if include_update_preimage:
+            imgs = F.array(
+                _img("update_preimage", "__old_"),
+                _img("update_postimage", ""),
+            )
+            changed = joined.select(F.explode(imgs).alias("_e")).select("_e.*")
+        else:
+            changed = joined.select(_img("update_postimage", "").alias("_e")).select(
+                "_e.*"
+            )
         out = out.unionByName(changed)
     return out
 
 
 def _stage_change_files(
-    changes: DataFrame, table: str, keys: Sequence[str]
+    changes: DataFrame, table: str, keys: Sequence[str],
+    preimages: bool = False,
 ) -> list[dict]:
     """Write a commit's change rows as parquet under ``_change_data/``
     and return their ``cdc`` actions (protocol Change Data Feed shape;
@@ -2057,7 +2095,11 @@ def _stage_change_files(
     that asks for the same grain). A commit with ZERO changes still
     gets one (empty) change file: its cdc action is what tells a
     reader 'this commit is CDC-complete', distinguishing no-changes
-    from not-encoded."""
+    from not-encoded. ``preimages`` records that the change rows carry
+    ``update_preimage`` images (round 9) — the property that lets
+    :func:`delta_table_changes` serve MULTI-commit ranges by netting
+    per-commit files; logs written without it still serve
+    single-commit ranges."""
     staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
     changes.write.mode("overwrite").parquet(staging)
     cdc_dir = os.path.join(table, _CDC_DIR)
@@ -2083,6 +2125,7 @@ def _stage_change_files(
                     "size": size,
                     "dataChange": False,
                     "keys": list(keys),
+                    "preimages": bool(preimages),
                 }
             }
         )
@@ -2103,6 +2146,7 @@ def _stage_change_files(
                     "size": os.path.getsize(os.path.join(table, rel)),
                     "dataChange": False,
                     "keys": list(keys),
+                    "preimages": bool(preimages),
                 }
             }
         )
@@ -2128,12 +2172,114 @@ def _commit_cdc_actions(table: str, version: int) -> list[dict]:
     return out
 
 
+def _commit_no_data_change(table: str, version: int) -> bool:
+    """True when the committed version changed NO rows (OPTIMIZE's
+    dataChange:false rewrites, metadata-only commits like ADD
+    CONSTRAINT) — such commits are transparent to a CDC range, exactly
+    the real readChangeFeed's skip rule. Substring-scanned, never
+    JSON-parsed: an OPTIMIZE commit over 10^5 files must not cost a
+    driver parse of every action line."""
+    p = os.path.join(_log_path(table), f"{version:020d}.json")
+    if not os.path.exists(p):
+        return False
+    with open(p) as fh:
+        for line in fh:
+            if '"dataChange":true' in line or '"dataChange": true' in line:
+                return False
+    return True
+
+
+def _net_change_files(
+    spark: SparkSession,
+    table: str,
+    cdc_commits: Sequence[tuple[int, Sequence[str]]],
+    on: Sequence[str],
+    base: StructType,
+    include_preimages: bool,
+) -> DataFrame:
+    """NET the per-commit change files of a multi-commit range into
+    the range's keyed diff — exactly what the two-snapshot fallback
+    would produce, at O(sum of per-commit changes) instead of
+    O(|old| + |new|). Per key: the range's pre-image is the FIRST
+    event's preimage (update_preimage/delete row), the post-image the
+    LAST event's postimage (insert/update_postimage row); no pre →
+    net insert, no post → net delete, both → update iff the images
+    differ (a value that round-trips back nets to nothing). One key
+    shuffle (window) + one key join."""
+    from pyspark.sql import Window
+
+    on = list(on)
+    value_cols = [f.name for f in base.fields if f.name not in on]
+    cdc_schema = StructType().add("_change_type", "string")
+    for f in base.fields:
+        cdc_schema = cdc_schema.add(f)
+    parts = [
+        spark.read.schema(cdc_schema)
+        .parquet(*[os.path.join(table, p) for p in paths])
+        .withColumn("_cv", F.lit(v).cast("long"))
+        for v, paths in cdc_commits
+    ]
+    ev = parts[0]
+    for p in parts[1:]:
+        ev = ev.unionByName(p)
+    w = Window.partitionBy(*on)
+    ev = ev.withColumn("_vmin", F.min("_cv").over(w)).withColumn(
+        "_vmax", F.max("_cv").over(w)
+    )
+    pre = ev.filter(
+        (F.col("_cv") == F.col("_vmin"))
+        & F.col("_change_type").isin("delete", "update_preimage")
+    ).select(
+        *on,
+        F.lit(True).alias("_hp"),
+        *[F.col(c).alias(f"__pre_{c}") for c in value_cols],
+    )
+    post = ev.filter(
+        (F.col("_cv") == F.col("_vmax"))
+        & F.col("_change_type").isin("insert", "update_postimage")
+    ).select(
+        *on,
+        F.lit(True).alias("_hq"),
+        *[F.col(c).alias(f"__post_{c}") for c in value_cols],
+    )
+    j = pre.join(post, on, "full_outer")
+    cols = [f.name for f in base.fields]
+
+    def _row(tag: str, prefix: str) -> list:
+        return [F.lit(tag).alias("_change_type")] + [
+            (F.col(f"{prefix}{c}") if c in value_cols else F.col(c)).alias(c)
+            for c in cols
+        ]
+
+    inserts = j.filter(F.col("_hp").isNull() & F.col("_hq").isNotNull()).select(
+        *_row("insert", "__post_")
+    )
+    deletes = j.filter(F.col("_hq").isNull() & F.col("_hp").isNotNull()).select(
+        *_row("delete", "__pre_")
+    )
+    out = inserts.unionByName(deletes)
+    if value_cols:
+        both = j.filter(F.col("_hp").isNotNull() & F.col("_hq").isNotNull())
+        changed = both.filter(
+            ~F.struct(*[F.col(f"__pre_{c}") for c in value_cols]).eqNullSafe(
+                F.struct(*[F.col(f"__post_{c}") for c in value_cols])
+            )
+        )
+        out = out.unionByName(changed.select(*_row("update_postimage", "__post_")))
+        if include_preimages:
+            out = out.unionByName(
+                changed.select(*_row("update_preimage", "__pre_"))
+            )
+    return out
+
+
 def delta_table_changes(
     spark: SparkSession,
     table: str,
     from_version: int,
     to_version: int | None = None,
     on: Sequence[str] | None = None,
+    include_preimages: bool = False,
 ) -> DataFrame:
     """Row-level CHANGES between two committed versions — CDC *from*
     the warehouse (the consumer side of the reference's nightly sync:
@@ -2144,23 +2290,57 @@ def delta_table_changes(
       keyed-diff rows carrying the post-image (inserts/updates) or the
       pre-image (deletes); key = ``on`` (default: every column — then
       updates surface as delete+insert pairs, a keyless diff).
+      ``include_preimages`` additionally surfaces the protocol's
+      ``update_preimage`` rows (default off: the documented 3-type
+      net-diff shape stays byte-stable for existing consumers).
 
-    **O(changes) fast path** (round 8): the merge paths ENCODE each
-    commit's changes as parquet under ``_change_data/`` referenced by
-    ``cdc`` actions — when the requested range is a single commit
-    whose cdc actions exist and record the SAME key grain as ``on``,
-    the read is just those change files: no table scan at all, the
-    real protocol's Change Data Feed shape. Incremental consumers
-    walking version-by-version always hit it.
+    **O(changes) fast path**: the merge/DML paths ENCODE each commit's
+    changes as parquet under ``_change_data/`` referenced by ``cdc``
+    actions. A SINGLE-commit range at the encoded grain reads exactly
+    those files — no table scan. A MULTI-commit range (round 9) is
+    served from change files too, when every data-changing commit in
+    (from, to] is CDC-encoded at the requested grain WITH preimages
+    (cdc action ``preimages: true`` — logs from the previous revision
+    lack the flag and fall back): the per-commit keyed diffs are
+    NETTED per key (:func:`_net_change_files`), producing exactly the
+    two-snapshot diff at O(changes) cost. No-data-change commits in
+    the range (OPTIMIZE, metadata-only) are transparent, per the real
+    readChangeFeed's skip rule. This is the shape every incremental
+    consumer hits after missing a night of single-version tails.
 
-    Fallback (multi-commit ranges, non-encoded commits, different key
-    grain, expired commit JSONs): SNAPSHOT DIFF — reads both versions
-    and diffs on the key, O(|old| + |new|), correct at any grain."""
+    Fallback (non-encoded commits, different key grain, expired commit
+    JSONs, pre-round-9 encodings on multi-commit ranges): SNAPSHOT
+    DIFF — reads both versions and diffs on the key, O(|old| + |new|),
+    correct at any grain."""
     if to_version is None:
         to_version = _all_versions(table)[-1]
-    if on is not None and to_version == from_version + 1:
-        cdcs = _commit_cdc_actions(table, to_version)
-        if cdcs and all(c["cdc"].get("keys") == list(on) for c in cdcs):
+    if on is not None and to_version > from_version:
+        cdc_commits: list[tuple[int, list[str]]] = []
+        all_preimages = True
+        serveable = True
+        for v in range(from_version + 1, to_version + 1):
+            cdcs = _commit_cdc_actions(table, v)
+            if cdcs and all(c["cdc"].get("keys") == list(on) for c in cdcs):
+                cdc_commits.append(
+                    (v, [c["cdc"]["path"] for c in cdcs])
+                )
+                all_preimages = all_preimages and all(
+                    c["cdc"].get("preimages") for c in cdcs
+                )
+            elif _commit_no_data_change(table, v):
+                continue  # OPTIMIZE / metadata-only: CDC-transparent
+            else:
+                serveable = False
+                break
+        if serveable and not cdc_commits:
+            # nothing in the range changed data: empty diff, no scan
+            meta = _meta_spark(spark, table, to_version)
+            base = StructType.fromJson(json.loads(meta["schemaString"]))
+            empty = StructType().add("_change_type", "string")
+            for f in base.fields:
+                empty = empty.add(f)
+            return spark.createDataFrame([], empty)
+        if serveable and len(cdc_commits) == 1:
             # metaData only — via the Spark metadata path, never the
             # O(active-files) driver snapshot walk this fast path
             # exists to avoid
@@ -2170,11 +2350,27 @@ def delta_table_changes(
             schema = schema.add("_change_type", "string")
             for f in base.fields:
                 schema = schema.add(f)
-            paths = [os.path.join(table, c["cdc"]["path"]) for c in cdcs]
-            return spark.read.schema(schema).parquet(*paths)
+            paths = [
+                os.path.join(table, p) for _, paths in cdc_commits for p in paths
+            ]
+            df = spark.read.schema(schema).parquet(*paths)
+            if not include_preimages:
+                df = df.filter(F.col("_change_type") != "update_preimage")
+            return df
+        if serveable and all_preimages:
+            meta = _meta_spark(spark, table, to_version)
+            base = StructType.fromJson(json.loads(meta["schemaString"]))
+            return _net_change_files(
+                spark, table, cdc_commits, on, base, include_preimages
+            )
     old = read_delta_table(spark, table, version=from_version)
     new = read_delta_table(spark, table, version=to_version)
-    return _keyed_diff(old, new, on if on is not None else list(new.columns))
+    return _keyed_diff(
+        old,
+        new,
+        on if on is not None else list(new.columns),
+        include_update_preimage=include_preimages,
+    )
 
 
 def _make_delta_stream_source():
@@ -2374,8 +2570,123 @@ def register_delta_stream_source(spark: SparkSession) -> None:
     spark.dataSource.register(_make_delta_stream_source())
 
 
+def _sweep_staging_dirs(
+    table: str, now: float, staging_retention_sec: float
+) -> list[str]:
+    """Remove aged ``.staging-*`` dirs at the table root (one scandir —
+    O(root entries), never O(files)). The age gate is the real
+    protocol's retention check: an in-flight concurrent writer's
+    staging dir must not be swept from under it."""
+    removed = []
+    for e in os.scandir(table):
+        if not (e.is_dir() and e.name.startswith(".staging-")):
+            continue
+        if now - os.path.getmtime(e.path) < staging_retention_sec:
+            continue
+        shutil.rmtree(e.path, ignore_errors=True)
+        removed.append(e.name)
+    return removed
+
+
+def _vacuum_spark(
+    spark: SparkSession,
+    table: str,
+    keep: set[int],
+    cdc_needed: Sequence[str],
+    now: float,
+    staging_retention_sec: float,
+) -> list[str]:
+    """Distributed orphan selection for :func:`vacuum_delta`: the
+    NEEDED set is the union of each kept version's active adds
+    (Spark-reconciled, never a driver snapshot walk), candidates come
+    from a PARALLELIZED filesystem listing (one task per top-level
+    partition directory — per-partition imperative IO, the one shape
+    RDDs are for), and orphans are the anti-join. Only the orphan list
+    (what gets deleted anyway) reaches the driver — O(orphans) driver
+    memory instead of the python path's O(all files)."""
+    needed = None
+    for v in sorted(keep):
+        p = _active_adds_df(spark, table, v).select("path")
+        needed = p if needed is None else needed.unionByName(p)
+    cdc_df = spark.createDataFrame(
+        [(p,) for p in cdc_needed], "path string"
+    ) if cdc_needed else None
+    if needed is None:
+        needed = cdc_df if cdc_df is not None else spark.createDataFrame(
+            [], "path string"
+        )
+    elif cdc_df is not None:
+        needed = needed.unionByName(cdc_df)
+    top_dirs = [
+        e.name
+        for e in os.scandir(table)
+        if e.is_dir()
+        and e.name != _LOG_DIR
+        and not e.name.startswith(".staging-")
+    ]
+    # ("", False): non-recursive list of root-level files;
+    # (dir, True): recursive walk of one top-level partition subtree
+    tasks: list[tuple[str, bool]] = [("", False)] + [
+        (d, True) for d in sorted(top_dirs)
+    ]
+    base = table
+
+    def _ls(part):
+        import os as _os
+
+        for rel, rec in part:
+            root = _os.path.join(base, rel) if rel else base
+            if rec:
+                for r, _ds, fs in _os.walk(root):
+                    rr = _os.path.relpath(r, base)
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            yield (
+                                f if rr == "." else _os.path.join(rr, f),
+                                _os.path.getmtime(_os.path.join(r, f)),
+                            )
+            else:
+                for e in _os.scandir(root):
+                    if e.is_file() and e.name.endswith(".parquet"):
+                        yield (e.name, e.stat().st_mtime)
+
+    cand = spark.createDataFrame(
+        spark.sparkContext.parallelize(tasks, max(1, len(tasks)))
+        .mapPartitions(_ls),
+        "path string, mtime double",
+    )
+    orphans = (
+        cand.join(needed.distinct(), "path", "left_anti")
+        .where(F.lit(float(now)) - F.col("mtime") >= F.lit(
+            float(staging_retention_sec)
+        ))
+        .select("path")
+        .collect()
+    )
+    removed = []
+    touched_dirs = set()
+    for r in sorted(orphans, key=lambda r: r.path):
+        os.remove(os.path.join(table, r.path))
+        removed.append(r.path)
+        dn = os.path.dirname(r.path)
+        if dn:
+            touched_dirs.add(dn)
+    # drop partition dirs the vacuum emptied — attempted rmdir per
+    # touched dir (bottom-up), O(orphan dirs), failures mean non-empty
+    for dn in sorted(touched_dirs, key=len, reverse=True):
+        try:
+            os.removedirs(os.path.join(table, dn))
+        except OSError:
+            pass
+    return removed
+
+
 def vacuum_delta(
-    table: str, keep_versions: int = 2, staging_retention_sec: float = 3600
+    table: str,
+    keep_versions: int = 2,
+    staging_retention_sec: float = 3600,
+    spark: SparkSession | None = None,
+    spark_threshold: int | None = None,
 ) -> list[str]:
     """Retention GC: delete data files referenced by NO version in the
     keep window (latest ``keep_versions`` reconstructable versions stay
@@ -2384,24 +2695,40 @@ def vacuum_delta(
     the table are swept only past ``staging_retention_sec`` — a
     concurrent writer (mid-stage, or mid rename-to-commit) must never
     lose files to GC; pass 0 only when no writer can be live (the real
-    protocol's disabled-retention-duration-check testing mode)."""
+    protocol's disabled-retention-duration-check testing mode).
+
+    With ``spark`` provided and the estimated active-file count at or
+    above ``spark_threshold`` (default ``_SPARK_META_THRESHOLD``),
+    needed-set construction AND candidate listing run as distributed
+    jobs (:func:`_vacuum_spark`) — the driver handles only the orphan
+    list; below it, the driver-side walk wins on latency. Both paths
+    remove the same files (list-equality test-asserted)."""
     avail = _all_versions(table)
     if not avail:
         return []
     keep = set(avail[-keep_versions:]) if keep_versions > 0 else set()
-    needed: set[str] = set()
-    for v in keep:
-        files, _ = _snapshot_files(table, v)
-        needed.update(files)
     # change files stay referenced while their commit JSON is live (CDC
     # readers resolve through the commit's cdc actions); once
     # expire_delta_log retires the JSON they become ordinary
     # unreferenced parquet and age out through the same retention gate
-    for v in _versions(table):
-        for a in _commit_cdc_actions(table, v):
-            needed.add(a["cdc"]["path"])
-    removed = []
+    cdc_needed = [
+        a["cdc"]["path"]
+        for v in _versions(table)
+        for a in _commit_cdc_actions(table, v)
+    ]
     now = time.time()
+    thr = _SPARK_META_THRESHOLD if spark_threshold is None else spark_threshold
+    if spark is not None and _estimated_active_files(table) >= thr:
+        removed = _sweep_staging_dirs(table, now, staging_retention_sec)
+        removed += _vacuum_spark(
+            spark, table, keep, cdc_needed, now, staging_retention_sec
+        )
+        return sorted(removed)
+    needed: set[str] = set(cdc_needed)
+    for v in keep:
+        files, _ = _snapshot_files(table, v)
+        needed.update(files)
+    removed = []
     for root, dirs, files in os.walk(table, topdown=True):
         rel_root = os.path.relpath(root, table)
         if rel_root == ".":
@@ -2786,6 +3113,146 @@ def delta_cdc_changefiles(spark: SparkSession, sf_dir: str):
     )
 
 
+def plant_delta_cdc_multi_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Month-partitioned Delta fact + a MULTI-commit CDC-encoded
+    history over the MIN month m0 (k = o_orderkey, amounts exact
+    decimals):
+
+    - v0 create; v1 merge: updates k%4==0 → amount+1000;
+    - v2 merge: updates k%4==0 → amount+2000 (vs base) AND inserts
+      k%9==0 → key k+2·10⁹ at amount+7000;
+    - v3 OPTIMIZE m0 (dataChange:false — must be CDC-transparent);
+    - v4 merge with ``delete_unmatched_source``: original keys with
+      k%6==0 leave the source → month-scoped deletes. Keys with
+      k%12==0 are updated twice THEN deleted — the case whose net
+      delete must carry the version-0 image, which only the encoded
+      update_preimage rows preserve."""
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.functions import tsql
+
+    d = _fixture_dir(sf_dir, tag="deltacdcm_fix")
+    if len(_versions(d)) >= 5 and all(
+        c["cdc"].get("preimages") for c in _commit_cdc_actions(d, 1)
+    ):
+        return d
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        tsql.datekey(F.to_date("o_orderdate")).alias("datekey"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("amount"),
+    )
+    base = orders.withColumn("month", (F.col("datekey") / 100).cast("int"))
+    # 4 hash-split files per month at v0: deterministic small-file
+    # debris for the in-range OPTIMIZE (tiny SFs otherwise coalesce
+    # every month to one file and v3 would have nothing to compact)
+    write_delta_table(base.repartition(4, "k"), d, partition_by=["month"])
+    m0 = base.agg(F.min("month")).first()[0]
+    in_m0 = orders.filter((F.col("datekey") / 100).cast("int") == m0)
+    upd = in_m0.filter(F.col("k") % 4 == 0)
+    merge_cow_deltalog(  # v1
+        spark, d,
+        upd.select(
+            "k", "datekey",
+            (F.col("amount") + 1000).cast("decimal(18,4)").alias("amount"),
+        ),
+        on=["k"], datekey_col="datekey",
+    )
+    merge_cow_deltalog(  # v2: second update wave + inserts
+        spark, d,
+        upd.select(
+            "k", "datekey",
+            (F.col("amount") + 2000).cast("decimal(18,4)").alias("amount"),
+        ).unionByName(
+            in_m0.filter(F.col("k") % 9 == 0).select(
+                (F.col("k") + 2 * 10**9).alias("k"),
+                "datekey",
+                (F.col("amount") + 7000).cast("decimal(18,4)").alias("amount"),
+            )
+        ),
+        on=["k"], datekey_col="datekey",
+    )
+    res = optimize_delta(spark, d)  # v3: compacts the months v1/v2
+    # didn't rewrite — a dataChange:false commit INSIDE the CDC range
+    assert res["version"] == 3, f"fixture expects OPTIMIZE at v3, got {res}"
+    cur = read_delta_table(spark, d).filter(F.col("month") == m0)
+    merge_cow_deltalog(  # v4: month-scoped full sync drops k%6==0
+        spark, d,
+        cur.filter(
+            ~((F.col("k") < 2 * 10**9) & (F.col("k") % 6 == 0))
+        ).select("k", "datekey", "amount"),
+        on=["k"], datekey_col="datekey",
+        delete_unmatched_source=True,
+    )
+    return d
+
+
+@register(
+    "delta_cdc_multicommit",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS amount
+        FROM orders
+    ),
+    m0 AS (SELECT MIN(month) AS m FROM base),
+    legs AS (
+        SELECT 'insert' AS change_type,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(amount + 7000) AS DOUBLE) AS amount_sum
+        FROM base b CROSS JOIN m0 WHERE b.month = m0.m AND b.k % 9 = 0
+        UNION ALL
+        SELECT 'update_postimage',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(amount + 2000) AS DOUBLE)
+        FROM base b CROSS JOIN m0
+        WHERE b.month = m0.m AND b.k % 4 = 0 AND b.k % 6 <> 0
+        UNION ALL
+        SELECT 'delete',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(amount) AS DOUBLE)
+        FROM base b CROSS JOIN m0 WHERE b.month = m0.m AND b.k % 6 = 0
+    )
+    SELECT change_type, n_rows, amount_sum,
+           TRUE AS files_ok, TRUE AS matches_fallback
+    FROM legs
+    """,
+    doc="Multi-commit Change Data Feed (round 9): a 4-commit range "
+    "(two update waves, an insert wave, an OPTIMIZE that must be "
+    "CDC-transparent, a month-scoped delete sync) is served ENTIRELY "
+    "from the per-commit _change_data/ files — files_ok asserts via "
+    "inputFiles that no table data file is read — and the per-commit "
+    "keyed diffs NET to exactly the two-snapshot diff "
+    "(matches_fallback, checked row-for-row): keys updated twice then "
+    "deleted must surface as one delete carrying the version-0 image "
+    "(preserved only by the encoded update_preimage rows), updates "
+    "collapse to one post-image, and round-trips net to nothing.",
+)
+def delta_cdc_multicommit(spark: SparkSession, sf_dir: str):
+    """Scale: the range read costs O(sum of per-commit changes) — one
+    key shuffle to net — instead of the fallback's two full snapshot
+    reads; the consumer shape is 'catch up after missing a night'."""
+    d = plant_delta_cdc_multi_fixture(spark, sf_dir)
+    hi = _all_versions(d)[-1]
+    ch = delta_table_changes(spark, d, 0, hi, on=["month", "k"])
+    files = ch.inputFiles()
+    files_ok = bool(files) and all(_CDC_DIR in f for f in files)
+    old = read_delta_table(spark, d, version=0)
+    new = read_delta_table(spark, d, version=hi)
+    fb = _keyed_diff(old, new, ["month", "k"])
+    mismatch = ch.exceptAll(fb).count() + fb.exceptAll(ch).count()
+    return (
+        ch.groupBy(F.col("_change_type").alias("change_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount").cast("double").alias("amount_sum"),
+        )
+        .withColumn("files_ok", F.lit(files_ok))
+        .withColumn("matches_fallback", F.lit(mismatch == 0))
+    )
+
+
 # --------------------------------------------------------------------------
 # Table maintenance on the log (round 8): OPTIMIZE (small-file bin-packing)
 # and Z-ORDER clustering — the two jobs every real lakehouse schedules.
@@ -2799,6 +3266,7 @@ def optimize_delta(
     target_file_rows: int | None = None,
     partition_filter: Mapping[str, object] | None = None,
     zorder_by: Sequence[str] | None = None,
+    spark_threshold: int | None = None,
 ) -> dict:
     """OPTIMIZE: rewrite the snapshot's SMALL files (< ``small_file_
     bytes``) bin-packed into few large ones, committed as one atomic
@@ -2816,16 +3284,26 @@ def optimize_delta(
 
     Scale: reads only the small files (O(debris), not O(table)),
     shuffles once (repartition or range-by-z), and commits O(touched)
-    metadata. A 100 TB table with per-month streaming appends runs this
-    per closed month; untouched months' files stay byte-identical.
-    Small tables skip out with files_removed == 0 when nothing
-    qualifies. Returns {version, files_removed, files_added, bytes_in,
-    partitions_touched}; version None when nothing to do."""
+    metadata. Above ``spark_threshold`` estimated active files
+    (default ``_SPARK_META_THRESHOLD``) the small-file SELECTION runs
+    as a DataFrame job over the Spark-reconciled active adds too —
+    only the qualifying debris (which the rewrite must read anyway)
+    reaches the driver, closing the last O(active-files) driver walk
+    this function had. A 100 TB table with per-month streaming appends
+    runs this per closed month; untouched months' files stay
+    byte-identical. Small tables skip out with files_removed == 0 when
+    nothing qualifies. Returns {version, files_removed, files_added,
+    bytes_in, partitions_touched}; version None when nothing to do."""
     avail = _all_versions(table)
     if not avail:
         raise FileNotFoundError(f"not a delta table (no log): {table}")
     pinned = avail[-1]
-    active, meta, _ = _snapshot_state(table, pinned)
+    thr = _SPARK_META_THRESHOLD if spark_threshold is None else spark_threshold
+    use_spark_meta = _estimated_active_files(table) >= thr
+    if use_spark_meta:
+        meta = _meta_spark(spark, table, pinned)
+    else:
+        active, meta, _ = _snapshot_state(table, pinned)
     pcols = list(meta.get("partitionColumns") or [])
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     want = None
@@ -2845,21 +3323,59 @@ def optimize_delta(
         }
     # group qualifying small files by their partition tuple
     groups: dict[tuple, list[str]] = {}
-    for p, a in active.items():
-        pv = a.get("partitionValues") or {}
-        if want is not None and not all(
-            pv.get(k) in vs for k, vs in want.items()
-        ):
-            continue
-        if a.get("size", 0) >= small_file_bytes:
-            continue
-        key = tuple(pv.get(c) for c in pcols)
-        groups.setdefault(key, []).append(p)
-    # a partition with a single small file and nothing to merge into is
-    # already as packed as it can get
-    groups = {k: v for k, v in groups.items() if len(v) > 1}
+    sizes: dict[str, int] = {}
+    if use_spark_meta:
+        adds = _active_adds_df(spark, table, pinned).select(
+            "path",
+            "size",
+            *[
+                F.col("partitionValues").getItem(c).alias(f"__p_{c}")
+                for c in pcols
+            ],
+        ).where(F.col("size") < small_file_bytes)
+        if want is not None:
+            for k, vs in want.items():
+                col = F.col(f"__p_{k}")
+                non_null = sorted(x for x in vs if x is not None)
+                cond = col.isin(non_null) if non_null else F.lit(False)
+                if None in vs:
+                    cond = cond | col.isNull()
+                adds = adds.where(cond)
+        key_cols = [f"__p_{c}" for c in pcols]
+        if key_cols:
+            # keep only partitions with >1 small file: map-side partial
+            # count + semi join, no window
+            multi = (
+                adds.groupBy(*key_cols)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .where(F.col("_n") > 1)
+                .select(*key_cols)
+            )
+            adds = adds.join(multi, key_cols, "left_semi")
+        # O(debris) reaches the driver — the rewrite reads these anyway
+        for r in adds.collect():
+            key = tuple(r[f"__p_{c}"] for c in pcols)
+            groups.setdefault(key, []).append(r.path)
+            sizes[r.path] = r.size or 0
+        if not key_cols and sum(len(v) for v in groups.values()) <= 1:
+            groups = {}
+    else:
+        for p, a in active.items():
+            pv = a.get("partitionValues") or {}
+            if want is not None and not all(
+                pv.get(k) in vs for k, vs in want.items()
+            ):
+                continue
+            if a.get("size", 0) >= small_file_bytes:
+                continue
+            key = tuple(pv.get(c) for c in pcols)
+            groups.setdefault(key, []).append(p)
+            sizes[p] = a.get("size", 0)
+        # a partition with a single small file and nothing to merge
+        # into is already as packed as it can get
+        groups = {k: v for k, v in groups.items() if len(v) > 1}
     bytes_in = sum(
-        active[p].get("size", 0) for files in groups.values() for p in files
+        sizes[p] for files in groups.values() for p in files
     )
     if not groups:
         return {
@@ -3284,8 +3800,13 @@ def delete_delta(
         changes = doomed.select(
             F.lit("delete").alias("_change_type"), *touched.columns
         )
+        # all-columns grain: no update events exist at this grain, so
+        # the preimage set is (vacuously) complete — multi-commit
+        # netting over a DELETE commit composes correctly
         actions.extend(
-            _stage_change_files(changes, table, sorted(touched.columns))
+            _stage_change_files(
+                changes, table, sorted(touched.columns), preimages=True
+            )
         )
     _commit(table, pinned + 1, actions)
     return {
@@ -3395,7 +3916,8 @@ def update_delta(
         ).select(F.lit("insert").alias("_change_type"), "*")
         actions.extend(
             _stage_change_files(
-                deletes.unionByName(inserts), table, sorted(touched.columns)
+                deletes.unionByName(inserts), table, sorted(touched.columns),
+                preimages=True,  # keyless grain: no update events exist
             )
         )
     _commit(table, pinned + 1, actions)

@@ -1058,6 +1058,24 @@ def test_spark_metadata_holds_at_1e5_files(spark, tmp_path):
     # driver-side O(files) python walk creeping back in)
     assert t_prune < 30.0
 
+    # round 9: OPTIMIZE selection and VACUUM orphan selection route
+    # through the same Spark metadata at this scale (the estimator is
+    # above the default threshold, so NO spark_threshold override —
+    # this asserts the automatic routing). The planted 1 GB fakes
+    # exceed small_file_bytes, so optimize must find only the 8 real
+    # small files (one partition); vacuum must keep everything the
+    # snapshot references and the planted fakes are only metadata.
+    res = dl.optimize_delta(spark, d, small_file_bytes=32 << 20)
+    assert res["partitions_touched"] == 1 and res["files_removed"] == 8
+    removed = dl.vacuum_delta(
+        d, keep_versions=1, staging_retention_sec=0.0, spark=spark
+    )
+    # the only on-disk orphans are the 8 pre-optimize real files
+    assert len(removed) == 8
+    assert dl.read_delta_table(
+        spark, d, partition_filter={"month": 190001}
+    ).count() == 8
+
 
 # --------------------------------------------------------------------------
 # Round-8 O(changes) CDC: commit-time change files, fast-path reads,
@@ -1441,6 +1459,9 @@ def test_delta_stream_cdc_mode(spark, tmp_path):
         }
         assert got == {
             ("insert", 0, 10, 0), ("insert", 1, 11, 0),
+            # round 9: the encoder stages update_preimage rows too (the
+            # real readChangeFeed emits both images per update)
+            ("update_preimage", 1, 11, 1),
             ("update_postimage", 1, 99, 1), ("insert", 5, 55, 1),
             ("insert", 7, 77, 2),
         }
@@ -1844,3 +1865,198 @@ def test_write_constraints_enforced_on_staged_bytes(spark, table, monkeypatch):
         os.path.basename(table) in f and f.endswith(".parquet")
         for f in seen["files"]
     )
+
+
+def test_multicommit_cdc_nets_to_snapshot_diff(spark, tmp_path):
+    """Round-9 VERDICT item 1: a multi-commit CDC range is served by
+    NETTING per-commit change files — update-then-delete nets to one
+    delete with the range-start image, a value round-trip nets to
+    nothing, insert-then-delete vanishes, and a metadata-only commit
+    in the range is transparent. Encodings without preimages (pre-r9
+    logs) fall back to the snapshot diff."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "mc")
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v long")
+    dl.write_delta_table(mk([(k, k * 10) for k in range(10)]).coalesce(1), d)
+    # v1: update k=1 -> 111, delete k=5, insert k=10
+    merge_upsert_deltalog(
+        spark, d,
+        mk([(0, 0), (1, 111), (2, 20), (3, 30), (4, 40), (6, 60), (7, 70),
+            (8, 80), (9, 90), (10, 100)]),
+        on=["k"], delete_unmatched_source=True,
+    )
+    # v2: k=1 ROUND-TRIPS back to 10, k=2 -> 222, k=10 deleted
+    merge_upsert_deltalog(
+        spark, d,
+        mk([(0, 0), (1, 10), (2, 222), (3, 30), (4, 40), (6, 60), (7, 70),
+            (8, 80), (9, 90)]),
+        on=["k"], delete_unmatched_source=True,
+    )
+    # v3: metadata-only commit — must be CDC-transparent
+    dl.add_check_constraint(spark, d, "v_sane", "v > -999")
+    # v4: k=2 -> 2222 (second update), k=3 deleted
+    merge_upsert_deltalog(
+        spark, d,
+        mk([(0, 0), (1, 10), (2, 2222), (4, 40), (6, 60), (7, 70), (8, 80),
+            (9, 90)]),
+        on=["k"], delete_unmatched_source=True,
+    )
+    ch = dl.delta_table_changes(spark, d, 0, 4, on=["k"])
+    assert ch.inputFiles() and all(
+        dl._CDC_DIR in f for f in ch.inputFiles()
+    ), "multi-commit range must be served from change files only"
+    got = {(r._change_type, r.k, r.v) for r in ch.collect()}
+    assert got == {
+        ("delete", 3, 30),        # untouched then deleted: v0 image
+        ("delete", 5, 50),        # deleted at v1
+        ("update_postimage", 2, 2222),  # two updates collapse to one
+    }  # k=1 round-trip and k=10 insert+delete net to NOTHING
+    # preimages on request: the net update's OLD image is v0's
+    withpre = {
+        (r._change_type, r.k, r.v)
+        for r in dl.delta_table_changes(
+            spark, d, 0, 4, on=["k"], include_preimages=True
+        ).collect()
+    }
+    assert withpre == got | {("update_preimage", 2, 20)}
+    # equals the snapshot-diff fallback row-for-row
+    fb = dl._keyed_diff(
+        dl.read_delta_table(spark, d, version=0),
+        dl.read_delta_table(spark, d, version=4),
+        ["k"],
+    )
+    assert {(r._change_type, r.k, r.v) for r in fb.collect()} == got
+    # different grain -> fallback (reads table files), same net rows
+    ch_all = dl.delta_table_changes(spark, d, 0, 4, on=["k", "v"])
+    assert any(dl._CDC_DIR not in f for f in ch_all.inputFiles())
+    # a pre-round-9 encoding (no preimages) forces the fallback for
+    # multi-commit ranges but stays correct
+    log = os.path.join(d, "_delta_log", f"{1:020d}.json")
+    with open(log) as fh:
+        txt = fh.read()
+    assert '"preimages":true' in txt
+    os.remove(log)
+    with open(log, "w") as fh:
+        fh.write(txt.replace('"preimages":true', '"preimages":false'))
+    ch_old = dl.delta_table_changes(spark, d, 0, 4, on=["k"])
+    assert any(dl._CDC_DIR not in f for f in ch_old.inputFiles())
+    assert {(r._change_type, r.k, r.v) for r in ch_old.collect()} == got
+    # single-commit fast path is UNAFFECTED by the missing flag
+    ch1 = dl.delta_table_changes(spark, d, 0, 1, on=["k"])
+    assert all(dl._CDC_DIR in f for f in ch1.inputFiles())
+    assert {(r._change_type, r.k, r.v) for r in ch1.collect()} == {
+        ("insert", 10, 100), ("update_postimage", 1, 111), ("delete", 5, 50),
+    }
+
+
+def test_multicommit_cdc_empty_range_no_scan(spark, tmp_path):
+    """A range containing only no-data-change commits yields an empty
+    diff WITHOUT reading anything."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "mt")
+    dl.write_delta_table(
+        spark.createDataFrame([(1, 2)], "k long, v long").coalesce(1), d
+    )
+    dl.add_check_constraint(spark, d, "c1", "v > 0")
+    dl.add_check_constraint(spark, d, "c2", "k > 0")
+    ch = dl.delta_table_changes(spark, d, 0, 2, on=["k"])
+    assert ch.count() == 0 and not ch.inputFiles()
+    assert ch.columns == ["_change_type", "k", "v"]
+
+
+def test_optimize_vacuum_spark_paths_match_python(spark, tmp_path):
+    """Round-9 VERDICT item 2: OPTIMIZE's small-file selection and
+    VACUUM's orphan selection run as distributed jobs above the
+    threshold and select EXACTLY what the driver-python path selects —
+    the last two O(active-files) driver operations now route through
+    Spark like read/merge/checkpoint."""
+    import shutil as sh
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    src = str(tmp_path / "src")
+    df = spark.range(400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2 + 202401).alias("month"),
+        (F.col("id") * 3).alias("v"),
+    ).repartition(6, "k")
+    dl.write_delta_table(df, src, partition_by=["month"])
+    dl.write_delta_table(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"), F.lit(202401).alias("month"),
+            F.lit(0).alias("v"),
+        ),
+        src, mode="append",
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sh.copytree(src, a)
+    sh.copytree(src, b)
+    ra = dl.optimize_delta(spark, a, small_file_bytes=1 << 20)
+    rb = dl.optimize_delta(spark, b, small_file_bytes=1 << 20,
+                           spark_threshold=0)
+    assert ra["files_removed"] == rb["files_removed"] > 0
+    assert ra["partitions_touched"] == rb["partitions_touched"]
+    assert ra["bytes_in"] == rb["bytes_in"]
+
+    def removes(t, v):
+        return sorted(
+            x["remove"]["path"]
+            for x in dl._read_actions(t, v)
+            if "remove" in x
+        )
+
+    assert removes(a, ra["version"]) == removes(b, rb["version"])
+    assert (
+        dl.read_delta_table(spark, a).count()
+        == dl.read_delta_table(spark, b).count()
+        == 410
+    )
+    # partition-filtered optimize agrees too
+    a2, b2 = str(tmp_path / "a2"), str(tmp_path / "b2")
+    sh.copytree(src, a2)
+    sh.copytree(src, b2)
+    ra2 = dl.optimize_delta(
+        spark, a2, small_file_bytes=1 << 20,
+        partition_filter={"month": 202401},
+    )
+    rb2 = dl.optimize_delta(
+        spark, b2, small_file_bytes=1 << 20,
+        partition_filter={"month": 202401}, spark_threshold=0,
+    )
+    assert removes(a2, ra2["version"]) == removes(b2, rb2["version"])
+    assert ra2["partitions_touched"] == rb2["partitions_touched"] == 1
+
+    # vacuum after optimize: identical removed sets (the optimize
+    # debris shares names across the copied trees), identical reads
+    va = dl.vacuum_delta(a, keep_versions=1, staging_retention_sec=0.0)
+    vb = dl.vacuum_delta(
+        b, keep_versions=1, staging_retention_sec=0.0,
+        spark=spark, spark_threshold=0,
+    )
+    assert va == vb and va
+    assert (
+        dl.read_delta_table(spark, a).count()
+        == dl.read_delta_table(spark, b).count()
+        == 410
+    )
+
+    # unpartitioned table: root-level files are listed by the
+    # non-recursive root task
+    u = str(tmp_path / "u")
+    dl.write_delta_table(
+        spark.range(5).select(F.col("id").alias("k")).coalesce(1), u
+    )
+    dl.write_delta_table(
+        spark.range(5, 9).select(F.col("id").alias("k")).coalesce(1), u
+    )  # overwrite orphans v0's file
+    u2 = str(tmp_path / "u2")
+    sh.copytree(u, u2)
+    vu = dl.vacuum_delta(u, keep_versions=1, staging_retention_sec=0.0)
+    vu2 = dl.vacuum_delta(
+        u2, keep_versions=1, staging_retention_sec=0.0,
+        spark=spark, spark_threshold=0,
+    )
+    assert vu == vu2 and len(vu) == 1
+    assert [r.k for r in dl.read_delta_table(spark, u2).orderBy("k").collect()] == [5, 6, 7, 8]
