@@ -80,6 +80,30 @@ Round 8 completes the lakehouse surface:
   (tests/fixtures/golden_delta) standing in for the environment-
   blocked delta-spark/duckdb-delta interop check.
 
+Round 9 closes the remaining scale seams:
+
+- **multi-commit CDC ranges** served from change files: the encoders
+  stage ``update_preimage`` rows (cdc action ``preimages: true``), so
+  :func:`delta_table_changes` NETS per-commit keyed diffs into exactly
+  the two-snapshot diff at O(changes) — no-data-change commits
+  transparent, pre-round-9 encodings fall back;
+- **deletion vectors** (:func:`delete_delta` / :func:`update_delta`
+  with ``deletion_vectors=True``): position sidecars under
+  ``_deletion_vectors/`` (documented parquet deviation from the
+  protocol's roaring bitmaps), applied by every reader at scan
+  (:func:`_apply_dv`), purged by OPTIMIZE, protocol-gated at
+  minReaderVersion 3 — a 10-row delete writes a KB sidecar instead of
+  re-encoding a GB file;
+- **OPTIMIZE/VACUUM metadata through Spark** above the threshold:
+  small-file selection and orphan-candidate selection are DataFrame
+  jobs; only the debris/orphan lists reach the driver;
+- **reconciled protocol through checkpoints** (:func:`_replay_protocol`
+  — constraint/DV version bumps survive checkpoint + log expiry) and a
+  reader-side protocol gate;
+- **month-close maintenance in the publish path**:
+  :func:`publish_set_deltalog` ``optimize=`` runs OPTIMIZE+Z-ORDER
+  between table write and set commit, pinning the maintained layout.
+
 Schema travels as Spark's schema JSON — which IS Delta's
 ``schemaString`` format. Interop caveat (same as every codec here):
 tables round-trip through this module and follow the public protocol
@@ -114,6 +138,18 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 _SET_DIR = "_set"
 #: per-commit change files (the protocol's Change Data Feed directory)
 _CDC_DIR = "_change_data"
+#: deletion-vector sidecars (row positions hidden from their data file).
+#: DEVIATION FROM THE PROTOCOL, documented: the real format stores
+#: z-ordered RoaringBitmaps in .bin sidecars; this writer stores plain
+#: parquet (file_name, row_index) positions — same O(deleted rows)
+#: semantics, readable by the engine's own tools, and the seam an
+#: interop adjudicator would flag first (golden fixture pins it)
+_DV_DIR = "_deletion_vectors"
+#: the add action's deletionVector reference as Spark DDL
+_DV_DDL = "struct<path:string,cardinality:bigint>"
+#: highest protocol reader version this engine understands (3 = knows
+#: deletion vectors; a table above this must be refused, not misread)
+_MAX_READER_VERSION = 3
 #: hive's directory-name encoding of a NULL partition value
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 
@@ -513,6 +549,15 @@ def _cp_schema():
                         ("modificationTime", pa.int64()),
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
+                        (
+                            "deletionVector",
+                            pa.struct(
+                                [
+                                    ("path", pa.string()),
+                                    ("cardinality", pa.int64()),
+                                ]
+                            ),
+                        ),
                     ]
                 ),
             ),
@@ -579,6 +624,7 @@ def checkpoint_delta(
                     "modificationTime": a.get("modificationTime", 0),
                     "dataChange": False,
                     "stats": a.get("stats"),
+                    "deletionVector": a.get("deletionVector"),
                 }
             }
         )
@@ -618,7 +664,8 @@ _CP_DDL = (
     "schemaString:string,partitionColumns:array<string>,"
     "configuration:map<string,string>,createdTime:bigint>,"
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
-    "modificationTime:bigint,dataChange:boolean,stats:string>"
+    f"modificationTime:bigint,dataChange:boolean,stats:string,"
+    f"deletionVector:{_DV_DDL}>"
 )
 
 
@@ -678,6 +725,7 @@ def _checkpoint_delta_spark(
             F.col("modificationTime").alias("modificationTime"),
             F.lit(False).alias("dataChange"),
             F.col("stats").alias("stats"),
+            F.col("deletionVector").alias("deletionVector"),
         ).alias("add"),
     )
     staging = os.path.join(_log_path(table), f".tmp-cpdir-{uuid.uuid4().hex}")
@@ -843,7 +891,8 @@ _SPARK_META_THRESHOLD = 200_000
 #: whole log once AND type partitionValues as a struct, not a map)
 _LOG_JSON_DDL = (
     "add struct<path:string,partitionValues:map<string,string>,size:bigint,"
-    "modificationTime:bigint,dataChange:boolean,stats:string>,"
+    f"modificationTime:bigint,dataChange:boolean,stats:string,"
+    f"deletionVector:{_DV_DDL}>,"
     "remove struct<path:string,deletionTimestamp:bigint,dataChange:boolean>,"
     "metaData struct<id:string,format:struct<provider:string>,"
     "schemaString:string,partitionColumns:array<string>,"
@@ -858,6 +907,7 @@ _ADD_FIELDS = (
     "modificationTime",
     "dataChange",
     "stats",
+    "deletionVector",
 )
 
 
@@ -900,7 +950,10 @@ def _active_adds_df(
     parts: list[DataFrame] = []
     if floor is not None:
         parts.append(
-            spark.read.parquet(_checkpoint_path(table, floor))
+            # explicit schema: checkpoints written before the
+            # deletionVector field resolve it as null
+            spark.read.schema(_CP_DDL)
+            .parquet(_checkpoint_path(table, floor))
             .where(F.col("add").isNotNull())
             .select(
                 F.lit(floor).cast("long").alias("_v"),
@@ -935,14 +988,20 @@ def _active_adds_df(
                 F.lit(None).cast("bigint").alias("modificationTime"),
                 F.lit(None).cast("boolean").alias("dataChange"),
                 F.lit(None).cast("string").alias("stats"),
+                F.lit(None).cast(_DV_DDL).alias("deletionVector"),
             )
         )
     acted = parts[0]
     for p in parts[1:]:
         acted = acted.unionByName(p)
-    # last action per path wins (this writer never adds+removes one path
-    # in a single commit: paths are fresh uuids)
-    w = Window.partitionBy("path").orderBy(F.col("_v").desc())
+    # last action per path wins; within ONE commit the add wins the tie
+    # — a deletion-vector update is remove(path, old DV) + add(path,
+    # new DV) in the same version, and the re-add is the new state
+    # (matching the driver replay, which applies a commit's removes
+    # before its adds in action order)
+    w = Window.partitionBy("path").orderBy(
+        F.col("_v").desc(), F.col("_is_add").desc()
+    )
     return (
         acted.withColumn("_rn", F.row_number().over(w))
         .where((F.col("_rn") == 1) & F.col("_is_add"))
@@ -1293,7 +1352,8 @@ def _pruned_files_spark(
     partition_filter: Mapping[str, object] | None,
     stats_filter: Mapping[str, tuple] | None,
     adds_df: DataFrame | None = None,
-) -> list[str]:
+    with_dv: bool = False,
+) -> list:
     """Partition + stats pruning as DATAFRAME filters over the active
     add actions — the 100 TB shape: predicate evaluation over 10^5-10^6
     add rows runs distributed, and only the SURVIVING paths (what the
@@ -1366,7 +1426,73 @@ def _pruned_files_spark(
                     adds = adds.where(~(stat.isNotNull() & viol))
                 # every other (bound type, column type) pair: no
                 # provably-sound comparison — keep all files
+    if with_dv:
+        rows = adds.select("path", "deletionVector").collect()
+        return sorted(
+            (
+                r.path,
+                r.deletionVector.asDict() if r.deletionVector else None,
+            )
+            for r in rows
+        )
     return sorted(r.path for r in adds.select("path").collect())
+
+
+def _apply_dv(
+    spark: SparkSession,
+    table: str,
+    df: DataFrame,
+    dv_refs: Mapping[str, Mapping],
+) -> DataFrame:
+    """Hide deletion-vector'd rows from a file-scan relation: ``dv_refs``
+    maps data-file rel-paths to their add action's ``deletionVector``
+    {path, cardinality}. The scan gains (file basename, physical
+    ``_metadata.row_index``) join keys and LEFT-ANTI joins the sidecar
+    positions — DVs are small by design (a selective scrub), so the
+    anti-join broadcasts. Rows of a sidecar are honored only for files
+    whose CURRENT add references that sidecar (a later DV update
+    supersedes an older shared sidecar). The single choke point every
+    data reader of a DV-capable path goes through."""
+    if not dv_refs:
+        return df
+    dv = _dv_positions_df(spark, table, dv_refs)
+    fn = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    return (
+        df.withColumn("__dv_fn", fn)
+        .withColumn("__dv_ri", F.col("_metadata.row_index"))
+        .join(
+            F.broadcast(
+                dv.withColumnRenamed("file_name", "__dv_fn")
+                .withColumnRenamed("row_index", "__dv_ri")
+            ),
+            ["__dv_fn", "__dv_ri"],
+            "left_anti",
+        )
+        .drop("__dv_fn", "__dv_ri")
+    )
+
+
+def _read_files(
+    spark: SparkSession,
+    table: str,
+    schema: StructType,
+    pcols: Sequence[str],
+    files: Sequence[str],
+    dv_refs: Mapping[str, Mapping] | None = None,
+) -> DataFrame:
+    """The snapshot-fragment relation over explicit data files, with
+    deletion vectors applied — the one reader every snapshot consumer
+    (read, merge, DML probe/rewrite, optimize) routes through."""
+    if not files:
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema)
+    if pcols:
+        # hive layout: partition column values come from the directory
+        # names (identical to the recorded partitionValues by
+        # construction)
+        reader = reader.option("basePath", table)
+    df = reader.parquet(*[os.path.join(table, f) for f in files])
+    return _apply_dv(spark, table, df, dv_refs or {})
 
 
 def read_delta_table(
@@ -1396,20 +1522,30 @@ def read_delta_table(
     (:func:`_pruned_files_spark`) — the driver handles only the
     surviving path list; below it, driver-side Python wins on
     latency."""
+    proto = _replay_protocol(table, version)
+    if proto["minReaderVersion"] > _MAX_READER_VERSION:
+        # the real reader's protocol gate: refusing beats misreading —
+        # an unknown feature (e.g. a future column-mapping mode) could
+        # make every returned row silently wrong
+        raise ValueError(
+            f"table requires protocol reader version "
+            f"{proto['minReaderVersion']}; this engine reads up to "
+            f"{_MAX_READER_VERSION}"
+        )
     thr = _SPARK_META_THRESHOLD if spark_threshold is None else spark_threshold
     if _estimated_active_files(table) >= thr:
         meta = _meta_spark(spark, table, version)
         schema = StructType.fromJson(json.loads(meta["schemaString"]))
         pcols = list(meta.get("partitionColumns") or [])
-        files = _pruned_files_spark(
-            spark, table, version, pcols, partition_filter, stats_filter
+        pairs = _pruned_files_spark(
+            spark, table, version, pcols, partition_filter, stats_filter,
+            with_dv=True,
         )
-        if not files:
-            return spark.createDataFrame([], schema)
-        reader = spark.read.schema(schema)
-        if pcols:
-            reader = reader.option("basePath", table)
-        return reader.parquet(*[os.path.join(table, f) for f in files])
+        return _read_files(
+            spark, table, schema, pcols,
+            [p for p, _ in pairs],
+            {p: d for p, d in pairs if d},
+        )
     active, meta, _ = _snapshot_state(table, version)
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     pcols = list(meta.get("partitionColumns") or [])
@@ -1486,14 +1622,14 @@ def read_delta_table(
             return True
 
         files = [p for p in files if _may_match(p)]
-    if not files:
-        return spark.createDataFrame([], schema)
-    reader = spark.read.schema(schema)
-    if pcols:
-        # hive layout: partition column values come from the directory
-        # names (identical to the recorded partitionValues by construction)
-        reader = reader.option("basePath", table)
-    return reader.parquet(*[os.path.join(table, f) for f in files])
+    return _read_files(
+        spark, table, schema, pcols, files,
+        {
+            p: active[p]["deletionVector"]
+            for p in files
+            if active[p].get("deletionVector")
+        },
+    )
 
 
 def merge_upsert_deltalog(
@@ -1720,25 +1856,27 @@ def merge_cow_deltalog(
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     data_cols = [f.name for f in schema.fields if f.name != MONTH_COL]
     if use_spark_meta:
-        affected_files = _pruned_files_spark(
+        pairs = _pruned_files_spark(
             spark, table, pinned, [MONTH_COL], {MONTH_COL: src_months}, None,
-            adds_df=adds_df,
+            adds_df=adds_df, with_dv=True,
         )
         adds_df.unpersist()
+        affected_files = [p for p, _ in pairs]
+        dv_refs = {p: d for p, d in pairs if d}
     else:
         affected_files = sorted(
             p
             for p, a in active.items()
             if a.get("partitionValues", {}).get(MONTH_COL) in month_strs
         )
-    if affected_files:
-        affected = (
-            spark.read.schema(schema)
-            .option("basePath", table)
-            .parquet(*[os.path.join(table, p) for p in affected_files])
-        )
-    else:
-        affected = spark.createDataFrame([], schema)
+        dv_refs = {
+            p: active[p]["deletionVector"]
+            for p in affected_files
+            if active[p].get("deletionVector")
+        }
+    affected = _read_files(
+        spark, table, schema, [MONTH_COL], affected_files, dv_refs
+    )
     merged = merge_upsert(
         affected.select([*data_cols, MONTH_COL]),
         _with_month(
@@ -1932,6 +2070,7 @@ def publish_set_deltalog(
     partition_by: Mapping[str, Sequence[str]] | None = None,
     max_retries: int = 5,
     checkpoint_interval: int = 10,
+    optimize: Mapping[str, Mapping] | None = None,
 ) -> int:
     """Publish MULTIPLE tables as ONE atomic unit through the Delta log;
     returns the SET version. The reference commits its dimension MERGEs
@@ -1948,7 +2087,15 @@ def publish_set_deltalog(
     so two racing publishes yield two totally-ordered set versions,
     each internally consistent — never a torn mix. Cross-RUN time
     travel: pin any historical set version and every table reads at
-    exactly the delta version that run published."""
+    exactly the delta version that run published.
+
+    ``optimize`` ({table: optimize_delta kwargs}, round 9) runs
+    month-close MAINTENANCE on named tables BETWEEN their write and
+    the coordinator commit — the set then pins the post-OPTIMIZE
+    (compacted / z-ordered) version, so every set reader gets the
+    maintained layout, not the raw publish debris (the reference's
+    incremental discipline, ``4. Billing Group/
+    BillingGroup_script.sql:91-107``)."""
     items = list(tables.items()) if isinstance(tables, Mapping) else list(tables)
     if not items:
         raise ValueError("publish_set of zero tables")
@@ -1963,6 +2110,7 @@ def publish_set_deltalog(
     os.makedirs(base_dir, exist_ok=True)
     pby = dict(partition_by or {})
     table_versions: dict[str, int] = {}
+    opts = dict(optimize or {})
     for name, df in items:
         tpath = os.path.join(base_dir, name)
         table_versions[name] = _occ_retry(
@@ -1971,6 +2119,11 @@ def publish_set_deltalog(
             ),
             max_retries,
         )
+        if name in opts:
+            res = optimize_delta(df.sparkSession, tpath, **opts[name])
+            if res["version"] is not None:
+                # pin the MAINTAINED layout in the set commit
+                table_versions[name] = res["version"]
         # the protocol's every-N-commits checkpoint cadence: long-lived
         # warehouses keep O(commits-since-checkpoint) snapshot reads
         # without manual maintenance
@@ -2420,11 +2573,22 @@ def _make_delta_stream_source():
 
             if hi <= lo:
                 return []
-            new_files, meta = _snapshot_files(self._table, hi)
+            active, meta, _ = _snapshot_state(self._table, hi)
+            new_files = sorted(active)
             if meta.get("partitionColumns"):
                 raise ValueError(
                     "deltalog_stream reads unpartitioned tables (partition "
                     "columns live in dir names, not the data files)"
+                )
+            if any(a.get("deletionVector") for a in active.values()):
+                # honest gate rather than silently resurrecting deleted
+                # rows: the simple (driver-prefetch) reader has no DV
+                # filter; read the batch table via read_delta_table
+                raise ValueError(
+                    "deltalog_stream: snapshot has deletion vectors — "
+                    "the streaming reader serves whole files; compact "
+                    "with optimize_delta (materializes DVs) first or "
+                    "use the cdc stream"
                 )
             old_files = (
                 set(_snapshot_files(self._table, lo)[0]) if lo >= 0 else set()
@@ -2606,7 +2770,14 @@ def _vacuum_spark(
     memory instead of the python path's O(all files)."""
     needed = None
     for v in sorted(keep):
-        p = _active_adds_df(spark, table, v).select("path")
+        adds = _active_adds_df(spark, table, v)
+        p = adds.select("path").unionByName(
+            # DV sidecars stay referenced while any kept add points at
+            # them — they are .parquet under the table tree too
+            adds.where(F.col("deletionVector").isNotNull()).select(
+                F.col("deletionVector.path").alias("path")
+            )
+        )
         needed = p if needed is None else needed.unionByName(p)
     cdc_df = spark.createDataFrame(
         [(p,) for p in cdc_needed], "path string"
@@ -2726,8 +2897,13 @@ def vacuum_delta(
         return sorted(removed)
     needed: set[str] = set(cdc_needed)
     for v in keep:
-        files, _ = _snapshot_files(table, v)
-        needed.update(files)
+        active, _, _ = _snapshot_state(table, v)
+        needed.update(active)
+        needed.update(
+            a["deletionVector"]["path"]
+            for a in active.values()
+            if a.get("deletionVector")
+        )
     removed = []
     for root, dirs, files in os.walk(table, topdown=True):
         rel_root = os.path.relpath(root, table)
@@ -3324,10 +3500,12 @@ def optimize_delta(
     # group qualifying small files by their partition tuple
     groups: dict[tuple, list[str]] = {}
     sizes: dict[str, int] = {}
+    dv_refs: dict[str, dict] = {}
     if use_spark_meta:
         adds = _active_adds_df(spark, table, pinned).select(
             "path",
             "size",
+            "deletionVector",
             *[
                 F.col("partitionValues").getItem(c).alias(f"__p_{c}")
                 for c in pcols
@@ -3343,12 +3521,18 @@ def optimize_delta(
                 adds = adds.where(cond)
         key_cols = [f"__p_{c}" for c in pcols]
         if key_cols:
-            # keep only partitions with >1 small file: map-side partial
-            # count + semi join, no window
+            # keep partitions with >1 small file OR any deletion vector
+            # (compaction is also how DVs get materialized away):
+            # map-side partial agg + semi join, no window
             multi = (
                 adds.groupBy(*key_cols)
-                .agg(F.count(F.lit(1)).alias("_n"))
-                .where(F.col("_n") > 1)
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.max(
+                        F.col("deletionVector").isNotNull().cast("int")
+                    ).alias("_dv"),
+                )
+                .where((F.col("_n") > 1) | (F.col("_dv") == 1))
                 .select(*key_cols)
             )
             adds = adds.join(multi, key_cols, "left_semi")
@@ -3357,7 +3541,13 @@ def optimize_delta(
             key = tuple(r[f"__p_{c}"] for c in pcols)
             groups.setdefault(key, []).append(r.path)
             sizes[r.path] = r.size or 0
-        if not key_cols and sum(len(v) for v in groups.values()) <= 1:
+            if r.deletionVector:
+                dv_refs[r.path] = r.deletionVector.asDict()
+        if (
+            not key_cols
+            and sum(len(v) for v in groups.values()) <= 1
+            and not dv_refs
+        ):
             groups = {}
     else:
         for p, a in active.items():
@@ -3371,9 +3561,16 @@ def optimize_delta(
             key = tuple(pv.get(c) for c in pcols)
             groups.setdefault(key, []).append(p)
             sizes[p] = a.get("size", 0)
+            if a.get("deletionVector"):
+                dv_refs[p] = a["deletionVector"]
         # a partition with a single small file and nothing to merge
-        # into is already as packed as it can get
-        groups = {k: v for k, v in groups.items() if len(v) > 1}
+        # into is already as packed as it can get — unless that file
+        # carries a deletion vector (rewriting it PURGES the DV)
+        groups = {
+            k: v
+            for k, v in groups.items()
+            if len(v) > 1 or any(p in dv_refs for p in v)
+        }
     bytes_in = sum(
         sizes[p] for files in groups.values() for p in files
     )
@@ -3383,10 +3580,12 @@ def optimize_delta(
             "bytes_in": 0, "partitions_touched": 0,
         }
     touched = sorted(f for files in groups.values() for f in files)
-    reader = spark.read.schema(schema)
-    if pcols:
-        reader = reader.option("basePath", table)
-    df = reader.parquet(*[os.path.join(table, f) for f in touched])
+    # DV'd small files compact too: the rewrite applies their deletion
+    # vectors (hidden rows stay deleted) and the packed files carry none
+    df = _read_files(
+        spark, table, schema, pcols, touched,
+        {p: dv_refs[p] for p in touched if p in dv_refs},
+    )
     if zorder_by:
         df = _zorder_frame(df, zorder_by, pcols)
     else:
@@ -3710,35 +3909,127 @@ def delta_optimize_zorder(spark: SparkSession, sf_dir: str):
 # --------------------------------------------------------------------------
 
 
-def _affected_files_for_predicate(
-    spark: SparkSession, table: str, pinned: int, cond, schema, pcols
-) -> tuple[list[str], dict[str, dict]]:
-    """Files of the pinned snapshot that CONTAIN matching rows — found
-    with ONE predicate-pushed scan carrying ``input_file_name`` (the
-    parquet reader skips row groups via its own stats, so the probe is
-    far cheaper than a full read), returned with the snapshot's active
-    map for the rewrite bookkeeping."""
-    active, _meta, _ = _snapshot_state(table, pinned)
+def _dv_refs_of(active: Mapping[str, Mapping], files) -> dict[str, dict]:
+    return {
+        p: active[p]["deletionVector"]
+        for p in files
+        if active[p].get("deletionVector")
+    }
+
+
+def _dv_positions_df(
+    spark: SparkSession, table: str, dv_refs: Mapping[str, Mapping]
+) -> DataFrame | None:
+    """The (file_name, row_index) positions hidden by ``dv_refs``
+    (add-path → deletionVector), honoring only rows of files whose
+    CURRENT add references that sidecar."""
+    if not dv_refs:
+        return None
+    by_sidecar: dict[str, list[str]] = {}
+    for p, ref in dv_refs.items():
+        by_sidecar.setdefault(ref["path"], []).append(os.path.basename(p))
+    dv = None
+    for sc, names in sorted(by_sidecar.items()):
+        part = (
+            spark.read.schema("file_name string, row_index bigint")
+            .parquet(os.path.join(table, sc))
+            .where(F.col("file_name").isin(sorted(names)))
+        )
+        dv = part if dv is None else dv.unionByName(part)
+    return dv
+
+
+def _stage_dv_sidecar(
+    spark: SparkSession, table: str, positions: DataFrame
+) -> tuple[str, dict[str, int], int]:
+    """Write one deletion-vector sidecar parquet under
+    ``_deletion_vectors/`` from a (file_name, row_index) relation and
+    return (rel path, per-file cardinality, size). One file — the add
+    action references a single sidecar; position volume is O(deleted
+    rows), the whole point of DVs (a delete big enough to strain one
+    task belongs in the rewrite mode)."""
+    staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
+    positions.coalesce(1).write.mode("overwrite").parquet(staging)
+    src = next(
+        os.path.join(staging, f)
+        for f in sorted(os.listdir(staging))
+        if f.endswith(".parquet")
+    )
+    os.makedirs(os.path.join(table, _DV_DIR), exist_ok=True)
+    rel = os.path.join(_DV_DIR, f"dv-{uuid.uuid4().hex}.parquet")
+    size = os.path.getsize(src)
+    os.rename(src, os.path.join(table, rel))
+    shutil.rmtree(staging, ignore_errors=True)
+    card = {
+        r.file_name: r.n
+        for r in spark.read.parquet(os.path.join(table, rel))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    return rel, card, size
+
+
+def _dv_filescan_with_positions(
+    spark: SparkSession,
+    table: str,
+    schema: StructType,
+    pcols: Sequence[str],
+    files: Sequence[str],
+    dv_refs: Mapping[str, Mapping],
+) -> DataFrame:
+    """The VISIBLE rows of ``files`` carrying their physical position
+    as ``__fn``/``__ri`` columns — the DV writers' probe relation (the
+    position columns are what a new sidecar is built from)."""
     reader = spark.read.schema(schema)
     if pcols:
         reader = reader.option("basePath", table)
-    full = reader.parquet(*[os.path.join(table, p) for p in sorted(active)])
-    hit_paths = {
+    raw = (
+        reader.parquet(*[os.path.join(table, f) for f in files])
+        .withColumn(
+            "__fn", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+        )
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    old = _dv_positions_df(spark, table, dv_refs)
+    if old is not None:
+        raw = raw.join(
+            F.broadcast(
+                old.withColumnRenamed("file_name", "__fn").withColumnRenamed(
+                    "row_index", "__ri"
+                )
+            ),
+            ["__fn", "__ri"],
+            "left_anti",
+        )
+    return raw
+
+
+def _affected_files_for_predicate(
+    spark: SparkSession, table: str, pinned: int, cond, schema, pcols
+) -> tuple[list[str], dict[str, dict]]:
+    """Files of the pinned snapshot that CONTAIN matching VISIBLE rows
+    — found with ONE predicate-pushed scan carrying
+    ``input_file_name`` (the parquet reader skips row groups via its
+    own stats, so the probe is far cheaper than a full read; rows
+    already hidden by a deletion vector don't count), returned with
+    the snapshot's active map for the rewrite bookkeeping."""
+    active, _meta, _ = _snapshot_state(table, pinned)
+    full = _dv_filescan_with_positions(
+        spark, table, schema, pcols, sorted(active),
+        _dv_refs_of(active, active),
+    )
+    hit_names = {
         r.f
         for r in full.filter(cond)
-        .select(F.input_file_name().alias("f"))
+        .select(F.col("__fn").alias("f"))
         .distinct()
         .collect()
     }
-    import urllib.parse
-
-    base = os.path.abspath(table)
-    rel = []
-    for h in hit_paths:
-        # input_file_name yields a file:// URI with %XX-encoded segments
-        p = urllib.parse.unquote(urllib.parse.urlparse(h).path or h)
-        rel.append(os.path.relpath(p, base))
-    return sorted(rel), active
+    # basenames are globally unique uuids by construction — map back to
+    # the add paths without any URI-decoding dance
+    by_name = {os.path.basename(p): p for p in active}
+    return sorted(by_name[n] for n in hit_names), active
 
 
 def delete_delta(
@@ -3746,21 +4037,38 @@ def delete_delta(
     table: str,
     condition,
     write_change_data: bool = True,
+    deletion_vectors: bool = False,
 ) -> dict:
     """DELETE…WHERE on the Delta table (reference O7 semantics,
-    ``spScript.sql`` delete shape): ONE atomic version that rewrites
-    ONLY the files containing matching rows (found via a
-    predicate-pushed probe scan); every other file stays referenced
-    and byte-identical. ``condition`` is a SQL string or Column.
-    Change data (full pre-image rows, ``_change_type='delete'``) is
-    encoded for the CDC stream; the keyed fast path serves it at the
-    all-columns grain. Returns {version, rows_deleted, files_rewritten,
-    files_kept}; version None when nothing matched.
+    ``spScript.sql`` delete shape): ONE atomic version touching ONLY
+    the files containing matching rows (found via a predicate-pushed
+    probe scan); every other file stays referenced and byte-identical.
+    ``condition`` is a SQL string or Column. Change data (full
+    pre-image rows, ``_change_type='delete'``) is encoded for the CDC
+    stream; the keyed fast path serves it at the all-columns grain.
+    Returns {version, rows_deleted, files_rewritten, files_dv,
+    files_kept, bytes_written}; version None when nothing matched.
+
+    Two physical strategies:
+
+    - ``deletion_vectors=False`` (copy-on-write): affected files are
+      REWRITTEN without the matching rows — read cost O(affected
+      files), write cost the same. Right when deletes are a large
+      fraction of the touched files.
+    - ``deletion_vectors=True`` (round 9): affected files stay
+      byte-identical; the commit re-adds them carrying a
+      ``deletionVector`` sidecar of hidden row positions
+      (``_deletion_vectors/`` parquet — see ``_DV_DIR`` for the
+      documented deviation from the protocol's roaring bitmaps).
+      Write cost O(deleted rows): deleting 10 rows from a 1 GB file
+      writes a KB sidecar instead of re-encoding the GB — the
+      reference's targeted scrub cadence (``3. Mapping and Cleanup of
+      PosFingerprints/script.sql:19-23``). Every reader applies DVs
+      at scan (:func:`_apply_dv`); OPTIMIZE materializes them away.
 
     Scale: probe scan is predicate-pushed and projects one virtual
-    column; the rewrite reads O(affected files) — a selective delete on
-    a clustered/z-ordered table touches a handful of files out of
-    10^5."""
+    column; a selective delete on a clustered/z-ordered table touches
+    a handful of files out of 10^5."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     avail = _all_versions(table)
     if not avail:
@@ -3774,46 +4082,90 @@ def delete_delta(
     )
     if not affected:
         return {
-            "version": None, "rows_deleted": 0,
-            "files_rewritten": 0, "files_kept": len(active),
+            "version": None, "rows_deleted": 0, "files_rewritten": 0,
+            "files_dv": 0, "files_kept": len(active), "bytes_written": 0,
         }
-    reader = spark.read.schema(schema)
-    if pcols:
-        reader = reader.option("basePath", table)
-    touched = reader.parquet(*[os.path.join(table, p) for p in affected])
-    doomed = touched.filter(cond)
-    n_deleted = doomed.count()
-    kept = touched.filter(~cond | cond.isNull())
+    dv_refs = _dv_refs_of(active, affected)
     now = int(time.time() * 1000)
     actions: list[dict] = [
         _commit_info(
             "DELETE",
-            {"predicate": condition if isinstance(condition, str) else str(condition)},
+            {
+                "predicate": condition
+                if isinstance(condition, str)
+                else str(condition),
+                "mode": "deletion_vectors" if deletion_vectors else "rewrite",
+            },
         )
     ]
     actions.extend(
         {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
         for p in affected
     )
-    actions.extend(_stage_data_files(kept, table, pcols))
+    if deletion_vectors:
+        # first DV on the table bumps the protocol: a reader that does
+        # not know deletionVector would silently RESURRECT deleted rows
+        # (the real format gates this behind minReaderVersion 3)
+        cur = _replay_protocol(table, pinned)
+        if cur["minReaderVersion"] < 3:
+            actions.insert(
+                1,
+                {"protocol": {"minReaderVersion": 3,
+                              "minWriterVersion": max(3, cur["minWriterVersion"])}},
+            )
+        vis = _dv_filescan_with_positions(
+            spark, table, schema, pcols, affected, dv_refs
+        )
+        doomed = vis.filter(cond)
+        n_deleted = doomed.count()
+        allpos = doomed.select(
+            F.col("__fn").alias("file_name"), F.col("__ri").alias("row_index")
+        )
+        old = _dv_positions_df(spark, table, dv_refs)
+        if old is not None:
+            # carry the affected files' previously hidden positions
+            # into the new sidecar — one authoritative DV per file
+            allpos = allpos.unionByName(old)
+        rel, card, bytes_written = _stage_dv_sidecar(spark, table, allpos)
+        for p in affected:
+            a = dict(active[p])
+            a["dataChange"] = True
+            a["deletionVector"] = {
+                "path": rel,
+                "cardinality": card.get(os.path.basename(p), 0),
+            }
+            actions.append({"add": a})
+        change_src = doomed.drop("__fn", "__ri")
+        files_rewritten, files_dv = 0, len(affected)
+    else:
+        touched = _read_files(spark, table, schema, pcols, affected, dv_refs)
+        doomed = touched.filter(cond)
+        n_deleted = doomed.count()
+        kept = touched.filter(~cond | cond.isNull())
+        adds = _stage_data_files(kept, table, pcols)
+        actions.extend(adds)
+        bytes_written = sum(a["add"]["size"] for a in adds)
+        change_src = doomed
+        files_rewritten, files_dv = len(affected), 0
     if write_change_data:
-        changes = doomed.select(
-            F.lit("delete").alias("_change_type"), *touched.columns
+        cols = [f.name for f in schema.fields]
+        changes = change_src.select(
+            F.lit("delete").alias("_change_type"), *cols
         )
         # all-columns grain: no update events exist at this grain, so
         # the preimage set is (vacuously) complete — multi-commit
         # netting over a DELETE commit composes correctly
         actions.extend(
-            _stage_change_files(
-                changes, table, sorted(touched.columns), preimages=True
-            )
+            _stage_change_files(changes, table, sorted(cols), preimages=True)
         )
     _commit(table, pinned + 1, actions)
     return {
         "version": pinned + 1,
         "rows_deleted": n_deleted,
-        "files_rewritten": len(affected),
+        "files_rewritten": files_rewritten,
+        "files_dv": files_dv,
         "files_kept": len(active) - len(affected),
+        "bytes_written": bytes_written,
     }
 
 
@@ -3823,14 +4175,19 @@ def update_delta(
     condition,
     set_exprs: Mapping[str, object],
     write_change_data: bool = True,
+    deletion_vectors: bool = False,
 ) -> dict:
     """UPDATE…WHERE on the Delta table (reference O5/O6 semantics):
-    same pruned-rewrite shape as :func:`delete_delta` — only files
-    containing matches are rewritten, matching rows get ``set_exprs``
-    ({col: SQL-string-or-Column}) applied, everything else is carried
-    through byte-identically. Change data carries the POST-image rows
-    (``update_postimage``). Returns {version, rows_updated,
-    files_rewritten, files_kept}."""
+    same pruned shape as :func:`delete_delta` — only files containing
+    matches are touched, matching rows get ``set_exprs``
+    ({col: SQL-string-or-Column}) applied. With
+    ``deletion_vectors=True`` the matched PRE rows are hidden by a DV
+    sidecar and the POST rows appended as new files — O(updated rows)
+    written instead of O(affected files); otherwise the classic
+    copy-on-write file rewrite. Change data carries delete(pre) +
+    insert(post) pairs (the truthful algebra at the keyless grain).
+    Returns {version, rows_updated, files_rewritten, files_dv,
+    files_kept, bytes_written}."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     sets = {
         c: (F.expr(e) if isinstance(e, str) else e)
@@ -3856,40 +4213,95 @@ def update_delta(
     )
     if not affected:
         return {
-            "version": None, "rows_updated": 0,
-            "files_rewritten": 0, "files_kept": len(active),
+            "version": None, "rows_updated": 0, "files_rewritten": 0,
+            "files_dv": 0, "files_kept": len(active), "bytes_written": 0,
         }
-    reader = spark.read.schema(schema)
-    if pcols:
-        reader = reader.option("basePath", table)
-    touched = reader.parquet(*[os.path.join(table, p) for p in affected])
+    dv_refs = _dv_refs_of(active, affected)
     match = cond & cond.isNotNull()
-    rewritten = touched.select(
-        *[
-            (
-                F.when(match, sets[f.name].cast(f.dataType))
-                .otherwise(F.col(f.name))
-                .alias(f.name)
-                if f.name in sets
-                else F.col(f.name)
-            )
-            for f in schema.fields
-        ]
-    )
-    n_updated = touched.filter(cond).count()
+
+    def _post_projection(frame):
+        return frame.select(
+            *[
+                (
+                    sets[f.name].cast(f.dataType).alias(f.name)
+                    if f.name in sets
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+
     now = int(time.time() * 1000)
     actions: list[dict] = [
         _commit_info(
             "UPDATE",
-            {"predicate": condition if isinstance(condition, str) else str(condition)},
+            {
+                "predicate": condition
+                if isinstance(condition, str)
+                else str(condition),
+                "mode": "deletion_vectors" if deletion_vectors else "rewrite",
+            },
         )
     ]
     actions.extend(
         {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
         for p in affected
     )
-    adds = _stage_data_files(rewritten, table, pcols)
-    actions.extend(adds)
+    if deletion_vectors:
+        # hide the matched PRE rows behind a DV; append the POST rows
+        # as new files — O(updated rows) written, not O(affected files)
+        cur = _replay_protocol(table, pinned)
+        if cur["minReaderVersion"] < 3:
+            actions.insert(
+                1,
+                {"protocol": {"minReaderVersion": 3,
+                              "minWriterVersion": max(3, cur["minWriterVersion"])}},
+            )
+        vis = _dv_filescan_with_positions(
+            spark, table, schema, pcols, affected, dv_refs
+        )
+        pre = vis.filter(match)
+        n_updated = pre.count()
+        allpos = pre.select(
+            F.col("__fn").alias("file_name"), F.col("__ri").alias("row_index")
+        )
+        old = _dv_positions_df(spark, table, dv_refs)
+        if old is not None:
+            allpos = allpos.unionByName(old)
+        rel, card, dv_bytes = _stage_dv_sidecar(spark, table, allpos)
+        for p in affected:
+            a = dict(active[p])
+            a["dataChange"] = True
+            a["deletionVector"] = {
+                "path": rel,
+                "cardinality": card.get(os.path.basename(p), 0),
+            }
+            actions.append({"add": a})
+        pre = pre.drop("__fn", "__ri")
+        adds = _stage_data_files(_post_projection(pre), table, pcols)
+        actions.extend(adds)
+        bytes_written = dv_bytes + sum(a["add"]["size"] for a in adds)
+        files_rewritten, files_dv = 0, len(affected)
+    else:
+        touched = _read_files(spark, table, schema, pcols, affected, dv_refs)
+        rewritten = touched.select(
+            *[
+                (
+                    F.when(match, sets[f.name].cast(f.dataType))
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                    if f.name in sets
+                    else F.col(f.name)
+                )
+                for f in schema.fields
+            ]
+        )
+        n_updated = touched.filter(cond).count()
+        adds = _stage_data_files(rewritten, table, pcols)
+        actions.extend(adds)
+        bytes_written = sum(a["add"]["size"] for a in adds)
+        pre = touched.filter(match)
+        files_rewritten, files_dv = len(affected), 0
     _enforce_constraints(
         _read_add_files(spark, table, schema, pcols, adds), meta
     )
@@ -3902,21 +4314,14 @@ def update_delta(
         # images re-apply the SET projection to the matched PRE rows
         # (exact, no join — the rewritten files no longer know which
         # rows matched).
-        pre = touched.filter(match)
-        deletes = pre.select(F.lit("delete").alias("_change_type"), "*")
-        inserts = pre.select(
-            *[
-                (
-                    sets[f.name].cast(f.dataType).alias(f.name)
-                    if f.name in sets
-                    else F.col(f.name)
-                )
-                for f in schema.fields
-            ]
-        ).select(F.lit("insert").alias("_change_type"), "*")
+        cols = [f.name for f in schema.fields]
+        deletes = pre.select(F.lit("delete").alias("_change_type"), *cols)
+        inserts = _post_projection(pre).select(
+            F.lit("insert").alias("_change_type"), "*"
+        )
         actions.extend(
             _stage_change_files(
-                deletes.unionByName(inserts), table, sorted(touched.columns),
+                deletes.unionByName(inserts), table, sorted(cols),
                 preimages=True,  # keyless grain: no update events exist
             )
         )
@@ -3924,8 +4329,10 @@ def update_delta(
     return {
         "version": pinned + 1,
         "rows_updated": n_updated,
-        "files_rewritten": len(affected),
+        "files_rewritten": files_rewritten,
+        "files_dv": files_dv,
         "files_kept": len(active) - len(affected),
+        "bytes_written": bytes_written,
     }
 
 
@@ -3933,12 +4340,18 @@ def plant_delta_dml_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Month-partitioned orders; v1 = DELETE…WHERE (min month, k%10==0),
     v2 = UPDATE…WHERE SET amount+=500 (same month, k%7==0 — the k%70
     overlap was deleted at v1 and must not resurface) — both as pruned
-    file rewrites with CDC encoding."""
+    file rewrites with CDC encoding. Round 9 adds the DELETION-VECTOR
+    legs: v3 = DELETE k%11==0 with ``deletion_vectors=True`` (files
+    stay byte-identical, a position sidecar hides the rows; bytes
+    written ≪ file bytes — measured in the test suite), v4 = UPDATE
+    k%13==0 amount+=300 with DVs (pre rows hidden + post rows
+    appended). Overlaps are the point: k%77 (7·11) rows were updated
+    at v2 then DV-deleted at v3; k%91 (7·13) updated twice."""
     from etl_loading_scripts_spark.catalog import load_table
     from etl_loading_scripts_spark.functions import tsql
 
     d = _fixture_dir(sf_dir, tag="deltadml_fix")
-    if len(_versions(d)) >= 3:
+    if len(_versions(d)) >= 5:
         return d
     if os.path.isdir(d):
         shutil.rmtree(d)
@@ -3954,6 +4367,13 @@ def plant_delta_dml_fixture(spark: SparkSession, sf_dir: str) -> str:
     # (k%70 overlap) must NOT resurface or double-apply
     update_delta(
         spark, d, f"month = {m0} AND k % 7 = 0", {"amount": "amount + 500"}
+    )
+    delete_delta(
+        spark, d, f"month = {m0} AND k % 11 = 0", deletion_vectors=True
+    )
+    update_delta(
+        spark, d, f"month = {m0} AND k % 13 = 0",
+        {"amount": "amount + 300"}, deletion_vectors=True,
     )
     return d
 
@@ -3973,16 +4393,28 @@ def plant_delta_dml_fixture(spark: SparkSession, sf_dir: str) -> str:
         WHERE NOT (b.month = mm.m0 AND b.k % 10 = 0)
     ),
     v2 AS (
-        SELECT b.month,
+        SELECT b.k, b.month,
                b.amount + CASE WHEN b.month = mm.m0 AND b.k % 7 = 0
                                THEN 500 ELSE 0 END AS amount
         FROM base b CROSS JOIN mm
         WHERE NOT (b.month = mm.m0 AND b.k % 10 = 0)
     ),
+    v3 AS (
+        SELECT v2.k, v2.month, v2.amount FROM v2 CROSS JOIN mm
+        WHERE NOT (v2.month = mm.m0 AND v2.k % 11 = 0)
+    ),
+    v4 AS (
+        SELECT v3.month,
+               v3.amount + CASE WHEN v3.month = mm.m0 AND v3.k % 13 = 0
+                               THEN 300 ELSE 0 END AS amount
+        FROM v3 CROSS JOIN mm
+    ),
     vs AS (
         SELECT 0 AS version, month, amount FROM base
         UNION ALL SELECT 1, month, amount FROM v1
         UNION ALL SELECT 2, month, amount FROM v2
+        UNION ALL SELECT 3, month, amount FROM v3
+        UNION ALL SELECT 4, month, amount FROM v4
     )
     SELECT version,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3990,22 +4422,26 @@ def plant_delta_dml_fixture(spark: SparkSession, sf_dir: str) -> str:
     FROM vs GROUP BY version
     """,
     doc="Row-level DELETE…WHERE and UPDATE…WHERE executed against the "
-    "Delta format as PRUNED FILE REWRITES (only files containing "
-    "matches are touched — predicate-pushed probe scan finds them; "
-    "reference O5-O7 semantics, spScript.sql's scrub/delete shapes): "
-    "all three versions stay time-travelable and their counts + exact "
+    "Delta format, first as PRUNED FILE REWRITES (v1/v2 — only files "
+    "containing matches are touched; reference O5-O7 semantics, "
+    "spScript.sql's scrub/delete shapes), then as DELETION-VECTOR "
+    "commits (v3/v4, round 9 — data files stay byte-identical, a "
+    "position sidecar hides deleted rows and updates append only post "
+    "rows: O(rows) written, the reference's targeted scrub cadence). "
+    "All five versions stay time-travelable and their counts + exact "
     "cent sums must match the arithmetic oracle; a lost row, a "
-    "double-applied SET, or a torn rewrite mismatches.",
+    "double-applied SET, a resurrected DV'd row, or a torn rewrite "
+    "mismatches.",
 )
 def delta_delete_update_dml(spark: SparkSession, sf_dir: str):
-    """Scale: the probe scan is predicate-pushed (row-group skipping),
-    the rewrite reads O(affected files) — a selective predicate on a
-    partitioned/z-ordered fact touches a handful of files; CDC encodes
-    the deletes/post-images for downstream consumers at no extra
-    scan."""
+    """Scale: the probe scan is predicate-pushed (row-group skipping);
+    the rewrite legs read O(affected files); the DV legs write
+    O(affected rows) — deleting a handful of rows from a 1 GB file
+    costs a KB sidecar; CDC encodes the deletes/post-images for
+    downstream consumers at no extra scan."""
     d = plant_delta_dml_fixture(spark, sf_dir)
     out = None
-    for v in (0, 1, 2):
+    for v in (0, 1, 2, 3, 4):
         snap = read_delta_table(spark, d, version=v)
         agg = snap.agg(
             F.lit(v).alias("version"),

@@ -27,6 +27,7 @@ linear, partition-parallel, and the price of restartability.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import time
@@ -38,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_loading_scripts_spark.pipeline.domain import Domain
+from etl_loading_scripts_spark.sources import write_bucketed
 from etl_loading_scripts_spark.pipeline.stages import (
     stage1_fingerprint_map,
     stage2_patron_dims,
@@ -83,6 +85,8 @@ def run_monthly_load_staged(
     snapshot: Callable[[], dict | None] | None = None,
     publish: bool = True,
     resume: bool = False,
+    month_close: bool = True,
+    bucketed: bool = False,
 ) -> tuple[Domain, dict, list[dict]]:
     """Execute stages 1-5 with checkpoint barriers under ``stage_dir``.
 
@@ -104,24 +108,62 @@ def run_monthly_load_staged(
     report: list[dict] = []
     metrics: dict[str, int] = {}
 
+    # ``bucketed=True`` (round 9, SCALING.md r8's named s2 target):
+    # barrier outputs on the REPEATED join keys persist as BUCKETED
+    # managed tables instead of plain parquet — the fact meets every
+    # stage's mapping on txn_id and the patron-dim states are
+    # probed/anti-joined on proxy_id, so with co-located buckets only
+    # the (smaller, derived) mapping side exchanges; the big side
+    # reads its buckets. At 1× the dims ride broadcasts and bucketing
+    # buys nothing; past the broadcast threshold (the 100× step the
+    # r8 measurement found) it removes the fact-side exchange from
+    # s2/s3/s4. Measured with tools/bench_scale100.py --bucketed.
+    bucket_keys = {"fact": ["txn_id"], "dim_patron": ["proxy_id"]}
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tbl_prefix = "stg_" + hashlib.md5(stage_dir.encode()).hexdigest()[:8]
+
+    def _bucket_table(name: str, key: str) -> str:
+        return f"{tbl_prefix}_{name}_{key}"
+
     def _resumable(path: str) -> bool:
         return resume and os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    def _persist(name: str, key: str, df: DataFrame, resumed: list) -> DataFrame:
+        if bucketed and key in bucket_keys:
+            tbl = _bucket_table(name, key)
+            if resume and spark.catalog.tableExists(tbl):
+                resumed.append(key)
+            else:
+                write_bucketed(df, tbl, bucket_keys[key], n_buckets=n_buckets)
+            return spark.table(tbl)
+        path = os.path.join(stage_dir, f"{name}_{key}")
+        if _resumable(path):
+            resumed.append(key)
+        else:
+            df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     def barrier(name: str, dfs: dict[str, DataFrame], stage_metrics: dict):
         t0 = time.time()
         profs = {}
         ckpt = {}
-        resumed = []
+        resumed: list = []
         for key, df in dfs.items():
-            path = os.path.join(stage_dir, f"{name}_{key}")
-            if _resumable(path):
-                ckpt[key] = spark.read.parquet(path)
-                resumed.append(key)
-                continue
-            if instrument is not None:
+            if instrument is not None and not (
+                resume
+                and (
+                    os.path.exists(
+                        os.path.join(stage_dir, f"{name}_{key}", "_SUCCESS")
+                    )
+                    or (
+                        bucketed
+                        and key in bucket_keys
+                        and spark.catalog.tableExists(_bucket_table(name, key))
+                    )
+                )
+            ):
                 profs[key] = instrument(df)
-            df.write.mode("overwrite").parquet(path)
-            ckpt[key] = spark.read.parquet(path)
+            ckpt[key] = _persist(name, key, df, resumed)
         rec: dict = {
             "stage": name,
             "wall_sec": round(time.time() - t0 + stage_metrics.pop("_wall", 0.0), 3),
@@ -151,6 +193,13 @@ def run_monthly_load_staged(
         17x-vs-10x shuffle slope at 10x fact (SCALING.md r6)."""
 
         def bar(df: DataFrame, name: str) -> DataFrame:
+            if bucketed and name.startswith("dim_patron"):
+                # wave states are what waves 2+ anti-join/probe on
+                # proxy_id — co-locate them like the barrier dims
+                tbl = _bucket_table(stage, name)
+                if not (resume and spark.catalog.tableExists(tbl)):
+                    write_bucketed(df, tbl, ["proxy_id"], n_buckets=n_buckets)
+                return spark.table(tbl)
             path = os.path.join(stage_dir, f"{stage}_{name}")
             if not _resumable(path):
                 df.write.mode("overwrite").parquet(path)
@@ -256,6 +305,18 @@ def run_monthly_load_staged(
         )
 
         t0 = time.time()
+        # month-close MAINTENANCE (round 9): the published fact is
+        # OPTIMIZEd + Z-ORDERed by (datekey, restaurant_key) between
+        # its write and the set commit, so every set reader gets tight
+        # per-file stats on the two columns next month's BI queries
+        # range over (S5's date-window-by-restaurant aggregations) —
+        # the publish debris never becomes the steady-state layout.
+        # Measured read-pruning delta recorded in SCALING.md r9.
+        opt = (
+            {"fact_transaction": {"zorder_by": ["datekey", "restaurant_key"]}}
+            if month_close
+            else None
+        )
         set_version = publish_set_deltalog(
             [
                 ("fact_transaction", out.fact_transaction),
@@ -265,11 +326,13 @@ def run_monthly_load_staged(
                 ("pos_fingerprints", out.pos_fingerprints),
             ],
             os.path.join(stage_dir, "publish"),
+            optimize=opt,
         )
         rec = {
             "stage": "s6_publish_deltalog",
             "wall_sec": round(time.time() - t0, 3),
             "set_version": set_version,
+            "month_close_optimize": bool(month_close),
         }
         if snapshot is not None:
             snap = snapshot()

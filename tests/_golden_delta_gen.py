@@ -64,6 +64,9 @@ def generate(spark, dest: str) -> None:
             [(2, 99, 1), (5, 50, 2)], "k int, v int, m int"
         )
         dl.merge_upsert_deltalog(spark, dest, src, on=["k"])
+        # v2 (round 9): a deletion-vector DELETE — pins the add action's
+        # deletionVector shape and the _deletion_vectors/ sidecar bytes
+        dl.delete_delta(spark, dest, "k = 3", deletion_vectors=True)
     finally:
         dl.uuid.uuid4 = real_uuid4
         dl.time.time = real_time

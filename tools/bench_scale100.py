@@ -78,6 +78,9 @@ DIMS = ["region", "nation", "supplier", "part"]
 
 
 def amplify(spark) -> None:
+    done = os.path.join(DST, "_AMPLIFIED_OK")
+    if os.path.exists(done):
+        return  # reuse the existing 100x copy (same SRC, same recipe)
     if os.path.isdir(DST):
         shutil.rmtree(DST)
     os.makedirs(DST)
@@ -114,6 +117,8 @@ def amplify(spark) -> None:
         out.drop("__copy").repartition(32).write.mode("overwrite").parquet(
             f"{DST}/{t}.parquet"
         )
+    with open(done, "w") as fh:
+        fh.write("ok\n")
 
 
 def run_query(spark, sf_dir: str, name: str, repeats: int) -> float:
@@ -128,7 +133,7 @@ def run_query(spark, sf_dir: str, name: str, repeats: int) -> float:
     return round(best, 3)
 
 
-def staged_run(spark, sf_dir: str) -> dict:
+def staged_run(spark, sf_dir: str, bucketed: bool = False) -> dict:
     dom = build_domain(spark, sf_dir)
     window = full_window(dom)
     stage_dir = tempfile.mkdtemp(prefix="pipe100_")
@@ -137,10 +142,15 @@ def staged_run(spark, sf_dir: str) -> dict:
         _, metrics, report = run_monthly_load_staged(
             spark, dom, window, stage_dir,
             snapshot=lambda: shuffle_snapshot(spark),
+            bucketed=bucketed,
         )
         total = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+        if bucketed:  # drop this run's bucketed managed tables
+            for t in spark.catalog.listTables():
+                if t.name.startswith("stg_"):
+                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
     return {
         "total_wall": total,
         "metrics": metrics,
@@ -152,6 +162,48 @@ def staged_run(spark, sf_dir: str) -> dict:
             for r in report
         },
     }
+
+
+def main_bucketed() -> None:
+    """--bucketed: the VERDICT-r8 item-5 measurement — the 100x staged
+    load PLAIN vs BUCKETED (fact barriers co-located on txn_id, patron
+    dim states on proxy_id), per-stage wall + shuffle deltas, identical
+    validations asserted. Prints ONE JSON line."""
+    spark = get_spark(
+        app_name="bench_scale100_bucketed",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4098"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    assert shuffle_snapshot(spark) is not None, "UI needed for REST metrics"
+    t0 = time.time()
+    amplify(spark)
+    print(f"# amplified {COPIES}x in {time.time() - t0:.1f}s", file=sys.stderr)
+    plain = staged_run(spark, DST)
+    print(f"# plain: {plain['total_wall']}s", file=sys.stderr, flush=True)
+    buck = staged_run(spark, DST, bucketed=True)
+    print(f"# bucketed: {buck['total_wall']}s", file=sys.stderr, flush=True)
+    assert plain["metrics"] == buck["metrics"], (
+        plain["metrics"], buck["metrics"],
+    )
+    stages = []
+    for stage in plain["stages"]:
+        a = plain["stages"][stage]
+        b = buck["stages"].get(stage, {})
+        stages.append({
+            "stage": stage,
+            "wall_plain": a["wall"], "wall_bucketed": b.get("wall"),
+            "shuffle_mb_plain": round(a.get("shuffle_bytes", 0) / 1e6, 1),
+            "shuffle_mb_bucketed": round(b.get("shuffle_bytes", 0) / 1e6, 1),
+        })
+        print(f"# {stages[-1]}", file=sys.stderr, flush=True)
+    print(json.dumps({
+        "metric": "scale100_bucketed_vs_plain",
+        "copies": COPIES,
+        "total_wall_plain": plain["total_wall"],
+        "total_wall_bucketed": buck["total_wall"],
+        "validations_equal": True,
+        "stages": stages,
+    }))
 
 
 def main() -> None:
@@ -207,4 +259,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--bucketed" in sys.argv:
+        main_bucketed()
+    else:
+        main()
