@@ -199,17 +199,23 @@ def _hive_escape(v: str) -> str:
     )
 
 
-def _part_match_forms(v) -> set:
-    """Every stored form a caller's partition-filter value may appear
-    as in add-action ``partitionValues``: the LOGICAL value (this
-    writer since round 8) plus its hive-ESCAPED form and, for null,
-    ``__HIVE_DEFAULT_PARTITION__`` — logs written by the pre-round-8
-    revision stored the escaped directory text, and a filter that only
-    matched logical values silently pruned every file of such a
-    table."""
+def _part_match_forms(v, legacy_escaped: bool = False) -> set:
+    """The stored forms a caller's partition-filter value matches in
+    add-action ``partitionValues``. Default: the LOGICAL value only
+    (what this writer stores since round 8), plus
+    ``__HIVE_DEFAULT_PARTITION__`` for null (pre-round-8 logs stored
+    it; matching it for a None filter is unambiguous — no logical
+    value collides with it). ``legacy_escaped`` ADDITIONALLY matches
+    the hive-ESCAPED form — required to read logs written by the
+    pre-round-8 revision (which stored escaped directory text), but
+    OPT-IN: on a current-writer table a value like ``a%2Fb`` is a
+    legitimate logical value distinct from ``a/b``, and matching both
+    forms unconditionally would return the wrong partition."""
     s = _norm_part_value(v)
     if s is None:
         return {None, _HIVE_NULL}
+    if not legacy_escaped:
+        return {s}
     e = _hive_escape(s)
     return {s, e} if e != s else {s}
 
@@ -471,6 +477,15 @@ def _checkpoint_path(table: str, version: int) -> str:
     return os.path.join(_log_path(table), f"{version:020d}.checkpoint.parquet")
 
 
+#: memo for _replay_protocol keyed by (table, floor, version) — commit
+#: JSONs and checkpoints are immutable once written, so the reconciled
+#: protocol for a resolved (floor, version) pair never changes; without
+#: this, the reader-side protocol gate re-scanned every replay commit's
+#: lines on EVERY read (a large merge commit is exactly what the driver
+#: must not re-read per call).
+_PROTOCOL_MEMO: dict[tuple, dict] = {}
+
+
 def _replay_protocol(table: str, version: int | None = None) -> dict:
     """The reconciled ``protocol`` action at ``version``: start from the
     checkpoint floor's protocol row (if any) and fold in every protocol
@@ -482,8 +497,13 @@ def _replay_protocol(table: str, version: int | None = None) -> dict:
     protocol-compliant external writer that doesn't know CHECK
     constraints would have been re-admitted, defeating the gate the
     constraint commit installed. Protocol lines are line-prefiltered so
-    a 10^5-action commit is never fully JSON-parsed for this."""
+    a 10^5-action commit is never fully JSON-parsed for this, and the
+    result is memoized per immutable (floor, version) pair."""
     floor, replay, version = _resolve_replay(table, version)
+    key = (os.path.abspath(table), floor, version)
+    hit = _PROTOCOL_MEMO.get(key)
+    if hit is not None:
+        return dict(hit)
     reader, writer = 1, 2
     if floor is not None:
         import pyarrow.parquet as pq
@@ -509,7 +529,11 @@ def _replay_protocol(table: str, version: int | None = None) -> dict:
                 if "protocol" in a:
                     reader = max(reader, a["protocol"].get("minReaderVersion", 1))
                     writer = max(writer, a["protocol"].get("minWriterVersion", 2))
-    return {"minReaderVersion": reader, "minWriterVersion": writer}
+    out = {"minReaderVersion": reader, "minWriterVersion": writer}
+    if len(_PROTOCOL_MEMO) > 4096:  # bound: sessions touch few tables
+        _PROTOCOL_MEMO.clear()
+    _PROTOCOL_MEMO[key] = dict(out)
+    return out
 
 
 def _cp_schema():
@@ -1353,6 +1377,7 @@ def _pruned_files_spark(
     stats_filter: Mapping[str, tuple] | None,
     adds_df: DataFrame | None = None,
     with_dv: bool = False,
+    legacy_escaped: bool = False,
 ) -> list:
     """Partition + stats pruning as DATAFRAME filters over the active
     add actions — the 100 TB shape: predicate evaluation over 10^5-10^6
@@ -1384,7 +1409,7 @@ def _pruned_files_spark(
                 for x in (
                     v if isinstance(v, (list, tuple, set, frozenset)) else [v]
                 )
-                for form in _part_match_forms(x)
+                for form in _part_match_forms(x, legacy_escaped)
             }
             col = F.col("partitionValues").getItem(k)
             non_null = sorted(x for x in vals if x is not None)
@@ -1502,6 +1527,7 @@ def read_delta_table(
     partition_filter: Mapping[str, object] | None = None,
     stats_filter: Mapping[str, tuple] | None = None,
     spark_threshold: int | None = None,
+    legacy_escaped_partition_values: bool = False,
 ) -> DataFrame:
     """Snapshot read at ``version`` (default: latest). Time travel and
     snapshot isolation fall out of the log replay: the file list is
@@ -1521,7 +1547,12 @@ def read_delta_table(
     as DataFrame jobs over the checkpoint + replay log
     (:func:`_pruned_files_spark`) — the driver handles only the
     surviving path list; below it, driver-side Python wins on
-    latency."""
+    latency.
+
+    ``legacy_escaped_partition_values`` additionally matches each
+    filter value's hive-ESCAPED form — pass True for tables whose log
+    was written by the pre-round-8 revision (escaped partitionValues);
+    see :func:`_part_match_forms` for why it is opt-in."""
     proto = _replay_protocol(table, version)
     if proto["minReaderVersion"] > _MAX_READER_VERSION:
         # the real reader's protocol gate: refusing beats misreading —
@@ -1540,6 +1571,7 @@ def read_delta_table(
         pairs = _pruned_files_spark(
             spark, table, version, pcols, partition_filter, stats_filter,
             with_dv=True,
+            legacy_escaped=legacy_escaped_partition_values,
         )
         return _read_files(
             spark, table, schema, pcols,
@@ -1560,7 +1592,9 @@ def read_delta_table(
                 for x in (
                     v if isinstance(v, (list, tuple, set, frozenset)) else [v]
                 )
-                for form in _part_match_forms(x)
+                for form in _part_match_forms(
+                    x, legacy_escaped_partition_values
+                )
             }
             for k, v in partition_filter.items()
         }
@@ -1623,12 +1657,7 @@ def read_delta_table(
 
         files = [p for p in files if _may_match(p)]
     return _read_files(
-        spark, table, schema, pcols, files,
-        {
-            p: active[p]["deletionVector"]
-            for p in files
-            if active[p].get("deletionVector")
-        },
+        spark, table, schema, pcols, files, _dv_refs_of(active, files)
     )
 
 
@@ -1869,11 +1898,7 @@ def merge_cow_deltalog(
             for p, a in active.items()
             if a.get("partitionValues", {}).get(MONTH_COL) in month_strs
         )
-        dv_refs = {
-            p: active[p]["deletionVector"]
-            for p in affected_files
-            if active[p].get("deletionVector")
-        }
+        dv_refs = _dv_refs_of(active, affected_files)
     affected = _read_files(
         spark, table, schema, [MONTH_COL], affected_files, dv_refs
     )
@@ -2120,7 +2145,21 @@ def publish_set_deltalog(
             max_retries,
         )
         if name in opts:
-            res = optimize_delta(df.sparkSession, tpath, **opts[name])
+            # maintenance is scoped to OUR just-committed version
+            # (require_version) and a version-number collision with an
+            # interleaved writer is swallowed — either way the set
+            # then pins OUR write, never a racing publisher's data
+            # (the no-torn-mix guarantee above), and per-table OCC
+            # ordering is preserved.
+            try:
+                res = optimize_delta(
+                    df.sparkSession, tpath,
+                    require_version=table_versions[name], **opts[name],
+                )
+            except RuntimeError as exc:
+                if "conflict" not in str(exc):
+                    raise
+                res = {"version": None}
             if res["version"] is not None:
                 # pin the MAINTAINED layout in the set commit
                 table_versions[name] = res["version"]
@@ -2493,7 +2532,14 @@ def delta_table_changes(
             for f in base.fields:
                 empty = empty.add(f)
             return spark.createDataFrame([], empty)
-        if serveable and len(cdc_commits) == 1:
+        if serveable and len(cdc_commits) == 1 and (
+            all_preimages or not include_preimages
+        ):
+            # single commit: serve the change files directly. A
+            # pre-round-9 encoding (no preimages) can serve the net
+            # 3-type shape but NOT an include_preimages request —
+            # that falls through to the snapshot diff rather than
+            # silently returning an incomplete feed.
             # metaData only — via the Spark metadata path, never the
             # O(active-files) driver snapshot walk this fast path
             # exists to avoid
@@ -3443,6 +3489,7 @@ def optimize_delta(
     partition_filter: Mapping[str, object] | None = None,
     zorder_by: Sequence[str] | None = None,
     spark_threshold: int | None = None,
+    require_version: int | None = None,
 ) -> dict:
     """OPTIMIZE: rewrite the snapshot's SMALL files (< ``small_file_
     bytes``) bin-packed into few large ones, committed as one atomic
@@ -3474,6 +3521,17 @@ def optimize_delta(
     if not avail:
         raise FileNotFoundError(f"not a delta table (no log): {table}")
     pinned = avail[-1]
+    if require_version is not None and pinned != require_version:
+        # a maintenance caller (publish_set_deltalog) scopes the pass
+        # to ITS OWN just-committed version: an interleaved writer
+        # means this snapshot is no longer ours to compact — skip, the
+        # interleaver's publish maintains its own state. Combined with
+        # the version-collision commit below, this closes the race
+        # where a racing publish's data could be pinned into our set.
+        return {
+            "version": None, "files_removed": 0, "files_added": 0,
+            "bytes_in": 0, "partitions_touched": 0,
+        }
     thr = _SPARK_META_THRESHOLD if spark_threshold is None else spark_threshold
     use_spark_meta = _estimated_active_files(table) >= thr
     if use_spark_meta:
@@ -3493,7 +3551,7 @@ def optimize_delta(
                 for x in (
                     v if isinstance(v, (list, tuple, set, frozenset)) else [v]
                 )
-                for form in _part_match_forms(x)
+                for form in _part_match_forms(x)  # strict logical forms
             }
             for k, v in partition_filter.items()
         }

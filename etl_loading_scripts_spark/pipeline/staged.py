@@ -54,6 +54,30 @@ from etl_loading_scripts_spark.pipeline.stages import (
 )
 
 
+def bucket_table_prefix(stage_dir: str) -> str:
+    """The managed-table name prefix a ``bucketed=True`` run derives
+    from its ``stage_dir`` — bucketed barrier tables live in the shared
+    warehouse (saveAsTable), OUTSIDE the stage_dir cleanup contract, so
+    callers that delete ``stage_dir`` after a bucketed run must also
+    call :func:`drop_bucketed_stage_tables`."""
+    return "stg_" + hashlib.md5(stage_dir.encode()).hexdigest()[:8]
+
+
+def drop_bucketed_stage_tables(spark: SparkSession, stage_dir: str) -> int:
+    """Drop the bucketed managed tables a ``bucketed=True`` run of
+    ``stage_dir`` created (scoped by the run's own prefix — never
+    another concurrent run's tables). Returns the number dropped. The
+    runner itself cannot drop them: the Domain frames it returns read
+    from these tables."""
+    prefix = bucket_table_prefix(stage_dir)
+    n = 0
+    for t in spark.catalog.listTables():
+        if t.name.startswith(prefix):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+            n += 1
+    return n
+
+
 def shuffle_snapshot(spark: SparkSession) -> dict | None:
     """Cumulative shuffle-write totals for the application via the Spark
     REST API (needs ``spark.ui.enabled=true``; returns None when the UI
@@ -118,9 +142,12 @@ def run_monthly_load_staged(
     # buys nothing; past the broadcast threshold (the 100× step the
     # r8 measurement found) it removes the fact-side exchange from
     # s2/s3/s4. Measured with tools/bench_scale100.py --bucketed.
+    # NOTE: these live in the shared warehouse, not stage_dir — a
+    # caller that deletes stage_dir after a bucketed run must also
+    # call drop_bucketed_stage_tables(spark, stage_dir)
     bucket_keys = {"fact": ["txn_id"], "dim_patron": ["proxy_id"]}
     n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    tbl_prefix = "stg_" + hashlib.md5(stage_dir.encode()).hexdigest()[:8]
+    tbl_prefix = bucket_table_prefix(stage_dir)
 
     def _bucket_table(name: str, key: str) -> str:
         return f"{tbl_prefix}_{name}_{key}"

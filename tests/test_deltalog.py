@@ -1755,9 +1755,11 @@ def test_hive_escape_matches_spark_writer(spark, tmp_path):
 
 def test_pre_round8_escaped_partition_values_still_match(spark, tmp_path):
     """Logs written by the pre-round-8 revision stored ESCAPED
-    partitionValues; a partition_filter on the logical value must match
-    both forms (driver path and Spark metadata path) instead of
-    silently pruning every file."""
+    partitionValues; with ``legacy_escaped_partition_values=True`` a
+    partition_filter on the logical value matches them (driver path
+    and Spark metadata path). The flag is OPT-IN: on a current-writer
+    table 'a%3Ab' is a legitimate logical value distinct from 'a:b',
+    and the default strict matching must NOT cross them."""
     from etl_loading_scripts_spark.operators import deltalog as dl
 
     d = str(tmp_path / "oldesc")
@@ -1774,10 +1776,29 @@ def test_pre_round8_escaped_partition_values_still_match(spark, tmp_path):
     os.remove(log)
     with open(log, "w") as fh:
         fh.write(txt.replace('"p":"a:b"', '"p":"a%3Ab"'))
-    got = dl.read_delta_table(spark, d, partition_filter={"p": "a:b"})
+    got = dl.read_delta_table(
+        spark, d, partition_filter={"p": "a:b"},
+        legacy_escaped_partition_values=True,
+    )
     assert [r.x for r in got.collect()] == [1]
-    sp = dl._pruned_files_spark(spark, d, None, ["p"], {"p": "a:b"}, None)
+    sp = dl._pruned_files_spark(
+        spark, d, None, ["p"], {"p": "a:b"}, None, legacy_escaped=True
+    )
     assert len(sp) == 1 and sp[0].startswith("p=a%3Ab")
+    # default strict matching: a CURRENT-writer table where 'a%3Ab' is
+    # a real logical value must not be returned for the 'a:b' filter
+    d2 = str(tmp_path / "strict")
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [("a:b", 1), ("a%3Ab", 2)], "p string, x int"
+        ),
+        d2,
+        partition_by=["p"],
+    )
+    got2 = dl.read_delta_table(spark, d2, partition_filter={"p": "a:b"})
+    assert [r.x for r in got2.collect()] == [1]
+    sp2 = dl._pruned_files_spark(spark, d2, None, ["p"], {"p": "a:b"}, None)
+    assert len(sp2) == 1
 
 
 def test_zorder_many_columns_fit_long_and_no_window_fallback(spark, tmp_path):
@@ -1942,11 +1963,21 @@ def test_multicommit_cdc_nets_to_snapshot_diff(spark, tmp_path):
     ch_old = dl.delta_table_changes(spark, d, 0, 4, on=["k"])
     assert any(dl._CDC_DIR not in f for f in ch_old.inputFiles())
     assert {(r._change_type, r.k, r.v) for r in ch_old.collect()} == got
-    # single-commit fast path is UNAFFECTED by the missing flag
+    # single-commit fast path is UNAFFECTED by the missing flag...
     ch1 = dl.delta_table_changes(spark, d, 0, 1, on=["k"])
     assert all(dl._CDC_DIR in f for f in ch1.inputFiles())
     assert {(r._change_type, r.k, r.v) for r in ch1.collect()} == {
         ("insert", 10, 100), ("update_postimage", 1, 111), ("delete", 5, 50),
+    }
+    # ...but an include_preimages request on the preimage-less commit
+    # must FALL BACK (snapshot diff) rather than silently omit them
+    ch1p = dl.delta_table_changes(
+        spark, d, 0, 1, on=["k"], include_preimages=True
+    )
+    assert any(dl._CDC_DIR not in f for f in ch1p.inputFiles())
+    assert {(r._change_type, r.k, r.v) for r in ch1p.collect()} == {
+        ("insert", 10, 100), ("update_postimage", 1, 111),
+        ("update_preimage", 1, 10), ("delete", 5, 50),
     }
 
 
@@ -2187,3 +2218,42 @@ def test_publish_set_month_close_optimize_pins_maintained_version(spark, tmp_pat
     assert sorted(r.txn_id for r in pruned.filter(pred).collect()) == sorted(
         r.txn_id for r in total.filter(pred).collect()
     )
+
+
+def test_publish_optimize_never_pins_racing_writer(spark, tmp_path, monkeypatch):
+    """Review fix (round 9): the publish-time optimize is scoped to the
+    publisher's own just-committed version (require_version) and a
+    version-race during the maintenance commit is swallowed — the set
+    NEVER pins another publisher's data and never aborts after durable
+    writes."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+    ).repartition(4)
+    # require_version mismatch (an interleaved writer moved the table):
+    # optimize skips instead of compacting someone else's snapshot
+    t = str(tmp_path / "t")
+    dl.write_delta_table(df, t)
+    assert dl.optimize_delta(
+        spark, t, small_file_bytes=1 << 30, require_version=99
+    )["version"] is None
+    # a conflict raised by the maintenance commit is swallowed by
+    # publish and the set pins the WRITE version
+    real_opt = dl.optimize_delta
+
+    def racing_opt(*a, **kw):
+        raise RuntimeError("delta commit conflict: version taken")
+
+    monkeypatch.setattr(dl, "optimize_delta", racing_opt)
+    sv = dl.publish_set_deltalog(
+        [("fact", df)], base, optimize={"fact": {}}
+    )
+    monkeypatch.setattr(dl, "optimize_delta", real_opt)
+    acts = dl._read_actions(os.path.join(base, dl._SET_DIR), sv)
+    sc = next(a["setCommit"] for a in acts if "setCommit" in a)
+    assert sc["tables"]["fact"] == 0  # the write, not a phantom optimize
+    assert dl.read_published_set_deltalog(spark, base, version=sv)[
+        "fact"
+    ].count() == 100

@@ -457,3 +457,18 @@ def test_staged_bucketed_layout_matches_and_colocates(spark, tmp_path, loaded):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert plan.count("Exchange") == 1, plan
+    # the bucketed tables live in the shared warehouse; the scoped
+    # cleanup drops exactly this run's tables
+    from etl_loading_scripts_spark.pipeline.staged import (
+        bucket_table_prefix,
+        drop_bucketed_stage_tables,
+    )
+
+    prefix = bucket_table_prefix(str(tmp_path / "bk"))
+    assert any(
+        t.name.startswith(prefix) for t in spark.catalog.listTables()
+    )
+    assert drop_bucketed_stage_tables(spark, str(tmp_path / "bk")) > 0
+    assert not any(
+        t.name.startswith(prefix) for t in spark.catalog.listTables()
+    )

@@ -147,10 +147,12 @@ def staged_run(spark, sf_dir: str, bucketed: bool = False) -> dict:
         total = round(time.time() - t0, 3)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
-        if bucketed:  # drop this run's bucketed managed tables
-            for t in spark.catalog.listTables():
-                if t.name.startswith("stg_"):
-                    spark.sql(f"DROP TABLE IF EXISTS {t.name}")
+        if bucketed:  # drop THIS run's bucketed managed tables (scoped)
+            from etl_loading_scripts_spark.pipeline.staged import (
+                drop_bucketed_stage_tables,
+            )
+
+            drop_bucketed_stage_tables(spark, stage_dir)
     return {
         "total_wall": total,
         "metrics": metrics,
