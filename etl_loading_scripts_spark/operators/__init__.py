@@ -13,6 +13,7 @@ from etl_loading_scripts_spark.operators.joins import (
     anti_not_in,
     or_join,
     top1_per_group,
+    top1_per_group_agg,
 )
 from etl_loading_scripts_spark.operators.publish import publish_table, truncate_insert
 from etl_loading_scripts_spark.operators.ranks import global_ntile, global_row_number
@@ -30,6 +31,7 @@ __all__ = [
     "publish_table",
     "scd2_apply",
     "top1_per_group",
+    "top1_per_group_agg",
     "truncate_insert",
     "update_from_join",
 ]

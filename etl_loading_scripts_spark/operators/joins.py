@@ -93,3 +93,30 @@ def top1_per_group(
         .filter(F.col("__rk__") == 1)
         .drop("__rk__")
     )
+
+
+def top1_per_group_agg(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_col: str | Column,
+) -> DataFrame:
+    """Same result as ``top1_per_group(df, keys, [asc order_col])`` when
+    ``order_col`` is UNIQUE within each group (a tie picks an arbitrary
+    winner, where row_number picks a deterministic-but-arbitrary one —
+    callers with unique order keys, like txn_id, lose nothing), but
+    expressed as ``min_by`` AGGREGATION instead of a window: partial
+    (map-side) aggregation collapses duplicates to one candidate row
+    per task per group BEFORE the exchange, so the shuffle carries
+    O(groups) rows instead of O(input) — on the monthly load's raw
+    feed (~15 txns per patron proxy) that is an order of magnitude
+    less shuffle for the stage-2 dedup (SCALING.md r9). The window
+    variant stays for rank semantics (ties, multi-column orderings,
+    RANK)."""
+    partition_by = list(partition_by)
+    value_cols = [c for c in df.columns if c not in partition_by]
+    packed = df.groupBy(*partition_by).agg(
+        F.min_by(F.struct(*value_cols), order_col).alias("__top__")
+    )
+    return packed.select(
+        *partition_by, *[F.col(f"__top__.{c}").alias(c) for c in value_cols]
+    ).select(*df.columns)

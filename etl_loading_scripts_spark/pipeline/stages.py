@@ -29,6 +29,7 @@ from etl_loading_scripts_spark.operators import (
     allocate_surrogate_keys,
     insert_if_absent,
     top1_per_group,
+    top1_per_group_agg,
     update_from_join,
 )
 from etl_loading_scripts_spark.pipeline.domain import (
@@ -198,8 +199,12 @@ def stage2_patron_dims(
     with_proxy = raw.filter(F.col("proxy_id").isNotNull()).select(
         "txn_id", "proxy_id", "client_id", F.trim(F.col("merchant_name")).alias("patron_name")
     )
+    # agg-based dedup (min_by on the unique txn_id): map-side partial
+    # aggregation collapses ~15 txns/proxy BEFORE the exchange — the
+    # window variant shuffled every raw row (s2's dominant shuffle in
+    # the 100x measurement, SCALING.md r9)
     new_patrons = (
-        top1_per_group(with_proxy, ["proxy_id"], [F.col("txn_id")])
+        top1_per_group_agg(with_proxy, ["proxy_id"], "txn_id")
         .select("proxy_id", "patron_name", "client_id")
         .withColumn("patron_id", F.lit(None).cast("long"))
     )
@@ -229,7 +234,7 @@ def stage2_patron_dims(
         .filter(F.col("proxy_id").isNotNull())
     )
     new_synth = (
-        top1_per_group(synth, ["proxy_id"], [F.col("txn_id")])
+        top1_per_group_agg(synth, ["proxy_id"], "txn_id")
         .select("proxy_id", "patron_name", "client_id")
         .withColumn("patron_id", F.lit(None).cast("long"))
     )

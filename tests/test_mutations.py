@@ -420,3 +420,31 @@ def test_merge_upsert_schema_evolution(spark):
     assert evolved.columns == ["k", "v", "channel"]
     got = {(r.k, r.v, r.channel) for r in evolved.collect()}
     assert got == {(1, 10.0, None), (2, 22.0, "api"), (3, 30.0, "batch")}
+
+
+def test_top1_per_group_agg_equals_window_and_partially_aggregates(spark):
+    """Round 9: the min_by-based dedup returns exactly what the window
+    variant returns for a unique ascending order key, with an AGGREGATE
+    plan (partial map-side combine, no Window) — the shape that
+    collapses duplicates before the exchange."""
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.operators import top1_per_group_agg
+
+    df = spark.createDataFrame(
+        [(g, o, f"v{g}_{o}") for g in range(50) for o in range(g % 7 + 1)],
+        "g int, o int, v string",
+    ).repartition(8)
+    want = sorted(
+        map(tuple, top1_per_group(df, ["g"], [F.col("o")]).collect())
+    )
+    got_df = top1_per_group_agg(df, ["g"], "o")
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want and len(got) == 50
+    assert got_df.columns == df.columns  # original column order kept
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert any(
+        agg in plan
+        for agg in ("ObjectHashAggregate", "SortAggregate", "HashAggregate")
+    ), plan
