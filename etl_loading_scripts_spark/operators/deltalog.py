@@ -4508,3 +4508,171 @@ def delta_delete_update_dml(spark: SparkSession, sf_dir: str):
         ).select("version", "n_rows", "amount_sum")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+# --------------------------------------------------------------------------
+# RESTORE (round 9): time travel made durable — the protocol's
+# RESTORE TABLE … TO VERSION AS OF, as one metadata-only commit.
+# --------------------------------------------------------------------------
+
+
+def restore_delta(spark: SparkSession, table: str, version: int) -> dict:
+    """RESTORE TABLE … TO VERSION: ONE new commit whose state equals
+    the target snapshot — the recovery shape after a bad load ("put
+    last night back") without rewriting a byte of data. Target add
+    actions are re-emitted VERBATIM (partitionValues, stats,
+    deletionVector — a restored DV keeps hiding its rows); files the
+    current version references but the target doesn't are tombstoned
+    (vacuum collects them after retention, and until then the
+    pre-restore state stays time-travelable too). The restored state's
+    schema is the TARGET's (a metaData action when it differs).
+
+    Restoring past vacuumed history raises up front: every re-added
+    data file and DV sidecar is existence-checked (O(restored delta),
+    driver-side stat calls on exactly the files being re-added).
+
+    A restore commit changes data without CDC encoding — multi-commit
+    CDC ranges crossing it fall back to the snapshot diff (honest:
+    per-row changes of a restore are the diff itself). The protocol is
+    never demoted. Returns {version, files_added, files_removed,
+    files_kept}."""
+    avail = _all_versions(table)
+    if not avail:
+        raise FileNotFoundError(f"not a delta table (no log): {table}")
+    pinned = avail[-1]
+    cur, meta_cur, _ = _snapshot_state(table, pinned)
+    tgt, meta_tgt, _ = _snapshot_state(table, version)
+
+    def _entry(a: Mapping) -> tuple:
+        # identity of an add beyond its path: a same-path entry whose
+        # deletionVector (or stats/size, defensively) changed must be
+        # remove+re-added so the restored reference is the target's
+        return (
+            a.get("size"),
+            a.get("stats"),
+            json.dumps(a.get("deletionVector"), sort_keys=True),
+        )
+
+    adds = sorted(
+        p for p in tgt if p not in cur or _entry(tgt[p]) != _entry(cur[p])
+    )
+    removes = sorted(
+        p for p in cur if p not in tgt or _entry(tgt[p]) != _entry(cur[p])
+    )
+    missing = [
+        p for p in adds if not os.path.exists(os.path.join(table, p))
+    ]
+    missing += sorted({
+        tgt[p]["deletionVector"]["path"]
+        for p in adds
+        if tgt[p].get("deletionVector")
+        and not os.path.exists(
+            os.path.join(table, tgt[p]["deletionVector"]["path"])
+        )
+    })
+    if missing:
+        raise ValueError(
+            f"cannot RESTORE {table} to version {version}: "
+            f"{len(missing)} referenced files no longer exist "
+            f"(vacuumed past the target; first: {missing[:3]})"
+        )
+    actions: list[dict] = [
+        _commit_info("RESTORE", {"version": version})
+    ]
+    if meta_tgt != meta_cur:
+        actions.append({"metaData": meta_tgt})
+    now = int(time.time() * 1000)
+    actions.extend(
+        {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
+        for p in removes
+    )
+    for p in adds:
+        a = {k: v for k, v in tgt[p].items() if v is not None}
+        a["dataChange"] = True
+        actions.append({"add": a})
+    _commit(table, pinned + 1, actions)
+    return {
+        "version": pinned + 1,
+        "files_added": len(adds),
+        "files_removed": len(removes),
+        "files_kept": len([p for p in cur if p in tgt and p not in removes]),
+    }
+
+
+def plant_delta_restore_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A COPY of the DML fixture (5 versions incl. the deletion-vector
+    legs) restored twice: v5 = RESTORE to 3 (the DV-delete state — the
+    re-added DV must keep hiding its rows), v6 = RESTORE to 0 (the
+    pristine base, across every DML since)."""
+    src = plant_delta_dml_fixture(spark, sf_dir)
+    d = _fixture_dir(sf_dir, tag="deltarestore_fix")
+    if len(_versions(d)) >= 7:
+        return d
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    shutil.copytree(src, d)
+    r1 = restore_delta(spark, d, 3)
+    assert r1["version"] == 5, r1
+    r2 = restore_delta(spark, d, 0)
+    assert r2["version"] == 6, r2
+    return d
+
+
+@register(
+    "delta_restore_timetravel",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS amount
+        FROM orders
+    ),
+    mm AS (SELECT MIN(month) AS m0 FROM base),
+    v2 AS (
+        SELECT b.k, b.month,
+               b.amount + CASE WHEN b.month = mm.m0 AND b.k % 7 = 0
+                               THEN 500 ELSE 0 END AS amount
+        FROM base b CROSS JOIN mm
+        WHERE NOT (b.month = mm.m0 AND b.k % 10 = 0)
+    ),
+    v3 AS (
+        SELECT v2.k, v2.month, v2.amount FROM v2 CROSS JOIN mm
+        WHERE NOT (v2.month = mm.m0 AND v2.k % 11 = 0)
+    ),
+    legs AS (
+        SELECT 5 AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(amount) AS DOUBLE) AS amount_sum
+        FROM v3
+        UNION ALL
+        SELECT 6, CAST(COUNT(*) AS BIGINT), CAST(SUM(amount) AS DOUBLE)
+        FROM base
+    )
+    SELECT version, n_rows, amount_sum FROM legs
+    """,
+    doc="RESTORE TABLE … TO VERSION against the from-scratch log (the "
+    "protocol's recovery operator — 'put last night back' after a bad "
+    "load, one metadata-only commit, zero data bytes rewritten): the "
+    "DML fixture (deletes, updates, deletion-vector legs) is restored "
+    "to the DV-delete state (v5←3: the re-added deletion vector must "
+    "keep hiding its rows) and then to the pristine base (v6←0, "
+    "across every DML since); each restored version's count + exact "
+    "cent sum must match the arithmetic oracle, and every pre-restore "
+    "version stays time-travelable. A dangling file reference, a "
+    "dropped DV, or a half-applied restore mismatches.",
+)
+def delta_restore_timetravel(spark: SparkSession, sf_dir: str):
+    """Scale: RESTORE commits O(changed file references) metadata and
+    rewrites nothing; existence checks stat only the re-added files.
+    The expensive part of recovery — the data — is already on disk."""
+    d = plant_delta_restore_fixture(spark, sf_dir)
+    out = None
+    for v in (5, 6):
+        snap = read_delta_table(spark, d, version=v)
+        agg = snap.agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("amount").cast("double").alias("amount_sum"),
+        ).select("version", "n_rows", "amount_sum")
+        out = agg if out is None else out.unionByName(agg)
+    return out

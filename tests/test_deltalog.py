@@ -2257,3 +2257,45 @@ def test_publish_optimize_never_pins_racing_writer(spark, tmp_path, monkeypatch)
     assert dl.read_published_set_deltalog(spark, base, version=sv)[
         "fact"
     ].count() == 100
+
+
+def test_restore_delta_semantics(spark, tmp_path):
+    """RESTORE (round 9): one metadata-only commit makes the latest
+    state equal the target snapshot — DV references restored verbatim,
+    pre-restore state still time-travelable, schema restored, vacuumed
+    targets refused up front, history reports RESTORE."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "rt")
+    mk = lambda rows, ddl="k long, v long": spark.createDataFrame(rows, ddl)
+    dl.write_delta_table(mk([(k, k * 10) for k in range(10)]).coalesce(1), d)
+    dl.delete_delta(spark, d, "k % 3 = 0", deletion_vectors=True)  # v1
+    dl.write_delta_table(  # v2: schema evolves
+        mk([(100, 1, 7)], "k long, v long, extra int"), d,
+        mode="append", merge_schema=True,
+    )
+    # v3: restore to the DV state — the re-added DV keeps hiding rows,
+    # and the schema reverts to the pre-evolution one
+    res = dl.restore_delta(spark, d, 1)
+    assert res["version"] == 3 and res["files_removed"] >= 1
+    snap = dl.read_delta_table(spark, d)
+    assert snap.columns == ["k", "v"]
+    assert sorted(r.k for r in snap.collect()) == [
+        k for k in range(10) if k % 3
+    ]
+    # pre-restore state still time-travelable (10 − 4 DV'd + 1 appended)
+    assert dl.read_delta_table(spark, d, version=2).count() == 7
+    assert dl.read_delta_table(spark, d, version=0).count() == 10
+    # history records the exact operation
+    assert dl.delta_history(d)[-1]["operation"] == "RESTORE"
+    # v4: restore to pristine v0 (across the DV delete)
+    dl.restore_delta(spark, d, 0)
+    assert dl.read_delta_table(spark, d).count() == 10
+    # vacuumed target refused up front: drop everything but latest,
+    # vacuum, then try to restore to a state whose files are gone
+    dl.delete_delta(spark, d, "k >= 5")  # v5: rewrite (drops v0's file)
+    dl.vacuum_delta(d, keep_versions=1, staging_retention_sec=0.0)
+    with pytest.raises(ValueError, match="no longer exist"):
+        dl.restore_delta(spark, d, 0)
+    # the failed restore committed nothing
+    assert dl._all_versions(d)[-1] == 5
