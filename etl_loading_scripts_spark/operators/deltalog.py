@@ -2781,7 +2781,8 @@ def register_delta_stream_source(spark: SparkSession) -> None:
 
 
 def _sweep_staging_dirs(
-    table: str, now: float, staging_retention_sec: float
+    table: str, now: float, staging_retention_sec: float,
+    dry_run: bool = False,
 ) -> list[str]:
     """Remove aged ``.staging-*`` dirs at the table root (one scandir —
     O(root entries), never O(files)). The age gate is the real
@@ -2793,7 +2794,8 @@ def _sweep_staging_dirs(
             continue
         if now - os.path.getmtime(e.path) < staging_retention_sec:
             continue
-        shutil.rmtree(e.path, ignore_errors=True)
+        if not dry_run:
+            shutil.rmtree(e.path, ignore_errors=True)
         removed.append(e.name)
     return removed
 
@@ -2805,6 +2807,7 @@ def _vacuum_spark(
     cdc_needed: Sequence[str],
     now: float,
     staging_retention_sec: float,
+    dry_run: bool = False,
 ) -> list[str]:
     """Distributed orphan selection for :func:`vacuum_delta`: the
     NEEDED set is the union of each kept version's active adds
@@ -2883,18 +2886,20 @@ def _vacuum_spark(
     removed = []
     touched_dirs = set()
     for r in sorted(orphans, key=lambda r: r.path):
-        os.remove(os.path.join(table, r.path))
+        if not dry_run:
+            os.remove(os.path.join(table, r.path))
         removed.append(r.path)
         dn = os.path.dirname(r.path)
         if dn:
             touched_dirs.add(dn)
     # drop partition dirs the vacuum emptied — attempted rmdir per
     # touched dir (bottom-up), O(orphan dirs), failures mean non-empty
-    for dn in sorted(touched_dirs, key=len, reverse=True):
-        try:
-            os.removedirs(os.path.join(table, dn))
-        except OSError:
-            pass
+    if not dry_run:
+        for dn in sorted(touched_dirs, key=len, reverse=True):
+            try:
+                os.removedirs(os.path.join(table, dn))
+            except OSError:
+                pass
     return removed
 
 
@@ -2904,6 +2909,7 @@ def vacuum_delta(
     staging_retention_sec: float = 3600,
     spark: SparkSession | None = None,
     spark_threshold: int | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Retention GC: delete data files referenced by NO version in the
     keep window (latest ``keep_versions`` reconstructable versions stay
@@ -2919,7 +2925,12 @@ def vacuum_delta(
     needed-set construction AND candidate listing run as distributed
     jobs (:func:`_vacuum_spark`) — the driver handles only the orphan
     list; below it, the driver-side walk wins on latency. Both paths
-    remove the same files (list-equality test-asserted)."""
+    remove the same files (list-equality test-asserted).
+
+    ``dry_run=True`` (the real VACUUM's DRY RUN) returns exactly what a
+    real run would remove — same selection, same retention gates —
+    without deleting anything; the inspection step before a
+    destructive retention change."""
     avail = _all_versions(table)
     if not avail:
         return []
@@ -2936,9 +2947,12 @@ def vacuum_delta(
     now = time.time()
     thr = _SPARK_META_THRESHOLD if spark_threshold is None else spark_threshold
     if spark is not None and _estimated_active_files(table) >= thr:
-        removed = _sweep_staging_dirs(table, now, staging_retention_sec)
+        removed = _sweep_staging_dirs(
+            table, now, staging_retention_sec, dry_run
+        )
         removed += _vacuum_spark(
-            spark, table, keep, cdc_needed, now, staging_retention_sec
+            spark, table, keep, cdc_needed, now, staging_retention_sec,
+            dry_run,
         )
         return sorted(removed)
     needed: set[str] = set(cdc_needed)
@@ -2965,7 +2979,8 @@ def vacuum_delta(
                     # staging dir must not be swept from under it
                     if now - os.path.getmtime(full) < staging_retention_sec:
                         continue
-                    shutil.rmtree(full, ignore_errors=True)
+                    if not dry_run:
+                        shutil.rmtree(full, ignore_errors=True)
                     removed.append(d)
         for f in files:
             rel = f if rel_root == "." else os.path.join(rel_root, f)
@@ -2977,12 +2992,14 @@ def vacuum_delta(
                 # age are truly orphaned
                 if now - os.path.getmtime(full) < staging_retention_sec:
                     continue
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 removed.append(rel)
     # drop partition directories a vacuum emptied out
-    for root, dirs, files in sorted(os.walk(table, topdown=False)):
-        if root != table and not dirs and not files and _LOG_DIR not in root:
-            os.rmdir(root)
+    if not dry_run:
+        for root, dirs, files in sorted(os.walk(table, topdown=False)):
+            if root != table and not dirs and not files and _LOG_DIR not in root:
+                os.rmdir(root)
     return sorted(removed)
 
 

@@ -2299,3 +2299,46 @@ def test_restore_delta_semantics(spark, tmp_path):
         dl.restore_delta(spark, d, 0)
     # the failed restore committed nothing
     assert dl._all_versions(d)[-1] == 5
+
+
+def test_vacuum_dry_run_predicts_exactly(spark, tmp_path):
+    """VACUUM DRY RUN: returns exactly what the real run removes —
+    same selection, same retention gates — without touching a byte,
+    on both the python and Spark paths."""
+    import shutil as sh
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "v")
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("p")
+    ).repartition(4)
+    dl.write_delta_table(df, d, partition_by=["p"])
+    dl.write_delta_table(df, d, mode="overwrite")  # orphans v0's files
+    d2 = str(tmp_path / "v2")
+    sh.copytree(d, d2)
+
+    def tree(p):
+        return sorted(
+            os.path.relpath(os.path.join(r, f), p)
+            for r, _dd, fs in os.walk(p)
+            for f in fs
+        )
+
+    before = tree(d)
+    plan = dl.vacuum_delta(d, keep_versions=1, staging_retention_sec=0.0,
+                           dry_run=True)
+    assert plan and tree(d) == before, "dry run must not delete"
+    real = dl.vacuum_delta(d, keep_versions=1, staging_retention_sec=0.0)
+    assert real == plan
+    # spark path agrees
+    plan_sp = dl.vacuum_delta(
+        d2, keep_versions=1, staging_retention_sec=0.0,
+        spark=spark, spark_threshold=0, dry_run=True,
+    )
+    assert plan_sp == plan
+    real_sp = dl.vacuum_delta(
+        d2, keep_versions=1, staging_retention_sec=0.0,
+        spark=spark, spark_threshold=0,
+    )
+    assert real_sp == plan
