@@ -2699,12 +2699,18 @@ def _make_delta_stream_source():
                     if "remove" in a and a["remove"].get("dataChange", False)
                 ]
                 if removes_changing and v > 0:
+                    info = next(
+                        (a["commitInfo"] for a in acts if "commitInfo" in a),
+                        {},
+                    )
+                    op = info.get("operation") or "unencoded commit"
                     raise ValueError(
-                        f"deltalog_stream cdc: version {v} changed data "
-                        "without change files (overwrite/merge written with "
-                        "write_change_data=False) — per-row changes are "
-                        "unknowable; re-merge with encoding or read the "
-                        "non-cdc stream"
+                        f"deltalog_stream cdc: version {v} ({op}) changed "
+                        "data without change files — per-row changes are "
+                        "not encoded for RESTORE or for writes with "
+                        "write_change_data=False; read the range through "
+                        f"delta_table_changes(…, {v - 1}, {v}) (snapshot "
+                        "diff) or the non-cdc stream"
                     )
                 # pure append (or the initial v0 snapshot): adds = inserts.
                 # Partition columns live in the directory name, not the
@@ -2727,6 +2733,35 @@ def _make_delta_stream_source():
 
                 for a in adds:
                     t = pq.read_table(os.path.join(self._table, a["path"]))
+                    dv = a.get("deletionVector")
+                    if dv:
+                        # an adds-only commit can re-add a DV-carrying
+                        # file (RESTORE to a DV state): the hidden rows
+                        # were never (re)inserted — emitting them would
+                        # be a silently wrong change feed
+                        import pyarrow.compute as pc
+
+                        side = pq.read_table(
+                            os.path.join(self._table, dv["path"])
+                        )
+                        hidden = set(
+                            side.filter(
+                                pc.equal(
+                                    side.column("file_name"),
+                                    os.path.basename(a["path"]),
+                                )
+                            )
+                            .column("row_index")
+                            .to_pylist()
+                        )
+                        if hidden:
+                            t = t.take(
+                                [
+                                    i
+                                    for i in range(t.num_rows)
+                                    if i not in hidden
+                                ]
+                            )
                     names = set(t.schema.names)
                     pv = a.get("partitionValues") or {}
                     cols = [["insert"] * t.num_rows] + [
@@ -4533,7 +4568,12 @@ def delta_delete_update_dml(spark: SparkSession, sf_dir: str):
 # --------------------------------------------------------------------------
 
 
-def restore_delta(spark: SparkSession, table: str, version: int) -> dict:
+def restore_delta(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    spark_threshold: int | None = None,
+) -> dict:
     """RESTORE TABLE … TO VERSION: ONE new commit whose state equals
     the target snapshot — the recovery shape after a bad load ("put
     last night back") without rewriting a byte of data. Target add
@@ -4550,41 +4590,83 @@ def restore_delta(spark: SparkSession, table: str, version: int) -> dict:
 
     A restore commit changes data without CDC encoding — multi-commit
     CDC ranges crossing it fall back to the snapshot diff (honest:
-    per-row changes of a restore are the diff itself). The protocol is
-    never demoted. Returns {version, files_added, files_removed,
-    files_kept}."""
+    per-row changes of a restore are the diff itself), and the cdc
+    STREAM raises a restore-specific error pointing consumers at the
+    batch diff. The protocol is never demoted.
+
+    Above ``_SPARK_META_THRESHOLD`` estimated active files the two
+    snapshots are diffed as a DataFrame full-outer join on path —
+    only the DIFFERING entries (what the commit must reference anyway)
+    reach the driver, same discipline as every other metadata op here.
+    Returns {version, files_added, files_removed, files_kept}."""
     avail = _all_versions(table)
     if not avail:
         raise FileNotFoundError(f"not a delta table (no log): {table}")
     pinned = avail[-1]
-    cur, meta_cur, _ = _snapshot_state(table, pinned)
-    tgt, meta_tgt, _ = _snapshot_state(table, version)
+    thr = _SPARK_META_THRESHOLD if spark_threshold is None else spark_threshold
+    n_tgt: int
+    if _estimated_active_files(table) >= thr:
+        meta_cur = _meta_spark(spark, table, pinned)
+        meta_tgt = _meta_spark(spark, table, version)
 
-    def _entry(a: Mapping) -> tuple:
-        # identity of an add beyond its path: a same-path entry whose
-        # deletionVector (or stats/size, defensively) changed must be
-        # remove+re-added so the restored reference is the target's
-        return (
-            a.get("size"),
-            a.get("stats"),
-            json.dumps(a.get("deletionVector"), sort_keys=True),
+        def _side(v: int, name: str) -> DataFrame:
+            return _active_adds_df(spark, table, v).select(
+                "path", F.struct(*_ADD_FIELDS).alias(name)
+            )
+
+        j = _side(version, "t").join(_side(pinned, "c"), "path", "full_outer")
+        ident = lambda s: F.struct(  # noqa: E731 — entry identity
+            F.col(f"{s}.size"), F.col(f"{s}.stats"),
+            F.col(f"{s}.deletionVector"),
         )
+        diff = j.where(
+            F.col("t").isNull()
+            | F.col("c").isNull()
+            | ~ident("t").eqNullSafe(ident("c"))
+        )
+        # O(restored delta) reaches the driver — the commit encodes
+        # exactly these entries
+        rows = diff.collect()
+        tgt_adds = {
+            r.path: r.t.asDict(recursive=True)
+            for r in rows
+            if r.t is not None
+        }
+        removes = sorted(r.path for r in rows if r.c is not None)
+        adds = sorted(tgt_adds)
+        n_tgt = _active_adds_df(spark, table, version).count()
+    else:
+        cur, meta_cur, _ = _snapshot_state(table, pinned)
+        tgt, meta_tgt, _ = _snapshot_state(table, version)
 
-    adds = sorted(
-        p for p in tgt if p not in cur or _entry(tgt[p]) != _entry(cur[p])
-    )
-    removes = sorted(
-        p for p in cur if p not in tgt or _entry(tgt[p]) != _entry(cur[p])
-    )
+        def _entry(a: Mapping) -> tuple:
+            # identity of an add beyond its path: a same-path entry
+            # whose deletionVector (or stats/size, defensively)
+            # changed must be remove+re-added so the restored
+            # reference is the target's
+            return (
+                a.get("size"),
+                a.get("stats"),
+                json.dumps(a.get("deletionVector"), sort_keys=True),
+            )
+
+        adds = sorted(
+            p for p in tgt if p not in cur or _entry(tgt[p]) != _entry(cur[p])
+        )
+        removes = sorted(
+            p for p in cur if p not in tgt or _entry(tgt[p]) != _entry(cur[p])
+        )
+        tgt_adds = {p: tgt[p] for p in adds}
+        n_tgt = len(tgt)
     missing = [
         p for p in adds if not os.path.exists(os.path.join(table, p))
     ]
     missing += sorted({
-        tgt[p]["deletionVector"]["path"]
+        tgt_adds[p]["deletionVector"]["path"]
         for p in adds
-        if tgt[p].get("deletionVector")
+        if tgt_adds[p].get("deletionVector")
         and not os.path.exists(
-            os.path.join(table, tgt[p]["deletionVector"]["path"])
+            os.path.join(table, tgt_adds[p]["deletionVector"]["path"])
         )
     })
     if missing:
@@ -4604,7 +4686,7 @@ def restore_delta(spark: SparkSession, table: str, version: int) -> dict:
         for p in removes
     )
     for p in adds:
-        a = {k: v for k, v in tgt[p].items() if v is not None}
+        a = {k: v for k, v in tgt_adds[p].items() if v is not None}
         a["dataChange"] = True
         actions.append({"add": a})
     _commit(table, pinned + 1, actions)
@@ -4612,7 +4694,7 @@ def restore_delta(spark: SparkSession, table: str, version: int) -> dict:
         "version": pinned + 1,
         "files_added": len(adds),
         "files_removed": len(removes),
-        "files_kept": len([p for p in cur if p in tgt and p not in removes]),
+        "files_kept": n_tgt - len(adds),
     }
 
 

@@ -104,19 +104,39 @@ def top1_per_group_agg(
     ``order_col`` is UNIQUE within each group (a tie picks an arbitrary
     winner, where row_number picks a deterministic-but-arbitrary one —
     callers with unique order keys, like txn_id, lose nothing), but
-    expressed as ``min_by`` AGGREGATION instead of a window: partial
-    (map-side) aggregation collapses duplicates to one candidate row
-    per task per group BEFORE the exchange, so the shuffle carries
-    O(groups) rows instead of O(input) — on the monthly load's raw
-    feed (~15 txns per patron proxy) that is an order of magnitude
-    less shuffle for the stage-2 dedup (SCALING.md r9). The window
-    variant stays for rank semantics (ties, multi-column orderings,
-    RANK)."""
+    expressed as ``min_by`` AGGREGATION instead of a window. NULL order
+    keys rank FIRST, matching Spark's default ascending sort (the
+    window variant's behavior): the ranking value is a
+    ``(isNotNull, key)`` struct, so bare ``min_by`` — which silently
+    SKIPS null ordering values and would return all-null rows for an
+    all-null group — never sees a null ranking.
+
+    Why aggregation: the window sorts every row after its exchange;
+    the aggregate replaces that sort with hash aggregation (and gets
+    map-side partial aggregation when duplicates co-locate). Measured
+    on the monthly load at 100×: s2 wall 40.1 → 35.0 s, SCALING.md r9
+    (the shuffle itself didn't shrink there — scattered duplicates —
+    the win is the removed sort). The window variant stays for rank
+    semantics (ties, multi-column orderings, RANK)."""
+    def _q(name: str) -> "F.Column":
+        # backtick-quote: a column NAME containing a dot must resolve
+        # as the literal column, not a nested path
+        return F.col(f"`{name}`" if "." in name else name)
+
     partition_by = list(partition_by)
     value_cols = [c for c in df.columns if c not in partition_by]
-    packed = df.groupBy(*partition_by).agg(
-        F.min_by(F.struct(*value_cols), order_col).alias("__top__")
+    oc = _q(order_col) if isinstance(order_col, str) else order_col
+    ranking = F.struct(
+        oc.isNotNull().alias("__nn"), oc.alias("__o")
     )
-    return packed.select(
-        *partition_by, *[F.col(f"__top__.{c}").alias(c) for c in value_cols]
-    ).select(*df.columns)
+    packed = df.groupBy(*[_q(c) for c in partition_by]).agg(
+        F.min_by(F.struct(*[_q(c).alias(c) for c in value_cols]), ranking)
+        .alias("__top__")
+    )
+    top = F.col("__top__")
+    out = packed.select(
+        *[_q(c) for c in partition_by],
+        # getField (not "__top__.{c}") for the same dotted-name reason
+        *[top.getField(c).alias(c) for c in value_cols],
+    )
+    return out.select(*[_q(c) for c in df.columns])

@@ -199,10 +199,11 @@ def stage2_patron_dims(
     with_proxy = raw.filter(F.col("proxy_id").isNotNull()).select(
         "txn_id", "proxy_id", "client_id", F.trim(F.col("merchant_name")).alias("patron_name")
     )
-    # agg-based dedup (min_by on the unique txn_id): map-side partial
-    # aggregation collapses ~15 txns/proxy BEFORE the exchange — the
-    # window variant shuffled every raw row (s2's dominant shuffle in
-    # the 100x measurement, SCALING.md r9)
+    # agg-based dedup (min_by on the unique txn_id): replaces the
+    # window's post-exchange SORT with hash aggregation — measured
+    # s2 wall 40.1→35.0 s at 100× (SCALING.md r9; the shuffle bytes
+    # themselves did NOT move at this layout — a proxy's ~15 txns
+    # scatter across tasks, so map-side combine collapses little)
     new_patrons = (
         top1_per_group_agg(with_proxy, ["proxy_id"], "txn_id")
         .select("proxy_id", "patron_name", "client_id")

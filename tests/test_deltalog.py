@@ -2342,3 +2342,98 @@ def test_vacuum_dry_run_predicts_exactly(spark, tmp_path):
         spark=spark, spark_threshold=0,
     )
     assert real_sp == plan
+
+
+def test_cdc_stream_dv_adds_and_restore_error(spark, tmp_path):
+    """Review fix (round 9): an adds-only commit re-adding a
+    DV-carrying file (the RESTORE-to-a-DV-state shape) streams only the
+    VISIBLE rows as inserts — bare file reads would resurrect deleted
+    rows into the change feed; and a restore with removes raises a
+    RESTORE-naming error pointing at the batch diff, instead of the
+    misleading re-merge suggestion."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "sdv")
+    dl.write_delta_table(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+        ).coalesce(1),
+        d,
+    )
+    dl.delete_delta(spark, d, "k % 3 = 0", deletion_vectors=True)  # v1
+    # v2: hand-built adds-only commit carrying the DV add (what a
+    # restore to v1 emits when nothing needs removing)
+    active, _, _ = dl._snapshot_state(d, None)
+    ((_p, a),) = active.items()
+    dl._commit(d, 2, [
+        dl._commit_info("RESTORE", {"version": 1}),
+        {"add": {**{k: v for k, v in a.items() if v is not None},
+                 "dataChange": True}},
+    ])
+    dl.register_delta_stream_source(spark)
+    reader = dl._make_delta_stream_source()(
+        {"path": d, "cdc": "true"}
+    ).simpleStreamReader(
+        spark.readStream.format("deltalog_stream")
+        .option("cdc", "true").load(d).schema
+    )
+    rows = list(reader._rows_between(1, 2))
+    assert {(r[0], r[1]) for r in rows} == {
+        ("insert", k) for k in range(10) if k % 3
+    }, rows  # DV-hidden rows must NOT resurface
+    # v3: a real restore (has removes) raises the restore-aware error
+    dl.restore_delta(spark, d, 0)
+    with pytest.raises(ValueError, match="RESTORE.*delta_table_changes"):
+        list(reader._rows_between(2, 3))
+
+
+def test_restore_spark_path_matches_python(spark, tmp_path):
+    """Restore's snapshot diff routes through the Spark metadata path
+    above the threshold — identical commit content (same removes, same
+    re-added entries incl. DV references) as the driver-python path."""
+    import shutil as sh
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    src = str(tmp_path / "src")
+    dl.write_delta_table(
+        spark.range(40).select(
+            F.col("id").alias("k"), (F.col("id") % 4).alias("p"),
+            F.col("id").alias("v"),
+        ).repartition(4),
+        src, partition_by=["p"],
+    )
+    dl.delete_delta(spark, src, "k % 5 = 0", deletion_vectors=True)  # v1
+    dl.write_delta_table(  # v2: overwrite orphans everything
+        spark.range(7).select(
+            F.col("id").alias("k"), F.lit(0).alias("p"),
+            F.col("id").alias("v"),
+        ),
+        src, mode="overwrite",
+    )
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    sh.copytree(src, a)
+    sh.copytree(src, b)
+    ra = dl.restore_delta(spark, a, 1)
+    rb = dl.restore_delta(spark, b, 1, spark_threshold=0)
+    assert ra == rb
+
+    def masked(t, v):
+        acts = dl._read_actions(t, v)
+        out = []
+        for x in acts:
+            if "commitInfo" in x:
+                continue
+            x = json.loads(json.dumps(x))
+            for key in ("remove",):
+                if key in x:
+                    x[key].pop("deletionTimestamp", None)  # wall clock
+            out.append(json.dumps(x, sort_keys=True))
+        return sorted(out)
+
+    assert masked(a, ra["version"]) == masked(b, rb["version"])
+    want = {(r.k, r.v) for r in dl.read_delta_table(spark, a).collect()}
+    assert want == {
+        (k, k) for k in range(40) if k % 5
+    }
+    assert {(r.k, r.v) for r in dl.read_delta_table(spark, b).collect()} == want

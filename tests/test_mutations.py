@@ -448,3 +448,24 @@ def test_top1_per_group_agg_equals_window_and_partially_aggregates(spark):
         agg in plan
         for agg in ("ObjectHashAggregate", "SortAggregate", "HashAggregate")
     ), plan
+    # NULL order keys rank first (Spark's default asc, like the window
+    # variant) — bare min_by would SKIP them and return all-null rows
+    # for an all-null group
+    ndf = spark.createDataFrame(
+        [(1, None, "null-row"), (1, 5, "real"), (2, None, "only-null")],
+        "g int, o int, v string",
+    )
+    got_n = {
+        (r.g, r.o, r.v)
+        for r in top1_per_group_agg(ndf, ["g"], "o").collect()
+    }
+    want_n = {
+        (r.g, r.o, r.v)
+        for r in top1_per_group(ndf, ["g"], [F.col("o")]).collect()
+    }
+    assert got_n == want_n == {(1, None, "null-row"), (2, None, "only-null")}
+    # a value column whose NAME contains a dot must survive the unpack
+    ddf = spark.createDataFrame(
+        [(1, 2, "x")], "g int, o int, `a.b` string"
+    )
+    assert top1_per_group_agg(ddf, ["g"], "o").collect()[0]["a.b"] == "x"
