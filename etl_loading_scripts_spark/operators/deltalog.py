@@ -4775,3 +4775,50 @@ def delta_restore_timetravel(spark: SparkSession, sf_dir: str):
         ).select("version", "n_rows", "amount_sum")
         out = agg if out is None else out.unionByName(agg)
     return out
+
+
+def delete_delta_with_retry(
+    spark: SparkSession,
+    table: str,
+    condition,
+    max_retries: int = 3,
+    **kwargs,
+) -> dict:
+    """OCC wrapper for :func:`delete_delta` — a version race recomputes
+    the probe + delete against the WINNER's snapshot (same semantics as
+    the merge retry wrappers; the reference's concurrent scrub shape:
+    two targeted cleanups racing a nightly load must both land)."""
+    return _occ_retry(
+        lambda: delete_delta(spark, table, condition, **kwargs), max_retries
+    )
+
+
+def update_delta_with_retry(
+    spark: SparkSession,
+    table: str,
+    condition,
+    set_exprs: Mapping[str, object],
+    max_retries: int = 3,
+    **kwargs,
+) -> dict:
+    """OCC wrapper for :func:`update_delta` (see
+    :func:`delete_delta_with_retry`)."""
+    return _occ_retry(
+        lambda: update_delta(spark, table, condition, set_exprs, **kwargs),
+        max_retries,
+    )
+
+
+def restore_delta_with_retry(
+    spark: SparkSession,
+    table: str,
+    version: int,
+    max_retries: int = 3,
+    **kwargs,
+) -> dict:
+    """OCC wrapper for :func:`restore_delta` — the retried restore
+    re-diffs against the race winner's snapshot, so the final state is
+    still exactly the target version's."""
+    return _occ_retry(
+        lambda: restore_delta(spark, table, version, **kwargs), max_retries
+    )
