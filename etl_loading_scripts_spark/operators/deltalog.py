@@ -500,7 +500,19 @@ def _replay_protocol(table: str, version: int | None = None) -> dict:
     a 10^5-action commit is never fully JSON-parsed for this, and the
     result is memoized per immutable (floor, version) pair."""
     floor, replay, version = _resolve_replay(table, version)
-    key = (os.path.abspath(table), floor, version)
+    # the key carries the resolved version's file mtime: a table
+    # DELETED and RECREATED at the same path mid-session produces new
+    # commit files, so the memo never serves the old table's protocol
+    anchor = (
+        _checkpoint_path(table, floor)
+        if floor is not None and version == floor
+        else os.path.join(_log_path(table), f"{version:020d}.json")
+    )
+    try:
+        stamp = os.path.getmtime(anchor)
+    except OSError:
+        stamp = None
+    key = (os.path.abspath(table), floor, version, stamp)
     hit = _PROTOCOL_MEMO.get(key)
     if hit is not None:
         return dict(hit)

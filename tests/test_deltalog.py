@@ -2507,3 +2507,26 @@ def test_dv_read_keeps_column_pruning_and_pushdown(spark, tmp_path):
         "pad1" not in s and "pad2" not in s for s in data_reads
     ), read_schemas  # projection pruned to k on the data scan
     assert "PushedFilters: [" in plan and "GreaterThan(k,500)" in plan, plan
+
+
+def test_protocol_memo_survives_table_recreation(spark, tmp_path):
+    """The protocol memo must not serve a DELETED-and-RECREATED table's
+    predecessor: same path, same version numbers, different protocol —
+    the memo key carries the commit file's mtime."""
+    import shutil as sh
+    import time as _time
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "re")
+    df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    dl.write_delta_table(df, d)
+    dl.add_check_constraint(spark, d, "c", "v >= 0")  # bump at v1
+    assert dl._replay_protocol(d)["minWriterVersion"] == 3
+    sh.rmtree(d)
+    _time.sleep(0.05)  # distinct mtime for the recreated commit files
+    dl.write_delta_table(df, d)
+    dl.write_delta_table(df, d, mode="append")  # plain v1, no bump
+    assert dl._replay_protocol(d) == {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
