@@ -309,6 +309,19 @@ def _commit(table: str, version: int, actions: list[dict]) -> None:
             os.unlink(tmp)
 
 
+def _is_commit_conflict(exc: BaseException) -> bool:
+    """Classify an exception as a lost OCC version race — either the
+    typed :class:`DeltaCommitConflict` or the exact ``delta commit
+    conflict`` message :func:`_commit` raises. The retry/swallow layers
+    key on THIS, never on a bare ``'conflict' in str(exc)`` substring:
+    a genuine non-OCC failure that merely mentions the word (e.g. a
+    schema "type conflict") must propagate, not be retried or silently
+    skipped (round-9 ADVICE)."""
+    return isinstance(exc, DeltaCommitConflict) or str(exc).startswith(
+        "delta commit conflict"
+    )
+
+
 def _stage_data_files(
     df: DataFrame, table: str, partition_cols: Sequence[str] | None = None
 ) -> list[dict]:
@@ -500,16 +513,20 @@ def _replay_protocol(table: str, version: int | None = None) -> dict:
     a 10^5-action commit is never fully JSON-parsed for this, and the
     result is memoized per immutable (floor, version) pair."""
     floor, replay, version = _resolve_replay(table, version)
-    # the key carries the resolved version's file mtime: a table
-    # DELETED and RECREATED at the same path mid-session produces new
-    # commit files, so the memo never serves the old table's protocol
+    # the key carries the resolved version's file identity stamp
+    # (nanosecond mtime AND size): a table DELETED and RECREATED at the
+    # same path mid-session produces new commit files, so the memo
+    # never serves the old table's protocol — size disambiguates even
+    # on filesystems with coarse (1s) mtime granularity, where a
+    # recreate inside the window would otherwise alias the old stamp
     anchor = (
         _checkpoint_path(table, floor)
         if floor is not None and version == floor
         else os.path.join(_log_path(table), f"{version:020d}.json")
     )
     try:
-        stamp = os.path.getmtime(anchor)
+        st = os.stat(anchor)
+        stamp = (st.st_mtime_ns, st.st_size)
     except OSError:
         stamp = None
     key = (os.path.abspath(table), floor, version, stamp)
@@ -1475,6 +1492,23 @@ def _pruned_files_spark(
     return sorted(r.path for r in adds.select("path").collect())
 
 
+#: positions above which a DV anti-join stops BROADCASTING and shuffles
+#: instead: repeated incremental DV scrubs on the same files accumulate
+#: every prior hidden position into the authoritative sidecar, so the
+#: position set grows without bound until OPTIMIZE materializes it away
+#: — an unconditional broadcast would eventually strain the driver and
+#: every executor (round-9 ADVICE). ~10^6 (file, row) pairs ≈ tens of
+#: MB hashed — the sensible broadcast ceiling; beyond it the shuffle
+#: anti-join is the plan that survives.
+_DV_BROADCAST_MAX = 1_000_000
+
+
+def _dv_total_cardinality(dv_refs: Mapping[str, Mapping]) -> int:
+    """Total hidden positions across ``dv_refs`` — free from the add
+    actions' recorded cardinalities, no sidecar read needed."""
+    return sum(int(ref.get("cardinality") or 0) for ref in dv_refs.values())
+
+
 def _apply_dv(
     spark: SparkSession,
     table: str,
@@ -1483,28 +1517,28 @@ def _apply_dv(
 ) -> DataFrame:
     """Hide deletion-vector'd rows from a file-scan relation: ``dv_refs``
     maps data-file rel-paths to their add action's ``deletionVector``
-    {path, cardinality}. The scan gains (file basename, physical
+    descriptor. The scan gains (file basename, physical
     ``_metadata.row_index``) join keys and LEFT-ANTI joins the sidecar
     positions — DVs are small by design (a selective scrub), so the
-    anti-join broadcasts. Rows of a sidecar are honored only for files
-    whose CURRENT add references that sidecar (a later DV update
-    supersedes an older shared sidecar). The single choke point every
-    data reader of a DV-capable path goes through."""
+    anti-join broadcasts up to :data:`_DV_BROADCAST_MAX` recorded
+    positions and falls back to a shuffle anti-join above it (growth
+    from repeated incremental scrubs must not strain the driver). Rows
+    of a sidecar are honored only for files whose CURRENT add
+    references that sidecar (a later DV update supersedes an older
+    shared sidecar). The single choke point every data reader of a
+    DV-capable path goes through."""
     if not dv_refs:
         return df
-    dv = _dv_positions_df(spark, table, dv_refs)
+    dv = _dv_positions_df(spark, table, dv_refs).withColumnRenamed(
+        "file_name", "__dv_fn"
+    ).withColumnRenamed("row_index", "__dv_ri")
+    if _dv_total_cardinality(dv_refs) <= _DV_BROADCAST_MAX:
+        dv = F.broadcast(dv)
     fn = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
     return (
         df.withColumn("__dv_fn", fn)
         .withColumn("__dv_ri", F.col("_metadata.row_index"))
-        .join(
-            F.broadcast(
-                dv.withColumnRenamed("file_name", "__dv_fn")
-                .withColumnRenamed("row_index", "__dv_ri")
-            ),
-            ["__dv_fn", "__dv_ri"],
-            "left_anti",
-        )
+        .join(dv, ["__dv_fn", "__dv_ri"], "left_anti")
         .drop("__dv_fn", "__dv_ri")
     )
 
@@ -1778,7 +1812,7 @@ def _occ_retry(fn, max_retries: int):
         try:
             return fn()
         except RuntimeError as exc:
-            if "conflict" not in str(exc):
+            if not _is_commit_conflict(exc):
                 raise
             last = exc
     raise RuntimeError(
@@ -1971,7 +2005,7 @@ def merge_cow_deltalog(
     try:
         _commit(table, pinned + 1, actions)
     except RuntimeError as exc:
-        if "conflict" not in str(exc):
+        if not _is_commit_conflict(exc):
             raise
         # a racing writer took the version: surface everything the
         # retry layer needs to RECONCILE instead of recompute — the
@@ -1990,8 +2024,9 @@ class DeltaCommitConflict(RuntimeError):
     """A lost version race, carrying the loser's staged actions and
     read set (the months it merged) so the retry layer can check the
     winner's commit for DISJOINTNESS and re-commit without recomputing
-    the merge. str() contains 'conflict' so generic _occ_retry loops
-    still classify it correctly."""
+    the merge. Classified by :func:`_is_commit_conflict` (isinstance),
+    and str() keeps the exact ``delta commit conflict`` prefix so
+    message-based callers stay correct too."""
 
     def __init__(self, table, attempted_version, actions, read_months, result):
         super().__init__(
@@ -2048,7 +2083,7 @@ def _try_recommit_disjoint(conflict: DeltaCommitConflict, max_attempts: int = 5)
         try:
             _commit(table, latest + 1, conflict.actions)
         except RuntimeError as exc:
-            if "conflict" not in str(exc):
+            if not _is_commit_conflict(exc):
                 raise
             continue  # yet another winner: re-validate the new commits
         out = dict(conflict.result)
@@ -2088,7 +2123,7 @@ def merge_cow_deltalog_with_retry(
                 return out
             last = conflict  # overlapping: recompute on the new snapshot
         except RuntimeError as exc:
-            if "conflict" not in str(exc):
+            if not _is_commit_conflict(exc):
                 raise
             last = exc
     raise RuntimeError(
@@ -2169,7 +2204,7 @@ def publish_set_deltalog(
                     require_version=table_versions[name], **opts[name],
                 )
             except RuntimeError as exc:
-                if "conflict" not in str(exc):
+                if not _is_commit_conflict(exc):
                     raise
                 res = {"version": None}
             if res["version"] is not None:
@@ -4115,15 +4150,12 @@ def _dv_filescan_with_positions(
     )
     old = _dv_positions_df(spark, table, dv_refs)
     if old is not None:
-        raw = raw.join(
-            F.broadcast(
-                old.withColumnRenamed("file_name", "__fn").withColumnRenamed(
-                    "row_index", "__ri"
-                )
-            ),
-            ["__fn", "__ri"],
-            "left_anti",
+        old = old.withColumnRenamed("file_name", "__fn").withColumnRenamed(
+            "row_index", "__ri"
         )
+        if _dv_total_cardinality(dv_refs) <= _DV_BROADCAST_MAX:
+            old = F.broadcast(old)  # same ceiling as _apply_dv
+        raw = raw.join(old, ["__fn", "__ri"], "left_anti")
     return raw
 
 

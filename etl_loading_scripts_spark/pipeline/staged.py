@@ -54,6 +54,39 @@ from etl_loading_scripts_spark.pipeline.stages import (
 )
 
 
+#: table property marking a bucketed barrier table's write as COMPLETE
+#: — the saveAsTable analogue of the parquet ``_SUCCESS`` gate. Bare
+#: ``tableExists`` is NOT a barrier: an interrupted overwrite of a
+#: table that already existed from an earlier run can leave torn
+#: contents behind a live catalog entry (round-9 ADVICE), so resume
+#: trusts only tables carrying this marker, set strictly AFTER the
+#: write commits.
+_BUCKET_DONE_PROP = "etl_loading_scripts_spark.barrier_complete"
+
+
+def _bucket_barrier_complete(spark: SparkSession, tbl: str) -> bool:
+    """True iff ``tbl`` exists AND carries the completion marker."""
+    if not spark.catalog.tableExists(tbl):
+        return False
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {tbl}").collect()
+    }
+    return props.get(_BUCKET_DONE_PROP) == "true"
+
+
+def _write_bucketed_barrier(
+    df: DataFrame, tbl: str, keys: list[str], n_buckets: int
+) -> None:
+    """``write_bucketed`` + the completion marker, in that order — a
+    crash between the two leaves an unmarked (hence recomputed) table,
+    never a torn one resumed as complete."""
+    write_bucketed(df, tbl, keys, n_buckets=n_buckets)
+    df.sparkSession.sql(
+        f"ALTER TABLE {tbl} SET TBLPROPERTIES ('{_BUCKET_DONE_PROP}'='true')"
+    )
+
+
 def bucket_table_prefix(stage_dir: str) -> str:
     """The managed-table name prefix a ``bucketed=True`` run derives
     from its ``stage_dir`` — bucketed barrier tables live in the shared
@@ -158,10 +191,10 @@ def run_monthly_load_staged(
     def _persist(name: str, key: str, df: DataFrame, resumed: list) -> DataFrame:
         if bucketed and key in bucket_keys:
             tbl = _bucket_table(name, key)
-            if resume and spark.catalog.tableExists(tbl):
+            if resume and _bucket_barrier_complete(spark, tbl):
                 resumed.append(key)
             else:
-                write_bucketed(df, tbl, bucket_keys[key], n_buckets=n_buckets)
+                _write_bucketed_barrier(df, tbl, bucket_keys[key], n_buckets)
             return spark.table(tbl)
         path = os.path.join(stage_dir, f"{name}_{key}")
         if _resumable(path):
@@ -185,7 +218,9 @@ def run_monthly_load_staged(
                     or (
                         bucketed
                         and key in bucket_keys
-                        and spark.catalog.tableExists(_bucket_table(name, key))
+                        and _bucket_barrier_complete(
+                            spark, _bucket_table(name, key)
+                        )
                     )
                 )
             ):
@@ -224,8 +259,8 @@ def run_monthly_load_staged(
                 # wave states are what waves 2+ anti-join/probe on
                 # proxy_id — co-locate them like the barrier dims
                 tbl = _bucket_table(stage, name)
-                if not (resume and spark.catalog.tableExists(tbl)):
-                    write_bucketed(df, tbl, ["proxy_id"], n_buckets=n_buckets)
+                if not (resume and _bucket_barrier_complete(spark, tbl)):
+                    _write_bucketed_barrier(df, tbl, ["proxy_id"], n_buckets)
                 return spark.table(tbl)
             path = os.path.join(stage_dir, f"{stage}_{name}")
             if not _resumable(path):

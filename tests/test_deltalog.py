@@ -2530,3 +2530,116 @@ def test_protocol_memo_survives_table_recreation(spark, tmp_path):
     assert dl._replay_protocol(d) == {
         "minReaderVersion": 1, "minWriterVersion": 2,
     }
+
+
+def test_protocol_memo_keyed_on_size_too(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE: on filesystems with coarse mtime granularity a
+    table deleted and recreated at the same path inside the window must
+    still miss the memo — the key carries (mtime_ns, size), and the
+    recreated commit file's different SIZE disambiguates even when its
+    mtime is forced identical."""
+    import shutil as sh
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "sz")
+    df = spark.range(5).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    dl.write_delta_table(df, d)
+    dl.add_check_constraint(spark, d, "c_sized", "v >= 0")  # bump at v1
+    assert dl._replay_protocol(d)["minWriterVersion"] == 3
+    v1 = os.path.join(dl._log_path(d), f"{1:020d}.json")
+    st = os.stat(v1)
+    old_times = (st.st_atime_ns, st.st_mtime_ns)
+    sh.rmtree(d)
+    dl.write_delta_table(df, d)
+    dl.write_delta_table(df, d, mode="append")  # plain v1, no bump
+    # force the WORST case: recreated v1 gets the old file's exact mtime
+    os.utime(v1, ns=old_times)
+    assert os.stat(v1).st_size != st.st_size  # sizes differ by content
+    assert dl._replay_protocol(d) == {
+        "minReaderVersion": 1, "minWriterVersion": 2,
+    }
+
+
+def test_conflict_classification_is_exact(spark, tmp_path):
+    """Round-10 ADVICE: only a genuine OCC loss (the typed
+    DeltaCommitConflict or _commit's exact 'delta commit conflict'
+    message) is retried/swallowed — a non-OCC failure that merely
+    mentions 'conflict' propagates out of _occ_retry AND out of
+    publish_set_deltalog's month-close maintenance instead of silently
+    pinning the unmaintained version."""
+    import pytest as _pytest
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    assert dl._is_commit_conflict(
+        RuntimeError("delta commit conflict: version 3 already committed")
+    )
+    assert not dl._is_commit_conflict(
+        RuntimeError("column type mismatch vs table schema: conflicts ['v']")
+    )
+
+    calls = {"n": 0}
+
+    def fails_with_wordy_error():
+        calls["n"] += 1
+        raise RuntimeError("schema merge found a type conflict on 'v'")
+
+    with _pytest.raises(RuntimeError, match="type conflict"):
+        dl._occ_retry(fails_with_wordy_error, max_retries=3)
+    assert calls["n"] == 1  # never retried
+
+    # publish-time maintenance: the same wordy error must PROPAGATE
+    df = spark.range(20).select(F.col("id").alias("k"))
+    real_opt = dl.optimize_delta
+    try:
+        dl.optimize_delta = lambda *a, **kw: (_ for _ in ()).throw(
+            RuntimeError("stats type conflict while compacting")
+        )
+        with _pytest.raises(RuntimeError, match="stats type conflict"):
+            dl.publish_set_deltalog(
+                [("t", df)], str(tmp_path / "pubx"), optimize={"t": {}}
+            )
+    finally:
+        dl.optimize_delta = real_opt
+
+
+def test_dv_antijoin_shuffles_above_broadcast_ceiling(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE: above _DV_BROADCAST_MAX recorded positions the
+    DV anti-join must NOT broadcast (growth from repeated incremental
+    scrubs would strain the driver) — and the shuffle fallback returns
+    exactly the same rows."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "dvb")
+    df = spark.range(200).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).coalesce(1)
+    dl.write_delta_table(df, d)
+    dl.delete_delta(spark, d, "k % 10 = 0", deletion_vectors=True)
+    expect = sorted(r.k for r in dl.read_delta_table(spark, d).collect())
+    assert len(expect) == 180
+
+    def plan_of():
+        frame = dl.read_delta_table(spark, d)
+        return (
+            frame._jdf.queryExecution().executedPlan().toString(),
+            sorted(r.k for r in frame.collect()),
+        )
+
+    plan_b, rows_b = plan_of()
+    assert "BroadcastHashJoin" in plan_b  # tiny DV: broadcast path
+    # above the ceiling the FORCED broadcast hint is gone: with the
+    # size-based threshold off, nothing broadcasts — Catalyst/AQE now
+    # decide from statistics instead of an unconditional hint (a tiny
+    # DV may still be re-broadcast by AQE at runtime, which is the
+    # point: the choice follows size, not fiat)
+    monkeypatch.setattr(dl, "_DV_BROADCAST_MAX", 0)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_s, rows_s = plan_of()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan_s, plan_s
+    assert rows_b == rows_s == expect

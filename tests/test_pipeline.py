@@ -472,3 +472,35 @@ def test_staged_bucketed_layout_matches_and_colocates(spark, tmp_path, loaded):
     assert not any(
         t.name.startswith(prefix) for t in spark.catalog.listTables()
     )
+
+
+def test_bucketed_barrier_resume_requires_completion_marker(spark):
+    """Round-10 ADVICE: bare tableExists is not a resume barrier — an
+    interrupted overwrite of a pre-existing bucketed table leaves a
+    live catalog entry with torn contents. Resume trusts only tables
+    carrying the completion property, set strictly AFTER the write."""
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.pipeline.staged import (
+        _bucket_barrier_complete,
+        _write_bucketed_barrier,
+    )
+    from etl_loading_scripts_spark.sources import write_bucketed
+
+    df = spark.range(10).select(F.col("id").alias("txn_id"))
+    tbl = "t_barrier_marker_probe"
+    try:
+        # a plain write_bucketed (the "torn"/interrupted shape: table
+        # exists, marker never set) is NOT resumable
+        write_bucketed(df, tbl, ["txn_id"], n_buckets=4)
+        assert spark.catalog.tableExists(tbl)
+        assert not _bucket_barrier_complete(spark, tbl)
+        # the barrier writer marks completion — now resumable
+        _write_bucketed_barrier(df, tbl, ["txn_id"], 4)
+        assert _bucket_barrier_complete(spark, tbl)
+        # an overwrite resets the catalog entry: re-running the barrier
+        # writer over a marked table still ends marked (idempotent)
+        _write_bucketed_barrier(df, tbl, ["txn_id"], 4)
+        assert _bucket_barrier_complete(spark, tbl)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
