@@ -2220,6 +2220,146 @@ def test_publish_set_month_close_optimize_pins_maintained_version(spark, tmp_pat
     )
 
 
+def _incr_fact(spark, n=3_000, months=3, salt=0):
+    """A month-spread fact frame: ``months`` consecutive calendar
+    months of YYYYMMDD ``datekey`` (199001, 199002, …), values salted
+    so consecutive loads differ."""
+    return spark.range(n).select(
+        F.col("id").alias("txn_id"),
+        (F.lit(19900101) + (F.col("id") % months) * 100
+         + F.col("id") % 28).alias("datekey"),
+        ((F.col("id") * 31 + salt) % 1000).alias("amount"),
+    )
+
+
+def test_publish_set_incremental_merges_only_window_months(spark, tmp_path):
+    """Round-10 item 1 (the r9 `weak`): publish_set_deltalog's
+    ``incremental`` spec bootstraps the fact month-partitioned on the
+    FIRST publish, then every later publish MERGES only its window's
+    months — untouched months' add entries (path AND size) are
+    IDENTICAL across consecutive set versions, the month-close
+    optimize is auto-scoped to the merged months, and both sets read
+    back exactly right."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    spec = {"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                     "window": None, "delete_unmatched_source": True}}
+    fact0 = _incr_fact(spark, months=3, salt=0)
+    sv0 = dl.publish_set_deltalog(
+        [("fact", fact0)], base,
+        incremental={**spec, "fact": {**spec["fact"], "window": None}},
+        optimize={"fact": {"zorder_by": ["datekey"]}},
+    )
+    fpath = os.path.join(base, "fact")
+    meta = dl._snapshot_state(fpath, None)[1]
+    assert meta["partitionColumns"] == ["month"]
+    # second publish: a window matching NO rows — the empty merge pins
+    # the table exactly as-is (no new fact version, no optimize pass)
+    # while the set still commits
+    fact1 = _incr_fact(spark, months=3, salt=7)
+    sv1 = dl.publish_set_deltalog(
+        [("fact", fact1)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": (20500101, 20500131),
+                              "delete_unmatched_source": True}},
+        optimize={"fact": {"zorder_by": ["datekey"]}},
+    )
+    sc1 = next(a["setCommit"] for a in dl._read_actions(
+        os.path.join(base, dl._SET_DIR), sv1) if "setCommit" in a)
+    sc0 = next(a["setCommit"] for a in dl._read_actions(
+        os.path.join(base, dl._SET_DIR), sv0) if "setCommit" in a)
+    assert sc1["tables"]["fact"] == sc0["tables"]["fact"]
+    # third publish: a real single-month window (month 199002)
+    sv2 = dl.publish_set_deltalog(
+        [("fact", fact1)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": (19900201, 19900231),
+                              "delete_unmatched_source": True}},
+        optimize={"fact": {"zorder_by": ["datekey"]}},
+    )
+    sc2 = next(a["setCommit"] for a in dl._read_actions(
+        os.path.join(base, dl._SET_DIR), sv2) if "setCommit" in a)
+    by_month = {}
+    for sv, tv in ((sv0, sc0["tables"]["fact"]), (sv2, sc2["tables"]["fact"])):
+        active, _, _ = dl._snapshot_state(fpath, tv)
+        d = {}
+        for p, a in active.items():
+            d.setdefault(a["partitionValues"]["month"], set()).add(
+                (p, a.get("size"))
+            )
+        by_month[sv] = d
+    assert by_month[sv0]["199001"] == by_month[sv2]["199001"]
+    assert by_month[sv0]["199003"] == by_month[sv2]["199003"]
+    assert by_month[sv0]["199002"] != by_month[sv2]["199002"]
+    # content: set 2 = month 199002 from fact1, other months from fact0
+    got = dl.read_published_set_deltalog(spark, base, version=sv2)["fact"]
+    exp = fact0.filter(~F.col("datekey").between(19900201, 19900231)).unionByName(
+        fact1.filter(F.col("datekey").between(19900201, 19900231))
+    )
+    assert sorted(map(tuple, got.select("txn_id", "datekey", "amount").collect())) \
+        == sorted(map(tuple, exp.collect()))
+    # and set 0 still reads the original
+    got0 = dl.read_published_set_deltalog(spark, base, version=sv0)["fact"]
+    assert sorted(map(tuple, got0.select("txn_id", "datekey", "amount").collect())) \
+        == sorted(map(tuple, fact0.collect()))
+
+
+def test_publish_set_incremental_crash_retry_idempotent(spark, tmp_path):
+    """A publish that dies AFTER the fact merge but BEFORE the set
+    commit leaves an orphaned fact version; readers of the last set
+    never see it, and simply re-running the same publish converges
+    (delete_unmatched_source full-sync is idempotent) — the new set
+    pins a consistent post-retry state."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    fpath = os.path.join(base, "fact")
+    fact0 = _incr_fact(spark, months=2, salt=0)
+    inc = {"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                    "window": (19900201, 19900231),
+                    "delete_unmatched_source": True}}
+    sv0 = dl.publish_set_deltalog(
+        [("fact", fact0)], base,
+        incremental={"fact": {**inc["fact"], "window": None}},
+    )
+    fact1 = _incr_fact(spark, months=2, salt=5)
+    # crash simulation: run ONLY the merge leg (what publish does),
+    # no set commit
+    dl.merge_cow_deltalog_with_retry(
+        spark, fpath,
+        fact1.filter(F.col("datekey").between(19900201, 19900231)),
+        ["txn_id"], delete_unmatched_source=True,
+    )
+    # the last committed set still reads the PRE-crash fact
+    pre = dl.read_published_set_deltalog(spark, base)["fact"]
+    assert sorted(map(tuple, pre.select("txn_id", "amount").collect())) == \
+        sorted(map(tuple, fact0.select("txn_id", "amount").collect()))
+    # retry the full publish: merges again on top of the orphan,
+    # converges to the same state, set commits
+    sv1 = dl.publish_set_deltalog(
+        [("fact", fact1)], base, incremental=inc,
+    )
+    got = dl.read_published_set_deltalog(spark, base, version=sv1)["fact"]
+    exp = fact0.filter(~F.col("datekey").between(19900201, 19900231)).unionByName(
+        fact1.filter(F.col("datekey").between(19900201, 19900231))
+    )
+    assert sorted(map(tuple, got.select("txn_id", "datekey", "amount").collect())) \
+        == sorted(map(tuple, exp.collect()))
+    assert sv1 == sv0 + 1
+
+
+def test_publish_set_incremental_rejects_partition_by_overlap(spark, tmp_path):
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    with pytest.raises(ValueError, match="both incremental and partition_by"):
+        dl.publish_set_deltalog(
+            [("fact", _incr_fact(spark, n=10))], str(tmp_path / "p"),
+            partition_by={"fact": ["datekey"]},
+            incremental={"fact": {"on": ["txn_id"]}},
+        )
+
+
 def test_publish_optimize_never_pins_racing_writer(spark, tmp_path, monkeypatch):
     """Review fix (round 9): the publish-time optimize is scoped to the
     publisher's own just-committed version (require_version) and a
