@@ -255,8 +255,11 @@ def run_monthly_load_staged(
         17x-vs-10x shuffle slope at 10x fact (SCALING.md r6)."""
 
         def bar(df: DataFrame, name: str) -> DataFrame:
-            if bucketed and name.startswith("dim_patron"):
-                # wave states are what waves 2+ anti-join/probe on
+            if bucketed and (
+                name.startswith("dim_patron") or name == "proxy_grain"
+            ):
+                # wave states (and the round-10 shared proxy-grain
+                # aggregate) are what waves 2+ anti-join/probe on
                 # proxy_id — co-locate them like the barrier dims
                 tbl = _bucket_table(stage, name)
                 if not (resume and _bucket_barrier_complete(spark, tbl)):
@@ -392,7 +395,7 @@ def run_monthly_load_staged(
         # to those months. Publish cost: O(month), not O(history) —
         # untouched months' files stay referenced and byte-identical
         # across set versions (oracle: staged_publish_incremental_files;
-        # 100x wall: tools/bench_month_close.py --incremental). Dims
+        # 100x wall: tools/bench_month_close.py's month-2 leg). Dims
         # stay full overwrites: they're O(entities), not O(history),
         # and every load can touch any dim row.
         set_version = publish_set_deltalog(

@@ -195,17 +195,40 @@ def stage2_patron_dims(
     shuffle at 10x fact vs 10x with barriers — SCALING.md r6)."""
     lo, hi = window
 
-    # wave 1: transactions that carry a proxy
-    with_proxy = raw.filter(F.col("proxy_id").isNotNull()).select(
-        "txn_id", "proxy_id", "client_id", F.trim(F.col("merchant_name")).alias("patron_name")
-    )
+    # ONE proxy-grain aggregate serves BOTH insert waves (round 10,
+    # VERDICT r9 item 4: the two per-wave aggregates were the s2 cost
+    # driver at 100× — each scanned and shuffled raw to proxy grain
+    # separately). A txn's proxy is its real proxy_id when present,
+    # else the synthesized clientid+'_'+last4 (P-PAT:96-115, the
+    # NULL-propagating '+' concat); real and synthesized rows are
+    # DISJOINT, so grouping by (proxy_id, is_real) in one shuffle
+    # yields exactly the two aggregates the waves previously computed
+    # — same winners (min txn_id within each slice), same rows. The
+    # staged runner materializes this grain via ``barrier`` so neither
+    # wave re-derives it from raw.
+    unified = raw.select(
+        "txn_id",
+        F.coalesce(
+            F.col("proxy_id"),
+            tsql.concat_plus(
+                F.col("client_id").cast("string"), F.lit("_"), F.col("cc_last4")
+            ),
+        ).alias("proxy_id"),
+        F.col("proxy_id").isNotNull().alias("is_real"),
+        "client_id",
+        F.trim(F.col("merchant_name")).alias("patron_name"),
+    ).filter(F.col("proxy_id").isNotNull())
     # agg-based dedup (min_by on the unique txn_id): replaces the
     # window's post-exchange SORT with hash aggregation — measured
-    # s2 wall 40.1→35.0 s at 100× (SCALING.md r9; the shuffle bytes
-    # themselves did NOT move at this layout — a proxy's ~15 txns
-    # scatter across tasks, so map-side combine collapses little)
+    # s2 wall 40.1→35.0 s at 100× (SCALING.md r9)
+    proxy_grain = barrier(
+        top1_per_group_agg(unified, ["proxy_id", "is_real"], "txn_id"),
+        "proxy_grain",
+    )
+
+    # wave 1: transactions that carry a real proxy
     new_patrons = (
-        top1_per_group_agg(with_proxy, ["proxy_id"], "txn_id")
+        proxy_grain.filter(F.col("is_real"))
         .select("proxy_id", "patron_name", "client_id")
         .withColumn("patron_id", F.lit(None).cast("long"))
     )
@@ -220,22 +243,11 @@ def stage2_patron_dims(
         "dim_patron_wave1",
     )
 
-    # wave 2: synthesize proxies for NULL-proxy transactions (P-PAT:98:
-    # clientid + '_' + last4 — the NULL-propagating '+' concat)
-    synth = (
-        raw.filter(F.col("proxy_id").isNull())
-        .select(
-            "txn_id",
-            tsql.concat_plus(
-                F.col("client_id").cast("string"), F.lit("_"), F.col("cc_last4")
-            ).alias("proxy_id"),
-            "client_id",
-            F.trim(F.col("merchant_name")).alias("patron_name"),
-        )
-        .filter(F.col("proxy_id").isNotNull())
-    )
+    # wave 2: the synthesized proxies not already present after wave 1
+    # (insert_if_absent's anti-join against dim1 keeps the wave
+    # ordering exact, including real/synth proxy-value collisions)
     new_synth = (
-        top1_per_group_agg(synth, ["proxy_id"], "txn_id")
+        proxy_grain.filter(~F.col("is_real"))
         .select("proxy_id", "patron_name", "client_id")
         .withColumn("patron_id", F.lit(None).cast("long"))
     )
