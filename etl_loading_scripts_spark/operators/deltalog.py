@@ -88,11 +88,13 @@ Round 9 closes the remaining scale seams:
   the two-snapshot diff at O(changes) — no-data-change commits
   transparent, pre-round-9 encodings fall back;
 - **deletion vectors** (:func:`delete_delta` / :func:`update_delta`
-  with ``deletion_vectors=True``): position sidecars under
-  ``_deletion_vectors/`` (documented parquet deviation from the
-  protocol's roaring bitmaps), applied by every reader at scan
+  with ``deletion_vectors=True``): protocol-format roaring bitmaps in
+  ``deletion_vector_<uuid>.bin`` files (round 10 — descriptor
+  {storageType "u", z85 pathOrInlineDv, offset, sizeInBytes,
+  cardinality}; codec in ``operators/roaring.py``; pre-round-10
+  parquet sidecars still read), applied by every reader at scan
   (:func:`_apply_dv`), purged by OPTIMIZE, protocol-gated at
-  minReaderVersion 3 — a 10-row delete writes a KB sidecar instead of
+  minReaderVersion 3 — a 10-row delete writes a KB bitmap instead of
   re-encoding a GB file;
 - **OPTIMIZE/VACUUM metadata through Spark** above the threshold:
   small-file selection and orphan-candidate selection are DataFrame
@@ -138,15 +140,24 @@ _LAST_CHECKPOINT = "_last_checkpoint"
 _SET_DIR = "_set"
 #: per-commit change files (the protocol's Change Data Feed directory)
 _CDC_DIR = "_change_data"
-#: deletion-vector sidecars (row positions hidden from their data file).
-#: DEVIATION FROM THE PROTOCOL, documented: the real format stores
-#: z-ordered RoaringBitmaps in .bin sidecars; this writer stores plain
-#: parquet (file_name, row_index) positions — same O(deleted rows)
-#: semantics, readable by the engine's own tools, and the seam an
-#: interop adjudicator would flag first (golden fixture pins it)
+#: LEGACY deletion-vector sidecar directory (pre-round-10 tables): the
+#: old writer stored plain parquet (file_name, row_index) positions
+#: here with a {path, cardinality} descriptor — a documented protocol
+#: deviation. Round 10 switches the WRITER to the protocol's actual
+#: format (roaring bitmaps in ``deletion_vector_<uuid>.bin`` files at
+#: the table root, descriptor {storageType, pathOrInlineDv, offset,
+#: sizeInBytes, cardinality} — see ``operators/roaring.py``); the
+#: READER keeps decoding both, so pre-round-10 logs stay readable.
 _DV_DIR = "_deletion_vectors"
-#: the add action's deletionVector reference as Spark DDL
-_DV_DDL = "struct<path:string,cardinality:bigint>"
+#: the add action's deletionVector reference as Spark DDL — the
+#: protocol descriptor fields plus the legacy ``path`` so both
+#: generations of checkpoints/logs parse through one schema (a new
+#: commit's JSON carries only the protocol fields; ``path`` only
+#: appears in legacy actions)
+_DV_DDL = (
+    "struct<storageType:string,pathOrInlineDv:string,offset:int,"
+    "sizeInBytes:int,cardinality:bigint,path:string>"
+)
 #: highest protocol reader version this engine understands (3 = knows
 #: deletion vectors; a table above this must be refused, not misread)
 _MAX_READER_VERSION = 3
@@ -603,11 +614,17 @@ def _cp_schema():
                         ("dataChange", pa.bool_()),
                         ("stats", pa.string()),
                         (
+                            # mirrors _DV_DDL: protocol descriptor
+                            # fields + legacy path
                             "deletionVector",
                             pa.struct(
                                 [
-                                    ("path", pa.string()),
+                                    ("storageType", pa.string()),
+                                    ("pathOrInlineDv", pa.string()),
+                                    ("offset", pa.int32()),
+                                    ("sizeInBytes", pa.int32()),
                                     ("cardinality", pa.int64()),
+                                    ("path", pa.string()),
                                 ]
                             ),
                         ),
@@ -801,6 +818,19 @@ def _checkpoint_delta_spark(
     return final
 
 
+def _dv_norm(ref):
+    """Drop null-valued fields from a deletionVector descriptor that
+    round-tripped through the UNIFIED checkpoint/Spark struct schema
+    (legacy {path, cardinality} and protocol {storageType, …}
+    descriptors share one struct; each generation carries only its own
+    keys in JSON — normalizing keeps dict comparisons and
+    ``storageType``-based dispatch exact across both sources)."""
+    if ref is None:
+        return None
+    out = {k: v for k, v in dict(ref).items() if v is not None}
+    return out or None
+
+
 def _read_checkpoint(table: str, version: int) -> tuple[dict, dict]:
     import pyarrow.parquet as pq
 
@@ -835,6 +865,12 @@ def _read_checkpoint(table: str, version: int) -> tuple[dict, dict]:
                 )
                 for kv in pv
             }
+            if "deletionVector" in a:
+                dv = _dv_norm(a["deletionVector"])
+                if dv is None:
+                    a.pop("deletionVector")
+                else:
+                    a["deletionVector"] = dv
             active[a["path"]] = a
     if not meta:
         raise ValueError(f"corrupt checkpoint {version} in {table}: no metaData")
@@ -1485,7 +1521,7 @@ def _pruned_files_spark(
         return sorted(
             (
                 r.path,
-                r.deletionVector.asDict() if r.deletionVector else None,
+                _dv_norm(r.deletionVector.asDict()) if r.deletionVector else None,
             )
             for r in rows
         )
@@ -2868,21 +2904,27 @@ def _make_delta_stream_source():
                         # file (RESTORE to a DV state): the hidden rows
                         # were never (re)inserted — emitting them would
                         # be a silently wrong change feed
-                        import pyarrow.compute as pc
-
-                        side = pq.read_table(
-                            os.path.join(self._table, dv["path"])
-                        )
-                        hidden = set(
-                            side.filter(
-                                pc.equal(
-                                    side.column("file_name"),
-                                    os.path.basename(a["path"]),
-                                )
+                        if dv.get("storageType"):
+                            hidden = set(
+                                int(x)
+                                for x in _dv_load_positions(self._table, dv)
                             )
-                            .column("row_index")
-                            .to_pylist()
-                        )
+                        else:
+                            import pyarrow.compute as pc
+
+                            side = pq.read_table(
+                                os.path.join(self._table, dv["path"])
+                            )
+                            hidden = set(
+                                side.filter(
+                                    pc.equal(
+                                        side.column("file_name"),
+                                        os.path.basename(a["path"]),
+                                    )
+                                )
+                                .column("row_index")
+                                .to_pylist()
+                            )
                         if hidden:
                             t = t.take(
                                 [
@@ -2982,16 +3024,38 @@ def _vacuum_spark(
     (what gets deleted anyway) reaches the driver — O(orphans) driver
     memory instead of the python path's O(all files)."""
     needed = None
+    dv_bins: set[str] = set()
     for v in sorted(keep):
         adds = _active_adds_df(spark, table, v)
         p = adds.select("path").unionByName(
-            # DV sidecars stay referenced while any kept add points at
-            # them — they are .parquet under the table tree too
-            adds.where(F.col("deletionVector").isNotNull()).select(
+            # legacy DV parquet sidecars stay referenced while any
+            # kept add points at them
+            adds.where(F.col("deletionVector.path").isNotNull()).select(
                 F.col("deletionVector.path").alias("path")
             )
         )
+        # protocol-format DV .bin files: one file serves many
+        # descriptors (offsets), so the DISTINCT uuid list is tiny —
+        # O(DV commits), resolved driver-side
+        dv_bins.update(
+            _dv_file_rel({"storageType": r.storageType, "pathOrInlineDv": r.pathOrInlineDv})
+            for r in adds.where(
+                F.col("deletionVector.storageType").isNotNull()
+            )
+            .select(
+                F.col("deletionVector.storageType").alias("storageType"),
+                F.col("deletionVector.pathOrInlineDv").alias("pathOrInlineDv"),
+            )
+            .distinct()
+            .collect()
+            if r.storageType != "i"
+        )
         needed = p if needed is None else needed.unionByName(p)
+    if dv_bins:
+        bins_df = spark.createDataFrame(
+            [(b,) for b in sorted(dv_bins)], "path string"
+        )
+        needed = bins_df if needed is None else needed.unionByName(bins_df)
     cdc_df = spark.createDataFrame(
         [(p,) for p in cdc_needed], "path string"
     ) if cdc_needed else None
@@ -3018,20 +3082,26 @@ def _vacuum_spark(
     def _ls(part):
         import os as _os
 
+        def _gc_candidate(f):
+            # data/cdc/sidecar parquet, plus protocol DV .bin files
+            return f.endswith(".parquet") or (
+                f.startswith("deletion_vector_") and f.endswith(".bin")
+            )
+
         for rel, rec in part:
             root = _os.path.join(base, rel) if rel else base
             if rec:
                 for r, _ds, fs in _os.walk(root):
                     rr = _os.path.relpath(r, base)
                     for f in fs:
-                        if f.endswith(".parquet"):
+                        if _gc_candidate(f):
                             yield (
                                 f if rr == "." else _os.path.join(rr, f),
                                 _os.path.getmtime(_os.path.join(r, f)),
                             )
             else:
                 for e in _os.scandir(root):
-                    if e.is_file() and e.name.endswith(".parquet"):
+                    if e.is_file() and _gc_candidate(e.name):
                         yield (e.name, e.stat().st_mtime)
 
     cand = spark.createDataFrame(
@@ -3124,9 +3194,11 @@ def vacuum_delta(
         active, _, _ = _snapshot_state(table, v)
         needed.update(active)
         needed.update(
-            a["deletionVector"]["path"]
+            rel
             for a in active.values()
             if a.get("deletionVector")
+            for rel in [_dv_file_rel(a["deletionVector"])]
+            if rel is not None
         )
     removed = []
     for root, dirs, files in os.walk(table, topdown=True):
@@ -3148,7 +3220,10 @@ def vacuum_delta(
                     removed.append(d)
         for f in files:
             rel = f if rel_root == "." else os.path.join(rel_root, f)
-            if f.endswith(".parquet") and rel not in needed:
+            is_cand = f.endswith(".parquet") or (
+                f.startswith("deletion_vector_") and f.endswith(".bin")
+            )
+            if is_cand and rel not in needed:
                 full = os.path.join(root, f)
                 # same retention gate as staging dirs: a young
                 # unreferenced .parquet may be an imminent commit's
@@ -3781,7 +3856,7 @@ def optimize_delta(
             groups.setdefault(key, []).append(r.path)
             sizes[r.path] = r.size or 0
             if r.deletionVector:
-                dv_refs[r.path] = r.deletionVector.asDict()
+                dv_refs[r.path] = _dv_norm(r.deletionVector.asDict())
         if (
             not key_cols
             and sum(len(v) for v in groups.values()) <= 1
@@ -4156,18 +4231,67 @@ def _dv_refs_of(active: Mapping[str, Mapping], files) -> dict[str, dict]:
     }
 
 
+def _dv_file_rel(ref: Mapping) -> str | None:
+    """The file a deletionVector descriptor references, table-relative
+    (None for inline DVs): legacy → the parquet sidecar's recorded
+    path; ``u`` → ``deletion_vector_<uuid>.bin`` derived from the
+    z85-encoded UUID (optional random prefix becomes a directory, per
+    the protocol); ``p`` → the recorded path verbatim."""
+    st = ref.get("storageType")
+    if not st:
+        return ref.get("path")
+    if st == "u":
+        from etl_loading_scripts_spark.operators.roaring import decode_dv_uuid
+
+        text = ref["pathOrInlineDv"]
+        prefix, z = text[:-20], text[-20:]
+        name = f"deletion_vector_{decode_dv_uuid(z)}.bin"
+        return os.path.join(prefix, name) if prefix else name
+    if st == "i":
+        return None
+    if st == "p":
+        return ref["pathOrInlineDv"]
+    raise ValueError(f"unknown deletionVector storageType {st!r}")
+
+
+def _dv_load_positions(table: str, ref: Mapping, cache: dict | None = None):
+    """Decode one protocol-format DV descriptor → numpy uint64 row
+    positions. ``cache`` memoizes .bin file bytes across the
+    descriptors of one commit (they share a file at offsets)."""
+    from etl_loading_scripts_spark.operators import roaring as R
+
+    if ref["storageType"] == "i":
+        blob = R.z85_decode(ref["pathOrInlineDv"], int(ref["sizeInBytes"]))
+    else:
+        rel = _dv_file_rel(ref)
+        path = rel if os.path.isabs(rel) else os.path.join(table, rel)
+        buf = cache.get(path) if cache is not None else None
+        if buf is None:
+            with open(path, "rb") as fh:
+                buf = fh.read()
+            if cache is not None:
+                cache[path] = buf
+        blob = R.unpack_dv_blob(buf, int(ref["offset"]), int(ref["sizeInBytes"]))
+    return R.deserialize_rbm64(blob)
+
+
 def _dv_positions_df(
     spark: SparkSession, table: str, dv_refs: Mapping[str, Mapping]
 ) -> DataFrame | None:
     """The (file_name, row_index) positions hidden by ``dv_refs``
     (add-path → deletionVector), honoring only rows of files whose
-    CURRENT add references that sidecar."""
+    CURRENT add references that DV. Protocol-format descriptors decode
+    driver-side (O(hidden rows), the DV design's stated bound — a
+    delete big enough to strain the driver belongs in rewrite mode);
+    legacy parquet sidecars keep their executor-side scan."""
     if not dv_refs:
         return None
-    by_sidecar: dict[str, list[str]] = {}
-    for p, ref in dv_refs.items():
-        by_sidecar.setdefault(ref["path"], []).append(os.path.basename(p))
+    legacy = {p: r for p, r in dv_refs.items() if not r.get("storageType")}
+    modern = {p: r for p, r in dv_refs.items() if r.get("storageType")}
     dv = None
+    by_sidecar: dict[str, list[str]] = {}
+    for p, ref in legacy.items():
+        by_sidecar.setdefault(ref["path"], []).append(os.path.basename(p))
     for sc, names in sorted(by_sidecar.items()):
         part = (
             spark.read.schema("file_name string, row_index bigint")
@@ -4175,38 +4299,75 @@ def _dv_positions_df(
             .where(F.col("file_name").isin(sorted(names)))
         )
         dv = part if dv is None else dv.unionByName(part)
+    if modern:
+        import pandas as pd
+
+        cache: dict = {}
+        frames = []
+        for p, ref in sorted(modern.items()):
+            pos = _dv_load_positions(table, ref, cache)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "file_name": os.path.basename(p),
+                        "row_index": pos.astype("int64"),
+                    }
+                )
+            )
+        part = spark.createDataFrame(
+            pd.concat(frames, ignore_index=True),
+            schema="file_name string, row_index bigint",
+        )
+        dv = part if dv is None else dv.unionByName(part)
     return dv
 
 
-def _stage_dv_sidecar(
+def _stage_dv_bin(
     spark: SparkSession, table: str, positions: DataFrame
-) -> tuple[str, dict[str, int], int]:
-    """Write one deletion-vector sidecar parquet under
-    ``_deletion_vectors/`` from a (file_name, row_index) relation and
-    return (rel path, per-file cardinality, size). One file — the add
-    action references a single sidecar; position volume is O(deleted
-    rows), the whole point of DVs (a delete big enough to strain one
-    task belongs in the rewrite mode)."""
-    staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
-    positions.coalesce(1).write.mode("overwrite").parquet(staging)
-    src = next(
-        os.path.join(staging, f)
-        for f in sorted(os.listdir(staging))
-        if f.endswith(".parquet")
-    )
-    os.makedirs(os.path.join(table, _DV_DIR), exist_ok=True)
-    rel = os.path.join(_DV_DIR, f"dv-{uuid.uuid4().hex}.parquet")
-    size = os.path.getsize(src)
-    os.rename(src, os.path.join(table, rel))
-    shutil.rmtree(staging, ignore_errors=True)
-    card = {
-        r.file_name: r.n
-        for r in spark.read.parquet(os.path.join(table, rel))
-        .groupBy("file_name")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+) -> tuple[dict[str, dict], int]:
+    """Serialize per-data-file deletion vectors in the PROTOCOL format
+    from a (file_name, row_index) relation: each file's positions
+    become one roaring bitmap (``operators/roaring.py``), all bitmaps
+    pack into ONE ``deletion_vector_<uuid>.bin`` at the table root
+    (version byte + per-DV size/bytes/CRC framing), and each file gets
+    its own descriptor {storageType "u", z85 uuid, offset, sizeInBytes,
+    cardinality}. Returns ({file basename: descriptor}, .bin bytes).
+
+    Positions reach the driver for serialization — O(deleted rows),
+    the DV design's stated bound (the old parquet writer already
+    single-tasked the same volume via coalesce(1); a delete big enough
+    to strain the driver belongs in rewrite mode)."""
+    import numpy as np
+
+    from etl_loading_scripts_spark.operators import roaring as R
+
+    pdf = positions.toPandas()
+    names, blobs, cards = [], [], []
+    for name, grp in pdf.groupby("file_name", sort=True):
+        arr = np.unique(grp["row_index"].to_numpy(dtype="uint64"))
+        names.append(name)
+        blobs.append(R.serialize_rbm64(arr))
+        cards.append(int(len(arr)))
+    file_bytes, offsets = R.pack_dv_file(blobs)
+    # uuid via the canonical hex so the golden generator's pinned
+    # counter produces a byte-stable fixture
+    u = uuid.UUID(uuid.uuid4().hex)
+    tmp = os.path.join(table, f".tmp-dv-{u.hex}")
+    with open(tmp, "wb") as fh:
+        fh.write(file_bytes)
+    os.replace(tmp, os.path.join(table, f"deletion_vector_{u}.bin"))
+    z = R.encode_dv_uuid(u)
+    descs = {
+        name: {
+            "storageType": "u",
+            "pathOrInlineDv": z,
+            "offset": off,
+            "sizeInBytes": len(blob),
+            "cardinality": card,
+        }
+        for name, blob, off, card in zip(names, blobs, offsets, cards)
     }
-    return rel, card, size
+    return descs, len(file_bytes)
 
 
 def _dv_filescan_with_positions(
@@ -4291,13 +4452,14 @@ def delete_delta(
       REWRITTEN without the matching rows — read cost O(affected
       files), write cost the same. Right when deletes are a large
       fraction of the touched files.
-    - ``deletion_vectors=True`` (round 9): affected files stay
-      byte-identical; the commit re-adds them carrying a
-      ``deletionVector`` sidecar of hidden row positions
-      (``_deletion_vectors/`` parquet — see ``_DV_DIR`` for the
-      documented deviation from the protocol's roaring bitmaps).
+    - ``deletion_vectors=True`` (round 9; protocol roaring format
+      since round 10): affected files stay byte-identical; the commit
+      re-adds them carrying a ``deletionVector`` descriptor whose
+      roaring bitmap of hidden row positions lives in a
+      ``deletion_vector_<uuid>.bin`` (``operators/roaring.py``; legacy
+      ``_deletion_vectors/`` parquet sidecars still read).
       Write cost O(deleted rows): deleting 10 rows from a 1 GB file
-      writes a KB sidecar instead of re-encoding the GB — the
+      writes a KB bitmap instead of re-encoding the GB — the
       reference's targeted scrub cadence (``3. Mapping and Cleanup of
       PosFingerprints/script.sql:19-23``). Every reader applies DVs
       at scan (:func:`_apply_dv`); OPTIMIZE materializes them away.
@@ -4360,16 +4522,17 @@ def delete_delta(
         old = _dv_positions_df(spark, table, dv_refs)
         if old is not None:
             # carry the affected files' previously hidden positions
-            # into the new sidecar — one authoritative DV per file
+            # into the new DV — one authoritative DV per file
             allpos = allpos.unionByName(old)
-        rel, card, bytes_written = _stage_dv_sidecar(spark, table, allpos)
+        descs, bytes_written = _stage_dv_bin(spark, table, allpos)
         for p in affected:
             a = dict(active[p])
             a["dataChange"] = True
-            a["deletionVector"] = {
-                "path": rel,
-                "cardinality": card.get(os.path.basename(p), 0),
-            }
+            d = descs.get(os.path.basename(p))
+            if d is not None:
+                a["deletionVector"] = d
+            else:
+                a.pop("deletionVector", None)
             actions.append({"add": a})
         change_src = doomed.drop("__fn", "__ri")
         files_rewritten, files_dv = 0, len(affected)
@@ -4504,14 +4667,15 @@ def update_delta(
         old = _dv_positions_df(spark, table, dv_refs)
         if old is not None:
             allpos = allpos.unionByName(old)
-        rel, card, dv_bytes = _stage_dv_sidecar(spark, table, allpos)
+        descs, dv_bytes = _stage_dv_bin(spark, table, allpos)
         for p in affected:
             a = dict(active[p])
             a["dataChange"] = True
-            a["deletionVector"] = {
-                "path": rel,
-                "cardinality": card.get(os.path.basename(p), 0),
-            }
+            d = descs.get(os.path.basename(p))
+            if d is not None:
+                a["deletionVector"] = d
+            else:
+                a.pop("deletionVector", None)
             actions.append({"add": a})
         pre = pre.drop("__fn", "__ri")
         adds = _stage_data_files(_post_projection(pre), table, pcols)
@@ -4753,11 +4917,20 @@ def restore_delta(
         # O(restored delta) reaches the driver — the commit encodes
         # exactly these entries
         rows = diff.collect()
-        tgt_adds = {
-            r.path: r.t.asDict(recursive=True)
-            for r in rows
-            if r.t is not None
-        }
+        tgt_adds = {}
+        for r in rows:
+            if r.t is None:
+                continue
+            a = r.t.asDict(recursive=True)
+            # the unified DV struct carries both generations' fields;
+            # re-emitted actions must hold only the generation's own
+            # keys (matching the python path and the original JSON)
+            dv = _dv_norm(a.get("deletionVector"))
+            if dv is None:
+                a.pop("deletionVector", None)
+            else:
+                a["deletionVector"] = dv
+            tgt_adds[r.path] = a
         removes = sorted(r.path for r in rows if r.c is not None)
         adds = sorted(tgt_adds)
         n_tgt = _active_adds_df(spark, table, version).count()
@@ -4788,12 +4961,11 @@ def restore_delta(
         p for p in adds if not os.path.exists(os.path.join(table, p))
     ]
     missing += sorted({
-        tgt_adds[p]["deletionVector"]["path"]
+        rel
         for p in adds
         if tgt_adds[p].get("deletionVector")
-        and not os.path.exists(
-            os.path.join(table, tgt_adds[p]["deletionVector"]["path"])
-        )
+        for rel in [_dv_file_rel(tgt_adds[p]["deletionVector"])]
+        if rel is not None and not os.path.exists(os.path.join(table, rel))
     })
     if missing:
         raise ValueError(

@@ -58,15 +58,39 @@ def test_golden_fixture_reads_exactly(spark):
         dl.read_delta_table(spark, GOLDEN_DIR, version=1).inputFiles()
     )
     assert {r.k for r in pruned.filter(F.col("k") >= 5).collect()} == {5}
-    # v2 (round 9): the deletion-vector commit — data files stay those
-    # of v1, the sidecar hides k=3
+    # v2 (round 9; protocol roaring format since round 10): the
+    # deletion-vector commit — data files stay those of v1, the
+    # roaring bitmap hides k=3
     v2 = {r.k: r.v for r in dl.read_delta_table(spark, GOLDEN_DIR, version=2).collect()}
     assert v2 == {1: 10, 2: 99, 4: 40, 5: 50}
     act, _, _ = dl._snapshot_state(GOLDEN_DIR, 2)
     dvs = {p: a["deletionVector"] for p, a in act.items() if a.get("deletionVector")}
     assert len(dvs) == 1
     (ref,) = dvs.values()
-    assert ref["cardinality"] == 1 and ref["path"].startswith("_deletion_vectors/")
+    assert ref["cardinality"] == 1 and ref["storageType"] == "u"
+    assert os.path.isfile(os.path.join(GOLDEN_DIR, dl._dv_file_rel(ref)))
+
+
+def test_legacy_dv_fixture_still_reads(spark):
+    """Backward compatibility pin: the round-9 fixture's LEGACY
+    deletion-vector encoding (parquet position sidecar under
+    ``_deletion_vectors/``, descriptor {path, cardinality}) keeps
+    reading exactly — tables written before the round-10 switch to
+    protocol roaring bitmaps must never lose their hidden rows."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    legacy = os.path.join(
+        os.path.dirname(__file__), "fixtures", "golden_delta_r9_dv"
+    )
+    v2 = {r.k: r.v for r in dl.read_delta_table(spark, legacy, version=2).collect()}
+    assert v2 == {1: 10, 2: 99, 4: 40, 5: 50}
+    act, _, _ = dl._snapshot_state(legacy, 2)
+    (ref,) = [
+        a["deletionVector"] for a in act.values() if a.get("deletionVector")
+    ]
+    assert set(ref) == {"path", "cardinality"}
+    assert ref["path"].startswith("_deletion_vectors/")
+    assert dl._dv_file_rel(ref) == ref["path"]
 
 
 def _masked(actions: list[dict]) -> list[dict]:
@@ -147,11 +171,34 @@ def test_golden_bytes_conform_to_protocol_shapes():
         assert set(st["minValues"]) == set(st["maxValues"]) == {"k", "v"}
         if add.get("deletionVector"):
             dv_adds += 1
-            assert set(add["deletionVector"]) == {"path", "cardinality"}
-            assert add["deletionVector"]["path"].startswith(
-                "_deletion_vectors/"
+            dv = add["deletionVector"]
+            # the protocol's DV descriptor field set, exactly
+            assert set(dv) == {
+                "storageType", "pathOrInlineDv", "offset",
+                "sizeInBytes", "cardinality",
+            }
+            assert dv["storageType"] == "u"
+            assert len(dv["pathOrInlineDv"]) == 20  # z85 uuid, no prefix
+            assert dv["cardinality"] >= 1
+            # the referenced .bin exists, carries the version-1 byte,
+            # frames the blob at the recorded offset with a valid
+            # CRC-32, and the blob is a roaring bitmap array of
+            # exactly `cardinality` positions
+            from etl_loading_scripts_spark.operators import (
+                deltalog as dl,
+                roaring as R,
             )
-    assert dv_adds == 1  # the round-9 DV commit pins the shape
+
+            rel = dl._dv_file_rel(dv)
+            assert rel == (
+                f"deletion_vector_{R.decode_dv_uuid(dv['pathOrInlineDv'])}.bin"
+            )
+            with open(os.path.join(GOLDEN_DIR, rel), "rb") as fh:
+                buf = fh.read()
+            assert buf[0] == R.DV_FILE_VERSION
+            blob = R.unpack_dv_blob(buf, dv["offset"], dv["sizeInBytes"])
+            assert len(R.deserialize_rbm64(blob)) == dv["cardinality"]
+    assert dv_adds == 1  # the DV commit pins the descriptor shape
     removes = [a["remove"] for a in all_actions if "remove" in a]
     for rm in removes:
         assert set(rm) == {"path", "deletionTimestamp", "dataChange"}

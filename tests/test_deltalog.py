@@ -2121,9 +2121,9 @@ def test_deletion_vectors_cost_vacuum_and_stream_gate(spark, tmp_path):
     assert sorted(dl._snapshot_state(d, None)[0]) == sorted(active0)
     assert dl.read_delta_table(spark, d).count() == 200_000 - 10
 
-    # vacuum with both versions kept: sidecar survives
+    # vacuum with both versions kept: the DV .bin survives
     dv_rel = next(
-        a["deletionVector"]["path"]
+        dl._dv_file_rel(a["deletionVector"])
         for a in dl._snapshot_state(d, None)[0].values()
         if a.get("deletionVector")
     )
