@@ -1,0 +1,268 @@
+"""Persisted ANN index with incremental maintenance (round 10, VERDICT
+r9 item 5).
+
+Every ``ann_*`` query previously rebuilt its IVF cells per run; a
+production corpus builds ONCE and probes many times. This module
+materializes the IVF index as two Delta tables under one index root:
+
+- ``centroids`` — the coarse centroid metadata (centroid_id, cv, cn):
+  small, broadcast on every probe/append;
+- ``cells`` — the inverted file: (vec_id, qv, norm2) HIVE-PARTITIONED
+  BY centroid_id, so a probe's cell reads are pruned at the Delta-log
+  metadata level and never touch other cells' files.
+
+Maintenance is the ``dedup_minhash_incremental`` recipe: the index
+STRUCTURE (centroids) is fixed at build; arrivals are routed into
+their cells with the exact assignment rule the build used
+(:func:`similarity._assign_to`) and APPENDED — one commit, touching
+only the arrivals' cell partitions. Cost follows arrivals, never the
+corpus. (Centroid re-training is a rebuild, as in real IVF systems.)
+
+Scale: build is the one-shuffle IVF assignment + a partitioned write;
+probe is broadcast(queries) → partition-pruned cell scan → per-cell
+mini brute force → top-k window on query_id. At 10^9 vectors the
+probe reads |probed cells| / |cells| of the index bytes; the
+inputFiles audit in ``ann_index_build_probe`` pins exactly that (and
+that the probe never re-reads the raw corpus parquet).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_loading_scripts_spark.catalog import load_table
+from etl_loading_scripts_spark.llm.similarity import (
+    CENTROID_STEP,
+    N_QUERIES,
+    TOP_K,
+    _assign_to,
+    _cosine_expr,
+    _DOT_DUCK,
+    _QVEC,
+    _quantized,
+)
+from etl_loading_scripts_spark.operators.deltalog import (
+    read_delta_table,
+    write_delta_table,
+)
+from etl_loading_scripts_spark.registry import register
+
+CELLS = "cells"
+CENTROIDS = "centroids"
+
+
+def _cents(index_path: str, spark: SparkSession) -> DataFrame:
+    return read_delta_table(spark, os.path.join(index_path, CENTROIDS))
+
+
+def ann_index_build(
+    spark: SparkSession, emb: DataFrame, index_path: str
+) -> dict:
+    """Build the persisted IVF index from an embeddings frame
+    (vec_id, label, embedding): quantize, pick the deterministic
+    coarse centroids (vec_id % CENTROID_STEP == 0 — same rule as
+    ``ann_ivf_topk``, which keeps the index oracle-checkable), assign,
+    and commit centroids + cell-partitioned vectors as Delta tables.
+    Returns {vectors, cells}."""
+    n = _quantized(emb).select("vec_id", "qv", "norm2")
+    centroids = n.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("cv"),
+        F.col("norm2").alias("cn"),
+    )
+    write_delta_table(centroids, os.path.join(index_path, CENTROIDS))
+    assigned = _assign_to(n, centroids)
+    write_delta_table(
+        assigned, os.path.join(index_path, CELLS),
+        partition_by=["centroid_id"],
+    )
+    cells = read_delta_table(spark, os.path.join(index_path, CELLS))
+    return {
+        "vectors": cells.count(),
+        "cells": cells.select("centroid_id").distinct().count(),
+    }
+
+
+def ann_index_append(
+    spark: SparkSession, emb: DataFrame, index_path: str
+) -> dict:
+    """Incremental maintenance: route NEW embeddings into the stored
+    cells (broadcast the index's own centroids — never re-derived from
+    the arrivals) and APPEND. One commit; only the arrivals' cell
+    partitions gain files, every other cell's files stay byte-identical
+    (Delta append never rewrites). Cost follows arrivals."""
+    n = _quantized(emb).select("vec_id", "qv", "norm2")
+    assigned = _assign_to(n, _cents(index_path, spark))
+    write_delta_table(
+        assigned, os.path.join(index_path, CELLS), mode="append"
+    )
+    return {"appended": n.count()}
+
+
+def ann_index_probe(
+    spark: SparkSession,
+    queries: DataFrame,
+    index_path: str,
+    k: int = TOP_K,
+) -> DataFrame:
+    """Serve cosine top-k from the PERSISTED index: assign each query
+    to its cell (broadcast centroids), then read ONLY the probed cells
+    — partition pruning happens in the Delta log, so unprobed cells'
+    files never reach Spark's scan. ``queries`` carries
+    (vec_id, qv, norm2)."""
+    q = _assign_to(queries, _cents(index_path, spark)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qa"),
+        F.col("norm2").alias("na"),
+        "centroid_id",
+    )
+    # O(queries) driver-side cell list — the probe set IS small by
+    # contract (a batch of queries), never the corpus
+    cell_ids = sorted(
+        r.centroid_id for r in q.select("centroid_id").distinct().collect()
+    )
+    cells = read_delta_table(
+        spark,
+        os.path.join(index_path, CELLS),
+        partition_filter={"centroid_id": cell_ids},
+    )
+    scored = (
+        cells.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qv").alias("qb"),
+            F.col("norm2").alias("nb"),
+            "centroid_id",
+        )
+        .join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", _cosine_expr("qa", "qb", "na", "nb"))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "neighbor_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _index_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Plant-once index fixture exercising BOTH lifecycle legs: build
+    from the corpus MINUS a holdout slice (vec_id % 10 == 7, centroid
+    vectors excluded so the stored centroid set equals the full-corpus
+    rule), then APPEND the holdout — the final index state must equal
+    a from-scratch build, which is what the oracle derives."""
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"ann_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    marker = os.path.join(root, "_COMPLETE")
+    if os.path.exists(marker):
+        return root
+    import shutil
+
+    if os.path.isdir(root):
+        shutil.rmtree(root)  # partial build: never serve it
+    emb = load_table(spark, sf_dir, "embeddings")
+    holdout = (F.col("vec_id") % 10 == 7) & (
+        F.col("vec_id") % CENTROID_STEP != 0
+    )
+    ann_index_build(spark, emb.filter(~holdout), root)
+    ann_index_append(spark, emb.filter(holdout), root)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+@register(
+    "ann_index_build_probe",
+    oracle=f"""
+    WITH n AS (
+        SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm2
+        FROM (SELECT vec_id, {_QVEC} AS qv FROM embeddings)
+    ),
+    centroids AS (
+        SELECT vec_id AS centroid_id, qv AS cv, norm2 AS cn FROM n
+        WHERE vec_id % {CENTROID_STEP} = 0
+    ),
+    assigned AS (
+        SELECT vec_id, qv, norm2, centroid_id
+        FROM (
+            SELECT v.vec_id, v.qv, v.norm2, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY CAST({_DOT_DUCK.format(a='v.qv', b='c.cv')} AS DOUBLE)
+                                / sqrt(CAST(v.norm2 AS DOUBLE)) / sqrt(CAST(c.cn AS DOUBLE)) DESC,
+                                c.centroid_id
+                   ) AS rn
+            FROM n v CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST({_DOT_DUCK.format(a='a.qv', b='b.qv')} AS DOUBLE)
+                   / sqrt(CAST(a.norm2 AS DOUBLE)) / sqrt(CAST(b.norm2 AS DOUBLE)) AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id
+         AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank,
+           CAST(1 AS INT) AS probe_reads_index_only,
+           CAST(1 AS INT) AS probe_pruned_cells
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+        ) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= {TOP_K}
+    """,
+    doc="PERSISTED ANN index lifecycle (round 10): build the IVF index "
+    "as Delta tables (centroids + cell-partitioned vectors) from the "
+    "corpus minus a holdout, APPEND the holdout through incremental "
+    "maintenance (stored centroids route arrivals), then serve top-k "
+    "probes FROM THE INDEX. The probe's file audit is part of the "
+    "oracle: probe_reads_index_only = no embeddings.parquet in the "
+    "probe scan's inputFiles; probe_pruned_cells = the cell scan read "
+    "a strict subset of the cells table's files. Results must equal "
+    "ann_ivf_topk (same assignment rule) — a torn append, stale "
+    "centroid set, or pruning bug mismatches.",
+)
+def ann_index_build_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale notes in the module docstring; the fixture's build+append
+    is plant-once — a deployed index builds once and serves probes at
+    O(probed cells) reads per batch."""
+    root = _index_fixture(spark, sf_dir)
+    # queries come from the INDEX too — the whole probe path touches
+    # only index tables (the audit below pins it)
+    cells_all = read_delta_table(spark, os.path.join(root, CELLS))
+    queries = cells_all.filter(F.col("vec_id") < N_QUERIES).select(
+        "vec_id", "qv", "norm2"
+    )
+    out = ann_index_probe(spark, queries, root)
+    # file audit: the probe's candidate scan reads index files only,
+    # and STRICTLY FEWER files than the full cells table (pruning)
+    q = _assign_to(queries, _cents(root, spark))
+    cell_ids = sorted(
+        r.centroid_id for r in q.select("centroid_id").distinct().collect()
+    )
+    probed = read_delta_table(
+        spark, os.path.join(root, CELLS),
+        partition_filter={"centroid_id": cell_ids},
+    )
+    probe_files = set(probed.inputFiles())
+    all_files = set(cells_all.inputFiles())
+    index_only = all(
+        "embeddings.parquet" not in f for f in probe_files
+    ) and probe_files <= all_files
+    pruned = len(probe_files) < len(all_files)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", "rank",
+        F.lit(int(index_only)).alias("probe_reads_index_only"),
+        F.lit(int(pruned)).alias("probe_pruned_cells"),
+    )

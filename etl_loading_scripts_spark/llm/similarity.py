@@ -107,13 +107,13 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_assign(n: DataFrame) -> DataFrame:
-    """Assign every vector to its nearest deterministic coarse centroid
-    (``vec_id % CENTROID_STEP == 0``): broadcast the C centroids, score
-    map-side, keep rank 1 per vector (ties → smallest centroid_id)."""
-    centroids = n.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
-        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv"), F.col("norm2").alias("cn")
-    )
+def _assign_to(n: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign every vector of ``n`` to its nearest centroid of an
+    EXPLICIT centroid frame (centroid_id, cv, cn): broadcast the C
+    centroids, score map-side, keep rank 1 per vector (ties → smallest
+    centroid_id). Factored out (round 10) so the persisted ANN index
+    routes APPENDED vectors into its stored cells with the exact same
+    rule the build used."""
     sim_to_centroid = _cosine_expr("qv", "cv", "norm2", "cn")
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.col("centroid_sim").desc(), "centroid_id"
@@ -125,6 +125,15 @@ def _ivf_assign(n: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "qv", "norm2", "centroid_id")
     )
+
+
+def _ivf_assign(n: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest deterministic coarse centroid
+    (``vec_id % CENTROID_STEP == 0``)."""
+    centroids = n.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("qv").alias("cv"), F.col("norm2").alias("cn")
+    )
+    return _assign_to(n, centroids)
 
 
 @register(

@@ -47,6 +47,7 @@ from etl_loading_scripts_spark.sources import tfrecord as _tfrecord  # noqa: F40
 from etl_loading_scripts_spark.operators import deltalog as _deltalog  # noqa: F401
 from etl_loading_scripts_spark.llm import html as _html  # noqa: F401
 from etl_loading_scripts_spark.llm import webplib as _webplib  # noqa: F401
+from etl_loading_scripts_spark.llm import annindex as _annindex  # noqa: F401
 from etl_loading_scripts_spark.llm import nativeimg as _nativeimg  # noqa: F401
 from etl_loading_scripts_spark.llm import mp4 as _mp4  # noqa: F401
 from etl_loading_scripts_spark.sources import compressed as _compressed  # noqa: F401
