@@ -257,6 +257,55 @@ def test_checkpoint_bounds_log_replay(spark, tmp_path, monkeypatch):
     assert dl.read_delta_table(spark, d).count() == 16
 
 
+def test_roaring_dv_survives_both_checkpoint_flavors(spark, tmp_path):
+    """Round 10: a protocol-format (roaring) deletionVector descriptor
+    round-trips through BOTH checkpoint writers — the pyarrow driver
+    path and the Spark DataFrame path — with null-valued union fields
+    normalized away, hidden rows still hidden after replay starts from
+    the checkpoint, and a LEGACY descriptor coexisting in the same
+    unified schema."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    for flavor, kwargs in (
+        ("python", {}),
+        ("spark", {"spark_threshold": 0}),
+    ):
+        d = str(tmp_path / f"cp_{flavor}")
+        dl.write_delta_table(
+            spark.range(1000).select(
+                F.col("id").alias("k"), (F.col("id") % 13).alias("v")
+            ).coalesce(1),
+            d,
+        )
+        dl.delete_delta(spark, d, "k % 100 = 0", deletion_vectors=True)
+        if flavor == "python":
+            dl.checkpoint_delta(d)
+        else:
+            dl.checkpoint_delta(d, spark=spark, **kwargs)
+        # retire the JSON commits: the checkpoint is now the only source
+        dl.expire_delta_log(d)
+        act, _, _ = dl._snapshot_state(d, None)
+        (ref,) = [
+            a["deletionVector"] for a in act.values() if a.get("deletionVector")
+        ]
+        # normalized: protocol keys only, no null legacy 'path'
+        assert set(ref) == {
+            "storageType", "pathOrInlineDv", "offset",
+            "sizeInBytes", "cardinality",
+        }, ref
+        got = dl.read_delta_table(spark, d)
+        assert got.count() == 990
+        assert got.filter("k % 100 = 0").count() == 0  # still hidden
+        # and the Spark metadata path reconstructs the same descriptor
+        row = (
+            dl._active_adds_df(spark, d)
+            .where(F.col("deletionVector").isNotNull())
+            .collect()
+        )
+        assert len(row) == 1
+        assert dl._dv_norm(row[0].deletionVector.asDict()) == ref
+
+
 def test_publish_auto_checkpoints_on_cadence(spark, tmp_path, monkeypatch):
     """publish_set_deltalog checkpoints each table on the protocol's
     every-N-commits cadence: after interval+1 publishes a checkpoint
