@@ -109,12 +109,15 @@ def ann_index_probe(
     queries: DataFrame,
     index_path: str,
     k: int = TOP_K,
-) -> DataFrame:
+    return_probed: bool = False,
+):
     """Serve cosine top-k from the PERSISTED index: assign each query
     to its cell (broadcast centroids), then read ONLY the probed cells
     — partition pruning happens in the Delta log, so unprobed cells'
     files never reach Spark's scan. ``queries`` carries
-    (vec_id, qv, norm2)."""
+    (vec_id, qv, norm2). ``return_probed=True`` additionally returns
+    the pruned cell reader (for file audits) without re-planning the
+    assignment."""
     q = _assign_to(queries, _cents(index_path, spark)).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qa"),
@@ -146,10 +149,11 @@ def ann_index_probe(
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), "neighbor_id"
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    return (out, cells) if return_probed else out
 
 
 def _index_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -244,17 +248,10 @@ def ann_index_build_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = cells_all.filter(F.col("vec_id") < N_QUERIES).select(
         "vec_id", "qv", "norm2"
     )
-    out = ann_index_probe(spark, queries, root)
-    # file audit: the probe's candidate scan reads index files only,
-    # and STRICTLY FEWER files than the full cells table (pruning)
-    q = _assign_to(queries, _cents(root, spark))
-    cell_ids = sorted(
-        r.centroid_id for r in q.select("centroid_id").distinct().collect()
-    )
-    probed = read_delta_table(
-        spark, os.path.join(root, CELLS),
-        partition_filter={"centroid_id": cell_ids},
-    )
+    # file audit rides the SAME probe plan (no re-planning): the
+    # candidate scan reads index files only, and STRICTLY FEWER files
+    # than the full cells table (pruning)
+    out, probed = ann_index_probe(spark, queries, root, return_probed=True)
     probe_files = set(probed.inputFiles())
     all_files = set(cells_all.inputFiles())
     index_only = all(

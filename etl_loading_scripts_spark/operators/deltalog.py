@@ -2217,11 +2217,15 @@ def publish_set_deltalog(
     month window), so the publish cost is O(month), never O(history).
     With ``delete_unmatched_source=True`` in the spec the merged
     months exactly equal the source frame's window slice (month-scoped
-    full sync = overwrite-equivalence on the affected months), and a
+    full sync = overwrite-equivalence on the affected months). A
     publish that crashed between the table merge and the coordinator
-    commit is IDEMPOTENT to retry: the re-run merge converges the same
-    months to the same source state on top of the orphaned version,
-    and readers of the previous set version never saw the orphan.
+    commit leaves a durable-but-unreferenced ORPHAN version that
+    readers (which resolve through the set) never see; the next
+    incremental publish — the same one retried OR a different window —
+    FENCES it first by restoring the table to the last committed set's
+    pinned version (metadata-only), so a crashed publish's rows can
+    never leak into another publish's set and a retry converges
+    exactly.
     Month-close ``optimize`` entries for incremental tables are
     automatically scoped to the months the merge touched
     (``partition_filter={month: touched}``) — untouched months' files
@@ -2252,6 +2256,15 @@ def publish_set_deltalog(
             f"tables can't be both incremental and partition_by: {bad_both}"
             " (incremental tables are always month-partitioned)"
         )
+    unknown = sorted(set(incr) - set(names))
+    if unknown:
+        # a typo here would silently revert the fact to a full
+        # unpartitioned overwrite — the O(history) rewrite the feature
+        # exists to avoid — and poison later incremental publishes
+        raise ValueError(
+            f"incremental names tables not in this publish: {unknown} "
+            f"(have {names})"
+        )
     for name, df in items:
         tpath = os.path.join(base_dir, name)
         if name in incr:
@@ -2276,6 +2289,33 @@ def publish_set_deltalog(
                     max_retries,
                 )
             else:
+                # ORPHAN FENCING (round-10 review finding): a publish
+                # that crashed between its table merge and the
+                # coordinator commit leaves a durable-but-unreferenced
+                # version; merging on top of it would silently pin the
+                # crashed publish's rows into THIS set (the pre-
+                # incremental full overwrite erased orphans by
+                # construction). Fence first: restore the table to the
+                # version the LAST COMMITTED set pinned — metadata-only
+                # — so every publish's parent is PUBLISHED state. The
+                # orphan version itself stays time-travelable; the
+                # restore commit is CDC-opaque (documented), which only
+                # ever surfaces after a crashed publish.
+                svs = _versions(os.path.join(base_dir, _SET_DIR))
+                if svs:
+                    sc_last = next(
+                        a["setCommit"]
+                        for a in _read_actions(
+                            os.path.join(base_dir, _SET_DIR), svs[-1]
+                        )
+                        if "setCommit" in a
+                    )
+                    pinned_v = sc_last["tables"].get(name)
+                    if (
+                        pinned_v is not None
+                        and _all_versions(tpath)[-1] > pinned_v
+                    ):
+                        restore_delta(df.sparkSession, tpath, pinned_v)
                 src = df
                 if window is not None:
                     lo, hi = window
@@ -3051,7 +3091,7 @@ def _vacuum_spark(
     (what gets deleted anyway) reaches the driver — O(orphans) driver
     memory instead of the python path's O(all files)."""
     needed = None
-    dv_bins: set[str] = set()
+    dv_descs = None
     for v in sorted(keep):
         adds = _active_adds_df(spark, table, v)
         p = adds.select("path").unionByName(
@@ -3061,28 +3101,33 @@ def _vacuum_spark(
                 F.col("deletionVector.path").alias("path")
             )
         )
-        # protocol-format DV .bin files: one file serves many
-        # descriptors (offsets), so the DISTINCT uuid list is tiny —
-        # O(DV commits), resolved driver-side
-        dv_bins.update(
-            _dv_file_rel({"storageType": r.storageType, "pathOrInlineDv": r.pathOrInlineDv})
-            for r in adds.where(
-                F.col("deletionVector.storageType").isNotNull()
-            )
-            .select(
-                F.col("deletionVector.storageType").alias("storageType"),
-                F.col("deletionVector.pathOrInlineDv").alias("pathOrInlineDv"),
-            )
-            .distinct()
-            .collect()
-            if r.storageType != "i"
+        d = adds.where(F.col("deletionVector.storageType").isNotNull()).select(
+            F.col("deletionVector.storageType").alias("storageType"),
+            F.col("deletionVector.pathOrInlineDv").alias("pathOrInlineDv"),
         )
         needed = p if needed is None else needed.unionByName(p)
-    if dv_bins:
-        bins_df = spark.createDataFrame(
-            [(b,) for b in sorted(dv_bins)], "path string"
+        dv_descs = d if dv_descs is None else dv_descs.unionByName(d)
+    if dv_descs is not None:
+        # protocol-format DV .bin files: one file serves many
+        # descriptors (offsets), so the DISTINCT uuid list is tiny —
+        # O(DV commits), resolved driver-side in ONE job across all
+        # kept versions (not one collect per version)
+        dv_bins = sorted(
+            {
+                _dv_file_rel(
+                    {
+                        "storageType": r.storageType,
+                        "pathOrInlineDv": r.pathOrInlineDv,
+                    }
+                )
+                for r in dv_descs.distinct().collect()
+                if r.storageType != "i"
+            }
         )
-        needed = bins_df if needed is None else needed.unionByName(bins_df)
+        if dv_bins:
+            needed = needed.unionByName(
+                spark.createDataFrame([(b,) for b in dv_bins], "path string")
+            )
     cdc_df = spark.createDataFrame(
         [(p,) for p in cdc_needed], "path string"
     ) if cdc_needed else None
@@ -4327,30 +4372,106 @@ def _dv_positions_df(
         )
         dv = part if dv is None else dv.unionByName(part)
     if modern:
-        import pandas as pd
+        mod_card = _dv_total_cardinality(modern)
+        if mod_card <= _DV_BROADCAST_MAX:
+            import pandas as pd
 
-        cache: dict = {}
-        frames = []
-        for p, ref in sorted(modern.items()):
-            pos = _dv_load_positions(table, ref, cache)
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "file_name": os.path.basename(p),
-                        "row_index": pos.astype("int64"),
-                    }
+            cache: dict = {}
+            frames = []
+            for p, ref in sorted(modern.items()):
+                pos = _dv_load_positions(table, ref, cache)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "file_name": os.path.basename(p),
+                            "row_index": pos.astype("int64"),
+                        }
+                    )
                 )
+            part = spark.createDataFrame(
+                pd.concat(frames, ignore_index=True),
+                schema="file_name string, row_index bigint",
             )
-        part = spark.createDataFrame(
-            pd.concat(frames, ignore_index=True),
-            schema="file_name string, row_index bigint",
-        )
+        else:
+            # the round-9 driver-protection ceiling, kept for the
+            # roaring format: above _DV_BROADCAST_MAX recorded
+            # positions the bitmaps decode ON EXECUTORS — one task
+            # per descriptor row via mapInPandas — so accumulated DV
+            # growth from repeated incremental scrubs never
+            # materializes on the driver (same reason the anti-join
+            # stops broadcasting at this ceiling)
+            desc_rows = [
+                (
+                    os.path.basename(p),
+                    ref["storageType"],
+                    ref["pathOrInlineDv"],
+                    int(ref.get("offset") or 0),
+                    int(ref["sizeInBytes"]),
+                )
+                for p, ref in sorted(modern.items())
+            ]
+            descs = spark.createDataFrame(
+                desc_rows,
+                "file_name string, storageType string, "
+                "pathOrInlineDv string, offset int, sizeInBytes int",
+            ).repartition(len(desc_rows))
+            part = descs.mapInPandas(
+                _dv_decode_kernel(table),
+                schema="file_name string, row_index bigint",
+            )
         dv = part if dv is None else dv.unionByName(part)
     return dv
 
 
+def _dv_decode_kernel(table: str):
+    """Executor-side roaring decode: each descriptor row expands to its
+    file's hidden (file_name, row_index) positions — the >1M-position
+    path of :func:`_dv_positions_df`."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ref = {
+                    "storageType": r.storageType,
+                    "pathOrInlineDv": r.pathOrInlineDv,
+                    "offset": r.offset,
+                    "sizeInBytes": r.sizeInBytes,
+                }
+                pos = _dv_load_positions(table, ref)
+                yield pd.DataFrame(
+                    {
+                        "file_name": r.file_name,
+                        "row_index": pos.astype("int64"),
+                    }
+                )
+
+    return kernel
+
+
+def _dv_serialize_kernel(pdf):
+    """Executor-side per-file roaring serialization (applyInPandas
+    grouped by file_name): positions → one serialized bitmap blob.
+    Only the COMPRESSED blob bytes travel to the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_loading_scripts_spark.operators import roaring as R
+
+    arr = np.unique(pdf["row_index"].to_numpy(dtype="uint64"))
+    return pd.DataFrame(
+        {
+            "file_name": [pdf["file_name"].iloc[0]],
+            "blob": [R.serialize_rbm64(arr)],
+            "cardinality": [int(len(arr))],
+        }
+    )
+
+
 def _stage_dv_bin(
-    spark: SparkSession, table: str, positions: DataFrame
+    spark: SparkSession, table: str, positions: DataFrame,
+    approx_rows: int | None = None,
 ) -> tuple[dict[str, dict], int]:
     """Serialize per-data-file deletion vectors in the PROTOCOL format
     from a (file_name, row_index) relation: each file's positions
@@ -4360,21 +4481,39 @@ def _stage_dv_bin(
     its own descriptor {storageType "u", z85 uuid, offset, sizeInBytes,
     cardinality}. Returns ({file basename: descriptor}, .bin bytes).
 
-    Positions reach the driver for serialization — O(deleted rows),
-    the DV design's stated bound (the old parquet writer already
-    single-tasked the same volume via coalesce(1); a delete big enough
-    to strain the driver belongs in rewrite mode)."""
+    Below ``_DV_BROADCAST_MAX`` positions (``approx_rows`` — the
+    caller's free estimate from the matched-row count plus carried DV
+    cardinalities) the positions reach the driver for serialization —
+    O(deleted rows), the DV design's stated bound. ABOVE the ceiling
+    each file's bitmap serializes ON AN EXECUTOR (applyInPandas per
+    file) and only the compressed blobs travel to the driver for
+    packing — the same driver-protection ceiling the read path and
+    anti-join honor."""
     import numpy as np
 
     from etl_loading_scripts_spark.operators import roaring as R
 
-    pdf = positions.toPandas()
     names, blobs, cards = [], [], []
-    for name, grp in pdf.groupby("file_name", sort=True):
-        arr = np.unique(grp["row_index"].to_numpy(dtype="uint64"))
-        names.append(name)
-        blobs.append(R.serialize_rbm64(arr))
-        cards.append(int(len(arr)))
+    if approx_rows is not None and approx_rows > _DV_BROADCAST_MAX:
+        rows = (
+            positions.groupBy("file_name")
+            .applyInPandas(
+                _dv_serialize_kernel,
+                "file_name string, blob binary, cardinality long",
+            )
+            .collect()
+        )
+        for r in sorted(rows, key=lambda r: r.file_name):
+            names.append(r.file_name)
+            blobs.append(bytes(r.blob))
+            cards.append(int(r.cardinality))
+    else:
+        pdf = positions.toPandas()
+        for name, grp in pdf.groupby("file_name", sort=True):
+            arr = np.unique(grp["row_index"].to_numpy(dtype="uint64"))
+            names.append(name)
+            blobs.append(R.serialize_rbm64(arr))
+            cards.append(int(len(arr)))
     file_bytes, offsets = R.pack_dv_file(blobs)
     # uuid via the canonical hex so the golden generator's pinned
     # counter produces a byte-stable fixture
@@ -4551,7 +4690,10 @@ def delete_delta(
             # carry the affected files' previously hidden positions
             # into the new DV — one authoritative DV per file
             allpos = allpos.unionByName(old)
-        descs, bytes_written = _stage_dv_bin(spark, table, allpos)
+        descs, bytes_written = _stage_dv_bin(
+            spark, table, allpos,
+            approx_rows=n_deleted + _dv_total_cardinality(dv_refs),
+        )
         for p in affected:
             a = dict(active[p])
             a["dataChange"] = True
@@ -4694,7 +4836,10 @@ def update_delta(
         old = _dv_positions_df(spark, table, dv_refs)
         if old is not None:
             allpos = allpos.unionByName(old)
-        descs, dv_bytes = _stage_dv_bin(spark, table, allpos)
+        descs, dv_bytes = _stage_dv_bin(
+            spark, table, allpos,
+            approx_rows=n_updated + _dv_total_cardinality(dv_refs),
+        )
         for p in affected:
             a = dict(active[p])
             a["dataChange"] = True

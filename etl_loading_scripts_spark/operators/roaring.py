@@ -85,6 +85,10 @@ def z85_decode(text: str, n_bytes: int | None = None) -> bytes:
                 n = n * 85 + _Z85_DECODE[c]
             except KeyError:
                 raise ValueError(f"invalid z85 character {c!r}") from None
+        if n > 0xFFFFFFFF:
+            # the Z85 spec's overflow rule — keep the module's
+            # ValueError contract instead of leaking OverflowError
+            raise ValueError(f"z85 group {text[i:i + 5]!r} exceeds 2^32-1")
         out += n.to_bytes(4, "big")
     return bytes(out[:n_bytes]) if n_bytes is not None else bytes(out)
 
@@ -180,9 +184,13 @@ def _deserialize_rb32(buf: bytes, start: int = 0) -> tuple[np.ndarray, int]:
             pos += 2
             runs = np.frombuffer(buf, dtype="<u2", count=2 * n_runs, offset=pos)
             pos += 4 * n_runs
+            # int() before the arithmetic: under NumPy 2 (NEP 50)
+            # uint16 + python-int stays uint16 and a full-range run
+            # (start 65000, len 535) would WRAP to an empty arange —
+            # silently resurrecting deleted rows
             vals = np.concatenate(
                 [
-                    np.arange(s, s + l + 1, dtype=np.uint32)
+                    np.arange(int(s), int(s) + int(l) + 1, dtype=np.uint32)
                     for s, l in zip(runs[0::2], runs[1::2])
                 ]
             ) if n_runs else np.empty(0, dtype=np.uint32)

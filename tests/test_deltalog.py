@@ -795,8 +795,7 @@ def test_delta_stream_partitioned_per_file(spark, tmp_path):
     )
     src = dl._make_delta_stream_source()({"path": d})
     reader = src.streamReader(
-        spark.readStream.format("deltalog_stream").load(d).schema
-        if False else __import__("pyspark").sql.types.StructType.fromJson(
+        __import__("pyspark").sql.types.StructType.fromJson(
             json.loads(dl._snapshot_state(d, None)[1]["schemaString"])
         )
     )
@@ -2468,6 +2467,110 @@ def test_publish_set_incremental_rejects_partition_by_overlap(spark, tmp_path):
             partition_by={"fact": ["datekey"]},
             incremental={"fact": {"on": ["txn_id"]}},
         )
+    # a typo'd incremental key would silently revert to a full
+    # unpartitioned overwrite — refused up front instead
+    with pytest.raises(ValueError, match="not in this publish"):
+        dl.publish_set_deltalog(
+            [("fact", _incr_fact(spark, n=10))], str(tmp_path / "p2"),
+            incremental={"facts": {"on": ["txn_id"]}},
+        )
+
+
+def test_publish_set_incremental_fences_orphan_versions(spark, tmp_path):
+    """Round-10 review finding: a publish that crashed AFTER its fact
+    merge but before the set commit leaves an orphaned fact version —
+    a LATER publish with a DIFFERENT window must fence it (restore to
+    the last committed set's pinned version) so the crashed publish's
+    rows never leak into the later set."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    fpath = os.path.join(base, "fact")
+    fact0 = _incr_fact(spark, months=2, salt=0)
+    dl.publish_set_deltalog(
+        [("fact", fact0)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": None,
+                              "delete_unmatched_source": True}},
+    )
+    # crashed publish P1: merges month 199001 (+1000 on amounts), dies
+    # before its set commit
+    p1 = fact0.withColumn(
+        "amount",
+        F.when(F.col("datekey") < 19900200, F.col("amount") + 1000)
+        .otherwise(F.col("amount")),
+    )
+    dl.merge_cow_deltalog_with_retry(
+        spark, fpath,
+        p1.filter(F.col("datekey") < 19900200),
+        ["txn_id"], delete_unmatched_source=True,
+    )
+    # later publish P2 over the OTHER month (199002, +7 salt there)
+    p2 = fact0.withColumn(
+        "amount",
+        F.when(F.col("datekey") >= 19900200, F.col("amount") + 7)
+        .otherwise(F.col("amount")),
+    )
+    sv = dl.publish_set_deltalog(
+        [("fact", p2)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": (19900201, 19900231),
+                              "delete_unmatched_source": True}},
+    )
+    got = dl.read_published_set_deltalog(spark, base, version=sv)["fact"]
+    # P2's set: month 2 updated, month 1 EXACTLY as set 0 published it
+    # — P1's orphaned +1000 must NOT appear
+    exp = fact0.filter(~F.col("datekey").between(19900201, 19900231)).unionByName(
+        p2.filter(F.col("datekey").between(19900201, 19900231))
+    )
+    assert sorted(map(tuple, got.select("txn_id", "datekey", "amount").collect())) \
+        == sorted(map(tuple, exp.collect()))
+    # the fence is a RESTORE commit in the fact history
+    assert any(
+        h["operation"] == "RESTORE" for h in dl.delta_history(fpath)
+    )
+
+
+def test_dv_executor_paths_above_ceiling(spark, tmp_path, monkeypatch):
+    """Round-10 review finding: above _DV_BROADCAST_MAX recorded
+    positions the roaring DV WRITE serializes per-file bitmaps on
+    executors (applyInPandas) and the READ decodes them on executors
+    (mapInPandas) — the driver never materializes the position volume.
+    Lower the ceiling to force both paths and assert exact results."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    monkeypatch.setattr(dl, "_DV_BROADCAST_MAX", 50)
+    d = str(tmp_path / "bigdv")
+    dl.write_delta_table(
+        spark.range(5000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("v")
+        ).repartition(2),
+        d,
+    )
+    r = dl.delete_delta(spark, d, "k % 10 = 0", deletion_vectors=True)
+    assert r["rows_deleted"] == 500 and r["files_dv"] == 2
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == 4500
+    assert got.filter("k % 10 = 0").count() == 0
+    # a second DV DML carries the old positions through the executor
+    # write path too
+    r2 = dl.update_delta(
+        spark, d, "k % 9 = 0", {"v": "v + 100"}, deletion_vectors=True
+    )
+    assert r2["rows_updated"] > 0
+    got2 = dl.read_delta_table(spark, d)
+    assert got2.count() == 4500
+    exp_sum = (
+        spark.range(5000)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        .filter("k % 10 != 0")
+        .withColumn(
+            "v",
+            F.when(F.expr("k % 9 = 0"), F.col("v") + 100).otherwise(F.col("v")),
+        )
+        .agg(F.sum("v")).first()[0]
+    )
+    assert got2.agg(F.sum("v")).first()[0] == exp_sum
 
 
 def test_publish_optimize_never_pins_racing_writer(spark, tmp_path, monkeypatch):

@@ -117,3 +117,24 @@ def test_hypothesis_roundtrip():
         )
 
     roundtrips()
+
+
+def test_run_container_full_range_no_uint16_wrap():
+    """A run reaching the top of the 16-bit space (start 65000,
+    length 535 → values 65000..65535) must decode completely — under
+    NumPy 2's NEP-50 promotion, uint16 arithmetic would silently wrap
+    to an empty range without the int() widening in the decoder."""
+    cookie = struct.pack("<I", (0 << 16) | 12347)
+    runflags = bytes([1])
+    desc = struct.pack("<HH", 0, 535)  # key=0, cardinality-1
+    payload = struct.pack("<H", 1) + struct.pack("<HH", 65000, 535)
+    buf = struct.pack("<iq", R._MAGIC, 1) + cookie + runflags + desc + payload
+    vals = R.deserialize_rbm64(buf)
+    assert np.array_equal(vals, np.arange(65000, 65536, dtype=np.uint64))
+
+
+def test_z85_overflow_group_raises_value_error():
+    # '%nSc1' + all-max group: a 5-char group can encode > 2^32-1;
+    # the codec's contract is ValueError, never OverflowError
+    with pytest.raises(ValueError, match="exceeds"):
+        R.z85_decode("#####")
