@@ -4472,6 +4472,7 @@ def _dv_serialize_kernel(pdf):
 def _stage_dv_bin(
     spark: SparkSession, table: str, positions: DataFrame,
     approx_rows: int | None = None,
+    inline_max_bytes: int = 0,
 ) -> tuple[dict[str, dict], int]:
     """Serialize per-data-file deletion vectors in the PROTOCOL format
     from a (file_name, row_index) relation: each file's positions
@@ -4514,26 +4515,45 @@ def _stage_dv_bin(
             names.append(name)
             blobs.append(R.serialize_rbm64(arr))
             cards.append(int(len(arr)))
-    file_bytes, offsets = R.pack_dv_file(blobs)
-    # uuid via the canonical hex so the golden generator's pinned
-    # counter produces a byte-stable fixture
-    u = uuid.UUID(uuid.uuid4().hex)
-    tmp = os.path.join(table, f".tmp-dv-{u.hex}")
-    with open(tmp, "wb") as fh:
-        fh.write(file_bytes)
-    os.replace(tmp, os.path.join(table, f"deletion_vector_{u}.bin"))
-    z = R.encode_dv_uuid(u)
-    descs = {
-        name: {
-            "storageType": "u",
-            "pathOrInlineDv": z,
-            "offset": off,
-            "sizeInBytes": len(blob),
-            "cardinality": card,
-        }
-        for name, blob, off, card in zip(names, blobs, offsets, cards)
+    descs: dict[str, dict] = {}
+    total = 0
+    # INLINE descriptors (protocol storageType "i", opt-in via
+    # ``inline_max_bytes``): a tiny bitmap rides the JSON action itself
+    # — a targeted 5-row scrub adds ZERO files to the table, the
+    # small-file pressure relief the protocol designed inline DVs for.
+    # Off by default (0): the golden fixture pins the "u" path.
+    inline_ix = {
+        i for i, b in enumerate(blobs) if len(b) <= inline_max_bytes
     }
-    return descs, len(file_bytes)
+    for i in sorted(inline_ix):
+        descs[names[i]] = {
+            "storageType": "i",
+            "pathOrInlineDv": R.z85_encode(blobs[i]),
+            "sizeInBytes": len(blobs[i]),
+            "cardinality": cards[i],
+        }
+        total += len(blobs[i])
+    file_ix = [i for i in range(len(blobs)) if i not in inline_ix]
+    if file_ix:
+        file_bytes, offsets = R.pack_dv_file([blobs[i] for i in file_ix])
+        # uuid via the canonical hex so the golden generator's pinned
+        # counter produces a byte-stable fixture
+        u = uuid.UUID(uuid.uuid4().hex)
+        tmp = os.path.join(table, f".tmp-dv-{u.hex}")
+        with open(tmp, "wb") as fh:
+            fh.write(file_bytes)
+        os.replace(tmp, os.path.join(table, f"deletion_vector_{u}.bin"))
+        z = R.encode_dv_uuid(u)
+        for i, off in zip(file_ix, offsets):
+            descs[names[i]] = {
+                "storageType": "u",
+                "pathOrInlineDv": z,
+                "offset": off,
+                "sizeInBytes": len(blobs[i]),
+                "cardinality": cards[i],
+            }
+        total += len(file_bytes)
+    return descs, total
 
 
 def _dv_filescan_with_positions(
@@ -4601,6 +4621,7 @@ def delete_delta(
     condition,
     write_change_data: bool = True,
     deletion_vectors: bool = False,
+    dv_inline_max_bytes: int = 0,
 ) -> dict:
     """DELETE…WHERE on the Delta table (reference O7 semantics,
     ``spScript.sql`` delete shape): ONE atomic version touching ONLY
@@ -4693,6 +4714,7 @@ def delete_delta(
         descs, bytes_written = _stage_dv_bin(
             spark, table, allpos,
             approx_rows=n_deleted + _dv_total_cardinality(dv_refs),
+            inline_max_bytes=dv_inline_max_bytes,
         )
         for p in affected:
             a = dict(active[p])
@@ -4744,6 +4766,7 @@ def update_delta(
     set_exprs: Mapping[str, object],
     write_change_data: bool = True,
     deletion_vectors: bool = False,
+    dv_inline_max_bytes: int = 0,
 ) -> dict:
     """UPDATE…WHERE on the Delta table (reference O5/O6 semantics):
     same pruned shape as :func:`delete_delta` — only files containing
@@ -4839,6 +4862,7 @@ def update_delta(
         descs, dv_bytes = _stage_dv_bin(
             spark, table, allpos,
             approx_rows=n_updated + _dv_total_cardinality(dv_refs),
+            inline_max_bytes=dv_inline_max_bytes,
         )
         for p in affected:
             a = dict(active[p])

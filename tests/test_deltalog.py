@@ -2531,6 +2531,58 @@ def test_publish_set_incremental_fences_orphan_versions(spark, tmp_path):
     )
 
 
+def test_inline_deletion_vectors(spark, tmp_path):
+    """Opt-in INLINE DVs (protocol storageType "i"): a tiny scrub's
+    bitmap rides the JSON action itself — zero new files on the table
+    — and every consumer (read, second DML carry-over, OPTIMIZE purge,
+    RESTORE) handles the inline descriptor."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "idv")
+    dl.write_delta_table(
+        spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+        ).coalesce(1),
+        d,
+    )
+    files_before = {
+        f for f in os.listdir(d) if not f.startswith("_")
+    }
+    r = dl.delete_delta(
+        spark, d, "k % 2000 = 0", deletion_vectors=True,
+        dv_inline_max_bytes=1 << 16,
+    )
+    assert r["rows_deleted"] == 5 and r["files_dv"] == 1
+    # no deletion_vector_*.bin was written — the bitmap is inline
+    files_after = {
+        f for f in os.listdir(d)
+        if not f.startswith("_") and not f.startswith(".")
+    }
+    assert files_after == files_before
+    act, _, _ = dl._snapshot_state(d, None)
+    (ref,) = [a["deletionVector"] for a in act.values() if a.get("deletionVector")]
+    assert ref["storageType"] == "i" and "offset" not in ref
+    assert dl._dv_file_rel(ref) is None
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == 9995 and got.filter("k % 2000 = 0").count() == 0
+    # a second inline DML carries the prior inline positions forward
+    dl.update_delta(
+        spark, d, "k % 3000 = 0", {"v": "v + 50"},
+        deletion_vectors=True, dv_inline_max_bytes=1 << 16,
+    )
+    got2 = dl.read_delta_table(spark, d)
+    assert got2.count() == 9995
+    assert got2.filter("k % 2000 = 0").count() == 0  # still hidden
+    # vacuum must not trip over descriptors with no backing file
+    assert dl.vacuum_delta(d, keep_versions=3, staging_retention_sec=0.0) == []
+    # optimize purges inline DVs like file-backed ones
+    res = dl.optimize_delta(spark, d, small_file_bytes=1 << 30)
+    assert res["version"] is not None
+    act2, _, _ = dl._snapshot_state(d, None)
+    assert not any(a.get("deletionVector") for a in act2.values())
+    assert dl.read_delta_table(spark, d).count() == 9995
+
+
 def test_dv_executor_paths_above_ceiling(spark, tmp_path, monkeypatch):
     """Round-10 review finding: above _DV_BROADCAST_MAX recorded
     positions the roaring DV WRITE serializes per-file bitmaps on

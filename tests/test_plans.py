@@ -139,6 +139,7 @@ _BNLJ_OK = {
     "ann_clustered_recall_audit",  # same filter-derived query set + centroid shapes, clustered fixture
     "ann_clustered_multiprobe_pq_audit",  # same filter-derived 10-query set, clustered fixture (r7)
     "ann_index_build_probe",  # persisted-index centroid table (C = corpus/50 ≤ 10 at sf0.01)
+    "ann_index_multiprobe",  # same persisted centroid table, nprobe=2 query assignment
 }
 
 # Python evaluation is legitimate ONLY in Arrow-batched kernels: the
