@@ -1883,6 +1883,7 @@ def merge_cow_deltalog(
     datekey_col: str = "datekey",
     write_change_data: bool = True,
     _pre_commit_hook=None,
+    operation_parameters: Mapping[str, object] | None = None,
     **merge_kwargs,
 ) -> dict:
     """File-level-rewrite MERGE into a MONTH-PARTITIONED Delta table —
@@ -2023,7 +2024,8 @@ def merge_cow_deltalog(
         _commit_info(
             "MERGE",
             {"predicate": ",".join([MONTH_COL, *on]),
-             "months": ",".join(str(m) for m in src_months)},
+             "months": ",".join(str(m) for m in src_months),
+             **dict(operation_parameters or {})},
         ),
     )
     if _pre_commit_hook is not None:  # test seam: inject a racing writer
@@ -2172,6 +2174,51 @@ def merge_cow_deltalog_with_retry(
 # --------------------------------------------------------------------------
 
 
+def _last_pinned_version(base_dir: str, name: str) -> int | None:
+    """The table version the MOST RECENT committed set that includes
+    ``name`` pinned — scanning back through set versions because set
+    compositions may vary; None when no committed set ever pinned the
+    table (the crashed-bootstrap case)."""
+    coord = os.path.join(base_dir, _SET_DIR)
+    for sv in reversed(_versions(coord)):
+        sc = next(
+            a["setCommit"] for a in _read_actions(coord, sv) if "setCommit" in a
+        )
+        if name in sc["tables"]:
+            return sc["tables"][name]
+    return None
+
+
+def _publish_orphan_range(table: str, lo: int, hi: int) -> bool:
+    """True iff EVERY commit in versions (lo, hi] is provably
+    PUBLISH-ORIGINATED — the publishSet-stamped MERGE the incremental
+    publish commits, or row-preserving maintenance (all add/remove
+    actions dataChange=false: OPTIMIZE/compaction) — and therefore safe
+    for the orphan fence to restore away. Anything else (an out-of-band
+    DML scrub, a user RESTORE, an expired/unreadable commit) returns
+    False: the fence must never revert a commit it cannot prove is a
+    crashed publish's debris."""
+    for v in range(lo + 1, hi + 1):
+        p = os.path.join(_log_path(table), f"{v:020d}.json")
+        if not os.path.exists(p):
+            return False  # expired: unverifiable — do not fence
+        acts = _read_actions(table, v)
+        info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
+        op = info.get("operation")
+        params = info.get("operationParameters") or {}
+        if op == "MERGE" and "publishSet" in params:
+            continue
+        data_change = any(
+            a.get("add", a.get("remove", {})).get("dataChange", False)
+            for a in acts
+            if "add" in a or "remove" in a
+        )
+        if not data_change:
+            continue  # OPTIMIZE / metadata-only: no row state to lose
+        return False
+    return True
+
+
 def publish_set_deltalog(
     tables: Mapping[str, DataFrame] | Sequence[tuple[str, DataFrame]],
     base_dir: str,
@@ -2223,9 +2270,14 @@ def publish_set_deltalog(
     readers (which resolve through the set) never see; the next
     incremental publish — the same one retried OR a different window —
     FENCES it first by restoring the table to the last committed set's
-    pinned version (metadata-only), so a crashed publish's rows can
-    never leak into another publish's set and a retry converges
-    exactly.
+    pinned version (metadata-only) when every post-pin commit is
+    provably publish-originated (:func:`_publish_orphan_range`);
+    out-of-band commits (a direct DML scrub, a user RESTORE) always
+    SURVIVE — those ranges merge on top instead, with the documented
+    residual that an orphan followed by an out-of-band commit is kept.
+    A bootstrap publish that crashed before ANY set commit re-runs as
+    a full bootstrap (nothing is published yet), so a crashed
+    publish's rows never leak into another publish's set either way.
     Month-close ``optimize`` entries for incremental tables are
     automatically scoped to the months the merge touched
     (``partition_filter={month: touched}``) — untouched months' files
@@ -2277,10 +2329,17 @@ def publish_set_deltalog(
             on = spec.pop("on")
             datekey_col = spec.pop("datekey_col", "datekey")
             window = spec.pop("window", None)
-            if not _all_versions(tpath):
-                # bootstrap: the table's FIRST publish writes the whole
-                # frame (every month), month-partitioned — subsequent
-                # publishes merge only their window
+            # the version the last COMMITTED set pinned for this table
+            # (scanning back through set versions — compositions vary)
+            pinned_v = _last_pinned_version(base_dir, name)
+            if not _all_versions(tpath) or pinned_v is None:
+                # bootstrap: the table's FIRST publish — or a RETRY
+                # after a bootstrap publish that crashed before any set
+                # commit (a log exists but NO set ever pinned it; that
+                # orphan must not seed a window-scoped merge, round-10
+                # review finding 2) — writes the whole frame (every
+                # month), month-partitioned. Subsequent publishes merge
+                # only their window.
                 table_versions[name] = _occ_retry(
                     lambda df=df, tpath=tpath, dk=datekey_col: write_delta_table(
                         _with_month(df, dk), tpath, mode="overwrite",
@@ -2289,33 +2348,27 @@ def publish_set_deltalog(
                     max_retries,
                 )
             else:
-                # ORPHAN FENCING (round-10 review finding): a publish
+                # ORPHAN FENCING (round-10 review findings): a publish
                 # that crashed between its table merge and the
                 # coordinator commit leaves a durable-but-unreferenced
                 # version; merging on top of it would silently pin the
                 # crashed publish's rows into THIS set (the pre-
                 # incremental full overwrite erased orphans by
-                # construction). Fence first: restore the table to the
-                # version the LAST COMMITTED set pinned — metadata-only
-                # — so every publish's parent is PUBLISHED state. The
-                # orphan version itself stays time-travelable; the
-                # restore commit is CDC-opaque (documented), which only
-                # ever surfaces after a crashed publish.
-                svs = _versions(os.path.join(base_dir, _SET_DIR))
-                if svs:
-                    sc_last = next(
-                        a["setCommit"]
-                        for a in _read_actions(
-                            os.path.join(base_dir, _SET_DIR), svs[-1]
-                        )
-                        if "setCommit" in a
-                    )
-                    pinned_v = sc_last["tables"].get(name)
-                    if (
-                        pinned_v is not None
-                        and _all_versions(tpath)[-1] > pinned_v
-                    ):
-                        restore_delta(df.sparkSession, tpath, pinned_v)
+                # construction). Fence first — restore the table to
+                # ``pinned_v`` (metadata-only) — but ONLY when every
+                # commit past the pin is PROVABLY publish-originated
+                # (the publishSet-stamped MERGE this function commits,
+                # or row-preserving dataChange-false maintenance): an
+                # out-of-band commit (a GDPR delete_delta scrub, an
+                # external OPTIMIZE with DVs, a user RESTORE) must
+                # SURVIVE, so those ranges merge on top instead.
+                # Residual, documented: an orphan FOLLOWED BY an
+                # out-of-band commit cannot be untangled and is kept.
+                latest = _all_versions(tpath)[-1]
+                if latest > pinned_v and _publish_orphan_range(
+                    tpath, pinned_v, latest
+                ):
+                    restore_delta(df.sparkSession, tpath, pinned_v)
                 src = df
                 if window is not None:
                     lo, hi = window
@@ -2323,6 +2376,7 @@ def publish_set_deltalog(
                 res = merge_cow_deltalog_with_retry(
                     df.sparkSession, tpath, src, on,
                     max_retries=max_retries, datekey_col=datekey_col,
+                    operation_parameters={"publishSet": "true"},
                     **spec,
                 )
                 table_versions[name] = (

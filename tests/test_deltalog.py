@@ -2439,6 +2439,7 @@ def test_publish_set_incremental_crash_retry_idempotent(spark, tmp_path):
         spark, fpath,
         fact1.filter(F.col("datekey").between(19900201, 19900231)),
         ["txn_id"], delete_unmatched_source=True,
+        operation_parameters={"publishSet": "true"},
     )
     # the last committed set still reads the PRE-crash fact
     pre = dl.read_published_set_deltalog(spark, base)["fact"]
@@ -2504,6 +2505,7 @@ def test_publish_set_incremental_fences_orphan_versions(spark, tmp_path):
         spark, fpath,
         p1.filter(F.col("datekey") < 19900200),
         ["txn_id"], delete_unmatched_source=True,
+        operation_parameters={"publishSet": "true"},
     )
     # later publish P2 over the OTHER month (199002, +7 salt there)
     p2 = fact0.withColumn(
@@ -2529,6 +2531,75 @@ def test_publish_set_incremental_fences_orphan_versions(spark, tmp_path):
     assert any(
         h["operation"] == "RESTORE" for h in dl.delta_history(fpath)
     )
+
+
+def test_publish_fence_preserves_out_of_band_commits(spark, tmp_path):
+    """Second-review finding 1: the fence must NEVER revert a
+    legitimate out-of-band commit — a GDPR scrub (delete_delta directly
+    on the published table) between two publishes SURVIVES the next
+    incremental publish (range not publish-originated → merge on top,
+    no restore)."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    fpath = os.path.join(base, "fact")
+    fact0 = _incr_fact(spark, months=2, salt=0)
+    inc = {"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                    "window": None, "delete_unmatched_source": True}}
+    dl.publish_set_deltalog([("fact", fact0)], base, incremental=inc)
+    # out-of-band GDPR scrub on the PUBLISHED table
+    r = dl.delete_delta(spark, fpath, "txn_id % 100 = 0")
+    assert r["rows_deleted"] > 0
+    # next publish over month 2 only: the scrub must survive in the
+    # untouched month AND in the merged month's target state... the
+    # merged month is fully re-synced from the source (which still
+    # carries the scrubbed ids) — month-scoped full sync REINSTATES
+    # source rows there by contract; month 1 keeps the scrub.
+    sv = dl.publish_set_deltalog(
+        [("fact", fact0)], base,
+        incremental={"fact": {**inc["fact"],
+                              "window": (19900201, 19900231)}},
+    )
+    got = dl.read_published_set_deltalog(spark, base, version=sv)["fact"]
+    m1 = got.filter(F.col("datekey") < 19900200)
+    assert m1.filter("txn_id % 100 = 0").count() == 0  # scrub survived
+    assert not any(
+        h["operation"] == "RESTORE" for h in dl.delta_history(fpath)
+    )
+
+
+def test_publish_crashed_bootstrap_rebootstraps(spark, tmp_path):
+    """Second-review finding 2: a bootstrap publish that crashed before
+    ANY set commit leaves a log no set pins — the next publish (even a
+    window-scoped one) must re-run as a FULL bootstrap, not merge its
+    window on top of the crashed publish's rows."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    os.makedirs(base, exist_ok=True)
+    fpath = os.path.join(base, "fact")
+    from etl_loading_scripts_spark.operators.cow import _with_month
+
+    # crash-sim: the bootstrap table write committed (poisoned amounts),
+    # but no set commit ever happened
+    crashed = _incr_fact(spark, months=2, salt=0).withColumn(
+        "amount", F.col("amount") + 5000
+    )
+    dl.write_delta_table(
+        _with_month(crashed, "datekey"), fpath, mode="overwrite",
+        partition_by=["month"],
+    )
+    fact = _incr_fact(spark, months=2, salt=3)
+    sv = dl.publish_set_deltalog(
+        [("fact", fact)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": (19900201, 19900231),
+                              "delete_unmatched_source": True}},
+    )
+    got = dl.read_published_set_deltalog(spark, base, version=sv)["fact"]
+    # the WHOLE frame was re-bootstrapped: no +5000 rows anywhere
+    assert sorted(map(tuple, got.select("txn_id", "datekey", "amount").collect())) \
+        == sorted(map(tuple, fact.collect()))
 
 
 def test_inline_deletion_vectors(spark, tmp_path):
