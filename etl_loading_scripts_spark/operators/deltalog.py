@@ -2174,13 +2174,19 @@ def merge_cow_deltalog_with_retry(
 # --------------------------------------------------------------------------
 
 
+#: how many set versions back _last_pinned_version scans before giving
+#: up — bounds the per-publish driver reads on warehouses with long set
+#: histories; a table last pinned further back simply merges unfenced
+_PIN_SCAN_LIMIT = 200
+
+
 def _last_pinned_version(base_dir: str, name: str) -> int | None:
     """The table version the MOST RECENT committed set that includes
-    ``name`` pinned — scanning back through set versions because set
-    compositions may vary; None when no committed set ever pinned the
-    table (the crashed-bootstrap case)."""
+    ``name`` pinned — scanning back (bounded by ``_PIN_SCAN_LIMIT``)
+    through set versions because set compositions may vary; None when
+    no scanned set pinned the table."""
     coord = os.path.join(base_dir, _SET_DIR)
-    for sv in reversed(_versions(coord)):
+    for sv in reversed(_versions(coord)[-_PIN_SCAN_LIMIT:]):
         sc = next(
             a["setCommit"] for a in _read_actions(coord, sv) if "setCommit" in a
         )
@@ -2191,13 +2197,19 @@ def _last_pinned_version(base_dir: str, name: str) -> int | None:
 
 def _publish_orphan_range(table: str, lo: int, hi: int) -> bool:
     """True iff EVERY commit in versions (lo, hi] is provably
-    PUBLISH-ORIGINATED — the publishSet-stamped MERGE the incremental
-    publish commits, or row-preserving maintenance (all add/remove
-    actions dataChange=false: OPTIMIZE/compaction) — and therefore safe
-    for the orphan fence to restore away. Anything else (an out-of-band
-    DML scrub, a user RESTORE, an expired/unreadable commit) returns
-    False: the fence must never revert a commit it cannot prove is a
-    crashed publish's debris."""
+    PUBLISH-ORIGINATED — a publishSet-stamped MERGE or RESTORE (the
+    incremental publish stamps both its merges and its own fence
+    restores, so a double-crashed publish stays fenceable), or
+    row-AND-metadata-preserving maintenance (no metaData/protocol
+    action, all add/remove dataChange=false: OPTIMIZE/compaction) —
+    and therefore safe for the orphan fence to restore away. Anything
+    else (an out-of-band DML scrub, a user RESTORE, ADD/DROP
+    CONSTRAINT or any other metadata commit, an expired/unreadable
+    commit, or a pre-round-10 unstamped orphan) returns False: the
+    fence must never revert a commit it cannot prove is a crashed
+    publish's debris. The unstamped-orphan case is the documented
+    upgrade window — such ranges merge on top exactly as before the
+    fence existed."""
     for v in range(lo + 1, hi + 1):
         p = os.path.join(_log_path(table), f"{v:020d}.json")
         if not os.path.exists(p):
@@ -2206,15 +2218,19 @@ def _publish_orphan_range(table: str, lo: int, hi: int) -> bool:
         info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
         op = info.get("operation")
         params = info.get("operationParameters") or {}
-        if op == "MERGE" and "publishSet" in params:
+        if op in ("MERGE", "RESTORE") and "publishSet" in params:
             continue
+        if any("metaData" in a or "protocol" in a for a in acts):
+            # ADD/DROP CONSTRAINT, schema evolution, protocol bumps:
+            # restoring would revert table METADATA the user set
+            return False
         data_change = any(
             a.get("add", a.get("remove", {})).get("dataChange", False)
             for a in acts
             if "add" in a or "remove" in a
         )
         if not data_change:
-            continue  # OPTIMIZE / metadata-only: no row state to lose
+            continue  # OPTIMIZE: no row state to lose
         return False
     return True
 
@@ -2332,14 +2348,23 @@ def publish_set_deltalog(
             # the version the last COMMITTED set pinned for this table
             # (scanning back through set versions — compositions vary)
             pinned_v = _last_pinned_version(base_dir, name)
-            if not _all_versions(tpath) or pinned_v is None:
+            fresh_warehouse = not _versions(os.path.join(base_dir, _SET_DIR))
+            if not _all_versions(tpath) or (
+                pinned_v is None and fresh_warehouse
+            ):
                 # bootstrap: the table's FIRST publish — or a RETRY
-                # after a bootstrap publish that crashed before any set
-                # commit (a log exists but NO set ever pinned it; that
-                # orphan must not seed a window-scoped merge, round-10
-                # review finding 2) — writes the whole frame (every
-                # month), month-partitioned. Subsequent publishes merge
-                # only their window.
+                # after a FIRST publish that crashed before the
+                # warehouse's first set commit (a log exists but
+                # NOTHING is published; that orphan must not seed a
+                # window-scoped merge, round-10 review finding 2) —
+                # writes the whole frame (every month),
+                # month-partitioned. Subsequent publishes merge only
+                # their window. Deliberately NOT re-bootstrapped: a
+                # table whose pin record merely isn't FINDABLE in an
+                # established warehouse (composition drift past the
+                # scan limit, expired set JSONs) — overwriting there
+                # could destroy published out-of-band state (e.g. a
+                # GDPR scrub); those merge on top, unfenced.
                 table_versions[name] = _occ_retry(
                     lambda df=df, tpath=tpath, dk=datekey_col: write_delta_table(
                         _with_month(df, dk), tpath, mode="overwrite",
@@ -2365,10 +2390,13 @@ def publish_set_deltalog(
                 # Residual, documented: an orphan FOLLOWED BY an
                 # out-of-band commit cannot be untangled and is kept.
                 latest = _all_versions(tpath)[-1]
-                if latest > pinned_v and _publish_orphan_range(
+                if pinned_v is not None and latest > pinned_v and _publish_orphan_range(
                     tpath, pinned_v, latest
                 ):
-                    restore_delta(df.sparkSession, tpath, pinned_v)
+                    restore_delta(
+                        df.sparkSession, tpath, pinned_v,
+                        operation_parameters={"publishSet": "true"},
+                    )
                 src = df
                 if window is not None:
                     lo, hi = window
@@ -5113,6 +5141,7 @@ def restore_delta(
     table: str,
     version: int,
     spark_threshold: int | None = None,
+    operation_parameters: Mapping[str, object] | None = None,
 ) -> dict:
     """RESTORE TABLE … TO VERSION: ONE new commit whose state equals
     the target snapshot — the recovery shape after a bad load ("put
@@ -5224,7 +5253,10 @@ def restore_delta(
             f"(vacuumed past the target; first: {missing[:3]})"
         )
     actions: list[dict] = [
-        _commit_info("RESTORE", {"version": version})
+        _commit_info(
+            "RESTORE",
+            {"version": version, **dict(operation_parameters or {})},
+        )
     ]
     if meta_tgt != meta_cur:
         actions.append({"metaData": meta_tgt})

@@ -2566,6 +2566,73 @@ def test_publish_fence_preserves_out_of_band_commits(spark, tmp_path):
     assert not any(
         h["operation"] == "RESTORE" for h in dl.delta_history(fpath)
     )
+    # and the merged month WAS re-synced from the source (the comment's
+    # reinstatement contract, asserted): month-2 rows == source window
+    m2 = got.filter(F.col("datekey").between(19900201, 19900231))
+    exp2 = fact0.filter(F.col("datekey").between(19900201, 19900231))
+    assert sorted(map(tuple, m2.select("txn_id", "amount").collect())) \
+        == sorted(map(tuple, exp2.select("txn_id", "amount").collect()))
+
+
+def test_publish_fence_double_crash_and_metadata_guard(spark, tmp_path):
+    """Third-review findings: (a) the fence's OWN restore is
+    publishSet-stamped, so a publish that crashes a SECOND time (after
+    fence+merge, before set commit) leaves a range that is still
+    provably publish-originated — the next publish fences it too; (b) a
+    metadata-only out-of-band commit (ADD CONSTRAINT) blocks the fence
+    — restoring would revert the user's constraint."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    fpath = os.path.join(base, "fact")
+    fact0 = _incr_fact(spark, months=2, salt=0)
+    inc = {"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                    "window": None, "delete_unmatched_source": True}}
+    dl.publish_set_deltalog([("fact", fact0)], base, incremental=inc)
+    pinned = dl._last_pinned_version(base, "fact")
+    # double crash: stamped merge (publish A), stamped fence-restore +
+    # stamped merge (publish B) — no set commit from either
+    stamp = {"publishSet": "true"}
+    dl.merge_cow_deltalog_with_retry(
+        spark, fpath,
+        fact0.filter("datekey < 19900200").withColumn(
+            "amount", F.col("amount") + 111
+        ),
+        ["txn_id"], delete_unmatched_source=True,
+        operation_parameters=stamp,
+    )
+    dl.restore_delta(spark, fpath, pinned, operation_parameters=stamp)
+    dl.merge_cow_deltalog_with_retry(
+        spark, fpath,
+        fact0.filter("datekey >= 19900200").withColumn(
+            "amount", F.col("amount") + 222
+        ),
+        ["txn_id"], delete_unmatched_source=True,
+        operation_parameters=stamp,
+    )
+    latest = dl._all_versions(fpath)[-1]
+    assert dl._publish_orphan_range(fpath, pinned, latest)  # fenceable
+    sv = dl.publish_set_deltalog([("fact", fact0)], base, incremental={
+        "fact": {**inc["fact"], "window": (19900101, 19900131)},
+    })
+    got = dl.read_published_set_deltalog(spark, base, version=sv)["fact"]
+    # neither crashed publish's +111/+222 leaked
+    assert sorted(map(tuple, got.select("txn_id", "amount").collect())) \
+        == sorted(map(tuple, fact0.select("txn_id", "amount").collect()))
+    # (b) a metadata commit past the pin blocks the fence
+    dl.add_check_constraint(spark, fpath, "amount_nonneg", "amount >= 0")
+    latest2 = dl._all_versions(fpath)[-1]
+    pinned2 = dl._last_pinned_version(base, "fact")
+    assert not dl._publish_orphan_range(fpath, pinned2, latest2)
+    sv2 = dl.publish_set_deltalog([("fact", fact0)], base, incremental={
+        "fact": {**inc["fact"], "window": (19900201, 19900231)},
+    })
+    # the constraint SURVIVED the publish (no restore reverted it)
+    meta = dl._snapshot_state(fpath, None)[1]
+    assert "amount_nonneg" in dl.table_constraints(meta)
+    assert dl.read_published_set_deltalog(spark, base, version=sv2)[
+        "fact"
+    ].count() == fact0.count()
 
 
 def test_publish_crashed_bootstrap_rebootstraps(spark, tmp_path):
