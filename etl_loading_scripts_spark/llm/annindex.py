@@ -183,10 +183,11 @@ def _index_fixture(spark: SparkSession, sf_dir: str) -> str:
     vectors excluded so the stored centroid set equals the full-corpus
     rule), then APPEND the holdout — the final index state must equal
     a from-scratch build, which is what the oracle derives."""
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"ann_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    from etl_loading_scripts_spark.operators.deltalog import _fixture_dir
+
+    # rev-keyed: the index IS a set of Delta tables, so an on-disk
+    # format bump must invalidate this cache too
+    root = _fixture_dir(sf_dir, tag="ann_index")
     marker = os.path.join(root, "_COMPLETE")
     if os.path.exists(marker):
         return root

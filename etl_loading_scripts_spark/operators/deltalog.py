@@ -3401,13 +3401,22 @@ def vacuum_delta(
 # --------------------------------------------------------------------------
 
 
+#: bump on ANY on-disk writer format change (DV encoding, log action
+#: shape, checkpoint layout) — it keys the /tmp fixture caches, so a
+#: bump auto-invalidates fixtures written by the previous format
+#: instead of serving stale bytes to the new reader. rev 2 = r11's
+#: keyed sparse RoaringBitmapArray (ADVICE r10 high).
+_ONDISK_FORMAT_REV = 2
+
+
 def _fixture_dir(sf_dir: str, tag: str = "deltalog_fix") -> str:
     import hashlib
     import tempfile
 
+    key = f"{sf_dir}|rev{_ONDISK_FORMAT_REV}"
     return os.path.join(
         tempfile.gettempdir(),
-        f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+        f"{tag}_{hashlib.md5(key.encode()).hexdigest()[:8]}",
     )
 
 

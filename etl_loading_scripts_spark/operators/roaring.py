@@ -9,8 +9,9 @@ on-disk format, implemented from the two PUBLIC specifications:
   array / bitmap / run containers with descriptive + offset headers;
 - the Delta deletion-vector layer (delta.io PROTOCOL.md "Deletion
   Vector Format"): a 64-bit RoaringBitmapArray — magic number
-  1681511377, a count of 32-bit buckets, then each bucket's portable
-  bitmap — framed in ``deletion_vector_<uuid>.bin`` files as
+  1681511377, an int64 count of NON-EMPTY 32-bit bitmaps, then each
+  bitmap's uint32 LE key (position >> 32) followed by its portable
+  serialization — framed in ``deletion_vector_<uuid>.bin`` files as
   ``<version byte 1>`` then per DV ``<size int32 BE><bitmap bytes>
   <CRC-32 int32 BE>``, referenced from the add action's
   ``deletionVector`` descriptor {storageType, pathOrInlineDv, offset,
@@ -219,37 +220,57 @@ _MAGIC = 1681511377
 
 def serialize_rbm64(positions) -> bytes:
     """Delta's portable RoaringBitmapArray over sorted-unique uint64
-    row positions: magic, bucket count, then bucket 0..max's portable
-    32-bit bitmaps in order (empty buckets serialize as empty
-    bitmaps, keeping bucket index == position >> 32)."""
+    row positions: magic (int32 LE), count of NON-EMPTY 32-bit bitmaps
+    (int64 LE), then for each non-empty bitmap — ascending by key —
+    its uint32 LE key (position >> 32) followed by that bucket's
+    portable 32-bit roaring serialization.
+
+    The keyed sparse layout is the format delta-spark / delta-kernel's
+    RoaringBitmapArray reads and writes (PROTOCOL.md "Deletion Vector
+    Format"); it also keeps a single position near 2^50 at ~40 bytes
+    instead of the megabytes a dense bucket list would cost."""
     positions = np.unique(np.asarray(positions, dtype=np.uint64))
     if len(positions) == 0:
         return struct.pack("<iq", _MAGIC, 0)
     buckets = (positions >> np.uint64(32)).astype(np.uint64)
-    n_buckets = int(buckets[-1]) + 1
-    out = [struct.pack("<iq", _MAGIC, n_buckets)]
     lows = (positions & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-    for b in range(n_buckets):
-        sel = lows[buckets == b]
-        out.append(_serialize_rb32(sel))
+    uniq, starts = np.unique(buckets, return_index=True)
+    bounds = list(starts[1:]) + [len(positions)]
+    out = [struct.pack("<iq", _MAGIC, len(uniq))]
+    for key, s, e in zip(uniq, starts, bounds):
+        out.append(struct.pack("<I", int(key)))
+        out.append(_serialize_rb32(lows[s:e]))
     return b"".join(out)
 
 
 def deserialize_rbm64(buf: bytes) -> np.ndarray:
-    """Inverse of :func:`serialize_rbm64` → sorted uint64 positions."""
-    magic, n_buckets = struct.unpack_from("<iq", buf, 0)
+    """Inverse of :func:`serialize_rbm64` → sorted uint64 positions.
+    Reads each bitmap's uint32 LE key rather than assuming dense
+    bucket order, so conformant external writers decode too."""
+    magic, n_bitmaps = struct.unpack_from("<iq", buf, 0)
     if magic != _MAGIC:
         raise ValueError(f"bad RoaringBitmapArray magic {magic}")
     pos = 12
     parts = []
-    for b in range(n_buckets):
+    keys_seen = []
+    for _ in range(n_bitmaps):
+        (key,) = struct.unpack_from("<I", buf, pos)
+        pos += 4
+        keys_seen.append(key)
         vals, used = _deserialize_rb32(buf, pos)
         pos += used
         if len(vals):
-            parts.append(vals.astype(np.uint64) | (np.uint64(b) << np.uint64(32)))
-    return (
-        np.concatenate(parts) if parts else np.empty(0, dtype=np.uint64)
-    )
+            parts.append(
+                vals.astype(np.uint64) | (np.uint64(key) << np.uint64(32))
+            )
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    out = np.concatenate(parts)
+    # writers emit keys ascending (ours does; the spec orders them) —
+    # but sort defensively if a foreign writer didn't
+    if any(a >= b for a, b in zip(keys_seen, keys_seen[1:])):
+        out = np.sort(out)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -51,10 +51,9 @@ def _order_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _warehouse(tag: str, sf_dir: str) -> str:
-    return os.path.join(
-        tempfile.gettempdir(),
-        f"{tag}_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    from etl_loading_scripts_spark.operators.deltalog import _fixture_dir
+
+    return _fixture_dir(sf_dir, tag=tag)
 
 
 def _month_rollup(df: DataFrame) -> DataFrame:

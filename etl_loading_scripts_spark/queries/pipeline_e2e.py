@@ -118,10 +118,9 @@ def monthly_load_partitioned_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo_dk = dom.fact_transaction.agg(F.min("datekey")).first()[0]
     month = lo_dk // 100
     window = (month * 100 + 1, month * 100 + 31)
-    warehouse = os.path.join(
-        tempfile.gettempdir(),
-        f"fact_wh_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    from etl_loading_scripts_spark.operators.deltalog import _fixture_dir
+
+    warehouse = _fixture_dir(sf_dir, tag="fact_wh")
     out, _metrics = run_monthly_load_partitioned(spark, dom, window, warehouse)
     return _fact_month_rollup(out.fact_transaction)
 
@@ -148,13 +147,11 @@ def _staged_two_window_fixture(spark: SparkSession, sf_dir: str) -> str:
     )
 
     # "tt2": cache key bumped in round 10 when the publish went
-    # incremental — a pre-incremental cached fixture (unpartitioned
-    # fact, full-overwrite versions) must never be served to the
-    # file-carryover audit below
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"staged_tt2_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    # incremental; since r11 the key also carries deltalog's
+    # _ONDISK_FORMAT_REV so writer-format bumps invalidate it
+    from etl_loading_scripts_spark.operators.deltalog import _fixture_dir
+
+    root = _fixture_dir(sf_dir, tag="staged_tt2")
     pub = os.path.join(root, "publish")
     if len(published_set_versions(pub)) >= 2:
         return root  # both runs committed = complete

@@ -104,10 +104,9 @@ def stream_cdc_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = _event_changelog(events).filter(
         F.col("event_id") % 3 != 0
     ).withColumn("value", F.lit(0).cast("decimal(18,6)"))
-    target = os.path.join(
-        tempfile.gettempdir(),
-        f"cow_cdc_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
-    )
+    from etl_loading_scripts_spark.operators.deltalog import _fixture_dir
+
+    target = _fixture_dir(sf_dir, tag="cow_cdc")
     write_fact_partitioned(seed, target)
 
     stream = _normalize_nanos(

@@ -63,7 +63,8 @@ def test_reader_decodes_run_containers():
     runflags = bytes([1])
     desc = struct.pack("<HH", 3, 9)  # key=3, cardinality-1=9
     payload = struct.pack("<H", 2) + struct.pack("<HHHH", 10, 4, 100, 4)
-    buf = struct.pack("<iq", R._MAGIC, 1) + cookie + runflags + desc + payload
+    key = struct.pack("<I", 0)  # the bitmap's uint32 LE high-32 key
+    buf = struct.pack("<iq", R._MAGIC, 1) + key + cookie + runflags + desc + payload
     vals = R.deserialize_rbm64(buf)
     exp = np.array(
         [(3 << 16) | v for v in list(range(10, 15)) + list(range(100, 105))],
@@ -77,6 +78,46 @@ def test_magic_number_pinned_and_rejected():
     assert struct.unpack_from("<i", b, 0)[0] == 1681511377  # PROTOCOL.md
     with pytest.raises(ValueError, match="magic"):
         R.deserialize_rbm64(b"\x00" * 12)
+
+
+def test_keyed_sparse_layout_pinned():
+    """ADVICE r10 (high): the RoaringBitmapArray must store only
+    NON-EMPTY bitmaps, each prefixed with its uint32 LE key — a dense
+    bucket 0..max layout is unreadable by conformant Delta readers and
+    explodes a single high position into megabytes of empty buckets."""
+    # one position near 2^50 → exactly one keyed bitmap, tens of bytes
+    hi = np.array([2**50 + 7], dtype=np.uint64)
+    b = R.serialize_rbm64(hi)
+    assert len(b) < 64, f"sparse high position serialized {len(b)} bytes"
+    magic, n = struct.unpack_from("<iq", b, 0)
+    assert (magic, n) == (R._MAGIC, 1)
+    (key,) = struct.unpack_from("<I", b, 12)
+    assert key == (2**50 + 7) >> 32
+    # two buckets far apart → two keyed bitmaps, keys ascending
+    two = R.serialize_rbm64(np.array([5, 2**40 + 1], dtype=np.uint64))
+    _, n2 = struct.unpack_from("<iq", two, 0)
+    assert n2 == 2
+    (k0,) = struct.unpack_from("<I", two, 12)
+    assert k0 == 0
+    assert np.array_equal(
+        R.deserialize_rbm64(two), np.array([5, 2**40 + 1], dtype=np.uint64)
+    )
+
+
+def test_out_of_order_foreign_keys_still_sorted():
+    """A foreign writer emitting bitmap keys out of ascending order
+    must still decode to sorted positions."""
+    bm_a = R._serialize_rb32(np.array([7], dtype=np.uint32))
+    bm_b = R._serialize_rb32(np.array([3], dtype=np.uint32))
+    buf = (
+        struct.pack("<iq", R._MAGIC, 2)
+        + struct.pack("<I", 5)
+        + bm_a
+        + struct.pack("<I", 1)
+        + bm_b
+    )
+    exp = np.array([(1 << 32) | 3, (5 << 32) | 7], dtype=np.uint64)
+    assert np.array_equal(R.deserialize_rbm64(buf), exp)
 
 
 def test_dv_file_framing_and_crc():
@@ -128,7 +169,8 @@ def test_run_container_full_range_no_uint16_wrap():
     runflags = bytes([1])
     desc = struct.pack("<HH", 0, 535)  # key=0, cardinality-1
     payload = struct.pack("<H", 1) + struct.pack("<HH", 65000, 535)
-    buf = struct.pack("<iq", R._MAGIC, 1) + cookie + runflags + desc + payload
+    key = struct.pack("<I", 0)
+    buf = struct.pack("<iq", R._MAGIC, 1) + key + cookie + runflags + desc + payload
     vals = R.deserialize_rbm64(buf)
     assert np.array_equal(vals, np.arange(65000, 65536, dtype=np.uint64))
 
