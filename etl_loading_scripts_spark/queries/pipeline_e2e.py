@@ -320,3 +320,284 @@ def staged_publish_incremental_files(spark: SparkSession, sf_dir: str) -> DataFr
         )
         rows.append((m, carried))
     return spark.createDataFrame(rows, "month int, carried_over int")
+
+
+@register(
+    "staged_publish_incremental_dims",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('dim_billing_group', 1, 1, 1),
+        ('dim_patron',        1, 1, 1),
+        ('dim_restaurant',    1, 1, 1),
+        ('pos_fingerprints',  1, 1, 1)
+    ) AS t(dim, unchanged_files_carried, rewrites_justified, keys_unique)
+    """,
+    doc="INCREMENTAL dim-publish audit (round 11, the r10 VERDICT's "
+    "top item): across the two-window fixture's consecutive SET "
+    "versions, every dim is published by the entity-keyed "
+    "merge_dim_deltalog. Audited per dim, from log metadata plus the "
+    "files themselves: (a) every set-0 file holding NO changed/deleted "
+    "key is still referenced at set 1 with identical path+size and "
+    "bytes on disk; (b) every file the second publish DID rewrite "
+    "contained at least one key the run changed (no gratuitous "
+    "rewrites — computed by reading the removed files and semi-joining "
+    "the cross-version keyed diff); (c) set-1 dim keys are unique. A "
+    "publish that silently reverted to full overwrites fails (a); one "
+    "that rewrote unaffected files fails (b).",
+)
+def staged_publish_incremental_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale note: the audit reads only the REWRITTEN files' rows plus
+    two snapshot listings per dim — O(changed files), the same order as
+    the publish increment it is checking. The cross-version keyed diff
+    is CDC-shaped (one key shuffle of two pinned snapshots at fixture
+    scale; a deployed warehouse would read the commit's _change_data
+    instead)."""
+    import json as _json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    from etl_loading_scripts_spark.operators.deltalog import (
+        _read_actions,
+        _snapshot_state,
+        _SET_DIR,
+        read_delta_table,
+    )
+
+    dim_keys = {
+        "dim_billing_group": ["billing_group_key"],
+        "dim_patron": ["patron_id"],
+        "dim_restaurant": ["restaurant_key"],
+        "pos_fingerprints": ["fingerprint_id"],
+    }
+    root = _staged_two_window_fixture(spark, sf_dir)
+    pub = f"{root}/publish"
+    coord = os.path.join(pub, _SET_DIR)
+    pins = {}
+    for sv in (0, 1):
+        sc = next(
+            a["setCommit"] for a in _read_actions(coord, sv) if "setCommit" in a
+        )
+        pins[sv] = sc["tables"]
+    rows = []
+    for dim in sorted(dim_keys):
+        keys = dim_keys[dim]
+        tpath = os.path.join(pub, dim)
+        tv0, tv1 = pins[0][dim], pins[1][dim]
+        a0, meta, _ = _snapshot_state(tpath, tv0)
+        a1, _, _ = _snapshot_state(tpath, tv1)
+        s0 = {(p, a.get("size")) for p, a in a0.items()}
+        s1 = {(p, a.get("size")) for p, a in a1.items()}
+        carried = s0 & s1
+        removed = s0 - s1
+        # the keys the second run changed/inserted/deleted, keyed diff
+        # of the two pinned snapshots
+        old = read_delta_table(spark, tpath, version=tv0)
+        new = read_delta_table(spark, tpath, version=tv1)
+        val_cols = [c for c in new.columns if c not in keys]
+        changed_keys = (
+            old.alias("o").join(new.alias("n"), keys, "full_outer")
+            .filter(
+                ~F.struct(*[F.col(f"o.{c}") for c in val_cols]).eqNullSafe(
+                    F.struct(*[F.col(f"n.{c}") for c in val_cols])
+                )
+            )
+            .select(*keys)
+        )
+        schema = StructType.fromJson(_json.loads(meta["schemaString"]))
+        # (a) unchanged files carried: every s0 file with NO changed key
+        # still referenced byte-identically at set 1
+        if removed:
+            removed_rows = spark.read.schema(schema).parquet(
+                *[os.path.join(tpath, p) for p, _ in removed]
+            )
+            n_removed_with_change = (
+                removed_rows.join(changed_keys, keys, "left_semi")
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .count()
+            )
+            rewrites_justified = int(n_removed_with_change == len(removed))
+        else:
+            rewrites_justified = 1
+        bytes_ok = all(
+            os.path.isfile(os.path.join(tpath, p))
+            and os.path.getsize(os.path.join(tpath, p)) == sz
+            for p, sz in carried
+        )
+        if s0 == s1:
+            unchanged_files_carried = int(bytes_ok)
+        else:
+            # files kept = files without any changed key (checked via
+            # the rewritten set: kept ∪ removed = s0, removed all
+            # justified ⇒ kept are exactly the unaffected ones)
+            unchanged_files_carried = int(bytes_ok and carried == s0 - removed)
+        n = new.count()
+        keys_unique = int(new.select(*keys).distinct().count() == n)
+        rows.append((dim, unchanged_files_carried, rewrites_justified, keys_unique))
+    return spark.createDataFrame(
+        rows,
+        "dim string, unchanged_files_carried int, rewrites_justified int, "
+        "keys_unique int",
+    )
+
+
+@register(
+    "publish_dim_churn_files",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 100 AS BIGINT) AS v
+        FROM orders
+    ),
+    mx AS (
+        SELECT MAX(k) AS mk,
+               CAST(FLOOR(MAX(k) / 20.0) AS BIGINT) AS t
+        FROM base
+    ),
+    final AS (
+        SELECT b.k,
+               CASE WHEN b.k < mx.t AND b.k % 7 = 0 THEN b.v + 1
+                    ELSE b.v END AS v
+        FROM base b CROSS JOIN mx
+        WHERE NOT (b.k < mx.t AND b.k % 11 = 0)
+        UNION ALL
+        SELECT mx.mk + i AS k, CAST(mx.mk + i AS BIGINT) AS v
+        FROM mx CROSS JOIN generate_series(1, 50) AS g(i)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS BIGINT) AS sum_v,
+           1 AS unchanged_files_carried,
+           1 AS rewrites_justified
+    FROM final
+    """,
+    doc="Dim-churn publish audit (round 11): a keyed dim over orders is "
+    "published twice through publish_set_deltalog's dim grain — run 2 "
+    "updates/deletes keys LOCALIZED in the lowest 5% of the key space "
+    "(update k%7, delete k%11 below max/20) and inserts 50 new keys "
+    "past the max. The oracle derives the final count and exact-cents "
+    "sum arithmetically; the Spark side additionally audits from the "
+    "log that every set-0 file WITHOUT an affected key carried over "
+    "byte-identically (the localized churn guarantees ≥14 of 16 range "
+    "files qualify) and every rewritten file contained at least one "
+    "affected key. Unlike staged_publish_incremental_dims (whose "
+    "fixture's dims happen to be change-free between runs, pinning the "
+    "no-op path), this one pins the CHURN path.",
+)
+def publish_dim_churn_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the publish's write volume is O(affected files), the
+    audit's read volume O(rewritten files) — both the same order as the
+    change, never the dim. The 16-file range layout stands in for a
+    billion-row dim's thousands of files."""
+    import json as _json
+    import os
+    import shutil
+
+    from pyspark.sql.types import StructType
+
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.operators.deltalog import (
+        _fixture_dir,
+        _read_actions,
+        _snapshot_state,
+        _SET_DIR,
+        publish_set_deltalog,
+        read_delta_table,
+    )
+
+    root = _fixture_dir(sf_dir, tag="dimchurn")
+    pub = os.path.join(root, "publish")
+    tpath = os.path.join(pub, "dim_cust")
+    coord = os.path.join(pub, _SET_DIR)
+    spec = {"dim_cust": {"on": ["k"], "grain": "dim",
+                         "delete_unmatched_source": True}}
+
+    def _versions_done() -> int:
+        try:
+            return len(
+                [1 for sv in (0, 1) if _read_actions(coord, sv)]
+            )
+        except FileNotFoundError:
+            return 0
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        (F.col("o_totalprice").cast("decimal(18,4)") * 100)
+        .cast("long").alias("v"),
+    )
+    mk = base.agg(F.max("k")).first()[0]
+    t = mk // 20  # churn localized below the 5% key mark
+    if _versions_done() < 2:
+        if os.path.isdir(root):
+            shutil.rmtree(root)  # partial build: never serve it
+        # 16 range files so churn touches SOME files and carries others
+        publish_set_deltalog(
+            [("dim_cust", base.repartitionByRange(16, "k"))],
+            pub, incremental=spec,
+        )
+        low = F.col("k") < t
+        churned = base.filter(~(low & (F.col("k") % 11 == 0))).select(
+            "k",
+            F.when(low & (F.col("k") % 7 == 0), F.col("v") + 1)
+            .otherwise(F.col("v")).alias("v"),
+        ).unionByName(
+            spark.range(1, 51).select(
+                (F.col("id") + mk).alias("k"),
+                (F.col("id") + mk).cast("long").alias("v"),
+            )
+        )
+        publish_set_deltalog([("dim_cust", churned)], pub, incremental=spec)
+    pins = {}
+    for sv in (0, 1):
+        sc = next(
+            a["setCommit"] for a in _read_actions(coord, sv) if "setCommit" in a
+        )
+        pins[sv] = sc["tables"]["dim_cust"]
+    a0, meta, _ = _snapshot_state(tpath, pins[0])
+    a1, _, _ = _snapshot_state(tpath, pins[1])
+    s0 = {(p, a.get("size")) for p, a in a0.items()}
+    s1 = {(p, a.get("size")) for p, a in a1.items()}
+    carried, removed = s0 & s1, s0 - s1
+    final = read_delta_table(spark, tpath, version=pins[1])
+    affected = (F.col("k") < t) & (
+        (F.col("k") % 7 == 0) | (F.col("k") % 11 == 0)
+    )
+    schema = StructType.fromJson(_json.loads(meta["schemaString"]))
+    if removed:
+        n_removed_with_change = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(tpath, p) for p, _ in removed])
+            .filter(affected)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        rewrites_justified = int(n_removed_with_change == len(removed))
+    else:
+        rewrites_justified = 0  # churn MUST rewrite something
+    # carried files must be byte-identical AND hold no affected key
+    bytes_ok = all(
+        os.path.isfile(os.path.join(tpath, p))
+        and os.path.getsize(os.path.join(tpath, p)) == sz
+        for p, sz in carried
+    )
+    if carried:
+        n_carried_with_change = (
+            spark.read.schema(schema)
+            .parquet(*[os.path.join(tpath, p) for p, _ in carried])
+            .filter(affected)
+            .count()
+        )
+        unchanged_files_carried = int(bytes_ok and n_carried_with_change == 0)
+    else:
+        unchanged_files_carried = 0  # churn must NOT rewrite everything
+    return final.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("sum_v"),
+    ).select(
+        "n_rows",
+        "sum_v",
+        F.lit(unchanged_files_carried).alias("unchanged_files_carried"),
+        F.lit(rewrites_justified).alias("rewrites_justified"),
+    )

@@ -3190,3 +3190,409 @@ def test_dv_antijoin_shuffles_above_broadcast_ceiling(spark, tmp_path, monkeypat
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" not in plan_s, plan_s
     assert rows_b == rows_s == expect
+
+
+# --------------------------------------------------------------------------
+# Round 11: stamped bootstrap, set-commit revalidation, surgical fence,
+# dim-grain incremental publish
+# --------------------------------------------------------------------------
+
+
+def _months(df, lo, hi):
+    return df.filter(F.col("datekey").between(lo, hi))
+
+
+def _rows(df, *cols):
+    cols = cols or ("txn_id", "datekey", "amount")
+    return sorted(map(tuple, df.select(*cols).collect()))
+
+
+def test_publish_crashed_bootstrap_established_warehouse(spark, tmp_path):
+    """ADVICE r11 (medium): a FIRST publish of an incremental table in
+    a warehouse that ALREADY has set commits (for other tables), which
+    crashes after its stamped bootstrap overwrite, must be
+    re-bootstrapped by the retry — the crashed overwrite's
+    out-of-window months must NOT leak into the retry's merged set."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+    from etl_loading_scripts_spark.operators.cow import _with_month
+
+    base = str(tmp_path / "pub")
+    # the warehouse is ESTABLISHED by an unrelated table's set commit
+    dim = spark.range(5).select(F.col("id").alias("k"))
+    dl.publish_set_deltalog([("dim", dim)], base)
+    # crash-sim: the new fact's bootstrap overwrite committed (STAMPED,
+    # as publish now writes it) with poisoned amounts; no set pins it
+    fpath = os.path.join(base, "fact")
+    crashed = _incr_fact(spark, months=2, salt=0).withColumn(
+        "amount", F.col("amount") + 5000
+    )
+    dl.write_delta_table(
+        _with_month(crashed, "datekey"), fpath, mode="overwrite",
+        partition_by=["month"],
+        operation_parameters={"publishSet": "true"},
+    )
+    # retry: a window-scoped publish of the true frame
+    fact = _incr_fact(spark, months=2, salt=3)
+    sv = dl.publish_set_deltalog(
+        [("fact", fact)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": (19900201, 19900231),
+                              "delete_unmatched_source": True}},
+    )
+    got = dl.read_published_set_deltalog(spark, base, version=sv)["fact"]
+    # the whole frame was re-bootstrapped: no +5000 rows anywhere
+    assert _rows(got) == _rows(fact)
+
+
+def test_publish_unstamped_foreign_table_never_overwritten(spark, tmp_path):
+    """The re-bootstrap proof must NOT fire on a table whose log the
+    publish can't prove is its own debris: an UNSTAMPED pre-existing
+    table at the publish path (user-created) merges on top, keeping
+    its out-of-window months."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+    from etl_loading_scripts_spark.operators.cow import _with_month
+
+    base = str(tmp_path / "pub")
+    dl.publish_set_deltalog(
+        [("dim", spark.range(3).select(F.col("id").alias("k")))], base
+    )
+    fpath = os.path.join(base, "fact")
+    foreign = _incr_fact(spark, months=2, salt=0).withColumn(
+        "amount", F.col("amount") + 5000
+    )
+    dl.write_delta_table(  # NOT stamped: a user-created table
+        _with_month(foreign, "datekey"), fpath, mode="overwrite",
+        partition_by=["month"],
+    )
+    fact = _incr_fact(spark, months=2, salt=3)
+    sv = dl.publish_set_deltalog(
+        [("fact", fact)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": (19900201, 19900231),
+                              "delete_unmatched_source": True}},
+    )
+    got = dl.read_published_set_deltalog(spark, base, version=sv)["fact"]
+    # month 1 kept the FOREIGN table's rows (+5000); month 2 merged
+    exp = _months(foreign, 19900101, 19900131).unionByName(
+        _months(fact, 19900201, 19900231)
+    )
+    assert _rows(got) == _rows(exp)
+
+
+def test_publish_set_commit_revalidates_pins_on_conflict(spark, tmp_path, monkeypatch):
+    """ADVICE r11 (medium): publisher B's entire publish interleaves
+    between publisher A's table merge and A's set commit — B's fence
+    restores away A's merge. A's set commit must CONFLICT (committed at
+    the set version A observed at start) and the retry must re-merge
+    A's window on top of B's pinned state: the final set carries BOTH
+    windows; B's intermediate set carries only B's (never a torn mix
+    or A's months silently dropped)."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    fact0 = _incr_fact(spark, months=2, salt=0)
+    sv0 = dl.publish_set_deltalog(
+        [("fact", fact0)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": None,
+                              "delete_unmatched_source": True}},
+    )
+    a_frame = fact0.withColumn(
+        "amount",
+        F.when(F.col("datekey") < 19900200, F.col("amount") + 1000)
+        .otherwise(F.col("amount")),
+    )
+    b_frame = fact0.withColumn(
+        "amount",
+        F.when(F.col("datekey") >= 19900200, F.col("amount") + 7)
+        .otherwise(F.col("amount")),
+    )
+    coord = os.path.join(base, dl._SET_DIR)
+    real_commit = dl._commit
+    fired = {"done": False}
+
+    def hooked(table, version, actions):
+        if os.path.normpath(table) == os.path.normpath(coord) and not fired["done"]:
+            fired["done"] = True
+            # B's WHOLE publish lands between A's merge and A's commit
+            dl.publish_set_deltalog(
+                [("fact", b_frame)], base,
+                incremental={"fact": {"on": ["txn_id"],
+                                      "datekey_col": "datekey",
+                                      "window": (19900201, 19900231),
+                                      "delete_unmatched_source": True}},
+            )
+        return real_commit(table, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", hooked)
+    sv_a = dl.publish_set_deltalog(
+        [("fact", a_frame)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": (19900101, 19900131),
+                              "delete_unmatched_source": True}},
+    )
+    monkeypatch.setattr(dl, "_commit", real_commit)
+    assert sv_a == sv0 + 2  # B took sv0+1; A retried and committed after
+    # B's set: ONLY B's window changed; A's merge was fenced, not mixed
+    got_b = dl.read_published_set_deltalog(spark, base, version=sv0 + 1)["fact"]
+    exp_b = _months(fact0, 19900101, 19900131).unionByName(
+        _months(b_frame, 19900201, 19900231)
+    )
+    assert _rows(got_b) == _rows(exp_b)
+    # A's (final) set: the UNION of both windows
+    got_a = dl.read_published_set_deltalog(spark, base, version=sv_a)["fact"]
+    exp_a = _months(a_frame, 19900101, 19900131).unionByName(
+        _months(b_frame, 19900201, 19900231)
+    )
+    assert _rows(got_a) == _rows(exp_a)
+
+
+def test_publish_fence_surgical_unmerge_disjoint_oob(spark, tmp_path):
+    """VERDICT r10 item 4: orphan merge (months 3 + a CREATED month 4)
+    followed by an out-of-band scrub on month 1, then a retry publish
+    of month 2. The fence can't restore (mixed range) but the month
+    sets are disjoint, so the surgical path rebuilds month 3 from the
+    pin, REMOVES the orphan-created month 4, preserves the scrub, and
+    the main merge applies month 2."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    fpath = os.path.join(base, "fact")
+    fact0 = _incr_fact(spark, months=3, salt=0)
+    dl.publish_set_deltalog(
+        [("fact", fact0)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": None,
+                              "delete_unmatched_source": True}},
+    )
+    # crashed publish: +1000 on month 3 AND new rows in month 4
+    orphan_src = _months(fact0, 19900301, 19900331).withColumn(
+        "amount", F.col("amount") + 1000
+    ).unionByName(
+        spark.range(90_000, 90_050).select(
+            F.col("id").alias("txn_id"),
+            F.lit(19900415).alias("datekey"),
+            F.lit(1).alias("amount"),
+        )
+    )
+    dl.merge_cow_deltalog_with_retry(
+        spark, fpath, orphan_src, ["txn_id"],
+        delete_unmatched_source=True,
+        operation_parameters={"publishSet": "true"},
+    )
+    # out-of-band GDPR scrub on month 1 (unstamped DELETE)
+    r = dl.delete_delta(spark, fpath, "datekey < 19900200 AND txn_id % 5 = 0")
+    assert r["rows_deleted"] > 0
+    # retry publish over month 2
+    fact1 = fact0.withColumn(
+        "amount",
+        F.when(F.col("datekey").between(19900201, 19900231),
+               F.col("amount") + 7).otherwise(F.col("amount")),
+    )
+    sv = dl.publish_set_deltalog(
+        [("fact", fact1)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": (19900201, 19900231),
+                              "delete_unmatched_source": True}},
+    )
+    got = dl.read_published_set_deltalog(spark, base, version=sv)["fact"]
+    exp = (
+        _months(fact0, 19900101, 19900131)
+        .filter(~(F.col("txn_id") % 5 == 0))        # scrub SURVIVES
+        .unionByName(_months(fact1, 19900201, 19900231))  # window applied
+        .unionByName(_months(fact0, 19900301, 19900331))  # orphan ERASED
+        # month 4: must not exist at all
+    )
+    assert _rows(got) == _rows(exp)
+    assert got.filter(F.col("datekey") >= 19900401).count() == 0
+
+
+def test_publish_fence_same_month_oob_kept_residual(spark, tmp_path):
+    """The DOCUMENTED residual: an orphan and an out-of-band commit
+    touching the SAME month cannot be untangled (the out-of-band
+    predicate may have acted on the orphan's rows) — the publish keeps
+    the combined state, merging its own window on top."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    fpath = os.path.join(base, "fact")
+    fact0 = _incr_fact(spark, months=3, salt=0)
+    dl.publish_set_deltalog(
+        [("fact", fact0)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": None,
+                              "delete_unmatched_source": True}},
+    )
+    orphan_src = _months(fact0, 19900301, 19900331).withColumn(
+        "amount", F.col("amount") + 1000
+    )
+    dl.merge_cow_deltalog_with_retry(
+        spark, fpath, orphan_src, ["txn_id"],
+        delete_unmatched_source=True,
+        operation_parameters={"publishSet": "true"},
+    )
+    # out-of-band scrub on the SAME month 3
+    dl.delete_delta(spark, fpath, "datekey >= 19900301 AND txn_id % 5 = 0")
+    sv = dl.publish_set_deltalog(
+        [("fact", fact0)], base,
+        incremental={"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                              "window": (19900201, 19900231),
+                              "delete_unmatched_source": True}},
+    )
+    got = dl.read_published_set_deltalog(spark, base, version=sv)["fact"]
+    # month 3 = orphan-then-scrub state, kept (conservative)
+    m3 = got.filter(F.col("datekey") >= 19900301)
+    exp_m3 = _months(fact0, 19900301, 19900331).filter(
+        ~(F.col("txn_id") % 5 == 0)
+    ).withColumn("amount", F.col("amount") + 1000)
+    assert _rows(m3) == _rows(exp_m3)
+
+
+def test_merge_dim_deltalog_file_pruned(spark, tmp_path):
+    """merge_dim_deltalog: only files containing changed/deleted keys
+    are rewritten; inserts stage as new files; untouched files stay
+    referenced with identical path+size; CDC encodes the diff; a no-op
+    merge commits nothing."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "dim")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id")).alias("nm"),
+        (F.col("id") * 2).alias("v"),
+    ).repartitionByRange(4, "k")
+    dl.write_delta_table(base, d)
+    v0_files = set(dl._snapshot_state(d, 0)[0])
+    src = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("n"), F.col("id")).alias("nm"),
+        F.when(F.col("id").isin(5, 6, 7), F.col("id") * 3)
+        .otherwise(F.col("id") * 2).alias("v"),
+    ).unionByName(spark.createDataFrame(
+        [(200, "n200", 400), (201, "n201", 402)],
+        "k long, nm string, v long",
+    ))
+    res = dl.merge_dim_deltalog(spark, d, src, ["k"],
+                                delete_unmatched_source=True)
+    assert res["files_removed"] <= 2 and res["files_kept"] >= 2
+    got = dl.read_delta_table(spark, d)
+    assert _rows(got, "k", "nm", "v") == _rows(src, "k", "nm", "v")
+    v1_files = set(dl._snapshot_state(d, res["version"])[0])
+    assert len(v0_files & v1_files) == len(v0_files) - res["files_removed"]
+    # CDC: 3 updates + 2 inserts at key grain
+    ch = dl.delta_table_changes(spark, d, 0, res["version"], on=["k"])
+    kinds = sorted((r._change_type, r.k) for r in ch.collect())
+    assert kinds == [("insert", 200), ("insert", 201),
+                     ("update_postimage", 5), ("update_postimage", 6),
+                     ("update_postimage", 7)]
+    # no-op merge: nothing committed
+    assert dl.merge_dim_deltalog(
+        spark, d, src, ["k"], delete_unmatched_source=True
+    )["version"] is None
+    # delete leg: only files containing deleted keys rewritten
+    src2 = src.filter(F.col("k") < 90)
+    res2 = dl.merge_dim_deltalog(spark, d, src2, ["k"],
+                                 delete_unmatched_source=True)
+    assert dl.read_delta_table(spark, d).count() == 90
+    assert res2["files_removed"] >= 1
+    # schema strictness: a source column the table lacks raises
+    with pytest.raises(ValueError, match="not in table schema"):
+        dl.merge_dim_deltalog(
+            spark, d, src2.withColumn("extra", F.lit(1)), ["k"]
+        )
+    # partitioned tables are refused (that's merge_cow's job)
+    p = str(tmp_path / "pdim")
+    dl.write_delta_table(
+        spark.range(10).select(
+            F.col("id").alias("k"), (F.col("id") % 2).alias("b")
+        ),
+        p, partition_by=["b"],
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        dl.merge_dim_deltalog(spark, p, spark.range(1).select(
+            F.col("id").alias("k"), F.lit(0).alias("b")), ["k"])
+
+
+def test_publish_set_dim_grain(spark, tmp_path):
+    """publish_set_deltalog dim grain: bootstrap, then keyed churn —
+    unchanged dim files carry over byte-identically across set
+    versions; a change-free publish pins the same version without a
+    new commit; spec validation refuses month machinery on dims."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    dpath = os.path.join(base, "dim")
+    spec = {"dim": {"on": ["k"], "grain": "dim",
+                    "delete_unmatched_source": True}}
+    base_frame = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartitionByRange(8, "k")
+    sv0 = dl.publish_set_deltalog([("dim", base_frame)], base,
+                                  incremental=spec)
+    # churn: update keys 10..19 (one range file), insert 5
+    churned = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id").between(10, 19), F.col("id") * 4)
+        .otherwise(F.col("id") * 3).alias("v"),
+    ).unionByName(spark.range(2000, 2005).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ))
+    sv1 = dl.publish_set_deltalog([("dim", churned)], base,
+                                  incremental=spec)
+    sc = {}
+    for sv in (sv0, sv1):
+        sc[sv] = next(a["setCommit"] for a in dl._read_actions(
+            os.path.join(base, dl._SET_DIR), sv) if "setCommit" in a)
+    t0, t1 = sc[sv0]["tables"]["dim"], sc[sv1]["tables"]["dim"]
+    s0 = {(p, a.get("size")) for p, a in dl._snapshot_state(dpath, t0)[0].items()}
+    s1 = {(p, a.get("size")) for p, a in dl._snapshot_state(dpath, t1)[0].items()}
+    assert len(s0 & s1) >= 6  # most range files carried
+    assert s0 - s1            # the churned file was rewritten
+    got = dl.read_published_set_deltalog(spark, base, version=sv1)["dim"]
+    assert _rows(got, "k", "v") == _rows(churned, "k", "v")
+    # change-free publish: same pin, no new dim version
+    sv2 = dl.publish_set_deltalog([("dim", churned)], base,
+                                  incremental=spec)
+    sc2 = next(a["setCommit"] for a in dl._read_actions(
+        os.path.join(base, dl._SET_DIR), sv2) if "setCommit" in a)
+    assert sc2["tables"]["dim"] == t1
+    # month machinery refused on dims
+    with pytest.raises(ValueError, match="month-scoped"):
+        dl.publish_set_deltalog(
+            [("dim", churned)], str(tmp_path / "p2"),
+            incremental={"dim": {"on": ["k"], "grain": "dim",
+                                 "window": (1, 2)}},
+        )
+    with pytest.raises(ValueError, match="grain must be"):
+        dl.publish_set_deltalog(
+            [("dim", churned)], str(tmp_path / "p3"),
+            incremental={"dim": {"on": ["k"], "grain": "hourly"}},
+        )
+
+
+def test_publish_set_dim_grain_orphan_fenced(spark, tmp_path):
+    """A crashed dim publish's orphan merge is fenced by the next
+    publish exactly like the fact's: the stamped orphan is restored
+    away and the retry's full-frame sync supersedes it."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pub")
+    dpath = os.path.join(base, "dim")
+    spec = {"dim": {"on": ["k"], "grain": "dim",
+                    "delete_unmatched_source": True}}
+    f0 = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    dl.publish_set_deltalog([("dim", f0)], base, incremental=spec)
+    # crash-sim: stamped orphan merge poisons v
+    dl.merge_dim_deltalog_with_retry(
+        spark, dpath,
+        f0.withColumn("v", F.col("v") + 9999), ["k"],
+        delete_unmatched_source=True,
+        operation_parameters={"publishSet": "true"},
+    )
+    f1 = f0.withColumn("v", F.col("v") + 1)
+    sv = dl.publish_set_deltalog([("dim", f1)], base, incremental=spec)
+    got = dl.read_published_set_deltalog(spark, base, version=sv)["dim"]
+    assert _rows(got, "k", "v") == _rows(f1, "k", "v")
+    assert got.filter(F.col("v") > 5000).count() == 0
