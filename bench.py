@@ -144,6 +144,7 @@ def main() -> None:
         )
     total = round(sum(timings.values()), 3)
     total_noop = round(sum(timings_noop.values()), 3)
+    lakehouse, lakehouse_spread = _bench_lakehouse(spark)
     print(
         json.dumps(
             {
@@ -154,10 +155,172 @@ def main() -> None:
                 "queries_spread": spread_noop,
                 "count_total": total,
                 "queries_count": timings,
+                # Round 11 (VERDICT r10 item 6): a SECOND fixed set over
+                # the lakehouse write/maintenance paths the original 20
+                # never touch — publish increment, month merge, dim
+                # merge, CDC range read, DV delete, index probe. Keyed
+                # separately so the r1-r10 headline series stays
+                # comparable; "lakehouse_total" is the new set's
+                # per-op-minimum sum.
+                "lakehouse": lakehouse,
+                "lakehouse_spread": lakehouse_spread,
+                "lakehouse_total": round(sum(lakehouse.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
+
+
+def _bench_lakehouse(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """The lakehouse bench set: fixtures planted ONCE (plant cost not
+    billed), each op timed best-of-3. Mutating ops are either
+    idempotent-by-work (a month merge rewrites its month every run) or
+    parameterized per run (each DV delete scrubs a fresh key slice) so
+    all three runs do comparable work."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.llm import annindex as ai
+    from etl_loading_scripts_spark.operators import deltalog as dl
+    from etl_loading_scripts_spark.operators.cow import _with_month
+
+    root = tempfile.mkdtemp(prefix="bench_lakehouse_")
+    try:
+        orders = load_table(spark, SF_DIR, "orders")
+        fact = orders.select(
+            F.col("o_orderkey").alias("txn_id"),
+            F.date_format("o_orderdate", "yyyyMMdd").cast("int").alias("datekey"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("amount"),
+        )
+        months = sorted(
+            r[0] for r in fact.select(
+                (F.col("datekey") / 100).cast("int").alias("m")
+            ).distinct().collect()
+        )
+        m2 = months[1]
+        win = (m2 * 100 + 1, m2 * 100 + 31)
+
+        # --- fixtures (plant once, unbilled) --------------------------
+        cow_path = os.path.join(root, "fact_cow")
+        dl.write_delta_table(
+            _with_month(fact, "datekey"), cow_path, partition_by=["month"]
+        )
+        wh = os.path.join(root, "wh")
+        inc_spec = {"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                             "window": None, "delete_unmatched_source": True}}
+        dl.publish_set_deltalog([("fact", fact)], wh, incremental=inc_spec)
+        dim_path = os.path.join(root, "dim")
+        dim = load_table(spark, SF_DIR, "customer").select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("nm"),
+            F.col("c_acctbal").cast("decimal(18,4)").alias("bal"),
+        ).repartitionByRange(16, "k")
+        dl.write_delta_table(dim, dim_path)
+        cdc_path = os.path.join(root, "fact_cdc")
+        dl.write_delta_table(_with_month(fact, "datekey"), cdc_path,
+                             partition_by=["month"])
+        for i in range(1, 4):  # a 3-commit CDC range to net
+            dl.merge_cow_deltalog_with_retry(
+                spark, cdc_path,
+                fact.filter(F.col("datekey").between(*win)).withColumn(
+                    "amount", (F.col("amount") + i).cast("decimal(18,4)")
+                ),
+                ["txn_id"],
+            )
+        dv_path = os.path.join(root, "fact_dv")
+        dl.write_delta_table(
+            fact.repartition(8), dv_path
+        )
+        idx_path = os.path.join(root, "annidx")
+        from etl_loading_scripts_spark.llm.similarity import (
+            N_QUERIES,
+            _quantized,
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        ai.ann_index_build(spark, emb, idx_path)
+        probe_q = _quantized(emb).select("vec_id", "qv", "norm2").filter(
+            F.col("vec_id") < N_QUERIES
+        )
+
+        # --- the measured ops -----------------------------------------
+        month_src = fact.filter(F.col("datekey").between(*win))
+
+        def op_merge_cow(i):
+            dl.merge_cow_deltalog_with_retry(
+                spark, cow_path,
+                month_src.withColumn(
+                    "amount", (F.col("amount") + i).cast("decimal(18,4)")
+                ),
+                ["txn_id"], delete_unmatched_source=True,
+            )
+
+        def op_publish_incremental(i):
+            dl.publish_set_deltalog(
+                [("fact", fact.withColumn(
+                    "amount",
+                    F.when(F.col("datekey").between(*win),
+                           F.col("amount") + i)
+                    .otherwise(F.col("amount")).cast("decimal(18,4)"),
+                ))],
+                wh,
+                incremental={"fact": {**inc_spec["fact"], "window": win}},
+            )
+
+        def op_merge_dim(i):
+            dl.merge_dim_deltalog_with_retry(
+                spark, dim_path,
+                dim.withColumn(
+                    "bal",
+                    F.when(F.col("k") % 100 == i, F.col("bal") + 1)
+                    .otherwise(F.col("bal")).cast("decimal(18,4)"),
+                ),
+                ["k"], delete_unmatched_source=True,
+            )
+
+        def op_cdc_read(i):
+            dl.delta_table_changes(
+                spark, cdc_path, 0, 3, on=["month", "txn_id"]
+            ).write.format("noop").mode("overwrite").save()
+
+        def op_dv_delete(i):
+            dl.delete_delta(
+                spark, dv_path, f"txn_id % 1000 = {i}",
+                deletion_vectors=True,
+            )
+
+        def op_index_probe(i):
+            ai.ann_index_probe(spark, probe_q, idx_path, nprobe=2).write.format(
+                "noop"
+            ).mode("overwrite").save()
+
+        ops = [
+            ("publish_incremental", op_publish_incremental),
+            ("merge_cow_month", op_merge_cow),
+            ("merge_dim_churn", op_merge_dim),
+            ("cdc_range_read", op_cdc_read),
+            ("dv_delete", op_dv_delete),
+            ("ann_index_probe", op_index_probe),
+        ]
+        mins: dict[str, float] = {}
+        spreads: dict[str, list[float]] = {}
+        for name, fn in ops:
+            runs = []
+            for i in range(3):
+                t0 = time.time()
+                fn(i)
+                runs.append(time.time() - t0)
+            runs.sort()
+            mins[name] = round(runs[0], 3)
+            spreads[name] = [round(t, 3) for t in runs]
+            print(f"# lakehouse {name}: {mins[name]}s (spread {spreads[name]})",
+                  file=sys.stderr)
+        return mins, spreads
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -1817,9 +1817,10 @@ def merge_upsert_deltalog(
         {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
         for p in sorted(active)
     ]
+    schema = StructType.fromJson(json.loads(meta["schemaString"]))
+    merged = _align_to_schema(merged, schema, "merge_upsert_deltalog")
     adds = _stage_data_files(merged, table, pcols)
     actions.extend(adds)
-    schema = StructType.fromJson(json.loads(meta["schemaString"]))
     post = _read_add_files(spark, table, schema, pcols, adds)
     # CHECK constraints verified on the rows as WRITTEN (one agg over
     # the staged files — no recompute of the merge plan); a violation
@@ -1859,6 +1860,69 @@ def _read_add_files(
     return reader.parquet(
         *[os.path.join(table, a["add"]["path"]) for a in adds]
     )
+
+
+def _align_to_schema(df: DataFrame, schema: StructType, context: str) -> DataFrame:
+    """Align a merge result to the TABLE schema before staging, or
+    refuse: a merged frame whose expression types silently promoted
+    (decimal(18,4) + int → decimal(19,4), int → long, …) would stage
+    parquet whose physical types diverge from the metaData
+    schemaString — committing a snapshot every reader then FAILS on
+    (round 11, found by the lakehouse bench). Lossless narrowing back
+    to the table type is applied; anything that could overflow or
+    truncate raises with the offending columns."""
+    from pyspark.sql.types import DecimalType
+
+    ttypes = {f.name: f.dataType for f in schema.fields}
+    exprs = []
+    bad = []
+    for f in df.schema.fields:
+        want = ttypes.get(f.name)
+        if want is None or f.dataType == want:
+            exprs.append(F.col(f.name))
+            continue
+        if _safe_upcast(f.dataType, want):
+            exprs.append(F.col(f.name).cast(want).alias(f.name))
+        elif (
+            isinstance(f.dataType, DecimalType)
+            and isinstance(want, DecimalType)
+            and f.dataType.scale == want.scale
+            and f.dataType.precision == want.precision + 1
+        ):
+            # the classic arithmetic promotion (p+1): values still fit
+            # unless the arithmetic actually overflowed — cast back and
+            # VERIFY below that no value nulled out (ansi-off cast
+            # nulls on overflow, which would silently corrupt)
+            exprs.append(F.col(f.name).cast(want).alias(f.name))
+            bad.append((f.name, f.dataType.simpleString(), want.simpleString(), "check"))
+        else:
+            bad.append((f.name, f.dataType.simpleString(), want.simpleString(), "refuse"))
+    refuse = [b for b in bad if b[3] == "refuse"]
+    if refuse:
+        detail = ", ".join(f"{n}: {have} vs table {want}" for n, have, want, _ in refuse)
+        raise ValueError(
+            f"{context}: merged frame's column types diverge from the "
+            f"table schema and cannot be losslessly aligned — {detail}. "
+            "Cast the source columns to the table types before merging."
+        )
+    out = df.select(*exprs)
+    checks = [(n, have, want) for n, have, want, k in bad if k == "check"]
+    if checks:
+        # one aggregate: any value the narrowing cast nulled = overflow
+        conds = [
+            F.sum(
+                (df[n].isNotNull() & df[n].cast(ttypes[n]).isNull()).cast("int")
+            ).alias(n)
+            for n, _, _ in checks
+        ]
+        row = df.agg(*conds).first()
+        over = {n: int(row[n] or 0) for n, _, _ in checks if row[n]}
+        if over:
+            raise ValueError(
+                f"{context}: arithmetic overflow casting back to the table "
+                f"types — rows exceeding the column range: {over}"
+            )
+    return out
 
 
 def _occ_retry(fn, max_retries: int):
@@ -2021,6 +2085,7 @@ def merge_cow_deltalog(
     # spread each month over many tasks: (month, key) shuffle, so a whale
     # month writes from ~shuffle.partitions tasks, not one straggler
     merged = merged.repartition(F.col(MONTH_COL), *[F.col(k) for k in on])
+    merged = _align_to_schema(merged, schema, "merge_cow_deltalog")
     now = int(time.time() * 1000)
     actions = [
         {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
@@ -2265,6 +2330,38 @@ def merge_dim_deltalog(
     missing_keys = [k for k in on if k not in source.columns]
     if missing_keys:
         raise ValueError(f"merge keys missing from source: {missing_keys}")
+    # type alignment checked UP FRONT (the value-compare join would
+    # otherwise hit the clash mid-plan with an opaque cast error):
+    # same rule as _align_to_schema — exact, lossless widening, or the
+    # p+1 decimal arithmetic promotion; anything lossy refuses here
+    from pyspark.sql.types import DecimalType
+
+    ttypes = {f.name: f.dataType for f in schema.fields}
+    clashes = []
+    for f in source.schema.fields:
+        want = ttypes[f.name]
+        ok = (
+            f.dataType == want
+            or _safe_upcast(f.dataType, want)
+            or (
+                isinstance(f.dataType, DecimalType)
+                and isinstance(want, DecimalType)
+                and f.dataType.scale == want.scale
+                and f.dataType.precision == want.precision + 1
+            )
+        )
+        if not ok:
+            clashes.append(
+                f"{f.name}: {f.dataType.simpleString()} vs table "
+                f"{want.simpleString()}"
+            )
+    if clashes:
+        raise ValueError(
+            "merge_dim_deltalog: source column types diverge from the "
+            "table schema and cannot be losslessly aligned — "
+            + ", ".join(clashes)
+            + ". Cast the source columns to the table types before merging."
+        )
     val_cols = [c for c in source.columns if c not in on]
     files = sorted(active)
     dv_refs = _dv_refs_of(active, files)
@@ -2343,9 +2440,9 @@ def merge_dim_deltalog(
         # file sizing: rewritten files map ~1:1 to their replacements;
         # inserts add one file (a monthly dim delta is small — OPTIMIZE
         # is the compaction path if inserts accumulate)
-        merged = rewritten.unionByName(inserts).repartition(
-            max(1, len(changed_files))
-        )
+        merged = _align_to_schema(
+            rewritten.unionByName(inserts), schema, "merge_dim_deltalog"
+        ).repartition(max(1, len(changed_files)))
         now = int(time.time() * 1000)
         actions = [
             {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}

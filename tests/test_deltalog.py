@@ -3715,3 +3715,49 @@ def test_delta_stream_steady_state_plans_from_range_replay(spark, tmp_path, monk
     )
     rows2 = _plan_rows(reader, 1, 2)
     assert sorted(rows2) == [(0, 0), (1, 10), (2, 99)]  # ignoreChanges
+
+
+def test_merge_type_promotion_never_commits_unreadable_snapshot(spark, tmp_path):
+    """Round 11 (found by the lakehouse bench): a merge source whose
+    arithmetic silently promoted a column (decimal(18,4)+1 →
+    decimal(19,4)) used to stage parquet whose physical type diverged
+    from the table schema — committing a snapshot every reader then
+    fails on. The merge paths now align losslessly (the p+1 decimal
+    promotion casts back with an overflow check) and refuse anything
+    lossy."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "promo")
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.lit("1.5000").cast("decimal(18,4)").alias("amt"),
+    )
+    dl.write_delta_table(base, d)
+    # the promoted source (decimal(19,4)) aligns back and stays readable
+    src = base.withColumn("amt", F.col("amt") + 1)  # promotes to (19,4)
+    assert dict(src.dtypes)["amt"] == "decimal(19,4)"
+    dl.merge_upsert_deltalog(spark, d, src, ["k"])
+    got = dl.read_delta_table(spark, d)
+    assert dict(got.dtypes)["amt"] == "decimal(18,4)"
+    assert got.agg(F.sum("amt")).first()[0] == 250  # 100 × 2.5
+    # a genuinely overflowing value raises instead of nulling: under
+    # ANSI (Spark 4 default) the narrowing cast itself throws; with
+    # ansi off the alignment's explicit overflow check raises — either
+    # way, never a silent NULL committed
+    over = spark.createDataFrame(
+        [(1,)], "k long"
+    ).select("k", F.lit("999999999999999.9999").cast("decimal(19,4)").alias("amt"))
+    with pytest.raises(Exception, match="overflow|NUMERIC_VALUE_OUT_OF_RANGE"):
+        dl.merge_upsert_deltalog(spark, d, over, ["k"])
+    # a lossy type (string) refuses up front
+    with pytest.raises(ValueError, match="cannot be losslessly aligned"):
+        dl.merge_upsert_deltalog(
+            spark, d,
+            spark.createDataFrame([(1, "x")], "k long, amt string"), ["k"],
+        )
+    # same guard on the dim merge
+    with pytest.raises(ValueError, match="cannot be losslessly aligned"):
+        dl.merge_dim_deltalog(
+            spark, d,
+            spark.createDataFrame([(1, "x")], "k long, amt string"), ["k"],
+        )

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Dim-publish wall vs CHANGES (round 11, VERDICT r10 item 1 done-bar).
+
+The staged publish's dims moved from full overwrite per set version to
+the entity-keyed file-pruned merge (merge_dim_deltalog). This tool
+measures what that buys at growing dim size — the axis the reference's
+patron dim (its largest table) actually grows on — for a fixed change
+batch, across the three change shapes that matter:
+
+- inserts_only: N new entities (the reference's insert-if-absent
+  cadence) — the merge must write ~one new file and rewrite NOTHING;
+- localized_updates: N updates clustered in the key space (a
+  re-mapped cohort) — rewrites only the covering files;
+- scattered_updates: N updates uniform over the key space — the
+  HONEST boundary: with ~N >> file count every file contains a change
+  and the merge degenerates to a full rewrite plus the diff join
+  (documented, not hidden).
+
+Per leg: wall seconds, files rewritten/kept, bytes written. The full
+overwrite is the baseline every leg used to pay. Prints ONE JSON line;
+the table lives in SCALING.md r11.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_loading_scripts_spark.operators import deltalog as dl  # noqa: E402
+from etl_loading_scripts_spark.session import get_spark  # noqa: E402
+
+N_CHANGES = 2_000
+N_FILES = 64
+
+
+def _dim(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("patron_"), F.col("id")).alias("nm"),
+        F.sha2(F.col("id").cast("string"), 256).alias("blob"),
+        (F.col("id") % 1000).cast("decimal(18,4)").alias("bal"),
+    )
+
+
+def _bytes_written(table, version):
+    acts = dl._read_actions(table, version)
+    return sum(a["add"].get("size", 0) for a in acts if "add" in a)
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench_dim_publish")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for n in (1_000_000, 4_000_000):
+        base = _dim(spark, n)
+        legs = {}
+        # baseline: the pre-r11 full overwrite
+        d = tempfile.mkdtemp(prefix="dimpub_ow_")
+        try:
+            dl.write_delta_table(base.repartitionByRange(N_FILES, "k"), d)
+            t0 = time.time()
+            v = dl.write_delta_table(
+                base.repartitionByRange(N_FILES, "k"), d, mode="overwrite"
+            )
+            legs["overwrite"] = {
+                "wall": round(time.time() - t0, 3),
+                "files_rewritten": N_FILES,
+                "bytes_written": _bytes_written(d, v),
+            }
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        for leg, src in (
+            (
+                "inserts_only",
+                base.unionByName(
+                    _dim(spark, N_CHANGES).withColumn(
+                        "k", F.col("k") + 2 * n
+                    )
+                ),
+            ),
+            (
+                "localized_updates",
+                base.withColumn(
+                    "bal",
+                    F.when(F.col("k") < N_CHANGES, F.col("bal") + 1)
+                    .otherwise(F.col("bal")).cast("decimal(18,4)"),
+                ),
+            ),
+            (
+                "scattered_updates",
+                base.withColumn(
+                    "bal",
+                    F.when(F.col("k") % (n // N_CHANGES) == 0,
+                           F.col("bal") + 1)
+                    .otherwise(F.col("bal")).cast("decimal(18,4)"),
+                ),
+            ),
+        ):
+            d = tempfile.mkdtemp(prefix=f"dimpub_{leg}_")
+            try:
+                dl.write_delta_table(
+                    base.repartitionByRange(N_FILES, "k"), d
+                )
+                t0 = time.time()
+                res = dl.merge_dim_deltalog(
+                    spark, d, src, ["k"], delete_unmatched_source=True
+                )
+                legs[leg] = {
+                    "wall": round(time.time() - t0, 3),
+                    "files_rewritten": res["files_removed"],
+                    "files_kept": res["files_kept"],
+                    "bytes_written": (
+                        _bytes_written(d, res["version"])
+                        if res["version"] is not None
+                        else 0
+                    ),
+                }
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+        out[f"dim_{n}"] = legs
+        print(f"# {n}: {json.dumps(legs)}", file=sys.stderr, flush=True)
+    print(json.dumps({"n_changes": N_CHANGES, "n_files": N_FILES, **out}))
+
+
+if __name__ == "__main__":
+    main()
