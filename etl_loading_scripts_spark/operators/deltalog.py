@@ -2270,6 +2270,8 @@ def merge_dim_deltalog(
     on: Sequence[str],
     delete_unmatched_source: bool = False,
     write_change_data: bool = True,
+    deletion_vectors: bool = False,
+    dv_inline_max_bytes: int = 0,
     operation_parameters: Mapping[str, object] | None = None,
     _pre_commit_hook=None,
 ) -> dict:
@@ -2301,12 +2303,21 @@ def merge_dim_deltalog(
     before commit; the per-file change roster collected to the driver
     is O(changed files), the same order as the commit's remove list.
 
+    ``deletion_vectors=True`` (round 11) closes the SCATTERED-update
+    boundary the rewrite mode has (updates uniform over the key space
+    put a change in every file → full rewrite): changed/deleted rows
+    are HIDDEN behind deletion vectors on their files — which stay
+    byte-identical, re-added with descriptors — and the post-images +
+    inserts append as new files. Write volume is O(changed rows)
+    regardless of change locality; OPTIMIZE materializes the DVs away
+    on the maintenance cadence, exactly like the DML paths.
+
     Contract (same as :func:`operators.mutations.merge_upsert`):
     source keys must be unique — dedup first. Source columns must be a
     subset of the table schema (no evolution on this path; evolve via
     :func:`merge_upsert_deltalog`). Returns ``{"version": int | None,
-    "files_removed": n, "files_kept": n, "files_changed": [...]}``;
-    version None = nothing differed, no commit."""
+    "files_removed": n, "files_kept": n, "files_changed": [...],
+    "files_dv": n}``; version None = nothing differed, no commit."""
     on = list(on)
     avail = _all_versions(table)
     if not avail:
@@ -2365,7 +2376,12 @@ def merge_dim_deltalog(
     val_cols = [c for c in source.columns if c not in on]
     files = sorted(active)
     dv_refs = _dv_refs_of(active, files)
-    if files:
+    if files and deletion_vectors:
+        # the DV writer needs each row's physical position too
+        tgt = _dv_filescan_with_positions(
+            spark, table, schema, [], files, dv_refs
+        ).withColumnRenamed("__fn", "__file")
+    elif files:
         # target scan with per-row FILE PROVENANCE (the pruning axis),
         # attached before the DV anti-join so _metadata resolves on
         # the scan relation
@@ -2380,6 +2396,8 @@ def merge_dim_deltalog(
         tgt = spark.createDataFrame([], schema).withColumn(
             "__file", F.lit(None).cast("string")
         )
+        if deletion_vectors:
+            tgt = tgt.withColumn("__ri", F.lit(None).cast("long"))
     pref = "__s_"
     src = source.select(
         *[F.col(c).alias(pref + c) for c in on],
@@ -2403,19 +2421,22 @@ def merge_dim_deltalog(
         needs_rewrite = tgt_present & src_present & changed
         if delete_unmatched_source:
             needs_rewrite = needs_rewrite | (tgt_present & ~src_present)
-        # ONE job: the changed-file roster + whether any insert exists
+        # ONE job: the changed-file roster + insert/hidden-row counts
         agg = j.agg(
             F.collect_set(F.when(needs_rewrite, F.col("__file"))).alias("cf"),
             F.max(F.when(src_present & ~tgt_present, F.lit(1))).alias("ins"),
+            F.sum(needs_rewrite.cast("long")).alias("nh"),
         ).first()
         changed_files = sorted(agg["cf"] or [])
         has_inserts = bool(agg["ins"])
+        n_hidden = int(agg["nh"] or 0)
         if not changed_files and not has_inserts:
             return {
                 "version": None,
                 "files_removed": 0,
                 "files_kept": len(files),
                 "files_changed": [],
+                "files_dv": 0,
             }
         in_changed = (
             F.col("__file").isin(changed_files)
@@ -2435,32 +2456,90 @@ def merge_dim_deltalog(
             else:  # target-only column: inserts carry NULL
                 expr = F.col(c)
             out_cols.append(expr.alias(c))
-        rewritten = j.filter(keep_row).select(*out_cols)
-        inserts = j.filter(src_present & ~tgt_present).select(*out_cols)
-        # file sizing: rewritten files map ~1:1 to their replacements;
-        # inserts add one file (a monthly dim delta is small — OPTIMIZE
-        # is the compaction path if inserts accumulate)
-        merged = _align_to_schema(
-            rewritten.unionByName(inserts), schema, "merge_dim_deltalog"
-        ).repartition(max(1, len(changed_files)))
         now = int(time.time() * 1000)
-        actions = [
-            {"remove": {"path": p, "deletionTimestamp": now, "dataChange": True}}
-            for p in changed_files
-        ]
+        if deletion_vectors and changed_files:
+            # DV path: changed/deleted rows are HIDDEN on their files
+            # (byte-identical, re-added with descriptors); post-images
+            # and inserts append — O(changed rows) written no matter
+            # how scattered the changes are
+            dv_refs_affected = _dv_refs_of(active, changed_files)
+            hidden = j.filter(needs_rewrite).select(
+                F.col("__file").alias("file_name"),
+                F.col("__ri").alias("row_index"),
+            )
+            old_pos = _dv_positions_df(spark, table, dv_refs_affected)
+            if old_pos is not None:
+                hidden = hidden.unionByName(old_pos)
+            descs, dv_bytes = _stage_dv_bin(
+                spark, table, hidden,
+                approx_rows=n_hidden + _dv_total_cardinality(dv_refs_affected),
+                inline_max_bytes=dv_inline_max_bytes,
+            )
+            actions = [
+                {"remove": {"path": p, "deletionTimestamp": now,
+                            "dataChange": True}}
+                for p in changed_files
+            ]
+            for p in changed_files:
+                a = dict(active[p])
+                a["dataChange"] = True
+                d = descs.get(os.path.basename(p))
+                if d is not None:
+                    a["deletionVector"] = d
+                else:
+                    a.pop("deletionVector", None)
+                actions.append({"add": a})
+            cur = _replay_protocol(table, pinned)
+            if cur["minReaderVersion"] < 3:
+                actions.insert(
+                    0,
+                    {"protocol": {
+                        "minReaderVersion": 3,
+                        "minWriterVersion": max(3, cur["minWriterVersion"]),
+                    }},
+                )
+            appended = j.filter(
+                (tgt_present & src_present & changed)
+                | (src_present & ~tgt_present)
+            ).select(*out_cols)
+            merged = _align_to_schema(
+                appended, schema, "merge_dim_deltalog"
+            ).repartition(max(1, len(changed_files)))
+            files_removed, files_dv = 0, len(changed_files)
+            kept = len(files)
+        else:
+            rewritten = j.filter(keep_row).select(*out_cols)
+            inserts = j.filter(src_present & ~tgt_present).select(*out_cols)
+            # file sizing: rewritten files map ~1:1 to their
+            # replacements; inserts add one file (a monthly dim delta
+            # is small — OPTIMIZE is the compaction path if inserts
+            # accumulate)
+            merged = _align_to_schema(
+                rewritten.unionByName(inserts), schema, "merge_dim_deltalog"
+            ).repartition(max(1, len(changed_files)))
+            actions = [
+                {"remove": {"path": p, "deletionTimestamp": now,
+                            "dataChange": True}}
+                for p in changed_files
+            ]
+            files_removed, files_dv = len(changed_files), 0
+            kept = len(files) - len(changed_files)
         adds = _stage_data_files(merged, table, [])
         actions.extend(adds)
         post = _read_add_files(spark, table, schema, [], adds)
         _enforce_constraints(post, meta)
         if write_change_data:
-            # pre = the changed files' OLD rows only — the diff is
-            # O(changed files + inserts), never O(dimension)
-            pre = j.filter(tgt_present & in_changed).select(
-                *[F.col(c) for c in tcols]
-            )
+            # pre = the affected rows' OLD images only (rewrite mode:
+            # the changed files' rows; DV mode: exactly the hidden
+            # rows) — the diff is O(changes), never O(dimension)
+            pre_rows = (
+                j.filter(needs_rewrite)
+                if deletion_vectors
+                else j.filter(tgt_present & in_changed)
+            ).select(*[F.col(c) for c in tcols])
             actions.extend(
                 _stage_change_files(
-                    _keyed_diff(pre, post, on, include_update_preimage=True),
+                    _keyed_diff(pre_rows, post, on, include_update_preimage=True),
                     table, on, preimages=True,
                 )
             )
@@ -2469,6 +2548,7 @@ def merge_dim_deltalog(
             _commit_info(
                 "MERGE",
                 {"predicate": ",".join(on), "grain": "dim",
+                 "mode": "deletion_vectors" if deletion_vectors else "rewrite",
                  **dict(operation_parameters or {})},
             ),
         )
@@ -2477,9 +2557,10 @@ def merge_dim_deltalog(
         _commit(table, pinned + 1, actions)
         return {
             "version": pinned + 1,
-            "files_removed": len(changed_files),
-            "files_kept": len(files) - len(changed_files),
+            "files_removed": files_removed,
+            "files_kept": kept,
             "files_changed": changed_files,
+            "files_dv": files_dv,
         }
     finally:
         j.unpersist()

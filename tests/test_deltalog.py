@@ -3761,3 +3761,66 @@ def test_merge_type_promotion_never_commits_unreadable_snapshot(spark, tmp_path)
             spark, d,
             spark.createDataFrame([(1, "x")], "k long, amt string"), ["k"],
         )
+
+
+def test_merge_dim_deltalog_deletion_vectors_scattered(spark, tmp_path):
+    """Round 11: the DV mode closes the rewrite mode's scattered-update
+    boundary — updates uniform over the key space (a change in EVERY
+    file) hide behind deletion vectors while every data file stays
+    byte-identical; post-images + inserts append. Content, CDC,
+    carry-over through a second DV merge, and OPTIMIZE purge all hold."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "dvdim")
+    base = spark.range(0, 4000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(8, "k")
+    dl.write_delta_table(base, d)
+    v0 = {(p, a.get("size")) for p, a in dl._snapshot_state(d, 0)[0].items()}
+    # scattered churn: every 100th key updated, every 500th deleted,
+    # 5 inserts — a change lands in EVERY range file
+    src = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 100 == 0, F.col("id") * 3)
+        .otherwise(F.col("id") * 2).alias("v"),
+    ).filter(F.col("id") % 500 != 0).unionByName(
+        spark.range(9000, 9005).select(F.col("id").alias("k"),
+                                       F.col("id").alias("v"))
+    )
+    res = dl.merge_dim_deltalog(
+        spark, d, src, ["k"],
+        delete_unmatched_source=True, deletion_vectors=True,
+    )
+    assert res["files_removed"] == 0 and res["files_dv"] == 8
+    got = dl.read_delta_table(spark, d)
+    assert _rows(got, "k", "v") == _rows(src, "k", "v")
+    # every ORIGINAL data file still referenced with identical bytes
+    v1 = {
+        (p, a.get("size"))
+        for p, a in dl._snapshot_state(d, res["version"])[0].items()
+    }
+    assert v0 <= v1
+    # CDC at the key grain: updates carry pre/post, deletes pre-imaged
+    ch = dl.delta_table_changes(spark, d, 0, res["version"], on=["k"])
+    kinds = {r._change_type for r in ch.collect()}
+    assert kinds == {"insert", "update_postimage", "delete"}
+    assert ch.filter("_change_type = 'delete'").count() == 8  # 0,500..3500
+    # a SECOND DV merge on the same table carries prior positions
+    src2 = src.withColumn(
+        "v", F.when(F.col("k") % 333 == 0, F.col("v") + 1).otherwise(F.col("v"))
+    )
+    res2 = dl.merge_dim_deltalog(
+        spark, d, src2, ["k"],
+        delete_unmatched_source=True, deletion_vectors=True,
+    )
+    assert res2["files_dv"] >= 1
+    got2 = dl.read_delta_table(spark, d)
+    assert _rows(got2, "k", "v") == _rows(src2, "k", "v")
+    # OPTIMIZE materializes the DVs away; content unchanged
+    res3 = dl.optimize_delta(spark, d, small_file_bytes=1 << 30)
+    assert res3["version"] is not None
+    act, _, _ = dl._snapshot_state(d, None)
+    assert not any(a.get("deletionVector") for a in act.values())
+    assert _rows(dl.read_delta_table(spark, d), "k", "v") == _rows(
+        src2, "k", "v"
+    )

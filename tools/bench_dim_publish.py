@@ -12,9 +12,13 @@ batch, across the three change shapes that matter:
 - localized_updates: N updates clustered in the key space (a
   re-mapped cohort) — rewrites only the covering files;
 - scattered_updates: N updates uniform over the key space — the
-  HONEST boundary: with ~N >> file count every file contains a change
-  and the merge degenerates to a full rewrite plus the diff join
-  (documented, not hidden).
+  HONEST boundary of the rewrite mode: with ~N >> file count every
+  file contains a change and the merge degenerates to a full rewrite
+  plus the diff join (documented, not hidden);
+- scattered_updates_dv: the same scattered batch with
+  deletion_vectors=True — changed rows hide behind DVs (files stay
+  byte-identical) and post-images append, so write volume returns to
+  O(changes) regardless of locality.
 
 Per leg: wall seconds, files rewritten/kept, bytes written. The full
 overwrite is the baseline every leg used to pay. Prints ONE JSON line;
@@ -51,8 +55,20 @@ def _dim(spark, n):
 
 
 def _bytes_written(table, version):
-    acts = dl._read_actions(table, version)
-    return sum(a["add"].get("size", 0) for a in acts if "add" in a)
+    """Bytes the commit actually WROTE: new data files plus DV bitmap
+    bytes — a DV re-add references the ORIGINAL file (not rewritten),
+    so its size must not count."""
+    prior = set(dl._snapshot_state(table, version - 1)[0]) if version else set()
+    total = 0
+    for a in dl._read_actions(table, version):
+        if "add" not in a:
+            continue
+        if a["add"]["path"] not in prior:
+            total += a["add"].get("size", 0)
+        dv = a["add"].get("deletionVector")
+        if dv:
+            total += dv.get("sizeInBytes", 0)
+    return total
 
 
 def main() -> None:
@@ -77,6 +93,11 @@ def main() -> None:
             }
         finally:
             shutil.rmtree(d, ignore_errors=True)
+        scattered_src = base.withColumn(
+            "bal",
+            F.when(F.col("k") % (n // N_CHANGES) == 0, F.col("bal") + 1)
+            .otherwise(F.col("bal")).cast("decimal(18,4)"),
+        )
         for leg, src in (
             (
                 "inserts_only",
@@ -94,15 +115,8 @@ def main() -> None:
                     .otherwise(F.col("bal")).cast("decimal(18,4)"),
                 ),
             ),
-            (
-                "scattered_updates",
-                base.withColumn(
-                    "bal",
-                    F.when(F.col("k") % (n // N_CHANGES) == 0,
-                           F.col("bal") + 1)
-                    .otherwise(F.col("bal")).cast("decimal(18,4)"),
-                ),
-            ),
+            ("scattered_updates", scattered_src),
+            ("scattered_updates_dv", scattered_src),
         ):
             d = tempfile.mkdtemp(prefix=f"dimpub_{leg}_")
             try:
@@ -111,11 +125,13 @@ def main() -> None:
                 )
                 t0 = time.time()
                 res = dl.merge_dim_deltalog(
-                    spark, d, src, ["k"], delete_unmatched_source=True
+                    spark, d, src, ["k"], delete_unmatched_source=True,
+                    deletion_vectors=leg.endswith("_dv"),
                 )
                 legs[leg] = {
                     "wall": round(time.time() - t0, 3),
                     "files_rewritten": res["files_removed"],
+                    "files_dv": res.get("files_dv", 0),
                     "files_kept": res["files_kept"],
                     "bytes_written": (
                         _bytes_written(d, res["version"])
