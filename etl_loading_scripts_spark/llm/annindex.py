@@ -54,10 +54,53 @@ from etl_loading_scripts_spark.registry import register
 
 CELLS = "cells"
 CENTROIDS = "centroids"
+MANIFEST = "manifest"
+
+
+def _manifest_pin(
+    index_path: str, spark: SparkSession
+) -> tuple[int | None, int | None]:
+    """The (centroids_version, cells_version) pair the index MANIFEST
+    pins — the round-11 atomic-swap layer: a rebuild overwrites both
+    tables, and without a single commit point a reader could route
+    queries through NEW centroids into OLD cells (absent partitions →
+    silently empty probes). The manifest is itself a one-row Delta
+    table, so pinning the pair is ONE atomic commit; readers of a
+    pre-manifest index (r10 fixtures) fall back to latest-of-each,
+    which is correct for build+append histories (appends never change
+    centroid ids)."""
+    mpath = os.path.join(index_path, MANIFEST)
+    if not os.path.isdir(os.path.join(mpath, "_delta_log")):
+        return None, None
+    row = read_delta_table(spark, mpath).first()
+    return int(row["centroids_version"]), int(row["cells_version"])
+
+
+def _commit_manifest(
+    spark: SparkSession, index_path: str, cents_v: int, cells_v: int
+) -> None:
+    write_delta_table(
+        spark.createDataFrame(
+            [(cents_v, cells_v)],
+            "centroids_version long, cells_version long",
+        ),
+        os.path.join(index_path, MANIFEST),
+        mode="overwrite",
+    )
 
 
 def _cents(index_path: str, spark: SparkSession) -> DataFrame:
-    return read_delta_table(spark, os.path.join(index_path, CENTROIDS))
+    cv, _ = _manifest_pin(index_path, spark)
+    return read_delta_table(
+        spark, os.path.join(index_path, CENTROIDS), version=cv
+    )
+
+
+def _cells_df(index_path: str, spark: SparkSession, **kwargs) -> DataFrame:
+    _, xv = _manifest_pin(index_path, spark)
+    return read_delta_table(
+        spark, os.path.join(index_path, CELLS), version=xv, **kwargs
+    )
 
 
 def ann_index_build(
@@ -67,21 +110,22 @@ def ann_index_build(
     (vec_id, label, embedding): quantize, pick the deterministic
     coarse centroids (vec_id % CENTROID_STEP == 0 — same rule as
     ``ann_ivf_topk``, which keeps the index oracle-checkable), assign,
-    and commit centroids + cell-partitioned vectors as Delta tables.
-    Returns {vectors, cells}."""
+    and commit centroids + cell-partitioned vectors as Delta tables,
+    pinned together by the manifest commit. Returns {vectors, cells}."""
     n = _quantized(emb).select("vec_id", "qv", "norm2")
     centroids = n.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("qv").alias("cv"),
         F.col("norm2").alias("cn"),
     )
-    write_delta_table(centroids, os.path.join(index_path, CENTROIDS))
+    cents_v = write_delta_table(centroids, os.path.join(index_path, CENTROIDS))
     assigned = _assign_to(n, centroids)
-    write_delta_table(
+    cells_v = write_delta_table(
         assigned, os.path.join(index_path, CELLS),
         partition_by=["centroid_id"],
     )
-    cells = read_delta_table(spark, os.path.join(index_path, CELLS))
+    _commit_manifest(spark, index_path, cents_v, cells_v)
+    cells = _cells_df(index_path, spark)
     return {
         "vectors": cells.count(),
         "cells": cells.select("centroid_id").distinct().count(),
@@ -93,15 +137,55 @@ def ann_index_append(
 ) -> dict:
     """Incremental maintenance: route NEW embeddings into the stored
     cells (broadcast the index's own centroids — never re-derived from
-    the arrivals) and APPEND. One commit; only the arrivals' cell
-    partitions gain files, every other cell's files stay byte-identical
-    (Delta append never rewrites). Cost follows arrivals."""
+    the arrivals) and APPEND. One cells commit, then the manifest pin —
+    only the arrivals' cell partitions gain files, every other cell's
+    files stay byte-identical (Delta append never rewrites); a crash
+    between the two commits leaves the manifest pinning the pre-append
+    state (the append invisible, retry-safe), never a torn pair. Cost
+    follows arrivals."""
     n = _quantized(emb).select("vec_id", "qv", "norm2")
     assigned = _assign_to(n, _cents(index_path, spark))
-    write_delta_table(
+    cells_v = write_delta_table(
         assigned, os.path.join(index_path, CELLS), mode="append"
     )
+    cv, _ = _manifest_pin(index_path, spark)
+    if cv is None:
+        from etl_loading_scripts_spark.operators.deltalog import _all_versions
+
+        cv = _all_versions(os.path.join(index_path, CENTROIDS))[-1]
+    _commit_manifest(spark, index_path, cv, cells_v)
     return {"appended": n.count()}
+
+
+def ann_index_rebuild(spark: SparkSession, index_path: str) -> dict:
+    """RE-TRAIN the index in place — the action
+    :data:`REBUILD_IMBALANCE_FACTOR` recommends once drift concentrates
+    cells: derive fresh centroids from the CURRENT pinned corpus (same
+    deterministic vec_id % CENTROID_STEP rule over ALL ids, so drifted
+    arrivals now seed their own cells), re-assign every vector, and
+    OVERWRITE both tables — the swap becomes visible ATOMICALLY at the
+    manifest commit (until then every probe resolves the OLD pinned
+    pair through time travel; a crash mid-rebuild leaves the old index
+    fully live). Returns the post-rebuild balance report row as a dict.
+
+    Scale: one broadcast-assign shuffle over the corpus + a partitioned
+    write — the same cost as the original build, paid on the audit's
+    recommendation cadence instead of never."""
+    n = _cells_df(index_path, spark).select("vec_id", "qv", "norm2")
+    centroids = n.filter(F.col("vec_id") % CENTROID_STEP == 0).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("qv").alias("cv"),
+        F.col("norm2").alias("cn"),
+    )
+    cents_v = write_delta_table(
+        centroids, os.path.join(index_path, CENTROIDS), mode="overwrite"
+    )
+    assigned = _assign_to(n, centroids)
+    cells_v = write_delta_table(
+        assigned, os.path.join(index_path, CELLS), mode="overwrite"
+    )
+    _commit_manifest(spark, index_path, cents_v, cells_v)
+    return index_balance_report(spark, index_path).first().asDict()
 
 
 def _assign_top_p(
@@ -150,10 +234,8 @@ def ann_index_probe(
     cell_ids = sorted(
         r.centroid_id for r in q.select("centroid_id").distinct().collect()
     )
-    cells = read_delta_table(
-        spark,
-        os.path.join(index_path, CELLS),
-        partition_filter={"centroid_id": cell_ids},
+    cells = _cells_df(
+        index_path, spark, partition_filter={"centroid_id": cell_ids}
     )
     scored = (
         cells.select(
@@ -266,7 +348,7 @@ def ann_index_build_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _index_fixture(spark, sf_dir)
     # queries come from the INDEX too — the whole probe path touches
     # only index tables (the audit below pins it)
-    cells_all = read_delta_table(spark, os.path.join(root, CELLS))
+    cells_all = _cells_df(root, spark)
     queries = cells_all.filter(F.col("vec_id") < N_QUERIES).select(
         "vec_id", "qv", "norm2"
     )
@@ -343,7 +425,7 @@ def ann_index_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored cells."""
     root = _index_fixture(spark, sf_dir)
     queries = (
-        read_delta_table(spark, os.path.join(root, CELLS))
+        _cells_df(root, spark)
         .filter(F.col("vec_id") < N_QUERIES)
         .select("vec_id", "qv", "norm2")
     )
@@ -381,7 +463,8 @@ def index_cell_sizes(spark: SparkSession, index_path: str) -> DataFrame:
     )
 
     cells_path = os.path.join(index_path, CELLS)
-    active, _, _ = _snapshot_state(cells_path, None)
+    _, xv = _manifest_pin(index_path, spark)
+    active, _, _ = _snapshot_state(cells_path, xv)
     sizes: dict[str, int] = {}
     missing: set[str] = set()
     for a in active.values():
@@ -466,7 +549,7 @@ def _drift_fixture(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(root)
     emb = load_table(spark, sf_dir, "embeddings")
     ann_index_build(spark, emb, root)
-    cells = read_delta_table(spark, os.path.join(root, CELLS))
+    cells = _cells_df(root, spark)
     c0 = cells.agg(F.min("centroid_id")).first()[0]
     members = load_table(spark, sf_dir, "embeddings").join(
         cells.filter(F.col("centroid_id") == c0).select("vec_id"),

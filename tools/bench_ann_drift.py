@@ -98,19 +98,19 @@ def main() -> None:
                 cells.filter(F.col("centroid_id") == c0).select("vec_id"),
                 "vec_id", "left_semi",
             )
+            def _jitter(level):
+                # per-level jitter DIRECTION so the arrivals are NEW
+                # vectors near the hot cell (drift, not duplication) —
+                # and geometrically separable by a re-trained rule
+                return lambda x, j: x + ((j * level) % 7 - 3) * 0.003
+
             for i in range(1, m + 1):
-                # jittered replica: scale-preserving per-element noise
-                # so the arrivals are NEW vectors that still route to
-                # (mostly) the hot cell — drift, not duplication
                 ai.ann_index_append(
                     spark,
                     members.select(
                         (F.col("vec_id") + F.lit(10_000_000 * i)).alias("vec_id"),
                         F.col("label"),
-                        F.transform(
-                            "embedding",
-                            lambda x, j: x + (j % 5 - 2) * 0.002 * i,
-                        ).alias("embedding"),
+                        F.transform("embedding", _jitter(i)).alias("embedding"),
                     ),
                     root,
                 )
@@ -141,7 +141,7 @@ def main() -> None:
                 queries, _cents(root, spark), 1
             ).select("vec_id", "centroid_id").collect()
             cand = [sizes[r.centroid_id] for r in probed]
-            rows.append({
+            entry = {
                 "drift_copies": m,
                 "imbalance_factor": round(report["imbalance_factor"], 3),
                 "probe_cost_factor": round(report["probe_cost_factor"], 3),
@@ -150,7 +150,17 @@ def main() -> None:
                 "mean_candidates": round(sum(cand) / len(cand), 1),
                 "max_candidates": max(cand),
                 "hot_cell": int(report["max_cell"]),
-            })
+            }
+            if report["rebuild_recommended"]:
+                # act on the recommendation: atomic in-place re-train
+                post = ai.ann_index_rebuild(spark, root)
+                entry["post_rebuild"] = {
+                    "imbalance_factor": round(post["imbalance_factor"], 3),
+                    "probe_cost_factor": round(post["probe_cost_factor"], 3),
+                    "rebuild_recommended": int(post["rebuild_recommended"]),
+                    "n_cells": int(post["n_cells"]),
+                }
+            rows.append(entry)
         finally:
             shutil.rmtree(root, ignore_errors=True)
     print(json.dumps({"sf_dir": SF_DIR, "levels": rows}))
