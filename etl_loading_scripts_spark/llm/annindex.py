@@ -28,9 +28,7 @@ that the probe never re-reads the raw corpus parquet).
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

@@ -15,9 +15,7 @@ BETWEEN`` incremental window ``S4:91-107``, DELETE…WHERE ``P-RES:65-66``.
 
 from __future__ import annotations
 
-import hashlib
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

@@ -3824,3 +3824,43 @@ def test_merge_dim_deltalog_deletion_vectors_scattered(spark, tmp_path):
     assert _rows(dl.read_delta_table(spark, d), "k", "v") == _rows(
         src2, "k", "v"
     )
+
+
+def test_insert_if_absent_deltalog_fast_path(spark, tmp_path):
+    """Round 11: the dim insert-only fast path — left-anti guarded
+    append that never rewrites a file, idempotent on re-run, null-safe
+    on the key, and key-column-pruned instead of the full value diff."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "dimfast")
+    base = spark.range(100).select(
+        F.col("id").alias("k"), F.concat(F.lit("n"), F.col("id")).alias("nm")
+    ).repartitionByRange(4, "k")
+    dl.write_delta_table(base, d)
+    v0 = {(p, a.get("size")) for p, a in dl._snapshot_state(d, 0)[0].items()}
+    src = spark.createDataFrame(
+        [(5, "dupe-ignored"), (200, "new-a"), (201, "new-b"),
+         (None, "null-key")],
+        "k long, nm string",
+    )
+    res = dl.insert_if_absent_deltalog(spark, d, src, ["k"])
+    assert res["rows_inserted"] == 3  # k=5 exists; NULL inserts once
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == 103
+    assert got.filter("k = 5").first()["nm"] == "n5"  # never updated
+    # append-only: every original file still referenced byte-identically
+    v1 = {
+        (p, a.get("size"))
+        for p, a in dl._snapshot_state(d, res["version"])[0].items()
+    }
+    assert v0 <= v1
+    # idempotent: the same source re-run is a no-op, no commit
+    res2 = dl.insert_if_absent_deltalog(spark, d, src, ["k"])
+    assert res2 == {"version": None, "rows_inserted": 0}
+    assert dl.read_delta_table(spark, d).count() == 103
+    # source columns may be a subset: missing target cols → NULL
+    res3 = dl.insert_if_absent_deltalog(
+        spark, d, spark.createDataFrame([(300,)], "k long"), ["k"]
+    )
+    assert res3["rows_inserted"] == 1
+    assert dl.read_delta_table(spark, d).filter("k = 300").first()["nm"] is None
