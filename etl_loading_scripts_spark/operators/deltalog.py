@@ -2732,7 +2732,11 @@ def _publish_orphan_range(table: str, lo: int, hi: int) -> bool:
         info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
         op = info.get("operation")
         params = info.get("operationParameters") or {}
-        if op in ("MERGE", "RESTORE") and "publishSet" in params:
+        # WRITE joined the stamped set in r11: the publish stamps its
+        # bootstrap overwrites too, so a racing publisher's orphaned
+        # bootstrap is provably debris (two publishers bootstrapping a
+        # fresh warehouse concurrently — the mp race test's shape)
+        if op in ("MERGE", "RESTORE", "WRITE") and "publishSet" in params:
             continue
         if any("metaData" in a or "protocol" in a for a in acts):
             # ADD/DROP CONSTRAINT, schema evolution, protocol bumps:
@@ -2781,7 +2785,7 @@ def _orphan_unmerge_months(table: str, lo: int, hi: int) -> set[str] | None:
             return None  # schema/constraint change: hands off
         info = next((a["commitInfo"] for a in acts if "commitInfo" in a), {})
         params = info.get("operationParameters") or {}
-        stamped = info.get("operation") in ("MERGE", "RESTORE") and (
+        stamped = info.get("operation") in ("MERGE", "RESTORE", "WRITE") and (
             "publishSet" in params
         )
         months: set[str] = set()

@@ -122,6 +122,64 @@ def cow_disjoint_race(table: str, writer: int) -> None:
         json.dump(res, fh)
 
 
+
+
+def publish_incremental_race(base: str, writer: int) -> None:
+    """Two publishers each own ONE month window of a shared
+    month-partitioned fact and publish it 3 times with per-iteration
+    salts. The ADVICE-r10 lost-update scenario: one publisher's fence
+    could restore away the other's just-committed merge before its set
+    commit — the set-commit revalidation must converge every publish
+    to the union, so the FINAL set carries BOTH writers' last salts."""
+    import json
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.operators.deltalog import (
+        publish_set_deltalog,
+    )
+
+    spark = _spark(writer)
+    my_month = 199001 + writer
+    lo, hi = my_month * 100 + 1, my_month * 100 + 31
+
+    def frame(salt: int):
+        # full 2-month frame (the bootstrap contract); MY month salted
+        return spark.range(200).select(
+            F.col("id").alias("txn_id"),
+            (F.lit(19900101) + (F.col("id") % 2) * 100
+             + F.col("id") % 28).alias("datekey"),
+            F.when(
+                ((F.col("id") % 2) == writer),
+                F.lit(10_000 * (writer + 1) + salt),
+            ).otherwise(F.lit(0)).alias("amount"),
+        )
+
+    os.makedirs(base, exist_ok=True)
+    open(os.path.join(base, f".ready-{writer}"), "w").close()
+    other = os.path.join(base, f".ready-{1 - writer}")
+    for _ in range(1200):
+        if os.path.exists(other):
+            break
+        time.sleep(0.05)
+    svs = []
+    for i in range(3):
+        svs.append(
+            publish_set_deltalog(
+                [("fact", frame(i))], base,
+                max_retries=30,
+                incremental={"fact": {"on": ["txn_id"],
+                                      "datekey_col": "datekey",
+                                      "window": (lo, hi),
+                                      "delete_unmatched_source": True}},
+            )
+        )
+    with open(os.path.join(base, f".result-{writer}.json"), "w") as fh:
+        json.dump(svs, fh)
+
+
 if __name__ == "__main__":
     mode, path, writer = sys.argv[1], sys.argv[2], int(sys.argv[3])
     globals()[mode](path, writer)

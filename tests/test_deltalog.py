@@ -3864,3 +3864,47 @@ def test_insert_if_absent_deltalog_fast_path(spark, tmp_path):
     )
     assert res3["rows_inserted"] == 1
     assert dl.read_delta_table(spark, d).filter("k = 300").first()["nm"] is None
+
+
+def test_multiprocess_incremental_publishers_converge(spark, tmp_path):
+    """TRUE two-OS-process version of the ADVICE-r10 lost-update race:
+    each process owns one month window of a shared month-partitioned
+    fact and publishes it 3 times (salted) against one warehouse. The
+    set-commit revalidation must make the FINAL set carry BOTH writers'
+    LAST salts — a fence that silently reverted the other publisher's
+    merge (or a set that dropped a window) fails the end-state check —
+    and every committed set version must be readable and internally
+    consistent (per-month amounts uniform)."""
+    import json as _json
+
+    from etl_loading_scripts_spark.operators.deltalog import (
+        published_set_versions,
+        read_published_set_deltalog,
+    )
+
+    base = str(tmp_path / "mp_incr")
+    _run_workers("publish_incremental_race", base)
+    for w in (0, 1):
+        with open(os.path.join(base, f".result-{w}.json")) as fh:
+            assert len(_json.load(fh)) == 3  # all publishes committed
+    vs = published_set_versions(base)
+    assert vs == list(range(len(vs))) and len(vs) == 6
+    # final set: BOTH writers' last salts (10000+2 and 20000+2)
+    final = read_published_set_deltalog(spark, base)["fact"]
+    per_month = {
+        int(r.m): set(r.amts)
+        for r in final.groupBy(
+            (F.col("datekey") / 100).cast("int").alias("m")
+        ).agg(F.collect_set("amount").alias("amts")).collect()
+    }
+    assert per_month[199001] == {10_002}, per_month
+    assert per_month[199002] == {20_002}, per_month
+    # every historical set readable + internally consistent: a month
+    # carries ONE value (an owner's salt or the bootstrap-zero), never
+    # a torn mix inside the month
+    for v in vs:
+        fact = read_published_set_deltalog(spark, base, version=v)["fact"]
+        rows = fact.groupBy(
+            (F.col("datekey") / 100).cast("int").alias("m")
+        ).agg(F.countDistinct("amount").alias("nv")).collect()
+        assert all(r.nv == 1 for r in rows), (v, rows)
