@@ -3278,6 +3278,83 @@ def read_published_set_deltalog(
     }
 
 
+def vacuum_published_set(
+    base_dir: str,
+    keep_sets: int = 2,
+    staging_retention_sec: float = 3600,
+    spark: SparkSession | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Warehouse-level RETENTION for a delta-published set (round 11):
+    keep the newest ``keep_sets`` SET versions fully time-travelable —
+    every table at every version any kept set pins — and GC the rest:
+
+    - per table, the keep floor is the MINIMUM version any kept set
+      pins (everything at or above it survives, so cross-run time
+      travel over the kept window is intact, including versions
+      between pins that serve CDC ranges); :func:`vacuum_delta` then
+      removes files exclusive to older versions;
+    - a table pinned by NO kept set (dropped from the publish
+      composition) keeps its latest 2 versions — conservative, never
+      destructive to state the retention window didn't explicitly age
+      out;
+    - set JSONs below the kept window are RETIRED last (after every
+      table GC succeeded), so a crash mid-vacuum never leaves a set
+      version readable in the coordinator but missing table files.
+
+    ``dry_run=True`` reports what would go without touching anything.
+    Returns {"sets_retired": [...], "tables": {name: n_files_removed}}.
+
+    Scale: the pin scan is O(kept sets) driver metadata; each table's
+    GC routes through vacuum_delta's Spark path above the metadata
+    threshold. This is the monthly close's storage-cost lever — a
+    year-old warehouse keeps last quarter's sets hot and returns the
+    rest to the object store."""
+    coord = os.path.join(base_dir, _SET_DIR)
+    svs = _versions(coord)
+    if not svs:
+        raise FileNotFoundError(f"no published set under {base_dir}")
+    if keep_sets < 1:
+        raise ValueError("keep_sets must be >= 1 (the latest set must live)")
+    kept = svs[-keep_sets:]
+    retire = [v for v in svs if v not in kept]
+    floors: dict[str, int] = {}
+    for sv in kept:
+        sc = next(
+            (a["setCommit"] for a in _read_actions(coord, sv) if "setCommit" in a),
+            None,
+        )
+        if sc is None:
+            raise ValueError(
+                f"set log {coord} version {sv} has no setCommit action "
+                "(torn or foreign write) — repair before vacuuming"
+            )
+        for name, tv in sc["tables"].items():
+            floors[name] = min(floors.get(name, tv), tv)
+    tables_report: dict[str, int] = {}
+    for entry in sorted(os.listdir(base_dir)):
+        tpath = os.path.join(base_dir, entry)
+        if entry == _SET_DIR or not os.path.isdir(
+            os.path.join(tpath, _LOG_DIR)
+        ):
+            continue
+        latest = _all_versions(tpath)[-1]
+        if entry in floors:
+            keep_n = latest - floors[entry] + 1
+        else:
+            keep_n = 2  # unpublished/dropped table: conservative default
+        removed = vacuum_delta(
+            tpath, keep_versions=keep_n,
+            staging_retention_sec=staging_retention_sec,
+            spark=spark, dry_run=dry_run,
+        )
+        tables_report[entry] = len(removed)
+    if not dry_run:
+        for v in retire:
+            os.remove(os.path.join(_log_path(coord), f"{v:020d}.json"))
+    return {"sets_retired": retire, "tables": tables_report}
+
+
 def _keyed_diff(
     old: DataFrame,
     new: DataFrame,

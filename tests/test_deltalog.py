@@ -3908,3 +3908,78 @@ def test_multiprocess_incremental_publishers_converge(spark, tmp_path):
             (F.col("datekey") / 100).cast("int").alias("m")
         ).agg(F.countDistinct("amount").alias("nv")).collect()
         assert all(r.nv == 1 for r in rows), (v, rows)
+
+
+def test_vacuum_published_set_retention(spark, tmp_path):
+    """Round 11: warehouse-level retention — keep the newest K SET
+    versions fully time-travelable (every kept set reads back exactly,
+    incl. incremental-fact pins BETWEEN per-table versions), GC files
+    exclusive to aged-out sets, retire their coordinator JSONs last;
+    dry_run touches nothing."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "ret")
+    inc = {"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                    "window": None, "delete_unmatched_source": True}}
+    frames = []
+    for i in range(4):
+        f = _incr_fact(spark, months=2, salt=0).withColumn(
+            "amount", F.col("amount") + i * 100
+        )
+        frames.append(f)
+        dl.publish_set_deltalog(
+            [("fact", f),
+             ("dim", spark.range(5 + i).select(F.col("id").alias("k")))],
+            base,
+            incremental={"fact": {**inc["fact"],
+                                  "window": None if i == 0 else
+                                  (19900101, 19900131)}},
+        )
+    # window-scoped publishes past set 0: only month 1 moved, so set
+    # i>=1 = month1 of frame i + month2 of frame 0
+    fact_dir = os.path.join(base, "fact")
+    n_files_before = sum(
+        1 for _r, _d, fs in os.walk(fact_dir) for f in fs
+        if f.endswith(".parquet")
+    )
+    # dry run: full report, zero deletions
+    rep = dl.vacuum_published_set(base, keep_sets=2, dry_run=True,
+                                  staging_retention_sec=0.0)
+    assert rep["sets_retired"] == [0, 1]
+    n_files_after_dry = sum(
+        1 for _r, _d, fs in os.walk(fact_dir) for f in fs
+        if f.endswith(".parquet")
+    )
+    assert n_files_after_dry == n_files_before
+    assert dl.published_set_versions(base) == [0, 1, 2, 3]
+    # the real run
+    rep = dl.vacuum_published_set(base, keep_sets=2,
+                                  staging_retention_sec=0.0)
+    assert rep["sets_retired"] == [0, 1]
+    assert rep["tables"]["fact"] > 0  # old month-1 rewrites GC'd
+    assert dl.published_set_versions(base) == [2, 3]
+    # kept sets read back EXACTLY (fact = month1 of frame i + month2 of
+    # frame 0; dim = its per-set frame)
+    for sv, i in ((2, 2), (3, 3)):
+        got = dl.read_published_set_deltalog(spark, base, version=sv)
+        exp = _months(frames[i], 19900101, 19900131).unionByName(
+            _months(frames[0], 19900201, 19900231)
+        )
+        assert _rows(got["fact"]) == _rows(exp)
+        assert got["dim"].count() == 5 + i
+    # aged-out sets are gone from the coordinator
+    with pytest.raises(ValueError, match="not in log"):
+        dl.read_published_set_deltalog(spark, base, version=1)
+    # the NEXT publish still works against the vacuumed warehouse
+    sv = dl.publish_set_deltalog(
+        [("fact", frames[3]),
+         ("dim", spark.range(9).select(F.col("id").alias("k")))],
+        base,
+        incremental={"fact": {**inc["fact"],
+                              "window": (19900201, 19900231)}},
+    )
+    got = dl.read_published_set_deltalog(spark, base, version=sv)["fact"]
+    exp = _months(frames[3], 19900101, 19900131).unionByName(
+        _months(frames[3], 19900201, 19900231)
+    )
+    assert _rows(got) == _rows(exp)
