@@ -3983,3 +3983,56 @@ def test_vacuum_published_set_retention(spark, tmp_path):
         _months(frames[3], 19900201, 19900231)
     )
     assert _rows(got) == _rows(exp)
+
+
+def test_published_set_changes_cdc(spark, tmp_path):
+    """Round 11: warehouse-level CDC — per-table changes between two
+    SET versions through each table's pinned range. The incremental
+    fact serves its merged month at the keyed grain; a change-free dim
+    is omitted; a table first published in the newer set surfaces as
+    full inserts."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "setcdc")
+    fact0 = _incr_fact(spark, months=2, salt=0)
+    dim = spark.range(6).select(F.col("id").alias("k"))
+    dl.publish_set_deltalog(
+        [("fact", fact0), ("dim", dim)], base,
+        incremental={
+            "fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                     "window": None, "delete_unmatched_source": True},
+            "dim": {"on": ["k"], "grain": "dim",
+                    "delete_unmatched_source": True},
+        },
+    )
+    fact1 = fact0.withColumn(
+        "amount",
+        F.when(F.col("datekey") < 19900200, F.col("amount") + 1000)
+        .otherwise(F.col("amount")),
+    )
+    newt = spark.range(3).select(F.col("id").alias("n"))
+    dl.publish_set_deltalog(
+        [("fact", fact1), ("dim", dim), ("extra", newt)], base,
+        incremental={
+            "fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                     "window": (19900101, 19900131),
+                     "delete_unmatched_source": True},
+            "dim": {"on": ["k"], "grain": "dim",
+                    "delete_unmatched_source": True},
+        },
+    )
+    ch = dl.published_set_changes(
+        spark, base, 0, 1, on={"fact": ["month", "txn_id"]}
+    )
+    assert set(ch) == {"fact", "extra"}  # change-free dim omitted
+    fch = ch["fact"]
+    kinds = {r._change_type for r in fch.select("_change_type").distinct().collect()}
+    assert kinds == {"update_postimage"}  # month-1 amounts moved, keyed
+    n_m1 = fact0.filter(F.col("datekey") < 19900200).count()
+    assert fch.count() == n_m1
+    ech = ch["extra"]
+    assert ech.count() == 3
+    assert {r._change_type for r in ech.collect()} == {"insert"}
+    # bad range raises
+    with pytest.raises(ValueError, match="not in log"):
+        dl.published_set_changes(spark, base, 0, 9)
