@@ -3411,7 +3411,12 @@ def vacuum_published_set(
         tables_report[entry] = len(removed)
     if not dry_run:
         for v in retire:
-            os.remove(os.path.join(_log_path(coord), f"{v:020d}.json"))
+            # tolerant: a retry after a crash mid-retirement finds some
+            # already gone
+            try:
+                os.remove(os.path.join(_log_path(coord), f"{v:020d}.json"))
+            except FileNotFoundError:
+                pass
     return {"sets_retired": retire, "tables": tables_report}
 
 
@@ -3862,14 +3867,23 @@ def _make_delta_stream_source():
                 end = min(end, base + self._max_versions)
             if self._max_files is not None:
                 # walk commits forward, accumulating add counts; always
-                # admit at least one version so the stream progresses
+                # admit at least one version so the stream progresses.
+                # An expired JSON in the walk (deep catch-up over a
+                # checkpointed log) stops the bounding — the batch
+                # planner resolves that range via the checkpoint anyway
                 n = 0
                 v = base
                 while v < newest:
                     v += 1
-                    n += sum(
-                        1 for a in _read_actions(self._table, v) if "add" in a
-                    )
+                    try:
+                        n += sum(
+                            1
+                            for a in _read_actions(self._table, v)
+                            if "add" in a
+                        )
+                    except (FileNotFoundError, OSError):
+                        v = newest
+                        break
                     if n >= self._max_files:
                         break
                 end = min(end, v)
