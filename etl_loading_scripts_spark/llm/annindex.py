@@ -479,6 +479,12 @@ def index_cell_sizes(spark: SparkSession, index_path: str) -> DataFrame:
         else:
             sizes[cid] = sizes.get(cid, 0) + int(n)
     if missing:  # stats-less files: count just those partitions
+        # The pruned count covers EVERY file in the partition, so a
+        # partition mixing stats-bearing and stats-less files must
+        # drop its stats-derived tally first or it double-counts
+        # (ADVICE r11): the count REPLACES the partial sum.
+        for cid in missing:
+            sizes.pop(cid, None)
         counted = (
             read_delta_table(
                 spark, cells_path,
@@ -489,9 +495,7 @@ def index_cell_sizes(spark: SparkSession, index_path: str) -> DataFrame:
             .collect()
         )
         for r in counted:
-            sizes[str(r["centroid_id"])] = sizes.get(
-                str(r["centroid_id"]), 0
-            ) + int(r["count"])
+            sizes[str(r["centroid_id"])] = int(r["count"])
     return spark.createDataFrame(
         [(int(c), n) for c, n in sorted(sizes.items(), key=lambda kv: int(kv[0]))],
         "centroid_id long, cell_size long",

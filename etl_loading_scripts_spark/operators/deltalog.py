@@ -2600,32 +2600,38 @@ def insert_if_absent_deltalog(
     extra = [c for c in source.columns if c not in tcols]
     if extra:
         raise ValueError(f"source columns not in table schema: {extra}")
-    keys = read_delta_table(spark, table).select(*on).distinct()
-    new_rows = source.dropDuplicates(on)
-    cond = None
-    for k in on:  # null-safe: a NULL key inserts at most once
-        c = new_rows[k].eqNullSafe(keys[k])
-        cond = c if cond is None else (cond & c)
-    new_rows = new_rows.join(keys, on=cond, how="left_anti").select(
-        *[
-            F.col(f.name)
-            if f.name in source.columns
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in schema.fields
-        ]
-    )
-    new_rows = _align_to_schema(new_rows, schema, "insert_if_absent_deltalog")
-    n = new_rows.count()
-    if n == 0:
-        return {"version": None, "rows_inserted": 0}
-    v = _occ_retry(
-        lambda: write_delta_table(
-            new_rows, table, mode="append",
+
+    def _attempt() -> dict:
+        # The snapshot read lives INSIDE the retried closure (ADVICE
+        # r11): a commit-conflict retry must anti-join against the
+        # WINNER's state, or a racing insert of the same key would be
+        # re-committed from the stale diff and duplicate it — matching
+        # merge_dim_deltalog_with_retry's shape.
+        keys = read_delta_table(spark, table).select(*on).distinct()
+        new_rows = source.dropDuplicates(on)
+        cond = None
+        for k in on:  # null-safe: a NULL key inserts at most once
+            c = new_rows[k].eqNullSafe(keys[k])
+            cond = c if cond is None else (cond & c)
+        aligned = new_rows.join(keys, on=cond, how="left_anti").select(
+            *[
+                F.col(f.name)
+                if f.name in source.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        aligned = _align_to_schema(aligned, schema, "insert_if_absent_deltalog")
+        n = aligned.count()
+        if n == 0:
+            return {"version": None, "rows_inserted": 0}
+        v = write_delta_table(
+            aligned, table, mode="append",
             operation_parameters=operation_parameters,
-        ),
-        3,
-    )
-    return {"version": v, "rows_inserted": n}
+        )
+        return {"version": v, "rows_inserted": n}
+
+    return _occ_retry(_attempt, 3)
 
 
 def merge_dim_deltalog_with_retry(
@@ -2689,7 +2695,17 @@ def _rebootstrap_safe(base_dir: str, name: str, tpath: str) -> bool:
     beyond the bounded scan must NOT be re-bootstrapped (its history
     is real; overwriting could drop months the caller's frame lacks).
     Any unreadable commit or torn set version returns False: merge on
-    top, unfenced — the conservative pre-existing behavior."""
+    top, unfenced — the conservative pre-existing behavior.
+
+    Retention interacts here (ADVICE r11 medium): :func:`vacuum_
+    published_set` RETIRES old set JSONs, so "no readable set ever
+    pinned this table" stops being a proof once the coordinator log
+    has a gap — the retired versions may well have pinned it (the
+    normal publish-only history is ALL publishSet-stamped, so the
+    table-log scan alone cannot tell debris from a vacuumed veteran).
+    A coordinator log that does not start at version 0 therefore
+    returns False unconditionally: pin history is unverifiable, merge
+    on top."""
     for v in _all_versions(tpath):
         p = os.path.join(_log_path(tpath), f"{v:020d}.json")
         if not os.path.exists(p):
@@ -2699,7 +2715,10 @@ def _rebootstrap_safe(base_dir: str, name: str, tpath: str) -> bool:
         if "publishSet" not in (info.get("operationParameters") or {}):
             return False
     coord = os.path.join(base_dir, _SET_DIR)
-    for sv in _versions(coord):
+    svs = _versions(coord)
+    if svs and svs[0] != 0:
+        return False  # set versions retired: pin history unverifiable
+    for sv in svs:
         sc = next(
             (a.get("setCommit") for a in _read_actions(coord, sv) if "setCommit" in a),
             None,
@@ -3960,15 +3979,26 @@ def _make_delta_stream_source():
             Returns None when a range JSON has expired (fall back to
             snapshot-diff)."""
             net: dict[str, dict] = {}
+            # paths whose FIRST in-range event is a remove were active
+            # at lo — their rows are already served, so a later re-add
+            # in the same range (restore_delta's shape) must NOT serve
+            # them again (ADVICE r11; matches the snapshot-diff path,
+            # which excludes files present in both snapshots)
+            active_at_lo: set[str] = set()
             for v in range(lo + 1, hi + 1):
                 p = os.path.join(_log_path(self._table), f"{v:020d}.json")
                 if not os.path.exists(p):
                     return None  # expired: resolve via checkpoint
                 for a in _read_actions(self._table, v):
                     if "add" in a:
-                        net[a["add"]["path"]] = a["add"]
+                        path = a["add"]["path"]
+                        if path not in active_at_lo:
+                            net[path] = a["add"]
                     elif "remove" in a:
-                        net.pop(a["remove"]["path"], None)
+                        path = a["remove"]["path"]
+                        if path not in net:
+                            active_at_lo.add(path)
+                        net.pop(path, None)
             bad = [p for p, a in net.items() if a.get("partitionValues")]
             if bad:
                 raise ValueError(

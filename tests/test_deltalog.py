@@ -4036,3 +4036,135 @@ def test_published_set_changes_cdc(spark, tmp_path):
     # bad range raises
     with pytest.raises(ValueError, match="not in log"):
         dl.published_set_changes(spark, base, 0, 9)
+
+
+def test_rebootstrap_blocked_after_set_vacuum(spark, tmp_path):
+    """ADVICE r11 (medium): vacuum_published_set retires old set JSONs,
+    destroying the pin history _rebootstrap_safe's 'no set ever pinned
+    this table' proof consults. A table whose only pins were vacuumed
+    (publish-only log, all publishSet-stamped) must NOT be
+    re-bootstrapped on re-publish — a coordinator log that does not
+    start at version 0 makes pin history unverifiable, so the publish
+    merges on top and preserves the published rows."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "vacsafe")
+    dim0 = spark.range(20).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # set 0: pins dim
+    dl.publish_set_deltalog(
+        [("dim", dim0)], base,
+        incremental={"dim": {"on": ["k"], "grain": "dim"}},
+    )
+    # sets 1, 2: dim dropped from the composition
+    other = spark.range(3).select(F.col("id").alias("n"))
+    dl.publish_set_deltalog([("other", other)], base)
+    dl.publish_set_deltalog([("other", other)], base)
+    dpath = os.path.join(base, "dim")
+    # before retention: still not rebootstrap-safe (set 0 pins it)
+    assert not dl._rebootstrap_safe(base, "dim", dpath)
+    # retention retires set 0 — dim's only pin vanishes
+    dl.vacuum_published_set(base, keep_sets=2, staging_retention_sec=0.0)
+    assert dl.published_set_versions(base) == [1, 2]
+    # the proof must now REFUSE: pin history is unverifiable
+    assert not dl._rebootstrap_safe(base, "dim", dpath)
+    # end-to-end: re-publishing dim with a PARTIAL upsert source must
+    # merge on top (k 5..19 survive), never overwrite
+    patch = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    sv = dl.publish_set_deltalog(
+        [("dim", patch)], base,
+        incremental={"dim": {"on": ["k"], "grain": "dim"}},
+    )
+    got = dl.read_published_set_deltalog(spark, base, version=sv)["dim"]
+    assert got.count() == 20
+    assert sorted(map(tuple, got.collect())) == sorted(
+        [(k, k * 100) for k in range(5)]
+        + [(k, k * 2) for k in range(5, 20)]
+    )
+
+
+def test_insert_if_absent_retry_rediffs_against_winner(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r11 (low): insert_if_absent_deltalog's anti-join must run
+    INSIDE the OCC retry closure — a racing insert of the same key
+    between the stale diff and the commit must not produce a duplicate
+    key; the retry re-diffs against the winner's snapshot."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "iarace")
+    dl.write_delta_table(
+        spark.range(100).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("n"), F.col("id")).alias("nm"),
+        ).coalesce(1),
+        d,
+    )
+    real_commit = dl._commit
+    state = {"raced": False}
+
+    def racy(table, version, actions):
+        if not state["raced"] and table == d:
+            state["raced"] = True  # guard BEFORE the recursive write
+            dl.write_delta_table(
+                spark.createDataFrame([(200, "racer")], "k long, nm string"),
+                d, mode="append",
+            )
+        return real_commit(table, version, actions)
+
+    monkeypatch.setattr(dl, "_commit", racy)
+    src = spark.createDataFrame(
+        [(200, "loser"), (201, "new-b")], "k long, nm string"
+    )
+    res = dl.insert_if_absent_deltalog(spark, d, src, ["k"])
+    monkeypatch.setattr(dl, "_commit", real_commit)
+    assert state["raced"]
+    # the retry saw the winner's k=200 and inserted ONLY 201
+    assert res["rows_inserted"] == 1
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == 102
+    k200 = got.filter("k = 200").collect()
+    assert len(k200) == 1 and k200[0]["nm"] == "racer"
+    assert got.filter("k = 201").first()["nm"] == "new-b"
+
+
+def test_stream_range_replay_excludes_readded_files(spark, tmp_path):
+    """ADVICE r11 (low): the snapshot stream's range-replay planner
+    treated every in-range add as net-new — a file active at the range
+    start that is removed then RE-ADDED within the range (restore's
+    shape) was served twice. First in-range event = remove proves the
+    file was active at lo, so a later re-add must not re-serve it;
+    a file first ADDED within the range still serves exactly once."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "replaydup")
+    dl.write_delta_table(
+        spark.range(5).select(F.col("id").alias("k")).coalesce(1), d
+    )  # v0: file A
+    dl.write_delta_table(
+        spark.range(5, 9).select(F.col("id").alias("k")).coalesce(1),
+        d, mode="append",
+    )  # v1: file B
+    dl.restore_delta(spark, d, 0)  # v2: removes B
+    dl.restore_delta(spark, d, 1)  # v3: re-adds B
+    dl.register_delta_stream_source(spark)
+    reader = dl._make_delta_stream_source()({"path": d}).streamReader(
+        spark.readStream.format("deltalog_stream").load(d).schema
+    )
+
+    def rows(lo, hi):
+        return sorted(
+            r[0]
+            for p in reader.partitions({"version": lo}, {"version": hi})
+            for r in reader.read(p)
+        )
+
+    # (1,3]: B was active at lo=1 — the remove/re-add nets to NOTHING
+    assert rows(1, 3) == []
+    # (0,3]: B added at v1, removed v2, re-added v3 — served ONCE
+    assert rows(0, 3) == [5, 6, 7, 8]
+    # (-1,3] (snapshot path): full current state, each file once
+    assert rows(-1, 3) == list(range(9))

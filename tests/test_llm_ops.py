@@ -1858,3 +1858,61 @@ def test_ann_index_rebuild_rebalances_and_swaps_atomically(
     ids = {r.neighbor_id for r in post_probe.collect()}
     all_ids = {r.vec_id for r in ai._cells_df(root, spark).select("vec_id").collect()}
     assert ids <= all_ids
+
+
+def test_index_cell_sizes_mixed_stats_partition(spark, tmp_path, sf_dir):
+    """ADVICE r11 (low): a cell whose partition mixes stats-bearing and
+    stats-less files must not be double-counted — the pruned fallback
+    count covers the WHOLE partition, so it replaces (not adds to) the
+    stats-derived partial sum. Every cell's audited size must equal the
+    true row count."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.llm import annindex as ai
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = str(tmp_path / "mixidx")
+    ai.ann_index_build(spark, emb.filter(F.col("vec_id") % 7 != 3), root)
+    # append lands NEW files beside the build's in the arrivals' cells
+    ai.ann_index_append(spark, emb.filter(F.col("vec_id") % 7 == 3), root)
+    cells_path = os.path.join(root, ai.CELLS)
+    truth = {
+        str(r.centroid_id): int(r.cnt)
+        for r in dl.read_delta_table(spark, cells_path)
+        .groupBy("centroid_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    # strip stats from ONE append-commit add in a cell that also has a
+    # stats-bearing build file (a mixed partition)
+    build_cells = {
+        (a.get("partitionValues") or {}).get("centroid_id")
+        for a in dl._snapshot_state(cells_path, 0)[0].values()
+    }
+    stripped = None
+    for v in dl._versions(cells_path)[1:]:
+        acts = dl._read_actions(cells_path, v)
+        for a in acts:
+            cid = a.get("add", {}).get("partitionValues", {}).get(
+                "centroid_id"
+            )
+            if stripped is None and cid in build_cells and a["add"].get(
+                "stats"
+            ):
+                del a["add"]["stats"]
+                stripped = cid
+        if stripped is not None:
+            with open(
+                os.path.join(dl._log_path(cells_path), f"{v:020d}.json"), "w"
+            ) as fh:
+                fh.writelines(json.dumps(x) + "\n" for x in acts)
+            break
+    assert stripped is not None, "no mixed partition planted"
+    got = {
+        str(r.centroid_id): int(r.cell_size)
+        for r in ai.index_cell_sizes(spark, root).collect()
+    }
+    assert got == truth  # pre-fix: got[stripped] > truth[stripped]
