@@ -3866,18 +3866,50 @@ def _make_delta_stream_source():
             self._max_files = int(mf) if mf else None
             # the last offset this reader HANDED OUT — the base each
             # bounded advance steps from. Learned from initialOffset
-            # (fresh query) or partitions() (restart: the Python API's
-            # latestOffset carries no start, so the FIRST batch of a
-            # restarted run is unbounded; every later one is bounded).
+            # (fresh query), partitions() (restart), or the offset
+            # SIDECAR below (round 12): the Python API's latestOffset
+            # carries no start, so without a sidecar the FIRST batch of
+            # a restarted run is unbounded.
             self._planned: int | None = None
+            # round 12 (VERDICT r11 item 4): an optional
+            # checkpointLocation option names a directory where commit()
+            # persists the last COMMITTED offset; a restarted reader
+            # seeds its bound base from it, so the first post-restart
+            # batch is trigger-bounded like every other. Spark's own
+            # WAL replay of an in-flight batch is unaffected — it calls
+            # partitions(start, end) with ITS recorded range directly.
+            cp = options.get("checkpointlocation") or options.get(
+                "checkpointLocation"
+            )
+            self._sidecar = (
+                os.path.join(cp, "deltalog_stream_offset.json") if cp else None
+            )
+            if self._sidecar and os.path.exists(self._sidecar):
+                try:
+                    with open(self._sidecar) as fh:
+                        self._planned = int(json.load(fh)["version"])
+                except (ValueError, KeyError, OSError):
+                    self._planned = None  # torn sidecar: unbounded, as before
 
         def initialOffset(self) -> dict:
-            self._planned = -1
+            # the engine may call latestOffset BEFORE initialOffset on
+            # a fresh query (MicroBatchExecution computes the end first)
+            # — never regress a base latestOffset already advanced
+            if self._planned is None:
+                self._planned = -1
             return {"version": -1}
 
         def latestOffset(self) -> dict:
             newest = _all_versions(self._table)[-1]
             base = self._planned
+            if base is None and self._sidecar is not None:
+                # a configured sidecar whose file does not exist proves
+                # this is a FRESH query (commit() would have written
+                # it): bound from the beginning. Without a sidecar an
+                # unknown base stays unbounded — a restart's true start
+                # lives only in Spark's checkpoint, and guessing -1
+                # could plan ends below it.
+                base = -1
             if base is None or base >= newest:
                 self._planned = newest
                 return {"version": newest}
@@ -3910,7 +3942,17 @@ def _make_delta_stream_source():
             return {"version": end}
 
         def commit(self, end: dict) -> None:
-            pass  # the log is immutable; nothing to release
+            # the log is immutable — nothing to release; but a
+            # configured sidecar records the committed offset so a
+            # restart's first advance stays bounded (atomic tmp+rename,
+            # same durability discipline as the log's own commits)
+            if self._sidecar is None:
+                return
+            os.makedirs(os.path.dirname(self._sidecar), exist_ok=True)
+            tmp = f"{self._sidecar}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                json.dump({"version": int(end["version"])}, fh)
+            os.replace(tmp, self._sidecar)
 
         # -- driver side: plan one partition per file -----------------
 
@@ -3929,6 +3971,18 @@ def _make_delta_stream_source():
             # schedulable plan: one no-op partition
             return [InputPartition(s) for s in specs] or [InputPartition(None)]
 
+        @staticmethod
+        def _field_types(meta: dict) -> dict[str, str]:
+            schema = StructType.fromJson(json.loads(meta["schemaString"]))
+            return {f.name: f.dataType.simpleString() for f in schema.fields}
+
+        _DV_GATE = (
+            "deltalog_stream: snapshot has deletion vectors — "
+            "the streaming reader serves whole files; compact "
+            "with optimize_delta (materializes DVs) first or "
+            "use the cdc stream"
+        )
+
         def _snapshot_partitions(self, lo: int, hi: int) -> list[dict]:
             if hi <= lo:
                 return []
@@ -3939,32 +3993,56 @@ def _make_delta_stream_source():
             # first batch of a fresh query (lo = -1), or an expired
             # range JSON: snapshot resolution (checkpoint + replay —
             # O(commits-since-checkpoint), the protocol's resolution
-            # path; with a trigger bound the fresh-query batch covers
-            # few versions, so this stays small too)
-            active, meta, _ = _snapshot_state(self._table, hi)
-            if meta.get("partitionColumns"):
-                raise ValueError(
-                    "deltalog_stream reads unpartitioned tables (partition "
-                    "columns live in dir names, not the data files)"
-                )
-            if any(a.get("deletionVector") for a in active.values()):
-                # honest gate rather than silently resurrecting deleted
-                # rows: whole-file semantics (ignoreChanges) cannot
-                # subtract a DV update's newly hidden rows; compact
-                # with optimize_delta (materializes DVs) first or
-                # use the cdc stream
-                raise ValueError(
-                    "deltalog_stream: snapshot has deletion vectors — "
-                    "the streaming reader serves whole files; compact "
-                    "with optimize_delta (materializes DVs) first or "
-                    "use the cdc stream"
-                )
+            # path). Round 12: partitioned tables stream too — each
+            # file spec ships its add action's typed partitionValues,
+            # injected at read() exactly like the batch readers
+            # (partition columns live in dir names, not data files).
+            # Above the metadata threshold the reconstruction runs on
+            # SPARK when a live session is reachable (direct-reader
+            # use — tests and foreachBatch bridges); inside the stream
+            # planner's python worker no session exists and the driver
+            # walk is the honest fallback, bounded in practice by the
+            # trigger-bounded batches that follow.
+            pairs: dict[str, dict] | None = None
+            meta: dict | None = None
+            if _estimated_active_files(self._table) >= _SPARK_META_THRESHOLD:
+                from pyspark.sql import SparkSession
+
+                spark = SparkSession.getActiveSession()
+                if spark is not None:
+                    rows = (
+                        _active_adds_df(spark, self._table, hi)
+                        .select(
+                            "path", "partitionValues",
+                            F.col("deletionVector.storageType").alias("dv_st"),
+                            F.col("deletionVector.path").alias("dv_p"),
+                        )
+                        .collect()
+                    )
+                    if any(r.dv_st or r.dv_p for r in rows):
+                        raise ValueError(self._DV_GATE)
+                    pairs = {
+                        r.path: dict(r.partitionValues or {}) for r in rows
+                    }
+                    meta = _meta_at(self._table, hi)
+            if pairs is None:
+                active, meta, _ = _snapshot_state(self._table, hi)
+                if any(a.get("deletionVector") for a in active.values()):
+                    # honest gate rather than silently resurrecting
+                    # deleted rows: whole-file semantics (ignoreChanges)
+                    # cannot subtract a DV update's newly hidden rows
+                    raise ValueError(self._DV_GATE)
+                pairs = {
+                    p: dict(a.get("partitionValues") or {})
+                    for p, a in active.items()
+                }
+            types = self._field_types(meta)
             old_files = (
                 set(_snapshot_files(self._table, lo)[0]) if lo >= 0 else set()
             )
             return [
-                {"kind": "file", "path": f}
-                for f in sorted(active)
+                {"kind": "file", "path": f, "pv": pairs[f], "types": types}
+                for f in sorted(pairs)
                 if f not in old_files
             ]
 
@@ -3999,20 +4077,26 @@ def _make_delta_stream_source():
                         if path not in net:
                             active_at_lo.add(path)
                         net.pop(path, None)
-            bad = [p for p, a in net.items() if a.get("partitionValues")]
-            if bad:
-                raise ValueError(
-                    "deltalog_stream reads unpartitioned tables (partition "
-                    "columns live in dir names, not the data files)"
-                )
             if any(a.get("deletionVector") for a in net.values()):
-                raise ValueError(
-                    "deltalog_stream: snapshot has deletion vectors — "
-                    "the streaming reader serves whole files; compact "
-                    "with optimize_delta (materializes DVs) first or "
-                    "use the cdc stream"
-                )
-            return [{"kind": "file", "path": f} for f in sorted(net)]
+                raise ValueError(self._DV_GATE)
+            # partitioned tables: ship typed partitionValues per spec
+            # (meta read only when some add actually carries them —
+            # O(commits-since-schema-change), off the common
+            # unpartitioned fast path)
+            types = (
+                self._field_types(_meta_at(self._table, hi))
+                if any(a.get("partitionValues") for a in net.values())
+                else {}
+            )
+            return [
+                {
+                    "kind": "file",
+                    "path": f,
+                    "pv": dict(net[f].get("partitionValues") or {}),
+                    "types": types,
+                }
+                for f in sorted(net)
+            ]
 
         def _cdc_partitions(self, lo: int, hi: int) -> list[dict]:
             """readChangeFeed planning over versions (lo, hi]: change
@@ -4096,7 +4180,20 @@ def _make_delta_stream_source():
 
             t = pq.read_table(os.path.join(self._table, spec["path"]))
             if spec["kind"] == "file":
-                cols = [t.column(n).to_pylist() for n in self._fields]
+                # columns the file does not physically store come from
+                # the add action's typed partitionValues (partition
+                # columns — round 12) or are NULL (a file written
+                # before a schema-evolution ADD COLUMN)
+                names = set(t.schema.names)
+                pv = spec.get("pv") or {}
+                types = spec.get("types") or {}
+                cols = [
+                    t.column(n).to_pylist()
+                    if n in names
+                    else [_typed_pv(pv.get(n), types.get(n, "string"))]
+                    * t.num_rows
+                    for n in self._fields
+                ]
                 return iter(list(zip(*cols)))
             data_fields = self._fields[1:-1]  # minus _change_type/_commit_version
             v = spec["version"]

@@ -52,3 +52,4 @@ from etl_loading_scripts_spark.llm import nativeimg as _nativeimg  # noqa: F401
 from etl_loading_scripts_spark.llm import mp4 as _mp4  # noqa: F401
 from etl_loading_scripts_spark.sources import compressed as _compressed  # noqa: F401
 from etl_loading_scripts_spark.operators import lineage as _lineage  # noqa: F401
+from etl_loading_scripts_spark.streaming import delta_tail as _delta_tail  # noqa: F401
