@@ -2263,6 +2263,69 @@ def merge_cow_deltalog_with_retry(
 # --------------------------------------------------------------------------
 
 
+def _stats_range_split(
+    active: Mapping[str, dict], files: Sequence[str], col: str, lo, hi
+) -> tuple[list[str], list[str]]:
+    """(candidates, pruned): files whose recorded [min,max] for ``col``
+    provably misses [lo, hi] are pruned; statless / poisoned /
+    incomparably-typed files stay candidates. Same conservative
+    coercion discipline as read_delta_table's stats_filter — a bound
+    that cannot be compared safely cannot prune."""
+    import datetime
+    import decimal
+
+    def _coerce(b):
+        if isinstance(b, decimal.Decimal):
+            return float(b)
+        if isinstance(b, (datetime.date, datetime.datetime)):
+            return b.isoformat()
+        return b
+
+    lo, hi = _coerce(lo), _coerce(hi)
+
+    def _cmp(stat_val, bound):
+        s_num = isinstance(stat_val, (int, float)) and not isinstance(
+            stat_val, bool
+        )
+        b_num = isinstance(bound, (int, float)) and not isinstance(
+            bound, bool
+        )
+        if (
+            (s_num and b_num)
+            or (isinstance(stat_val, str) and isinstance(bound, str))
+            or (isinstance(stat_val, bool) and isinstance(bound, bool))
+        ):
+            return stat_val, bound
+        return None
+
+    keep: list[str] = []
+    pruned: list[str] = []
+    for p in files:
+        raw = active[p].get("stats")
+        if not raw:
+            keep.append(p)
+            continue
+        try:
+            st = json.loads(raw)
+        except ValueError:
+            keep.append(p)
+            continue
+        mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
+        if col not in mins or col not in maxs:
+            keep.append(p)
+            continue
+        out = False
+        pair = _cmp(maxs[col], lo)
+        if pair is not None and pair[0] < pair[1]:
+            out = True
+        if not out:
+            pair = _cmp(mins[col], hi)
+            if pair is not None and pair[0] > pair[1]:
+                out = True
+        (pruned if out else keep).append(p)
+    return keep, pruned
+
+
 def merge_dim_deltalog(
     spark: SparkSession,
     table: str,
@@ -2272,6 +2335,7 @@ def merge_dim_deltalog(
     write_change_data: bool = True,
     deletion_vectors: bool = False,
     dv_inline_max_bytes: int = 0,
+    stats_prune: bool = True,
     operation_parameters: Mapping[str, object] | None = None,
     _pre_commit_hook=None,
 ) -> dict:
@@ -2295,7 +2359,13 @@ def merge_dim_deltalog(
 
     Scale: the diff is ONE key-hash shuffle of target⋈source (the
     unavoidable comparison cost, identical to what the reference's
-    MERGE pays in the engine) — but the WRITE and CDC volume are
+    MERGE pays in the engine) — and on the upsert cadence
+    (``delete_unmatched_source=False``, the default) the TARGET side
+    of that diff is stats-pruned first (round 12): files whose
+    per-file key [min,max] cannot intersect the source's key range
+    are proven unchanged from metadata alone and never scanned, so a
+    localized churn diffs O(churn locality) files, not O(dimension).
+    The WRITE and CDC volume are
     O(changed rows + their co-resident file rows), not O(dimension).
     At a 10⁹-row patron dim with a few thousand monthly changes, that
     is the difference between rewriting ~10 files and rewriting all of
@@ -2317,7 +2387,10 @@ def merge_dim_deltalog(
     subset of the table schema (no evolution on this path; evolve via
     :func:`merge_upsert_deltalog`). Returns ``{"version": int | None,
     "files_removed": n, "files_kept": n, "files_changed": [...],
-    "files_dv": n}``; version None = nothing differed, no commit."""
+    "files_dv": n, "files_diff_scanned": n, "files_pruned": n}``
+    (scanned + pruned = the snapshot's file count; pruned files were
+    proven unchanged from stats alone); version None = nothing
+    differed, no commit."""
     on = list(on)
     avail = _all_versions(table)
     if not avail:
@@ -2375,6 +2448,29 @@ def merge_dim_deltalog(
         )
     val_cols = [c for c in source.columns if c not in on]
     files = sorted(active)
+    # STATS-PRUNED DIFF (round 12, VERDICT r11 item 2): on the upsert
+    # cadence the diff need only scan files whose recorded key range
+    # can intersect the source's — the log's per-file min/max stats
+    # prove the rest unchanged, so a localized churn reads O(locality)
+    # files instead of the whole dim. Provably inapplicable cases keep
+    # the full scan: delete_unmatched_source (unmatched TARGET rows
+    # are deletes, so every file matters), a NULL source key (stats
+    # ranges exclude nulls), statless/incomparable files (kept by the
+    # helper). Exact for the pruned files: a source key outside a
+    # file's [min,max] cannot live in it, so insert/changed
+    # classification is unaffected.
+    files_pruned: list[str] = []
+    if stats_prune and not delete_unmatched_source and files:
+        pk = on[0]
+        b = source.agg(
+            F.min(pk).alias("lo"),
+            F.max(pk).alias("hi"),
+            F.max(F.col(pk).isNull().cast("int")).alias("nulls"),
+        ).first()
+        if b["lo"] is not None and not b["nulls"]:
+            files, files_pruned = _stats_range_split(
+                active, files, pk, b["lo"], b["hi"]
+            )
     dv_refs = _dv_refs_of(active, files)
     if files and deletion_vectors:
         # the DV writer needs each row's physical position too
@@ -2434,9 +2530,11 @@ def merge_dim_deltalog(
             return {
                 "version": None,
                 "files_removed": 0,
-                "files_kept": len(files),
+                "files_kept": len(files) + len(files_pruned),
                 "files_changed": [],
                 "files_dv": 0,
+                "files_diff_scanned": len(files),
+                "files_pruned": len(files_pruned),
             }
         in_changed = (
             F.col("__file").isin(changed_files)
@@ -2506,7 +2604,7 @@ def merge_dim_deltalog(
                 appended, schema, "merge_dim_deltalog"
             ).repartition(max(1, len(changed_files)))
             files_removed, files_dv = 0, len(changed_files)
-            kept = len(files)
+            kept = len(files) + len(files_pruned)
         else:
             rewritten = j.filter(keep_row).select(*out_cols)
             inserts = j.filter(src_present & ~tgt_present).select(*out_cols)
@@ -2523,7 +2621,7 @@ def merge_dim_deltalog(
                 for p in changed_files
             ]
             files_removed, files_dv = len(changed_files), 0
-            kept = len(files) - len(changed_files)
+            kept = len(files) - len(changed_files) + len(files_pruned)
         adds = _stage_data_files(merged, table, [])
         actions.extend(adds)
         post = _read_add_files(spark, table, schema, [], adds)
@@ -2561,6 +2659,8 @@ def merge_dim_deltalog(
             "files_kept": kept,
             "files_changed": changed_files,
             "files_dv": files_dv,
+            "files_diff_scanned": len(files),
+            "files_pruned": len(files_pruned),
         }
     finally:
         j.unpersist()

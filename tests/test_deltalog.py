@@ -4410,3 +4410,65 @@ def test_stream_fresh_snapshot_spark_path_above_threshold(
     specs_sp = [p.value for p in reader2.partitions({"version": -1}, {"version": 0})]
     assert calls["n"] == 1  # the Spark path actually ran
     assert specs_sp == specs_py
+
+
+def test_merge_dim_stats_pruned_diff(spark, tmp_path, monkeypatch):
+    """Round 12 (VERDICT r11 item 2): on the upsert cadence the dim
+    merge's diff scans ONLY files whose per-file key [min,max] stats
+    can intersect the source's key range — a localized churn diffs
+    O(locality) files, not the whole dim. Full-sync mode, NULL source
+    keys, and stats_prune=False keep the full scan; results are
+    hash-identical either way."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "dimprune")
+    base = spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dl.write_delta_table(base.repartitionByRange(8, "k"), d)
+    n_files = len(dl._snapshot_state(d, None)[0])
+    assert n_files == 8
+
+    seen: dict = {}
+    real = dl._dv_refs_of
+
+    def spy(active, files):
+        seen.setdefault("files", list(files))
+        return real(active, files)
+
+    # localized churn: updates confined to keys 100..150
+    src = spark.range(100, 151).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")
+    )
+    monkeypatch.setattr(dl, "_dv_refs_of", spy)
+    res = dl.merge_dim_deltalog(spark, d, src, ["k"])
+    assert len(seen["files"]) == 1  # the one file covering [0, 500)
+    assert res["files_changed"] == seen["files"]
+    assert res["files_kept"] == n_files - 1  # pruned files count as kept
+    got = {(r.k, r.v) for r in dl.read_delta_table(spark, d).collect()}
+    assert got == {
+        (k, k * 2 + 1 if 100 <= k <= 150 else k * 2) for k in range(4000)
+    }
+    # no-change rerun: pruned candidates, still a no-op with full kept
+    seen.clear()
+    res2 = dl.merge_dim_deltalog(spark, d, src, ["k"])
+    assert res2["version"] is None and res2["files_kept"] >= n_files
+    # DV mode prunes too
+    seen.clear()
+    src2 = spark.range(200, 221).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    res3 = dl.merge_dim_deltalog(spark, d, src2, ["k"], deletion_vectors=True)
+    assert len(seen["files"]) <= 2 and res3["files_dv"] >= 1
+    # full-sync mode must NOT prune (unmatched target rows are deletes)
+    seen.clear()
+    full = dl.read_delta_table(spark, d).filter("k < 3995")
+    dl.merge_dim_deltalog(spark, d, full, ["k"], delete_unmatched_source=True)
+    assert len(seen["files"]) >= n_files
+    assert dl.read_delta_table(spark, d).count() == 3995
+    # a NULL source key disables pruning (stats ranges exclude nulls)
+    n_now = len(dl._snapshot_state(d, None)[0])
+    seen.clear()
+    nsrc = spark.createDataFrame([(None, 7), (10, 21)], "k long, v long")
+    dl.merge_dim_deltalog(spark, d, nsrc, ["k"])
+    assert len(seen["files"]) == n_now  # full candidate list

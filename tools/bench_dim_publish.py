@@ -19,6 +19,13 @@ batch, across the three change shapes that matter:
   deletion_vectors=True — changed rows hide behind DVs (files stay
   byte-identical) and post-images append, so write volume returns to
   O(changes) regardless of locality.
+- localized_upsert / scattered_upsert (round 12): the UPSERT cadence —
+  the source carries ONLY the churn (no full-sync state), so the diff's
+  target scan is stats-pruned to the files whose key range the source
+  can touch: the localized leg diffs O(locality) files (the r11 seam
+  "the UPDATE cadence still scans the whole dim" closed); the
+  scattered leg shows the honest non-pruning boundary (uniform churn
+  touches every file's range).
 
 Per leg: wall seconds, files rewritten/kept, bytes written. The full
 overwrite is the baseline every leg used to pay. Prints ONE JSON line;
@@ -98,7 +105,17 @@ def main() -> None:
             F.when(F.col("k") % (n // N_CHANGES) == 0, F.col("bal") + 1)
             .otherwise(F.col("bal")).cast("decimal(18,4)"),
         )
-        for leg, src in (
+        # round 12: the UPSERT cadence (delete_unmatched_source=False)
+        # carries only the churn — the diff's target scan is
+        # stats-pruned to the files the source's key range can touch,
+        # so the localized leg reads O(locality) files, not the dim
+        local_delta = _dim(spark, N_CHANGES).withColumn(
+            "bal", (F.col("bal") + 1).cast("decimal(18,4)")
+        )
+        scattered_delta = base.filter(
+            F.col("k") % (n // N_CHANGES) == 0
+        ).withColumn("bal", (F.col("bal") + 1).cast("decimal(18,4)"))
+        for leg, src, full_sync in (
             (
                 "inserts_only",
                 base.unionByName(
@@ -106,6 +123,7 @@ def main() -> None:
                         "k", F.col("k") + 2 * n
                     )
                 ),
+                True,
             ),
             (
                 "localized_updates",
@@ -114,9 +132,12 @@ def main() -> None:
                     F.when(F.col("k") < N_CHANGES, F.col("bal") + 1)
                     .otherwise(F.col("bal")).cast("decimal(18,4)"),
                 ),
+                True,
             ),
-            ("scattered_updates", scattered_src),
-            ("scattered_updates_dv", scattered_src),
+            ("scattered_updates", scattered_src, True),
+            ("scattered_updates_dv", scattered_src, True),
+            ("localized_upsert", local_delta, False),
+            ("scattered_upsert", scattered_delta, False),
         ):
             d = tempfile.mkdtemp(prefix=f"dimpub_{leg}_")
             try:
@@ -125,7 +146,8 @@ def main() -> None:
                 )
                 t0 = time.time()
                 res = dl.merge_dim_deltalog(
-                    spark, d, src, ["k"], delete_unmatched_source=True,
+                    spark, d, src, ["k"],
+                    delete_unmatched_source=full_sync,
                     deletion_vectors=leg.endswith("_dv"),
                 )
                 legs[leg] = {
@@ -133,6 +155,8 @@ def main() -> None:
                     "files_rewritten": res["files_removed"],
                     "files_dv": res.get("files_dv", 0),
                     "files_kept": res["files_kept"],
+                    "files_diff_scanned": res.get("files_diff_scanned"),
+                    "files_pruned": res.get("files_pruned"),
                     "bytes_written": (
                         _bytes_written(d, res["version"])
                         if res["version"] is not None
