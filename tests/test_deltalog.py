@@ -4472,3 +4472,66 @@ def test_merge_dim_stats_pruned_diff(spark, tmp_path, monkeypatch):
     nsrc = spark.createDataFrame([(None, 7), (10, 21)], "k long, v long")
     dl.merge_dim_deltalog(spark, d, nsrc, ["k"])
     assert len(seen["files"]) == n_now  # full candidate list
+
+
+def test_publish_dim_dv_auto_compact(spark, tmp_path):
+    """Round 12 (VERDICT r11 item 5): DV-mode dim merges accumulate
+    deletion vectors; with dv_compact_threshold in the incremental
+    spec, the publish purges them in the same run once the hidden-row
+    fraction crosses the threshold — below it DVs remain (no early
+    rewrite), above it the SET pins a DV-free snapshot whose rows are
+    unchanged. The purge rewrites ONLY DV-carrying files."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base_dir = str(tmp_path / "dvpub")
+    n = 10_000
+    dim = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).repartitionByRange(4, "k")
+    spec = {
+        "dim": {
+            "on": ["k"], "grain": "dim", "deletion_vectors": True,
+            "dv_compact_threshold": 0.025,
+        }
+    }
+
+    def frame(i):
+        # scattered churn: every 100th key bumps by i
+        return spark.range(n).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 100 == 0, F.col("id") * 2 + i)
+            .otherwise(F.col("id") * 2).alias("v"),
+        )
+
+    dl.publish_set_deltalog([("dim", dim)], base_dir, incremental=spec)
+    tpath = os.path.join(base_dir, "dim")
+
+    def has_dv():
+        return any(
+            a.get("deletionVector")
+            for a in dl._snapshot_state(tpath, None)[0].values()
+        )
+
+    # publishes 1-2: fraction below threshold — DVs accumulate
+    for i in (1, 2):
+        dl.publish_set_deltalog(
+            [("dim", frame(i))], base_dir, incremental=spec
+        )
+    assert has_dv()
+    assert dl.delta_dv_fraction(tpath) < 0.025
+    # publish 3 crosses the threshold — the same publish purges
+    sv = dl.publish_set_deltalog(
+        [("dim", frame(3))], base_dir, incremental=spec
+    )
+    assert not has_dv()  # DVs materialized away
+    hist_op = dl._read_actions(tpath, dl._all_versions(tpath)[-1])
+    assert any(
+        a.get("commitInfo", {}).get("operation") == "OPTIMIZE"
+        for a in hist_op
+    )
+    # the set pins the post-purge version and reads back exactly
+    got = dl.read_published_set_deltalog(spark, base_dir, version=sv)["dim"]
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, frame(3).collect())
+    )
+    assert dl.delta_dv_fraction(tpath) == 0.0
