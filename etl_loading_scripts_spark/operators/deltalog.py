@@ -2700,6 +2700,23 @@ def insert_if_absent_deltalog(
     extra = [c for c in source.columns if c not in tcols]
     if extra:
         raise ValueError(f"source columns not in table schema: {extra}")
+    # stats pruning for the anti-join's key scan (round 12, same proof
+    # as merge_dim_deltalog's pruned diff): a target file whose key
+    # [min,max] misses the source's key range cannot contain any
+    # source key, so its keys are irrelevant to the anti-join —
+    # read_delta_table's stats_filter drops it from the scan. Source
+    # bounds computed ONCE (the source is fixed across OCC retries);
+    # a NULL source key disables pruning (stats ranges exclude nulls).
+    bounds = source.agg(
+        F.min(on[0]).alias("lo"),
+        F.max(on[0]).alias("hi"),
+        F.max(F.col(on[0]).isNull().cast("int")).alias("nulls"),
+    ).first()
+    key_filter = (
+        {on[0]: (bounds["lo"], bounds["hi"])}
+        if bounds["lo"] is not None and not bounds["nulls"]
+        else None
+    )
 
     def _attempt() -> dict:
         # The snapshot read lives INSIDE the retried closure (ADVICE
@@ -2707,7 +2724,9 @@ def insert_if_absent_deltalog(
         # WINNER's state, or a racing insert of the same key would be
         # re-committed from the stale diff and duplicate it — matching
         # merge_dim_deltalog_with_retry's shape.
-        keys = read_delta_table(spark, table).select(*on).distinct()
+        keys = read_delta_table(
+            spark, table, stats_filter=key_filter
+        ).select(*on).distinct()
         new_rows = source.dropDuplicates(on)
         cond = None
         for k in on:  # null-safe: a NULL key inserts at most once
@@ -4125,13 +4144,6 @@ def _make_delta_stream_source():
             schema = StructType.fromJson(json.loads(meta["schemaString"]))
             return {f.name: f.dataType.simpleString() for f in schema.fields}
 
-        _DV_GATE = (
-            "deltalog_stream: snapshot has deletion vectors — "
-            "the streaming reader serves whole files; compact "
-            "with optimize_delta (materializes DVs) first or "
-            "use the cdc stream"
-        )
-
         def _snapshot_partitions(self, lo: int, hi: int) -> list[dict]:
             if hi <= lo:
                 return []
@@ -4152,7 +4164,16 @@ def _make_delta_stream_source():
             # planner's python worker no session exists and the driver
             # walk is the honest fallback, bounded in practice by the
             # trigger-bounded batches that follow.
+            # DV-carrying files serve their VISIBLE rows (round 12 —
+            # the spec ships the descriptor, read() subtracts hidden
+            # positions): sound here because every served file is new
+            # to the consumer. The remaining ignoreChanges semantics:
+            # a DV update to an ALREADY-served file is a remove+re-add
+            # the diff below skips, so its newly hidden rows are not
+            # retracted downstream — same contract as the real
+            # source's ignoreChanges for rewrites.
             pairs: dict[str, dict] | None = None
+            dvs: dict[str, dict] = {}
             meta: dict | None = None
             if _estimated_active_files(self._table) >= _SPARK_META_THRESHOLD:
                 from pyspark.sql import SparkSession
@@ -4161,36 +4182,45 @@ def _make_delta_stream_source():
                 if spark is not None:
                     rows = (
                         _active_adds_df(spark, self._table, hi)
-                        .select(
-                            "path", "partitionValues",
-                            F.col("deletionVector.storageType").alias("dv_st"),
-                            F.col("deletionVector.path").alias("dv_p"),
-                        )
+                        .select("path", "partitionValues", "deletionVector")
                         .collect()
                     )
-                    if any(r.dv_st or r.dv_p for r in rows):
-                        raise ValueError(self._DV_GATE)
                     pairs = {
                         r.path: dict(r.partitionValues or {}) for r in rows
+                    }
+                    dvs = {
+                        r.path: _dv_norm(r.deletionVector.asDict())
+                        for r in rows
+                        if r.deletionVector is not None
+                        and (
+                            r.deletionVector.storageType
+                            or r.deletionVector.path
+                        )
                     }
                     meta = _meta_at(self._table, hi)
             if pairs is None:
                 active, meta, _ = _snapshot_state(self._table, hi)
-                if any(a.get("deletionVector") for a in active.values()):
-                    # honest gate rather than silently resurrecting
-                    # deleted rows: whole-file semantics (ignoreChanges)
-                    # cannot subtract a DV update's newly hidden rows
-                    raise ValueError(self._DV_GATE)
                 pairs = {
                     p: dict(a.get("partitionValues") or {})
                     for p, a in active.items()
+                }
+                dvs = {
+                    p: a["deletionVector"]
+                    for p, a in active.items()
+                    if a.get("deletionVector")
                 }
             types = self._field_types(meta)
             old_files = (
                 set(_snapshot_files(self._table, lo)[0]) if lo >= 0 else set()
             )
             return [
-                {"kind": "file", "path": f, "pv": pairs[f], "types": types}
+                {
+                    "kind": "file",
+                    "path": f,
+                    "pv": pairs[f],
+                    "types": types,
+                    "dv": dvs.get(f),
+                }
                 for f in sorted(pairs)
                 if f not in old_files
             ]
@@ -4226,12 +4256,15 @@ def _make_delta_stream_source():
                         if path not in net:
                             active_at_lo.add(path)
                         net.pop(path, None)
-            if any(a.get("deletionVector") for a in net.values()):
-                raise ValueError(self._DV_GATE)
             # partitioned tables: ship typed partitionValues per spec
             # (meta read only when some add actually carries them —
             # O(commits-since-schema-change), off the common
-            # unpartitioned fast path)
+            # unpartitioned fast path). Net-new adds carrying a DV
+            # serve their VISIBLE rows — the net keeps the range's
+            # LAST descriptor per path, so an in-range DV update to an
+            # in-range file serves the final state once; DV updates to
+            # files active at lo are skipped with their re-adds
+            # (ignoreChanges: no retraction downstream).
             types = (
                 self._field_types(_meta_at(self._table, hi))
                 if any(a.get("partitionValues") for a in net.values())
@@ -4243,6 +4276,7 @@ def _make_delta_stream_source():
                     "path": f,
                     "pv": dict(net[f].get("partitionValues") or {}),
                     "types": types,
+                    "dv": net[f].get("deletionVector"),
                 }
                 for f in sorted(net)
             ]
@@ -4321,6 +4355,37 @@ def _make_delta_stream_source():
 
         # -- executor side: materialize one file ----------------------
 
+        def _minus_hidden(self, t, spec):
+            """Subtract the spec's deletion-vector positions from an
+            arrow table: roaring .bin/inline descriptors through the
+            codec, legacy parquet sidecars by (file_name, row_index)."""
+            import pyarrow.parquet as pq
+
+            dv = spec.get("dv")
+            if not dv:
+                return t
+            if dv.get("storageType"):
+                hidden = set(
+                    int(x) for x in _dv_load_positions(self._table, dv)
+                )
+            else:
+                import pyarrow.compute as pc
+
+                side = pq.read_table(os.path.join(self._table, dv["path"]))
+                hidden = set(
+                    side.filter(
+                        pc.equal(
+                            side.column("file_name"),
+                            os.path.basename(spec["path"]),
+                        )
+                    )
+                    .column("row_index")
+                    .to_pylist()
+                )
+            if hidden:
+                t = t.take([i for i in range(t.num_rows) if i not in hidden])
+            return t
+
         def read(self, partition):
             spec = partition.value
             if spec is None:
@@ -4332,7 +4397,10 @@ def _make_delta_stream_source():
                 # columns the file does not physically store come from
                 # the add action's typed partitionValues (partition
                 # columns — round 12) or are NULL (a file written
-                # before a schema-evolution ADD COLUMN)
+                # before a schema-evolution ADD COLUMN); DV-hidden rows
+                # are subtracted (the file is new to the consumer, so
+                # serving only visible rows is the snapshot's truth)
+                t = self._minus_hidden(t, spec)
                 names = set(t.schema.names)
                 pv = spec.get("pv") or {}
                 types = spec.get("types") or {}
@@ -4360,32 +4428,7 @@ def _make_delta_stream_source():
             # kind == "insert": a re-added file's DV-hidden rows were
             # never (re)inserted — emitting them would be a silently
             # wrong change feed (RESTORE to a DV state)
-            dv = spec["dv"]
-            if dv:
-                if dv.get("storageType"):
-                    hidden = set(
-                        int(x) for x in _dv_load_positions(self._table, dv)
-                    )
-                else:
-                    import pyarrow.compute as pc
-
-                    side = pq.read_table(
-                        os.path.join(self._table, dv["path"])
-                    )
-                    hidden = set(
-                        side.filter(
-                            pc.equal(
-                                side.column("file_name"),
-                                os.path.basename(spec["path"]),
-                            )
-                        )
-                        .column("row_index")
-                        .to_pylist()
-                    )
-                if hidden:
-                    t = t.take(
-                        [i for i in range(t.num_rows) if i not in hidden]
-                    )
+            t = self._minus_hidden(t, spec)
             names = set(t.schema.names)
             pv = spec["pv"]
             types = spec["types"]
