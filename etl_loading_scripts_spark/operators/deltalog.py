@@ -3992,7 +3992,17 @@ def _make_delta_stream_source():
         versions (start, end] — append commits emit exactly their new
         rows; overwrite/merge commits re-emit their rewritten files,
         which is the real delta source's documented ``ignoreChanges``
-        semantics. With ``option("cdc", "true")`` (round 8) the stream
+        semantics. Round 12: partitioned tables stream (partition
+        values typed from the add actions), DV-carrying files serve
+        their VISIBLE rows (a DV update to an already-served file
+        stays ignoreChanges: skipped, not retracted), and the option
+        surface gained ``startingVersion`` (serve from a commit, no
+        initial snapshot), ``maxBytesPerTrigger``,
+        ``checkpointLocation`` (offset sidecar: bounds the first batch
+        of fresh AND restarted queries), and ``setCoordinator`` (+
+        optional ``setTable``): cap advances at the warehouse's last
+        SET-pinned version so the tail never serves a crashed
+        publish's orphan commits. With ``option("cdc", "true")`` (round 8) the stream
         is readChangeFeed instead: per-commit CHANGE ROWS
         (``_change_type`` + row + ``_commit_version``) served from the
         commit-time change files MERGE encodes, with pure appends
@@ -4030,8 +4040,39 @@ def _make_delta_stream_source():
             mf = options.get("maxfilespertrigger") or options.get(
                 "maxFilesPerTrigger"
             )
+            mb = options.get("maxbytespertrigger") or options.get(
+                "maxBytesPerTrigger"
+            )
             self._max_versions = int(mv) if mv else None
             self._max_files = int(mf) if mf else None
+            self._max_bytes = int(mb) if mb else None
+            # startingVersion (round 12, the real source's option):
+            # serve changes FROM this commit on — no initial snapshot.
+            # The fresh-query base becomes startingVersion-1 wherever
+            # the reader would have used -1.
+            sv = options.get("startingversion") or options.get(
+                "startingVersion"
+            )
+            self._starting = int(sv) if sv is not None else None
+            # setCoordinator (round 12): make the stream SET-CONSISTENT
+            # — cap every advance at the version the warehouse's last
+            # committed set PINS for this table, so a tail of the
+            # published fact never serves a crashed publish's
+            # durable-but-unreferenced orphan versions (which the next
+            # publish's fence would revert — data a downstream consumer
+            # could never retract). The cap is O(recent set versions)
+            # of driver metadata per trigger (_last_pinned_version's
+            # bounded scan); pins only move forward, so the offset
+            # stays monotonic.
+            coord = options.get("setcoordinator") or options.get(
+                "setCoordinator"
+            )
+            self._set_base = coord
+            self._set_table = (
+                options.get("settable")
+                or options.get("setTable")
+                or os.path.basename(os.path.normpath(self._table))
+            ) if coord else None
             # the last offset this reader HANDED OUT — the base each
             # bounded advance steps from. Learned from initialOffset
             # (fresh query), partitions() (restart), or the offset
@@ -4063,47 +4104,64 @@ def _make_delta_stream_source():
             # the engine may call latestOffset BEFORE initialOffset on
             # a fresh query (MicroBatchExecution computes the end first)
             # — never regress a base latestOffset already advanced
+            first = -1 if self._starting is None else self._starting - 1
             if self._planned is None:
-                self._planned = -1
-            return {"version": -1}
+                self._planned = first
+            return {"version": first}
 
         def latestOffset(self) -> dict:
             newest = _all_versions(self._table)[-1]
+            if self._set_base is not None:
+                pinned = _last_pinned_version(self._set_base, self._set_table)
+                # no set pins the table yet: nothing is published —
+                # hold at the current position rather than serving
+                # pre-publish debris
+                newest = min(newest, -1 if pinned is None else pinned)
+                if newest < 0:
+                    cur = -1 if self._planned is None else self._planned
+                    return {"version": max(cur, -1)}
             base = self._planned
             if base is None and self._sidecar is not None:
                 # a configured sidecar whose file does not exist proves
                 # this is a FRESH query (commit() would have written
-                # it): bound from the beginning. Without a sidecar an
-                # unknown base stays unbounded — a restart's true start
-                # lives only in Spark's checkpoint, and guessing -1
-                # could plan ends below it.
-                base = -1
+                # it): bound from the beginning (or from
+                # startingVersion). Without a sidecar an unknown base
+                # stays unbounded — a restart's true start lives only
+                # in Spark's checkpoint, and guessing low could plan
+                # ends below it.
+                base = -1 if self._starting is None else self._starting - 1
             if base is None or base >= newest:
-                self._planned = newest
-                return {"version": newest}
+                # under a set cap, never move the offset BACKWARD past
+                # an already-planned position (base > newest can only
+                # mean the planned offset ran ahead of the pin scan's
+                # bounded window — hold)
+                self._planned = newest if base is None else max(base, newest)
+                return {"version": self._planned}
             end = newest
             if self._max_versions is not None:
                 end = min(end, base + self._max_versions)
-            if self._max_files is not None:
-                # walk commits forward, accumulating add counts; always
-                # admit at least one version so the stream progresses.
-                # An expired JSON in the walk (deep catch-up over a
-                # checkpointed log) stops the bounding — the batch
-                # planner resolves that range via the checkpoint anyway
-                n = 0
+            if self._max_files is not None or self._max_bytes is not None:
+                # walk commits forward, accumulating add counts/bytes;
+                # always admit at least one version so the stream
+                # progresses. An expired JSON in the walk (deep
+                # catch-up over a checkpointed log) stops the bounding
+                # — the batch planner resolves that range via the
+                # checkpoint anyway
+                n = sz = 0
                 v = base
                 while v < newest:
                     v += 1
                     try:
-                        n += sum(
-                            1
-                            for a in _read_actions(self._table, v)
-                            if "add" in a
-                        )
+                        for a in _read_actions(self._table, v):
+                            if "add" in a:
+                                n += 1
+                                sz += a["add"].get("size") or 0
                     except (FileNotFoundError, OSError):
                         v = newest
                         break
-                    if n >= self._max_files:
+                    if self._max_files is not None and n >= self._max_files:
+                        break
+                    if self._max_bytes is not None and sz >= self._max_bytes:
                         break
                 end = min(end, v)
             self._planned = end

@@ -4645,3 +4645,141 @@ def test_stream_snapshot_serves_dv_visible_rows(spark, tmp_path):
         assert spark.sql(f"SELECT * FROM {sink}").first()["n"] == 103
     finally:
         q.stop()
+
+
+def test_stream_starting_version_and_byte_bound(spark, tmp_path):
+    """Round 12: startingVersion serves changes FROM a commit (no
+    initial snapshot), composing with the sidecar so even the first
+    batch is bounded; maxBytesPerTrigger caps an advance by add-file
+    bytes the way maxFilesPerTrigger caps it by count."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "svstream")
+    for i in range(5):  # v0..v4, one small file each
+        dl.write_delta_table(
+            spark.range(i * 10, i * 10 + 10).select(
+                F.col("id").alias("k")
+            ).coalesce(1),
+            d, mode="overwrite" if i == 0 else "append",
+        )
+    dl.register_delta_stream_source(spark)
+    schema = spark.readStream.format("deltalog_stream").load(d).schema
+    # startingVersion=3: initial offset 2, rows from v3 on only
+    r = dl._make_delta_stream_source()(
+        {"path": d, "startingversion": "3"}
+    ).streamReader(schema)
+    assert r.initialOffset() == {"version": 2}
+    hi = r.latestOffset()["version"]
+    rows = sorted(
+        x[0]
+        for p in r.partitions({"version": 2}, {"version": hi})
+        for x in r.read(p)
+    )
+    assert rows == list(range(30, 50))  # v3 + v4 rows, no snapshot
+    # startingVersion + sidecar: FIRST advance bounded from v2
+    cp = str(tmp_path / "svcp")
+    r2 = dl._make_delta_stream_source()(
+        {"path": d, "startingversion": "3", "checkpointlocation": cp,
+         "maxversionspertrigger": "1"}
+    ).streamReader(schema)
+    assert r2.latestOffset() == {"version": 3}  # no initialOffset call
+    # byte bound: each file ~ a few hundred bytes; a 1-byte cap admits
+    # exactly one version per advance
+    r3 = dl._make_delta_stream_source()(
+        {"path": d, "maxbytespertrigger": "1", "checkpointlocation": cp + "3"}
+    ).streamReader(schema)
+    assert r3.latestOffset() == {"version": 0}
+    assert r3.latestOffset() == {"version": 1}
+    # a large cap admits everything at once
+    r4 = dl._make_delta_stream_source()(
+        {"path": d, "maxbytespertrigger": str(1 << 30),
+         "checkpointlocation": cp + "4"}
+    ).streamReader(schema)
+    assert r4.latestOffset() == {"version": 4}
+    # end-to-end: a real readStream with startingVersion sums only the
+    # post-v2 rows
+    import uuid as _uuid
+
+    sink = f"sv_sink_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("deltalog_stream")
+        .option("startingVersion", "3").load(d)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.outputMode("complete").format("memory")
+        .queryName(sink).start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql(f"SELECT * FROM {sink}").first()["n"] == 20
+    finally:
+        q.stop()
+
+
+def test_stream_set_consistent_tail(spark, tmp_path):
+    """Round 12: with setCoordinator, the stream caps every advance at
+    the version the last committed SET pins — a crashed publish's
+    durable-but-unreferenced orphan merge is NEVER served (the next
+    publish's fence would revert it, and a stream cannot retract); the
+    next real publish advances the pin and the stream serves exactly
+    the newly pinned state."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "setstream")
+    fact0 = _incr_fact(spark, months=2, salt=0)
+    inc = {"fact": {"on": ["txn_id"], "datekey_col": "datekey",
+                    "window": None, "delete_unmatched_source": True}}
+    dl.publish_set_deltalog([("fact", fact0)], base, incremental=inc)
+    tpath = os.path.join(base, "fact")
+    dl.register_delta_stream_source(spark)
+    opts = {"path": tpath, "setcoordinator": base}
+    schema = spark.readStream.format("deltalog_stream").load(tpath).schema
+    r = dl._make_delta_stream_source()(opts).streamReader(schema)
+    r.initialOffset()
+    pinned = dl._last_pinned_version(base, "fact")
+    assert r.latestOffset() == {"version": pinned}
+    n0 = sum(
+        1
+        for p in r.partitions({"version": -1}, {"version": pinned})
+        for _ in r.read(p)
+    )
+    assert n0 == fact0.count()
+    # ORPHAN: a stamped merge commits on the table but no set pins it
+    # (the crash-between-merge-and-set shape)
+    dl.merge_cow_deltalog_with_retry(
+        spark, tpath,
+        fact0.filter("datekey < 19900200").withColumn(
+            "amount", F.col("amount") + 999
+        ),
+        ["txn_id"], delete_unmatched_source=True,
+        operation_parameters={"publishSet": "true"},
+    )
+    assert dl._all_versions(tpath)[-1] > pinned
+    # the capped stream does NOT advance into the orphan
+    assert r.latestOffset() == {"version": pinned}
+    # a real publish fences the orphan and pins a new version
+    fact1 = fact0.withColumn(
+        "amount",
+        F.when(F.col("datekey") < 19900200, F.col("amount") + 5)
+        .otherwise(F.col("amount")),
+    )
+    dl.publish_set_deltalog(
+        [("fact", fact1)], base,
+        incremental={"fact": {**inc["fact"],
+                              "window": (19900101, 19900131)}},
+    )
+    new_pin = dl._last_pinned_version(base, "fact")
+    hi = r.latestOffset()["version"]
+    assert hi == new_pin
+    # served range = (pinned, new_pin]: the orphan's +999 file was
+    # fenced away within the range, so the net serve is EXACTLY the
+    # published month-1 state (fact1's +5 rows) — never the orphan's
+    rows = sorted(
+        (x[0], x[1], x[2])
+        for p in r.partitions({"version": pinned}, {"version": hi})
+        for x in r.read(p)
+    )
+    exp = sorted(
+        map(tuple, fact1.filter("datekey < 19900200")
+            .select("txn_id", "datekey", "amount").collect())
+    )
+    assert rows == exp
