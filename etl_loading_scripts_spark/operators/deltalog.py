@@ -2326,6 +2326,102 @@ def _stats_range_split(
     return keep, pruned
 
 
+#: histogram buckets the multi-cluster refinement splits the source key
+#: range into — enough to separate clusters, small enough that the
+#: per-merge agg stays one tiny job
+_PRUNE_HIST_BUCKETS = 128
+
+
+def _stats_histogram_refine(
+    active: Mapping[str, dict],
+    files: Sequence[str],
+    source: DataFrame,
+    col: str,
+    lo,
+    hi,
+) -> tuple[list[str], list[str]]:
+    """(candidates, pruned): second-stage refinement of
+    :func:`_stats_range_split` for MULTI-CLUSTER churn — a source whose
+    keys live in two distant clusters has a [min,max] range spanning
+    the whole dim, so range-overlap pruning keeps everything. Bucket
+    the span into _PRUNE_HIST_BUCKETS intervals, mark which actually
+    contain source keys (ONE tiny agg job over the source's key
+    column), and prune files whose stats range intersects only EMPTY
+    buckets. Numeric keys only (bucket arithmetic); non-numeric or
+    degenerate spans return files unchanged. Conservative by the same
+    argument as the range split: a bucket boundary never splits a key,
+    and a file is pruned only when every bucket its range touches is
+    provably key-free."""
+    import numbers
+
+    if (
+        not isinstance(lo, numbers.Real)
+        or not isinstance(hi, numbers.Real)
+        or isinstance(lo, bool)
+        or isinstance(hi, bool)
+    ):
+        return list(files), []
+    span = float(hi) - float(lo)
+    if span <= 0 or len(files) <= 2:
+        return list(files), []
+    nb = _PRUNE_HIST_BUCKETS
+
+    def _bucket(x: float) -> int:
+        return min(nb - 1, max(0, int((x - float(lo)) / span * nb)))
+
+    nonempty = {
+        int(r[0])
+        for r in source.select(
+            F.least(
+                F.lit(nb - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.floor(
+                        (F.col(col).cast("double") - float(lo)) / span * nb
+                    ).cast("int"),
+                ),
+            ).alias("b")
+        )
+        .distinct()
+        .collect()
+        if r[0] is not None
+    }
+    if len(nonempty) >= nb:
+        return list(files), []  # every bucket occupied: nothing to gain
+    # prefix count of nonempty flags → O(1) "any nonempty in [b0,b1]?"
+    pref = [0] * (nb + 1)
+    for i in range(nb):
+        pref[i + 1] = pref[i] + (1 if i in nonempty else 0)
+    keep: list[str] = []
+    pruned: list[str] = []
+    for p in files:
+        raw = active[p].get("stats")
+        rng = None
+        if raw:
+            try:
+                st = json.loads(raw)
+                fl, fh = st["minValues"].get(col), st["maxValues"].get(col)
+                if (
+                    isinstance(fl, numbers.Real)
+                    and isinstance(fh, numbers.Real)
+                    and not isinstance(fl, bool)
+                    and not isinstance(fh, bool)
+                ):
+                    rng = (float(fl), float(fh))
+            except (ValueError, KeyError, TypeError):
+                rng = None
+        if rng is None:
+            keep.append(p)
+            continue
+        b0 = _bucket(max(rng[0], float(lo)))
+        b1 = _bucket(min(rng[1], float(hi)))
+        if b1 >= b0 and pref[b1 + 1] - pref[b0] == 0:
+            pruned.append(p)
+        else:
+            keep.append(p)
+    return keep, pruned
+
+
 def merge_dim_deltalog(
     spark: SparkSession,
     table: str,
@@ -2471,6 +2567,14 @@ def merge_dim_deltalog(
             files, files_pruned = _stats_range_split(
                 active, files, pk, b["lo"], b["hi"]
             )
+            # second stage (round 12): MULTI-CLUSTER churn — a source
+            # spanning two distant key clusters defeats range-overlap
+            # pruning; the key-histogram refinement prunes the files
+            # between the clusters (numeric keys; one tiny agg job)
+            files, hist_pruned = _stats_histogram_refine(
+                active, files, source, pk, b["lo"], b["hi"]
+            )
+            files_pruned.extend(hist_pruned)
     dv_refs = _dv_refs_of(active, files)
     if files and deletion_vectors:
         # the DV writer needs each row's physical position too

@@ -4783,3 +4783,47 @@ def test_stream_set_consistent_tail(spark, tmp_path):
             .select("txn_id", "datekey", "amount").collect())
     )
     assert rows == exp
+
+
+def test_merge_dim_histogram_refines_multicluster_churn(
+    spark, tmp_path, monkeypatch
+):
+    """Round 12: churn in two DISTANT key clusters spans the whole dim,
+    so range-overlap pruning keeps every file; the source-key histogram
+    refinement prunes the files between the clusters — the diff reads
+    O(cluster locality) files. Results identical to the unpruned merge;
+    boundary keys (cluster edges on bucket edges) never mis-prune."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "dimhist")
+    n = 16_000
+    base = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dl.write_delta_table(base.repartitionByRange(16, "k"), d)
+    seen: dict = {}
+    real = dl._dv_refs_of
+
+    def spy(active, files):
+        seen.setdefault("files", list(files))
+        return real(active, files)
+
+    monkeypatch.setattr(dl, "_dv_refs_of", spy)
+    # two clusters at the extremes: keys [0, 100] and [n-100, n)
+    src = spark.range(0, 101).unionByName(spark.range(n - 100, n)).select(
+        F.col("id").alias("k"), (F.col("id") * 2 + 1).alias("v")
+    )
+    res = dl.merge_dim_deltalog(spark, d, src, ["k"])
+    # range overlap alone keeps all 16; the histogram drops the middle
+    assert len(seen["files"]) <= 4, seen["files"]
+    assert res["files_pruned"] >= 12
+    got = {(r.k, r.v) for r in dl.read_delta_table(spark, d).collect()}
+    exp = {
+        (k, k * 2 + 1 if (k <= 100 or k >= n - 100) else k * 2)
+        for k in range(n)
+    }
+    assert got == exp
+    # idempotent rerun through the same pruned path
+    seen.clear()
+    res2 = dl.merge_dim_deltalog(spark, d, src, ["k"])
+    assert res2["version"] is None

@@ -138,6 +138,17 @@ def main() -> None:
             ("scattered_updates_dv", scattered_src, True),
             ("localized_upsert", local_delta, False),
             ("scattered_upsert", scattered_delta, False),
+            (
+                # churn at the two EXTREMES of the key space: the range
+                # test alone keeps every file; the histogram refinement
+                # prunes the span between the clusters (round 12)
+                "two_cluster_upsert",
+                base.filter(
+                    (F.col("k") < N_CHANGES // 2)
+                    | (F.col("k") >= n - N_CHANGES // 2)
+                ).withColumn("bal", (F.col("bal") + 1).cast("decimal(18,4)")),
+                False,
+            ),
         ):
             d = tempfile.mkdtemp(prefix=f"dimpub_{leg}_")
             try:
