@@ -2302,18 +2302,30 @@ def _stats_range_split(
     pruned: list[str] = []
     for p in files:
         raw = active[p].get("stats")
-        if not raw:
-            keep.append(p)
-            continue
-        try:
-            st = json.loads(raw)
-        except ValueError:
-            keep.append(p)
-            continue
-        mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
-        if col not in mins or col not in maxs:
-            keep.append(p)
-            continue
+        mins = maxs = None
+        if raw:
+            try:
+                st = json.loads(raw)
+                mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
+            except ValueError:
+                mins = maxs = None
+        if mins is None or col not in mins or col not in maxs:
+            # a PARTITION-column key has no footer stats (the value
+            # lives in the dir name) — its partitionValues string IS
+            # an exact min=max range; best-effort numeric typing, and
+            # _cmp's kind guard keeps a wrong guess un-pruning
+            pv = (active[p].get("partitionValues") or {}).get(col)
+            if pv is None:
+                keep.append(p)
+                continue
+            try:
+                tpv = int(pv)
+            except ValueError:
+                try:
+                    tpv = float(pv)
+                except ValueError:
+                    tpv = pv
+            mins, maxs = {col: tpv}, {col: tpv}
         out = False
         pair = _cmp(maxs[col], lo)
         if pair is not None and pair[0] < pair[1]:
@@ -2469,6 +2481,17 @@ def merge_dim_deltalog(
     before commit; the per-file change roster collected to the driver
     is O(changed files), the same order as the commit's remove list.
 
+    PARTITIONED tables merge at this grain too (round 12): the
+    row-level alternative to :func:`merge_cow_deltalog` when the churn
+    is much smaller than its months — that path rewrites every file of
+    each affected month, this one only the files (or, with DVs, only
+    the rows) that actually changed. The source must carry the
+    partition columns (inserts need their partition; a matched row
+    whose partition value changes MOVES — old file rewritten/DV'd, new
+    row staged into the new directory). A partition-column merge key
+    prunes from partitionValues (exact min=max per file) since dir
+    names carry no footer stats.
+
     ``deletion_vectors=True`` (round 11) closes the SCATTERED-update
     boundary the rewrite mode has (updates uniform over the key space
     put a change in every file → full rewrite): changed/deleted rows
@@ -2495,10 +2518,18 @@ def merge_dim_deltalog(
     active, meta, _ = _snapshot_state(table, pinned)
     pcols = list(meta.get("partitionColumns") or [])
     if pcols:
-        raise ValueError(
-            f"merge_dim_deltalog is for unpartitioned dims; {table} is "
-            f"partitioned by {pcols} (use merge_cow_deltalog)"
-        )
+        # round 12: PARTITIONED tables merge at the entity grain too —
+        # the row-level alternative to merge_cow's month rewrite when
+        # the churn is far smaller than its months. Partition values
+        # are injected hive-style on the scan and honored on staging;
+        # inserts/updates need the partition columns in the source (a
+        # new row must know its partition; an update may MOVE one).
+        missing_p = [c for c in pcols if c not in source.columns]
+        if missing_p:
+            raise ValueError(
+                f"merge into partitioned table {table}: source must "
+                f"carry the partition columns, missing {missing_p}"
+            )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     tcols = [f.name for f in schema.fields]
     extra = [c for c in source.columns if c not in tcols]
@@ -2579,13 +2610,16 @@ def merge_dim_deltalog(
     if files and deletion_vectors:
         # the DV writer needs each row's physical position too
         tgt = _dv_filescan_with_positions(
-            spark, table, schema, [], files, dv_refs
+            spark, table, schema, pcols, files, dv_refs
         ).withColumnRenamed("__fn", "__file")
     elif files:
         # target scan with per-row FILE PROVENANCE (the pruning axis),
         # attached before the DV anti-join so _metadata resolves on
         # the scan relation
-        tgt = spark.read.schema(schema).parquet(
+        reader = spark.read.schema(schema)
+        if pcols:  # hive layout: partition values from dir names
+            reader = reader.option("basePath", table)
+        tgt = reader.parquet(
             *[os.path.join(table, f) for f in files]
         ).withColumn(
             "__file",
@@ -2627,7 +2661,12 @@ def merge_dim_deltalog(
             F.max(F.when(src_present & ~tgt_present, F.lit(1))).alias("ins"),
             F.sum(needs_rewrite.cast("long")).alias("nh"),
         ).first()
-        changed_files = sorted(agg["cf"] or [])
+        # __file provenance is the BASENAME (uuid — globally unique by
+        # construction); map back to the add-action rel paths, which
+        # carry the partition directory on partitioned tables
+        by_name = {os.path.basename(f): f for f in files}
+        changed_names = sorted(agg["cf"] or [])
+        changed_files = [by_name[n] for n in changed_names]
         has_inserts = bool(agg["ins"])
         n_hidden = int(agg["nh"] or 0)
         if not changed_files and not has_inserts:
@@ -2641,8 +2680,8 @@ def merge_dim_deltalog(
                 "files_pruned": len(files_pruned),
             }
         in_changed = (
-            F.col("__file").isin(changed_files)
-            if changed_files
+            F.col("__file").isin(changed_names)
+            if changed_names
             else F.lit(False)
         )
         keep_row = tgt_present & in_changed
@@ -2726,9 +2765,9 @@ def merge_dim_deltalog(
             ]
             files_removed, files_dv = len(changed_files), 0
             kept = len(files) - len(changed_files) + len(files_pruned)
-        adds = _stage_data_files(merged, table, [])
+        adds = _stage_data_files(merged, table, pcols)
         actions.extend(adds)
-        post = _read_add_files(spark, table, schema, [], adds)
+        post = _read_add_files(spark, table, schema, pcols, adds)
         _enforce_constraints(post, meta)
         if write_change_data:
             # pre = the affected rows' OLD images only (rewrite mode:
@@ -4177,6 +4216,11 @@ def _make_delta_stream_source():
                 or options.get("setTable")
                 or os.path.basename(os.path.normpath(self._table))
             ) if coord else None
+            # pin lookup memo keyed by the coordinator's newest version
+            # (the log is immutable and pins only move forward, so the
+            # result is valid until a NEW set commits): steady-state
+            # triggers pay one dir listing, not a JSON scan-back
+            self._pin_memo: tuple[int, int | None] | None = None
             # the last offset this reader HANDED OUT — the base each
             # bounded advance steps from. Learned from initialOffset
             # (fresh query), partitions() (restart), or the offset
@@ -4216,7 +4260,15 @@ def _make_delta_stream_source():
         def latestOffset(self) -> dict:
             newest = _all_versions(self._table)[-1]
             if self._set_base is not None:
-                pinned = _last_pinned_version(self._set_base, self._set_table)
+                coord = os.path.join(self._set_base, _SET_DIR)
+                latest_sv = (_versions(coord) or [-1])[-1]
+                if self._pin_memo is not None and self._pin_memo[0] == latest_sv:
+                    pinned = self._pin_memo[1]
+                else:
+                    pinned = _last_pinned_version(
+                        self._set_base, self._set_table
+                    )
+                    self._pin_memo = (latest_sv, pinned)
                 # no set pins the table yet: nothing is published —
                 # hold at the current position rather than serving
                 # pre-publish debris

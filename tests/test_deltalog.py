@@ -3504,7 +3504,8 @@ def test_merge_dim_deltalog_file_pruned(spark, tmp_path):
         dl.merge_dim_deltalog(
             spark, d, src2.withColumn("extra", F.lit(1)), ["k"]
         )
-    # partitioned tables are refused (that's merge_cow's job)
+    # partitioned tables merge at this grain too (round 12) — but the
+    # source must carry the partition columns
     p = str(tmp_path / "pdim")
     dl.write_delta_table(
         spark.range(10).select(
@@ -3512,9 +3513,12 @@ def test_merge_dim_deltalog_file_pruned(spark, tmp_path):
         ),
         p, partition_by=["b"],
     )
-    with pytest.raises(ValueError, match="unpartitioned"):
+    with pytest.raises(ValueError, match="partition columns"):
         dl.merge_dim_deltalog(spark, p, spark.range(1).select(
-            F.col("id").alias("k"), F.lit(0).alias("b")), ["k"])
+            F.col("id").alias("k")), ["k"])
+    rp = dl.merge_dim_deltalog(spark, p, spark.range(1).select(
+        F.col("id").alias("k"), F.lit(0).alias("b")), ["k"])
+    assert rp["version"] is None  # identical row: nothing differed
 
 
 def test_publish_set_dim_grain(spark, tmp_path):
@@ -4827,3 +4831,95 @@ def test_merge_dim_histogram_refines_multicluster_churn(
     seen.clear()
     res2 = dl.merge_dim_deltalog(spark, d, src, ["k"])
     assert res2["version"] is None
+
+
+def test_merge_dim_deltalog_partitioned_fact(spark, tmp_path):
+    """Round 12: the entity-keyed merge works on MONTH-PARTITIONED
+    tables — the row-level alternative to merge_cow's month rewrite:
+    only files containing changed keys rewrite (others byte-identical,
+    across partitions), inserts land in their partition directories,
+    a partition-value change MOVES the row, and DV mode hides changed
+    rows at O(changed rows). A partition-column merge key prunes from
+    partitionValues."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "pdim")
+    fact = spark.createDataFrame(
+        [(i, 199001 + (i % 3), i * 10) for i in range(3000)],
+        "txn_id long, month int, amount long",
+    ).repartitionByRange(4, "txn_id")
+    dl.write_delta_table(fact, d, partition_by=["month"])
+    act0 = {
+        p: a.get("size") for p, a in dl._snapshot_state(d, None)[0].items()
+    }
+    n_files = len(act0)
+    assert n_files >= 6  # >=2 files per month partition
+    # localized churn: 3 updates + 1 insert + 1 partition MOVE
+    src = spark.createDataFrame(
+        [(0, 199001, 999), (3, 199001, 999),      # updates (month 199001)
+         (9000, 199003, 7),                       # insert
+         (1, 199003, 11)],                        # move: 199002 -> 199003
+        "txn_id long, month int, amount long",
+    )
+    res = dl.merge_dim_deltalog(spark, d, src, ["txn_id"])
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == 3001
+    assert got.filter("txn_id = 0").first()["amount"] == 999
+    moved = got.filter("txn_id = 1").first()
+    assert (moved["month"], moved["amount"]) == (199003, 11)
+    assert got.filter("txn_id = 9000").first()["month"] == 199003
+    # untouched files carried byte-identically
+    act1 = {
+        p: a.get("size") for p, a in dl._snapshot_state(d, None)[0].items()
+    }
+    carried = {p for p in act0 if p in act1 and act0[p] == act1[p]}
+    assert len(carried) == n_files - res["files_removed"]
+    assert res["files_removed"] < n_files  # never a full rewrite
+    # partition dirs hold their rows (hive layout honored on staging)
+    assert got.filter("month = 199003").count() == 1002
+    import os as _os
+
+    assert any(
+        e.startswith("month=199003") for e in _os.listdir(d)
+    )
+    # a source missing the partition column refuses up front
+    with pytest.raises(ValueError, match="partition columns"):
+        dl.merge_dim_deltalog(
+            spark, d,
+            spark.createDataFrame([(5, 1)], "txn_id long, amount long"),
+            ["txn_id"],
+        )
+    # DV mode on the partitioned fact: data files byte-identical,
+    # changed rows hidden, post-images appended per partition
+    src2 = spark.createDataFrame(
+        [(6, 199001, 555), (7, 199002, 556)],
+        "txn_id long, month int, amount long",
+    )
+    pre = {
+        p: a.get("size") for p, a in dl._snapshot_state(d, None)[0].items()
+    }
+    res2 = dl.merge_dim_deltalog(
+        spark, d, src2, ["txn_id"], deletion_vectors=True
+    )
+    assert res2["files_dv"] >= 1 and res2["files_removed"] == 0
+    post = dl._snapshot_state(d, None)[0]
+    for p, sz in pre.items():  # every pre-existing file still same bytes
+        assert p in post and post[p].get("size") == sz
+    got2 = dl.read_delta_table(spark, d)
+    assert got2.count() == 3001
+    assert got2.filter("txn_id = 6").first()["amount"] == 555
+    # partition-column KEY prunes from partitionValues: merging on
+    # (month, txn_id) with a single-month source scans ~that month
+    src3 = spark.createDataFrame(
+        [(199001, 12, 777)], "month int, txn_id long, amount long",
+    )
+    res3 = dl.merge_dim_deltalog(spark, d, src3, ["month", "txn_id"])
+    n_m1 = sum(
+        1
+        for a in dl._snapshot_state(d, dl._all_versions(d)[-2])[0].values()
+        if (a.get("partitionValues") or {}).get("month") == "199001"
+    )
+    assert res3["files_diff_scanned"] == n_m1, res3
+    assert dl.read_delta_table(spark, d).filter(
+        "txn_id = 12"
+    ).first()["amount"] == 777
