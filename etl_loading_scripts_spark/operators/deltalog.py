@@ -3326,6 +3326,11 @@ def publish_set_deltalog(
             # the threshold, the publish purges its DVs in the same
             # run (targeted: only DV-carrying files rewrite)
             dv_compact_threshold = spec.pop("dv_compact_threshold", None)
+            # round 12: a keyed-grain table may be PARTITIONED — the
+            # bootstrap lays the hive dirs, every later publish merges
+            # at the entity grain (row-level publish of a partitioned
+            # fact, O(changed files) instead of O(affected months))
+            keyed_pby = spec.pop("partition_by", None)
         else:
             datekey_col = spec.pop("datekey_col", "datekey")
             window = spec.pop("window", None)
@@ -3356,6 +3361,7 @@ def publish_set_deltalog(
                 return _occ_retry(
                     lambda: write_delta_table(
                         df, tpath, mode="overwrite",
+                        partition_by=keyed_pby,
                         operation_parameters={"publishSet": "true"},
                     ),
                     max_retries,
