@@ -230,6 +230,17 @@ def _bench_lakehouse(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
                 ),
                 ["txn_id"],
             )
+        keyed_path = os.path.join(root, "fact_keyed")
+        # the keyed-merge fixture is KEY-CLUSTERED within its month
+        # partitions (repartitionByRange on the key) — the layout a
+        # key-pruned merge needs; a key-scattered month layout is
+        # merge_cow's domain (measured 29 s vs ~2 s here: every file
+        # contains some churn keys, the keyed path degenerates to a
+        # slow full rewrite)
+        dl.write_delta_table(
+            _with_month(fact, "datekey").repartitionByRange(8, "txn_id"),
+            keyed_path, partition_by=["month"],
+        )
         dv_path = os.path.join(root, "fact_dv")
         dl.write_delta_table(
             fact.repartition(8), dv_path
@@ -292,6 +303,23 @@ def _bench_lakehouse(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
                 deletion_vectors=True,
             )
 
+        def op_merge_keyed_fact(i):
+            # round 12: entity-keyed row-level merge into the
+            # month-partitioned fact (upsert cadence — the source is
+            # ONLY the churn, so the diff's target scan stats-prunes)
+            dl.merge_dim_deltalog_with_retry(
+                spark, keyed_path,
+                _with_month(
+                    fact.filter(
+                        F.col("txn_id").between(i * 4000, i * 4000 + 3999)
+                    ),
+                    "datekey",
+                ).withColumn(
+                    "amount", (F.col("amount") + i + 1).cast("decimal(18,4)")
+                ),
+                ["txn_id"],
+            )
+
         def op_index_probe(i):
             ai.ann_index_probe(spark, probe_q, idx_path, nprobe=2).write.format(
                 "noop"
@@ -301,6 +329,7 @@ def _bench_lakehouse(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
             ("publish_incremental", op_publish_incremental),
             ("merge_cow_month", op_merge_cow),
             ("merge_dim_churn", op_merge_dim),
+            ("merge_keyed_fact", op_merge_keyed_fact),
             ("cdc_range_read", op_cdc_read),
             ("dv_delete", op_dv_delete),
             ("ann_index_probe", op_index_probe),

@@ -4978,3 +4978,49 @@ def test_publish_set_keyed_grain_partitioned(spark, tmp_path):
     assert sorted(map(tuple, got1.select(*key).collect())) == sorted(
         map(tuple, fact1.collect())
     )
+
+
+def test_insert_if_absent_partitioned_fact(spark, tmp_path):
+    """Round 12: the insert-only fast path appends into PARTITIONED
+    tables — arrivals land in their partition directories, existing
+    files stay referenced byte-identically, keys existing anywhere are
+    ignored, and a source missing the partition columns refuses."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "ifapart")
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [(i, 199001 + (i % 2), i) for i in range(100)],
+            "k long, month int, v long",
+        ),
+        d, partition_by=["month"],
+    )
+    v0 = {
+        p: a.get("size") for p, a in dl._snapshot_state(d, None)[0].items()
+    }
+    src = spark.createDataFrame(
+        [(5, 199001, -1),            # exists: ignored
+         (200, 199001, 200), (201, 199003, 201)],  # new (one new month)
+        "k long, month int, v long",
+    )
+    res = dl.insert_if_absent_deltalog(spark, d, src, ["k"])
+    assert res["rows_inserted"] == 2
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == 102
+    assert got.filter("k = 5").first()["v"] == 5  # never updated
+    assert got.filter("k = 201").first()["month"] == 199003
+    v1 = {
+        p: a.get("size") for p, a in dl._snapshot_state(d, None)[0].items()
+    }
+    assert all(v1.get(p) == sz for p, sz in v0.items())  # append-only
+    assert any("month=199003" in p for p in v1)  # new partition dir
+    # idempotent re-run
+    assert dl.insert_if_absent_deltalog(spark, d, src, ["k"]) == {
+        "version": None, "rows_inserted": 0
+    }
+    # missing partition column refuses
+    with pytest.raises(ValueError, match="partition columns"):
+        dl.insert_if_absent_deltalog(
+            spark, d,
+            spark.createDataFrame([(300, 0)], "k long, v long"), ["k"],
+        )
