@@ -2444,6 +2444,7 @@ def merge_dim_deltalog(
     deletion_vectors: bool = False,
     dv_inline_max_bytes: int = 0,
     stats_prune: bool = True,
+    merge_schema: bool = False,
     operation_parameters: Mapping[str, object] | None = None,
     _pre_commit_hook=None,
 ) -> dict:
@@ -2533,11 +2534,31 @@ def merge_dim_deltalog(
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     tcols = [f.name for f in schema.fields]
     extra = [c for c in source.columns if c not in tcols]
-    if extra:
+    evolved = False
+    if extra and not merge_schema:
         raise ValueError(
-            f"source columns not in table schema: {extra} — the dim "
-            "merge never evolves schema"
+            f"source columns not in table schema: {extra} — pass "
+            "merge_schema=True to widen the table schema"
         )
+    if extra:
+        # SCHEMA EVOLUTION without a table rewrite (round 12): widen
+        # the schema with the source-only columns (nullable) and commit
+        # the new metaData IN the merge commit — carried files keep
+        # their old physical schema and read back NULL for the new
+        # columns, exactly the protocol's evolution semantics. The
+        # evolution lands only when the merge commits (a no-diff source
+        # commits nothing, schema included).
+        from pyspark.sql.types import StructField
+
+        schema = StructType(
+            list(schema.fields)
+            + [
+                StructField(source.schema[c].name, source.schema[c].dataType, True)
+                for c in extra
+            ]
+        )
+        tcols = [f.name for f in schema.fields]
+        evolved = True
     missing_keys = [k for k in on if k not in source.columns]
     if missing_keys:
         raise ValueError(f"merge keys missing from source: {missing_keys}")
@@ -2802,6 +2823,10 @@ def merge_dim_deltalog(
                     table, on, preimages=True,
                 )
             )
+        if evolved:
+            new_meta = dict(meta)
+            new_meta["schemaString"] = schema.json()
+            actions.insert(0, {"metaData": new_meta})
         actions.insert(
             0,
             _commit_info(

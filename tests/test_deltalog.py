@@ -5024,3 +5024,59 @@ def test_insert_if_absent_partitioned_fact(spark, tmp_path):
             spark, d,
             spark.createDataFrame([(300, 0)], "k long, v long"), ["k"],
         )
+
+
+def test_merge_dim_schema_evolution_without_rewrite(spark, tmp_path):
+    """Round 12: merge_schema=True widens the dim schema IN the merge
+    commit — carried files keep their old physical schema (bytes
+    unchanged) and read back NULL for the new column; only files with
+    changed keys rewrite; without the flag the extra column refuses;
+    a no-diff source commits nothing, schema included."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "dimevo")
+    dl.write_delta_table(
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).repartitionByRange(4, "k"),
+        d,
+    )
+    v0 = {
+        p: a.get("size") for p, a in dl._snapshot_state(d, 0)[0].items()
+    }
+    src = spark.createDataFrame(
+        [(5, 10, "gold"), (2000, 7, "new")], "k long, v long, tier string"
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        dl.merge_dim_deltalog(spark, d, src, ["k"])
+    res = dl.merge_dim_deltalog(spark, d, src, ["k"], merge_schema=True)
+    got = dl.read_delta_table(spark, d)
+    assert got.columns == ["k", "v", "tier"]
+    assert got.count() == 1001
+    assert got.filter("k = 5").first()["tier"] == "gold"
+    assert got.filter("k = 2000").first()["tier"] == "new"
+    # untouched rows read NULL for the evolved column
+    assert got.filter("tier IS NULL").count() == 999
+    # carried files byte-identical (no table rewrite for evolution)
+    v1 = {
+        p: a.get("size")
+        for p, a in dl._snapshot_state(d, res["version"])[0].items()
+    }
+    carried = {p for p in v0 if v1.get(p) == v0[p]}
+    assert len(carried) == len(v0) - res["files_removed"]
+    assert res["files_removed"] == 1  # only k=5's covering file
+    # idempotent re-run: same source, nothing differs, no commit (the
+    # evolved schema equality includes the new column's values)
+    res2 = dl.merge_dim_deltalog(spark, d, src, ["k"], merge_schema=True)
+    assert res2["version"] is None
+    # DV mode evolves too
+    src2 = spark.createDataFrame(
+        [(7, 14, "silver")], "k long, v long, tier string"
+    )
+    res3 = dl.merge_dim_deltalog(
+        spark, d, src2, ["k"], merge_schema=True, deletion_vectors=True
+    )
+    assert res3["files_dv"] == 1
+    got2 = dl.read_delta_table(spark, d)
+    assert got2.filter("k = 7").first()["tier"] == "silver"
+    assert got2.count() == 1001
