@@ -2445,6 +2445,7 @@ def merge_dim_deltalog(
     dv_inline_max_bytes: int = 0,
     stats_prune: bool = True,
     merge_schema: bool = False,
+    delete_col: str | None = None,
     operation_parameters: Mapping[str, object] | None = None,
     _pre_commit_hook=None,
 ) -> dict:
@@ -2533,7 +2534,14 @@ def merge_dim_deltalog(
             )
     schema = StructType.fromJson(json.loads(meta["schemaString"]))
     tcols = [f.name for f in schema.fields]
-    extra = [c for c in source.columns if c not in tcols]
+    if delete_col is not None and delete_col not in source.columns:
+        raise ValueError(
+            f"delete_col {delete_col!r} not in source columns"
+        )
+    # the delete DIRECTIVE column is instruction, not data — excluded
+    # from schema checks, evolution, and value comparison
+    data_cols = [c for c in source.columns if c != delete_col]
+    extra = [c for c in data_cols if c not in tcols]
     evolved = False
     if extra and not merge_schema:
         raise ValueError(
@@ -2571,6 +2579,8 @@ def merge_dim_deltalog(
     ttypes = {f.name: f.dataType for f in schema.fields}
     clashes = []
     for f in source.schema.fields:
+        if f.name == delete_col:
+            continue
         want = ttypes[f.name]
         ok = (
             f.dataType == want
@@ -2594,7 +2604,7 @@ def merge_dim_deltalog(
             + ", ".join(clashes)
             + ". Cast the source columns to the table types before merging."
         )
-    val_cols = [c for c in source.columns if c not in on]
+    val_cols = [c for c in data_cols if c not in on]
     files = sorted(active)
     # STATS-PRUNED DIFF (round 12, VERDICT r11 item 2): on the upsert
     # cadence the diff need only scan files whose recorded key range
@@ -2658,6 +2668,11 @@ def merge_dim_deltalog(
         *[F.col(c).alias(pref + c) for c in on],
         *[F.col(c).alias(pref + c) for c in val_cols],
         F.lit(True).alias("__src"),
+        *(
+            [F.col(delete_col).cast("boolean").alias("__del")]
+            if delete_col is not None
+            else []
+        ),
     )
     cond = None
     for k in on:  # null-safe, like merge_upsert — NULL keys match NULL
@@ -2673,13 +2688,23 @@ def merge_dim_deltalog(
             changed = d if changed is None else (changed | d)
         if changed is None:  # key-only table: matches can never differ
             changed = F.lit(False)
-        needs_rewrite = tgt_present & src_present & changed
+        del_flag = (
+            F.coalesce(F.col("__del"), F.lit(False))
+            if delete_col is not None
+            else F.lit(False)
+        )
+        # a delete directive forces the rewrite even when values match;
+        # a directive for an ABSENT key is a no-op (nothing to delete,
+        # never an insert)
+        needs_rewrite = tgt_present & src_present & (changed | del_flag)
         if delete_unmatched_source:
             needs_rewrite = needs_rewrite | (tgt_present & ~src_present)
         # ONE job: the changed-file roster + insert/hidden-row counts
         agg = j.agg(
             F.collect_set(F.when(needs_rewrite, F.col("__file"))).alias("cf"),
-            F.max(F.when(src_present & ~tgt_present, F.lit(1))).alias("ins"),
+            F.max(
+                F.when(src_present & ~tgt_present & ~del_flag, F.lit(1))
+            ).alias("ins"),
             F.sum(needs_rewrite.cast("long")).alias("nh"),
         ).first()
         # __file provenance is the BASENAME (uuid — globally unique by
@@ -2705,7 +2730,7 @@ def merge_dim_deltalog(
             if changed_names
             else F.lit(False)
         )
-        keep_row = tgt_present & in_changed
+        keep_row = tgt_present & in_changed & ~(src_present & del_flag)
         if delete_unmatched_source:
             keep_row = keep_row & src_present
         out_cols = []
@@ -2761,8 +2786,8 @@ def merge_dim_deltalog(
                     }},
                 )
             appended = j.filter(
-                (tgt_present & src_present & changed)
-                | (src_present & ~tgt_present)
+                (tgt_present & src_present & changed & ~del_flag)
+                | (src_present & ~tgt_present & ~del_flag)
             ).select(*out_cols)
             merged = _align_to_schema(
                 appended, schema, "merge_dim_deltalog"
@@ -2782,7 +2807,9 @@ def merge_dim_deltalog(
             kept = len(files) + len(files_pruned)
         else:
             rewritten = j.filter(keep_row).select(*out_cols)
-            inserts = j.filter(src_present & ~tgt_present).select(*out_cols)
+            inserts = j.filter(
+                src_present & ~tgt_present & ~del_flag
+            ).select(*out_cols)
             # file sizing: rewritten files map ~1:1 to their
             # replacements; inserts add one file (a monthly dim delta
             # is small — OPTIMIZE is the compaction path if inserts
@@ -2941,6 +2968,62 @@ def insert_if_absent_deltalog(
         return {"version": v, "rows_inserted": n}
 
     return _occ_retry(_attempt, 3)
+
+
+def apply_changes_deltalog(
+    spark: SparkSession,
+    table: str,
+    changes: DataFrame,
+    on: Sequence[str],
+    sequence_col: str | None = None,
+    max_retries: int = 3,
+    **merge_kwargs,
+) -> dict:
+    """APPLY a change feed to a keyed Delta table as ONE atomic commit
+    — the consumer half of this module's CDC surface (the DLT ``APPLY
+    CHANGES INTO`` shape): ``changes`` carries ``_change_type`` ∈
+    insert / update_postimage / delete (update_preimage rows are
+    ignored — they exist so ranges COMPOSE, not to be applied) plus
+    the row image. Inserts/updates upsert, deletes remove, all through
+    :func:`merge_dim_deltalog`'s file-pruned diff (``delete_col``
+    directive), so the write volume is O(changed files) — or
+    O(changed rows) with ``deletion_vectors=True`` in merge_kwargs.
+
+    ``sequence_col`` names the ordering column (``_commit_version``
+    for feeds from :func:`delta_table_changes` / the cdc stream): the
+    LATEST change per key wins; ties break on delete-last (a delete
+    and an upsert at the same sequence apply the delete, matching the
+    net-change discipline). Without it the feed must already be
+    one-change-per-key.
+
+    This closes the loop: ``published_set_changes`` (or the cdc
+    stream's micro-batches via foreachBatch) feed a downstream mart
+    with exactly-once semantics from batch idempotence + the atomic
+    commit — re-applying the same feed is a no-op."""
+    if "_change_type" not in changes.columns:
+        raise ValueError("changes frame must carry _change_type")
+    feed = changes.filter(F.col("_change_type") != "update_preimage")
+    if sequence_col is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*on).orderBy(
+            F.col(sequence_col).desc(),
+            # delete-last tiebreak within one sequence value
+            (F.col("_change_type") == "delete").cast("int").desc(),
+        )
+        feed = (
+            feed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        feed = feed.drop(sequence_col)
+    src = feed.withColumn(
+        "__delete", (F.col("_change_type") == "delete")
+    ).drop("_change_type")
+    return merge_dim_deltalog_with_retry(
+        spark, table, src, on,
+        max_retries=max_retries, delete_col="__delete", **merge_kwargs,
+    )
 
 
 def merge_dim_deltalog_with_retry(

@@ -807,3 +807,119 @@ def delta_fact_keyed_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(files_carried).alias("files_carried"),
         )
     )
+
+
+@register(
+    "delta_apply_changes_dim",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k, c_name AS nm FROM customer
+    ),
+    final AS (
+        SELECT k,
+               CASE WHEN k % 10 = 1 THEN 'renamed_' || CAST(k AS VARCHAR)
+                    ELSE nm END AS nm
+        FROM base WHERE k % 10 <> 0
+        UNION ALL
+        SELECT k + 10000000, 'ins_' || CAST(k AS VARCHAR)
+        FROM base WHERE k % 10 = 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN nm LIKE 'renamed%' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_renamed,
+           1 AS deletes_applied,
+           1 AS rerun_noop
+    FROM final
+    """,
+    doc="APPLY CHANGES INTO a dim through the Delta log (round 12 — the "
+    "consumer half of the CDC surface): a change feed carrying "
+    "updates-then-deletes for every 10th key (latest sequence wins), "
+    "renames for k%10=1, inserts for k%10=2, and preimage rows (which "
+    "composition ignores) applies as ONE atomic file-pruned commit. "
+    "deletes_applied audits the deleted keys are gone; rerun_noop that "
+    "re-applying the identical feed commits NOTHING (exactly-once from "
+    "batch idempotence + the atomic commit).",
+)
+def delta_apply_changes_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: one key shuffle (the merge diff, stats-pruned on the
+    upsert cadence) + O(changed files) write volume; the feed dedup is
+    a window over the batch, never the table."""
+    import os
+    import shutil
+
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.operators.deltalog import (
+        _all_versions,
+        apply_changes_deltalog,
+        _fixture_dir,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    root = _fixture_dir(sf_dir, tag="applyc")
+    d = os.path.join(root, "dim")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("nm")
+    )
+
+    def feed():
+        upd_del = cust.filter(F.col("k") % 10 == 0)
+        return (
+            # every 10th key: an update at seq 1 superseded by a delete
+            upd_del.select(
+                F.lit("update_postimage").alias("_change_type"),
+                "k", F.lit("doomed").alias("nm"),
+                F.lit(1).alias("_commit_version"),
+            )
+            .unionByName(upd_del.select(
+                F.lit("update_preimage").alias("_change_type"),
+                "k", "nm", F.lit(1).alias("_commit_version"),
+            ))
+            .unionByName(upd_del.select(
+                F.lit("delete").alias("_change_type"),
+                "k", F.lit("doomed").alias("nm"),
+                F.lit(2).alias("_commit_version"),
+            ))
+            .unionByName(cust.filter(F.col("k") % 10 == 1).select(
+                F.lit("update_postimage").alias("_change_type"),
+                "k",
+                F.concat(F.lit("renamed_"), F.col("k").cast("string"))
+                .alias("nm"),
+                F.lit(1).alias("_commit_version"),
+            ))
+            .unionByName(cust.filter(F.col("k") % 10 == 2).select(
+                F.lit("insert").alias("_change_type"),
+                (F.col("k") + 10_000_000).alias("k"),
+                F.concat(F.lit("ins_"), F.col("k").cast("string"))
+                .alias("nm"),
+                F.lit(1).alias("_commit_version"),
+            ))
+        )
+
+    if len(_all_versions(d)) < 2:
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        write_delta_table(cust.repartitionByRange(4, "k"), d)
+        apply_changes_deltalog(
+            spark, d, feed(), ["k"], sequence_col="_commit_version"
+        )
+    got = read_delta_table(spark, d)
+    deletes_applied = int(got.filter("k % 10 = 0").count() == 0)
+    v_now = _all_versions(d)[-1]
+    rerun = apply_changes_deltalog(
+        spark, d, feed(), ["k"], sequence_col="_commit_version"
+    )
+    rerun_noop = int(
+        rerun["version"] is None and _all_versions(d)[-1] == v_now
+    )
+    return got.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.col("nm").startswith("renamed").cast("int"))
+        .cast("bigint").alias("n_renamed"),
+    ).select(
+        "n_rows", "sum_k", "n_renamed",
+        F.lit(deletes_applied).alias("deletes_applied"),
+        F.lit(rerun_noop).alias("rerun_noop"),
+    )

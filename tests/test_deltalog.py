@@ -5080,3 +5080,79 @@ def test_merge_dim_schema_evolution_without_rewrite(spark, tmp_path):
     got2 = dl.read_delta_table(spark, d)
     assert got2.filter("k = 7").first()["tier"] == "silver"
     assert got2.count() == 1001
+
+
+def test_merge_dim_delete_col_and_apply_changes(spark, tmp_path):
+    """Round 12: the keyed merge's delete_col directive — matched rows
+    flagged delete are removed (file-pruned; DV mode hides them with
+    no post-image), a directive for an absent key is a no-op, and
+    apply_changes_deltalog applies a CDC feed (latest-per-key by
+    sequence, preimages ignored, deletes last on ties) as ONE atomic
+    commit; re-applying the same feed is a no-op."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "applych")
+    dl.write_delta_table(
+        spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ).repartitionByRange(4, "k"),
+        d,
+    )
+    n_files = len(dl._snapshot_state(d, None)[0])
+    # direct delete_col: delete k=10, update k=11, absent-key delete no-op
+    src = spark.createDataFrame(
+        [(10, 0, True), (11, 999, False), (5000, 0, True)],
+        "k long, v long, dead boolean",
+    )
+    res = dl.merge_dim_deltalog(spark, d, src, ["k"], delete_col="dead")
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == 999
+    assert got.filter("k = 10").count() == 0
+    assert got.filter("k = 11").first()["v"] == 999
+    assert res["files_removed"] == 1  # both touched keys in one file
+    assert res["files_kept"] >= n_files - 1
+    # CDC feed through apply_changes: two commits' worth of changes,
+    # latest per key wins; preimages ignored; same-sequence delete wins
+    feed = spark.createDataFrame(
+        [
+            ("update_preimage", 20, 40, 1),    # ignored
+            ("update_postimage", 20, 41, 1),   # superseded by v2 delete
+            ("delete", 20, 41, 2),
+            ("insert", 6000, 1, 1),
+            ("update_postimage", 6000, 2, 2),  # latest wins
+            ("insert", 21, 0, 2),              # exists: applies as upsert
+            ("update_postimage", 22, 7, 2),    # same-seq tie...
+            ("delete", 22, 7, 2),              # ...delete wins
+        ],
+        "_change_type string, k long, v long, _commit_version long",
+    )
+    res2 = dl.apply_changes_deltalog(
+        spark, d, feed, ["k"], sequence_col="_commit_version"
+    )
+    assert res2["version"] is not None
+    got2 = dl.read_delta_table(spark, d)
+    assert got2.filter("k = 20").count() == 0
+    assert got2.filter("k = 22").count() == 0
+    assert got2.filter("k = 6000").first()["v"] == 2
+    assert got2.filter("k = 21").first()["v"] == 0
+    assert got2.count() == 998  # -20, -22, +6000
+    # idempotent: the same feed re-applied commits nothing
+    res3 = dl.apply_changes_deltalog(
+        spark, d, feed, ["k"], sequence_col="_commit_version"
+    )
+    assert res3["version"] is None
+    # DV mode: delete hides the row, no post-image appended
+    pre = {
+        p: a.get("size") for p, a in dl._snapshot_state(d, None)[0].items()
+    }
+    res4 = dl.merge_dim_deltalog(
+        spark, d,
+        spark.createDataFrame([(30, 0, True)], "k long, v long, dead boolean"),
+        ["k"], delete_col="dead", deletion_vectors=True,
+    )
+    assert res4["files_dv"] == 1
+    post = dl._snapshot_state(d, None)[0]
+    for p, sz in pre.items():
+        assert post.get(p, {}).get("size") == sz  # bytes carried
+    assert dl.read_delta_table(spark, d).filter("k = 30").count() == 0
+    assert dl.read_delta_table(spark, d).count() == 997
