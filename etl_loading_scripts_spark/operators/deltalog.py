@@ -2364,6 +2364,7 @@ def _stats_histogram_refine(
     argument as the range split: a bucket boundary never splits a key,
     and a file is pruned only when every bucket its range touches is
     provably key-free."""
+    import math
     import numbers
 
     if (
@@ -2371,10 +2372,15 @@ def _stats_histogram_refine(
         or not isinstance(hi, numbers.Real)
         or isinstance(lo, bool)
         or isinstance(hi, bool)
+        or not math.isfinite(float(lo))
+        or not math.isfinite(float(hi))
     ):
         return list(files), []
     span = float(hi) - float(lo)
-    if span <= 0 or len(files) <= 2:
+    # `not (span > 0)` rather than `span <= 0`: a NaN span (possible
+    # only through exotic float keys) must SKIP, and NaN fails every
+    # comparison — the <= form would sail past into int(NaN)
+    if not (span > 0) or len(files) <= 2:
         return list(files), []
     nb = _PRUNE_HIST_BUCKETS
 
@@ -2418,6 +2424,8 @@ def _stats_histogram_refine(
                     and isinstance(fh, numbers.Real)
                     and not isinstance(fl, bool)
                     and not isinstance(fh, bool)
+                    and math.isfinite(float(fl))
+                    and math.isfinite(float(fh))
                 ):
                     rng = (float(fl), float(fh))
             except (ValueError, KeyError, TypeError):
