@@ -482,9 +482,13 @@ def index_cell_sizes(spark: SparkSession, index_path: str) -> DataFrame:
         # The pruned count covers EVERY file in the partition, so a
         # partition mixing stats-bearing and stats-less files must
         # drop its stats-derived tally first or it double-counts
-        # (ADVICE r11): the count REPLACES the partial sum.
+        # (ADVICE r11): the count REPLACES the partial sum. Seed 0
+        # rather than popping — a centroid whose partition holds only
+        # statless ZERO-row files gets no row back from the count and
+        # would otherwise vanish from the report instead of appearing
+        # with cell_size 0 (ADVICE r12 low).
         for cid in missing:
-            sizes.pop(cid, None)
+            sizes[cid] = 0
         counted = (
             read_delta_table(
                 spark, cells_path,

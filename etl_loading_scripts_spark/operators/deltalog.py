@@ -125,6 +125,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
 import uuid
@@ -1534,8 +1535,20 @@ def _pruned_files_spark(
                     )
                     adds = adds.where(~(stat_d.isNotNull() & viol))
                 elif isinstance(b, str) and ctype in _STR_STAT_TYPES:
+                    s = stat
+                    if ctype in ("timestamp", "timestamp_ntz"):
+                        # foreign logs may stat timestamps with a ' '
+                        # separator; isoformat bounds carry 'T' —
+                        # normalize BOTH to one lexicographic order
+                        # (ADVICE r12 medium, Spark-path twin)
+                        s = F.regexp_replace(
+                            stat,
+                            r"^(\d{4}-\d{2}-\d{2}) (\d{2}:\d{2})",
+                            r"$1T$2",
+                        )
+                        b = _ts_lex_norm(b)
                     viol = (
-                        (stat < F.lit(b)) if op == "lt" else (stat > F.lit(b))
+                        (s < F.lit(b)) if op == "lt" else (s > F.lit(b))
                     )
                     adds = adds.where(~(stat.isNotNull() & viol))
                 # every other (bound type, column type) pair: no
@@ -1737,7 +1750,11 @@ def read_delta_table(
             if s_num and b_num:
                 return stat_val, bound
             if isinstance(stat_val, str) and isinstance(bound, str):
-                return stat_val, bound
+                # foreign logs may stat timestamps with a ' ' separator
+                # while isoformat bounds carry 'T' — normalize to one
+                # lexicographic order (same hazard as ADVICE r12's pv
+                # fallback in _stats_range_split)
+                return _ts_lex_norm(stat_val), _ts_lex_norm(bound)
             if isinstance(stat_val, bool) and isinstance(bound, bool):
                 return stat_val, bound
             return None
@@ -2263,6 +2280,26 @@ def merge_cow_deltalog_with_retry(
 # --------------------------------------------------------------------------
 
 
+#: timestamp-like prefix: 'YYYY-MM-DD' + a time part joined by ' ' OR 'T'
+_TS_LEX_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}")
+
+
+def _ts_lex_norm(s: str) -> str:
+    """Normalize the date/time separator of a timestamp-like string to
+    'T' so the two serializations this engine encounters — hive
+    partitionValues (``'YYYY-MM-DD HH:MM:SS'``, space) and
+    ``datetime.isoformat()`` / footer stats (``'YYYY-MM-DDTHH:MM:SS'``)
+    — share ONE lexicographic order. Without this, ``' ' < 'T'`` makes
+    any pv that shares a bound's DATE compare below it, so a file whose
+    partition value sits INSIDE [lo, hi] was falsely pruned and a
+    timestamp-partitioned merge committed duplicate keys (ADVICE r12
+    medium). Non-timestamp strings pass through untouched, so plain
+    string keys keep their exact pre-fix semantics."""
+    if _TS_LEX_RE.match(s):
+        return s[:10] + "T" + s[11:]
+    return s
+
+
 def _stats_range_split(
     active: Mapping[str, dict], files: Sequence[str], col: str, lo, hi
 ) -> tuple[list[str], list[str]]:
@@ -2290,11 +2327,12 @@ def _stats_range_split(
         b_num = isinstance(bound, (int, float)) and not isinstance(
             bound, bool
         )
-        if (
-            (s_num and b_num)
-            or (isinstance(stat_val, str) and isinstance(bound, str))
-            or (isinstance(stat_val, bool) and isinstance(bound, bool))
-        ):
+        if s_num and b_num:
+            return stat_val, bound
+        if isinstance(stat_val, str) and isinstance(bound, str):
+            # hive pv (' ') vs isoformat bound ('T'): one lex order
+            return _ts_lex_norm(stat_val), _ts_lex_norm(bound)
+        if isinstance(stat_val, bool) and isinstance(bound, bool):
             return stat_val, bound
         return None
 
@@ -2455,6 +2493,7 @@ def merge_dim_deltalog(
     merge_schema: bool = False,
     delete_col: str | None = None,
     operation_parameters: Mapping[str, object] | None = None,
+    configuration_updates: Mapping[str, str] | None = None,
     _pre_commit_hook=None,
 ) -> dict:
     """File-level-rewrite MERGE into an UNPARTITIONED Delta dimension:
@@ -2717,8 +2756,19 @@ def merge_dim_deltalog(
         ).first()
         # __file provenance is the BASENAME (uuid — globally unique by
         # construction); map back to the add-action rel paths, which
-        # carry the partition directory on partitioned tables
+        # carry the partition directory on partitioned tables. A log
+        # produced by ANOTHER writer could reuse a basename across
+        # partition dirs — two files would silently collapse onto one
+        # rel path and the rewrite would target the wrong file, so
+        # refuse instead of guessing (ADVICE r12 low)
         by_name = {os.path.basename(f): f for f in files}
+        if len(by_name) != len(files):
+            raise ValueError(
+                "duplicate file basenames across partition directories "
+                "(foreign-writer log?) — basename provenance cannot "
+                "identify files uniquely; compact/rewrite the table "
+                "with this writer before keyed merges"
+            )
         changed_names = sorted(agg["cf"] or [])
         changed_files = [by_name[n] for n in changed_names]
         has_inserts = bool(agg["ins"])
@@ -2858,9 +2908,17 @@ def merge_dim_deltalog(
                     table, on, preimages=True,
                 )
             )
-        if evolved:
+        if evolved or configuration_updates:
+            # configuration_updates ride IN the merge commit (one
+            # atomic version advances both the rows and the recorded
+            # keys — apply_changes' sequence fence depends on this)
             new_meta = dict(meta)
             new_meta["schemaString"] = schema.json()
+            if configuration_updates:
+                new_meta["configuration"] = {
+                    **(meta.get("configuration") or {}),
+                    **configuration_updates,
+                }
             actions.insert(0, {"metaData": new_meta})
         actions.insert(
             0,
@@ -2978,6 +3036,49 @@ def insert_if_absent_deltalog(
     return _occ_retry(_attempt, 3)
 
 
+#: metaData configuration key prefix under which apply_changes_deltalog
+#: records the HIGHEST sequence value it has applied per sequence_col —
+#: the DLT-style high-water mark that fences stale/out-of-order ranges
+_APPLY_HW_KEY = "etlSpark.applyChanges.highWater."
+
+
+def _seq_encode(v) -> str:
+    """JSON-encode an applied-sequence high-water mark for the table
+    configuration. int/float/str pass natively; date/datetime/Decimal
+    are tagged so the decode round-trips the TYPE (the fence filter
+    needs a comparably-typed Spark literal, and Python-side max()
+    needs like types)."""
+    import datetime
+    import decimal
+
+    if isinstance(v, datetime.datetime):
+        return json.dumps({"__ts__": v.isoformat()})
+    if isinstance(v, datetime.date):
+        return json.dumps({"__date__": v.isoformat()})
+    if isinstance(v, decimal.Decimal):
+        return json.dumps({"__dec__": str(v)})
+    if isinstance(v, (bool,)) or not isinstance(v, (int, float, str)):
+        raise TypeError(
+            f"unsupported sequence high-water type: {type(v).__name__}"
+        )
+    return json.dumps(v)
+
+
+def _seq_decode(s: str):
+    import datetime
+    import decimal
+
+    v = json.loads(s)
+    if isinstance(v, dict):
+        if "__ts__" in v:
+            return datetime.datetime.fromisoformat(v["__ts__"])
+        if "__date__" in v:
+            return datetime.date.fromisoformat(v["__date__"])
+        if "__dec__" in v:
+            return decimal.Decimal(v["__dec__"])
+    return v
+
+
 def apply_changes_deltalog(
     spark: SparkSession,
     table: str,
@@ -2985,6 +3086,7 @@ def apply_changes_deltalog(
     on: Sequence[str],
     sequence_col: str | None = None,
     max_retries: int = 3,
+    sequence_fence: bool = True,
     **merge_kwargs,
 ) -> dict:
     """APPLY a change feed to a keyed Delta table as ONE atomic commit
@@ -3001,37 +3103,124 @@ def apply_changes_deltalog(
     for feeds from :func:`delta_table_changes` / the cdc stream): the
     LATEST change per key wins; ties break on delete-last (a delete
     and an upsert at the same sequence apply the delete, matching the
-    net-change discipline). Without it the feed must already be
-    one-change-per-key.
+    net-change discipline), then on a stable hash of the row image so
+    two NON-delete changes sharing (key, sequence) pick one winner
+    DETERMINISTICALLY — re-applying such a feed is a no-op rather
+    than a coin flip (ADVICE r12 low). Without ``sequence_col`` the
+    feed must already be one-change-per-key.
+
+    ``sequence_fence`` (default True, r13 — VERDICT r12 top task)
+    persists the applied high-water mark ``max(sequence_col)`` in the
+    table's metaData configuration, IN the same commit as the merge
+    (atomic: rows and fence advance together, the per-key applied-
+    sequence discipline DLT keeps for exactly this). The next apply
+    filters ``sequence <= high_water`` out BEFORE winner selection,
+    so replaying an OLDER change range after a newer one is a fenced
+    no-op instead of a silent row regression; a feed whose surviving
+    rows are value-identical to the target still advances the fence
+    (metadata-only commit) so the mark stays monotone. The fence is
+    per ``sequence_col`` name — a table applied under two different
+    ordering columns keeps independent marks. The whole read-fence →
+    filter → merge → advance sequence runs inside ONE optimistic-
+    concurrency attempt: a racing writer's commit re-runs the
+    attempt against the NEW snapshot and the NEW fence, so two
+    concurrent appliers can never regress each other's marks.
 
     This closes the loop: ``published_set_changes`` (or the cdc
     stream's micro-batches via foreachBatch) feed a downstream mart
-    with exactly-once semantics from batch idempotence + the atomic
-    commit — re-applying the same feed is a no-op."""
+    with exactly-once semantics from the fence + batch idempotence +
+    the atomic commit — re-applying the same feed is a no-op, and so
+    now is replaying any stale prefix of the feed."""
     if "_change_type" not in changes.columns:
         raise ValueError("changes frame must carry _change_type")
-    feed = changes.filter(F.col("_change_type") != "update_preimage")
-    if sequence_col is not None:
-        from pyspark.sql import Window
+    feed0 = changes.filter(F.col("_change_type") != "update_preimage")
+    if sequence_col is None:
+        src = feed0.withColumn(
+            "__delete", (F.col("_change_type") == "delete")
+        ).drop("_change_type")
+        return merge_dim_deltalog_with_retry(
+            spark, table, src, on,
+            max_retries=max_retries, delete_col="__delete", **merge_kwargs,
+        )
 
+    from pyspark.sql import Window
+
+    def _attempt() -> dict:
+        avail = _all_versions(table)
+        if not avail:
+            raise FileNotFoundError(f"not a delta table (no log): {table}")
+        pinned = avail[-1]
+        meta = _meta_at(table, pinned)
+        conf = dict(meta.get("configuration") or {})
+        hw_key = _APPLY_HW_KEY + sequence_col
+        old_hw = (
+            _seq_decode(conf[hw_key])
+            if sequence_fence and hw_key in conf
+            else None
+        )
+        feed = feed0
+        if old_hw is not None:
+            feed = feed.filter(F.col(sequence_col) > F.lit(old_hw))
+        feed_max = feed.agg(F.max(sequence_col)).first()[0]
+        if feed_max is None:
+            # empty feed, or every change at-or-below the fence:
+            # already applied — serve the no-op without paying a diff
+            return {
+                "version": None,
+                "fenced_out": old_hw is not None,
+                "applied_high_water": old_hw,
+            }
+        new_hw = feed_max if old_hw is None else max(old_hw, feed_max)
+        tie_cols = [
+            c for c in feed.columns if c not in (sequence_col, "_change_type")
+        ]
         w = Window.partitionBy(*on).orderBy(
             F.col(sequence_col).desc(),
             # delete-last tiebreak within one sequence value
             (F.col("_change_type") == "delete").cast("int").desc(),
+            # deterministic final tiebreak: stable row-image hash
+            F.xxhash64(*[F.col(c) for c in tie_cols]).desc(),
         )
-        feed = (
+        src = (
             feed.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
+            .drop(sequence_col)
+            .withColumn("__delete", (F.col("_change_type") == "delete"))
+            .drop("_change_type")
         )
-        feed = feed.drop(sequence_col)
-    src = feed.withColumn(
-        "__delete", (F.col("_change_type") == "delete")
-    ).drop("_change_type")
-    return merge_dim_deltalog_with_retry(
-        spark, table, src, on,
-        max_retries=max_retries, delete_col="__delete", **merge_kwargs,
-    )
+        cfg = {hw_key: _seq_encode(new_hw)} if sequence_fence else None
+        kw = dict(merge_kwargs)
+        kw["operation_parameters"] = {
+            **dict(kw.get("operation_parameters") or {}),
+            "appliedSequenceHighWater": _seq_encode(new_hw),
+        }
+        out = merge_dim_deltalog(
+            spark, table, src, on,
+            delete_col="__delete", configuration_updates=cfg, **kw,
+        )
+        if sequence_fence and out["version"] is None:
+            # the surviving changes were value-identical to the target
+            # → no merge commit carried the fence. Advance it anyway
+            # (metadata-only commit): without this, a later replay of
+            # an OLDER range would pass the stale fence and regress
+            # rows the in-order history already moved past.
+            new_meta = dict(meta)
+            new_meta["configuration"] = {
+                **conf, hw_key: _seq_encode(new_hw)
+            }
+            _commit(table, pinned + 1, [
+                _commit_info(
+                    "APPLY CHANGES FENCE",
+                    {"appliedSequenceHighWater": _seq_encode(new_hw)},
+                ),
+                {"metaData": new_meta},
+            ])
+            out = {**out, "version": pinned + 1, "fence_advanced": True}
+        out["applied_high_water"] = new_hw
+        return out
+
+    return _occ_retry(_attempt, max_retries)
 
 
 def merge_dim_deltalog_with_retry(
@@ -5100,8 +5289,10 @@ def vacuum_delta(
 #: shape, checkpoint layout) — it keys the /tmp fixture caches, so a
 #: bump auto-invalidates fixtures written by the previous format
 #: instead of serving stale bytes to the new reader. rev 2 = r11's
-#: keyed sparse RoaringBitmapArray (ADVICE r10 high).
-_ONDISK_FORMAT_REV = 2
+#: keyed sparse RoaringBitmapArray (ADVICE r10 high); rev 3 = r13's
+#: apply_changes sequence fence (a pre-fence fixture would take a
+#: fence-advance commit on its first rerun and flip rerun_noop).
+_ONDISK_FORMAT_REV = 3
 
 
 def _fixture_dir(sf_dir: str, tag: str = "deltalog_fix") -> str:
@@ -6431,9 +6622,17 @@ def _affected_files_for_predicate(
         .distinct()
         .collect()
     }
-    # basenames are globally unique uuids by construction — map back to
+    # basenames are globally unique uuids by construction (asserted:
+    # a foreign writer's colliding basenames would hide rows on the
+    # WRONG file — ADVICE r12 low) — map back to
     # the add paths without any URI-decoding dance
     by_name = {os.path.basename(p): p for p in active}
+    if len(by_name) != len(active):
+        raise ValueError(
+            "duplicate file basenames across partition directories "
+            "(foreign-writer log?) — basename provenance cannot "
+            "identify files uniquely for DV targeting"
+        )
     return sorted(by_name[n] for n in hit_names), active
 
 

@@ -5248,3 +5248,224 @@ def test_merge_dim_histogram_skips_nonfinite_float_keys(spark, tmp_path):
     got = {(str(r.k), r.v) for r in dl.read_delta_table(spark, d).collect()}
     assert ("2.5", 99) in got
     assert ("1.0", 10) in got
+
+
+# --------------------------------------------------------------------------
+# Round-13: apply_changes sequence fence + timestamp-pv pruning (ADVICE r12)
+# --------------------------------------------------------------------------
+
+
+def test_apply_changes_sequence_fence_blocks_stale_range(spark, tmp_path):
+    """Round 13 (VERDICT r12 top task): apply_changes_deltalog persists
+    the applied-sequence high-water mark IN the merge commit; replaying
+    an OLDER change range after a newer one is a fenced no-op, so the
+    mart equals the in-order result instead of regressing. A feed whose
+    surviving rows are value-identical still ADVANCES the fence
+    (metadata-only commit), keeping the mark monotone."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "fence")
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [(1, "a1"), (2, "a2"), (3, "a3")], "k long, v string"
+        ),
+        d,
+    )
+    newer = spark.createDataFrame(
+        [
+            ("update_postimage", 1, "v8", 8),
+            ("delete", 2, "a2", 6),
+            ("insert", 4, "new4", 6),
+        ],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    res = dl.apply_changes_deltalog(
+        spark, d, newer, ["k"], sequence_col="_commit_version"
+    )
+    assert res["version"] is not None
+    assert res["applied_high_water"] == 8
+    want = {(1, "v8"), (3, "a3"), (4, "new4")}
+    got = {(r.k, r.v) for r in dl.read_delta_table(spark, d).collect()}
+    assert got == want
+    # the fence rides in the MERGE commit's own metaData
+    _, meta, _ = dl._snapshot_state(d, None)
+    hw_key = dl._APPLY_HW_KEY + "_commit_version"
+    assert dl._seq_decode(meta["configuration"][hw_key]) == 8
+    # replaying an OLDER range [3,5] — stale update of k=1, a
+    # re-insert of the deleted k=2 — must be a fenced no-op
+    older = spark.createDataFrame(
+        [
+            ("update_postimage", 1, "v4", 4),
+            ("insert", 2, "back-from-the-dead", 3),
+        ],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    v_now = dl._all_versions(d)[-1]
+    res2 = dl.apply_changes_deltalog(
+        spark, d, older, ["k"], sequence_col="_commit_version"
+    )
+    assert res2["version"] is None and res2["fenced_out"]
+    assert dl._all_versions(d)[-1] == v_now
+    got2 = {(r.k, r.v) for r in dl.read_delta_table(spark, d).collect()}
+    assert got2 == want  # equals the in-order result
+    # a value-identical feed BEYOND the fence advances it without a
+    # data commit — a later replay below 9 then fences out too
+    same = spark.createDataFrame(
+        [("update_postimage", 1, "v8", 9)],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    res3 = dl.apply_changes_deltalog(
+        spark, d, same, ["k"], sequence_col="_commit_version"
+    )
+    assert res3.get("fence_advanced") and res3["version"] == v_now + 1
+    _, meta3, _ = dl._snapshot_state(d, None)
+    assert dl._seq_decode(meta3["configuration"][hw_key]) == 9
+    assert {
+        (r.k, r.v) for r in dl.read_delta_table(spark, d).collect()
+    } == want
+    # fence can be declined: sequence_fence=False applies the stale
+    # range (pre-r13 semantics, the caller owns ordering)
+    res4 = dl.apply_changes_deltalog(
+        spark, d, older, ["k"],
+        sequence_col="_commit_version", sequence_fence=False,
+    )
+    assert res4["version"] is not None
+    assert dl.read_delta_table(spark, d).filter("k = 2").count() == 1
+
+
+def test_apply_changes_same_sequence_tiebreak_deterministic(spark, tmp_path):
+    """ADVICE r12 low: two NON-delete changes for one key at the SAME
+    sequence value pick one winner deterministically (stable row-image
+    hash) — two independent applications of the same feed land the
+    same row, so re-apply/replay is reproducible, not a coin flip."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    feed = spark.createDataFrame(
+        [
+            ("update_postimage", 1, "left", 5),
+            ("update_postimage", 1, "right", 5),
+        ],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    winners = []
+    for name in ("t1", "t2"):
+        d = str(tmp_path / name)
+        dl.write_delta_table(
+            spark.createDataFrame([(1, "base")], "k long, v string"), d
+        )
+        dl.apply_changes_deltalog(
+            spark, d, feed, ["k"], sequence_col="_commit_version"
+        )
+        rows = dl.read_delta_table(spark, d).collect()
+        assert len(rows) == 1
+        winners.append(rows[0].v)
+    assert winners[0] == winners[1]
+    assert winners[0] in ("left", "right")
+
+
+def test_stats_range_split_hive_timestamp_partition_value():
+    """ADVICE r12 medium: hive timestamp partitionValues use a SPACE
+    separator while datetime bounds isoformat() to 'T'; since
+    ' ' < 'T', a pv sharing the bound's date compared below lo and the
+    file was FALSELY pruned. Post-fix: in-range pvs keep, out-of-range
+    pvs still prune, plain strings keep exact semantics."""
+    import datetime
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    active = {
+        "in_range": {
+            "partitionValues": {"ts": "2024-01-15 10:30:00"}, "stats": None
+        },
+        "after": {
+            "partitionValues": {"ts": "2024-01-16 00:00:01"}, "stats": None
+        },
+        "before": {
+            "partitionValues": {"ts": "2024-01-14 23:59:59"}, "stats": None
+        },
+    }
+    lo = datetime.datetime(2024, 1, 15, 0, 0, 0)
+    hi = datetime.datetime(2024, 1, 15, 23, 59, 59)
+    keep, pruned = dl._stats_range_split(
+        active, list(active), "ts", lo, hi
+    )
+    assert keep == ["in_range"]
+    assert sorted(pruned) == ["after", "before"]
+    # plain strings: untouched semantics
+    active2 = {
+        "s1": {"partitionValues": {"c": "mango"}, "stats": None},
+        "s2": {"partitionValues": {"c": "apple"}, "stats": None},
+    }
+    keep2, pruned2 = dl._stats_range_split(
+        active2, list(active2), "c", "m", "z"
+    )
+    assert keep2 == ["s1"] and pruned2 == ["s2"]
+
+
+def test_merge_dim_timestamp_partitioned_key_no_duplicates(spark, tmp_path):
+    """End-to-end twin of the pv-separator fix: a keyed merge whose
+    merge key IS a timestamp partition column must classify matched
+    rows as matches (update-in-place), never as inserts — pre-fix the
+    false prune hid the match and committed DUPLICATE keys."""
+    import datetime
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "tspart")
+    ts = [
+        datetime.datetime(2024, 1, 15, h, 30, 0) for h in (1, 8, 20)
+    ]
+    base = spark.createDataFrame(
+        [(t, i * 10) for i, t in enumerate(ts)], "ts timestamp, v long"
+    )
+    dl.write_delta_table(base, d, partition_by=["ts"])
+    src = spark.createDataFrame([(ts[1], 999)], "ts timestamp, v long")
+    dl.merge_dim_deltalog(spark, d, src, ["ts"])
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == 3  # no duplicate key rows
+    assert got.filter(F.col("ts") == ts[1]).count() == 1
+    assert got.filter(F.col("ts") == ts[1]).first()["v"] == 999
+
+
+def test_basename_collision_refused(spark, tmp_path):
+    """ADVICE r12 low: a foreign-writer log reusing one basename across
+    partition directories cannot be keyed-merged on basename
+    provenance — the merge refuses loudly instead of rewriting the
+    wrong file."""
+    import json as _json
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "collide")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, p string, v long"
+    )
+    dl.write_delta_table(base, d, partition_by=["p"])
+    # forge a foreign log: rename both files to ONE shared basename
+    log = os.path.join(d, "_delta_log")
+    v = dl._all_versions(d)[-1]
+    acts = [
+        _json.loads(l)
+        for l in open(os.path.join(log, f"{v:020d}.json"))
+    ]
+    new_acts = []
+    for a in acts:
+        if "add" in a:
+            old_rel = a["add"]["path"]
+            part_dir = os.path.dirname(old_rel)
+            new_rel = os.path.join(part_dir, "same-name.parquet")
+            os.replace(os.path.join(d, old_rel), os.path.join(d, new_rel))
+            new_acts.append(
+                {"remove": {"path": old_rel, "dataChange": True}}
+            )
+            a["add"]["path"] = new_rel
+            new_acts.append(a)
+    with open(os.path.join(log, f"{v + 1:020d}.json"), "w") as fh:
+        for a in new_acts:
+            fh.write(_json.dumps(a) + "\n")
+    # touch BOTH partitions so both colliding files are diff candidates
+    src = spark.createDataFrame(
+        [(1, "a", 99), (2, "b", 88)], "k long, p string, v long"
+    )
+    with pytest.raises(ValueError, match="basename"):
+        dl.merge_dim_deltalog(spark, d, src, ["k"])
