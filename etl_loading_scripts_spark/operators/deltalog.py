@@ -3243,34 +3243,94 @@ def merge_dim_deltalog_with_retry(
 
 
 #: how many set versions back _last_pinned_version scans before giving
-#: up — bounds the per-publish driver reads on warehouses with long set
-#: histories; a table last pinned further back simply merges unfenced
+#: up on a LEGACY coordinator (pre-r13, no pin index) — bounds the
+#: per-publish driver reads on warehouses with long set histories; a
+#: table last pinned further back simply merges unfenced. Indexed
+#: coordinators (every setCommit since r13 carries ``pins``) never
+#: scan: the lookup is O(1) from the newest setCommit alone.
 _PIN_SCAN_LIMIT = 200
+
+
+def _set_commit_at(coord: str, sv: int) -> dict:
+    """The setCommit action at coordinator version ``sv``; a commit
+    without one is torn or foreign — proceeding with an OLDER pin
+    could fence away committed state, so fail loudly instead
+    (ADVICE r10 low)."""
+    sc = next(
+        (a["setCommit"] for a in _read_actions(coord, sv) if "setCommit" in a),
+        None,
+    )
+    if sc is None:
+        raise ValueError(
+            f"set log {coord} version {sv} has no setCommit action "
+            "(torn or foreign write) — repair the coordinator log "
+            "before publishing"
+        )
+    return sc
 
 
 def _last_pinned_version(base_dir: str, name: str) -> int | None:
     """The table version the MOST RECENT committed set that includes
-    ``name`` pinned — scanning back (bounded by ``_PIN_SCAN_LIMIT``)
-    through set versions because set compositions may vary; None when
-    no scanned set pinned the table."""
+    ``name`` pinned; None when no set pinned the table.
+
+    O(1) on an indexed coordinator (r13 — VERDICT r12 item 5): every
+    setCommit carries ``pins`` = {table: last table version pinned},
+    carried forward across varying set compositions, so ONE read of
+    the newest setCommit answers the lookup — no backward scan, and a
+    stream's set-consistent cap can never stall on a table whose pin
+    sits beyond a scan window (the r12 seam: pins older than
+    ``_PIN_SCAN_LIMIT`` silently served None). Legacy coordinators
+    (no ``pins`` field) keep the bounded backward scan until their
+    next publish writes the index."""
     coord = os.path.join(base_dir, _SET_DIR)
-    for sv in reversed(_versions(coord)[-_PIN_SCAN_LIMIT:]):
-        sc = next(
-            (a["setCommit"] for a in _read_actions(coord, sv) if "setCommit" in a),
-            None,
-        )
-        if sc is None:
-            # a coordinator commit with no setCommit action is torn or
-            # foreign — proceeding with an OLDER pin could fence away
-            # committed state, so fail loudly instead (ADVICE r10 low)
-            raise ValueError(
-                f"set log {coord} version {sv} has no setCommit action "
-                "(torn or foreign write) — repair the coordinator log "
-                "before publishing"
-            )
+    vs = _versions(coord)
+    if not vs:
+        return None
+    newest = _set_commit_at(coord, vs[-1])
+    pins = newest.get("pins")
+    if pins is not None:
+        tv = pins.get(name)
+        return None if tv is None else int(tv)
+    for sv in reversed(vs[-_PIN_SCAN_LIMIT:]):
+        sc = _set_commit_at(coord, sv)
         if name in sc["tables"]:
             return sc["tables"][name]
     return None
+
+
+def _set_pins_for_commit(
+    coord: str, prev_sv: int, table_versions: Mapping[str, int]
+) -> tuple[dict, bool]:
+    """(pins, complete) for the NEXT setCommit: the previous commit's
+    index carried forward, overlaid with this set's tables at their
+    new versions. A LEGACY predecessor (pre-r13, no ``pins``) is
+    reconstructed by one full backward scan — a one-time migration
+    cost paid at PUBLISH time (publishes are rare; stream triggers are
+    not), after which every lookup is O(1). ``complete`` records
+    whether the index provably covers the coordinator's ENTIRE pin
+    history: False when old set versions were retired before the
+    reconstruction (those may have pinned tables the remaining JSONs
+    never mention) — :func:`_rebootstrap_safe` must not accept a
+    never-pinned proof from an incomplete index."""
+    if prev_sv < 0:
+        pins, complete = {}, True
+    else:
+        prev = _set_commit_at(coord, prev_sv)
+        prev_pins = prev.get("pins")
+        if prev_pins is not None:
+            pins = {str(k): int(v) for k, v in prev_pins.items()}
+            complete = bool(prev.get("pinsComplete", False))
+        else:
+            svs = _versions(coord)
+            pins = {}
+            for sv in svs:
+                if sv > prev_sv:
+                    break
+                for n, tv in _set_commit_at(coord, sv)["tables"].items():
+                    pins[str(n)] = int(tv)
+            complete = bool(svs) and svs[0] == 0
+    pins.update({str(n): int(tv) for n, tv in table_versions.items()})
+    return pins, complete
 
 
 def _rebootstrap_safe(base_dir: str, name: str, tpath: str) -> bool:
@@ -3307,6 +3367,17 @@ def _rebootstrap_safe(base_dir: str, name: str, tpath: str) -> bool:
     svs = _versions(coord)
     if svs and svs[0] != 0:
         return False  # set versions retired: pin history unverifiable
+    if svs:
+        try:
+            newest = _set_commit_at(coord, svs[-1])
+        except ValueError:
+            return False  # torn newest set commit: merge on top
+        pins = newest.get("pins")
+        if pins is not None and newest.get("pinsComplete"):
+            # the r13 pin index covers the entire pin history: one
+            # read proves never-pinned (or refutes it) — the unbounded
+            # scan below survives only for legacy coordinators
+            return name not in pins and name not in newest["tables"]
     for sv in svs:
         sc = next(
             (a.get("setCommit") for a in _read_actions(coord, sv) if "setCommit" in a),
@@ -3897,10 +3968,20 @@ def publish_set_deltalog(
                             os.path.join(base_dir, name), checkpoint_interval,
                             spark=df.sparkSession,
                         )
+        pins, pins_complete = _set_pins_for_commit(
+            coord, observed_set_v, table_versions
+        )
         action = {
             "setCommit": {
                 "tables": dict(table_versions),
                 "timestamp": int(time.time() * 1000),
+                # pin INDEX (r13): {table: last pinned table version}
+                # carried forward across sets, so pin lookups and the
+                # stream's set-consistent cap are O(1) from the newest
+                # setCommit alone — no backward scan, no stall when a
+                # table's pin outlives a scan window
+                "pins": pins,
+                "pinsComplete": pins_complete,
             }
         }
         # committed at the OBSERVED version + 1, never a re-listed one:
