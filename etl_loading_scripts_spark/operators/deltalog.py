@@ -3145,6 +3145,60 @@ def apply_changes_deltalog(
 
     from pyspark.sql import Window
 
+    def _merge(feed: DataFrame, cfg, op_params) -> dict:
+        tie_cols = [
+            c for c in feed.columns if c not in (sequence_col, "_change_type")
+        ]
+        w = Window.partitionBy(*on).orderBy(
+            F.col(sequence_col).desc(),
+            # delete-last tiebreak within one sequence value
+            (F.col("_change_type") == "delete").cast("int").desc(),
+            # deterministic final tiebreak: stable row-image hash
+            F.xxhash64(*[F.col(c) for c in tie_cols]).desc(),
+        )
+        src = (
+            feed.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+            .drop(sequence_col)
+            .withColumn("__delete", (F.col("_change_type") == "delete"))
+            .drop("_change_type")
+        )
+        kw = dict(merge_kwargs)
+        kw["operation_parameters"] = {
+            **dict(kw.get("operation_parameters") or {}), **op_params,
+        }
+        return merge_dim_deltalog(
+            spark, table, src, on,
+            delete_col="__delete", configuration_updates=cfg, **kw,
+        )
+
+    return _run_fenced_apply(
+        table, feed0, sequence_col, sequence_fence, max_retries, _merge
+    )
+
+
+def _run_fenced_apply(
+    table: str,
+    feed0: DataFrame,
+    sequence_col: str,
+    sequence_fence: bool,
+    max_retries: int,
+    build_and_merge,
+) -> dict:
+    """Shared OCC + sequence-fence harness for the APPLY CHANGES
+    family: reads the persisted high-water mark, filters
+    already-applied sequences out, hands the surviving feed (plus the
+    configuration update and commitInfo params that must ride IN the
+    merge commit) to ``build_and_merge(feed, cfg, op_params) -> merge
+    result``, and advances the fence in a metadata-only commit when
+    the merge itself was a value-identical no-op — without that, a
+    later replay of an OLDER range would pass the stale fence and
+    regress rows the in-order history already moved past. The whole
+    read-fence → filter → merge → advance runs inside ONE optimistic-
+    concurrency attempt: a racing writer's commit re-runs it against
+    the NEW snapshot and the NEW fence."""
+
     def _attempt() -> dict:
         avail = _all_versions(table)
         if not avail:
@@ -3171,40 +3225,11 @@ def apply_changes_deltalog(
                 "applied_high_water": old_hw,
             }
         new_hw = feed_max if old_hw is None else max(old_hw, feed_max)
-        tie_cols = [
-            c for c in feed.columns if c not in (sequence_col, "_change_type")
-        ]
-        w = Window.partitionBy(*on).orderBy(
-            F.col(sequence_col).desc(),
-            # delete-last tiebreak within one sequence value
-            (F.col("_change_type") == "delete").cast("int").desc(),
-            # deterministic final tiebreak: stable row-image hash
-            F.xxhash64(*[F.col(c) for c in tie_cols]).desc(),
-        )
-        src = (
-            feed.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
-            .drop(sequence_col)
-            .withColumn("__delete", (F.col("_change_type") == "delete"))
-            .drop("_change_type")
-        )
         cfg = {hw_key: _seq_encode(new_hw)} if sequence_fence else None
-        kw = dict(merge_kwargs)
-        kw["operation_parameters"] = {
-            **dict(kw.get("operation_parameters") or {}),
-            "appliedSequenceHighWater": _seq_encode(new_hw),
-        }
-        out = merge_dim_deltalog(
-            spark, table, src, on,
-            delete_col="__delete", configuration_updates=cfg, **kw,
+        out = build_and_merge(
+            feed, cfg, {"appliedSequenceHighWater": _seq_encode(new_hw)}
         )
         if sequence_fence and out["version"] is None:
-            # the surviving changes were value-identical to the target
-            # → no merge commit carried the fence. Advance it anyway
-            # (metadata-only commit): without this, a later replay of
-            # an OLDER range would pass the stale fence and regress
-            # rows the in-order history already moved past.
             new_meta = dict(meta)
             new_meta["configuration"] = {
                 **conf, hw_key: _seq_encode(new_hw)
@@ -3221,6 +3246,143 @@ def apply_changes_deltalog(
         return out
 
     return _occ_retry(_attempt, max_retries)
+
+
+def apply_changes_scd2_deltalog(
+    spark: SparkSession,
+    table: str,
+    changes: DataFrame,
+    on: Sequence[str],
+    sequence_col: str,
+    tracked: Sequence[str] | None = None,
+    from_col: str = "valid_from",
+    to_col: str = "valid_to",
+    current_col: str = "is_current",
+    max_retries: int = 3,
+    sequence_fence: bool = True,
+    **merge_kwargs,
+) -> dict:
+    """APPLY a change feed to a TYPE-2 history mart on the log — the
+    ``STORED AS SCD TYPE 2`` half of the DLT APPLY CHANGES INTO shape
+    (r13, VERDICT r12 item 4), composing :func:`apply_changes_deltalog`'s
+    fence discipline with :func:`operators.mutations.scd2_apply`'s
+    validity semantics. The target table's rows are versions keyed by
+    (``on``…, ``from_col``) carrying half-open ``[valid_from,
+    valid_to)`` in SEQUENCE values (``valid_to`` NULL = open) plus
+    ``is_current``. Each surviving change becomes a version row:
+
+    - an insert/update at sequence s closes the key's current version
+      at s and opens ``[s, NULL)`` with the new image;
+    - a delete at s closes the current version at s and opens nothing
+      (the key has no current row until a later insert);
+    - value-identical updates COLLAPSE (no spurious version — the
+      scd2_apply no-op discipline), as do deletes of absent keys;
+    - multiple changes per key in one feed chain intermediate
+      versions ``[s_i, s_{i+1})`` exactly as DLT materializes them.
+
+    The sequence fence (default on, same metaData high-water key as
+    the type-1 apply) makes re-application and stale-range replay
+    fenced no-ops — REQUIRED for idempotence here: without it a
+    replayed feed would order below the seeded current versions and
+    chain backward intervals. ``sequence_fence=False`` is only for
+    feeds the caller proves disjoint and in-order.
+
+    Scale: winner-dedup and chain windows run over the BATCH (never
+    the table); the current-version seed is a key-semi-joined,
+    column-complete scan of current rows only; the write is
+    :func:`merge_dim_deltalog` on (key…, valid_from) — file-pruned,
+    O(affected versions), history files untouched. Returns the merge
+    result dict plus ``applied_high_water``."""
+    from pyspark.sql import Window
+
+    if "_change_type" not in changes.columns:
+        raise ValueError("changes frame must carry _change_type")
+    on = list(on)
+    if tracked is None:
+        tracked = [
+            c for c in changes.columns
+            if c not in on and c not in (sequence_col, "_change_type")
+        ]
+    tracked = list(tracked)
+    feed0 = changes.filter(F.col("_change_type") != "update_preimage")
+
+    def _merge(feed: DataFrame, cfg, op_params) -> dict:
+        # winner per (key, sequence): delete-last, then stable hash
+        w0 = Window.partitionBy(*on, sequence_col).orderBy(
+            (F.col("_change_type") == "delete").cast("int").desc(),
+            F.xxhash64(*[F.col(c) for c in tracked]).desc(),
+        )
+        batch = (
+            feed.withColumn("__rn", F.row_number().over(w0))
+            .filter(F.col("__rn") == 1)
+            .select(
+                *on, *tracked,
+                F.col(sequence_col).alias("__seq"),
+                (F.col("_change_type") == "delete").alias("__del"),
+                F.lit(False).alias("__seed"),
+            )
+        )
+        # seed: the affected keys' CURRENT versions (semi-join keeps
+        # the scan O(batch keys), never O(history))
+        cur = read_delta_table(spark, table).filter(F.col(current_col))
+        seed = (
+            cur.join(batch.select(*on).distinct(), on, "left_semi")
+            .select(
+                *on, *tracked,
+                F.col(from_col).alias("__seq"),
+                F.lit(False).alias("__del"),
+                F.lit(True).alias("__seed"),
+            )
+        )
+        allr = seed.unionByName(batch)
+        wk = Window.partitionBy(*on).orderBy(
+            F.col("__seed").desc(), F.col("__seq").asc()
+        )
+        img = F.struct(*[F.col(c) for c in tracked])
+        prev_img = F.lag(img).over(wk)
+        prev_del = F.lag("__del").over(wk)
+        first = prev_del.isNull()
+        # collapse no-ops: value-identical non-delete runs keep only
+        # their first row (identity is transitive within a run, so one
+        # lag pass suffices); deletes of absent/already-deleted keys drop
+        drop = (~F.col("__seed")) & (
+            (F.col("__del") & (first | F.coalesce(prev_del, F.lit(False))))
+            | (
+                ~F.col("__del") & ~first
+                & ~F.coalesce(prev_del, F.lit(False))
+                & prev_img.eqNullSafe(img)
+            )
+        )
+        kept = allr.withColumn("__drop", drop).filter(~F.col("__drop"))
+        nxt = F.lead("__seq").over(
+            Window.partitionBy(*on).orderBy(
+                F.col("__seed").desc(), F.col("__seq").asc()
+            )
+        )
+        chained = kept.withColumn("__next", nxt).filter(
+            # untouched current versions (seed with no successor) stay
+            # out of the merge source; delete rows emit no version
+            ~(F.col("__seed") & F.col("__next").isNull()) & ~F.col("__del")
+        )
+        src = chained.select(
+            *on, *tracked,
+            F.col("__seq").alias(from_col),
+            F.col("__next").alias(to_col),
+            F.col("__next").isNull().alias(current_col),
+        )
+        kw = dict(merge_kwargs)
+        kw["operation_parameters"] = {
+            **dict(kw.get("operation_parameters") or {}),
+            "scdType": "2", **op_params,
+        }
+        return merge_dim_deltalog(
+            spark, table, src, [*on, from_col],
+            configuration_updates=cfg, **kw,
+        )
+
+    return _run_fenced_apply(
+        table, feed0, sequence_col, sequence_fence, max_retries, _merge
+    )
 
 
 def merge_dim_deltalog_with_retry(
@@ -4635,12 +4797,26 @@ def _make_delta_stream_source():
             # result is valid until a NEW set commits): steady-state
             # triggers pay one dir listing, not a JSON scan-back
             self._pin_memo: tuple[int, int | None] | None = None
+            # RESUME FLOOR (round 13, VERDICT r12 item 3): set ONLY
+            # when Spark asks for a BACKWARD batch (start > end) —
+            # the one shape a restarted sidecar-less query produces
+            # when the default-bounded first latestOffset lands below
+            # Spark's checkpointed offset. The backward batch's start
+            # IS the committed frontier: everything at or below it was
+            # served before the restart, so subsequent forward batches
+            # clamp their low side to it (exactly-once, no gap).
+            # Gating on the backward signature keeps every other
+            # partitions() caller — WAL replay, direct-reader range
+            # reads, foreachBatch bridges — byte-identical.
+            self._resume_floor: int | None = None
             # the last offset this reader HANDED OUT — the base each
             # bounded advance steps from. Learned from initialOffset
             # (fresh query), partitions() (restart), or the offset
             # SIDECAR below (round 12): the Python API's latestOffset
-            # carries no start, so without a sidecar the FIRST batch of
-            # a restarted run is unbounded.
+            # carries no start. r13: an unknown base default-bounds
+            # from -1/startingVersion — the sidecar remains the way a
+            # restarted run avoids one empty backward batch, but is no
+            # longer required for boundedness or exactly-once.
             self._planned: int | None = None
             # round 12 (VERDICT r11 item 4): an optional
             # checkpointLocation option names a directory where commit()
@@ -4660,7 +4836,9 @@ def _make_delta_stream_source():
                     with open(self._sidecar) as fh:
                         self._planned = int(json.load(fh)["version"])
                 except (ValueError, KeyError, OSError):
-                    self._planned = None  # torn sidecar: unbounded, as before
+                    # torn sidecar: fall back to the default bound +
+                    # served-floor clamp (r13) — still exactly-once
+                    self._planned = None
 
         def initialOffset(self) -> dict:
             # the engine may call latestOffset BEFORE initialOffset on
@@ -4691,21 +4869,25 @@ def _make_delta_stream_source():
                     cur = -1 if self._planned is None else self._planned
                     return {"version": max(cur, -1)}
             base = self._planned
-            if base is None and self._sidecar is not None:
-                # a configured sidecar whose file does not exist proves
-                # this is a FRESH query (commit() would have written
-                # it): bound from the beginning (or from
-                # startingVersion). Without a sidecar an unknown base
-                # stays unbounded — a restart's true start lives only
-                # in Spark's checkpoint, and guessing low could plan
-                # ends below it.
+            if base is None:
+                # round 13 (VERDICT r12 item 3): an unknown base is
+                # DEFAULT-BOUNDED from the beginning (or from
+                # startingVersion) — the fresh-query-without-
+                # checkpointLocation first batch, the most likely
+                # consumer mistake, now gets trigger-bounded batches
+                # like every other. Pre-r13 this stayed unbounded
+                # because a restarted query's true start lives only in
+                # Spark's checkpoint and a low guess planned ends below
+                # it; the partitions() served-floor clamp makes that
+                # shape safe now (the backward batch serves nothing,
+                # the floor snaps to Spark's committed start, and the
+                # next advance resumes exactly-once from there).
                 base = -1 if self._starting is None else self._starting - 1
-            if base is None or base >= newest:
+            if base >= newest:
                 # under a set cap, never move the offset BACKWARD past
                 # an already-planned position (base > newest can only
-                # mean the planned offset ran ahead of the pin scan's
-                # bounded window — hold)
-                self._planned = newest if base is None else max(base, newest)
+                # mean the planned offset ran ahead of the pin — hold)
+                self._planned = max(base, newest)
                 return {"version": self._planned}
             end = newest
             if self._max_versions is not None:
@@ -4745,9 +4927,18 @@ def _make_delta_stream_source():
             if self._sidecar is None:
                 return
             os.makedirs(os.path.dirname(self._sidecar), exist_ok=True)
+            v = int(end["version"])
+            try:
+                # never regress: a backward batch (restart with a low
+                # default-bounded first offset) must not shrink the
+                # recorded resume point
+                with open(self._sidecar) as fh:
+                    v = max(v, int(json.load(fh)["version"]))
+            except (ValueError, KeyError, OSError):
+                pass
             tmp = f"{self._sidecar}.tmp-{uuid.uuid4().hex}"
             with open(tmp, "w") as fh:
-                json.dump({"version": int(end["version"])}, fh)
+                json.dump({"version": v}, fh)
             os.replace(tmp, self._sidecar)
 
         # -- driver side: plan one partition per file -----------------
@@ -4755,9 +4946,26 @@ def _make_delta_stream_source():
         def partitions(self, start: dict, end: dict):
             lo = start.get("version", -1)
             hi = end["version"]
+            if hi < lo:
+                # BACKWARD batch — the restarted-sidecar-less shape:
+                # Spark's committed offset (lo) exceeds the available
+                # offset it just planned. Serve nothing (hi <= lo
+                # below) and remember the committed frontier.
+                self._resume_floor = max(self._resume_floor or -1, lo)
+            elif self._resume_floor is not None:
+                # resume-floor clamp: the overlap below the frontier
+                # was served before the restart — skip exactly it
+                # (min() keeps lo <= hi: a fully-covered range serves
+                # empty)
+                lo = max(lo, min(self._resume_floor, hi))
             # learn the run's position (bounds the NEXT advance after
-            # a checkpoint restart, where latestOffset never saw lo)
-            self._planned = max(self._planned or -1, hi)
+            # a checkpoint restart, where latestOffset never saw lo):
+            # the batch's START counts too — Spark only passes a start
+            # it committed or planned, so the next advance must never
+            # plan below it (round 13: the default-bounded first
+            # latestOffset of a restarted sidecar-less query can sit
+            # below Spark's checkpointed offset)
+            self._planned = max(self._planned or -1, lo, hi)
             specs = (
                 self._cdc_partitions(lo, hi)
                 if self._cdc

@@ -923,3 +923,183 @@ def delta_apply_changes_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(deletes_applied).alias("deletes_applied"),
         F.lit(rerun_noop).alias("rerun_noop"),
     )
+
+
+@register(
+    "delta_apply_changes_scd2",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k, c_name AS nm FROM customer
+    ),
+    changes AS (
+        SELECT k, 'r1_' || CAST(k AS VARCHAR) AS nm, 1 AS seq, 0 AS del
+        FROM base WHERE k % 10 = 0
+        UNION ALL
+        SELECT k, 'r1_' || CAST(k AS VARCHAR), 2, 1
+        FROM base WHERE k % 10 = 0
+        UNION ALL
+        SELECT k, 'r1_' || CAST(k AS VARCHAR), 1, 0
+        FROM base WHERE k % 10 = 1
+        UNION ALL
+        SELECT k, 'r3_' || CAST(k AS VARCHAR), 3, 0
+        FROM base WHERE k % 10 = 1
+        UNION ALL
+        SELECT k, nm, 1, 0 FROM base WHERE k % 10 = 2
+        UNION ALL
+        SELECT k, nm, 2, 1 FROM base WHERE k % 10 = 3
+        UNION ALL
+        SELECT k, 'back_' || CAST(k AS VARCHAR), 3, 0
+        FROM base WHERE k % 10 = 3
+        UNION ALL
+        SELECT k + 10000000, 'ins_' || CAST(k AS VARCHAR), 2, 0
+        FROM base WHERE k % 10 = 4
+    ),
+    allr AS (
+        SELECT k, nm, 0 AS seq, 0 AS del, 1 AS is_seed FROM base
+        UNION ALL
+        SELECT k, nm, seq, del, 0 FROM changes
+    ),
+    lagged AS (
+        SELECT *,
+               LAG(nm)  OVER w AS prev_nm,
+               LAG(del) OVER w AS prev_del
+        FROM allr
+        WINDOW w AS (PARTITION BY k ORDER BY is_seed DESC, seq ASC)
+    ),
+    kept AS (
+        -- COALESCE guards: a brand-new key's NULL lag must not
+        -- null-propagate the filter (3VL would drop the insert)
+        SELECT * FROM lagged
+        WHERE is_seed = 1
+           OR NOT (
+                (del = 1 AND COALESCE(prev_del, 1) = 1)
+             OR (del = 0 AND COALESCE(prev_del, -1) = 0
+                 AND COALESCE(prev_nm = nm, FALSE))
+           )
+    ),
+    chained AS (
+        SELECT *,
+               LEAD(seq) OVER (
+                   PARTITION BY k ORDER BY is_seed DESC, seq ASC
+               ) AS nxt
+        FROM kept
+    ),
+    versions AS (
+        SELECT k, nm, seq AS valid_from, nxt AS valid_to,
+               CAST(nxt IS NULL AS INT) AS is_current
+        FROM chained WHERE del = 0
+    )
+    SELECT is_current,
+           CAST(COUNT(*) AS BIGINT) AS n_versions,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(valid_from) AS BIGINT) AS sum_from,
+           CAST(SUM(COALESCE(valid_to, 0)) AS BIGINT) AS sum_to,
+           CAST(SUM(LENGTH(nm)) AS BIGINT) AS sum_nm_len,
+           CAST(COUNT(DISTINCT nm) AS BIGINT) AS n_nm,
+           1 AS rerun_noop
+    FROM versions GROUP BY is_current
+    """,
+    doc="APPLY CHANGES INTO ... STORED AS SCD TYPE 2 on the Delta log "
+    "(round 13 — VERDICT r12 item 4): a CDC feed materializes a "
+    "history-keeping mart with half-open [valid_from, valid_to) "
+    "sequence intervals. Update-then-delete keys close fully, "
+    "multi-update keys chain intermediate versions, value-identical "
+    "updates collapse (no spurious version), deleted-then-reinserted "
+    "keys reopen, and inserts open brand-new chains. The oracle "
+    "reconstructs the expected history in DuckDB with the same "
+    "lag/lead discipline; rerun_noop audits that re-applying the "
+    "identical feed is a FENCED no-op (the r13 sequence high-water "
+    "mark persisted in the merge commit).",
+)
+def delta_apply_changes_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: winner-dedup and chain windows run over the BATCH; the
+    current-version seed is a key-semi-joined scan of current rows; the
+    write is the file-pruned keyed merge on (k, valid_from) — history
+    files untouched. See operators/deltalog.py:apply_changes_scd2_
+    deltalog."""
+    import os
+    import shutil
+
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.operators.deltalog import (
+        _all_versions,
+        _fixture_dir,
+        apply_changes_scd2_deltalog,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    root = _fixture_dir(sf_dir, tag="scd2mart")
+    d = os.path.join(root, "mart")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("nm")
+    )
+
+    def feed():
+        def ch(pred, nm_expr, seq, ct):
+            return cust.filter(pred).select(
+                F.lit(ct).alias("_change_type"),
+                "k", nm_expr.alias("nm"),
+                F.lit(seq).cast("long").alias("_commit_version"),
+            )
+
+        r1 = F.concat(F.lit("r1_"), F.col("k").cast("string"))
+        r3 = F.concat(F.lit("r3_"), F.col("k").cast("string"))
+        back = F.concat(F.lit("back_"), F.col("k").cast("string"))
+        return (
+            ch(F.col("k") % 10 == 0, r1, 1, "update_postimage")
+            .unionByName(ch(F.col("k") % 10 == 0, r1, 2, "delete"))
+            .unionByName(ch(F.col("k") % 10 == 1, r1, 1, "update_postimage"))
+            .unionByName(ch(F.col("k") % 10 == 1, r3, 3, "update_postimage"))
+            .unionByName(  # value-identical: must collapse
+                ch(F.col("k") % 10 == 2, F.col("nm"), 1, "update_postimage")
+            )
+            .unionByName(ch(F.col("k") % 10 == 3, F.col("nm"), 2, "delete"))
+            .unionByName(ch(F.col("k") % 10 == 3, back, 3, "insert"))
+            .unionByName(
+                cust.filter(F.col("k") % 10 == 4).select(
+                    F.lit("insert").alias("_change_type"),
+                    (F.col("k") + 10_000_000).alias("k"),
+                    F.concat(F.lit("ins_"), F.col("k").cast("string"))
+                    .alias("nm"),
+                    F.lit(2).cast("long").alias("_commit_version"),
+                )
+            )
+        )
+
+    if len(_all_versions(d)) < 2:
+        if os.path.isdir(root):
+            shutil.rmtree(root)
+        write_delta_table(
+            cust.select(
+                "k", "nm",
+                F.lit(0).cast("long").alias("valid_from"),
+                F.lit(None).cast("long").alias("valid_to"),
+                F.lit(True).alias("is_current"),
+            ).repartitionByRange(4, "k"),
+            d,
+        )
+        apply_changes_scd2_deltalog(
+            spark, d, feed(), ["k"], sequence_col="_commit_version"
+        )
+    got = read_delta_table(spark, d)
+    v_now = _all_versions(d)[-1]
+    rerun = apply_changes_scd2_deltalog(
+        spark, d, feed(), ["k"], sequence_col="_commit_version"
+    )
+    rerun_noop = int(
+        rerun["version"] is None and _all_versions(d)[-1] == v_now
+    )
+    return got.groupBy(
+        F.col("is_current").cast("int").alias("is_current")
+    ).agg(
+        F.count(F.lit(1)).alias("n_versions"),
+        F.sum("k").alias("sum_k"),
+        F.sum("valid_from").alias("sum_from"),
+        F.sum(F.coalesce(F.col("valid_to"), F.lit(0))).alias("sum_to"),
+        F.sum(F.length("nm")).cast("bigint").alias("sum_nm_len"),
+        F.countDistinct("nm").alias("n_nm"),
+    ).select(
+        "is_current", "n_versions", "sum_k", "sum_from", "sum_to",
+        "sum_nm_len", "n_nm", F.lit(rerun_noop).alias("rerun_noop"),
+    )

@@ -3674,9 +3674,11 @@ def test_delta_stream_trigger_bounds_catchup(spark, tmp_path):
         cur = end
     assert len(ends2) >= 4 and ends2[-1] == 8
     # restart learning: a reader that never saw initialOffset (a
-    # checkpointed restart) bounds from the first partitions() call on
+    # checkpointed restart) is DEFAULT-BOUNDED from -1 (r13); the
+    # first partitions() call — Spark's WAL replay — snaps the base
+    # to the real position and every later advance bounds from it
     r3 = _stream_reader(spark, d, maxversionspertrigger="2")
-    assert r3.latestOffset() == {"version": 8}  # first call: unbounded
+    assert r3.latestOffset() == {"version": 1}  # default-bounded: -1+2
     r3.partitions({"version": 3}, {"version": 8})
     dl.write_delta_table(
         spark.createDataFrame([(99, 990)], "k long, v long").coalesce(1),
@@ -4374,13 +4376,15 @@ def test_stream_checkpoint_restart_bounded(spark, tmp_path):
         r2.commit({"version": hi})
         lo = hi
     assert sorted(rows) == [(i, i * 10) for i in range(6)]
-    # a reader WITHOUT the option behaves exactly as before (unbounded
-    # restart) and never writes a sidecar
+    # a reader WITHOUT the option is DEFAULT-BOUNDED from -1 (r13 —
+    # the resume-floor clamp keeps a restarted run exactly-once even
+    # though this first offset sits below the checkpoint) and never
+    # writes a sidecar
     r3 = dl._make_delta_stream_source()(
         {"path": d, "maxversionspertrigger": "1"}
     ).streamReader(schema)
-    assert r3.latestOffset() == {"version": 5}
-    r3.commit({"version": 5})
+    assert r3.latestOffset() == {"version": 0}
+    r3.commit({"version": 0})
 
 
 def test_stream_fresh_snapshot_spark_path_above_threshold(
@@ -5572,3 +5576,232 @@ def test_pin_index_legacy_coordinator_migrates_on_next_publish(
     assert newest["pins"].get("fact") == fact_pin
     assert newest["pinsComplete"] is True
     assert dl._last_pinned_version(base, "fact") == fact_pin
+
+
+def test_stream_default_bounded_first_batch_no_checkpoint_option(
+    spark, tmp_path
+):
+    """Round 13 (VERDICT r12 item 3): a FRESH query with a trigger
+    bound but NO checkpointLocation reader option gets a bounded first
+    micro-batch by default — pre-r13 the unknown base stayed unbounded
+    and the most likely consumer mistake served the whole history as
+    one giant batch. Real engine, one batch per commit."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "freshbound")
+    for i in range(4):
+        dl.write_delta_table(
+            spark.range(i * 10, i * 10 + 5).select(F.col("id").alias("k"))
+            .coalesce(1),
+            d, mode="append" if i else "overwrite",
+        )
+    dl.register_delta_stream_source(spark)
+    seen: list[list] = []
+    q = (
+        spark.readStream.format("deltalog_stream")
+        .option("maxversionspertrigger", "1")
+        .load(d)
+        .writeStream.option(
+            "checkpointLocation", str(tmp_path / "cp_engine")
+        )
+        .foreachBatch(
+            lambda b, eid: seen.append(sorted(r.k for r in b.collect()))
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    nonempty = [rows for rows in seen if rows]
+    assert sorted(x for rows in nonempty for x in rows) == sorted(
+        i * 10 + j for i in range(4) for j in range(5)
+    )
+    # the defining assertion: FOUR bounded batches of 5, not one of 20
+    assert len(nonempty) == 4, seen
+    assert all(len(rows) == 5 for rows in nonempty)
+
+
+def test_stream_served_floor_clamp_backward_then_forward(spark, tmp_path):
+    """Round 13: the served-floor clamp in partitions() — a restarted
+    sidecar-less query's first latestOffset may sit BELOW Spark's
+    checkpointed offset; the backward batch serves nothing, the floor
+    snaps to the committed start, and the overlapping forward batch
+    serves ONLY the unserved versions (exactly-once, no gap)."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "floorclamp")
+    for i in range(8):
+        dl.write_delta_table(
+            spark.createDataFrame([(i,)], "k long").coalesce(1),
+            d, mode="append" if i else "overwrite",
+        )
+    dl.register_delta_stream_source(spark)
+    schema = spark.readStream.format("deltalog_stream").load(d).schema
+    r = dl._make_delta_stream_source()(
+        {"path": d, "maxversionspertrigger": "3"}
+    ).streamReader(schema)
+    # restart emulation: Spark's checkpoint committed offset 5; the
+    # fresh reader instance knows nothing (no sidecar)
+    o1 = r.latestOffset()
+    assert o1 == {"version": 2}  # default-bounded from -1
+    # Spark runs the BACKWARD batch (committed 5, available 2)
+    rows_back = [
+        x for p in r.partitions({"version": 5}, {"version": 2})
+        for x in r.read(p)
+    ]
+    assert rows_back == []
+    # the next advance plans from the committed start, not below it
+    o2 = r.latestOffset()
+    assert o2 == {"version": 7}  # max(base=5, ...) → min(7, 5+3)
+    # Spark runs the forward batch from ITS committed offset (2): the
+    # overlap (2,5] was served pre-restart — the floor clamps it away
+    rows_fwd = sorted(
+        x[0] for p in r.partitions({"version": 2}, {"version": 7})
+        for x in r.read(p)
+    )
+    assert rows_fwd == [6, 7]  # exactly the unserved commits
+    # idempotent re-plan of the SAME batch serves the identical range
+    rows_again = sorted(
+        x[0] for p in r.partitions({"version": 2}, {"version": 7})
+        for x in r.read(p)
+    )
+    assert rows_again == [6, 7]
+
+
+def test_stream_real_engine_restart_without_sidecar_exact_once(
+    spark, tmp_path
+):
+    """Round 13, real engine: restart WITHOUT the reader sidecar stays
+    exactly-once under the default-bounded first offset — the resumed
+    query may burn one empty backward batch, then serves each
+    remaining commit once, trigger-bounded."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "restart_nosc")
+    cp_engine = str(tmp_path / "cp_engine_nosc")
+    dl.write_delta_table(
+        spark.range(0, 10).select(F.col("id").alias("k")).coalesce(1), d
+    )
+    dl.register_delta_stream_source(spark)
+    seen: list[list] = []
+
+    def start():
+        return (
+            spark.readStream.format("deltalog_stream")
+            .option("maxversionspertrigger", "1")
+            .load(d)
+            .writeStream.option("checkpointLocation", cp_engine)
+            .foreachBatch(
+                lambda b, eid: seen.append(sorted(r.k for r in b.collect()))
+            )
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    n_before = len(seen)
+    for i in range(1, 4):
+        dl.write_delta_table(
+            spark.range(i * 100, i * 100 + 5).select(
+                F.col("id").alias("k")
+            ).coalesce(1),
+            d, mode="append",
+        )
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = sorted(x for rows in seen for x in rows)
+    exp = sorted(
+        list(range(10))
+        + [i * 100 + j for i in range(1, 4) for j in range(5)]
+    )
+    assert got == exp  # exactly once across the restart, no sidecar
+    # bounded resume: the three new commits arrive as THREE non-empty
+    # batches (plus possibly one empty backward batch)
+    post = [rows for rows in seen[n_before:] if rows]
+    assert len(post) == 3, seen
+    assert all(len(rows) == 5 for rows in post)
+
+
+def test_apply_changes_scd2_chain_delete_and_fence(spark, tmp_path):
+    """Round 13 (VERDICT r12 item 4): apply_changes_scd2_deltalog
+    materializes a change feed as a TYPE-2 history mart — multi-change
+    keys chain [s_i, s_{i+1}) versions, deletes close without opening,
+    value-identical updates collapse, and the sequence fence makes
+    re-apply and stale-range replay no-ops."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "scd2")
+    # initial mart: two current versions loaded at seq 0
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [(1, "a", 0, None, True), (2, "b", 0, None, True)],
+            "k long, v string, valid_from long, valid_to long, "
+            "is_current boolean",
+        ),
+        d,
+    )
+    feed = spark.createDataFrame(
+        [
+            ("update_postimage", 1, "a2", 3),  # close a@[0,3), open a2@[3,5)
+            ("update_postimage", 1, "a3", 5),  # chain a3@[5,None)
+            ("delete", 2, "b", 4),             # close b@[0,4), open nothing
+            ("insert", 3, "c", 2),             # brand new c@[2,None)
+            ("update_postimage", 3, "c", 6),   # value-identical: collapses
+            ("update_preimage", 1, "a", 3),    # ignored
+        ],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    res = dl.apply_changes_scd2_deltalog(
+        spark, d, feed, ["k"], sequence_col="_commit_version"
+    )
+    assert res["version"] is not None and res["applied_high_water"] == 6
+    got = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in dl.read_delta_table(spark, d).collect()
+    }
+    assert got == {
+        (1, "a", 0, 3, False),
+        (1, "a2", 3, 5, False),
+        (1, "a3", 5, None, True),
+        (2, "b", 0, 4, False),
+        (3, "c", 2, None, True),
+    }
+    # re-apply: fenced no-op, history unchanged
+    res2 = dl.apply_changes_scd2_deltalog(
+        spark, d, feed, ["k"], sequence_col="_commit_version"
+    )
+    assert res2["version"] is None and res2["fenced_out"]
+    assert {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in dl.read_delta_table(spark, d).collect()
+    } == got
+    # a later feed re-inserts the deleted key and extends a chain
+    feed2 = spark.createDataFrame(
+        [
+            ("insert", 2, "b9", 9),
+            ("delete", 9, "ghost", 8),  # delete of an absent key: no-op
+        ],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    dl.apply_changes_scd2_deltalog(
+        spark, d, feed2, ["k"], sequence_col="_commit_version"
+    )
+    got3 = {
+        (r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+        for r in dl.read_delta_table(spark, d).collect()
+    }
+    assert (2, "b9", 9, None, True) in got3
+    assert len(got3) == 6  # no ghost row, nothing else changed
+    # as-of probe: the half-open intervals reconstruct any point
+    asof = dl.read_delta_table(spark, d).filter(
+        (F.col("valid_from") <= 4)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > 4))
+    )
+    assert {(r.k, r.v) for r in asof.collect()} == {(1, "a2"), (3, "c")}
