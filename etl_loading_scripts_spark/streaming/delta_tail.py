@@ -296,3 +296,107 @@ def stream_delta_cdc_month_merge(
         "change_type", "month", "n_rows", "amount_sum",
         F.lit(batches_ordered).alias("batches_ordered"),
     )
+
+
+@register(
+    "stream_delta_mart_loop",
+    oracle="""
+    WITH f AS (
+        SELECT o_orderkey AS k,
+               CAST(strftime(o_orderdate, '%Y%m') AS INT) AS month,
+               CAST(o_totalprice AS DECIMAL(18,4)) AS amount
+        FROM orders
+    ),
+    m AS (SELECT DISTINCT month FROM f ORDER BY month LIMIT 2),
+    base AS (SELECT f.* FROM f JOIN m ON f.month = m.month),
+    fin AS (
+        SELECT k, month,
+               amount + CASE WHEN month = (SELECT MIN(month) FROM base)
+                              AND k % 3 = 0
+                         THEN 1000 ELSE 0 END AS amount
+        FROM base
+    )
+    SELECT month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(amount) AS DOUBLE) AS amount_sum,
+           1 AS exactly_once,
+           1 AS applied_batches_ok
+    FROM fin GROUP BY month
+    """,
+    doc="The FULL mart loop as one graded artifact (round 13 — VERDICT "
+    "r12 item 6): a real CDC readStream over the upstream fact drives "
+    "foreachBatch, each micro-batch applies through "
+    "apply_changes_deltalog into a downstream Delta mart (sequence = "
+    "the batch rows' _commit_version), and the final mart must "
+    "hash-equal the direct in-order merge result the oracle computes. "
+    "exactly_once audits the r13 sequence fence end to end: "
+    "re-delivering the change batch (the foreachBatch crash-replay "
+    "shape) is a FENCED no-op — no duplicate application, no row "
+    "regression. applied_batches_ok audits that exactly the bootstrap "
+    "and the merge batch committed data.",
+)
+def stream_delta_mart_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: each micro-batch applies O(its changes) through the
+    file-pruned keyed merge; the mart never rescans the upstream
+    table, and the fence rides in each merge commit's own metaData —
+    exactly-once needs no external dedup store. See
+    operators/deltalog.py:apply_changes_deltalog."""
+    import shutil
+    import tempfile
+
+    from etl_loading_scripts_spark.operators.deltalog import (
+        apply_changes_deltalog,
+        delta_table_changes,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    d = _cdc_fixture(spark, sf_dir)
+    # the mart rebuilds per run (tempdir, not the fixture cache): the
+    # drain below consumes the whole upstream history each call, so a
+    # cached mart would only exercise the fenced-no-op path
+    mart = os.path.join(tempfile.mkdtemp(prefix="martloop_"), "mart")
+    src_schema = read_delta_table(spark, d).limit(0)
+    write_delta_table(src_schema, mart)
+    applied: list[dict] = []
+
+    def rollup(b: DataFrame) -> list:
+        res = apply_changes_deltalog(
+            b.sparkSession, mart, b, ["k"], sequence_col="_commit_version"
+        )
+        if res["version"] is not None:
+            applied.append(res)
+        return []
+
+    try:
+        _drain(spark, d, cdc=True, rollup=rollup)
+        applied_batches_ok = int(len(applied) == 2)
+        # crash-replay shape: the change batch re-delivered verbatim —
+        # the fence must make it a no-op (no regression, no commit)
+        redelivered = delta_table_changes(spark, d, 1, 1).withColumn(
+            "_commit_version", F.lit(1).cast("bigint")
+        )
+        re_res = apply_changes_deltalog(
+            spark, mart, redelivered, ["k"],
+            sequence_col="_commit_version",
+        )
+        exactly_once = int(
+            re_res["version"] is None and re_res.get("fenced_out", False)
+        )
+        out = (
+            read_delta_table(spark, mart)
+            .groupBy("month")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("amount").cast("double").alias("amount_sum"),
+            )
+            .select(
+                "month", "n_rows", "amount_sum",
+                F.lit(exactly_once).alias("exactly_once"),
+                F.lit(applied_batches_ok).alias("applied_batches_ok"),
+            )
+        )
+        out = out.localCheckpoint()  # materialize before the tempdir goes
+    finally:
+        shutil.rmtree(os.path.dirname(mart), ignore_errors=True)
+    return out
