@@ -2172,7 +2172,17 @@ class DeltaCommitConflict(RuntimeError):
     and str() keeps the exact ``delta commit conflict`` prefix so
     message-based callers stay correct too."""
 
-    def __init__(self, table, attempted_version, actions, read_months, result):
+    def __init__(
+        self,
+        table,
+        attempted_version,
+        actions,
+        read_months,
+        result,
+        key_band=None,
+        read_paths=None,
+        snapshot_key_ranges=None,
+    ):
         super().__init__(
             f"delta commit conflict: version {attempted_version} already "
             f"committed (months {sorted(read_months)})"
@@ -2182,6 +2192,14 @@ class DeltaCommitConflict(RuntimeError):
         self.actions = actions
         self.read_months = set(read_months)
         self.result = result
+        # keyed-grain read set (r13, VERDICT r12 item 7): the loser's
+        # source key band (col, lo, hi), the paths its staged actions
+        # reference, and the pinned snapshot's per-file key ranges —
+        # what _try_recommit_disjoint_keys needs to prove a winner
+        # band-disjoint without recomputing the merge
+        self.key_band = key_band
+        self.read_paths = set(read_paths or ())
+        self.snapshot_key_ranges = dict(snapshot_key_ranges or {})
 
 
 def _path_month(path: str) -> str | None:
@@ -2224,6 +2242,134 @@ def _try_recommit_disjoint(conflict: DeltaCommitConflict, max_attempts: int = 5)
                     continue  # cdc/commitInfo: no read-set footprint
                 if m is None or m in conflict.read_months:
                     return None  # overlapping (or unknowable) months
+        try:
+            _commit(table, latest + 1, conflict.actions)
+        except RuntimeError as exc:
+            if not _is_commit_conflict(exc):
+                raise
+            continue  # yet another winner: re-validate the new commits
+        out = dict(conflict.result)
+        out["version"] = latest + 1
+        return out
+    return None
+
+
+def _range_disjoint(mn, mx, lo, hi) -> bool:
+    """True iff [mn, mx] is PROVABLY disjoint from [lo, hi] under the
+    same conservative cross-type discipline as _stats_range_split
+    (False = cannot prove — caller must assume overlap)."""
+    import datetime
+    import decimal
+
+    def _coerce(b):
+        if isinstance(b, decimal.Decimal):
+            return float(b)
+        if isinstance(b, (datetime.date, datetime.datetime)):
+            return b.isoformat()
+        return b
+
+    lo, hi = _coerce(lo), _coerce(hi)
+
+    def _cmp(a, b):
+        a_num = isinstance(a, (int, float)) and not isinstance(a, bool)
+        b_num = isinstance(b, (int, float)) and not isinstance(b, bool)
+        if a_num and b_num:
+            return a, b
+        if isinstance(a, str) and isinstance(b, str):
+            return _ts_lex_norm(a), _ts_lex_norm(b)
+        if isinstance(a, bool) and isinstance(b, bool):
+            return a, b
+        return None
+
+    pair = _cmp(mx, lo)
+    if pair is not None and pair[0] < pair[1]:
+        return True
+    pair = _cmp(mn, hi)
+    if pair is not None and pair[0] > pair[1]:
+        return True
+    return False
+
+
+def _add_key_range(add: dict, col: str):
+    """(min, max) recorded for ``col`` on an add action — footer stats
+    first, partitionValues (exact min=max) as fallback — or None when
+    no usable range exists (statless, NaN-poisoned)."""
+    raw = add.get("stats")
+    if raw:
+        try:
+            st = json.loads(raw)
+            mn = (st.get("minValues") or {}).get(col)
+            mx = (st.get("maxValues") or {}).get(col)
+            if mn is not None and mx is not None:
+                if isinstance(mn, float) and (mn != mn or mx != mx):
+                    return None
+                return mn, mx
+        except ValueError:
+            pass
+    pv = (add.get("partitionValues") or {}).get(col)
+    if pv is None:
+        return None
+    try:
+        tpv = int(pv)
+    except ValueError:
+        try:
+            tpv = float(pv)
+        except ValueError:
+            tpv = pv
+    return tpv, tpv
+
+
+def _try_recommit_disjoint_keys(
+    conflict: DeltaCommitConflict, max_attempts: int = 5
+):
+    """Keyed-grain conflict checker (r13, VERDICT r12 item 7 — the
+    analogue of :func:`_try_recommit_disjoint`'s month rule): the
+    loser's keyed-merge classification (match/insert per source key)
+    depends only on rows inside its source KEY BAND, so if every
+    winning commit since the loser's snapshot is provably
+    band-disjoint, the staged actions are still valid verbatim.
+    Provably band-disjoint means, per winner commit: no metaData or
+    protocol action; every ADD's recorded key range misses the band
+    (statless adds are unknowable → recompute); every REMOVE's file
+    range — from the loser's pinned snapshot, or from a winner add
+    observed earlier in the walk — misses the band (a winner deleting
+    band rows would flip the loser's match/insert decisions); and no
+    winner action touches a path the loser's own actions reference.
+    Returns the updated result dict, or None → full recompute."""
+    if conflict.key_band is None:
+        return None
+    col, lo, hi = conflict.key_band
+    ranges = dict(conflict.snapshot_key_ranges)
+    refs = conflict.read_paths
+    table = conflict.table
+    for _ in range(max_attempts):
+        latest = _all_versions(table)[-1]
+        for v in range(conflict.attempted_version, latest + 1):
+            p = os.path.join(_log_path(table), f"{v:020d}.json")
+            if not os.path.exists(p):
+                return None  # can't inspect the winner: recompute
+            for a in _read_actions(table, v):
+                if "metaData" in a or "protocol" in a:
+                    return None
+                if "add" in a:
+                    path = a["add"]["path"]
+                    rng = _add_key_range(a["add"], col)
+                    if (
+                        path in refs
+                        or rng is None
+                        or not _range_disjoint(rng[0], rng[1], lo, hi)
+                    ):
+                        return None
+                    ranges[path] = rng
+                elif "remove" in a:
+                    path = a["remove"]["path"]
+                    rng = ranges.get(path)
+                    if (
+                        path in refs
+                        or rng is None
+                        or not _range_disjoint(rng[0], rng[1], lo, hi)
+                    ):
+                        return None
         try:
             _commit(table, latest + 1, conflict.actions)
         except RuntimeError as exc:
@@ -2665,6 +2811,7 @@ def merge_dim_deltalog(
     # file's [min,max] cannot live in it, so insert/changed
     # classification is unaffected.
     files_pruned: list[str] = []
+    key_band = None  # (col, lo, hi): the OCC fast-recommit read set
     if stats_prune and not delete_unmatched_source and files:
         pk = on[0]
         b = source.agg(
@@ -2673,6 +2820,7 @@ def merge_dim_deltalog(
             F.max(F.col(pk).isNull().cast("int")).alias("nulls"),
         ).first()
         if b["lo"] is not None and not b["nulls"]:
+            key_band = (pk, b["lo"], b["hi"])
             files, files_pruned = _stats_range_split(
                 active, files, pk, b["lo"], b["hi"]
             )
@@ -2931,8 +3079,7 @@ def merge_dim_deltalog(
         )
         if _pre_commit_hook is not None:  # test seam: inject a racer
             _pre_commit_hook()
-        _commit(table, pinned + 1, actions)
-        return {
+        result = {
             "version": pinned + 1,
             "files_removed": files_removed,
             "files_kept": kept,
@@ -2941,6 +3088,32 @@ def merge_dim_deltalog(
             "files_diff_scanned": len(files),
             "files_pruned": len(files_pruned),
         }
+        try:
+            _commit(table, pinned + 1, actions)
+        except RuntimeError as exc:
+            if not _is_commit_conflict(exc):
+                raise
+            # a racing writer took the version: surface the loser's
+            # keyed read set (its source key band + referenced paths +
+            # the pinned snapshot's per-file key ranges) so the retry
+            # layer can RECONCILE a band-disjoint winner instead of
+            # recomputing the merge (r13, VERDICT r12 item 7)
+            raise DeltaCommitConflict(
+                table=table,
+                attempted_version=pinned + 1,
+                actions=actions,
+                read_months=(),
+                result=result,
+                key_band=key_band,
+                read_paths=changed_files,
+                snapshot_key_ranges={
+                    p: rng
+                    for p, a in active.items()
+                    if key_band is not None
+                    and (rng := _add_key_range(a, key_band[0])) is not None
+                },
+            ) from exc
+        return result
     finally:
         j.unpersist()
 
@@ -3393,10 +3566,34 @@ def merge_dim_deltalog_with_retry(
     max_retries: int = 3,
     **merge_kwargs,
 ) -> dict:
-    return _occ_retry(
-        lambda: merge_dim_deltalog(spark, table, source, on, **merge_kwargs),
-        max_retries,
-    )
+    """OCC retry with KEY-BAND DISJOINT reconciliation (r13, VERDICT
+    r12 item 7 — the keyed analogue of merge_cow's month rule): a
+    version-race loser whose source key band provably misses every
+    winner action re-stages its already-computed actions at the next
+    version without recomputing the diff; overlapping or unverifiable
+    winners recompute exactly as before. ``merge_computations`` counts
+    how many times the diff itself ran."""
+    computations = 0
+    last: RuntimeError | None = None
+    for _ in range(max_retries + 1):
+        try:
+            computations += 1
+            out = merge_dim_deltalog(spark, table, source, on, **merge_kwargs)
+            out["merge_computations"] = computations
+            return out
+        except DeltaCommitConflict as conflict:
+            out = _try_recommit_disjoint_keys(conflict)
+            if out is not None:
+                out["merge_computations"] = computations
+                return out
+            last = conflict  # overlapping: recompute on the new snapshot
+        except RuntimeError as exc:
+            if not _is_commit_conflict(exc):
+                raise
+            last = exc
+    raise RuntimeError(
+        f"delta commit lost {max_retries + 1} optimistic-concurrency races"
+    ) from last
 
 
 # --------------------------------------------------------------------------
@@ -3891,6 +4088,18 @@ def publish_set_deltalog(
             # at the entity grain (row-level publish of a partitioned
             # fact, O(changed files) instead of O(affected months))
             keyed_pby = spec.pop("partition_by", None)
+            # r13 (VERDICT r12 item 2): opt-in clustering maintenance —
+            # the keyed merge's file pruning needs keys clustered
+            # within files; churn cycles drift the layout, and this
+            # audits the drift from log stats alone at month close,
+            # re-clustering only when pruning efficiency has decayed
+            cluster_by = spec.pop("cluster_by", None)
+            cluster_depth_threshold = spec.pop(
+                "cluster_depth_threshold", CLUSTER_DEPTH_FACTOR
+            )
+            cluster_target_file_rows = spec.pop(
+                "cluster_target_file_rows", None
+            )
         else:
             datekey_col = spec.pop("datekey_col", "datekey")
             window = spec.pop("window", None)
@@ -4052,6 +4261,22 @@ def publish_set_deltalog(
                     )
                     if r2["version"] is not None:
                         v = r2["version"]
+                except RuntimeError as exc:
+                    if not _is_commit_conflict(exc):
+                        raise
+            if cluster_by is not None:
+                # metadata-only drift audit; the rewrite fires only
+                # past the threshold, scoped to OUR version — a racing
+                # writer's collision skips it, like the DV purge
+                try:
+                    r3 = maintain_clustering_delta(
+                        df.sparkSession, tpath, cluster_by,
+                        depth_threshold=cluster_depth_threshold,
+                        require_version=v,
+                        target_file_rows=cluster_target_file_rows,
+                    )
+                    if r3["version"] is not None:
+                        v = r3["version"]
                 except RuntimeError as exc:
                     if not _is_commit_conflict(exc):
                         raise
@@ -6312,6 +6537,141 @@ def delta_dv_fraction(table: str, version: int | None = None) -> float:
             except (ValueError, TypeError):
                 pass
     return hidden / total if total else 0.0
+
+
+#: mean point-probe overlap depth at which a key-clustered table is
+#: worth re-clustering (r13, VERDICT r12 item 2): a perfectly
+#: clustered layout has depth ≈ 1 (a key band intersects ~1 file per
+#: covering file-width); interleaved appends drive it toward the file
+#: count, and the keyed merge's files_pruned efficiency is its
+#: inverse. 4.0 = the point where a localized churn reads 4× the
+#: files it needs — re-clustering (one range-sorted rewrite) buys
+#: that factor back on every subsequent merge, the same
+#: cost-recovery argument as REBUILD_IMBALANCE_FACTOR.
+CLUSTER_DEPTH_FACTOR = 4.0
+
+
+def delta_clustering_report(
+    table: str, column: str, version: int | None = None
+) -> dict:
+    """Key-clustering drift audit from LOG METADATA alone (no data
+    scan — the same discipline as :func:`delta_dv_fraction` and the
+    ANN index's drift audit): over the snapshot's per-file [min, max]
+    stats for ``column`` (partition-column keys read their exact
+    min=max from partitionValues), ``mean_overlap_depth`` = the
+    expected number of files a POINT probe on the key intersects —
+    exactly the per-band read amplification the keyed merge's stats
+    pruning pays. A clustered layout scores ~1; N interleaved
+    full-span appends score ~N. Files without a usable range are
+    counted as overlapping EVERY probe (they survive every prune).
+    Returns {n_files, n_statless, mean_overlap_depth,
+    max_overlap_depth, recommend_recluster}."""
+    import bisect
+
+    active, _, _ = _snapshot_state(table, version)
+    ranges: list[tuple] = []
+    n_statless = 0
+    for a in active.values():
+        mn = mx = None
+        raw = a.get("stats")
+        if raw:
+            try:
+                st = json.loads(raw)
+                mn = (st.get("minValues") or {}).get(column)
+                mx = (st.get("maxValues") or {}).get(column)
+            except ValueError:
+                mn = mx = None
+        if mn is None or mx is None:
+            pv = (a.get("partitionValues") or {}).get(column)
+            if pv is not None:
+                try:
+                    pv = int(pv)
+                except ValueError:
+                    try:
+                        pv = float(pv)
+                    except ValueError:
+                        pass
+                mn = mx = pv
+        if mn is None or mx is None or type(mn) is not type(mx):
+            n_statless += 1
+            continue
+        if isinstance(mn, float) and (mn != mn or mx != mx):
+            n_statless += 1  # NaN-poisoned range: never prunable
+            continue
+        ranges.append((mn, mx))
+    n_files = len(ranges) + n_statless
+    if not ranges:
+        depth = float(n_files)
+        return {
+            "n_files": n_files,
+            "n_statless": n_statless,
+            "mean_overlap_depth": depth,
+            "max_overlap_depth": depth,
+            "recommend_recluster": bool(
+                n_files and depth >= CLUSTER_DEPTH_FACTOR
+            ),
+        }
+    # depth at each file's min = #ranges containing it, via two sorted
+    # sweeps (O(n log n) driver work over O(files) metadata)
+    starts = sorted(mn for mn, _ in ranges)
+    ends = sorted(mx for _, mx in ranges)
+    depths = []
+    for mn, _ in ranges:
+        started = bisect.bisect_right(starts, mn)
+        ended_before = bisect.bisect_left(ends, mn)
+        depths.append(started - ended_before + n_statless)
+    mean_d = sum(depths) / len(depths)
+    return {
+        "n_files": n_files,
+        "n_statless": n_statless,
+        "mean_overlap_depth": mean_d,
+        "max_overlap_depth": float(max(depths)),
+        "recommend_recluster": mean_d >= CLUSTER_DEPTH_FACTOR,
+    }
+
+
+def maintain_clustering_delta(
+    spark: SparkSession,
+    table: str,
+    cluster_by: Sequence[str],
+    depth_threshold: float = CLUSTER_DEPTH_FACTOR,
+    require_version: int | None = None,
+    target_file_rows: int | None = None,
+) -> dict:
+    """Audit-then-act key-clustering maintenance (r13, VERDICT r12
+    item 2 — the keyed merge's layout prerequisite, automated): run
+    :func:`delta_clustering_report` per cluster column (metadata
+    only); when the WORST mean overlap depth crosses
+    ``depth_threshold``, rewrite the table range/Z-ordered on
+    ``cluster_by`` (every file qualifies for the packing pass;
+    ``dataChange: false``, CDC-transparent, same one-commit atomicity
+    as OPTIMIZE) so per-file key ranges tile again and the keyed
+    merge's stats pruning returns to O(band). Below the threshold the
+    audit is the only cost — the same decide-from-metadata lifecycle
+    as ``ann_index_maintain`` and the DV purge. Returns {version,
+    reclustered, worst_depth, reports}."""
+    reports = {c: delta_clustering_report(table, c) for c in cluster_by}
+    worst = max(r["mean_overlap_depth"] for r in reports.values())
+    if worst < depth_threshold:
+        return {
+            "version": None,
+            "reclustered": False,
+            "worst_depth": worst,
+            "reports": reports,
+        }
+    res = optimize_delta(
+        spark, table,
+        small_file_bytes=1 << 60,  # every file qualifies: full re-sort
+        zorder_by=list(cluster_by),
+        require_version=require_version,
+        target_file_rows=target_file_rows,
+    )
+    return {
+        "version": res["version"],
+        "reclustered": res["version"] is not None,
+        "worst_depth": worst,
+        "reports": reports,
+    }
 
 
 _Z_BITS = 16

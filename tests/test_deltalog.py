@@ -5805,3 +5805,169 @@ def test_apply_changes_scd2_chain_delete_and_fence(spark, tmp_path):
         & (F.col("valid_to").isNull() | (F.col("valid_to") > 4))
     )
     assert {(r.k, r.v) for r in asof.collect()} == {(1, "a2"), (3, "c")}
+
+
+def test_clustering_maintenance_restores_pruning(spark, tmp_path):
+    """Round 13 (VERDICT r12 item 2): interleaved full-span appends
+    collapse the keyed merge's file pruning (every file intersects any
+    key band); the metadata-only clustering audit detects the drift
+    and maintain_clustering_delta's range-sorted rewrite restores
+    O(band) diff scans — with the data byte-for-byte intact."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "clust")
+    n = 8000
+    base = spark.range(0, 2 * n, 2).select(  # even keys, range-clustered
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    dl.write_delta_table(base.repartitionByRange(8, "k"), d)
+    rep0 = dl.delta_clustering_report(d, "k")
+    assert rep0["mean_overlap_depth"] < 2.0
+    assert not rep0["recommend_recluster"]
+
+    def band_merge():
+        src = spark.range(0, 400, 2).select(
+            F.col("id").alias("k"), (F.col("id") * 3 + 1).alias("v")
+        )
+        return dl.merge_dim_deltalog(spark, d, src, ["k"])
+
+    res0 = band_merge()
+    assert res0["files_diff_scanned"] <= 2  # localized churn reads O(band)
+    # six interleaved arrivals: odd keys across the WHOLE span, one
+    # full-span file each — the drifted layout churn cycles produce
+    for i in range(6):
+        arrivals = spark.range(1 + 2 * i, 2 * n, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        dl.write_delta_table(arrivals.coalesce(1), d, mode="append")
+    res1 = band_merge()
+    assert res1["files_diff_scanned"] >= 7  # pruning collapsed
+    rep1 = dl.delta_clustering_report(d, "k")
+    assert rep1["mean_overlap_depth"] > 4.0
+    assert rep1["recommend_recluster"]
+    total_before = dl.read_delta_table(spark, d).count()
+    sum_before = dl.read_delta_table(spark, d).agg(F.sum("v")).first()[0]
+    res = dl.maintain_clustering_delta(
+        spark, d, ["k"], target_file_rows=n // 4
+    )
+    assert res["reclustered"] and res["version"] is not None
+    rep2 = dl.delta_clustering_report(d, "k")
+    assert rep2["mean_overlap_depth"] < 2.5
+    assert not rep2["recommend_recluster"]
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == total_before
+    assert got.agg(F.sum("v")).first()[0] == sum_before
+    res2 = band_merge()
+    assert res2["files_diff_scanned"] <= 2  # O(band) again
+    # below the threshold the audit is the only cost: no rewrite
+    res3 = dl.maintain_clustering_delta(spark, d, ["k"])
+    assert res3["version"] is None and not res3["reclustered"]
+
+
+def test_publish_keyed_dim_auto_reclusters(spark, tmp_path):
+    """The publish integration: a keyed-grain spec carrying cluster_by
+    audits clustering drift at month close and re-clusters only past
+    the threshold — the set pins the MAINTAINED version."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base_dir = str(tmp_path / "wclust")
+    n = 4000
+    dim0 = spark.range(0, 2 * n, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartitionByRange(8, "k")
+    inc = {"dim": {
+        "grain": "dim", "on": ["k"],
+        "cluster_by": ["k"], "cluster_target_file_rows": n // 4,
+    }}
+    dl.publish_set_deltalog([("dim", dim0)], base_dir, incremental=inc)
+    tpath = os.path.join(base_dir, "dim")
+    # drift the layout out-of-band: interleaved full-span appends
+    for i in range(6):
+        arrivals = spark.range(1 + 2 * i, 2 * n, 12).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+        )
+        dl.write_delta_table(arrivals.coalesce(1), tpath, mode="append")
+    assert dl.delta_clustering_report(tpath, "k")["recommend_recluster"]
+    # next publish (a localized churn) triggers the auto-maintenance
+    churn = spark.range(0, 200, 2).select(
+        F.col("id").alias("k"), (F.col("id") * 3 + 7).alias("v")
+    )
+    dl.publish_set_deltalog([("dim", churn)], base_dir, incremental=inc)
+    rep = dl.delta_clustering_report(tpath, "k")
+    assert not rep["recommend_recluster"], rep
+    # the set pins the maintained version (reads resolve through it)
+    pinned = dl._last_pinned_version(base_dir, "dim")
+    assert pinned == dl._all_versions(tpath)[-1]
+    got = dl.read_delta_table(spark, tpath, version=pinned)
+    assert got.filter("k = 100").first()["v"] == 307
+
+
+def test_keyed_merge_disjoint_band_fast_recommit(spark, tmp_path):
+    """Round 13 (VERDICT r12 item 7): two writers merging DISJOINT key
+    bands race on the version — the loser proves every winner action
+    band-disjoint from the log alone and re-stages its already-computed
+    actions (merge_computations == 1, no diff recompute); an
+    OVERLAPPING winner forces the full recompute exactly as before."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "bandrace")
+    n = 8000
+    base = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    dl.write_delta_table(base.repartitionByRange(8, "k"), d)
+
+    def low_src():
+        return spark.range(0, 200).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        )
+
+    def high_src():
+        return spark.range(7000, 7200).select(
+            F.col("id").alias("k"), F.lit(-2).cast("long").alias("v")
+        )
+
+    fired = []
+
+    def racer():
+        if not fired:
+            fired.append(1)
+            dl.merge_dim_deltalog(spark, d, high_src(), ["k"])
+
+    res = dl.merge_dim_deltalog_with_retry(
+        spark, d, low_src(), ["k"], _pre_commit_hook=racer
+    )
+    assert res["merge_computations"] == 1  # reconciled, not recomputed
+    got = dl.read_delta_table(spark, d)
+    assert got.filter("k = 100").first()["v"] == -1   # loser's band landed
+    assert got.filter("k = 7100").first()["v"] == -2  # winner's band intact
+    assert got.count() == n
+    # OVERLAPPING winner: same band — the loser must recompute (its
+    # match/insert classification is stale), and last-writer-wins
+    fired2 = []
+
+    def racer_overlap():
+        if not fired2:
+            fired2.append(1)
+            dl.merge_dim_deltalog(
+                spark, d,
+                spark.range(0, 200).select(
+                    F.col("id").alias("k"),
+                    F.lit(-3).cast("long").alias("v"),
+                ),
+                ["k"],
+            )
+
+    res2 = dl.merge_dim_deltalog_with_retry(
+        spark, d,
+        spark.range(100, 300).select(
+            F.col("id").alias("k"), F.lit(-4).cast("long").alias("v")
+        ),
+        ["k"], _pre_commit_hook=racer_overlap,
+    )
+    assert res2["merge_computations"] == 2  # full recompute on overlap
+    got2 = dl.read_delta_table(spark, d)
+    assert got2.filter("k = 50").first()["v"] == -3    # winner-only key
+    assert got2.filter("k = 150").first()["v"] == -4   # loser overwrote
+    assert got2.filter("k = 250").first()["v"] == -4
+    assert got2.count() == n

@@ -176,6 +176,52 @@ def main() -> None:
                 }
             finally:
                 shutil.rmtree(d, ignore_errors=True)
+        if n == 1_000_000:
+            # r13 (VERDICT r12 item 2 done-bar): N churn cycles, each an
+            # interleaved full-span arrival merge + a localized band
+            # merge. Unmaintained, the band's diff scan grows ~one file
+            # per cycle (every arrival file intersects every band);
+            # with cluster maintenance between cycles the audit fires a
+            # range-sorted rewrite once drift crosses the threshold and
+            # the band scan returns to O(band).
+            for maintained in (False, True):
+                d = tempfile.mkdtemp(prefix="dimpub_cyc_")
+                try:
+                    sparse = base.withColumn("k", F.col("k") * 2)
+                    dl.write_delta_table(
+                        sparse.repartitionByRange(N_FILES, "k"), d
+                    )
+                    scans, walls, reclusters = [], [], 0
+                    stride = 2 * n // N_CHANGES
+                    for cyc in range(5):
+                        arrivals = _dim(spark, N_CHANGES).withColumn(
+                            "k", F.col("k") * stride + 2 * cyc + 1
+                        )
+                        dl.merge_dim_deltalog(spark, d, arrivals, ["k"])
+                        band = sparse.filter(
+                            F.col("k") < 2 * N_CHANGES
+                        ).withColumn(
+                            "bal", (F.col("bal") + 1).cast("decimal(18,4)")
+                        )
+                        t0 = time.time()
+                        res = dl.merge_dim_deltalog(spark, d, band, ["k"])
+                        walls.append(round(time.time() - t0, 3))
+                        scans.append(res["files_diff_scanned"])
+                        if maintained:
+                            m = dl.maintain_clustering_delta(
+                                spark, d, ["k"],
+                                target_file_rows=(n + 5 * N_CHANGES)
+                                // N_FILES,
+                            )
+                            reclusters += int(m["reclustered"])
+                    tag = "maintained" if maintained else "unmaintained"
+                    legs[f"churn_cycles_{tag}"] = {
+                        "band_walls": walls,
+                        "band_files_diff_scanned": scans,
+                        "reclusters_fired": reclusters,
+                    }
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
         out[f"dim_{n}"] = legs
         print(f"# {n}: {json.dumps(legs)}", file=sys.stderr, flush=True)
     print(json.dumps({"n_changes": N_CHANGES, "n_files": N_FILES, **out}))
