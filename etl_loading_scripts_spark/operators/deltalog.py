@@ -2640,6 +2640,7 @@ def merge_dim_deltalog(
     delete_col: str | None = None,
     operation_parameters: Mapping[str, object] | None = None,
     configuration_updates: Mapping[str, str] | None = None,
+    require_base_version: int | None = None,
     _pre_commit_hook=None,
 ) -> dict:
     """File-level-rewrite MERGE into an UNPARTITIONED Delta dimension:
@@ -2710,6 +2711,17 @@ def merge_dim_deltalog(
     if not avail:
         raise FileNotFoundError(f"not a delta table (no log): {table}")
     pinned = avail[-1]
+    if require_base_version is not None and pinned != require_base_version:
+        # a caller whose DECISIONS were made against an earlier
+        # snapshot (apply_changes' fence read) must not land them on a
+        # later one — a writer that interleaved between that read and
+        # this pin would otherwise slip past OCC entirely (the commit
+        # at pinned+1 would not collide). Raise the retryable conflict
+        # so the caller re-reads its inputs on the new snapshot.
+        raise RuntimeError(
+            "delta commit conflict: snapshot advanced past observed "
+            f"version {require_base_version} (now {pinned})"
+        )
     active, meta, _ = _snapshot_state(table, pinned)
     pcols = list(meta.get("partitionColumns") or [])
     if pcols:
@@ -3318,7 +3330,7 @@ def apply_changes_deltalog(
 
     from pyspark.sql import Window
 
-    def _merge(feed: DataFrame, cfg, op_params) -> dict:
+    def _merge(feed: DataFrame, cfg, op_params, base_version) -> dict:
         tie_cols = [
             c for c in feed.columns if c not in (sequence_col, "_change_type")
         ]
@@ -3343,7 +3355,8 @@ def apply_changes_deltalog(
         }
         return merge_dim_deltalog(
             spark, table, src, on,
-            delete_col="__delete", configuration_updates=cfg, **kw,
+            delete_col="__delete", configuration_updates=cfg,
+            require_base_version=base_version, **kw,
         )
 
     return _run_fenced_apply(
@@ -3363,8 +3376,11 @@ def _run_fenced_apply(
     family: reads the persisted high-water mark, filters
     already-applied sequences out, hands the surviving feed (plus the
     configuration update and commitInfo params that must ride IN the
-    merge commit) to ``build_and_merge(feed, cfg, op_params) -> merge
-    result``, and advances the fence in a metadata-only commit when
+    merge commit, and the OBSERVED base version the merge must pin —
+    a writer interleaving between the fence read and the merge's own
+    pin would otherwise slip past OCC with a stale-fence-filtered
+    feed) to ``build_and_merge(feed, cfg, op_params, base_version) ->
+    merge result``, and advances the fence in a metadata-only commit when
     the merge itself was a value-identical no-op — without that, a
     later replay of an OLDER range would pass the stale fence and
     regress rows the in-order history already moved past. The whole
@@ -3400,7 +3416,9 @@ def _run_fenced_apply(
         new_hw = feed_max if old_hw is None else max(old_hw, feed_max)
         cfg = {hw_key: _seq_encode(new_hw)} if sequence_fence else None
         out = build_and_merge(
-            feed, cfg, {"appliedSequenceHighWater": _seq_encode(new_hw)}
+            feed, cfg,
+            {"appliedSequenceHighWater": _seq_encode(new_hw)},
+            pinned if sequence_fence else None,
         )
         if sequence_fence and out["version"] is None:
             new_meta = dict(meta)
@@ -3479,7 +3497,7 @@ def apply_changes_scd2_deltalog(
     tracked = list(tracked)
     feed0 = changes.filter(F.col("_change_type") != "update_preimage")
 
-    def _merge(feed: DataFrame, cfg, op_params) -> dict:
+    def _merge(feed: DataFrame, cfg, op_params, base_version) -> dict:
         # winner per (key, sequence): delete-last, then stable hash
         w0 = Window.partitionBy(*on, sequence_col).orderBy(
             (F.col("_change_type") == "delete").cast("int").desc(),
@@ -3550,7 +3568,8 @@ def apply_changes_scd2_deltalog(
         }
         return merge_dim_deltalog(
             spark, table, src, [*on, from_col],
-            configuration_updates=cfg, **kw,
+            configuration_updates=cfg,
+            require_base_version=base_version, **kw,
         )
 
     return _run_fenced_apply(

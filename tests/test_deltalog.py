@@ -5971,3 +5971,52 @@ def test_keyed_merge_disjoint_band_fast_recommit(spark, tmp_path):
     assert got2.filter("k = 150").first()["v"] == -4   # loser overwrote
     assert got2.filter("k = 250").first()["v"] == -4
     assert got2.count() == n
+
+
+def test_apply_changes_fence_interleaved_applier_no_regression(
+    spark, tmp_path, monkeypatch
+):
+    """Round-13 self-review hardening: a writer that commits BETWEEN
+    an applier's fence read and its merge's snapshot pin must not be
+    overwritten by the stale-fence-filtered feed (that window slips
+    past version-collision OCC entirely — the merge would commit at
+    the NEW pinned+1 without conflict). require_base_version pins the
+    merge to the fence-observation snapshot: the interleaved commit
+    surfaces as a retryable conflict, the retry re-reads the fence,
+    and the stale range fences out."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "interleave")
+    dl.write_delta_table(
+        spark.createDataFrame([(1, "a1")], "k long, v string"), d
+    )
+    feed_newer = spark.createDataFrame(
+        [("update_postimage", 1, "v9", 9)],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    feed_older = spark.createDataFrame(
+        [("update_postimage", 1, "v4", 4)],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    fired = []
+    real_meta_at = dl._meta_at
+
+    def hooked(table_, version):
+        out = real_meta_at(table_, version)
+        if table_ == d and not fired:
+            fired.append(1)
+            # the interleaver: applies the NEWER range while the outer
+            # applier has already read the (empty) fence
+            dl.apply_changes_deltalog(
+                spark, d, feed_newer, ["k"],
+                sequence_col="_commit_version",
+            )
+        return out
+
+    monkeypatch.setattr(dl, "_meta_at", hooked)
+    res = dl.apply_changes_deltalog(
+        spark, d, feed_older, ["k"], sequence_col="_commit_version"
+    )
+    assert res["version"] is None and res["fenced_out"]
+    got = dl.read_delta_table(spark, d).collect()
+    assert [(r.k, r.v) for r in got] == [(1, "v9")]  # never regressed
