@@ -6583,34 +6583,91 @@ def delta_clustering_report(
     pruning pays. A clustered layout scores ~1; N interleaved
     full-span appends score ~N. Files without a usable range are
     counted as overlapping EVERY probe (they survive every prune).
+    Above ``_SPARK_META_THRESHOLD`` estimated active files (and with a
+    live session reachable) the per-file ranges are extracted by a
+    DataFrame job over the Spark-reconciled adds — only two scalars
+    per file reach the driver for the sweep (10⁶ files ≈ tens of MB),
+    the same routing discipline as every other metadata audit here.
     Returns {n_files, n_statless, mean_overlap_depth,
     max_overlap_depth, recommend_recluster}."""
     import bisect
 
-    active, _, _ = _snapshot_state(table, version)
-    ranges: list[tuple] = []
+    pairs: list[tuple] | None = None
     n_statless = 0
-    for a in active.values():
-        mn = mx = None
-        raw = a.get("stats")
-        if raw:
-            try:
-                st = json.loads(raw)
-                mn = (st.get("minValues") or {}).get(column)
-                mx = (st.get("maxValues") or {}).get(column)
-            except ValueError:
-                mn = mx = None
-        if mn is None or mx is None:
-            pv = (a.get("partitionValues") or {}).get(column)
-            if pv is not None:
+    if _estimated_active_files(table) >= _SPARK_META_THRESHOLD:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            rows = (
+                _active_adds_df(spark, table, version)
+                .select(
+                    F.get_json_object(
+                        F.col("stats"), f"$.minValues.{column}"
+                    ).alias("mn"),
+                    F.get_json_object(
+                        F.col("stats"), f"$.maxValues.{column}"
+                    ).alias("mx"),
+                    F.col("partitionValues").getItem(column).alias("pv"),
+                )
+                .collect()
+            )
+            pairs = [
+                (r.mn if r.mn is not None else r.pv,
+                 r.mx if r.mx is not None else r.pv)
+                for r in rows
+            ]
+    if pairs is None:
+        active, _, _ = _snapshot_state(table, version)
+        pairs = []
+        for a in active.values():
+            mn = mx = None
+            raw = a.get("stats")
+            if raw:
                 try:
-                    pv = int(pv)
+                    st = json.loads(raw)
+                    mn = (st.get("minValues") or {}).get(column)
+                    mx = (st.get("maxValues") or {}).get(column)
                 except ValueError:
-                    try:
-                        pv = float(pv)
-                    except ValueError:
-                        pass
+                    mn = mx = None
+            if mn is None or mx is None:
+                pv = (a.get("partitionValues") or {}).get(column)
                 mn = mx = pv
+            pairs.append((mn, mx))
+    # the COLUMN TYPE decides the coercion: numeric columns' values
+    # arrive as JSON strings on the Spark path (get_json_object) and
+    # as strings from pv fallbacks on both paths — they must become
+    # numbers; string-ordered columns must NOT be numerically coerced
+    # ('10' < '9' in the column's own lexicographic order)
+    ctype = next(
+        (
+            f.dataType.simpleString()
+            for f in StructType.fromJson(
+                json.loads(_meta_at(table, version)["schemaString"])
+            ).fields
+            if f.name == column
+        ),
+        None,
+    )
+    numeric = ctype in _NUM_STAT_TYPES
+
+    def _typ(v):
+        if v is None or not isinstance(v, str) or not numeric:
+            return v
+        try:
+            return float(v)
+        except ValueError:
+            return None
+
+    ranges: list[tuple] = []
+    for mn, mx in pairs:
+        mn, mx = _typ(mn), _typ(mx)
+        if isinstance(mn, bool) or isinstance(mx, bool):
+            mn = mx = None  # bool ranges: no useful clustering order
+        if numeric and isinstance(mn, int):
+            mn = float(mn)
+        if numeric and isinstance(mx, int):
+            mx = float(mx)
         if mn is None or mx is None or type(mn) is not type(mx):
             n_statless += 1
             continue

@@ -6020,3 +6020,35 @@ def test_apply_changes_fence_interleaved_applier_no_regression(
     assert res["version"] is None and res["fenced_out"]
     got = dl.read_delta_table(spark, d).collect()
     assert [(r.k, r.v) for r in got] == [(1, "v9")]  # never regressed
+
+
+def test_clustering_report_spark_metadata_path_parity(
+    spark, tmp_path, monkeypatch
+):
+    """The clustering audit's Spark-metadata route (above the
+    threshold) returns the same depths as the driver walk — including
+    the numeric typing of JSON-string stats and pv fallbacks — and a
+    STRING key keeps its lexicographic order (no numeric coercion)."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "clustrep")
+    base = spark.range(4000).select(
+        F.col("id").alias("k"),
+        F.lpad(F.col("id").cast("string"), 6, "0").alias("s"),
+    )
+    dl.write_delta_table(base.repartitionByRange(8, "k"), d)
+    dl.write_delta_table(
+        spark.range(4000, 4400).select(
+            F.col("id").alias("k"),
+            F.lpad(F.col("id").cast("string"), 6, "0").alias("s"),
+        ).coalesce(1),
+        d, mode="append",
+    )
+    rep_driver_k = dl.delta_clustering_report(d, "k")
+    rep_driver_s = dl.delta_clustering_report(d, "s")
+    monkeypatch.setattr(dl, "_SPARK_META_THRESHOLD", 0)
+    rep_spark_k = dl.delta_clustering_report(d, "k")
+    rep_spark_s = dl.delta_clustering_report(d, "s")
+    assert rep_spark_k == rep_driver_k
+    assert rep_spark_s == rep_driver_s
+    assert rep_driver_k["n_files"] == 9
