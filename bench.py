@@ -144,7 +144,7 @@ def main() -> None:
         )
     total = round(sum(timings.values()), 3)
     total_noop = round(sum(timings_noop.values()), 3)
-    lakehouse, lakehouse_spread = _bench_lakehouse(spark)
+    lakehouse, lakehouse_spread, lakehouse_extra = _bench_lakehouse(spark)
     print(
         json.dumps(
             {
@@ -165,13 +165,18 @@ def main() -> None:
                 "lakehouse": lakehouse,
                 "lakehouse_spread": lakehouse_spread,
                 "lakehouse_total": round(sum(lakehouse.values()), 3),
+                # r13 ops measured OUTSIDE lakehouse_total so the
+                # r11-r13 series stays composition-stable
+                "lakehouse_extra": lakehouse_extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
     )
 
 
-def _bench_lakehouse(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
+def _bench_lakehouse(
+    spark,
+) -> tuple[dict[str, float], dict[str, list[float]], dict[str, float]]:
     """The lakehouse bench set: fixtures planted ONCE (plant cost not
     billed), each op timed best-of-3. Mutating ops are either
     idempotent-by-work (a month merge rewrites its month every run) or
@@ -325,6 +330,29 @@ def _bench_lakehouse(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
                 "noop"
             ).mode("overwrite").save()
 
+        apply_path = os.path.join(root, "dim_apply")
+        dl.write_delta_table(dim, apply_path)
+
+        def op_apply_changes(i):
+            # r13: the fenced APPLY CHANGES consumer — each run is a
+            # fresh CDC batch at a HIGHER sequence (the fence would
+            # no-op a replay, so comparable work needs advancing seqs)
+            feed = dim.filter(F.col("k") % 100 == i).select(
+                F.lit("update_postimage").alias("_change_type"),
+                "k", "nm",
+                (F.col("bal") + i + 1).cast("decimal(18,4)").alias("bal"),
+                F.lit(i + 1).cast("long").alias("_commit_version"),
+            )
+            dl.apply_changes_deltalog(
+                spark, apply_path, feed, ["k"],
+                sequence_col="_commit_version",
+            )
+
+        def op_clustering_audit(i):
+            # r13: the metadata-only drift audit a keyed publish pays
+            # at month close (never the rewrite — fixture is clustered)
+            dl.delta_clustering_report(keyed_path, "txn_id")
+
         ops = [
             ("publish_incremental", op_publish_incremental),
             ("merge_cow_month", op_merge_cow),
@@ -334,20 +362,35 @@ def _bench_lakehouse(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
             ("dv_delete", op_dv_delete),
             ("ann_index_probe", op_index_probe),
         ]
+        # r13 ops live OUTSIDE the lakehouse set (lakehouse_total's
+        # composition stays fixed for round-over-round comparability —
+        # the r12 lesson); they report under "lakehouse_extra"
+        extra_ops = [
+            ("apply_changes_dim", op_apply_changes),
+            ("clustering_audit", op_clustering_audit),
+        ]
         mins: dict[str, float] = {}
         spreads: dict[str, list[float]] = {}
-        for name, fn in ops:
-            runs = []
-            for i in range(3):
-                t0 = time.time()
-                fn(i)
-                runs.append(time.time() - t0)
-            runs.sort()
-            mins[name] = round(runs[0], 3)
-            spreads[name] = [round(t, 3) for t in runs]
-            print(f"# lakehouse {name}: {mins[name]}s (spread {spreads[name]})",
-                  file=sys.stderr)
-        return mins, spreads
+        extra: dict[str, float] = {}
+        for group, (sink_m, sink_s) in (
+            (ops, (mins, spreads)),
+            (extra_ops, (extra, spreads)),
+        ):
+            for name, fn in group:
+                runs = []
+                for i in range(3):
+                    t0 = time.time()
+                    fn(i)
+                    runs.append(time.time() - t0)
+                runs.sort()
+                sink_m[name] = round(runs[0], 3)
+                sink_s[name] = [round(t, 3) for t in runs]
+                print(
+                    f"# lakehouse {name}: {sink_m[name]}s "
+                    f"(spread {sink_s[name]})",
+                    file=sys.stderr,
+                )
+        return mins, spreads, extra
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -2641,6 +2641,7 @@ def merge_dim_deltalog(
     operation_parameters: Mapping[str, object] | None = None,
     configuration_updates: Mapping[str, str] | None = None,
     require_base_version: int | None = None,
+    coalesce_source_nulls: bool = False,
     _pre_commit_hook=None,
 ) -> dict:
     """File-level-rewrite MERGE into an UNPARTITIONED Delta dimension:
@@ -2892,6 +2893,11 @@ def merge_dim_deltalog(
         changed = None
         for c in val_cols:
             d = ~F.col(c).eqNullSafe(F.col(pref + c))
+            if coalesce_source_nulls:
+                # a NULL source cell means "keep the target value"
+                # (DLT's ignore_null_updates): it can never mark the
+                # row changed
+                d = F.col(pref + c).isNotNull() & d
             changed = d if changed is None else (changed | d)
         if changed is None:  # key-only table: matches can never differ
             changed = F.lit(False)
@@ -2957,7 +2963,12 @@ def merge_dim_deltalog(
             if c in on:
                 expr = F.when(tgt_present, F.col(c)).otherwise(F.col(pref + c))
             elif c in val_cols:
-                expr = F.when(src_present, F.col(pref + c)).otherwise(F.col(c))
+                src_val = (
+                    F.coalesce(F.col(pref + c), F.col(c))
+                    if coalesce_source_nulls
+                    else F.col(pref + c)
+                )
+                expr = F.when(src_present, src_val).otherwise(F.col(c))
             else:  # target-only column: inserts carry NULL
                 expr = F.col(c)
             out_cols.append(expr.alias(c))
@@ -3272,6 +3283,7 @@ def apply_changes_deltalog(
     sequence_col: str | None = None,
     max_retries: int = 3,
     sequence_fence: bool = True,
+    ignore_null_updates: bool = False,
     **merge_kwargs,
 ) -> dict:
     """APPLY a change feed to a keyed Delta table as ONE atomic commit
@@ -3315,7 +3327,13 @@ def apply_changes_deltalog(
     stream's micro-batches via foreachBatch) feed a downstream mart
     with exactly-once semantics from the fence + batch idempotence +
     the atomic commit — re-applying the same feed is a no-op, and so
-    now is replaying any stale prefix of the feed."""
+    now is replaying any stale prefix of the feed.
+
+    ``ignore_null_updates`` (r13 — the DLT flag of the same name): a
+    NULL cell in a change row means "keep the target's value" instead
+    of "set NULL" — partial-row upsert feeds (sources that only carry
+    the columns they changed) apply without erasing the rest; inserts
+    of absent keys still land NULL for the omitted columns."""
     if "_change_type" not in changes.columns:
         raise ValueError("changes frame must carry _change_type")
     feed0 = changes.filter(F.col("_change_type") != "update_preimage")
@@ -3325,7 +3343,8 @@ def apply_changes_deltalog(
         ).drop("_change_type")
         return merge_dim_deltalog_with_retry(
             spark, table, src, on,
-            max_retries=max_retries, delete_col="__delete", **merge_kwargs,
+            max_retries=max_retries, delete_col="__delete",
+            coalesce_source_nulls=ignore_null_updates, **merge_kwargs,
         )
 
     from pyspark.sql import Window
@@ -3356,7 +3375,8 @@ def apply_changes_deltalog(
         return merge_dim_deltalog(
             spark, table, src, on,
             delete_col="__delete", configuration_updates=cfg,
-            require_base_version=base_version, **kw,
+            require_base_version=base_version,
+            coalesce_source_nulls=ignore_null_updates, **kw,
         )
 
     return _run_fenced_apply(

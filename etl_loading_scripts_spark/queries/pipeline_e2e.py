@@ -1228,3 +1228,112 @@ def delta_clustering_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "delta_apply_changes_nullsafe",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k, c_name AS nm, c_mktsegment AS mkt
+        FROM customer
+    ),
+    fin AS (
+        SELECT k,
+               CASE WHEN k % 10 = 5 THEN 'nn_' || CAST(k AS VARCHAR)
+                    ELSE nm END AS nm,
+               CASE WHEN k % 10 = 6 THEN 'MM' ELSE mkt END AS mkt
+        FROM base
+        UNION ALL
+        SELECT k + 10000000, NULL, 'NEW' FROM base WHERE k % 10 = 7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(LENGTH(COALESCE(nm, ''))) AS BIGINT) AS sum_nm_len,
+           CAST(SUM(LENGTH(mkt)) AS BIGINT) AS sum_mkt_len,
+           CAST(SUM(CASE WHEN nm IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_nm,
+           1 AS rerun_noop
+    FROM fin
+    """,
+    doc="APPLY CHANGES with ignore_null_updates (round 13 — the DLT "
+    "flag): partial-row upsert feeds carry NULL for the columns they "
+    "did not change — k%10=5 rows update nm only (mkt kept), k%10=6 "
+    "rows update mkt only (nm kept), inserts still land NULL for "
+    "omitted columns. Without the flag those NULLs would erase target "
+    "values; the oracle computes the keep-semantics end state "
+    "directly. rerun_noop audits the fenced re-apply.",
+)
+def delta_apply_changes_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: identical to apply_changes (one pruned key-shuffle diff);
+    the coalesce rule is a column expression in the same job."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.operators.deltalog import (
+        _all_versions,
+        apply_changes_deltalog,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    root = tempfile.mkdtemp(prefix="applynull_")
+    d = os.path.join(root, "dim")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.col("c_mktsegment").alias("mkt"),
+    )
+
+    def feed():
+        upd_nm = cust.filter(F.col("k") % 10 == 5).select(
+            F.lit("update_postimage").alias("_change_type"), "k",
+            F.concat(F.lit("nn_"), F.col("k").cast("string")).alias("nm"),
+            F.lit(None).cast("string").alias("mkt"),
+            F.lit(1).cast("long").alias("_commit_version"),
+        )
+        upd_mkt = cust.filter(F.col("k") % 10 == 6).select(
+            F.lit("update_postimage").alias("_change_type"), "k",
+            F.lit(None).cast("string").alias("nm"),
+            F.lit("MM").alias("mkt"),
+            F.lit(1).cast("long").alias("_commit_version"),
+        )
+        ins = cust.filter(F.col("k") % 10 == 7).select(
+            F.lit("insert").alias("_change_type"),
+            (F.col("k") + 10_000_000).alias("k"),
+            F.lit(None).cast("string").alias("nm"),
+            F.lit("NEW").alias("mkt"),
+            F.lit(1).cast("long").alias("_commit_version"),
+        )
+        return upd_nm.unionByName(upd_mkt).unionByName(ins)
+
+    try:
+        write_delta_table(cust.repartitionByRange(4, "k"), d)
+        apply_changes_deltalog(
+            spark, d, feed(), ["k"], sequence_col="_commit_version",
+            ignore_null_updates=True,
+        )
+        got = read_delta_table(spark, d)
+        v_now = _all_versions(d)[-1]
+        rerun = apply_changes_deltalog(
+            spark, d, feed(), ["k"], sequence_col="_commit_version",
+            ignore_null_updates=True,
+        )
+        rerun_noop = int(
+            rerun["version"] is None and _all_versions(d)[-1] == v_now
+        )
+        return got.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.length(F.coalesce(F.col("nm"), F.lit(""))))
+            .cast("bigint").alias("sum_nm_len"),
+            F.sum(F.length("mkt")).cast("bigint").alias("sum_mkt_len"),
+            F.sum(F.col("nm").isNull().cast("int"))
+            .cast("bigint").alias("n_null_nm"),
+        ).select(
+            "n_rows", "sum_k", "sum_nm_len", "sum_mkt_len", "n_null_nm",
+            F.lit(rerun_noop).alias("rerun_noop"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

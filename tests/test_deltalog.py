@@ -6052,3 +6052,55 @@ def test_clustering_report_spark_metadata_path_parity(
     assert rep_spark_k == rep_driver_k
     assert rep_spark_s == rep_driver_s
     assert rep_driver_k["n_files"] == 9
+
+
+def test_apply_changes_ignore_null_updates(spark, tmp_path):
+    """Round 13: DLT's ignore_null_updates — a NULL cell in a change
+    row keeps the target's value (partial-row upsert feeds), inserts
+    still land NULL for omitted columns, and a row whose non-null
+    cells all match is a NO-OP (no spurious rewrite); default
+    semantics (NULL overwrites) unchanged."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    rows = [(1, "a1", "b1"), (2, "a2", "b2")]
+    schema = "k long, a string, b string"
+    feed = spark.createDataFrame(
+        [
+            ("update_postimage", 1, "A1", None, 1),
+            ("insert", 3, None, "b3", 1),
+        ],
+        "_change_type string, k long, a string, b string, "
+        "_commit_version long",
+    )
+    d1 = str(tmp_path / "nullsafe")
+    dl.write_delta_table(spark.createDataFrame(rows, schema), d1)
+    dl.apply_changes_deltalog(
+        spark, d1, feed, ["k"], sequence_col="_commit_version",
+        ignore_null_updates=True,
+    )
+    got = {
+        (r.k, r.a, r.b) for r in dl.read_delta_table(spark, d1).collect()
+    }
+    assert got == {(1, "A1", "b1"), (2, "a2", "b2"), (3, None, "b3")}
+    # a later change whose non-null cells all match: fenced-advance
+    # only, no data commit (changed=False under the coalesce rule)
+    noop = spark.createDataFrame(
+        [("update_postimage", 1, "A1", None, 2)],
+        "_change_type string, k long, a string, b string, "
+        "_commit_version long",
+    )
+    res = dl.apply_changes_deltalog(
+        spark, d1, noop, ["k"], sequence_col="_commit_version",
+        ignore_null_updates=True,
+    )
+    assert res.get("fence_advanced") is True  # merge itself no-oped
+    # default semantics unchanged: NULL overwrites
+    d2 = str(tmp_path / "nullover")
+    dl.write_delta_table(spark.createDataFrame(rows, schema), d2)
+    dl.apply_changes_deltalog(
+        spark, d2, feed, ["k"], sequence_col="_commit_version"
+    )
+    got2 = {
+        (r.k, r.a, r.b) for r in dl.read_delta_table(spark, d2).collect()
+    }
+    assert got2 == {(1, "A1", None), (2, "a2", "b2"), (3, None, "b3")}
