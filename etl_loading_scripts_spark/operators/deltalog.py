@@ -3581,6 +3581,22 @@ def apply_changes_scd2_deltalog(
             F.col("__next").alias(to_col),
             F.col("__next").isNull().alias(current_col),
         )
+        # structural guard (r13 seam 2, closed in-round): an inverted
+        # interval can only arise from an out-of-order feed — changes
+        # at sequences at-or-below an existing version's valid_from
+        # (sequence_fence=False replay, or an initial load stamped
+        # ABOVE the feed's sequence space). Refuse loudly instead of
+        # committing unreadable history; one batch-scoped agg
+        n_bad = src.filter(F.col(to_col) <= F.col(from_col)).count()
+        if n_bad:
+            raise ValueError(
+                f"apply_changes_scd2: {n_bad} inverted validity "
+                f"interval(s) — the feed carries sequences at or below "
+                "existing valid_from values (out-of-order replay with "
+                "sequence_fence=False, or an initial load stamped above "
+                "the feed's sequence space); apply ranges in order or "
+                "keep the fence on"
+            )
         kw = dict(merge_kwargs)
         kw["operation_parameters"] = {
             **dict(kw.get("operation_parameters") or {}),
@@ -6610,10 +6626,55 @@ def delta_clustering_report(
     the same routing discipline as every other metadata audit here.
     Returns {n_files, n_statless, mean_overlap_depth,
     max_overlap_depth, recommend_recluster}."""
-    import bisect
+    ranges, n_statless = _clustering_ranges(table, column, version)
+    return _depth_report([r[1:] for r in ranges], n_statless)
 
-    pairs: list[tuple] | None = None
-    n_statless = 0
+
+def delta_clustering_report_by_partition(
+    table: str, column: str, version: int | None = None
+) -> dict[str, dict]:
+    """Per-PARTITION clustering reports (r13 seam 3, closed in-round):
+    {partition key → report} where the key is the file's hive tuple
+    over the partition columns OTHER than ``column`` (a drifted month
+    inside a month-partitioned fact shows up as that month's own
+    depth, not diluted into the global mean). Statless files count
+    against their own partition only — a probe inside one partition
+    never scans another partition's statless files. Unpartitioned
+    tables return a single '' key equal to the global report."""
+    ranges, _ = _clustering_ranges(table, column, version)
+    groups: dict[str, list] = {}
+    statless: dict[str, int] = {}
+    for gk, mn, mx in ranges:
+        if mn is None:
+            statless[gk] = statless.get(gk, 0) + 1
+            groups.setdefault(gk, [])
+        else:
+            groups.setdefault(gk, []).append((mn, mx))
+    return {
+        gk: _depth_report(groups[gk], statless.get(gk, 0))
+        for gk in groups
+    }
+
+
+def _clustering_ranges(
+    table: str, column: str, version: int | None
+) -> tuple[list[tuple], int]:
+    """([(partition key, min, max)] with min=max=None for unusable
+    ranges, global statless count) — the shared extraction for the
+    clustering audits. Partition key = the hive tuple over the
+    partition columns other than ``column``. The COLUMN TYPE decides
+    the coercion: numeric columns' values arrive as JSON strings on
+    the Spark path (get_json_object) and as strings from pv fallbacks
+    on both paths — they must become numbers; string-ordered columns
+    must NOT be numerically coerced ('10' < '9' in the column's own
+    lexicographic order)."""
+    meta = _meta_at(table, version)
+    pcols = [c for c in (meta.get("partitionColumns") or []) if c != column]
+
+    def _gk(pv: Mapping[str, object]) -> str:
+        return "/".join(f"{c}={pv.get(c)}" for c in pcols)
+
+    triples: list[tuple] | None = None
     if _estimated_active_files(table) >= _SPARK_META_THRESHOLD:
         from pyspark.sql import SparkSession
 
@@ -6629,17 +6690,24 @@ def delta_clustering_report(
                         F.col("stats"), f"$.maxValues.{column}"
                     ).alias("mx"),
                     F.col("partitionValues").getItem(column).alias("pv"),
+                    *[
+                        F.col("partitionValues").getItem(c).alias(f"__p_{c}")
+                        for c in pcols
+                    ],
                 )
                 .collect()
             )
-            pairs = [
-                (r.mn if r.mn is not None else r.pv,
-                 r.mx if r.mx is not None else r.pv)
+            triples = [
+                (
+                    _gk({c: r[f"__p_{c}"] for c in pcols}),
+                    r.mn if r.mn is not None else r.pv,
+                    r.mx if r.mx is not None else r.pv,
+                )
                 for r in rows
             ]
-    if pairs is None:
+    if triples is None:
         active, _, _ = _snapshot_state(table, version)
-        pairs = []
+        triples = []
         for a in active.values():
             mn = mx = None
             raw = a.get("stats")
@@ -6650,20 +6718,15 @@ def delta_clustering_report(
                     mx = (st.get("maxValues") or {}).get(column)
                 except ValueError:
                     mn = mx = None
+            pv = a.get("partitionValues") or {}
             if mn is None or mx is None:
-                pv = (a.get("partitionValues") or {}).get(column)
-                mn = mx = pv
-            pairs.append((mn, mx))
-    # the COLUMN TYPE decides the coercion: numeric columns' values
-    # arrive as JSON strings on the Spark path (get_json_object) and
-    # as strings from pv fallbacks on both paths — they must become
-    # numbers; string-ordered columns must NOT be numerically coerced
-    # ('10' < '9' in the column's own lexicographic order)
+                mn = mx = pv.get(column)
+            triples.append((_gk(pv), mn, mx))
     ctype = next(
         (
             f.dataType.simpleString()
             for f in StructType.fromJson(
-                json.loads(_meta_at(table, version)["schemaString"])
+                json.loads(meta["schemaString"])
             ).fields
             if f.name == column
         ),
@@ -6679,8 +6742,9 @@ def delta_clustering_report(
         except ValueError:
             return None
 
-    ranges: list[tuple] = []
-    for mn, mx in pairs:
+    out: list[tuple] = []
+    n_statless = 0
+    for gk, mn, mx in triples:
         mn, mx = _typ(mn), _typ(mx)
         if isinstance(mn, bool) or isinstance(mx, bool):
             mn = mx = None  # bool ranges: no useful clustering order
@@ -6688,13 +6752,25 @@ def delta_clustering_report(
             mn = float(mn)
         if numeric and isinstance(mx, int):
             mx = float(mx)
-        if mn is None or mx is None or type(mn) is not type(mx):
+        if (
+            mn is None or mx is None or type(mn) is not type(mx)
+            or (isinstance(mn, float) and (mn != mn or mx != mx))
+        ):
             n_statless += 1
+            out.append((gk, None, None))
             continue
-        if isinstance(mn, float) and (mn != mn or mx != mx):
-            n_statless += 1  # NaN-poisoned range: never prunable
-            continue
-        ranges.append((mn, mx))
+        out.append((gk, mn, mx))
+    return out, n_statless
+
+
+def _depth_report(pairs: Sequence[tuple], n_statless: int) -> dict:
+    """The overlap-depth sweep over usable [min,max] pairs: depth at
+    each file's min = #ranges containing it + the statless count
+    (statless files survive every prune), via two sorted sweeps —
+    O(n log n) driver work over O(files) metadata."""
+    import bisect
+
+    ranges = [p for p in pairs if p and p[0] is not None]
     n_files = len(ranges) + n_statless
     if not ranges:
         depth = float(n_files)
@@ -6707,8 +6783,6 @@ def delta_clustering_report(
                 n_files and depth >= CLUSTER_DEPTH_FACTOR
             ),
         }
-    # depth at each file's min = #ranges containing it, via two sorted
-    # sweeps (O(n log n) driver work over O(files) metadata)
     starts = sorted(mn for mn, _ in ranges)
     ends = sorted(mx for _, mx in ranges)
     depths = []
@@ -6733,27 +6807,67 @@ def maintain_clustering_delta(
     depth_threshold: float = CLUSTER_DEPTH_FACTOR,
     require_version: int | None = None,
     target_file_rows: int | None = None,
+    scope_partitions: bool = True,
 ) -> dict:
     """Audit-then-act key-clustering maintenance (r13, VERDICT r12
     item 2 — the keyed merge's layout prerequisite, automated): run
-    :func:`delta_clustering_report` per cluster column (metadata
-    only); when the WORST mean overlap depth crosses
-    ``depth_threshold``, rewrite the table range/Z-ordered on
-    ``cluster_by`` (every file qualifies for the packing pass;
-    ``dataChange: false``, CDC-transparent, same one-commit atomicity
-    as OPTIMIZE) so per-file key ranges tile again and the keyed
-    merge's stats pruning returns to O(band). Below the threshold the
-    audit is the only cost — the same decide-from-metadata lifecycle
-    as ``ann_index_maintain`` and the DV purge. Returns {version,
-    reclustered, worst_depth, reports}."""
-    reports = {c: delta_clustering_report(table, c) for c in cluster_by}
-    worst = max(r["mean_overlap_depth"] for r in reports.values())
-    if worst < depth_threshold:
+    the clustering audit per cluster column (metadata only); when the
+    WORST mean overlap depth crosses ``depth_threshold``, rewrite
+    range/Z-ordered on ``cluster_by`` (every file qualifies for the
+    packing pass; ``dataChange: false``, CDC-transparent, same
+    one-commit atomicity as OPTIMIZE) so per-file key ranges tile
+    again and the keyed merge's stats pruning returns to O(band).
+    Below the threshold the audit is the only cost — the same
+    decide-from-metadata lifecycle as ``ann_index_maintain`` and the
+    DV purge.
+
+    ``scope_partitions`` (default True — r13 seam 3, closed in-round):
+    on a table with exactly ONE partition column outside
+    ``cluster_by``, the audit runs per partition and the rewrite is
+    SCOPED to the drifted partitions only (``partition_filter``), so a
+    fact whose churn concentrated in one month re-sorts that month —
+    every other partition's files stay byte-identical. Multi-level
+    partitioning or unpartitioned tables fall back to the whole-table
+    decision. Returns {version, reclustered, worst_depth, reports,
+    partitions_scoped}."""
+    meta = _meta_at(table, None)
+    pcols = [
+        c for c in (meta.get("partitionColumns") or [])
+        if c not in cluster_by
+    ]
+    scoped: list | None = None
+    if scope_partitions and len(pcols) == 1:
+        by_part = {
+            c: delta_clustering_report_by_partition(table, c)
+            for c in cluster_by
+        }
+        worst = max(
+            (
+                r["mean_overlap_depth"]
+                for reps in by_part.values()
+                for r in reps.values()
+            ),
+            default=0.0,
+        )
+        drifted: set[str] = set()
+        for reps in by_part.values():
+            for gk, r in reps.items():
+                if r["mean_overlap_depth"] >= depth_threshold:
+                    drifted.add(gk.split("=", 1)[1])
+        reports = by_part
+        scoped = sorted(drifted)
+        hit = bool(drifted)
+    else:
+        reports = {c: delta_clustering_report(table, c) for c in cluster_by}
+        worst = max(r["mean_overlap_depth"] for r in reports.values())
+        hit = worst >= depth_threshold
+    if not hit:
         return {
             "version": None,
             "reclustered": False,
             "worst_depth": worst,
             "reports": reports,
+            "partitions_scoped": scoped,
         }
     res = optimize_delta(
         spark, table,
@@ -6761,12 +6875,16 @@ def maintain_clustering_delta(
         zorder_by=list(cluster_by),
         require_version=require_version,
         target_file_rows=target_file_rows,
+        partition_filter=(
+            {pcols[0]: scoped} if scoped else None
+        ),
     )
     return {
         "version": res["version"],
         "reclustered": res["version"] is not None,
         "worst_depth": worst,
         "reports": reports,
+        "partitions_scoped": scoped,
     }
 
 

@@ -6104,3 +6104,86 @@ def test_apply_changes_ignore_null_updates(spark, tmp_path):
         (r.k, r.a, r.b) for r in dl.read_delta_table(spark, d2).collect()
     }
     assert got2 == {(1, "A1", None), (2, "a2", "b2"), (3, None, "b3")}
+
+
+def test_apply_changes_scd2_refuses_inverted_intervals(spark, tmp_path):
+    """Seam guard: with sequence_fence=False, replaying an out-of-order
+    feed (sequences at-or-below existing valid_from values) would chain
+    inverted [from, to) intervals — the apply refuses loudly instead of
+    committing unreadable history; the mart is untouched."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "scd2inv")
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [(1, "cur", 7, None, True)],
+            "k long, v string, valid_from long, valid_to long, "
+            "is_current boolean",
+        ),
+        d,
+    )
+    stale = spark.createDataFrame(
+        [("update_postimage", 1, "old", 3)],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    with pytest.raises(ValueError, match="inverted validity"):
+        dl.apply_changes_scd2_deltalog(
+            spark, d, stale, ["k"], sequence_col="_commit_version",
+            sequence_fence=False,
+        )
+    got = dl.read_delta_table(spark, d).collect()
+    assert [(r.k, r.v, r.valid_from, r.valid_to, r.is_current)
+            for r in got] == [(1, "cur", 7, None, True)]
+
+
+def test_clustering_maintenance_scopes_to_drifted_partition(spark, tmp_path):
+    """r13 seam 3 closed in-round: on a month-partitioned fact whose
+    interleaved churn hit ONE month, the per-partition audit flags
+    exactly that month and the re-sort is SCOPED to it — every other
+    month's files stay byte-identical (carryover preserved), and the
+    drifted month's band scans recover."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "scopedclust")
+    n = 4000
+    base = spark.range(0, 2 * n, 2).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3 + 1).cast("int").alias("month"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dl.write_delta_table(
+        base.repartitionByRange(12, "month", "k"), d,
+        partition_by=["month"],
+    )
+    # drift month 2 only: interleaved full-span arrivals
+    for i in range(5):
+        arrivals = spark.range(1 + 2 * i, 2 * n, 10).select(
+            F.col("id").alias("k"),
+            F.lit(2).cast("int").alias("month"),
+            (F.col("id") * 3).alias("v"),
+        )
+        dl.write_delta_table(arrivals.coalesce(1), d, mode="append")
+    by = dl.delta_clustering_report_by_partition(d, "k")
+    assert by["month=2"]["recommend_recluster"]
+    assert not by["month=1"]["recommend_recluster"]
+    assert not by["month=3"]["recommend_recluster"]
+    pre = {
+        p: a.get("size") for p, a in dl._snapshot_state(d, None)[0].items()
+    }
+    res = dl.maintain_clustering_delta(
+        spark, d, ["k"], target_file_rows=n // 3
+    )
+    assert res["reclustered"] and res["partitions_scoped"] == ["2"]
+    post = dl._snapshot_state(d, None)[0]
+    # months 1 and 3: every file carried byte-identical
+    for p, sz in pre.items():
+        if "month=2" not in p:
+            assert post.get(p, {}).get("size") == sz, p
+    # month 2 healthy again; data intact
+    by2 = dl.delta_clustering_report_by_partition(d, "k")
+    assert not by2["month=2"]["recommend_recluster"]
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == base.count() + 5 * len(range(1, 2 * n, 10))
+    # maintain again: below threshold everywhere → no-op
+    res2 = dl.maintain_clustering_delta(spark, d, ["k"])
+    assert res2["version"] is None and res2["partitions_scoped"] == []
