@@ -6187,3 +6187,212 @@ def test_clustering_maintenance_scopes_to_drifted_partition(spark, tmp_path):
     # maintain again: below threshold everywhere → no-op
     res2 = dl.maintain_clustering_delta(spark, d, ["k"])
     assert res2["version"] is None and res2["partitions_scoped"] == []
+
+
+def test_apply_changes_scd2_matches_reference_model(spark, tmp_path):
+    """Model-based randomized check (seeded, deterministic): random
+    CDC feeds — inserts/updates/deletes/preimages, multi-change keys,
+    value-identical no-ops, deletes of absent keys, stale replay
+    ranges — applied through apply_changes_scd2_deltalog must equal a
+    pure-Python SCD2 reference model (fence + winner-per-sequence +
+    collapse + chain semantics re-derived independently)."""
+    import random
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    rng = random.Random(1309)
+    KEYS = list(range(6))
+    VALS = ["red", "green", "blue", "red"]  # repeats drive collapses
+
+    for case in range(5):
+        # --- generate: initial state + 3 feeds of random changes ----
+        init_keys = sorted(rng.sample(KEYS, rng.randint(1, 4)))
+        init = {k: rng.choice(VALS) for k in init_keys}
+        feeds = []
+        seq_pool = list(range(1, 10))
+        for _ in range(3):
+            n = rng.randint(1, 6)
+            feed = []
+            used = set()
+            for _ in range(n):
+                k = rng.choice(KEYS)
+                s = rng.choice(seq_pool)
+                ct = rng.choice(
+                    ["insert", "update_postimage", "update_postimage",
+                     "delete", "update_preimage"]
+                )
+                if ct != "delete" and (k, s) in used:
+                    continue  # one non-delete image per (key, seq)
+                if ct != "delete":
+                    used.add((k, s))
+                feed.append((ct, k, rng.choice(VALS), s))
+            feeds.append(feed)
+
+        # --- reference model --------------------------------------
+        current = {k: (v, 0) for k, v in init.items()}  # k -> (val, from)
+        history: list[tuple] = []  # (k, val, from, to)
+        hw = None
+        for feed in feeds:
+            live = [c for c in feed if c[0] != "update_preimage"]
+            live = [c for c in live if hw is None or c[3] > hw]
+            if not live:
+                continue
+            hw = max(c[3] for c in live) if hw is None else max(
+                hw, max(c[3] for c in live)
+            )
+            by_key: dict = {}
+            for ct, k, v, s in live:
+                # winner per (key, seq): delete beats non-delete
+                cur = by_key.setdefault(k, {})
+                if s in cur and cur[s][0] == "delete":
+                    continue
+                if ct == "delete" or s not in cur:
+                    cur[s] = (ct, v)
+            for k, chs in by_key.items():
+                state = current.get(k)
+                for s in sorted(chs):
+                    ct, v = chs[s]
+                    if ct == "delete":
+                        if state is None:
+                            continue  # delete of absent key: no-op
+                        history.append((k, state[0], state[1], s))
+                        state = None
+                    else:
+                        if state is not None and state[0] == v:
+                            continue  # value-identical: collapse
+                        if state is not None:
+                            history.append((k, state[0], state[1], s))
+                        state = (v, s)
+                current[k] = state
+        expected = set(history) | {
+            (k, st[0], st[1], None)
+            for k, st in current.items()
+            if st is not None
+        }
+
+        # --- engine -------------------------------------------------
+        d = str(tmp_path / f"model{case}")
+        dl.write_delta_table(
+            spark.createDataFrame(
+                [(k, v, 0, None, True) for k, v in init.items()],
+                "k long, v string, valid_from long, valid_to long, "
+                "is_current boolean",
+            ),
+            d,
+        )
+        for feed in feeds:
+            if not feed:
+                continue
+            df = spark.createDataFrame(
+                [(ct, k, v, s) for ct, k, v, s in feed],
+                "_change_type string, k long, v string, "
+                "_commit_version long",
+            )
+            dl.apply_changes_scd2_deltalog(
+                spark, d, df, ["k"], sequence_col="_commit_version"
+            )
+        got = {
+            (r.k, r.v, r.valid_from, r.valid_to)
+            for r in dl.read_delta_table(spark, d).collect()
+        }
+        assert got == expected, (
+            f"case {case}: init={init} feeds={feeds}\n"
+            f"got - exp: {sorted(got - expected)}\n"
+            f"exp - got: {sorted(expected - got)}"
+        )
+        # is_current is derivable: open interval == current
+        cur_rows = {
+            (r.k, r.v)
+            for r in dl.read_delta_table(spark, d)
+            .filter("is_current").collect()
+        }
+        assert cur_rows == {
+            (k, st[0]) for k, st in current.items() if st is not None
+        }
+
+
+def test_apply_changes_type1_matches_reference_model(spark, tmp_path):
+    """Model-based randomized check for the TYPE-1 apply (seeded):
+    latest-per-key wins, deletes win same-sequence ties, stale ranges
+    fence out — engine equals an independent Python reference across
+    random feeds."""
+    import random
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    rng = random.Random(1313)
+    KEYS = list(range(6))
+    VALS = ["w", "x", "y", "z"]
+
+    for case in range(5):
+        init_keys = sorted(rng.sample(KEYS, rng.randint(1, 4)))
+        init = {k: rng.choice(VALS) for k in init_keys}
+        feeds = []
+        for _ in range(3):
+            feed = []
+            used = set()
+            for _ in range(rng.randint(1, 6)):
+                k = rng.choice(KEYS)
+                s = rng.choice(range(1, 10))
+                ct = rng.choice(
+                    ["insert", "update_postimage", "update_postimage",
+                     "delete", "update_preimage"]
+                )
+                if ct != "delete":
+                    if (k, s) in used:
+                        continue
+                    used.add((k, s))
+                feed.append((ct, k, rng.choice(VALS), s))
+            feeds.append(feed)
+
+        # reference model
+        state = dict(init)
+        hw = None
+        for feed in feeds:
+            live = [c for c in feed if c[0] != "update_preimage"]
+            live = [c for c in live if hw is None or c[3] > hw]
+            if not live:
+                continue
+            hw = max(c[3] for c in live) if hw is None else max(
+                hw, max(c[3] for c in live)
+            )
+            by_key: dict = {}
+            for ct, k, v, s in live:
+                best = by_key.get(k)
+                # latest sequence wins; delete beats non-delete on ties
+                if (
+                    best is None
+                    or s > best[2]
+                    or (s == best[2] and ct == "delete")
+                ):
+                    by_key[k] = (ct, v, s)
+            for k, (ct, v, _) in by_key.items():
+                if ct == "delete":
+                    state.pop(k, None)
+                else:
+                    state[k] = v
+
+        d = str(tmp_path / f"t1model{case}")
+        dl.write_delta_table(
+            spark.createDataFrame(
+                list(init.items()), "k long, v string"
+            ),
+            d,
+        )
+        for feed in feeds:
+            if not feed:
+                continue
+            df = spark.createDataFrame(
+                [(ct, k, v, s) for ct, k, v, s in feed],
+                "_change_type string, k long, v string, "
+                "_commit_version long",
+            )
+            dl.apply_changes_deltalog(
+                spark, d, df, ["k"], sequence_col="_commit_version"
+            )
+        got = {
+            (r.k, r.v) for r in dl.read_delta_table(spark, d).collect()
+        }
+        assert got == set(state.items()), (
+            f"case {case}: init={init} feeds={feeds}"
+        )
