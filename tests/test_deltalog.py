@@ -6396,3 +6396,43 @@ def test_apply_changes_type1_matches_reference_model(spark, tmp_path):
         assert got == set(state.items()), (
             f"case {case}: init={init} feeds={feeds}"
         )
+
+
+def test_pin_index_survives_set_retention(spark, tmp_path):
+    """Pin index × retention: after vacuum_published_set retires every
+    set that pinned a table, the newest setCommit's carried-forward
+    pins still resolve the table's exact version (pre-r13 the bounded
+    scan over REMAINING sets returned None and the set-consistent tail
+    held forever), the pinned version stays readable (the vacuum's
+    dropped-table rule keeps it), and the gapped coordinator correctly
+    refuses rebootstrap proofs."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    base = str(tmp_path / "pinret")
+    fact = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    dim = spark.createDataFrame([(9, 90)], "k long, v long")
+    dl.publish_set_deltalog([("fact", fact), ("dim", dim)], base)
+    fact_pin = dl._last_pinned_version(base, "fact")
+    for i in range(3):  # dim-only sets push the fact's pin out of window
+        dl.publish_set_deltalog(
+            [("dim", dim.withColumn("v", F.col("v") + i))], base
+        )
+    res = dl.vacuum_published_set(base, keep_sets=2)
+    assert res["sets_retired"]  # the fact-pinning set is gone
+    coord = os.path.join(base, dl._SET_DIR)
+    remaining = dl._versions(coord)
+    assert 0 not in remaining
+    # the index, carried forward through the dim-only commits, still
+    # answers exactly
+    assert dl._last_pinned_version(base, "fact") == fact_pin
+    got = dl.read_delta_table(
+        spark, os.path.join(base, "fact"), version=fact_pin
+    )
+    assert got.count() == 2
+    # gapped coordinator: never a rebootstrap proof
+    assert not dl._rebootstrap_safe(
+        base, "fact", os.path.join(base, "fact")
+    )
+    assert not dl._rebootstrap_safe(
+        base, "never_published", os.path.join(base, "never_published")
+    )
