@@ -3333,7 +3333,16 @@ def apply_changes_deltalog(
     NULL cell in a change row means "keep the target's value" instead
     of "set NULL" — partial-row upsert feeds (sources that only carry
     the columns they changed) apply without erasing the rest; inserts
-    of absent keys still land NULL for the omitted columns."""
+    of absent keys still land NULL for the omitted columns.
+
+    TRUNCATE directives (r13 — DLT's ``apply_as_truncates`` shape,
+    ``sequence_col`` required, type-1 only): a ``_change_type =
+    'truncate'`` row at sequence s supersedes every change at-or-below
+    s AND every existing row — after the apply the table is exactly
+    the post-truncate changes (a truncate with none empties it). The
+    full-refresh-source idiom: sources that re-snapshot instead of
+    diffing send truncate + inserts as one feed. Detected in the SAME
+    job as the fence agg (no extra pass when absent)."""
     if "_change_type" not in changes.columns:
         raise ValueError("changes frame must carry _change_type")
     feed0 = changes.filter(F.col("_change_type") != "update_preimage")
@@ -3349,7 +3358,21 @@ def apply_changes_deltalog(
 
     from pyspark.sql import Window
 
-    def _merge(feed: DataFrame, cfg, op_params, base_version) -> dict:
+    def _merge(feed: DataFrame, cfg, op_params, base_version, t_max) -> dict:
+        kw = dict(merge_kwargs)
+        if t_max is not None:
+            # apply_as_truncates (r13 — the DLT flag's shape, type-1
+            # only): a truncate directive at sequence s supersedes
+            # every change at-or-below s AND every existing row — the
+            # table becomes exactly the post-truncate changes, via the
+            # full-sync merge (delete_unmatched_source removes what
+            # the survivors don't carry; a truncate with no later
+            # changes empties the table)
+            feed = feed.filter(
+                (F.col("_change_type") != "truncate")
+                & (F.col(sequence_col) > F.lit(t_max))
+            )
+            kw["delete_unmatched_source"] = True
         tie_cols = [
             c for c in feed.columns if c not in (sequence_col, "_change_type")
         ]
@@ -3368,7 +3391,6 @@ def apply_changes_deltalog(
             .withColumn("__delete", (F.col("_change_type") == "delete"))
             .drop("_change_type")
         )
-        kw = dict(merge_kwargs)
         kw["operation_parameters"] = {
             **dict(kw.get("operation_parameters") or {}), **op_params,
         }
@@ -3424,7 +3446,18 @@ def _run_fenced_apply(
         feed = feed0
         if old_hw is not None:
             feed = feed.filter(F.col(sequence_col) > F.lit(old_hw))
-        feed_max = feed.agg(F.max(sequence_col)).first()[0]
+        agg = feed.agg(
+            F.max(sequence_col).alias("mx"),
+            # truncate directives' own high mark, in the SAME job —
+            # build_and_merge decides whether/how to honor them
+            F.max(
+                F.when(
+                    F.col("_change_type") == "truncate",
+                    F.col(sequence_col),
+                )
+            ).alias("tmx"),
+        ).first()
+        feed_max, truncate_max = agg["mx"], agg["tmx"]
         if feed_max is None:
             # empty feed, or every change at-or-below the fence:
             # already applied — serve the no-op without paying a diff
@@ -3439,6 +3472,7 @@ def _run_fenced_apply(
             feed, cfg,
             {"appliedSequenceHighWater": _seq_encode(new_hw)},
             pinned if sequence_fence else None,
+            truncate_max,
         )
         if sequence_fence and out["version"] is None:
             new_meta = dict(meta)
@@ -3517,7 +3551,14 @@ def apply_changes_scd2_deltalog(
     tracked = list(tracked)
     feed0 = changes.filter(F.col("_change_type") != "update_preimage")
 
-    def _merge(feed: DataFrame, cfg, op_params, base_version) -> dict:
+    def _merge(feed: DataFrame, cfg, op_params, base_version, t_max) -> dict:
+        if t_max is not None:
+            raise ValueError(
+                "truncate directives are type-1 only (DLT's "
+                "apply_as_truncates restriction): a type-2 mart keeps "
+                "history — route full refreshes through "
+                "apply_changes_deltalog or close versions with deletes"
+            )
         # winner per (key, sequence): delete-last, then stable hash
         w0 = Window.partitionBy(*on, sequence_col).orderBy(
             (F.col("_change_type") == "delete").cast("int").desc(),

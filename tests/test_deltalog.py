@@ -6436,3 +6436,66 @@ def test_pin_index_survives_set_retention(spark, tmp_path):
     assert not dl._rebootstrap_safe(
         base, "never_published", os.path.join(base, "never_published")
     )
+
+
+def test_apply_changes_truncate_directive(spark, tmp_path):
+    """r13: DLT's apply_as_truncates shape — a truncate directive at
+    sequence s supersedes every existing row and every change ≤ s; the
+    table becomes exactly the post-truncate changes (or empty), the
+    fence still advances, and a type-2 mart refuses the directive."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "trunc")
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [(i, i * 10) for i in range(1, 5)], "k long, v long"
+        ),
+        d,
+    )
+    feed = spark.createDataFrame(
+        [
+            ("insert", 9, 90, 1),        # superseded by the truncate
+            ("truncate", None, None, 2),
+            ("insert", 5, 50, 3),        # survives
+            ("update_postimage", 6, 60, 3),  # absent key: upserts
+        ],
+        "_change_type string, k long, v long, _commit_version long",
+    )
+    res = dl.apply_changes_deltalog(
+        spark, d, feed, ["k"], sequence_col="_commit_version"
+    )
+    assert res["version"] is not None and res["applied_high_water"] == 3
+    got = {(r.k, r.v) for r in dl.read_delta_table(spark, d).collect()}
+    assert got == {(5, 50), (6, 60)}
+    # fenced re-apply: no-op
+    res2 = dl.apply_changes_deltalog(
+        spark, d, feed, ["k"], sequence_col="_commit_version"
+    )
+    assert res2["version"] is None and res2["fenced_out"]
+    # truncate-only feed empties the table
+    wipe = spark.createDataFrame(
+        [("truncate", None, None, 4)],
+        "_change_type string, k long, v long, _commit_version long",
+    )
+    dl.apply_changes_deltalog(
+        spark, d, wipe, ["k"], sequence_col="_commit_version"
+    )
+    assert dl.read_delta_table(spark, d).count() == 0
+    # type-2 marts refuse the directive
+    d2 = str(tmp_path / "truncscd2")
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [(1, "a", 0, None, True)],
+            "k long, v string, valid_from long, valid_to long, "
+            "is_current boolean",
+        ),
+        d2,
+    )
+    scd2_feed = spark.createDataFrame(
+        [("truncate", None, None, 5)],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    with pytest.raises(ValueError, match="type-1 only"):
+        dl.apply_changes_scd2_deltalog(
+            spark, d2, scd2_feed, ["k"], sequence_col="_commit_version"
+        )
