@@ -1337,3 +1337,91 @@ def delta_apply_changes_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint()
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "delta_apply_changes_truncate",
+    oracle="""
+    WITH fin AS (
+        SELECT c_custkey AS k, c_name AS nm FROM customer
+        WHERE c_custkey % 10 = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(LENGTH(nm)) AS BIGINT) AS sum_nm_len,
+           1 AS pre_truncate_superseded,
+           1 AS rerun_noop
+    FROM fin
+    """,
+    doc="APPLY CHANGES with a truncate directive (round 13 — the DLT "
+    "apply_as_truncates shape): the feed carries a doomed insert at "
+    "seq 1, the truncate at seq 2, and the k%10=0 re-snapshot at seq "
+    "3 — the mart ends as exactly the post-truncate rows (every "
+    "pre-existing customer and the doomed insert gone), the fence "
+    "advances through the directive, and re-applying the identical "
+    "feed is a fenced no-op.",
+)
+def delta_apply_changes_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: the truncate turns the apply into ONE full-sync merge of
+    the post-truncate survivors — the same write volume a re-snapshot
+    source costs by definition; no extra job when feeds carry no
+    truncate (detected inside the fence agg)."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.operators.deltalog import (
+        _all_versions,
+        apply_changes_deltalog,
+        read_delta_table,
+        write_delta_table,
+    )
+
+    root = tempfile.mkdtemp(prefix="applytrunc_")
+    d = os.path.join(root, "dim")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.col("c_name").alias("nm")
+    )
+
+    def feed():
+        doomed = spark.createDataFrame(
+            [("insert", 99_000_001, "doomed", 1),
+             ("truncate", None, None, 2)],
+            "_change_type string, k long, nm string, _commit_version long",
+        )
+        snap = cust.filter(F.col("k") % 10 == 0).select(
+            F.lit("insert").alias("_change_type"), "k", "nm",
+            F.lit(3).cast("long").alias("_commit_version"),
+        )
+        return doomed.unionByName(snap)
+
+    try:
+        write_delta_table(cust.repartitionByRange(4, "k"), d)
+        apply_changes_deltalog(
+            spark, d, feed(), ["k"], sequence_col="_commit_version"
+        )
+        got = read_delta_table(spark, d)
+        pre_gone = int(
+            got.filter(
+                (F.col("k") % 10 != 0) | (F.col("k") == 99_000_001)
+            ).count() == 0
+        )
+        v_now = _all_versions(d)[-1]
+        rerun = apply_changes_deltalog(
+            spark, d, feed(), ["k"], sequence_col="_commit_version"
+        )
+        rerun_noop = int(
+            rerun["version"] is None and _all_versions(d)[-1] == v_now
+        )
+        return got.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.length("nm")).cast("bigint").alias("sum_nm_len"),
+        ).select(
+            "n_rows", "sum_k", "sum_nm_len",
+            F.lit(pre_gone).alias("pre_truncate_superseded"),
+            F.lit(rerun_noop).alias("rerun_noop"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
