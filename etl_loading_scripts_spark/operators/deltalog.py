@@ -3523,7 +3523,13 @@ def apply_changes_scd2_deltalog(
     - value-identical updates COLLAPSE (no spurious version — the
       scd2_apply no-op discipline), as do deletes of absent keys;
     - multiple changes per key in one feed chain intermediate
-      versions ``[s_i, s_{i+1})`` exactly as DLT materializes them.
+      versions ``[s_i, s_{i+1})`` exactly as DLT materializes them;
+    - with an explicit ``tracked`` SUBSET (DLT's ``TRACK HISTORY ON``
+      clause, r13), the remaining payload columns are TYPE-1 within
+      the type-2 mart: their changes never open a version — the
+      current row takes the latest change's untracked values in place
+      (including a seed untouched by any tracked change), closed
+      versions keep the values they closed with.
 
     The sequence fence (default on, same metaData high-water key as
     the type-1 apply) makes re-application and stale-range replay
@@ -3549,6 +3555,16 @@ def apply_changes_scd2_deltalog(
             if c not in on and c not in (sequence_col, "_change_type")
         ]
     tracked = list(tracked)
+    # TRACK HISTORY ON a subset (r13 — the DLT clause): payload columns
+    # NOT in ``tracked`` are TYPE-1 within the type-2 mart — their
+    # changes never open a version; the key's CURRENT row takes the
+    # latest change's untracked values in place, closed versions keep
+    # the values they closed with
+    untracked = [
+        c for c in changes.columns
+        if c not in on and c not in (sequence_col, "_change_type")
+        and c not in tracked
+    ]
     feed0 = changes.filter(F.col("_change_type") != "update_preimage")
 
     def _merge(feed: DataFrame, cfg, op_params, base_version, t_max) -> dict:
@@ -3562,13 +3578,13 @@ def apply_changes_scd2_deltalog(
         # winner per (key, sequence): delete-last, then stable hash
         w0 = Window.partitionBy(*on, sequence_col).orderBy(
             (F.col("_change_type") == "delete").cast("int").desc(),
-            F.xxhash64(*[F.col(c) for c in tracked]).desc(),
+            F.xxhash64(*[F.col(c) for c in (*tracked, *untracked)]).desc(),
         )
         batch = (
             feed.withColumn("__rn", F.row_number().over(w0))
             .filter(F.col("__rn") == 1)
             .select(
-                *on, *tracked,
+                *on, *tracked, *untracked,
                 F.col(sequence_col).alias("__seq"),
                 (F.col("_change_type") == "delete").alias("__del"),
                 F.lit(False).alias("__seed"),
@@ -3580,7 +3596,7 @@ def apply_changes_scd2_deltalog(
         seed = (
             cur.join(batch.select(*on).distinct(), on, "left_semi")
             .select(
-                *on, *tracked,
+                *on, *tracked, *untracked,
                 F.col(from_col).alias("__seq"),
                 F.lit(False).alias("__del"),
                 F.lit(True).alias("__seed"),
@@ -3590,6 +3606,24 @@ def apply_changes_scd2_deltalog(
         wk = Window.partitionBy(*on).orderBy(
             F.col("__seed").desc(), F.col("__seq").asc()
         )
+        if untracked:
+            # the latest non-delete change's untracked image per key —
+            # computed over ALL batch rows (including ones the tracked
+            # collapse drops: an untracked-only change creates no
+            # version but still wins the in-place update)
+            w_all = wk.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+            allr = allr.withColumn(
+                "__u_final",
+                F.last(
+                    F.when(
+                        ~F.col("__del") & ~F.col("__seed"),
+                        F.struct(*[F.col(c) for c in untracked]),
+                    ),
+                    ignorenulls=True,
+                ).over(w_all),
+            )
         img = F.struct(*[F.col(c) for c in tracked])
         prev_img = F.lag(img).over(wk)
         prev_del = F.lag("__del").over(wk)
@@ -3611,13 +3645,30 @@ def apply_changes_scd2_deltalog(
                 F.col("__seed").desc(), F.col("__seq").asc()
             )
         )
+        # a seed with no tracked successor is untouched — UNLESS an
+        # untracked-only change arrived: then it re-enters the source
+        # at its own (key, valid_from) with the new in-place values
+        seed_u_changed = F.lit(False)
+        if untracked:
+            seed_u_changed = F.col("__u_final").isNotNull() & ~F.col(
+                "__u_final"
+            ).eqNullSafe(F.struct(*[F.col(c) for c in untracked]))
         chained = kept.withColumn("__next", nxt).filter(
-            # untouched current versions (seed with no successor) stay
-            # out of the merge source; delete rows emit no version
-            ~(F.col("__seed") & F.col("__next").isNull()) & ~F.col("__del")
+            (
+                ~(F.col("__seed") & F.col("__next").isNull())
+                | seed_u_changed
+            )
+            & ~F.col("__del")
         )
+        u_cols = [
+            F.when(
+                F.col("__next").isNull() & F.col("__u_final").isNotNull(),
+                F.col("__u_final")[c],
+            ).otherwise(F.col(c)).alias(c)
+            for c in untracked
+        ]
         src = chained.select(
-            *on, *tracked,
+            *on, *tracked, *u_cols,
             F.col("__seq").alias(from_col),
             F.col("__next").alias(to_col),
             F.col("__next").isNull().alias(current_col),

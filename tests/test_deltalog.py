@@ -6499,3 +6499,71 @@ def test_apply_changes_truncate_directive(spark, tmp_path):
         dl.apply_changes_scd2_deltalog(
             spark, d2, scd2_feed, ["k"], sequence_col="_commit_version"
         )
+
+
+def test_apply_changes_scd2_untracked_type1_columns(spark, tmp_path):
+    """r13 — TRACK HISTORY ON a subset: untracked payload columns are
+    type-1 inside the type-2 mart. Untracked-only changes open NO
+    version and update the current row in place (seed included);
+    tracked changes open versions carrying their own untracked image,
+    with the current version taking the LATEST untracked value; closed
+    versions keep what they closed with."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "scd2track")
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [
+                (1, "T0", "U0", 0, None, True),
+                (2, "T0", "U0", 0, None, True),
+                (3, "T0", "U0", 0, None, True),
+                (4, "T0", "U0", 0, None, True),
+            ],
+            "k long, t string, u string, valid_from long, valid_to long, "
+            "is_current boolean",
+        ),
+        d,
+    )
+    feed = spark.createDataFrame(
+        [
+            # k=1: untracked-only → in-place update, no version
+            ("update_postimage", 1, "T0", "U2", 2),
+            # k=2: tracked change, then a later untracked-only change
+            ("update_postimage", 2, "T3", "U3", 3),
+            ("update_postimage", 2, "T3", "U5", 5),
+            # k=3: tracked change then delete — closed rows keep own u
+            ("update_postimage", 3, "T4", "U4", 4),
+            ("delete", 3, "T4", "U4", 6),
+            # k=4: fully identical change → complete no-op
+            ("update_postimage", 4, "T0", "U0", 7),
+        ],
+        "_change_type string, k long, t string, u string, "
+        "_commit_version long",
+    )
+    res = dl.apply_changes_scd2_deltalog(
+        spark, d, feed, ["k"], sequence_col="_commit_version",
+        tracked=["t"],
+    )
+    assert res["version"] is not None and res["applied_high_water"] == 7
+    got = {
+        (r.k, r.t, r.u, r.valid_from, r.valid_to, r.is_current)
+        for r in dl.read_delta_table(spark, d).collect()
+    }
+    assert got == {
+        (1, "T0", "U2", 0, None, True),    # in-place, no version
+        (2, "T0", "U0", 0, 3, False),      # closed keeps its u
+        (2, "T3", "U5", 3, None, True),    # current takes latest u
+        (3, "T0", "U0", 0, 4, False),
+        (3, "T4", "U4", 4, 6, False),      # closed by the delete
+        (4, "T0", "U0", 0, None, True),    # untouched
+    }
+    # fenced re-apply: no-op, history identical
+    res2 = dl.apply_changes_scd2_deltalog(
+        spark, d, feed, ["k"], sequence_col="_commit_version",
+        tracked=["t"],
+    )
+    assert res2["version"] is None and res2["fenced_out"]
+    assert {
+        (r.k, r.t, r.u, r.valid_from, r.valid_to, r.is_current)
+        for r in dl.read_delta_table(spark, d).collect()
+    } == got
