@@ -1726,38 +1726,14 @@ def read_delta_table(
             )
         ]
     if stats_filter:
-        def _cmp(stat_val, bound):
-            """(stat, bound) coerced to one comparable type, or None
-            when no safe comparison exists — a None means this bound
-            CANNOT prune this file (keep it; the caller's real
-            predicate still applies in the plan). Without this, a
-            numeric bound against string-typed stats raised TypeError
-            at read time, and a string bound against numeric columns
-            compared lexicographically — mispruning."""
-            import datetime
-            import decimal
-
-            if isinstance(bound, decimal.Decimal):
-                bound = float(bound)
-            elif isinstance(bound, (datetime.date, datetime.datetime)):
-                bound = bound.isoformat()
-            s_num = isinstance(stat_val, (int, float)) and not isinstance(
-                stat_val, bool
-            )
-            b_num = isinstance(bound, (int, float)) and not isinstance(
-                bound, bool
-            )
-            if s_num and b_num:
-                return stat_val, bound
-            if isinstance(stat_val, str) and isinstance(bound, str):
-                # foreign logs may stat timestamps with a ' ' separator
-                # while isoformat bounds carry 'T' — normalize to one
-                # lexicographic order (same hazard as ADVICE r12's pv
-                # fallback in _stats_range_split)
-                return _ts_lex_norm(stat_val), _ts_lex_norm(bound)
-            if isinstance(stat_val, bool) and isinstance(bound, bool):
-                return stat_val, bound
-            return None
+        # declared column types gate the timestamp separator
+        # normalization in _stat_lt — a string-typed column keeps raw
+        # lexicographic order (ADVICE r13 medium); the conservative
+        # cross-type discipline (a bound that cannot be compared
+        # safely cannot prune) lives in _stat_lt itself
+        col_ctypes = {
+            f.name: f.dataType.simpleString() for f in schema.fields
+        }
 
         def _may_match(p: str) -> bool:
             raw = active[p].get("stats")
@@ -1766,16 +1742,17 @@ def read_delta_table(
             st = json.loads(raw)
             mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
             for col, (lo, hi) in stats_filter.items():
+                ct = col_ctypes.get(col)
                 if col not in mins or col not in maxs:
                     continue
-                if lo is not None:
-                    pair = _cmp(maxs[col], lo)
-                    if pair is not None and pair[0] < pair[1]:
-                        return False
-                if hi is not None:
-                    pair = _cmp(mins[col], hi)
-                    if pair is not None and pair[0] > pair[1]:
-                        return False
+                if lo is not None and _stat_lt(
+                    maxs[col], _coerce_stat_bound(lo), ct
+                ):
+                    return False
+                if hi is not None and _stat_lt(
+                    _coerce_stat_bound(hi), mins[col], ct
+                ):
+                    return False
             return True
 
         files = [p for p in files if _may_match(p)]
@@ -2182,6 +2159,7 @@ class DeltaCommitConflict(RuntimeError):
         key_band=None,
         read_paths=None,
         snapshot_key_ranges=None,
+        key_ctype=None,
     ):
         super().__init__(
             f"delta commit conflict: version {attempted_version} already "
@@ -2200,6 +2178,9 @@ class DeltaCommitConflict(RuntimeError):
         self.key_band = key_band
         self.read_paths = set(read_paths or ())
         self.snapshot_key_ranges = dict(snapshot_key_ranges or {})
+        #: the key column's declared type — gates the timestamp
+        #: separator normalization in the band-disjoint proof
+        self.key_ctype = key_ctype
 
 
 def _path_month(path: str) -> str | None:
@@ -2254,40 +2235,15 @@ def _try_recommit_disjoint(conflict: DeltaCommitConflict, max_attempts: int = 5)
     return None
 
 
-def _range_disjoint(mn, mx, lo, hi) -> bool:
+def _range_disjoint(mn, mx, lo, hi, ctype: str | None = None) -> bool:
     """True iff [mn, mx] is PROVABLY disjoint from [lo, hi] under the
     same conservative cross-type discipline as _stats_range_split
-    (False = cannot prove — caller must assume overlap)."""
-    import datetime
-    import decimal
-
-    def _coerce(b):
-        if isinstance(b, decimal.Decimal):
-            return float(b)
-        if isinstance(b, (datetime.date, datetime.datetime)):
-            return b.isoformat()
-        return b
-
-    lo, hi = _coerce(lo), _coerce(hi)
-
-    def _cmp(a, b):
-        a_num = isinstance(a, (int, float)) and not isinstance(a, bool)
-        b_num = isinstance(b, (int, float)) and not isinstance(b, bool)
-        if a_num and b_num:
-            return a, b
-        if isinstance(a, str) and isinstance(b, str):
-            return _ts_lex_norm(a), _ts_lex_norm(b)
-        if isinstance(a, bool) and isinstance(b, bool):
-            return a, b
-        return None
-
-    pair = _cmp(mx, lo)
-    if pair is not None and pair[0] < pair[1]:
-        return True
-    pair = _cmp(mn, hi)
-    if pair is not None and pair[0] > pair[1]:
-        return True
-    return False
+    (False = cannot prove — caller must assume overlap). ``ctype`` is
+    the key column's declared type (see :func:`_stat_lt` — the
+    band-disjoint fast-recommit proof must not normalize genuinely
+    string-typed values, ADVICE r13 medium)."""
+    lo, hi = _coerce_stat_bound(lo), _coerce_stat_bound(hi)
+    return _stat_lt(mx, lo, ctype) or _stat_lt(hi, mn, ctype)
 
 
 def _add_key_range(add: dict, col: str):
@@ -2339,6 +2295,7 @@ def _try_recommit_disjoint_keys(
     if conflict.key_band is None:
         return None
     col, lo, hi = conflict.key_band
+    ctype = conflict.key_ctype
     ranges = dict(conflict.snapshot_key_ranges)
     refs = conflict.read_paths
     table = conflict.table
@@ -2357,7 +2314,9 @@ def _try_recommit_disjoint_keys(
                     if (
                         path in refs
                         or rng is None
-                        or not _range_disjoint(rng[0], rng[1], lo, hi)
+                        or not _range_disjoint(
+                            rng[0], rng[1], lo, hi, ctype
+                        )
                     ):
                         return None
                     ranges[path] = rng
@@ -2367,7 +2326,9 @@ def _try_recommit_disjoint_keys(
                     if (
                         path in refs
                         or rng is None
-                        or not _range_disjoint(rng[0], rng[1], lo, hi)
+                        or not _range_disjoint(
+                            rng[0], rng[1], lo, hi, ctype
+                        )
                     ):
                         return None
         try:
@@ -2446,42 +2407,73 @@ def _ts_lex_norm(s: str) -> str:
     return s
 
 
+#: declared column types whose string stats/pv serializations carry the
+#: ' '-vs-'T' separator ambiguity _ts_lex_norm resolves
+_TS_LEX_CTYPES = ("timestamp", "timestamp_ntz")
+
+
+def _coerce_stat_bound(b):
+    """A caller-supplied bound coerced into the stats serialization
+    domain (decimal → float, date/datetime → isoformat); every other
+    type passes through — the shared first step of every driver-side
+    stats comparison."""
+    import datetime
+    import decimal
+
+    if isinstance(b, decimal.Decimal):
+        return float(b)
+    if isinstance(b, (datetime.date, datetime.datetime)):
+        return b.isoformat()
+    return b
+
+
+def _stat_lt(a, b, ctype: str | None = None) -> bool:
+    """True iff ``a < b`` PROVABLY under the column's own order — the
+    ONLY verdict the stats-pruning family may prune on (False means
+    "cannot prove", never "provably >="). ``ctype`` is the column's
+    DECLARED type (``DataType.simpleString()``): the separator
+    normalization :func:`_ts_lex_norm` applies ONLY to
+    timestamp-typed columns (ADVICE r13 medium — a genuinely
+    string-typed column whose values happen to be timestamp-shaped
+    with a space separator must keep raw lexicographic order, or
+    values whose 11th char sorts between ' ' and 'T' get their order
+    INVERTED and in-band files are falsely pruned). When the caller
+    cannot supply the type (``ctype=None``) the comparison is
+    conservative both ways: prune only when the RAW and the
+    NORMALIZED orders agree — sound under either serialization
+    convention, since the true order is one of the two."""
+    a_num = isinstance(a, (int, float)) and not isinstance(a, bool)
+    b_num = isinstance(b, (int, float)) and not isinstance(b, bool)
+    if a_num and b_num:
+        return a < b
+    if isinstance(a, str) and isinstance(b, str):
+        if ctype in _TS_LEX_CTYPES:
+            return _ts_lex_norm(a) < _ts_lex_norm(b)
+        if ctype is not None:
+            return a < b
+        return a < b and _ts_lex_norm(a) < _ts_lex_norm(b)
+    if isinstance(a, bool) and isinstance(b, bool):
+        return a < b
+    return False
+
+
 def _stats_range_split(
-    active: Mapping[str, dict], files: Sequence[str], col: str, lo, hi
+    active: Mapping[str, dict],
+    files: Sequence[str],
+    col: str,
+    lo,
+    hi,
+    ctype: str | None = None,
 ) -> tuple[list[str], list[str]]:
     """(candidates, pruned): files whose recorded [min,max] for ``col``
     provably misses [lo, hi] are pruned; statless / poisoned /
     incomparably-typed files stay candidates. Same conservative
     coercion discipline as read_delta_table's stats_filter — a bound
-    that cannot be compared safely cannot prune."""
-    import datetime
-    import decimal
-
-    def _coerce(b):
-        if isinstance(b, decimal.Decimal):
-            return float(b)
-        if isinstance(b, (datetime.date, datetime.datetime)):
-            return b.isoformat()
-        return b
-
-    lo, hi = _coerce(lo), _coerce(hi)
-
-    def _cmp(stat_val, bound):
-        s_num = isinstance(stat_val, (int, float)) and not isinstance(
-            stat_val, bool
-        )
-        b_num = isinstance(bound, (int, float)) and not isinstance(
-            bound, bool
-        )
-        if s_num and b_num:
-            return stat_val, bound
-        if isinstance(stat_val, str) and isinstance(bound, str):
-            # hive pv (' ') vs isoformat bound ('T'): one lex order
-            return _ts_lex_norm(stat_val), _ts_lex_norm(bound)
-        if isinstance(stat_val, bool) and isinstance(bound, bool):
-            return stat_val, bound
-        return None
-
+    that cannot be compared safely cannot prune. ``ctype`` is the key
+    column's declared type, threaded into :func:`_stat_lt` so the
+    timestamp separator normalization never touches genuinely
+    string-typed columns (ADVICE r13 medium)."""
+    lo, hi = _coerce_stat_bound(lo), _coerce_stat_bound(hi)
     keep: list[str] = []
     pruned: list[str] = []
     for p in files:
@@ -2510,14 +2502,9 @@ def _stats_range_split(
                 except ValueError:
                     tpv = pv
             mins, maxs = {col: tpv}, {col: tpv}
-        out = False
-        pair = _cmp(maxs[col], lo)
-        if pair is not None and pair[0] < pair[1]:
-            out = True
-        if not out:
-            pair = _cmp(mins[col], hi)
-            if pair is not None and pair[0] > pair[1]:
-                out = True
+        out = _stat_lt(maxs[col], lo, ctype) or _stat_lt(
+            hi, mins[col], ctype
+        )
         (pruned if out else keep).append(p)
     return keep, pruned
 
@@ -2835,7 +2822,8 @@ def merge_dim_deltalog(
         if b["lo"] is not None and not b["nulls"]:
             key_band = (pk, b["lo"], b["hi"])
             files, files_pruned = _stats_range_split(
-                active, files, pk, b["lo"], b["hi"]
+                active, files, pk, b["lo"], b["hi"],
+                ctype=ttypes[pk].simpleString() if pk in ttypes else None,
             )
             # second stage (round 12): MULTI-CLUSTER churn — a source
             # spanning two distant key clusters defeats range-overlap
@@ -3128,6 +3116,9 @@ def merge_dim_deltalog(
                 read_months=(),
                 result=result,
                 key_band=key_band,
+                key_ctype=(
+                    ttypes[on[0]].simpleString() if on[0] in ttypes else None
+                ),
                 read_paths=changed_files,
                 snapshot_key_ranges={
                     p: rng
@@ -3237,6 +3228,15 @@ def insert_if_absent_deltalog(
 #: the DLT-style high-water mark that fences stale/out-of-order ranges
 _APPLY_HW_KEY = "etlSpark.applyChanges.highWater."
 
+#: metaData configuration key prefix recording the COMMIT VERSION of the
+#: last fenced apply per sequence_col — the out-of-band guard's anchor:
+#: the next apply walks (lastApplyVersion, pinned] commitInfos and flags
+#: data-changing commits that did not come through an apply (r14,
+#: VERDICT r13 item 2 — a manual merge moves rows without advancing the
+#: fence; the documented route-all-CDC-through-the-apply contract
+#: becomes a CHECKED one)
+_APPLY_VER_KEY = "etlSpark.applyChanges.lastApplyVersion."
+
 
 def _seq_encode(v) -> str:
     """JSON-encode an applied-sequence high-water mark for the table
@@ -3284,6 +3284,7 @@ def apply_changes_deltalog(
     max_retries: int = 3,
     sequence_fence: bool = True,
     ignore_null_updates: bool = False,
+    out_of_band: str = "warn",
     **merge_kwargs,
 ) -> dict:
     """APPLY a change feed to a keyed Delta table as ONE atomic commit
@@ -3402,8 +3403,40 @@ def apply_changes_deltalog(
         )
 
     return _run_fenced_apply(
-        table, feed0, sequence_col, sequence_fence, max_retries, _merge
+        table, feed0, sequence_col, sequence_fence, max_retries, _merge,
+        out_of_band=out_of_band,
     )
+
+
+def _non_apply_data_commits(
+    table: str, last_apply_version: int, pinned: int
+) -> list[int]:
+    """Versions in (last_apply_version, pinned] whose commit changed
+    data WITHOUT being a fenced apply — the out-of-band fence hazard's
+    detector (driver-side commitInfo walk, same pattern as the
+    key-band disjointness check). A commit is an apply iff its
+    commitInfo operationParameters carry ``appliedSequenceHighWater``
+    (any sequence column); data-changing = any add/remove with
+    ``dataChange`` true. An unreadable commit JSON (log-cleaned gap)
+    is flagged conservatively — it cannot be proven in-band."""
+    flagged: list[int] = []
+    for v in range(last_apply_version + 1, pinned + 1):
+        is_apply = data_change = False
+        try:
+            for a in _read_actions(table, v):
+                if "commitInfo" in a:
+                    params = a["commitInfo"].get("operationParameters") or {}
+                    if "appliedSequenceHighWater" in params:
+                        is_apply = True
+                for kind in ("add", "remove"):
+                    if kind in a and a[kind].get("dataChange", True):
+                        data_change = True
+        except (FileNotFoundError, OSError, ValueError):
+            flagged.append(v)
+            continue
+        if data_change and not is_apply:
+            flagged.append(v)
+    return flagged
 
 
 def _run_fenced_apply(
@@ -3413,10 +3446,13 @@ def _run_fenced_apply(
     sequence_fence: bool,
     max_retries: int,
     build_and_merge,
+    out_of_band: str = "warn",
 ) -> dict:
     """Shared OCC + sequence-fence harness for the APPLY CHANGES
     family: reads the persisted high-water mark, filters
-    already-applied sequences out, hands the surviving feed (plus the
+    already-applied sequences out (counting what it drops —
+    ``rows_fenced`` rides in every result, r14; a NULL sequence raises
+    instead of dropping silently), hands the surviving feed (plus the
     configuration update and commitInfo params that must ride IN the
     merge commit, and the OBSERVED base version the merge must pin —
     a writer interleaving between the fence read and the merge's own
@@ -3428,7 +3464,20 @@ def _run_fenced_apply(
     regress rows the in-order history already moved past. The whole
     read-fence → filter → merge → advance runs inside ONE optimistic-
     concurrency attempt: a racing writer's commit re-runs it against
-    the NEW snapshot and the NEW fence."""
+    the NEW snapshot and the NEW fence.
+
+    ``out_of_band`` ∈ allow / warn (default) / error — the guard for
+    the one documented footgun the fence cannot see (r14, VERDICT r13
+    item 2): a non-apply data-changing commit (manual merge, row-level
+    DELETE…) moves rows WITHOUT advancing the fence, so a later replay
+    could regress them. Each fenced apply records its own commit
+    version in the table configuration; the next apply walks the
+    commitInfos since that version (driver metadata only — a clean
+    apply chain walks zero) and flags any data-changing commit that
+    was not itself an apply. ``warn`` emits a warnings.warn, ``error``
+    raises, ``allow`` skips the walk. dataChange:false maintenance
+    (OPTIMIZE, clustering, fence advances) never flags; an unreadable
+    commit JSON (log-cleaned gap) flags conservatively."""
 
     def _attempt() -> dict:
         avail = _all_versions(table)
@@ -3438,36 +3487,90 @@ def _run_fenced_apply(
         meta = _meta_at(table, pinned)
         conf = dict(meta.get("configuration") or {})
         hw_key = _APPLY_HW_KEY + sequence_col
+        av_key = _APPLY_VER_KEY + sequence_col
         old_hw = (
             _seq_decode(conf[hw_key])
             if sequence_fence and hw_key in conf
             else None
         )
-        feed = feed0
-        if old_hw is not None:
-            feed = feed.filter(F.col(sequence_col) > F.lit(old_hw))
-        agg = feed.agg(
-            F.max(sequence_col).alias("mx"),
+        if (
+            sequence_fence
+            and out_of_band != "allow"
+            and av_key in conf
+        ):
+            flagged = _non_apply_data_commits(
+                table, int(conf[av_key]), pinned
+            )
+            if flagged:
+                msg = (
+                    f"apply_changes on {table}: commit(s) {flagged} since "
+                    f"the last apply (version {conf[av_key]}) changed data "
+                    "WITHOUT advancing the sequence fence — rows moved "
+                    "out-of-band can be regressed by a replayed range. "
+                    "Route all CDC through the apply, or pass "
+                    "out_of_band='allow' if these commits are "
+                    "intentionally non-CDC."
+                )
+                if out_of_band == "error":
+                    raise ValueError(msg)
+                import warnings
+
+                warnings.warn(msg, stacklevel=3)
+        live = (
+            F.col(sequence_col) > F.lit(old_hw)
+            if old_hw is not None
+            else F.lit(True)
+        )
+        agg = feed0.agg(
+            F.max(F.when(live, F.col(sequence_col))).alias("mx"),
             # truncate directives' own high mark, in the SAME job —
             # build_and_merge decides whether/how to honor them
             F.max(
                 F.when(
-                    F.col("_change_type") == "truncate",
+                    live & (F.col("_change_type") == "truncate"),
                     F.col(sequence_col),
                 )
             ).alias("tmx"),
+            # r14 (VERDICT r13 top task): rows the fence DROPS are a
+            # reported metric, not a silent disappearance — one extra
+            # conditional in the job this agg already pays
+            F.count(F.when(~live, F.lit(1))).alias("n_fenced"),
+            # NULL sequences can't order, can't pass the fence, and
+            # never win the dedup window — a malformed feed loses
+            # changes with no signal; refuse loudly instead
+            # (ADVICE r13 low)
+            F.count(
+                F.when(F.col(sequence_col).isNull(), F.lit(1))
+            ).alias("n_null_seq"),
         ).first()
         feed_max, truncate_max = agg["mx"], agg["tmx"]
+        n_fenced = int(agg["n_fenced"] or 0)
+        if agg["n_null_seq"]:
+            raise ValueError(
+                f"apply_changes: {agg['n_null_seq']} change row(s) "
+                f"carry a NULL {sequence_col!r} — a NULL sequence "
+                "cannot be ordered against the fence or the winner "
+                "window and would be dropped silently; stamp every "
+                "change with a non-null sequence"
+            )
+        feed = feed0
+        if old_hw is not None:
+            feed = feed.filter(F.col(sequence_col) > F.lit(old_hw))
         if feed_max is None:
             # empty feed, or every change at-or-below the fence:
             # already applied — serve the no-op without paying a diff
             return {
                 "version": None,
                 "fenced_out": old_hw is not None,
+                "rows_fenced": n_fenced,
                 "applied_high_water": old_hw,
             }
         new_hw = feed_max if old_hw is None else max(old_hw, feed_max)
-        cfg = {hw_key: _seq_encode(new_hw)} if sequence_fence else None
+        cfg = (
+            {hw_key: _seq_encode(new_hw), av_key: str(pinned + 1)}
+            if sequence_fence
+            else None
+        )
         out = build_and_merge(
             feed, cfg,
             {"appliedSequenceHighWater": _seq_encode(new_hw)},
@@ -3477,7 +3580,9 @@ def _run_fenced_apply(
         if sequence_fence and out["version"] is None:
             new_meta = dict(meta)
             new_meta["configuration"] = {
-                **conf, hw_key: _seq_encode(new_hw)
+                **conf,
+                hw_key: _seq_encode(new_hw),
+                av_key: str(pinned + 1),
             }
             _commit(table, pinned + 1, [
                 _commit_info(
@@ -3488,6 +3593,7 @@ def _run_fenced_apply(
             ])
             out = {**out, "version": pinned + 1, "fence_advanced": True}
         out["applied_high_water"] = new_hw
+        out["rows_fenced"] = n_fenced
         return out
 
     return _occ_retry(_attempt, max_retries)
@@ -3505,6 +3611,7 @@ def apply_changes_scd2_deltalog(
     current_col: str = "is_current",
     max_retries: int = 3,
     sequence_fence: bool = True,
+    out_of_band: str = "warn",
     **merge_kwargs,
 ) -> dict:
     """APPLY a change feed to a TYPE-2 history mart on the log — the
@@ -3701,7 +3808,8 @@ def apply_changes_scd2_deltalog(
         )
 
     return _run_fenced_apply(
-        table, feed0, sequence_col, sequence_fence, max_retries, _merge
+        table, feed0, sequence_col, sequence_fence, max_retries, _merge,
+        out_of_band=out_of_band,
     )
 
 
@@ -5187,8 +5295,16 @@ def _make_delta_stream_source():
             # SIDECAR below (round 12): the Python API's latestOffset
             # carries no start. r13: an unknown base default-bounds
             # from -1/startingVersion — the sidecar remains the way a
-            # restarted run avoids one empty backward batch, but is no
-            # longer required for boundedness or exactly-once.
+            # restarted run avoids one empty backward batch. r14
+            # (ADVICE r13 medium): the sidecar IS required for
+            # exactly-once across REPEATED restarts — without it, a
+            # crash after Spark commits a backward (regressed) end
+            # offset but before the next forward batch commits leaves
+            # Spark's offset log pointing below the served frontier
+            # with no surviving floor, and the following restart
+            # re-delivers. Single-restart exactly-once still holds
+            # sidecar-less (the in-memory floor), and the backward
+            # batch now warns about the window.
             self._planned: int | None = None
             # round 12 (VERDICT r11 item 4): an optional
             # checkpointLocation option names a directory where commit()
@@ -5207,6 +5323,16 @@ def _make_delta_stream_source():
                 try:
                     with open(self._sidecar) as fh:
                         self._planned = int(json.load(fh)["version"])
+                    # r14 (ADVICE r13 medium): the sidecar doubles as a
+                    # DURABLE resume floor — every value it ever holds
+                    # is a fully COMMITTED frontier (commit() ends, or
+                    # a backward batch's Spark-committed start), so
+                    # clamping served ranges to it can never lose data.
+                    # Without this, a crash after Spark committed a
+                    # REGRESSED (backward) end offset re-served the
+                    # versions between that end and the true frontier
+                    # on the next restart — duplicate delivery.
+                    self._resume_floor = self._planned
                 except (ValueError, KeyError, OSError):
                     # torn sidecar: fall back to the default bound +
                     # served-floor clamp (r13) — still exactly-once
@@ -5296,16 +5422,19 @@ def _make_delta_stream_source():
             # configured sidecar records the committed offset so a
             # restart's first advance stays bounded (atomic tmp+rename,
             # same durability discipline as the log's own commits)
+            self._sidecar_record(int(end["version"]))
+
+        def _sidecar_record(self, v: int) -> None:
+            # monotone durable write: never regress the recorded
+            # frontier (a backward batch's low end must not shrink it)
             if self._sidecar is None:
                 return
             os.makedirs(os.path.dirname(self._sidecar), exist_ok=True)
-            v = int(end["version"])
             try:
-                # never regress: a backward batch (restart with a low
-                # default-bounded first offset) must not shrink the
-                # recorded resume point
                 with open(self._sidecar) as fh:
-                    v = max(v, int(json.load(fh)["version"]))
+                    cur = int(json.load(fh)["version"])
+                if v <= cur:
+                    return
             except (ValueError, KeyError, OSError):
                 pass
             tmp = f"{self._sidecar}.tmp-{uuid.uuid4().hex}"
@@ -5324,6 +5453,30 @@ def _make_delta_stream_source():
                 # offset it just planned. Serve nothing (hi <= lo
                 # below) and remember the committed frontier.
                 self._resume_floor = max(self._resume_floor or -1, lo)
+                # r14 (ADVICE r13 medium): the backward start IS a
+                # Spark-committed frontier — persist it NOW. Spark has
+                # already written this batch's regressed end to its
+                # offset log; a crash before the next forward batch
+                # commits would otherwise restart from the regressed
+                # offset with no floor and re-serve delivered versions.
+                # With a sidecar the floor survives the crash (and the
+                # WAL replay of this very batch re-records it); without
+                # one, exactly-once across a crash in this window is
+                # unprovable — say so instead of failing silently.
+                if self._sidecar is not None:
+                    self._sidecar_record(lo)
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        "deltalog_stream: restarted without a reader-"
+                        "side checkpointLocation option — exactly-once "
+                        "holds for this restart, but a crash before "
+                        "the next batch commits may re-deliver "
+                        f"versions <= {lo} on the following restart. "
+                        "Pass .option('checkpointLocation', ...) on "
+                        "the READER to make the resume floor durable."
+                    )
             elif self._resume_floor is not None:
                 # resume-floor clamp: the overlap below the frontier
                 # was served before the restart — skip exactly it
@@ -6718,7 +6871,7 @@ def delta_clustering_report(
     the same routing discipline as every other metadata audit here.
     Returns {n_files, n_statless, mean_overlap_depth,
     max_overlap_depth, recommend_recluster}."""
-    ranges, n_statless = _clustering_ranges(table, column, version)
+    ranges, n_statless, _ = _clustering_ranges(table, column, version)
     return _depth_report([r[1:] for r in ranges], n_statless)
 
 
@@ -6733,16 +6886,35 @@ def delta_clustering_report_by_partition(
     against their own partition only — a probe inside one partition
     never scans another partition's statless files. Unpartitioned
     tables return a single '' key equal to the global report."""
-    ranges, _ = _clustering_ranges(table, column, version)
-    groups: dict[str, list] = {}
-    statless: dict[str, int] = {}
+    pcols, reps = _clustering_reports_by_ptuple(table, column, version)
+    return {
+        "/".join(f"{c}={v}" for c, v in zip(pcols, t)): r
+        for t, r in reps.items()
+    }
+
+
+def _clustering_reports_by_ptuple(
+    table: str, column: str, version: int | None = None
+) -> tuple[list[str], dict[tuple, dict]]:
+    """(partition columns, {RAW partition-value tuple -> report}) — the
+    machine-facing twin of :func:`delta_clustering_report_by_partition`
+    that keeps partition values UNFORMATTED (a null stays None, never
+    the display string 'None'), so a scoped rewrite can route them
+    straight into ``partition_filter`` where None matches the null
+    partition (ADVICE r13 low — the formatted key turned a drifted
+    null partition into an unmatchable literal and the drift was never
+    repaired). Tuples run over the partition columns other than
+    ``column``; unpartitioned tables report one () key."""
+    ranges, _, pcols = _clustering_ranges(table, column, version)
+    groups: dict[tuple, list] = {}
+    statless: dict[tuple, int] = {}
     for gk, mn, mx in ranges:
         if mn is None:
             statless[gk] = statless.get(gk, 0) + 1
             groups.setdefault(gk, [])
         else:
             groups.setdefault(gk, []).append((mn, mx))
-    return {
+    return pcols, {
         gk: _depth_report(groups[gk], statless.get(gk, 0))
         for gk in groups
     }
@@ -6750,11 +6922,13 @@ def delta_clustering_report_by_partition(
 
 def _clustering_ranges(
     table: str, column: str, version: int | None
-) -> tuple[list[tuple], int]:
-    """([(partition key, min, max)] with min=max=None for unusable
-    ranges, global statless count) — the shared extraction for the
-    clustering audits. Partition key = the hive tuple over the
-    partition columns other than ``column``. The COLUMN TYPE decides
+) -> tuple[list[tuple], int, list[str]]:
+    """([(partition tuple, min, max)] with min=max=None for unusable
+    ranges, global statless count, partition columns) — the shared
+    extraction for the clustering audits. Partition tuple = the RAW
+    partitionValues over the partition columns other than ``column``
+    (None for the null partition — formatting is the DISPLAY layer's
+    job, ADVICE r13 low). The COLUMN TYPE decides
     the coercion: numeric columns' values arrive as JSON strings on
     the Spark path (get_json_object) and as strings from pv fallbacks
     on both paths — they must become numbers; string-ordered columns
@@ -6763,8 +6937,8 @@ def _clustering_ranges(
     meta = _meta_at(table, version)
     pcols = [c for c in (meta.get("partitionColumns") or []) if c != column]
 
-    def _gk(pv: Mapping[str, object]) -> str:
-        return "/".join(f"{c}={pv.get(c)}" for c in pcols)
+    def _gk(pv: Mapping[str, object]) -> tuple:
+        return tuple(pv.get(c) for c in pcols)
 
     triples: list[tuple] | None = None
     if _estimated_active_files(table) >= _SPARK_META_THRESHOLD:
@@ -6852,7 +7026,7 @@ def _clustering_ranges(
             out.append((gk, None, None))
             continue
         out.append((gk, mn, mx))
-    return out, n_statless
+    return out, n_statless, pcols
 
 
 def _depth_report(pairs: Sequence[tuple], n_statless: int) -> dict:
@@ -6913,70 +7087,114 @@ def maintain_clustering_delta(
     decide-from-metadata lifecycle as ``ann_index_maintain`` and the
     DV purge.
 
-    ``scope_partitions`` (default True — r13 seam 3, closed in-round):
-    on a table with exactly ONE partition column outside
-    ``cluster_by``, the audit runs per partition and the rewrite is
-    SCOPED to the drifted partitions only (``partition_filter``), so a
-    fact whose churn concentrated in one month re-sorts that month —
-    every other partition's files stay byte-identical. Multi-level
-    partitioning or unpartitioned tables fall back to the whole-table
-    decision. Returns {version, reclustered, worst_depth, reports,
-    partitions_scoped}."""
+    ``scope_partitions`` (default True — r13 seam 3; generalized to
+    MULTI-LEVEL partitioning in r14, VERDICT r13 item 3): on a
+    partitioned table the audit runs per partition TUPLE over the
+    partition columns outside ``cluster_by`` and the rewrite is SCOPED
+    to the drifted tuples only, so a (month, region)-partitioned fact
+    whose churn concentrated in one (month, region) pair re-sorts that
+    pair — every other partition's files stay byte-identical. A single
+    partition column scopes all drifted values in ONE commit
+    (``partition_filter`` value list); composite tuples rewrite one
+    commit per drifted tuple (a partition_filter is a conjunction —
+    batching two tuples would cross-product them). Partition values
+    ride RAW (a drifted null partition scopes as None, which
+    partition_filter matches — ADVICE r13 low; the formatted 'None'
+    literal matched nothing and the drift was never repaired).
+    Unpartitioned tables — or the edge where a cluster column is
+    itself a partition column, which skews the audit's grouping axes —
+    fall back to the whole-table decision. Returns {version,
+    reclustered, worst_depth, reports, partitions_scoped} where
+    ``partitions_scoped`` is a value list for one partition column and
+    a tuple list for composite keys."""
     meta = _meta_at(table, None)
     pcols = [
         c for c in (meta.get("partitionColumns") or [])
         if c not in cluster_by
     ]
     scoped: list | None = None
-    if scope_partitions and len(pcols) == 1:
-        by_part = {
-            c: delta_clustering_report_by_partition(table, c)
-            for c in cluster_by
-        }
-        worst = max(
-            (
-                r["mean_overlap_depth"]
-                for reps in by_part.values()
-                for r in reps.values()
-            ),
-            default=0.0,
-        )
-        drifted: set[str] = set()
-        for reps in by_part.values():
-            for gk, r in reps.items():
+    scopable = scope_partitions and bool(pcols)
+    if scopable:
+        reports = {}
+        drifted: set[tuple] = set()
+        worst = 0.0
+        for c in cluster_by:
+            gcols, reps = _clustering_reports_by_ptuple(table, c)
+            reports[c] = {
+                "/".join(f"{pc}={v}" for pc, v in zip(gcols, t)): r
+                for t, r in reps.items()
+            }
+            if gcols != pcols:
+                scopable = False  # grouping axes disagree: whole-table
+            for t, r in reps.items():
+                worst = max(worst, r["mean_overlap_depth"])
                 if r["mean_overlap_depth"] >= depth_threshold:
-                    drifted.add(gk.split("=", 1)[1])
-        reports = by_part
-        scoped = sorted(drifted)
-        hit = bool(drifted)
+                    drifted.add(t)
+        if scopable:
+            # nulls sort last, deterministically
+            scoped = sorted(
+                drifted,
+                key=lambda t: tuple(
+                    (v is None, "" if v is None else str(v)) for v in t
+                ),
+            )
+            hit = bool(drifted)
+        else:
+            hit = worst >= depth_threshold
     else:
         reports = {c: delta_clustering_report(table, c) for c in cluster_by}
         worst = max(r["mean_overlap_depth"] for r in reports.values())
         hit = worst >= depth_threshold
+    if not scopable:
+        scoped = None
     if not hit:
         return {
             "version": None,
             "reclustered": False,
             "worst_depth": worst,
             "reports": reports,
-            "partitions_scoped": scoped,
+            "partitions_scoped": (
+                [] if scoped is not None and len(pcols) == 1 else scoped
+            ),
         }
-    res = optimize_delta(
-        spark, table,
+    opt_kw = dict(
         small_file_bytes=1 << 60,  # every file qualifies: full re-sort
         zorder_by=list(cluster_by),
-        require_version=require_version,
         target_file_rows=target_file_rows,
-        partition_filter=(
-            {pcols[0]: scoped} if scoped else None
-        ),
     )
+    if scoped and len(pcols) == 1:
+        res = optimize_delta(
+            spark, table,
+            require_version=require_version,
+            partition_filter={pcols[0]: [t[0] for t in scoped]},
+            **opt_kw,
+        )
+        version = res["version"]
+    elif scoped:
+        version = None
+        for i, t in enumerate(scoped):
+            res = optimize_delta(
+                spark, table,
+                require_version=require_version if i == 0 else None,
+                partition_filter=dict(zip(pcols, t)),
+                **opt_kw,
+            )
+            version = res["version"] if res["version"] is not None else version
+    else:
+        res = optimize_delta(
+            spark, table, require_version=require_version, **opt_kw
+        )
+        version = res["version"]
     return {
-        "version": res["version"],
-        "reclustered": res["version"] is not None,
+        "version": version,
+        "reclustered": version is not None,
         "worst_depth": worst,
         "reports": reports,
-        "partitions_scoped": scoped,
+        "partitions_scoped": (
+            [t[0] for t in scoped]
+            if scoped is not None and len(pcols) == 1
+            else scoped
+        ),
     }
 
 

@@ -320,7 +320,8 @@ def stream_delta_cdc_month_merge(
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(amount) AS DOUBLE) AS amount_sum,
            1 AS exactly_once,
-           1 AS applied_batches_ok
+           1 AS applied_batches_ok,
+           1 AS fenced_rows_reported
     FROM fin GROUP BY month
     """,
     doc="The FULL mart loop as one graded artifact (round 13 — VERDICT "
@@ -333,7 +334,11 @@ def stream_delta_cdc_month_merge(
     "re-delivering the change batch (the foreachBatch crash-replay "
     "shape) is a FENCED no-op — no duplicate application, no row "
     "regression. applied_batches_ok audits that exactly the bootstrap "
-    "and the merge batch committed data.",
+    "and the merge batch committed data. fenced_rows_reported (r14, "
+    "VERDICT r13 top task) audits the fence's observability: the "
+    "replay's result must COUNT every dropped row (rows_fenced == the "
+    "redelivered batch size) — data an operator drops is a reported "
+    "metric, never a silent disappearance.",
 )
 def stream_delta_mart_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale: each micro-batch applies O(its changes) through the
@@ -383,6 +388,11 @@ def stream_delta_mart_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         exactly_once = int(
             re_res["version"] is None and re_res.get("fenced_out", False)
         )
+        # r14: the fence REPORTS what it dropped — the whole replayed
+        # batch must be accounted for in rows_fenced
+        fenced_rows_reported = int(
+            re_res.get("rows_fenced") == redelivered.count()
+        )
         out = (
             read_delta_table(spark, mart)
             .groupBy("month")
@@ -394,6 +404,7 @@ def stream_delta_mart_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "month", "n_rows", "amount_sum",
                 F.lit(exactly_once).alias("exactly_once"),
                 F.lit(applied_batches_ok).alias("applied_batches_ok"),
+                F.lit(fenced_rows_reported).alias("fenced_rows_reported"),
             )
         )
         out = out.localCheckpoint()  # materialize before the tempdir goes

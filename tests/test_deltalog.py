@@ -5337,6 +5337,161 @@ def test_apply_changes_sequence_fence_blocks_stale_range(spark, tmp_path):
     assert dl.read_delta_table(spark, d).filter("k = 2").count() == 1
 
 
+def test_apply_changes_reports_rows_fenced(spark, tmp_path):
+    """r14 (VERDICT r13 top task, part a): an operator that can drop
+    data must report how much it dropped — every apply result carries
+    ``rows_fenced``, the count of change rows at-or-below the
+    high-water mark, on the merge path, the fence-advance path, and
+    the all-fenced no-op path alike."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "fencecount")
+    dl.write_delta_table(
+        spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, v string"),
+        d,
+    )
+    first = spark.createDataFrame(
+        [("update_postimage", 1, "v5", 5)],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    res = dl.apply_changes_deltalog(
+        spark, d, first, ["k"], sequence_col="_commit_version"
+    )
+    assert res["rows_fenced"] == 0
+    # mixed stale/fresh: 2 rows at-or-below hw=5, 1 fresh
+    mixed = spark.createDataFrame(
+        [
+            ("update_postimage", 1, "stale", 4),
+            ("update_postimage", 2, "stale", 5),
+            ("update_postimage", 2, "v7", 7),
+        ],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    res2 = dl.apply_changes_deltalog(
+        spark, d, mixed, ["k"], sequence_col="_commit_version"
+    )
+    assert res2["version"] is not None and res2["rows_fenced"] == 2
+    got = {(r.k, r.v) for r in dl.read_delta_table(spark, d).collect()}
+    assert got == {(1, "v5"), (2, "v7")}
+    # all-stale feed: no-op path still reports the count
+    stale = spark.createDataFrame(
+        [
+            ("update_postimage", 1, "old", 3),
+            ("update_postimage", 2, "old", 2),
+        ],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    res3 = dl.apply_changes_deltalog(
+        spark, d, stale, ["k"], sequence_col="_commit_version"
+    )
+    assert res3["version"] is None and res3["rows_fenced"] == 2
+    # value-identical-beyond-fence: fence-advance path reports too
+    same = spark.createDataFrame(
+        [
+            ("update_postimage", 2, "v7", 8),
+            ("update_postimage", 1, "old", 1),
+        ],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    res4 = dl.apply_changes_deltalog(
+        spark, d, same, ["k"], sequence_col="_commit_version"
+    )
+    assert res4.get("fence_advanced") and res4["rows_fenced"] == 1
+
+
+def test_apply_changes_null_sequence_raises(spark, tmp_path):
+    """ADVICE r13 low: change rows with a NULL sequence cannot order
+    against the fence or the winner window — they were dropped with no
+    signal; now the apply refuses loudly."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "nullseq")
+    dl.write_delta_table(
+        spark.createDataFrame([(1, "a1")], "k long, v string"), d
+    )
+    feed = spark.createDataFrame(
+        [("update_postimage", 1, "v2", 2), ("insert", 9, "x", None)],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    with pytest.raises(ValueError, match="NULL '_commit_version'"):
+        dl.apply_changes_deltalog(
+            spark, d, feed, ["k"], sequence_col="_commit_version"
+        )
+    # nothing committed
+    assert dl.read_delta_table(spark, d).count() == 1
+
+
+def test_apply_changes_out_of_band_guard(spark, tmp_path):
+    """r14 (VERDICT r13 item 2): a manual merge between two applies
+    moves rows without advancing the fence — the next apply detects
+    the non-apply data-changing commit and warns (default) or raises
+    (out_of_band='error'); clean apply chains and dataChange:false
+    maintenance commits stay silent."""
+    import warnings as _w
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "oob")
+    dl.write_delta_table(
+        spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, v string"),
+        d,
+    )
+
+    def _feed(rows):
+        return spark.createDataFrame(
+            rows,
+            "_change_type string, k long, v string, _commit_version long",
+        )
+
+    dl.apply_changes_deltalog(
+        spark, d, _feed([("update_postimage", 1, "v5", 5)]), ["k"],
+        sequence_col="_commit_version",
+    )
+    # clean chain: a second apply emits no warning
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        dl.apply_changes_deltalog(
+            spark, d, _feed([("update_postimage", 2, "v6", 6)]), ["k"],
+            sequence_col="_commit_version",
+        )
+    # dataChange:false maintenance between applies: still silent
+    dl.optimize_delta(spark, d)
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        dl.apply_changes_deltalog(
+            spark, d, _feed([("update_postimage", 1, "v7", 7)]), ["k"],
+            sequence_col="_commit_version",
+        )
+    # an OUT-OF-BAND manual merge: next apply warns
+    dl.merge_dim_deltalog(
+        spark, d,
+        spark.createDataFrame([(1, "oob")], "k long, v string"), ["k"],
+    )
+    with pytest.warns(UserWarning, match="out-of-band|WITHOUT advancing"):
+        dl.apply_changes_deltalog(
+            spark, d, _feed([("update_postimage", 2, "v8", 8)]), ["k"],
+            sequence_col="_commit_version",
+        )
+    # error mode: another OOB commit, apply refuses (nothing applied)
+    dl.merge_dim_deltalog(
+        spark, d,
+        spark.createDataFrame([(2, "oob2")], "k long, v string"), ["k"],
+    )
+    v_now = dl._all_versions(d)[-1]
+    with pytest.raises(ValueError, match="WITHOUT advancing"):
+        dl.apply_changes_deltalog(
+            spark, d, _feed([("update_postimage", 1, "v9", 9)]), ["k"],
+            sequence_col="_commit_version", out_of_band="error",
+        )
+    assert dl._all_versions(d)[-1] == v_now
+    # allow mode: proceeds
+    res = dl.apply_changes_deltalog(
+        spark, d, _feed([("update_postimage", 1, "v9", 9)]), ["k"],
+        sequence_col="_commit_version", out_of_band="allow",
+    )
+    assert res["version"] is not None
+
+
 def test_apply_changes_same_sequence_tiebreak_deterministic(spark, tmp_path):
     """ADVICE r12 low: two NON-delete changes for one key at the SAME
     sequence value pick one winner deterministically (stable row-image
@@ -5429,6 +5584,79 @@ def test_merge_dim_timestamp_partitioned_key_no_duplicates(spark, tmp_path):
     assert got.count() == 3  # no duplicate key rows
     assert got.filter(F.col("ts") == ts[1]).count() == 1
     assert got.filter(F.col("ts") == ts[1]).first()["v"] == 999
+
+
+def test_stat_lt_type_gates_ts_normalization():
+    """ADVICE r13 medium: the timestamp separator normalization must
+    apply ONLY to declared timestamp columns. A genuinely STRING-typed
+    column whose values are timestamp-shaped with a space separator,
+    compared against bounds whose 11th char sorts between ' ' and 'T'
+    (e.g. '@', '-', digits), had its order INVERTED by the
+    unconditional normalization — in-band files were falsely pruned."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    v = "2024-01-01 07:00"     # timestamp-shaped STRING value
+    hi = "2024-01-01@zzz"      # plain string bound, ' ' < '@' < 'T'
+    # declared string type: raw order — v < hi, NOT provably v > hi
+    assert not dl._stat_lt(hi, v, "string")
+    assert dl._stat_lt(v, hi, "string")
+    # declared timestamp type: normalized order (r12 fix retained)
+    assert dl._stat_lt("2024-01-15 10:30:00", "2024-01-15T11:00:00",
+                       "timestamp")
+    assert not dl._stat_lt("2024-01-15T11:00:00", "2024-01-15 10:30:00",
+                           "timestamp")
+    # unknown type: prune only when BOTH orders agree — neither
+    # direction is provable for the inverted pair
+    assert not dl._stat_lt(hi, v)
+    assert not dl._stat_lt(v, hi)
+    # unknown type, orders agree (different dates): provable
+    assert dl._stat_lt("2024-01-14 23:59:59", "2024-01-15T00:00:00")
+
+    # range-split twin: the in-band file stays a candidate under the
+    # declared string type and under the unknown-type dual check;
+    # pre-fix both pruned it
+    active = {"f": {
+        "partitionValues": {}, "stats": json.dumps(
+            {"minValues": {"k": v}, "maxValues": {"k": v}}
+        ),
+    }}
+    for ct in ("string", None):
+        keep, pruned = dl._stats_range_split(
+            active, ["f"], "k", "2024-01-01 00:00", hi, ctype=ct
+        )
+        assert keep == ["f"] and pruned == []
+    # _range_disjoint twin (the OCC band-disjoint proof)
+    assert not dl._range_disjoint(v, v, "2024-01-01 00:00", hi, "string")
+    assert not dl._range_disjoint(v, v, "2024-01-01 00:00", hi, None)
+
+
+def test_merge_dim_string_key_timestamp_shaped_no_false_prune(
+    spark, tmp_path
+):
+    """End-to-end twin: a keyed merge on a STRING column holding
+    timestamp-shaped values (space separator) with a source band whose
+    max sorts between ' ' and 'T' must classify the matched key as a
+    MATCH — pre-fix the normalization inverted the comparison, pruned
+    the file, and committed a duplicate key."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "strkey")
+    base = spark.createDataFrame(
+        [("2024-01-01 07:00", 1), ("2024-01-02 09:00", 2)],
+        "k string, v long",
+    )
+    dl.write_delta_table(base, d)
+    src = spark.createDataFrame(
+        [("2024-01-01 07:00", 999), ("2024-01-01@new", 3)],
+        "k string, v long",
+    )
+    dl.merge_dim_deltalog(spark, d, src, ["k"])
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == 3  # 2 existing + 1 insert, no duplicates
+    assert got.filter(F.col("k") == "2024-01-01 07:00").count() == 1
+    assert (
+        got.filter(F.col("k") == "2024-01-01 07:00").first()["v"] == 999
+    )
 
 
 def test_basename_collision_refused(spark, tmp_path):
@@ -5667,6 +5895,78 @@ def test_stream_served_floor_clamp_backward_then_forward(spark, tmp_path):
         for x in r.read(p)
     )
     assert rows_again == [6, 7]
+
+
+def test_stream_sidecar_floor_survives_backward_crash(spark, tmp_path):
+    """ADVICE r13 medium: the resume floor was process-memory only —
+    after Spark committed a BACKWARD (regressed) end offset, a crash
+    before the next forward batch committed meant the following
+    restart read the regressed offset with no floor and re-delivered
+    served versions. r14: the backward batch persists its committed
+    start into the sidecar at PLAN time, and a restarting reader seeds
+    its floor from the sidecar — the double-crash window closes."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "floorcrash")
+    for i in range(8):
+        dl.write_delta_table(
+            spark.createDataFrame([(i,)], "k long").coalesce(1),
+            d, mode="append" if i else "overwrite",
+        )
+    dl.register_delta_stream_source(spark)
+    cp = str(tmp_path / "cp_reader")
+    schema = spark.readStream.format("deltalog_stream").load(d).schema
+
+    def reader():
+        return dl._make_delta_stream_source()(
+            {"path": d, "maxversionspertrigger": "3",
+             "checkpointlocation": cp}
+        ).streamReader(schema)
+
+    # run 1 (emulated): Spark committed through 5 in ITS offset log
+    # but crashed before any source.commit() — no sidecar on disk.
+    # run 2: fresh reader instance → default-bounded low guess
+    r2 = reader()
+    assert r2.latestOffset() == {"version": 2}
+    # Spark plans the BACKWARD batch (committed 5, available 2): it
+    # serves nothing AND persists the committed frontier durably
+    assert [
+        x for p in r2.partitions({"version": 5}, {"version": 2})
+        for x in r2.read(p)
+    ] == []
+    # CRASH — Spark's offset log now holds the regressed end 2, and
+    # run 2's in-memory floor dies with the process.
+    # run 3: the sidecar floor survives; nothing below 5 re-serves
+    r3 = reader()
+    o = r3.latestOffset()
+    assert o == {"version": 7}  # bounded forward FROM the floor
+    rows = sorted(
+        x[0] for p in r3.partitions({"version": 2}, o)
+        for x in r3.read(p)
+    )
+    assert rows == [6, 7]  # versions <= 5 were delivered pre-crash
+
+
+def test_stream_sidecar_less_backward_batch_warns(spark, tmp_path):
+    """r14: without a reader-side checkpointLocation the double-crash
+    window is unprovable — the backward batch says so out loud
+    instead of failing silently."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "floorwarn")
+    for i in range(6):
+        dl.write_delta_table(
+            spark.createDataFrame([(i,)], "k long").coalesce(1),
+            d, mode="append" if i else "overwrite",
+        )
+    dl.register_delta_stream_source(spark)
+    schema = spark.readStream.format("deltalog_stream").load(d).schema
+    r = dl._make_delta_stream_source()(
+        {"path": d, "maxversionspertrigger": "2"}
+    ).streamReader(schema)
+    assert r.latestOffset() == {"version": 1}
+    with pytest.warns(UserWarning, match="checkpointLocation"):
+        r.partitions({"version": 4}, {"version": 1})
 
 
 def test_stream_real_engine_restart_without_sidecar_exact_once(
@@ -6134,6 +6434,103 @@ def test_apply_changes_scd2_refuses_inverted_intervals(spark, tmp_path):
     got = dl.read_delta_table(spark, d).collect()
     assert [(r.k, r.v, r.valid_from, r.valid_to, r.is_current)
             for r in got] == [(1, "cur", 7, None, True)]
+
+
+def test_clustering_maintenance_scopes_multilevel_partitions(
+    spark, tmp_path
+):
+    """VERDICT r13 item 3: on a (month, region)-partitioned fact the
+    audit runs per partition TUPLE and the re-sort is scoped to the
+    one drifted (month, region) pair — every other pair's files stay
+    byte-identical."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "mlclust")
+    n = 3000
+    base = spark.range(0, 2 * n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 2 + 1).cast("int").alias("month"),
+        F.when(F.col("id") % 4 < 2, "A").otherwise("B").alias("region"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dl.write_delta_table(
+        base.repartitionByRange(8, "month", "region", "k"), d,
+        partition_by=["month", "region"],
+    )
+    # drift ONLY (month=2, region=B): interleaved full-span arrivals
+    for i in range(5):
+        arrivals = spark.range(1 + 2 * i, 2 * n, 10).select(
+            F.col("id").alias("k"),
+            F.lit(2).cast("int").alias("month"),
+            F.lit("B").alias("region"),
+            (F.col("id") * 3).alias("v"),
+        )
+        dl.write_delta_table(arrivals.coalesce(1), d, mode="append")
+    pre = {
+        p: a.get("size") for p, a in dl._snapshot_state(d, None)[0].items()
+    }
+    res = dl.maintain_clustering_delta(
+        spark, d, ["k"], target_file_rows=n // 3
+    )
+    assert res["reclustered"]
+    assert res["partitions_scoped"] == [("2", "B")]
+    post = dl._snapshot_state(d, None)[0]
+    for p, sz in pre.items():
+        if "month=2" not in p or "region=B" not in p:
+            assert post.get(p, {}).get("size") == sz, p
+    _, by2 = dl._clustering_reports_by_ptuple(d, "k")
+    assert not by2[("2", "B")]["recommend_recluster"]
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == base.count() + 5 * len(range(1, 2 * n, 10))
+    # below threshold everywhere now: no-op
+    res2 = dl.maintain_clustering_delta(spark, d, ["k"])
+    assert res2["version"] is None and res2["partitions_scoped"] == []
+
+
+def test_clustering_maintenance_repairs_null_partition(spark, tmp_path):
+    """ADVICE r13 low: a drifted NULL partition used to format as the
+    literal string 'None' in partition_filter and match nothing — the
+    drift was detected but never repaired. Raw-value scoping routes
+    None through partition_filter's null match and the rewrite lands."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "nullclust")
+    n = 3000
+    base = spark.range(0, 2 * n, 2).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 4 < 2, "X").alias("p"),  # half null
+        (F.col("id") * 3).alias("v"),
+    )
+    dl.write_delta_table(
+        base.repartitionByRange(6, "p", "k"), d, partition_by=["p"]
+    )
+    # drift ONLY the null partition
+    for i in range(5):
+        arrivals = spark.range(1 + 2 * i, 2 * n, 10).select(
+            F.col("id").alias("k"),
+            F.lit(None).cast("string").alias("p"),
+            (F.col("id") * 3).alias("v"),
+        )
+        dl.write_delta_table(arrivals.coalesce(1), d, mode="append")
+    _, by = dl._clustering_reports_by_ptuple(d, "k")
+    assert by[(None,)]["recommend_recluster"]
+    pre = {
+        p: a.get("size") for p, a in dl._snapshot_state(d, None)[0].items()
+    }
+    res = dl.maintain_clustering_delta(
+        spark, d, ["k"], target_file_rows=n // 3
+    )
+    assert res["reclustered"] and res["partitions_scoped"] == [None]
+    post = dl._snapshot_state(d, None)[0]
+    # the non-null partition's files carried byte-identical
+    for p, sz in pre.items():
+        if "p=X" in p:
+            assert post.get(p, {}).get("size") == sz, p
+    # the null partition is healthy again — the drift actually repaired
+    _, by2 = dl._clustering_reports_by_ptuple(d, "k")
+    assert not by2[(None,)]["recommend_recluster"]
+    got = dl.read_delta_table(spark, d)
+    assert got.count() == base.count() + 5 * len(range(1, 2 * n, 10))
 
 
 def test_clustering_maintenance_scopes_to_drifted_partition(spark, tmp_path):
