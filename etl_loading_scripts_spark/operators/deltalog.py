@@ -3285,6 +3285,7 @@ def apply_changes_deltalog(
     sequence_fence: bool = True,
     ignore_null_updates: bool = False,
     out_of_band: str = "warn",
+    late_rows: str = "fence",
     **merge_kwargs,
 ) -> dict:
     """APPLY a change feed to a keyed Delta table as ONE atomic commit
@@ -3346,7 +3347,21 @@ def apply_changes_deltalog(
     job as the fence agg (no extra pass when absent)."""
     if "_change_type" not in changes.columns:
         raise ValueError("changes frame must carry _change_type")
+    if late_rows not in ("fence", "admit"):
+        raise ValueError(
+            f"late_rows must be 'fence' or 'admit', got {late_rows!r}"
+        )
     feed0 = changes.filter(F.col("_change_type") != "update_preimage")
+    if late_rows == "admit":
+        if sequence_col is None:
+            raise ValueError(
+                "late_rows='admit' requires sequence_col — per-key "
+                "replay suppression is meaningless without an order"
+            )
+        return _apply_changes_admit(
+            spark, table, feed0, list(on), sequence_col, max_retries,
+            out_of_band, ignore_null_updates, merge_kwargs,
+        )
     if sequence_col is None:
         src = feed0.withColumn(
             "__delete", (F.col("_change_type") == "delete")
@@ -3406,6 +3421,34 @@ def apply_changes_deltalog(
         table, feed0, sequence_col, sequence_fence, max_retries, _merge,
         out_of_band=out_of_band,
     )
+
+
+def _oob_guard(
+    table: str, conf: Mapping, av_key: str, pinned: int, out_of_band: str
+) -> None:
+    """Raise/warn when data-changing commits bypassed the apply since
+    the version recorded under ``av_key`` (see
+    :func:`_non_apply_data_commits`); ``out_of_band`` ∈ allow / warn /
+    error."""
+    if out_of_band == "allow" or av_key not in conf:
+        return
+    flagged = _non_apply_data_commits(table, int(conf[av_key]), pinned)
+    if not flagged:
+        return
+    msg = (
+        f"apply_changes on {table}: commit(s) {flagged} since "
+        f"the last apply (version {conf[av_key]}) changed data "
+        "WITHOUT advancing the sequence fence — rows moved "
+        "out-of-band can be regressed by a replayed range. "
+        "Route all CDC through the apply, or pass "
+        "out_of_band='allow' if these commits are "
+        "intentionally non-CDC."
+    )
+    if out_of_band == "error":
+        raise ValueError(msg)
+    import warnings
+
+    warnings.warn(msg, stacklevel=4)
 
 
 def _non_apply_data_commits(
@@ -3493,29 +3536,8 @@ def _run_fenced_apply(
             if sequence_fence and hw_key in conf
             else None
         )
-        if (
-            sequence_fence
-            and out_of_band != "allow"
-            and av_key in conf
-        ):
-            flagged = _non_apply_data_commits(
-                table, int(conf[av_key]), pinned
-            )
-            if flagged:
-                msg = (
-                    f"apply_changes on {table}: commit(s) {flagged} since "
-                    f"the last apply (version {conf[av_key]}) changed data "
-                    "WITHOUT advancing the sequence fence — rows moved "
-                    "out-of-band can be regressed by a replayed range. "
-                    "Route all CDC through the apply, or pass "
-                    "out_of_band='allow' if these commits are "
-                    "intentionally non-CDC."
-                )
-                if out_of_band == "error":
-                    raise ValueError(msg)
-                import warnings
-
-                warnings.warn(msg, stacklevel=3)
+        if sequence_fence:
+            _oob_guard(table, conf, av_key, pinned, out_of_band)
         live = (
             F.col(sequence_col) > F.lit(old_hw)
             if old_hw is not None
@@ -3597,6 +3619,249 @@ def _run_fenced_apply(
         return out
 
     return _occ_retry(_attempt, max_retries)
+
+
+#: internal per-row state columns an ADMIT-mode mart maintains — the
+#: sequence that produced each row, and the delete tombstone marker
+#: (the DLT convention: APPLY CHANGES backs its target with hidden
+#: bookkeeping columns and readers consume a view that filters them)
+_APPLY_SEQ_COL = "__applied_seq"
+_APPLY_TOMB_COL = "__tombstone"
+
+
+def _apply_changes_admit(
+    spark: SparkSession,
+    table: str,
+    feed0: DataFrame,
+    on: list,
+    sequence_col: str,
+    max_retries: int,
+    out_of_band: str,
+    ignore_null_updates: bool,
+    merge_kwargs: Mapping,
+) -> dict:
+    """LATE-ROW ADMISSION apply (r14, VERDICT r13 top task part b —
+    the design step past the global fence): replay suppression moves
+    from the table-wide high-water mark to a PER-ROW applied-sequence
+    column, so a genuinely-new late change below the global mark still
+    lands while a true replay (sequence at-or-below the KEY's own
+    applied sequence) still no-ops. Deletes write TOMBSTONES — the
+    key's row stays physically present with ``__tombstone = true``,
+    payload NULL, and the delete's sequence — so a later replayed
+    upsert at a lower sequence cannot resurrect the key, exactly DLT's
+    tombstone discipline for APPLY CHANGES deletes. Consumers read
+    through :func:`read_apply_changes_mart` (tombstones and internal
+    columns hidden); :func:`purge_apply_tombstones` physically drops
+    tombstones once the caller's late-arrival horizon passes them.
+
+    Per apply: winner-per-key over the BATCH (latest sequence,
+    delete-last tiebreak, stable-hash final tiebreak — the fence
+    path's window), one LEFT join against the target's (key,
+    applied-sequence) state — the scan is column-pruned to the keys +
+    two state columns and file-pruned to the batch's key band, the
+    same O(band) discipline as the merge's own diff — then the
+    admitted winners upsert through :func:`merge_dim_deltalog` with
+    the state columns riding along (``merge_schema`` evolves a
+    fence-era mart in place: existing rows get NULL applied-sequence,
+    which any sequenced change beats — the DLT seed convention). The
+    global high-water mark still advances monotonically (pure
+    observability here), the out-of-band guard still walks non-apply
+    commits, and the whole read-state → join → merge runs inside ONE
+    OCC attempt pinned to the observed version.
+
+    Returns the merge result plus {rows_admitted,
+    rows_replay_suppressed, rows_below_high_water,
+    applied_high_water}. NULL sequences raise (same contract as the
+    fence path)."""
+    from pyspark.sql import Window
+
+    payload = [
+        c for c in feed0.columns
+        if c not in on and c not in (sequence_col, "_change_type")
+    ]
+
+    def _attempt() -> dict:
+        avail = _all_versions(table)
+        if not avail:
+            raise FileNotFoundError(f"not a delta table (no log): {table}")
+        pinned = avail[-1]
+        meta = _meta_at(table, pinned)
+        conf = dict(meta.get("configuration") or {})
+        hw_key = _APPLY_HW_KEY + sequence_col
+        av_key = _APPLY_VER_KEY + sequence_col
+        old_hw = _seq_decode(conf[hw_key]) if hw_key in conf else None
+        _oob_guard(table, conf, av_key, pinned, out_of_band)
+        below = (
+            F.col(sequence_col) <= F.lit(old_hw)
+            if old_hw is not None
+            else F.lit(False)
+        )
+        agg = feed0.agg(
+            F.max(sequence_col).alias("mx"),
+            F.count(
+                F.when(F.col(sequence_col).isNull(), F.lit(1))
+            ).alias("n_null_seq"),
+            # below-the-mark rows are INFORMATIONAL here (they may
+            # still admit) — the metric a fence-mode caller would have
+            # seen as drops
+            F.count(F.when(below, F.lit(1))).alias("n_below"),
+            F.min(on[0]).alias("klo"),
+            F.max(on[0]).alias("khi"),
+        ).first()
+        if agg["n_null_seq"]:
+            raise ValueError(
+                f"apply_changes: {agg['n_null_seq']} change row(s) "
+                f"carry a NULL {sequence_col!r} — a NULL sequence "
+                "cannot be ordered against per-key applied sequences; "
+                "stamp every change with a non-null sequence"
+            )
+        base = {
+            "rows_below_high_water": int(agg["n_below"] or 0),
+            "applied_high_water": old_hw,
+        }
+        if agg["mx"] is None:
+            return {
+                "version": None, "rows_admitted": 0,
+                "rows_replay_suppressed": 0, **base,
+            }
+        new_hw = agg["mx"] if old_hw is None else max(old_hw, agg["mx"])
+        base["applied_high_water"] = new_hw
+        w = Window.partitionBy(*on).orderBy(
+            F.col(sequence_col).desc(),
+            (F.col("_change_type") == "delete").cast("int").desc(),
+            F.xxhash64(*[F.col(c) for c in payload]).desc(),
+        )
+        winners = (
+            feed0.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        stats_filter = (
+            {on[0]: (agg["klo"], agg["khi"])}
+            if agg["klo"] is not None
+            else None
+        )
+        tgt = read_delta_table(
+            spark, table, pinned, stats_filter=stats_filter
+        )
+        seq_type = dict(winners.dtypes)[sequence_col]
+        if _APPLY_SEQ_COL in tgt.columns:
+            tgt_state = tgt.select(
+                *on, F.col(_APPLY_SEQ_COL).alias("__t_seq")
+            )
+        else:
+            # fence-era (or fresh) mart: every existing row is a SEED
+            # with unknown sequence — any sequenced change beats it
+            tgt_state = tgt.select(*on).withColumn(
+                "__t_seq", F.lit(None).cast(seq_type)
+            )
+        from pyspark import StorageLevel
+
+        j = winners.join(tgt_state, on, "left").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        try:
+            admit = F.col("__t_seq").isNull() | (
+                F.col(sequence_col) > F.col("__t_seq")
+            )
+            c = j.agg(
+                F.count(F.lit(1)).alias("n_w"),
+                F.count(F.when(~admit, F.lit(1))).alias("n_sup"),
+            ).first()
+            n_admitted = int(c["n_w"]) - int(c["n_sup"])
+            cfg = {hw_key: _seq_encode(new_hw), av_key: str(pinned + 1)}
+            op_params = {
+                "appliedSequenceHighWater": _seq_encode(new_hw),
+                "lateRows": "admit",
+            }
+            if n_admitted == 0:
+                out = {"version": None}
+                if old_hw is None or new_hw > old_hw:
+                    new_meta = dict(meta)
+                    new_meta["configuration"] = {**conf, **cfg}
+                    _commit(table, pinned + 1, [
+                        _commit_info("APPLY CHANGES FENCE", op_params),
+                        {"metaData": new_meta},
+                    ])
+                    out = {"version": pinned + 1, "fence_advanced": True}
+                return {
+                    **out, "rows_admitted": 0,
+                    "rows_replay_suppressed": int(c["n_sup"]), **base,
+                }
+            is_del = F.col("_change_type") == "delete"
+            src = j.filter(admit).select(
+                *on,
+                *[
+                    F.when(is_del, F.lit(None).cast(t))
+                    .otherwise(F.col(c2)).alias(c2)
+                    for c2, t in winners.select(*payload).dtypes
+                ],
+                F.col(sequence_col).alias(_APPLY_SEQ_COL),
+                is_del.alias(_APPLY_TOMB_COL),
+            )
+            kw = dict(merge_kwargs)
+            kw["operation_parameters"] = {
+                **dict(kw.get("operation_parameters") or {}), **op_params,
+            }
+            kw.setdefault("merge_schema", True)
+            out = merge_dim_deltalog(
+                spark, table, src, on,
+                configuration_updates=cfg,
+                require_base_version=pinned,
+                coalesce_source_nulls=ignore_null_updates,
+                **kw,
+            )
+            if out["version"] is None and (old_hw is None or new_hw > old_hw):
+                new_meta = dict(meta)
+                new_meta["configuration"] = {**conf, **cfg}
+                _commit(table, pinned + 1, [
+                    _commit_info("APPLY CHANGES FENCE", op_params),
+                    {"metaData": new_meta},
+                ])
+                out = {**out, "version": pinned + 1, "fence_advanced": True}
+            return {
+                **out, "rows_admitted": n_admitted,
+                "rows_replay_suppressed": int(c["n_sup"]), **base,
+            }
+        finally:
+            j.unpersist()
+
+    return _occ_retry(_attempt, max_retries)
+
+
+def read_apply_changes_mart(
+    spark: SparkSession, table: str, version: int | None = None
+) -> DataFrame:
+    """Consumer-facing read of a ``late_rows='admit'`` mart: tombstone
+    rows and the internal state columns are hidden — the same
+    convention DLT uses (users read the view, the backing table keeps
+    the bookkeeping). Safe on fence-mode marts too (no state columns →
+    plain read)."""
+    df = read_delta_table(spark, table, version)
+    if _APPLY_TOMB_COL in df.columns:
+        df = df.filter(
+            ~F.coalesce(F.col(_APPLY_TOMB_COL), F.lit(False))
+        ).drop(_APPLY_TOMB_COL)
+    if _APPLY_SEQ_COL in df.columns:
+        df = df.drop(_APPLY_SEQ_COL)
+    return df
+
+
+def purge_apply_tombstones(
+    spark: SparkSession, table: str, below_sequence
+) -> dict:
+    """Physically drop an admit-mode mart's tombstones whose applied
+    sequence sits below ``below_sequence`` — the caller asserts no
+    change older than that horizon can still arrive (DLT's tombstone
+    retention contract). Routes through :func:`delete_delta` (file- or
+    DV-grain, one atomic version); a purged key's late replay below
+    the horizon would re-insert — that is exactly the contract the
+    horizon promises never happens."""
+    return delete_delta(
+        spark, table,
+        F.coalesce(F.col(_APPLY_TOMB_COL), F.lit(False))
+        & (F.col(_APPLY_SEQ_COL) < F.lit(below_sequence)),
+    )
 
 
 def apply_changes_scd2_deltalog(

@@ -1340,6 +1340,137 @@ def delta_apply_changes_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "delta_apply_changes_late",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS k, c_name AS nm, c_mktsegment AS mkt
+        FROM customer
+    ),
+    fin AS (
+        SELECT k,
+               CASE WHEN k % 10 = 5 THEN 'u5_' || CAST(k AS VARCHAR)
+                    ELSE nm END AS nm,
+               mkt
+        FROM base WHERE k % 10 <> 2
+        UNION ALL
+        SELECT k + 10000000, NULL, 'LATE' FROM base WHERE k % 10 = 7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(SUM(LENGTH(COALESCE(nm, ''))) AS BIGINT) AS sum_nm_len,
+           CAST(SUM(LENGTH(mkt)) AS BIGINT) AS sum_mkt_len,
+           1 AS late_admitted,
+           1 AS replay_suppressed,
+           1 AS no_resurrection
+    FROM fin
+    """,
+    doc="APPLY CHANGES with late_rows='admit' (r14 — VERDICT r13 top "
+    "task part b): replay suppression moves from the global fence to "
+    "a per-row applied-sequence column. The k%10=5 update applies at "
+    "seq 5; a LATE batch at seq 3/4 then arrives below the mark — its "
+    "genuinely-new k%10=7 inserts LAND (late_admitted) while its "
+    "stale k%10=5 update is suppressed per-key (replay_suppressed). "
+    "A delete at seq 6 tombstones k%10=2, and a replayed upsert at "
+    "seq 5 cannot resurrect them (no_resurrection). The oracle "
+    "computes the DLT-equivalent end state directly; the mart is read "
+    "through read_apply_changes_mart (tombstones and bookkeeping "
+    "columns hidden).",
+)
+def delta_apply_changes_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale: per apply, winner-dedup windows over the BATCH, one
+    column-pruned + band-pruned LEFT join against the mart's per-key
+    applied state, then the file-pruned keyed merge — O(batch + band),
+    never O(mart). See operators/deltalog.py:_apply_changes_admit."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_loading_scripts_spark.catalog import load_table
+    from etl_loading_scripts_spark.operators.deltalog import (
+        apply_changes_deltalog,
+        read_apply_changes_mart,
+        write_delta_table,
+    )
+
+    root = tempfile.mkdtemp(prefix="applylate_")
+    d = os.path.join(root, "dim")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("nm"),
+        F.col("c_mktsegment").alias("mkt"),
+    )
+
+    def _chg(df, ctype, seq):
+        return df.select(
+            F.lit(ctype).alias("_change_type"), "k", "nm", "mkt",
+            F.lit(seq).cast("long").alias("_commit_version"),
+        )
+
+    try:
+        write_delta_table(cust.repartitionByRange(4, "k"), d)
+        n5 = cust.filter(F.col("k") % 10 == 5).count()
+        n7 = cust.filter(F.col("k") % 10 == 7).count()
+        n2 = cust.filter(F.col("k") % 10 == 2).count()
+        upd5 = cust.filter(F.col("k") % 10 == 5).withColumn(
+            "nm", F.concat(F.lit("u5_"), F.col("k").cast("string"))
+        )
+        apply_changes_deltalog(
+            spark, d, _chg(upd5, "update_postimage", 5), ["k"],
+            sequence_col="_commit_version", late_rows="admit",
+        )
+        # the LATE batch: new keys at seq 3 + a stale seq-4 replay
+        late_ins = cust.filter(F.col("k") % 10 == 7).select(
+            (F.col("k") + 10_000_000).alias("k"),
+            F.lit(None).cast("string").alias("nm"),
+            F.lit("LATE").alias("mkt"),
+        )
+        stale5 = upd5.withColumn("nm", F.lit("stale"))
+        late = _chg(late_ins, "insert", 3).unionByName(
+            _chg(stale5, "update_postimage", 4)
+        )
+        res_late = apply_changes_deltalog(
+            spark, d, late, ["k"],
+            sequence_col="_commit_version", late_rows="admit",
+        )
+        late_admitted = int(
+            res_late["rows_admitted"] == n7
+            and res_late["rows_below_high_water"] == n7 + n5
+        )
+        replay_suppressed = int(res_late["rows_replay_suppressed"] == n5)
+        # tombstone the k%10=2 keys, then try to resurrect by replay
+        dels = cust.filter(F.col("k") % 10 == 2)
+        apply_changes_deltalog(
+            spark, d, _chg(dels, "delete", 6), ["k"],
+            sequence_col="_commit_version", late_rows="admit",
+        )
+        zombie = dels.withColumn("nm", F.lit("zombie"))
+        res_z = apply_changes_deltalog(
+            spark, d, _chg(zombie, "update_postimage", 5), ["k"],
+            sequence_col="_commit_version", late_rows="admit",
+        )
+        got = read_apply_changes_mart(spark, d)
+        no_resurrection = int(
+            res_z["rows_admitted"] == 0
+            and res_z["rows_replay_suppressed"] == n2
+            and got.filter(F.col("k") % 10 == 2).count() == 0
+        )
+        return got.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.length(F.coalesce(F.col("nm"), F.lit(""))))
+            .cast("bigint").alias("sum_nm_len"),
+            F.sum(F.length("mkt")).cast("bigint").alias("sum_mkt_len"),
+        ).select(
+            "n_rows", "sum_k", "sum_nm_len", "sum_mkt_len",
+            F.lit(late_admitted).alias("late_admitted"),
+            F.lit(replay_suppressed).alias("replay_suppressed"),
+            F.lit(no_resurrection).alias("no_resurrection"),
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "delta_apply_changes_truncate",
     oracle="""
     WITH fin AS (

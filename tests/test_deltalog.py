@@ -5399,6 +5399,104 @@ def test_apply_changes_reports_rows_fenced(spark, tmp_path):
     assert res4.get("fence_advanced") and res4["rows_fenced"] == 1
 
 
+def test_apply_changes_late_rows_admit(spark, tmp_path):
+    """r14 (VERDICT r13 top task, part b): late_rows='admit' moves
+    replay suppression from the global fence to a PER-ROW applied
+    sequence — a genuinely-new late key below the high-water mark
+    lands, a true replay still no-ops, deletes leave tombstones that
+    block resurrection-by-replay, and read_apply_changes_mart hides
+    the bookkeeping."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "admit")
+    # fence-era seed: no state columns yet
+    dl.write_delta_table(
+        spark.createDataFrame([(1, "a1"), (2, "a2")], "k long, v string"),
+        d,
+    )
+
+    def _feed(rows):
+        return spark.createDataFrame(
+            rows,
+            "_change_type string, k long, v string, _commit_version long",
+        )
+
+    res = dl.apply_changes_deltalog(
+        spark, d, _feed([
+            ("update_postimage", 1, "v8", 8),
+            ("insert", 3, "c5", 5),
+        ]),
+        ["k"], sequence_col="_commit_version", late_rows="admit",
+    )
+    assert res["rows_admitted"] == 2 and res["applied_high_water"] == 8
+    got = {
+        (r.k, r.v)
+        for r in dl.read_apply_changes_mart(spark, d).collect()
+    }
+    assert got == {(1, "v8"), (2, "a2"), (3, "c5")}
+    # LATE genuinely-new key at seq 3 (below hw=8): ADMITTED
+    res2 = dl.apply_changes_deltalog(
+        spark, d, _feed([("insert", 4, "late4", 3)]),
+        ["k"], sequence_col="_commit_version", late_rows="admit",
+    )
+    assert res2["rows_admitted"] == 1
+    assert res2["rows_below_high_water"] == 1  # visible as a metric
+    assert (
+        dl.read_apply_changes_mart(spark, d)
+        .filter("k = 4").first()["v"] == "late4"
+    )
+    # TRUE replay: k=1 at seq 6 <= its applied seq 8 → suppressed
+    v_now = dl._all_versions(d)[-1]
+    res3 = dl.apply_changes_deltalog(
+        spark, d, _feed([("update_postimage", 1, "stale", 6)]),
+        ["k"], sequence_col="_commit_version", late_rows="admit",
+    )
+    assert res3["rows_admitted"] == 0
+    assert res3["rows_replay_suppressed"] == 1
+    assert (
+        dl.read_apply_changes_mart(spark, d).filter("k = 1").first()["v"]
+        == "v8"
+    )
+    assert dl._all_versions(d)[-1] == v_now  # hw unchanged: no commit
+    # DELETE leaves a tombstone: hidden from reads, blocks replays
+    dl.apply_changes_deltalog(
+        spark, d, _feed([("delete", 2, None, 10)]),
+        ["k"], sequence_col="_commit_version", late_rows="admit",
+    )
+    assert dl.read_apply_changes_mart(spark, d).filter("k = 2").count() == 0
+    raw = dl.read_delta_table(spark, d).filter("k = 2").first()
+    assert raw["__tombstone"] and raw["__applied_seq"] == 10
+    # replayed upsert below the delete's seq: NOT resurrected
+    res4 = dl.apply_changes_deltalog(
+        spark, d, _feed([("update_postimage", 2, "zombie", 9)]),
+        ["k"], sequence_col="_commit_version", late_rows="admit",
+    )
+    assert res4["rows_replay_suppressed"] == 1
+    assert dl.read_apply_changes_mart(spark, d).filter("k = 2").count() == 0
+    # a genuinely newer upsert revives the key
+    dl.apply_changes_deltalog(
+        spark, d, _feed([("insert", 2, "reborn", 11)]),
+        ["k"], sequence_col="_commit_version", late_rows="admit",
+    )
+    assert (
+        dl.read_apply_changes_mart(spark, d).filter("k = 2").first()["v"]
+        == "reborn"
+    )
+    # tombstone purge: delete another key, then purge below horizon
+    dl.apply_changes_deltalog(
+        spark, d, _feed([("delete", 3, None, 12)]),
+        ["k"], sequence_col="_commit_version", late_rows="admit",
+    )
+    pres = dl.purge_apply_tombstones(spark, d, below_sequence=13)
+    assert pres["rows_deleted"] == 1
+    assert dl.read_delta_table(spark, d).filter("k = 3").count() == 0
+    got_final = {
+        (r.k, r.v)
+        for r in dl.read_apply_changes_mart(spark, d).collect()
+    }
+    assert got_final == {(1, "v8"), (2, "reborn"), (4, "late4")}
+
+
 def test_apply_changes_null_sequence_raises(spark, tmp_path):
     """ADVICE r13 low: change rows with a NULL sequence cannot order
     against the fence or the winner window — they were dropped with no
