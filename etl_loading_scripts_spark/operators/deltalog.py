@@ -3050,20 +3050,56 @@ def merge_dim_deltalog(
             kept = len(files) - len(changed_files) + len(files_pruned)
         adds = _stage_data_files(merged, table, pcols)
         actions.extend(adds)
-        post = _read_add_files(spark, table, schema, pcols, adds)
-        _enforce_constraints(post, meta)
+        _enforce_constraints(
+            _read_add_files(spark, table, schema, pcols, adds), meta
+        )
         if write_change_data:
-            # pre = the affected rows' OLD images only (rewrite mode:
-            # the changed files' rows; DV mode: exactly the hidden
-            # rows) — the diff is O(changes), never O(dimension)
-            pre_rows = (
-                j.filter(needs_rewrite)
-                if deletion_vectors
-                else j.filter(tgt_present & in_changed)
-            ).select(*[F.col(c) for c in tcols])
+            # CDC derived from the SAME persisted diff join the merge
+            # already computed (r14, guide §2.4): the r13 encoder
+            # re-read the just-staged files and re-keyed-diffed them
+            # against the old images — one extra scan plus three key
+            # joins per merge, all re-deriving a classification the
+            # full-outer diff already holds. Here each change class is
+            # a filter+projection over the cached ``j``: inserts and
+            # update postimages are the same ``out_cols`` images the
+            # staged write used (overflow-vetted by the merged frame's
+            # _align_to_schema above), pre-images are the target-side
+            # columns (exact table types from the schema'd scan). Rows
+            # whose key matches null-safely net to update pairs — the
+            # one (pathological) divergence from the old encoder,
+            # which keyed the re-diff non-null-safely and so emitted
+            # delete+insert pairs for NULL-keyed rows.
+            upd_c = tgt_present & src_present & changed & ~del_flag
+            del_c = tgt_present & src_present & del_flag
+            if delete_unmatched_source:
+                del_c = del_c | (tgt_present & ~src_present)
+            pre_cols = [F.col(c) for c in tcols]
+            changes = (
+                j.filter(src_present & ~tgt_present & ~del_flag)
+                .select(F.lit("insert").alias("_change_type"), *out_cols)
+                .unionByName(
+                    j.filter(del_c).select(
+                        F.lit("delete").alias("_change_type"), *pre_cols
+                    )
+                )
+                .unionByName(
+                    j.filter(upd_c).select(
+                        F.lit("update_preimage").alias("_change_type"),
+                        *pre_cols,
+                    )
+                )
+                .unionByName(
+                    j.filter(upd_c).select(
+                        F.lit("update_postimage").alias("_change_type"),
+                        *out_cols,
+                    )
+                )
+            )
             actions.extend(
                 _stage_change_files(
-                    _keyed_diff(pre_rows, post, on, include_update_preimage=True),
+                    _align_to_schema(
+                        changes, schema, "merge_dim_deltalog cdc"
+                    ),
                     table, on, preimages=True,
                 )
             )
@@ -5252,10 +5288,12 @@ def _net_change_files(
     event's preimage (update_preimage/delete row), the post-image the
     LAST event's postimage (insert/update_postimage row); no pre →
     net insert, no post → net delete, both → update iff the images
-    differ (a value that round-trips back nets to nothing). One key
-    shuffle (window) + one key join."""
-    from pyspark.sql import Window
-
+    differ (a value that round-trips back nets to nothing). ONE key
+    shuffle total (r14, guide §2.4): a single groupBy carries the
+    range-start/-end versions plus min_by/max_by image structs, and
+    the net rows explode out of the aggregate — the r13 shape (window
+    pass + pre/post full-outer join) paid the same key shuffle twice
+    plus a join for a classification one aggregate holds."""
     on = list(on)
     value_cols = [f.name for f in base.fields if f.name not in on]
     cdc_schema = StructType().add("_change_type", "string")
@@ -5270,55 +5308,79 @@ def _net_change_files(
     ev = parts[0]
     for p in parts[1:]:
         ev = ev.unionByName(p)
-    w = Window.partitionBy(*on)
-    ev = ev.withColumn("_vmin", F.min("_cv").over(w)).withColumn(
-        "_vmax", F.max("_cv").over(w)
+    pre_t = F.col("_change_type").isin("delete", "update_preimage")
+    post_t = F.col("_change_type").isin("insert", "update_postimage")
+    img = (
+        F.struct(*[F.col(c) for c in value_cols])
+        if value_cols
+        else F.struct(F.lit(True).alias("__present"))
     )
-    pre = ev.filter(
-        (F.col("_cv") == F.col("_vmin"))
-        & F.col("_change_type").isin("delete", "update_preimage")
-    ).select(
-        *on,
-        F.lit(True).alias("_hp"),
-        *[F.col(c).alias(f"__pre_{c}") for c in value_cols],
+    agg = ev.groupBy(*on).agg(
+        F.min("_cv").alias("_vmin"),
+        F.max("_cv").alias("_vmax"),
+        F.min(F.when(pre_t, F.col("_cv"))).alias("_pre_cv"),
+        F.max(F.when(post_t, F.col("_cv"))).alias("_post_cv"),
+        # min_by/max_by skip rows whose ordering value is NULL, so the
+        # when() gates restrict each image to its event class; the
+        # image travels as an (unordered) struct payload, never a sort
+        # key — map/array columns stay legal
+        F.min_by(F.when(pre_t, img), F.when(pre_t, F.col("_cv"))).alias(
+            "_pre"
+        ),
+        F.max_by(F.when(post_t, img), F.when(post_t, F.col("_cv"))).alias(
+            "_post"
+        ),
     )
-    post = ev.filter(
-        (F.col("_cv") == F.col("_vmax"))
-        & F.col("_change_type").isin("insert", "update_postimage")
-    ).select(
-        *on,
-        F.lit(True).alias("_hq"),
-        *[F.col(c).alias(f"__post_{c}") for c in value_cols],
-    )
-    j = pre.join(post, on, "full_outer")
-    cols = [f.name for f in base.fields]
-
-    def _row(tag: str, prefix: str) -> list:
-        return [F.lit(tag).alias("_change_type")] + [
-            (F.col(f"{prefix}{c}") if c in value_cols else F.col(c)).alias(c)
-            for c in cols
-        ]
-
-    inserts = j.filter(F.col("_hp").isNull() & F.col("_hq").isNotNull()).select(
-        *_row("insert", "__post_")
-    )
-    deletes = j.filter(F.col("_hq").isNull() & F.col("_hp").isNotNull()).select(
-        *_row("delete", "__pre_")
-    )
-    out = inserts.unionByName(deletes)
-    if value_cols:
-        both = j.filter(F.col("_hp").isNotNull() & F.col("_hq").isNotNull())
-        changed = both.filter(
-            ~F.struct(*[F.col(f"__pre_{c}") for c in value_cols]).eqNullSafe(
-                F.struct(*[F.col(f"__post_{c}") for c in value_cols])
+    # a pre/post image only counts when it sits at the range START/END:
+    # a key first seen as an insert has a later preimage at best (its
+    # range nets to an insert), one last seen as a delete has an
+    # earlier postimage at best (nets to a delete), and a key whose
+    # insert and delete both fall INSIDE the range nets to nothing
+    hp = F.col("_pre_cv").eqNullSafe(F.col("_vmin"))
+    hq = F.col("_post_cv").eqNullSafe(F.col("_vmax"))
+    differ = ~F.col("_pre").eqNullSafe(F.col("_post"))
+    rows = [
+        F.when(
+            ~hp & hq,
+            F.struct(F.lit("insert").alias("_t"), F.col("_post").alias("_i")),
+        ),
+        F.when(
+            hp & ~hq,
+            F.struct(F.lit("delete").alias("_t"), F.col("_pre").alias("_i")),
+        ),
+        F.when(
+            hp & hq & differ,
+            F.struct(
+                F.lit("update_postimage").alias("_t"),
+                F.col("_post").alias("_i"),
+            ),
+        ),
+    ]
+    if include_preimages:
+        rows.append(
+            F.when(
+                hp & hq & differ,
+                F.struct(
+                    F.lit("update_preimage").alias("_t"),
+                    F.col("_pre").alias("_i"),
+                ),
             )
         )
-        out = out.unionByName(changed.select(*_row("update_postimage", "__post_")))
-        if include_preimages:
-            out = out.unionByName(
-                changed.select(*_row("update_preimage", "__pre_"))
-            )
-    return out
+    cols = [f.name for f in base.fields]
+    e = F.col("_e")
+    return agg.select(
+        *on, F.explode(F.array_compact(F.array(*rows))).alias("_e")
+    ).select(
+        e.getField("_t").alias("_change_type"),
+        *[
+            (
+                e.getField("_i").getField(c)
+                if c in value_cols
+                else F.col(c)
+            ).alias(c)
+            for c in cols
+        ],
+    )
 
 
 def delta_table_changes(
