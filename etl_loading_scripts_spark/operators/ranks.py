@@ -5,14 +5,31 @@ plan as an ``Exchange SinglePartition`` + one-task sort — the classic
 100 TB killer (VERDICT r1 items 3 and 6). The primitives here produce the
 IDENTICAL assignments through range buckets:
 
-1. range-repartition on the sort key — range partition *i* holds keys
-   strictly below partition *i+1*'s;
-2. one pass collects per-partition ``(count, min key)``; the driver folds
-   them into boundary literals with cumulative offsets (bytes, not data);
-3. the ranking pass assigns each row a bucket by *comparing its key to the
-   boundary literals* — a pure expression, immune to AQE re-planning the
-   exchange between the two passes — then global rank = partition-local
-   ``row_number`` + the bucket's offset.
+1. range-repartition on the sort key and PERSIST the exchanged frame —
+   range partition *i* holds keys strictly below partition *i+1*'s, and
+   persisting freezes that layout so every later pass reads the same
+   partitions (``spark_partition_id`` is stable across consumers of a
+   materialized cache);
+2. one pass over the cache collects per-partition counts; the driver
+   folds them into cumulative offsets (bytes, not data);
+3. the ranking pass sorts each cached partition locally
+   (``sortWithinPartitions`` — NO second exchange) and assigns
+   global rank = partition offset + the row's position within its
+   sorted partition.
+
+The per-partition position comes from ``monotonically_increasing_id()``,
+whose documented layout is ``partition_id * 2^33 + record_number`` with
+record numbers consecutive from 0 in row order (the API docs' example:
+two partitions of three records yield 0,1,2 and 8589934592,…94). Because
+the expression is non-deterministic, Catalyst never reorders it past the
+sort, so ids are assigned in sorted order; because the input partitions
+are cached, the layout cannot be re-planned between passes.
+
+r13 shape (kept in git history) re-executed the input plan once for the
+range exchange's sampling, once for the stats pass, and once for the
+ranking pass, then paid a fourth pass as a hash exchange for the bucket
+window — chained callers (three NTILEs in rfm_segmentation) went
+quadratic: 36 s at sf0.01 collapsed to one materialization per tile.
 
 Contract: the sort key must be unique per row (ties would make any
 ROW_NUMBER assignment arbitrary — same caveat as the window idiom).
@@ -26,6 +43,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+#: lower 33 bits of monotonically_increasing_id = record number within
+#: the partition (documented layout; see module docstring)
+_MID_RECORD_BITS = 33
+
 
 def _rank_via_range_buckets(
     df: DataFrame,
@@ -37,40 +58,43 @@ def _rank_via_range_buckets(
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     order_cols = [F.col(c) for c in order_by]
-    key_struct = F.struct(*[F.col(c).alias(f"f{i}") for i, c in enumerate(order_by)])
-
+    # ONE materialization of the input (r14, guide §1.2 step 1): persist
+    # the range-exchanged frame so sampling, stats and ranking all read
+    # the same frozen partitions instead of re-running the upstream plan
+    # three times. MEMORY_AND_DISK default: a fact-scale rank spills,
+    # never OOMs. The cache is released by the ContextCleaner when the
+    # returned frame goes out of scope.
+    part = df.repartitionByRange(n, *order_cols).persist()
     stats = (
-        df.repartitionByRange(n, *order_cols)
-        .select(F.spark_partition_id().alias("__pid__"), key_struct.alias("__k__"))
-        .groupBy("__pid__")
-        .agg(F.count(F.lit(1)).alias("cnt"), F.min("__k__").alias("lo"))
+        part.groupBy(F.spark_partition_id().alias("__pid__"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
     )
     stats.sort(key=lambda r: r["__pid__"])
-    offsets, total = [], 0
+    off_rows, total = [], 0
     for r in stats:
-        offsets.append((r["lo"], total))
+        off_rows.append((r["__pid__"], total))
         total += r["cnt"]
-
-    def lit_struct(v):
-        return F.struct(*[F.lit(x).alias(f"f{i}") for i, x in enumerate(v)])
-
-    # bucket = number of boundaries at or below the key. ~32 buckets → a
-    # comparison chain; at 10⁴+ buckets swap for a broadcast range join.
-    bucket = F.lit(0)
-    for lo, _ in offsets[1:]:
-        bucket = bucket + (key_struct >= lit_struct(lo)).cast("int")
     off_df = spark.createDataFrame(
-        [(i, off) for i, (_, off) in enumerate(offsets)] or [(0, 0)],
-        "__bucket__ int, __off__ long",
+        off_rows or [(0, 0)], "__pid__ int, __off__ long"
     )
-
-    w = Window.partitionBy("__bucket__").orderBy(*order_cols)
+    # local sort per cached partition (no exchange), then
+    # rank = partition row offset + record number + 1; the broadcast
+    # join attaches the offset without moving data
+    mid = F.monotonically_increasing_id()
     ranked = (
-        df.withColumn("__bucket__", bucket)
-        .join(F.broadcast(off_df), "__bucket__")
+        part.sortWithinPartitions(*order_cols)
+        .withColumn("__pid__", F.spark_partition_id())
         .withColumn(
-            rank_col, (F.col("__off__") + F.row_number().over(w)).cast("long")
+            "__loc__",
+            mid
+            - F.shiftleft(
+                F.spark_partition_id().cast("long"), _MID_RECORD_BITS
+            ),
+        )
+        .join(F.broadcast(off_df), "__pid__")
+        .withColumn(
+            rank_col, (F.col("__off__") + F.col("__loc__") + 1).cast("long")
         )
         .select(*df.columns, rank_col)
     )
@@ -125,61 +149,49 @@ def global_cumsum(
     """``SUM(value) OVER (ORDER BY order_by ROWS UNBOUNDED PRECEDING)``
     — the global running total — with no single-partition sort.
 
-    Same two-pass range-bucket scheme as the global rank: the stats pass
-    additionally folds per-partition *value sums* into cumulative sum
-    offsets, so each row's running total is its bucket's sum offset plus
-    a bucket-local cumulative window. Optionally also emits the global
-    row number (``rank_col``) from the same pass for free. The sort key
-    must be unique per row (same contract as ``global_row_number``).
-    """
+    Same persist-once range-bucket scheme as the global rank: the stats
+    pass additionally folds per-partition *value sums* into cumulative
+    sum offsets, so each row's running total is its partition's sum
+    offset plus a partition-local cumulative window. Optionally also
+    emits the global row number (``rank_col``) from the same pass for
+    free. The running sum needs a window (state across rows), so this
+    path keeps one pid-hash exchange — but it moves each cached
+    partition wholesale exactly once, instead of re-executing the whole
+    upstream plan as the r13 shape did. The sort key must be unique per
+    row (same contract as ``global_row_number``)."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     order_cols = [F.col(c) for c in order_by]
-    key_struct = F.struct(*[F.col(c).alias(f"f{i}") for i, c in enumerate(order_by)])
 
+    part = df.repartitionByRange(n, *order_cols).persist()
     stats = (
-        df.repartitionByRange(n, *order_cols)
-        .select(
-            F.spark_partition_id().alias("__pid__"),
-            key_struct.alias("__k__"),
-            F.col(value_col).alias("__v__"),
-        )
-        .groupBy("__pid__")
+        part.groupBy(F.spark_partition_id().alias("__pid__"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.min("__k__").alias("lo"),
-            F.sum("__v__").alias("vsum"),
+            F.sum(value_col).alias("vsum"),
         )
         .collect()
     )
     stats.sort(key=lambda r: r["__pid__"])
-    offsets, total_rows, total_val = [], 0, 0
+    off_rows, total_rows, total_val = [], 0, 0
     for r in stats:
-        offsets.append((r["lo"], total_rows, total_val))
+        off_rows.append((r["__pid__"], total_rows, total_val))
         total_rows += r["cnt"]
-        total_val += r["vsum"]
-
-    def lit_struct(v):
-        return F.struct(*[F.lit(x).alias(f"f{i}") for i, x in enumerate(v)])
-
-    bucket = F.lit(0)
-    for lo, _, _ in offsets[1:]:
-        bucket = bucket + (key_struct >= lit_struct(lo)).cast("int")
+        total_val += r["vsum"] or 0
     off_df = spark.createDataFrame(
-        [(i, roff, voff) for i, (_, roff, voff) in enumerate(offsets)]
-        or [(0, 0, 0)],
-        "__bucket__ int, __roff__ long, __voff__ long",
+        off_rows or [(0, 0, 0)],
+        "__pid__ int, __roff__ long, __voff__ long",
     )
 
     w = (
-        Window.partitionBy("__bucket__")
+        Window.partitionBy("__pid__")
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    wr = Window.partitionBy("__bucket__").orderBy(*order_cols)
+    wr = Window.partitionBy("__pid__").orderBy(*order_cols)
     out = (
-        df.withColumn("__bucket__", bucket)
-        .join(F.broadcast(off_df), "__bucket__")
+        part.withColumn("__pid__", F.spark_partition_id())
+        .join(F.broadcast(off_df), "__pid__")
         .withColumn(
             cum_col,
             (F.col("__voff__") + F.sum(value_col).over(w)).cast("long"),

@@ -294,7 +294,12 @@ def test_partitioned_surrogate_keys_have_no_global_sort(spark, sf_dir):
     df = REGISTRY["surrogate_key_allocation_partitioned"].spark(spark, sf_dir)
     plan = plan_of(df)
     assert "Exchange SinglePartition" not in plan, plan
-    assert "Window" in plan  # the partition-local row_number is still there
+    # r14: the rank pass is a partition-LOCAL sort over the persisted
+    # range exchange (monotonically_increasing_id record numbers), no
+    # Window operator at all — assert the local sort survives and no
+    # global (cross-partition) sort snuck back in
+    assert "Sort" in plan, plan
+    assert "monotonically_increasing_id" in plan, plan
 
 
 def test_spend_deciles_has_no_global_sort(spark, sf_dir):
