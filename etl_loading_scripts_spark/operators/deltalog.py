@@ -2813,6 +2813,10 @@ def merge_dim_deltalog(
     files_pruned: list[str] = []
     key_band = None  # (col, lo, hi): the OCC fast-recommit read set
     if stats_prune and not delete_unmatched_source and files:
+        # (r14 note: persisting the source here was tried and measured
+        # SLOWER — the band agg pays the cache materialization while
+        # the two re-scans it saves are pushed-down columnar reads that
+        # cost less than the copy; see OPTIMIZATION_r14.md)
         pk = on[0]
         b = source.agg(
             F.min(pk).alias("lo"),
@@ -3048,11 +3052,7 @@ def merge_dim_deltalog(
             ]
             files_removed, files_dv = len(changed_files), 0
             kept = len(files) - len(changed_files) + len(files_pruned)
-        adds = _stage_data_files(merged, table, pcols)
-        actions.extend(adds)
-        _enforce_constraints(
-            _read_add_files(spark, table, schema, pcols, adds), meta
-        )
+        changes = None
         if write_change_data:
             # CDC derived from the SAME persisted diff join the merge
             # already computed (r14, guide §2.4): the r13 encoder
@@ -3095,14 +3095,34 @@ def merge_dim_deltalog(
                     )
                 )
             )
-            actions.extend(
-                _stage_change_files(
-                    _align_to_schema(
-                        changes, schema, "merge_dim_deltalog cdc"
-                    ),
-                    table, on, preimages=True,
-                )
+            changes = _align_to_schema(
+                changes, schema, "merge_dim_deltalog cdc"
             )
+        # stage the data files and the change files CONCURRENTLY (r14,
+        # guide §2.6): both read the same cached diff ``j`` and are
+        # independent until the commit assembles their actions, so the
+        # CDC write's tasks back-fill executor slots freed by the data
+        # write's tail instead of waiting for it. Two driver threads,
+        # deterministic action order (data adds first, cdc after, as
+        # before); an exception in either surfaces on .result().
+        if changes is not None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_data = pool.submit(_stage_data_files, merged, table, pcols)
+                f_cdc = pool.submit(
+                    _stage_change_files, changes, table, on, preimages=True
+                )
+                adds = f_data.result()
+                cdc_actions = f_cdc.result()
+        else:
+            adds = _stage_data_files(merged, table, pcols)
+            cdc_actions = []
+        actions.extend(adds)
+        _enforce_constraints(
+            _read_add_files(spark, table, schema, pcols, adds), meta
+        )
+        actions.extend(cdc_actions)
         if evolved or configuration_updates:
             # configuration_updates ride IN the merge commit (one
             # atomic version advances both the rows and the recorded
@@ -3654,7 +3674,15 @@ def _run_fenced_apply(
         out["rows_fenced"] = n_fenced
         return out
 
-    return _occ_retry(_attempt, max_retries)
+    # the feed is consumed at least twice per attempt (fence agg, then
+    # the winner window inside the merge) and may come from CDC file
+    # reads — persist it for the duration of the apply (O(batch) by
+    # contract; r14, guide §1.2 step 1)
+    feed0 = feed0.persist()
+    try:
+        return _occ_retry(_attempt, max_retries)
+    finally:
+        feed0.unpersist()
 
 
 #: internal per-row state columns an ADMIT-mode mart maintains — the
@@ -5185,6 +5213,11 @@ def _stage_change_files(
     per-commit files; logs written without it still serve
     single-commit ranges."""
     staging = os.path.join(table, f".staging-{uuid.uuid4().hex}")
+    # (r14 note: an AQE REBALANCE hint before this write was tried and
+    # measured SLOWER end-to-end — the extra shuffle cost more than the
+    # many-small-shards write it avoided, and the coalesced single-file
+    # commits also read ~0.2 s slower in the range reader; see
+    # OPTIMIZATION_r14.md)
     changes.write.mode("overwrite").parquet(staging)
     cdc_dir = os.path.join(table, _CDC_DIR)
     os.makedirs(cdc_dir, exist_ok=True)
