@@ -221,19 +221,32 @@ def ann_index_probe(
     ``queries`` carries (vec_id, qv, norm2). ``return_probed=True``
     additionally returns the pruned cell reader (for file audits)
     without re-planning the assignment."""
-    q = _assign_top_p(queries, _cents(index_path, spark), nprobe).select(
+    # ONE manifest read pins BOTH table versions (r14): the previous
+    # shape read the manifest separately inside _cents and _cells_df —
+    # two Spark jobs on a one-row table per probe, and a rebuild
+    # committing between the two reads could route NEW centroids into
+    # OLD cells, the exact straddle the manifest exists to prevent.
+    cv, xv = _manifest_pin(index_path, spark)
+    cents = read_delta_table(
+        spark, os.path.join(index_path, CENTROIDS), version=cv
+    )
+    # persisted: the assignment is consumed twice (cell-id collect,
+    # then the broadcast side of the cell join) and is O(queries ×
+    # nprobe) tiny by contract
+    q = _assign_top_p(queries, cents, nprobe).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qa"),
         F.col("norm2").alias("na"),
         "centroid_id",
-    )
+    ).persist()
     # O(queries) driver-side cell list — the probe set IS small by
     # contract (a batch of queries), never the corpus
     cell_ids = sorted(
         r.centroid_id for r in q.select("centroid_id").distinct().collect()
     )
-    cells = _cells_df(
-        index_path, spark, partition_filter={"centroid_id": cell_ids}
+    cells = read_delta_table(
+        spark, os.path.join(index_path, CELLS), version=xv,
+        partition_filter={"centroid_id": cell_ids},
     )
     scored = (
         cells.select(

@@ -8256,7 +8256,25 @@ def delete_delta(
             spark, table, schema, pcols, affected, dv_refs
         )
         doomed = vis.filter(cond)
-        n_deleted = doomed.count()
+        # rows_deleted WITHOUT a dedicated count job (r14, guide §1.2
+        # step 1): the DV build below returns per-file cardinalities,
+        # and doomed (visible rows only) is disjoint from the carried
+        # old positions, so rows_deleted = Σ new cardinality − old
+        # cardinality — exact. The pre-count is only needed when the
+        # serializer's broadcast/distributed ROUTING decision can't be
+        # proven from the log's own numRecords stats (statless file,
+        # or bound above the broadcast cap).
+        old_card = _dv_total_cardinality(dv_refs)
+        bound: int | None = 0
+        for p in affected:
+            try:
+                bound += int(json.loads(active[p]["stats"])["numRecords"])
+            except (TypeError, ValueError, KeyError):
+                bound = None
+                break
+        n_deleted = None
+        if bound is None or bound + old_card > _DV_BROADCAST_MAX:
+            n_deleted = doomed.count()
         allpos = doomed.select(
             F.col("__fn").alias("file_name"), F.col("__ri").alias("row_index")
         )
@@ -8267,9 +8285,15 @@ def delete_delta(
             allpos = allpos.unionByName(old)
         descs, bytes_written = _stage_dv_bin(
             spark, table, allpos,
-            approx_rows=n_deleted + _dv_total_cardinality(dv_refs),
+            approx_rows=(
+                n_deleted if n_deleted is not None else bound
+            ) + old_card,
             inline_max_bytes=dv_inline_max_bytes,
         )
+        if n_deleted is None:
+            n_deleted = sum(
+                int(d.get("cardinality") or 0) for d in descs.values()
+            ) - old_card
         for p in affected:
             a = dict(active[p])
             a["dataChange"] = True
@@ -8406,7 +8430,20 @@ def update_delta(
             spark, table, schema, pcols, affected, dv_refs
         )
         pre = vis.filter(match)
-        n_updated = pre.count()
+        # same count-elision as delete_delta (r14): rows_updated falls
+        # out of the DV descriptors' cardinalities; the pre-count only
+        # runs when the serializer routing can't be proven from stats
+        old_card = _dv_total_cardinality(dv_refs)
+        bound: int | None = 0
+        for p in affected:
+            try:
+                bound += int(json.loads(active[p]["stats"])["numRecords"])
+            except (TypeError, ValueError, KeyError):
+                bound = None
+                break
+        n_updated = None
+        if bound is None or bound + old_card > _DV_BROADCAST_MAX:
+            n_updated = pre.count()
         allpos = pre.select(
             F.col("__fn").alias("file_name"), F.col("__ri").alias("row_index")
         )
@@ -8415,9 +8452,15 @@ def update_delta(
             allpos = allpos.unionByName(old)
         descs, dv_bytes = _stage_dv_bin(
             spark, table, allpos,
-            approx_rows=n_updated + _dv_total_cardinality(dv_refs),
+            approx_rows=(
+                n_updated if n_updated is not None else bound
+            ) + old_card,
             inline_max_bytes=dv_inline_max_bytes,
         )
+        if n_updated is None:
+            n_updated = sum(
+                int(d.get("cardinality") or 0) for d in descs.values()
+            ) - old_card
         for p in affected:
             a = dict(active[p])
             a["dataChange"] = True
