@@ -2559,7 +2559,18 @@ def _hist_bucket_geometry(
             continue
         lo = rng[0] if lo is None or rng[0] < lo else lo
         hi = rng[1] if hi is None or rng[1] > hi else hi
-    if lo is None or not (hi - lo > 0) or len(files) <= 2:
+    import math
+
+    # an overflowing span (file stats near ±1.7e308) would make
+    # (x-lo)/span = inf/inf = NaN, and the driver-side math.floor(NaN)
+    # in _stats_histogram_prune raises — refuse the geometry instead
+    # (ADVICE r14 low)
+    if (
+        lo is None
+        or not (hi - lo > 0)
+        or not math.isfinite(hi - lo)
+        or len(files) <= 2
+    ):
         return None
     return (lo, hi - lo, _PRUNE_HIST_BUCKETS)
 
@@ -2613,6 +2624,50 @@ def _stats_histogram_prune(
     return keep, pruned
 
 
+def _band_agg_exprs(
+    pk: str, pk_type: str | None, geom: tuple[float, float, int] | None
+) -> list:
+    """The stats-prune band aggregate's columns over the merge-source
+    key ``pk``: [lo, hi, nulls(, nans)(, hbuckets)]. Every field is
+    KEY-SET-level (duplicate-insensitive), so a caller holding a frame
+    with the same distinct keys as the source (apply_changes' feed vs
+    its winner-deduped rows) can run this in a job it already pays and
+    hand the row to :func:`merge_dim_deltalog` via ``_source_key_agg``."""
+    aggs = [
+        F.min(pk).alias("lo"),
+        F.max(pk).alias("hi"),
+        F.max(F.col(pk).isNull().cast("int")).alias("nulls"),
+    ]
+    if pk_type in ("float", "double"):
+        # NaN keys MATCH NaN rows (Spark's NaN = NaN is true) but
+        # hide from min/max stats (writers skip NaN), so a file
+        # below the non-NaN band could be falsely pruned while
+        # holding a matching NaN row — refuse pruning outright,
+        # same treatment as NULL keys (r14 hardening)
+        aggs.append(F.max(F.isnan(F.col(pk)).cast("int")).alias("nans"))
+    if geom is not None:
+        # NOTE: the nonempty-bucket set rides the band aggregate even
+        # when NULL/NaN keys will refuse pruning — the per-row bucket
+        # expression + distinct-set cost is the price of ONE source
+        # pass; a pre-check would need its own pass (ADVICE r14 low)
+        g_lo, g_span, nb = geom
+        aggs.append(
+            F.collect_set(
+                F.least(
+                    F.lit(nb - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor(
+                            (F.col(pk).cast("double") - g_lo)
+                            / g_span * nb
+                        ).cast("int"),
+                    ),
+                )
+            ).alias("hbuckets")
+        )
+    return aggs
+
+
 def merge_dim_deltalog(
     spark: SparkSession,
     table: str,
@@ -2629,6 +2684,8 @@ def merge_dim_deltalog(
     configuration_updates: Mapping[str, str] | None = None,
     require_base_version: int | None = None,
     coalesce_source_nulls: bool = False,
+    admit_seq_col: str | None = None,
+    _source_key_agg=None,
     _pre_commit_hook=None,
 ) -> dict:
     """File-level-rewrite MERGE into an UNPARTITIONED Delta dimension:
@@ -2693,8 +2750,36 @@ def merge_dim_deltalog(
     "files_dv": n, "files_diff_scanned": n, "files_pruned": n}``
     (scanned + pruned = the snapshot's file count; pruned files were
     proven unchanged from stats alone); version None = nothing
-    differed, no commit."""
+    differed, no commit.
+
+    ``admit_seq_col`` (r15 — the admit-mode APPLY CHANGES fused into
+    the diff, guide §2.4): names a sequence column present on BOTH
+    sides; a key-matched source row is ADMITTED only when the target's
+    value is NULL or strictly below the source's — a suppressed row
+    behaves exactly as if absent from the source (target row kept
+    byte-identical, no CDC, never an insert/delete). The decision rides
+    the full-outer diff the merge already computes — the caller pays no
+    separate target-state join — and the result gains
+    ``rows_admitted`` / ``rows_replay_suppressed`` from the same roster
+    aggregate. Incompatible with ``delete_unmatched_source`` (an
+    unmatched target row cannot carry a sequence to compare).
+
+    ``_source_key_agg`` (r15, internal): ``(row, geom)`` where ``row``
+    aggregates :func:`_band_agg_exprs` over a frame with exactly the
+    source's distinct key set and ``geom`` is the caller's
+    :func:`_hist_bucket_geometry` over the same pinned snapshot — lets
+    apply_changes fuse the merge's band aggregate into the fence-agg
+    job it already pays. Used only when the geometries match."""
     on = list(on)
+    if admit_seq_col is not None:
+        if delete_unmatched_source:
+            raise ValueError(
+                "admit_seq_col cannot combine with delete_unmatched_source"
+            )
+        if admit_seq_col not in source.columns:
+            raise ValueError(
+                f"admit_seq_col {admit_seq_col!r} not in source columns"
+            )
     avail = _all_versions(table)
     if not avail:
         raise FileNotFoundError(f"not a delta table (no log): {table}")
@@ -2830,35 +2915,20 @@ def merge_dim_deltalog(
         # buckets nonempty, never falsely empty.
         pk_type = ttypes[pk].simpleString() if pk in ttypes else None
         geom = _hist_bucket_geometry(active, files, pk)
-        aggs = [
-            F.min(pk).alias("lo"),
-            F.max(pk).alias("hi"),
-            F.max(F.col(pk).isNull().cast("int")).alias("nulls"),
-        ]
-        if pk_type in ("float", "double"):
-            # NaN keys MATCH NaN rows (Spark's NaN = NaN is true) but
-            # hide from min/max stats (writers skip NaN), so a file
-            # below the non-NaN band could be falsely pruned while
-            # holding a matching NaN row — refuse pruning outright,
-            # same treatment as NULL keys (r14 hardening)
-            aggs.append(F.max(F.isnan(F.col(pk)).cast("int")).alias("nans"))
-        if geom is not None:
-            g_lo, g_span, nb = geom
-            aggs.append(
-                F.collect_set(
-                    F.least(
-                        F.lit(nb - 1),
-                        F.greatest(
-                            F.lit(0),
-                            F.floor(
-                                (F.col(pk).cast("double") - g_lo)
-                                / g_span * nb
-                            ).cast("int"),
-                        ),
-                    )
-                ).alias("hbuckets")
-            )
-        b = source.agg(*aggs).first()
+        b = None
+        if _source_key_agg is not None:
+            # the caller already ran this exact aggregate over a frame
+            # with the source's distinct key set (every band field is
+            # key-set-level: min/max/isnull/isnan/collect_set are
+            # duplicate-insensitive), fused into a job it pays anyway —
+            # reuse it iff the bucket geometry matches (it must: both
+            # sides derive it from the same pinned snapshot) instead of
+            # paying a second source pass (r15, guide §1.2 step 1)
+            pre_row, pre_geom = _source_key_agg
+            if pre_geom == geom:
+                b = pre_row
+        if b is None:
+            b = source.agg(*_band_agg_exprs(pk, pk_type, geom)).first()
         nan_keys = bool(b["nans"]) if pk_type in ("float", "double") else False
         if b["lo"] is not None and not b["nulls"] and not nan_keys:
             key_band = (pk, b["lo"], b["hi"])
@@ -2921,6 +2991,20 @@ def merge_dim_deltalog(
     try:
         tgt_present = F.col("__file").isNotNull()
         src_present = F.col("__src").isNotNull()
+        suppressed = None
+        if admit_seq_col is not None:
+            # per-key admission decided ON the diff (r15): the target
+            # side carries the key's applied sequence (NULL for
+            # fence-era rows and fresh inserts — any sequenced change
+            # beats it). Shadowing ``src_present`` makes every apply
+            # decision below — changed/rewrite/insert/CDC/DV — treat a
+            # suppressed source row as absent, which is exactly the
+            # replay-no-op contract.
+            admit_ok = F.col(admit_seq_col).isNull() | (
+                F.col(pref + admit_seq_col) > F.col(admit_seq_col)
+            )
+            suppressed = src_present & ~admit_ok
+            src_present = src_present & admit_ok
         changed = None
         for c in val_cols:
             d = ~F.col(c).eqNullSafe(F.col(pref + c))
@@ -2944,13 +3028,27 @@ def merge_dim_deltalog(
         if delete_unmatched_source:
             needs_rewrite = needs_rewrite | (tgt_present & ~src_present)
         # ONE job: the changed-file roster + insert/hidden-row counts
-        agg = j.agg(
+        # (+ the admit/suppress tallies when admission is in play —
+        # same aggregate, no extra pass)
+        agg_cols = [
             F.collect_set(F.when(needs_rewrite, F.col("__file"))).alias("cf"),
             F.max(
                 F.when(src_present & ~tgt_present & ~del_flag, F.lit(1))
             ).alias("ins"),
             F.sum(needs_rewrite.cast("long")).alias("nh"),
-        ).first()
+        ]
+        if suppressed is not None:
+            agg_cols.append(F.sum(suppressed.cast("long")).alias("n_sup"))
+            agg_cols.append(F.sum(src_present.cast("long")).alias("n_adm"))
+        agg = j.agg(*agg_cols).first()
+        admit_counts = (
+            {
+                "rows_admitted": int(agg["n_adm"] or 0),
+                "rows_replay_suppressed": int(agg["n_sup"] or 0),
+            }
+            if suppressed is not None
+            else {}
+        )
         # __file provenance is the BASENAME (uuid — globally unique by
         # construction); map back to the add-action rel paths, which
         # carry the partition directory on partitioned tables. A log
@@ -2979,6 +3077,7 @@ def merge_dim_deltalog(
                 "files_dv": 0,
                 "files_diff_scanned": len(files),
                 "files_pruned": len(files_pruned),
+                **admit_counts,
             }
         in_changed = (
             F.col("__file").isin(changed_names)
@@ -3198,6 +3297,7 @@ def merge_dim_deltalog(
             "files_dv": files_dv,
             "files_diff_scanned": len(files),
             "files_pruned": len(files_pruned),
+            **admit_counts,
         }
         try:
             _commit(table, pinned + 1, actions)
@@ -3762,20 +3862,25 @@ def _apply_changes_admit(
     columns hidden); :func:`purge_apply_tombstones` physically drops
     tombstones once the caller's late-arrival horizon passes them.
 
-    Per apply: winner-per-key over the BATCH (latest sequence,
-    delete-last tiebreak, stable-hash final tiebreak — the fence
-    path's window), one LEFT join against the target's (key,
-    applied-sequence) state — the scan is column-pruned to the keys +
-    two state columns and file-pruned to the batch's key band, the
-    same O(band) discipline as the merge's own diff — then the
-    admitted winners upsert through :func:`merge_dim_deltalog` with
-    the state columns riding along (``merge_schema`` evolves a
-    fence-era mart in place: existing rows get NULL applied-sequence,
-    which any sequenced change beats — the DLT seed convention). The
-    global high-water mark still advances monotonically (pure
-    observability here), the out-of-band guard still walks non-apply
-    commits, and the whole read-state → join → merge runs inside ONE
-    OCC attempt pinned to the observed version.
+    Per apply (r15 fused shape — guide §2.4, VERDICT r14 item 2): ONE
+    feed pass computes the fence metrics AND the merge's stats-prune
+    band aggregate (legal because the winner window keeps exactly the
+    feed's distinct keys and every band field is key-set-level), the
+    winner-per-key window runs (latest sequence, delete-last tiebreak,
+    stable-hash final tiebreak — the fence path's window), and the
+    winners go straight into :func:`merge_dim_deltalog` with
+    ``admit_seq_col``: the per-key admission decision rides the
+    merge's own full-outer diff — where the target's applied sequence
+    is already a column — instead of a separate target-state join +
+    count pass (the r14 shape paid a second band-pruned target scan, a
+    persisted join and its own aggregate job per apply). State columns
+    ride along (``merge_schema`` evolves a fence-era mart in place:
+    existing rows get NULL applied-sequence, which any sequenced
+    change beats — the DLT seed convention). The global high-water
+    mark still advances monotonically (pure observability here), the
+    out-of-band guard still walks non-apply commits, and the whole
+    read-state → merge runs inside ONE OCC attempt pinned to the
+    observed version.
 
     Returns the merge result plus {rows_admitted,
     rows_replay_suppressed, rows_below_high_water,
@@ -3793,7 +3898,7 @@ def _apply_changes_admit(
         if not avail:
             raise FileNotFoundError(f"not a delta table (no log): {table}")
         pinned = avail[-1]
-        meta = _meta_at(table, pinned)
+        active, meta, _ = _snapshot_state(table, pinned)
         conf = dict(meta.get("configuration") or {})
         hw_key = _APPLY_HW_KEY + sequence_col
         av_key = _APPLY_VER_KEY + sequence_col
@@ -3804,6 +3909,19 @@ def _apply_changes_admit(
             if old_hw is not None
             else F.lit(False)
         )
+        # ONE feed pass: fence metrics + the merge's band aggregate
+        # (the winner window keeps exactly this feed's distinct keys,
+        # and every band field is key-set-level, so the merge can
+        # reuse the row instead of re-aggregating its source)
+        pk = on[0]
+        schema0 = StructType.fromJson(json.loads(meta["schemaString"]))
+        pk_type = (
+            schema0[pk].dataType.simpleString()
+            if pk in schema0.fieldNames()
+            else None
+        )
+        files0 = sorted(active)
+        geom = _hist_bucket_geometry(active, files0, pk)
         agg = feed0.agg(
             F.max(sequence_col).alias("mx"),
             F.count(
@@ -3813,8 +3931,7 @@ def _apply_changes_admit(
             # still admit) — the metric a fence-mode caller would have
             # seen as drops
             F.count(F.when(below, F.lit(1))).alias("n_below"),
-            F.min(on[0]).alias("klo"),
-            F.max(on[0]).alias("khi"),
+            *_band_agg_exprs(pk, pk_type, geom),
         ).first()
         if agg["n_null_seq"]:
             raise ValueError(
@@ -3839,100 +3956,50 @@ def _apply_changes_admit(
             (F.col("_change_type") == "delete").cast("int").desc(),
             F.xxhash64(*[F.col(c) for c in payload]).desc(),
         )
+        is_del = F.col("_change_type") == "delete"
         winners = (
             feed0.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        stats_filter = (
-            {on[0]: (agg["klo"], agg["khi"])}
-            if agg["klo"] is not None
-            else None
+        src = winners.select(
+            *on,
+            *[
+                F.when(is_del, F.lit(None).cast(t))
+                .otherwise(F.col(c2)).alias(c2)
+                for c2, t in winners.select(*payload).dtypes
+            ],
+            F.col(sequence_col).alias(_APPLY_SEQ_COL),
+            is_del.alias(_APPLY_TOMB_COL),
         )
-        tgt = read_delta_table(
-            spark, table, pinned, stats_filter=stats_filter
+        cfg = {hw_key: _seq_encode(new_hw), av_key: str(pinned + 1)}
+        op_params = {
+            "appliedSequenceHighWater": _seq_encode(new_hw),
+            "lateRows": "admit",
+        }
+        kw = dict(merge_kwargs)
+        kw["operation_parameters"] = {
+            **dict(kw.get("operation_parameters") or {}), **op_params,
+        }
+        kw.setdefault("merge_schema", True)
+        out = merge_dim_deltalog(
+            spark, table, src, on,
+            configuration_updates=cfg,
+            require_base_version=pinned,
+            coalesce_source_nulls=ignore_null_updates,
+            admit_seq_col=_APPLY_SEQ_COL,
+            _source_key_agg=(agg, geom),
+            **kw,
         )
-        seq_type = dict(winners.dtypes)[sequence_col]
-        if _APPLY_SEQ_COL in tgt.columns:
-            tgt_state = tgt.select(
-                *on, F.col(_APPLY_SEQ_COL).alias("__t_seq")
-            )
-        else:
-            # fence-era (or fresh) mart: every existing row is a SEED
-            # with unknown sequence — any sequenced change beats it
-            tgt_state = tgt.select(*on).withColumn(
-                "__t_seq", F.lit(None).cast(seq_type)
-            )
-        from pyspark import StorageLevel
-
-        j = winners.join(tgt_state, on, "left").persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        try:
-            admit = F.col("__t_seq").isNull() | (
-                F.col(sequence_col) > F.col("__t_seq")
-            )
-            c = j.agg(
-                F.count(F.lit(1)).alias("n_w"),
-                F.count(F.when(~admit, F.lit(1))).alias("n_sup"),
-            ).first()
-            n_admitted = int(c["n_w"]) - int(c["n_sup"])
-            cfg = {hw_key: _seq_encode(new_hw), av_key: str(pinned + 1)}
-            op_params = {
-                "appliedSequenceHighWater": _seq_encode(new_hw),
-                "lateRows": "admit",
-            }
-            if n_admitted == 0:
-                out = {"version": None}
-                if old_hw is None or new_hw > old_hw:
-                    new_meta = dict(meta)
-                    new_meta["configuration"] = {**conf, **cfg}
-                    _commit(table, pinned + 1, [
-                        _commit_info("APPLY CHANGES FENCE", op_params),
-                        {"metaData": new_meta},
-                    ])
-                    out = {"version": pinned + 1, "fence_advanced": True}
-                return {
-                    **out, "rows_admitted": 0,
-                    "rows_replay_suppressed": int(c["n_sup"]), **base,
-                }
-            is_del = F.col("_change_type") == "delete"
-            src = j.filter(admit).select(
-                *on,
-                *[
-                    F.when(is_del, F.lit(None).cast(t))
-                    .otherwise(F.col(c2)).alias(c2)
-                    for c2, t in winners.select(*payload).dtypes
-                ],
-                F.col(sequence_col).alias(_APPLY_SEQ_COL),
-                is_del.alias(_APPLY_TOMB_COL),
-            )
-            kw = dict(merge_kwargs)
-            kw["operation_parameters"] = {
-                **dict(kw.get("operation_parameters") or {}), **op_params,
-            }
-            kw.setdefault("merge_schema", True)
-            out = merge_dim_deltalog(
-                spark, table, src, on,
-                configuration_updates=cfg,
-                require_base_version=pinned,
-                coalesce_source_nulls=ignore_null_updates,
-                **kw,
-            )
-            if out["version"] is None and (old_hw is None or new_hw > old_hw):
-                new_meta = dict(meta)
-                new_meta["configuration"] = {**conf, **cfg}
-                _commit(table, pinned + 1, [
-                    _commit_info("APPLY CHANGES FENCE", op_params),
-                    {"metaData": new_meta},
-                ])
-                out = {**out, "version": pinned + 1, "fence_advanced": True}
-            return {
-                **out, "rows_admitted": n_admitted,
-                "rows_replay_suppressed": int(c["n_sup"]), **base,
-            }
-        finally:
-            j.unpersist()
+        if out["version"] is None and (old_hw is None or new_hw > old_hw):
+            new_meta = dict(meta)
+            new_meta["configuration"] = {**conf, **cfg}
+            _commit(table, pinned + 1, [
+                _commit_info("APPLY CHANGES FENCE", op_params),
+                {"metaData": new_meta},
+            ])
+            out = {**out, "version": pinned + 1, "fence_advanced": True}
+        return {**out, **base}
 
     return _occ_retry(_attempt, max_retries)
 

