@@ -110,14 +110,22 @@ def stream_cdc_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = _normalize_nanos(
         spark.readStream.schema(raw_schema).parquet(stream_dir), nanos_cols
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda batch, _eid: apply_changelog_batch(spark, target, batch)
-        )
-        .trigger(availableNow=True)
-        .start()
+    # shuffle partitions pinned to source volume for the batch merges
+    # inside foreachBatch (r15)
+    from etl_loading_scripts_spark.streaming.source_util import (
+        derived_state_partitions,
+        scoped_shuffle_partitions,
     )
-    q.awaitTermination()
+
+    with scoped_shuffle_partitions(spark, derived_state_partitions(spark, src)):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch, _eid: apply_changelog_batch(spark, target, batch)
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     return (
         spark.read.parquet(target)

@@ -148,17 +148,27 @@ def _drain(
     )
     if cdc:
         reader = reader.option("cdc", "true")
-    q = (
-        reader.load(d)
-        .writeStream.foreachBatch(
-            lambda b, eid: acc.append((int(eid), rollup(b)))
-        )
-        .start()
+    # shuffle/state partitions pinned to the TABLE's volume for the
+    # whole drain (r15): the per-batch rollup merges inherit the scoped
+    # value too, so a vanilla 200-partition session stops paying
+    # 200-task exchanges per micro-batch over a few MB of changes
+    from etl_loading_scripts_spark.streaming.source_util import (
+        derived_state_partitions,
+        scoped_shuffle_partitions,
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+
+    with scoped_shuffle_partitions(spark, derived_state_partitions(spark, d)):
+        q = (
+            reader.load(d)
+            .writeStream.foreachBatch(
+                lambda b, eid: acc.append((int(eid), rollup(b)))
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return acc
 
 

@@ -26,6 +26,7 @@ from pyspark.sql.window import Window
 from etl_loading_scripts_spark.catalog import load_table, table_path
 from etl_loading_scripts_spark.registry import register
 from etl_loading_scripts_spark.streaming.source_util import (
+    derived_state_partitions,
     scoped_shuffle_partitions,
     stream_source_dir,
 )
@@ -78,16 +79,18 @@ def stream_windowed_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # state-store partitions pinned to source volume (r15)
+    with scoped_shuffle_partitions(spark, derived_state_partitions(spark, src)):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -748,11 +751,13 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["event_id"])
     )
     sink = f"dedup_out_{uuid.uuid4().hex[:8]}"
-    q = stream.writeStream.outputMode("append").format("memory").queryName(sink).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # state-store partitions pinned to source volume (r15)
+    with scoped_shuffle_partitions(spark, derived_state_partitions(spark, src)):
+        q = stream.writeStream.outputMode("append").format("memory").queryName(sink).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink).select(
         "event_id", "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
     )
@@ -840,11 +845,13 @@ def stream_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"slide_out_{uuid.uuid4().hex[:8]}"
-    q = agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # state-store partitions pinned to source volume (r15)
+    with scoped_shuffle_partitions(spark, derived_state_partitions(spark, src)):
+        q = agg.writeStream.outputMode("complete").format("memory").queryName(sink).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -897,16 +904,18 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC6)).cast("double").alias("total_value"),
     )
     sink = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # state-store partitions pinned to source volume (r15)
+    with scoped_shuffle_partitions(spark, derived_state_partitions(spark, src)):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink).select(
         "c_mktsegment", "event_type", "n_events", "total_value"
     )
@@ -1048,16 +1057,18 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sink = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # state-store partitions pinned to source volume (r15)
+    with scoped_shuffle_partitions(spark, derived_state_partitions(spark, src)):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     done = spark.table(sink).select(
         F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",

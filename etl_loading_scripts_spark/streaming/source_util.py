@@ -62,6 +62,41 @@ def stream_source_dir(src: str, prefix: str = "events_stream", unique: bool = Fa
 STREAM_STATE_PARTITIONS = 8
 
 
+def derived_state_partitions(
+    spark,
+    *sources: str,
+    target_bytes: int = 64 << 20,
+    floor: int = 4,
+) -> int:
+    """State-store partition count derived from the SOURCE's on-disk
+    size (r15 — VERDICT r14 item 3, guide §2: scale-adaptive
+    partitioning, never a constant tuned to one mode). Each shuffle
+    partition of a stateful streaming operator owns a state-store
+    instance with a FIXED per-batch open/commit cost, so a bounded
+    stream pays (partitions × batches) in pure overhead — a vanilla
+    200-partition session commits 200 state stores per micro-batch to
+    sessionize a few MB. One partition per ``target_bytes`` of source,
+    floored (tiny inputs still exercise multi-partition state) and
+    CAPPED at the session's configured shuffle partitions — a
+    production session's throughput-sized setting stays the ceiling,
+    so this only ever shrinks the waste, never fights the operator's
+    sizing. Restart-safe: Spark pins a checkpoint's state partition
+    count from the checkpoint itself, ignoring later session values."""
+    total = 0
+    for s in sources:
+        if os.path.isdir(s):
+            for root, _, fs in os.walk(s):
+                total += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in fs
+                    if not f.startswith((".", "_"))
+                )
+        elif os.path.exists(s):
+            total += os.path.getsize(s)
+    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(min(floor, cur), min(cur, -(-total // target_bytes)))
+
+
 @contextmanager
 def scoped_shuffle_partitions(spark, n: int = STREAM_STATE_PARTITIONS):
     """Temporarily set ``spark.sql.shuffle.partitions`` for the stateful

@@ -24,7 +24,11 @@ from etl_loading_scripts_spark.catalog import (
     table_path,
 )
 from etl_loading_scripts_spark.registry import register
-from etl_loading_scripts_spark.streaming.source_util import stream_source_dir
+from etl_loading_scripts_spark.streaming.source_util import (
+    derived_state_partitions,
+    scoped_shuffle_partitions,
+    stream_source_dir,
+)
 
 _OUT_SCHEMA = "user_id long, n_events long, total_value double"
 _STATE_SCHEMA = "n long, total_micros long"
@@ -95,11 +99,15 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"stateful_out_{uuid.uuid4().hex[:8]}"
-    q = stateful.writeStream.outputMode("update").format("memory").queryName(sink).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # state-store partitions pinned to source volume (r15): the
+    # per-key kernel is partition-count independent, the per-batch
+    # state commits are not
+    with scoped_shuffle_partitions(spark, derived_state_partitions(spark, src)):
+        q = stateful.writeStream.outputMode("update").format("memory").queryName(sink).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink)
 
 
@@ -240,14 +248,19 @@ def stream_sessionize_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     sink = f"sst_out_{uuid.uuid4().hex[:8]}"
-    q = sessions.writeStream.outputMode("append").format("memory").queryName(sink).start()
-    try:
-        q.processAllAvailable()
-        for tag, hours in ((0, 1), (1, 2)):
-            sentinel_batch(tag, hours)
+    # state-store partitions pinned to source volume (r15): each
+    # micro-batch (real file + two sentinel drains) commits every
+    # state partition; a vanilla 200-partition session paid 200
+    # commits x batches for a few MB of events
+    with scoped_shuffle_partitions(spark, derived_state_partitions(spark, src)):
+        q = sessions.writeStream.outputMode("append").format("memory").queryName(sink).start()
+        try:
             q.processAllAvailable()
-    finally:
-        q.stop()
+            for tag, hours in ((0, 1), (1, 2)):
+                sentinel_batch(tag, hours)
+                q.processAllAvailable()
+        finally:
+            q.stop()
     return (
         spark.table(sink)
         .filter(F.col("user_id") >= 0)
@@ -409,16 +422,19 @@ def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 outputMode="append",
                 timeMode="processingTime",
             )
-            q = (
-                first_touch.writeStream.outputMode("append")
-                .format("memory")
-                .queryName(sink)
-                .start()
-            )
-            try:
-                q.processAllAvailable()
-            finally:
-                q.stop()
+            with scoped_shuffle_partitions(
+                spark, derived_state_partitions(spark, src)
+            ):
+                q = (
+                    first_touch.writeStream.outputMode("append")
+                    .format("memory")
+                    .queryName(sink)
+                    .start()
+                )
+                try:
+                    q.processAllAvailable()
+                finally:
+                    q.stop()
         finally:
             if prior is None:
                 spark.conf.unset(provider_key)
@@ -432,16 +448,19 @@ def stream_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
-        q = (
-            first_touch.writeStream.outputMode("append")
-            .format("memory")
-            .queryName(sink)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        with scoped_shuffle_partitions(
+            spark, derived_state_partitions(spark, src)
+        ):
+            q = (
+                first_touch.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(sink)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
     return spark.table(sink)
 
 
@@ -527,11 +546,13 @@ def stream_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"ewma_out_{uuid.uuid4().hex[:8]}"
-    q = stateful.writeStream.outputMode("update").format("memory").queryName(sink).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # state-store partitions pinned to source volume (r15)
+    with scoped_shuffle_partitions(spark, derived_state_partitions(spark, src)):
+        q = stateful.writeStream.outputMode("update").format("memory").queryName(sink).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink)
 
 
@@ -654,9 +675,11 @@ def stream_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     sink = f"cusum_out_{uuid.uuid4().hex[:8]}"
-    q = stateful.writeStream.outputMode("update").format("memory").queryName(sink).start()
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    # state-store partitions pinned to source volume (r15)
+    with scoped_shuffle_partitions(spark, derived_state_partitions(spark, src)):
+        q = stateful.writeStream.outputMode("update").format("memory").queryName(sink).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(sink)
