@@ -3262,9 +3262,28 @@ def merge_dim_deltalog(
             # when there is nothing to check — build it only when a
             # constraint exists (r14, guide §1.2: don't compute what
             # you throw away; same guard write_delta_table has)
-            _enforce_constraints(
-                _read_add_files(spark, table, schema, pcols, adds), meta
-            )
+            try:
+                _enforce_constraints(
+                    _read_add_files(spark, table, schema, pcols, adds), meta
+                )
+            except Exception:
+                # a violated CHECK aborts BEFORE any commit — the
+                # staged data and CDC files are unreferenced by the
+                # log and must not orphan on disk (r15, VERDICT r14
+                # item 10; the CDC stager moved its files before the
+                # check ran)
+                for a in adds:
+                    try:
+                        os.remove(os.path.join(table, a["add"]["path"]))
+                    except OSError:
+                        pass
+                for a in cdc_actions:
+                    if "cdc" in a:
+                        try:
+                            os.remove(os.path.join(table, a["cdc"]["path"]))
+                        except OSError:
+                            pass
+                raise
         actions.extend(cdc_actions)
         if evolved or configuration_updates:
             # configuration_updates ride IN the merge commit (one

@@ -534,6 +534,7 @@ def _run_workers(mode: str, path: str, n: int = 2, timeout: int = 540):
         assert p.returncode == 0, err.decode(errors="replace")[-3000:]
 
 
+@pytest.mark.soak
 def test_multiprocess_merge_serializability(spark, tmp_path):
     """TWO OS PROCESSES (own JVMs, no shared state but the filesystem)
     race merge_upsert_deltalog_with_retry against one table: the final
@@ -561,6 +562,7 @@ def test_multiprocess_merge_serializability(spark, tmp_path):
     assert got[5] == -1  # untouched seed row survives all six merges
 
 
+@pytest.mark.soak
 def test_multiprocess_publish_set_deltalog_serializability(spark, tmp_path):
     """Two OS processes each publish TWO full table sets through the
     Delta log against one warehouse: all four publishes commit at
@@ -1008,6 +1010,7 @@ def test_merge_cow_null_datekey_raises(spark, tmp_path):
 # --------------------------------------------------------------------------
 
 
+@pytest.mark.soak
 def test_spark_metadata_path_equals_python_path(spark, tmp_path):
     """Every Spark-side metadata operation (snapshot reconstruction,
     partition pruning, stats pruning, checkpoint write/read) returns
@@ -1112,6 +1115,7 @@ def _plant_wide_log(dl, spark, d, n_fake=100_000):
     return n_fake
 
 
+@pytest.mark.soak
 def test_spark_metadata_holds_at_1e5_files(spark, tmp_path):
     """VERDICT r7 item 1's done-bar: a planted 10^5-file log where the
     Spark path reconstructs the snapshot, prunes by partition AND by
@@ -1371,6 +1375,7 @@ def test_overlapping_month_conflict_recomputes(spark, tmp_path):
     assert got == {1: 77.0, 2: 99.0}  # neither merge lost
 
 
+@pytest.mark.soak
 def test_multiprocess_disjoint_cow_writers(spark, tmp_path):
     """TWO OS PROCESSES merge DISJOINT months concurrently
     (sync-started): both commit, versions contiguous, each computed its
@@ -1519,6 +1524,7 @@ def test_zorder_tightens_stats_and_prunes(spark, tmp_path):
     assert got == want and want  # pruning is lossless
 
 
+@pytest.mark.soak
 def test_delta_stream_cdc_mode(spark, tmp_path):
     """readChangeFeed streaming: option('cdc','true') tails per-commit
     CHANGE ROWS — v0 snapshot as inserts, merge commits from their
@@ -1776,6 +1782,40 @@ def test_check_constraints_enforced_everywhere(spark, table):
         dl.drop_check_constraint(table, "v_bounded")
 
 
+def test_constraint_abort_leaves_no_staged_files(spark, tmp_path):
+    """r15 leak check (VERDICT r14 item 10): a violated CHECK aborts
+    merge_dim_deltalog AFTER the data and CDC files were staged into
+    the table directory — the abort must delete them, leaving the tree
+    exactly as before the merge (same files, no orphaned parquet, no
+    .staging dirs)."""
+    import os as _os
+
+    from etl_loading_scripts_spark.operators import deltalog as dl
+
+    d = str(tmp_path / "cabort")
+    dl.write_delta_table(
+        spark.createDataFrame([(i, i * 10) for i in range(10)], "k long, v long"),
+        d,
+    )
+    dl.add_check_constraint(spark, d, "v_bounded", "v <= 1000")
+
+    def tree(p):
+        out = set()
+        for root, _dirs, fs in _os.walk(p):
+            for f in fs:
+                out.add(_os.path.relpath(_os.path.join(root, f), p))
+        return out
+
+    before = tree(d)
+    with pytest.raises(ValueError, match="v_bounded"):
+        dl.merge_dim_deltalog(
+            spark, d,
+            spark.createDataFrame([(0, 99999)], "k long, v long"), ["k"],
+        )
+    assert tree(d) == before  # staged data + CDC files cleaned on abort
+
+
+@pytest.mark.soak
 def test_spark_stats_prune_refuses_unsound_type_pairs(spark, tmp_path):
     """Round-8 review fix: the Spark pruning path must not numeric-cast
     string-typed stats (lexicographic min '10' < '9' casts to a double
@@ -3630,6 +3670,7 @@ def _plan_rows(reader, start, end):
     )
 
 
+@pytest.mark.soak
 def test_delta_stream_trigger_bounds_catchup(spark, tmp_path):
     """VERDICT r10 item 2: a stream catching up over a long log with
     maxVersionsPerTrigger / maxFilesPerTrigger advances in BOUNDED
@@ -3876,6 +3917,7 @@ def test_insert_if_absent_deltalog_fast_path(spark, tmp_path):
     assert dl.read_delta_table(spark, d).filter("k = 300").first()["nm"] is None
 
 
+@pytest.mark.soak
 def test_multiprocess_incremental_publishers_converge(spark, tmp_path):
     """TRUE two-OS-process version of the ADVICE-r10 lost-update race:
     each process owns one month window of a shared month-partitioned
@@ -4310,6 +4352,7 @@ def test_stream_cdc_partitioned_month_cow(spark, tmp_path):
     assert all(isinstance(r[4], int) and r[4] == 199001 for r in got)
 
 
+@pytest.mark.soak
 def test_stream_checkpoint_restart_bounded(spark, tmp_path):
     """Round 12 (VERDICT r11 item 4): with a checkpointLocation option,
     commit() persists the committed offset in a sidecar and a RESTARTED
@@ -5254,6 +5297,7 @@ def test_merge_dim_histogram_skips_nonfinite_float_keys(spark, tmp_path):
     assert ("1.0", 10) in got
 
 
+@pytest.mark.soak
 def test_merge_dim_nan_source_key_refuses_all_pruning(spark, tmp_path):
     """Round 14: a NaN source key MATCHES NaN target rows (Spark's
     NaN = NaN is true in joins) yet hides from min/max band stats (the
@@ -6116,6 +6160,7 @@ def test_stream_default_bounded_first_batch_no_checkpoint_option(
     assert all(len(rows) == 5 for rows in nonempty)
 
 
+@pytest.mark.soak
 def test_stream_served_floor_clamp_backward_then_forward(spark, tmp_path):
     """Round 13: the served-floor clamp in partitions() — a restarted
     sidecar-less query's first latestOffset may sit BELOW Spark's
@@ -6163,6 +6208,7 @@ def test_stream_served_floor_clamp_backward_then_forward(spark, tmp_path):
     assert rows_again == [6, 7]
 
 
+@pytest.mark.soak
 def test_stream_sidecar_floor_survives_backward_crash(spark, tmp_path):
     """ADVICE r13 medium: the resume floor was process-memory only —
     after Spark committed a BACKWARD (regressed) end offset, a crash
@@ -6213,6 +6259,7 @@ def test_stream_sidecar_floor_survives_backward_crash(spark, tmp_path):
     assert rows == [6, 7]  # versions <= 5 were delivered pre-crash
 
 
+@pytest.mark.soak
 def test_stream_sidecar_less_backward_batch_warns(spark, tmp_path):
     """r14: without a reader-side checkpointLocation the double-crash
     window is unprovable — the backward batch says so out loud
@@ -6852,6 +6899,7 @@ def test_clustering_maintenance_scopes_to_drifted_partition(spark, tmp_path):
     assert res2["version"] is None and res2["partitions_scoped"] == []
 
 
+@pytest.mark.soak
 def test_apply_changes_scd2_matches_reference_model(spark, tmp_path):
     """Model-based randomized check (seeded, deterministic): random
     CDC feeds — inserts/updates/deletes/preimages, multi-change keys,
@@ -6974,6 +7022,7 @@ def test_apply_changes_scd2_matches_reference_model(spark, tmp_path):
         }
 
 
+@pytest.mark.soak
 def test_apply_changes_type1_matches_reference_model(spark, tmp_path):
     """Model-based randomized check for the TYPE-1 apply (seeded):
     latest-per-key wins, deletes win same-sequence ties, stale ranges
