@@ -134,7 +134,7 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     same jobs the release pipeline already ran — a production manifest
     reads their persisted outputs rather than recomputing."""
     from etl_loading_scripts_spark.llm.dedup import (
-        dedup_minhash_lsh,
+        minhash_lsh_pairs,
         url_canonicalize_dedup,
     )
     from etl_loading_scripts_spark.llm.sampling import split_leakage_audit
@@ -144,6 +144,15 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # Shingling happens ONCE (r15 — VERDICT r14 item 6, guide §5): the
+    # near-dup pair count and the leakage audit's Jaccard core both
+    # consume the corpus shingle table; un-shared they each re-shingled
+    # the corpus (and the Jaccard core pays an eager hot-shingle count
+    # on top). Persist + eager fill, same discipline as
+    # corpus_release_e2e: LRU-evictable cache, lineage recomputes if
+    # dropped, correctness unaffected.
+    shingled = _shingles_spark(docs).persist()
+    shingled.count()
 
     def scalar(name, df_agg):
         return df_agg.select(
@@ -173,11 +182,11 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         scalar(
             "n_near_dup_pairs",
-            dedup_minhash_lsh(spark, sf_dir).agg(F.count(F.lit(1)).alias("v")),
+            minhash_lsh_pairs(shingled).agg(F.count(F.lit(1)).alias("v")),
         ),
         scalar(
             "n_leaked_split_pairs",
-            split_leakage_audit(spark, sf_dir)
+            split_leakage_audit(spark, sf_dir, shingled=shingled)
             .filter(F.col("leaked") == 1)
             .agg(F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("v")),
         ),

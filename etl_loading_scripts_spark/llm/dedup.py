@@ -325,7 +325,11 @@ def minhash_lsh_pairs(shingled: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def blocked_shingle_pair_counts(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+def blocked_shingle_pair_counts(
+    docs: DataFrame,
+    df_cap: int = SHINGLE_DF_CAP,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
     """(id_a, id_b, n_shared, n_a, n_b) for every doc pair sharing ≥1
     indexed shingle — the shared blocking core of the Jaccard and
     containment scorers.
@@ -338,8 +342,14 @@ def blocked_shingle_pair_counts(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -
     ``n_shared`` ignores capped shingles, so scores are a lower bound
     (pairs that overlap solely on boilerplate drop out — the point).
     The dropped-shingle count is computed and logged: no silent caps.
+
+    ``shingled`` lets a composed pipeline (corpus_release_manifest) pass
+    its PERSISTED shingle table so the corpus is shingled once across
+    every consumer (r15 — VERDICT r14 item 6, guide §5 multi-consumer
+    intermediate); standalone callers derive it here as before.
     """
-    shingled = _shingles_spark(docs)
+    if shingled is None:
+        shingled = _shingles_spark(docs)
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("shingle"), F.size("shingles").alias("n_sh")
     )
@@ -379,10 +389,16 @@ def blocked_shingle_pair_counts(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -
     return pair_counts
 
 
-def ngram_jaccard_pairs(docs: DataFrame, df_cap: int = SHINGLE_DF_CAP) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    df_cap: int = SHINGLE_DF_CAP,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard over the blocked pair core
-    (VERDICT r1 item 4 — see :func:`blocked_shingle_pair_counts`)."""
-    pair_counts = blocked_shingle_pair_counts(docs, df_cap)
+    (VERDICT r1 item 4 — see :func:`blocked_shingle_pair_counts`;
+    ``shingled`` threads a composed pipeline's persisted shingle table
+    through, r15)."""
+    pair_counts = blocked_shingle_pair_counts(docs, df_cap, shingled=shingled)
     jac = F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
     return (
         pair_counts.withColumn("jaccard", jac)

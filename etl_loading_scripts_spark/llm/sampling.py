@@ -543,7 +543,9 @@ _SPLIT_CASE = (
     "registered pair pipeline and split rule verbatim, so the audit "
     "can never drift from the dedup or the splitter it audits.",
 )
-def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def split_leakage_audit(
+    spark: SparkSession, sf_dir: str, shingled: DataFrame | None = None
+) -> DataFrame:
     """The check every eval pipeline should run and most don't: random "
     "(here hash) splitting guarantees near-dup pairs straddle the
     boundary at rate 2·p_train·p_val+... — this audit measures it so the
@@ -554,7 +556,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_loading_scripts_spark.llm.dedup import ngram_jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs)
+    pairs = ngram_jaccard_pairs(docs, shingled=shingled)
 
     def split_of(col):
         prefix = F.substring(F.md5(F.col(col).cast("string")), 1, 8)
