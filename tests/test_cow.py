@@ -10,6 +10,7 @@ and semantics match the join-based ``merge_upsert`` (VERDICT r2 item 4's
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_loading_scripts_spark.operators.cow import (
@@ -647,6 +648,7 @@ def test_publish_set_roundtrip_and_pinning(spark, tmp_path):
         read_published_set(spark, base, version=9)
 
 
+@pytest.mark.soak
 def test_multiprocess_publish_set_serializability(spark, tmp_path):
     """Two OS PROCESSES (own JVMs) each run two publish_set calls
     against one base dir: the atomic mkdir version CLAIM serializes
@@ -754,6 +756,7 @@ def test_vacuum_set_versions_pins_pointer_and_sweeps_debris(spark, tmp_path):
     assert read_published_set(spark, base, version=3) is not None
 
 
+@pytest.mark.soak
 def test_publish_monthly_set_commits_all_outputs_atomically(spark, sf_dir):
     """End-to-end: the monthly load's five outputs commit as one set and
     read back transactionally consistent (RI holds within the set)."""

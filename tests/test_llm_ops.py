@@ -1782,6 +1782,7 @@ def test_ann_index_lifecycle_incremental_and_pruned(spark, tmp_path, sf_dir):
     assert got == exp and len(got) > 0
 
 
+@pytest.mark.soak
 def test_ann_index_rebuild_rebalances_and_swaps_atomically(
     spark, tmp_path, sf_dir, monkeypatch
 ):
@@ -1918,6 +1919,7 @@ def test_index_cell_sizes_mixed_stats_partition(spark, tmp_path, sf_dir):
     assert got == truth  # pre-fix: got[stripped] > truth[stripped]
 
 
+@pytest.mark.soak
 def test_ann_index_maintain_lifecycle(spark, tmp_path, sf_dir):
     """Round 12 (VERDICT r11 item 6): ann_index_maintain closes the
     lifecycle — a balanced index is a metadata-only no-op; planted

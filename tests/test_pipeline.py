@@ -135,6 +135,7 @@ def test_publish_round_trip(spark, tmp_path, loaded):
     assert residue == []
 
 
+@pytest.mark.soak
 def test_multi_month_incremental(spark, sf_dir):
     """Run month N, then month N+1 on the updated state: each run maps only
     its own window, leaves other months' sentinels untouched, and the
@@ -341,6 +342,7 @@ def test_run_sql_script_returns_last_statement(spark):
     assert (row.n, row.lo) == (3, "0000")
 
 
+@pytest.mark.soak
 def test_staged_load_matches_unstaged(spark, tmp_path, loaded):
     """The staged runner (checkpoint barriers between stages + wave
     barriers inside them, post-checkpoint validation) is the SAME load:
@@ -380,6 +382,7 @@ def test_staged_load_matches_unstaged(spark, tmp_path, loaded):
     assert pub["fact_transaction"].count() == out_ref.fact_transaction.count()
 
 
+@pytest.mark.soak
 def test_staged_load_resumes_from_last_barrier(spark, tmp_path, loaded):
     """Per-stage restartability (the reason the barriers exist): kill
     the load after stage 3 by deleting stage-4/5 checkpoints, rerun

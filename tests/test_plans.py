@@ -257,7 +257,35 @@ def test_bnlj_grain_guard_detects_injected_swap(spark, sf_dir):
     assert rows and max(rows) > _BNLJ_DEFAULT_BOUND, rows
 
 
-def test_no_antipatterns_across_registry(spark, sf_dir):
+import pytest
+
+
+@pytest.fixture(scope="session")
+def registry_plans(spark, sf_dir):
+    """Every non-executing registered query's formatted physical plan,
+    computed ONCE per session (r15 — VERDICT r14 item 1): the two
+    registry-wide sweeps each paid the full ~145 s of query-builder +
+    planner work; sharing the map halves the suite's dominant fixed
+    cost. DataFrame construction stays serial (builders plant fixtures
+    and run driver jobs — not concurrency-safe); the JVM planning/
+    stringification is safely parallel per-QueryExecution."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    dfs = {
+        name: q.spark(spark, sf_dir)
+        for name, q in sorted(REGISTRY.items())
+        if name not in _EXECUTING
+    }
+
+    def _plan(item):
+        name, df = item
+        return name, plan_of(df)
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        return dict(pool.map(_plan, dfs.items()))
+
+
+def test_no_antipatterns_across_registry(spark, sf_dir, registry_plans):
     """Every registered query plans without cartesian products, without
     unapproved nested-loop joins, and without row-at-a-time Python. A
     BNLJ passes either structurally — every build side provably bounded
@@ -268,15 +296,12 @@ def test_no_antipatterns_across_registry(spark, sf_dir):
     from etl_loading_scripts_spark.plancheck import bnlj_builds_bounded
 
     problems = []
-    for name, q in sorted(REGISTRY.items()):
-        if name in _EXECUTING:
-            continue
-        df = q.spark(spark, sf_dir)
-        plan = plan_of(df)
+    for name, plan in sorted(registry_plans.items()):
         if "CartesianProduct" in plan:
             problems.append(f"{name}: CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
-            builds = bnlj_builds_bounded(df)
+            # only the rare unlisted-BNLJ case needs the DataFrame back
+            builds = bnlj_builds_bounded(REGISTRY[name].spark(spark, sf_dir))
             if not (builds and all(builds)):
                 problems.append(
                     f"{name}: BroadcastNestedLoopJoin with unproven build "
@@ -338,15 +363,14 @@ _GLOBAL_WINDOW_OK = {
 }
 
 
-def test_no_unpartitioned_fact_windows(spark, sf_dir):
+def test_no_unpartitioned_fact_windows(registry_plans):
     """Ratchet: any query whose plan has BOTH a Window and an Exchange
     SinglePartition must be on the bounded-grain allow-list above —
     a new fact-grain global window can't slip in unreviewed."""
     problems = []
-    for name, q in sorted(REGISTRY.items()):
-        if name in _EXECUTING or name in _GLOBAL_WINDOW_OK:
+    for name, plan in sorted(registry_plans.items()):
+        if name in _GLOBAL_WINDOW_OK:
             continue
-        plan = plan_of(q.spark(spark, sf_dir))
         if "Window" in plan and "Exchange SinglePartition" in plan:
             problems.append(name)
     assert not problems, (

@@ -12,6 +12,7 @@ import datetime
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+import pytest
 from pyspark.sql import functions as F
 
 from etl_loading_scripts_spark.functions import tsql
@@ -99,6 +100,7 @@ _COW_MONTHS = (202401, 202402, 202403)
     ),
     full_sync=st.booleans(),
 )
+@pytest.mark.soak
 def test_cow_merge_equals_per_month_merge_upsert(spark, tmp_path_factory, tgt, src, full_sync):
     """For arbitrary (key, month) targets and sources, the COW-merged
     table equals: per source month, merge_upsert of that month's slice

@@ -408,6 +408,7 @@ def test_schema_contract_violations(spark):
     assert schema_contract_violations(df, "k BIGINT, extra_col STRING, amount DOUBLE") == []
 
 
+@pytest.mark.soak
 def test_file_skipping_index_admits_all_true_rows(spark, sf_dir):
     """The skipping index must be false-negative-free: every orderkey
     that exists in a file passes that file's bloom, and every custkey
@@ -935,6 +936,7 @@ def test_arrow_ipc_streaming_landing_zone(spark, tmp_path):
         run_once(1)
 
 
+@pytest.mark.soak
 def test_append_mode_adds_shards_never_clobbers(spark, tmp_path):
     """ADVICE r6 (low): df.write.mode('append') onto a directory written
     by a PREVIOUS job must add shards, not silently replace the prior

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_loading_scripts_spark.catalog import load_table
@@ -104,6 +105,7 @@ def test_checkpoint_restart_processes_only_new_files(spark, sf_dir, tmp_path):
         assert after2[uid] == n
 
 
+@pytest.mark.soak
 def test_stateful_timeout_sessions_match_batch_sessionization(spark, sf_dir):
     """The EventTimeTimeout sessionizer must emit exactly the sessions the
     batch gap-sessionizer computes — same keys, counts, and integer-micro
