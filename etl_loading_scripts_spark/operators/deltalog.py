@@ -3165,16 +3165,15 @@ def merge_dim_deltalog(
             files_removed, files_dv = 0, len(changed_files)
             kept = len(files) + len(files_pruned)
         else:
-            rewritten = j.filter(keep_row).select(*out_cols)
-            inserts = j.filter(
-                src_present & ~tgt_present & ~del_flag
-            ).select(*out_cols)
-            # file sizing: rewritten files map ~1:1 to their
-            # replacements; inserts add one file (a monthly dim delta
-            # is small — OPTIMIZE is the compaction path if inserts
-            # accumulate)
+            # rewritten rows and inserts share the SAME projection —
+            # one filter over the cached diff instead of a two-branch
+            # union that scanned it twice (r15, guide §1.2 step 1)
             merged = _align_to_schema(
-                rewritten.unionByName(inserts), schema, "merge_dim_deltalog"
+                j.filter(
+                    keep_row | (src_present & ~tgt_present & ~del_flag)
+                ).select(*out_cols),
+                schema,
+                "merge_dim_deltalog",
             )
             merged = (
                 merged.repartition(
@@ -3211,27 +3210,41 @@ def merge_dim_deltalog(
             del_c = tgt_present & src_present & del_flag
             if delete_unmatched_source:
                 del_c = del_c | (tgt_present & ~src_present)
+            ins_c = src_present & ~tgt_present & ~del_flag
             pre_cols = [F.col(c) for c in tcols]
-            changes = (
-                j.filter(src_present & ~tgt_present & ~del_flag)
-                .select(F.lit("insert").alias("_change_type"), *out_cols)
-                .unionByName(
-                    j.filter(del_c).select(
-                        F.lit("delete").alias("_change_type"), *pre_cols
-                    )
-                )
-                .unionByName(
-                    j.filter(upd_c).select(
+            # ONE pass over the cached diff (r15, guide §1.2/§2.4): the
+            # r14 shape unioned four filter+projection branches, so the
+            # CDC staged write scanned the cache four times and the
+            # driver built four plan subtrees; each row now explodes
+            # its applicable change events out of one array expression
+            # (matched+changed rows yield the preimage AND postimage
+            # pair; array_compact drops the inapplicable entries).
+            out_struct = F.struct(*out_cols)
+            pre_struct = F.struct(*pre_cols)
+            ev = F.array_compact(
+                F.array(
+                    F.when(ins_c, F.struct(
+                        F.lit("insert").alias("_change_type"),
+                        out_struct.alias("img"),
+                    )),
+                    F.when(del_c, F.struct(
+                        F.lit("delete").alias("_change_type"),
+                        pre_struct.alias("img"),
+                    )),
+                    F.when(upd_c, F.struct(
                         F.lit("update_preimage").alias("_change_type"),
-                        *pre_cols,
-                    )
-                )
-                .unionByName(
-                    j.filter(upd_c).select(
+                        pre_struct.alias("img"),
+                    )),
+                    F.when(upd_c, F.struct(
                         F.lit("update_postimage").alias("_change_type"),
-                        *out_cols,
-                    )
+                        out_struct.alias("img"),
+                    )),
                 )
+            )
+            changes = (
+                j.select(F.explode(ev).alias("__e"))
+                .select(F.col("__e._change_type").alias("_change_type"),
+                        "__e.img.*")
             )
             changes = _align_to_schema(
                 changes, schema, "merge_dim_deltalog cdc"
