@@ -84,9 +84,23 @@ def compact_partition_files(
     )
     # rows-per-file cap from the OBSERVED average row width of the
     # months being rewritten (footer metadata count + listed bytes —
-    # no data scan), so maxRecordsPerFile lands files near target_bytes
+    # no data scan), so maxRecordsPerFile lands files near target_bytes.
+    # r15 (guide §1.2, the count-elision playbook): the row count comes
+    # from the parquet FOOTERS of exactly the files the rewrite reads
+    # anyway — driver-side metadata, zero Spark jobs — instead of a
+    # count() job over the scoped scan.
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
     total_bytes = sum(b for (_, b) in plan.values())
-    n_rows = scoped.count()
+    n_rows = sum(
+        _pq.ParquetFile(
+            _os.path.join(table_path, f"{MONTH_COL}={m}", fname)
+        ).metadata.num_rows
+        for m in affected
+        for (fname, _sz, _mt) in listing[m]
+    )
     avg_row = max(1.0, total_bytes / max(1, n_rows))
     max_records = max(1, int(target_bytes / avg_row))
     (

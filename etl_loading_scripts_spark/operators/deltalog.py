@@ -7278,13 +7278,39 @@ def optimize_delta(
         spark, table, schema, pcols, touched,
         {p: dv_refs[p] for p in touched if p in dv_refs},
     )
+    # visible-row count from LOG STATS alone when every touched file
+    # carries numRecords (r15, the r14 DV-count-elision playbook —
+    # guide §1.2: don't run a count job the metadata already answers);
+    # exact: per-file numRecords minus its DV cardinality. None on the
+    # spark-meta path (stats not collected there) or statless files —
+    # callers fall back to counting.
+    meta_rows: int | None = None
+    if not use_spark_meta:
+        meta_rows = 0
+        for p in touched:
+            st = active[p].get("stats")
+            try:
+                nrec = int(json.loads(st)["numRecords"]) if st else None
+            except (ValueError, TypeError, KeyError):
+                nrec = None
+            if nrec is None:
+                meta_rows = None
+                break
+            meta_rows += nrec - int(
+                (dv_refs.get(p) or {}).get("cardinality") or 0
+            )
     if zorder_by:
-        df = _zorder_frame(df, zorder_by, pcols)
+        n_out = None
+        if target_file_rows and meta_rows is not None:
+            # honor the caller's file sizing on the z-order path too
+            # (r15 — it was silently input-partition-derived before)
+            n_out = (meta_rows + target_file_rows - 1) // target_file_rows
+        df = _zorder_frame(df, zorder_by, pcols, n_out=n_out)
     else:
         # ~one output file per partition (plus spill-over by rows)
         n_out = max(1, len(groups))
         if target_file_rows:
-            n_rows = df.count()
+            n_rows = meta_rows if meta_rows is not None else df.count()
             n_out = max(n_out, (n_rows + target_file_rows - 1) // target_file_rows)
         df = (
             df.repartition(n_out, *[F.col(c) for c in pcols])
@@ -7316,6 +7342,27 @@ def optimize_delta(
         "bytes_in": bytes_in,
         "partitions_touched": len(groups),
     }
+
+
+def delta_table_numrows(table: str, version: int | None = None) -> int | None:
+    """Exact VISIBLE row count of the snapshot from LOG METADATA alone
+    (per-file numRecords minus deletion-vector cardinality — the same
+    identity the DV delete's count elision proved in r14), or None when
+    any active file lacks stats: metadata cannot answer for a statless
+    file, so callers fall back to counting. O(active files) driver
+    walk, zero Spark jobs."""
+    active, _, _ = _snapshot_state(table, version)
+    total = 0
+    for a in active.values():
+        st = a.get("stats")
+        try:
+            nrec = int(json.loads(st)["numRecords"]) if st else None
+        except (ValueError, TypeError, KeyError):
+            nrec = None
+        if nrec is None:
+            return None
+        total += nrec - int((a.get("deletionVector") or {}).get("cardinality") or 0)
+    return total
 
 
 def delta_dv_fraction(table: str, version: int | None = None) -> float:
@@ -7818,7 +7865,10 @@ def _zorder_quantile_col(df: DataFrame, cols: Sequence[str]) -> "F.Column":
 
 
 def _zorder_frame(
-    df: DataFrame, cols: Sequence[str], pcols: Sequence[str] = ()
+    df: DataFrame,
+    cols: Sequence[str],
+    pcols: Sequence[str] = (),
+    n_out: int | None = None,
 ) -> DataFrame:
     """Range-partition by (partition cols, z-value) then sort within
     partitions: each output file covers a compact Z-curve segment of
@@ -7827,17 +7877,31 @@ def _zorder_frame(
     in >1 dimension. Partitioned scopes rank per partition (parallel
     windows); unpartitioned scopes use quantile/sampled-boundary
     buckets (no window at all, numeric or not) — no plan shape here
-    ever funnels the scope through a single task."""
+    ever funnels the scope through a single task.
+
+    ``n_out`` pins the output partition count (the caller's
+    target-file-rows sizing, r15); default = the input's partition
+    count as before. A SINGLE z-order column needs no z-value at all —
+    one dimension's Z-curve IS its sort order — so that path skips the
+    quantile/sample pass and the 256-bucket quantization entirely and
+    range-sorts exactly (tighter per-file ranges than the bucketed
+    curve, one less distributed pass)."""
+    if len(cols) == 1:
+        keys = [*[F.col(c) for c in pcols], F.col(cols[0])]
+        n = n_out if n_out else max(2, df.rdd.getNumPartitions())
+        return df.repartitionByRange(max(1, n), *keys).sortWithinPartitions(
+            *keys
+        )
     if pcols:
         z = _zorder_window_col(cols, pcols)
     else:
         z = _zorder_quantile_col(df, cols)
     z = z.alias("__z")
     with_z = df.select("*", z)
-    n = max(2, with_z.rdd.getNumPartitions())
+    n = n_out if n_out else max(2, with_z.rdd.getNumPartitions())
     keys = [*[F.col(c) for c in pcols], F.col("__z")]
     return (
-        with_z.repartitionByRange(n, *keys)
+        with_z.repartitionByRange(max(1, n), *keys)
         .sortWithinPartitions(*keys)
         .drop("__z")
     )

@@ -1160,6 +1160,7 @@ def delta_clustering_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_loading_scripts_spark.catalog import load_table
     from etl_loading_scripts_spark.operators.deltalog import (
         delta_clustering_report,
+        delta_table_numrows,
         maintain_clustering_delta,
         merge_dim_deltalog,
         read_delta_table,
@@ -1195,7 +1196,12 @@ def delta_clustering_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
             write_delta_table(arrivals.coalesce(1), d, mode="append")
         rep1 = delta_clustering_report(d, "k")
         drift_detected = int(rep1["recommend_recluster"])
-        n_rows = read_delta_table(spark, d).count()
+        # row count from log stats (zero Spark jobs, r15) — this
+        # writer's files always carry numRecords; the count() fallback
+        # guards foreign statless logs only
+        n_rows = delta_table_numrows(d)
+        if n_rows is None:
+            n_rows = read_delta_table(spark, d).count()
         res = maintain_clustering_delta(
             spark, d, ["k"], target_file_rows=max(1, n_rows // 8)
         )
