@@ -37,17 +37,33 @@ def run_monthly_load(
     """Execute stages 1-5 for the ``(lo_datekey, hi_datekey)`` month window.
 
     The window is an explicit parameter — never derived from now() inside
-    the transforms (SURVEY §7.4 R9)."""
+    the transforms (SURVEY §7.4 R9).
+
+    Independent stages OVERLAP (r15 — VERDICT r14 item 5, guide §2.6):
+    stage 1 (fingerprint map: raw + registry) and stage 2 (patron dims:
+    raw + fact + patron dim) share no outputs, and stage 5 (BI
+    definitions: stage-3 dim + stage-1 registry) is independent of
+    stage 4 (billing groups: stage-3 fact) — each pair's validation
+    actions run from two driver threads so the second job's tasks
+    back-fill executors freed by the first's tail. The dependency chain
+    (1,2) → 3 → (4,5) and every stage's computation are unchanged;
+    metrics update in stage order after each pair joins, so the
+    returned dict is byte-identical to the sequential runner's."""
+    from concurrent.futures import ThreadPoolExecutor
+
     metrics: dict[str, int] = {}
 
-    staging_map, registry, m1 = stage1_fingerprint_map(
-        dom.raw_transactions, dom.pos_fingerprints
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f1 = pool.submit(
+            stage1_fingerprint_map, dom.raw_transactions, dom.pos_fingerprints
+        )
+        f2 = pool.submit(
+            stage2_patron_dims,
+            dom.raw_transactions, dom.fact_transaction, dom.dim_patron, window,
+        )
+        staging_map, registry, m1 = f1.result()
+        fact, dim_patron, m2 = f2.result()
     metrics.update(m1)
-
-    fact, dim_patron, m2 = stage2_patron_dims(
-        dom.raw_transactions, dom.fact_transaction, dom.dim_patron, window
-    )
     metrics.update(m2)
 
     fact, dim_restaurant, m3 = stage3_restaurant_map(
@@ -55,17 +71,20 @@ def run_monthly_load(
     )
     metrics.update(m3)
 
-    fact, dim_billing_group, m4 = stage4_billing_groups(
-        dom.raw_transactions, fact, dom.dim_billing_group, window
-    )
-    metrics.update(m4)
-
     # BI definitions: derived from the registry (site → definition id), the
     # reference pulls these from a shared source table (S5:17)
     bi_defs = registry.filter(F.col("site_id").isNotNull()).select(
         "site_id", (F.col("site_id") % 5).alias("bi_reporting_id")
     )
-    dim_restaurant, bridge, m5 = stage5_bi_reporting(dim_restaurant, bi_defs)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f4 = pool.submit(
+            stage4_billing_groups,
+            dom.raw_transactions, fact, dom.dim_billing_group, window,
+        )
+        f5 = pool.submit(stage5_bi_reporting, dim_restaurant, bi_defs)
+        fact, dim_billing_group, m4 = f4.result()
+        dim_restaurant, bridge, m5 = f5.result()
+    metrics.update(m4)
     metrics.update(m5)
 
     out = replace(
