@@ -115,9 +115,37 @@ def main() -> None:
     # (the "new min > old max over >=3 runs" watch rule) can be applied to
     # BENCH_r{N}.json alone, without builder-side transcripts. "value"
     # remains the sum of per-query minima (comparable with r5-r7).
+    # Round 15 (VERDICT r14 item 9, additions-only): per-op Spark JOB
+    # and TASK counts ride in the JSON next to the unchanged wall
+    # metrics. At sf0.1 every query is sub-2 s and the 8-vs-32-core
+    # wall ratio is ~1 (driver/latency-bound), so the bench could no
+    # longer distinguish "parallelises" from "driver-bound" — the task
+    # count is that scale signal (tasks >> cores ⇒ the plan fans out;
+    # jobs ≈ tasks ⇒ driver-bound metadata work). Counted around the
+    # LAST noop run of each op; the tracker snapshots sit OUTSIDE the
+    # timed window, methodology otherwise unchanged.
+    tracker = spark.sparkContext.statusTracker()
+
+    def _span_begin():
+        return set(tracker.getJobIdsForGroup(None) or [])
+
+    def _span_end(before) -> tuple[int, int]:
+        new = [j for j in (tracker.getJobIdsForGroup(None) or [])
+               if j not in before]
+        tasks = 0
+        for jid in new:
+            ji = tracker.getJobInfo(jid)
+            for sid in (ji.stageIds if ji else []):
+                si = tracker.getStageInfo(sid)
+                if si:
+                    tasks += si.numTasks
+        return len(new), tasks
+
     timings: dict[str, float] = {}
     timings_noop: dict[str, float] = {}
     spread_noop: dict[str, list[float]] = {}
+    jobs_noop: dict[str, int] = {}
+    tasks_noop: dict[str, int] = {}
     for name in HEADLINE:
         q = REGISTRY.get(name)
         if q is None:
@@ -129,10 +157,13 @@ def main() -> None:
             n = df.count()
             runs.append(time.time() - t0)
         runs_noop = []
-        for _ in range(3):
+        for i in range(3):
+            span = _span_begin() if i == 2 else None
             t0 = time.time()
             q.spark(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             runs_noop.append(time.time() - t0)
+            if span is not None:
+                jobs_noop[name], tasks_noop[name] = _span_end(span)
         runs_noop.sort()
         timings[name] = round(min(runs), 3)
         timings_noop[name] = round(runs_noop[0], 3)
@@ -144,7 +175,9 @@ def main() -> None:
         )
     total = round(sum(timings.values()), 3)
     total_noop = round(sum(timings_noop.values()), 3)
-    lakehouse, lakehouse_spread, lakehouse_extra = _bench_lakehouse(spark)
+    lakehouse, lakehouse_spread, lakehouse_extra, lh_jobs, lh_tasks = (
+        _bench_lakehouse(spark, _span_begin, _span_end)
+    )
     print(
         json.dumps(
             {
@@ -168,6 +201,14 @@ def main() -> None:
                 # r13 ops measured OUTSIDE lakehouse_total so the
                 # r11-r13 series stays composition-stable
                 "lakehouse_extra": lakehouse_extra,
+                # Round 15 (VERDICT r14 item 9, additions-only): per-op
+                # Spark job/task counts from the last noop run / last
+                # lakehouse rep — the scale signal the wall metric
+                # lost once every op went sub-2 s at sf0.1
+                "queries_jobs": jobs_noop,
+                "queries_tasks": tasks_noop,
+                "lakehouse_jobs": lh_jobs,
+                "lakehouse_tasks": lh_tasks,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
@@ -175,13 +216,17 @@ def main() -> None:
 
 
 def _bench_lakehouse(
-    spark,
-) -> tuple[dict[str, float], dict[str, list[float]], dict[str, float]]:
+    spark, _span_begin, _span_end
+) -> tuple[
+    dict[str, float], dict[str, list[float]], dict[str, float],
+    dict[str, int], dict[str, int],
+]:
     """The lakehouse bench set: fixtures planted ONCE (plant cost not
     billed), each op timed best-of-3. Mutating ops are either
     idempotent-by-work (a month merge rewrites its month every run) or
     parameterized per run (each DV delete scrubs a fresh key slice) so
-    all three runs do comparable work."""
+    all three runs do comparable work. r15: the last rep of each op is
+    additionally spanned for job/task counts (additions-only)."""
     import shutil
     import tempfile
 
@@ -372,6 +417,8 @@ def _bench_lakehouse(
         mins: dict[str, float] = {}
         spreads: dict[str, list[float]] = {}
         extra: dict[str, float] = {}
+        lh_jobs: dict[str, int] = {}
+        lh_tasks: dict[str, int] = {}
         for group, (sink_m, sink_s) in (
             (ops, (mins, spreads)),
             (extra_ops, (extra, spreads)),
@@ -379,9 +426,12 @@ def _bench_lakehouse(
             for name, fn in group:
                 runs = []
                 for i in range(3):
+                    span = _span_begin() if i == 2 else None
                     t0 = time.time()
                     fn(i)
                     runs.append(time.time() - t0)
+                    if span is not None:
+                        lh_jobs[name], lh_tasks[name] = _span_end(span)
                 runs.sort()
                 sink_m[name] = round(runs[0], 3)
                 sink_s[name] = [round(t, 3) for t in runs]
@@ -390,7 +440,7 @@ def _bench_lakehouse(
                     f"(spread {sink_s[name]})",
                     file=sys.stderr,
                 )
-        return mins, spreads, extra
+        return mins, spreads, extra, lh_jobs, lh_tasks
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
