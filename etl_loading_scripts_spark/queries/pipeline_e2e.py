@@ -1414,9 +1414,13 @@ def delta_apply_changes_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     try:
         write_delta_table(cust.repartitionByRange(4, "k"), d)
-        n5 = cust.filter(F.col("k") % 10 == 5).count()
-        n7 = cust.filter(F.col("k") % 10 == 7).count()
-        n2 = cust.filter(F.col("k") % 10 == 2).count()
+        # the three audit cardinalities in ONE source pass (r15,
+        # guide §1.2) — they were three separate count jobs
+        mods = cust.agg(*[
+            F.sum((F.col("k") % 10 == m).cast("long")).alias(f"n{m}")
+            for m in (5, 7, 2)
+        ]).first()
+        n5, n7, n2 = int(mods["n5"]), int(mods["n7"]), int(mods["n2"])
         upd5 = cust.filter(F.col("k") % 10 == 5).withColumn(
             "nm", F.concat(F.lit("u5_"), F.col("k").cast("string"))
         )
