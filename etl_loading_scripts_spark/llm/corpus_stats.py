@@ -148,11 +148,13 @@ def corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # near-dup pair count and the leakage audit's Jaccard core both
     # consume the corpus shingle table; un-shared they each re-shingled
     # the corpus (and the Jaccard core pays an eager hot-shingle count
-    # on top). Persist + eager fill, same discipline as
-    # corpus_release_e2e: LRU-evictable cache, lineage recomputes if
-    # dropped, correctness unaffected.
-    shingled = _shingles_spark(docs).persist()
-    shingled.count()
+    # on top). localCheckpoint, NOT persist: a persist registers in the
+    # CacheManager and is never auto-evicted, so a long session running
+    # many queries accumulates dead caches until the heap tips (a 351-
+    # query sweep OOM'd exactly there); a localCheckpoint's blocks are
+    # freed by the ContextCleaner as soon as the query's frames are
+    # dropped, with the same compute-once property.
+    shingled = _shingles_spark(docs).localCheckpoint()
 
     def scalar(name, df_agg):
         return df_agg.select(
